@@ -1,0 +1,75 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Distributed contiguous ranking and ordered prefix-sums.
+  *
+  * The reference engine materializes the entire sample order as one int64
+  * index array on the driver (reference: src/scdataset/scdataset.py:487-488)
+  * — impossible at 100 TB.  These helpers produce the same information as
+  * *columns*, computed with a range-partitioned sort + per-partition offsets
+  * (the TeraSort pattern): no global single-partition window, no driver-side
+  * index arrays. Cost is one extra Spark job per call (to count rows per
+  * partition), which is amortized over the downstream plan.
+  */
+object Ranker {
+
+  /** Adds `out` = 0-based dense rank of each row under `order`.  `order`
+    * must be a total order (include a unique tiebreaker column) so the rank
+    * is deterministic.  Equivalent to SQL `row_number() OVER (ORDER BY
+    * order) - 1` but scales: the sort is range-partitioned instead of
+    * collapsing to a single partition.
+    */
+  def withRank(df: DataFrame, out: String, order: Column*): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val schema = StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(out, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Adds `out` = running sum of LONG column `value` (inclusive) in the
+    * total order given by the existing contiguous rank column `rankCol`.
+    * Exact (integer) arithmetic, so the result is independent of
+    * partitioning — bit-identical to a sequential scan.  Two-phase:
+    * per-partition partial sums are collected (one tiny row per partition)
+    * and re-broadcast as offsets.
+    */
+  def withCumsumLong(df: DataFrame, rankCol: String, value: Column,
+                     out: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val n = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
+    val prepared = df
+      .withColumn("__cs_v", value.cast(LongType))
+      .repartitionByRange(n, col(rankCol))
+      .sortWithinPartitions(col(rankCol))
+    prepared.cache()
+    val partials: Array[(Int, Long)] = prepared
+      .select("__cs_v").rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(0)); Iterator((pid, s))
+      }.collect()
+    val offsets: Map[Int, Long] = {
+      val sorted = partials.sortBy(_._1)
+      var acc = 0L
+      sorted.map { case (pid, s) => val o = (pid, acc); acc += s; o }.toMap
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = StructType(prepared.schema.fields.dropRight(1) :+
+      org.apache.spark.sql.types.StructField(out, LongType, nullable = false))
+    val rdd = prepared.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bc.value.getOrElse(pid, 0L)
+      it.map { row =>
+        val v = row.getLong(row.length - 1)
+        run += v
+        Row.fromSeq(row.toSeq.dropRight(1) :+ run)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

