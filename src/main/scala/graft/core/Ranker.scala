@@ -48,11 +48,19 @@ object Ranker {
       .withColumn("__cs_v", value.cast(LongType))
       .repartitionByRange(n, col(rankCol))
       .sortWithinPartitions(col(rankCol))
-    prepared.cache()
-    val partials: Array[(Int, Long)] = prepared
-      .select("__cs_v").rdd
+    // CRITICAL: both passes (partial sums, offset-apply) must run over the
+    // SAME RDD instance — the zipWithIndex pattern.  Deriving them from two
+    // DataFrame plans (e.g. a pruned .select for the partials) lets AQE
+    // coalesce the two shuffles into DIFFERENT partitionings, silently
+    // misaligning the offsets (observed: 132/30000 rows lost).  A single
+    // instance has an immutable partition array and job 2 reuses job 1's
+    // shuffle files.  No cache needed — this also fixes the former
+    // never-unpersisted full-DataFrame cache leak.
+    val base = prepared.rdd
+    val vIdx = prepared.schema.fieldIndex("__cs_v")
+    val partials: Array[(Int, Long)] = base
       .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L; it.foreach(r => s += r.getLong(0)); Iterator((pid, s))
+        var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((pid, s))
       }.collect()
     val offsets: Map[Int, Long] = {
       val sorted = partials.sortBy(_._1)
@@ -62,7 +70,7 @@ object Ranker {
     val bc = spark.sparkContext.broadcast(offsets)
     val schema = StructType(prepared.schema.fields.dropRight(1) :+
       org.apache.spark.sql.types.StructField(out, LongType, nullable = false))
-    val rdd = prepared.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val rdd = base.mapPartitionsWithIndex { (pid, it) =>
       var run = bc.value.getOrElse(pid, 0L)
       it.map { row =>
         val v = row.getLong(row.length - 1)

@@ -30,8 +30,11 @@ sealed trait Rng extends Serializable {
   /** Deterministic uniform double in [0, 1). */
   def uniform(seed: Long, tag: String, cols: Column*): Column
 
-  /** Driver-side scalar uniform in [0,1) for (seed, tag) — must equal
-    * `uniform(seed, tag)` with no data columns. */
+  /** Driver-side scalar uniform in [0,1) for (seed, tag).  For [[Rng.Md5]]
+    * this equals `uniform(seed, tag)` with no data columns (bit-exact,
+    * oracle-reproducible).  For [[Rng.Xx]] it is an INDEPENDENT deterministic
+    * stream (MurmurHash3-based) — callers must not assume column/scalar
+    * equivalence there. */
   def scalarUniform(seed: Long, tag: String): Double
 }
 

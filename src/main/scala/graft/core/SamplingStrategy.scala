@@ -140,16 +140,34 @@ final case class BlockWeightedSampling(
     val base = ranked(sc).withColumn("__w", weight.cast("double"))
     val sampled: DataFrame =
       if (replace) {
-        // Integerize weights (exact prefix sums → partition-independent).
+        // Validate + normalize in one aggregate, then integerize with
+        // RELATIVE precision: scale = 1e6 * n / sum(w), so weights keep ~6
+        // significant digits relative to the mean weight no matter how small
+        // the absolute values are (1/class_count at billions of rows stays
+        // exact; reference normalizes and never quantizes,
+        // strategy.py:678-697).
+        val stats = base.agg(
+          count(lit(1)).cast("long"), sum("__w"), min("__w")).head
+        val n = stats.getLong(0)
+        val sumW = stats.getDouble(1)
+        val minW = stats.getDouble(2)
+        require(minW >= 0.0, s"negative weight: min(w)=$minW")
+        require(sumW > 0.0, "weights sum to zero")
+        val scale = 1000000.0 * n / sumW
         val wInt = base.withColumn("__wi",
-          round(col("__w") * lit(1000000)).cast("long"))
+          round(col("__w") * lit(scale)).cast("long"))
         val cum = Ranker.withCumsumLong(wInt, Ord, col("__wi"), "__cum")
         val total = cum.agg(max("__cum")).head.getLong(0)
+        require(total > 0, "all weights rounded to zero after normalization")
         val off = rng.scalarUniform(seed, "offset")
         // systematic thresholds t_j = (j+off)*W/N; row copies =
-        // ceil(N*cum/W - off) - ceil(N*cumPrev - off); sums to exactly N.
+        // g(cum) - g(cumPrev) with g = ceil(cum/W * N - off), which sums to
+        // exactly N by telescoping.  NOTE the evaluation order: cum/W first
+        // (a double in [0,1], full precision) THEN * N — computing cum*N
+        // first overflows 2^53 once W*N > 9e15 (observed: 132 rows silently
+        // lost at W≈3e11, N=3e4) and at 100 TB scale would be catastrophic.
         val g = (c: Column) =>
-          ceil(c.cast("double") * lit(totalSize.toDouble) / lit(total.toDouble) - lit(off))
+          ceil(c.cast("double") / lit(total.toDouble) * lit(totalSize.toDouble) - lit(off))
         val withCopies = cum
           .withColumn("__c", (g(col("__cum")) - g(col("__cum") - col("__wi"))).cast("int"))
           .where(col("__c") > 0)
@@ -159,6 +177,10 @@ final case class BlockWeightedSampling(
       } else {
         require(totalSize <= sc.length,
           "without replacement requires totalSize <= collection length")
+        val stats = base.agg(sum("__w"), min("__w")).head
+        require(stats.getDouble(1) >= 0.0,
+          s"negative weight: min(w)=${stats.getDouble(1)}")
+        require(stats.getDouble(0) > 0.0, "weights sum to zero")
         // A-Res: largest ln(u)/w  ⇔ largest u^(1/w)
         val keyed = base.withColumn("__akey",
           log(rng.uniform(seed, "ares", col(sc.rowId))) / col("__w"))

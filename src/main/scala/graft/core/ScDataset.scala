@@ -52,7 +52,6 @@ final case class ScDataset(
   def planFrame(epoch: Int): DataFrame = {
     val s = epochSeed(epoch)
     var df = strategy.plan(collection, s)
-    df = hooks.fetchTransform(df)
     df = df.withColumn("fetch_id", floor(col(Ord) / fetchSize))
     val pos =
       if (strategy.shuffleBeforeYield) {
@@ -70,7 +69,11 @@ final case class ScDataset(
       val m = strategy.outputLen(collection.length)
       df = df.where(col("__pos") < (m / batchSize) * batchSize)
     }
-    df
+    // fetchTransform runs AFTER fetch_id/__pos/batch_id are derived: the
+    // reference applies fetch_transform to already-fetched window data
+    // (scdataset.py:530-531), so it cannot perturb the ordering math.  A
+    // transform that drops/duplicates rows changes batch contents only.
+    hooks.fetchTransform(df)
   }
 
   /** Exact batch count without executing — the reference's heavily-tested
