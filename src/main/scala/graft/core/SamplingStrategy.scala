@@ -122,15 +122,21 @@ final case class BlockShuffling(
   * (reference BlockWeightedSampling, strategy.py:557-867: draw at :823-844,
   * sort at :846, re-block at :848-867).
   *
-  * `weight` must be a non-negative numeric column; for `replace=true` it is
-  * used through an exact integer prefix sum when integral (bit-reproducible
-  * regardless of partitioning), else scaled by 1e6 and rounded.
+  * `weight` must be a non-negative numeric column.  For `replace=true` the
+  * weights are normalized then integerized (scale = 1e6·n/sum(w), ~6
+  * significant digits relative to the mean weight) for an exact integer
+  * prefix sum — bit-reproducible regardless of partitioning.  Pass
+  * `integralWeights=true` when the weight column is already non-negative
+  * integer-valued: normalization is skipped and the prefix sum is exact in
+  * the ORIGINAL units (fully reproducible in external SQL engines — used by
+  * the oracle-checked queries and [[ClassBalancedSampling]]).
   */
 final case class BlockWeightedSampling(
     weight: Column,
     totalSize: Long,
     blockSize: Int = 8,
     replace: Boolean = true,
+    integralWeights: Boolean = false,
     rng: Rng = Rng.Xx) extends SamplingStrategy {
   import SamplingStrategy._
   require(blockSize > 0 && totalSize > 0)
@@ -140,22 +146,27 @@ final case class BlockWeightedSampling(
     val base = ranked(sc).withColumn("__w", weight.cast("double"))
     val sampled: DataFrame =
       if (replace) {
-        // Validate + normalize in one aggregate, then integerize with
-        // RELATIVE precision: scale = 1e6 * n / sum(w), so weights keep ~6
-        // significant digits relative to the mean weight no matter how small
-        // the absolute values are (1/class_count at billions of rows stays
-        // exact; reference normalizes and never quantizes,
-        // strategy.py:678-697).
-        val stats = base.agg(
-          count(lit(1)).cast("long"), sum("__w"), min("__w")).head
-        val n = stats.getLong(0)
-        val sumW = stats.getDouble(1)
-        val minW = stats.getDouble(2)
-        require(minW >= 0.0, s"negative weight: min(w)=$minW")
-        require(sumW > 0.0, "weights sum to zero")
-        val scale = 1000000.0 * n / sumW
-        val wInt = base.withColumn("__wi",
-          round(col("__w") * lit(scale)).cast("long"))
+        val wInt =
+          if (integralWeights)
+            base.withColumn("__wi", weight.cast("long"))
+          else {
+            // Validate + normalize in one aggregate, then integerize with
+            // RELATIVE precision: scale = 1e6 * n / sum(w), so weights keep
+            // ~6 significant digits relative to the mean weight no matter
+            // how small the absolute values are (1/class_count at billions
+            // of rows stays exact; reference normalizes and never
+            // quantizes, strategy.py:678-697).
+            val stats = base.agg(
+              count(lit(1)).cast("long"), sum("__w"), min("__w")).head
+            val n = stats.getLong(0)
+            val sumW = stats.getDouble(1)
+            val minW = stats.getDouble(2)
+            require(minW >= 0.0, s"negative weight: min(w)=$minW")
+            require(sumW > 0.0, "weights sum to zero")
+            val scale = 1000000.0 * n / sumW
+            base.withColumn("__wi",
+              round(col("__w") * lit(scale)).cast("long"))
+          }
         val cum = Ranker.withCumsumLong(wInt, Ord, col("__wi"), "__cum")
         val total = cum.agg(max("__cum")).head.getLong(0)
         require(total > 0, "all weights rounded to zero after normalization")
@@ -202,7 +213,14 @@ final case class BlockWeightedSampling(
 
 /** Inverse-class-frequency weights from a label column, then delegate to
   * weighted sampling (reference ClassBalancedSampling,
-  * strategy.py:870-1098; weight computation at :1037-1098). */
+  * strategy.py:870-1098; weight computation at :1037-1098).
+  *
+  * Weights are computed as the INTEGER `round(1e6·n / (k·count_c))` —
+  * proportional to 1/count_c with ~6 significant digits, built purely from
+  * exact integer aggregates and pointwise IEEE division, so the full
+  * sampling plan is reproducible in external SQL engines and immune to
+  * order-dependent floating-point summation.
+  */
 final case class ClassBalancedSampling(
     label: Column,
     totalSize: Long,
@@ -214,10 +232,16 @@ final case class ClassBalancedSampling(
   def plan(sc: ScCollection, seed: Long): DataFrame = {
     val counts = sc.df.groupBy(label.as("__lbl"))
       .agg(count(lit(1)).as("__lcnt"))
+    val k = counts.count()
+    val n = sc.length
+    require(k > 0, "empty collection")
+    val num = 1000000.0 * n
     val weighted = sc.df.join(broadcast(counts), label === col("__lbl"))
-      .withColumn("__cbw", lit(1.0) / col("__lcnt"))
+      .withColumn("__cbw",
+        round(lit(num) / (lit(k) * col("__lcnt")).cast("double")))
       .drop("__lbl", "__lcnt")
-    BlockWeightedSampling(col("__cbw"), totalSize, blockSize, replace, rng)
+    BlockWeightedSampling(col("__cbw"), totalSize, blockSize, replace,
+      integralWeights = replace, rng = rng)
       .plan(sc.copy(df = weighted), seed)
       .drop("__cbw")
   }

@@ -1,0 +1,225 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** Oracle-checked queries for the weighted-sampling operators (SURVEY §2.3
+  * O3/O4) and weight/metric aggregations (§2.5 U9, §2.6 A1/A2).
+  *
+  * Cross-engine exactness strategy: every scalar pipeline mirrors the exact
+  * IEEE operation ORDER between Spark and the DuckDB oracle; global
+  * floating-point SUMS (order-dependent) are avoided by using integer-valued
+  * weights (exact in any order), integer prefix sums, or driver-side
+  * reductions in a defined order.  Outputs with genuine float aggregates are
+  * rounded to 6 decimals on both sides.
+  */
+object WeightedQueries {
+  import CoreQueries.li
+
+  private val RankedCte =
+    """WITH ranked AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag,
+      |         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS row_id
+      |  FROM lineitem
+      |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // O3 with replacement: systematic resampling over normalized-integerized
+    // weights; output cardinality (120k) exceeds input (~60k) — duplicates
+    // carry a copy index.
+    "o3_weighted_replace" -> ((s, dir) =>
+      BlockWeightedSampling(col("l_linenumber"), totalSize = 120000,
+        blockSize = 8, rng = Rng.Md5)
+        .plan(li(s, dir), 11)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col(SamplingStrategy.Copy).cast("long").as("copy"),
+          col(SamplingStrategy.Ord).as("ord"))),
+
+    // O3 without replacement: A-Res weighted reservoir (key = ln(u)/w, top-n)
+    "o3_weighted_noreplace" -> ((s, dir) =>
+      BlockWeightedSampling(col("l_linenumber"), totalSize = 20000,
+        blockSize = 8, replace = false, rng = Rng.Md5)
+        .plan(li(s, dir), 11)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col(SamplingStrategy.Ord).as("ord"))),
+
+    // O4: inverse-class-frequency balanced sampling over l_returnflag
+    "o4_class_balanced" -> ((s, dir) =>
+      ClassBalancedSampling(col("l_returnflag"), totalSize = 90000,
+        blockSize = 16, rng = Rng.Md5)
+        .plan(li(s, dir), 13)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col(SamplingStrategy.Copy).cast("long").as("copy"),
+          col(SamplingStrategy.Ord).as("ord"))),
+
+    // U9: smoothed inverse-frequency weights, normalized to sum = n
+    // (reference training_experiments/utils/weights.py:97-114).  The k-term
+    // normalizer is reduced in source order on the driver — deterministic.
+    "u9_balanced_weights" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      val k = counts.length
+      val n = counts.map(_._2).sum
+      val raw = counts.map { case (src, c) =>
+        (src, c, n.toDouble / (k * (c + 10)).toDouble) }
+      val sum = raw.map { case (_, c, w) => c * w }.reduceLeft(_ + _)
+      val norm = n.toDouble / sum
+      val rows = raw.map { case (src, c, w) =>
+        (src, c, BigDecimal(w * norm)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      s.createDataFrame(rows.toSeq).toDF("source", "cnt", "weight")
+    }),
+
+    // A2: per-batch Shannon entropy of c_mktsegment under streaming batching
+    // (reference benchmarks/utils.py:246-259)
+    "a2_batch_entropy" -> ((s, dir) => {
+      val c = ScCollection.fromParquet(s, s"$dir/customer.parquet",
+        Seq("c_custkey"), Seq("c_mktsegment"))
+      val b = c.df.withColumn("batch_id", floor(col("row_id") / 100))
+      val g = b.groupBy("batch_id", "c_mktsegment").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("batch_id")
+      val t = g.withColumn("tot", sum("cnt").over(w))
+        .withColumn("p", col("cnt").cast("double") / col("tot").cast("double"))
+        .withColumn("x", col("p") * log2(col("p")))
+      t.groupBy("batch_id")
+        .agg(round(lit(0.0) - sum("x"), 6).as("entropy"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "o3_weighted_replace" ->
+      s"""$RankedCte,
+         |w AS (
+         |  SELECT *, CAST(round(l_linenumber::DOUBLE *
+         |    ((1000000.0 * (SELECT count(*) FROM lineitem)) /
+         |     (SELECT sum(l_linenumber::DOUBLE) FROM lineitem))) AS BIGINT) AS wi
+         |  FROM ranked
+         |),
+         |c AS (
+         |  SELECT *, sum(wi) OVER (ORDER BY row_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM w
+         |),
+         |params AS (
+         |  SELECT max(cum)::DOUBLE AS tw,
+         |         (('0x' || substr(md5('offset:11'), 1, 8))::BIGINT / 4294967296.0) AS off
+         |  FROM c
+         |),
+         |cp AS (
+         |  SELECT *,
+         |    CAST(ceil(cum::DOUBLE / (SELECT tw FROM params) * 120000.0 - (SELECT off FROM params))
+         |       - ceil((cum - wi)::DOUBLE / (SELECT tw FROM params) * 120000.0 - (SELECT off FROM params)) AS INT) AS copies
+         |  FROM c
+         |),
+         |ex AS (
+         |  SELECT l_orderkey, l_linenumber, row_id,
+         |         unnest(generate_series(1, copies)) AS copy
+         |  FROM cp WHERE copies > 0
+         |),
+         |sr AS (
+         |  SELECT *, row_number() OVER (ORDER BY row_id, copy) - 1 AS srank FROM ex
+         |),
+         |k AS (
+         |  SELECT *, md5(concat_ws(':', 'wblock', '11', (srank // 8)::VARCHAR)) AS bkey
+         |  FROM sr
+         |)
+         |SELECT l_orderkey, l_linenumber, copy::BIGINT AS copy,
+         |       row_number() OVER (ORDER BY bkey, srank) - 1 AS ord
+         |FROM k""".stripMargin,
+
+    "o3_weighted_noreplace" ->
+      s"""$RankedCte,
+         |u AS (
+         |  SELECT *, (('0x' || substr(md5(concat_ws(':', 'ares', '11', row_id::VARCHAR)), 1, 8))::BIGINT
+         |             / 4294967296.0) AS uu
+         |  FROM ranked
+         |),
+         |a AS (SELECT *, ln(uu) / (l_linenumber::DOUBLE) AS akey FROM u),
+         |ar AS (
+         |  SELECT *, row_number() OVER (ORDER BY akey DESC, row_id) - 1 AS arank FROM a
+         |),
+         |sel AS (SELECT l_orderkey, l_linenumber, row_id FROM ar WHERE arank < 20000),
+         |sr AS (SELECT *, row_number() OVER (ORDER BY row_id) - 1 AS srank FROM sel),
+         |k AS (
+         |  SELECT *, md5(concat_ws(':', 'wblock', '11', (srank // 8)::VARCHAR)) AS bkey
+         |  FROM sr
+         |)
+         |SELECT l_orderkey, l_linenumber,
+         |       row_number() OVER (ORDER BY bkey, srank) - 1 AS ord
+         |FROM k""".stripMargin,
+
+    "o4_class_balanced" ->
+      s"""$RankedCte,
+         |cnts AS (SELECT l_returnflag AS lbl, count(*) AS cnt FROM lineitem GROUP BY 1),
+         |w AS (
+         |  SELECT r.*, CAST(round((1000000.0 * (SELECT count(*) FROM lineitem)) /
+         |    ((SELECT count(*) FROM cnts) * c.cnt)::DOUBLE) AS BIGINT) AS wi
+         |  FROM ranked r JOIN cnts c ON r.l_returnflag = c.lbl
+         |),
+         |c AS (
+         |  SELECT *, sum(wi) OVER (ORDER BY row_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM w
+         |),
+         |params AS (
+         |  SELECT max(cum)::DOUBLE AS tw,
+         |         (('0x' || substr(md5('offset:13'), 1, 8))::BIGINT / 4294967296.0) AS off
+         |  FROM c
+         |),
+         |cp AS (
+         |  SELECT *,
+         |    CAST(ceil(cum::DOUBLE / (SELECT tw FROM params) * 90000.0 - (SELECT off FROM params))
+         |       - ceil((cum - wi)::DOUBLE / (SELECT tw FROM params) * 90000.0 - (SELECT off FROM params)) AS INT) AS copies
+         |  FROM c
+         |),
+         |ex AS (
+         |  SELECT l_orderkey, l_linenumber, l_returnflag, row_id,
+         |         unnest(generate_series(1, copies)) AS copy
+         |  FROM cp WHERE copies > 0
+         |),
+         |sr AS (
+         |  SELECT *, row_number() OVER (ORDER BY row_id, copy) - 1 AS srank FROM ex
+         |),
+         |k AS (
+         |  SELECT *, md5(concat_ws(':', 'wblock', '13', (srank // 16)::VARCHAR)) AS bkey
+         |  FROM sr
+         |)
+         |SELECT l_orderkey, l_linenumber, l_returnflag, copy::BIGINT AS copy,
+         |       row_number() OVER (ORDER BY bkey, srank) - 1 AS ord
+         |FROM k""".stripMargin,
+
+    "u9_balanced_weights" ->
+      """WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+        |p AS (SELECT (SELECT count(*) FROM c) AS k, (SELECT count(*) FROM documents) AS n),
+        |w AS (
+        |  SELECT source, cnt,
+        |         (SELECT n FROM p)::DOUBLE / ((SELECT k FROM p) * (cnt + 10))::DOUBLE AS wr
+        |  FROM c
+        |),
+        |s AS (SELECT list_reduce(list(cnt * wr ORDER BY source), (a, b) -> a + b) AS tot FROM w)
+        |SELECT source, cnt,
+        |       round(wr * ((SELECT n FROM p)::DOUBLE / (SELECT tot FROM s)), 6) AS weight
+        |FROM w""".stripMargin,
+
+    "a2_batch_entropy" ->
+      """WITH r AS (
+        |  SELECT c_mktsegment, row_number() OVER (ORDER BY c_custkey) - 1 AS row_id
+        |  FROM customer
+        |),
+        |b AS (SELECT row_id // 100 AS batch_id, c_mktsegment FROM r),
+        |g AS (SELECT batch_id, c_mktsegment, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |t AS (
+        |  SELECT *, sum(cnt) OVER (PARTITION BY batch_id) AS tot
+        |  FROM g
+        |),
+        |term AS (
+        |  SELECT batch_id,
+        |         (cnt::DOUBLE / tot::DOUBLE) * log2(cnt::DOUBLE / tot::DOUBLE) AS x
+        |  FROM t
+        |)
+        |SELECT batch_id, round(0.0 - sum(x), 6) AS entropy
+        |FROM term GROUP BY batch_id""".stripMargin
+  )
+}
