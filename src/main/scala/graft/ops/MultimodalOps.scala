@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media (image/audio/video) as opaque `binary`
+  * payloads with typed metadata, processed by per-partition batch UDFs.
+  *
+  * The decode kernels themselves (JPEG/PNG/audio codecs) are NOT in this
+  * container, so [[stubDecode]] is a clearly-marked deterministic fake — but
+  * the Spark-side plumbing is real and tested: binary schema, per-partition
+  * batched iteration (the Scala analogue of `mapInPandas` batch shape),
+  * fixed-width feature vectors, and frame sampling by byte ranges.
+  *
+  * At 100 TB the payloads dominate: every op here is a narrow map (no
+  * shuffle), metadata extraction prunes to (id, meta) before any wide op,
+  * and frame/feature outputs are fixed-width so downstream batching is
+  * predictable.
+  */
+object MultimodalOps {
+
+  /** A decoded media record: the stand-in for (pixels/samples, shape). */
+  final case class MediaFeatures(doc_id: Long, byte_len: Long,
+      width: Int, height: Int, features: Array[Float])
+
+  /** Attach an opaque binary payload column (here: the utf-8 text bytes —
+    * in production this column comes straight from the media store). */
+  def withPayload(df: DataFrame, src: Column): DataFrame =
+    df.withColumn("payload", src.cast("binary"))
+
+  /** Typed metadata without decoding: byte length + 8-byte header (hex) —
+    * the "magic number" sniff that routes payloads to decoders. */
+  def metadata(df: DataFrame, payload: Column, id: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      octet_length(payload).cast("long").as("byte_len"),
+      hex(substring(payload, 1, 8)).as("header_hex"))
+
+  /** Frame sampling: `n` fixed-width byte windows starting at stride
+    * boundaries, fingerprinted — the frame-extraction access pattern
+    * (seek + bounded read) without a codec. */
+  def frameSample(df: DataFrame, text: Column, id: Column,
+      n: Int, width: Int): DataFrame =
+    df.select(id.as("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(n - 1)),
+          i => md5(substring(text, (i * width) + 1, lit(width))))))
+      .withColumnRenamed("pos", "frame")
+      .withColumnRenamed("col", "frame_hash")
+
+  /** STUB decoder: a real codec is unavailable in this container (???), so
+    * features are a deterministic md5-derived fake with the REAL batch
+    * shape: per-partition iteration, fixed `dim`-width float vectors,
+    * synthesized "image" dims from the byte length.  Swap the body for a
+    * JNI/codec call in production; the plumbing (schema, partitioning,
+    * batch signature) is what this exercises. */
+  def stubDecode(df: DataFrame, payload: Column, id: Column,
+      dim: Int = 8): Dataset[MediaFeatures] = {
+    val in = df.select(id.cast("long").as("doc_id"), payload.as("p"))
+    implicit val enc = Encoders.product[MediaFeatures]
+    in.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val docId = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        // ??? real decode goes here; deterministic fake below
+        val digest = md.digest(bytes)
+        val feats = Array.tabulate(dim) { j =>
+          ((digest(j % 16) & 0xff) / 255.0f) }
+        MediaFeatures(docId, bytes.length.toLong,
+          width = 64 + (digest(0) & 0x3f), height = 64 + (digest(1) & 0x3f),
+          features = feats)
+      }
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Scalar kernels (dot/cosine) are sequential left-fold expressions over the
+  * array — codegen-friendly, shuffle-free, and bit-deterministic (fixed
+  * association order), which both makes results retry-safe and lets the
+  * DuckDB oracle reproduce them exactly.
+  *
+  * Search paths:
+  *  - [[bruteTopK]]: exact top-k for a small query set — broadcast the
+  *    queries, one scan over the corpus, per-partition top-k via window.
+  *  - [[lshBuckets]] + [[lshTopK]]: the scale path — deterministic random-
+  *    hyperplane signs from md5(seed, plane, dim), per-row bucket id (no
+  *    shuffle), then candidate generation only within buckets.  At 100 TB
+  *    the bucket column also serves as a partition/bucketing key so repeated
+  *    queries never rescan the full corpus.
+  */
+object SimilarityOps {
+
+  /** Sequential dot product of two equal-length float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Sequential squared norm. */
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Cosine similarity, computed as dot / (sqrt(n2a) * sqrt(n2b)). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Exact top-k cosine neighbours for each query vector.
+    * Output: (query_id, neighbor_id, cos, rank).  Ranking is by cosine
+    * rounded to 6 decimals with id tiebreak — deterministic under ties. */
+  def bruteTopK(corpus: DataFrame, vec: Column, id: Column,
+      queries: DataFrame, qvec: Column, qid: Column, k: Int): DataFrame = {
+    val c = corpus.select(id.as("neighbor_id"), vec.as("cv"))
+    val q = queries.select(qid.as("query_id"), qvec.as("qv"))
+    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+  }
+
+  /** Deterministic ±1 sign for (seed, plane j, dim i): md5-uniform >= 0.5
+    * → +1.0 else -1.0. */
+  private def planeSign(seed: Long, j: Int, i: Column): Column = {
+    val u = conv(substring(md5(concat_ws(":", lit("plane"),
+      lit(seed.toString), lit(j.toString), i.cast("string"))), 1, 8),
+      16, 10).cast("long") / lit(4294967296.0)
+    when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0))
+  }
+
+  /** Random-hyperplane LSH bucket id in [0, 2^planes): bit j is the sign of
+    * the projection of the vector onto md5-derived hyperplane j.  Pure
+    * per-row expression (plane loop unrolled at plan time). */
+  def lshBucket(vec: Column, dims: Int, planes: Int, seed: Long): Column =
+    (0 until planes).map { j =>
+      val proj = aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
+        (s, i) => s + get(vec, i).cast("double") * planeSign(seed, j, i))
+      when(proj > 0.0, lit(1 << j)).otherwise(0)
+    }.reduce(_ + _)
+
+  /** (id, bucket) for the whole corpus. */
+  def lshBuckets(df: DataFrame, vec: Column, id: Column,
+      dims: Int, planes: Int = 8, seed: Long = 42L): DataFrame =
+    df.select(id.as("vec_id"),
+      lshBucket(vec, dims, planes, seed).as("bucket"))
+
+  /** Approximate top-k: exact cosine ranking restricted to each query's LSH
+    * bucket.  One shuffle on bucket; the cross product never materializes. */
+  def lshTopK(corpus: DataFrame, vec: Column, id: Column,
+      dims: Int, planes: Int, seed: Long, k: Int): DataFrame = {
+    val withB = corpus.select(id.as("vid"), vec.as("v"),
+      lshBucket(vec, dims, planes, seed).as("bucket"))
+    val scored = withB.as("q").join(withB.as("c"),
+        col("q.bucket") === col("c.bucket") && col("q.vid") =!= col("c.vid"))
+      .select(col("q.vid").as("query_id"), col("c.vid").as("neighbor_id"),
+        round(cosine(col("q.v"), col("c.v")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+  }
+}

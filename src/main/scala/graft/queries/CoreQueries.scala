@@ -13,18 +13,22 @@ import graft.core._
   */
 object CoreQueries {
 
-  /** lineitem as an indexable collection: contiguous row_id ranked by the
-    * unique natural key (l_orderkey, l_linenumber) — deterministic across
-    * engines, unlike file-position ids. */
+  /** lineitem as an indexable collection: contiguous row_id ranked by a
+    * TOTAL order — (l_orderkey, l_linenumber) alone is NOT unique in the
+    * test data (~20% duplicate pairs), so extra columns break ties; rows
+    * identical in every sort column are interchangeable, which keeps the
+    * rank deterministic as a multiset across engines. */
+  val LiOrder = Seq("l_orderkey", "l_linenumber", "l_extendedprice",
+    "l_quantity", "l_discount", "l_tax")
+
   def li(spark: SparkSession, dir: String): ScCollection =
-    ScCollection.fromParquet(spark, s"$dir/lineitem.parquet",
-      Seq("l_orderkey", "l_linenumber"))
+    ScCollection.fromParquet(spark, s"$dir/lineitem.parquet", LiOrder)
 
   /** Shared oracle CTE: the same contiguous rank in DuckDB. */
-  private val RankedCte =
-    """WITH ranked AS (
+  private[queries] val RankedCte =
+    s"""WITH ranked AS (
       |  SELECT l_orderkey, l_linenumber,
-      |         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS row_id
+      |         row_number() OVER (ORDER BY ${LiOrder.mkString(", ")}) - 1 AS row_id
       |  FROM lineitem
       |)""".stripMargin
 

@@ -18,9 +18,9 @@ object WeightedQueries {
   import CoreQueries.li
 
   private val RankedCte =
-    """WITH ranked AS (
+    s"""WITH ranked AS (
       |  SELECT l_orderkey, l_linenumber, l_returnflag,
-      |         row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS row_id
+      |         row_number() OVER (ORDER BY ${CoreQueries.LiOrder.mkString(", ")}) - 1 AS row_id
       |  FROM lineitem
       |)""".stripMargin
 
@@ -29,26 +29,35 @@ object WeightedQueries {
     // weights; output cardinality (120k) exceeds input (~60k) — duplicates
     // carry a copy index.
     "o3_weighted_replace" -> ((s, dir) =>
-      BlockWeightedSampling(col("l_linenumber"), totalSize = 120000,
+      {
+      val c = li(s, dir)
+      BlockWeightedSampling(col("l_linenumber"), totalSize = 2 * c.length,
         blockSize = 8, rng = Rng.Md5)
-        .plan(li(s, dir), 11)
+        .plan(c, 11)
+      }
         .select(col("l_orderkey"), col("l_linenumber"),
           col(SamplingStrategy.Copy).cast("long").as("copy"),
           col(SamplingStrategy.Ord).as("ord"))),
 
     // O3 without replacement: A-Res weighted reservoir (key = ln(u)/w, top-n)
     "o3_weighted_noreplace" -> ((s, dir) =>
-      BlockWeightedSampling(col("l_linenumber"), totalSize = 20000,
+      {
+      val c = li(s, dir)
+      BlockWeightedSampling(col("l_linenumber"), totalSize = c.length / 3,
         blockSize = 8, replace = false, rng = Rng.Md5)
-        .plan(li(s, dir), 11)
+        .plan(c, 11)
+      }
         .select(col("l_orderkey"), col("l_linenumber"),
           col(SamplingStrategy.Ord).as("ord"))),
 
     // O4: inverse-class-frequency balanced sampling over l_returnflag
     "o4_class_balanced" -> ((s, dir) =>
-      ClassBalancedSampling(col("l_returnflag"), totalSize = 90000,
+      {
+      val c = li(s, dir)
+      ClassBalancedSampling(col("l_returnflag"), totalSize = 3 * c.length / 2,
         blockSize = 16, rng = Rng.Md5)
-        .plan(li(s, dir), 13)
+        .plan(c, 13)
+      }
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           col(SamplingStrategy.Copy).cast("long").as("copy"),
           col(SamplingStrategy.Ord).as("ord"))),
@@ -109,8 +118,8 @@ object WeightedQueries {
          |),
          |cp AS (
          |  SELECT *,
-         |    CAST(ceil(cum::DOUBLE / (SELECT tw FROM params) * 120000.0 - (SELECT off FROM params))
-         |       - ceil((cum - wi)::DOUBLE / (SELECT tw FROM params) * 120000.0 - (SELECT off FROM params)) AS INT) AS copies
+         |    CAST(ceil(cum::DOUBLE / (SELECT tw FROM params) * CAST(2 * (SELECT count(*) FROM lineitem) AS DOUBLE) - (SELECT off FROM params))
+         |       - ceil((cum - wi)::DOUBLE / (SELECT tw FROM params) * CAST(2 * (SELECT count(*) FROM lineitem) AS DOUBLE) - (SELECT off FROM params)) AS INT) AS copies
          |  FROM c
          |),
          |ex AS (
@@ -140,7 +149,7 @@ object WeightedQueries {
          |ar AS (
          |  SELECT *, row_number() OVER (ORDER BY akey DESC, row_id) - 1 AS arank FROM a
          |),
-         |sel AS (SELECT l_orderkey, l_linenumber, row_id FROM ar WHERE arank < 20000),
+         |sel AS (SELECT l_orderkey, l_linenumber, row_id FROM ar WHERE arank < (SELECT count(*) // 3 FROM lineitem)),
          |sr AS (SELECT *, row_number() OVER (ORDER BY row_id) - 1 AS srank FROM sel),
          |k AS (
          |  SELECT *, md5(concat_ws(':', 'wblock', '11', (srank // 8)::VARCHAR)) AS bkey
@@ -170,8 +179,8 @@ object WeightedQueries {
          |),
          |cp AS (
          |  SELECT *,
-         |    CAST(ceil(cum::DOUBLE / (SELECT tw FROM params) * 90000.0 - (SELECT off FROM params))
-         |       - ceil((cum - wi)::DOUBLE / (SELECT tw FROM params) * 90000.0 - (SELECT off FROM params)) AS INT) AS copies
+         |    CAST(ceil(cum::DOUBLE / (SELECT tw FROM params) * CAST(3 * (SELECT count(*) FROM lineitem) // 2 AS DOUBLE) - (SELECT off FROM params))
+         |       - ceil((cum - wi)::DOUBLE / (SELECT tw FROM params) * CAST(3 * (SELECT count(*) FROM lineitem) // 2 AS DOUBLE) - (SELECT off FROM params)) AS INT) AS copies
          |  FROM c
          |),
          |ex AS (

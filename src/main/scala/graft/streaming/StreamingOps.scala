@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).  Each transform is
+  * written against an unbounded DataFrame, so the SAME code runs in batch
+  * (for the oracle-checked queries) and under `readStream` with a
+  * watermark — Spark's incrementalization, not a parallel implementation.
+  */
+object StreamingOps {
+
+  /** Tumbling-window counts + value sums per event_type.
+    * Works on batch and streaming frames alike. */
+  def tumblingCounts(events: DataFrame, windowLen: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("value_sum"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("cnt"), col("value_sum"))
+
+  /** Gap-based sessionization (batch form): a session breaks after
+    * `gapMs` of user inactivity.  Output one row per session:
+    * (user_id, session_id, n_events, start_ms, end_ms, value_sum).
+    *
+    * The shuffle is one exchange on user_id; the two windows below share
+    * that partitioning (Catalyst reuses the exchange).  The streaming
+    * equivalent is `session_window(ts, gap)` / flatMapGroupsWithState. */
+  def sessionize(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val withStart = events
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("is_start",
+        when(col("ts_ms") - lag("ts_ms", 1).over(byUser) > gapMs, 1)
+          .when(lag("ts_ms", 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("is_start").over(byUser.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+    withStart.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"),
+        round(sum("value"), 6).as("value_sum"))
+  }
+
+  /** Streaming-mode tumbling aggregation with a watermark, reading a
+    * parquet directory as a file stream.  Returns the streaming DataFrame;
+    * attach a sink with `.writeStream`. */
+  def tumblingCountsStream(spark: SparkSession, dir: String,
+      schema: StructType, windowLen: String, watermark: String): DataFrame =
+    tumblingCountsPreAgg(
+      spark.readStream.schema(schema).parquet(dir)
+        .withWatermark("ts", watermark), windowLen)
+
+  /** The watermark-compatible aggregation body shared by batch/stream. */
+  private def tumblingCountsPreAgg(events: DataFrame, windowLen: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("value_sum"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("cnt"), col("value_sum"))
+}
