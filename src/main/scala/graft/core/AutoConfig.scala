@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.util.SizeEstimator
+
+/** Auto-tuning advisor — the analogue of the reference's experimental
+  * auto-config (reference: src/scdataset/experimental/auto_config.py):
+  * deep per-sample memory sizing (A4, `_deep_sizeof` :22-161), sample-size
+  * estimation through the transform pipeline (A5, :164-275), and parameter
+  * suggestion from a RAM budget (A6, :278-525).
+  *
+  * On Spark the sizing uses `SizeEstimator` over a small collected probe
+  * (bounded: `probeRows` rows through the hook pipeline — the reference
+  * probes 16 samples, :439-445), and the suggestions map to both the
+  * reference's knobs (fetchFactor/blockSize/prefetch) and their Spark
+  * physical equivalents (shuffle partitions, maxPartitionBytes).
+  */
+object AutoConfig {
+
+  /** Suggested parameters; mirrors auto_config.py:278-525 plus the Spark
+    * physical mapping. */
+  final case class Suggestion(
+      sampleBytes: Long,
+      workers: Int,
+      fetchFactor: Int,
+      blockSizeSmall: Int,
+      blockSize: Int,
+      blockSizeLarge: Int,
+      prefetchFactor: Int,
+      shufflePartitions: Int,
+      maxPartitionBytes: Long)
+
+  /** A5: mean deep size of the first `probeRows` rows AFTER the hook
+    * pipeline (reference estimate_sample_size, auto_config.py:164-275).
+    * One bounded `limit(n)` job — never a full scan. */
+  def estimateSampleBytes(df: DataFrame, hooks: Hooks = Hooks(),
+      probeRows: Int = 16): Long = {
+    val probe = hooks.fetchTransform(df.limit(probeRows)).collect()
+    require(probe.nonEmpty, "empty collection — cannot size samples")
+    // A4: SizeEstimator.estimate is the JVM deep-sizeof analogue of
+    // auto_config.py:22-161 (numpy nbytes / sparse member walk).
+    val total = probe.map(r => SizeEstimator.estimate(r.asInstanceOf[AnyRef])).sum
+    total / probe.length
+  }
+
+  /** A6: derive loader/plan parameters from the measured sample size and a
+    * RAM budget (reference suggest_parameters: workers = min(cores/2, 16)
+    * :434-436; fetch budget 2·bs·ff·workers·sample < 0.2·RAM :448-462;
+    * block tiers ff/2, ff, 2·ff :465-471; prefetch = ff+1 :470-471). */
+  def suggest(spark: SparkSession, sampleBytes: Long, batchSize: Int,
+      ramBytes: Long = Runtime.getRuntime.maxMemory): Suggestion = {
+    require(sampleBytes > 0 && batchSize > 0)
+    val cores = spark.sparkContext.defaultParallelism
+    val workers = math.max(1, math.min(cores / 2, 16))
+    val budget = (0.2 * ramBytes).toLong
+    val rawFf = budget / (2L * batchSize * workers * sampleBytes)
+    // clamp to a sane power-of-two in [1, 1024] like the reference's grid
+    val ff = math.max(1, math.min(1024, java.lang.Long.highestOneBit(math.max(1L, rawFf)))).toInt
+    val shufflePartitions = math.max(2 * cores, 32)
+    // size partitions so one partition of samples fits the per-core share
+    // of the budget: bytes/partition ≈ budget / cores, capped at 512 MiB
+    val mpb = math.max(16L << 20, math.min(512L << 20, budget / math.max(1, cores)))
+    Suggestion(
+      sampleBytes = sampleBytes,
+      workers = workers,
+      fetchFactor = ff,
+      blockSizeSmall = math.max(1, ff / 2),
+      blockSize = ff,
+      blockSizeLarge = ff * 2,
+      prefetchFactor = ff + 1,
+      shufflePartitions = shufflePartitions,
+      maxPartitionBytes = mpb)
+  }
+}

@@ -143,7 +143,13 @@ final case class BlockWeightedSampling(
   def shuffleBeforeYield: Boolean = true
 
   def plan(sc: ScCollection, seed: Long): DataFrame = {
+    // The sampling plan drives several Spark actions over the ranked input
+    // (weight stats, prefix-sum partials, total weight) before the final
+    // consumer executes — persist the ranked base so the rank's sort +
+    // zipWithIndex runs once, not once per action.  MEMORY_AND_DISK: at
+    // 100 TB the ranked projection (ids + weight) spills, never OOMs.
     val base = ranked(sc).withColumn("__w", weight.cast("double"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sampled: DataFrame =
       if (replace) {
         val wInt =

@@ -26,6 +26,55 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  private val Ws = java.util.regex.Pattern.compile("\\s+")
+  private val Md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private def md5Hex(s: String): String = {
+    val d = Md5Local.get().digest(s.getBytes("UTF-8"))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** JVM mirror of the tokenize→k-shingle pipeline in [[TextOps]]
+    * (split(lower, \s+) with empties removed; short docs yield one shingle =
+    * the whole token string) — byte-identical inputs to the md5 hashes. */
+  private def shinglesOf(text: String, k: Int): Array[String] = {
+    val toks = Ws.split(text.toLowerCase(java.util.Locale.ROOT), -1)
+      .filter(_.nonEmpty)
+    if (toks.length >= k)
+      Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" "))
+    else Array(toks.mkString(" "))
+  }
+
+  /** MinHash signature kernel: for each of `numHashes` hash families j, the
+    * minimum over distinct shingles of the first 60 bits of
+    * md5("j:shingle") — exactly `conv(substring(md5(...),1,15),16,10)`, so
+    * the DuckDB oracle reproduces it verbatim.  A tight JVM loop instead of
+    * nested higher-order expressions: HOFs are interpreted per element and
+    * were the dominant cost of the whole dedup suite. */
+  private def signatureOf(text: String, k: Int, numHashes: Int): Array[Long] = {
+    val uniq = shinglesOf(text, k).distinct
+    Array.tabulate(numHashes) { j =>
+      var min = Long.MaxValue
+      var i = 0
+      while (i < uniq.length) {
+        val h = java.lang.Long.parseLong(
+          md5Hex(j.toString + ":" + uniq(i)).substring(0, 15), 16)
+        if (h < min) min = h
+        i += 1
+      }
+      min
+    }
+  }
+
   /** Exact duplicate groups by content digest: (text_hash, keeper = min id,
     * dup_cnt).  Keep only `dup_cnt > 1` for the actual duplicates. */
   def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
@@ -53,23 +102,45 @@ object DedupOps {
     post.join(rare, Seq("sh"), "left_semi")
   }
 
+  /** All ordered id pairs (a < b) within one posting/bucket list.  Bounded:
+    * callers cap list length (document-frequency cap / LSH band width), so
+    * the per-bucket pair fan-out is ≤ cap²/2, never the corpus cross
+    * product. */
+  private val orderedPairs = udf((ids: Seq[Long]) => {
+    val s = ids.distinct.sorted
+    val out = Array.newBuilder[(Long, Long)]
+    var i = 0
+    while (i < s.length - 1) {
+      var j = i + 1
+      while (j < s.length) { out += ((s(i), s(j))); j += 1 }
+      i += 1
+    }
+    out.result()
+  })
+
   /** Candidate near-dup pairs by n-gram Jaccard similarity >= `minJaccard`.
     * Output: (doc_a, doc_b, common, size_a, size_b, jaccard) with
-    * doc_a < doc_b. */
+    * doc_a < doc_b.
+    *
+    * Shape: postings are computed ONCE (persisted — they are ~100× smaller
+    * than raw text), pair counts come from grouping postings by shingle and
+    * expanding in-bucket pairs (bounded by `maxDocFreq`), and the two size
+    * lookups are broadcast joins — no self-join recomputation of the
+    * shingling, no shuffle of raw text. */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
       k: Int = 3, maxDocFreq: Long = 100,
       minJaccard: Double = 0.2): DataFrame = {
-    val post = shinglePostings(df, text, id, k, maxDocFreq)
+    val post = shinglePostings(df, text, id, k, maxDocFreq).persist()
     val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = post.as("a").join(post.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs = post.groupBy("sh").agg(collect_list("doc_id").as("ids"))
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .groupBy(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sz", "size_a"), Seq("doc_a"))
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sz", "size_b"), Seq("doc_b"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "size_a")), Seq("doc_a"))
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "size_b")), Seq("doc_b"))
       .withColumn("jaccard", round(
         col("common").cast("double") /
           (col("size_a") + col("size_b") - col("common")).cast("double"), 6))
@@ -78,15 +149,13 @@ object DedupOps {
   }
 
   /** Per-document MinHash signature: `numHashes` md5-family min-hashes over
-    * word-k-shingles.  Pure per-row expression — signatures cost no
-    * shuffle. */
+    * word-k-shingles.  Per-row scalar function (no shuffle); see
+    * [[signatureOf]] for the kernel and its oracle-parity contract. */
   def minhashSignature(text: Column, k: Int = 3,
       numHashes: Int = 16): Column = {
-    val shingles = array_distinct(TextOps.wordShingles(TextOps.tokens(text), k))
-    transform(sequence(lit(0), lit(numHashes - 1)), j =>
-      array_min(transform(shingles, s =>
-        conv(substring(md5(concat(j.cast("string"), lit(":"), s)), 1, 15),
-          16, 10).cast("long"))))
+    val f = udf((t: String) =>
+      if (t == null) null else signatureOf(t, k, numHashes))
+    f(text)
   }
 
   /** LSH banding: (doc_id, band, band_key) — docs sharing a band_key in any
@@ -107,17 +176,17 @@ object DedupOps {
         col("bb.band_key").as("band_key"))
   }
 
-  /** Candidate near-dup pairs from LSH buckets: (doc_a, doc_b) distinct. */
+  /** Candidate near-dup pairs from LSH buckets: (doc_a, doc_b) distinct.
+    * One pass over the bands (signatures computed once), one shuffle to
+    * group each (band, band_key) bucket, in-bucket pair expansion —
+    * candidates only, never the corpus cross product. */
   def minhashCandidates(df: DataFrame, text: Column, id: Column,
-      k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val b = minhashBands(df, text, id, k, numHashes, bands)
-    b.as("x").join(b.as("y"),
-        col("x.band") === col("y.band") &&
-        col("x.band_key") === col("y.band_key") &&
-        col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    minhashBands(df, text, id, k, numHashes, bands)
+      .groupBy("band", "band_key").agg(collect_list("doc_id").as("ids"))
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .distinct()
-  }
 
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit i is the
     * sign of the token-population vote, where each token votes +1/-1 by bit
@@ -135,15 +204,56 @@ object DedupOps {
     }.reduce(_ + _)
   }
 
-  /** Exact embedding near-duplicate pairs: cosine >= `minCosine`, brute
-    * force over id-ordered pairs.  Quadratic — for the 100 TB path, bucket
-    * with [[SimilarityOps.lshBuckets]] first and run this within buckets. */
+  /** Exact embedding near-duplicate pairs: cosine >= `minCosine` over all
+    * id-ordered pairs (vec_a < vec_b).
+    *
+    * Physical plan: the corpus slice is broadcast once (ids ascending, norms
+    * precomputed per row — NOT per pair), the pair space is partitioned over
+    * executors by left-row index, and the O(n²·d) kernel runs as tight
+    * primitive-double loops — no per-pair array re-materialization, no
+    * interpreted higher-order expressions.  This kernel's contract is a
+    * broadcast-sized corpus: it IS the inner loop of the 100 TB path, which
+    * buckets with [[SimilarityOps.lshBuckets]] first and runs this within
+    * each bucket (or a blocked outer join of corpus blocks).
+    *
+    * Determinism/oracle parity: dot and norm are sequential left folds from
+    * 0.0 in index order, cosine = dot / (sqrt(n2a)·sqrt(n2b)), rounded
+    * half-up at 6 decimals via BigDecimal.valueOf — bit-identical to both
+    * Spark's `round(col, 6)` and the DuckDB oracle's fold order. */
   def embeddingPairs(df: DataFrame, vec: Column, id: Column,
       minCosine: Double): DataFrame = {
-    val v = df.select(id.as("vid"), vec.as("v"))
-    v.as("a").join(v.as("b"), col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"),
-        round(SimilarityOps.cosine(col("a.v"), col("b.v")), 6).as("cos"))
-      .where(col("cos") >= minCosine)
+    val spark = df.sparkSession
+    val collected = df
+      .select(id.cast("long").as("vid"), vec.cast("array<double>").as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val ids = collected.map(_._1)
+    val vecs = collected.map(_._2)
+    val norms = vecs.map { a =>
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      math.sqrt(s)
+    }
+    val n = ids.length
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    val slices = math.max(1, math.min(n, 8 * spark.sparkContext.defaultParallelism))
+    val pairs = spark.sparkContext
+      .parallelize(0 until n, slices)
+      .flatMap { i =>
+        val (bIds, bVecs, bNorms) = bc.value
+        val a = bVecs(i)
+        val d = a.length
+        (i + 1 until bIds.length).iterator.flatMap { j =>
+          val b = bVecs(j)
+          var dot = 0.0; var k = 0
+          while (k < d) { dot += a(k) * b(k); k += 1 }
+          val cos = java.math.BigDecimal.valueOf(dot / (bNorms(i) * bNorms(j)))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          if (cos >= minCosine) Iterator.single((bIds(i), bIds(j), cos))
+          else Iterator.empty
+        }
+      }
+    spark.createDataFrame(pairs).toDF("vec_a", "vec_b", "cos")
   }
 }

@@ -19,9 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
-  /** A decoded media record: the stand-in for (pixels/samples, shape). */
+  /** A decoded media record: the stand-in for (pixels/samples, shape).
+    * Features are double so the fake decode is exactly reproducible in the
+    * SQL oracle (single IEEE division, no float double-rounding). */
   final case class MediaFeatures(doc_id: Long, byte_len: Long,
-      width: Int, height: Int, features: Array[Float])
+      width: Int, height: Int, features: Array[Double])
 
   /** Attach an opaque binary payload column (here: the utf-8 text bytes —
     * in production this column comes straight from the media store). */
@@ -64,7 +66,7 @@ object MultimodalOps {
         // ??? real decode goes here; deterministic fake below
         val digest = md.digest(bytes)
         val feats = Array.tabulate(dim) { j =>
-          ((digest(j % 16) & 0xff) / 255.0f) }
+          (digest(j % 16) & 0xff) / 255.0 }
         MediaFeatures(docId, bytes.length.toLong,
           width = 64 + (digest(0) & 0x3f), height = 64 + (digest(1) & 0x3f),
           features = feats)

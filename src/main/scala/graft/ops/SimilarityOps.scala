@@ -76,6 +76,25 @@ object SimilarityOps {
     df.select(id.as("vec_id"),
       lshBucket(vec, dims, planes, seed).as("bucket"))
 
+  /** IVF coarse-quantizer assignment: each corpus vector's nearest centroid
+    * by cosine (ties by centroid id).  Centroids are broadcast (they are by
+    * construction a tiny set); at scale the assignment becomes the
+    * partition/bucketing key, so probes touch one cell, not the corpus. */
+  def ivfAssign(corpus: DataFrame, vec: Column, id: Column,
+      centroids: DataFrame, cvec: Column, cid: Column): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), vec.as("v"))
+    val ct = centroids.select(cid.as("centroid_id"), cvec.as("cv"))
+    val scored = c.crossJoin(broadcast(ct))
+      .select(col("vec_id"), col("centroid_id"),
+        round(cosine(col("v"), col("cv")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("vec_id", "centroid_id", "cos")
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to each query's LSH
     * bucket.  One shuffle on bucket; the cross product never materializes. */
   def lshTopK(corpus: DataFrame, vec: Column, id: Column,

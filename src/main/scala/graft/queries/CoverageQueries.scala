@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.functions.SparseToDense
+import graft.ops._
+import graft.streaming.StreamingOps
+
+/** Round-4 coverage queries: the SURVEY §2 operators that previously had
+  * library support but no oracle-checked query — multi-file union (S2),
+  * sort-before-fetch order (O5), epoch seed management (B6), materialize+
+  * densify+project (U5), IVF coarse assignment (ANN scale path), sliding
+  * windows, the multimodal stub decoder (full feature surface), and the
+  * auto-config advisor (A4–A6, rows-only: SizeEstimator is JVM-specific).
+  */
+object CoverageQueries {
+  import CoreQueries.li
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S2: ordered union of per-file collections with rowId offsets (the
+    // AnnCollection analogue — same file read twice stands in for 2 files)
+    "s2_union_files" -> ((s, dir) => {
+      val cust = s.read.parquet(s"$dir/customer.parquet").select("c_custkey")
+      ScCollection.union(Seq("f0" -> cust, "f1" -> cust), Seq(col("c_custkey")))
+        .df.select(col("row_id"), col("source_file"), col("c_custkey"))
+    }),
+
+    // O5: sort-before-fetch — within every fetch window the storage I/O
+    // order is ascending row_id regardless of the shuffled epoch order
+    "o5_fetch_order" -> ((s, dir) => {
+      val ds = ScDataset(li(s, dir), BlockShuffling(blockSize = 32, rng = Rng.Md5),
+        batchSize = 16, fetchFactor = 8, seed = 42L)
+      val w = Window.partitionBy("fetch_id").orderBy("row_id")
+      ds.planFrame(0)
+        .withColumn("io_pos", (row_number().over(w) - 1).cast("long"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("fetch_id"),
+          col("io_pos"))
+    }),
+
+    // B6: epoch seed derivation — same base seed, epochs 0/1 give distinct
+    // deterministic orders (seed + 1000*epoch)
+    "b6_epoch_divergence" -> ((s, dir) => {
+      val c = ScCollection.fromParquet(s, s"$dir/part.parquet", Seq("p_partkey"))
+      val ds = ScDataset(c, BlockShuffling(blockSize = 8, rng = Rng.Md5),
+        batchSize = 64, seed = 42L)
+      val e0 = ds.strategy.plan(c, ds.epochSeed(0))
+        .select(col("row_id"), col("p_partkey"),
+          col(SamplingStrategy.Ord).as("ord_e0"))
+      val e1 = ds.strategy.plan(c, ds.epochSeed(1))
+        .select(col("row_id"), col(SamplingStrategy.Ord).as("ord_e1"))
+      e0.join(e1, "row_id").select("p_partkey", "ord_e0", "ord_e1")
+    }),
+
+    // U5: AnnData materialize analogue — densify sparse rows AND project an
+    // obs metadata column in one pass (broadcast dimension join)
+    "u5_densify_project" -> ((s, dir) => {
+      val sparse = s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(
+          struct(col("l_linenumber"), col("l_quantity")))).as("sl"))
+        .select(col("l_orderkey"),
+          transform(col("sl"), x => x("l_linenumber").cast("long")).as("genes"),
+          transform(col("sl"), x => x("l_quantity")).as("exprs"))
+      val obs = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+      sparse.join(broadcast(obs), Seq("l_orderkey"))
+        .select(col("l_orderkey"), col("o_orderpriority"),
+          posexplode(SparseToDense.sparseToDense(col("genes"), col("exprs"), 7)))
+        .select(col("l_orderkey"), col("o_orderpriority"),
+          col("pos").cast("long").as("pos"), col("col").as("val"))
+    }),
+
+    // IVF coarse quantizer assignment: nearest-centroid by cosine (the ANN
+    // partition key at scale; centroids broadcast)
+    "sim_ivf_assign" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.ivfAssign(e, col("embedding"), col("vec_id"),
+        e.where(col("vec_id") < 8), col("embedding"), col("vec_id"))
+    }),
+
+    // Streaming: sliding 1-hour windows every 30 minutes
+    "stream_sliding" -> ((s, dir) =>
+      StreamingOps.slidingCounts(events(s, dir), "1 hour", "30 minutes")),
+
+    // Multimodal: stub decoder full surface (dims + fixed-width features)
+    "mm_decode" -> ((s, dir) => {
+      MultimodalOps.stubDecode(
+          MultimodalOps.withPayload(docs(s, dir), col("text")),
+          col("payload"), col("doc_id"), dim = 4)
+        .toDF()
+        .select(col("doc_id"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+          col("pos").cast("long").as("j"), col("col").as("feat"))
+    }),
+
+    // A4–A6: auto-config advisor (rows-only check: SizeEstimator numbers
+    // are JVM-build-specific, not SQL-reproducible)
+    "a6_autoconfig" -> ((s, dir) => {
+      val df = s.read.parquet(s"$dir/lineitem.parquet")
+      val sug = AutoConfig.suggest(s,
+        AutoConfig.estimateSampleBytes(df), batchSize = 64)
+      import s.implicits._
+      Seq(
+        "sample_bytes" -> sug.sampleBytes,
+        "workers" -> sug.workers.toLong,
+        "fetch_factor" -> sug.fetchFactor.toLong,
+        "block_size_small" -> sug.blockSizeSmall.toLong,
+        "block_size" -> sug.blockSize.toLong,
+        "block_size_large" -> sug.blockSizeLarge.toLong,
+        "prefetch_factor" -> sug.prefetchFactor.toLong,
+        "shuffle_partitions" -> sug.shufflePartitions.toLong,
+        "max_partition_bytes" -> sug.maxPartitionBytes,
+      ).toDF("param", "value")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "s2_union_files" ->
+      """WITH r AS (
+        |  SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) - 1 AS row_id
+        |  FROM customer
+        |)
+        |SELECT row_id, 'f0' AS source_file, c_custkey FROM r
+        |UNION ALL
+        |SELECT row_id + (SELECT count(*) FROM customer) AS row_id,
+        |       'f1' AS source_file, c_custkey FROM r""".stripMargin,
+
+    "o5_fetch_order" ->
+      s"""${CoreQueries.RankedCte},
+         |k AS (
+         |  SELECT *, md5(concat_ws(':', 'block', '42', (row_id // 32)::VARCHAR)) AS bkey
+         |  FROM ranked
+         |),
+         |o AS (
+         |  SELECT l_orderkey, l_linenumber, row_id,
+         |         row_number() OVER (ORDER BY bkey, row_id) - 1 AS ord
+         |  FROM k
+         |),
+         |f AS (SELECT *, ord // 128 AS fetch_id FROM o)
+         |SELECT l_orderkey, l_linenumber, fetch_id,
+         |       row_number() OVER (PARTITION BY fetch_id ORDER BY row_id) - 1 AS io_pos
+         |FROM f""".stripMargin,
+
+    "b6_epoch_divergence" ->
+      """WITH r AS (
+        |  SELECT p_partkey, row_number() OVER (ORDER BY p_partkey) - 1 AS rid
+        |  FROM part
+        |),
+        |a AS (
+        |  SELECT p_partkey, row_number() OVER (
+        |    ORDER BY md5(concat_ws(':', 'block', '42', (rid // 8)::VARCHAR)), rid) - 1 AS ord_e0
+        |  FROM r
+        |),
+        |b AS (
+        |  SELECT p_partkey, row_number() OVER (
+        |    ORDER BY md5(concat_ws(':', 'block', '1042', (rid // 8)::VARCHAR)), rid) - 1 AS ord_e1
+        |  FROM r
+        |)
+        |SELECT p_partkey, ord_e0, ord_e1 FROM a JOIN b USING (p_partkey)""".stripMargin,
+
+    "u5_densify_project" ->
+      """WITH pos AS (SELECT unnest(generate_series(0, 6)) AS pos),
+        |o AS (SELECT DISTINCT l_orderkey FROM lineitem),
+        |lv AS (
+        |  SELECT l_orderkey, l_linenumber, max(l_quantity) AS q
+        |  FROM lineitem GROUP BY 1, 2
+        |)
+        |SELECT o.l_orderkey, ord.o_orderpriority, p.pos, coalesce(l.q, 0.0) AS val
+        |FROM o CROSS JOIN pos p
+        |JOIN orders ord ON ord.o_orderkey = o.l_orderkey
+        |LEFT JOIN lv l
+        |  ON l.l_orderkey = o.l_orderkey AND l.l_linenumber = p.pos + 1""".stripMargin,
+
+    "sim_ivf_assign" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |s AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    round(
+        |      list_reduce(list_transform(list_zip(e.embedding, c.cv),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y) /
+        |      (sqrt(list_reduce(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) *
+        |       sqrt(list_reduce(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))),
+        |      6) AS cos
+        |  FROM embeddings e CROSS JOIN c
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, centroid_id) AS rn
+        |  FROM s
+        |)
+        |SELECT vec_id, centroid_id, cos FROM r WHERE rn = 1""".stripMargin,
+
+    "stream_sliding" ->
+      """WITH k AS (SELECT unnest([0, 1]) AS s),
+        |e AS (SELECT epoch_ms(ts) AS tm, event_type, value FROM events),
+        |w AS (
+        |  SELECT (tm // 1800000 - s) * 1800000 AS window_start_ms, event_type, value
+        |  FROM e CROSS JOIN k
+        |)
+        |SELECT window_start_ms, event_type, count(*) AS cnt,
+        |       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |         / 1000000.0 AS value_sum
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "mm_decode" ->
+      """WITH j AS (SELECT unnest(generate_series(0, 3)) AS j),
+        |d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS byte_len, md5(text) AS h
+        |  FROM documents
+        |)
+        |SELECT doc_id, byte_len,
+        |  CAST(64 + (('0x' || substr(h, 1, 2))::INT & 63) AS BIGINT) AS width,
+        |  CAST(64 + (('0x' || substr(h, 3, 2))::INT & 63) AS BIGINT) AS height,
+        |  j.j AS j,
+        |  ('0x' || substr(h, j.j * 2 + 1, 2))::INT / 255.0 AS feat
+        |FROM d CROSS JOIN j""".stripMargin
+  )
+}

@@ -372,7 +372,9 @@ object ExtQueries {
 
     "stream_tumbling" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start_ms, event_type,
-        |       count(*) AS cnt, round(sum(value), 6) AS value_sum
+        |       count(*) AS cnt,
+        |       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |         / 1000000.0 AS value_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "stream_sessions" ->
@@ -387,13 +389,14 @@ object ExtQueries {
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
         |),
         |sid AS (
-        |  SELECT *, sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id
+        |  SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_id
         |  FROM s
         |)
         |SELECT user_id, session_id, count(*) AS n_events,
         |       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
-        |       round(sum(value), 6) AS value_sum
+        |       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
+        |         / 1000000.0 AS value_sum
         |FROM sid GROUP BY user_id, session_id""".stripMargin
   )
 }

@@ -12,12 +12,31 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamingOps {
 
+  /** Order-independent exact sum of a double column: floor to integer
+    * micro-units, sum as long (associative, partitioning-immune), divide
+    * back.  A plain `sum(double)` depends on partial-aggregation order and
+    * is NOT reproducible across engines/partitionings at the 6th decimal. */
+  private[streaming] def exactValueSum(value: Column): Column =
+    (sum(floor(value * lit(1000000.0)).cast("long")).cast("double") /
+      lit(1000000.0)).as("value_sum")
+
   /** Tumbling-window counts + value sums per event_type.
     * Works on batch and streaming frames alike. */
   def tumblingCounts(events: DataFrame, windowLen: String): DataFrame =
     events
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("value_sum"))
+      .agg(count(lit(1)).as("cnt"), exactValueSum(col("value")))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("cnt"), col("value_sum"))
+
+  /** Sliding-window counts + value sums per event_type: window `windowLen`,
+    * slide `slideLen` (each event lands in windowLen/slideLen windows).
+    * Same shape batch or streaming. */
+  def slidingCounts(events: DataFrame, windowLen: String,
+      slideLen: String): DataFrame =
+    events
+      .groupBy(window(col("ts"), windowLen, slideLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), exactValueSum(col("value")))
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("cnt"), col("value_sum"))
 
@@ -42,7 +61,7 @@ object StreamingOps {
     withStart.groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"),
-        round(sum("value"), 6).as("value_sum"))
+        exactValueSum(col("value")))
   }
 
   /** Streaming-mode tumbling aggregation with a watermark, reading a
@@ -58,7 +77,7 @@ object StreamingOps {
   private def tumblingCountsPreAgg(events: DataFrame, windowLen: String): DataFrame =
     events
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("value_sum"))
+      .agg(count(lit(1)).as("cnt"), exactValueSum(col("value")))
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("cnt"), col("value_sum"))
 }
