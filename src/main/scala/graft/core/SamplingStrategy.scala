@@ -34,9 +34,12 @@ sealed trait SamplingStrategy extends Serializable {
   def outputLen(n: Long): Long
 
   /** Rank rows 0..n-1 by rowId — the strategy-local re-rank that makes
-    * subset collections (P3) contiguous again. */
+    * subset collections (P3) contiguous again.  When rowId is already the
+    * contiguous rank (untouched collections — the common case), this is a
+    * free column copy, not a sort + zipWithIndex pass. */
   protected def ranked(sc: ScCollection): DataFrame =
-    Ranker.withRank(sc.df, Ord, col(sc.rowId))
+    if (sc.contiguous) sc.df.withColumn(Ord, col(sc.rowId))
+    else Ranker.withRank(sc.df, Ord, col(sc.rowId))
 }
 
 object SamplingStrategy {

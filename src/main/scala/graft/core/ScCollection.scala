@@ -20,7 +20,12 @@ import org.apache.spark.sql.functions._
 final case class ScCollection(
     df: DataFrame,
     rowId: String = ScCollection.RowId,
-    unstructured: Map[String, String] = Map.empty) {
+    unstructured: Map[String, String] = Map.empty,
+    /** True while rowId is known to still be the contiguous 0-based rank
+      * (holds from the constructors and under select/limit/union; broken by
+      * where/subset).  Strategies skip an entire re-rank — a full sort +
+      * zipWithIndex pass — when this holds. */
+    contiguous: Boolean = true) {
 
   @transient private lazy val cachedCount: Long = df.count()
 
@@ -34,12 +39,14 @@ final case class ScCollection(
   /** Row subsetting by predicate. Row ids are NOT re-ranked — strategies
     * re-rank internally, mirroring the reference's `indices=` parameter
     * (reference: src/scdataset/strategy.py:65-116). */
-  def where(pred: Column): ScCollection = copy(df = df.where(pred))
+  def where(pred: Column): ScCollection =
+    copy(df = df.where(pred), contiguous = false)
 
   /** Row subsetting by an id table (large subsets: shuffle-free if idsDf is
     * broadcastable, left-semi join otherwise). */
   def subset(idsDf: DataFrame, idCol: String): ScCollection =
-    copy(df = df.join(idsDf.select(col(idCol).as(rowId)), Seq(rowId), "left_semi"))
+    copy(df = df.join(idsDf.select(col(idCol).as(rowId)), Seq(rowId), "left_semi"),
+      contiguous = false)
 
   /** Pilot mode — first n rows by rowId (reference P5:
     * training_experiments/data/loader.py:159-169). */

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.ops._
+import graft.streaming.StreamingOps
+
+/** Invariants for the extension operators (dedup, similarity, multimodal,
+  * streaming) and the auxiliary surfaces (hooks, union, auto-config) that
+  * the oracle-checked queries exercise only end-to-end. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),
+    (2L, "completely different text with no overlap at all"),
+    (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the lowest-id row per distinct text") {
+    val kept = DedupOps.exactDedup(docs, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("minhash candidates find near-dups, not unrelated docs") {
+    val pairs = DedupOps.minhashCandidates(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // identical text: all bands collide
+    assert(!pairs.exists { case (a, b) => a == 2L || b == 2L })
+  }
+
+  test("jaccard pairs: identical docs score 1.0, ordered ids") {
+    val p = DedupOps.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      minJaccard = 0.2)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(p.forall { case (a, b, _) => a < b })
+    val exact = p.find { case (a, b, _) => a == 0L && b == 3L }
+    assert(exact.exists(_._3 == 1.0))
+  }
+
+  test("embeddingPairs matches a naive reference on random vectors") {
+    val r = new scala.util.Random(7)
+    val vs = (0L until 30L).map(i =>
+      (i, Array.fill(8)(r.nextDouble() - 0.5).map(_.toFloat)))
+    val df = vs.toDF("vec_id", "embedding")
+    val got = DedupOps.embeddingPairs(df, col("embedding"), col("vec_id"), 0.2)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    val want = (for {
+      i <- vs.indices; j <- (i + 1) until vs.length
+      if cos(vs(i)._2, vs(j)._2) >= 0.2
+    } yield (vs(i)._1, vs(j)._1)).toSet
+    // rounding at the 0.2 boundary can differ in the naive ref; allow only
+    // boundary discrepancies
+    val sym = (got diff want) ++ (want diff got)
+    sym.foreach { case (a, b) =>
+      val c = cos(vs(a.toInt)._2, vs(b.toInt)._2)
+      assert(math.abs(c - 0.2) < 1e-9, s"non-boundary disagreement at ($a,$b): $c")
+    }
+  }
+
+  test("ivfAssign picks the argmax-cosine centroid") {
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (10L, Array(0.9f, 0.1f)), (11L, Array(-0.2f, 0.8f)),
+    ).toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfAssign(e, col("embedding"), col("vec_id"),
+        e.where(col("vec_id") < 2), col("embedding"), col("vec_id"))
+      .select("vec_id", "centroid_id").as[(Long, Long)].collect().toMap
+    assert(out(10L) == 0L && out(11L) == 1L)
+    assert(out(0L) == 0L && out(1L) == 1L)
+  }
+
+  test("stubDecode emits fixed-width deterministic features") {
+    val d = MultimodalOps.stubDecode(
+      MultimodalOps.withPayload(docs, col("text")), col("payload"),
+      col("doc_id"), dim = 6).collect()
+    assert(d.length == 4)
+    assert(d.forall(_.features.length == 6))
+    assert(d.forall(m => m.width >= 64 && m.width < 128))
+    val a = d.find(_.doc_id == 0L).get
+    val b = d.find(_.doc_id == 3L).get // identical payload → identical decode
+    assert(a.features.toSeq == b.features.toSeq && a.width == b.width)
+  }
+
+  test("hooks: fetchTransform applies to the planned frame") {
+    val sc = ScCollection.fromDataFrame(spark.range(64).toDF("k"), col("k"))
+    val ds = ScDataset(sc, Streaming(), batchSize = 8,
+      hooks = Hooks(fetchTransform = _.withColumn("k2", col("k") * 2)))
+    val out = ds.planFrame(0).select("k", "k2").as[(Long, Long)].collect()
+    assert(out.forall { case (k, k2) => k2 == 2 * k })
+  }
+
+  test("union assigns disjoint contiguous row ids with file provenance") {
+    val a = spark.range(5).toDF("v")
+    val b = spark.range(3).toDF("v")
+    val u = ScCollection.union(Seq("a" -> a, "b" -> b), Seq(col("v")))
+    val rows = u.df.select("row_id", "source_file", "v")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L until 8L))
+    assert(rows.take(5).forall(_._2 == "a") && rows.drop(5).forall(_._2 == "b"))
+    assert(u.length == 8)
+  }
+
+  test("autoconfig suggests positive, budget-consistent parameters") {
+    val df = spark.range(1000).toDF("k")
+      .withColumn("x", col("k").cast("double"))
+    val bytes = AutoConfig.estimateSampleBytes(df)
+    assert(bytes > 0)
+    val s = AutoConfig.suggest(spark, bytes, batchSize = 64,
+      ramBytes = 4L << 30)
+    assert(s.fetchFactor >= 1 && s.fetchFactor <= 1024)
+    assert(s.blockSizeSmall <= s.blockSize && s.blockSize <= s.blockSizeLarge)
+    assert(s.prefetchFactor == s.fetchFactor + 1)
+    assert(s.workers >= 1 && s.workers <= 16)
+  }
+
+  test("streaming: tumbling aggregation runs incrementally under readStream") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toFile
+    try {
+      val batch = Seq(
+        (1L, java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "a", 1.5),
+        (2L, java.sql.Timestamp.valueOf("2026-01-01 10:20:00"), "a", 2.5),
+        (3L, java.sql.Timestamp.valueOf("2026-01-01 11:05:00"), "b", 4.0),
+      ).toDF("event_id", "ts", "event_type", "value")
+      batch.write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val q = StreamingOps.tumblingCountsStream(spark, dir.getAbsolutePath,
+          batch.schema, "1 hour", "2 hours")
+        .writeStream.format("memory").queryName("graft_tumbling_test")
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      val res = spark.table("graft_tumbling_test")
+        .select("event_type", "cnt", "value_sum")
+        .as[(String, Long, Double)].collect().toSet
+      q.stop()
+      assert(res == Set(("a", 2L, 4.0), ("b", 1L, 4.0)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir); rm(out)
+    }
+  }
+}
