@@ -229,17 +229,23 @@ final case class BlockWeightedSampling(
   * exact integer aggregates and pointwise IEEE division, so the full
   * sampling plan is reproducible in external SQL engines and immune to
   * order-dependent floating-point summation.
+  *
+  * Dual balancing mode (reference strategy.py:1012-1024): by default class
+  * counts come from the collection being sampled (subset mode); pass
+  * `countsFrom = Some(fullDf)` to balance a subset against the FULL
+  * dataset's class frequencies (global mode).
   */
 final case class ClassBalancedSampling(
     label: Column,
     totalSize: Long,
     blockSize: Int = 8,
     replace: Boolean = true,
+    countsFrom: Option[DataFrame] = None,
     rng: Rng = Rng.Xx) extends SamplingStrategy {
   def shuffleBeforeYield: Boolean = true
 
   def plan(sc: ScCollection, seed: Long): DataFrame = {
-    val counts = sc.df.groupBy(label.as("__lbl"))
+    val counts = countsFrom.getOrElse(sc.df).groupBy(label.as("__lbl"))
       .agg(count(lit(1)).as("__lcnt"))
     val k = counts.count()
     val n = sc.length

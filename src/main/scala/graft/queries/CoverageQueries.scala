@@ -90,6 +90,12 @@ object CoverageQueries {
         e.where(col("vec_id") < 8), col("embedding"), col("vec_id"))
     }),
 
+    // ANN scale path end-to-end: exact cosine ranking restricted to LSH
+    // buckets (candidates only — the cross product never materializes)
+    "sim_lsh_topk" -> ((s, dir) =>
+      SimilarityOps.lshTopK(emb(s, dir), col("embedding"), col("vec_id"),
+        dims = 64, planes = 8, seed = 42L, k = 5)),
+
     // Streaming: sliding 1-hour windows every 30 minutes
     "stream_sliding" -> ((s, dir) =>
       StreamingOps.slidingCounts(events(s, dir), "1 hour", "30 minutes")),
@@ -203,6 +209,36 @@ object CoverageQueries {
         |  FROM s
         |)
         |SELECT vec_id, centroid_id, cos FROM r WHERE rn = 1""".stripMargin,
+
+    "sim_lsh_topk" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(generate_series(0, 7), j ->
+        |      CASE WHEN
+        |        list_reduce(list_transform(generate_series(0, 63), i ->
+        |          embedding[i + 1]::DOUBLE *
+        |          (CASE WHEN (('0x' || substr(md5(concat_ws(':', 'plane', '42', j::VARCHAR, i::VARCHAR)), 1, 8))::BIGINT
+        |                      / CAST(4294967296.0 AS DOUBLE)) >= 0.5
+        |                THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+        |          (a, b) -> a + b) > 0.0
+        |      THEN (1 << j) ELSE 0 END), (a, b) -> a + b) AS bucket
+        |  FROM embeddings
+        |),
+        |s AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(
+        |      list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y) /
+        |      (sqrt(list_reduce(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) *
+        |       sqrt(list_reduce(list_transform(c.embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))),
+        |      6) AS cos
+        |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) - 1 AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank < 5""".stripMargin,
 
     "stream_sliding" ->
       """WITH k AS (SELECT unnest([0, 1]) AS s),

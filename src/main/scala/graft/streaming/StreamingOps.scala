@@ -64,6 +64,22 @@ object StreamingOps {
         exactValueSum(col("value")))
   }
 
+  /** Streaming-mode sessionization: Spark's native `session_window` (gap-
+    * merged state per user) with a watermark bounding state retention —
+    * the incremental counterpart of [[sessionize]].  Output schema matches
+    * the batch form minus the dense per-user session index (streaming
+    * cannot know "session 3 of user u" until the user is watermark-closed;
+    * sessions are keyed by start time instead). */
+  def sessionizeStream(spark: SparkSession, dir: String, schema: StructType,
+      gap: String, watermark: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), exactValueSum(col("value")))
+      .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
+        unix_millis(col("w.end")).as("end_ms"), col("n_events"),
+        col("value_sum"))
+
   /** Streaming-mode tumbling aggregation with a watermark, reading a
     * parquet directory as a file stream.  Returns the streaming DataFrame;
     * attach a sink with `.writeStream`. */

@@ -122,6 +122,35 @@ class CoreSpec extends AnyFunSuite {
     counts.values.foreach(c => assert(math.abs(c - 1000L) < 150, s"unbalanced: $counts"))
   }
 
+  test("ClassBalancedSampling global mode balances against FULL-dataset counts") {
+    import spark.implicits._
+    // global: label 0 has 900 rows, label 1 has 100; subset is 50/50
+    val full = spark.range(1000).toDF("k")
+      .withColumn("label", when(col("k") < 900, 0).otherwise(1))
+    val sub = ScCollection.fromDataFrame(full, col("k"))
+      .where(col("k").between(850, 949)) // 50 of each label
+    def dist(st: SamplingStrategy): Map[Int, Long] =
+      st.plan(sub, 3).groupBy("label").count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    val subsetMode = dist(ClassBalancedSampling(col("label"), totalSize = 2000))
+    val globalMode = dist(ClassBalancedSampling(col("label"), totalSize = 2000,
+      countsFrom = Some(full)))
+    // subset mode: ~50/50.  global mode: label-1 weighted 9× → ~90% label 1
+    assert(math.abs(subsetMode(0) - 1000L) < 150, s"subset: $subsetMode")
+    assert(globalMode(1) > 1600, s"global: $globalMode")
+  }
+
+  test("toBatches streams ordered, correctly-sized batches (S6)") {
+    val sc = mkCollection(100)
+    val ds = ScDataset(sc, Streaming(), batchSize = 32)
+    val batches = ds.toBatches(0, Seq("k")).toSeq
+    assert(batches.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(batches.map(_.getLong(1)).toSeq == Seq(32L, 32L, 32L, 4L))
+    // rows arrays are ordered by pos_in_batch
+    val first = batches.head.getSeq[org.apache.spark.sql.Row](2)
+    assert(first.map(_.getLong(1)).toSeq == (0L until 32L))
+  }
+
   test("ScDataset: batch ids, coverage, exact batchCount, dropLast") {
     val sc = mkCollection(1000)
     val ds = ScDataset(sc, BlockShuffling(blockSize = 16), batchSize = 64, fetchFactor = 4)

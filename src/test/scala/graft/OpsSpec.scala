@@ -123,6 +123,41 @@ class OpsSpec extends AnyFunSuite {
     assert(s.workers >= 1 && s.workers <= 16)
   }
 
+  test("streaming: session_window sessionization matches batch sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toFile
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val batch = Seq(
+        (1L, t("2026-01-01 10:00:00"), 7L, "a", 1.0),
+        (2L, t("2026-01-01 10:10:00"), 7L, "a", 2.0), // same session (gap 30m)
+        (3L, t("2026-01-01 11:30:00"), 7L, "a", 4.0), // new session
+        (4L, t("2026-01-01 10:00:00"), 8L, "b", 8.0),
+      ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      batch.write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val q = StreamingOps.sessionizeStream(spark, dir.getAbsolutePath,
+          batch.schema, "30 minutes", "2 hours")
+        .writeStream.format("memory").queryName("graft_sess_test")
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      val stream = spark.table("graft_sess_test")
+        .select("user_id", "start_ms", "n_events", "value_sum")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      q.stop()
+      // batch sessionize over the same rows: session starts + aggregates
+      // must agree (streaming end = last ts + gap, so compare starts)
+      val b = StreamingOps.sessionize(batch, gapMs = 1800000L)
+        .select("user_id", "start_ms", "n_events", "value_sum")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(stream == b, s"stream=$stream batch=$b")
+      assert(stream.size == 3)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming: tumbling aggregation runs incrementally under readStream") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toFile
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toFile
