@@ -18,13 +18,21 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      name -> ((System.nanoTime() - t0) / 1e9, rows)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // samples/sec for the headline sampling pipelines — the unit BASELINE.md
+    // reports for the reference loader (rows emitted / wall time).
+    val tp = Seq("o1_streaming", "o2_block_shuffle", "o3_weighted_replace",
+        "o4_class_balanced", "pipeline_block", "b2_buffer_shuffle")
+      .flatMap(k => results.get(k).collect {
+        case (sec, rows) if rows > 0 && sec > 0 =>
+          s"\"" + k + "\":" + math.round(rows / sec)
+      }).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples_per_sec":$tp,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -191,9 +191,12 @@ final case class BlockWeightedSampling(
         val withCopies = cum
           .withColumn("__c", (g(col("__cum")) - g(col("__cum") - col("__wi"))).cast("int"))
           .where(col("__c") > 0)
+        // persist the expanded sample: the final block-permute rank reads it
+        // multiple times (range-partitioner sampling + shuffle write)
         withCopies
           .withColumn(Copy, explode(sequence(lit(1), col("__c"))))
           .drop("__c", "__cum", "__wi", "__w")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       } else {
         require(totalSize <= sc.length,
           "without replacement requires totalSize <= collection length")
