@@ -38,12 +38,15 @@ object CoverageQueries {
     }),
 
     // O5: sort-before-fetch — within every fetch window the storage I/O
-    // order is ascending row_id regardless of the shuffled epoch order
+    // order is ascending row_id regardless of the shuffled epoch order.
+    // Built from the strategy plan directly: the within-fetch yield
+    // permutation is irrelevant to I/O order, so its window is skipped.
     "o5_fetch_order" -> ((s, dir) => {
-      val ds = ScDataset(li(s, dir), BlockShuffling(blockSize = 32, rng = Rng.Md5),
-        batchSize = 16, fetchFactor = 8, seed = 42L)
+      val plan = BlockShuffling(blockSize = 32, rng = Rng.Md5)
+        .plan(li(s, dir), 42L)
+        .withColumn("fetch_id", floor(col(SamplingStrategy.Ord) / 128))
       val w = Window.partitionBy("fetch_id").orderBy("row_id")
-      ds.planFrame(0)
+      plan
         .withColumn("io_pos", (row_number().over(w) - 1).cast("long"))
         .select(col("l_orderkey"), col("l_linenumber"), col("fetch_id"),
           col("io_pos"))

@@ -110,6 +110,46 @@ class OpsSpec extends AnyFunSuite {
     assert(u.length == 8)
   }
 
+  test("saltedCount matches plain groupBy-count under skew") {
+    val df = spark.range(10000).toDF("k")
+      .withColumn("key", when(col("k") < 9000, "hot").otherwise(concat(lit("c"), col("k") % 7)))
+    val salted = SkewOps.saltedCount(df, col("key"), salts = 8, saltSource = col("k"))
+      .as[(String, Long)].collect().toMap
+    val plain = df.groupBy("key").count().as[(String, Long)].collect().toMap
+    assert(salted == plain)
+    assert(salted("hot") == 9000L)
+  }
+
+  test("batchTransform hook runs on the batch frame (U4)") {
+    val sc = ScCollection.fromDataFrame(spark.range(96).toDF("k"), col("k"))
+    val ds = ScDataset(sc, Streaming(), batchSize = 32,
+      hooks = Hooks(batchTransform = _.withColumn("n2", col("n") * 10)))
+    val bf = ds.toBatchFrame(0, Seq("k")).select("batch_id", "n", "n2")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(bf.toSeq == Seq((0L, 32L, 320L), (1L, 32L, 320L), (2L, 32L, 320L)))
+  }
+
+  test("partitioned parquet reads prune partitions from the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toFile
+    try {
+      spark.range(1000).toDF("k")
+        .withColumn("plate", concat(lit("p"), col("k") % 4))
+        .write.partitionBy("plate").mode("overwrite")
+        .parquet(dir.getAbsolutePath)
+      val q = spark.read.parquet(dir.getAbsolutePath)
+        .where(col("plate") === "p1").select("k")
+      assert(q.count() == 250)
+      val physical = q.queryExecution.executedPlan.toString
+      assert(physical.contains("PartitionFilters") &&
+        physical.contains("p1"), s"no partition pruning in:\n$physical")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("autoconfig suggests positive, budget-consistent parameters") {
     val df = spark.range(1000).toDF("k")
       .withColumn("x", col("k").cast("double"))
