@@ -19,7 +19,11 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      name -> ((System.nanoTime() - t0) / 1e9, rows)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // each query is timed self-contained: drop its persisted frames so
+      // storage doesn't accumulate across 40+ queries and skew later ones
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      name -> (sec, rows)
     }
     val qs = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + sec }
       .mkString("{", ",", "}")

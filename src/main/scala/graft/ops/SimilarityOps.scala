@@ -21,14 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Sequential dot product of two equal-length float arrays, in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Sequential dot product of two equal-length float arrays, in double —
+    * a codegen'd native expression ([[graft.functions.DotProduct]]), same
+    * fold order as the interpreted HOF form it replaced. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecKernels.dot(a, b)
 
-  /** Sequential squared norm. */
-  def norm2(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+  /** Sequential squared norm (codegen'd [[graft.functions.Norm2]]). */
+  def norm2(a: Column): Column = graft.functions.VecKernels.norm2(a)
 
   /** Cosine similarity, computed as dot / (sqrt(n2a) * sqrt(n2b)). */
   def cosine(a: Column, b: Column): Column =

@@ -64,6 +64,17 @@ object StreamingOps {
         exactValueSum(col("value")))
   }
 
+  /** Streaming exact deduplication: drops rows whose `idCols` were already
+    * seen, keeping state only within the event-time watermark — the
+    * incremental form of [[graft.ops.DedupOps.exactDedup]] for continuous
+    * ingestion (state size is bounded by the watermark horizon, not the
+    * stream length). */
+  def dedupStream(spark: SparkSession, dir: String, schema: StructType,
+      watermark: String, idCols: String*): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols.toSeq)
+
   /** Streaming-mode sessionization: Spark's native `session_window` (gap-
     * merged state per user) with a watermark bounding state retention —
     * the incremental counterpart of [[sessionize]].  Output schema matches

@@ -163,6 +163,35 @@ class OpsSpec extends AnyFunSuite {
     assert(s.workers >= 1 && s.workers <= 16)
   }
 
+  test("streaming: watermarked dedup drops repeated ids across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toFile
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val batch = Seq(
+        (1L, t("2026-01-01 10:00:00"), "a", 1.0),
+        (1L, t("2026-01-01 10:01:00"), "a", 1.0), // dup id
+        (2L, t("2026-01-01 10:02:00"), "b", 2.0),
+        (2L, t("2026-01-01 10:03:00"), "b", 2.0), // dup id
+        (3L, t("2026-01-01 10:04:00"), "c", 3.0),
+      ).toDF("event_id", "ts", "event_type", "value")
+      batch.write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val q = StreamingOps.dedupStream(spark, dir.getAbsolutePath,
+          batch.schema, "1 hour", "event_id")
+        .writeStream.format("memory").queryName("graft_sdedup_test")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val ids = spark.table("graft_sdedup_test")
+        .select("event_id").as[Long].collect().sorted
+      q.stop()
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming: session_window sessionization matches batch sessions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toFile
     try {
