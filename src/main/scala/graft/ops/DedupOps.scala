@@ -207,6 +207,22 @@ object DedupOps {
     }.reduce(_ + _)
   }
 
+  /** SimHash near-dup candidates: docs whose 16-bit signatures share the
+    * low or high byte (standard simhash blocking — every pair within
+    * Hamming distance bounded by one byte-flip region collides in at least
+    * one band).  Same bucket-expansion shape as MinHash banding. */
+  def simhashCandidates(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val sig = df.select(id.as("doc_id"), simhash16(text).cast("long").as("sh"))
+    sig.select(col("doc_id"), explode(array(
+        struct(lit(0).as("band"), col("sh").bitwiseAND(255).as("key")),
+        struct(lit(1).as("band"), shiftright(col("sh"), 8).as("key")))).as("b"))
+      .groupBy(col("b.band"), col("b.key"))
+      .agg(collect_list("doc_id").as("ids"))
+      .select(explode(orderedPairs(col("ids"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      .distinct()
+  }
+
   /** Exact embedding near-duplicate pairs: cosine >= `minCosine` over all
     * id-ordered pairs (vec_a < vec_b).
     *

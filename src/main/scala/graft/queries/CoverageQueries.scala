@@ -117,6 +117,16 @@ object CoverageQueries {
           col("pos").cast("long").as("j"), col("col").as("feat"))
     }),
 
+    // SimHash blocking: candidate pairs sharing a signature byte
+    "dd_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashCandidates(docs(s, dir), col("text"), col("doc_id"))),
+
+    // Learned IVF quantizer: seeded k-means cluster assignment (rows-only:
+    // iterative float fitting is not SQL-reproducible)
+    "ml_kmeans_ivf" -> ((s, dir) =>
+      MlOps.kmeansAssign(emb(s, dir), col("embedding"), col("vec_id"),
+        k = 8, seed = 42L)),
+
     // A4–A6: auto-config advisor (rows-only check: SizeEstimator numbers
     // are JVM-build-specific, not SQL-reproducible)
     "a6_autoconfig" -> ((s, dir) => {
@@ -254,6 +264,33 @@ object CoverageQueries {
         |       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
         |         / 1000000.0 AS value_sum
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "dd_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_transform(t, tk -> ('0x' || substr(md5(tk), 1, 4))::INT) AS hs
+        |  FROM toks
+        |),
+        |sg AS (
+        |  SELECT doc_id,
+        |       CAST(list_reduce(list_transform(generate_series(0, 15), i ->
+        |         CASE WHEN list_reduce(list_transform(hs, hv ->
+        |                CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
+        |              THEN (1 << i) ELSE 0 END), (a, b) -> a + b) AS BIGINT) AS sh
+        |  FROM h
+        |),
+        |b AS (
+        |  SELECT doc_id, 0 AS band, sh & 255 AS key FROM sg
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS band, sh >> 8 AS key FROM sg
+        |)
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |FROM b x JOIN b y
+        |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin,
 
     "mm_decode" ->
       """WITH j AS (SELECT unnest(generate_series(0, 3)) AS j),

@@ -79,6 +79,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0L) == 0L && out(1L) == 1L)
   }
 
+  test("simhashCandidates finds exact dups via shared signature bytes") {
+    val pairs = DedupOps.simhashCandidates(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // identical text → identical signature
+  }
+
+  test("kmeansAssign: deterministic seeded clustering over embeddings (MLlib)") {
+    val r = new scala.util.Random(3)
+    val vs = (0L until 60L).map { i =>
+      val c = (i % 3).toInt // 3 well-separated centers
+      (i, Array.tabulate(4)(d => (c * 10.0 + r.nextGaussian() * 0.1).toFloat))
+    }
+    val df = vs.toDF("vec_id", "embedding")
+    def assign() = MlOps.kmeansAssign(df, col("embedding"), col("vec_id"),
+      k = 3, seed = 42L).as[(Long, Long)].collect().toMap
+    val a = assign()
+    assert(a.values.toSet.size == 3)
+    // members of the same true center share a cluster
+    val byCenter = vs.groupBy(_._1 % 3).values
+    byCenter.foreach(g => assert(g.map(x => a(x._1)).distinct.size == 1))
+    assert(a == assign()) // same seed → same assignment
+  }
+
   test("stubDecode emits fixed-width deterministic features") {
     val d = MultimodalOps.stubDecode(
       MultimodalOps.withPayload(docs, col("text")), col("payload"),
