@@ -55,14 +55,36 @@ object SamplingStrategy {
     * strategy.py:543-545).  The trailing partial block (if any) gets its own
     * key — i.e. it is spliced at a uniformly random boundary, matching
     * strategy.py:549-554 semantics.
+    *
+    * Physical shape: because `rankCol` is contiguous 0..m-1, every block's
+    * size is KNOWN (blockSize, except the tail = m mod blockSize), so the
+    * permutation never sorts the data.  A block table of m/blockSize rows is
+    * built from `spark.range`, ranked by its random key, prefix-summed into
+    * start offsets, and joined back (AQE broadcasts it while it fits); each
+    * row's position is then the pointwise
+    * `block_offset + rankCol - block*blockSize`.  The data path is
+    * shuffle-free — the only sort in a block shuffle is over blocks, which
+    * is blockSize× smaller than the data.
     */
   private[core] def blockPermute(df: DataFrame, rankCol: String,
-      blockSize: Int, rng: Rng, seed: Long, tag: String): DataFrame = {
-    val withBlock = df.withColumn("__block", floor(col(rankCol) / blockSize))
-    val keyed = withBlock.withColumn("__bkey",
-      rng.sortKey(seed, tag, col("__block")))
-    Ranker.withRank(keyed, Ord, col("__bkey"), col(rankCol))
-      .drop("__block", "__bkey")
+      blockSize: Int, m: Long, rng: Rng, seed: Long, tag: String): DataFrame = {
+    require(m >= 0)
+    if (m == 0) return df.withColumn(Ord, col(rankCol))
+    val spark = df.sparkSession
+    val nBlocks = (m + blockSize - 1) / blockSize
+    val tailSize = m - (nBlocks - 1) * blockSize
+    val blocks = spark.range(nBlocks).toDF("__block")
+      .withColumn("__bn",
+        when(col("__block") < nBlocks - 1, blockSize.toLong).otherwise(tailSize))
+      .withColumn("__bkey", rng.sortKey(seed, tag, col("__block")))
+    val ranked = Ranker.withRank(blocks, "__brank", col("__bkey"), col("__block"))
+    val boff = Ranker.withCumsumLong(ranked, "__brank", col("__bn"), "__bcum")
+      .select(col("__block"), (col("__bcum") - col("__bn")).as("__boff"))
+    df.withColumn("__block", floor(col(rankCol) / blockSize))
+      .join(boff, Seq("__block"))
+      .withColumn(Ord,
+        col("__boff") + col(rankCol) - col("__block") * blockSize)
+      .drop("__block", "__boff")
   }
 }
 
@@ -109,8 +131,8 @@ final case class BlockShuffling(
           Ord, col(sc.rowId))
       }
     }
-    blockPermute(df.withColumnRenamed(Ord, "__r0"), "__r0", blockSize, rng,
-      seed, "block").drop("__r0")
+    blockPermute(df.withColumnRenamed(Ord, "__r0"), "__r0", blockSize,
+      outputLen(sc.length), rng, seed, "block").drop("__r0")
   }
 
   def outputLen(n: Long): Long = if (dropLast) n - n % blockSize else n
@@ -191,12 +213,17 @@ final case class BlockWeightedSampling(
         val withCopies = cum
           .withColumn("__c", (g(col("__cum")) - g(col("__cum") - col("__wi"))).cast("int"))
           .where(col("__c") > 0)
-        // persist the expanded sample: the final block-permute rank reads it
-        // multiple times (range-partitioner sampling + shuffle write)
-        withCopies
+        // the sampled order is the base order with multiplicities, so the
+        // sample rank needs NO sort: prefix-sum the copy counts in Ord
+        // order (exact integer two-phase cumsum), then each emitted copy's
+        // rank is offset + copy - 1.
+        val withOff = Ranker.withCumsumLong(withCopies, Ord,
+          col("__c").cast("long"), "__ccum")
+        withOff
           .withColumn(Copy, explode(sequence(lit(1), col("__c"))))
-          .drop("__c", "__cum", "__wi", "__w")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .withColumn("__srank",
+            col("__ccum") - col("__c") + col(Copy) - 1)
+          .drop("__c", "__cum", "__wi", "__w", "__ccum", Ord)
       } else {
         require(totalSize <= sc.length,
           "without replacement requires totalSize <= collection length")
@@ -213,10 +240,14 @@ final case class BlockWeightedSampling(
           .drop("__arank", "__akey", "__w")
           .withColumn(Copy, lit(1))
       }
-    // sort sampled ids ascending (copies adjacent), re-block, permute blocks
-    val reRanked = Ranker.withRank(
-      sampled.drop(Ord), "__srank", col(sc.rowId), col(Copy))
-    blockPermute(reRanked, "__srank", blockSize, rng, seed, "wblock")
+    // sampled ids ascending (copies adjacent), re-block, permute blocks.
+    // replace=true already carries the prefix-sum rank; without replacement
+    // the scattered survivors need a real rank (totalSize rows, < input).
+    val withSrank =
+      if (replace) sampled
+      else Ranker.withRank(sampled.drop(Ord), "__srank",
+        col(sc.rowId), col(Copy))
+    blockPermute(withSrank, "__srank", blockSize, totalSize, rng, seed, "wblock")
       .drop("__srank")
   }
 
