@@ -118,17 +118,24 @@ final case class BlockShuffling(
     var df = ranked(sc)
     if (dropLast) {
       val n = sc.length
-      val rem = n % blockSize
+      val rem = (n % blockSize).toInt
       if (rem != 0) {
-        // rank by a drop-key; the `rem` smallest keys are removed, then
-        // rows are re-ranked by rowId to restore contiguity.
+        // remove the `rem` rows with the smallest drop-keys.  rem <
+        // blockSize, so this is a top-k (TakeOrdered — no full sort), and
+        // the survivors' re-rank is pointwise: old rank minus the number
+        // of dropped rows ranked before it (a tiny broadcast list).
         val dropKeyed = df.withColumn("__dkey",
           rng.sortKey(seed, "drop", col(sc.rowId)))
-        val dropRanked = Ranker.withRank(
-          dropKeyed.drop(Ord), "__drank", col("__dkey"), col(sc.rowId))
-        df = Ranker.withRank(
-          dropRanked.where(col("__drank") >= rem).drop("__drank", "__dkey"),
-          Ord, col(sc.rowId))
+        val dropped: Array[Long] = dropKeyed
+          .orderBy(col("__dkey"), col(sc.rowId))
+          .limit(rem).select(col(Ord)).collect().map(_.getLong(0)).sorted
+        val before = dropped.foldLeft(lit(0L)) { (acc, d) =>
+          acc + when(col(Ord) > d, 1L).otherwise(0L)
+        }
+        df = dropKeyed
+          .where(!col(Ord).isInCollection(dropped))
+          .withColumn(Ord, col(Ord) - before)
+          .drop("__dkey")
       }
     }
     blockPermute(df.withColumnRenamed(Ord, "__r0"), "__r0", blockSize,

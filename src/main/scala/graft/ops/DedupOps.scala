@@ -193,18 +193,31 @@ object DedupOps {
 
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit i is the
     * sign of the token-population vote, where each token votes +1/-1 by bit
-    * i of its 16-bit md5-derived hash.  Integer votes, so the per-row value
-    * is associativity-independent and oracle-exact. */
+    * i of its 16-bit md5-derived hash (the first 4 md5 hex chars — exactly
+    * `conv(substring(md5(t),1,4),16,10)`, so the oracle reproduces it).
+    * Integer votes, so the per-row value is associativity-independent.
+    * JVM kernel for the same reason as [[signatureOf]]. */
   def simhash16(text: Column): Column = {
-    val toks = TextOps.tokens(text)
-    val hashes = transform(toks, t =>
-      conv(substring(md5(t), 1, 4), 16, 10).cast("int"))
-    (0 until 16).map { i =>
-      val vote = aggregate(hashes, lit(0),
-        (v, h) => v + when(shiftright(h, i).bitwiseAND(1) === 1, 1)
-          .otherwise(-1))
-      when(vote > 0, lit(1 << i)).otherwise(0)
-    }.reduce(_ + _)
+    val f = udf((t: String) => {
+      if (t == null) null
+      else {
+        val toks = Ws.split(t.toLowerCase(java.util.Locale.ROOT), -1)
+          .filter(_.nonEmpty)
+        val votes = new Array[Int](16)
+        toks.foreach { tk =>
+          val h = Integer.parseInt(md5Hex(tk).substring(0, 4), 16)
+          var i = 0
+          while (i < 16) {
+            votes(i) += (if (((h >> i) & 1) == 1) 1 else -1); i += 1
+          }
+        }
+        var sig = 0
+        var i = 0
+        while (i < 16) { if (votes(i) > 0) sig |= 1 << i; i += 1 }
+        java.lang.Integer.valueOf(sig)
+      }
+    })
+    f(text)
   }
 
   /** SimHash near-dup candidates: docs whose 16-bit signatures share the
