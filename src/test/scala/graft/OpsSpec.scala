@@ -122,6 +122,15 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall { case (k, k2) => k2 == 2 * k })
   }
 
+  test("unstructured metadata passes through row/column subsetting (P2/P4)") {
+    val sc = ScCollection.fromDataFrame(
+        spark.range(10).toDF("k").withColumn("x", col("k") * 2), col("k"))
+      .copy(unstructured = Map("gene_panel" -> "v2", "source" -> "test"))
+    val out = sc.where(col("k") < 5).select("x")
+    assert(out.unstructured == Map("gene_panel" -> "v2", "source" -> "test"))
+    assert(out.df.columns.toSet == Set("row_id", "x"))
+  }
+
   test("union assigns disjoint contiguous row ids with file provenance") {
     val a = spark.range(5).toDF("v")
     val b = spark.range(3).toDF("v")
