@@ -51,21 +51,27 @@ object SimilarityOps {
   }
 
   /** Deterministic ±1 sign for (seed, plane j, dim i): md5-uniform >= 0.5
-    * → +1.0 else -1.0. */
-  private def planeSign(seed: Long, j: Int, i: Column): Column = {
-    val u = conv(substring(md5(concat_ws(":", lit("plane"),
-      lit(seed.toString), lit(j.toString), i.cast("string"))), 1, 8),
-      16, 10).cast("long") / lit(4294967296.0)
-    when(u >= 0.5, lit(1.0)).otherwise(lit(-1.0))
+    * → +1.0 else -1.0.  The sign depends only on (seed, j, i), so the whole
+    * hyperplane is a plan-time constant. */
+  private def planeSigns(seed: Long, j: Int, dims: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dims) { i =>
+      val hex = md.digest(s"plane:$seed:$j:$i".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val u = java.lang.Long.parseLong(hex.substring(0, 8), 16) / 4294967296.0
+      if (u >= 0.5) 1.0 else -1.0
+    }
   }
 
   /** Random-hyperplane LSH bucket id in [0, 2^planes): bit j is the sign of
-    * the projection of the vector onto md5-derived hyperplane j.  Pure
-    * per-row expression (plane loop unrolled at plan time). */
+    * the projection of the vector onto md5-derived hyperplane j.  The
+    * hyperplanes are literal constant arrays (computed once on the driver,
+    * not per row) and each projection is the codegen'd
+    * [[graft.functions.DotProduct]] — same fold order as the SQL oracle. */
   def lshBucket(vec: Column, dims: Int, planes: Int, seed: Long): Column =
     (0 until planes).map { j =>
-      val proj = aggregate(sequence(lit(0), lit(dims - 1)), lit(0.0),
-        (s, i) => s + get(vec, i).cast("double") * planeSign(seed, j, i))
+      val proj = graft.functions.VecKernels.dot(vec,
+        typedLit(planeSigns(seed, j, dims)))
       when(proj > 0.0, lit(1 << j)).otherwise(0)
     }.reduce(_ + _)
 
