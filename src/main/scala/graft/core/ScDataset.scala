@@ -11,7 +11,16 @@ import org.apache.spark.sql.functions._
   * frame (one row per batch).
   */
 final case class Hooks(
+    /** U2 `fetch_transform`: bulk transform applied to the planned/fetched
+      * frame (reference scdataset.py:530-531). */
     fetchTransform: DataFrame => DataFrame = identity,
+    /** U3 `batch_callback`: overrides how batches are ASSEMBLED from the
+      * planned frame (reference scdataset.py:551-553).  Given the plan
+      * frame (with batch_id/pos_in_batch) and the payload columns, must
+      * return one row per batch.  None = default collect_list assembly. */
+    batchAssemble: Option[(DataFrame, Seq[String]) => DataFrame] = None,
+    /** U4 `batch_transform`: per-batch finalization on the batch frame
+      * (reference scdataset.py:557-558). */
     batchTransform: DataFrame => DataFrame = identity)
 
 /** The distributed analogue of `scDataset` (reference:
@@ -113,10 +122,14 @@ final case class ScDataset(
     * small — each batch array is materialized. */
   def toBatchFrame(epoch: Int, cols: Seq[String]): DataFrame = {
     val pf = planFrame(epoch)
-    val payload = struct((col("pos_in_batch") +: cols.map(col)): _*)
-    val bf = pf.groupBy(col("batch_id"))
-      .agg(count(lit(1)).as("n"),
-        array_sort(collect_list(payload)).as("rows"))
+    val bf = hooks.batchAssemble match {
+      case Some(assemble) => assemble(pf, cols)
+      case None =>
+        val payload = struct((col("pos_in_batch") +: cols.map(col)): _*)
+        pf.groupBy(col("batch_id"))
+          .agg(count(lit(1)).as("n"),
+            array_sort(collect_list(payload)).as("rows"))
+    }
     hooks.batchTransform(bf)
   }
 

@@ -117,6 +117,11 @@ object CoverageQueries {
           col("pos").cast("long").as("j"), col("col").as("feat"))
     }),
 
+    // Exact-dedup keep-projection: lowest-id row per distinct text survives
+    "dd_exact_keep" -> ((s, dir) =>
+      DedupOps.exactDedup(docs(s, dir), col("text"), col("doc_id"))
+        .select("doc_id", "source", "lang")),
+
     // SimHash blocking: candidate pairs sharing a signature byte
     "dd_simhash_pairs" -> ((s, dir) =>
       DedupOps.simhashCandidates(docs(s, dir), col("text"), col("doc_id"))),
@@ -264,6 +269,12 @@ object CoverageQueries {
         |       CAST(sum(CAST(floor(value * 1000000.0) AS BIGINT)) AS DOUBLE)
         |         / 1000000.0 AS value_sum
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    "dd_exact_keep" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id IN (
+        |  SELECT min(doc_id) FROM documents GROUP BY md5(text)
+        |)""".stripMargin,
 
     "dd_simhash_pairs" ->
       """WITH toks AS (

@@ -152,6 +152,16 @@ class OpsSpec extends AnyFunSuite {
     assert(salted("hot") == 9000L)
   }
 
+  test("batchAssemble hook replaces the default batch extraction (U3)") {
+    val sc = ScCollection.fromDataFrame(spark.range(96).toDF("k"), col("k"))
+    val ds = ScDataset(sc, Streaming(), batchSize = 32,
+      hooks = Hooks(batchAssemble = Some((pf, cols) =>
+        pf.groupBy("batch_id").agg(max(col(cols.head)).as("k_max")))))
+    val bf = ds.toBatchFrame(0, Seq("k")).select("batch_id", "k_max")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(bf.toSeq == Seq((0L, 31L), (1L, 63L), (2L, 95L)))
+  }
+
   test("batchTransform hook runs on the batch frame (U4)") {
     val sc = ScCollection.fromDataFrame(spark.range(96).toDF("k"), col("k"))
     val ds = ScDataset(sc, Streaming(), batchSize = 32,
