@@ -82,18 +82,25 @@ object WeightedQueries {
     }),
 
     // A2: per-batch Shannon entropy of c_mktsegment under streaming batching
-    // (reference benchmarks/utils.py:246-259)
+    // (reference benchmarks/utils.py:246-259).  The per-batch float sum is
+    // an ORDERED fold over segment-sorted counts (integer totals), so the
+    // result is independent of partial-aggregation order — the same
+    // hardening that fixed stream_sessions.
     "a2_batch_entropy" -> ((s, dir) => {
       val c = ScCollection.fromParquet(s, s"$dir/customer.parquet",
         Seq("c_custkey"), Seq("c_mktsegment"))
       val b = c.df.withColumn("batch_id", floor(col("row_id") / 100))
       val g = b.groupBy("batch_id", "c_mktsegment").agg(count(lit(1)).as("cnt"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("batch_id")
-      val t = g.withColumn("tot", sum("cnt").over(w))
-        .withColumn("p", col("cnt").cast("double") / col("tot").cast("double"))
-        .withColumn("x", col("p") * log2(col("p")))
-      t.groupBy("batch_id")
-        .agg(round(lit(0.0) - sum("x"), 6).as("entropy"))
+      g.groupBy("batch_id")
+        .agg(sort_array(collect_list(struct(
+          col("c_mktsegment").as("seg"), col("cnt")))).as("scnts"))
+        .withColumn("tot",
+          aggregate(col("scnts"), lit(0L), (a, x) => a + x("cnt")).cast("double"))
+        .withColumn("ent", aggregate(col("scnts"), lit(0.0), (a, x) => {
+          val p = x("cnt").cast("double") / col("tot")
+          a + p * log2(p)
+        }))
+        .select(col("batch_id"), round(lit(0.0) - col("ent"), 6).as("entropy"))
     })
   )
 
@@ -219,16 +226,18 @@ object WeightedQueries {
         |),
         |b AS (SELECT row_id // 100 AS batch_id, c_mktsegment FROM r),
         |g AS (SELECT batch_id, c_mktsegment, count(*) AS cnt FROM b GROUP BY 1, 2),
-        |t AS (
-        |  SELECT *, sum(cnt) OVER (PARTITION BY batch_id) AS tot
-        |  FROM g
+        |l AS (
+        |  SELECT batch_id, list(cnt ORDER BY c_mktsegment) AS cnts,
+        |         sum(cnt) AS tot
+        |  FROM g GROUP BY batch_id
         |),
-        |term AS (
+        |e AS (
         |  SELECT batch_id,
-        |         (cnt::DOUBLE / tot::DOUBLE) * log2(cnt::DOUBLE / tot::DOUBLE) AS x
-        |  FROM t
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cnts,
+        |      c -> (c::DOUBLE / tot::DOUBLE) * log2(c::DOUBLE / tot::DOUBLE))),
+        |      (a, x) -> a + x) AS ent
+        |  FROM l
         |)
-        |SELECT batch_id, round(0.0 - sum(x), 6) AS entropy
-        |FROM term GROUP BY batch_id""".stripMargin
+        |SELECT batch_id, round(0.0 - ent, 6) AS entropy FROM e""".stripMargin
   )
 }
