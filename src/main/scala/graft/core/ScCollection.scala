@@ -71,6 +71,18 @@ object ScCollection {
   def fromDataFrame(df: DataFrame, orderBy: Column*): ScCollection =
     ScCollection(Ranker.withRank(df, RowId, orderBy: _*))
 
+  /** Generic source adapter (S3/S5 analogue): any Spark DataSource format
+    * (csv, json, orc, parquet, custom) becomes an indexable collection —
+    * the counterpart of the reference's per-format adapters
+    * (reference: src/scdataset/transforms.py), except the format zoo is
+    * Spark's reader registry instead of hand-written glue. */
+  def fromSource(spark: SparkSession, path: String, format: String,
+      orderBy: Seq[String],
+      options: Map[String, String] = Map.empty): ScCollection =
+    fromDataFrame(
+      spark.read.format(format).options(options).load(path),
+      orderBy.map(col): _*)
+
   /** Ordered union of per-file collections with per-file rowId offsets —
     * the AnnCollection analogue (reference:
     * benchmarks/evaluate_scdataset.py:70-78: ordered concatenation of

@@ -133,6 +133,12 @@ final case class ScDataset(
     hooks.batchTransform(bf)
   }
 
+  /** Batch sink (S6): materialize the epoch's batches as parquet, one row
+    * per batch, so downstream trainers (or another Spark job) stream them
+    * without replanning the epoch. */
+  def writeBatches(dir: String, epoch: Int, cols: Seq[String]): Unit =
+    toBatchFrame(epoch, cols).write.mode("overwrite").parquet(dir)
+
   /** Driver-side iterator over batches in order — the analogue of the
     * reference's `__iter__` yield loop, for feeding a single-process
     * trainer. Streams one batch at a time (no full collect). */

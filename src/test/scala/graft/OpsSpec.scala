@@ -200,6 +200,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("EntropyAgg single aggregate matches the pipeline formulation (A2)") {
+    val df = spark.range(400).toDF("k")
+      .withColumn("batch_id", floor(col("k") / 100))
+      .withColumn("seg", concat(lit("s"), pmod(col("k"), lit(4))))
+    val agg = udaf(graft.functions.EntropyAgg)
+    val out = df.groupBy("batch_id").agg(agg(col("seg")).as("entropy"))
+      .as[(Long, Double)].collect().toMap
+    // 4 equally-likely segments per batch → exactly 2 bits
+    assert(out.size == 4 && out.values.forall(e => math.abs(e - 2.0) < 1e-12))
+  }
+
+  test("fromSource reads CSV into an indexable collection; writeBatches round-trips") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft-batches").toFile
+    try {
+      spark.range(100).toDF("k").withColumn("v", col("k") * 3)
+        .write.option("header", "true").mode("overwrite")
+        .csv(dir.getAbsolutePath)
+      val sc = ScCollection.fromSource(spark, dir.getAbsolutePath, "csv",
+        Seq("k"), Map("header" -> "true", "inferSchema" -> "true"))
+      assert(sc.length == 100)
+      val ds = ScDataset(sc, BlockShuffling(blockSize = 16), batchSize = 25)
+      ds.writeBatches(out.getAbsolutePath, 0, Seq("k", "v"))
+      val back = spark.read.parquet(out.getAbsolutePath)
+      assert(back.count() == 4)
+      assert(back.agg(sum("n")).head.getLong(0) == 100L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir); rm(out)
+    }
+  }
+
   test("autoconfig suggests positive, budget-consistent parameters") {
     val df = spark.range(1000).toDF("k")
       .withColumn("x", col("k").cast("double"))
