@@ -241,11 +241,26 @@ final case class BlockWeightedSampling(
         // A-Res: largest ln(u)/w  ⇔ largest u^(1/w)
         val keyed = base.withColumn("__akey",
           log(rng.uniform(seed, "ares", col(sc.rowId))) / col("__w"))
-        val ranked2 = Ranker.withRank(keyed.drop(Ord), "__arank",
-          col("__akey").desc, col(sc.rowId))
-        ranked2.where(col("__arank") < totalSize)
-          .drop("__arank", "__akey", "__w")
-          .withColumn(Copy, lit(1))
+        if (totalSize <= 1000000L && totalSize * 10 <= sc.length) {
+          // k ≪ n: single-pass bounded top-k (WeightedReservoir aggregate)
+          // + semi join — no data-wide sort; selection identical to
+          // ORDER BY akey DESC, rowId LIMIT totalSize
+          val reservoir = udaf(
+            graft.functions.WeightedReservoir(totalSize.toInt))
+          val sel = keyed
+            .agg(reservoir(col("__akey"), col(sc.rowId)).as("__ids"))
+            .select(explode(col("__ids")).as("__selid"))
+          keyed.join(sel, keyed(sc.rowId) === col("__selid"), "left_semi")
+            .drop("__akey", "__w")
+            .withColumn(Copy, lit(1))
+        } else {
+          // k comparable to n: the bounded buffer no longer pays; data-wide rank
+          val ranked2 = Ranker.withRank(keyed.drop(Ord), "__arank",
+            col("__akey").desc, col(sc.rowId))
+          ranked2.where(col("__arank") < totalSize)
+            .drop("__arank", "__akey", "__w")
+            .withColumn(Copy, lit(1))
+        }
       }
     // sampled ids ascending (copies adjacent), re-block, permute blocks.
     // replace=true already carries the prefix-sum rank; without replacement

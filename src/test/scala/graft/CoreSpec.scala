@@ -109,6 +109,19 @@ class CoreSpec extends AnyFunSuite {
     assert(meanW > 3.0) // population mean = 3.0; weighted selection should exceed it
   }
 
+  test("no-replace reservoir path (k << n) matches data-wide top-k selection") {
+    val sc = mkCollection(2000)
+    val st = BlockWeightedSampling(col("w"), totalSize = 100, blockSize = 8,
+      replace = false, rng = Rng.Md5)
+    val out = st.plan(sc, 11).select("k").collect().map(_.getLong(0)).toSet
+    val ref = sc.df
+      .withColumn("ak",
+        log(Rng.Md5.uniform(11, "ares", col("row_id"))) / col("w"))
+      .orderBy(col("ak").desc, col("row_id")).limit(100)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(out.size == 100 && out == ref)
+  }
+
   test("ClassBalancedSampling balances an imbalanced label") {
     import spark.implicits._
     // 70/20/10 imbalance like reference tests/conftest.py:55-59
