@@ -52,6 +52,18 @@ final case class ScCollection(
     * training_experiments/data/loader.py:159-169). */
   def limit(n: Int): ScCollection =
     copy(df = df.orderBy(col(rowId)).limit(n))
+
+  /** Prepare-once materialization: write the ranked collection as parquet
+    * (rowId-range-ordered files) and reopen it.  Positional access on the
+    * reopened collection is a plain parquet scan with rowId predicate
+    * pushdown — the one-time rank cost is paid once per dataset, not once
+    * per epoch/query.  This is the intended 100 TB deployment shape. */
+  def materialize(dir: String): ScCollection = {
+    df.repartitionByRange(df.sparkSession.sparkContext.defaultParallelism,
+        col(rowId))
+      .write.mode("overwrite").parquet(dir)
+    copy(df = df.sparkSession.read.parquet(dir))
+  }
 }
 
 object ScCollection {

@@ -211,6 +211,30 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 4 && out.values.forall(e => math.abs(e - 2.0) < 1e-12))
   }
 
+  test("materialize round-trips the ranked collection with pushdown-ready row ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mat").toFile
+    try {
+      val sc = ScCollection.fromDataFrame(spark.range(500).toDF("k"), col("k"))
+      val mat = sc.materialize(dir.getAbsolutePath)
+      assert(mat.contiguous && mat.length == 500)
+      val slice = mat.df.where(col("row_id").between(100, 109))
+      assert(slice.count() == 10)
+      // the rowId predicate reaches the parquet scan
+      val plan = slice.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters") && plan.contains("row_id"),
+        s"no pushdown in:\n$plan")
+      // a strategy on the reopened collection needs no re-rank
+      val out = BlockShuffling(8).plan(mat, 3)
+        .select(SamplingStrategy.Ord).collect().map(_.getLong(0)).sorted
+      assert(out.toSeq == (0L until 500L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("fromSource reads CSV into an indexable collection; writeBatches round-trips") {
     val dir = java.nio.file.Files.createTempDirectory("graft-src").toFile
     val out = java.nio.file.Files.createTempDirectory("graft-batches").toFile
