@@ -26,10 +26,14 @@ object Ranker {
     val sorted = df.orderBy(order: _*)
     val schema = StructType(sorted.schema.fields :+
       org.apache.spark.sql.types.StructField(out, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (row, i) =>
-      Row.fromSeq(row.toSeq :+ i)
+    // InternalRow path: no external-Row conversion.  toRdd rows are reused
+    // by the scan, so copy() before retaining them in the JoinedRow.
+    val rdd = sorted.queryExecution.toRdd.zipWithIndex().map { case (row, i) =>
+      new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+        row.copy(), org.apache.spark.sql.catalyst.InternalRow(i))
+        : org.apache.spark.sql.catalyst.InternalRow
     }
-    spark.createDataFrame(rdd, schema)
+    org.apache.spark.sql.GraftBridge.internalDF(spark, rdd, schema)
   }
 
   /** Adds `out` = running sum of LONG column `value` (inclusive) in the
@@ -56,7 +60,7 @@ object Ranker {
     // instance has an immutable partition array and job 2 reuses job 1's
     // shuffle files.  No cache needed — this also fixes the former
     // never-unpersisted full-DataFrame cache leak.
-    val base = prepared.rdd
+    val base = prepared.queryExecution.toRdd
     val vIdx = prepared.schema.fieldIndex("__cs_v")
     val partials: Array[(Int, Long)] = base
       .mapPartitionsWithIndex { (pid, it) =>
@@ -68,16 +72,18 @@ object Ranker {
       sorted.map { case (pid, s) => val o = (pid, acc); acc += s; o }.toMap
     }
     val bc = spark.sparkContext.broadcast(offsets)
-    val schema = StructType(prepared.schema.fields.dropRight(1) :+
+    val schema = StructType(prepared.schema.fields :+
       org.apache.spark.sql.types.StructField(out, LongType, nullable = false))
     val rdd = base.mapPartitionsWithIndex { (pid, it) =>
       var run = bc.value.getOrElse(pid, 0L)
       it.map { row =>
-        val v = row.getLong(row.length - 1)
-        run += v
-        Row.fromSeq(row.toSeq.dropRight(1) :+ run)
+        run += row.getLong(vIdx)
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+          row.copy(), org.apache.spark.sql.catalyst.InternalRow(run))
+          : org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(rdd, schema)
+    org.apache.spark.sql.GraftBridge.internalDF(spark, rdd, schema)
+      .drop("__cs_v")
   }
 }
