@@ -1,6 +1,26 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core._
 object Bench {
+
+  /** Shuffle-quality metric mirroring the reference's batch entropy
+    * (benchmarks/utils.py:246-259): mean per-batch Shannon entropy of the
+    * class column under a BlockShuffling epoch, vs the population entropy
+    * (the ceiling a perfect shuffle approaches). */
+  private def batchEntropy(spark: SparkSession, sfDir: String): (Double, Double) = {
+    val c = ScCollection.fromParquet(spark, s"$sfDir/customer.parquet",
+      Seq("c_custkey"), Seq("c_mktsegment"))
+    val ds = ScDataset(c, BlockShuffling(blockSize = 1024), batchSize = 64,
+      seed = 42L)
+    val ent = udaf(graft.functions.EntropyAgg)
+    val shuffled = ds.planFrame(0)
+      .groupBy("batch_id").agg(ent(col("c_mktsegment")).as("e"))
+      .agg(avg("e")).head.getDouble(0)
+    val population = c.df.agg(ent(col("c_mktsegment"))).head.getDouble(0)
+    (math.rint(shuffled * 10000) / 10000.0,
+      math.rint(population * 10000) / 10000.0)
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -36,7 +56,11 @@ object Bench {
         case (sec, rows) if rows > 0 && sec > 0 =>
           s"\"" + k + "\":" + math.round(rows / sec)
       }).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples_per_sec":$tp,"sf":"$sfDir"}""")
+    val ent = try {
+      val (sh, pop) = batchEntropy(spark, sfDir)
+      s"""{"block1024_bs64":$sh,"population":$pop}"""
+    } catch { case _: Throwable => "null" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples_per_sec":$tp,"batch_entropy":$ent,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
