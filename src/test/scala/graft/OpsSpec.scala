@@ -271,6 +271,46 @@ class OpsSpec extends AnyFunSuite {
     assert(s.workers >= 1 && s.workers <= 16)
   }
 
+  test("streaming: watermark finalizes windows and drops late data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-late").toFile
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val schema = Seq((1L, t("2026-01-01 10:05:00"), "a", 1.0))
+        .toDF("event_id", "ts", "event_type", "value").schema
+      def write(rows: Seq[(Long, java.sql.Timestamp, String, Double)], part: String): Unit =
+        rows.toDF("event_id", "ts", "event_type", "value")
+          .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      write(Seq(
+        (1L, t("2026-01-01 10:05:00"), "a", 1.0),
+        (2L, t("2026-01-01 12:05:00"), "a", 2.0)), "b1")
+      val q = StreamingOps.tumblingCountsStream(spark, dir.getAbsolutePath,
+          schema, "1 hour", "1 hour")
+        .writeStream.format("memory").queryName("graft_late_test")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      // second micro-batch: one LATE row (10:30, behind the 11:05 watermark)
+      // and one fresh row advancing time
+      write(Seq(
+        (3L, t("2026-01-01 10:30:00"), "a", 4.0),
+        (4L, t("2026-01-01 14:05:00"), "a", 8.0)), "b2")
+      q.processAllAvailable()
+      val rows = spark.table("graft_late_test")
+        .select("window_start_ms", "cnt").as[(Long, Long)].collect().toMap
+      q.stop()
+      val w10 = t("2026-01-01 10:00:00").getTime
+      val w12 = t("2026-01-01 12:00:00").getTime
+      // the 10:00 window finalized with ONE event — the late 10:30 row was
+      // dropped, not retro-added; the 12:00 window finalized in batch 2
+      assert(rows(w10) == 1L, s"late row leaked into finalized window: $rows")
+      assert(rows(w12) == 1L, s"missing 12:00 window: $rows")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming: watermarked dedup drops repeated ids across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toFile
     try {
