@@ -1,0 +1,38 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Central registry for intermediate frames the engine persists while
+  * building a plan (ranked sampling bases, shingle postings).
+  *
+  * A strategy's `plan` returns a LAZY DataFrame, so the operator that
+  * persisted an intermediate can never know when the final consumer is done
+  * with it — only the caller does.  Operators therefore `register` every
+  * handle they persist, and the consumer (Bench/Verify per query; a user
+  * pipeline after its terminal action) calls [[release]] exactly once.
+  * Without that call the storage leaks until the session dies — previously
+  * this was masked by Bench's `clearCache`, which also evicted frames the
+  * USER had persisted; the registry only ever drops the engine's own
+  * intermediates.
+  */
+object CacheScope {
+  private val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Persist `df` at `level` and track the handle for the next [[release]]. */
+  def persist(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val p = df.persist(level)
+    frames.add(p)
+    p
+  }
+
+  /** Unpersist every engine-registered intermediate (non-blocking). */
+  def release(): Unit = {
+    var df = frames.poll()
+    while (df != null) {
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+      df = frames.poll()
+    }
+  }
+}

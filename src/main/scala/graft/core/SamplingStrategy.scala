@@ -129,9 +129,11 @@ final case class BlockShuffling(
         val dropped: Array[Long] = dropKeyed
           .orderBy(col("__dkey"), col(sc.rowId))
           .limit(rem).select(col(Ord)).collect().map(_.getLong(0)).sorted
-        val before = dropped.foldLeft(lit(0L)) { (acc, d) =>
-          acc + when(col(Ord) > d, 1L).otherwise(0L)
-        }
+        // constant-depth expression regardless of rem (a when()-chain of
+        // depth rem stack-overflows Catalyst for large blockSize): count the
+        // dropped ranks below this row's rank against the literal array.
+        val before = size(filter(typedlit(dropped.toSeq),
+          d => d < col(Ord))).cast("long")
         df = dropKeyed
           .where(!col(Ord).isInCollection(dropped))
           .withColumn(Ord, col(Ord) - before)
@@ -180,8 +182,10 @@ final case class BlockWeightedSampling(
     // consumer executes — persist the ranked base so the rank's sort +
     // zipWithIndex runs once, not once per action.  MEMORY_AND_DISK: at
     // 100 TB the ranked projection (ids + weight) spills, never OOMs.
-    val base = ranked(sc).withColumn("__w", weight.cast("double"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CacheScope-registered: the consumer releases it after its terminal
+    // action (the plan itself can't know when that is).
+    val base = CacheScope.persist(
+      ranked(sc).withColumn("__w", weight.cast("double")))
     val sampled: DataFrame =
       if (replace) {
         val wInt =

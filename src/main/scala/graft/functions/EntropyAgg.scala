@@ -17,8 +17,10 @@ object EntropyAgg extends Aggregator[String, Map[String, Long], Double] {
 
   override def zero: Map[String, Long] = Map.empty
 
+  /** Nulls are skipped (SQL-aggregate convention: count(col) ignores NULL);
+    * admitting them would also NPE finish's String key sort. */
   override def reduce(b: Map[String, Long], a: String): Map[String, Long] =
-    b.updated(a, b.getOrElse(a, 0L) + 1L)
+    if (a == null) b else b.updated(a, b.getOrElse(a, 0L) + 1L)
 
   override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
     y.foldLeft(x) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }

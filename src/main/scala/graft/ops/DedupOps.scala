@@ -133,17 +133,21 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
       k: Int = 3, maxDocFreq: Long = 100,
       minJaccard: Double = 0.2): DataFrame = {
-    val post = shinglePostings(df, text, id, k, maxDocFreq).persist()
+    val post = graft.core.CacheScope.persist(
+      shinglePostings(df, text, id, k, maxDocFreq))
     val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = post.groupBy("sh").agg(collect_list("doc_id").as("ids"))
       .select(explode(orderedPairs(col("ids"))).as("p"))
       .groupBy(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .agg(count(lit(1)).as("common"))
+    // the size lookups are one-row-per-document — broadcastable only while
+    // the corpus is; no explicit hint, AQE broadcasts when the side fits
+    // and falls back to a shuffle join at scale
     pairs
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("sz", "size_a")), Seq("doc_a"))
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("sz", "size_b")), Seq("doc_b"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("sz", "size_a"), Seq("doc_a"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("sz", "size_b"), Seq("doc_b"))
       .withColumn("jaccard", round(
         col("common").cast("double") /
           (col("size_a") + col("size_b") - col("common")).cast("double"), 6))
@@ -239,24 +243,43 @@ object DedupOps {
   /** Exact embedding near-duplicate pairs: cosine >= `minCosine` over all
     * id-ordered pairs (vec_a < vec_b).
     *
-    * Physical plan: the corpus slice is broadcast once (ids ascending, norms
-    * precomputed per row — NOT per pair), the pair space is partitioned over
-    * executors by left-row index, and the O(n²·d) kernel runs as tight
-    * primitive-double loops — no per-pair array re-materialization, no
-    * interpreted higher-order expressions.  This kernel's contract is a
-    * broadcast-sized corpus: it IS the inner loop of the 100 TB path, which
-    * buckets with [[SimilarityOps.lshBuckets]] first and runs this within
-    * each bucket (or a blocked outer join of corpus blocks).
+    * Two physical plans behind one signature, switched on the corpus size:
     *
-    * Determinism/oracle parity: dot and norm are sequential left folds from
-    * 0.0 in index order, cosine = dot / (sqrt(n2a)·sqrt(n2b)), rounded
-    * half-up at 6 decimals via BigDecimal.valueOf — bit-identical to both
-    * Spark's `round(col, 6)` and the DuckDB oracle's fold order. */
+    *  - `n <= maxDriverRows`: the corpus slice is broadcast once (ids
+    *    ascending, norms precomputed per row — NOT per pair), the pair space
+    *    is partitioned over executors by left-row index, and the O(n²·d)
+    *    kernel runs as tight primitive-double loops — no per-pair array
+    *    re-materialization.  This is the inner loop of the 100 TB path,
+    *    which buckets with [[SimilarityOps.lshBuckets]] first and runs the
+    *    kernel within each (always driver-sized) bucket.
+    *  - larger corpora: a distributed self-join on `vec_a < vec_b` with the
+    *    codegen'd [[graft.functions.VecKernels]] dot/norm — still O(n²·d)
+    *    work (inherent to EXACT all-pairs) but executor-memory-bound, never
+    *    a driver collect.
+    *
+    * Determinism/oracle parity (both paths): dot and norm are sequential
+    * left folds from 0.0 in index order, cosine = dot / (sqrt(n2a)·sqrt(n2b)),
+    * rounded half-up at 6 decimals (BigDecimal HALF_UP — bit-identical to
+    * Spark's `round(col, 6)` and the DuckDB oracle's fold order). */
   def embeddingPairs(df: DataFrame, vec: Column, id: Column,
-      minCosine: Double): DataFrame = {
+      minCosine: Double, maxDriverRows: Long = 1L << 20): DataFrame = {
+    val base = df.select(id.cast("long").as("vid"),
+      vec.cast("array<double>").as("v"))
+    if (base.count() > maxDriverRows) {
+      import graft.functions.VecKernels
+      val withN = base.withColumn("__nrm", sqrt(VecKernels.norm2(col("v"))))
+      val a = withN.select(col("vid").as("vec_a"), col("v").as("__va"),
+        col("__nrm").as("__na"))
+      val b = withN.select(col("vid").as("vec_b"), col("v").as("__vb"),
+        col("__nrm").as("__nb"))
+      return a.join(b, col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(
+          VecKernels.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+        .where(col("cos") >= minCosine)
+        .select("vec_a", "vec_b", "cos")
+    }
     val spark = df.sparkSession
-    val collected = df
-      .select(id.cast("long").as("vid"), vec.cast("array<double>").as("v"))
+    val collected = base
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
