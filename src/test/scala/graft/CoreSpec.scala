@@ -78,6 +78,18 @@ class CoreSpec extends AnyFunSuite {
       kept.contains(100L) || true) // statistical; just assert size here
   }
 
+  test("dropLast with a large blockSize (many dropped rows) stays contiguous") {
+    // rem = 2000 % 1024 = 976 dropped rows — exercises the constant-depth
+    // rank-adjust expression (a when()-chain of that depth blew the
+    // Catalyst stack before).
+    val sc = mkCollection(2000)
+    val st = BlockShuffling(blockSize = 1024, dropLast = true)
+    val out = ordOf(st.plan(sc, 3))
+    assert(out.size == 1024)
+    assert(out.map(_._2).sorted == (0L until 1024L))
+    assert(out.map(_._1).distinct.size == 1024)
+  }
+
   test("determinism: same seed same order; different seed different order") {
     val sc = mkCollection(64)
     val st = BlockShuffling(blockSize = 4)

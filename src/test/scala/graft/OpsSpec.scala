@@ -75,6 +75,47 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embeddingPairs distributed path agrees with the broadcast kernel") {
+    val r = new scala.util.Random(11)
+    val vs = (0L until 25L).map(i =>
+      (i, Array.fill(6)(r.nextDouble() - 0.5).map(_.toFloat)))
+    val df = vs.toDF("vec_id", "embedding")
+    val driver = DedupOps.embeddingPairs(df, col("embedding"), col("vec_id"), 0.3)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect().toSet
+    // maxDriverRows = 0 forces the distributed self-join plan
+    val dist = DedupOps.embeddingPairs(df, col("embedding"), col("vec_id"), 0.3,
+        maxDriverRows = 0L)
+      .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)].collect().toSet
+    assert(dist == driver)
+  }
+
+  test("EntropyAgg skips null categories instead of crashing") {
+    val df = Seq(Some("a"), Some("a"), Some("b"), None, None)
+      .toDF("c")
+    val ent = udaf(graft.functions.EntropyAgg)
+    val got = df.agg(ent(col("c"))).head.getDouble(0)
+    // nulls ignored: 2×a + 1×b → H = -(2/3 log2 2/3 + 1/3 log2 1/3)
+    val want = -(2.0 / 3 * math.log(2.0 / 3) / math.log(2) +
+      1.0 / 3 * math.log(1.0 / 3) / math.log(2))
+    assert(math.abs(got - want) < 1e-9)
+  }
+
+  test("CacheScope.release unpersists registered frames only") {
+    val mine = spark.range(10).toDF("x")
+    // NOT range(10) again: identical-result plans share one cache entry
+    // (column names canonicalize away), so unpersisting `mine` would drop it
+    val user = spark.range(20).toDF("y").persist()
+    try {
+      user.count()
+      val p = graft.core.CacheScope.persist(mine)
+      p.count()
+      assert(p.storageLevel.useMemory)
+      graft.core.CacheScope.release()
+      assert(!p.storageLevel.useMemory, "registered frame still cached")
+      assert(user.storageLevel.useMemory, "user frame must survive release()")
+    } finally user.unpersist()
+  }
+
   test("ivfAssign picks the argmax-cosine centroid") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
