@@ -18,12 +18,19 @@ import org.apache.spark.sql.DataFrame
 object CacheScope {
   private val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  /** Persist `df` at `level` and track the handle for the next [[release]]. */
+  /** Persist `df` at `level` and track the handle for the next [[release]].
+    * `eager` materializes the cache immediately — use when MULTIPLE
+    * independent downstream stages consume the frame: AQE submits them
+    * concurrently, and against a lazy cache they contend on the block locks
+    * (duplicated compute + stalled tasks) instead of reading a filled
+    * cache. */
   def persist(df: DataFrame,
       level: org.apache.spark.storage.StorageLevel =
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK,
+      eager: Boolean = false): DataFrame = {
     val p = df.persist(level)
     frames.add(p)
+    if (eager) p.count()
     p
   }
 

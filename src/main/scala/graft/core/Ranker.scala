@@ -44,7 +44,15 @@ object Ranker {
     * and re-broadcast as offsets.
     */
   def withCumsumLong(df: DataFrame, rankCol: String, value: Column,
-                     out: String): DataFrame = {
+                     out: String): DataFrame =
+    withCumsumLongAndTotal(df, rankCol, value, out)._1
+
+  /** [[withCumsumLong]] plus the grand total (= the final running-sum
+    * value), which the two-phase pass computes anyway from the per-partition
+    * partials — callers that need `max(out)` save an entire extra pass over
+    * the data. */
+  def withCumsumLongAndTotal(df: DataFrame, rankCol: String, value: Column,
+                             out: String): (DataFrame, Long) = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     val n = math.max(1, df.sparkSession.sparkContext.defaultParallelism)
@@ -83,7 +91,8 @@ object Ranker {
           : org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    org.apache.spark.sql.GraftBridge.internalDF(spark, rdd, schema)
+    val result = org.apache.spark.sql.GraftBridge.internalDF(spark, rdd, schema)
       .drop("__cs_v")
+    (result, partials.map(_._2).sum)
   }
 }

@@ -209,8 +209,9 @@ final case class BlockWeightedSampling(
             base.withColumn("__wi",
               round(col("__w") * lit(scale)).cast("long"))
           }
-        val cum = Ranker.withCumsumLong(wInt, Ord, col("__wi"), "__cum")
-        val total = cum.agg(max("__cum")).head.getLong(0)
+        // total weight comes with the cumsum's partials — no extra pass
+        val (cum, total) = Ranker.withCumsumLongAndTotal(
+          wInt, Ord, col("__wi"), "__cum")
         require(total > 0, "all weights rounded to zero after normalization")
         val off = rng.scalarUniform(seed, "offset")
         // systematic thresholds t_j = (j+off)*W/N; row copies =

@@ -87,6 +87,15 @@ object DedupOps {
     df.join(keep, id === col("keeper_id"), "left_semi")
   }
 
+  /** Ensure at least default parallelism under the per-row kernels.  A small
+    * corpus arrives as one file = one partition, serializing the UDF; at
+    * scale the scan already has >= parallelism splits and this is a no-op
+    * (checking the physical partition count plans the scan but runs no job). */
+  private def parallelized(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Distinct word-3-shingle digests per document (the inverted-index
     * postings), document-frequency-capped. */
   def shinglePostings(df: DataFrame, text: Column, id: Column,
@@ -95,7 +104,7 @@ object DedupOps {
     // md5(concat_ws(' ', shingle)) expressions, ~10× less per-row overhead)
     val hashes = udf((t: String) =>
       if (t == null) null else shinglesOf(t, k).distinct.map(md5Hex))
-    val post = df
+    val post = parallelized(df)
       .select(id.as("doc_id"), explode(hashes(text)).as("sh"))
     // document-frequency cap via ONE shuffle (window count over sh), not a
     // groupBy + semi-join that shingles the corpus twice
@@ -133,8 +142,12 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
       k: Int = 3, maxDocFreq: Long = 100,
       minJaccard: Double = 0.2): DataFrame = {
+    // eager: both the sizes and the pairs branch consume the postings, and
+    // AQE submits those independent stages CONCURRENTLY — against a lazy
+    // cache they race on the block locks (observed: whole stages stalled at
+    // zero CPU waiting for the other branch's cache fill)
     val post = graft.core.CacheScope.persist(
-      shinglePostings(df, text, id, k, maxDocFreq))
+      shinglePostings(df, text, id, k, maxDocFreq), eager = true)
     val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = post.groupBy("sh").agg(collect_list("doc_id").as("ids"))
       .select(explode(orderedPairs(col("ids"))).as("p"))
@@ -171,7 +184,7 @@ object DedupOps {
   def minhashBands(df: DataFrame, text: Column, id: Column,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = df.select(id.as("doc_id"),
+    val sig = parallelized(df).select(id.as("doc_id"),
       minhashSignature(text, k, numHashes).as("sig"))
     sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
@@ -229,7 +242,8 @@ object DedupOps {
     * Hamming distance bounded by one byte-flip region collides in at least
     * one band).  Same bucket-expansion shape as MinHash banding. */
   def simhashCandidates(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val sig = df.select(id.as("doc_id"), simhash16(text).cast("long").as("sh"))
+    val sig = parallelized(df)
+      .select(id.as("doc_id"), simhash16(text).cast("long").as("sh"))
     sig.select(col("doc_id"), explode(array(
         struct(lit(0).as("band"), col("sh").bitwiseAND(255).as("key")),
         struct(lit(1).as("band"), shiftright(col("sh"), 8).as("key")))).as("b"))
