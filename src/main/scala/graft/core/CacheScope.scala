@@ -34,6 +34,10 @@ object CacheScope {
     p
   }
 
+  /** Track an ALREADY-persisted handle for the next [[release]] (for
+    * operators that manage persistence themselves, e.g. iterative loops). */
+  def register(df: DataFrame): Unit = frames.add(df)
+
   /** Unpersist every engine-registered intermediate (non-blocking). */
   def release(): Unit = {
     var df = frames.poll()

@@ -254,6 +254,72 @@ object DedupOps {
       .distinct()
   }
 
+  /** Duplicate-cluster extraction: connected components over a candidate
+    * pair list ((doc_a, doc_b), doc_a < doc_b — the output shape of
+    * [[minhashCandidates]] / [[simhashCandidates]] / [[ngramJaccardPairs]]),
+    * labeling every document in any pair with the MINIMUM doc id reachable
+    * through the pair graph.  Output: (doc_id, keeper_id); `doc_id ==
+    * keeper_id` marks the row to keep, everything else is a duplicate — the
+    * step that turns pair lists into an actual dedup decision.
+    *
+    * Physical shape: iterative min-label propagation with pointer jumping —
+    * each round takes the min over neighbours' labels (one shuffle on the
+    * edge list) and then path-halves (label := label's label, one
+    * self-join), giving O(log diameter) rounds instead of O(diameter);
+    * LSH candidate clusters are near-cliques, so 2-3 rounds converge.
+    * Each round's label table is persisted and the previous one released —
+    * the working set is one (doc_id, keeper_id) pair per UNIQUE doc in the
+    * pair list, far smaller than the corpus.  Pure integer min: the result
+    * is deterministic regardless of partitioning or iteration count.
+    *
+    * The reference has no graph step (its dedup surface stops at exact
+    * hashes); this mirrors the standard MinHash-dedup postprocessing
+    * (union-find over candidate pairs). */
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = graft.core.CacheScope.persist(
+      pairs.select(col("doc_a").cast("long").as("src"),
+          col("doc_b").cast("long").as("dst"))
+        .unionByName(pairs.select(col("doc_b").cast("long").as("src"),
+          col("doc_a").cast("long").as("dst"))),
+      eager = true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("keeper_id", col("doc_id"))
+      .persist()
+    var prev: DataFrame = null
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      // min over neighbours' current labels
+      val nbr = edges
+        .join(labels.select(col("doc_id").as("dst"),
+          col("keeper_id").as("dst_keeper")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("dst_keeper").as("nbr_min"))
+      val stepped = labels.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("keeper_id"),
+            coalesce(col("nbr_min"), col("keeper_id"))).as("keeper_id"),
+          col("keeper_id").as("old_keeper"))
+      // pointer jumping: keeper := keeper's keeper (halves chain length)
+      val jumped = stepped
+        .join(stepped.select(col("doc_id").as("keeper_id"),
+          col("keeper_id").as("jump")), Seq("keeper_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("jump"), col("keeper_id")).as("keeper_id"),
+          (coalesce(col("jump"), col("keeper_id")) =!= col("old_keeper"))
+            .as("chg"))
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = labels
+      labels = jumped.persist()
+      changed = labels.where(col("chg")).count()
+      i += 1
+    }
+    if (prev != null) prev.unpersist(blocking = false)
+    // hand the final table to the scope so the caller's release() drops it
+    graft.core.CacheScope.register(labels)
+    labels.select("doc_id", "keeper_id")
+  }
+
   /** Exact embedding near-duplicate pairs: cosine >= `minCosine` over all
     * id-ordered pairs (vec_a < vec_b).
     *

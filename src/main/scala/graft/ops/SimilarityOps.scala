@@ -100,6 +100,49 @@ object SimilarityOps {
       .select("vec_id", "centroid_id", "cos")
   }
 
+  /** IVF search: approximate top-k via the inverted-file index — each query
+    * probes its `nprobe` nearest centroids' cells and ranks exactly (cosine,
+    * 6-decimal round, id tiebreak) within the probed cells only.
+    * Output: (query_id, neighbor_id, cos, rank).
+    *
+    * Physical shape: centroids are broadcast twice (corpus-side assignment
+    * via [[ivfAssign]], query-side probe selection); the only shuffle is the
+    * corpus-cells ⋈ probes join on `centroid_id`.  The probe table is
+    * queries × nprobe rows — broadcast when the query set is small (the
+    * common case: AQE picks this up), so the corpus-side scan stays
+    * shuffle-free.  At 100 TB the assignment is precomputed once and the
+    * corpus is PARTITIONED BY centroid_id (see [[ivfAssign]]), so a probe
+    * reads nprobe partitions, not the corpus. */
+  def ivfTopK(corpus: DataFrame, vec: Column, id: Column,
+      centroids: DataFrame, cvec: Column, cid: Column,
+      queries: DataFrame, qvec: Column, qid: Column,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    val cells = ivfAssign(corpus, vec, id, centroids, cvec, cid)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+    val corpusCells = corpus.select(id.as("neighbor_id"), vec.as("cv"))
+      .join(cells, Seq("neighbor_id"))
+    val q = queries.select(qid.as("query_id"), qvec.as("qv"))
+    val ct = centroids.select(cid.as("centroid_id"), cvec.as("ctv"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(ct))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        round(cosine(col("qv"), col("ctv")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select("query_id", "qv", "centroid_id")
+    val scored = corpusCells.join(probes, Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to each query's LSH
     * bucket.  One shuffle on bucket; the cross product never materializes. */
   def lshTopK(corpus: DataFrame, vec: Column, id: Column,

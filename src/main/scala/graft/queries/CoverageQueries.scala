@@ -99,6 +99,24 @@ object CoverageQueries {
       SimilarityOps.lshTopK(emb(s, dir), col("embedding"), col("vec_id"),
         dims = 64, planes = 8, seed = 42L, k = 5)),
 
+    // IVF search end-to-end: each query probes its 2 nearest centroids'
+    // cells, exact cosine rank within the probed cells only
+    "sim_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilarityOps.ivfTopK(e, col("embedding"), col("vec_id"),
+        e.where(col("vec_id") < 8), col("embedding"), col("vec_id"),
+        e.where(col("vec_id") >= 8 && col("vec_id") < 13),
+        col("embedding"), col("vec_id"),
+        k = 10, nprobe = 2)
+    }),
+
+    // Dedup postprocessing: connected components over MinHash LSH candidate
+    // pairs — every doc in a pair labeled with the min reachable doc id
+    "dd_clusters" -> ((s, dir) =>
+      DedupOps.dedupClusters(
+        DedupOps.minhashCandidates(docs(s, dir), col("text"), col("doc_id"),
+          k = 3, numHashes = 16, bands = 4))),
+
     // Streaming: sliding 1-hour windows every 30 minutes
     "stream_sliding" -> ((s, dir) =>
       StreamingOps.slidingCounts(events(s, dir), "1 hour", "30 minutes")),
@@ -227,6 +245,97 @@ object CoverageQueries {
         |  FROM s
         |)
         |SELECT vec_id, centroid_id, cos FROM r WHERE rn = 1""".stripMargin,
+
+    "sim_ivf_topk" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |asg0 AS (
+        |  SELECT e.vec_id AS neighbor_id, c.centroid_id,
+        |    round(
+        |      list_reduce(list_transform(list_zip(e.embedding, c.cv),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y) /
+        |      (sqrt(list_reduce(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) *
+        |       sqrt(list_reduce(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))),
+        |      6) AS acos
+        |  FROM embeddings e CROSS JOIN c
+        |),
+        |asg AS (
+        |  SELECT neighbor_id, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY acos DESC, centroid_id) AS rn
+        |    FROM asg0) WHERE rn = 1
+        |),
+        |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id >= 8 AND vec_id < 13),
+        |qp0 AS (
+        |  SELECT q.query_id, q.qv, c.centroid_id,
+        |    round(
+        |      list_reduce(list_transform(list_zip(q.qv, c.cv),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y) /
+        |      (sqrt(list_reduce(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) *
+        |       sqrt(list_reduce(list_transform(c.cv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))),
+        |      6) AS ccos
+        |  FROM q CROSS JOIN c
+        |),
+        |qp AS (
+        |  SELECT query_id, qv, centroid_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY ccos DESC, centroid_id) AS rn
+        |    FROM qp0) WHERE rn <= 2
+        |),
+        |s AS (
+        |  SELECT qp.query_id, a.neighbor_id,
+        |    round(
+        |      list_reduce(list_transform(list_zip(qp.qv, e.embedding),
+        |        x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y) /
+        |      (sqrt(list_reduce(list_transform(qp.qv, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) *
+        |       sqrt(list_reduce(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))),
+        |      6) AS cos
+        |  FROM asg a
+        |  JOIN qp ON a.centroid_id = qp.centroid_id
+        |  JOIN embeddings e ON e.vec_id = a.neighbor_id
+        |  WHERE a.neighbor_id <> qp.query_id
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) - 1 AS rank
+        |  FROM s
+        |)
+        |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank < 10""".stripMargin,
+
+    "dd_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |),
+        |shg AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) >= 3
+        |              THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+        |              ELSE [array_to_string(t, ' ')] END) AS shs
+        |  FROM toks
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 15), j ->
+        |           list_min(list_transform(shs, sgl ->
+        |             ('0x' || substr(md5(j::VARCHAR || ':' || sgl), 1, 15))::BIGINT))) AS sg
+        |  FROM shg
+        |),
+        |b AS (SELECT doc_id, sg, unnest(generate_series(0, 3)) AS band FROM sig),
+        |bk AS (
+        |  SELECT doc_id, band,
+        |         md5(array_to_string(sg[band * 4 + 1 : band * 4 + 4], ',')) AS band_key
+        |  FROM b
+        |),
+        |mp AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bk x JOIN bk y
+        |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        |),
+        |e AS (SELECT doc_a AS a, doc_b AS bb FROM mp UNION ALL SELECT doc_b, doc_a FROM mp),
+        |n AS (SELECT DISTINCT a AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.bb
+        |)
+        |SELECT node AS doc_id, min(r) AS keeper_id FROM reach GROUP BY node""".stripMargin,
 
     "sim_lsh_topk" ->
       """WITH b AS (

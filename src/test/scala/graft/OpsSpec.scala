@@ -116,6 +116,36 @@ class OpsSpec extends AnyFunSuite {
     } finally user.unpersist()
   }
 
+  test("dedupClusters: min label reaches across chains (pointer jumping)") {
+    // path 1-2-3-4-5 (diameter 4) plus separate pair (8,9)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val got = DedupOps.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      8L -> 8L, 9L -> 8L))
+    graft.core.CacheScope.release()
+  }
+
+  test("ivfTopK with all cells probed equals exact bruteTopK") {
+    val r = new scala.util.Random(5)
+    val vs = (0L until 40L).map(i =>
+      (i, Array.fill(6)(r.nextDouble() - 0.5).map(_.toFloat)))
+    val e = vs.toDF("vec_id", "embedding")
+    val cents = e.where(col("vec_id") < 4)
+    val qs = e.where(col("vec_id") >= 35)
+    val ivf = SimilarityOps.ivfTopK(e, col("embedding"), col("vec_id"),
+        cents, col("embedding"), col("vec_id"),
+        qs, col("embedding"), col("vec_id"), k = 5, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = SimilarityOps.bruteTopK(e, col("embedding"), col("vec_id"),
+        qs, col("embedding"), col("vec_id"), k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(ivf == brute)
+  }
+
   test("ivfAssign picks the argmax-cosine centroid") {
     val e = Seq(
       (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
