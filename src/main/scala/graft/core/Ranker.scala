@@ -50,9 +50,83 @@ object Ranker {
   /** [[withCumsumLong]] plus the grand total (= the final running-sum
     * value), which the two-phase pass computes anyway from the per-partition
     * partials — callers that need `max(out)` save an entire extra pass over
-    * the data. */
+    * the data.
+    *
+    * Physical shape, fast path first: in this engine the cumsum input is
+    * almost always the output of [[withRank]] (sort + zipWithIndex), a
+    * previous cumsum, or a ranked scan — whose partitions already TILE the
+    * rank order (each partition holds a sorted run of ranks strictly below
+    * the next partition's).  The probe pass verifies that property while
+    * computing the per-partition partial sums; when it holds, offsets apply
+    * directly on the existing partitioning — no repartitionByRange (which
+    * costs a range-sampling job), no shuffle, no sort.  Only when the probe
+    * finds out-of-order partitions does it fall back to the range-sort
+    * path.  Integer partial sums are associative, so both paths are
+    * bit-identical. */
   def withCumsumLongAndTotal(df: DataFrame, rankCol: String, value: Column,
                              out: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val rankIsLong = df.schema(rankCol).dataType == LongType
+    if (rankIsLong) {
+      val prep = df.withColumn("__cs_v", value.cast(LongType))
+      val base = prep.queryExecution.toRdd
+      val vIdx = prep.schema.fieldIndex("__cs_v")
+      val rIdx = prep.schema.fieldIndex(rankCol)
+      // probe: per-partition (sum, min rank, max rank, sorted?, count)
+      val probe = base.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L; var cnt = 0L; var sorted = true
+        var minR = Long.MaxValue; var maxR = Long.MinValue; var prev = Long.MinValue
+        it.foreach { r =>
+          val rk = r.getLong(rIdx)
+          if (rk < prev) sorted = false
+          prev = rk
+          if (rk < minR) minR = rk
+          if (rk > maxR) maxR = rk
+          s += r.getLong(vIdx); cnt += 1
+        }
+        Iterator((pid, s, minR, maxR, sorted, cnt))
+      }.collect().sortBy(_._1)
+      val tiled = {
+        var prevMax = Long.MinValue; var ok = true
+        probe.foreach { case (_, _, mn, mx, srt, cnt) =>
+          if (cnt > 0) {
+            if (!srt || mn <= prevMax) ok = false
+            prevMax = mx
+          }
+        }
+        ok
+      }
+      if (tiled) {
+        val offsets: Map[Int, Long] = {
+          var acc = 0L
+          probe.map { case (pid, s, _, _, _, _) =>
+            val o = (pid, acc); acc += s; o
+          }.toMap
+        }
+        val bc = spark.sparkContext.broadcast(offsets)
+        val schema = StructType(prep.schema.fields :+
+          org.apache.spark.sql.types.StructField(out, LongType, nullable = false))
+        val rdd = base.mapPartitionsWithIndex { (pid, it) =>
+          var run = bc.value.getOrElse(pid, 0L)
+          it.map { row =>
+            run += row.getLong(vIdx)
+            new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+              row.copy(), org.apache.spark.sql.catalyst.InternalRow(run))
+              : org.apache.spark.sql.catalyst.InternalRow
+          }
+        }
+        val result = org.apache.spark.sql.GraftBridge.internalDF(spark, rdd, schema)
+          .drop("__cs_v")
+        return (result, probe.map(_._2).sum)
+      }
+    }
+    sortedCumsum(df, rankCol, value, out)
+  }
+
+  /** Range-sort cumsum — the fallback for inputs whose partitioning does
+    * not already tile the rank order. */
+  private def sortedCumsum(df: DataFrame, rankCol: String, value: Column,
+                           out: String): (DataFrame, Long) = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     val n = math.max(1, df.sparkSession.sparkContext.defaultParallelism)

@@ -80,8 +80,14 @@ object SamplingStrategy {
     val ranked = Ranker.withRank(blocks, "__brank", col("__bkey"), col("__block"))
     val boff = Ranker.withCumsumLong(ranked, "__brank", col("__bn"), "__bcum")
       .select(col("__block"), (col("__bcum") - col("__bn")).as("__boff"))
+    // The offsets table comes out of bridge RDDs whose plan stats are
+    // unknown (defaultSizeInBytes), so the optimizer would SHUFFLE the data
+    // side of this join.  Broadcast explicitly while the block table is
+    // driver-sized (16 bytes × nBlocks); beyond that a shuffle join is the
+    // right plan anyway (e.g. 10^8 blocks at 100 TB with blockSize 1024).
+    val boffB = if (nBlocks <= 4000000L) broadcast(boff) else boff
     df.withColumn("__block", floor(col(rankCol) / blockSize))
-      .join(boff, Seq("__block"))
+      .join(boffB, Seq("__block"))
       .withColumn(Ord,
         col("__boff") + col(rankCol) - col("__block") * blockSize)
       .drop("__block", "__boff")
@@ -177,20 +183,28 @@ final case class BlockWeightedSampling(
   def shuffleBeforeYield: Boolean = true
 
   def plan(sc: ScCollection, seed: Long): DataFrame = {
-    // The sampling plan drives several Spark actions over the ranked input
-    // (weight stats, prefix-sum partials, total weight) before the final
-    // consumer executes — persist the ranked base so the rank's sort +
-    // zipWithIndex runs once, not once per action.  MEMORY_AND_DISK: at
-    // 100 TB the ranked projection (ids + weight) spills, never OOMs.
+    // Index-first physical design (the reference's own shape: sample the
+    // index space, fetch payload last — scdataset.py:487-527).  The whole
+    // sampling machinery — stats, prefix sums, copy expansion, block
+    // permutation — runs over a NARROW (rank, rowId, weight) frame; the
+    // wide payload is joined back ON the final index exactly once.  At
+    // 100 TB this is the only workable plan: the index is ~24 bytes/row
+    // regardless of payload width, so the multi-pass machinery never
+    // touches (or caches) the data columns.
+    val wide = ranked(sc)
+    // Persisted because the plan drives several actions over it (weight
+    // stats, prefix-sum partials) before the final consumer executes.
     // CacheScope-registered: the consumer releases it after its terminal
     // action (the plan itself can't know when that is).
     val base = CacheScope.persist(
-      ranked(sc).withColumn("__w", weight.cast("double")))
+      wide.select(col(Ord), col(sc.rowId),
+        weight.cast("double").as("__w")))
     val sampled: DataFrame =
       if (replace) {
         val wInt =
           if (integralWeights)
-            base.withColumn("__wi", weight.cast("long"))
+            // __w is an exact double image of the integer weight (< 2^53)
+            base.withColumn("__wi", col("__w").cast("long"))
           else {
             // Validate + normalize in one aggregate, then integerize with
             // RELATIVE precision: scale = 1e6 * n / sum(w), so weights keep
@@ -246,20 +260,24 @@ final case class BlockWeightedSampling(
         // A-Res: largest ln(u)/w  ⇔ largest u^(1/w)
         val keyed = base.withColumn("__akey",
           log(rng.uniform(seed, "ares", col(sc.rowId))) / col("__w"))
-        if (totalSize <= 1000000L && totalSize * 10 <= sc.length) {
-          // k ≪ n: single-pass bounded top-k (WeightedReservoir aggregate)
-          // + semi join — no data-wide sort; selection identical to
-          // ORDER BY akey DESC, rowId LIMIT totalSize
+        if (totalSize <= 1000000L) {
+          // driver-sized k: single-pass bounded top-k (WeightedReservoir
+          // aggregate, ≤2k-entry partial buffers) + broadcast semi join —
+          // no data-wide sort; selection identical to
+          // ORDER BY akey DESC, rowId LIMIT totalSize.  The broadcast (k
+          // ids, ≤8 MB) also preserves the input's rank-tiled partitioning
+          // so the survivor re-rank below stays shuffle-free.
           val reservoir = udaf(
             graft.functions.WeightedReservoir(totalSize.toInt))
           val sel = keyed
             .agg(reservoir(col("__akey"), col(sc.rowId)).as("__ids"))
             .select(explode(col("__ids")).as("__selid"))
-          keyed.join(sel, keyed(sc.rowId) === col("__selid"), "left_semi")
+          keyed.join(broadcast(sel), keyed(sc.rowId) === col("__selid"),
+              "left_semi")
             .drop("__akey", "__w")
             .withColumn(Copy, lit(1))
         } else {
-          // k comparable to n: the bounded buffer no longer pays; data-wide rank
+          // k beyond driver size: the bounded buffer no longer pays; data-wide rank
           val ranked2 = Ranker.withRank(keyed.drop(Ord), "__arank",
             col("__akey").desc, col(sc.rowId))
           ranked2.where(col("__arank") < totalSize)
@@ -269,13 +287,20 @@ final case class BlockWeightedSampling(
       }
     // sampled ids ascending (copies adjacent), re-block, permute blocks.
     // replace=true already carries the prefix-sum rank; without replacement
-    // the scattered survivors need a real rank (totalSize rows, < input).
+    // the scattered survivors (all Copy=1, base order = rowId order) get
+    // their rank from a count prefix-sum — shuffle-free on the tiled
+    // partitioning, no sort.
     val withSrank =
       if (replace) sampled
-      else Ranker.withRank(sampled.drop(Ord), "__srank",
-        col(sc.rowId), col(Copy))
-    blockPermute(withSrank, "__srank", blockSize, totalSize, rng, seed, "wblock")
-      .drop("__srank")
+      else Ranker.withCumsumLong(sampled, Ord, lit(1L), "__scum")
+        .withColumn("__srank", col("__scum") - 1)
+        .drop("__scum", Ord)
+    val index = blockPermute(withSrank, "__srank", blockSize, totalSize,
+      rng, seed, "wblock").drop("__srank")
+    // fetch payload last: one join of the wide collection against the final
+    // (rowId, copy, ord) index — the only pass that ever touches data
+    // columns.
+    wide.drop(Ord).join(index, Seq(sc.rowId))
   }
 
   def outputLen(n: Long): Long = totalSize
