@@ -14,6 +14,16 @@ import org.apache.spark.sql.DataFrame
   * this was masked by Bench's `clearCache`, which also evicted frames the
   * USER had persisted; the registry only ever drops the engine's own
   * intermediates.
+  *
+  * CONTRACT — one pipeline at a time per JVM: the registry is process-
+  * global, so `release` drops the intermediates of EVERY in-flight plan,
+  * and eager persists mean plan CONSTRUCTION may trigger Spark jobs.
+  * Build + execute + release one query before starting the next (what
+  * Bench/Verify and a training loop naturally do).  Releasing under a
+  * concurrent pipeline is not a correctness hazard — unpersisted frames
+  * recompute — but it forfeits the reuse the persist was buying.  If
+  * concurrent pipelines ever become a requirement, hand out per-query
+  * scope handles instead of this object.
   */
 object CacheScope {
   private val frames = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()

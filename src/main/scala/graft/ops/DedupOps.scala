@@ -31,17 +31,22 @@ object DedupOps {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
-  private def md5Hex(s: String): String = {
-    val d = Md5Local.get().digest(s.getBytes("UTF-8"))
-    val sb = new java.lang.StringBuilder(32)
+
+  /** First 60 bits of an md5 digest as a positive long — the value of
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`, extracted straight from the
+    * digest bytes (building the 32-char hex string dominated the kernels'
+    * CPU before). */
+  private def key60(d: Array[Byte]): Long = {
+    var v = 0L
     var i = 0
-    while (i < d.length) {
-      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
-      sb.append(Character.forDigit(d(i) & 0xf, 16))
-      i += 1
-    }
-    sb.toString
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
   }
+
+  /** First 16 bits of an md5 digest — the value of
+    * `('0x' || substr(md5(s), 1, 4))::INT`. */
+  private def key16(d: Array[Byte]): Int =
+    ((d(0) & 0xff) << 8) | (d(1) & 0xff)
 
   /** JVM mirror of the tokenize→k-shingle pipeline in [[TextOps]]
     * (split(lower, \s+) with empties removed; short docs yield one shingle =
@@ -56,23 +61,25 @@ object DedupOps {
 
   /** MinHash signature kernel: for each of `numHashes` hash families j, the
     * minimum over distinct shingles of the first 60 bits of
-    * md5("j:shingle") — exactly `conv(substring(md5(...),1,15),16,10)`, so
+    * md5("j:shingle") — exactly `('0x'||substr(md5(...),1,15))::BIGINT`, so
     * the DuckDB oracle reproduces it verbatim.  A tight JVM loop instead of
     * nested higher-order expressions: HOFs are interpreted per element and
     * were the dominant cost of the whole dedup suite. */
   private def signatureOf(text: String, k: Int, numHashes: Int): Array[Long] = {
     val uniq = shinglesOf(text, k).distinct
-    Array.tabulate(numHashes) { j =>
-      var min = Long.MaxValue
-      var i = 0
-      while (i < uniq.length) {
-        val h = java.lang.Long.parseLong(
-          md5Hex(j.toString + ":" + uniq(i)).substring(0, 15), 16)
-        if (h < min) min = h
-        i += 1
+    val md = Md5Local.get()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < uniq.length) {
+      var j = 0
+      while (j < numHashes) {
+        val h = key60(md.digest((j.toString + ":" + uniq(i)).getBytes("UTF-8")))
+        if (h < mins(j)) mins(j) = h
+        j += 1
       }
-      min
+      i += 1
     }
+    mins
   }
 
   /** Exact duplicate groups by content digest: (text_hash, keeper = min id,
@@ -88,70 +95,137 @@ object DedupOps {
   }
 
   /** Ensure at least default parallelism under the per-row kernels.  A small
-    * corpus arrives as one file = one partition, serializing the UDF; at
-    * scale the scan already has >= parallelism splits and this is a no-op
-    * (checking the physical partition count plans the scan but runs no job). */
+    * corpus arrives as one file = one partition, serializing the UDF.  The
+    * partition probe (df.rdd) is only safe on plain scans: under AQE,
+    * forcing the final plan of anything with an exchange EXECUTES the
+    * upstream query stages just to read a partition count.  Non-scan inputs
+    * are left untouched — they come out of a shuffle and are already at
+    * shuffle parallelism. */
   private def parallelized(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def scanOnly(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case _: Project | _: Filter | _: SubqueryAlias => scanOnly(p.children.head)
+      case _ => false
+    }
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (scanOnly(df.queryExecution.optimizedPlan) &&
+        df.rdd.getNumPartitions < par) df.repartition(par)
+    else df
   }
 
-  /** Distinct word-3-shingle digests per document (the inverted-index
-    * postings), document-frequency-capped. */
+  /** Distinct word-k-shingle keys per document (the inverted-index
+    * postings), document-frequency-capped.  Keys are the first 60 bits of
+    * md5(shingle) as a LONG (`('0x'||substr(md5(s),1,15))::BIGINT` in the
+    * oracle) — numeric join/agg keys, no 32-char strings in the shuffles.
+    *
+    * Physical shape of the cap: one numeric groupBy for the per-shingle
+    * document frequencies, of which only the HOT keys (df > cap) return to
+    * the driver — a set bounded by n_postings/cap — and are broadcast into
+    * an anti join.  The postings themselves are persisted once and never
+    * shuffled for capping (the previous window-count formulation sorted the
+    * full posting list by shingle). */
   def shinglePostings(df: DataFrame, text: Column, id: Column,
       k: Int = 3, maxDocFreq: Long = 100): DataFrame = {
-    // distinct shingle md5s per doc via the JVM kernel (same bytes as
-    // md5(concat_ws(' ', shingle)) expressions, ~10× less per-row overhead)
-    val hashes = udf((t: String) =>
-      if (t == null) null else shinglesOf(t, k).distinct.map(md5Hex))
-    val post = parallelized(df)
-      .select(id.as("doc_id"), explode(hashes(text)).as("sh"))
-    // document-frequency cap via ONE shuffle (window count over sh), not a
-    // groupBy + semi-join that shingles the corpus twice
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-    post.withColumn("__df", count(lit(1)).over(w))
-      .where(col("__df") <= maxDocFreq)
-      .drop("__df")
-  }
-
-  /** All ordered id pairs (a < b) within one posting/bucket list.  Bounded:
-    * callers cap list length (document-frequency cap / LSH band width), so
-    * the per-bucket pair fan-out is ≤ cap²/2, never the corpus cross
-    * product. */
-  private val orderedPairs = udf((ids: Seq[Long]) => {
-    val s = ids.distinct.sorted
-    val out = Array.newBuilder[(Long, Long)]
-    var i = 0
-    while (i < s.length - 1) {
-      var j = i + 1
-      while (j < s.length) { out += ((s(i), s(j))); j += 1 }
-      i += 1
+    val hashes = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val md = Md5Local.get()
+        // distinct AFTER hashing too: matches the oracle's DISTINCT over
+        // keys should two shingles ever collide in the 60-bit space
+        shinglesOf(t, k).distinct
+          .map(s => key60(md.digest(s.getBytes("UTF-8")))).distinct
+      }
     }
-    out.result()
-  })
+    // eager: several downstream branches (df counts, sizes, both self-join
+    // sides) consume the postings, and AQE submits independent stages
+    // CONCURRENTLY — against a lazy cache they race on the block locks
+    // (observed: whole stages stalled at zero CPU waiting for the other
+    // branch's cache fill)
+    val post = graft.core.CacheScope.persist(
+      parallelized(df).select(id.as("doc_id"), explode(hashes(text)).as("sh")),
+      eager = true)
+    val hot = post.groupBy("sh").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq).select("sh")
+    post.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
 
   /** Candidate near-dup pairs by n-gram Jaccard similarity >= `minJaccard`.
     * Output: (doc_a, doc_b, common, size_a, size_b, jaccard) with
     * doc_a < doc_b.
     *
-    * Shape: postings are computed ONCE (persisted — they are ~100× smaller
-    * than raw text), pair counts come from grouping postings by shingle and
-    * expanding in-bucket pairs (bounded by `maxDocFreq`), and the two size
-    * lookups are broadcast joins — no self-join recomputation of the
-    * shingling, no shuffle of raw text. */
+    * Shape: ONE hash exchange of the (doc_id, shingle-key) postings,
+    * partitioned by shingle and sorted (sh, doc_id) within partitions; a
+    * streaming per-partition walk then consumes each shingle's run —
+    * applying the document-frequency cap INLINE (runs longer than
+    * `maxDocFreq` are skipped as they stream past, which is the skew guard:
+    * a stop-shingle never expands) and emitting both the capped-size
+    * contributions and the ordered in-run pairs (fan-out ≤ cap²/2 per
+    * shingle, never the corpus cross product).  Both downstream aggregates
+    * are codegen'd numeric hash aggs re-reading the same exchange — no
+    * postings cache, no collect_list object aggregate (which falls back to
+    * sort-based aggregation past 128 groups), no shuffle of raw text. */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
       k: Int = 3, maxDocFreq: Long = 100,
       minJaccard: Double = 0.2): DataFrame = {
-    // eager: both the sizes and the pairs branch consume the postings, and
-    // AQE submits those independent stages CONCURRENTLY — against a lazy
-    // cache they race on the block locks (observed: whole stages stalled at
-    // zero CPU waiting for the other branch's cache fill)
-    val post = graft.core.CacheScope.persist(
-      shinglePostings(df, text, id, k, maxDocFreq), eager = true)
-    val sizes = post.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val pairs = post.groupBy("sh").agg(collect_list("doc_id").as("ids"))
-      .select(explode(orderedPairs(col("ids"))).as("p"))
-      .groupBy(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hashes = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val md = Md5Local.get()
+        shinglesOf(t, k).distinct
+          .map(s => key60(md.digest(s.getBytes("UTF-8")))).distinct
+      }
+    }
+    val post = parallelized(df)
+      .select(id.cast("long").as("doc_id"), explode(hashes(text)).as("sh"))
+      .repartition(col("sh"))
+      .sortWithinPartitions(col("sh"), col("doc_id"))
+      .as[(Long, Long)]
+    // one pass, two row kinds: (0, doc_id, _) per capped posting (the size
+    // contributions) and (1, doc_a, doc_b) per in-run pair
+    val walked = post.mapPartitions { it =>
+      val buf = new scala.collection.mutable.ArrayBuffer[Long](64)
+      var curSh = 0L
+      var started = false
+      def flush(): Iterator[(Int, Long, Long)] =
+        if (!started || buf.isEmpty || buf.length > maxDocFreq) {
+          buf.clear(); Iterator.empty
+        } else {
+          val ids = buf.toArray
+          buf.clear()
+          val sizes = ids.iterator.map(d => (0, d, 0L))
+          val pairs = ids.indices.iterator.flatMap { i =>
+            (i + 1 until ids.length).iterator.map(j => (1, ids(i), ids(j)))
+          }
+          sizes ++ pairs
+        }
+      new Iterator[(Int, Long, Long)] {
+        private var pending: Iterator[(Int, Long, Long)] = Iterator.empty
+        private def advance(): Unit = {
+          while (!pending.hasNext && it.hasNext) {
+            val (d, sh) = it.next()
+            if (!started || sh != curSh) {
+              pending = flush()
+              curSh = sh; started = true
+            }
+            // runs beyond the cap stop accumulating (skew guard): keep one
+            // sentinel overflow element so flush() sees length > cap
+            if (buf.length <= maxDocFreq) buf += d
+          }
+          if (!pending.hasNext && !it.hasNext && started) {
+            pending = flush(); started = false
+          }
+        }
+        def hasNext: Boolean = { advance(); pending.hasNext }
+        def next(): (Int, Long, Long) = { advance(); pending.next() }
+      }
+    }.toDF("kind", "x", "y")
+    val sizes = walked.where(col("kind") === 0)
+      .groupBy(col("x").as("doc_id")).agg(count(lit(1)).as("sz"))
+    val pairs = walked.where(col("kind") === 1)
+      .groupBy(col("x").as("doc_a"), col("y").as("doc_b"))
       .agg(count(lit(1)).as("common"))
     // the size lookups are one-row-per-document — broadcastable only while
     // the corpus is; no explicit hint, AQE broadcasts when the side fits
@@ -197,16 +271,23 @@ object DedupOps {
   }
 
   /** Candidate near-dup pairs from LSH buckets: (doc_a, doc_b) distinct.
-    * One pass over the bands (signatures computed once), one shuffle to
-    * group each (band, band_key) bucket, in-bucket pair expansion —
-    * candidates only, never the corpus cross product. */
+    * One pass over the bands (signatures computed once — persisted, the
+    * expensive kernel never runs twice), then a bucket-key self-join whose
+    * per-key fan-out is the bucket size — candidates only, never the corpus
+    * cross product, and a codegen'd distinct instead of a collect_list
+    * object aggregate (which falls back to sort-based aggregation). */
   def minhashCandidates(df: DataFrame, text: Column, id: Column,
-      k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
-    minhashBands(df, text, id, k, numHashes, bands)
-      .groupBy("band", "band_key").agg(collect_list("doc_id").as("ids"))
-      .select(explode(orderedPairs(col("ids"))).as("p"))
-      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val bb = graft.core.CacheScope.persist(
+      minhashBands(df, text, id, k, numHashes, bands), eager = true)
+    bb.as("a")
+      .join(bb.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
 
   /** 16-bit SimHash over whitespace tokens (with multiplicity): bit i is the
     * sign of the token-population vote, where each token votes +1/-1 by bit
@@ -220,12 +301,18 @@ object DedupOps {
       else {
         val toks = Ws.split(t.toLowerCase(java.util.Locale.ROOT), -1)
           .filter(_.nonEmpty)
+        // votes are additive over token MULTIPLICITY, so hash each DISTINCT
+        // token once and weight its vote by the count — documents repeat
+        // words heavily, and the md5 is the kernel's dominant cost
+        val counts = new java.util.HashMap[String, Int]()
+        toks.foreach(tk => counts.merge(tk, 1, Integer.sum))
         val votes = new Array[Int](16)
-        toks.foreach { tk =>
-          val h = Integer.parseInt(md5Hex(tk).substring(0, 4), 16)
+        val md = Md5Local.get()
+        counts.forEach { (tk, cnt) =>
+          val h = key16(md.digest(tk.getBytes("UTF-8")))
           var i = 0
           while (i < 16) {
-            votes(i) += (if (((h >> i) & 1) == 1) 1 else -1); i += 1
+            votes(i) += (if (((h >> i) & 1) == 1) cnt else -cnt); i += 1
           }
         }
         var sig = 0
@@ -242,15 +329,19 @@ object DedupOps {
     * Hamming distance bounded by one byte-flip region collides in at least
     * one band).  Same bucket-expansion shape as MinHash banding. */
   def simhashCandidates(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val sig = parallelized(df)
-      .select(id.as("doc_id"), simhash16(text).cast("long").as("sh"))
-    sig.select(col("doc_id"), explode(array(
-        struct(lit(0).as("band"), col("sh").bitwiseAND(255).as("key")),
-        struct(lit(1).as("band"), shiftright(col("sh"), 8).as("key")))).as("b"))
-      .groupBy(col("b.band"), col("b.key"))
-      .agg(collect_list("doc_id").as("ids"))
-      .select(explode(orderedPairs(col("ids"))).as("p"))
-      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+    val sig = graft.core.CacheScope.persist(
+      parallelized(df)
+        .select(id.as("doc_id"), simhash16(text).cast("long").as("sh"))
+        .select(col("doc_id"), explode(array(
+          struct(lit(0).as("band"), col("sh").bitwiseAND(255).as("key")),
+          struct(lit(1).as("band"), shiftright(col("sh"), 8).as("key")))).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key")),
+      eager = true)
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
 
@@ -275,12 +366,47 @@ object DedupOps {
     * The reference has no graph step (its dedup surface stops at exact
     * hashes); this mirrors the standard MinHash-dedup postprocessing
     * (union-find over candidate pairs). */
-  def dedupClusters(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = graft.core.CacheScope.persist(
+  def dedupClusters(pairs: DataFrame, maxIter: Int = 25,
+      maxDriverPairs: Long = 10000000L): DataFrame = {
+    // persist the incoming pair plan FIRST: both union branches (and the
+    // size probe) derive from the cached handle, so the candidate-pair
+    // pipeline (e.g. full MinHash banding + bucket join) executes once
+    val p = graft.core.CacheScope.persist(
       pairs.select(col("doc_a").cast("long").as("src"),
-          col("doc_b").cast("long").as("dst"))
-        .unionByName(pairs.select(col("doc_b").cast("long").as("src"),
-          col("doc_a").cast("long").as("dst"))),
+        col("doc_b").cast("long").as("dst")),
+      eager = true)
+    val nPairs = p.count() // already materialized — metadata-cheap
+    if (nPairs <= maxDriverPairs) {
+      // Candidate pair lists are ~duplicate-rate × corpus — driver-sized
+      // far beyond the corpus sizes that need the iterative path.  Exact
+      // union-find with path compression collapses the whole computation
+      // into one collect + one parallelize (the distributed loop below pays
+      // 4+ shuffles PER ROUND).  Same min-label semantics: each root gets
+      // the minimum doc id of its component.
+      val spark = pairs.sparkSession
+      val edgesArr = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x
+        while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      edgesArr.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      // min-label per component: roots were merged min-wards, so find()
+      // already yields the component minimum
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+      parent.keySet.forEach(k => out += ((k, find(k))))
+      import spark.implicits._
+      return spark.createDataset(out.toSeq).toDF("doc_id", "keeper_id")
+    }
+    val edges = graft.core.CacheScope.persist(
+      p.unionByName(p.select(col("dst").as("src"), col("src").as("dst"))),
       eager = true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("keeper_id", col("doc_id"))
@@ -345,7 +471,11 @@ object DedupOps {
       minCosine: Double, maxDriverRows: Long = 1L << 20): DataFrame = {
     val base = df.select(id.cast("long").as("vid"),
       vec.cast("array<double>").as("v"))
-    if (base.count() > maxDriverRows) {
+    // bounded size probe: never scans more than maxDriverRows+1 rows, and
+    // doubles as the small path's collect (one job instead of count+collect)
+    val probe = base
+      .limit(math.min(maxDriverRows + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length > maxDriverRows) {
       import graft.functions.VecKernels
       val withN = base.withColumn("__nrm", sqrt(VecKernels.norm2(col("v"))))
       val a = withN.select(col("vid").as("vec_a"), col("v").as("__va"),
@@ -359,8 +489,7 @@ object DedupOps {
         .select("vec_a", "vec_b", "cos")
     }
     val spark = df.sparkSession
-    val collected = base
-      .collect()
+    val collected = probe
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     val ids = collected.map(_._1)
@@ -372,7 +501,13 @@ object DedupOps {
     }
     val n = ids.length
     val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    val slices = math.max(1, math.min(n, 8 * spark.sparkContext.defaultParallelism))
+    val slices = math.max(1, math.min(n, 2 * spark.sparkContext.defaultParallelism))
+    // rounding must precede the threshold compare for oracle bit-parity,
+    // but a BigDecimal per pair dominated the kernel; 6-decimal HALF_UP
+    // moves a value by < 1e-6, so anything below minCosine - 1e-6 raw can
+    // never round above the threshold — the expensive exact rounding runs
+    // only for the tiny near/above-threshold fraction.
+    val rawCut = minCosine - 1e-6
     val pairs = spark.sparkContext
       .parallelize(0 until n, slices)
       .flatMap { i =>
@@ -383,10 +518,14 @@ object DedupOps {
           val b = bVecs(j)
           var dot = 0.0; var k = 0
           while (k < d) { dot += a(k) * b(k); k += 1 }
-          val cos = java.math.BigDecimal.valueOf(dot / (bNorms(i) * bNorms(j)))
-            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-          if (cos >= minCosine) Iterator.single((bIds(i), bIds(j), cos))
-          else Iterator.empty
+          val raw = dot / (bNorms(i) * bNorms(j))
+          if (raw < rawCut) Iterator.empty
+          else {
+            val cos = java.math.BigDecimal.valueOf(raw)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (cos >= minCosine) Iterator.single((bIds(i), bIds(j), cos))
+            else Iterator.empty
+          }
         }
       }
     spark.createDataFrame(pairs).toDF("vec_a", "vec_b", "cos")

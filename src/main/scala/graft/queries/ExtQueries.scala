@@ -39,7 +39,7 @@ object ExtQueries {
       |  FROM toks
       |),
       |p1 AS (SELECT doc_id, unnest(shs) AS s FROM shg),
-      |post0 AS (SELECT DISTINCT doc_id, md5(s) AS sh FROM p1),
+      |post0 AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh FROM p1),
       |rare AS (SELECT sh FROM post0 GROUP BY sh HAVING count(*) <= 100),
       |post AS (SELECT post0.* FROM post0 JOIN rare USING (sh))""".stripMargin
 
