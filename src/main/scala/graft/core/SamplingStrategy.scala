@@ -299,8 +299,11 @@ final case class BlockWeightedSampling(
       rng, seed, "wblock").drop("__srank")
     // fetch payload last: one join of the wide collection against the final
     // (rowId, copy, ord) index — the only pass that ever touches data
-    // columns.
-    wide.drop(Ord).join(index, Seq(sc.rowId))
+    // columns.  A driver-sized index (24 bytes × totalSize) is broadcast so
+    // the payload side is never shuffled or sorted; beyond that the
+    // shuffle join is the right plan (both sides hash on rowId).
+    val indexB = if (totalSize <= 4000000L) broadcast(index) else index
+    wide.drop(Ord).join(indexB, Seq(sc.rowId))
   }
 
   def outputLen(n: Long): Long = totalSize

@@ -59,21 +59,37 @@ object DedupOps {
     else Array(toks.mkString(" "))
   }
 
-  /** MinHash signature kernel: for each of `numHashes` hash families j, the
-    * minimum over distinct shingles of the first 60 bits of
-    * md5("j:shingle") — exactly `('0x'||substr(md5(...),1,15))::BIGINT`, so
-    * the DuckDB oracle reproduces it verbatim.  A tight JVM loop instead of
-    * nested higher-order expressions: HOFs are interpreted per element and
-    * were the dominant cost of the whole dedup suite. */
+  /** Modulus of the minhash value space: 2^60. */
+  private val MinhashMod = 1L << 60
+
+  /** MinHash signature kernel, Kirsch–Mitzenmacher double hashing: ONE md5
+    * per distinct shingle yields h1 (first 60 bits) and h2 (next 56 bits),
+    * and family j's hash is `(h1 + j*h2) mod 2^60` — a standard pairwise
+    * construction (Kirsch & Mitzenmacher, ESA 2006) that replaces numHashes
+    * digests per shingle with one.  No intermediate overflows signed 64-bit
+    * (h1 + j*h2 < 2^60 + 16·2^56 < 2^63), so the oracle reproduces it
+    * verbatim:
+    * `(('0x'||substr(md5(s),1,15))::BIGINT
+    *   + j * ('0x'||substr(md5(s),17,14))::BIGINT) % 1152921504606846976`.
+    * A tight JVM loop instead of nested higher-order expressions: HOFs are
+    * interpreted per element and were the dominant cost of the whole dedup
+    * suite. */
   private def signatureOf(text: String, k: Int, numHashes: Int): Array[Long] = {
+    require(numHashes <= 64, "numHashes > 64 would overflow h1 + j*h2")
     val uniq = shinglesOf(text, k).distinct
     val md = Md5Local.get()
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < uniq.length) {
+      val d = md.digest(uniq(i).getBytes("UTF-8"))
+      val h1 = key60(d)
+      // hex chars 17..30 = bytes 8..14 (7 bytes, 56 bits)
+      var h2 = 0L
+      var b = 8
+      while (b < 15) { h2 = (h2 << 8) | (d(b) & 0xffL); b += 1 }
       var j = 0
       while (j < numHashes) {
-        val h = key60(md.digest((j.toString + ":" + uniq(i)).getBytes("UTF-8")))
+        val h = (h1 + j * h2) % MinhashMod
         if (h < mins(j)) mins(j) = h
         j += 1
       }

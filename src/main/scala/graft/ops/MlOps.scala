@@ -24,14 +24,123 @@ object MlOps {
   /** Learned IVF coarse quantizer: fit seeded k-means over the embedding
     * column and return each vector's cluster id — the trained alternative
     * to [[SimilarityOps.ivfAssign]]'s fixed centroids.  Seeded and
-    * deterministic for a fixed input/partitioning; at scale the cluster id
-    * becomes the partition/bucketing key exactly like the LSH bucket. */
+    * deterministic for a fixed input; at scale the cluster id becomes the
+    * partition/bucketing key exactly like the LSH bucket.
+    *
+    * Two physical plans behind one signature (same pattern as
+    * [[DedupOps.embeddingPairs]]): a driver-sized training set is collected
+    * once and fit with local kmeans++ + Lloyd — k-means over n·d doubles is
+    * pure CPU, and the distributed fit pays a full scheduler round-trip PER
+    * LLOYD STEP (~3 jobs/iteration) for work a single core finishes in
+    * milliseconds.  Beyond `maxDriverRows` the MLlib estimator takes over
+    * (distributed kmeans|| init + distributed Lloyd), which is the right
+    * trade once the training set no longer fits one heap. */
   def kmeansAssign(df: DataFrame, vec: Column, id: Column, k: Int,
-      seed: Long, maxIter: Int = 10): DataFrame = {
-    val data = df.select(id.as("vec_id"), toVector(vec).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
-      .fit(data)
-    model.transform(data)
-      .select(col("vec_id"), col("prediction").cast("long").as("cluster"))
+      seed: Long, maxIter: Int = 10,
+      maxDriverRows: Long = 1000000L): DataFrame = {
+    val data = df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+    val probe = data
+      .limit(math.min(maxDriverRows + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length > maxDriverRows) {
+      val vdata = df.select(id.as("vec_id"), toVector(vec).as("features"))
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
+        .fit(vdata)
+      return model.transform(vdata)
+        .select(col("vec_id"), col("prediction").cast("long").as("cluster"))
+    }
+    val vecs = probe.map(_.getSeq[Double](1).toArray)
+    val n = vecs.length
+    val d = if (n > 0) vecs(0).length else 0
+    require(n >= k, s"k=$k exceeds training rows n=$n")
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // splitmix64 stream for the kmeans++ draws — seeded, engine-independent
+    var rngState = seed
+    def nextU(): Double = {
+      rngState += 0x9e3779b97f4a7c15L
+      var z = rngState
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble
+    }
+    val centers = new Array[Array[Double]](k)
+    centers(0) = vecs((nextU() * n).toInt.min(n - 1)).clone()
+    val best = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var i = 0
+      var tot = 0.0
+      while (i < n) {
+        val dd = dist2(vecs(i), centers(c - 1))
+        if (dd < best(i)) best(i) = dd
+        tot += best(i); i += 1
+      }
+      // kmeans++: draw proportional to D²
+      var r = nextU() * tot
+      var pick = 0
+      i = 0
+      while (i < n && r > 0) { r -= best(i); if (r > 0) pick = (i + 1).min(n - 1); i += 1 }
+      centers(c) = vecs(pick).clone()
+      c += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    var moved = true
+    while (moved && it < maxIter) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var bi = 0; var bd = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          val dd = dist2(vecs(i), centers(j))
+          if (dd < bd) { bd = dd; bi = j }
+          j += 1
+        }
+        if (assign(i) != bi) { assign(i) = bi; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](d))
+      val cnts = new Array[Long](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); cnts(a) += 1
+        val s = sums(a); val v = vecs(i)
+        var j = 0
+        while (j < d) { s(j) += v(j); j += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (cnts(j) > 0) {
+          var t = 0
+          while (t < d) { sums(j)(t) /= cnts(j); t += 1 }
+          centers(j) = sums(j)
+        }
+        j += 1
+      }
+      it += 1
+    }
+    // one distributed pass: broadcast centroids, pointwise nearest-center
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(centers)
+    val assignU = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      val a = v.toArray
+      var bi = 0; var bd = Double.MaxValue
+      var j = 0
+      while (j < cs.length) {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val t = a(i) - cs(j)(i); s += t * t; i += 1 }
+        if (s < bd) { bd = s; bi = j }
+        j += 1
+      }
+      bi.toLong
+    }
+    data.select(col("vec_id"), assignU(col("v")).as("cluster"))
   }
 }

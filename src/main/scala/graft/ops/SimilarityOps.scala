@@ -92,12 +92,16 @@ object SimilarityOps {
     val scored = c.crossJoin(broadcast(ct))
       .select(col("vec_id"), col("centroid_id"),
         round(cosine(col("v"), col("cv")), 6).as("cos"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("centroid_id"))
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select("vec_id", "centroid_id", "cos")
+    // argmax as a hash aggregate, not a window: max_by over the
+    // lexicographic (cos, -centroid_id) key = highest cosine, lowest id on
+    // ties — identical to rank-1 of (cos DESC, centroid_id ASC), but with
+    // map-side combine and no sort exchange.
+    scored
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("centroid_id"), col("cos")),
+        struct(col("cos"), negate(col("centroid_id")))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        col("best.cos").as("cos"))
   }
 
   /** IVF search: approximate top-k via the inverted-file index — each query

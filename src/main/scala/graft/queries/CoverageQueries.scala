@@ -314,7 +314,9 @@ object CoverageQueries {
         |  SELECT doc_id,
         |         list_transform(generate_series(0, 15), j ->
         |           list_min(list_transform(shs, sgl ->
-        |             ('0x' || substr(md5(j::VARCHAR || ':' || sgl), 1, 15))::BIGINT))) AS sg
+        |             (('0x' || substr(md5(sgl), 1, 15))::BIGINT
+        |              + j * ('0x' || substr(md5(sgl), 17, 14))::BIGINT)
+        |             % 1152921504606846976))) AS sg
         |  FROM shg
         |),
         |b AS (SELECT doc_id, sg, unnest(generate_series(0, 3)) AS band FROM sig),
