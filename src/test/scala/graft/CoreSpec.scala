@@ -245,4 +245,26 @@ class CoreSpec extends AnyFunSuite {
       assert(out.map(_._1).sorted == (0L until 64L))
     }
   }
+
+  test("cumsum fallback: scrambled partitioning gives the same exact sums") {
+    import spark.implicits._
+    val n = 5000
+    val tiled = Ranker.withRank(
+      spark.range(n.toLong).toDF("k"), "r", col("k"))
+      .withColumn("v", pmod(col("k"), lit(7)) + 1)
+    // repartition by a hash of the value: partitions no longer tile the
+    // rank order, so the probe must reject the fast path and fall back
+    val scrambled = tiled.repartition(5, pmod(col("k") * 31, lit(5)))
+    val (fast, totalF) = Ranker.withCumsumLongAndTotal(tiled, "r", col("v"), "cs")
+    val (slow, totalS) = Ranker.withCumsumLongAndTotal(scrambled, "r", col("v"), "cs")
+    assert(totalF == totalS)
+    val a = fast.select("k", "cs").as[(Long, Long)].collect().toMap
+    val b = slow.select("k", "cs").as[(Long, Long)].collect().toMap
+    assert(a == b)
+    var run = 0L
+    (0 until n).foreach { k =>
+      run += k % 7 + 1
+      assert(a(k.toLong) == run)
+    }
+  }
 }

@@ -473,4 +473,50 @@ class OpsSpec extends AnyFunSuite {
       rm(dir); rm(out)
     }
   }
+
+  test("dedupClusters distributed path matches the driver union-find path") {
+    // chain + separate pair, forced through the iterative label-propagation
+    // path with maxDriverPairs = 0
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+      .toDF("doc_a", "doc_b")
+    val dist = DedupOps.dedupClusters(pairs, maxDriverPairs = 0L)
+      .as[(Long, Long)].collect().toMap
+    val local = DedupOps.dedupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == local)
+    graft.core.CacheScope.release()
+  }
+
+  test("kmeansAssign MLlib fallback agrees on cluster structure") {
+    // two tight, well-separated blobs: both paths must put each blob in
+    // one cluster (cluster IDS may differ between implementations)
+    val r = new scala.util.Random(7)
+    val pts = (0L until 40L).map { i =>
+      val base = if (i < 20) 0.0 else 10.0
+      (i, Array.fill(4)(base + r.nextDouble() * 0.1).map(_.toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    def groups(m: Map[Long, Long]): Set[Set[Long]] =
+      m.groupBy(_._2).values.map(_.keySet.toSet).toSet
+    val local = MlOps.kmeansAssign(df, col("embedding"), col("vec_id"),
+      k = 2, seed = 42L).as[(Long, Long)].collect().toMap
+    val dist = MlOps.kmeansAssign(df, col("embedding"), col("vec_id"),
+      k = 2, seed = 42L, maxDriverRows = 0L).as[(Long, Long)].collect().toMap
+    assert(groups(local) == groups(dist))
+    assert(groups(local) == Set((0L until 20L).toSet, (20L until 40L).toSet))
+  }
+
+  test("jaccard stop-shingle cap: over-frequent shingles never pair") {
+    // 30 docs sharing one 3-gram; cap 10 drops it, so no pairs at all
+    val docs = (0L until 30L).map(i => (i, s"common shared trigram unique$i"))
+      .toDF("doc_id", "text")
+    val p = DedupOps.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      k = 3, maxDocFreq = 10, minJaccard = 0.01)
+    assert(p.count() == 0)
+    // and with a generous cap the same docs DO pair on the shared shingle
+    val p2 = DedupOps.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      k = 3, maxDocFreq = 100, minJaccard = 0.01)
+    assert(p2.count() == 30L * 29 / 2)
+    graft.core.CacheScope.release()
+  }
 }
