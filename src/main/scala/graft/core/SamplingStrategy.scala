@@ -302,7 +302,7 @@ final case class BlockWeightedSampling(
     // columns.  A driver-sized index (24 bytes × totalSize) is broadcast so
     // the payload side is never shuffled or sorted; beyond that the
     // shuffle join is the right plan (both sides hash on rowId).
-    val indexB = if (totalSize <= 4000000L) broadcast(index) else index
+    val indexB = if (totalSize <= 2000000L) broadcast(index) else index
     wide.drop(Ord).join(indexB, Seq(sc.rowId))
   }
 
