@@ -21,9 +21,11 @@ object Ranker {
     * order) - 1` but scales: the sort is range-partitioned instead of
     * collapsing to a single partition.
     */
-  def withRank(df: DataFrame, out: String, order: Column*): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.orderBy(order: _*)
+  def withRank(df: DataFrame, out: String, order: Column*): DataFrame =
+    rankOf(df.orderBy(order: _*), out)
+
+  private def rankOf(sorted: DataFrame, out: String): DataFrame = {
+    val spark = sorted.sparkSession
     val schema = StructType(sorted.schema.fields :+
       org.apache.spark.sql.types.StructField(out, LongType, nullable = false))
     // InternalRow path: no external-Row conversion.  toRdd rows are reused

@@ -30,7 +30,7 @@ object CoreQueries {
 
   def li(spark: SparkSession, dir: String): ScCollection =
     liCache.computeIfAbsent((spark, dir), _ =>
-      ScCollection.fromParquet(spark, s"$dir/lineitem.parquet", LiOrder).cached())
+      ScCollection.fromParquetCached(spark, s"$dir/lineitem.parquet", LiOrder))
 
   /** Shared oracle CTE: the same contiguous rank in DuckDB. */
   private[queries] val RankedCte =
