@@ -150,6 +150,27 @@ object CoverageQueries {
       MlOps.kmeansAssign(emb(s, dir), col("embedding"), col("vec_id"),
         k = 8, seed = 42L)),
 
+    // U2+U3+U4: the full hook pipeline, end-to-end — fetchTransform derives
+    // a column on the planned frame, batchAssemble overrides batch
+    // extraction with per-batch aggregates, batchTransform finalizes each
+    // batch row.  Streaming order keeps the epoch math SQL-expressible.
+    "u2_hooks_pipeline" -> ((s, dir) => {
+      val c = ScCollection.fromParquet(s, s"$dir/customer.parquet",
+        Seq("c_custkey"))
+      val hooks = Hooks(
+        fetchTransform = df => df.withColumn("acct_cents",
+          (col("c_acctbal") * 100).cast("long")),
+        batchAssemble = Some((pf, _) =>
+          pf.groupBy(col("batch_id"))
+            .agg(count(lit(1)).as("n"), sum("acct_cents").as("cents_sum"))),
+        batchTransform = bf => bf.withColumn("cents_mean",
+          (col("cents_sum") / col("n")).cast("long")))
+      ScDataset(c, Streaming(rng = Rng.Md5), batchSize = 128, seed = 42L,
+        hooks = hooks)
+        .toBatchFrame(0, Nil)
+        .select(col("batch_id"), col("n"), col("cents_sum"), col("cents_mean"))
+    }),
+
     // A4–A6: auto-config advisor (rows-only check: SizeEstimator numbers
     // are JVM-build-specific, not SQL-reproducible)
     "a6_autoconfig" -> ((s, dir) => {
@@ -413,6 +434,21 @@ object CoverageQueries {
         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |FROM b x JOIN b y
         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin,
+
+    "u2_hooks_pipeline" ->
+      """WITH r AS (
+        |  SELECT c_acctbal, row_number() OVER (ORDER BY c_custkey) - 1 AS rid
+        |  FROM customer
+        |),
+        |b AS (
+        |  SELECT rid // 128 AS batch_id,
+        |         CAST(trunc(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM r
+        |)
+        |SELECT batch_id, count(*) AS n,
+        |       CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |       CAST(trunc(CAST(sum(cents) AS DOUBLE) / count(*)) AS BIGINT) AS cents_mean
+        |FROM b GROUP BY batch_id""".stripMargin,
 
     "mm_decode" ->
       """WITH j AS (SELECT unnest(generate_series(0, 3)) AS j),
