@@ -54,9 +54,21 @@ object DedupOps {
   private def shinglesOf(text: String, k: Int): Array[String] = {
     val toks = Ws.split(text.toLowerCase(java.util.Locale.ROOT), -1)
       .filter(_.nonEmpty)
-    if (toks.length >= k)
-      Array.tabulate(toks.length - k + 1)(i => toks.slice(i, i + k).mkString(" "))
-    else Array(toks.mkString(" "))
+    if (toks.length >= k) {
+      // one reused builder instead of slice+mkString per shingle — the
+      // kernels hash millions of shingles and the allocations dominated
+      val sb = new java.lang.StringBuilder(64)
+      Array.tabulate(toks.length - k + 1) { i =>
+        sb.setLength(0)
+        var j = i
+        while (j < i + k) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        sb.toString
+      }
+    } else Array(toks.mkString(" "))
   }
 
   /** Modulus of the minhash value space: 2^60. */
