@@ -171,6 +171,22 @@ object CoverageQueries {
         .select(col("batch_id"), col("n"), col("cents_sum"), col("cents_mean"))
     }),
 
+    // Skewed aggregation: two-phase salted count/sum — results are exactly
+    // the plain GROUP BY (integer aggs are associative), which is what the
+    // oracle checks; the salting only changes the physical fan-in.
+    "skew_salted_agg" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      SkewOps.saltedCount(li, col("l_returnflag"),
+          saltSource = col("l_orderkey"))
+        .withColumnRenamed("key", "l_returnflag")
+        .join(
+          SkewOps.saltedSumLong(li, col("l_returnflag"), col("l_quantity"),
+              saltSource = col("l_orderkey"))
+            .withColumnRenamed("key", "l_returnflag")
+            .withColumnRenamed("sum", "qty_sum"),
+          Seq("l_returnflag"))
+    }),
+
     // A4–A6: auto-config advisor (rows-only check: SizeEstimator numbers
     // are JVM-build-specific, not SQL-reproducible)
     "a6_autoconfig" -> ((s, dir) => {
@@ -434,6 +450,11 @@ object CoverageQueries {
         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |FROM b x JOIN b y
         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "u2_hooks_pipeline" ->
       """WITH r AS (
