@@ -196,9 +196,15 @@ final case class BlockWeightedSampling(
     // stats, prefix-sum partials) before the final consumer executes.
     // CacheScope-registered: the consumer releases it after its terminal
     // action (the plan itself can't know when that is).
+    // without replacement the A-Res key is part of the cached projection —
+    // deriving it lazily would re-run the md5 on every pass over the cache
     val base = CacheScope.persist(
-      wide.select(col(Ord), col(sc.rowId),
-        weight.cast("double").as("__w")))
+      if (replace)
+        wide.select(col(Ord), col(sc.rowId), weight.cast("double").as("__w"))
+      else
+        wide.select(col(Ord), col(sc.rowId), weight.cast("double").as("__w"),
+          (log(rng.uniform(seed, "ares", col(sc.rowId))) /
+            weight.cast("double")).as("__akey")))
     val sampled: DataFrame =
       if (replace) {
         val wInt =
@@ -257,9 +263,8 @@ final case class BlockWeightedSampling(
         require(stats.getDouble(1) >= 0.0,
           s"negative weight: min(w)=${stats.getDouble(1)}")
         require(stats.getDouble(0) > 0.0, "weights sum to zero")
-        // A-Res: largest ln(u)/w  ⇔ largest u^(1/w)
-        val keyed = base.withColumn("__akey",
-          log(rng.uniform(seed, "ares", col(sc.rowId))) / col("__w"))
+        // A-Res: largest ln(u)/w  ⇔ largest u^(1/w); key already cached
+        val keyed = base
         if (totalSize <= 1000000L) {
           // driver-sized k: single-pass bounded top-k (WeightedReservoir
           // aggregate, ≤2k-entry partial buffers) + broadcast semi join —

@@ -395,7 +395,7 @@ object DedupOps {
     * hashes); this mirrors the standard MinHash-dedup postprocessing
     * (union-find over candidate pairs). */
   def dedupClusters(pairs: DataFrame, maxIter: Int = 25,
-      maxDriverPairs: Long = 10000000L): DataFrame = {
+      maxDriverPairs: Long = 3000000L): DataFrame = {
     // persist the incoming pair plan FIRST: both union branches (and the
     // size probe) derive from the cached handle, so the candidate-pair
     // pipeline (e.g. full MinHash banding + bucket join) executes once

@@ -37,7 +37,7 @@ object MlOps {
     * trade once the training set no longer fits one heap. */
   def kmeansAssign(df: DataFrame, vec: Column, id: Column, k: Int,
       seed: Long, maxIter: Int = 10,
-      maxDriverRows: Long = 1000000L): DataFrame = {
+      maxDriverRows: Long = 200000L): DataFrame = {
     val data = df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
     val probe = data
       .limit(math.min(maxDriverRows + 1, Int.MaxValue.toLong).toInt).collect()
