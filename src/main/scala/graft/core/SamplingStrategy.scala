@@ -162,7 +162,11 @@ final case class BlockShuffling(
   * (reference BlockWeightedSampling, strategy.py:557-867: draw at :823-844,
   * sort at :846, re-block at :848-867).
   *
-  * `weight` must be a non-negative numeric column.  For `replace=true` the
+  * `weight` must be a non-negative numeric column.  Skew note: a row's
+  * copy count is ~ totalSize·w/sum(w), so a single row carrying a large
+  * weight share (e.g. inverse-frequency weights of a SINGLETON class)
+  * concentrates its copies in one explode task; keep degenerate classes out
+  * via count smoothing (the U9 weights do) or cap weights upstream.  For `replace=true` the
   * weights are normalized then integerized (scale = 1e6·n/sum(w), ~6
   * significant digits relative to the mean weight) for an exact integer
   * prefix sum — bit-reproducible regardless of partitioning.  Pass

@@ -55,7 +55,10 @@ object CoverageQueries {
     // B6: epoch seed derivation — same base seed, epochs 0/1 give distinct
     // deterministic orders (seed + 1000*epoch)
     "b6_epoch_divergence" -> ((s, dir) => {
-      val c = ScCollection.fromParquet(s, s"$dir/part.parquet", Seq("p_partkey"))
+      // two epoch plans + a join consume the collection ~4 times: use the
+      // prepare-once handle so the rank sort runs once
+      val c = ScCollection.fromParquetCached(s, s"$dir/part.parquet",
+        Seq("p_partkey"))
       val ds = ScDataset(c, BlockShuffling(blockSize = 8, rng = Rng.Md5),
         batchSize = 64, seed = 42L)
       val e0 = ds.strategy.plan(c, ds.epochSeed(0))
