@@ -77,14 +77,48 @@ object SamplingStrategy {
       .withColumn("__bn",
         when(col("__block") < nBlocks - 1, blockSize.toLong).otherwise(tailSize))
       .withColumn("__bkey", rng.sortKey(seed, tag, col("__block")))
-    val ranked = Ranker.withRank(blocks, "__brank", col("__bkey"), col("__block"))
-    val boff = Ranker.withCumsumLong(ranked, "__brank", col("__bn"), "__bcum")
-      .select(col("__block"), (col("__bcum") - col("__bn")).as("__boff"))
-    // The offsets table comes out of bridge RDDs whose plan stats are
-    // unknown (defaultSizeInBytes), so the optimizer would SHUFFLE the data
-    // side of this join.  Broadcast explicitly while the block table is
-    // driver-sized (16 bytes × nBlocks); beyond that a shuffle join is the
-    // right plan anyway (e.g. 10^8 blocks at 100 TB with blockSize 1024).
+    // The permutation itself (sort blocks by key, prefix-sum the sizes) is
+    // a driver-sized computation up to millions of blocks: the KEYS stay
+    // Spark-computed (bit parity with the SQL/oracle formulation), but the
+    // sort + cumsum run locally — replacing a 4-job rank/cumsum pipeline
+    // whose per-pass bridge cost dominated every block-shuffled query.
+    // Beyond the gate (e.g. 10^8 blocks at 100 TB with blockSize 1024) the
+    // distributed rank+cumsum path takes over.
+    val boff: DataFrame = if (nBlocks <= 1000000L) {
+      val rows = blocks.collect()
+      val ord = new Ordering[org.apache.spark.sql.Row] {
+        def compare(a: org.apache.spark.sql.Row,
+            b: org.apache.spark.sql.Row): Int = {
+          val c = (a.get(2), b.get(2)) match {
+            case (x: String, y: String) => x.compareTo(y)
+            case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+            case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+            case (x, y) => x.toString.compareTo(y.toString)
+          }
+          if (c != 0) c else java.lang.Long.compare(a.getLong(0), b.getLong(0))
+        }
+      }
+      val sorted = rows.sorted(ord)
+      val out = new Array[(Long, Long)](sorted.length)
+      var acc = 0L
+      var i = 0
+      while (i < sorted.length) {
+        out(i) = (sorted(i).getLong(0), acc)
+        acc += sorted(i).getLong(1)
+        i += 1
+      }
+      import spark.implicits._
+      spark.createDataset(out.toSeq).toDF("__block", "__boff")
+    } else {
+      val ranked = Ranker.withRank(blocks, "__brank", col("__bkey"), col("__block"))
+      Ranker.withCumsumLong(ranked, "__brank", col("__bn"), "__bcum")
+        .select(col("__block"), (col("__bcum") - col("__bn")).as("__boff"))
+    }
+    // The offsets table comes out of driver data / bridge RDDs whose plan
+    // stats are unknown (defaultSizeInBytes), so the optimizer would
+    // SHUFFLE the data side of this join.  Broadcast explicitly while the
+    // block table is driver-sized; beyond that a shuffle join is the right
+    // plan anyway.
     val boffB = if (nBlocks <= 4000000L) broadcast(boff) else boff
     df.withColumn("__block", floor(col(rankCol) / blockSize))
       .join(boffB, Seq("__block"))
