@@ -281,21 +281,49 @@ object DedupOps {
   }
 
   /** LSH banding: (doc_id, band, band_key) — docs sharing a band_key in any
-    * band are near-dup candidates.  bandsize rows per doc; one shuffle on
-    * the bucket key finds candidates without a cross product. */
+    * band are near-dup candidates.  `bands` rows per doc; one shuffle on
+    * the bucket key finds candidates without a cross product.
+    *
+    * Band keys (`md5` of the band's comma-joined signature values —
+    * `md5(array_to_string(sg[b*r+1 : b*r+r], ','))` in the oracle) are
+    * computed inside the signature kernel: the previous SQL formulation
+    * walked the signature with interpreted higher-order functions and left
+    * the expensive signature UDF exposed to projection-collapse
+    * re-evaluation. */
   def minhashBands(df: DataFrame, text: Column, id: Column,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sig = parallelized(df).select(id.as("doc_id"),
-      minhashSignature(text, k, numHashes).as("sig"))
-    sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            md5(concat_ws(",",
-              transform(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)),
-                x => x.cast("string")))).as("band_key")))).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.band_key").as("band_key"))
+    val f = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val sig = signatureOf(t, k, numHashes)
+        val md = Md5Local.get()
+        val sb = new java.lang.StringBuilder(64)
+        Array.tabulate(bands) { b =>
+          sb.setLength(0)
+          var i = b * rowsPerBand
+          val end = i + rowsPerBand
+          while (i < end) {
+            if (i > b * rowsPerBand) sb.append(',')
+            sb.append(sig(i))
+            i += 1
+          }
+          val d = md.digest(sb.toString.getBytes("UTF-8"))
+          val hex = new java.lang.StringBuilder(32)
+          var j = 0
+          while (j < d.length) {
+            hex.append(Character.forDigit((d(j) >> 4) & 0xf, 16))
+            hex.append(Character.forDigit(d(j) & 0xf, 16))
+            j += 1
+          }
+          hex.toString
+        }
+      }
+    }
+    parallelized(df)
+      .select(id.as("doc_id"), posexplode(f(text)).as(Seq("band", "band_key")))
+      .select(col("doc_id"), col("band").cast("int").as("band"),
+        col("band_key"))
   }
 
   /** Candidate near-dup pairs from LSH buckets: (doc_a, doc_b) distinct.
