@@ -30,7 +30,11 @@ object CoreQueries {
 
   def li(spark: SparkSession, dir: String): ScCollection =
     liCache.computeIfAbsent((spark, dir), _ =>
-      ScCollection.fromParquetCached(spark, s"$dir/lineitem.parquet", LiOrder))
+      // project to the columns the queries touch (P1, the reference's own
+      // obs-pruning): the cached frame is half as wide, and the pruning
+      // reaches the parquet scan (ReadSchema)
+      ScCollection.fromParquetCached(spark, s"$dir/lineitem.parquet", LiOrder,
+        columns = Seq("l_returnflag")))
 
   /** Shared oracle CTE: the same contiguous rank in DuckDB. */
   private[queries] val RankedCte =
