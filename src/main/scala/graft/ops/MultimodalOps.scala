@@ -54,6 +54,22 @@ object MultimodalOps {
     * synthesized "image" dims from the byte length.  Swap the body for a
     * JNI/codec call in production; the plumbing (schema, partitioning,
     * batch signature) is what this exercises. */
+  /** STUB resize: nearest-neighbour re-sampling of a decoded record's
+    * feature grid to `dim2` entries plus the new nominal dims — the
+    * pointwise, shuffle-free resize contract (real pixel resampling lives
+    * behind the same ??? as [[stubDecode]]'s codec).  Source index for
+    * target j is `floor(j * dim / dim2)` — the standard nearest map. */
+  def stubResize(decoded: DataFrame, w: Int, h: Int, dim2: Int): DataFrame = {
+    val dim = size(col("features"))
+    decoded
+      .withColumn("width", lit(w))
+      .withColumn("height", lit(h))
+      .withColumn("features",
+        transform(sequence(lit(0), lit(dim2 - 1)),
+          j => element_at(col("features"),
+            floor(j * dim / lit(dim2)).cast("int") + 1)))
+  }
+
   def stubDecode(df: DataFrame, payload: Column, id: Column,
       dim: Int = 8): Dataset[MediaFeatures] = {
     val in = df.select(id.cast("long").as("doc_id"), payload.as("p"))

@@ -138,6 +138,22 @@ object CoverageQueries {
           col("pos").cast("long").as("j"), col("col").as("feat"))
     }),
 
+    // Multimodal: stub resize — decoded feature grid re-sampled (nearest)
+    // to 2 entries with new nominal dims
+    "mm_resize" -> ((s, dir) => {
+      MultimodalOps.stubResize(
+          MultimodalOps.stubDecode(
+            MultimodalOps.withPayload(docs(s, dir), col("text")),
+            col("payload"), col("doc_id"), dim = 4).toDF(),
+          w = 32, h = 32, dim2 = 2)
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("pos").cast("long").as("j"), col("col").as("feat"))
+    }),
+
     // Exact-dedup keep-projection: lowest-id row per distinct text survives
     "dd_exact_keep" -> ((s, dir) =>
       DedupOps.exactDedup(docs(s, dir), col("text"), col("doc_id"))
@@ -453,6 +469,14 @@ object CoverageQueries {
         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |FROM b x JOIN b y
         |  ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id""".stripMargin,
+
+    "mm_resize" ->
+      """WITH j AS (SELECT unnest(generate_series(0, 1)) AS j),
+        |d AS (SELECT doc_id, md5(text) AS h FROM documents)
+        |SELECT doc_id, CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+        |       j.j AS j,
+        |       ('0x' || substr(h, (j.j * 2) * 2 + 1, 2))::INT / 255.0 AS feat
+        |FROM d CROSS JOIN j""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt,
