@@ -440,7 +440,8 @@ object DedupOps {
       // 4+ shuffles PER ROUND).  Same min-label semantics: each root gets
       // the minimum doc id of its component.
       val spark = pairs.sparkSession
-      val edgesArr = p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      import spark.implicits._
+      val edgesArr = p.as[(Long, Long)].collect()
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -458,7 +459,6 @@ object DedupOps {
       // already yields the component minimum
       val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
       parent.keySet.forEach(k => out += ((k, find(k))))
-      import spark.implicits._
       return spark.createDataset(out.toSeq).toDF("doc_id", "keeper_id")
     }
     val edges = graft.core.CacheScope.persist(
@@ -524,7 +524,7 @@ object DedupOps {
     * rounded half-up at 6 decimals (BigDecimal HALF_UP — bit-identical to
     * Spark's `round(col, 6)` and the DuckDB oracle's fold order). */
   def embeddingPairs(df: DataFrame, vec: Column, id: Column,
-      minCosine: Double, maxDriverRows: Long = 1L << 20): DataFrame = {
+      minCosine: Double, maxDriverRows: Long = 1L << 18): DataFrame = {
     val base = df.select(id.cast("long").as("vid"),
       vec.cast("array<double>").as("v"))
     // bounded size probe: never scans more than maxDriverRows+1 rows, and
