@@ -519,4 +519,19 @@ class OpsSpec extends AnyFunSuite {
     assert(p2.count() == 30L * 29 / 2)
     graft.core.CacheScope.release()
   }
+
+  test("dedup kernels tolerate null and empty texts") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, null),
+      (3L, ""), (4L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    assert(DedupOps.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      k = 3, maxDocFreq = 10, minJaccard = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet == Set((1L, 4L)))
+    assert(DedupOps.minhashCandidates(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet == Set((1L, 4L)))
+    // empty text hashes like a one-shingle doc; null is excluded entirely
+    assert(DedupOps.simhashCandidates(docs, col("text"), col("doc_id"))
+      .count() >= 1)
+    graft.core.CacheScope.release()
+  }
 }
