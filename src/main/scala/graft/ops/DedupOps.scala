@@ -502,6 +502,27 @@ object DedupOps {
     labels.select("doc_id", "keeper_id")
   }
 
+  /** Embedding near-duplicate pairs at scale: cosine >= `minCosine`
+    * restricted to pairs sharing a random-hyperplane LSH bucket
+    * ([[SimilarityOps.lshBucket]]) — the 100 TB path made first-class.
+    * One shuffle on the bucket id; the in-bucket self-join fan-out is the
+    * bucket population (2^planes buckets), never the corpus cross product;
+    * the bucket id doubles as the partition/bucketing key for repeated
+    * runs.  Approximate by construction: pairs split across every bucket
+    * are missed (raise `planes` ↔ recall trade). */
+  def embeddingPairsBucketed(df: DataFrame, vec: Column, id: Column,
+      minCosine: Double, dims: Int, planes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val withB = df.select(id.cast("long").as("vid"), vec.as("v"),
+      SimilarityOps.lshBucket(vec, dims, planes, seed).as("bucket"))
+    withB.as("a")
+      .join(withB.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"),
+        round(SimilarityOps.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .where(col("cos") >= minCosine)
+  }
+
   /** Exact embedding near-duplicate pairs: cosine >= `minCosine` over all
     * id-ordered pairs (vec_a < vec_b).
     *

@@ -90,6 +90,12 @@ object ExtQueries {
       DedupOps.embeddingPairs(emb(s, dir), col("embedding"), col("vec_id"),
         minCosine = 0.4)),
 
+    // Dedup: embedding-cosine near-dups restricted to LSH buckets (the
+    // 100 TB path as one operator)
+    "dd_embed_lsh" -> ((s, dir) =>
+      DedupOps.embeddingPairsBucketed(emb(s, dir), col("embedding"),
+        col("vec_id"), minCosine = 0.4, dims = 64, planes = 8, seed = 42L)),
+
     // Similarity: exact brute-force top-10 cosine neighbours of 5 queries
     "sim_topk" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -176,6 +182,32 @@ object ExtQueries {
          |  JOIN sizes sb ON sb.doc_id = doc_b
          |)
          |SELECT * FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+    "dd_embed_lsh" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_transform(generate_series(0, 7), j ->
+        |      CASE WHEN
+        |        list_reduce(list_transform(generate_series(0, 63), i ->
+        |          embedding[i + 1]::DOUBLE *
+        |          (CASE WHEN (('0x' || substr(md5(concat_ws(':', 'plane', '42', j::VARCHAR, i::VARCHAR)), 1, 8))::BIGINT
+        |                      / CAST(4294967296.0 AS DOUBLE)) >= 0.5
+        |                THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+        |          (a, b) -> a + b) > 0.0
+        |      THEN (1 << j) ELSE 0 END), (a, b) -> a + b) AS bucket
+        |  FROM embeddings
+        |),
+        |s AS (
+        |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+        |    round(
+        |      list_reduce(list_transform(list_zip(x.embedding, y.embedding),
+        |        z -> z[1]::DOUBLE * z[2]::DOUBLE), (a, b) -> a + b) /
+        |      (sqrt(list_reduce(list_transform(x.embedding, e -> e::DOUBLE * e::DOUBLE), (a, b) -> a + b)) *
+        |       sqrt(list_reduce(list_transform(y.embedding, e -> e::DOUBLE * e::DOUBLE), (a, b) -> a + b))),
+        |      6) AS cos
+        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |)
+        |SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4""".stripMargin,
 
     "dd_minhash_bands" ->
       """WITH toks AS (
