@@ -280,17 +280,20 @@ final case class BlockWeightedSampling(
         // lost at W≈3e11, N=3e4) and at 100 TB scale would be catastrophic.
         val g = (c: Column) =>
           ceil(c.cast("double") / lit(total.toDouble) * lit(totalSize.toDouble) - lit(off))
+        // __c stays LONG: a silent int wrap at extreme (totalSize, weight
+        // share) would corrupt the sample; the explode below fails loudly
+        // at the JVM array limit instead (see the skew note above)
         val withCopies = cum
-          .withColumn("__c", (g(col("__cum")) - g(col("__cum") - col("__wi"))).cast("int"))
+          .withColumn("__c", (g(col("__cum")) - g(col("__cum") - col("__wi"))).cast("long"))
           .where(col("__c") > 0)
         // the sampled order is the base order with multiplicities, so the
         // sample rank needs NO sort: prefix-sum the copy counts in Ord
         // order (exact integer two-phase cumsum), then each emitted copy's
         // rank is offset + copy - 1.
         val withOff = Ranker.withCumsumLong(withCopies, Ord,
-          col("__c").cast("long"), "__ccum")
+          col("__c"), "__ccum")
         withOff
-          .withColumn(Copy, explode(sequence(lit(1), col("__c"))))
+          .withColumn(Copy, explode(sequence(lit(1L), col("__c"))))
           .withColumn("__srank",
             col("__ccum") - col("__c") + col(Copy) - 1)
           .drop("__c", "__cum", "__wi", "__w", "__ccum", Ord)
