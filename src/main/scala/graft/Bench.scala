@@ -16,8 +16,8 @@ object Bench {
     val ent = udaf(graft.functions.EntropyAgg)
     val shuffled = ds.planFrame(0)
       .groupBy("batch_id").agg(ent(col("c_mktsegment")).as("e"))
-      .agg(avg("e")).head.getDouble(0)
-    val population = c.df.agg(ent(col("c_mktsegment"))).head.getDouble(0)
+      .agg(avg("e")).head().getDouble(0)
+    val population = c.df.agg(ent(col("c_mktsegment"))).head().getDouble(0)
     (math.rint(shuffled * 10000) / 10000.0,
       math.rint(population * 10000) / 10000.0)
   }

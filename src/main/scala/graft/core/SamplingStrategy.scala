@@ -257,7 +257,7 @@ final case class BlockWeightedSampling(
             // of rows stays exact; reference normalizes and never
             // quantizes, strategy.py:678-697).
             val stats = base.agg(
-              count(lit(1)).cast("long"), sum("__w"), min("__w")).head
+              count(lit(1)).cast("long"), sum("__w"), min("__w")).head()
             val n = stats.getLong(0)
             val sumW = stats.getDouble(1)
             val minW = stats.getDouble(2)
@@ -300,7 +300,7 @@ final case class BlockWeightedSampling(
       } else {
         require(totalSize <= sc.length,
           "without replacement requires totalSize <= collection length")
-        val stats = base.agg(sum("__w"), min("__w")).head
+        val stats = base.agg(sum("__w"), min("__w")).head()
         require(stats.getDouble(1) >= 0.0,
           s"negative weight: min(w)=${stats.getDouble(1)}")
         require(stats.getDouble(0) > 0.0, "weights sum to zero")
