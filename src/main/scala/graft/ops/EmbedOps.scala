@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-column utilities beyond search ([[SimilarityOps]]) and
+  * near-dup mining ([[DedupOps]]): normalization and exact class centroids —
+  * the vector preprocessing a training-data pipeline runs before ANN
+  * indexing (IVF init, class prototypes, curriculum scoring).
+  *
+  * Exactness contract: cross-row float SUMS are order-dependent, so the
+  * centroid aggregates integerize each component to micro-units
+  * (`floor(x * 1e6)` as long) and sum exactly — associative, bit-identical
+  * under any partitioning, and reproducible in the SQL oracle.  The same
+  * hardening as [[graft.streaming.StreamingOps]]' value sums.
+  */
+object EmbedOps {
+
+  /** L2-normalized copy of a vector (components in double).  Per-row
+    * expression: no shuffle, codegen'd norm kernel. */
+  def l2Normalize(vec: Column): Column = {
+    val n = sqrt(graft.functions.VecKernels.norm2(vec))
+    transform(vec.cast("array<double>"), x => x / n)
+  }
+
+  /** Exact per-label centroids in long format: (label, dim, centroid, n).
+    *
+    * Physical shape: posexplode to (label, dim, micro-unit component) then
+    * ONE hash aggregate on (label, dim).  The explode looks wide (dims× the
+    * rows) but partial aggregation collapses each task's output to
+    * |labels|·dims rows before the shuffle — at 100 TB the exchange carries
+    * kilobytes per task, not the corpus.  The division happens once per
+    * (label, dim) after the exact integer sums. */
+  def centroids(df: DataFrame, vec: Column, label: Column): DataFrame =
+    df.select(label.as("label"),
+        posexplode(vec.cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(sum(floor(col("x") * lit(1000000.0)).cast("long")).as("__s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        // NO rounding: sum and n are exact integers, so this single IEEE
+        // division is already bit-identical across engines — a 6-decimal
+        // round would only ADD disagreement (exact .5 ties round HALF_UP
+        // in Spark's decimal round but half-to-even in DuckDB's float one)
+        (col("__s").cast("double") /
+          (col("n").cast("double") * lit(1000000.0))).as("centroid"),
+        col("n"))
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines: every row is
+  * assigned to a named split (train/val/test) as a pure function of
+  * (seed, key) — no rand(), no sampling state, no coordination.
+  *
+  * This is the 100 TB-safe form of the reference's index-list splits
+  * (reference: training_experiments/data/loader.py:387-448 builds per-split
+  * row-index arrays on the driver): a hash split needs no materialized index,
+  * is stable under retries/speculation, keeps every row's assignment
+  * reproducible forever (adding data never reshuffles old rows), and pushes
+  * down as an ordinary filter predicate — so a `train` scan prunes at the
+  * parquet level when the split column is written out / partitioned on.
+  *
+  * The hash is the md5-uniform of [[graft.core.Rng.Md5]], so assignments are
+  * reproducible in ANSI SQL (the oracle) and in any engine with md5.
+  */
+object SplitOps {
+
+  /** Uniform in [0,1) for (seed, key): first 8 md5 hex chars / 2^32 —
+    * `('0x' || substr(md5(concat_ws(':', 'split', seed, key)), 1, 8))::BIGINT
+    *  / 4294967296.0` in SQL. */
+  def splitUniform(key: Column, seed: Long): Column =
+    graft.core.Rng.Md5.uniform(seed, "split", key)
+
+  /** Split name for (seed, key) under cumulative `fractions` (name, frac);
+    * fractions must sum to ~1 (the last split absorbs the remainder, so
+    * float dust never leaves a row unassigned). */
+  def assignSplit(key: Column, seed: Long,
+      fractions: Seq[(String, Double)]): Column = {
+    require(fractions.nonEmpty, "need at least one split")
+    require(fractions.forall(_._2 >= 0.0), "negative fraction")
+    val u = splitUniform(key, seed)
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    // last split is the otherwise-branch: no row falls through
+    fractions.init.zip(cuts.init)
+      .foldLeft(null: Column) { case (acc, ((name, _), cut)) =>
+        if (acc == null) when(u < cut, name) else acc.when(u < cut, name)
+      } match {
+      case null => lit(fractions.head._1)
+      case w    => w.otherwise(fractions.last._1)
+    }
+  }
+
+  /** df + a `split` column.  `key` must identify the row stably (a primary
+    * key — NOT a position, so re-partitioning or appends never move rows
+    * between splits). */
+  def withSplit(df: DataFrame, key: Column, seed: Long,
+      fractions: Seq[(String, Double)]): DataFrame =
+    df.withColumn("split", assignSplit(key, seed, fractions))
+
+  /** One split as a filtered frame — an ordinary predicate, so Catalyst
+    * pushes it into the scan. */
+  def split(df: DataFrame, key: Column, seed: Long,
+      fractions: Seq[(String, Double)], name: String): DataFrame =
+    withSplit(df, key, seed, fractions).where(col("split") === name).drop("split")
+}

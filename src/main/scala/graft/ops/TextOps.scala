@@ -67,6 +67,49 @@ object TextOps {
   private val Stopwords =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "for", "on")
 
+  /** Corpus vocabulary: top-`k` tokens by frequency, rank-ordered with a
+    * token tiebreak.  One explode + one hash aggregate with map-side
+    * combine — the shuffle carries at most |vocab| rows per task, never the
+    * token stream — then a driver-sized top-k (TakeOrdered, no global
+    * sort).  The vocabulary-building pass of any tokenizer training /
+    * coverage audit. */
+  def vocabTopK(df: DataFrame, text: Column, k: Int): DataFrame = {
+    val counts = df.select(explode(tokens(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    // top-k by (cnt desc, token): orderBy+limit compiles to TakeOrdered.
+    // The rank is re-derived pointwise on the k collected rows.
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    top.withColumn("rank", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** One-pass C4/Gopher-style quality gate: per-document features + language
+    * prediction computed in a single projection, then plain predicates —
+    * every filter pushes toward the scan, nothing shuffles.  Returns the
+    * surviving documents with their diagnostics (the columns a curation
+    * pipeline logs before the expensive model-based stages). */
+  def filterPipeline(df: DataFrame, text: Column, idCol: Column,
+      minTokens: Long, maxTokens: Long, minQuality: Double,
+      langs: Seq[String]): DataFrame = {
+    val t = tokens(text)
+    val nTok = size(t)
+    val quality = round(
+      lit(0.4) * least(lit(1.0), nTok.cast("double") / lit(200.0)) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0),
+        punctCount(text).cast("double") / greatest(nTok, lit(1)).cast("double"))) +
+      lit(0.3) * least(lit(1.0),
+        (markerHits(t, Stopwords).cast("double") /
+          greatest(nTok, lit(1)).cast("double")) * lit(5.0)),
+      6)
+    df.select(idCol.as("doc_id"), langId(text).as("lang_pred"),
+        nTok.cast("long").as("n_tokens"), quality.as("quality"))
+      .where(col("n_tokens") >= minTokens &&
+        col("n_tokens") <= maxTokens &&
+        col("quality") >= minQuality &&
+        col("lang_pred").isin(langs: _*))
+  }
+
   /** Quality features + a composite score in [0,1] (length, punctuation
     * density, stopword density — the usual cheap pre-filters before
     * expensive model-based scoring). */

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.streaming.StreamingOps
+
+/** Round-7 pipeline queries: the curation operators a large-scale
+  * training-data pipeline composes around the core engine — deterministic
+  * train/val/test hash splits, the one-pass quality gate, corpus vocabulary,
+  * exact class centroids over embeddings, and first-occurrence event dedup
+  * (the batch semantics of streaming dropDuplicates).  All oracle-checked.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val Fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // P3 at scale: deterministic hash split — assignment is a pure function
+    // of (seed, doc_id), no driver index arrays (the reference builds
+    // per-split row-index lists on the driver; loader.py:387-448)
+    "p3_hash_split" -> ((s, dir) =>
+      SplitOps.withSplit(docs(s, dir), col("doc_id"), seed = 42L, Fracs)
+        .select("doc_id", "split")),
+
+    // C4/Gopher-style quality gate: one projection, pushdown-able predicates
+    "text_filter_pipeline" -> ((s, dir) =>
+      TextOps.filterPipeline(docs(s, dir), col("text"), col("doc_id"),
+        minTokens = 20L, maxTokens = 1000L, minQuality = 0.5,
+        langs = Seq("en", "de", "es", "fr"))),
+
+    // Corpus vocabulary: top-100 tokens by frequency (tokenizer-training /
+    // coverage-audit pass)
+    "text_vocab_topk" -> ((s, dir) =>
+      TextOps.vocabTopK(docs(s, dir), col("text"), k = 100)),
+
+    // Exact per-label embedding centroids (micro-unit integer sums — order-
+    // independent, oracle-reproducible)
+    "emb_centroids" -> ((s, dir) =>
+      EmbedOps.centroids(emb(s, dir), col("embedding"),
+        col("label").cast("long"))),
+
+    // First-occurrence dedup per (user, event_type): batch semantics of
+    // streaming dropDuplicates, as a min_by hash aggregate
+    "stream_first_events" -> ((s, dir) =>
+      StreamingOps.firstEvents(events(s, dir)))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "p3_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN u < 0.8 THEN 'train'
+        |       WHEN u < 0.9 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |    (('0x' || substr(md5(concat_ws(':', 'split', '42', (doc_id)::VARCHAR)), 1, 8))::BIGINT
+        |     / 4294967296.0) AS u
+        |  FROM documents)""".stripMargin,
+
+    "text_filter_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
+        |    len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','for','on'))) AS stop_hits,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('el','los','las','una','que','por'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','les','des','est','dans','pour'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','is','to','in'))) AS s_en
+        |  FROM t
+        |),
+        |q AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+        |         WHEN s_es > s_en AND s_es > s_fr THEN 'es'
+        |         WHEN s_fr > s_en THEN 'fr'
+        |         ELSE 'en' END AS lang_pred,
+        |    n_tokens,
+        |    round(
+        |      0.4 * least(CAST(1.0 AS DOUBLE), n_tokens::DOUBLE / 200.0) +
+        |      0.3 * (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_cnt::DOUBLE / greatest(n_tokens, 1)::DOUBLE)) +
+        |      0.3 * least(CAST(1.0 AS DOUBLE), (stop_hits::DOUBLE / greatest(n_tokens, 1)::DOUBLE) * 5.0),
+        |      6) AS quality
+        |  FROM f
+        |)
+        |SELECT doc_id, lang_pred, n_tokens, quality FROM q
+        |WHERE n_tokens >= 20 AND n_tokens <= 1000 AND quality >= 0.5
+        |  AND lang_pred IN ('en', 'de', 'es', 'fr')""".stripMargin,
+
+    "text_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |),
+        |c AS (SELECT unnest(t) AS token FROM toks),
+        |g AS (SELECT token, count(*) AS cnt FROM c GROUP BY token),
+        |r AS (
+        |  SELECT token, cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, token) - 1 AS rank
+        |  FROM g
+        |)
+        |SELECT token, cnt, rank FROM r WHERE rank < 100""".stripMargin,
+
+    "emb_centroids" ->
+      """WITH d AS (SELECT unnest(generate_series(0, 63)) AS dim),
+        |x AS (
+        |  SELECT label::BIGINT AS label, d.dim,
+        |         CAST(floor(embedding[d.dim + 1]::DOUBLE * 1000000.0) AS BIGINT) AS m
+        |  FROM embeddings CROSS JOIN d
+        |)
+        |SELECT label, dim,
+        |       CAST(sum(m) AS DOUBLE) / (count(*)::DOUBLE * 1000000.0) AS centroid,
+        |       count(*) AS n
+        |FROM x GROUP BY label, dim""".stripMargin,
+
+    "stream_first_events" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, value, epoch_ms(ts) AS ts_ms
+        |  FROM events
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts_ms, event_id) AS rn
+        |  FROM e
+        |)
+        |SELECT user_id, event_type, event_id AS first_event_id,
+        |       ts_ms AS first_ts_ms, value AS first_value
+        |FROM r WHERE rn = 1""".stripMargin
+  )
+}

@@ -64,6 +64,24 @@ object StreamingOps {
         exactValueSum(col("value")))
   }
 
+  /** Batch-form first-occurrence dedup: one row per (user_id, event_type) —
+    * the EARLIEST event by (ts, event_id).  This is the deterministic batch
+    * semantics of streaming `dropDuplicates` on the key (first seen wins),
+    * expressed as a hash aggregate: `min_by` over the lexicographic
+    * (ts_ms, event_id) key runs with map-side combine — one shuffle of one
+    * row per key per task, no window sort.  [[dedupStream]] is the
+    * incremental form of the same operator. */
+  def firstEvents(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .groupBy("user_id", "event_type")
+      .agg(min_by(struct(col("event_id"), col("ts_ms"), col("value")),
+        struct(col("ts_ms"), col("event_id"))).as("first"))
+      .select(col("user_id"), col("event_type"),
+        col("first.event_id").as("first_event_id"),
+        col("first.ts_ms").as("first_ts_ms"),
+        col("first.value").as("first_value"))
+
   /** Streaming exact deduplication: drops rows whose `idCols` were already
     * seen, keeping state only within the event-time watermark — the
     * incremental form of [[graft.ops.DedupOps.exactDedup]] for continuous
