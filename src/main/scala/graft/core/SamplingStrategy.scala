@@ -355,6 +355,53 @@ final case class BlockWeightedSampling(
   def outputLen(n: Long): Long = totalSize
 }
 
+/** Domain-mixture sampling: resample so domain d's EXPECTED share of the
+  * epoch is `parts(d) / parts.values.sum`, regardless of its share of the
+  * corpus — the domain-reweighting step of LLM data curation (fixed mixture
+  * weights over sources, cf. the published Pile/DoReMi recipes).  Per-row
+  * weight is `parts(d) / count(d)` (integerized like
+  * [[ClassBalancedSampling]], of which this is the generalization: uniform
+  * parts = class balancing), then delegates to [[BlockWeightedSampling]].
+  *
+  * Domains absent from `parts` get weight 0 (excluded).  Precision note:
+  * the integerized weight is `round(1e6·n·parts_d / (P·count_d))`, exact
+  * while `1e6·n·max(parts) < 2^53` — beyond that (corpora past ~10^9 rows
+  * with large parts) rescale parts down.
+  */
+final case class MixtureSampling(
+    label: Column,
+    parts: Map[String, Long],
+    totalSize: Long,
+    blockSize: Int = 8,
+    replace: Boolean = true,
+    rng: Rng = Rng.Xx) extends SamplingStrategy {
+  require(parts.nonEmpty && parts.values.forall(_ >= 0L) &&
+    parts.values.sum > 0L, "parts must be non-negative, not all zero")
+  def shuffleBeforeYield: Boolean = true
+
+  def plan(sc: ScCollection, seed: Long): DataFrame = {
+    val spark = sc.df.sparkSession
+    import spark.implicits._
+    val p = parts.values.sum
+    val n = sc.length
+    val counts = sc.df.groupBy(label.as("__lbl"))
+      .agg(count(lit(1)).as("__lcnt"))
+    val partsDf = parts.toSeq.toDF("__lbl", "__parts")
+    val weighted = sc.df
+      .join(broadcast(counts.join(partsDf, Seq("__lbl"))), label === col("__lbl"))
+      .withColumn("__mxw",
+        round((lit(1000000.0 * n) * col("__parts").cast("double")) /
+          (lit(p) * col("__lcnt")).cast("double")))
+      .drop("__lbl", "__lcnt", "__parts")
+    BlockWeightedSampling(col("__mxw"), totalSize, blockSize, replace,
+      integralWeights = replace, rng = rng)
+      .plan(sc.copy(df = weighted), seed)
+      .drop("__mxw")
+  }
+
+  def outputLen(n: Long): Long = totalSize
+}
+
 /** Inverse-class-frequency weights from a label column, then delegate to
   * weighted sampling (reference ClassBalancedSampling,
   * strategy.py:870-1098; weight computation at :1037-1098).

@@ -110,6 +110,35 @@ object TextOps {
         col("lang_pred").isin(langs: _*))
   }
 
+  /** Sequence-packing plan under a fixed token budget: documents are
+    * concatenated in id order and chunked every `budget` tokens (the
+    * concat-and-chunk packing every LLM pretraining pipeline runs).  Output
+    * per document: (doc_id, n_tokens, pack_id, pack_offset,
+    * spans_boundary) — which fixed-size pack the document starts in, where,
+    * and whether it crosses into the next one.
+    *
+    * Physical shape: one range-partitioned rank + the two-phase integer
+    * cumsum ([[graft.core.Ranker]]) — no single-partition window, no driver
+    * token array, so the plan is the same at 100 TB.  pack_id uses a double
+    * division (exact while the corpus token count < 2^53 ≈ 9·10^15 — three
+    * orders of magnitude past a 100 TB corpus). */
+  def packPlan(df: DataFrame, text: Column, idCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val base = df.select(idCol.as("doc_id"),
+      size(tokens(text)).cast("long").as("n_tokens"))
+    val ranked = graft.core.Ranker.withRank(base, "__r", col("doc_id"))
+    val (cum, _) = graft.core.Ranker.withCumsumLongAndTotal(
+      ranked, "__r", col("n_tokens"), "__cum")
+    cum
+      .withColumn("__start", col("__cum") - col("n_tokens"))
+      .withColumn("pack_id", floor(col("__start") / lit(budget)).cast("long"))
+      .withColumn("pack_offset", col("__start") - col("pack_id") * budget)
+      .withColumn("spans_boundary",
+        col("pack_offset") + col("n_tokens") > budget)
+      .select("doc_id", "n_tokens", "pack_id", "pack_offset", "spans_boundary")
+  }
+
   /** Quality features + a composite score in [0,1] (length, punctuation
     * density, stopword density — the usual cheap pre-filters before
     * expensive model-based scoring). */

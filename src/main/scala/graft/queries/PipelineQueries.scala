@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.core._
 import graft.ops._
 import graft.streaming.StreamingOps
 
@@ -24,6 +25,11 @@ object PipelineQueries {
   }
 
   private val Fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Domain-mixture parts: src0 gets 5/26 of the sample, src1 3/26, the
+    * remaining 18 sources 1/26 each. */
+  private val MixParts: Seq[(String, Long)] =
+    Seq("src0" -> 5L, "src1" -> 3L) ++ (2 until 20).map(i => s"src$i" -> 1L)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // P3 at scale: deterministic hash split — assignment is a pure function
@@ -53,7 +59,23 @@ object PipelineQueries {
     // First-occurrence dedup per (user, event_type): batch semantics of
     // streaming dropDuplicates, as a min_by hash aggregate
     "stream_first_events" -> ((s, dir) =>
-      StreamingOps.firstEvents(events(s, dir)))
+      StreamingOps.firstEvents(events(s, dir))),
+
+    // Domain-mixture resampling: fixed target proportions over sources
+    // (src0 5/26, src1 3/26, rest 1/26 each), with replacement
+    "o3_domain_mixture" -> ((s, dir) => {
+      val c = ScCollection.fromParquet(s, s"$dir/documents.parquet",
+        Seq("doc_id"), Seq("source"))
+      MixtureSampling(col("source"), MixParts.toMap, totalSize = 2 * c.length,
+        blockSize = 8, rng = Rng.Md5).plan(c, 17)
+        .select(col("doc_id"), col("source"),
+          col(SamplingStrategy.Copy).cast("long").as("copy"),
+          col(SamplingStrategy.Ord).as("ord"))
+    }),
+
+    // Sequence packing under a 256-token budget (concat-and-chunk plan)
+    "pack_plan" -> ((s, dir) =>
+      TextOps.packPlan(docs(s, dir), col("text"), col("doc_id"), budget = 256L))
   )
 
   def oracles: Map[String, String] = Map(
@@ -128,6 +150,70 @@ object PipelineQueries {
         |       CAST(sum(m) AS DOUBLE) / (count(*)::DOUBLE * 1000000.0) AS centroid,
         |       count(*) AS n
         |FROM x GROUP BY label, dim""".stripMargin,
+
+    "o3_domain_mixture" -> {
+      val partsValues = MixParts
+        .map { case (s, p) => s"('$s', $p)" }.mkString(", ")
+      s"""WITH r AS (
+         |  SELECT doc_id, source, row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+         |  FROM documents
+         |),
+         |prt AS (SELECT * FROM (VALUES $partsValues) AS t(lbl, parts)),
+         |cnts AS (SELECT source AS lbl, count(*) AS cnt FROM documents GROUP BY 1),
+         |w AS (
+         |  SELECT r.*, CAST(round(((1000000.0 * (SELECT count(*) FROM documents)) * p.parts::DOUBLE) /
+         |    ((SELECT sum(parts) FROM prt) * c.cnt)::DOUBLE) AS BIGINT) AS wi
+         |  FROM r JOIN cnts c ON r.source = c.lbl JOIN prt p ON r.source = p.lbl
+         |),
+         |c AS (
+         |  SELECT *, sum(wi) OVER (ORDER BY row_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM w
+         |),
+         |params AS (
+         |  SELECT max(cum)::DOUBLE AS tw,
+         |         (('0x' || substr(md5('offset:17'), 1, 8))::BIGINT / 4294967296.0) AS off
+         |  FROM c
+         |),
+         |cp AS (
+         |  SELECT *,
+         |    CAST(ceil(cum::DOUBLE / (SELECT tw FROM params) * CAST(2 * (SELECT count(*) FROM documents) AS DOUBLE) - (SELECT off FROM params))
+         |       - ceil((cum - wi)::DOUBLE / (SELECT tw FROM params) * CAST(2 * (SELECT count(*) FROM documents) AS DOUBLE) - (SELECT off FROM params)) AS INT) AS copies
+         |  FROM c
+         |),
+         |ex AS (
+         |  SELECT doc_id, source, row_id,
+         |         unnest(generate_series(1, copies)) AS copy
+         |  FROM cp WHERE copies > 0
+         |),
+         |sr AS (
+         |  SELECT *, row_number() OVER (ORDER BY row_id, copy) - 1 AS srank FROM ex
+         |),
+         |k AS (
+         |  SELECT *, md5(concat_ws(':', 'wblock', '17', (srank // 8)::VARCHAR)) AS bkey
+         |  FROM sr
+         |)
+         |SELECT doc_id, source, copy::BIGINT AS copy,
+         |       row_number() OVER (ORDER BY bkey, srank) - 1 AS ord
+         |FROM k""".stripMargin
+    },
+
+    "pack_plan" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t
+        |),
+        |s AS (SELECT doc_id, n_tokens, cum - n_tokens AS strt FROM c)
+        |SELECT doc_id, n_tokens, strt // 256 AS pack_id,
+        |       strt % 256 AS pack_offset,
+        |       (strt % 256) + n_tokens > 256 AS spans_boundary
+        |FROM s""".stripMargin,
 
     "stream_first_events" ->
       """WITH e AS (
