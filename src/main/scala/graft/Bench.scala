@@ -29,6 +29,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -40,7 +41,9 @@ object Bench {
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val rows = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      // a failed query must be VISIBLE, not a suspiciously fast rows=-1 line
+      val rows = try fn(spark, sfDir).count() catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: $e"); -1L }
       val sec = (System.nanoTime() - t0) / 1e9
       // release the engine's registered intermediates so storage doesn't
       // accumulate across 40+ queries.  User-level persists (the session-

@@ -129,7 +129,7 @@ object DedupOps {
     * upstream query stages just to read a partition count.  Non-scan inputs
     * are left untouched — they come out of a shuffle and are already at
     * shuffle parallelism. */
-  private def parallelized(df: DataFrame): DataFrame = {
+  private[ops] def parallelized(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     def scanOnly(p: LogicalPlan): Boolean = p match {
       case _: LeafNode => true

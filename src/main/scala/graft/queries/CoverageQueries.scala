@@ -18,15 +18,7 @@ import graft.streaming.StreamingOps
 object CoverageQueries {
   import CoreQueries.li
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  import Tables.{docs, emb, events}
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S2: ordered union of per-file collections with rowId offsets (the

@@ -12,18 +12,7 @@ import graft.streaming.StreamingOps
   */
 object ExtQueries {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and convert (floor) to a
-    * microsecond timestamp — downstream ms math is unaffected. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  import Tables.{docs, emb, events}
 
   /** Shared oracle CTEs: tokens + word-3-shingle postings over documents. */
   private val PostingsCte =

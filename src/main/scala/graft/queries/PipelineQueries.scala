@@ -14,15 +14,7 @@ import graft.streaming.StreamingOps
   */
 object PipelineQueries {
 
-  private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
-  private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  import Tables.{docs, emb, events}
 
   private val Fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
 
@@ -210,8 +202,8 @@ object PipelineQueries {
         |  FROM t
         |),
         |s AS (SELECT doc_id, n_tokens, cum - n_tokens AS strt FROM c)
-        |SELECT doc_id, n_tokens, strt // 256 AS pack_id,
-        |       strt % 256 AS pack_offset,
+        |SELECT doc_id, n_tokens, CAST(strt // 256 AS BIGINT) AS pack_id,
+        |       CAST(strt % 256 AS BIGINT) AS pack_offset,
         |       (strt % 256) + n_tokens > 256 AS spans_boundary
         |FROM s""".stripMargin,
 
