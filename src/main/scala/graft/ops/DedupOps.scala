@@ -43,10 +43,6 @@ object DedupOps {
     (v << 4) | ((d(7) >> 4) & 0xfL)
   }
 
-  /** First 16 bits of an md5 digest — the value of
-    * `('0x' || substr(md5(s), 1, 4))::INT`. */
-  private def key16(d: Array[Byte]): Int =
-    ((d(0) & 0xff) << 8) | (d(1) & 0xff)
 
   /** JVM mirror of the tokenize→k-shingle pipeline in [[TextOps]]
     * (split(lower, \s+) with empties removed; short docs yield one shingle =
@@ -345,52 +341,64 @@ object DedupOps {
       .distinct()
   }
 
-  /** 16-bit SimHash over whitespace tokens (with multiplicity): bit i is the
-    * sign of the token-population vote, where each token votes +1/-1 by bit
-    * i of its 16-bit md5-derived hash (the first 4 md5 hex chars — exactly
-    * `conv(substring(md5(t),1,4),16,10)`, so the oracle reproduces it).
-    * Integer votes, so the per-row value is associativity-independent.
-    * JVM kernel for the same reason as [[signatureOf]]. */
-  def simhash16(text: Column): Column = {
+  /** 60-bit SimHash over word-3-shingles (with multiplicity): bit i is the
+    * sign of the shingle-population vote, where each shingle votes +1/-1 by
+    * bit i of its 60-bit md5-derived hash (the first 15 md5 hex chars —
+    * exactly `('0x' || substr(md5(s), 1, 15))::BIGINT`, so the oracle
+    * reproduces it; 60 bits keeps the signature positive in both Spark LONG
+    * and DuckDB BIGINT).  Integer votes, so the per-row value is
+    * associativity-independent.  JVM kernel for the same reason as
+    * [[signatureOf]].
+    *
+    * Shingles, not unigram tokens: unigram votes are dominated by the
+    * corpus-common words every document shares, so unrelated documents'
+    * signatures correlate and any banding scheme over-collides (measured
+    * 2 717 candidate pairs on 500 sf0.01 docs).  k-shingles are
+    * document-specific, so unrelated signatures are near-uniform and
+    * in-bucket populations stay at the random-collision floor. */
+  def simhash60(text: Column): Column = {
     val f = udf((t: String) => {
       if (t == null) null
       else {
-        val toks = Ws.split(t.toLowerCase(java.util.Locale.ROOT), -1)
-          .filter(_.nonEmpty)
-        // votes are additive over token MULTIPLICITY, so hash each DISTINCT
-        // token once and weight its vote by the count — documents repeat
-        // words heavily, and the md5 is the kernel's dominant cost
+        val toks = shinglesOf(t, 3)
+        // votes are additive over shingle MULTIPLICITY, so hash each
+        // DISTINCT shingle once and weight its vote by the count — the md5
+        // is the kernel's dominant cost
         val counts = new java.util.HashMap[String, Int]()
         toks.foreach(tk => counts.merge(tk, 1, Integer.sum))
-        val votes = new Array[Int](16)
+        val votes = new Array[Int](60)
         val md = Md5Local.get()
         counts.forEach { (tk, cnt) =>
-          val h = key16(md.digest(tk.getBytes("UTF-8")))
+          val h = key60(md.digest(tk.getBytes("UTF-8")))
           var i = 0
-          while (i < 16) {
-            votes(i) += (if (((h >> i) & 1) == 1) cnt else -cnt); i += 1
+          while (i < 60) {
+            votes(i) += (if (((h >> i) & 1L) == 1L) cnt else -cnt); i += 1
           }
         }
-        var sig = 0
+        var sig = 0L
         var i = 0
-        while (i < 16) { if (votes(i) > 0) sig |= 1 << i; i += 1 }
-        java.lang.Integer.valueOf(sig)
+        while (i < 60) { if (votes(i) > 0) sig |= 1L << i; i += 1 }
+        java.lang.Long.valueOf(sig)
       }
     })
     f(text)
   }
 
-  /** SimHash near-dup candidates: docs whose 16-bit signatures share the
-    * low or high byte (standard simhash blocking — every pair within
-    * Hamming distance bounded by one byte-flip region collides in at least
-    * one band).  Same bucket-expansion shape as MinHash banding. */
+  /** SimHash near-dup candidates: docs whose 60-bit signatures share any of
+    * four 15-bit bands (standard simhash blocking — every pair within
+    * Hamming distance 3 collides in at least one band).  Same
+    * bucket-expansion shape as MinHash banding.  32 768 buckets PER BAND:
+    * at corpus scale the per-bucket population is n/2^15 per band, so the
+    * in-bucket self-join stays near-linear (the previous 16-bit/2-band
+    * form had 256 buckets total — quadratic blow-up at 100 TB). */
   def simhashCandidates(df: DataFrame, text: Column, id: Column): DataFrame = {
     val sig = graft.core.CacheScope.persist(
       parallelized(df)
-        .select(id.as("doc_id"), simhash16(text).cast("long").as("sh"))
-        .select(col("doc_id"), explode(array(
-          struct(lit(0).as("band"), col("sh").bitwiseAND(255).as("key")),
-          struct(lit(1).as("band"), shiftright(col("sh"), 8).as("key")))).as("b"))
+        .select(id.as("doc_id"), simhash60(text).as("sh"))
+        .select(col("doc_id"), explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sh"), 15 * b).bitwiseAND(32767).as("key"))): _*))
+          .as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key")),
       eager = true)
     sig.as("a")

@@ -440,23 +440,29 @@ object CoverageQueries {
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
         |  FROM documents
         |),
+        |shg AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) >= 3
+        |              THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+        |              ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks
+        |),
         |h AS (
         |  SELECT doc_id,
-        |         list_transform(t, tk -> ('0x' || substr(md5(tk), 1, 4))::INT) AS hs
-        |  FROM toks
+        |         list_transform(shs, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS hs
+        |  FROM shg
         |),
         |sg AS (
         |  SELECT doc_id,
-        |       CAST(list_reduce(list_transform(generate_series(0, 15), i ->
+        |       CAST(list_reduce(list_transform(generate_series(0, 59), i ->
         |         CASE WHEN list_reduce(list_transform(hs, hv ->
         |                CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
-        |              THEN (1 << i) ELSE 0 END), (a, b) -> a + b) AS BIGINT) AS sh
+        |              THEN (1::BIGINT << i) ELSE 0::BIGINT END), (a, b) -> a + b) AS BIGINT) AS sh
         |  FROM h
         |),
         |b AS (
-        |  SELECT doc_id, 0 AS band, sh & 255 AS key FROM sg
-        |  UNION ALL
-        |  SELECT doc_id, 1 AS band, sh >> 8 AS key FROM sg
+        |  SELECT doc_id, band, (sh >> (15 * band)) & 32767 AS key
+        |  FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
         |)
         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |FROM b x JOIN b y

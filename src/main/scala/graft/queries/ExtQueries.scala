@@ -72,7 +72,7 @@ object ExtQueries {
     // Dedup: 16-bit SimHash signatures
     "dd_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
-        DedupOps.simhash16(col("text")).cast("long").as("simhash"))),
+        DedupOps.simhash60(col("text")).as("simhash"))),
 
     // Dedup: embedding-cosine near-dup pairs
     "dd_embed_pairs" -> ((s, dir) =>
@@ -260,16 +260,23 @@ object ExtQueries {
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
         |  FROM documents
         |),
+        |shg AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) >= 3
+        |              THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+        |              ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks
+        |),
         |h AS (
         |  SELECT doc_id,
-        |         list_transform(t, tk -> ('0x' || substr(md5(tk), 1, 4))::INT) AS hs
-        |  FROM toks
+        |         list_transform(shs, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS hs
+        |  FROM shg
         |)
         |SELECT doc_id,
-        |       CAST(list_reduce(list_transform(generate_series(0, 15), i ->
+        |       CAST(list_reduce(list_transform(generate_series(0, 59), i ->
         |         CASE WHEN list_reduce(list_transform(hs, hv ->
         |                CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
-        |              THEN (1 << i) ELSE 0 END), (a, b) -> a + b) AS BIGINT) AS simhash
+        |              THEN (1::BIGINT << i) ELSE 0::BIGINT END), (a, b) -> a + b) AS BIGINT) AS simhash
         |FROM h""".stripMargin,
 
     "dd_embed_pairs" ->
