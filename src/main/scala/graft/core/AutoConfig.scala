@@ -30,12 +30,37 @@ object AutoConfig {
       shufflePartitions: Int,
       maxPartitionBytes: Long)
 
-  /** A5: mean deep size of the first `probeRows` rows AFTER the hook
-    * pipeline (reference estimate_sample_size, auto_config.py:164-275).
-    * One bounded `limit(n)` job — never a full scan. */
+  /** A5: mean deep size of the first `probeRows` rows through the FULL hook
+    * pipeline (reference estimate_sample_size, auto_config.py:164-275: each
+    * sample flows fetch → fetch_transform → batch_callback(sample, [0]) →
+    * batch_transform before sizing).  Each probe row is staged as a batch of
+    * ONE — the reference's per-sample simulation — so the measurement
+    * includes batch collation overhead, which is what feeds the RAM-budget
+    * formula.  One bounded `limit(n)` job — never a full scan. */
   def estimateSampleBytes(df: DataFrame, hooks: Hooks = Hooks(),
       probeRows: Int = 16): Long = {
-    val probe = hooks.fetchTransform(df.limit(probeRows)).collect()
+    import org.apache.spark.sql.functions._
+    // single-partition window over ≤ probeRows rows — a bounded probe
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(monotonically_increasing_id())
+    // batch columns first, fetchTransform second — same order as
+    // ScDataset.planFrame, so hook authors see the identical frame shape
+    val pf = hooks.fetchTransform(
+      df.limit(probeRows)
+        .withColumn("batch_id", row_number().over(w).cast("long") - 1)
+        .withColumn("pos_in_batch", lit(0L))
+        .withColumn("__pos", col("batch_id")))
+    val payloadCols = pf.columns.toSeq
+      .filterNot(Set("batch_id", "pos_in_batch", "__pos"))
+    val bf = hooks.batchAssemble match {
+      case Some(assemble) => assemble(pf, payloadCols)
+      case None =>
+        val payload = struct((col("pos_in_batch") +: payloadCols.map(col)): _*)
+        pf.groupBy(col("batch_id"))
+          .agg(count(lit(1)).as("n"),
+            array_sort(collect_list(payload)).as("rows"))
+    }
+    val probe = hooks.batchTransform(bf).collect()
     require(probe.nonEmpty, "empty collection — cannot size samples")
     // A4: SizeEstimator.estimate is the JVM deep-sizeof analogue of
     // auto_config.py:22-161 (numpy nbytes / sparse member walk).

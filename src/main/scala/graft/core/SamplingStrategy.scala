@@ -48,6 +48,13 @@ object SamplingStrategy {
   /** Column holding the copy index for with-replacement duplicates. */
   val Copy = "__copy"
 
+  /** Bounded-probe threshold for the no-replace top-k selection: draws at
+    * or below this size use the single-pass reservoir + broadcast semi
+    * join; larger draws use the data-wide rank.  Mutable ONLY so specs can
+    * force the data-wide path on small inputs; must stay <= Int.MaxValue
+    * (the reservoir buffer is an int-sized array). */
+  private[graft] var ReservoirCap: Long = 1000000L
+
   /** Shared tail: given rows ranked 0..m-1 by `rankCol`, group into
     * contiguous blocks of `blockSize`, permute BLOCK order with a
     * deterministic per-block key, preserve intra-block order, and emit the
@@ -191,7 +198,8 @@ final case class BlockShuffling(
   * resampling over the exact weight prefix-sum (deterministic, exact-n,
   * single pass; duplicates allowed and output can exceed input cardinality),
   * or without replacement via the A-Res weighted reservoir
-  * (key = ln(u)/w, top-n).  Sampled ids are then sorted ascending and
+  * (key = ln(u)/w, top-n), drawn in reference-compatible [[samplingSize]]
+  * rounds.  Sampled ids are then sorted ascending and
   * re-blocked exactly like BlockShuffling
   * (reference BlockWeightedSampling, strategy.py:557-867: draw at :823-844,
   * sort at :846, re-block at :848-867).
@@ -215,6 +223,14 @@ final case class BlockWeightedSampling(
     blockSize: Int = 8,
     replace: Boolean = true,
     integralWeights: Boolean = false,
+    /** Without replacement, the reference's `sampling_size`: draws happen
+      * in rounds of this size (unique within a round, repeats allowed
+      * across rounds — strategy.py:833-844).  None (default) = one round of
+      * `totalSize`, i.e. a globally-unique A-Res draw; a user porting a
+      * reference config with `sampling_size >= total_size` gets identical
+      * semantics, and with `sampling_size < total_size` the literal rounds
+      * behavior.  Ignored when `replace = true` (as in the reference). */
+    samplingSize: Option[Long] = None,
     rng: Rng = Rng.Xx) extends SamplingStrategy {
   import SamplingStrategy._
   require(blockSize > 0 && totalSize > 0)
@@ -298,46 +314,91 @@ final case class BlockWeightedSampling(
             col("__ccum") - col("__c") + col(Copy) - 1)
           .drop("__c", "__cum", "__wi", "__w", "__ccum", Ord)
       } else {
-        require(totalSize <= sc.length,
-          "without replacement requires totalSize <= collection length")
+        // Reference semantics (strategy.py:833-844): draw WITHOUT
+        // replacement in rounds of `samplingSize` until totalSize — ids are
+        // unique WITHIN a round but may repeat ACROSS rounds, and totalSize
+        // may exceed the collection length when samplingSize < totalSize.
+        // The default (samplingSize = totalSize) is one round: a plain
+        // A-Res top-k.
+        val ss = samplingSize.getOrElse(totalSize)
+        require(ss > 0, "samplingSize must be positive")
+        val roundSizes: Seq[Long] = {
+          val b = Seq.newBuilder[Long]
+          var drawn = 0L
+          while (drawn < totalSize) {
+            val sz = math.min(ss, totalSize - drawn); b += sz; drawn += sz
+          }
+          b.result()
+        }
+        require(roundSizes.head <= sc.length,
+          "without replacement requires each round's draw <= collection length")
         val stats = base.agg(sum("__w"), min("__w")).head()
         require(stats.getDouble(1) >= 0.0,
           s"negative weight: min(w)=${stats.getDouble(1)}")
         require(stats.getDouble(0) > 0.0, "weights sum to zero")
-        // A-Res: largest ln(u)/w  ⇔ largest u^(1/w); key already cached
-        val keyed = base
-        if (totalSize <= 1000000L) {
-          // driver-sized k: single-pass bounded top-k (WeightedReservoir
-          // aggregate, ≤2k-entry partial buffers) + broadcast semi join —
-          // no data-wide sort; selection identical to
-          // ORDER BY akey DESC, rowId LIMIT totalSize.  The broadcast (k
-          // ids, ≤8 MB) also preserves the input's rank-tiled partitioning
-          // so the survivor re-rank below stays shuffle-free.
-          val reservoir = udaf(
-            graft.functions.WeightedReservoir(totalSize.toInt))
-          val sel = keyed
-            .agg(reservoir(col("__akey"), col(sc.rowId)).as("__ids"))
-            .select(explode(col("__ids")).as("__selid"))
-          keyed.join(broadcast(sel), keyed(sc.rowId) === col("__selid"),
+        // One round's A-Res top-k (largest ln(u)/w ⇔ largest u^(1/w)) over
+        // a frame carrying `__akey`; selection identical to
+        // ORDER BY akey DESC, rowId LIMIT k.
+        def topK(keyed: DataFrame, k: Long): DataFrame =
+          if (k <= ReservoirCap) {
+            // driver-sized k: single-pass bounded top-k (WeightedReservoir
+            // aggregate, ≤2k-entry partial buffers) + broadcast semi join —
+            // no data-wide sort.  The broadcast (k ids, ≤8 MB) also
+            // preserves the input's rank-tiled partitioning so the survivor
+            // re-rank below stays shuffle-free.
+            val reservoir = udaf(graft.functions.WeightedReservoir(k.toInt))
+            val sel = keyed
+              .agg(reservoir(col("__akey"), col(sc.rowId)).as("__ids"))
+              .select(explode(col("__ids")).as("__selid"))
+            keyed.join(broadcast(sel), keyed(sc.rowId) === col("__selid"),
               "left_semi")
+          } else {
+            // k beyond driver size: the bounded buffer no longer pays;
+            // data-wide rank.  Ord is KEPT — the survivor re-rank below
+            // prefix-sums in Ord order (the cumsum's probe sees akey-sorted
+            // partitions and takes its range-sort fallback).
+            Ranker.withRank(keyed, "__arank", col("__akey").desc,
+                col(sc.rowId))
+              .where(col("__arank") < k).drop("__arank")
+          }
+        if (roundSizes.size == 1) {
+          topK(base, totalSize) // key already cached
             .drop("__akey", "__w")
             .withColumn(Copy, lit(1))
         } else {
-          // k beyond driver size: the bounded buffer no longer pays; data-wide rank
-          val ranked2 = Ranker.withRank(keyed.drop(Ord), "__arank",
-            col("__akey").desc, col(sc.rowId))
-          ranked2.where(col("__arank") < totalSize)
-            .drop("__arank", "__akey", "__w")
-            .withColumn(Copy, lit(1))
+          // multi-round: round r's keys are salted "ares{r}" (round 0 keeps
+          // the cached "ares" key), rounds run independently, and a row's
+          // draws collapse into a copy COUNT so the expansion + prefix-sum
+          // rank machinery is shared with replace=true.  Sorting the
+          // concatenated draws (strategy.py:846) = ascending ids with
+          // copies adjacent, which is exactly (Ord, copy) order.
+          val sels = roundSizes.zipWithIndex.map { case (k, r) =>
+            val keyed =
+              if (r == 0) base
+              else base.withColumn("__akey",
+                log(rng.uniform(seed, s"ares$r", col(sc.rowId))) /
+                  col("__w"))
+            topK(keyed, k).select(col(Ord), col(sc.rowId))
+          }
+          val counted = sels.reduce(_ union _)
+            .groupBy(col(Ord), col(sc.rowId))
+            .agg(count(lit(1)).as("__c"))
+          val withOff = Ranker.withCumsumLong(counted, Ord, col("__c"),
+            "__ccum")
+          withOff
+            .withColumn(Copy, explode(sequence(lit(1L), col("__c"))))
+            .withColumn("__srank",
+              col("__ccum") - col("__c") + col(Copy) - 1)
+            .drop("__c", "__ccum", Ord)
         }
       }
     // sampled ids ascending (copies adjacent), re-block, permute blocks.
-    // replace=true already carries the prefix-sum rank; without replacement
-    // the scattered survivors (all Copy=1, base order = rowId order) get
-    // their rank from a count prefix-sum — shuffle-free on the tiled
-    // partitioning, no sort.
+    // replace=true (and the multi-round draw) already carry the prefix-sum
+    // rank; the single-round no-replace survivors (all Copy=1, base order =
+    // rowId order) get their rank from a count prefix-sum — shuffle-free on
+    // the tiled partitioning, no sort.
     val withSrank =
-      if (replace) sampled
+      if (sampled.columns.contains("__srank")) sampled
       else Ranker.withCumsumLong(sampled, Ord, lit(1L), "__scum")
         .withColumn("__srank", col("__scum") - 1)
         .drop("__scum", Ord)

@@ -117,11 +117,41 @@ final case class ScDataset(
   def rankStream(epoch: Int, rank: Int, worldSize: Int): DataFrame =
     planFrame(epoch).where(pmod(col("fetch_id"), lit(worldSize)) === rank)
 
+  /** Mid-epoch checkpoint resume: the epoch's plan from batch `fromBatch`
+    * onward.  The plan is a pure function of (seed, epoch), so the resumed
+    * stream is exactly the suffix of the full epoch stream — the
+    * reproducibility contract the reference tests for checkpointed DDP runs
+    * (reference: tests/test_ddp_real.py:891-957).  The batch_id predicate is
+    * an ordinary filter: it prunes before any batch assembly, so a resume
+    * late in a long epoch re-plans but never re-materializes the consumed
+    * prefix. */
+  def resumeFrom(epoch: Int, fromBatch: Long): DataFrame =
+    planFrame(epoch).where(col("batch_id") >= fromBatch)
+
+  /** Per-consumer resume: rank r's fetch windows from batch `fromBatch`
+    * onward (batch ids are global — a checkpoint records the last GLOBAL
+    * batch each rank consumed). */
+  def resumeFrom(epoch: Int, fromBatch: Long, rank: Int,
+      worldSize: Int): DataFrame =
+    rankStream(epoch, rank, worldSize).where(col("batch_id") >= fromBatch)
+
+  /** Batches remaining in an epoch after resuming at `fromBatch`. */
+  def remainingBatches(fromBatch: Long): Long =
+    math.max(0L, batchCount - fromBatch)
+
   /** One row per batch: `batch_id`, `n`, and `rows` = the ordered array of
     * selected columns (reference's yielded minibatch). Keep selected columns
     * small — each batch array is materialized. */
-  def toBatchFrame(epoch: Int, cols: Seq[String]): DataFrame = {
-    val pf = planFrame(epoch)
+  def toBatchFrame(epoch: Int, cols: Seq[String]): DataFrame =
+    assembleBatches(planFrame(epoch), cols)
+
+  /** The resumed batch stream: batches `fromBatch` onward, assembled
+    * through the same hook pipeline as [[toBatchFrame]]. */
+  def resumeBatchFrame(epoch: Int, fromBatch: Long,
+      cols: Seq[String]): DataFrame =
+    assembleBatches(resumeFrom(epoch, fromBatch), cols)
+
+  private def assembleBatches(pf: DataFrame, cols: Seq[String]): DataFrame = {
     val bf = hooks.batchAssemble match {
       case Some(assemble) => assemble(pf, cols)
       case None =>

@@ -50,6 +50,21 @@ object WeightedQueries {
         .select(col("l_orderkey"), col("l_linenumber"),
           col(SamplingStrategy.Ord).as("ord"))),
 
+    // O3 without replacement in samplingSize ROUNDS (the reference's
+    // sampling_size semantics): two rounds (n/3, then n/2 - n/3), unique
+    // within a round, repeats across rounds carry a copy index
+    "o3_weighted_rounds" -> ((s, dir) =>
+      {
+      val c = li(s, dir)
+      BlockWeightedSampling(col("l_linenumber"), totalSize = c.length / 2,
+        blockSize = 8, replace = false, samplingSize = Some(c.length / 3),
+        rng = Rng.Md5)
+        .plan(c, 11)
+      }
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col(SamplingStrategy.Copy).cast("long").as("copy"),
+          col(SamplingStrategy.Ord).as("ord"))),
+
     // O4: inverse-class-frequency balanced sampling over l_returnflag
     "o4_class_balanced" -> ((s, dir) =>
       {
@@ -163,6 +178,38 @@ object WeightedQueries {
          |  FROM sr
          |)
          |SELECT l_orderkey, l_linenumber,
+         |       row_number() OVER (ORDER BY bkey, srank) - 1 AS ord
+         |FROM k""".stripMargin,
+
+    "o3_weighted_rounds" ->
+      s"""$RankedCte,
+         |a0 AS (
+         |  SELECT *, ln((('0x' || substr(md5(concat_ws(':', 'ares', '11', row_id::VARCHAR)), 1, 8))::BIGINT
+         |                / 4294967296.0)) / (l_linenumber::DOUBLE) AS akey
+         |  FROM ranked
+         |),
+         |r0 AS (SELECT *, row_number() OVER (ORDER BY akey DESC, row_id) - 1 AS arank FROM a0),
+         |s0 AS (SELECT l_orderkey, l_linenumber, row_id FROM r0
+         |       WHERE arank < (SELECT count(*) // 3 FROM lineitem)),
+         |a1 AS (
+         |  SELECT *, ln((('0x' || substr(md5(concat_ws(':', 'ares1', '11', row_id::VARCHAR)), 1, 8))::BIGINT
+         |                / 4294967296.0)) / (l_linenumber::DOUBLE) AS akey
+         |  FROM ranked
+         |),
+         |r1 AS (SELECT *, row_number() OVER (ORDER BY akey DESC, row_id) - 1 AS arank FROM a1),
+         |s1 AS (SELECT l_orderkey, l_linenumber, row_id FROM r1
+         |       WHERE arank < (SELECT count(*) // 2 - count(*) // 3 FROM lineitem)),
+         |al AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1),
+         |g AS (SELECT l_orderkey, l_linenumber, row_id, count(*) AS c FROM al GROUP BY 1, 2, 3),
+         |ex AS (SELECT l_orderkey, l_linenumber, row_id,
+         |              unnest(generate_series(1, c)) AS copy
+         |       FROM g),
+         |sr AS (SELECT *, row_number() OVER (ORDER BY row_id, copy) - 1 AS srank FROM ex),
+         |k AS (
+         |  SELECT *, md5(concat_ws(':', 'wblock', '11', (srank // 8)::VARCHAR)) AS bkey
+         |  FROM sr
+         |)
+         |SELECT l_orderkey, l_linenumber, copy::BIGINT AS copy,
          |       row_number() OVER (ORDER BY bkey, srank) - 1 AS ord
          |FROM k""".stripMargin,
 

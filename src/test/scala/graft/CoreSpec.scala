@@ -134,6 +134,46 @@ class CoreSpec extends AnyFunSuite {
     assert(out.size == 100 && out == ref)
   }
 
+  test("no-replace samplingSize rounds: per-round unique, repeats across rounds") {
+    // reference semantics: draws in rounds of sampling_size, unique WITHIN
+    // a round, repeats allowed ACROSS rounds (strategy.py:833-844)
+    val sc = mkCollection(50)
+    val st = BlockWeightedSampling(col("w"), totalSize = 80, blockSize = 8,
+      replace = false, samplingSize = Some(40L), rng = Rng.Md5)
+    val out = st.plan(sc, 7)
+      .select(col("k"), col(SamplingStrategy.Copy).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.size == 80) // totalSize > n is legal with rounds
+    // copies adjacent and 1-based per id
+    out.groupBy(_._1).foreach { case (_, cs) =>
+      assert(cs.map(_._2).sorted == (1L to cs.size))
+      assert(cs.size <= 2) // at most one draw per round
+    }
+    // each round is exactly the A-Res top-k of its salted keys
+    val roundIds = Seq("ares", "ares1").map { salt =>
+      sc.df.withColumn("ak",
+          log(Rng.Md5.uniform(7, salt, col("row_id"))) / col("w"))
+        .orderBy(col("ak").desc, col("row_id")).limit(40)
+        .select("k").collect().map(_.getLong(0)).toSet
+    }
+    val expected = (roundIds(0).toSeq ++ roundIds(1).toSeq).sorted
+    assert(out.map(_._1).sorted == expected)
+  }
+
+  test("no-replace data-wide rank fallback (k > ReservoirCap) matches reservoir") {
+    val sc = mkCollection(2000)
+    def run() = BlockWeightedSampling(col("w"), totalSize = 100, blockSize = 8,
+      replace = false, rng = Rng.Md5).plan(sc, 11)
+      .select("k", SamplingStrategy.Ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaReservoir = run()
+    val cap = SamplingStrategy.ReservoirCap
+    try {
+      SamplingStrategy.ReservoirCap = 10L // force the data-wide path
+      assert(run() == viaReservoir)
+    } finally SamplingStrategy.ReservoirCap = cap
+  }
+
   test("ClassBalancedSampling balances an imbalanced label") {
     import spark.implicits._
     // 70/20/10 imbalance like reference tests/conftest.py:55-59
@@ -200,6 +240,34 @@ class CoreSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(posMap(0) == posMap(0))
     assert(posMap(0) != posMap(1))
+  }
+
+  test("mid-epoch resume: resumed stream == suffix of the full stream") {
+    // mirrors the reference's checkpoint-resume reproducibility contract
+    // (reference: tests/test_ddp_real.py:891-957)
+    val sc = mkCollection(257) // short last batch
+    val ds = ScDataset(sc, BlockShuffling(blockSize = 8), batchSize = 32,
+      fetchFactor = 2, seed = 11L)
+    val epoch = 5
+    def stream(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "batch_id", "__pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+    val full = stream(ds.planFrame(epoch))
+    val k = 4L
+    val resumed = stream(ds.resumeFrom(epoch, k))
+    assert(resumed == full.filter(_._2 >= k))
+    // resuming twice is reproducible (pure function of seed+epoch)
+    assert(stream(ds.resumeFrom(epoch, k)) == resumed)
+    assert(ds.remainingBatches(k) == ds.batchCount - k)
+    // per-rank resume is the suffix of that rank's stream
+    val r1full = stream(ds.rankStream(epoch, 1, 2))
+    assert(stream(ds.resumeFrom(epoch, k, 1, 2)) == r1full.filter(_._2 >= k))
+    // resumed batch frame == the full batch frame's suffix
+    val fullB = ds.toBatchFrame(epoch, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val resB = ds.resumeBatchFrame(epoch, k, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(resB == fullB.filter(_._1 >= k))
   }
 
   test("DDP round-robin rank streams are disjoint and exhaustive (B4)") {

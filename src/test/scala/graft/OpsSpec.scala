@@ -334,6 +334,21 @@ class OpsSpec extends AnyFunSuite {
       .withColumn("x", col("k").cast("double"))
     val bytes = AutoConfig.estimateSampleBytes(df)
     assert(bytes > 0)
+    // A5 sizes through the FULL hook pipeline (reference
+    // auto_config.py:164-275): a fetchTransform that widens each sample and
+    // a batchTransform that widens each batch must both inflate the
+    // estimate, monotonically.
+    val withFetch = AutoConfig.estimateSampleBytes(df,
+      Hooks(fetchTransform = d => d.withColumn("pad",
+        array((0 until 32).map(i => col("x") + i): _*))))
+    assert(withFetch > bytes, s"fetchTransform not sized: $withFetch vs $bytes")
+    val withBatch = AutoConfig.estimateSampleBytes(df,
+      Hooks(
+        fetchTransform = d => d.withColumn("pad",
+          array((0 until 32).map(i => col("x") + i): _*)),
+        batchTransform = b => b.withColumn("pad2",
+          array((0 until 64).map(i => col("n") + i): _*))))
+    assert(withBatch > withFetch, s"batchTransform not sized: $withBatch vs $withFetch")
     val s = AutoConfig.suggest(spark, bytes, batchSize = 64,
       ramBytes = 4L << 30)
     assert(s.fetchFactor >= 1 && s.fetchFactor <= 1024)
