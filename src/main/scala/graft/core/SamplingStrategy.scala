@@ -204,6 +204,15 @@ final case class BlockShuffling(
   * (reference BlockWeightedSampling, strategy.py:557-867: draw at :823-844,
   * sort at :846, re-block at :848-867).
   *
+  * Systematic-resampling caveat (replace=true): like any systematic
+  * sampler, realized per-group totals are layout-sensitive when the weight
+  * sequence is PERIODIC with a period commensurate with the threshold
+  * stride W/N (e.g. synthetic rows cycling d0,d1,d2 with rational weights)
+  * — each period then receives an identical allocation and per-group
+  * realized counts can deviate from expectation by O(share) instead of
+  * O(1/period-count).  Real corpora are not weight-periodic; for synthetic
+  * ones, pre-permute rows (BlockShuffling pass) before weighting.
+  *
   * `weight` must be a non-negative numeric column.  Skew note: a row's
   * copy count is ~ totalSize·w/sum(w), so a single row carrying a large
   * weight share (e.g. inverse-frequency weights of a SINGLETON class)

@@ -17,10 +17,14 @@ import org.apache.spark.sql.functions._
 object EmbedOps {
 
   /** L2-normalized copy of a vector (components in double).  Per-row
-    * expression: no shuffle, codegen'd norm kernel. */
+    * expression: no shuffle, codegen'd norm kernel.  An all-zero vector is
+    * returned unchanged (as doubles) rather than dividing by sqrt(0) — a
+    * NaN here would silently poison every downstream centroid/ANN
+    * consumer. */
   def l2Normalize(vec: Column): Column = {
     val n = sqrt(graft.functions.VecKernels.norm2(vec))
-    transform(vec.cast("array<double>"), x => x / n)
+    when(n > 0.0, transform(vec.cast("array<double>"), x => x / n))
+      .otherwise(vec.cast("array<double>"))
   }
 
   /** Exact per-label centroids in long format: (label, dim, centroid, n).

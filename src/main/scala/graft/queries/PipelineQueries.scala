@@ -132,16 +132,21 @@ object PipelineQueries {
         |SELECT token, cnt, rank FROM r WHERE rank < 100""".stripMargin,
 
     "emb_centroids" ->
-      """WITH d AS (SELECT unnest(generate_series(0, 63)) AS dim),
-        |x AS (
-        |  SELECT label::BIGINT AS label, d.dim,
-        |         CAST(floor(embedding[d.dim + 1]::DOUBLE * 1000000.0) AS BIGINT) AS m
-        |  FROM embeddings CROSS JOIN d
+      """WITH x AS (
+        |  SELECT label::BIGINT AS label,
+        |         unnest(generate_series(1, len(embedding))) AS i,
+        |         embedding AS e
+        |  FROM embeddings
+        |),
+        |m AS (
+        |  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+        |         CAST(floor(e[i]::DOUBLE * 1000000.0) AS BIGINT) AS m
+        |  FROM x
         |)
         |SELECT label, dim,
         |       CAST(sum(m) AS DOUBLE) / (count(*)::DOUBLE * 1000000.0) AS centroid,
         |       count(*) AS n
-        |FROM x GROUP BY label, dim""".stripMargin,
+        |FROM m GROUP BY label, dim""".stripMargin,
 
     "o3_domain_mixture" -> {
       val partsValues = MixParts

@@ -85,4 +85,34 @@ object SamplingProps extends Properties("sampling") {
       rows.forall { case (k, f, p) => p / fs == f && k / fs == f } &&
         rows.map(_._3).sorted.toSeq == (0L until n.toLong)
     }
+
+  property("mixture sampling realizes the target domain shares") =
+    Prop.forAll(for {
+      seed <- Gen.choose(0L, 1000000L)
+      pa <- Gen.choose(1L, 5L)
+      pb <- Gen.choose(1L, 5L)
+      pc <- Gen.choose(1L, 5L)
+    } yield (seed, pa, pb, pc)) { case (seed, pa, pb, pc) =>
+      val n = 900
+      // hash-scattered domain layout: a PERIODIC layout (k % 3) can resonate
+      // with the systematic-resampling threshold stride and bias the shares
+      // — the documented caveat on BlockWeightedSampling; real corpora are
+      // not weight-periodic
+      val df = spark.range(n.toLong).toDF("k")
+        .withColumn("dom", concat(lit("d"), pmod(abs(hash(col("k"))), lit(3))))
+      val sc = ScCollection.fromDataFrame(df, col("k"))
+      val parts = Map("d0" -> pa, "d1" -> pb, "d2" -> pc)
+      val total = 2L * n
+      val realized = MixtureSampling(col("dom"), parts, totalSize = total,
+        blockSize = 8).plan(sc, seed)
+        .groupBy("dom").count().collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      val p = (pa + pb + pc).toDouble
+      realized.values.sum == total && parts.forall { case (d, pd) =>
+        // systematic resampling: per-domain realized count stays within a
+        // few draws of totalSize * parts_d / P
+        val expect = total * pd / p
+        math.abs(realized.getOrElse(d, 0L) - expect) <= math.max(3.0, 0.05 * expect)
+      }
+    }
 }
