@@ -74,7 +74,11 @@ object TextOps {
     * sort).  The vocabulary-building pass of any tokenizer training /
     * coverage audit. */
   def vocabTopK(df: DataFrame, text: Column, k: Int): DataFrame = {
-    val counts = df.select(explode(tokens(text)).as("token"))
+    // explode the RAW split and drop empties with a plain predicate instead
+    // of exploding tokens() — the higher-order filter() is interpreted per
+    // element, while split+explode+where stays inside whole-stage codegen
+    val counts = df.select(explode(split(lower(text), "\\s+")).as("token"))
+      .where(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("cnt"))
     // top-k by (cnt desc, token): orderBy+limit compiles to TakeOrdered.
     // The rank is re-derived pointwise on the k collected rows.

@@ -125,4 +125,58 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"), exactValueSum(col("value")))
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("cnt"), col("value_sum"))
+
+  /** Mutable per-user state carried across micro-batches by
+    * [[runningUserStats]].  Value sums are held in exact integer micro-units
+    * (same hardening as [[exactValueSum]]) so the running total is
+    * bit-reproducible regardless of micro-batch boundaries. */
+  final case class UserState(n: Long, valueMicros: Long, lastTsMs: Long)
+
+  /** Custom-state streaming (flatMapGroupsWithState): per-user RUNNING
+    * totals — event count, exact value sum, last event time — updated every
+    * micro-batch (`OutputMode.Update`).  The state is keyed by user and
+    * expires `idleTimeoutMs` of EVENT TIME after the user's last event
+    * (EventTimeTimeout: the watermark, not wall clock, drives expiry — a
+    * replay produces identical results), emitting nothing on expiry.
+    *
+    * This is the template for stateful logic Spark's built-in windowed
+    * aggregations cannot express (per-key counters, custom session payloads,
+    * model features accumulated across a stream).  State size is bounded by
+    * |active users within the watermark horizon|, never the stream length —
+    * the property that keeps it viable on an unbounded 100 TB/day feed. */
+  def runningUserStats(spark: SparkSession, dir: String, schema: StructType,
+      watermark: String, idleTimeoutMs: Long = 3600000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // the watermarked `ts` column must survive the projection AS A
+    // TIMESTAMP — converting it would drop the watermark attribute the
+    // EventTimeTimeout checker requires
+    val ev = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long"), col("ts"),
+        floor(col("value") * lit(1000000.0)).cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0L, Long.MinValue))
+            var n = prev.n; var vm = prev.valueMicros; var last = prev.lastTsMs
+            rows.foreach { case (_, ts, v) =>
+              n += 1; vm += v
+              val ms = ts.getTime
+              if (ms > last) last = ms
+            }
+            state.update(UserState(n, vm, last))
+            state.setTimeoutTimestamp(last + idleTimeoutMs)
+            Iterator((user, n, vm.toDouble / 1000000.0, last))
+          }
+      }
+      .toDF("user_id", "n_events", "value_sum", "last_ts_ms")
+  }
 }

@@ -426,6 +426,50 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming: flatMapGroupsWithState running stats accumulate across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toFile
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      def df(rows: Seq[(Long, java.sql.Timestamp, Long, Double)]) =
+        rows.toDF("event_id", "ts", "user_id", "value")
+      val b1 = Seq(
+        (1L, t("2026-01-01 10:00:00"), 7L, 1.5),
+        (2L, t("2026-01-01 10:01:00"), 7L, 2.25),
+        (3L, t("2026-01-01 10:02:00"), 9L, 4.0))
+      val b2 = Seq(
+        (4L, t("2026-01-01 10:03:00"), 7L, 0.125),
+        (5L, t("2026-01-01 10:04:00"), 9L, 1.0))
+      df(b1).coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      val q = graft.streaming.StreamingOps.runningUserStats(spark,
+          dir.getAbsolutePath, df(b1).schema, watermark = "1 hour")
+        .writeStream.format("memory").queryName("graft_state_test")
+        .outputMode("update").start()
+      q.processAllAvailable()
+      df(b2).coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      q.processAllAvailable()
+      // last update per user == the batch aggregate over ALL events
+      val out = spark.table("graft_state_test")
+        .groupBy("user_id")
+        .agg(max_by(struct(col("n_events"), col("value_sum"), col("last_ts_ms")),
+          col("n_events")).as("s"))
+        .select(col("user_id"), col("s.n_events"), col("s.value_sum"),
+          col("s.last_ts_ms"))
+        .as[(Long, Long, Double, Long)].collect().toSet
+      q.stop()
+      val expect = (b1 ++ b2).groupBy(_._3).map { case (u, rs) =>
+        (u, rs.size.toLong,
+          rs.map(r => math.floor(r._4 * 1e6).toLong).sum.toDouble / 1e6,
+          rs.map(_._2.getTime).max)
+      }.toSet
+      assert(out == expect)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming: session_window sessionization matches batch sessions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sess").toFile
     try {
