@@ -370,28 +370,16 @@ final case class BlockWeightedSampling(
                 col(sc.rowId))
               .where(col("__arank") < k).drop("__arank")
           }
-        if (roundSizes.size == 1) {
-          topK(base, totalSize) // key already cached
-            .drop("__akey", "__w")
-            .withColumn(Copy, lit(1))
-        } else {
-          // multi-round: round r's keys are salted "ares{r}" (round 0 keeps
-          // the cached "ares" key), rounds run independently, and a row's
-          // draws collapse into a copy COUNT so the expansion + prefix-sum
-          // rank machinery is shared with replace=true.  Sorting the
-          // concatenated draws (strategy.py:846) = ascending ids with
-          // copies adjacent, which is exactly (Ord, copy) order.
-          val sels = roundSizes.zipWithIndex.map { case (k, r) =>
-            val keyed =
-              if (r == 0) base
-              else base.withColumn("__akey",
-                log(rng.uniform(seed, s"ares$r", col(sc.rowId))) /
-                  col("__w"))
-            topK(keyed, k).select(col(Ord), col(sc.rowId))
-          }
-          val counted = sels.reduce(_ union _)
-            .groupBy(col(Ord), col(sc.rowId))
-            .agg(count(lit(1)).as("__c"))
+        // round r's A-Res key: the cached "ares" key for round 0, salted
+        // "ares{r}" beyond
+        def akeyOf(r: Int): Column =
+          if (r == 0) col("__akey")
+          else log(rng.uniform(seed, s"ares$r", col(sc.rowId))) / col("__w")
+        // shared tail of the multi-round paths: rows tagged with a copy
+        // COUNT expand through the same prefix-sum rank machinery as
+        // replace=true.  Sorting the concatenated draws (strategy.py:846)
+        // = ascending ids with copies adjacent = exactly (Ord, copy) order.
+        def expandCopies(counted: DataFrame): DataFrame = {
           val withOff = Ranker.withCumsumLong(counted, Ord, col("__c"),
             "__ccum")
           withOff
@@ -399,6 +387,44 @@ final case class BlockWeightedSampling(
             .withColumn("__srank",
               col("__ccum") - col("__c") + col(Copy) - 1)
             .drop("__c", "__ccum", Ord)
+        }
+        if (roundSizes.size == 1) {
+          topK(base, totalSize) // key already cached
+            .drop("__akey", "__w")
+            .withColumn(Copy, lit(1))
+        } else if (roundSizes.size <= 32 &&
+            roundSizes.forall(_ <= ReservoirCap)) {
+          // all rounds driver-sized: ONE pass computes every round's
+          // reservoir simultaneously (R agg columns, R bounded buffers per
+          // task), the concatenated draws collapse to per-row copy counts,
+          // and one broadcast join tags the base — which preserves the
+          // tiled partitioning, so the rank cumsum stays shuffle-free.
+          // R+1 full passes become 1.
+          val aggCols = roundSizes.zipWithIndex.map { case (k, r) =>
+            udaf(graft.functions.WeightedReservoir(k.toInt))
+              .apply(akeyOf(r), col(sc.rowId)).as(s"__ids$r")
+          }
+          val drawn = base.agg(aggCols.head, aggCols.tail: _*)
+            .select(explode(concat(
+              roundSizes.indices.map(r => col(s"__ids$r")): _*)).as("__selid"))
+            .groupBy("__selid").agg(count(lit(1)).as("__c"))
+          val counted = base
+            .join(broadcast(drawn), base(sc.rowId) === col("__selid"))
+            .drop("__selid", "__akey", "__w")
+          expandCopies(counted)
+        } else {
+          // huge rounds (or very many): run each round's top-k
+          // independently and collapse draws with a count shuffle
+          val sels = roundSizes.zipWithIndex.map { case (k, r) =>
+            val keyed =
+              if (r == 0) base
+              else base.withColumn("__akey", akeyOf(r))
+            topK(keyed, k).select(col(Ord), col(sc.rowId))
+          }
+          val counted = sels.reduce(_ union _)
+            .groupBy(col(Ord), col(sc.rowId))
+            .agg(count(lit(1)).as("__c"))
+          expandCopies(counted)
         }
       }
     // sampled ids ascending (copies adjacent), re-block, permute blocks.

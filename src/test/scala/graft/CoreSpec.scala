@@ -158,6 +158,16 @@ class CoreSpec extends AnyFunSuite {
     }
     val expected = (roundIds(0).toSeq ++ roundIds(1).toSeq).sorted
     assert(out.map(_._1).sorted == expected)
+    // the huge-rounds fallback (per-round top-k + count shuffle) must
+    // produce the identical sample
+    val cap = SamplingStrategy.ReservoirCap
+    try {
+      SamplingStrategy.ReservoirCap = 10L
+      val out2 = st.plan(sc, 7)
+        .select(col("k"), col(SamplingStrategy.Copy).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(out2.sorted == out.sorted)
+    } finally SamplingStrategy.ReservoirCap = cap
   }
 
   test("no-replace data-wide rank fallback (k > ReservoirCap) matches reservoir") {
