@@ -329,6 +329,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("extensions: vec_dot / vec_norm2 / sparse_to_dense callable from SQL") {
+    GraftExtensions.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0), Array(1L, 3L), Array(7.0, 9.0)))
+      .toDF("a", "b", "idx", "v") // sparse_to_dense indices are 1-based
+    df.createOrReplaceTempView("graft_ext_test")
+    val r = spark.sql(
+      """SELECT vec_dot(a, b) AS d, vec_norm2(a) AS n2,
+        |       sparse_to_dense(idx, v, 4) AS dense
+        |FROM graft_ext_test""".stripMargin).head()
+    assert(r.getDouble(0) == 1.0 * 4 + 2 * 5 + 3 * 6)
+    assert(r.getDouble(1) == 1.0 + 4 + 9)
+    assert(r.getSeq[Double](2) == Seq(7.0, 0.0, 9.0, 0.0))
+    // arity errors are caught at resolution, not execution
+    intercept[Exception] {
+      spark.sql("SELECT vec_dot(a) FROM graft_ext_test").head()
+    }
+  }
+
   test("autoconfig suggests positive, budget-consistent parameters") {
     val df = spark.range(1000).toDF("k")
       .withColumn("x", col("k").cast("double"))
