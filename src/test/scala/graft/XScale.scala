@@ -64,6 +64,15 @@ object XScale {
       require(got == n / 100, s"noreplace cardinality: $got != ${n / 100}")
       CacheScope.release()
     }
+    timed(s"no-replace 3-round draw (${3 * (n / 100)} of $n)") {
+      val plan = BlockWeightedSampling(col("label") + 1,
+        totalSize = 3 * (n / 100), blockSize = 1024, replace = false,
+        samplingSize = Some(n / 100)).plan(sc, 17)
+      val got = plan.count()
+      require(got == 3 * (n / 100),
+        s"rounds cardinality: $got != ${3 * (n / 100)}")
+      CacheScope.release()
+    }
     spark.stop()
     println("SCALE all invariants held")
   }
