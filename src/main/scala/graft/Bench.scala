@@ -38,8 +38,15 @@ object Bench {
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000).count()
+      // warm the ScalaUDF execution path too (encoder + codegen + JIT is a
+      // one-time multi-second cost that would otherwise land on whichever
+      // kernel query happens to run first)
+      val warmUdf = udf((s: String) => if (s == null) 0 else s.length)
+      spark.range(10000L).select(warmUdf(col("id").cast("string"))).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // name-sorted so per-query timings stay comparable across rounds even
+    // as the query set grows (Map iteration order reshuffles per round)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // a failed query must be VISIBLE, not a suspiciously fast rows=-1 line
       val rows = try fn(spark, sfDir).count() catch { case e: Throwable =>
@@ -54,12 +61,13 @@ object Bench {
     }
     val qs = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + sec }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val total = results.map(_._2._1).sum
     // samples/sec for the headline sampling pipelines — the unit BASELINE.md
     // reports for the reference loader (rows emitted / wall time).
+    val rmap = results.toMap
     val tp = Seq("o1_streaming", "o2_block_shuffle", "o3_weighted_replace",
         "o4_class_balanced", "pipeline_block", "b2_buffer_shuffle")
-      .flatMap(k => results.get(k).collect {
+      .flatMap(k => rmap.get(k).collect {
         case (sec, rows) if rows > 0 && sec > 0 =>
           s"\"" + k + "\":" + math.round(rows / sec)
       }).mkString("{", ",", "}")
