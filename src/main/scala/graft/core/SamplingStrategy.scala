@@ -55,6 +55,13 @@ object SamplingStrategy {
     * (the reservoir buffer is an int-sized array). */
   private[graft] var ReservoirCap: Long = 1000000L
 
+  /** Bounded-probe threshold for the block-permutation offset table: up to
+    * this many blocks the sort + prefix-sum run on the driver (the keys
+    * stay Spark-computed for oracle parity); beyond it the distributed
+    * rank+cumsum path takes over.  Mutable ONLY so specs can force the
+    * distributed path on small inputs. */
+  private[graft] var BlockTableCap: Long = 1000000L
+
   /** Shared tail: given rows ranked 0..m-1 by `rankCol`, group into
     * contiguous blocks of `blockSize`, permute BLOCK order with a
     * deterministic per-block key, preserve intra-block order, and emit the
@@ -91,7 +98,7 @@ object SamplingStrategy {
     // whose per-pass bridge cost dominated every block-shuffled query.
     // Beyond the gate (e.g. 10^8 blocks at 100 TB with blockSize 1024) the
     // distributed rank+cumsum path takes over.
-    val boff: DataFrame = if (nBlocks <= 1000000L) {
+    val boff: DataFrame = if (nBlocks <= BlockTableCap) {
       val rows = blocks.collect()
       val ord = new Ordering[org.apache.spark.sql.Row] {
         def compare(a: org.apache.spark.sql.Row,

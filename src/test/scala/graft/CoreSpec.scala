@@ -170,6 +170,19 @@ class CoreSpec extends AnyFunSuite {
     } finally SamplingStrategy.ReservoirCap = cap
   }
 
+  test("distributed block-offset fallback (nBlocks > BlockTableCap) matches driver path") {
+    val sc = mkCollection(101) // 13 blocks of 8 + tail of 5
+    def run() = BlockShuffling(blockSize = 8).plan(sc, 7)
+      .select("k", Ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
+    val viaDriver = run()
+    val cap = SamplingStrategy.BlockTableCap
+    try {
+      SamplingStrategy.BlockTableCap = 2L // force the distributed rank+cumsum
+      assert(run() == viaDriver)
+    } finally SamplingStrategy.BlockTableCap = cap
+  }
+
   test("no-replace data-wide rank fallback (k > ReservoirCap) matches reservoir") {
     val sc = mkCollection(2000)
     def run() = BlockWeightedSampling(col("w"), totalSize = 100, blockSize = 8,
