@@ -43,22 +43,23 @@ object AutoConfig {
     // single-partition window over ≤ probeRows rows — a bounded probe
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(monotonically_increasing_id())
-    // batch columns first, fetchTransform second — same order as
-    // ScDataset.planFrame, so hook authors see the identical frame shape
+    // plan columns first, fetchTransform second — same order and SAME
+    // column set as ScDataset.planFrame (__ord/fetch_id/__pos/batch_id/
+    // pos_in_batch), so a hook that references any plan column works
+    // identically here.  Each probe row is its own batch and its own fetch.
     val pf = hooks.fetchTransform(
       df.limit(probeRows)
         .withColumn("batch_id", row_number().over(w).cast("long") - 1)
-        .withColumn("pos_in_batch", lit(0L))
-        .withColumn("__pos", col("batch_id")))
-    val payloadCols = pf.columns.toSeq
-      .filterNot(Set("batch_id", "pos_in_batch", "__pos"))
+        .withColumn(SamplingStrategy.Ord, col("batch_id"))
+        .withColumn("fetch_id", col("batch_id"))
+        .withColumn("__pos", col("batch_id"))
+        .withColumn("pos_in_batch", lit(0L)))
+    val payloadCols = pf.columns.toSeq.filterNot(
+      Set(SamplingStrategy.Ord, "fetch_id", "batch_id", "pos_in_batch",
+        "__pos"))
     val bf = hooks.batchAssemble match {
       case Some(assemble) => assemble(pf, payloadCols)
-      case None =>
-        val payload = struct((col("pos_in_batch") +: payloadCols.map(col)): _*)
-        pf.groupBy(col("batch_id"))
-          .agg(count(lit(1)).as("n"),
-            array_sort(collect_list(payload)).as("rows"))
+      case None => ScDataset.defaultAssembly(pf, payloadCols)
     }
     val probe = hooks.batchTransform(bf).collect()
     require(probe.nonEmpty, "empty collection — cannot size samples")

@@ -53,14 +53,14 @@ object SamplingStrategy {
     * join; larger draws use the data-wide rank.  Mutable ONLY so specs can
     * force the data-wide path on small inputs; must stay <= Int.MaxValue
     * (the reservoir buffer is an int-sized array). */
-  private[graft] var ReservoirCap: Long = 1000000L
+  @volatile private[graft] var ReservoirCap: Long = 1000000L
 
   /** Bounded-probe threshold for the block-permutation offset table: up to
     * this many blocks the sort + prefix-sum run on the driver (the keys
     * stay Spark-computed for oracle parity); beyond it the distributed
     * rank+cumsum path takes over.  Mutable ONLY so specs can force the
     * distributed path on small inputs. */
-  private[graft] var BlockTableCap: Long = 1000000L
+  @volatile private[graft] var BlockTableCap: Long = 1000000L
 
   /** Shared tail: given rows ranked 0..m-1 by `rankCol`, group into
     * contiguous blocks of `blockSize`, permute BLOCK order with a
@@ -398,7 +398,7 @@ final case class BlockWeightedSampling(
         if (roundSizes.size == 1) {
           topK(base, totalSize) // key already cached
             .drop("__akey", "__w")
-            .withColumn(Copy, lit(1))
+            .withColumn(Copy, lit(1L)) // LONG like every other plan shape
         } else if (roundSizes.size <= 32 &&
             roundSizes.forall(_ <= ReservoirCap)) {
           // all rounds driver-sized: ONE pass computes every round's

@@ -154,11 +154,7 @@ final case class ScDataset(
   private def assembleBatches(pf: DataFrame, cols: Seq[String]): DataFrame = {
     val bf = hooks.batchAssemble match {
       case Some(assemble) => assemble(pf, cols)
-      case None =>
-        val payload = struct((col("pos_in_batch") +: cols.map(col)): _*)
-        pf.groupBy(col("batch_id"))
-          .agg(count(lit(1)).as("n"),
-            array_sort(collect_list(payload)).as("rows"))
+      case None => ScDataset.defaultAssembly(pf, cols)
     }
     hooks.batchTransform(bf)
   }
@@ -178,5 +174,18 @@ final case class ScDataset(
       def hasNext: Boolean = it.hasNext
       def next(): Row = it.next()
     }
+  }
+}
+
+object ScDataset {
+  /** The default batch assembly (one row per batch: batch_id, n, ordered
+    * payload array) — shared with [[AutoConfig.estimateSampleBytes]] so the
+    * A5 size probe measures exactly what the real pipeline materializes. */
+  private[core] def defaultAssembly(pf: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    val payload = struct((col("pos_in_batch") +: cols.map(col)): _*)
+    pf.groupBy(col("batch_id"))
+      .agg(count(lit(1)).as("n"),
+        array_sort(collect_list(payload)).as("rows"))
   }
 }

@@ -107,6 +107,11 @@ object TextOps {
     * same fix as the MinHash signature kernel ([[DedupOps]]). */
   private def gateKernel(minTokens: Long, maxTokens: Long, minQuality: Double,
       langs: Seq[String]): (String => Array[Long]) = {
+    // the kernel's precedence chain below is written against exactly this
+    // language list/order — fail loudly at build, not per-row, if Markers
+    // ever changes shape
+    require(Markers.map(_._1) == Seq("de", "es", "fr", "en"),
+      "gateKernel's precedence chain is coupled to Markers order (de,es,fr,en)")
     val langSet = langs.toSet
     val stop = Stopwords.toSet
     val markerSets: Array[(String, Set[String])] =
@@ -135,8 +140,9 @@ object TextOps {
             m += 1
           }
         }
-        // Markers order is (de, es, fr, en); precedence mirrors langId()
-        val Array(de, es, fr, en) = hits
+        // precedence mirrors langId(); indices follow Markers order,
+        // asserted at kernel build (see gateKernel's require)
+        val de = hits(0); val es = hits(1); val fr = hits(2); val en = hits(3)
         val lang =
           if (de > en && de > es && de > fr) 0
           else if (es > en && es > fr) 1
@@ -160,8 +166,9 @@ object TextOps {
     }
   }
 
-  /** Index→code table for the packed lang field of [[gateKernel]]. */
-  private val LangNames = Array("de", "es", "fr", "en")
+  /** Index→code table for the packed lang field of [[gateKernel]] —
+    * derived from [[Markers]] so the two cannot drift. */
+  private val LangNames: Array[String] = Markers.map(_._1).toArray
 
   /** One-pass C4/Gopher-style quality gate: per-document features + language
     * prediction + the gate itself computed in a single per-row kernel pass
