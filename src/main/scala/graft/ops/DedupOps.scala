@@ -47,7 +47,7 @@ object DedupOps {
   /** JVM mirror of the tokenize→k-shingle pipeline in [[TextOps]]
     * (split(lower, \s+) with empties removed; short docs yield one shingle =
     * the whole token string) — byte-identical inputs to the md5 hashes. */
-  private def shinglesOf(text: String, k: Int): Array[String] = {
+  private[ops] def shinglesOf(text: String, k: Int): Array[String] = {
     val toks = Ws.split(text.toLowerCase(java.util.Locale.ROOT), -1)
       .filter(_.nonEmpty)
     if (toks.length >= k) {
