@@ -84,17 +84,65 @@ object TextOps {
   def markerHits(toks: Column, set: Seq[String]): Column =
     size(filter(toks, t => t.isin(set: _*)))
 
+  private lazy val StopSet = Stopwords.toSet
+  private lazy val MarkerSets: Array[Set[String]] =
+    Markers.map(_._2.toSet).toArray
+
+  /** One-pass per-document feature walk shared by [[qualityFeatures]] and
+    * [[langId]]: tokenize ONCE and return
+    * [n_tokens, punct_cnt, char_sum, stop_hits, de, es, fr, en] as exact
+    * integers (all float math stays in native codegen'd expressions above,
+    * preserving the oracle's IEEE operation order bit-for-bit).  Same
+    * kernel-over-interpreted-HOF rationale as [[gateKernel]]. */
+  private def featureKernel: String => Array[Long] = { text =>
+    if (text == null) null
+    else {
+      val toks = Ws.split(text.toLowerCase(java.util.Locale.ROOT), -1)
+        .filter(_.nonEmpty)
+      var punct = 0L
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c == '.' || c == ',' || c == '!' || c == '?' || c == ';' ||
+          c == ':') punct += 1
+        i += 1
+      }
+      var charSum = 0L
+      var stop = 0L
+      val hits = new Array[Long](MarkerSets.length)
+      toks.foreach { tk =>
+        // codePointCount mirrors Spark's length() (codepoints, not chars)
+        charSum += tk.codePointCount(0, tk.length)
+        if (StopSet(tk)) stop += 1
+        var m = 0
+        while (m < MarkerSets.length) {
+          if (MarkerSets(m)(tk)) hits(m) += 1
+          m += 1
+        }
+      }
+      Array(toks.length.toLong, punct, charSum, stop,
+        hits(0), hits(1), hits(2), hits(3))
+    }
+  }
+
   /** Heuristic language ID: marker-token hit counts per language, strict
     * argmax in fixed precedence order (de, es, fr), default "en".  The SQL
     * mirror uses the same CASE precedence, so prediction is deterministic
-    * even on marker-free text. */
+    * even on marker-free text.  One kernel pass per row (the expression
+    * form walked the interpreted tokens() tree once per marker set). */
   def langId(text: Column): Column = {
-    val t = tokens(text)
-    val s = Markers.map { case (l, set) => l -> markerHits(t, set) }.toMap
-    when(s("de") > s("en") && s("de") > s("es") && s("de") > s("fr"), "de")
-      .when(s("es") > s("en") && s("es") > s("fr"), "es")
-      .when(s("fr") > s("en"), "fr")
-      .otherwise("en")
+    val f = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val fts = featureKernel(t)
+        val de = fts(4); val es = fts(5); val fr = fts(6); val en = fts(7)
+        if (de > en && de > es && de > fr) "de"
+        else if (es > en && es > fr) "es"
+        else if (fr > en) "fr"
+        else "en"
+      }
+    }
+    f(text)
   }
 
   /** Count of sentence-punctuation characters. */
@@ -264,27 +312,30 @@ object TextOps {
 
   /** Quality features + a composite score in [0,1] (length, punctuation
     * density, stopword density — the usual cheap pre-filters before
-    * expensive model-based scoring). */
+    * expensive model-based scoring).  One [[featureKernel]] pass behind a
+    * single-element Generate barrier (so projection collapse cannot
+    * re-evaluate it); the float math is native codegen'd expressions with
+    * the exact operation order of the SQL oracle. */
   def qualityFeatures(df: DataFrame, text: Column, idCol: Column): DataFrame = {
-    val t = tokens(text)
-    val nTok = size(t)
-    val stopHits = markerHits(t, Stopwords)
-    val charSum = aggregate(t, lit(0), (acc, tk) => acc + length(tk))
-    df.select(
-      idCol.as("doc_id"),
-      nTok.cast("long").as("n_tokens"),
-      punctCount(text).cast("long").as("punct_cnt"),
-      round(charSum.cast("double") / greatest(nTok, lit(1)).cast("double"), 6)
-        .as("avg_token_len"),
-      round(stopHits.cast("double") / greatest(nTok, lit(1)).cast("double"), 6)
-        .as("stop_ratio"),
-      round(
-        lit(0.4) * least(lit(1.0), nTok.cast("double") / lit(200.0)) +
-        lit(0.3) * (lit(1.0) - least(lit(1.0),
-          punctCount(text).cast("double") / greatest(nTok, lit(1)).cast("double"))) +
-        lit(0.3) * least(lit(1.0),
-          (markerHits(t, Stopwords).cast("double") /
-            greatest(nTok, lit(1)).cast("double")) * lit(5.0)),
-        6).as("quality"))
+    val f = udf(featureKernel)
+    val g = col("g")
+    val n = element_at(g, 1)
+    val punct = element_at(g, 2)
+    val charSum = element_at(g, 3)
+    val stop = element_at(g, 4)
+    val nG = greatest(n, lit(1L)).cast("double")
+    DedupOps.parallelized(df)
+      .select(idCol.as("doc_id"), explode(array(f(text))).as("g"))
+      .select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        punct.as("punct_cnt"),
+        round(charSum.cast("double") / nG, 6).as("avg_token_len"),
+        round(stop.cast("double") / nG, 6).as("stop_ratio"),
+        round(
+          lit(0.4) * least(lit(1.0), n.cast("double") / lit(200.0)) +
+          lit(0.3) * (lit(1.0) - least(lit(1.0), punct.cast("double") / nG)) +
+          lit(0.3) * least(lit(1.0), (stop.cast("double") / nG) * lit(5.0)),
+          6).as("quality"))
   }
 }
