@@ -43,7 +43,11 @@ object Bench {
       // kernel query happens to run first)
       val warmUdf = udf((s: String) => if (s == null) 0 else s.length)
       spark.range(10000L).select(warmUdf(col("id").cast("string"))).count()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // a broken warm-up silently shifts JIT/codegen cost onto the first
+      // timed query and skews cross-round comparison — make it visible
+      System.err.println(s"[bench] warm-up FAILED (timings will include JIT): $e")
+    }
     // name-sorted so per-query timings stay comparable across rounds even
     // as the query set grows (Map iteration order reshuffles per round)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -40,16 +40,24 @@ object AutoConfig {
   def estimateSampleBytes(df: DataFrame, hooks: Hooks = Hooks(),
       probeRows: Int = 16): Long = {
     import org.apache.spark.sql.functions._
-    // single-partition window over ≤ probeRows rows — a bounded probe
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(monotonically_increasing_id())
+    // the probe stages the reserved plan columns over the user frame; a
+    // colliding user column would be silently overwritten and then EXCLUDED
+    // from payload sizing — fail loudly instead of under-measuring
+    val reserved = Set(SamplingStrategy.Ord, "fetch_id", "batch_id",
+      "pos_in_batch", "__pos")
+    val clash = df.columns.filter(reserved)
+    require(clash.isEmpty,
+      s"input columns collide with reserved plan names: ${clash.mkString(", ")}")
     // plan columns first, fetchTransform second — same order and SAME
     // column set as ScDataset.planFrame (__ord/fetch_id/__pos/batch_id/
     // pos_in_batch), so a hook that references any plan column works
     // identically here.  Each probe row is its own batch and its own fetch.
+    // coalesce(1) makes monotonically_increasing_id contiguous 0..n-1 (one
+    // partition → no partition offset) — a partition-less rank window here
+    // would log WindowExec's single-partition warning on every probe.
     val pf = hooks.fetchTransform(
-      df.limit(probeRows)
-        .withColumn("batch_id", row_number().over(w).cast("long") - 1)
+      df.limit(probeRows).coalesce(1)
+        .withColumn("batch_id", monotonically_increasing_id())
         .withColumn(SamplingStrategy.Ord, col("batch_id"))
         .withColumn("fetch_id", col("batch_id"))
         .withColumn("__pos", col("batch_id"))
@@ -74,9 +82,17 @@ object AutoConfig {
     * :434-436; fetch budget 2·bs·ff·workers·sample < 0.2·RAM :448-462;
     * block tiers ff/2, ff, 2·ff :465-471; prefetch = ff+1 :470-471). */
   def suggest(spark: SparkSession, sampleBytes: Long, batchSize: Int,
-      ramBytes: Long = Runtime.getRuntime.maxMemory): Suggestion = {
-    require(sampleBytes > 0 && batchSize > 0)
-    val cores = spark.sparkContext.defaultParallelism
+      ramBytes: Long = Runtime.getRuntime.maxMemory): Suggestion =
+    suggestFor(spark.sparkContext.defaultParallelism, sampleBytes, batchSize,
+      ramBytes)
+
+  /** The pure arithmetic of [[suggest]] with every input explicit — no
+    * session, no JVM probes.  This is what the `a6_autoconfig` oracle
+    * checks: the formula over a fixed (cores, sampleBytes, batchSize, ram)
+    * grid is SQL-reproducible even though SizeEstimator probes are not. */
+  def suggestFor(cores: Int, sampleBytes: Long, batchSize: Int,
+      ramBytes: Long): Suggestion = {
+    require(cores > 0 && sampleBytes > 0 && batchSize > 0)
     val workers = math.max(1, math.min(cores / 2, 16))
     val budget = (0.2 * ramBytes).toLong
     val rawFf = budget / (2L * batchSize * workers * sampleBytes)

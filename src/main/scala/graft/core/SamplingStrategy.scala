@@ -62,6 +62,14 @@ object SamplingStrategy {
     * distributed path on small inputs. */
   @volatile private[graft] var BlockTableCap: Long = 1000000L
 
+  /** Broadcast gate for the final (rowId, copy, ord) sample index of
+    * [[BlockWeightedSampling]]: an index of at most this many rows
+    * (~24 bytes each — ~48 MB at the default) is broadcast so the wide
+    * payload side is never shuffled or sorted; beyond it both sides hash on
+    * rowId (the right plan once the index itself is data-sized).  Mutable
+    * ONLY so specs can force the shuffle-join path on small inputs. */
+  @volatile private[graft] var IndexBroadcastCap: Long = 2000000L
+
   /** Shared tail: given rows ranked 0..m-1 by `rankCol`, group into
     * contiguous blocks of `blockSize`, permute BLOCK order with a
     * deterministic per-block key, preserve intra-block order, and emit the
@@ -357,6 +365,10 @@ final case class BlockWeightedSampling(
         // ORDER BY akey DESC, rowId LIMIT k.
         def topK(keyed: DataFrame, k: Long): DataFrame =
           if (k <= ReservoirCap) {
+            // the reservoir buffer is an int-indexed array — a cap raised
+            // past Int.MaxValue must not silently truncate k.toInt below
+            require(k <= Int.MaxValue.toLong,
+              s"reservoir draw k=$k exceeds Int.MaxValue; lower ReservoirCap")
             // driver-sized k: single-pass bounded top-k (WeightedReservoir
             // aggregate, ≤2k-entry partial buffers) + broadcast semi join —
             // no data-wide sort.  The broadcast (k ids, ≤8 MB) also
@@ -400,7 +412,7 @@ final case class BlockWeightedSampling(
             .drop("__akey", "__w")
             .withColumn(Copy, lit(1L)) // LONG like every other plan shape
         } else if (roundSizes.size <= 32 &&
-            roundSizes.forall(_ <= ReservoirCap)) {
+            roundSizes.forall(k => k <= ReservoirCap && k <= Int.MaxValue.toLong)) {
           // all rounds driver-sized: ONE pass computes every round's
           // reservoir simultaneously (R agg columns, R bounded buffers per
           // task), the concatenated draws collapse to per-row copy counts,
@@ -451,7 +463,7 @@ final case class BlockWeightedSampling(
     // columns.  A driver-sized index (24 bytes × totalSize) is broadcast so
     // the payload side is never shuffled or sorted; beyond that the
     // shuffle join is the right plan (both sides hash on rowId).
-    val indexB = if (totalSize <= 2000000L) broadcast(index) else index
+    val indexB = if (totalSize <= IndexBroadcastCap) broadcast(index) else index
     wide.drop(Ord).join(indexB, Seq(sc.rowId))
   }
 

@@ -129,7 +129,11 @@ object TextOps {
     * argmax in fixed precedence order (de, es, fr), default "en".  The SQL
     * mirror uses the same CASE precedence, so prediction is deterministic
     * even on marker-free text.  One kernel pass per row (the expression
-    * form walked the interpreted tokens() tree once per marker set). */
+    * form walked the interpreted tokens() tree once per marker set).
+    *
+    * Null contract: null text → null prediction (null-in/null-out), mirrored
+    * by an explicit IS NULL guard in the oracle SQL — a plain CASE chain
+    * would silently fall through to 'en' on null inputs. */
   def langId(text: Column): Column = {
     val f = udf { (t: String) =>
       if (t == null) null
@@ -165,12 +169,18 @@ object TextOps {
     val counts = df.select(explode(split(lower(text), "\\s+")).as("token"))
       .where(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("cnt"))
-    // top-k by (cnt desc, token): orderBy+limit compiles to TakeOrdered.
-    // The rank is re-derived pointwise on the k collected rows.
-    val top = counts.orderBy(col("cnt").desc, col("token")).limit(k)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("token"))
-    top.withColumn("rank", (row_number().over(w) - 1).cast("long"))
+    // top-k by (cnt desc, token): orderBy+limit+collect compiles to
+    // TakeOrdered — ≤ k rows ever reach the driver.  The rank is assigned on
+    // the collected rows instead of a partition-less window: Spark's
+    // optimizer strips any constant partition key, so such a window would
+    // log WindowExec's single-partition warning on every run, masking a
+    // REAL data-wide single-partition window introduced later.
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(k).collect()
+    val spark = df.sparkSession
+    import spark.implicits._
+    spark.createDataset(top.toSeq.zipWithIndex.map { case (r, i) =>
+      (r.getString(0), r.getLong(1), i.toLong)
+    }).toDF("token", "cnt", "rank")
   }
 
   private val Ws = java.util.regex.Pattern.compile("\\s+")
@@ -241,7 +251,10 @@ object TextOps {
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
         // quality has 6 decimals in [0,1] → quality*1e6 is an integer in
         // [0, 1e6]; pack (lang | n_tokens | quality_micros) into one long
-        // (2 + 30 + 20 bits).  n is bounded by text length << 2^30.
+        // (2 + 30 + 20 bits).  n is bounded by text length, but a
+        // pathological ~2^31-char document of 1-char tokens could reach the
+        // 30-bit field — fail loudly instead of corrupting the packed long.
+        require(n < (1 << 30), s"document of $n tokens overflows the packed field")
         val qMicros = math.rint(quality * 1e6).toLong
         if (n >= minTokens && n <= maxTokens && quality >= minQuality &&
           langSet(LangNames(lang)))
@@ -315,7 +328,12 @@ object TextOps {
     * expensive model-based scoring).  One [[featureKernel]] pass behind a
     * single-element Generate barrier (so projection collapse cannot
     * re-evaluate it); the float math is native codegen'd expressions with
-    * the exact operation order of the SQL oracle. */
+    * the exact operation order of the SQL oracle.
+    *
+    * Null contract: null text → every feature null (null-in/null-out).  The
+    * quality composite needs an explicit guard because Spark's
+    * `least`/`greatest` SKIP null operands — without it a null row would
+    * score a spurious 0.7; the oracle SQL carries the same IS NULL guard. */
   def qualityFeatures(df: DataFrame, text: Column, idCol: Column): DataFrame = {
     val f = udf(featureKernel)
     val g = col("g")
@@ -332,10 +350,10 @@ object TextOps {
         punct.as("punct_cnt"),
         round(charSum.cast("double") / nG, 6).as("avg_token_len"),
         round(stop.cast("double") / nG, 6).as("stop_ratio"),
-        round(
+        when(n.isNotNull, round(
           lit(0.4) * least(lit(1.0), n.cast("double") / lit(200.0)) +
           lit(0.3) * (lit(1.0) - least(lit(1.0), punct.cast("double") / nG)) +
           lit(0.3) * least(lit(1.0), (stop.cast("double") / nG) * lit(5.0)),
-          6).as("quality"))
+          6)).as("quality"))
   }
 }

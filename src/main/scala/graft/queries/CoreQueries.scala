@@ -116,10 +116,15 @@ object CoreQueries {
     // U8: dictionary label encoding (string -> dense id by sorted order)
     "u8_label_encode" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val dict = docs.select("lang").distinct()
-        .withColumn("label_id",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy("lang")) - 1)
+      // the label dictionary is the distinct label set — driver-sized by
+      // definition; ids are assigned on the collected sorted values (a
+      // partition-less window here would log WindowExec's single-partition
+      // warning on every run — Spark strips constant partition keys)
+      import s.implicits._
+      val dict = s.createDataset(
+        docs.select("lang").distinct().orderBy("lang").collect()
+          .map(_.getString(0)).zipWithIndex.map { case (l, i) => (l, i) }
+          .toSeq).toDF("lang", "label_id")
       docs.join(broadcast(dict), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("label_id").cast("long"))
     })

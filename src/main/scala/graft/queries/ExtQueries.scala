@@ -347,11 +347,11 @@ object ExtQueries {
         |SELECT doc_id, n_tokens, punct_cnt,
         |  round(char_sum::DOUBLE / greatest(n_tokens, 1)::DOUBLE, 6) AS avg_token_len,
         |  round(stop_hits::DOUBLE / greatest(n_tokens, 1)::DOUBLE, 6) AS stop_ratio,
-        |  round(
+        |  CASE WHEN n_tokens IS NULL THEN NULL ELSE round(
         |    0.4 * least(CAST(1.0 AS DOUBLE), n_tokens::DOUBLE / 200.0) +
         |    0.3 * (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_cnt::DOUBLE / greatest(n_tokens, 1)::DOUBLE)) +
         |    0.3 * least(CAST(1.0 AS DOUBLE), (stop_hits::DOUBLE / greatest(n_tokens, 1)::DOUBLE) * 5.0),
-        |    6) AS quality
+        |    6) END AS quality
         |FROM f""".stripMargin,
 
     "text_langid" ->
@@ -369,7 +369,8 @@ object ExtQueries {
         |  FROM t
         |)
         |SELECT doc_id, lang,
-        |  CASE WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+        |  CASE WHEN s_de IS NULL THEN NULL
+        |       WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
         |       WHEN s_es > s_en AND s_es > s_fr THEN 'es'
         |       WHEN s_fr > s_en THEN 'fr'
         |       ELSE 'en' END AS lang_pred

@@ -197,6 +197,20 @@ class CoreSpec extends AnyFunSuite {
     } finally SamplingStrategy.ReservoirCap = cap
   }
 
+  test("shuffle-join index fallback (totalSize > IndexBroadcastCap) matches broadcast path") {
+    val sc = mkCollection(500)
+    def run() = BlockWeightedSampling(col("w"), totalSize = 1000, blockSize = 8,
+      rng = Rng.Md5).plan(sc, 11)
+      .select("k", SamplingStrategy.Copy, Ord).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+    val viaBroadcast = run()
+    val cap = SamplingStrategy.IndexBroadcastCap
+    try {
+      SamplingStrategy.IndexBroadcastCap = 0L // force the shuffle join
+      assert(run() == viaBroadcast)
+    } finally SamplingStrategy.IndexBroadcastCap = cap
+  }
+
   test("ClassBalancedSampling balances an imbalanced label") {
     import spark.implicits._
     // 70/20/10 imbalance like reference tests/conftest.py:55-59
