@@ -118,6 +118,67 @@ object DedupOps {
     df.join(keep, id === col("keeper_id"), "left_semi")
   }
 
+  /** Documents exploded into normalized paragraphs: split on `sepRegex`,
+    * trimmed, empties dropped; `para_idx` indexes the surviving paragraphs
+    * 0..m-1 in document order.  Output: (doc_id, para_idx, para_hash, para).
+    * A narrow map (no shuffle) — the paragraph stream is the input to the
+    * corpus-wide grouping of [[paragraphExact]]. */
+  def paragraphs(df: DataFrame, text: Column, id: Column,
+      sepRegex: String = "\\n{2,}"): DataFrame =
+    parallelized(df)
+      .select(id.as("doc_id"),
+        posexplode(filter(transform(split(text, sepRegex), p => trim(p)),
+          p => p =!= "")))
+      .select(col("doc_id"), col("pos").cast("long").as("para_idx"),
+        md5(col("col")).as("para_hash"), col("col").as("para"))
+
+  /** Paragraph-level exact dedup — the span tier of corpus curation (the
+    * "Deduplicating Training Data Makes Language Models Better" recipe,
+    * Lee et al. 2022: repeated spans are removed ACROSS documents, not just
+    * whole-document dups).  Every paragraph instance is labeled with its
+    * corpus-wide group: `is_keeper` marks the (doc_id, para_idx)-first
+    * occurrence of each distinct normalized paragraph, `dup_cnt` the group
+    * size.  Output: (doc_id, para_idx, para_hash, is_keeper, dup_cnt).
+    *
+    * Physical shape: one shuffle keyed on the 32-char digest (both window
+    * functions share the single partition spec — never the raw text), same
+    * as [[exactGroups]]; the paragraph explode itself is a narrow map.  At
+    * 100 TB the digest table is ~40 bytes × paragraphs — the shuffle payload
+    * is independent of document size. */
+  def paragraphExact(df: DataFrame, text: Column, id: Column,
+      sepRegex: String = "\\n{2,}"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("para_hash").orderBy("doc_id", "para_idx")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("para_hash")
+    paragraphs(df, text, id, sepRegex)
+      .withColumn("is_keeper", row_number().over(w) === 1)
+      .withColumn("dup_cnt", count(lit(1)).over(wAll))
+      .drop("para")
+  }
+
+  /** Rebuild each document's text with every non-keeper paragraph removed
+    * (corpus-wide first occurrence survives), paragraphs re-joined with
+    * `joinSep`.  Documents whose paragraphs are ALL duplicates come out as
+    * the empty string — the caller decides whether to drop them.  One
+    * digest-keyed shuffle (the keeper window) + one groupBy doc_id. */
+  def paragraphDedupedText(df: DataFrame, text: Column, id: Column,
+      sepRegex: String = "\\n{2,}", joinSep: String = "\n"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("para_hash").orderBy("doc_id", "para_idx")
+    val kept = paragraphs(df, text, id, sepRegex)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("para_idx"), col("para")))),
+          x => x("para")),
+        joinSep).as("deduped_text"))
+    // left join from the original ids: fully-duplicate documents stay, empty
+    df.select(id.as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("deduped_text"), lit("")).as("deduped_text"))
+  }
+
   /** Ensure at least default parallelism under the per-row kernels.  A small
     * corpus arrives as one file = one partition, serializing the UDF.  The
     * partition probe (df.rdd) is only safe on plain scans: under AQE,
@@ -341,6 +402,60 @@ object DedupOps {
       .distinct()
   }
 
+  /** Persist a corpus's MinHash LSH band table as a dedup INDEX for
+    * incremental ingestion: the [[minhashBands]] output written as parquet.
+    * Real pipelines ingest continuously — the index lets a new shard be
+    * deduped against everything seen so far WITHOUT recomputing the old
+    * corpus's signatures ([[minhashCandidatesAgainst]]), and
+    * [[minhashIndexAppend]] keeps it current after each shard. */
+  def minhashIndexWrite(df: DataFrame, text: Column, id: Column, dir: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit =
+    minhashBands(df, text, id, k, numHashes, bands)
+      .write.mode("overwrite").parquet(dir)
+
+  /** Append a new shard's band table to a persisted index (call after the
+    * shard has been deduped via [[minhashCandidatesAgainst]]). */
+  def minhashIndexAppend(df: DataFrame, text: Column, id: Column, dir: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit =
+    minhashBands(df, text, id, k, numHashes, bands)
+      .write.mode("append").parquet(dir)
+
+  /** Incremental MinHash dedup: candidate near-dup pairs of a NEW shard
+    * against a persisted band index ([[minhashIndexWrite]]) plus the shard
+    * itself — equal to the full-corpus [[minhashCandidates]] restricted to
+    * pairs touching at least one new document (ids must be disjoint from the
+    * indexed corpus; a shared id is treated as the same document and never
+    * paired with itself).  Output: (doc_a, doc_b) distinct, doc_a < doc_b.
+    *
+    * Physical shape: only the NEW shard is signature-hashed (the expensive
+    * kernel); the index side is a plain parquet scan joined on
+    * (band, band_key).  When the shard is small relative to the index — the
+    * steady state of continuous ingestion — AQE broadcasts the shard's band
+    * table, so the multi-TB index is scanned map-side and NEVER shuffled;
+    * both sides only ever exchange on the bucket key beyond that. */
+  def minhashCandidatesAgainst(indexDir: String, newDf: DataFrame,
+      text: Column, id: Column, k: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val spark = newDf.sparkSession
+    val nb = graft.core.CacheScope.persist(
+      minhashBands(newDf, text, id, k, numHashes, bands), eager = true)
+    val ob = spark.read.parquet(indexDir)
+    val oldNew = ob.as("a")
+      .join(nb.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val newNew = nb.as("a")
+      .join(nb.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    oldNew.unionByName(newNew).distinct()
+  }
+
   /** 60-bit SimHash over word-3-shingles (with multiplicity): bit i is the
     * sign of the shingle-population vote, where each shingle votes +1/-1 by
     * bit i of its 60-bit md5-derived hash (the first 15 md5 hex chars —
@@ -391,22 +506,59 @@ object DedupOps {
     * at corpus scale the per-bucket population is n/2^15 per band, so the
     * in-bucket self-join stays near-linear (the previous 16-bit/2-band
     * form had 256 buckets total — quadratic blow-up at 100 TB). */
-  def simhashCandidates(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val sig = graft.core.CacheScope.persist(
+  /** (doc_id, sh, band, key): the 60-bit signature exploded into its four
+    * 15-bit band buckets, signature carried alongside so a Hamming confirm
+    * needs no extra join back to the signature table.  Persisted — the
+    * signature kernel runs once. */
+  private def simhashBanded(df: DataFrame, text: Column, id: Column): DataFrame =
+    graft.core.CacheScope.persist(
       parallelized(df)
         .select(id.as("doc_id"), simhash60(text).as("sh"))
-        .select(col("doc_id"), explode(array((0 until 4).map(b =>
+        .select(col("doc_id"), col("sh"), explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftright(col("sh"), 15 * b).bitwiseAND(32767).as("key"))): _*))
           .as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key")),
+        .select(col("doc_id"), col("sh"), col("b.band").as("band"),
+          col("b.key").as("key")),
       eager = true)
+
+  def simhashCandidates(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val sig = simhashBanded(df, text, id)
     sig.as("a")
       .join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** SimHash near-dup pairs CONFIRMED by Hamming distance:
+    * [[simhashCandidates]]'s band collisions filtered by
+    * `popcount(sh_a XOR sh_b) <= maxHamming` — the cheap verify stage the
+    * candidate list lacks (MinHash candidates confirm via
+    * [[ngramJaccardPairs]]; this is the SimHash analogue).  Output:
+    * (doc_a, doc_b, hamming), doc_a < doc_b.
+    *
+    * Recall contract: for `maxHamming <= 3` the result is EXACT over the
+    * signature space — any two 60-bit signatures within Hamming distance 3
+    * agree on at least one of the four 15-bit bands, so the pair collides.
+    * Beyond 3 the banding bounds recall (standard simhash blocking).  The
+    * signatures ride along the band table, so the confirm is a pointwise
+    * integer expression on the join output — no extra shuffle. */
+  def simhashPairs(df: DataFrame, text: Column, id: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = simhashBanded(df, text, id)
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct() // (doc_a, doc_b) determine (sh_a, sh_b): distinct pairs
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
   }
 
   /** Duplicate-cluster extraction: connected components over a candidate

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Round-9 queries: the next dedup tier for continuous corpus curation —
+  * paragraph-level exact dedup (repeated spans across documents), the
+  * SimHash Hamming confirm stage, and incremental dedup of a new shard
+  * against a persisted MinHash band index.  All oracle-checked.
+  */
+object R9Queries {
+
+  import Tables.docs
+
+  /** The synthetic documents carry no newlines, so the paragraph queries
+    * split on a literal token separator that occurs mid-document (" table ")
+    * — same left-to-right non-overlapping split in Spark and DuckDB.  Real
+    * corpora would pass the default blank-line regex. */
+  private val ParaSep = " table "
+
+  /** Shared oracle CTE: documents exploded into normalized paragraphs with
+    * 0-based indexes over the surviving (trimmed, non-empty) paragraphs. */
+  private val ParaCte =
+    """WITH p0 AS (
+      |  SELECT doc_id,
+      |         list_filter(list_transform(string_split(text, ' table '),
+      |           x -> trim(x)), x -> x <> '') AS ps
+      |  FROM documents
+      |),
+      |x AS (
+      |  SELECT doc_id, unnest(generate_series(1, len(ps))) AS i, ps
+      |  FROM p0
+      |),
+      |p AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS para_idx, ps[i] AS para,
+      |         md5(ps[i]) AS para_hash
+      |  FROM x
+      |)""".stripMargin
+
+  /** Shared oracle CTE: the MinHash band table over ALL documents (same
+    * signature construction as the dd_minhash_* oracles). */
+  private val BandCte =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+      |  FROM documents
+      |),
+      |shg AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) >= 3
+      |              THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+      |              ELSE [array_to_string(t, ' ')] END) AS shs
+      |  FROM toks
+      |),
+      |sig AS (
+      |  SELECT doc_id,
+      |         list_transform(generate_series(0, 15), j ->
+      |           list_min(list_transform(shs, sgl ->
+      |             (('0x' || substr(md5(sgl), 1, 15))::BIGINT
+      |              + j * ('0x' || substr(md5(sgl), 17, 14))::BIGINT)
+      |             % 1152921504606846976))) AS sg
+      |  FROM shg
+      |),
+      |b AS (SELECT doc_id, sg, unnest(generate_series(0, 3)) AS band FROM sig),
+      |bk AS (
+      |  SELECT doc_id, band,
+      |         md5(array_to_string(sg[band * 4 + 1 : band * 4 + 4], ',')) AS band_key
+      |  FROM b
+      |)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Paragraph-level exact dedup: every paragraph instance labeled with its
+    // corpus-wide keeper flag and duplicate-group size
+    "dd_para_exact" -> ((s, dir) =>
+      DedupOps.paragraphExact(docs(s, dir), col("text"), col("doc_id"),
+        sepRegex = ParaSep)),
+
+    // Paragraph dedup applied: rebuild each document with non-first
+    // paragraph occurrences removed
+    "dd_para_dedup" -> ((s, dir) =>
+      DedupOps.paragraphDedupedText(docs(s, dir), col("text"), col("doc_id"),
+        sepRegex = ParaSep, joinSep = " ")),
+
+    // SimHash candidates confirmed by Hamming distance over the 60-bit
+    // signatures (threshold wide enough to keep the planted near-dups,
+    // tight enough to cut band-collision noise)
+    "dd_simhash_ham" -> ((s, dir) =>
+      DedupOps.simhashPairs(docs(s, dir), col("text"), col("doc_id"),
+        maxHamming = 20)),
+
+    // Incremental dedup: even-id documents are the already-indexed corpus
+    // (band table persisted), odd-id documents the newly ingested shard;
+    // candidates = full-corpus pairs touching at least one new doc
+    "dd_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val indexed = d.where(col("doc_id") % 2 === 0)
+      val shard = d.where(col("doc_id") % 2 === 1)
+      val idx = System.getProperty("java.io.tmpdir") +
+        "/graft_mh_index_" + Integer.toHexString(dir.hashCode)
+      DedupOps.minhashIndexWrite(indexed, col("text"), col("doc_id"), idx)
+      DedupOps.minhashCandidatesAgainst(idx, shard, col("text"), col("doc_id"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "dd_para_exact" ->
+      s"""$ParaCte
+         |SELECT doc_id, para_idx, para_hash,
+         |       row_number() OVER (PARTITION BY para_hash
+         |         ORDER BY doc_id, para_idx) = 1 AS is_keeper,
+         |       count(*) OVER (PARTITION BY para_hash) AS dup_cnt
+         |FROM p""".stripMargin,
+
+    "dd_para_dedup" ->
+      s"""$ParaCte,
+         |k AS (
+         |  SELECT *, row_number() OVER (PARTITION BY para_hash
+         |    ORDER BY doc_id, para_idx) AS rn
+         |  FROM p
+         |),
+         |r AS (
+         |  SELECT doc_id, string_agg(para, ' ' ORDER BY para_idx) AS deduped_text
+         |  FROM k WHERE rn = 1 GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(r.deduped_text, '') AS deduped_text
+         |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin,
+
+    "dd_simhash_ham" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |),
+        |shg AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) >= 3
+        |              THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+        |              ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks
+        |),
+        |h AS (
+        |  SELECT doc_id,
+        |         list_transform(shs, tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS hs
+        |  FROM shg
+        |),
+        |sg AS (
+        |  SELECT doc_id,
+        |       CAST(list_reduce(list_transform(generate_series(0, 59), i ->
+        |         CASE WHEN list_reduce(list_transform(hs, hv ->
+        |                CASE WHEN ((hv >> i) & 1) = 1 THEN 1 ELSE -1 END), (a, b) -> a + b) > 0
+        |              THEN (1::BIGINT << i) ELSE 0::BIGINT END), (a, b) -> a + b) AS BIGINT) AS sh
+        |  FROM h
+        |),
+        |b AS (
+        |  SELECT doc_id, sh, band, (sh >> (15 * band)) & 32767 AS key
+        |  FROM sg CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band)
+        |),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |         x.sh AS sh_a, y.sh AS sh_b
+        |  FROM b x JOIN b y
+        |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        |)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sh_a, sh_b)) <= 20""".stripMargin,
+
+    "dd_incremental" ->
+      s"""$BandCte
+         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |FROM bk x JOIN bk y
+         |  ON x.band = y.band AND x.band_key = y.band_key
+         |  AND x.doc_id < y.doc_id
+         |WHERE x.doc_id % 2 = 1 OR y.doc_id % 2 = 1""".stripMargin
+  )
+}

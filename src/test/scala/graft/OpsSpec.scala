@@ -24,8 +24,9 @@ class OpsSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((o -- q).isEmpty, s"oracles without queries: ${o -- q}")
-    // rows-only queries (no oracle) must be the documented exceptions only
-    assert((q -- o) == Set("a6_autoconfig", "ml_kmeans_ivf"), s"unexpected rows-only: ${q -- o}")
+    // every query is oracle-checked — no rows-only rows left (r9: the two
+    // former exceptions carry invariant oracles now)
+    assert((q -- o).isEmpty, s"unexpected rows-only: ${q -- o}")
   }
 
   test("exact dedup keeps the lowest-id row per distinct text") {
@@ -610,6 +611,80 @@ class OpsSpec extends AnyFunSuite {
     // empty text hashes like a one-shingle doc; null is excluded entirely
     assert(DedupOps.simhashCandidates(docs, col("text"), col("doc_id"))
       .count() >= 1)
+    graft.core.CacheScope.release()
+  }
+
+  test("paragraph dedup: corpus-wide first occurrence wins, rebuild drops repeats") {
+    val pd = Seq(
+      (10L, "one two\n\nshared para\n\nthree"),
+      (11L, "shared para\n\nunique eleven"),
+      (12L, "  \n\nshared para"), // leading empty paragraph is dropped
+    ).toDF("doc_id", "text")
+    val inst = DedupOps.paragraphExact(pd, col("text"), col("doc_id"))
+      .select("doc_id", "para_idx", "is_keeper", "dup_cnt")
+      .as[(Long, Long, Boolean, Long)].collect().toSet
+    // "shared para" appears in docs 10(idx1), 11(idx0), 12(idx0): keeper is
+    // the (doc_id, para_idx)-first = (10, 1); group size 3
+    assert(inst.contains((10L, 1L, true, 3L)))
+    assert(inst.contains((11L, 0L, false, 3L)))
+    assert(inst.contains((12L, 0L, false, 3L)))
+    assert(inst.contains((10L, 0L, true, 1L))) // unique paragraphs survive
+    val rebuilt = DedupOps.paragraphDedupedText(pd, col("text"), col("doc_id"))
+      .as[(Long, String)].collect().toMap
+    assert(rebuilt(10L) == "one two\nshared para\nthree")
+    assert(rebuilt(11L) == "unique eleven")
+    assert(rebuilt(12L) == "") // all paragraphs were duplicates
+  }
+
+  test("simhashPairs: Hamming confirm keeps near-dups, cuts band-collision noise") {
+    val sp = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "the quick brown fox jumps over the lazy cat and runs away fast"),
+      (3L, "completely unrelated legal boilerplate about contract termination"),
+    ).toDF("doc_id", "text")
+    val cand = DedupOps.simhashCandidates(sp, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    val confirmed = DedupOps.simhashPairs(sp, col("text"), col("doc_id"),
+      maxHamming = 20).as[(Long, Long, Long)].collect()
+    // confirm stage is a pure filter over the candidate set
+    assert(confirmed.map(p => (p._1, p._2)).toSet.subsetOf(cand))
+    // the exact dup survives at distance 0
+    val nd = confirmed.find(p => p._1 == 0L && p._2 == 1L)
+    assert(nd.nonEmpty && nd.get._3 == 0L)
+    // hamming values agree with a direct popcount over the signatures
+    val sigs = sp.select(col("doc_id"),
+        DedupOps.simhash60(col("text")).as("sh"))
+      .as[(Long, Long)].collect().toMap
+    confirmed.foreach { case (a, b, h) =>
+      assert(java.lang.Long.bitCount(sigs(a) ^ sigs(b)) == h)
+    }
+    graft.core.CacheScope.release()
+  }
+
+  test("incremental dedup against a persisted index == full-corpus dedup restricted to new docs") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different text with no overlap at all"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta"),
+    ).toDF("doc_id", "text")
+    val shard = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // dup of indexed 0
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"), // near-dup of 4
+      (5L, "alpha beta gamma delta epsilon zeta eta iota"), // dup of new 3
+      (7L, "nothing like anything else in any shard here today"),
+    ).toDF("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_idx").toString
+    DedupOps.minhashIndexWrite(corpus, col("text"), col("doc_id"), idx)
+    val inc = DedupOps.minhashCandidatesAgainst(idx, shard,
+      col("text"), col("doc_id")).as[(Long, Long)].collect().toSet
+    val newIds = Set(1L, 3L, 5L, 7L)
+    val full = DedupOps.minhashCandidates(corpus.unionByName(shard),
+        col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+      .filter(p => newIds(p._1) || newIds(p._2))
+    assert(inc == full && inc.contains((0L, 1L)) && inc.contains((3L, 5L)))
     graft.core.CacheScope.release()
   }
 }
