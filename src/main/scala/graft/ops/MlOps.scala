@@ -37,7 +37,15 @@ object MlOps {
     * trade once the training set no longer fits one heap. */
   def kmeansAssign(df: DataFrame, vec: Column, id: Column, k: Int,
       seed: Long, maxIter: Int = 10,
-      maxDriverRows: Long = 200000L): DataFrame = {
+      maxDriverRows: Long = 200000L): DataFrame =
+    kmeansFit(df, vec, id, k, seed, maxIter, maxDriverRows)._2
+
+  /** [[kmeansAssign]] plus the learned centroids — the centroid table is
+    * what downstream invariant checks (and an IVF search layer) need: each
+    * point's assigned cluster must be its argmin-distance centroid. */
+  def kmeansFit(df: DataFrame, vec: Column, id: Column, k: Int,
+      seed: Long, maxIter: Int = 10,
+      maxDriverRows: Long = 200000L): (Array[Array[Double]], DataFrame) = {
     val data = df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
     val probe = data
       .limit(math.min(maxDriverRows + 1, Int.MaxValue.toLong).toInt).collect()
@@ -45,8 +53,9 @@ object MlOps {
       val vdata = df.select(id.as("vec_id"), toVector(vec).as("features"))
       val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
         .fit(vdata)
-      return model.transform(vdata)
-        .select(col("vec_id"), col("prediction").cast("long").as("cluster"))
+      return (model.clusterCenters.map(_.toArray),
+        model.transform(vdata)
+          .select(col("vec_id"), col("prediction").cast("long").as("cluster")))
     }
     val vecs = probe.map(_.getSeq[Double](1).toArray)
     val n = vecs.length
@@ -141,6 +150,6 @@ object MlOps {
       }
       bi.toLong
     }
-    data.select(col("vec_id"), assignU(col("v")).as("cluster"))
+    (centers, data.select(col("vec_id"), assignU(col("v")).as("cluster")))
   }
 }

@@ -155,11 +155,35 @@ object CoverageQueries {
     "dd_simhash_pairs" -> ((s, dir) =>
       DedupOps.simhashCandidates(docs(s, dir), col("text"), col("doc_id"))),
 
-    // Learned IVF quantizer: seeded k-means cluster assignment (rows-only:
-    // iterative float fitting is not SQL-reproducible)
-    "ml_kmeans_ivf" -> ((s, dir) =>
-      MlOps.kmeansAssign(emb(s, dir), col("embedding"), col("vec_id"),
-        k = 8, seed = 42L)),
+    // Learned IVF quantizer: seeded k-means fit + assignment.  The
+    // iterative float fitting is not SQL-reproducible, so the ORACLE checks
+    // the geometric invariant instead: every point's assigned cluster is
+    // its argmin-distance centroid (same arithmetic on both sides of the
+    // comparison → exact equality), and every cluster id is in [0, k).  A
+    // violated invariant flips a boolean and fails the hash compare.
+    "ml_kmeans_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val k = 8
+      val (centers, asg) = MlOps.kmeansFit(e, col("embedding"),
+        col("vec_id"), k = k, seed = 42L)
+      val bc = s.sparkContext.broadcast(centers)
+      val okU = udf { (v: Seq[Double], cluster: Long) =>
+        val cs = bc.value
+        def d2(c: Array[Double]): Double = {
+          var s0 = 0.0; var i = 0
+          while (i < c.length) { val t = v(i) - c(i); s0 += t * t; i += 1 }
+          s0
+        }
+        var dmin = Double.MaxValue
+        var j = 0
+        while (j < cs.length) { val d = d2(cs(j)); if (d < dmin) dmin = d; j += 1 }
+        d2(cs(cluster.toInt)) == dmin
+      }
+      e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .join(asg, Seq("vec_id"))
+        .select(col("vec_id"), okU(col("v"), col("cluster")).as("argmin_ok"),
+          (col("cluster") >= 0 && col("cluster") < k).as("cluster_in_range"))
+    }),
 
     // U2+U3+U4: the full hook pipeline, end-to-end — fetchTransform derives
     // a column on the planned frame, batchAssemble overrides batch
@@ -198,28 +222,82 @@ object CoverageQueries {
           Seq("l_returnflag"))
     }),
 
-    // A4–A6: auto-config advisor (rows-only check: SizeEstimator numbers
-    // are JVM-build-specific, not SQL-reproducible)
+    // A6: parameter suggestion over a fixed (cores, sampleBytes, batchSize,
+    // ram) grid — the pure arithmetic of AutoConfig.suggestFor, which the
+    // oracle reproduces in SQL.  The SizeEstimator-based probe (A4/A5,
+    // JVM-build-specific, NOT SQL-reproducible) stays exercised by the
+    // estimateSampleBytes spec; this query pins the formula itself.
     "a6_autoconfig" -> ((s, dir) => {
-      val df = s.read.parquet(s"$dir/lineitem.parquet")
-      val sug = AutoConfig.suggest(s,
-        AutoConfig.estimateSampleBytes(df), batchSize = 64)
+      val grid = for {
+        cores <- Seq(8, 32, 1000)
+        sampleBytes <- Seq(256L, 4096L, 262144L, 1048576L)
+        batchSize <- Seq(32, 256)
+        ram <- Seq(8L << 30, 64L << 30)
+      } yield {
+        val sg = AutoConfig.suggestFor(cores, sampleBytes, batchSize, ram)
+        (cores.toLong, sampleBytes, batchSize.toLong, ram,
+          sg.workers.toLong, sg.fetchFactor.toLong, sg.blockSizeSmall.toLong,
+          sg.blockSize.toLong, sg.blockSizeLarge.toLong,
+          sg.prefetchFactor.toLong, sg.shufflePartitions.toLong,
+          sg.maxPartitionBytes)
+      }
       import s.implicits._
-      Seq(
-        "sample_bytes" -> sug.sampleBytes,
-        "workers" -> sug.workers.toLong,
-        "fetch_factor" -> sug.fetchFactor.toLong,
-        "block_size_small" -> sug.blockSizeSmall.toLong,
-        "block_size" -> sug.blockSize.toLong,
-        "block_size_large" -> sug.blockSizeLarge.toLong,
-        "prefetch_factor" -> sug.prefetchFactor.toLong,
-        "shuffle_partitions" -> sug.shufflePartitions.toLong,
-        "max_partition_bytes" -> sug.maxPartitionBytes,
-      ).toDF("param", "value")
+      grid.toDF("cores", "sample_bytes", "batch_size", "ram_bytes",
+        "workers", "fetch_factor", "block_size_small", "block_size",
+        "block_size_large", "prefetch_factor", "shuffle_partitions",
+        "max_partition_bytes")
     })
   )
 
   def oracles: Map[String, String] = Map(
+    // invariant oracle: if any point's assigned centroid were not its
+    // argmin (or any id out of range), the boolean flips and the hash fails
+    "ml_kmeans_ivf" ->
+      """SELECT vec_id, true AS argmin_ok, true AS cluster_in_range
+        |FROM embeddings""".stripMargin,
+
+    // the suggestFor formula mirrored in SQL over the same fixed grid:
+    // workers = clamp(cores/2, 1..16); budget = trunc(0.2·ram);
+    // ff = min(1024, 2^floor(log2(max(1, budget/(2·bs·workers·sample)))))
+    // via a power-of-two list (no float log2); block tiers ff/2, ff, 2·ff;
+    // prefetch ff+1; shuffle = max(2·cores, 32);
+    // maxPartitionBytes = clamp(budget/cores, 16 MiB..512 MiB)
+    "a6_autoconfig" ->
+      """WITH g AS (
+        |  SELECT c.cores, sb.sample_bytes, bs.batch_size, r.ram_bytes
+        |  FROM (VALUES (8), (32), (1000)) c(cores)
+        |  CROSS JOIN (VALUES (256), (4096), (262144), (1048576)) sb(sample_bytes)
+        |  CROSS JOIN (VALUES (32), (256)) bs(batch_size)
+        |  CROSS JOIN (VALUES (8589934592), (68719476736)) r(ram_bytes)
+        |),
+        |f AS (
+        |  SELECT *,
+        |    greatest(1, least(cores // 2, 16)) AS workers,
+        |    CAST(trunc(0.2 * ram_bytes) AS BIGINT) AS budget
+        |  FROM g
+        |),
+        |f2 AS (
+        |  SELECT *, list_max(list_filter(
+        |      [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024],
+        |      p -> p <= greatest(CAST(1 AS BIGINT),
+        |        budget // (2 * batch_size * workers * sample_bytes)))) AS ff
+        |  FROM f
+        |)
+        |SELECT CAST(cores AS BIGINT) AS cores,
+        |  CAST(sample_bytes AS BIGINT) AS sample_bytes,
+        |  CAST(batch_size AS BIGINT) AS batch_size,
+        |  CAST(ram_bytes AS BIGINT) AS ram_bytes,
+        |  CAST(workers AS BIGINT) AS workers,
+        |  CAST(ff AS BIGINT) AS fetch_factor,
+        |  CAST(greatest(1, ff // 2) AS BIGINT) AS block_size_small,
+        |  CAST(ff AS BIGINT) AS block_size,
+        |  CAST(ff * 2 AS BIGINT) AS block_size_large,
+        |  CAST(ff + 1 AS BIGINT) AS prefetch_factor,
+        |  CAST(greatest(2 * cores, 32) AS BIGINT) AS shuffle_partitions,
+        |  CAST(greatest(16777216, least(536870912, budget // cores)) AS BIGINT)
+        |    AS max_partition_bytes
+        |FROM f2""".stripMargin,
+
     "s2_union_files" ->
       """WITH r AS (
         |  SELECT c_custkey, row_number() OVER (ORDER BY c_custkey) - 1 AS row_id
