@@ -463,8 +463,16 @@ final case class BlockWeightedSampling(
     // columns.  A driver-sized index (24 bytes × totalSize) is broadcast so
     // the payload side is never shuffled or sorted; beyond that the
     // shuffle join is the right plan (both sides hash on rowId).
-    val indexB = if (totalSize <= IndexBroadcastCap) broadcast(index) else index
-    wide.drop(Ord).join(indexB, Seq(sc.rowId))
+    // beyond the broadcast gate, prefer a shuffle-HASH join with the index
+    // as build side: both sides exchange on rowId either way, but the
+    // sort-merge default additionally SORTS the wide payload side — the
+    // index (3 longs/row) is always the cheaper hash build.
+    val joined =
+      if (totalSize <= IndexBroadcastCap)
+        wide.drop(Ord).join(broadcast(index), Seq(sc.rowId))
+      else
+        wide.drop(Ord).join(index.hint("shuffle_hash"), Seq(sc.rowId))
+    joined
   }
 
   def outputLen(n: Long): Long = totalSize

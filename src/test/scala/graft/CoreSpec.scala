@@ -211,6 +211,38 @@ class CoreSpec extends AnyFunSuite {
     } finally SamplingStrategy.IndexBroadcastCap = cap
   }
 
+  test("systematic resampling: weight-periodic layout biases group totals, hash-scatter removes it") {
+    import spark.implicits._
+    // The documented caveat (BlockWeightedSampling scaladoc): weights
+    // cycling d0,d1,d2 = 1,2,3 give period W=6 with stride W_tot/N = 2 —
+    // every period receives an IDENTICAL threshold phase, so d0 (interval
+    // width 1 < stride) realizes 0 or 1000 draws, never its expected 500.
+    val n = 3000L
+    val df = spark.range(n).toDF("k")
+      .withColumn("label", col("k") % 3)
+      .withColumn("w", col("label") + 1)
+    def realized(sc: ScCollection): Map[Long, Long] =
+      BlockWeightedSampling(col("w"), totalSize = n, blockSize = 8,
+        integralWeights = true, rng = Rng.Md5).plan(sc, 5)
+        .groupBy("label").count()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val periodic = realized(ScCollection.fromDataFrame(df, col("k")))
+    val expected = Map(0L -> 500L, 1L -> 1000L, 2L -> 1500L)
+    // periodicity bias: d0 is all-or-nothing, far from expectation
+    val d0 = periodic.getOrElse(0L, 0L)
+    assert(d0 == 0L || d0 == 1000L,
+      s"periodic layout should quantize d0 to 0 or 1000, got $d0")
+    // hash-scattered layout (rank by md5 of the row id): every group lands
+    // within O(sqrt) of expectation — the recommended pre-permutation
+    val scattered = realized(
+      ScCollection.fromDataFrame(df.withColumn("h",
+        md5(col("k").cast("string"))), col("h")))
+    expected.foreach { case (lbl, exp) =>
+      val got = scattered.getOrElse(lbl, 0L)
+      assert(math.abs(got - exp) <= 60, s"label $lbl: $got vs expected $exp")
+    }
+  }
+
   test("ClassBalancedSampling balances an imbalanced label") {
     import spark.implicits._
     // 70/20/10 imbalance like reference tests/conftest.py:55-59

@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.ops.DedupOps
+
+/** Scale-crossover bench (test scope): forces every dual-plan operator's
+  * driver-sized fast path AND its distributed fallback at 100× the bench
+  * row count, checks the two paths agree (checksums), and times both —
+  * the evidence that the gate crossovers hold at real size, not just under
+  * spec-forced caps on toy inputs.  Also replicates the sf0.1 tables by an
+  * integer factor (id offsets keep keys unique) and sweeps the linear-path
+  * query suite at both sizes to show per-row cost parity.
+  *
+  * Run:  SPARK_DRIVER_MEM=32g sbt 'Test/runMain graft.XScaleBench [gateRows] [factor]'
+  * Output: `SCALEBENCH ...` markdown table rows on stdout (BENCH_SCALE.md).
+  */
+object XScaleBench {
+
+  private def timed[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 60000000L
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    println(s"SCALEBENCH # gate crossovers at n=$n (bench sf0.1 is 600k rows)")
+    println("SCALEBENCH | operator | fast path | fast s | distributed path | dist s | dist/fast | agree |")
+    println("SCALEBENCH |---|---|---|---|---|---|---|")
+
+    val base = spark.range(n).toDF("k")
+      .withColumn("label", pmod(col("k") * 2654435761L, lit(1000)))
+    val sc = ScCollection.fromDataFrame(base, col("k")).cached()
+    sc.df.count()
+
+    // JIT/codegen warm-up outside the timed region
+    try {
+      val w = ScCollection.fromDataFrame(
+        spark.range(1000000L).toDF("k"), col("k"))
+      BlockShuffling(blockSize = 8).plan(w, 7).count()
+      CacheScope.release()
+    } catch { case e: Throwable => System.err.println(s"warm-up failed: $e") }
+
+    def gate(name: String, fastLabel: String, distLabel: String)(
+        setFast: () => Unit, setDist: () => Unit, reset: () => Unit)(
+        run: () => (Long, Long)): Unit = {
+      try {
+        setFast()
+        val ((cntF, sumF), tF) = timed(run())
+        CacheScope.release()
+        setDist()
+        val ((cntD, sumD), tD) = timed(run())
+        CacheScope.release()
+        val agree = cntF == cntD && sumF == sumD
+        println(f"SCALEBENCH | $name | $fastLabel | $tF%.1f | $distLabel | $tD%.1f | ${tD / tF}%.2f | $agree (n=$cntF) |")
+        require(agree, s"$name: paths disagree: ($cntF,$sumF) vs ($cntD,$sumD)")
+      } finally reset()
+    }
+
+    // 1. Block permutation offset table: driver sort+cumsum vs distributed
+    //    rank+cumsum.  blockSize 8 at n rows → n/8 blocks >> BlockTableCap.
+    val nBlocks = n / 8
+    gate("blockPermute (%d blocks)".format(nBlocks),
+      "driver sort+prefix", "rank+cumsum")(
+      () => SamplingStrategy.BlockTableCap = nBlocks + 1,
+      () => SamplingStrategy.BlockTableCap = 1000000L,
+      () => SamplingStrategy.BlockTableCap = 1000000L) { () =>
+      val p = BlockShuffling(blockSize = 8).plan(sc, 7)
+        .agg(count(lit(1)), sum(col(SamplingStrategy.Ord) * col("k") % 1000003L))
+        .head()
+      (p.getLong(0), p.getLong(1))
+    }
+
+    // 2. No-replace top-k: bounded reservoir + broadcast semi join vs
+    //    data-wide rank.  k chosen above the default ReservoirCap.
+    val kDraw = 2000000L
+    gate(s"noReplace topK (k=$kDraw of $n)", "reservoir+bcast", "data-wide rank")(
+      () => SamplingStrategy.ReservoirCap = kDraw + 1,
+      () => SamplingStrategy.ReservoirCap = 1000000L,
+      () => SamplingStrategy.ReservoirCap = 1000000L) { () =>
+      val p = BlockWeightedSampling(col("label") + 1, totalSize = kDraw,
+        blockSize = 1024, replace = false).plan(sc, 17)
+        .agg(count(lit(1)), sum(col("k") % 1000003L)).head()
+      (p.getLong(0), p.getLong(1))
+    }
+
+    // 3. Sample-index join: broadcast index vs shuffle join on rowId.
+    //    totalSize above the default IndexBroadcastCap.
+    val tsz = 5000000L
+    gate(s"index join (totalSize=$tsz)", "broadcast index", "shuffle join")(
+      () => SamplingStrategy.IndexBroadcastCap = tsz + 1,
+      () => SamplingStrategy.IndexBroadcastCap = 2000000L,
+      () => SamplingStrategy.IndexBroadcastCap = 2000000L) { () =>
+      val p = BlockWeightedSampling(col("label") + 1, totalSize = tsz,
+        blockSize = 1024, replace = true).plan(sc, 11)
+        .agg(count(lit(1)), sum(col("k") % 1000003L)).head()
+      (p.getLong(0), p.getLong(1))
+    }
+
+    // 4. dedupClusters: driver union-find vs distributed min-label
+    //    propagation, on a pair list above the default maxDriverPairs
+    //    (~571k chain components of 8 nodes → 4M edges).
+    val nEdges = 4000000L
+    val pairs = spark.range(nEdges)
+      .select((expr("id div 7") * 8 + col("id") % 7).as("doc_a"),
+        (expr("id div 7") * 8 + col("id") % 7 + 1).as("doc_b"))
+    try {
+      val ((cntF, sumF), tF) = timed {
+        val p = DedupOps.dedupClusters(pairs, maxDriverPairs = nEdges + 1)
+          .agg(count(lit(1)), sum(col("keeper_id") % 1000003L)).head()
+        (p.getLong(0), p.getLong(1))
+      }
+      CacheScope.release()
+      val ((cntD, sumD), tD) = timed {
+        val p = DedupOps.dedupClusters(pairs, maxDriverPairs = 3000000L)
+          .agg(count(lit(1)), sum(col("keeper_id") % 1000003L)).head()
+        (p.getLong(0), p.getLong(1))
+      }
+      CacheScope.release()
+      val agree = cntF == cntD && sumF == sumD
+      println(f"SCALEBENCH | dedupClusters ($nEdges pairs) | driver union-find | $tF%.1f | min-label+jump | $tD%.1f | ${tD / tF}%.2f | $agree (n=$cntF) |")
+      require(agree, s"dedupClusters paths disagree")
+    } catch { case e: Throwable =>
+      println(s"SCALEBENCH | dedupClusters | FAILED: $e |")
+    }
+    sc.df.unpersist()
+
+    // ---- Phase 2: table-backed query sweep at sf0.1 and factor× sf0.1
+    val sf01 = "/root/testdata/sf0.1"
+    val scaled = s"/root/repo/scaledata/sf0.1x$factor"
+    genScaled(spark, sf01, scaled, factor)
+
+    val sweep = Seq(
+      "o1_streaming", "o2_block_shuffle", "o3_weighted_replace",
+      "o3_weighted_noreplace", "o3_weighted_rounds", "o4_class_balanced",
+      "pipeline_block", "b2_buffer_shuffle", "o5_fetch_order",
+      "o3_domain_mixture", "p3_hash_split", "text_filter_pipeline",
+      "text_tokens", "text_quality", "text_langid", "text_fingerprint",
+      "text_vocab_topk", "pack_plan", "dd_exact", "dd_exact_keep",
+      "dd_minhash_bands", "dd_minhash_pairs", "dd_simhash",
+      "dd_simhash_pairs", "dd_simhash_ham", "dd_para_exact", "dd_para_dedup",
+      "dd_incremental", "dd_jaccard_pairs", "dd_clusters", "emb_centroids",
+      "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
+      "stream_sessions", "stream_first_events", "u8_label_encode",
+      "a1_class_count", "skew_salted_agg", "s2_union_files",
+      "u5_densify_project", "u6_sparse_to_dense")
+
+    println(s"SCALEBENCH # query sweep: sf0.1 vs $factor× (per-row ratio = t_big / (factor · t_small))")
+    println("SCALEBENCH | query | sf0.1 s | rows | x" + factor + " s | rows | per-row ratio |")
+    println("SCALEBENCH |---|---|---|---|---|---|")
+    sweep.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      try {
+        val (r1, t1) = timed(fn(spark, sf01).count())
+        CacheScope.release()
+        val (r2, t2) = timed(fn(spark, scaled).count())
+        CacheScope.release()
+        println(f"SCALEBENCH | $name | $t1%.2f | $r1 | $t2%.2f | $r2 | ${t2 / (factor * t1)}%.2f |")
+      } catch { case e: Throwable =>
+        println(s"SCALEBENCH | $name | FAILED: ${e.toString.take(120)} |")
+      }
+    }
+    spark.stop()
+    println("SCALEBENCH done")
+  }
+
+  /** Replicate every sf table `factor`× with id offsets so keys stay unique
+    * (join keys get the SAME offset on both sides).  Skips generation when
+    * the target dir already exists. */
+  private def genScaled(spark: SparkSession, src: String, dst: String,
+      factor: Int): Unit = {
+    if (new java.io.File(dst).exists()) return
+    val offsets: Map[String, Seq[String]] = Map(
+      "lineitem" -> Seq("l_orderkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "customer" -> Seq("c_custkey"),
+      "part" -> Seq("p_partkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "nation" -> Nil, "region" -> Nil,
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"),
+      "events" -> Seq("event_id", "user_id"))
+    offsets.foreach { case (table, idCols) =>
+      val t0 = System.nanoTime()
+      val df = spark.read.parquet(s"$src/$table.parquet")
+      val out =
+        if (idCols.isEmpty) df
+        else {
+          val maxes = idCols.map(c =>
+            c -> (df.agg(max(col(c)).cast("long")).head().getLong(0) + 1L)).toMap
+          (0 until factor).map { i =>
+            idCols.foldLeft(df) { (d, c) =>
+              // preserve the source column type (offset arithmetic in long)
+              d.withColumn(c, (col(c).cast("long") + lit(i * maxes(c)))
+                .cast(df.schema(c).dataType))
+            }
+          }.reduce(_ unionByName _)
+        }
+      out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
+      System.err.println(f"generated $dst/$table.parquet in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+  }
+}
