@@ -561,6 +561,62 @@ object DedupOps {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Confirm a candidate pair list by n-gram Jaccard similarity: for each
+    * (doc_a, doc_b) candidate, the true Jaccard over document-frequency-
+    * capped shingle-key sets, keeping pairs >= `minJaccard`.  This is the
+    * verify stage of the standard MinHash pipeline — the expensive exact
+    * measure runs ONLY on candidate pairs (bounded by the banding), never
+    * all pairs.  Join shape: candidates fan out by the a-side postings
+    * (~shingles/doc), matched to b-side postings on (doc_b, shingle) — two
+    * hash joins keyed on numeric columns, no raw text movement. */
+  def confirmJaccard(df: DataFrame, text: Column, id: Column,
+      pairs: DataFrame, k: Int = 3, maxDocFreq: Long = 100,
+      minJaccard: Double = 0.2): DataFrame = {
+    val post = shinglePostings(df, text, id, k, maxDocFreq)
+      .select(col("doc_id").cast("long").as("doc_id"), col("sh"))
+    val postC = graft.core.CacheScope.persist(post, eager = true)
+    val sizes = postC.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val p = pairs.select(col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b"))
+    val common = p
+      .join(postC.as("pa"), col("doc_a") === col("pa.doc_id"))
+      .join(postC.as("pb"),
+        col("doc_b") === col("pb.doc_id") && col("pa.sh") === col("pb.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")),
+        Seq("doc_b"))
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** End-to-end fuzzy document dedup — the canonical curation pipeline as
+    * one call: MinHash LSH candidates ([[minhashCandidates]]) → exact
+    * Jaccard confirm on candidates only ([[confirmJaccard]]) → duplicate
+    * clusters ([[dedupClusters]]) → keeper projection.  Returns the
+    * surviving rows of `df`: the minimum-id member of every confirmed
+    * near-dup cluster plus every unclustered document.
+    *
+    * Every stage is the bounded/banded shape verified in BENCH_SCALE.md;
+    * nothing here is all-pairs. */
+  def fuzzyDedup(df: DataFrame, text: Column, id: Column, k: Int = 3,
+      numHashes: Int = 16, bands: Int = 4, maxDocFreq: Long = 100,
+      minJaccard: Double = 0.5): DataFrame = {
+    val cand = minhashCandidates(df, text, id, k, numHashes, bands)
+    val confirmed = confirmJaccard(df, text, id, cand, k, maxDocFreq,
+      minJaccard)
+    // rename to avoid capturing the caller frame's own id column
+    val losers = dedupClusters(confirmed)
+      .where(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id").as("__loser_id"))
+    df.join(losers, id === col("__loser_id"), "left_anti")
+  }
+
   /** Duplicate-cluster extraction: connected components over a candidate
     * pair list ((doc_a, doc_b), doc_a < doc_b — the output shape of
     * [[minhashCandidates]] / [[simhashCandidates]] / [[ngramJaccardPairs]]),

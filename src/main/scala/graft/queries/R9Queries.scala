@@ -88,6 +88,12 @@ object R9Queries {
       DedupOps.simhashPairs(docs(s, dir), col("text"), col("doc_id"),
         maxHamming = 20)),
 
+    // End-to-end fuzzy dedup: MinHash candidates -> Jaccard confirm ->
+    // clusters -> keeper projection, one call
+    "dd_fuzzy_keep" -> ((s, dir) =>
+      DedupOps.fuzzyDedup(docs(s, dir), col("text"), col("doc_id"))
+        .select("doc_id", "source", "lang")),
+
     // Incremental dedup: even-id documents are the already-indexed corpus
     // (band table persisted), odd-id documents the newly ingested shard;
     // candidates = full-corpus pairs touching at least one new doc
@@ -171,6 +177,71 @@ object R9Queries {
          |FROM bk x JOIN bk y
          |  ON x.band = y.band AND x.band_key = y.band_key
          |  AND x.doc_id < y.doc_id
-         |WHERE x.doc_id % 2 = 1 OR y.doc_id % 2 = 1""".stripMargin
+         |WHERE x.doc_id % 2 = 1 OR y.doc_id % 2 = 1""".stripMargin,
+
+    // full pipeline mirror: bands -> candidates -> df-capped postings ->
+    // Jaccard confirm on candidates -> recursive connected components ->
+    // anti-join the non-keepers
+    "dd_fuzzy_keep" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |),
+        |shg AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(t) >= 3
+        |              THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+        |              ELSE [array_to_string(t, ' ')] END AS shs
+        |  FROM toks
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 15), j ->
+        |           list_min(list_transform(list_distinct(shs), sgl ->
+        |             (('0x' || substr(md5(sgl), 1, 15))::BIGINT
+        |              + j * ('0x' || substr(md5(sgl), 17, 14))::BIGINT)
+        |             % 1152921504606846976))) AS sg
+        |  FROM shg
+        |),
+        |bb AS (SELECT doc_id, sg, unnest(generate_series(0, 3)) AS band FROM sig),
+        |bk AS (
+        |  SELECT doc_id, band,
+        |         md5(array_to_string(sg[band * 4 + 1 : band * 4 + 4], ',')) AS band_key
+        |  FROM bb
+        |),
+        |mp AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM bk x JOIN bk y
+        |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+        |),
+        |p1 AS (SELECT doc_id, unnest(shs) AS s FROM shg),
+        |post0 AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh FROM p1),
+        |rare AS (SELECT sh FROM post0 GROUP BY sh HAVING count(*) <= 100),
+        |post AS (SELECT post0.* FROM post0 JOIN rare USING (sh)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+        |cm AS (
+        |  SELECT mp.doc_a, mp.doc_b, count(*) AS common
+        |  FROM mp
+        |  JOIN post pa ON pa.doc_id = mp.doc_a
+        |  JOIN post pb ON pb.doc_id = mp.doc_b AND pb.sh = pa.sh
+        |  GROUP BY 1, 2
+        |),
+        |cj AS (
+        |  SELECT cm.doc_a, cm.doc_b
+        |  FROM cm
+        |  JOIN sizes sa ON sa.doc_id = cm.doc_a
+        |  JOIN sizes sb ON sb.doc_id = cm.doc_b
+        |  WHERE round(common::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE, 6) >= 0.5
+        |),
+        |e AS (SELECT doc_a AS a, doc_b AS b2 FROM cj UNION ALL SELECT doc_b, doc_a FROM cj),
+        |n AS (SELECT DISTINCT a AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b2
+        |),
+        |cl AS (SELECT node AS doc_id, min(r) AS keeper_id FROM reach GROUP BY node)
+        |SELECT doc_id, source, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> keeper_id)""".stripMargin
   )
 }

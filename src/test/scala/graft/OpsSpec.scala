@@ -662,6 +662,26 @@ class OpsSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("fuzzyDedup: exact dups merge, sub-threshold near-dups survive; confirm filters candidates") {
+    // docs fixture: 0 == 3 exactly (jaccard 1.0); 1 is a near-dup of 0 —
+    // only the final token changed, so 6 of 8 union 3-shingles are shared
+    // (jaccard 0.75)
+    val kept8 = DedupOps.fuzzyDedup(docs, col("text"), col("doc_id"),
+      minJaccard = 0.8).select("doc_id").as[Long].collect().sorted
+    assert(kept8.toSeq == Seq(0L, 1L, 2L)) // 3 merged into 0; 1 below 0.8
+    graft.core.CacheScope.release()
+    val kept5 = DedupOps.fuzzyDedup(docs, col("text"), col("doc_id"),
+      minJaccard = 0.5).select("doc_id").as[Long].collect().sorted
+    assert(kept5.toSeq == Seq(0L, 2L)) // 0.75 >= 0.5: 1 merges too
+    graft.core.CacheScope.release()
+    // the confirm stage reports the exact jaccard for candidate pairs
+    val cj = DedupOps.confirmJaccard(docs, col("text"), col("doc_id"),
+      DedupOps.minhashCandidates(docs, col("text"), col("doc_id")),
+      minJaccard = 0.2).as[(Long, Long, Double)].collect()
+    assert(cj.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 1.0))
+    graft.core.CacheScope.release()
+  }
+
   test("incremental dedup against a persisted index == full-corpus dedup restricted to new docs") {
     val corpus = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
