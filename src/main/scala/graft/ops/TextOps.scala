@@ -294,6 +294,63 @@ object TextOps {
         quality.as("quality"))
   }
 
+  /** WITHIN-document repetition features — the Gopher-style repetition
+    * filters (Rae et al. 2021 §A1.1: documents dominated by repeated lines
+    * or n-grams are machine-generated boilerplate): per document,
+    *
+    *  - `n_tokens`, `n_paras`
+    *  - `dup_para_frac`  = (n_paras − distinct paras) / n_paras — repeated
+    *    spans INSIDE one document (the corpus-wide analogue is
+    *    [[DedupOps.paragraphExact]])
+    *  - `top_bigram_frac` = 2·count(most frequent token bigram) / n_tokens
+    *    — coverage of the dominant 2-gram
+    *
+    * One kernel pass per row behind the usual Generate barrier (integer
+    * outputs; the float ratios are native expressions above it, matching
+    * the oracle's IEEE order).  Paragraphs split on `sepRegex`, trimmed,
+    * empties dropped — same normalization as [[DedupOps.paragraphs]].
+    * Null text → null features. */
+  def repetitionFeatures(df: DataFrame, text: Column, idCol: Column,
+      sepRegex: String = "\\n{2,}"): DataFrame = {
+    val sep = java.util.regex.Pattern.compile(sepRegex)
+    val kernel = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val toks = Ws.split(t.toLowerCase(java.util.Locale.ROOT), -1)
+          .filter(_.nonEmpty)
+        var maxBg = 0L
+        if (toks.length >= 2) {
+          val counts = new java.util.HashMap[String, Long]()
+          var i = 0
+          while (i < toks.length - 1) {
+            val c = counts.merge(toks(i) + " " + toks(i + 1), 1L,
+              java.lang.Long.sum)
+            if (c > maxBg) maxBg = c
+            i += 1
+          }
+        }
+        val paras = sep.split(t, -1).map(_.trim).filter(_.nonEmpty)
+        val distinctParas = paras.distinct.length.toLong
+        Array(toks.length.toLong, maxBg, paras.length.toLong, distinctParas)
+      }
+    }
+    val g = col("g")
+    val n = element_at(g, 1)
+    val maxBg = element_at(g, 2)
+    val nP = element_at(g, 3)
+    val dP = element_at(g, 4)
+    DedupOps.parallelized(df)
+      .select(idCol.as("doc_id"), explode(array(kernel(text))).as("g"))
+      .select(
+        col("doc_id"),
+        n.as("n_tokens"),
+        nP.as("n_paras"),
+        round((nP - dP).cast("double") / greatest(nP, lit(1L)).cast("double"),
+          6).as("dup_para_frac"),
+        round(lit(2.0) * maxBg.cast("double") /
+          greatest(n, lit(1L)).cast("double"), 6).as("top_bigram_frac"))
+  }
+
   /** Sequence-packing plan under a fixed token budget: documents are
     * concatenated in id order and chunked every `budget` tokens (the
     * concat-and-chunk packing every LLM pretraining pipeline runs).  Output

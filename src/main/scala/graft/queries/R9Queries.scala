@@ -88,6 +88,12 @@ object R9Queries {
       DedupOps.simhashPairs(docs(s, dir), col("text"), col("doc_id"),
         maxHamming = 20)),
 
+    // Gopher-style within-document repetition features (dup-paragraph
+    // fraction, dominant-bigram coverage)
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionFeatures(docs(s, dir), col("text"), col("doc_id"),
+        sepRegex = ParaSep)),
+
     // End-to-end fuzzy dedup: MinHash candidates -> Jaccard confirm ->
     // clusters -> keeper projection, one call
     "dd_fuzzy_keep" -> ((s, dir) =>
@@ -178,6 +184,32 @@ object R9Queries {
          |  ON x.band = y.band AND x.band_key = y.band_key
          |  AND x.doc_id < y.doc_id
          |WHERE x.doc_id % 2 = 1 OR y.doc_id % 2 = 1""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+        |         list_filter(list_transform(string_split(text, ' table '),
+        |           x -> trim(x)), x -> x <> '') AS ps
+        |  FROM documents
+        |),
+        |x AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+        |  FROM t
+        |),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS b FROM x),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |mb AS (SELECT doc_id, max(c) AS mc FROM bc GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, len(toks) AS n, len(ps) AS np,
+        |         len(list_distinct(ps)) AS dp
+        |  FROM t
+        |)
+        |SELECT base.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(np AS BIGINT) AS n_paras,
+        |  round((np - dp)::DOUBLE / greatest(np, 1)::DOUBLE, 6) AS dup_para_frac,
+        |  round(2.0 * coalesce(mc, 0)::DOUBLE / greatest(n, 1)::DOUBLE, 6) AS top_bigram_frac
+        |FROM base LEFT JOIN mb USING (doc_id)""".stripMargin,
 
     // full pipeline mirror: bands -> candidates -> df-capped postings ->
     // Jaccard confirm on candidates -> recursive connected components ->

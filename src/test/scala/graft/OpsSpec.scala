@@ -662,6 +662,25 @@ class OpsSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("repetitionFeatures: duplicate paragraphs and dominant bigrams measured exactly") {
+    val rp = Seq(
+      (1L, "a b\n\na b\n\nc d"), // paras [a b, a b, c d]; tokens a b a b c d
+      (2L, "x y z"),             // no repetition
+      (3L, null.asInstanceOf[String]),
+    ).toDF("doc_id", "text")
+    val all = TextOps.repetitionFeatures(rp, col("text"), col("doc_id"))
+      .collect()
+    val out = all.filter(!_.isNullAt(1)).map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc 1: 6 tokens, 3 paras, 1 dup para (1/3), bigram "a b" twice → 4/6
+    assert(out(1L) == ((6L, 3L, 0.333333, 0.666667)))
+    // doc 2: 3 tokens, 1 para, no dups, every bigram once → 2/3
+    assert(out(2L) == ((3L, 1L, 0.0, 0.666667)))
+    // null text: the row survives with every feature null
+    val nullRow = all.filter(_.getLong(0) == 3L)
+    assert(nullRow.length == 1 && nullRow(0).isNullAt(1))
+  }
+
   test("fuzzyDedup: exact dups merge, sub-threshold near-dups survive; confirm filters candidates") {
     // docs fixture: 0 == 3 exactly (jaccard 1.0); 1 is a near-dup of 0 —
     // only the final token changed, so 6 of 8 union 3-shingles are shared
