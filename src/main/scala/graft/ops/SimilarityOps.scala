@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -137,6 +137,56 @@ object SimilarityOps {
       .where(col("rn") <= nprobe)
       .select("query_id", "qv", "centroid_id")
     val scored = corpusCells.join(probes, Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+  }
+
+  /** Persist an IVF index: the corpus with its coarse-cell assignment,
+    * written `partitionBy(centroid_id)` — each cell is its own partition
+    * directory, so a search scans ONLY the probed cells (static pruning via
+    * the probe filter; dynamic partition pruning when the probe set is a
+    * join).  This is the "assignment precomputed once, corpus partitioned
+    * by cell" layout the [[ivfTopK]] scaladoc describes, made durable: at
+    * 100 TB the index is built once per corpus version and every subsequent
+    * query batch reads nprobe cells, not the corpus. */
+  def ivfIndexWrite(corpus: DataFrame, vec: Column, id: Column,
+      centroids: DataFrame, cvec: Column, cid: Column, dir: String): Unit = {
+    val cells = ivfAssign(corpus, vec, id, centroids, cvec, cid)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+    corpus.select(id.as("neighbor_id"), vec.as("cv"))
+      .join(cells, Seq("neighbor_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+  }
+
+  /** Search a persisted IVF index ([[ivfIndexWrite]]): identical semantics
+    * to [[ivfTopK]] — each query probes its `nprobe` nearest centroids'
+    * cells, exact (cosine, 6-decimal round, id-tiebreak) rank within the
+    * probed cells — but the corpus side is the partitioned parquet index,
+    * so the scan is pruned to the probed cells' directories instead of
+    * re-assigning the whole corpus. */
+  def ivfSearchIndex(spark: SparkSession, indexDir: String,
+      centroids: DataFrame, cvec: Column, cid: Column,
+      queries: DataFrame, qvec: Column, qid: Column,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    val corpusCells = spark.read.parquet(indexDir)
+    val q = queries.select(qid.as("query_id"), qvec.as("qv"))
+    val ct = centroids.select(cid.as("centroid_id"), cvec.as("ctv"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(ct))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        round(cosine(col("qv"), col("ctv")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select("query_id", "qv", "centroid_id")
+    val scored = corpusCells.join(broadcast(probes), Seq("centroid_id"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cos"))

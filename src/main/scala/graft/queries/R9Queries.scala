@@ -11,7 +11,7 @@ import graft.ops._
   */
 object R9Queries {
 
-  import Tables.docs
+  import Tables.{docs, emb}
 
   /** The synthetic documents carry no newlines, so the paragraph queries
     * split on a literal token separator that occurs mid-document (" table ")
@@ -100,6 +100,21 @@ object R9Queries {
       DedupOps.fuzzyDedup(docs(s, dir), col("text"), col("doc_id"))
         .select("doc_id", "source", "lang")),
 
+    // Persisted IVF index: corpus written partitioned by coarse cell, then
+    // searched — identical semantics (and oracle) to sim_ivf_topk, but the
+    // scan prunes to the probed cells' partition directories
+    "sim_ivf_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_index_" + Integer.toHexString(dir.hashCode)
+      SimilarityOps.ivfIndexWrite(e, col("embedding"), col("vec_id"),
+        e.where(col("vec_id") < 8), col("embedding"), col("vec_id"), idx)
+      SimilarityOps.ivfSearchIndex(s, idx,
+        e.where(col("vec_id") < 8), col("embedding"), col("vec_id"),
+        e.where(col("vec_id") >= 8 && col("vec_id") < 13),
+        col("embedding"), col("vec_id"), k = 10, nprobe = 2)
+    }),
+
     // Incremental dedup: even-id documents are the already-indexed corpus
     // (band table persisted), odd-id documents the newly ingested shard;
     // candidates = full-corpus pairs touching at least one new doc
@@ -184,6 +199,10 @@ object R9Queries {
          |  ON x.band = y.band AND x.band_key = y.band_key
          |  AND x.doc_id < y.doc_id
          |WHERE x.doc_id % 2 = 1 OR y.doc_id % 2 = 1""".stripMargin,
+
+    // same semantics as sim_ivf_topk — the persisted index must reproduce
+    // the in-memory search bit-for-bit
+    "sim_ivf_persisted" -> CoverageQueries.oracles("sim_ivf_topk"),
 
     "text_repetition" ->
       """WITH t AS (

@@ -662,6 +662,32 @@ class OpsSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("persisted IVF index reproduces ivfTopK exactly; scan prunes to probed cells") {
+    val r = new scala.util.Random(3)
+    val df = (0L until 60L).map(i =>
+      (i, Array.fill(8)(r.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val cents = df.where(col("vec_id") < 4)
+    val queries = df.where(col("vec_id") >= 50)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    SimilarityOps.ivfIndexWrite(df, col("embedding"), col("vec_id"),
+      cents, col("embedding"), col("vec_id"), idx)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id", "cos", "rank")
+        .as[(Long, Long, Double, Int)].collect().sortBy(p => (p._1, p._4)).toSeq
+    val viaIndex = rows(SimilarityOps.ivfSearchIndex(spark, idx,
+      cents, col("embedding"), col("vec_id"),
+      queries, col("embedding"), col("vec_id"), k = 5, nprobe = 2))
+    val direct = rows(SimilarityOps.ivfTopK(df, col("embedding"), col("vec_id"),
+      cents, col("embedding"), col("vec_id"),
+      queries, col("embedding"), col("vec_id"), k = 5, nprobe = 2))
+    assert(viaIndex.nonEmpty && viaIndex == direct)
+    // the cell is a parquet PARTITION column: a cell predicate must show up
+    // as a partition filter (pruned directories), not a data filter
+    val plan = spark.read.parquet(idx).where(col("centroid_id") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"))
+  }
+
   test("repetitionFeatures: duplicate paragraphs and dominant bigrams measured exactly") {
     val rp = Seq(
       (1L, "a b\n\na b\n\nc d"), // paras [a b, a b, c d]; tokens a b a b c d
