@@ -294,6 +294,36 @@ object TextOps {
         quality.as("quality"))
   }
 
+  /** Corpus-frequency fluency score — the LM-free stand-in for CCNet's
+    * perplexity filter: per document, the mean and minimum CORPUS occurrence
+    * count of its tokens.  Junk/OOV-heavy documents have low minima and
+    * means; boilerplate has inflated means.  All-integer aggregates until
+    * one final division (order-independent, oracle-exact — no `ln` whose
+    * last-ulp behavior differs across engines).
+    *
+    * Physical shape: one token explode feeding both the corpus frequency
+    * table (hash agg with map-side combine — the shuffle carries ≤ |vocab|
+    * rows per task) and the per-document join+agg; the frequency side is
+    * vocab-sized, so AQE broadcasts it at any realistic corpus.  Documents
+    * with no tokens (empty/null text) produce no row. */
+  def tokenFrequencyScore(df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val toks = graft.core.CacheScope.persist(
+      DedupOps.parallelized(df)
+        .select(idCol.as("doc_id"),
+          explode(split(lower(text), "\\s+")).as("token"))
+        .where(col("token") =!= ""),
+      eager = true)
+    val freq = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+    toks.join(freq, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("tf").as("__s"),
+        min("tf").as("min_token_freq"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__s").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("mean_token_freq"),
+        col("min_token_freq"))
+  }
+
   /** WITHIN-document repetition features — the Gopher-style repetition
     * filters (Rae et al. 2021 §A1.1: documents dominated by repeated lines
     * or n-grams are machine-generated boilerplate): per document,
@@ -349,6 +379,27 @@ object TextOps {
           6).as("dup_para_frac"),
         round(lit(2.0) * maxBg.cast("double") /
           greatest(n, lit(1L)).cast("double"), 6).as("top_bigram_frac"))
+  }
+
+  /** CCNet-style quality tiers: rank the corpus by quality (desc, id
+    * tiebreak) and split into `tiers` equal-size buckets — tier 0 is the
+    * CCNet "head", the slice kept for training; the tail is dropped or
+    * down-weighted.  EXACT corpus-wide quantiles via the distributed
+    * two-phase rank ([[graft.core.Ranker]]) — no single-partition window,
+    * no approxQuantile nondeterminism; `tier = rank·tiers / n` in exact
+    * integer arithmetic. */
+  def qualityTiers(df: DataFrame, text: Column, idCol: Column,
+      tiers: Int = 3): DataFrame = {
+    require(tiers > 0)
+    val q = graft.core.CacheScope.persist(
+      qualityFeatures(df, text, idCol).select(col("doc_id"), col("quality")),
+      eager = true)
+    val n = q.count()
+    // integer `div`, not `/`: double division + cast could misplace a
+    // boundary rank; the oracle mirrors with `//`
+    graft.core.Ranker.withRank(q, "__qr", col("quality").desc, col("doc_id"))
+      .select(col("doc_id"), col("quality"),
+        expr(s"(__qr * $tiers) div ${math.max(n, 1L)}").as("tier"))
   }
 
   /** Sequence-packing plan under a fixed token budget: documents are

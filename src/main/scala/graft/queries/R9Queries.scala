@@ -88,6 +88,16 @@ object R9Queries {
       DedupOps.simhashPairs(docs(s, dir), col("text"), col("doc_id"),
         maxHamming = 20)),
 
+    // Corpus token-frequency fluency score (LM-free CCNet-perplexity
+    // stand-in; integer-exact)
+    "text_token_freq" -> ((s, dir) =>
+      TextOps.tokenFrequencyScore(docs(s, dir), col("text"), col("doc_id"))),
+
+    // CCNet head/middle/tail tiers by exact corpus-wide quality rank
+    "text_quality_tiers" -> ((s, dir) =>
+      TextOps.qualityTiers(docs(s, dir), col("text"), col("doc_id"),
+        tiers = 3)),
+
     // Gopher-style within-document repetition features (dup-paragraph
     // fraction, dominant-bigram coverage)
     "text_repetition" -> ((s, dir) =>
@@ -203,6 +213,51 @@ object R9Queries {
     // same semantics as sim_ivf_topk — the persisted index must reproduce
     // the in-memory search bit-for-bit
     "sim_ivf_persisted" -> CoverageQueries.oracles("sim_ivf_topk"),
+
+    "text_token_freq" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> x <> '')) AS token
+        |  FROM documents
+        |),
+        |f AS (SELECT token, count(*) AS tf FROM tk GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(tf)::DOUBLE / count(*)::DOUBLE, 6) AS mean_token_freq,
+        |  min(tf) AS min_token_freq
+        |FROM tk JOIN f USING (token) GROUP BY doc_id""".stripMargin,
+
+    // quality formula identical to text_quality's oracle; tiers by exact
+    // rank over (quality DESC, doc_id)
+    "text_quality_tiers" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
+        |    len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','for','on'))) AS stop_hits
+        |  FROM t
+        |),
+        |q AS (
+        |  SELECT doc_id, round(
+        |    0.4 * least(CAST(1.0 AS DOUBLE), n_tokens::DOUBLE / 200.0) +
+        |    0.3 * (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_cnt::DOUBLE / greatest(n_tokens, 1)::DOUBLE)) +
+        |    0.3 * least(CAST(1.0 AS DOUBLE), (stop_hits::DOUBLE / greatest(n_tokens, 1)::DOUBLE) * 5.0),
+        |    6) AS quality
+        |  FROM f
+        |),
+        |r AS (
+        |  SELECT doc_id, quality,
+        |         row_number() OVER (ORDER BY quality DESC, doc_id) - 1 AS rk
+        |  FROM q
+        |)
+        |SELECT doc_id, quality,
+        |       (rk * 3) // (SELECT count(*) FROM documents) AS tier
+        |FROM r""".stripMargin,
 
     "text_repetition" ->
       """WITH t AS (

@@ -662,6 +662,30 @@ class OpsSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("tokenFrequencyScore: exact corpus-frequency means and minima") {
+    val tf = Seq((1L, "a a b"), (2L, "a c"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.tokenFrequencyScore(tf, col("text"), col("doc_id"))
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    // corpus: a×3, b×1, c×1 → doc1 mean (3+3+1)/3, doc2 (3+1)/2; null: no row
+    assert(out == Seq((1L, 3L, 2.333333, 1L), (2L, 2L, 2.0, 1L)))
+    graft.core.CacheScope.release()
+  }
+
+  test("qualityTiers: exact rank tertiles, higher quality in lower tier") {
+    // six docs with strictly increasing quality (longer → higher length
+    // term, no punctuation, same stop ratio of zero)
+    val qd = (1 to 6).map(i => (i.toLong, Seq.fill(i * 30)("word").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.qualityTiers(qd, col("text"), col("doc_id"), tiers = 3)
+      .as[(Long, Double, Long)].collect()
+    assert(out.map(_._3).sorted.toSeq == Seq(0L, 0L, 1L, 1L, 2L, 2L))
+    // tier is antitone in quality
+    val byTier = out.groupBy(_._3).view.mapValues(_.map(_._2).min).toMap
+    assert(byTier(0L) >= byTier(1L) && byTier(1L) >= byTier(2L))
+    graft.core.CacheScope.release()
+  }
+
   test("persisted IVF index reproduces ivfTopK exactly; scan prunes to probed cells") {
     val r = new scala.util.Random(3)
     val df = (0L until 60L).map(i =>
