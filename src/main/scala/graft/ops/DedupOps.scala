@@ -409,16 +409,37 @@ object DedupOps {
     * corpus's signatures ([[minhashCandidatesAgainst]]), and
     * [[minhashIndexAppend]] keeps it current after each shard. */
   def minhashIndexWrite(df: DataFrame, text: Column, id: Column, dir: String,
-      k: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit =
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit = {
     minhashBands(df, text, id, k, numHashes, bands)
       .write.mode("overwrite").parquet(dir)
+    // persist the signature parameters beside the bands (underscore prefix:
+    // ignored by parquet directory reads) — a later read with MISMATCHED
+    // parameters would silently find no collisions instead of failing
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((k, numHashes, bands)).toDF("k", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_params")
+  }
+
+  /** Fail loudly when a caller's signature parameters don't match the ones
+    * the index at `dir` was written with — band keys from different
+    * (k, numHashes, bands) never collide, which would read as "no dups". */
+  private def requireIndexParams(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int, numHashes: Int, bands: Int): Unit = {
+    val p = spark.read.parquet(s"$dir/_graft_params").head()
+    require(p.getInt(0) == k && p.getInt(1) == numHashes && p.getInt(2) == bands,
+      s"index at $dir was built with (k=${p.getInt(0)}, numHashes=${p.getInt(1)}, " +
+        s"bands=${p.getInt(2)}); caller passed (k=$k, numHashes=$numHashes, bands=$bands)")
+  }
 
   /** Append a new shard's band table to a persisted index (call after the
     * shard has been deduped via [[minhashCandidatesAgainst]]). */
   def minhashIndexAppend(df: DataFrame, text: Column, id: Column, dir: String,
-      k: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit =
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit = {
+    requireIndexParams(df.sparkSession, dir, k, numHashes, bands)
     minhashBands(df, text, id, k, numHashes, bands)
       .write.mode("append").parquet(dir)
+  }
 
   /** Incremental MinHash dedup: candidate near-dup pairs of a NEW shard
     * against a persisted band index ([[minhashIndexWrite]]) plus the shard
@@ -437,6 +458,7 @@ object DedupOps {
       text: Column, id: Column, k: Int = 3, numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val spark = newDf.sparkSession
+    requireIndexParams(spark, indexDir, k, numHashes, bands)
     val nb = graft.core.CacheScope.persist(
       minhashBands(newDf, text, id, k, numHashes, bands), eager = true)
     val ob = spark.read.parquet(indexDir)
@@ -499,13 +521,6 @@ object DedupOps {
     f(text)
   }
 
-  /** SimHash near-dup candidates: docs whose 60-bit signatures share any of
-    * four 15-bit bands (standard simhash blocking — every pair within
-    * Hamming distance 3 collides in at least one band).  Same
-    * bucket-expansion shape as MinHash banding.  32 768 buckets PER BAND:
-    * at corpus scale the per-bucket population is n/2^15 per band, so the
-    * in-bucket self-join stays near-linear (the previous 16-bit/2-band
-    * form had 256 buckets total — quadratic blow-up at 100 TB). */
   /** (doc_id, sh, band, key): the 60-bit signature exploded into its four
     * 15-bit band buckets, signature carried alongside so a Hamming confirm
     * needs no extra join back to the signature table.  Persisted — the
@@ -522,6 +537,13 @@ object DedupOps {
           col("b.key").as("key")),
       eager = true)
 
+  /** SimHash near-dup candidates: docs whose 60-bit signatures share any of
+    * four 15-bit bands (standard simhash blocking — every pair within
+    * Hamming distance 3 collides in at least one band).  Same
+    * bucket-expansion shape as MinHash banding.  32 768 buckets PER BAND:
+    * at corpus scale the per-bucket population is n/2^15 per band, so the
+    * in-bucket self-join stays near-linear (the previous 16-bit/2-band
+    * form had 256 buckets total — quadratic blow-up at 100 TB). */
   def simhashCandidates(df: DataFrame, text: Column, id: Column): DataFrame = {
     val sig = simhashBanded(df, text, id)
     sig.as("a")

@@ -166,18 +166,27 @@ object CoverageQueries {
       val k = 8
       val (centers, asg) = MlOps.kmeansFit(e, col("embedding"),
         col("vec_id"), k = k, seed = 42L)
+      // NOTE: at oracle scale (500 rows < maxDriverRows) kmeansFit takes the
+      // local path, whose assignment uses EXACTLY this arithmetic — the
+      // equality below is bit-safe.  The MLlib path computes distances with
+      // norm algebra, so on that path a near-tie could flip the argmin by a
+      // ulp; this query is pinned to the local regime.
       val bc = s.sparkContext.broadcast(centers)
       val okU = udf { (v: Seq[Double], cluster: Long) =>
         val cs = bc.value
-        def d2(c: Array[Double]): Double = {
-          var s0 = 0.0; var i = 0
-          while (i < c.length) { val t = v(i) - c(i); s0 += t * t; i += 1 }
-          s0
+        // an out-of-range id must REPORT false, not crash the query
+        if (cluster < 0 || cluster >= cs.length) false
+        else {
+          def d2(c: Array[Double]): Double = {
+            var s0 = 0.0; var i = 0
+            while (i < c.length) { val t = v(i) - c(i); s0 += t * t; i += 1 }
+            s0
+          }
+          var dmin = Double.MaxValue
+          var j = 0
+          while (j < cs.length) { val d = d2(cs(j)); if (d < dmin) dmin = d; j += 1 }
+          d2(cs(cluster.toInt)) == dmin
         }
-        var dmin = Double.MaxValue
-        var j = 0
-        while (j < cs.length) { val d = d2(cs(j)); if (d < dmin) dmin = d; j += 1 }
-        d2(cs(cluster.toInt)) == dmin
       }
       e.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .join(asg, Seq("vec_id"))

@@ -115,8 +115,10 @@ object R9Queries {
     // scan prunes to the probed cells' partition directories
     "sim_ivf_persisted" -> ((s, dir) => {
       val e = emb(s, dir)
+      // full sanitized dir (not hashCode): distinct data dirs can never
+      // collide on the index path
       val idx = System.getProperty("java.io.tmpdir") +
-        "/graft_ivf_index_" + Integer.toHexString(dir.hashCode)
+        "/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       SimilarityOps.ivfIndexWrite(e, col("embedding"), col("vec_id"),
         e.where(col("vec_id") < 8), col("embedding"), col("vec_id"), idx)
       SimilarityOps.ivfSearchIndex(s, idx,
@@ -133,7 +135,7 @@ object R9Queries {
       val indexed = d.where(col("doc_id") % 2 === 0)
       val shard = d.where(col("doc_id") % 2 === 1)
       val idx = System.getProperty("java.io.tmpdir") +
-        "/graft_mh_index_" + Integer.toHexString(dir.hashCode)
+        "/graft_mh_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       DedupOps.minhashIndexWrite(indexed, col("text"), col("doc_id"), idx)
       DedupOps.minhashCandidatesAgainst(idx, shard, col("text"), col("doc_id"))
     })

@@ -52,6 +52,9 @@ object XScaleBench {
       CacheScope.release()
     } catch { case e: Throwable => System.err.println(s"warm-up failed: $e") }
 
+    // a disagreement or failure prints a visible row but never aborts the
+    // remaining gates / sweep — one regression must not hide all other
+    // results of a long run
     def gate(name: String, fastLabel: String, distLabel: String)(
         setFast: () => Unit, setDist: () => Unit, reset: () => Unit)(
         run: () => (Long, Long)): Unit = {
@@ -64,7 +67,10 @@ object XScaleBench {
         CacheScope.release()
         val agree = cntF == cntD && sumF == sumD
         println(f"SCALEBENCH | $name | $fastLabel | $tF%.1f | $distLabel | $tD%.1f | ${tD / tF}%.2f | $agree (n=$cntF) |")
-        require(agree, s"$name: paths disagree: ($cntF,$sumF) vs ($cntD,$sumD)")
+        if (!agree) System.err.println(
+          s"$name: paths disagree: ($cntF,$sumF) vs ($cntD,$sumD)")
+      } catch { case e: Throwable =>
+        println(s"SCALEBENCH | $name | FAILED: ${e.toString.take(120)} |")
       } finally reset()
     }
 
@@ -130,7 +136,7 @@ object XScaleBench {
       CacheScope.release()
       val agree = cntF == cntD && sumF == sumD
       println(f"SCALEBENCH | dedupClusters ($nEdges pairs) | driver union-find | $tF%.1f | min-label+jump | $tD%.1f | ${tD / tF}%.2f | $agree (n=$cntF) |")
-      require(agree, s"dedupClusters paths disagree")
+      if (!agree) System.err.println("dedupClusters paths disagree")
     } catch { case e: Throwable =>
       println(s"SCALEBENCH | dedupClusters | FAILED: $e |")
     }
@@ -150,7 +156,9 @@ object XScaleBench {
       "text_vocab_topk", "pack_plan", "dd_exact", "dd_exact_keep",
       "dd_minhash_bands", "dd_minhash_pairs", "dd_simhash",
       "dd_simhash_pairs", "dd_simhash_ham", "dd_para_exact", "dd_para_dedup",
-      "dd_incremental", "dd_jaccard_pairs", "dd_clusters", "emb_centroids",
+      "dd_incremental", "dd_jaccard_pairs", "dd_clusters", "dd_fuzzy_keep",
+      "text_repetition", "text_token_freq", "text_quality_tiers",
+      "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
       "a1_class_count", "skew_salted_agg", "s2_union_files",
@@ -175,38 +183,52 @@ object XScaleBench {
     println("SCALEBENCH done")
   }
 
-  /** Replicate every sf table `factor`× with id offsets so keys stay unique
-    * (join keys get the SAME offset on both sides).  Skips generation when
-    * the target dir already exists. */
+  /** Replicate every sf table `factor`× with id offsets so keys stay
+    * unique.  Offsets are computed PER KEY DOMAIN from the domain's owning
+    * table (custkey from customer, orderkey from orders, …), so an FK and
+    * its PK always shift by the same amount even when their per-table maxes
+    * differ (e.g. the highest custkey placed no orders).  Skips generation
+    * when the target dir already exists. */
   private def genScaled(spark: SparkSession, src: String, dst: String,
       factor: Int): Unit = {
     if (new java.io.File(dst).exists()) return
-    val offsets: Map[String, Seq[String]] = Map(
-      "lineitem" -> Seq("l_orderkey"),
-      "orders" -> Seq("o_orderkey", "o_custkey"),
-      "customer" -> Seq("c_custkey"),
-      "part" -> Seq("p_partkey"),
-      "supplier" -> Seq("s_suppkey"),
-      "nation" -> Nil, "region" -> Nil,
-      "documents" -> Seq("doc_id"),
-      "embeddings" -> Seq("vec_id"),
-      "events" -> Seq("event_id", "user_id"))
-    offsets.foreach { case (table, idCols) =>
+    // key domain -> (owning table, owning column)
+    val domains: Map[String, (String, String)] = Map(
+      "orderkey" -> ("orders", "o_orderkey"),
+      "custkey" -> ("customer", "c_custkey"),
+      "partkey" -> ("part", "p_partkey"),
+      "suppkey" -> ("supplier", "s_suppkey"),
+      "doc" -> ("documents", "doc_id"),
+      "vec" -> ("embeddings", "vec_id"),
+      "event" -> ("events", "event_id"),
+      "user" -> ("events", "user_id"))
+    val domainOffset: Map[String, Long] = domains.map { case (d, (t, c)) =>
+      d -> (spark.read.parquet(s"$src/$t.parquet")
+        .agg(max(col(c)).cast("long")).head().getLong(0) + 1L)
+    }
+    // table -> (column -> key domain)
+    val tables: Map[String, Map[String, String]] = Map(
+      "lineitem" -> Map("l_orderkey" -> "orderkey"),
+      "orders" -> Map("o_orderkey" -> "orderkey", "o_custkey" -> "custkey"),
+      "customer" -> Map("c_custkey" -> "custkey"),
+      "part" -> Map("p_partkey" -> "partkey"),
+      "supplier" -> Map("s_suppkey" -> "suppkey"),
+      "nation" -> Map.empty, "region" -> Map.empty,
+      "documents" -> Map("doc_id" -> "doc"),
+      "embeddings" -> Map("vec_id" -> "vec"),
+      "events" -> Map("event_id" -> "event", "user_id" -> "user"))
+    tables.foreach { case (table, colDomains) =>
       val t0 = System.nanoTime()
       val df = spark.read.parquet(s"$src/$table.parquet")
       val out =
-        if (idCols.isEmpty) df
-        else {
-          val maxes = idCols.map(c =>
-            c -> (df.agg(max(col(c)).cast("long")).head().getLong(0) + 1L)).toMap
-          (0 until factor).map { i =>
-            idCols.foldLeft(df) { (d, c) =>
-              // preserve the source column type (offset arithmetic in long)
-              d.withColumn(c, (col(c).cast("long") + lit(i * maxes(c)))
-                .cast(df.schema(c).dataType))
-            }
-          }.reduce(_ unionByName _)
-        }
+        if (colDomains.isEmpty) df
+        else (0 until factor).map { i =>
+          colDomains.foldLeft(df) { case (d, (c, dom)) =>
+            // preserve the source column type (offset arithmetic in long)
+            d.withColumn(c, (col(c).cast("long") + lit(i * domainOffset(dom)))
+              .cast(df.schema(c).dataType))
+          }
+        }.reduce(_ unionByName _)
       out.write.mode("overwrite").parquet(s"$dst/$table.parquet")
       System.err.println(f"generated $dst/$table.parquet in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
