@@ -402,6 +402,98 @@ object DedupOps {
       .distinct()
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+    * algorithm): hash every lowercased char k-gram (60-bit md5 prefix),
+    * slide a window over `w` consecutive hashes, select each window's
+    * minimum (leftmost position on equal hashes).  Guarantee: two documents
+    * sharing ANY substring of length >= w + k - 1 share at least one
+    * fingerprint — the substring tier of dedup, below paragraphs.
+    *
+    * Output: (doc_id, pos, fp), the distinct selected positions.  Documents
+    * with fewer than `w` k-grams contribute their single overall minimum;
+    * text shorter than k chars contributes nothing; null text is dropped.
+    *
+    * Per-row kernel — monotonic-deque sliding minimum, O(chars) — behind an
+    * explode; NO shuffle (the shuffle belongs to whatever consumes the
+    * fingerprints, e.g. [[winnowPairs]]).  Positions must stay below 2^20
+    * (1M chars/doc) for the oracle's composite arg_min key; the kernel
+    * itself has no such bound. */
+  def winnowFingerprints(df: DataFrame, text: Column, id: Column,
+      k: Int = 8, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0)
+    val f = udf { (t0: String) =>
+      if (t0 == null) Array.empty[(Long, Long)]
+      else {
+        val t = t0.toLowerCase(java.util.Locale.ROOT)
+        val nh = t.length - k + 1
+        if (nh <= 0) Array.empty[(Long, Long)]
+        else {
+          val md = Md5Local.get()
+          val hs = new Array[Long](nh)
+          var i = 0
+          while (i < nh) {
+            hs(i) = key60(md.digest(t.substring(i, i + k).getBytes("UTF-8")))
+            i += 1
+          }
+          val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+          if (nh <= w) {
+            var best = 0
+            var j = 1
+            while (j < nh) { if (hs(j) < hs(best)) best = j; j += 1 }
+            out += ((best.toLong, hs(best)))
+          } else {
+            // indices with increasing hash values; strict pops keep the
+            // EARLIEST of equal minima at the front → leftmost-min rule
+            val dq = new java.util.ArrayDeque[Int]()
+            var lastSel = -1
+            var j = 0
+            while (j < nh) {
+              while (!dq.isEmpty && hs(dq.peekLast) > hs(j)) dq.pollLast()
+              dq.addLast(j)
+              val s = j - w + 1
+              if (s >= 0) {
+                while (dq.peekFirst < s) dq.pollFirst()
+                val sel = dq.peekFirst
+                // a position's selection interval is contiguous, so the
+                // adjacent-duplicate check yields globally distinct rows
+                if (sel != lastSel) { out += ((sel.toLong, hs(sel))); lastSel = sel }
+              }
+              j += 1
+            }
+          }
+          out.toArray
+        }
+      }
+    }
+    parallelized(df)
+      .select(id.as("doc_id"), explode(f(text)).as("s"))
+      .select(col("doc_id"), col("s._1").as("pos"), col("s._2").as("fp"))
+  }
+
+  /** Substring-overlap candidate pairs: documents sharing winnowing
+    * fingerprints, with the count of distinct shared fingerprints.  The
+    * fingerprint join is document-frequency-capped exactly like
+    * [[shinglePostings]] — a fingerprint appearing in > maxDocFreq docs is
+    * a stop-substring (boilerplate) with no pairing value and quadratic
+    * fan-out, dropped before the join. */
+  def winnowPairs(df: DataFrame, text: Column, id: Column,
+      k: Int = 8, w: Int = 4, maxDocFreq: Long = 100): DataFrame = {
+    val fps = graft.core.CacheScope.persist(
+      winnowFingerprints(df, text, id, k, w)
+        .select(col("doc_id").cast("long").as("doc_id"), col("fp"))
+        .distinct(),
+      eager = true)
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq).select("fp")
+    val posts = fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    posts.as("a")
+      .join(posts.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+  }
+
   /** Persist a corpus's MinHash LSH band table as a dedup INDEX for
     * incremental ingestion: the [[minhashBands]] output written as parquet.
     * Real pipelines ingest continuously — the index lets a new shard be

@@ -88,6 +88,17 @@ object R9Queries {
       DedupOps.simhashPairs(docs(s, dir), col("text"), col("doc_id"),
         maxHamming = 20)),
 
+    // Winnowing (MOSS) substring fingerprints: any shared substring of
+    // length >= w + k - 1 = 11 chars yields a shared fingerprint
+    "text_winnow" -> ((s, dir) =>
+      DedupOps.winnowFingerprints(docs(s, dir), col("text"), col("doc_id"),
+        k = 8, w = 4)),
+
+    // Substring-overlap candidate pairs over the winnowing fingerprints
+    "dd_substr_pairs" -> ((s, dir) =>
+      DedupOps.winnowPairs(docs(s, dir), col("text"), col("doc_id"),
+        k = 8, w = 4, maxDocFreq = 100)),
+
     // Corpus token-frequency fluency score (LM-free CCNet-perplexity
     // stand-in; integer-exact)
     "text_token_freq" -> ((s, dir) =>
@@ -215,6 +226,67 @@ object R9Queries {
     // same semantics as sim_ivf_topk — the persisted index must reproduce
     // the in-memory search bit-for-bit
     "sim_ivf_persisted" -> CoverageQueries.oracles("sim_ivf_topk"),
+
+    // winnowing mirror: window-min by composite HUGEINT key (hv, pos) over
+    // full windows; short docs take their single overall minimum
+    "text_winnow" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, t, length(t) - 8 + 1 AS nh FROM d WHERE length(t) >= 8),
+        |hx AS (SELECT doc_id, nh, unnest(generate_series(1, nh)) AS i, t FROM g),
+        |h AS (
+        |  SELECT doc_id, nh, i - 1 AS pos,
+        |         ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT AS hv
+        |  FROM hx
+        |),
+        |sf AS (
+        |  SELECT doc_id, nh, pos,
+        |    arg_min(pos, hv::HUGEINT * 1048576 + pos) OVER
+        |      (PARTITION BY doc_id ORDER BY pos
+        |       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM h
+        |),
+        |sels AS (
+        |  SELECT DISTINCT doc_id, sel AS pos FROM sf
+        |  WHERE nh > 4 AND pos <= nh - 4
+        |  UNION
+        |  SELECT doc_id, arg_min(pos, hv::HUGEINT * 1048576 + pos) AS pos
+        |  FROM h WHERE nh <= 4 GROUP BY doc_id
+        |)
+        |SELECT s.doc_id, s.pos, h.hv AS fp
+        |FROM sels s JOIN h ON h.doc_id = s.doc_id AND h.pos = s.pos""".stripMargin,
+
+    "dd_substr_pairs" ->
+      """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL),
+        |g AS (SELECT doc_id, t, length(t) - 8 + 1 AS nh FROM d WHERE length(t) >= 8),
+        |hx AS (SELECT doc_id, nh, unnest(generate_series(1, nh)) AS i, t FROM g),
+        |h AS (
+        |  SELECT doc_id, nh, i - 1 AS pos,
+        |         ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT AS hv
+        |  FROM hx
+        |),
+        |sf AS (
+        |  SELECT doc_id, nh, pos,
+        |    arg_min(pos, hv::HUGEINT * 1048576 + pos) OVER
+        |      (PARTITION BY doc_id ORDER BY pos
+        |       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+        |  FROM h
+        |),
+        |sels AS (
+        |  SELECT DISTINCT doc_id, sel AS pos FROM sf
+        |  WHERE nh > 4 AND pos <= nh - 4
+        |  UNION
+        |  SELECT doc_id, arg_min(pos, hv::HUGEINT * 1048576 + pos) AS pos
+        |  FROM h WHERE nh <= 4 GROUP BY doc_id
+        |),
+        |fps AS (
+        |  SELECT DISTINCT s.doc_id, h.hv AS fp
+        |  FROM sels s JOIN h ON h.doc_id = s.doc_id AND h.pos = s.pos
+        |),
+        |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+        |p AS (SELECT fps.* FROM fps JOIN rare USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+        |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     "text_token_freq" ->
       """WITH tk AS (

@@ -662,6 +662,31 @@ class OpsSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("winnowing: shared substring >= w+k-1 chars implies shared fingerprint") {
+    val wd = Seq(
+      (1L, "the common phrase appears here in document one"),
+      (2L, "document two also has the common phrase appears inside"),
+      (3L, "zzz qqq xxx vvv"), // no 11-char overlap with 1 or 2
+      (4L, "tiny"),            // shorter than k=8: no fingerprints
+      (5L, "exactly11ch"),     // 11 chars → nh=4 <= w: single fingerprint
+    ).toDF("doc_id", "text")
+    val fps = DedupOps.winnowFingerprints(wd, col("text"), col("doc_id"),
+      k = 8, w = 4)
+      .as[(Long, Long, Long)].collect()
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    // guarantee: docs 1 and 2 share "the common phrase appears" (>= 11)
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty)
+    assert(!byDoc.contains(4L))
+    assert(fps.count(_._1 == 5L) == 1)
+    // density: every full window contributed, selections are distinct
+    assert(fps.map(p => (p._1, p._2)).distinct.length == fps.length)
+    val pairs = DedupOps.winnowPairs(wd, col("text"), col("doc_id"),
+      k = 8, w = 4).as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    graft.core.CacheScope.release()
+  }
+
   test("tokenFrequencyScore: exact corpus-frequency means and minima") {
     val tf = Seq((1L, "a a b"), (2L, "a c"), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
