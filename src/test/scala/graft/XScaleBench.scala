@@ -157,6 +157,7 @@ object XScaleBench {
       "dd_minhash_bands", "dd_minhash_pairs", "dd_simhash",
       "dd_simhash_pairs", "dd_simhash_ham", "dd_para_exact", "dd_para_dedup",
       "dd_incremental", "dd_jaccard_pairs", "dd_clusters", "dd_fuzzy_keep",
+      "text_winnow", "dd_substr_pairs",
       "text_repetition", "text_token_freq", "text_quality_tiers",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
