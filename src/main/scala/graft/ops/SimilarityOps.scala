@@ -162,6 +162,24 @@ object SimilarityOps {
     corpus.select(id.as("neighbor_id"), vec.as("cv"))
       .join(cells, Seq("neighbor_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    // the quantizer is part of the index: persist the centroids beside the
+    // cells (underscore prefix: invisible to directory reads) so a search
+    // can NEVER probe with a different quantizer than the one the cells
+    // were assigned under — the silent-recall-loss failure mode
+    centroids.select(cid.as("centroid_id"), cvec.as("ctv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_centroids")
+  }
+
+  /** Search a persisted IVF index using ITS OWN persisted quantizer — the
+    * drift-proof form of [[ivfSearchIndex]]: the centroids are read from
+    * the index directory, so the probe cells always match the cells the
+    * corpus was assigned to at [[ivfIndexWrite]] time. */
+  def ivfSearchIndex(spark: SparkSession, indexDir: String,
+      queries: DataFrame, qvec: Column, qid: Column,
+      k: Int, nprobe: Int): DataFrame = {
+    val ct = spark.read.parquet(s"$indexDir/_graft_centroids")
+    ivfSearchIndex(spark, indexDir, ct, col("ctv"), col("centroid_id"),
+      queries, qvec, qid, k, nprobe)
   }
 
   /** Search a persisted IVF index ([[ivfIndexWrite]]): identical semantics

@@ -132,8 +132,8 @@ object R9Queries {
         "/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       SimilarityOps.ivfIndexWrite(e, col("embedding"), col("vec_id"),
         e.where(col("vec_id") < 8), col("embedding"), col("vec_id"), idx)
+      // the drift-proof overload: probes with the index's OWN quantizer
       SimilarityOps.ivfSearchIndex(s, idx,
-        e.where(col("vec_id") < 8), col("embedding"), col("vec_id"),
         e.where(col("vec_id") >= 8 && col("vec_id") < 13),
         col("embedding"), col("vec_id"), k = 10, nprobe = 2)
     }),

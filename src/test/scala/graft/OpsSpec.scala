@@ -730,6 +730,10 @@ class OpsSpec extends AnyFunSuite {
       cents, col("embedding"), col("vec_id"),
       queries, col("embedding"), col("vec_id"), k = 5, nprobe = 2))
     assert(viaIndex.nonEmpty && viaIndex == direct)
+    // the drift-proof overload (quantizer loaded FROM the index) agrees
+    val viaOwn = rows(SimilarityOps.ivfSearchIndex(spark, idx,
+      queries, col("embedding"), col("vec_id"), k = 5, nprobe = 2))
+    assert(viaOwn == direct)
     // the cell is a parquet PARTITION column: a cell predicate must show up
     // as a partition filter (pruned directories), not a data filter
     val plan = spark.read.parquet(idx).where(col("centroid_id") === 1)
@@ -800,5 +804,19 @@ class OpsSpec extends AnyFunSuite {
       .filter(p => newIds(p._1) || newIds(p._2))
     assert(inc == full && inc.contains((0L, 1L)) && inc.contains((3L, 5L)))
     graft.core.CacheScope.release()
+    // append the shard, then a THIRD shard dedups against the updated index
+    DedupOps.minhashIndexAppend(shard, col("text"), col("doc_id"), idx)
+    val shard2 = Seq(
+      (9L, "the quick brown fox jumps over the lazy dog"), // dup of 0 AND 1
+    ).toDF("doc_id", "text")
+    val inc2 = DedupOps.minhashCandidatesAgainst(idx, shard2,
+      col("text"), col("doc_id")).as[(Long, Long)].collect().toSet
+    assert(inc2 == Set((0L, 9L), (1L, 9L)))
+    graft.core.CacheScope.release()
+    // mismatched signature parameters must fail loudly, not read as 0 dups
+    intercept[IllegalArgumentException] {
+      DedupOps.minhashCandidatesAgainst(idx, shard2, col("text"),
+        col("doc_id"), numHashes = 32, bands = 8)
+    }
   }
 }
