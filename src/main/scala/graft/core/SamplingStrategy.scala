@@ -48,27 +48,41 @@ object SamplingStrategy {
   /** Column holding the copy index for with-replacement duplicates. */
   val Copy = "__copy"
 
-  /** Bounded-probe threshold for the no-replace top-k selection: draws at
-    * or below this size use the single-pass reservoir + broadcast semi
-    * join; larger draws use the data-wide rank.  Mutable ONLY so specs can
-    * force the data-wide path on small inputs; must stay <= Int.MaxValue
-    * (the reservoir buffer is an int-sized array). */
+  /** Process-default for [[Caps.reservoir]] — see [[Caps]].  Mutable only
+    * as a global override knob (scale harnesses); specs should pass
+    * per-call [[Caps]] instead of mutating this. */
   @volatile private[graft] var ReservoirCap: Long = 1000000L
 
-  /** Bounded-probe threshold for the block-permutation offset table: up to
-    * this many blocks the sort + prefix-sum run on the driver (the keys
-    * stay Spark-computed for oracle parity); beyond it the distributed
-    * rank+cumsum path takes over.  Mutable ONLY so specs can force the
-    * distributed path on small inputs. */
+  /** Process-default for [[Caps.blockTable]] — see [[Caps]]. */
   @volatile private[graft] var BlockTableCap: Long = 1000000L
 
-  /** Broadcast gate for the final (rowId, copy, ord) sample index of
-    * [[BlockWeightedSampling]]: an index of at most this many rows
-    * (~24 bytes each — ~48 MB at the default) is broadcast so the wide
-    * payload side is never shuffled or sorted; beyond it both sides hash on
-    * rowId (the right plan once the index itself is data-sized).  Mutable
-    * ONLY so specs can force the shuffle-join path on small inputs. */
+  /** Process-default for [[Caps.indexBroadcast]] — see [[Caps]]. */
   @volatile private[graft] var IndexBroadcastCap: Long = 2000000L
+
+  /** Per-call plan-selection gates for the dual-plan strategies.  Each gate
+    * switches between a driver-bounded fast path and the distributed
+    * fallback (crossovers measured in BENCH_SCALE.md); the defaults read
+    * the process-global knobs at CONSTRUCTION time, so a strategy built
+    * with `Caps()` is pinned to the defaults in force when it was built.
+    * Pass explicit values to force a path for a single strategy instance —
+    * no global mutation, safe under parallel suites.
+    *
+    *  - `reservoir`: no-replace draws at or below this size use the
+    *    single-pass bounded reservoir + broadcast semi join; larger draws
+    *    use the data-wide rank.  Must stay <= Int.MaxValue (the reservoir
+    *    buffer is an int-sized array).
+    *  - `blockTable`: up to this many blocks the permutation offset table
+    *    is sorted + prefix-summed on the driver (keys stay Spark-computed
+    *    for oracle parity); beyond it the distributed rank+cumsum path
+    *    takes over.
+    *  - `indexBroadcast`: a final (rowId, copy, ord) sample index of at
+    *    most this many rows (~24 bytes each — ~48 MB at the default) is
+    *    broadcast so the wide payload side is never shuffled or sorted;
+    *    beyond it both sides hash on rowId. */
+  final case class Caps(
+      reservoir: Long = ReservoirCap,
+      blockTable: Long = BlockTableCap,
+      indexBroadcast: Long = IndexBroadcastCap)
 
   /** Shared tail: given rows ranked 0..m-1 by `rankCol`, group into
     * contiguous blocks of `blockSize`, permute BLOCK order with a
@@ -89,7 +103,8 @@ object SamplingStrategy {
     * is blockSize× smaller than the data.
     */
   private[core] def blockPermute(df: DataFrame, rankCol: String,
-      blockSize: Int, m: Long, rng: Rng, seed: Long, tag: String): DataFrame = {
+      blockSize: Int, m: Long, rng: Rng, seed: Long, tag: String,
+      blockTableCap: Long = BlockTableCap): DataFrame = {
     require(m >= 0)
     if (m == 0) return df.withColumn(Ord, col(rankCol))
     val spark = df.sparkSession
@@ -106,7 +121,7 @@ object SamplingStrategy {
     // whose per-pass bridge cost dominated every block-shuffled query.
     // Beyond the gate (e.g. 10^8 blocks at 100 TB with blockSize 1024) the
     // distributed rank+cumsum path takes over.
-    val boff: DataFrame = if (nBlocks <= BlockTableCap) {
+    val boff: DataFrame = if (nBlocks <= blockTableCap) {
       val rows = blocks.collect()
       val ord = new Ordering[org.apache.spark.sql.Row] {
         def compare(a: org.apache.spark.sql.Row,
@@ -171,7 +186,8 @@ final case class Streaming(
 final case class BlockShuffling(
     blockSize: Int = 8,
     dropLast: Boolean = false,
-    rng: Rng = Rng.Xx) extends SamplingStrategy {
+    rng: Rng = Rng.Xx,
+    caps: SamplingStrategy.Caps = SamplingStrategy.Caps()) extends SamplingStrategy {
   import SamplingStrategy._
   require(blockSize > 0, "blockSize must be positive")
   def shuffleBeforeYield: Boolean = true
@@ -203,7 +219,7 @@ final case class BlockShuffling(
       }
     }
     blockPermute(df.withColumnRenamed(Ord, "__r0"), "__r0", blockSize,
-      outputLen(sc.length), rng, seed, "block").drop("__r0")
+      outputLen(sc.length), rng, seed, "block", caps.blockTable).drop("__r0")
   }
 
   def outputLen(n: Long): Long = if (dropLast) n - n % blockSize else n
@@ -255,7 +271,8 @@ final case class BlockWeightedSampling(
       * semantics, and with `sampling_size < total_size` the literal rounds
       * behavior.  Ignored when `replace = true` (as in the reference). */
     samplingSize: Option[Long] = None,
-    rng: Rng = Rng.Xx) extends SamplingStrategy {
+    rng: Rng = Rng.Xx,
+    caps: SamplingStrategy.Caps = SamplingStrategy.Caps()) extends SamplingStrategy {
   import SamplingStrategy._
   require(blockSize > 0 && totalSize > 0)
   def shuffleBeforeYield: Boolean = true
@@ -364,11 +381,11 @@ final case class BlockWeightedSampling(
         // a frame carrying `__akey`; selection identical to
         // ORDER BY akey DESC, rowId LIMIT k.
         def topK(keyed: DataFrame, k: Long): DataFrame =
-          if (k <= ReservoirCap) {
+          if (k <= caps.reservoir) {
             // the reservoir buffer is an int-indexed array — a cap raised
             // past Int.MaxValue must not silently truncate k.toInt below
             require(k <= Int.MaxValue.toLong,
-              s"reservoir draw k=$k exceeds Int.MaxValue; lower ReservoirCap")
+              s"reservoir draw k=$k exceeds Int.MaxValue; lower caps.reservoir")
             // driver-sized k: single-pass bounded top-k (WeightedReservoir
             // aggregate, ≤2k-entry partial buffers) + broadcast semi join —
             // no data-wide sort.  The broadcast (k ids, ≤8 MB) also
@@ -412,7 +429,7 @@ final case class BlockWeightedSampling(
             .drop("__akey", "__w")
             .withColumn(Copy, lit(1L)) // LONG like every other plan shape
         } else if (roundSizes.size <= 32 &&
-            roundSizes.forall(k => k <= ReservoirCap && k <= Int.MaxValue.toLong)) {
+            roundSizes.forall(k => k <= caps.reservoir && k <= Int.MaxValue.toLong)) {
           // all rounds driver-sized: ONE pass computes every round's
           // reservoir simultaneously (R agg columns, R bounded buffers per
           // task), the concatenated draws collapse to per-row copy counts,
@@ -457,7 +474,7 @@ final case class BlockWeightedSampling(
         .withColumn("__srank", col("__scum") - 1)
         .drop("__scum", Ord)
     val index = blockPermute(withSrank, "__srank", blockSize, totalSize,
-      rng, seed, "wblock").drop("__srank")
+      rng, seed, "wblock", caps.blockTable).drop("__srank")
     // fetch payload last: one join of the wide collection against the final
     // (rowId, copy, ord) index — the only pass that ever touches data
     // columns.  A driver-sized index (24 bytes × totalSize) is broadcast so
@@ -468,7 +485,7 @@ final case class BlockWeightedSampling(
     // sort-merge default additionally SORTS the wide payload side — the
     // index (3 longs/row) is always the cheaper hash build.
     val joined =
-      if (totalSize <= IndexBroadcastCap)
+      if (totalSize <= caps.indexBroadcast)
         wide.drop(Ord).join(broadcast(index), Seq(sc.rowId))
       else
         wide.drop(Ord).join(index.hint("shuffle_hash"), Seq(sc.rowId))
@@ -497,7 +514,8 @@ final case class MixtureSampling(
     totalSize: Long,
     blockSize: Int = 8,
     replace: Boolean = true,
-    rng: Rng = Rng.Xx) extends SamplingStrategy {
+    rng: Rng = Rng.Xx,
+    caps: SamplingStrategy.Caps = SamplingStrategy.Caps()) extends SamplingStrategy {
   require(parts.nonEmpty && parts.values.forall(_ >= 0L) &&
     parts.values.sum > 0L, "parts must be non-negative, not all zero")
   def shuffleBeforeYield: Boolean = true
@@ -517,7 +535,7 @@ final case class MixtureSampling(
           (lit(p) * col("__lcnt")).cast("double")))
       .drop("__lbl", "__lcnt", "__parts")
     BlockWeightedSampling(col("__mxw"), totalSize, blockSize, replace,
-      integralWeights = replace, rng = rng)
+      integralWeights = replace, rng = rng, caps = caps)
       .plan(sc.copy(df = weighted), seed)
       .drop("__mxw")
   }
@@ -546,7 +564,8 @@ final case class ClassBalancedSampling(
     blockSize: Int = 8,
     replace: Boolean = true,
     countsFrom: Option[DataFrame] = None,
-    rng: Rng = Rng.Xx) extends SamplingStrategy {
+    rng: Rng = Rng.Xx,
+    caps: SamplingStrategy.Caps = SamplingStrategy.Caps()) extends SamplingStrategy {
   def shuffleBeforeYield: Boolean = true
 
   def plan(sc: ScCollection, seed: Long): DataFrame = {
@@ -561,7 +580,7 @@ final case class ClassBalancedSampling(
         round(lit(num) / (lit(k) * col("__lcnt")).cast("double")))
       .drop("__lbl", "__lcnt")
     BlockWeightedSampling(col("__cbw"), totalSize, blockSize, replace,
-      integralWeights = replace, rng = rng)
+      integralWeights = replace, rng = rng, caps = caps)
       .plan(sc.copy(df = weighted), seed)
       .drop("__cbw")
   }

@@ -416,9 +416,21 @@ object DedupOps {
     *
     * Per-row kernel — monotonic-deque sliding minimum, O(chars) — behind an
     * explode; NO shuffle (the shuffle belongs to whatever consumes the
-    * fingerprints, e.g. [[winnowPairs]]).  Positions must stay below 2^20
-    * (1M chars/doc) for the oracle's composite arg_min key; the kernel
-    * itself has no such bound. */
+    * fingerprints, e.g. [[winnowPairs]]).  NOTE: positions must stay below
+    * 2^20 (1M chars/doc) for the ORACLE's composite arg_min key only — the
+    * kernel itself has no such bound and is correct at any document length
+    * (real corpora routinely exceed 1M chars; only the test-harness SQL
+    * mirror caps out).
+    *
+    * Hashing cost: ASCII text (the overwhelming bulk of a real corpus) is
+    * UTF-8-encoded ONCE per document and each k-gram digested straight from
+    * the shared byte buffer — no per-position substring/getBytes
+    * allocations.  Non-ASCII documents fall back to the per-position
+    * substring path (char→byte offsets are no longer the identity).  md5
+    * stays the gram hash for oracle parity
+    * (`('0x'||substr(md5(gram),1,15))::BIGINT` in the SQL mirror); a
+    * rolling Karp–Rabin would be cheaper still but is not reproducible in
+    * the oracle's hash vocabulary. */
   def winnowFingerprints(df: DataFrame, text: Column, id: Column,
       k: Int = 8, w: Int = 4): DataFrame = {
     require(k > 0 && w > 0)
@@ -431,10 +443,22 @@ object DedupOps {
         else {
           val md = Md5Local.get()
           val hs = new Array[Long](nh)
-          var i = 0
-          while (i < nh) {
-            hs(i) = key60(md.digest(t.substring(i, i + k).getBytes("UTF-8")))
-            i += 1
+          val bytes = t.getBytes("UTF-8")
+          if (bytes.length == t.length) {
+            // pure-ASCII fast path: byte offset == char offset, one shared
+            // buffer, zero allocations per position
+            var i = 0
+            while (i < nh) {
+              md.update(bytes, i, k)
+              hs(i) = key60(md.digest())
+              i += 1
+            }
+          } else {
+            var i = 0
+            while (i < nh) {
+              hs(i) = key60(md.digest(t.substring(i, i + k).getBytes("UTF-8")))
+              i += 1
+            }
           }
           val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
           if (nh <= w) {
@@ -655,12 +679,20 @@ object DedupOps {
     *
     * Recall contract: for `maxHamming <= 3` the result is EXACT over the
     * signature space — any two 60-bit signatures within Hamming distance 3
-    * agree on at least one of the four 15-bit bands, so the pair collides.
-    * Beyond 3 the banding bounds recall (standard simhash blocking).  The
+    * agree on at least one of the four 15-bit bands (pigeonhole), so the
+    * pair collides.  Beyond 3 the banding only BOUNDS recall (standard
+    * simhash blocking): a pair at Hamming h > 3 collides only if its h
+    * differing bits happen to miss one band entirely.  Because a caller
+    * reading "maxHamming = 20" could reasonably assume full recall, the
+    * partial-recall regime must be opted into explicitly with
+    * `approxRecall = true` — the call fails loudly otherwise.  The
     * signatures ride along the band table, so the confirm is a pointwise
     * integer expression on the join output — no extra shuffle. */
   def simhashPairs(df: DataFrame, text: Column, id: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, approxRecall: Boolean = false): DataFrame = {
+    require(maxHamming <= 3 || approxRecall,
+      s"maxHamming=$maxHamming exceeds the exact-recall bound of the 4x15-bit " +
+        "banding (3); pass approxRecall=true to accept banding-bounded recall")
     val sig = simhashBanded(df, text, id)
     sig.as("a")
       .join(sig.as("b"),
@@ -717,7 +749,18 @@ object DedupOps {
     * near-dup cluster plus every unclustered document.
     *
     * Every stage is the bounded/banded shape verified in BENCH_SCALE.md;
-    * nothing here is all-pairs. */
+    * nothing here is all-pairs.
+    *
+    * Storage contract: the pipeline's intermediates (band table, shingle
+    * postings, pair cache, cluster labels) are MATERIALIZED into the final
+    * loser list and released before this returns — a one-call convenience
+    * API must not pin corpus-derived tables in executor storage until the
+    * caller remembers [[graft.core.CacheScope.release]].  Only the loser
+    * list itself (≤ one row per duplicate document) stays cached; it is
+    * registered with the scope, so the caller's usual per-query `release()`
+    * drops it.  NOTE: the scope is process-global (one pipeline at a time
+    * per JVM — see [[graft.core.CacheScope]]), so the internal release
+    * also drops any OTHER in-flight engine intermediates. */
   def fuzzyDedup(df: DataFrame, text: Column, id: Column, k: Int = 3,
       numHashes: Int = 16, bands: Int = 4, maxDocFreq: Long = 100,
       minJaccard: Double = 0.5): DataFrame = {
@@ -728,6 +771,10 @@ object DedupOps {
     val losers = dedupClusters(confirmed)
       .where(col("doc_id") =!= col("keeper_id"))
       .select(col("doc_id").as("__loser_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count() // materialize BEFORE dropping the upstream caches
+    graft.core.CacheScope.release()
+    graft.core.CacheScope.register(losers)
     df.join(losers, id === col("__loser_id"), "left_anti")
   }
 

@@ -42,14 +42,29 @@ object MlOps {
 
   /** [[kmeansAssign]] plus the learned centroids — the centroid table is
     * what downstream invariant checks (and an IVF search layer) need: each
-    * point's assigned cluster must be its argmin-distance centroid. */
+    * point's assigned cluster must be its argmin-distance centroid.
+    *
+    * `requireLocal = true` fails loudly if the input exceeds
+    * `maxDriverRows` instead of silently switching to the MLlib regime.
+    * The local path's assignment is EXACT argmin under the plain
+    * `sum((a_i-b_i)^2)` arithmetic; MLlib computes distances with norm
+    * algebra, so on that path a near-tie can flip the argmin by a ulp.
+    * Callers whose downstream check replays the plain arithmetic (the
+    * `ml_kmeans_ivf` invariant oracle) must pin the local regime — growing
+    * the data past the gate would otherwise make the check silently
+    * flaky rather than fail. */
   def kmeansFit(df: DataFrame, vec: Column, id: Column, k: Int,
       seed: Long, maxIter: Int = 10,
-      maxDriverRows: Long = 200000L): (Array[Array[Double]], DataFrame) = {
+      maxDriverRows: Long = 200000L,
+      requireLocal: Boolean = false): (Array[Array[Double]], DataFrame) = {
     val data = df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
     val probe = data
       .limit(math.min(maxDriverRows + 1, Int.MaxValue.toLong).toInt).collect()
     if (probe.length > maxDriverRows) {
+      require(!requireLocal,
+        s"kmeansFit(requireLocal=true): input exceeds maxDriverRows=" +
+          s"$maxDriverRows, which would switch to the MLlib regime whose " +
+          "argmin can differ from the plain arithmetic by a ulp")
       val vdata = df.select(id.as("vec_id"), toVector(vec).as("features"))
       val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter)
         .fit(vdata)

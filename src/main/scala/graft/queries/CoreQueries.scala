@@ -117,13 +117,23 @@ object CoreQueries {
     "u8_label_encode" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       // the label dictionary is the distinct label set — driver-sized by
-      // definition; ids are assigned on the collected sorted values (a
-      // partition-less window here would log WindowExec's single-partition
-      // warning on every run — Spark strips constant partition keys)
+      // definition for a CLASS label; ids are assigned on the collected
+      // sorted values (a partition-less window here would log WindowExec's
+      // single-partition warning on every run — Spark strips constant
+      // partition keys).  The collect is BOUNDED: orderBy+limit compiles to
+      // TakeOrdered, so at most maxLabels+1 rows ever reach the driver, and
+      // an unexpectedly high-cardinality label column fails loudly instead
+      // of silently OOMing the driver (use the two-phase Ranker for id
+      // assignment if the cardinality is genuinely unbounded).
       import s.implicits._
+      val maxLabels = 1000000
+      val collected = docs.select("lang").distinct().orderBy("lang")
+        .limit(maxLabels + 1).collect()
+      require(collected.length <= maxLabels,
+        s"label cardinality exceeds $maxLabels — not a class label; " +
+          "assign ids with a distributed rank instead")
       val dict = s.createDataset(
-        docs.select("lang").distinct().orderBy("lang").collect()
-          .map(_.getString(0)).zipWithIndex.map { case (l, i) => (l, i) }
+        collected.map(_.getString(0)).zipWithIndex.map { case (l, i) => (l, i) }
           .toSeq).toDF("lang", "label_id")
       docs.join(broadcast(dict), Seq("lang"))
         .select(col("doc_id"), col("lang"), col("label_id").cast("long"))

@@ -164,13 +164,13 @@ object CoverageQueries {
     "ml_kmeans_ivf" -> ((s, dir) => {
       val e = emb(s, dir)
       val k = 8
+      // requireLocal pins the regime IN CODE: the invariant below replays
+      // the local path's exact `sum((a_i-b_i)^2)` arithmetic, and the MLlib
+      // path (norm algebra) could flip a near-tie argmin by a ulp.  If the
+      // datagen ever grows past maxDriverRows this now fails loudly instead
+      // of going silently flaky.
       val (centers, asg) = MlOps.kmeansFit(e, col("embedding"),
-        col("vec_id"), k = k, seed = 42L)
-      // NOTE: at oracle scale (500 rows < maxDriverRows) kmeansFit takes the
-      // local path, whose assignment uses EXACTLY this arithmetic — the
-      // equality below is bit-safe.  The MLlib path computes distances with
-      // norm algebra, so on that path a near-tie could flip the argmin by a
-      // ulp; this query is pinned to the local regime.
+        col("vec_id"), k = k, seed = 42L, requireLocal = true)
       val bc = s.sparkContext.broadcast(centers)
       val okU = udf { (v: Seq[Double], cluster: Long) =>
         val cs = bc.value

@@ -13,6 +13,25 @@ object R9Queries {
 
   import Tables.{docs, emb}
 
+  /** Per-PROCESS scratch root for the persisted-index queries.
+    * `createTempDirectory` makes the path unique per run, so two concurrent
+    * harness runs over the same data dir can never race on the
+    * mode(overwrite) index writes; the shutdown hook removes the artifacts
+    * when the JVM exits (the indexes must outlive the lazy query plan that
+    * reads them, so deletion inside the query builder is not an option). */
+  private[queries] lazy val runTmp: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft_run_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   /** The synthetic documents carry no newlines, so the paragraph queries
     * split on a literal token separator that occurs mid-document (" table ")
     * — same left-to-right non-overlapping split in Spark and DuckDB.  Real
@@ -83,10 +102,12 @@ object R9Queries {
 
     // SimHash candidates confirmed by Hamming distance over the 60-bit
     // signatures (threshold wide enough to keep the planted near-dups,
-    // tight enough to cut band-collision noise)
+    // tight enough to cut band-collision noise).  20 > 3 means banding-
+    // bounded recall — opted into explicitly; the oracle mirrors the same
+    // banding, so the compare is exact either way
     "dd_simhash_ham" -> ((s, dir) =>
       DedupOps.simhashPairs(docs(s, dir), col("text"), col("doc_id"),
-        maxHamming = 20)),
+        maxHamming = 20, approxRecall = true)),
 
     // Winnowing (MOSS) substring fingerprints: any shared substring of
     // length >= w + k - 1 = 11 chars yields a shared fingerprint
@@ -126,10 +147,9 @@ object R9Queries {
     // scan prunes to the probed cells' partition directories
     "sim_ivf_persisted" -> ((s, dir) => {
       val e = emb(s, dir)
-      // full sanitized dir (not hashCode): distinct data dirs can never
-      // collide on the index path
-      val idx = System.getProperty("java.io.tmpdir") +
-        "/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      // under the per-run scratch root (no cross-process races); the full
+      // sanitized dir keeps distinct data dirs from colliding within a run
+      val idx = runTmp + "/ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       SimilarityOps.ivfIndexWrite(e, col("embedding"), col("vec_id"),
         e.where(col("vec_id") < 8), col("embedding"), col("vec_id"), idx)
       // the drift-proof overload: probes with the index's OWN quantizer
@@ -145,8 +165,7 @@ object R9Queries {
       val d = docs(s, dir)
       val indexed = d.where(col("doc_id") % 2 === 0)
       val shard = d.where(col("doc_id") % 2 === 1)
-      val idx = System.getProperty("java.io.tmpdir") +
-        "/graft_mh_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = runTmp + "/mh_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       DedupOps.minhashIndexWrite(indexed, col("text"), col("doc_id"), idx)
       DedupOps.minhashCandidatesAgainst(idx, shard, col("text"), col("doc_id"))
     })

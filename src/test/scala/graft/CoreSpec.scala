@@ -159,56 +159,47 @@ class CoreSpec extends AnyFunSuite {
     val expected = (roundIds(0).toSeq ++ roundIds(1).toSeq).sorted
     assert(out.map(_._1).sorted == expected)
     // the huge-rounds fallback (per-round top-k + count shuffle) must
-    // produce the identical sample
-    val cap = SamplingStrategy.ReservoirCap
-    try {
-      SamplingStrategy.ReservoirCap = 10L
-      val out2 = st.plan(sc, 7)
-        .select(col("k"), col(SamplingStrategy.Copy).cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
-      assert(out2.sorted == out.sorted)
-    } finally SamplingStrategy.ReservoirCap = cap
+    // produce the identical sample — forced with a per-call cap, no
+    // global mutation
+    val out2 = st.copy(caps = SamplingStrategy.Caps(reservoir = 10L))
+      .plan(sc, 7)
+      .select(col("k"), col(SamplingStrategy.Copy).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out2.sorted == out.sorted)
   }
 
-  test("distributed block-offset fallback (nBlocks > BlockTableCap) matches driver path") {
+  test("distributed block-offset fallback (nBlocks > caps.blockTable) matches driver path") {
     val sc = mkCollection(101) // 13 blocks of 8 + tail of 5
-    def run() = BlockShuffling(blockSize = 8).plan(sc, 7)
-      .select("k", Ord).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
-    val viaDriver = run()
-    val cap = SamplingStrategy.BlockTableCap
-    try {
-      SamplingStrategy.BlockTableCap = 2L // force the distributed rank+cumsum
-      assert(run() == viaDriver)
-    } finally SamplingStrategy.BlockTableCap = cap
+    def run(caps: SamplingStrategy.Caps) =
+      BlockShuffling(blockSize = 8, caps = caps).plan(sc, 7)
+        .select("k", Ord).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).toSeq
+    val viaDriver = run(SamplingStrategy.Caps())
+    // force the distributed rank+cumsum via a per-call cap — no global
+    // mutation, so a parallel suite can never observe the forced path
+    assert(run(SamplingStrategy.Caps(blockTable = 2L)) == viaDriver)
   }
 
-  test("no-replace data-wide rank fallback (k > ReservoirCap) matches reservoir") {
+  test("no-replace data-wide rank fallback (k > caps.reservoir) matches reservoir") {
     val sc = mkCollection(2000)
-    def run() = BlockWeightedSampling(col("w"), totalSize = 100, blockSize = 8,
-      replace = false, rng = Rng.Md5).plan(sc, 11)
-      .select("k", SamplingStrategy.Ord).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val viaReservoir = run()
-    val cap = SamplingStrategy.ReservoirCap
-    try {
-      SamplingStrategy.ReservoirCap = 10L // force the data-wide path
-      assert(run() == viaReservoir)
-    } finally SamplingStrategy.ReservoirCap = cap
+    def run(caps: SamplingStrategy.Caps) =
+      BlockWeightedSampling(col("w"), totalSize = 100, blockSize = 8,
+        replace = false, rng = Rng.Md5, caps = caps).plan(sc, 11)
+        .select("k", SamplingStrategy.Ord).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaReservoir = run(SamplingStrategy.Caps())
+    assert(run(SamplingStrategy.Caps(reservoir = 10L)) == viaReservoir)
   }
 
-  test("shuffle-join index fallback (totalSize > IndexBroadcastCap) matches broadcast path") {
+  test("shuffle-join index fallback (totalSize > caps.indexBroadcast) matches broadcast path") {
     val sc = mkCollection(500)
-    def run() = BlockWeightedSampling(col("w"), totalSize = 1000, blockSize = 8,
-      rng = Rng.Md5).plan(sc, 11)
-      .select("k", SamplingStrategy.Copy, Ord).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
-    val viaBroadcast = run()
-    val cap = SamplingStrategy.IndexBroadcastCap
-    try {
-      SamplingStrategy.IndexBroadcastCap = 0L // force the shuffle join
-      assert(run() == viaBroadcast)
-    } finally SamplingStrategy.IndexBroadcastCap = cap
+    def run(caps: SamplingStrategy.Caps) =
+      BlockWeightedSampling(col("w"), totalSize = 1000, blockSize = 8,
+        rng = Rng.Md5, caps = caps).plan(sc, 11)
+        .select("k", SamplingStrategy.Copy, Ord).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3).toSeq
+    val viaBroadcast = run(SamplingStrategy.Caps())
+    assert(run(SamplingStrategy.Caps(indexBroadcast = 0L)) == viaBroadcast)
   }
 
   test("systematic resampling: weight-periodic layout biases group totals, hash-scatter removes it") {

@@ -645,8 +645,13 @@ class OpsSpec extends AnyFunSuite {
     ).toDF("doc_id", "text")
     val cand = DedupOps.simhashCandidates(sp, col("text"), col("doc_id"))
       .as[(Long, Long)].collect().toSet
+    // maxHamming > 3 requires the explicit approxRecall opt-in...
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashPairs(sp, col("text"), col("doc_id"), maxHamming = 20)
+    }
+    // ...which acknowledges banding-bounded recall
     val confirmed = DedupOps.simhashPairs(sp, col("text"), col("doc_id"),
-      maxHamming = 20).as[(Long, Long, Long)].collect()
+      maxHamming = 20, approxRecall = true).as[(Long, Long, Long)].collect()
     // confirm stage is a pure filter over the candidate set
     assert(confirmed.map(p => (p._1, p._2)).toSet.subsetOf(cand))
     // the exact dup survives at distance 0
