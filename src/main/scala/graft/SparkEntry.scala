@@ -12,11 +12,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ WeightedQueries.queries ++ ExtQueries.queries ++
-      CoverageQueries.queries ++ PipelineQueries.queries ++ R9Queries.queries
+      CoverageQueries.queries ++ PipelineQueries.queries ++
+      R9Queries.queries ++ R10Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ WeightedQueries.oracles ++ ExtQueries.oracles ++
-      CoverageQueries.oracles ++ PipelineQueries.oracles ++ R9Queries.oracles
+      CoverageQueries.oracles ++ PipelineQueries.oracles ++
+      R9Queries.oracles ++ R10Queries.oracles
 }

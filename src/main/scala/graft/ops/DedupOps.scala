@@ -778,6 +778,77 @@ object DedupOps {
     df.join(losers, id === col("__loser_id"), "left_anti")
   }
 
+  /** In-cluster cosine near-duplicate pairs — the pair stage of semantic
+    * dedup: given a cluster assignment (the coarse quantizer's output —
+    * learned [[MlOps.kmeansFit]] or fixed [[SimilarityOps.ivfAssign]]),
+    * emit every same-cluster id-ordered pair with cosine >= `minCosine`.
+    * The cluster id plays exactly the role the LSH bucket plays in
+    * [[embeddingPairsBucketed]]: ONE shuffle on the cluster id, in-cluster
+    * fan-out bounded by the cluster population (k centroids over n rows →
+    * ~n/k rows per cluster), never the corpus cross product.  At 100 TB
+    * the cluster id is the partition/bucketing key, k is sized so a cell
+    * fits an executor (SemDeDup's own recipe: k ~ sqrt(n)), and a skewed
+    * mega-cluster is the signal to raise k — the plan shape is unchanged.
+    *
+    * Output: (doc_a, doc_b, cos) — the [[dedupClusters]] input shape.
+    * Cosine arithmetic matches [[embeddingPairs]] (sequential fold, 6-dp
+    * HALF_UP round) for oracle parity. */
+  def semanticPairs(df: DataFrame, vec: Column, id: Column,
+      clusters: DataFrame, minCosine: Double): DataFrame = {
+    val withC = df
+      .select(id.cast("long").as("vid"), vec.as("v"))
+      .join(clusters.select(col("vec_id").cast("long").as("vid"),
+        col("cluster")), Seq("vid"))
+    withC.as("a")
+      .join(withC.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("doc_a"), col("b.vid").as("doc_b"),
+        round(SimilarityOps.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .where(col("cos") >= minCosine)
+  }
+
+  /** Semantic dedup against a caller-supplied cluster assignment
+    * (`clusters`: (vec_id, cluster)): [[semanticPairs]] within each cell →
+    * [[dedupClusters]] connected components → keeper projection (the
+    * minimum-id member of every cosine-dup group survives, plus every
+    * unpaired row).  Same storage contract as [[fuzzyDedup]]: the loser
+    * list is materialized, every upstream cache released, and only the
+    * loser list stays registered with the scope. */
+  def semanticDedupAssigned(df: DataFrame, vec: Column, id: Column,
+      clusters: DataFrame, minCosine: Double): DataFrame = {
+    val pairs = semanticPairs(df, vec, id, clusters, minCosine)
+    val losers = dedupClusters(pairs)
+      .where(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id").as("__loser_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count() // materialize BEFORE dropping the upstream caches
+    graft.core.CacheScope.release()
+    graft.core.CacheScope.register(losers)
+    df.join(losers, id.cast("long") === col("__loser_id"), "left_anti")
+  }
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): embedding-tier
+    * dedup as cluster-then-prune — seeded k-means over the embedding
+    * column ([[MlOps.kmeansFit]]) partitions the corpus into k semantic
+    * cells, then every in-cell cosine-dup group keeps one representative.
+    * The k-means restriction is what makes the embedding tier scale: the
+    * O(n²) cosine search runs per cell (~(n/k)² work × k cells = n²/k),
+    * and the cells are the natural partition key, so no stage ever holds
+    * more than a cell.  Completes the dedup ladder: document (exact /
+    * MinHash / SimHash) → paragraph → substring (winnowing) → semantic.
+    *
+    * Deterministic for fixed input+seed on both k-means regimes; pin
+    * `requireLocal` semantics via `maxDriverRows` if downstream checks
+    * replay the exact arithmetic (see [[MlOps.kmeansFit]]). */
+  def semanticDedup(df: DataFrame, vec: Column, id: Column, k: Int,
+      minCosine: Double, seed: Long = 42L, maxIter: Int = 10,
+      maxDriverRows: Long = 200000L): DataFrame = {
+    val (_, asg) = MlOps.kmeansFit(df, vec, id, k, seed, maxIter,
+      maxDriverRows)
+    semanticDedupAssigned(df, vec, id, asg, minCosine)
+  }
+
   /** Duplicate-cluster extraction: connected components over a candidate
     * pair list ((doc_a, doc_b), doc_a < doc_b — the output shape of
     * [[minhashCandidates]] / [[simhashCandidates]] / [[ngramJaccardPairs]]),

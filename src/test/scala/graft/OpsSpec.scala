@@ -182,6 +182,42 @@ class OpsSpec extends AnyFunSuite {
     assert(a == assign()) // same seed → same assignment
   }
 
+  test("semanticDedup: planted in-cluster near-dups collapse, singletons survive") {
+    val r = new scala.util.Random(11)
+    // 3 semantic cells on orthogonal axes (coords 0..2) — well-separated in
+    // EUCLIDEAN distance (what kmeans sees) AND mutually near-orthogonal in
+    // COSINE.  Within a cell, ids (10c, 10c+1) are a planted near-identical
+    // pair; members j>=2 add a 15-unit spike on a per-member axis
+    // (coords 3..10), which keeps them in the cell for kmeans (spike <<
+    // 100-unit cell offset) but pulls pairwise cosine down to ~0.98 — below
+    // the 0.999 dup bar
+    val vs = (0 until 3).flatMap { c =>
+      (0 until 10).map { j =>
+        val id = c * 10L + j
+        val v = Array.tabulate(16) { d =>
+          val base = if (d == c) 100.0 else 0.0
+          val spike = if (j >= 2 && d == 3 + (j - 2)) 15.0 else 0.0
+          val noise = if (j == 1) r.nextGaussian() * 1e-3 else 0.0
+          (base + spike + noise).toFloat
+        }
+        (id, v)
+      }
+    }
+    val df = vs.toDF("vec_id", "embedding")
+    val kept = DedupOps.semanticDedup(df, col("embedding"), col("vec_id"),
+      k = 3, minCosine = 0.999, seed = 42L)
+      .select("vec_id").as[Long].collect().toSet
+    CacheScope.release()
+    // each planted pair loses exactly its higher id; everything else stays
+    assert(kept == vs.map(_._1).toSet -- Set(1L, 11L, 21L))
+    // determinism: same input + seed → same keeper set
+    val again = DedupOps.semanticDedup(df, col("embedding"), col("vec_id"),
+      k = 3, minCosine = 0.999, seed = 42L)
+      .select("vec_id").as[Long].collect().toSet
+    CacheScope.release()
+    assert(again == kept)
+  }
+
   test("stubDecode emits fixed-width deterministic features") {
     val d = MultimodalOps.stubDecode(
       MultimodalOps.withPayload(docs, col("text")), col("payload"),
