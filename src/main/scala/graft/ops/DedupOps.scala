@@ -500,9 +500,25 @@ object DedupOps {
     * fingerprint join is document-frequency-capped exactly like
     * [[shinglePostings]] — a fingerprint appearing in > maxDocFreq docs is
     * a stop-substring (boilerplate) with no pairing value and quadratic
-    * fan-out, dropped before the join. */
+    * fan-out, dropped before the join — and pairs sharing fewer than
+    * `minSharedFps` fingerprints are dropped INSIDE the aggregate (a
+    * HAVING on the map-side-combined count, not a post-filter), so the
+    * pair list that leaves the shuffle is already thresholded.
+    *
+    * Parameter guidance AT SCALE: `k` is the match resolution — two
+    * documents pair iff they share a substring of length >= w + k - 1.
+    * k=8 finds any shared English phrase and makes the pair list
+    * near-quadratic on a homogeneous corpus (at sf0.01 it emits 88% of all
+    * possible pairs); real substring-dedup runs want k ≈ 25–50 (MOSS /
+    * ExactSubstr territory: boilerplate and quotes, not phrases) plus
+    * `minSharedFps >= 2` so one coincidental gram never pairs two
+    * documents.  The output then grows linearly in corpus size (≤
+    * C(maxDocFreq, 2) per fingerprint), with constants a downstream
+    * aggregate can actually afford. */
   def winnowPairs(df: DataFrame, text: Column, id: Column,
-      k: Int = 8, w: Int = 4, maxDocFreq: Long = 100): DataFrame = {
+      k: Int = 25, w: Int = 4, maxDocFreq: Long = 100,
+      minSharedFps: Long = 2): DataFrame = {
+    require(minSharedFps >= 1, "minSharedFps must be >= 1")
     val fps = graft.core.CacheScope.persist(
       winnowFingerprints(df, text, id, k, w)
         .select(col("doc_id").cast("long").as("doc_id"), col("fp"))
@@ -516,6 +532,7 @@ object DedupOps {
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minSharedFps)
   }
 
   /** Persist a corpus's MinHash LSH band table as a dedup INDEX for

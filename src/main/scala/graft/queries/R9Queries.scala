@@ -115,10 +115,13 @@ object R9Queries {
       DedupOps.winnowFingerprints(docs(s, dir), col("text"), col("doc_id"),
         k = 8, w = 4)),
 
-    // Substring-overlap candidate pairs over the winnowing fingerprints
+    // Substring-overlap candidate pairs over the winnowing fingerprints —
+    // scale-realistic parameters: 25-char grams (shared substrings >= 28
+    // chars, boilerplate territory) and >= 2 shared fingerprints per pair,
+    // thresholded inside the aggregate
     "dd_substr_pairs" -> ((s, dir) =>
       DedupOps.winnowPairs(docs(s, dir), col("text"), col("doc_id"),
-        k = 8, w = 4, maxDocFreq = 100)),
+        k = 25, w = 4, maxDocFreq = 100, minSharedFps = 2)),
 
     // Corpus token-frequency fluency score (LM-free CCNet-perplexity
     // stand-in; integer-exact)
@@ -276,11 +279,11 @@ object R9Queries {
 
     "dd_substr_pairs" ->
       """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL),
-        |g AS (SELECT doc_id, t, length(t) - 8 + 1 AS nh FROM d WHERE length(t) >= 8),
+        |g AS (SELECT doc_id, t, length(t) - 25 + 1 AS nh FROM d WHERE length(t) >= 25),
         |hx AS (SELECT doc_id, nh, unnest(generate_series(1, nh)) AS i, t FROM g),
         |h AS (
         |  SELECT doc_id, nh, i - 1 AS pos,
-        |         ('0x' || substr(md5(substr(t, i, 8)), 1, 15))::BIGINT AS hv
+        |         ('0x' || substr(md5(substr(t, i, 25)), 1, 15))::BIGINT AS hv
         |  FROM hx
         |),
         |sf AS (
@@ -305,7 +308,7 @@ object R9Queries {
         |p AS (SELECT fps.* FROM fps JOIN rare USING (fp))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
         |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2""".stripMargin,
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
 
     "text_token_freq" ->
       """WITH tk AS (

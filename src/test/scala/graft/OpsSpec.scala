@@ -722,9 +722,15 @@ class OpsSpec extends AnyFunSuite {
     // density: every full window contributed, selections are distinct
     assert(fps.map(p => (p._1, p._2)).distinct.length == fps.length)
     val pairs = DedupOps.winnowPairs(wd, col("text"), col("doc_id"),
-      k = 8, w = 4).as[(Long, Long, Long)].collect()
+      k = 8, w = 4, minSharedFps = 1).as[(Long, Long, Long)].collect()
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    graft.core.CacheScope.release()
+    // the in-aggregate threshold drops pairs below minSharedFps
+    val n12 = pairs.find(p => p._1 == 1L && p._2 == 2L).get._3
+    val thresholded = DedupOps.winnowPairs(wd, col("text"), col("doc_id"),
+      k = 8, w = 4, minSharedFps = n12 + 1).as[(Long, Long, Long)].collect()
+    assert(!thresholded.exists(p => p._1 == 1L && p._2 == 2L))
     graft.core.CacheScope.release()
   }
 
