@@ -535,6 +535,162 @@ object DedupOps {
       .where(col("shared_fps") >= minSharedFps)
   }
 
+  /** Maximal exact shared spans across documents — the ExactSubstr recipe
+    * (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", 2022), seeded by winnowing instead of a suffix array:
+    *
+    *  1. candidate pairs = documents sharing a winnow-selected fingerprint
+    *     ([[winnowPairs]] semantics: df-capped, never all-pairs);
+    *  2. seeds = the candidate pair's shared SELECTED fingerprints (all of
+    *     them, including df-capped-out hot ones — the cap gates pair
+    *     GENERATION only; dropping hot seeds here would lose whole spans);
+    *  3. seed-and-extend: with both (lowercased) texts in hand, each seed
+    *     extends left/right to the maximal matching char run on its
+    *     diagonal; duplicate seeds inside one span collapse.
+    *
+    * Completeness: for `minLen >= w + k - 1` the result is EXACT — every
+    * maximal shared span of that length contains a winnow-selected shared
+    * fingerprint (the winnowing guarantee), so every qualifying span is
+    * seeded; that bound is `require`d.  Char-level verification at the
+    * seed makes hash collisions impossible to surface.
+    *
+    * Output: (doc_a, doc_b, start_a, start_b, len) — offsets into the
+    * LOWERCASED text (= original offsets wherever lowercasing preserves
+    * length, i.e. all of ASCII).
+    *
+    * Physical shape: fingerprints computed once (cached); pair + seed
+    * joins are fingerprint-keyed hash joins; the extension kernel sees one
+    * row per candidate PAIR (seeds grouped first), so text moves to the
+    * kernel once per pair side, bounded by the candidate list — never
+    * all-pairs, no data-wide sort (the suffix-array alternative). */
+  def sharedSpans(df: DataFrame, text: Column, id: Column,
+      k: Int = 25, w: Int = 4, maxDocFreq: Long = 100,
+      minLen: Int = -1): DataFrame = {
+    val ml = if (minLen < 0) w + k - 1 else minLen
+    require(ml >= w + k - 1,
+      s"minLen=$ml below the winnowing guarantee w+k-1=${w + k - 1}: " +
+        "spans shorter than that may lack a selected seed (use a smaller " +
+        "k/w instead)")
+    val fps = graft.core.CacheScope.persist(
+      winnowFingerprints(df, text, id, k, w)
+        .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
+          col("fp")),
+      eager = true)
+    val distinctFps = fps.select("doc_id", "fp").distinct()
+    val hot = distinctFps.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq).select("fp")
+    val posts = distinctFps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val cand = posts.as("a")
+      .join(posts.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // seeds: every shared SELECTED fingerprint of a candidate pair, with
+    // both positions (cross product over a fingerprint's positions within
+    // each doc — each is a genuine match point)
+    val seeds = cand
+      .join(fps.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+        col("fp")), Seq("doc_a"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+        col("fp")), Seq("doc_b", "fp"))
+      .groupBy("doc_a", "doc_b")
+      .agg(collect_list(struct(col("pos_a"), col("pos_b"))).as("__seeds"))
+    val lowered = df.select(id.cast("long").as("__tid"),
+      lower(text).as("__t"))
+    val extend = udf { (ta: String, tb: String, seeds: Seq[org.apache.spark.sql.Row]) =>
+      val la = ta.length; val lb = tb.length
+      val out = new scala.collection.mutable.LinkedHashSet[(Long, Long, Long)]()
+      seeds.foreach { r =>
+        val pa = r.getLong(0).toInt; val pb = r.getLong(1).toInt
+        // char-verify the seed gram (kills hash collisions); then extend
+        var ok = pa + k <= la && pb + k <= lb
+        var i = 0
+        while (ok && i < k) { ok = ta.charAt(pa + i) == tb.charAt(pb + i); i += 1 }
+        if (ok) {
+          var sa = pa; var sb = pb
+          while (sa > 0 && sb > 0 && ta.charAt(sa - 1) == tb.charAt(sb - 1)) {
+            sa -= 1; sb -= 1
+          }
+          var ea = pa + k; var eb = pb + k
+          while (ea < la && eb < lb && ta.charAt(ea) == tb.charAt(eb)) {
+            ea += 1; eb += 1
+          }
+          if (ea - sa >= ml) out += ((sa.toLong, sb.toLong, (ea - sa).toLong))
+        }
+      }
+      out.toArray
+    }
+    seeds
+      .join(lowered, col("doc_a") === col("__tid")).drop("__tid")
+      .withColumnRenamed("__t", "__ta")
+      .join(lowered, col("doc_b") === col("__tid")).drop("__tid")
+      .select(col("doc_a"), col("doc_b"),
+        explode(extend(col("__ta"), col("__t"), col("__seeds"))).as("s"))
+      .select(col("doc_a"), col("doc_b"), col("s._1").as("start_a"),
+        col("s._2").as("start_b"), col("s._3").as("len"))
+  }
+
+  /** Turn a [[sharedSpans]] pair list into a per-document REMOVAL list:
+    * the keeper convention of the whole engine (minimum id wins) applied
+    * at span granularity — each span is removed from `doc_b`, kept in
+    * `doc_a`; overlapping removals on one document are merged into
+    * disjoint intervals.  Output: (doc_id, start, len), disjoint per doc.
+    *
+    * One shuffle on doc_id; the merge kernel sees one row per document
+    * with its interval list (candidate-bounded). */
+  def spanRemovals(spans: DataFrame): DataFrame = {
+    val merge = udf { (iv: Seq[org.apache.spark.sql.Row]) =>
+      val sorted = iv.map(r => (r.getLong(0), r.getLong(0) + r.getLong(1)))
+        .sortBy(x => (x._1, x._2))
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+      sorted.foreach { case (s, e) =>
+        if (out.nonEmpty && s <= out.last._2) {
+          val (ls, le) = out.last
+          out(out.length - 1) = (ls, math.max(le, e))
+        } else out += ((s, e))
+      }
+      out.map { case (s, e) => (s, e - s) }.toArray
+    }
+    spans
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(collect_list(struct(col("start_b"), col("len"))).as("__iv"))
+      .select(col("doc_id"), explode(merge(col("__iv"))).as("m"))
+      .select(col("doc_id"), col("m._1").as("start"), col("m._2").as("len"))
+  }
+
+  /** End-to-end exact-substring dedup: [[sharedSpans]] → [[spanRemovals]]
+    * → rebuild each document's LOWERCASED text with every removed interval
+    * cut out (the byte-range removal of the ExactSubstr recipe, vs the
+    * paragraph-aligned [[paragraphDedupedText]]).  Documents with no
+    * removals pass through unchanged; a fully-covered document comes out
+    * as the empty string.  Output: (doc_id, deduped_text). */
+  def spanDedupedText(df: DataFrame, text: Column, id: Column,
+      k: Int = 25, w: Int = 4, maxDocFreq: Long = 100,
+      minLen: Int = -1): DataFrame = {
+    val removals = spanRemovals(
+      sharedSpans(df, text, id, k, w, maxDocFreq, minLen))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start"), col("len"))).as("__iv"))
+    val cut = udf { (t: String, iv: Seq[org.apache.spark.sql.Row]) =>
+      if (iv == null) t
+      else {
+        val sorted = iv.map(r => (r.getLong(0).toInt, r.getLong(1).toInt))
+          .sortBy(_._1)
+        val sb = new java.lang.StringBuilder(t.length)
+        var cur = 0
+        sorted.foreach { case (s, l) =>
+          if (s > cur) sb.append(t, cur, s)
+          cur = math.max(cur, s + l)
+        }
+        if (cur < t.length) sb.append(t, cur, t.length)
+        sb.toString
+      }
+    }
+    df.select(id.cast("long").as("doc_id"), lower(text).as("__t"))
+      .join(removals, Seq("doc_id"), "left")
+      .select(col("doc_id"), cut(col("__t"), col("__iv")).as("deduped_text"))
+  }
+
   /** Persist a corpus's MinHash LSH band table as a dedup INDEX for
     * incremental ingestion: the [[minhashBands]] output written as parquet.
     * Real pipelines ingest continuously — the index lets a new shard be

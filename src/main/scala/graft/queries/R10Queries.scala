@@ -75,8 +75,76 @@ object R10Queries {
     "dd_semantic_keep" -> ((s, dir) =>
       DedupOps.semanticDedupAssigned(emb(s, dir), col("embedding"),
         col("vec_id"), ivfClusters(s, dir), minCosine = 0.4)
-        .select(col("vec_id"), col("label").cast("long").as("label")))
+        .select(col("vec_id"), col("label").cast("long").as("label"))),
+
+    // ExactSubstr span extraction: winnow-seeded maximal shared char runs
+    // >= w+k-1 = 28 chars across candidate document pairs
+    "dd_spans" -> ((s, dir) =>
+      DedupOps.sharedSpans(Tables.docs(s, dir), col("text"), col("doc_id"),
+        k = 25, w = 4, maxDocFreq = 100)),
+
+    // ExactSubstr removal: every shared span cut from the higher-id doc
+    // (merged intervals), text rebuilt — the byte-range analogue of
+    // dd_para_dedup's paragraph-aligned removal
+    "dd_span_dedup" -> ((s, dir) =>
+      DedupOps.spanDedupedText(Tables.docs(s, dir), col("text"),
+        col("doc_id"), k = 25, w = 4, maxDocFreq = 100))
   )
+
+  /** Shared CTE prefix for the span oracles: winnow selection (k=25, w=4)
+    * → df-capped candidate pairs → full-gram match grid → maximal runs per
+    * diagonal (gaps-and-islands) = maximal shared char spans.  The grid
+    * joins on the GRAM TEXT (not the hash), mirroring the kernel's
+    * char-verified extension. */
+  private val SpanSql =
+    """d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL),
+      |g AS (SELECT doc_id, t, length(t) - 25 + 1 AS nh FROM d WHERE length(t) >= 25),
+      |hx AS (SELECT doc_id, nh, unnest(generate_series(1, nh)) AS i, t FROM g),
+      |h AS (
+      |  SELECT doc_id, nh, i - 1 AS pos, substr(t, i, 25) AS gm,
+      |         ('0x' || substr(md5(substr(t, i, 25)), 1, 15))::BIGINT AS hv
+      |  FROM hx
+      |),
+      |sf AS (
+      |  SELECT doc_id, nh, pos,
+      |    arg_min(pos, hv::HUGEINT * 1048576 + pos) OVER
+      |      (PARTITION BY doc_id ORDER BY pos
+      |       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS sel
+      |  FROM h
+      |),
+      |sels AS (
+      |  SELECT DISTINCT doc_id, sel AS pos FROM sf
+      |  WHERE nh > 4 AND pos <= nh - 4
+      |  UNION
+      |  SELECT doc_id, arg_min(pos, hv::HUGEINT * 1048576 + pos) AS pos
+      |  FROM h WHERE nh <= 4 GROUP BY doc_id
+      |),
+      |fps AS (
+      |  SELECT DISTINCT s.doc_id, h.hv AS fp
+      |  FROM sels s JOIN h ON h.doc_id = s.doc_id AND h.pos = s.pos
+      |),
+      |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
+      |p AS (SELECT fps.* FROM fps JOIN rare USING (fp)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |),
+      |grid AS (
+      |  SELECT c.doc_a, c.doc_b, ha.pos AS pa, hb.pos AS pb
+      |  FROM cand c
+      |  JOIN h ha ON ha.doc_id = c.doc_a
+      |  JOIN h hb ON hb.doc_id = c.doc_b AND hb.gm = ha.gm
+      |),
+      |runs AS (
+      |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+      |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+      |  FROM grid
+      |),
+      |spans AS (
+      |  SELECT doc_a, doc_b, min(pa) AS start_a, min(pa) - diag AS start_b,
+      |         max(pa) - min(pa) + 25 AS len
+      |  FROM runs GROUP BY doc_a, doc_b, diag, grp
+      |)""".stripMargin
 
   def oracles: Map[String, String] = Map(
 
@@ -96,6 +164,56 @@ object R10Queries {
          |),
          |cl AS (SELECT node AS vid, min(rt) AS keeper_id FROM reach GROUP BY node)
          |SELECT vec_id, label::BIGINT AS label FROM embeddings
-         |WHERE vec_id NOT IN (SELECT vid FROM cl WHERE vid <> keeper_id)""".stripMargin
+         |WHERE vec_id NOT IN (SELECT vid FROM cl WHERE vid <> keeper_id)""".stripMargin,
+
+    "dd_spans" ->
+      s"""WITH $SpanSql
+         |SELECT doc_a, doc_b, start_a, start_b, len FROM spans
+         |WHERE len >= 28""".stripMargin,
+
+    "dd_span_dedup" ->
+      s"""WITH $SpanSql,
+         |rm AS (
+         |  SELECT doc_b AS doc_id, start_b AS s, start_b + len AS e
+         |  FROM spans WHERE len >= 28
+         |),
+         |sw AS (
+         |  SELECT doc_id, s, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxe
+         |  FROM rm
+         |),
+         |gi AS (
+         |  SELECT doc_id, s, e,
+         |    CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END AS ng
+         |  FROM sw
+         |),
+         |gg AS (
+         |  SELECT doc_id, s, e,
+         |    sum(ng) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+         |  FROM gi
+         |),
+         |mi AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM gg GROUP BY doc_id, grp),
+         |segs AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS cs,
+         |    s AS ce
+         |  FROM mi
+         |  UNION ALL
+         |  SELECT m.doc_id, max(m.e) AS cs, max(length(d.t)) AS ce
+         |  FROM mi m JOIN d ON d.doc_id = m.doc_id GROUP BY m.doc_id
+         |),
+         |rebuilt AS (
+         |  SELECT s.doc_id,
+         |    string_agg(substr(d.t, (s.cs + 1)::BIGINT, (s.ce - s.cs)::BIGINT), '' ORDER BY s.cs) AS rt
+         |  FROM segs s JOIN d ON d.doc_id = s.doc_id
+         |  WHERE s.ce > s.cs
+         |  GROUP BY s.doc_id
+         |)
+         |SELECT d0.doc_id,
+         |  CASE WHEN d0.doc_id IN (SELECT doc_id FROM mi)
+         |       THEN coalesce(r.rt, '')
+         |       ELSE lower(d0.text) END AS deduped_text
+         |FROM documents d0 LEFT JOIN rebuilt r ON r.doc_id = d0.doc_id""".stripMargin
   )
 }

@@ -734,6 +734,45 @@ class OpsSpec extends AnyFunSuite {
     graft.core.CacheScope.release()
   }
 
+  test("sharedSpans: planted cross-document span recovered exactly; removal cuts it") {
+    val planted = "this exact sentence is shared across both documents verbatim"
+    val a = "AAA prefix text unlike anything. " + planted + " unique a-side tail."
+    val b = "totally different opening here; " + planted + " and then b continues."
+    val c = "no overlap with the others whatsoever, completely distinct prose."
+    val wd = Seq((10L, a), (20L, b), (30L, c)).toDF("doc_id", "text")
+    val spans = DedupOps.sharedSpans(wd, col("text"), col("doc_id"),
+      k = 8, w = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    CacheScope.release()
+    // exactly one maximal span, between 10 and 20, exactly the planted
+    // sentence padded by the shared single spaces around it
+    assert(spans.length == 1)
+    val (da, db, sa, sbb, len) = spans.head
+    assert((da, db) == (10L, 20L))
+    val aL = a.toLowerCase; val bL = b.toLowerCase
+    assert(aL.substring(sa.toInt, (sa + len).toInt) ==
+      bL.substring(sbb.toInt, (sbb + len).toInt))
+    assert(aL.substring(sa.toInt, (sa + len).toInt).contains(planted))
+    // maximality: extending one char either side breaks the match
+    assert(sa == 0 || sbb == 0 || aL.charAt(sa.toInt - 1) != bL.charAt(sbb.toInt - 1))
+    assert(aL.charAt((sa + len).toInt) != bL.charAt((sbb + len).toInt))
+    // removal: span cut from the HIGHER-id doc only, keeper intact
+    val rebuilt = DedupOps.spanDedupedText(wd, col("text"), col("doc_id"),
+      k = 8, w = 4)
+      .as[(Long, String)].collect().toMap
+    CacheScope.release()
+    assert(rebuilt(10L) == aL)
+    assert(rebuilt(30L) == c.toLowerCase)
+    assert(!rebuilt(20L).contains(planted))
+    assert(rebuilt(20L) == bL.substring(0, sbb.toInt) + bL.substring((sbb + len).toInt))
+    // overlapping-interval merge: two overlapping removals become one cut
+    val iv = Seq((1L, 2L, 0L, 10L, 20L), (1L, 2L, 0L, 25L, 20L))
+      .toDF("doc_a", "doc_b", "start_a", "start_b", "len")
+    val merged = DedupOps.spanRemovals(iv)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(merged == Seq((2L, 10L, 35L)))
+  }
+
   test("tokenFrequencyScore: exact corpus-frequency means and minima") {
     val tf = Seq((1L, "a a b"), (2L, "a c"), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
