@@ -697,38 +697,20 @@ object DedupOps {
     * deduped against everything seen so far WITHOUT recomputing the old
     * corpus's signatures ([[minhashCandidatesAgainst]]), and
     * [[minhashIndexAppend]] keeps it current after each shard. */
-  def minhashIndexWrite(df: DataFrame, text: Column, id: Column, dir: String,
-      k: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit = {
-    minhashBands(df, text, id, k, numHashes, bands)
-      .write.mode("overwrite").parquet(dir)
-    // persist the signature parameters beside the bands (underscore prefix:
-    // ignored by parquet directory reads) — a later read with MISMATCHED
-    // parameters would silently find no collisions instead of failing
-    val spark = df.sparkSession
-    import spark.implicits._
-    Seq((k, numHashes, bands)).toDF("k", "num_hashes", "bands")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_params")
-  }
+  private def minhashParams(k: Int, numHashes: Int, bands: Int) =
+    Seq("k" -> k, "num_hashes" -> numHashes, "bands" -> bands)
 
-  /** Fail loudly when a caller's signature parameters don't match the ones
-    * the index at `dir` was written with — band keys from different
-    * (k, numHashes, bands) never collide, which would read as "no dups". */
-  private def requireIndexParams(spark: org.apache.spark.sql.SparkSession,
-      dir: String, k: Int, numHashes: Int, bands: Int): Unit = {
-    val p = spark.read.parquet(s"$dir/_graft_params").head()
-    require(p.getInt(0) == k && p.getInt(1) == numHashes && p.getInt(2) == bands,
-      s"index at $dir was built with (k=${p.getInt(0)}, numHashes=${p.getInt(1)}, " +
-        s"bands=${p.getInt(2)}); caller passed (k=$k, numHashes=$numHashes, bands=$bands)")
-  }
+  def minhashIndexWrite(df: DataFrame, text: Column, id: Column, dir: String,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit =
+    PersistedIndex.write(minhashBands(df, text, id, k, numHashes, bands),
+      dir, minhashParams(k, numHashes, bands))
 
   /** Append a new shard's band table to a persisted index (call after the
     * shard has been deduped via [[minhashCandidatesAgainst]]). */
   def minhashIndexAppend(df: DataFrame, text: Column, id: Column, dir: String,
-      k: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit = {
-    requireIndexParams(df.sparkSession, dir, k, numHashes, bands)
-    minhashBands(df, text, id, k, numHashes, bands)
-      .write.mode("append").parquet(dir)
-  }
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4): Unit =
+    PersistedIndex.append(minhashBands(df, text, id, k, numHashes, bands),
+      dir, minhashParams(k, numHashes, bands))
 
   /** Incremental MinHash dedup: candidate near-dup pairs of a NEW shard
     * against a persisted band index ([[minhashIndexWrite]]) plus the shard
@@ -747,7 +729,8 @@ object DedupOps {
       text: Column, id: Column, k: Int = 3, numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val spark = newDf.sparkSession
-    requireIndexParams(spark, indexDir, k, numHashes, bands)
+    PersistedIndex.requireParams(spark, indexDir,
+      minhashParams(k, numHashes, bands))
     val nb = graft.core.CacheScope.persist(
       minhashBands(newDf, text, id, k, numHashes, bands), eager = true)
     val ob = spark.read.parquet(indexDir)
@@ -765,6 +748,117 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     oldNew.unionByName(newNew).distinct()
+  }
+
+  private def winnowParams(k: Int, w: Int) = Seq("k" -> k, "w" -> w)
+
+  /** Persist a corpus's winnow-selected fingerprint table
+    * ((doc_id, fp) distinct — positions are not needed for pairing) as a
+    * substring-tier dedup index: the [[PersistedIndex]] pattern applied to
+    * [[winnowFingerprints]]. */
+  def winnowIndexWrite(df: DataFrame, text: Column, id: Column, dir: String,
+      k: Int = 25, w: Int = 4): Unit =
+    PersistedIndex.write(
+      winnowFingerprints(df, text, id, k, w)
+        .select(col("doc_id").cast("long").as("doc_id"), col("fp"))
+        .distinct(),
+      dir, winnowParams(k, w))
+
+  /** Append a new shard's winnow fingerprints to a persisted index (call
+    * after the shard has been deduped via [[winnowCandidatesAgainst]]). */
+  def winnowIndexAppend(df: DataFrame, text: Column, id: Column, dir: String,
+      k: Int = 25, w: Int = 4): Unit =
+    PersistedIndex.append(
+      winnowFingerprints(df, text, id, k, w)
+        .select(col("doc_id").cast("long").as("doc_id"), col("fp"))
+        .distinct(),
+      dir, winnowParams(k, w))
+
+  /** Incremental substring-overlap candidates: [[winnowPairs]] of a NEW
+    * shard against a persisted fingerprint index plus the shard itself —
+    * equal to the full-corpus [[winnowPairs]] (same df-cap, computed over
+    * index ∪ shard; same `minSharedFps` threshold) restricted to pairs
+    * touching at least one new document.  Ids must be disjoint from the
+    * indexed corpus.  Output: (doc_a, doc_b, shared_fps), doc_a < doc_b.
+    *
+    * Only the NEW shard runs the fingerprint kernel; the index side is a
+    * parquet scan.  Steady state (shard << index): AQE broadcasts the
+    * shard's fingerprints, the index is scanned map-side, and the only
+    * shuffle is the pair aggregate. */
+  def winnowCandidatesAgainst(indexDir: String, newDf: DataFrame,
+      text: Column, id: Column, k: Int = 25, w: Int = 4,
+      maxDocFreq: Long = 100, minSharedFps: Long = 2): DataFrame = {
+    val spark = newDf.sparkSession
+    PersistedIndex.requireParams(spark, indexDir, winnowParams(k, w))
+    require(minSharedFps >= 1, "minSharedFps must be >= 1")
+    val nf = graft.core.CacheScope.persist(
+      winnowFingerprints(newDf, text, id, k, w)
+        .select(col("doc_id").cast("long").as("doc_id"), col("fp"))
+        .distinct(),
+      eager = true)
+    val all = spark.read.parquet(indexDir).unionByName(nf)
+    // document frequency over the UNION corpus — identical to the cap the
+    // full-corpus run would apply
+    val hot = all.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDocFreq).select("fp")
+    val postsAll = all.join(broadcast(hot), Seq("fp"), "left_anti")
+    val postsNew = nf.join(broadcast(hot), Seq("fp"), "left_anti")
+    postsNew.as("a")
+      .join(postsAll.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") =!= col("b.doc_id"))
+      // new-new pairs surface twice from this join (once per side); the
+      // per-fp distinct collapses them before the count
+      .select(col("a.fp"),
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .distinct()
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minSharedFps)
+  }
+
+  private val SimhashParams = Seq("bits" -> 60, "bands" -> 4)
+
+  /** Persist a corpus's SimHash band table ((doc_id, sh, band, key)) as a
+    * document-tier dedup index — [[PersistedIndex]] applied to the 4×15-bit
+    * banding of [[simhash60]].  The signature rides along, so a reader can
+    * Hamming-confirm without touching the original corpus. */
+  def simhashIndexWrite(df: DataFrame, text: Column, id: Column,
+      dir: String): Unit =
+    PersistedIndex.write(simhashBanded(df, text, id), dir, SimhashParams)
+
+  /** Append a new shard's SimHash bands to a persisted index. */
+  def simhashIndexAppend(df: DataFrame, text: Column, id: Column,
+      dir: String): Unit =
+    PersistedIndex.append(simhashBanded(df, text, id), dir, SimhashParams)
+
+  /** Incremental SimHash near-dup pairs of a NEW shard against a persisted
+    * band index plus the shard itself: band-collision candidates, confirmed
+    * by Hamming distance over the stored signatures — equal to
+    * [[simhashPairs]] over the union corpus restricted to pairs touching a
+    * new document.  Same recall contract as [[simhashPairs]] (exact for
+    * `maxHamming <= 3`, banding-bounded beyond — `approxRecall` required).
+    * Output: (doc_a, doc_b, hamming) distinct, doc_a < doc_b. */
+  def simhashCandidatesAgainst(indexDir: String, newDf: DataFrame,
+      text: Column, id: Column, maxHamming: Int = 3,
+      approxRecall: Boolean = false): DataFrame = {
+    require(maxHamming <= 3 || approxRecall,
+      s"maxHamming=$maxHamming exceeds the exact-recall bound of the 4x15-bit " +
+        "banding (3); pass approxRecall=true to accept banding-bounded recall")
+    val spark = newDf.sparkSession
+    PersistedIndex.requireParams(spark, indexDir, SimhashParams)
+    val nb = simhashBanded(newDf, text, id)
+    val all = spark.read.parquet(indexDir).unionByName(nb)
+    nb.as("a")
+      .join(all.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
   }
 
   /** 60-bit SimHash over word-3-shingles (with multiplicity): bit i is the

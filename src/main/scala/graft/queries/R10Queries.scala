@@ -88,15 +88,30 @@ object R10Queries {
     // dd_para_dedup's paragraph-aligned removal
     "dd_span_dedup" -> ((s, dir) =>
       DedupOps.spanDedupedText(Tables.docs(s, dir), col("text"),
-        col("doc_id"), k = 25, w = 4, maxDocFreq = 100))
+        col("doc_id"), k = 25, w = 4, maxDocFreq = 100)),
+
+    // Incremental substring dedup: even docs are the persisted fingerprint
+    // index, odd docs the new shard — candidates must equal the full-corpus
+    // winnowPairs restricted to pairs touching an odd doc (the generalized
+    // PersistedIndex pattern, winnow tier)
+    "dd_incremental_winnow" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      val indexed = d.where(col("doc_id") % 2 === 0)
+      val shard = d.where(col("doc_id") % 2 === 1)
+      val idx = R9Queries.runTmp + "/wn_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      DedupOps.winnowIndexWrite(indexed, col("text"), col("doc_id"), idx,
+        k = 25, w = 4)
+      DedupOps.winnowCandidatesAgainst(idx, shard, col("text"),
+        col("doc_id"), k = 25, w = 4, maxDocFreq = 100, minSharedFps = 2)
+    })
   )
 
-  /** Shared CTE prefix for the span oracles: winnow selection (k=25, w=4)
-    * → df-capped candidate pairs → full-gram match grid → maximal runs per
-    * diagonal (gaps-and-islands) = maximal shared char spans.  The grid
-    * joins on the GRAM TEXT (not the hash), mirroring the kernel's
-    * char-verified extension. */
-  private val SpanSql =
+  /** Winnow-selection CTE prefix (k=25, w=4): lowercased grams → selected
+    * fingerprints → df-capped postings `p` — the front half of the
+    * `dd_substr_pairs` oracle, shared by the span and incremental-winnow
+    * oracles. */
+  private val WinnowFpSql =
     """d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE text IS NOT NULL),
       |g AS (SELECT doc_id, t, length(t) - 25 + 1 AS nh FROM d WHERE length(t) >= 25),
       |hx AS (SELECT doc_id, nh, unnest(generate_series(1, nh)) AS i, t FROM g),
@@ -124,7 +139,13 @@ object R10Queries {
       |  FROM sels s JOIN h ON h.doc_id = s.doc_id AND h.pos = s.pos
       |),
       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 100),
-      |p AS (SELECT fps.* FROM fps JOIN rare USING (fp)),
+      |p AS (SELECT fps.* FROM fps JOIN rare USING (fp))""".stripMargin
+
+  /** Span-oracle CTE suffix: candidate pairs → full-gram match grid →
+    * maximal runs per diagonal (gaps-and-islands) = maximal shared char
+    * spans.  The grid joins on the GRAM TEXT (not the hash), mirroring the
+    * kernel's char-verified extension. */
+  private val SpanSql = WinnowFpSql + """,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -214,6 +235,17 @@ object R10Queries {
          |  CASE WHEN d0.doc_id IN (SELECT doc_id FROM mi)
          |       THEN coalesce(r.rt, '')
          |       ELSE lower(d0.text) END AS deduped_text
-         |FROM documents d0 LEFT JOIN rebuilt r ON r.doc_id = d0.doc_id""".stripMargin
+         |FROM documents d0 LEFT JOIN rebuilt r ON r.doc_id = d0.doc_id""".stripMargin,
+
+    // full-corpus winnow pairs (df-cap over the whole corpus = index ∪
+    // shard), restricted to pairs touching the odd (new-shard) docs
+    "dd_incremental_winnow" ->
+      s"""WITH $WinnowFpSql,
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+         |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |)
+         |SELECT * FROM pr WHERE doc_a % 2 = 1 OR doc_b % 2 = 1""".stripMargin
   )
 }

@@ -905,4 +905,74 @@ class OpsSpec extends AnyFunSuite {
         col("doc_id"), numHashes = 32, bands = 8)
     }
   }
+
+  test("incremental winnow/simhash tiers reuse the persisted-index pattern") {
+    val planted = "this exact sentence is shared across both documents verbatim"
+    val corpus = Seq(
+      (0L, "AAA prefix unlike anything. " + planted + " unique a-side tail."),
+      (2L, "completely different text with no overlap at all in this doc"),
+    ).toDF("doc_id", "text")
+    val shard = Seq(
+      (1L, "totally different opening; " + planted + " and then b continues."),
+      (3L, "nothing like anything else in any shard here today at all"),
+    ).toDF("doc_id", "text")
+    val wIdx = java.nio.file.Files
+      .createTempDirectory("graft_wn_idx").toString
+    DedupOps.winnowIndexWrite(corpus, col("text"), col("doc_id"), wIdx,
+      k = 8, w = 4)
+    val inc = DedupOps.winnowCandidatesAgainst(wIdx, shard, col("text"),
+      col("doc_id"), k = 8, w = 4, minSharedFps = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    graft.core.CacheScope.release()
+    val newIds = Set(1L, 3L)
+    val full = DedupOps.winnowPairs(corpus.unionByName(shard), col("text"),
+      col("doc_id"), k = 8, w = 4, minSharedFps = 1)
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(p => newIds(p._1) || newIds(p._2))
+    graft.core.CacheScope.release()
+    assert(inc == full && inc.exists(p => p._1 == 0L && p._2 == 1L))
+    // append keeps the index current for the next shard
+    DedupOps.winnowIndexAppend(shard, col("text"), col("doc_id"), wIdx,
+      k = 8, w = 4)
+    val shard2 = Seq(
+      (5L, "yet another opening! " + planted + " closing differently.")
+    ).toDF("doc_id", "text")
+    val inc2 = DedupOps.winnowCandidatesAgainst(wIdx, shard2, col("text"),
+      col("doc_id"), k = 8, w = 4, minSharedFps = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    graft.core.CacheScope.release()
+    val full2 = DedupOps.winnowPairs(
+      corpus.unionByName(shard).unionByName(shard2), col("text"),
+      col("doc_id"), k = 8, w = 4, minSharedFps = 1)
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(p => p._1 == 5L || p._2 == 5L)
+    graft.core.CacheScope.release()
+    assert(inc2 == full2)
+    assert(Set((0L, 5L), (1L, 5L)).subsetOf(inc2.map(p => (p._1, p._2))))
+    // parameter mismatch fails loudly
+    intercept[IllegalArgumentException] {
+      DedupOps.winnowCandidatesAgainst(wIdx, shard2, col("text"),
+        col("doc_id"), k = 25, w = 4)
+    }
+    // simhash tier: same pattern, Hamming-confirmed against stored sigs
+    val sIdx = java.nio.file.Files
+      .createTempDirectory("graft_sh_idx").toString
+    val exact = Seq((4L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    DedupOps.simhashIndexWrite(corpus.unionByName(exact), col("text"),
+      col("doc_id"), sIdx)
+    val shShard = Seq(
+      (7L, "the quick brown fox jumps over the lazy dog"), // dup of 4
+      (9L, "the quick brown fox jumps over the lazy dog"), // dup of 4 and 7
+    ).toDF("doc_id", "text")
+    val shInc = DedupOps.simhashCandidatesAgainst(sIdx, shShard,
+      col("text"), col("doc_id"), maxHamming = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    graft.core.CacheScope.release()
+    assert(shInc == Set((4L, 7L, 0L), (4L, 9L, 0L), (7L, 9L, 0L)))
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashCandidatesAgainst(sIdx, shShard, col("text"),
+        col("doc_id"), maxHamming = 20) // needs approxRecall
+    }
+  }
 }
