@@ -415,21 +415,8 @@ object TextOps {
     * division (exact while the corpus token count < 2^53 ≈ 9·10^15 — three
     * orders of magnitude past a 100 TB corpus). */
   def packPlan(df: DataFrame, text: Column, idCol: Column,
-      budget: Long): DataFrame = {
-    require(budget > 0, "budget must be positive")
-    val base = df.select(idCol.as("doc_id"),
-      size(tokens(text)).cast("long").as("n_tokens"))
-    val ranked = graft.core.Ranker.withRank(base, "__r", col("doc_id"))
-    val (cum, _) = graft.core.Ranker.withCumsumLongAndTotal(
-      ranked, "__r", col("n_tokens"), "__cum")
-    cum
-      .withColumn("__start", col("__cum") - col("n_tokens"))
-      .withColumn("pack_id", floor(col("__start") / lit(budget)).cast("long"))
-      .withColumn("pack_offset", col("__start") - col("pack_id") * budget)
-      .withColumn("spans_boundary",
-        col("pack_offset") + col("n_tokens") > budget)
-      .select("doc_id", "n_tokens", "pack_id", "pack_offset", "spans_boundary")
-  }
+      budget: Long): DataFrame =
+    packPlanCounts(df, size(tokens(text)), idCol, budget)
 
   /** Quality features + a composite score in [0,1] (length, punctuation
     * density, stopword density — the usual cheap pre-filters before
@@ -463,5 +450,126 @@ object TextOps {
           lit(0.3) * (lit(1.0) - least(lit(1.0), punct.cast("double") / nG)) +
           lit(0.3) * least(lit(1.0), (stop.cast("double") / nG) * lit(5.0)),
           6)).as("quality"))
+  }
+
+  private val WsPat = java.util.regex.Pattern.compile("\\s+")
+
+  /** Greedy BPE over one word: repeatedly merge the LOWEST-rank adjacent
+    * token pair (leftmost on rank ties), one merge per step, until no
+    * adjacent pair is in the table.  One-pair-at-a-time with the leftmost
+    * rule produces the same final segmentation as the usual
+    * all-occurrences-per-chosen-pair formulation (merging the leftmost
+    * occurrence never changes the rank of occurrences to its right), and —
+    * unlike that formulation — it is directly replayable as a SQL
+    * recursion, which is what the oracle does.  O(len²) per word; real
+    * vocab sizes keep words short enough that the simple scan beats a heap
+    * on constant factors. */
+  private def bpeWord(word: String,
+      rank: java.util.HashMap[String, Int]): Array[String] = {
+    var toks = Array.tabulate(word.length)(i => String.valueOf(word.charAt(i)))
+    var done = toks.length <= 1
+    while (!done) {
+      var best = Int.MaxValue; var bp = -1
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = rank.getOrDefault(toks(i) + "\t" + toks(i + 1), Int.MaxValue)
+        if (r < best) { best = r; bp = i }
+        i += 1
+      }
+      if (bp < 0) done = true
+      else {
+        val nt = new Array[String](toks.length - 1)
+        System.arraycopy(toks, 0, nt, 0, bp)
+        nt(bp) = toks(bp) + toks(bp + 1)
+        System.arraycopy(toks, bp + 2, nt, bp + 1, toks.length - bp - 2)
+        toks = nt
+        done = toks.length <= 1
+      }
+    }
+    toks
+  }
+
+  private def rankMapOf(merges: Seq[(String, String)]) = {
+    val m = new java.util.HashMap[String, Int]()
+    merges.zipWithIndex.foreach { case ((l, r), i) => m.put(l + "\t" + r, i) }
+    m
+  }
+
+  /** Subword tokenization: greedy BPE ([[bpeWord]]) applied per
+    * whitespace word of the lowercased text under a caller-supplied
+    * ordered merge table (earlier = higher priority — the ordering a BPE
+    * trainer emits).  Output: (doc_id, tokens), tokens flattened across
+    * words in document order.  The merge table is broadcast; the kernel is
+    * a narrow per-row map — no shuffle, linear in the scan.
+    *
+    * This replaces [[bpeishCount]]'s regex estimate wherever real subword
+    * budgets matter: `bpeTokens(...).select(size($"tokens"))` feeds
+    * [[packPlanCounts]] for sequence packing on true token counts. */
+  def bpeTokens(df: DataFrame, text: Column, idCol: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(rankMapOf(merges))
+    val f = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else WsPat.split(t.toLowerCase(java.util.Locale.ROOT)).iterator
+        .filter(_.nonEmpty).flatMap(w => bpeWord(w, bc.value)).toArray
+    }
+    DedupOps.parallelized(df)
+      .select(idCol.as("doc_id"), f(text).as("tokens"))
+  }
+
+  /** Train a BPE merge table over the corpus: `numMerges` rounds of
+    * "count adjacent token pairs, merge the most frequent" (ties broken
+    * lexicographically — fully deterministic, no rand()).
+    *
+    * Physical shape: pair counting runs on the WORD-FREQUENCY table, not
+    * the corpus — one corpus-wide shuffle builds (word, cnt) once (the
+    * vocabulary is orders of magnitude smaller than 100 TB of text, and
+    * cached); each round is then one pair-explode + weighted count + a
+    * 1-row argmax on that table, re-tokenizing words under the merges
+    * learned so far.  O(numMerges) jobs over the word table, none over the
+    * corpus. */
+  def bpeTrain(df: DataFrame, text: Column, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 0)
+    val spark = df.sparkSession
+    val words = graft.core.CacheScope.persist(
+      df.select(explode(tokens(text)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt")),
+      eager = true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      val bc = spark.sparkContext.broadcast(rankMapOf(merges.toSeq))
+      val pairsOf = udf { (w: String) =>
+        val t = bpeWord(w, bc.value)
+        Array.tabulate(math.max(t.length - 1, 0))(i => (t(i), t(i + 1)))
+      }
+      val top = words
+        .select(explode(pairsOf(col("w"))).as("p"), col("cnt"))
+        .groupBy(col("p._1").as("l"), col("p._2").as("r"))
+        .agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else merges += ((top(0).getString(0), top(0).getString(1)))
+    }
+    merges.toSeq
+  }
+
+  /** [[packPlan]] on caller-supplied token counts (e.g. real BPE counts
+    * from [[bpeTokens]]) instead of the whitespace tokenizer. */
+  def packPlanCounts(df: DataFrame, nTokens: Column, idCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val base = df.select(idCol.as("doc_id"), nTokens.cast("long").as("n_tokens"))
+    val ranked = graft.core.Ranker.withRank(base, "__r", col("doc_id"))
+    val (cum, _) = graft.core.Ranker.withCumsumLongAndTotal(
+      ranked, "__r", col("n_tokens"), "__cum")
+    cum
+      .withColumn("__start", col("__cum") - col("n_tokens"))
+      .withColumn("pack_id", floor(col("__start") / lit(budget)).cast("long"))
+      .withColumn("pack_offset", col("__start") - col("pack_id") * budget)
+      .withColumn("spans_boundary",
+        col("pack_offset") + col("n_tokens") > budget)
+      .select("doc_id", "n_tokens", "pack_id", "pack_offset", "spans_boundary")
   }
 }

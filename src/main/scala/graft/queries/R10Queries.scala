@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, SimilarityOps}
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
 
 /** Round-10 queries: the semantic (embedding-cluster) dedup tier and the
   * exact shared-span substring tier — the last two rungs of the dedup
@@ -61,6 +61,21 @@ object R10Queries {
       |  JOIN embeddings b ON b.vec_id = bb.vec_id
       |)""".stripMargin
 
+  /** Fixture merge table for the BPE query: common English merges, ranked
+    * in order (the shape a [[TextOps.bpeTrain]] run emits).  Rendered into
+    * the oracle SQL from this single definition so the two sides can never
+    * drift. */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t", "s" -> "t",
+    "e" -> "n", "o" -> "r", "t" -> "i", "e" -> "s", "o" -> "u",
+    "o" -> "f", "a" -> "l", "a" -> "r", "i" -> "s", "i" -> "t",
+    "l" -> "e", "c" -> "o", "co" -> "m", "d" -> "e", "s" -> "e",
+    "m" -> "e", "h" -> "e", "t" -> "o", "in" -> "g", "e" -> "d")
+
+  private val BpeMergesSql = BpeMerges.zipWithIndex
+    .map { case ((l, r), i) => s"('$l','$r',$i)" }.mkString(", ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Semantic-dedup pair stage: in-cluster cosine near-dups, cluster =
@@ -104,7 +119,17 @@ object R10Queries {
         k = 25, w = 4)
       DedupOps.winnowCandidatesAgainst(idx, shard, col("text"),
         col("doc_id"), k = 25, w = 4, maxDocFreq = 100, minSharedFps = 2)
-    })
+    }),
+
+    // Real greedy-BPE subword tokenization under a fixed ranked merge
+    // table (broadcast; narrow kernel) — count + order-sensitive hash of
+    // the full token stream per document
+    "text_bpe_tokens" -> ((s, dir) =>
+      TextOps.bpeTokens(Tables.docs(s, dir), col("text"), col("doc_id"),
+        BpeMerges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("tokens"))).as("tok_hash")))
   )
 
   /** Winnow-selection CTE prefix (k=25, w=4): lowercased grams → selected
@@ -246,6 +271,44 @@ object R10Queries {
          |  FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2 HAVING count(*) >= 2
          |)
-         |SELECT * FROM pr WHERE doc_a % 2 = 1 OR doc_b % 2 = 1""".stripMargin
+         |SELECT * FROM pr WHERE doc_a % 2 = 1 OR doc_b % 2 = 1""".stripMargin,
+
+    // greedy BPE replayed as a SQL recursion: one leftmost lowest-rank
+    // merge per step per word until no adjacent pair is in the table
+    "text_bpe_tokens" ->
+      s"""WITH RECURSIVE
+         |m AS (SELECT * FROM (VALUES $BpeMergesSql) m(l, r, rnk)),
+         |mp AS (SELECT map(list(l || chr(9) || r), list(rnk)) AS mp FROM m),
+         |wl AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+         |  FROM documents
+         |),
+         |w0 AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wid, ws FROM wl),
+         |w AS (SELECT doc_id, wid, ws[wid] AS wrd FROM w0),
+         |rec(doc_id, wid, toks, it) AS (
+         |  SELECT doc_id, wid,
+         |    list_transform(generate_series(1, length(wrd)), i -> substr(wrd, i, 1)), 0
+         |  FROM w
+         |  UNION ALL
+         |  SELECT doc_id, wid,
+         |    list_concat(list_concat(toks[1:bp-1], [toks[bp] || toks[bp+1]]), toks[bp+2:]),
+         |    it + 1
+         |  FROM (
+         |    SELECT doc_id, wid, toks, it,
+         |      list_min(rk) AS br, list_position(rk, list_min(rk)) AS bp
+         |    FROM (
+         |      SELECT r.doc_id, r.wid, r.toks, r.it,
+         |        list_transform(generate_series(1, len(r.toks) - 1),
+         |          i -> coalesce(map_extract(mp.mp, r.toks[i] || chr(9) || r.toks[i+1])[1], 999999)) AS rk
+         |      FROM rec r CROSS JOIN mp
+         |      WHERE len(r.toks) > 1
+         |    )
+         |  ) WHERE br < 999999
+         |),
+         |fin AS (SELECT doc_id, wid, arg_max(toks, it) AS toks FROM rec GROUP BY doc_id, wid)
+         |SELECT doc_id, sum(len(toks))::BIGINT AS n_tokens,
+         |  md5(string_agg(array_to_string(toks, ' '), ' ' ORDER BY wid)) AS tok_hash
+         |FROM fin GROUP BY doc_id""".stripMargin
   )
 }

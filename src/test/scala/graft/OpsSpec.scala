@@ -773,6 +773,35 @@ class OpsSpec extends AnyFunSuite {
     assert(merged == Seq((2L, 10L, 35L)))
   }
 
+  test("bpeTrain learns hand-computed merges; bpeTokens applies them greedily") {
+    // corpus: low x3, lower x2, newest x4, widest x1 (the classic fixture)
+    val corpus = Seq(
+      (1L, "low low low newest newest"),
+      (2L, "lower lower newest newest widest")).toDF("doc_id", "text")
+    // round 1: we=6 wins; round 2: lo=5 ties st=5, lexicographic -> (l,o);
+    // round 3: st=5
+    val merges = TextOps.bpeTrain(corpus, col("text"), numMerges = 3)
+    CacheScope.release()
+    assert(merges == Seq(("w", "e"), ("l", "o"), ("s", "t")))
+    val toks = TextOps.bpeTokens(
+      Seq((1L, "newest Lowest")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), merges)
+      .as[(Long, Seq[String])].collect().head._2
+    assert(toks == Seq("n", "e", "we", "st", "lo", "we", "st"))
+    // determinism + exhaustion: training far past the pair supply stops
+    val all = TextOps.bpeTrain(corpus, col("text"), numMerges = 100)
+    CacheScope.release()
+    assert(all.take(3) == merges && all.length < 100)
+    // real token counts feed sequence packing
+    val counts = TextOps.bpeTokens(corpus, col("text"), col("doc_id"), merges)
+      .select(col("doc_id"), size(col("tokens")).as("n"))
+    val packed = TextOps.packPlanCounts(counts, col("n"), col("doc_id"),
+      budget = 10).as[(Long, Long, Long, Long, Boolean)].collect()
+      .sortBy(_._1)
+    // doc1: low,low,low,newest,newest -> 2+2+2+4+4 = 14 tokens
+    assert(packed.head == (1L, 14L, 0L, 0L, true))
+  }
+
   test("tokenFrequencyScore: exact corpus-frequency means and minima") {
     val tf = Seq((1L, "a a b"), (2L, "a c"), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
