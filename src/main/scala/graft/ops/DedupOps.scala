@@ -347,8 +347,12 @@ object DedupOps {
     * walked the signature with interpreted higher-order functions and left
     * the expensive signature UDF exposed to projection-collapse
     * re-evaluation. */
-  def minhashBands(df: DataFrame, text: Column, id: Column,
-      k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+  /** The per-row band-key array behind [[minhashBands]], exposed as a plain
+    * column function so STREAMING frames can band too (the DataFrame
+    * wrapper probes partition counts, which a streaming relation forbids —
+    * see [[graft.streaming.StreamingOps.bandDedupStream]]). */
+  def minhashBandArray(text: Column, k: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): Column = {
     val rowsPerBand = numHashes / bands
     val f = udf { (t: String) =>
       if (t == null) null
@@ -377,11 +381,36 @@ object DedupOps {
         }
       }
     }
+    f(text)
+  }
+
+  def minhashBands(df: DataFrame, text: Column, id: Column,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
     parallelized(df)
-      .select(id.as("doc_id"), posexplode(f(text)).as(Seq("band", "band_key")))
+      .select(id.as("doc_id"),
+        posexplode(minhashBandArray(text, k, numHashes, bands))
+          .as(Seq("band", "band_key")))
       .select(col("doc_id"), col("band").cast("int").as("band"),
         col("band_key"))
-  }
+
+  /** Per-BUCKET first owner: for every (band, band_key) LSH bucket, the
+    * document that claims it under the `ord` arrival order (min (ord, id)
+    * — deterministic on ties).  This is the BATCH form of continuous
+    * band-key dedup: a bucket's owner is the document every later
+    * collision defers to, exactly what the streaming
+    * [[graft.streaming.StreamingOps.bandDedupStream]] materializes
+    * incrementally (its output equals this table when arrival order
+    * matches `ord`).  One shuffle on the bucket key; map-side combine
+    * (min_by is an ordinary hash aggregate). */
+  def bandFirstOwners(df: DataFrame, text: Column, id: Column, ord: Column,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    parallelized(df)
+      .select(id.as("doc_id"), ord.as("__ord"),
+        posexplode(minhashBandArray(text, k, numHashes, bands))
+          .as(Seq("band", "band_key")))
+      .groupBy(col("band").cast("int").as("band"), col("band_key"))
+      .agg(min_by(col("doc_id"), struct(col("__ord"), col("doc_id")))
+        .as("owner_id"))
 
   /** Candidate near-dup pairs from LSH buckets: (doc_a, doc_b) distinct.
     * One pass over the bands (signatures computed once — persisted, the

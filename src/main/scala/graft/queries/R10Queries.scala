@@ -121,6 +121,13 @@ object R10Queries {
         col("doc_id"), k = 25, w = 4, maxDocFreq = 100, minSharedFps = 2)
     }),
 
+    // Batch form of continuous band-key dedup: every LSH bucket's first
+    // owner under doc_id arrival order (streaming counterpart spec-proven
+    // equal in OpsSpec)
+    "dd_band_owners" -> ((s, dir) =>
+      DedupOps.bandFirstOwners(Tables.docs(s, dir), col("text"),
+        col("doc_id"), col("doc_id"))),
+
     // Real greedy-BPE subword tokenization under a fixed ranked merge
     // table (broadcast; narrow kernel) — count + order-sensitive hash of
     // the full token stream per document
@@ -272,6 +279,36 @@ object R10Queries {
          |  GROUP BY 1, 2 HAVING count(*) >= 2
          |)
          |SELECT * FROM pr WHERE doc_a % 2 = 1 OR doc_b % 2 = 1""".stripMargin,
+
+    "dd_band_owners" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |),
+        |shg AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) >= 3
+        |              THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+        |              ELSE [array_to_string(t, ' ')] END) AS shs
+        |  FROM toks
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 15), j ->
+        |           list_min(list_transform(shs, sgl ->
+        |             (('0x' || substr(md5(sgl), 1, 15))::BIGINT
+        |              + j * ('0x' || substr(md5(sgl), 17, 14))::BIGINT)
+        |             % 1152921504606846976))) AS sg
+        |  FROM shg
+        |),
+        |b AS (SELECT doc_id, sg, unnest(generate_series(0, 3)) AS band FROM sig),
+        |bk AS (
+        |  SELECT doc_id, band,
+        |         md5(array_to_string(sg[band * 4 + 1 : band * 4 + 4], ',')) AS band_key
+        |  FROM b
+        |)
+        |SELECT band, band_key, min(doc_id) AS owner_id
+        |FROM bk GROUP BY band, band_key""".stripMargin,
 
     // greedy BPE replayed as a SQL recursion: one leftmost lowest-rank
     // merge per step per word until no adjacent pair is in the table

@@ -93,6 +93,34 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(idCols.toSeq)
 
+  /** Streaming NEAR-dup dedup — the continuous-ingestion form of MinHash
+    * LSH banding: each arriving document's band keys
+    * ([[graft.ops.DedupOps.minhashBandArray]], a narrow per-row kernel)
+    * are deduplicated within the watermark, so the output is the stream of
+    * (band, band_key) buckets AS THEY ARE FIRST CLAIMED, each carrying its
+    * owning document — an incrementally-maintained band index (the
+    * streaming counterpart of [[graft.ops.DedupOps.minhashIndexAppend]]).
+    * A later document ALL of whose bands are already claimed emits
+    * nothing: it is a pure near-dup candidate of the in-horizon corpus.
+    *
+    * State is one row per DISTINCT bucket inside the watermark horizon —
+    * bounded by content diversity, never stream length.  Equality
+    * contract: when arrival order matches the `ts` order, the accumulated
+    * output equals the batch [[graft.ops.DedupOps.bandFirstOwners]] with
+    * `ord = ts` (spec-proven; the batch form is oracle-checked as
+    * `dd_band_owners`). */
+  def bandDedupStream(spark: SparkSession, dir: String, schema: StructType,
+      watermark: String, k: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.ops.DedupOps.minhashBandArray(col("text"), k,
+          numHashes, bands)).as(Seq("band", "band_key")))
+      .dropDuplicatesWithinWatermark("band", "band_key")
+      .select(col("band").cast("int").as("band"), col("band_key"),
+        col("doc_id").as("owner_id"), unix_millis(col("ts")).as("ts_ms"))
+
   /** Streaming-mode sessionization: Spark's native `session_window` (gap-
     * merged state per user) with a watermark bounding state retention —
     * the incremental counterpart of [[sessionize]].  Output schema matches

@@ -482,6 +482,46 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming band-key dedup accumulates the batch bandFirstOwners table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-banddd").toFile
+    try {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val b1 = Seq(
+        (1L, t("2026-01-01 10:00:00"), "the quick brown fox jumps over the lazy dog"),
+        (2L, t("2026-01-01 10:01:00"), "completely different text with no overlap at all"))
+      val b2 = Seq(
+        (3L, t("2026-01-01 10:02:00"), "the quick brown fox jumps over the lazy dog"), // dup of 1
+        (4L, t("2026-01-01 10:03:00"), "alpha beta gamma delta epsilon zeta eta theta"))
+      def df(rows: Seq[(Long, java.sql.Timestamp, String)]) =
+        rows.toDF("doc_id", "ts", "text")
+      // two ts-ordered micro-batches (arrival order == ts order)
+      df(b1).coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      val q = StreamingOps.bandDedupStream(spark, dir.getAbsolutePath,
+          df(b1).schema, watermark = "1 hour")
+        .writeStream.format("memory").queryName("graft_banddd_test")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      df(b2).coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_banddd_test")
+        .select("band", "band_key", "owner_id")
+        .as[(Int, String, Long)].collect().toSet
+      q.stop()
+      val batch = DedupOps.bandFirstOwners(df(b1 ++ b2), col("text"),
+        col("doc_id"), col("ts"))
+        .as[(Int, String, Long)].collect().toSet
+      assert(streamed == batch)
+      // the exact dup claimed no bucket: doc 3 owns nothing
+      assert(!streamed.exists(_._3 == 3L))
+      assert(streamed.exists(_._3 == 4L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming: flatMapGroupsWithState running stats accumulate across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-state").toFile
     try {
