@@ -605,7 +605,10 @@ object DedupOps {
         .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
           col("fp")),
       eager = true)
-    val distinctFps = fps.select("doc_id", "fp").distinct()
+    // cached: the distinct is a shuffle, and it feeds the df-count AND both
+    // sides of the candidate self-join — uncached it would run three times
+    val distinctFps = graft.core.CacheScope.persist(
+      fps.select("doc_id", "fp").distinct(), eager = true)
     val hot = distinctFps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("fp")
     val posts = distinctFps.join(broadcast(hot), Seq("fp"), "left_anti")
@@ -617,20 +620,24 @@ object DedupOps {
     // seeds: every shared SELECTED fingerprint of a candidate pair, with
     // both positions (cross product over a fingerprint's positions within
     // each doc — each is a genuine match point)
+    // seeds packed (pos_a << 32 | pos_b) — one primitive-long array per
+    // pair instead of a struct list (struct rows deserialize one object
+    // per seed in the kernel; packed longs are a single flat array)
     val seeds = cand
       .join(fps.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
         col("fp")), Seq("doc_a"))
       .join(fps.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
         col("fp")), Seq("doc_b", "fp"))
       .groupBy("doc_a", "doc_b")
-      .agg(collect_list(struct(col("pos_a"), col("pos_b"))).as("__seeds"))
+      .agg(collect_list(shiftleft(col("pos_a"), 32)
+        .bitwiseOR(col("pos_b"))).as("__seeds"))
     val lowered = df.select(id.cast("long").as("__tid"),
       lower(text).as("__t"))
-    val extend = udf { (ta: String, tb: String, seeds: Seq[org.apache.spark.sql.Row]) =>
+    val extend = udf { (ta: String, tb: String, seeds: Array[Long]) =>
       val la = ta.length; val lb = tb.length
       val out = new scala.collection.mutable.LinkedHashSet[(Long, Long, Long)]()
-      seeds.foreach { r =>
-        val pa = r.getLong(0).toInt; val pb = r.getLong(1).toInt
+      seeds.foreach { s =>
+        val pa = (s >>> 32).toInt; val pb = (s & 0xffffffffL).toInt
         // char-verify the seed gram (kills hash collisions); then extend
         var ok = pa + k <= la && pb + k <= lb
         var i = 0
