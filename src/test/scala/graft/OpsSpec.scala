@@ -661,6 +661,36 @@ class OpsSpec extends AnyFunSuite {
     assert(groups(local) == Set((0L until 20L).toSet, (20L until 40L).toSet))
   }
 
+  test("semanticDedup through the MLlib kmeans regime matches the local regime") {
+    // same fixture as the local-path semanticDedup spec; maxDriverRows = 0
+    // forces the distributed estimator — cluster IDs may differ, but the
+    // keeper set must not (keeper choice depends only on cell CONTENTS)
+    val r = new scala.util.Random(11)
+    val vs = (0 until 3).flatMap { c =>
+      (0 until 10).map { j =>
+        val id = c * 10L + j
+        val v = Array.tabulate(16) { d =>
+          val base = if (d == c) 100.0 else 0.0
+          val spike = if (j >= 2 && d == 3 + (j - 2)) 15.0 else 0.0
+          val noise = if (j == 1) r.nextGaussian() * 1e-3 else 0.0
+          (base + spike + noise).toFloat
+        }
+        (id, v)
+      }
+    }
+    val df = vs.toDF("vec_id", "embedding")
+    def run(maxDriverRows: Long) =
+      DedupOps.semanticDedup(df, col("embedding"), col("vec_id"),
+        k = 3, minCosine = 0.999, seed = 42L, maxDriverRows = maxDriverRows)
+        .select("vec_id").as[Long].collect().toSet
+    val viaLocal = run(200000L)
+    CacheScope.release()
+    val viaMllib = run(0L)
+    CacheScope.release()
+    assert(viaLocal == viaMllib)
+    assert(viaMllib == vs.map(_._1).toSet -- Set(1L, 11L, 21L))
+  }
+
   test("jaccard stop-shingle cap: over-frequent shingles never pair") {
     // 30 docs sharing one 3-gram; cap 10 drops it, so no pairs at all
     val docs = (0L until 30L).map(i => (i, s"common shared trigram unique$i"))

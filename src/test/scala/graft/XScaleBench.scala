@@ -27,6 +27,8 @@ object XScaleBench {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toLong else 60000000L
     val factor = if (args.length > 1) args(1).toInt else 10
+    // n = 0: skip the phase-1 gate crossovers and run only the query sweep
+    val sweepOnly = n == 0L
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -35,6 +37,7 @@ object XScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    if (!sweepOnly) {
     println(s"SCALEBENCH # gate crossovers at n=$n (bench sf0.1 is 600k rows)")
     println("SCALEBENCH | operator | fast path | fast s | distributed path | dist s | dist/fast | agree |")
     println("SCALEBENCH |---|---|---|---|---|---|---|")
@@ -141,12 +144,16 @@ object XScaleBench {
       println(s"SCALEBENCH | dedupClusters | FAILED: $e |")
     }
     sc.df.unpersist()
+    }
 
     // ---- Phase 2: table-backed query sweep at sf0.1 and factor× sf0.1
     val sf01 = "/root/testdata/sf0.1"
     val scaled = s"/root/repo/scaledata/sf0.1x$factor"
     genScaled(spark, sf01, scaled, factor)
 
+    // optional arg 3: comma-separated subset of the sweep to run
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val sweep = Seq(
       "o1_streaming", "o2_block_shuffle", "o3_weighted_replace",
       "o3_weighted_noreplace", "o3_weighted_rounds", "o4_class_balanced",
@@ -159,6 +166,8 @@ object XScaleBench {
       "dd_incremental", "dd_jaccard_pairs", "dd_clusters", "dd_fuzzy_keep",
       "text_winnow", "dd_substr_pairs",
       "text_repetition", "text_token_freq", "text_quality_tiers",
+      "dd_semantic_pairs", "dd_semantic_keep", "dd_spans", "dd_span_dedup",
+      "dd_incremental_winnow", "text_bpe_tokens", "dd_band_owners",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
@@ -168,7 +177,7 @@ object XScaleBench {
     println(s"SCALEBENCH # query sweep: sf0.1 vs $factor× (per-row ratio = t_big / (factor · t_small))")
     println("SCALEBENCH | query | sf0.1 s | rows | x" + factor + " s | rows | per-row ratio |")
     println("SCALEBENCH |---|---|---|---|---|---|")
-    sweep.foreach { name =>
+    sweep.filter(q => only.forall(_.contains(q))).foreach { name =>
       val fn = SparkEntry.queries(name)
       try {
         val (r1, t1) = timed(fn(spark, sf01).count())
