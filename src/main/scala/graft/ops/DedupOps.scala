@@ -210,8 +210,13 @@ object DedupOps {
     * an anti join.  The postings themselves are persisted once and never
     * shuffled for capping (the previous window-count formulation sorted the
     * full posting list by shingle). */
-  def shinglePostings(df: DataFrame, text: Column, id: Column,
-      k: Int = 3, maxDocFreq: Long = 100): DataFrame = {
+  /** Uncapped distinct shingle-hash postings (doc_id, sh), cached eager —
+    * the shared front end of [[shinglePostings]] and the decontamination
+    * operators (which must NOT df-cap: a benchmark passage duplicated
+    * through the corpus is exactly what they exist to catch, and their
+    * probe-side join is fan-out-bounded without a cap). */
+  private def rawPostings(df: DataFrame, text: Column, id: Column,
+      k: Int): DataFrame = {
     val hashes = udf { (t: String) =>
       if (t == null) null
       else {
@@ -227,12 +232,59 @@ object DedupOps {
     // CONCURRENTLY — against a lazy cache they race on the block locks
     // (observed: whole stages stalled at zero CPU waiting for the other
     // branch's cache fill)
-    val post = graft.core.CacheScope.persist(
+    graft.core.CacheScope.persist(
       parallelized(df).select(id.as("doc_id"), explode(hashes(text)).as("sh")),
       eager = true)
+  }
+
+  def shinglePostings(df: DataFrame, text: Column, id: Column,
+      k: Int = 3, maxDocFreq: Long = 100): DataFrame = {
+    val post = rawPostings(df, text, id, k)
     val hot = post.groupBy("sh").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("sh")
     post.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
+
+  /** Benchmark-contamination pairs (the n-gram decontamination check of
+    * GPT-3 appx. C / Lee et al.: training documents sharing word n-grams
+    * with an evaluation set): every (corpus doc, probe doc) pair sharing
+    * at least `minShared` distinct word-`n`-grams, with the count.
+    *
+    * Neither side is df-capped — a benchmark passage boilerplated through
+    * half the corpus is precisely what must be caught.  That is safe where
+    * the self-join cap is not: the join fans out per corpus posting only
+    * into the PROBE docs containing that n-gram, and the probe (an eval
+    * suite) is orders of magnitude smaller than the corpus — its postings
+    * are broadcast, so the corpus postings are scanned map-side and never
+    * shuffled.  Standard n for real corpora is 13 (the GPT-3 convention);
+    * pick n to taste for short documents. */
+  def contaminationPairs(corpus: DataFrame, text: Column, id: Column,
+      probe: DataFrame, ptext: Column, pid: Column,
+      n: Int = 13, minShared: Long = 1): DataFrame = {
+    require(minShared >= 1, "minShared must be >= 1")
+    val cp = rawPostings(corpus, text, id, n)
+      .select(col("doc_id").cast("long").as("doc_id"), col("sh"))
+    val pp = rawPostings(probe, ptext, pid, n)
+      .select(col("doc_id").cast("long").as("probe_id"), col("sh"))
+    cp.join(broadcast(pp), Seq("sh"))
+      .groupBy("doc_id", "probe_id")
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .where(col("shared_ngrams") >= minShared)
+  }
+
+  /** Decontamination projection: the corpus rows sharing NO word-`n`-gram
+    * run of at least `minShared` with any probe document — the anti-join
+    * that actually removes benchmark text from training data.  (A probe
+    * document present in the corpus removes itself: it shares all its
+    * n-grams.) */
+  def decontaminate(corpus: DataFrame, text: Column, id: Column,
+      probe: DataFrame, ptext: Column, pid: Column,
+      n: Int = 13, minShared: Long = 1): DataFrame = {
+    val bad = contaminationPairs(corpus, text, id, probe, ptext, pid, n,
+      minShared)
+      .select(col("doc_id").as("__contaminated_id")).distinct()
+    corpus.join(bad, id.cast("long") === col("__contaminated_id"),
+      "left_anti")
   }
 
   /** Candidate near-dup pairs by n-gram Jaccard similarity >= `minJaccard`.

@@ -128,6 +128,23 @@ object R10Queries {
       DedupOps.bandFirstOwners(Tables.docs(s, dir), col("text"),
         col("doc_id"), col("doc_id"))),
 
+    // Benchmark decontamination: word-5-gram overlap of the corpus against
+    // a probe "benchmark" (docs 0-4); neither side df-capped, probe
+    // postings broadcast
+    "text_contam" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      DedupOps.contaminationPairs(d, col("text"), col("doc_id"),
+        d.where(col("doc_id") < 5), col("text"), col("doc_id"), n = 5)
+    }),
+
+    // ... and the anti-join that removes the contaminated documents
+    "text_decontam" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      DedupOps.decontaminate(d, col("text"), col("doc_id"),
+        d.where(col("doc_id") < 5), col("text"), col("doc_id"), n = 5)
+        .select("doc_id", "source", "lang")
+    }),
+
     // Real greedy-BPE subword tokenization under a fixed ranked merge
     // table (broadcast; narrow kernel) — count + order-sensitive hash of
     // the full token stream per document
@@ -198,6 +215,27 @@ object R10Queries {
       |         max(pa) - min(pa) + 25 AS len
       |  FROM runs GROUP BY doc_a, doc_b, diag, grp
       |)""".stripMargin
+
+  /** Contamination-oracle CTE prefix: distinct word-5-gram hash postings
+    * for the corpus and the probe (docs 0-4) — the `dd_jaccard` shingle
+    * vocabulary, uncapped. */
+  private val ContamSql =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+      |  FROM documents
+      |),
+      |shg AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(t) >= 5
+      |              THEN list_transform(generate_series(1, len(t) - 4), i -> array_to_string(t[i:i+4], ' '))
+      |              ELSE [array_to_string(t, ' ')] END AS shs
+      |  FROM toks
+      |),
+      |post AS (
+      |  SELECT DISTINCT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS sh
+      |  FROM (SELECT doc_id, unnest(shs) AS s FROM shg)
+      |),
+      |probe AS (SELECT doc_id AS probe_id, sh FROM post WHERE doc_id < 5)""".stripMargin
 
   def oracles: Map[String, String] = Map(
 
@@ -309,6 +347,18 @@ object R10Queries {
         |)
         |SELECT band, band_key, min(doc_id) AS owner_id
         |FROM bk GROUP BY band, band_key""".stripMargin,
+
+    "text_contam" ->
+      s"""WITH $ContamSql
+         |SELECT c.doc_id, p.probe_id, count(*) AS shared_ngrams
+         |FROM post c JOIN probe p USING (sh)
+         |GROUP BY 1, 2""".stripMargin,
+
+    "text_decontam" ->
+      s"""WITH $ContamSql
+         |SELECT doc_id, source, lang FROM documents
+         |WHERE doc_id NOT IN (
+         |  SELECT DISTINCT c.doc_id FROM post c JOIN probe p USING (sh))""".stripMargin,
 
     // greedy BPE replayed as a SQL recursion: one leftmost lowest-rank
     // merge per step per word until no adjacent pair is in the table

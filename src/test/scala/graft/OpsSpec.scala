@@ -691,6 +691,36 @@ class OpsSpec extends AnyFunSuite {
     assert(viaMllib == vs.map(_._1).toSet -- Set(1L, 11L, 21L))
   }
 
+  test("decontamination: planted benchmark n-gram flags exactly its carriers") {
+    val bench = Seq(
+      (100L, "what is the capital of france paris is the capital")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "totally unrelated training text about completely other things entirely"),
+      // carries a 6-token benchmark run ("what is the capital of france")
+      (2L, "quiz says what is the capital of france and more words follow here"),
+      (3L, "capital of france appears here but only four shared tokens max"), // < 5-gram
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.contaminationPairs(corpus, col("text"),
+      col("doc_id"), bench, col("text"), col("doc_id"), n = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    CacheScope.release()
+    // doc 2 shares two distinct 5-grams of the planted 6-token run; doc 3's
+    // longest shared run is 3 tokens -> no 5-gram; doc 1 nothing
+    assert(pairs == Set((2L, 100L, 2L)))
+    val kept = DedupOps.decontaminate(corpus, col("text"), col("doc_id"),
+      bench, col("text"), col("doc_id"), n = 5)
+      .select("doc_id").as[Long].collect().toSet
+    CacheScope.release()
+    assert(kept == Set(1L, 3L))
+    // minShared raises the bar: requiring 3 shared 5-grams clears doc 2
+    val keptStrict = DedupOps.decontaminate(corpus, col("text"),
+      col("doc_id"), bench, col("text"), col("doc_id"), n = 5,
+      minShared = 3)
+      .select("doc_id").as[Long].collect().toSet
+    CacheScope.release()
+    assert(keptStrict == Set(1L, 2L, 3L))
+  }
+
   test("jaccard stop-shingle cap: over-frequent shingles never pair") {
     // 30 docs sharing one 3-gram; cap 10 drops it, so no pairs at all
     val docs = (0L until 30L).map(i => (i, s"common shared trigram unique$i"))
