@@ -669,22 +669,31 @@ object DedupOps {
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // seeds: every shared SELECTED fingerprint of a candidate pair, with
-    // both positions (cross product over a fingerprint's positions within
-    // each doc — each is a genuine match point)
-    // seeds packed (pos_a << 32 | pos_b) — one primitive-long array per
-    // pair instead of a struct list (struct rows deserialize one object
-    // per seed in the kernel; packed longs are a single flat array)
+    extendSpans(cand, fps, fps,
+      df.select(id.cast("long").as("__tid"), lower(text).as("__t")),
+      df.select(id.cast("long").as("__tid"), lower(text).as("__t")),
+      k, ml)
+  }
+
+  /** Shared tail of [[sharedSpans]] / [[contaminationSpans]]: given
+    * candidate pairs, each side's positioned fingerprints, and each side's
+    * lowercased texts ((__tid, __t)), seed every shared SELECTED
+    * fingerprint and extend to maximal char runs >= `ml`.
+    *
+    * Seeds are packed (pos_a << 32 | pos_b) — one primitive-long array per
+    * pair instead of a struct list (struct rows deserialize one object per
+    * seed in the kernel; packed longs are a single flat array); each seed
+    * is char-verified in the kernel, so hash collisions cannot surface. */
+  private def extendSpans(cand: DataFrame, fpsA: DataFrame, fpsB: DataFrame,
+      loweredA: DataFrame, loweredB: DataFrame, k: Int, ml: Int): DataFrame = {
     val seeds = cand
-      .join(fps.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+      .join(fpsA.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
         col("fp")), Seq("doc_a"))
-      .join(fps.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+      .join(fpsB.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
         col("fp")), Seq("doc_b", "fp"))
       .groupBy("doc_a", "doc_b")
       .agg(collect_list(shiftleft(col("pos_a"), 32)
         .bitwiseOR(col("pos_b"))).as("__seeds"))
-    val lowered = df.select(id.cast("long").as("__tid"),
-      lower(text).as("__t"))
     val extend = udf { (ta: String, tb: String, seeds: Array[Long]) =>
       val la = ta.length; val lb = tb.length
       val out = new scala.collection.mutable.LinkedHashSet[(Long, Long, Long)]()
@@ -709,13 +718,55 @@ object DedupOps {
       out.toArray
     }
     seeds
-      .join(lowered, col("doc_a") === col("__tid")).drop("__tid")
+      .join(loweredA, col("doc_a") === col("__tid")).drop("__tid")
       .withColumnRenamed("__t", "__ta")
-      .join(lowered, col("doc_b") === col("__tid")).drop("__tid")
+      .join(loweredB, col("doc_b") === col("__tid")).drop("__tid")
       .select(col("doc_a"), col("doc_b"),
         explode(extend(col("__ta"), col("__t"), col("__seeds"))).as("s"))
       .select(col("doc_a"), col("doc_b"), col("s._1").as("start_a"),
         col("s._2").as("start_b"), col("s._3").as("len"))
+  }
+
+  /** Substring-tier contamination: maximal exact shared spans between
+    * corpus documents and an evaluation-set probe — catches benchmark text
+    * that word-n-gram matching ([[contaminationPairs]]) misses when
+    * tokenization differs (punctuation, casing, joined words), because the
+    * match unit is raw lowercased characters.  Winnow-seeded like
+    * [[sharedSpans]]; candidate pairs come from an UNCAPPED fingerprint
+    * join against the probe (the decontamination argument of
+    * [[contaminationPairs]]: fan-out is probe-bounded, and boilerplated
+    * benchmark text must be caught, not capped away).  The probe's
+    * fingerprints and postings are broadcast; the corpus side is scanned
+    * map-side.  Output: (doc_id, probe_id, start, probe_start, len) —
+    * `start` into the corpus document's lowercased text. */
+  def contaminationSpans(corpus: DataFrame, text: Column, id: Column,
+      probe: DataFrame, ptext: Column, pid: Column,
+      k: Int = 25, w: Int = 4, minLen: Int = -1): DataFrame = {
+    val ml = if (minLen < 0) w + k - 1 else minLen
+    require(ml >= w + k - 1,
+      s"minLen=$ml below the winnowing guarantee w+k-1=${w + k - 1}")
+    val fpsC = graft.core.CacheScope.persist(
+      winnowFingerprints(corpus, text, id, k, w)
+        .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
+          col("fp")),
+      eager = true)
+    val fpsP = graft.core.CacheScope.persist(
+      winnowFingerprints(probe, ptext, pid, k, w)
+        .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
+          col("fp")),
+      eager = true)
+    val cand = fpsC.select("doc_id", "fp").distinct().as("a")
+      .join(broadcast(fpsP.select("doc_id", "fp").distinct().as("b")),
+        col("a.fp") === col("b.fp"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    extendSpans(cand, fpsC, broadcast(fpsP),
+      corpus.select(id.cast("long").as("__tid"), lower(text).as("__t")),
+      probe.select(pid.cast("long").as("__tid"), lower(ptext).as("__t")),
+      k, ml)
+      .select(col("doc_a").as("doc_id"), col("doc_b").as("probe_id"),
+        col("start_a").as("start"), col("start_b").as("probe_start"),
+        col("len"))
   }
 
   /** Turn a [[sharedSpans]] pair list into a per-document REMOVAL list:

@@ -145,6 +145,16 @@ object R10Queries {
         .select("doc_id", "source", "lang")
     }),
 
+    // Substring-tier contamination: exact shared char spans between the
+    // corpus and the doc 0-4 probe (catches reformatted benchmark text the
+    // token-n-gram check can miss); uncapped probe-bounded candidates
+    "text_contam_spans" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      DedupOps.contaminationSpans(d, col("text"), col("doc_id"),
+        d.where(col("doc_id") < 5), col("text"), col("doc_id"),
+        k = 25, w = 4)
+    }),
+
     // Real greedy-BPE subword tokenization under a fixed ranked merge
     // table (broadcast; narrow kernel) — count + order-sensitive hash of
     // the full token stream per document
@@ -359,6 +369,34 @@ object R10Queries {
          |SELECT doc_id, source, lang FROM documents
          |WHERE doc_id NOT IN (
          |  SELECT DISTINCT c.doc_id FROM post c JOIN probe p USING (sh))""".stripMargin,
+
+    // winnow prefix + probe-restricted candidate pairs + the span
+    // grid/runs reconstruction of the dd_spans oracle
+    "text_contam_spans" ->
+      s"""WITH $WinnowFpSql,
+         |candp AS (
+         |  SELECT DISTINCT c.doc_id AS doc_a, pb.doc_id AS doc_b
+         |  FROM fps c JOIN fps pb ON c.fp = pb.fp AND pb.doc_id < 5
+         |),
+         |gridp AS (
+         |  SELECT c.doc_a, c.doc_b, ha.pos AS pa, hb.pos AS pb
+         |  FROM candp c
+         |  JOIN h ha ON ha.doc_id = c.doc_a
+         |  JOIN h hb ON hb.doc_id = c.doc_b AND hb.gm = ha.gm
+         |),
+         |runsp AS (
+         |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+         |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+         |  FROM gridp
+         |),
+         |spansp AS (
+         |  SELECT doc_a, doc_b, min(pa) AS start_a, min(pa) - diag AS start_b,
+         |         max(pa) - min(pa) + 25 AS len
+         |  FROM runsp GROUP BY doc_a, doc_b, diag, grp
+         |)
+         |SELECT doc_a AS doc_id, doc_b AS probe_id, start_a AS start,
+         |       start_b AS probe_start, len
+         |FROM spansp WHERE len >= 28""".stripMargin,
 
     // greedy BPE replayed as a SQL recursion: one leftmost lowest-rank
     // merge per step per word until no adjacent pair is in the table

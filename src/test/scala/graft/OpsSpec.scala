@@ -719,6 +719,17 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     CacheScope.release()
     assert(keptStrict == Set(1L, 2L, 3L))
+    // the substring tier catches doc 3 too: "capital of france" is a
+    // 17-char exact span even though its longest shared TOKEN run (3) is
+    // below the 5-gram bar
+    val spans = DedupOps.contaminationSpans(corpus, col("text"),
+      col("doc_id"), bench, col("text"), col("doc_id"), k = 8, w = 4)
+      .select("doc_id", "probe_id", "len")
+      .as[(Long, Long, Long)].collect()
+    CacheScope.release()
+    assert(spans.exists(s => s._1 == 2L && s._2 == 100L && s._3 >= 29L))
+    assert(spans.exists(s => s._1 == 3L && s._2 == 100L && s._3 >= 17L))
+    assert(!spans.exists(_._1 == 1L))
   }
 
   test("jaccard stop-shingle cap: over-frequent shingles never pair") {
