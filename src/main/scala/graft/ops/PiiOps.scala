@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction over a text column.
+  *
+  * Training-data pipelines scrub personally-identifiable information before
+  * anything else touches the corpus (the reference ships the same
+  * scan-then-transform hook surface; reference: src/scdataset/scdataset.py
+  * hook pipeline).  Here the detectors are pure codegen'd regexp columns —
+  * no UDF, no shuffle, fully pushdown-compatible — so a 100 TB scrub is a
+  * single narrow map over the scan.
+  *
+  * The regex dialect is the intersection of Java `util.regex` (Spark) and
+  * RE2 (DuckDB/CockroachDB et al.): character classes, bounded repetition,
+  * `\b`, non-capturing groups — no backreferences, no lookaround — so the
+  * exact same patterns run in the SQL oracle.
+  */
+object PiiOps {
+
+  /** RFC-5322-ish practical email matcher (the full grammar is not regular;
+    * this is the form every major scrubber uses). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (no octet-range check — scrubbers over-redact). */
+  val Ipv4Re = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+
+  /** International-prefix phone numbers: +C[C] NNN-NNN-NNNN with space/dot/
+    * dash separators and optional parens around the area code. */
+  val PhoneRe = "\\+\\d{1,2}[ .-]?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}"
+
+  /** Sentinels in redaction order: emails first (their domains contain
+    * dots that the IPv4 matcher must not see), then phones, then IPs. */
+  val Redactions: Seq[(String, String)] = Seq(
+    EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>", Ipv4Re -> "<IP>")
+
+  /** Per-row match counts for one pattern. */
+  def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** (id, n_emails, n_ipv4, n_phones, has_pii) per document.  One narrow
+    * projection; Catalyst prunes the scan to (id, text). */
+  def scan(df: DataFrame, text: Column, idCol: Column): DataFrame =
+    df.select(
+      idCol.as("doc_id"),
+      countMatches(text, EmailRe).as("n_emails"),
+      countMatches(text, Ipv4Re).as("n_ipv4"),
+      countMatches(text, PhoneRe).as("n_phones"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_ipv4") + col("n_phones") > 0)
+
+  /** Text with every PII match replaced by its sentinel, applied in
+    * [[Redactions]] order.  Still a single narrow projection. */
+  def redact(df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val clean = Redactions.foldLeft(text) { case (c, (pat, sub)) =>
+      regexp_replace(c, lit(pat), lit(sub))
+    }
+    df.select(idCol.as("doc_id"), clean.as("clean_text"))
+  }
+
+  /** Documents whose PII density passes: at most `maxMatches` total PII
+    * hits (0 = drop any document containing PII). */
+  def filter(df: DataFrame, text: Column, maxMatches: Long = 0L): DataFrame =
+    df.where(
+      countMatches(text, EmailRe) + countMatches(text, Ipv4Re) +
+        countMatches(text, PhoneRe) <= maxMatches)
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.PiiOps
+
+/** Round-10 (second half) queries: the pipeline-hygiene tier — PII
+  * scrubbing, classifier-based labeling, sketch-confirmed heavy hitters,
+  * stratified/temperature sampling.
+  *
+  * The synthetic `documents` corpus contains no natural PII, so the PII
+  * queries PLANT deterministic PII derived from `doc_id` — the exact same
+  * construction in the Spark plan and the oracle SQL — so the detectors do
+  * real pattern work and the redacted output is doc-specific.
+  */
+object R10bQueries {
+
+  /** documents with planted PII: email on doc_id%2=0, IPv4 on %3=0,
+    * phone on %5=0 (mirrored verbatim in [[PiiAugSql]]). */
+  private def piiDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.docs(s, dir).withColumn("ptext",
+      concat(col("text"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" via 10."), (col("doc_id") % 200).cast("string"),
+            lit(".0."), (col("doc_id") % 250).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" tel +1 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+
+  private val PiiAugSql =
+    """aug AS (
+      |  SELECT doc_id,
+      |    text ||
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 3 = 0
+      |         THEN ' via 10.' || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR
+      |         ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0
+      |         THEN ' tel +1 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+      |              '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+      |         ELSE '' END AS ptext
+      |  FROM documents)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // PII scan: per-document email / IPv4 / phone match counts over the
+    // planted corpus — pure codegen'd regexp columns, no shuffle
+    "text_pii_scan" -> ((s, dir) =>
+      PiiOps.scan(piiDocs(s, dir), col("ptext"), col("doc_id"))),
+
+    // PII redaction: sentinel replacement in detector order; output is the
+    // doc-specific cleaned text (hash-compared verbatim)
+    "text_pii_redact" -> ((s, dir) =>
+      PiiOps.redact(piiDocs(s, dir), col("ptext"), col("doc_id")))
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "text_pii_scan" ->
+      s"""WITH $PiiAugSql
+         |SELECT doc_id,
+         |  len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+         |  len(regexp_extract_all(ptext, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+         |  len(regexp_extract_all(ptext, '\\+\\d{1,2}[ .-]?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}'))::BIGINT AS n_phones,
+         |  (len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         |   + len(regexp_extract_all(ptext, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
+         |   + len(regexp_extract_all(ptext, '\\+\\d{1,2}[ .-]?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}'))) > 0 AS has_pii
+         |FROM aug""".stripMargin,
+
+    "text_pii_redact" ->
+      s"""WITH $PiiAugSql
+         |SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(ptext,
+         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\+\\d{1,2}[ .-]?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}', '<PHONE>', 'g'),
+         |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS clean_text
+         |FROM aug""".stripMargin
+  )
+}

@@ -1115,4 +1115,28 @@ class OpsSpec extends AnyFunSuite {
         col("doc_id"), maxHamming = 20) // needs approxRecall
     }
   }
+
+  test("PII scan counts and redaction sentinels on planted text") {
+    val pii = Seq(
+      (0L, "mail me at a.b+c@sub.example.org or call +44 208-555-1234 now"),
+      (1L, "server at 192.168.0.1 and 10.0.0.255; version 1.2 is fine"),
+      (2L, "no pii here, just words and the number 12345"),
+      (3L, "two mails: x@y.io, zz@w-w.co.uk and ip 8.8.8.8"),
+    ).toDF("doc_id", "text")
+    val scan = PiiOps.scan(pii, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(scan(0) == ((0L, 1L, 0L, 1L, true)))
+    assert(scan(1) == ((1L, 0L, 2L, 0L, true))) // "version 1.2" not an IP
+    assert(scan(2) == ((2L, 0L, 0L, 0L, false)))
+    assert(scan(3) == ((3L, 2L, 1L, 0L, true)))
+    val red = PiiOps.redact(pii, col("text"), col("doc_id"))
+      .as[(Long, String)].collect().toMap
+    assert(red(0L) == "mail me at <EMAIL> or call <PHONE> now")
+    assert(red(1L) == "server at <IP> and <IP>; version 1.2 is fine")
+    assert(red(2L) == "no pii here, just words and the number 12345")
+    assert(red(3L) == "two mails: <EMAIL>, <EMAIL> and ip <IP>")
+    // filter at maxMatches=0 keeps only the clean doc
+    assert(PiiOps.filter(pii, col("text")).select("doc_id")
+      .as[Long].collect().toSeq == Seq(2L))
+  }
 }
