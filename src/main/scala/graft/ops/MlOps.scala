@@ -167,4 +167,77 @@ object MlOps {
     }
     (centers, data.select(col("vec_id"), assignU(col("v")).as("cluster")))
   }
+
+  /** A trained multinomial Naive Bayes text classifier, held as plain
+    * DataFrames so it broadcasts/joins like any other table.
+    *
+    * `classCounts` is (lbl, tok, c) — the token-class count table, the
+    * entire learned state (vocab × classes rows; for real corpora this is
+    * a few MB and broadcast-joins onto the scoring side).  `classStats`
+    * is one row per class: (lbl, n = total token count, lp = log prior).
+    * `vocabSize` is |V| for Laplace smoothing. */
+  final case class NbModel(classCounts: DataFrame, classStats: DataFrame,
+      vocabSize: Double, alpha: Double)
+
+  /** Fit multinomial NB over whitespace tokens: token-class counts, class
+    * priors, vocabulary size.  Two shuffles (both on small keys); the
+    * vocabulary size is the one eager action.  The classic fastText-speed
+    * baseline for corpus labeling (domain/quality/language tagging) —
+    * training is a single groupBy regardless of corpus size. */
+  def nbTrain(train: DataFrame, text: Column, label: Column,
+      alpha: Double = 1.0): NbModel = {
+    val toks = train.select(label.as("lbl"),
+      explode(TextOps.tokens(text)).as("tok"))
+    val cnt = toks.groupBy("lbl", "tok")
+      .agg(count(lit(1)).cast("double").as("c"))
+    val ntot = cnt.groupBy("lbl").agg(sum("c").as("n"))
+    val tot = train.select(count(lit(1)).cast("double").as("td"))
+    val pri = train.groupBy(label.as("lbl"))
+      .agg(count(lit(1)).cast("double").as("nd"))
+      .crossJoin(broadcast(tot))
+      .select(col("lbl"), log(col("nd") / col("td")).as("lp"))
+    val vs = toks.select(countDistinct(col("tok"))).head.getLong(0).toDouble
+    NbModel(cnt, pri.join(ntot, "lbl"), vs, alpha)
+  }
+
+  /** Score + argmax: (doc_id, pred_label, score), score = rounded log
+    * posterior of the winning class (ties broken by label order after
+    * rounding, so the result is engine-independent).
+    *
+    * Shape at scale: the model table broadcast-joins onto the exploded
+    * test tokens (`broadcastModel=false` falls back to a shuffle join on
+    * `tok` for a vocab × classes table too big for one executor); the two
+    * aggregations and the argmax window all hash on doc_id.  Unseen
+    * tokens cost nothing per class — their smoothing mass folds into the
+    * closed form `mm·(ln α − ln(n + αV))` instead of a dense join. */
+  def nbScore(model: NbModel, test: DataFrame, text: Column, idCol: Column,
+      broadcastModel: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = model.alpha
+    val dt = test.select(idCol.as("doc_id"), explode(TextOps.tokens(text)).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).cast("double").as("m"))
+    val mdoc = dt.groupBy("doc_id").agg(sum("m").as("mm"))
+    val cntB = if (broadcastModel) broadcast(model.classCounts)
+               else model.classCounts
+    val adj = dt.join(cntB, "tok").groupBy("doc_id", "lbl")
+      .agg(sum(col("m") * (log(col("c") + a) - math.log(a))).as("adj"))
+    val params = model.classStats
+      .select(col("lbl"), col("lp"), col("n"))
+    val sc = mdoc.crossJoin(broadcast(params))
+      .join(adj, Seq("doc_id", "lbl"), "left")
+      .select(col("doc_id"), col("lbl"),
+        round(col("lp") + col("mm") * (lit(math.log(a)) - log(col("n") + a * model.vocabSize))
+          + coalesce(col("adj"), lit(0.0)), 6).as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("lbl"))
+    sc.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("doc_id"), col("lbl").as("pred_label"), col("score"))
+  }
+
+  /** Train on `train`, score `test` — the one-call form. */
+  def nbClassify(train: DataFrame, trainText: Column, trainLabel: Column,
+      test: DataFrame, testText: Column, testId: Column,
+      alpha: Double = 1.0, broadcastModel: Boolean = true): DataFrame =
+    nbScore(nbTrain(train, trainText, trainLabel, alpha),
+      test, testText, testId, broadcastModel)
 }

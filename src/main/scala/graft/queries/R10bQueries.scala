@@ -61,7 +61,15 @@ object R10bQueries {
     // PII redaction: sentinel replacement in detector order; output is the
     // doc-specific cleaned text (hash-compared verbatim)
     "text_pii_redact" -> ((s, dir) =>
-      PiiOps.redact(piiDocs(s, dir), col("ptext"), col("doc_id")))
+      PiiOps.redact(piiDocs(s, dir), col("ptext"), col("doc_id"))),
+
+    // Multinomial NB domain classifier: train on (text, source), score the
+    // same corpus — model table broadcast, smoothing mass in closed form
+    "ml_nb_classify" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      graft.ops.MlOps.nbClassify(d, col("text"), col("source"),
+        d, col("text"), col("doc_id"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -86,6 +94,38 @@ object R10bQueries {
          |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
          |      '\\+\\d{1,2}[ .-]?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}', '<PHONE>', 'g'),
          |    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS clean_text
-         |FROM aug""".stripMargin
+         |FROM aug""".stripMargin,
+
+    // alpha = 1 (ln 1 = 0): score = lp - mm*ln(n + V) + sum m*ln(c+1)
+    "ml_nb_classify" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT source AS lbl, tok, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2),
+        |ntot AS (SELECT lbl, sum(c) AS n FROM cnt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok)::DOUBLE AS vs FROM tok),
+        |pri AS (
+        |  SELECT source AS lbl,
+        |    ln(count(*)::DOUBLE / (SELECT count(*)::DOUBLE FROM documents)) AS lp
+        |  FROM documents GROUP BY 1),
+        |dt AS (SELECT doc_id, tok, count(*)::DOUBLE AS m FROM tok GROUP BY 1, 2),
+        |mdoc AS (SELECT doc_id, sum(m) AS mm FROM dt GROUP BY 1),
+        |adj AS (
+        |  SELECT dt.doc_id, cnt.lbl, sum(dt.m * ln(cnt.c + 1.0)) AS adj
+        |  FROM dt JOIN cnt ON cnt.tok = dt.tok GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT md.doc_id, p.lbl,
+        |    round(p.lp - md.mm * ln(nt.n + v.vs) + coalesce(adj.adj, 0), 6) AS score
+        |  FROM mdoc md
+        |  CROSS JOIN pri p
+        |  JOIN ntot nt ON nt.lbl = p.lbl
+        |  CROSS JOIN v
+        |  LEFT JOIN adj ON adj.doc_id = md.doc_id AND adj.lbl = p.lbl),
+        |r AS (
+        |  SELECT doc_id, lbl, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lbl) AS rn
+        |  FROM sc)
+        |SELECT doc_id, lbl AS pred_label, score FROM r WHERE rn = 1""".stripMargin
   )
 }

@@ -1116,6 +1116,31 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("NB classifier: distinctive vocab wins; priors break vocab ties; model broadcasts") {
+    val train = Seq(
+      ("spam", "buy cheap pills now buy now"),
+      ("spam", "cheap pills cheap deals"),
+      ("ham", "meeting notes for the quarterly review"),
+      ("ham", "please review the meeting agenda"),
+      ("ham", "agenda for the review meeting"),
+    ).toDF("label", "text")
+    val test = Seq(
+      (0L, "cheap pills"),            // spam vocabulary
+      (1L, "review the meeting"),     // ham vocabulary
+      // all tokens unseen → per-token smoothing mass ln(α/(n_c+αV)) decides:
+      // spam's smaller token total (10 vs 16) beats ham's larger prior
+      // (ln(2/5)−3ln23 = −10.32 > ln(3/5)−3ln29 = −10.61)
+      (2L, "zzz qqq www"),
+    ).toDF("doc_id", "text")
+    val out = MlOps.nbClassify(train, col("text"), col("label"),
+      test, col("text"), col("doc_id"))
+    assert(out.select("doc_id", "pred_label").as[(Long, String)]
+      .collect().toMap == Map(0L -> "spam", 1L -> "ham", 2L -> "spam"))
+    // the model join must be broadcast (no shuffle on the token join)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("PII scan counts and redaction sentinels on planted text") {
     val pii = Seq(
       (0L, "mail me at a.b+c@sub.example.org or call +44 208-555-1234 now"),
