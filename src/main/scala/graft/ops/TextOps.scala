@@ -572,4 +572,60 @@ object TextOps {
         col("pack_offset") + col("n_tokens") > budget)
       .select("doc_id", "n_tokens", "pack_id", "pack_offset", "spans_boundary")
   }
+
+  /** EXACT heavy hitters at sketch cost: every token with corpus frequency
+    * ≥ `phi` · N (N = total token count), with its exact count.
+    *
+    * Two narrow passes, no full-vocabulary shuffle:
+    *  1. per-partition Misra-Gries with k = ⌈1/φ⌉ counters.  Any global
+    *     heavy hitter has local ratio ≥ φ in some partition (pigeonhole),
+    *     and φ·n_p > n_p/(k+1), so it survives that partition's sketch —
+    *     the union of survivors is a guaranteed superset.  The same pass
+    *     tallies N, so discovery is ONE job.
+    *  2. exact counts for the ≤ partitions·k candidates only: a
+    *     broadcast-set filter in front of the groupBy, so the shuffle
+    *     carries candidate tokens instead of the whole vocabulary.
+    *
+    * Unlike a plain `groupBy(token)` top-φ, the shuffled key space is
+    * bounded by the sketch width no matter how large the long tail is —
+    * the 100 TB-corpus shape where the tail IS the data. */
+  def heavyHitters(df: DataFrame, text: Column, phi: Double,
+      maxCandidates: Int = 1 << 20): DataFrame = {
+    require(phi > 0.0 && phi <= 1.0, s"phi must be in (0,1], got $phi")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(tokens(text)).as("tok")).as[String]
+    val k = math.ceil(1.0 / phi).toInt
+    // pass 1: (survivor tokens, partition token count) per partition
+    val perPart = toks.mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Long](2 * k)
+      var n = 0L
+      while (it.hasNext) {
+        val t = it.next(); n += 1
+        val cur = counts.get(t)
+        if (cur > 0L) counts.put(t, cur + 1L)
+        else if (counts.size < k) counts.put(t, 1L)
+        else { // decrement round: k counters + the unmatched item
+          val jt = counts.entrySet().iterator()
+          while (jt.hasNext) {
+            val e = jt.next()
+            if (e.getValue == 1L) jt.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      Iterator.single((counts.keySet().asScala.toArray, n))
+    }.collect()
+    val n = perPart.map(_._2).sum
+    val candidates = perPart.iterator.flatMap(_._1).toSet
+    require(candidates.size <= maxCandidates,
+      s"heavy-hitter candidate set ${candidates.size} exceeds " +
+        s"$maxCandidates — raise phi or maxCandidates")
+    val threshold = math.ceil(phi * n).toLong
+    val bc = spark.sparkContext.broadcast(candidates)
+    val isCand = udf { (t: String) => bc.value.contains(t) }
+    toks.toDF("tok").where(isCand(col("tok")))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= threshold)
+  }
 }

@@ -69,7 +69,13 @@ object R10bQueries {
       val d = Tables.docs(s, dir)
       graft.ops.MlOps.nbClassify(d, col("text"), col("source"),
         d, col("text"), col("doc_id"))
-    })
+    }),
+
+    // Exact heavy hitters via per-partition Misra-Gries + candidate-only
+    // exact confirm: tokens with frequency >= 3% of the corpus
+    "text_heavy_hitters" -> ((s, dir) =>
+      graft.ops.TextOps.heavyHitters(Tables.docs(s, dir), col("text"),
+        phi = 0.03))
   )
 
   def oracles: Map[String, String] = Map(
@@ -126,6 +132,15 @@ object R10bQueries {
         |  SELECT doc_id, lbl, score,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lbl) AS rn
         |  FROM sc)
-        |SELECT doc_id, lbl AS pred_label, score FROM r WHERE rn = 1""".stripMargin
+        |SELECT doc_id, lbl AS pred_label, score FROM r WHERE rn = 1""".stripMargin,
+
+    "text_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT count(*)::DOUBLE AS n FROM tok)
+        |SELECT tok, count(*)::BIGINT AS cnt
+        |FROM tok GROUP BY tok
+        |HAVING count(*) >= (SELECT ceil(0.03 * n) FROM tot)""".stripMargin
   )
 }

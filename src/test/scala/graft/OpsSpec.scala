@@ -1141,6 +1141,28 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("heavyHitters: exact counts at threshold; long tail never surfaces") {
+    // 100 docs of one "hot" token each + tail tokens unique per doc:
+    // N = 300 tokens; hot freq 100/300 = 1/3, "warm" 50/300 = 1/6,
+    // each tail token 1/300
+    val rows = (0 until 100).map { i =>
+      val warm = if (i % 2 == 0) "warm" else s"tail_a_$i"
+      (i.toLong, s"hot $warm tail_b_$i")
+    }
+    val df = rows.toDF("doc_id", "text").repartition(7)
+    val hh = TextOps.heavyHitters(df, col("text"), phi = 0.1)
+      .as[(String, Long)].collect().toMap
+    assert(hh == Map("hot" -> 100L, "warm" -> 50L)) // threshold ceil(30)
+    // tighter phi keeps only the hot token
+    val hh2 = TextOps.heavyHitters(df, col("text"), phi = 0.2)
+      .as[(String, Long)].collect().toMap
+    assert(hh2 == Map("hot" -> 100L))
+    // phi at exactly the warm ratio: >= is inclusive (ceil(1/6*300)=50)
+    val hh3 = TextOps.heavyHitters(df, col("text"), phi = 1.0 / 6.0)
+      .as[(String, Long)].collect().toMap
+    assert(hh3 == Map("hot" -> 100L, "warm" -> 50L))
+  }
+
   test("PII scan counts and redaction sentinels on planted text") {
     val pii = Seq(
       (0L, "mail me at a.b+c@sub.example.org or call +44 208-555-1234 now"),
