@@ -57,4 +57,54 @@ object SplitOps {
   def split(df: DataFrame, key: Column, seed: Long,
       fractions: Seq[(String, Double)], name: String): DataFrame =
     withSplit(df, key, seed, fractions).where(col("split") === name).drop("split")
+
+  /** Stratified Bernoulli sample: keep each row with its class's fraction
+    * (classes absent from `fractions` keep with `default`).  The fraction
+    * lookup is a literal CASE chain and the keep test a pure
+    * (seed, key)-hash predicate — zero shuffle, zero state, pushes into
+    * the scan like any filter, and the kept set is stable under appends
+    * and retries (the `sampleBy` semantics, made deterministic). */
+  def stratifiedSample(df: DataFrame, classCol: Column, key: Column,
+      seed: Long, fractions: Map[String, Double],
+      default: Double = 0.0): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0,1]")
+    require(default >= 0.0 && default <= 1.0, "default must be in [0,1]")
+    val u = graft.core.Rng.Md5.uniform(seed, "strat", key)
+    val f = fractions.toSeq.sortBy(_._1)
+      .foldLeft(null: Column) { case (acc, (cls, fr)) =>
+        if (acc == null) when(classCol === cls, fr)
+        else acc.when(classCol === cls, fr)
+      } match {
+      case null => lit(default)
+      case w    => w.otherwise(default)
+    }
+    df.where(u < f)
+  }
+
+  /** Temperature-rebalanced sampling: downsample every class to realize
+    * target shares ∝ n_c^alpha (alpha < 1 flattens a skewed domain mix —
+    * the multilingual-pretraining recipe).  Keep fraction
+    * f_c = min(1, (n_c/n_min)^(alpha−1)), anchored at the smallest class
+    * (which keeps everything), so kept counts are n_min^(1−alpha)·n_c^alpha.
+    *
+    * One small-key agg for the per-class counts, a broadcast join of the
+    * |classes|-row fraction table, then the same pure hash predicate as
+    * [[stratifiedSample]] — the corpus itself never shuffles.  Fractions
+    * are rounded to 6 dp so the keep decision is engine-exact (oracle
+    * replays the same arithmetic). */
+  def temperatureSample(df: DataFrame, classCol: Column, key: Column,
+      seed: Long, alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(classCol.as("__cls"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val nmin = counts.agg(min(col("__n")).as("__nmin"))
+    val fr = counts.crossJoin(broadcast(nmin))
+      .select(col("__cls"),
+        round(least(lit(1.0), pow(col("__n") / col("__nmin"), alpha - 1.0)), 6)
+          .as("__f"))
+    df.join(broadcast(fr), classCol === col("__cls"))
+      .where(graft.core.Rng.Md5.uniform(seed, "temp", key) < col("__f"))
+      .drop("__cls", "__f")
+  }
 }

@@ -75,7 +75,23 @@ object R10bQueries {
     // exact confirm: tokens with frequency >= 3% of the corpus
     "text_heavy_hitters" -> ((s, dir) =>
       graft.ops.TextOps.heavyHitters(Tables.docs(s, dir), col("text"),
-        phi = 0.03))
+        phi = 0.03)),
+
+    // Stratified Bernoulli sample: named per-source keep fractions, the
+    // rest at 10% — pure hash predicate, no shuffle
+    "p3_stratified" -> ((s, dir) =>
+      graft.ops.SplitOps.stratifiedSample(Tables.docs(s, dir),
+        col("source"), col("doc_id"), seed = 7L,
+        fractions = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        default = 0.1)
+        .select("doc_id", "source")),
+
+    // Temperature-rebalanced domain mix (alpha = 0.5): kept counts
+    // ∝ n_src^0.5, smallest source kept whole
+    "o3_temperature" -> ((s, dir) =>
+      graft.ops.SplitOps.temperatureSample(Tables.docs(s, dir),
+        col("source"), col("doc_id"), seed = 11L, alpha = 0.5)
+        .select("doc_id", "source"))
   )
 
   def oracles: Map[String, String] = Map(
@@ -141,6 +157,23 @@ object R10bQueries {
         |tot AS (SELECT count(*)::DOUBLE AS n FROM tok)
         |SELECT tok, count(*)::BIGINT AS cnt
         |FROM tok GROUP BY tok
-        |HAVING count(*) >= (SELECT ceil(0.03 * n) FROM tot)""".stripMargin
+        |HAVING count(*) >= (SELECT ceil(0.03 * n) FROM tot)""".stripMargin,
+
+    "p3_stratified" ->
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ${graft.core.Rng.Md5.uniformSql(7L, "strat", Seq("doc_id"))} <
+         |  CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+         |              WHEN 'src2' THEN 0.25 ELSE 0.1 END""".stripMargin,
+
+    "o3_temperature" ->
+      s"""WITH c AS (
+         |  SELECT source AS cls, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+         |mn AS (SELECT min(n) AS nmin FROM c),
+         |f AS (
+         |  SELECT cls, round(least(1.0, pow(n / nmin, -0.5)), 6) AS fr
+         |  FROM c CROSS JOIN mn)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN f ON f.cls = d.source
+         |WHERE ${graft.core.Rng.Md5.uniformSql(11L, "temp", Seq("d.doc_id"))} < f.fr""".stripMargin
   )
 }

@@ -1141,6 +1141,38 @@ class OpsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("stratified + temperature sampling: exact class semantics, deterministic") {
+    // skewed classes: a=400, b=100, c=25 (hash-scattered ids)
+    val rows = (0 until 525).map { i =>
+      val cls = if (i < 400) "a" else if (i < 500) "b" else "c"
+      (i * 2654435761L % 1000003L, cls)
+    }
+    val df = rows.toDF("id", "cls").repartition(5)
+    // fraction 1.0 keeps the whole class, 0.0 drops it, default applies
+    val s1 = SplitOps.stratifiedSample(df, col("cls"), col("id"), 3L,
+      Map("a" -> 1.0, "b" -> 0.0), default = 0.5)
+      .groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(s1("a") == 400L && !s1.contains("b"))
+    assert(s1("c") > 0L && s1("c") < 25L)
+    // deterministic: same seed → same kept set; different seed → different
+    val k1 = SplitOps.stratifiedSample(df, col("cls"), col("id"), 3L,
+      Map("a" -> 0.5)).select("id").as[Long].collect().toSet
+    val k2 = SplitOps.stratifiedSample(df, col("cls"), col("id"), 3L,
+      Map("a" -> 0.5)).select("id").as[Long].collect().toSet
+    val k3 = SplitOps.stratifiedSample(df, col("cls"), col("id"), 4L,
+      Map("a" -> 0.5)).select("id").as[Long].collect().toSet
+    assert(k1 == k2 && k1 != k3)
+    // alpha = 1: identity (every fraction 1)
+    assert(SplitOps.temperatureSample(df, col("cls"), col("id"), 5L,
+      alpha = 1.0).count() == 525L)
+    // alpha = 0.5: smallest class intact; kept ∝ n^0.5 ⇒ expected
+    // a: 400·(25/400)^.5 = 100, b: 100·(25/100)^.5 = 50, c: 25
+    val t = SplitOps.temperatureSample(df, col("cls"), col("id"), 5L,
+      alpha = 0.5).groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(t("c") == 25L)
+    assert(math.abs(t("a") - 100L) < 40 && math.abs(t("b") - 50L) < 25)
+  }
+
   test("heavyHitters: exact counts at threshold; long tail never surfaces") {
     // 100 docs of one "hot" token each + tail tokens unique per doc:
     // N = 300 tokens; hot freq 100/300 = 1/3, "warm" 50/300 = 1/6,
