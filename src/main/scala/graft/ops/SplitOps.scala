@@ -107,4 +107,24 @@ object SplitOps {
       .where(graft.core.Rng.Md5.uniform(seed, "temp", key) < col("__f"))
       .drop("__cls", "__f")
   }
+
+  /** Exact per-class quota: keep a deterministic uniform sample of AT MOST
+    * `k` rows per class — the "cap every domain at k documents" op, where
+    * Bernoulli sampling can't promise the cap and tiny classes shouldn't
+    * be thinned at all.
+    *
+    * Rank-by-hash inside each class, keep rank ≤ k.  Spark plans the
+    * rank ≤ k predicate as WindowGroupLimit: each shuffle task keeps a
+    * running top-k heap per class instead of materializing and sorting
+    * whole classes, so a billion-row class costs O(k) memory, not a
+    * single-task full sort. */
+  def quotaSample(df: DataFrame, classCol: Column, key: Column,
+      seed: Long, k: Int): DataFrame = {
+    require(k > 0, s"quota k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(classCol)
+      .orderBy(graft.core.Rng.Md5.sortKey(seed, "quota", key), key)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+  }
 }

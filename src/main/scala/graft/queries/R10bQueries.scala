@@ -91,6 +91,13 @@ object R10bQueries {
     "o3_temperature" -> ((s, dir) =>
       graft.ops.SplitOps.temperatureSample(Tables.docs(s, dir),
         col("source"), col("doc_id"), seed = 11L, alpha = 0.5)
+        .select("doc_id", "source")),
+
+    // Exact per-domain quota: a deterministic uniform <=8 docs per source
+    // (WindowGroupLimit keeps the per-class state at O(k))
+    "p3_quota" -> ((s, dir) =>
+      graft.ops.SplitOps.quotaSample(Tables.docs(s, dir),
+        col("source"), col("doc_id"), seed = 13L, k = 8)
         .select("doc_id", "source"))
   )
 
@@ -174,6 +181,14 @@ object R10bQueries {
          |  FROM c CROSS JOIN mn)
          |SELECT d.doc_id, d.source
          |FROM documents d JOIN f ON f.cls = d.source
-         |WHERE ${graft.core.Rng.Md5.uniformSql(11L, "temp", Seq("d.doc_id"))} < f.fr""".stripMargin
+         |WHERE ${graft.core.Rng.Md5.uniformSql(11L, "temp", Seq("d.doc_id"))} < f.fr""".stripMargin,
+
+    "p3_quota" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${graft.core.Rng.Md5.sortKeySql(13L, "quota", Seq("doc_id"))}, doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, source FROM r WHERE rn <= 8""".stripMargin
   )
 }

@@ -1171,6 +1171,16 @@ class OpsSpec extends AnyFunSuite {
       alpha = 0.5).groupBy("cls").count().as[(String, Long)].collect().toMap
     assert(t("c") == 25L)
     assert(math.abs(t("a") - 100L) < 40 && math.abs(t("b") - 50L) < 25)
+    // quota: exact cap on big classes, small classes untouched; the
+    // rank<=k predicate must plan as WindowGroupLimit (O(k) per class)
+    val q = SplitOps.quotaSample(df, col("cls"), col("id"), 5L, k = 50)
+    assert(q.groupBy("cls").count().as[(String, Long)].collect().toMap ==
+      Map("a" -> 50L, "b" -> 50L, "c" -> 25L))
+    assert(q.queryExecution.optimizedPlan.toString.contains("WindowGroupLimit"))
+    // deterministic: same seed twice → identical kept set
+    assert(SplitOps.quotaSample(df, col("cls"), col("id"), 5L, 50)
+      .select("id").as[Long].collect().toSet ==
+      q.select("id").as[Long].collect().toSet)
   }
 
   test("heavyHitters: exact counts at threshold; long tail never surfaces") {
