@@ -628,4 +628,32 @@ object TextOps {
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= threshold)
   }
+
+  /** Context-window chunking: split each document into windows of
+    * `chunkTokens` whitespace tokens advancing by `chunkTokens − overlap`,
+    * so consecutive chunks share `overlap` tokens (the RAG/pretraining
+    * chunker).  The final window may be short; a document shorter than one
+    * window yields exactly one chunk.
+    *
+    * Pure narrow plan: tokenize → per-row chunk count → `posexplode` of a
+    * `transform(sequence(...))` over array slices — no shuffle, no UDF,
+    * output rows stream out of the scan task that produced them. */
+  def chunkDocs(df: DataFrame, text: Column, idCol: Column,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    df.select(idCol.as("doc_id"), tokens(text).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__nc", greatest(lit(1),
+        ceil((col("__n") - lit(overlap)) / lit(stride.toDouble)).cast("int")))
+      .select(col("doc_id"), col("__toks"), col("__n"),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1), i =>
+          concat_ws(" ", slice(col("__toks"), i * stride + 1, lit(chunkTokens))))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        least(lit(chunkTokens), col("__n") - col("pos") * stride)
+          .cast("long").as("n_chunk_tokens"),
+        col("col").as("chunk_text"))
+  }
 }

@@ -98,7 +98,13 @@ object R10bQueries {
     "p3_quota" -> ((s, dir) =>
       graft.ops.SplitOps.quotaSample(Tables.docs(s, dir),
         col("source"), col("doc_id"), seed = 13L, k = 8)
-        .select("doc_id", "source"))
+        .select("doc_id", "source")),
+
+    // Context-window chunking: 16-token windows, 4-token overlap — the
+    // RAG/pretraining chunker as a pure narrow plan
+    "text_chunks" -> ((s, dir) =>
+      graft.ops.TextOps.chunkDocs(Tables.docs(s, dir), col("text"),
+        col("doc_id"), chunkTokens = 16, overlap = 4))
   )
 
   def oracles: Map[String, String] = Map(
@@ -189,6 +195,26 @@ object R10bQueries {
          |    row_number() OVER (PARTITION BY source
          |      ORDER BY ${graft.core.Rng.Md5.sortKeySql(13L, "quota", Seq("doc_id"))}, doc_id) AS rn
          |  FROM documents)
-         |SELECT doc_id, source FROM r WHERE rn <= 8""".stripMargin
+         |SELECT doc_id, source FROM r WHERE rn <= 8""".stripMargin,
+
+    // chunkTokens = 16, overlap = 4, stride = 12
+    "text_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    greatest(1, ceil((n - 4) / 12.0)::BIGINT) AS nc
+        |  FROM n),
+        |e AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, nc - 1)) AS chunk_id
+        |  FROM c)
+        |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+        |  least(16, n - chunk_id * 12)::BIGINT AS n_chunk_tokens,
+        |  array_to_string(toks[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' ') AS chunk_text
+        |FROM e""".stripMargin
   )
 }

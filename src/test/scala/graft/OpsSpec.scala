@@ -1183,6 +1183,30 @@ class OpsSpec extends AnyFunSuite {
       q.select("id").as[Long].collect().toSet)
   }
 
+  test("chunkDocs: overlap windows, short tail, single-chunk short docs") {
+    val df = Seq(
+      (0L, "a b c d e f g h i j"), // 10 tokens: chunks of 4, stride 3
+      (1L, "x y"),                 // shorter than one window
+      (2L, "p q r s"),             // exactly one window
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(df, col("text"), col("doc_id"),
+      chunkTokens = 4, overlap = 1)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).toSeq }
+    // ceil((10-1)/3) = 3 chunks; starts 0,3,6; last has 4 tokens exactly
+    assert(out(0L) == Seq((0L, 0L, 4L, "a b c d"), (0L, 1L, 4L, "d e f g"),
+      (0L, 2L, 4L, "g h i j")))
+    assert(out(1L) == Seq((1L, 0L, 2L, "x y")))
+    assert(out(2L) == Seq((2L, 0L, 4L, "p q r s")))
+    // 11 tokens: 4 chunks, final chunk short (2 tokens, overlap 1)
+    val out2 = TextOps.chunkDocs(
+      Seq((9L, "a b c d e f g h i j k")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), 4, 1)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    assert(out2.map(_._4).toSeq == Seq("a b c d", "d e f g", "g h i j", "j k"))
+    assert(out2.map(_._3).toSeq == Seq(4L, 4L, 4L, 2L))
+  }
+
   test("heavyHitters: exact counts at threshold; long tail never surfaces") {
     // 100 docs of one "hot" token each + tail tokens unique per doc:
     // N = 300 tokens; hot freq 100/300 = 1/3, "warm" 50/300 = 1/6,
