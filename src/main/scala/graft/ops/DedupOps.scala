@@ -1000,6 +1000,69 @@ object DedupOps {
       .where(col("hamming") <= maxHamming)
   }
 
+  private val ExactParams = Seq("digest" -> 128) // md5 width — a marker
+
+  /** Persist a corpus's exact-content digest table ((doc_id, text_hash))
+    * as the EXACT tier of the incremental-dedup ladder — the
+    * [[PersistedIndex]] pattern with the md5 digest as the key. */
+  def exactIndexWrite(df: DataFrame, text: Column, id: Column,
+      dir: String): Unit =
+    PersistedIndex.write(
+      df.select(id.as("doc_id"), md5(text).as("text_hash")), dir, ExactParams)
+
+  /** Append a new shard's digests to a persisted exact index. */
+  def exactIndexAppend(df: DataFrame, text: Column, id: Column,
+      dir: String): Unit =
+    PersistedIndex.append(
+      df.select(id.as("doc_id"), md5(text).as("text_hash")), dir, ExactParams)
+
+  /** Rows of a NEW shard whose text was never seen by a persisted exact
+    * index — `shard ANTI JOIN index ON digest`, planned so the multi-TB
+    * index is never shuffled:
+    *
+    *  1. a Bloom filter over the index digests (built once per call;
+    *     `fpp` at the index's row count) partitions the shard locally:
+    *     rows outside the filter are DEFINITELY new (no false negatives)
+    *     and skip the join entirely — in steady-state ingestion that is
+    *     almost the whole shard;
+    *  2. the "maybe" remainder (true dups + fpp noise) resolves against
+    *     the index with a broadcast semi-join: the maybe-digests broadcast
+    *     to the index scan (map-side, index never shuffled), and the
+    *     surviving "seen" digests broadcast back to filter the shard.
+    *
+    * If the maybe-set exceeds `maxBroadcastKeys` (a shard that is mostly
+    * duplicates), the plan falls back to a plain shuffle anti-join —
+    * correct at any size, just not shuffle-free.
+    *
+    * Within-shard duplicates are NOT collapsed (use [[exactDedup]] on the
+    * shard first); result equals the plain anti-join exactly. */
+  def exactNewAgainst(indexDir: String, newDf: DataFrame, text: Column,
+      id: Column, fpp: Double = 0.01,
+      maxBroadcastKeys: Long = 5000000L): DataFrame = {
+    val spark = newDf.sparkSession
+    PersistedIndex.requireParams(spark, indexDir, ExactParams)
+    val idx = spark.read.parquet(indexDir).select(col("text_hash"))
+    val idxRows = math.max(1L, idx.count())
+    val bloom = idx.stat.bloomFilter("text_hash", idxRows, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mc = udf { (h: String) => bc.value.mightContainString(h) }
+    val d = newDf.withColumn("__h", md5(text))
+    val definiteNew = d.where(!mc(col("__h")))
+    val maybe = graft.core.CacheScope.persist(
+      d.where(mc(col("__h"))), eager = true)
+    val maybeKeys = maybe.select(col("__h")).distinct()
+    val resolved =
+      if (maybe.count() <= maxBroadcastKeys) {
+        val seen = idx.join(broadcast(maybeKeys),
+          col("text_hash") === col("__h"), "left_semi").distinct()
+        maybe.join(broadcast(seen), col("__h") === col("text_hash"),
+          "left_anti")
+      } else {
+        maybe.join(idx, col("__h") === col("text_hash"), "left_anti")
+      }
+    definiteNew.unionByName(resolved).drop("__h")
+  }
+
   /** 60-bit SimHash over word-3-shingles (with multiplicity): bit i is the
     * sign of the shingle-population vote, where each shingle votes +1/-1 by
     * bit i of its 60-bit md5-derived hash (the first 15 md5 hex chars —

@@ -104,7 +104,24 @@ object R10bQueries {
     // RAG/pretraining chunker as a pure narrow plan
     "text_chunks" -> ((s, dir) =>
       graft.ops.TextOps.chunkDocs(Tables.docs(s, dir), col("text"),
-        col("doc_id"), chunkTokens = 16, overlap = 4))
+        col("doc_id"), chunkTokens = 16, overlap = 4)),
+
+    // Exact tier of the incremental-dedup ladder: even docs indexed, the
+    // shard = odd docs + planted copies of even texts under new ids; the
+    // Bloom prefilter sends only maybe-rows to the (broadcast-semi) join
+    "dd_incremental_exact" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      val idx = R9Queries.runTmp + "/ex_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.ops.DedupOps.exactIndexWrite(
+        d.where(col("doc_id") % 2 === 0), col("text"), col("doc_id"), idx)
+      val shard = d.where(col("doc_id") % 2 === 0 && col("doc_id") < 100)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+        .unionByName(
+          d.where(col("doc_id") % 2 === 1).select("doc_id", "text"))
+      graft.ops.DedupOps.exactNewAgainst(idx, shard, col("text"),
+        col("doc_id")).select("doc_id")
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -215,6 +232,16 @@ object R10bQueries {
         |SELECT doc_id, chunk_id::BIGINT AS chunk_id,
         |  least(16, n - chunk_id * 12)::BIGINT AS n_chunk_tokens,
         |  array_to_string(toks[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' ') AS chunk_text
-        |FROM e""".stripMargin
+        |FROM e""".stripMargin,
+
+    "dd_incremental_exact" ->
+      """WITH idx AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+        |shard AS (
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0 AND doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
+        |SELECT s.doc_id FROM shard s
+        |WHERE md5(s.text) NOT IN (SELECT h FROM idx)""".stripMargin
   )
 }

@@ -1183,6 +1183,39 @@ class OpsSpec extends AnyFunSuite {
       q.select("id").as[Long].collect().toSet)
   }
 
+  test("exact incremental index: bloom-prefiltered result == plain anti-join") {
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_ex_idx").toString
+    val corpus = Seq(
+      (0L, "the quick brown fox"), (1L, "jumps over the lazy dog"),
+      (2L, "completely different text")).toDF("doc_id", "text")
+    DedupOps.exactIndexWrite(corpus, col("text"), col("doc_id"), idxDir)
+    val shard = Seq(
+      (10L, "the quick brown fox"),      // dup of 0 → removed
+      (11L, "brand new document one"),   // new
+      (12L, "brand new document two"),   // new
+      (13L, "jumps over the lazy dog"),  // dup of 1 → removed
+    ).toDF("doc_id", "text")
+    val kept = DedupOps.exactNewAgainst(idxDir, shard, col("text"),
+      col("doc_id")).select("doc_id").as[Long].collect().toSet
+    graft.core.CacheScope.release()
+    assert(kept == Set(11L, 12L))
+    // the shuffle fallback produces the identical set
+    val keptShuffle = DedupOps.exactNewAgainst(idxDir, shard, col("text"),
+      col("doc_id"), maxBroadcastKeys = 0L)
+      .select("doc_id").as[Long].collect().toSet
+    graft.core.CacheScope.release()
+    assert(keptShuffle == kept)
+    // append the kept shard; re-running against the grown index drops them
+    DedupOps.exactIndexAppend(
+      shard.where(col("doc_id").isin(11L, 12L)), col("text"),
+      col("doc_id"), idxDir)
+    val again = DedupOps.exactNewAgainst(idxDir, shard, col("text"),
+      col("doc_id")).select("doc_id").as[Long].collect().toSet
+    graft.core.CacheScope.release()
+    assert(again == Set.empty[Long])
+  }
+
   test("chunkDocs: overlap windows, short tail, single-chunk short docs") {
     val df = Seq(
       (0L, "a b c d e f g h i j"), // 10 tokens: chunks of 4, stride 3
