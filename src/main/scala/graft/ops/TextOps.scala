@@ -629,6 +629,19 @@ object TextOps {
       .where(col("cnt") >= threshold)
   }
 
+  /** Per-class approximate vocabulary size: HyperLogLog++ distinct token
+    * count (`approx_count_distinct`, relative error ≈ `rsd`).  The
+    * 100 TB-scale form of per-domain vocabulary profiling: constant-size
+    * sketch state per class, one partial-aggregate pass, no token-level
+    * shuffle at all — the map side emits merged sketches, not tokens.
+    * The `text_approx_distinct` query cross-checks it against the exact
+    * count and asserts the error bound as an invariant. */
+  def approxDistinctTokens(df: DataFrame, text: Column, classCol: Column,
+      rsd: Double = 0.02): DataFrame =
+    df.select(classCol.as("cls"), explode(tokens(text)).as("tok"))
+      .groupBy("cls")
+      .agg(approx_count_distinct(col("tok"), rsd).as("n_approx"))
+
   /** Context-window chunking: split each document into windows of
     * `chunkTokens` whitespace tokens advancing by `chunkTokens − overlap`,
     * so consecutive chunks share `overlap` tokens (the RAG/pretraining

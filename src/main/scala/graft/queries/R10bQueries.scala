@@ -121,6 +121,22 @@ object R10bQueries {
           d.where(col("doc_id") % 2 === 1).select("doc_id", "text"))
       graft.ops.DedupOps.exactNewAgainst(idx, shard, col("text"),
         col("doc_id")).select("doc_id")
+    }),
+
+    // Sketch-based per-source vocabulary size: the HLL++ estimate must
+    // land within 5% of exact (invariant oracle — the exact count is
+    // DuckDB-replayable, the bound check must come out true)
+    "text_approx_distinct" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      val approx = graft.ops.TextOps.approxDistinctTokens(
+        d, col("text"), col("source"), rsd = 0.02)
+      val exact = d.select(col("source").as("cls"),
+        explode(graft.ops.TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("cls").agg(countDistinct(col("tok")).as("n_exact"))
+      exact.join(approx, "cls")
+        .select(col("cls").as("source"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")).cast("double") /
+            col("n_exact") <= 0.05).as("within_bound"))
     })
   )
 
@@ -242,6 +258,15 @@ object R10bQueries {
         |  UNION ALL
         |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1)
         |SELECT s.doc_id FROM shard s
-        |WHERE md5(s.text) NOT IN (SELECT h FROM idx)""".stripMargin
+        |WHERE md5(s.text) NOT IN (SELECT h FROM idx)""".stripMargin,
+
+    "text_approx_distinct" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents)
+        |SELECT source, count(DISTINCT tok)::BIGINT AS n_exact,
+        |  true AS within_bound
+        |FROM tok GROUP BY source""".stripMargin
   )
 }

@@ -1183,6 +1183,24 @@ class OpsSpec extends AnyFunSuite {
       q.select("id").as[Long].collect().toSet)
   }
 
+  test("approxDistinctTokens: HLL estimate within rsd; partial agg map-side") {
+    // 3 classes, known vocab sizes 1 / 26 / 100
+    val rows =
+      (0 until 50).map(i => ("one", "solo")) ++
+      (0 until 100).map(i => ("alpha", ('a' + i % 26).toChar.toString)) ++
+      (0 until 200).map(i => ("wide", s"w${i % 100}"))
+    val df = rows.toDF("cls", "text").repartition(5)
+    val est = TextOps.approxDistinctTokens(df, col("text"), col("cls"),
+      rsd = 0.02).as[(String, Long)].collect().toMap
+    assert(est("one") == 1L)
+    assert(math.abs(est("alpha") - 26L) <= 2)
+    assert(math.abs(est("wide") - 100L) <= 6)
+    // sketches merge in a partial aggregate — tokens never shuffle
+    val plan = TextOps.approxDistinctTokens(df, col("text"), col("cls"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_approx_count_distinct"))
+  }
+
   test("exact incremental index: bloom-prefiltered result == plain anti-join") {
     val idxDir = java.nio.file.Files
       .createTempDirectory("graft_ex_idx").toString
