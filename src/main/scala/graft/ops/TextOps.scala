@@ -629,6 +629,35 @@ object TextOps {
       .where(col("cnt") >= threshold)
   }
 
+  /** Top-`k` TF-IDF terms per document — the classic keyword extractor
+    * (corpus-level feature for routing, clustering seeds, index terms).
+    * tf = raw in-document count, idf = ln(N/df) (no smoothing — every
+    * term scored comes from the corpus, so df ≥ 1), score rounded to 6 dp
+    * with term-lexicographic tie-break so ranking is engine-exact.
+    *
+    * Shape: two hash aggregations (document-term, then term), a
+    * vocabulary-table join (broadcast by default), and a rank ≤ k
+    * predicate that plans as WindowGroupLimit — per-document state is
+    * O(k), never a full per-document sort. */
+  def tfidfTopTerms(df: DataFrame, text: Column, idCol: Column, k: Int,
+      broadcastVocab: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(idCol.as("doc_id"), explode(tokens(text)).as("tok"))
+    val tf = toks.groupBy("doc_id", "tok")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val n = df.select(count(lit(1)).cast("double").as("__n"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).cast("double").as("__df"))
+    val vocab = if (broadcastVocab) broadcast(dfreq) else dfreq
+    val scored = tf.join(vocab, "tok").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("tok").as("term"),
+        round(col("tf") * log(col("__n") / col("__df")), 6).as("tfidf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Per-class approximate vocabulary size: HyperLogLog++ distinct token
     * count (`approx_count_distinct`, relative error ≈ `rsd`).  The
     * 100 TB-scale form of per-domain vocabulary profiling: constant-size

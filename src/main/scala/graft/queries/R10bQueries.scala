@@ -137,7 +137,12 @@ object R10bQueries {
         .select(col("cls").as("source"), col("n_exact"),
           (abs(col("n_approx") - col("n_exact")).cast("double") /
             col("n_exact") <= 0.05).as("within_bound"))
-    })
+    }),
+
+    // Top-5 TF-IDF keywords per document (WindowGroupLimit rank)
+    "text_tfidf" -> ((s, dir) =>
+      graft.ops.TextOps.tfidfTopTerms(Tables.docs(s, dir), col("text"),
+        col("doc_id"), k = 5))
   )
 
   def oracles: Map[String, String] = Map(
@@ -267,6 +272,24 @@ object R10bQueries {
         |  FROM documents)
         |SELECT source, count(DISTINCT tok)::BIGINT AS n_exact,
         |  true AS within_bound
-        |FROM tok GROUP BY source""".stripMargin
+        |FROM tok GROUP BY source""".stripMargin,
+
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+        |n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |dfq AS (SELECT tok, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.tok, round(tf.tf * ln(n.n / dfq.df), 6) AS tfidf
+        |  FROM tf JOIN dfq USING (tok) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+        |  FROM sc)
+        |SELECT doc_id, tok AS term, tfidf, rn::BIGINT AS rank
+        |FROM r WHERE rn <= 5""".stripMargin
   )
 }

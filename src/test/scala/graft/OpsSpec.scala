@@ -1183,6 +1183,29 @@ class OpsSpec extends AnyFunSuite {
       q.select("id").as[Long].collect().toSet)
   }
 
+  test("tfidfTopTerms: rare terms outrank common; ubiquitous terms score 0") {
+    val df = Seq(
+      (0L, "common common rare1"),
+      (1L, "common midfreq rare2"),
+      (2L, "common midfreq filler"),
+      (3L, "common alone alone alone"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(df, col("text"), col("doc_id"), k = 2)
+      .as[(Long, String, Double, Long)].collect()
+      .groupBy(_._1).map { case (d, v) => d -> v.sortBy(_._4).map(_._2).toSeq }
+    // doc 0: rare1 (df=1) beats common (df=4 → idf=0)
+    assert(out(0L).head == "rare1")
+    // doc 3: alone tf=3, df=1 → ln4*3 dominates
+    assert(out(3L).head == "alone")
+    // "common" appears in every doc → idf = ln(1) = 0 everywhere
+    val scores = TextOps.tfidfTopTerms(df, col("text"), col("doc_id"), 10)
+      .where(col("term") === "common").select("tfidf").as[Double].collect()
+    assert(scores.forall(_ == 0.0))
+    // rank <= k plans as WindowGroupLimit
+    assert(TextOps.tfidfTopTerms(df, col("text"), col("doc_id"), 2)
+      .queryExecution.optimizedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("approxDistinctTokens: HLL estimate within rsd; partial agg map-side") {
     // 3 classes, known vocab sizes 1 / 26 / 100
     val rows =
