@@ -215,6 +215,72 @@ object SimilarityOps {
       .where(col("rank") < k)
   }
 
+  /** Squared L2 distance via the codegen'd kernels:
+    * ‖a‖² + ‖b‖² − 2·a·b (three sequential folds — the exact arithmetic
+    * the SQL oracle replays with `list_reduce`). */
+  def sqdist(a: Column, b: Column): Column =
+    norm2(a) + norm2(b) - lit(2.0) * dot(a, b)
+
+  /** Product-quantization encoding: split each vector into `m` contiguous
+    * subspaces of `subDim` dims and store, per subspace, the id of its
+    * nearest codebook entry — 64 floats become m small ints (the
+    * memory-compression step under every billion-vector ANN index; Jégou
+    * et al., "Product Quantization for Nearest Neighbor Search").
+    *
+    * `codebooks` is (sub, code_id, cv) with `cv` a `subDim`-length slice.
+    * Output: (vec_id, sub, code, d) — exploded form, one row per subspace
+    * (partition/bucketing-friendly; collect to an array per vector at the
+    * edge if a packed layout is wanted).
+    *
+    * Shape: codebooks broadcast (m × ncodes rows), argmin as a map-side
+    * `min_by` hash aggregate — the corpus shuffles only on (vec_id, sub)
+    * with partial combine, never on vector payloads. */
+  def pqEncode(corpus: DataFrame, vec: Column, id: Column,
+      codebooks: DataFrame, m: Int, subDim: Int): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), vec.as("v"))
+    val cb = codebooks.select(col("sub"), col("code_id"), col("cv"))
+    c.crossJoin(broadcast(cb))
+      .select(col("vec_id"), col("sub"), col("code_id"),
+        round(sqdist(slice(col("v"), col("sub") * subDim + 1, lit(subDim)),
+          col("cv")), 6).as("d"))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(struct(col("code_id"), col("d")),
+        struct(col("d"), col("code_id"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code_id").as("code"),
+        col("best.d").as("d"))
+  }
+
+  /** PQ asymmetric-distance top-k (ADC): each query computes a lookup
+    * table of exact subspace distances to every codebook entry, and a
+    * corpus vector's approximate distance is the sum of its codes' LUT
+    * entries — the corpus side never touches a float vector again, only
+    * (sub, code) ints against a broadcast LUT of queries × m × ncodes
+    * rows.  Ranking: approximate distance rounded to 6 dp, ascending,
+    * neighbor-id tie-break, self-pairs excluded.
+    * Output: (query_id, neighbor_id, adist, rank). */
+  def pqTopK(codes: DataFrame, codebooks: DataFrame,
+      queries: DataFrame, qvec: Column, qid: Column,
+      k: Int, m: Int, subDim: Int): DataFrame = {
+    val cb = codebooks.select(col("sub"), col("code_id"), col("cv"))
+    val q = queries.select(qid.as("query_id"), qvec.as("qv"))
+    val lut = q.crossJoin(broadcast(cb))
+      .select(col("query_id"), col("sub"), col("code_id"),
+        round(sqdist(slice(col("qv"), col("sub") * subDim + 1, lit(subDim)),
+          col("cv")), 6).as("ld"))
+    val appx = codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("code_id"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum(col("ld")), 6).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adist"), col("vec_id"))
+    appx.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rank").cast("long").as("rank"))
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to each query's LSH
     * bucket.  One shuffle on bucket; the cross product never materializes. */
   def lshTopK(corpus: DataFrame, vec: Column, id: Column,

@@ -142,8 +142,37 @@ object R10bQueries {
     // Top-5 TF-IDF keywords per document (WindowGroupLimit rank)
     "text_tfidf" -> ((s, dir) =>
       graft.ops.TextOps.tfidfTopTerms(Tables.docs(s, dir), col("text"),
-        col("doc_id"), k = 5))
+        col("doc_id"), k = 5)),
+
+    // Product-quantization codes: 4 subspaces × 16 dims, fixed codebooks
+    // (vec_id < 4 slices — the sim_ivf_assign convention, SQL-replayable)
+    "sim_pq_codes" -> ((s, dir) =>
+      graft.ops.SimilarityOps.pqEncode(Tables.emb(s, dir),
+        col("embedding"), col("vec_id"), pqCodebooks(s, dir),
+        m = 4, subDim = 16)),
+
+    // PQ asymmetric-distance top-5 for queries vec_id < 10: corpus side
+    // is codes-only against the broadcast query LUT
+    "sim_pq_topk" -> ((s, dir) => {
+      val e = Tables.emb(s, dir)
+      val codes = graft.ops.SimilarityOps.pqEncode(e, col("embedding"),
+        col("vec_id"), pqCodebooks(s, dir), m = 4, subDim = 16)
+        .select("vec_id", "sub", "code")
+      graft.ops.SimilarityOps.pqTopK(codes, pqCodebooks(s, dir),
+        e.where(col("vec_id") < 10), col("embedding"), col("vec_id"),
+        k = 5, m = 4, subDim = 16)
+    })
   )
+
+  /** Fixed PQ codebooks: per subspace, the vec_id < 4 slices (code_id =
+    * vec_id) — deterministic, so DuckDB replays the encoding exactly. */
+  private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+    Tables.emb(s, dir).where(col("vec_id") < 4)
+      .select(col("vec_id").as("code_id"), col("embedding").as("e"))
+      .select(explode(sequence(lit(0), lit(3))).as("sub"), col("code_id"),
+        col("e"))
+      .select(col("sub"), col("code_id"),
+        slice(col("e"), col("sub") * 16 + 1, lit(16)).as("cv"))
 
   def oracles: Map[String, String] = Map(
 
@@ -290,6 +319,64 @@ object R10bQueries {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
         |  FROM sc)
         |SELECT doc_id, tok AS term, tfidf, rn::BIGINT AS rank
-        |FROM r WHERE rn <= 5""".stripMargin
+        |FROM r WHERE rn <= 5""".stripMargin,
+
+    "sim_pq_codes" ->
+      s"""WITH $PqEncSql
+         |SELECT vec_id, sub, arg_min(code_id, (round(d * 1000000))::BIGINT * 10 + code_id) AS code,
+         |  min(d) AS d
+         |FROM enc GROUP BY vec_id, sub""".stripMargin,
+
+    "sim_pq_topk" ->
+      s"""WITH $PqEncSql,
+         |codes AS (
+         |  SELECT vec_id, sub, arg_min(code_id, (round(d * 1000000))::BIGINT * 10 + code_id) AS code
+         |  FROM enc GROUP BY vec_id, sub),
+         |lutq AS (
+         |  SELECT e.vec_id AS query_id, c.sub, c.code_id,
+         |    round(
+         |      list_reduce(list_transform(e.embedding[c.sub*16+1 : c.sub*16+16],
+         |        x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y) +
+         |      list_reduce(list_transform(c.cv,
+         |        x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y) -
+         |      2 * list_reduce(list_transform(
+         |        list_zip(e.embedding[c.sub*16+1 : c.sub*16+16], c.cv),
+         |        x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y),
+         |      6) AS ld
+         |  FROM embeddings e CROSS JOIN cb c WHERE e.vec_id < 10),
+         |ap AS (
+         |  SELECT l.query_id, cd.vec_id, round(sum(l.ld), 6) AS adist
+         |  FROM codes cd JOIN lutq l ON l.sub = cd.sub AND l.code_id = cd.code
+         |  WHERE cd.vec_id <> l.query_id
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT query_id, vec_id, adist,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) - 1 AS rank
+         |  FROM ap)
+         |SELECT query_id, vec_id AS neighbor_id, adist, rank::BIGINT AS rank
+         |FROM rk WHERE rank < 5""".stripMargin
   )
+
+  /** PQ encoding CTE prefix: subspace codebooks (vec_id < 4 slices) and
+    * per-(vector, subspace, code) squared distances — ‖a‖² + ‖b‖² − 2·a·b
+    * with the same sequential folds as the Spark kernels. */
+  private val PqEncSql =
+    """subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
+      |cb AS (
+      |  SELECT s.sub, e.vec_id AS code_id,
+      |    e.embedding[s.sub*16+1 : s.sub*16+16] AS cv
+      |  FROM embeddings e CROSS JOIN subs s
+      |  WHERE e.vec_id < 4),
+      |enc AS (
+      |  SELECT e.vec_id, c.sub, c.code_id,
+      |    round(
+      |      list_reduce(list_transform(e.embedding[c.sub*16+1 : c.sub*16+16],
+      |        x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y) +
+      |      list_reduce(list_transform(c.cv,
+      |        x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y) -
+      |      2 * list_reduce(list_transform(
+      |        list_zip(e.embedding[c.sub*16+1 : c.sub*16+16], c.cv),
+      |        x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y),
+      |      6) AS d
+      |  FROM embeddings e CROSS JOIN cb c)""".stripMargin
 }

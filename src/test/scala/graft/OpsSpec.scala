@@ -1183,6 +1183,39 @@ class OpsSpec extends AnyFunSuite {
       q.select("id").as[Long].collect().toSet)
   }
 
+  test("PQ: codes are exact subspace argmin; ADC ranks an identical twin first") {
+    // dim 8, m = 2 subspaces of 4; codebook = 2 entries per subspace from
+    // vectors 0 and 1
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val base = Seq(
+      (0L, v(1, 0, 0, 0, 0, 1, 0, 0)),
+      (1L, v(0, 0, 1, 0, 0, 0, 0, 1)),
+      (2L, v(1, 0.1, 0, 0, 0, 1, 0.1, 0)),  // near 0
+      (3L, v(0, 0.1, 1, 0, 0.1, 0, 0, 1)),  // near 1
+    ).toDF("vec_id", "embedding")
+    val cb = base.where(col("vec_id") < 2)
+      .select(col("vec_id").as("code_id"), col("embedding").as("e"))
+      .select(explode(sequence(lit(0), lit(1))).as("sub"), col("code_id"),
+        col("e"))
+      .select(col("sub"), col("code_id"),
+        slice(col("e"), col("sub") * 4 + 1, lit(4)).as("cv"))
+    val codes = SimilarityOps.pqEncode(base, col("embedding"),
+      col("vec_id"), cb, m = 2, subDim = 4)
+    val cm = codes.select("vec_id", "sub", "code")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2).map(_._3).toSeq }
+    // each vector's codes: 0 and 2 quantize to code 0, 1 and 3 to code 1
+    assert(cm(0L) == Seq(0L, 0L) && cm(2L) == Seq(0L, 0L))
+    assert(cm(1L) == Seq(1L, 1L) && cm(3L) == Seq(1L, 1L))
+    // ADC from query 0: vector 2 shares its codes → adist = LUT distance
+    // to code 0 in both subspaces, strictly below vectors 1/3's
+    val top = SimilarityOps.pqTopK(codes.select("vec_id", "sub", "code"),
+      cb, base.where(col("vec_id") === 0), col("embedding"), col("vec_id"),
+      k = 3, m = 2, subDim = 4)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(top.head == 2L)
+  }
+
   test("tfidfTopTerms: rare terms outrank common; ubiquitous terms score 0") {
     val df = Seq(
       (0L, "common common rare1"),

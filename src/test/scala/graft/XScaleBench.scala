@@ -168,6 +168,11 @@ object XScaleBench {
       "text_repetition", "text_token_freq", "text_quality_tiers",
       "dd_semantic_pairs", "dd_semantic_keep", "dd_spans", "dd_span_dedup",
       "dd_incremental_winnow", "text_bpe_tokens", "dd_band_owners",
+      "text_contam", "text_decontam", "text_contam_spans",
+      "text_pii_scan", "text_pii_redact", "ml_nb_classify",
+      "text_heavy_hitters", "p3_stratified", "o3_temperature", "p3_quota",
+      "text_chunks", "dd_incremental_exact", "text_approx_distinct",
+      "text_tfidf",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
