@@ -172,7 +172,7 @@ object XScaleBench {
       "text_pii_scan", "text_pii_redact", "ml_nb_classify",
       "text_heavy_hitters", "p3_stratified", "o3_temperature", "p3_quota",
       "text_chunks", "dd_incremental_exact", "text_approx_distinct",
-      "text_tfidf",
+      "text_tfidf", "sim_pq_codes", "sim_pq_topk",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
