@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ WeightedQueries.queries ++ ExtQueries.queries ++
       CoverageQueries.queries ++ PipelineQueries.queries ++
-      R9Queries.queries ++ R10Queries.queries ++ R10bQueries.queries
+      R9Queries.queries ++ R10Queries.queries ++ R10bQueries.queries ++
+      R10cQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ WeightedQueries.oracles ++ ExtQueries.oracles ++
       CoverageQueries.oracles ++ PipelineQueries.oracles ++
-      R9Queries.oracles ++ R10Queries.oracles ++ R10bQueries.oracles
+      R9Queries.oracles ++ R10Queries.oracles ++ R10bQueries.oracles ++
+      R10cQueries.oracles
 }

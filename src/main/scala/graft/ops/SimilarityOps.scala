@@ -281,6 +281,43 @@ object SimilarityOps {
         col("adist"), col("rank").cast("long").as("rank"))
   }
 
+  /** Johnson–Lindenstrauss random projection: `dims` → `outDims` via a
+    * deterministic ±1 sign matrix (Achlioptas 2003, "Database-friendly
+    * random projections" — ±1 entries preserve pairwise distances within
+    * (1±ε) at outDims = O(log n / ε²)), scaled by 1/√outDims so squared
+    * distances are directly comparable pre/post projection.  The signs
+    * reuse the (seed, j, i) md5 convention of [[lshBucket]], so the whole
+    * projection matrix is a plan-time constant: each output dim is one
+    * codegen'd [[graft.functions.DotProduct]] against a literal array —
+    * a pure narrow map over the scan, no shuffle, no UDF.  The scale-out
+    * story for every downstream ANN stage: a 4× dim cut is a 4× cut in
+    * broadcast LUT size, shuffle payload, and distance-kernel work.
+    * Output: (vec_id, j, val) exploded rows, j in [0, outDims). */
+  def rpProject(df: DataFrame, vec: Column, id: Column, dims: Int,
+      outDims: Int, seed: Long = 42L): DataFrame = {
+    require(outDims > 0 && dims > 0, "dims and outDims must be positive")
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val proj = array((0 until outDims).map { j =>
+      round(graft.functions.VecKernels.dot(vec,
+        typedLit(planeSigns(seed, j, dims))) * lit(scale), 6)
+    }: _*)
+    df.select(id.as("vec_id"), posexplode(proj))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        col("col").as("val"))
+  }
+
+  /** [[rpProject]] in packed form: (vec_id, rvec) with `rvec` the
+    * projected array — the frame downstream ANN stages consume. */
+  def rpProjected(df: DataFrame, vec: Column, id: Column, dims: Int,
+      outDims: Int, seed: Long = 42L): DataFrame = {
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val proj = array((0 until outDims).map { j =>
+      round(graft.functions.VecKernels.dot(vec,
+        typedLit(planeSigns(seed, j, dims))) * lit(scale), 6)
+    }: _*)
+    df.select(id.as("vec_id"), proj.as("rvec"))
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to each query's LSH
     * bucket.  One shuffle on bucket; the cross product never materializes. */
   def lshTopK(corpus: DataFrame, vec: Column, id: Column,

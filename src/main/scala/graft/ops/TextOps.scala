@@ -698,4 +698,82 @@ object TextOps {
           .cast("long").as("n_chunk_tokens"),
         col("col").as("chunk_text"))
   }
+
+  /** Hashed bag-of-words bucket id for one token: top 60 bits of md5 mod
+    * `buckets` — the cross-engine-stable hash convention used by every
+    * dedup kernel (DuckDB mirror: `('0x'||substr(md5(tok),1,15))::BIGINT %
+    * buckets`). */
+  private def tokenBucket(tok: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(tok), 1, 15), 16, 10).cast("long"), lit(buckets))
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed bag-of-words is.
+    *
+    * Model: unigram counts hashed into `buckets` buckets; Laplace-smoothed
+    * bucket log-probabilities under the target sample (`p`) and the raw
+    * corpus (`q`); a document's weight is `log w = Σ_tok (log p[b(tok)] −
+    * log q[b(tok)])`.  Output: `(doc_id, n_tokens, log_w)`, one row per
+    * raw document with ≥1 token.
+    *
+    * Determinism: the per-bucket log-ratio is rounded to 6 dp and scaled
+    * to a BIGINT once; every per-document aggregate after that is integer
+    * arithmetic (order-independent, oracle-exact) with a single final
+    * division — the [[tokenFrequencyScore]] discipline.
+    *
+    * Physical shape at 100 TB: two token-explode passes (target + raw)
+    * collapse map-side into ≤ `buckets` partial rows per task, so both
+    * model fits shuffle O(buckets), not O(tokens); the log-ratio table is
+    * ≤ `buckets` rows and broadcast into the scoring join, so scoring is a
+    * narrow pass over the raw scan whose only shuffle is the final per-doc
+    * hash agg (map-side-combined to ~1 row per doc). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, text: Column,
+      idCol: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val b = buckets.toLong
+    def bucketCounts(df: DataFrame): DataFrame =
+      df.select(explode(tokens(text)).as("tok"))
+        .select(tokenBucket(col("tok"), buckets).as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("c"))
+    // both count tables feed two consumers (the lr join and their own
+    // total); persisting caps each corpus at ONE token-explode pass
+    val tc = graft.core.CacheScope.persist(
+      bucketCounts(target).withColumnRenamed("c", "tc"), eager = false)
+    val sc = graft.core.CacheScope.persist(
+      bucketCounts(raw).withColumnRenamed("c", "sc"), eager = false)
+    // totals from the count tables themselves (one fit pass per corpus)
+    val tTot = tc.agg(coalesce(sum("tc"), lit(0L)).cast("double").as("__t"))
+    val sTot = sc.agg(coalesce(sum("sc"), lit(0L)).cast("double").as("__s"))
+    // every bucket a raw doc can hit appears in sc (the doc is in raw), so
+    // sc is the spine; target-absent buckets smooth to count 0
+    val lr = sc.join(tc, Seq("bucket"), "left")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(sTot))
+      .select(col("bucket"),
+        round((log((coalesce(col("tc"), lit(0L)) + lit(1)).cast("double") /
+                   (col("__t") + lit(b.toDouble))) -
+               log((col("sc") + lit(1)).cast("double") /
+                   (col("__s") + lit(b.toDouble)))) * lit(1e6), 0)
+          .cast("long").as("lr6"))
+    raw.select(idCol.as("doc_id"), explode(tokens(text)).as("tok"))
+      .select(col("doc_id"), tokenBucket(col("tok"), buckets).as("bucket"))
+      .join(broadcast(lr), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lr6").as("__w"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__w").cast("double") / lit(1e6)).as("log_w"))
+  }
+
+  /** DSIR selection: the `n` raw documents with the highest importance
+    * weight, deterministic tie-break on doc_id (the paper resamples with
+    * Gumbel noise; a fixed-seed variant of that is ranking by `log_w` +
+    * per-doc hash jitter — with jitter 0 it degenerates to this exact
+    * top-n, which is what an oracle can replay).  Plans as
+    * TakeOrderedAndProject: per-partition top-n, no global sort. */
+  def dsirSelect(raw: DataFrame, target: DataFrame, text: Column,
+      idCol: Column, n: Int, buckets: Int = 4096): DataFrame = {
+    require(n > 0, "n must be positive")
+    dsirWeights(raw, target, text, idCol, buckets)
+      .orderBy(col("log_w").desc, col("doc_id"))
+      .limit(n)
+  }
 }

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 (third wave) queries: data-selection tier — DSIR importance
+  * resampling (Xie et al., NeurIPS 2023) over the documents corpus, with
+  * `source = 'src0'` standing in for the curated target sample.
+  */
+object R10cQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // DSIR importance weight of every document against the src0 target
+    // distribution: hashed-unigram log-likelihood ratio, fixed-point sum
+    "text_dsir_weights" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      graft.ops.TextOps.dsirWeights(d, d.where(col("source") === "src0"),
+        col("text"), col("doc_id"))
+    }),
+
+    // DSIR selection: the 500 most target-like documents
+    "text_dsir_select" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      graft.ops.TextOps.dsirSelect(d, d.where(col("source") === "src0"),
+        col("text"), col("doc_id"), n = 500)
+    }),
+
+    // JL random projection 64 → 16 dims (exploded (vec_id, j, val) rows)
+    "sim_rp_project" -> ((s, dir) =>
+      graft.ops.SimilarityOps.rpProject(Tables.emb(s, dir),
+        col("embedding"), col("vec_id"), dims = 64, outDims = 16)),
+
+    // Exact top-5 cosine in the 16-dim projected space, queries vec_id < 10
+    "sim_rp_topk" -> ((s, dir) => {
+      val rp = graft.ops.SimilarityOps.rpProjected(Tables.emb(s, dir),
+        col("embedding"), col("vec_id"), dims = 64, outDims = 16)
+      graft.ops.SimilarityOps.bruteTopK(rp, col("rvec"), col("vec_id"),
+        rp.where(col("vec_id") < 10), col("rvec"), col("vec_id"), k = 5)
+    }),
+
+    // Recall@5 of the projected-space ranking against the exact 64-dim
+    // ranking — the quality gauge for the JL scale path
+    "sim_rp_recall" -> ((s, dir) => {
+      val e = Tables.emb(s, dir)
+      val q = e.where(col("vec_id") < 10)
+      val exact = graft.ops.SimilarityOps.bruteTopK(e, col("embedding"),
+        col("vec_id"), q, col("embedding"), col("vec_id"), k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val rp = graft.ops.SimilarityOps.rpProjected(e,
+        col("embedding"), col("vec_id"), dims = 64, outDims = 16)
+      val approx = graft.ops.SimilarityOps.bruteTopK(rp, col("rvec"),
+        col("vec_id"), rp.where(col("vec_id") < 10), col("rvec"),
+        col("vec_id"), k = 5)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .select(col("query_id"), col("n_hits"),
+          (col("n_hits").cast("double") / lit(5.0)).as("recall"))
+    })
+  )
+
+  /** Shared DSIR model CTEs: hashed-unigram bucket counts for target
+    * (src0) and raw (all), Laplace-smoothed fixed-point log-ratio table —
+    * the exact float-op order of [[graft.ops.TextOps.dsirWeights]]. */
+  private val DsirSql =
+    """tok AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+      |  FROM documents),
+      |tb AS (
+      |  SELECT doc_id, source,
+      |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS bucket
+      |  FROM tok),
+      |tc AS (SELECT bucket, count(*)::BIGINT AS tc FROM tb WHERE source = 'src0' GROUP BY 1),
+      |sc AS (SELECT bucket, count(*)::BIGINT AS sc FROM tb GROUP BY 1),
+      |tt AS (SELECT coalesce(sum(tc), 0)::DOUBLE AS t FROM tc),
+      |st AS (SELECT coalesce(sum(sc), 0)::DOUBLE AS s FROM sc),
+      |lr AS (
+      |  SELECT sc.bucket,
+      |    (round((ln((coalesce(tc.tc, 0) + 1)::DOUBLE / (tt.t + 4096.0)) -
+      |            ln((sc.sc + 1)::DOUBLE / (st.s + 4096.0))) * 1000000, 0))::BIGINT AS lr6
+      |  FROM sc LEFT JOIN tc USING (bucket) CROSS JOIN tt CROSS JOIN st),
+      |w AS (
+      |  SELECT tb.doc_id, count(*)::BIGINT AS n_tokens,
+      |    sum(lr6)::DOUBLE / 1000000.0 AS log_w
+      |  FROM tb JOIN lr USING (bucket)
+      |  GROUP BY tb.doc_id)""".stripMargin
+
+  /** JL projection CTE prefix: per-(vector, output-dim) signed dot against
+    * the md5 (seed=42) plane convention of the LSH oracles, scaled by
+    * 1/√16 = 0.25 exactly, plus the packed per-vector array form. */
+  private val RpSql =
+    """js AS (SELECT unnest(generate_series(0, 15)) AS j),
+      |rp AS (
+      |  SELECT e.vec_id, js.j,
+      |    round(list_reduce(list_transform(generate_series(0, 63), i ->
+      |      e.embedding[i + 1]::DOUBLE *
+      |      (CASE WHEN (('0x' || substr(md5(concat_ws(':', 'plane', '42', js.j::VARCHAR, i::VARCHAR)), 1, 8))::BIGINT
+      |                  / CAST(4294967296.0 AS DOUBLE)) >= 0.5
+      |            THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+      |      (a, b) -> a + b) * 0.25, 6) AS val
+      |  FROM embeddings e CROSS JOIN js),
+      |rv AS (
+      |  SELECT vec_id, list(val ORDER BY j) AS rvec FROM rp GROUP BY vec_id)""".stripMargin
+
+  /** Top-5 ranking over `rv` rvec arrays — the sim_topk oracle shape. */
+  private val RpTopkSql =
+    """s AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    round(
+      |      list_reduce(list_transform(list_zip(q.rvec, c.rvec),
+      |        x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y) /
+      |      (sqrt(list_reduce(list_transform(q.rvec, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) *
+      |       sqrt(list_reduce(list_transform(c.rvec, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))),
+      |      6) AS cos
+      |  FROM rv c CROSS JOIN (SELECT * FROM rv WHERE vec_id < 10) q
+      |  WHERE c.vec_id <> q.vec_id),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) - 1 AS rank
+      |  FROM s)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "text_dsir_weights" ->
+      s"""WITH $DsirSql
+         |SELECT doc_id, n_tokens, log_w FROM w""".stripMargin,
+
+    "text_dsir_select" ->
+      s"""WITH $DsirSql
+         |SELECT doc_id, n_tokens, log_w FROM w
+         |ORDER BY log_w DESC, doc_id LIMIT 500""".stripMargin,
+
+    "sim_rp_project" ->
+      s"""WITH $RpSql
+         |SELECT vec_id, j::BIGINT AS j, val FROM rp""".stripMargin,
+
+    "sim_rp_topk" ->
+      s"""WITH $RpSql,
+         |$RpTopkSql
+         |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank < 5""".stripMargin,
+
+    "sim_rp_recall" ->
+      s"""WITH $RpSql,
+         |$RpTopkSql,
+         |appx AS (SELECT query_id, neighbor_id FROM r WHERE rank < 5),
+         |es AS (
+         |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    round(
+         |      list_reduce(list_transform(list_zip(q.embedding, e.embedding),
+         |        x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y) /
+         |      (sqrt(list_reduce(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) *
+         |       sqrt(list_reduce(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))),
+         |      6) AS cos
+         |  FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 10) q
+         |  WHERE e.vec_id <> q.vec_id),
+         |er AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) - 1 AS rank
+         |  FROM es),
+         |exact AS (SELECT query_id, neighbor_id FROM er WHERE rank < 5)
+         |SELECT e.query_id,
+         |  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+         |  sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 5.0 AS recall
+         |FROM exact e LEFT JOIN appx a USING (query_id, neighbor_id)
+         |GROUP BY e.query_id""".stripMargin
+  )
+}

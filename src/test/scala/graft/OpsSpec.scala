@@ -1359,4 +1359,54 @@ class OpsSpec extends AnyFunSuite {
     assert(PiiOps.filter(pii, col("text")).select("doc_id")
       .as[Long].collect().toSeq == Seq(2L))
   }
+
+  test("dsirWeights ranks target-like documents above off-target ones") {
+    // target distribution = science-ish tokens; raw corpus mixes both
+    val target = Seq((100L, "atoms energy quantum field theory"),
+      (101L, "energy quantum particles field measure")).toDF("doc_id", "text")
+    val raw = Seq(
+      (0L, "quantum energy field atoms"),        // pure target vocabulary
+      (1L, "football goal referee stadium crowd"), // pure off-target
+      (2L, "energy atoms football stadium"),       // mixed
+    ).toDF("doc_id", "text")
+    val w = TextOps.dsirWeights(raw, target, col("text"), col("doc_id"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(w(0L) > w(2L) && w(2L) > w(1L),
+      s"expected target-like > mixed > off-target, got $w")
+    // selection returns the top-n in weight order
+    val sel = TextOps.dsirSelect(raw, target, col("text"), col("doc_id"),
+      n = 2).as[(Long, Long, Double)].collect().map(_._1).toSeq
+    assert(sel == Seq(0L, 2L))
+  }
+
+  test("dsirWeights: doc with no tokens yields no row; n_tokens is exact") {
+    val raw = Seq((0L, "a b c"), (1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val target = Seq((9L, "a b")).toDF("doc_id", "text")
+    val rows = TextOps.dsirWeights(raw, target, col("text"), col("doc_id"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(rows == Map(0L -> 3L))
+  }
+
+  test("rpProject: deterministic, correct arity, distance-correlated") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    val near = base.map(_ + rnd.nextGaussian() * 0.01)
+    val far = Array.fill(64)(rnd.nextGaussian())
+    val df = Seq((0L, base.toSeq), (1L, near.toSeq), (2L, far.toSeq))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val rp = SimilarityOps.rpProjected(df, col("embedding"), col("vec_id"),
+      dims = 64, outDims = 16)
+    val m = rp.as[(Long, Seq[Double])].collect().toMap
+    assert(m.values.forall(_.length == 16))
+    // same input twice → identical projection (plan-time constant signs)
+    val m2 = SimilarityOps.rpProjected(df, col("embedding"), col("vec_id"),
+      dims = 64, outDims = 16).as[(Long, Seq[Double])].collect().toMap
+    assert(m == m2)
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // JL with ±1/√k signs: the planted near-dup stays far closer than the
+    // independent vector after projection
+    assert(d2(m(0L), m(1L)) < d2(m(0L), m(2L)) / 4)
+  }
 }

@@ -14,8 +14,9 @@ object XVerifySome {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val sfDir = sys.env.getOrElse("XVERIFY_SF", "/root/testdata/sf0.01")
     names.foreach { name =>
-      SparkEntry.queries(name)(spark, "/root/testdata/sf0.01")
+      SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       graft.core.CacheScope.release()
     }
