@@ -1419,6 +1419,41 @@ object DedupOps {
     labels.select("doc_id", "keeper_id")
   }
 
+  /** Keeper selection by QUALITY: given duplicate-candidate pairs and a
+    * per-document score, keep the HIGHEST-scoring member of each connected
+    * duplicate cluster (score tie → lowest doc_id) and every untouched
+    * document — the production curation rule ("keep the longest / highest-
+    * quality copy"), vs [[dedupClusters]]' keep-lowest-id convention.
+    *
+    * `score` must be deterministic and SQL-mirrorable; an integer score
+    * (length, token count, tier rank) keeps the arg-max oracle-exact with
+    * no float-ordering hazard.
+    *
+    * Shape: cluster labels from [[dedupClusters]] (dual driver/distributed
+    * plan), one hash agg per cluster for the arg-max (map-side combined),
+    * and a left-anti join of the loser set against the corpus — the same
+    * final shape as [[fuzzyDedup]].  Storage contract (also as in
+    * [[fuzzyDedup]]): the cluster stage's CacheScope intermediates are
+    * released before returning; only the materialized loser set stays
+    * registered for the caller's release(). */
+  def keepBestInClusters(df: DataFrame, pairs: DataFrame, id: Column,
+      score: Column): DataFrame = {
+    val clusters = dedupClusters(pairs)
+    val scored = df.select(id.as("doc_id"), score.as("__q"))
+    val best = clusters.join(scored, Seq("doc_id"))
+      .groupBy(col("keeper_id"))
+      .agg(max_by(col("doc_id"), struct(col("__q"), -col("doc_id")))
+        .as("best_id"))
+    val losers = clusters.join(best, Seq("keeper_id"))
+      .where(col("doc_id") =!= col("best_id"))
+      .select(col("doc_id").as("__loser_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    losers.count() // materialize BEFORE dropping the cluster-stage caches
+    graft.core.CacheScope.release()
+    graft.core.CacheScope.register(losers)
+    df.join(losers, id === col("__loser_id"), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs at scale: cosine >= `minCosine`
     * restricted to pairs sharing a random-hyperplane LSH bucket
     * ([[SimilarityOps.lshBucket]]) — the 100 TB path made first-class.

@@ -1360,6 +1360,19 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("keepBestInClusters keeps the arg-max member, id tie-break, isolates survive") {
+    val corpus = Seq(
+      (0L, "aa", 5L), (1L, "bb", 9L), (2L, "cc", 9L), // cluster {0,1,2}: 1 wins (score tie 1 vs 2 → lower id)
+      (3L, "dd", 1L),                                 // isolated: survives
+      (4L, "ee", 2L), (5L, "ff", 7L),                 // cluster {4,5}: 5 wins
+    ).toDF("doc_id", "text", "quality")
+    // transitive chain 0-1, 1-2 plus pair 4-5
+    val pairs = Seq((0L, 1L), (1L, 2L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val kept = DedupOps.keepBestInClusters(corpus, pairs, col("doc_id"),
+      col("quality")).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 5L))
+  }
+
   test("dsirWeights ranks target-like documents above off-target ones") {
     // target distribution = science-ish tokens; raw corpus mixes both
     val target = Seq((100L, "atoms energy quantum field theory"),
