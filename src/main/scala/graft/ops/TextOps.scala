@@ -699,6 +699,66 @@ object TextOps {
         col("col").as("chunk_text"))
   }
 
+  /** Token bigrams as (w1, w2) rows — empty for documents with < 2
+    * tokens.  Pure narrow plan: `transform(sequence)` over the token
+    * array, then one explode. */
+  private def bigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+  }
+
+  /** Bigram language-model fluency score — the CCNet/KenLM pattern with a
+    * corpus-estimable model: each document scored by the mean conditional
+    * log-probability of its token bigrams under add-one-smoothed counts
+    * from a reference corpus,
+    *
+    *   P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V)
+    *
+    * with `c(w1,·)` the reference count of w1 as a bigram head and V the
+    * reference unigram vocabulary size.  Higher mean log-prob = more
+    * reference-like word-to-word transitions — the step up from
+    * [[tokenFrequencyScore]]'s order-free unigram statistics.
+    *
+    * Determinism: each bigram's log-prob is rounded to 6 dp and scaled to
+    * a BIGINT once; the per-document aggregate is an integer sum with ONE
+    * final division — the [[dsirWeights]] discipline.
+    *
+    * Shape at scale: both model tables collapse map-side to their key
+    * cardinality; scoring joins on (w1, w2) — broadcast when the reference
+    * is a curated sample (the CCNet setup: the LM is trained on the small
+    * clean corpus), shuffle-join with AQE otherwise.  Documents with < 2
+    * tokens produce no row.
+    * Output: (doc_id, n_bigrams, mean_lp). */
+  def bigramLmScore(df: DataFrame, text: Column, idCol: Column,
+      ref: DataFrame, refText: Column): DataFrame = {
+    val rbg = graft.core.CacheScope.persist(
+      ref.select(explode(bigrams(refText)).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2")),
+      eager = false)
+    val c12 = rbg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = rbg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vSize = ref.select(explode(tokens(refText)).as("tok"))
+      .agg(count_distinct(col("tok")).cast("double").as("__v"))
+    val scored = df.select(idCol.as("doc_id"), explode(bigrams(text)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vSize))
+      .select(col("doc_id"),
+        round(log((coalesce(col("c12"), lit(0L)) + lit(1)).cast("double") /
+                  ((coalesce(col("c1"), lit(0L))).cast("double") + col("__v")))
+          * lit(1e6), 0).cast("long").as("lp6"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp6").as("__s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("__s").cast("double") /
+          (lit(1e6) * col("n_bigrams").cast("double"))).as("mean_lp"))
+  }
+
   /** Hashed bag-of-words bucket id for one token: top 60 bits of md5 mod
     * `buckets` — the cross-engine-stable hash convention used by every
     * dedup kernel (DuckDB mirror: `('0x'||substr(md5(tok),1,15))::BIGINT %

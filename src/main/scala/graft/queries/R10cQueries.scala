@@ -26,6 +26,14 @@ object R10cQueries {
         col("text"), col("doc_id"), n = 500)
     }),
 
+    // Bigram LM fluency: mean conditional log-prob of each doc's token
+    // transitions under the src0-trained add-one bigram model
+    "text_bigram_lm" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      graft.ops.TextOps.bigramLmScore(d, col("text"), col("doc_id"),
+        d.where(col("source") === "src0"), col("text"))
+    }),
+
     // JL random projection 64 → 16 dims (exploded (vec_id, j, val) rows)
     "sim_rp_project" -> ((s, dir) =>
       graft.ops.SimilarityOps.rpProject(Tables.emb(s, dir),
@@ -195,6 +203,29 @@ object R10cQueries {
         |  WHERE cl.doc_id <> best.best_id)
         |SELECT doc_id, source, lang FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+
+    "text_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), s -> s <> '') AS toks
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, source, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+        |  FROM t WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, source, toks[i] AS w1, toks[i + 1] AS w2 FROM x),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg WHERE source = 'src0' GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM bg WHERE source = 'src0' GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), s -> s <> '')) AS tok
+        |  FROM documents WHERE source = 'src0')),
+        |lp AS (
+        |  SELECT bg.doc_id,
+        |    (round(ln((coalesce(c12.c12, 0) + 1)::DOUBLE /
+        |               (coalesce(c1.c1, 0)::DOUBLE + v.v)) * 1000000, 0))::BIGINT AS lp6
+        |  FROM bg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(lp6)::DOUBLE / (1000000.0 * count(*)::DOUBLE) AS mean_lp
+        |FROM lp GROUP BY doc_id""".stripMargin,
 
     "sim_rp_project" ->
       s"""WITH $RpSql

@@ -1400,6 +1400,23 @@ class OpsSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 3L))
   }
 
+  test("bigramLmScore: reference-like transitions outrank unseen ones") {
+    val ref = Seq((100L, "the cat sat on the mat"),
+      (101L, "the cat ran on the mat")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "the cat sat on the mat"), // transitions all seen in ref
+      (1L, "mat the on sat cat the"), // same unigrams, unseen transitions
+      (2L, "x"),                      // < 2 tokens: no row
+    ).toDF("doc_id", "text")
+    val m = TextOps.bigramLmScore(corpus, col("text"), col("doc_id"),
+      ref, col("text")).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(!m.contains(2L))
+    assert(m(0L)._1 == 5L && m(1L)._1 == 5L)
+    assert(m(0L)._2 > m(1L)._2,
+      s"fluent doc must outrank scrambled doc: $m")
+  }
+
   test("rpProject: deterministic, correct arity, distance-correlated") {
     val rnd = new scala.util.Random(7)
     val base = Array.fill(64)(rnd.nextGaussian())
