@@ -787,40 +787,106 @@ object TextOps {
     * ≤ `buckets` rows and broadcast into the scoring join, so scoring is a
     * narrow pass over the raw scan whose only shuffle is the final per-doc
     * hash agg (map-side-combined to ~1 row per doc). */
-  def dsirWeights(raw: DataFrame, target: DataFrame, text: Column,
-      idCol: Column, buckets: Int = 4096): DataFrame = {
-    require(buckets > 0, "buckets must be positive")
+  /** Hashed-unigram bucket counts of one corpus: (bucket, c). */
+  private def bucketCountsOf(df: DataFrame, text: Column,
+      buckets: Int): DataFrame =
+    df.select(explode(tokens(text)).as("tok"))
+      .select(tokenBucket(col("tok"), buckets).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+
+  /** Fixed-point log-ratio table from target/raw bucket-count frames —
+    * the shared model tail of [[dsirWeights]] and [[dsirWeightsAgainst]].
+    * `spine` supplies the bucket domain to emit lr rows for; tc/sc counts
+    * are left-joined onto it and missing counts smooth to 0. */
+  private def dsirLogRatio(spine: DataFrame, tc: DataFrame, sc: DataFrame,
+      buckets: Int): DataFrame = {
     val b = buckets.toLong
-    def bucketCounts(df: DataFrame): DataFrame =
-      df.select(explode(tokens(text)).as("tok"))
-        .select(tokenBucket(col("tok"), buckets).as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("c"))
-    // both count tables feed two consumers (the lr join and their own
-    // total); persisting caps each corpus at ONE token-explode pass
-    val tc = graft.core.CacheScope.persist(
-      bucketCounts(target).withColumnRenamed("c", "tc"), eager = false)
-    val sc = graft.core.CacheScope.persist(
-      bucketCounts(raw).withColumnRenamed("c", "sc"), eager = false)
-    // totals from the count tables themselves (one fit pass per corpus)
     val tTot = tc.agg(coalesce(sum("tc"), lit(0L)).cast("double").as("__t"))
     val sTot = sc.agg(coalesce(sum("sc"), lit(0L)).cast("double").as("__s"))
-    // every bucket a raw doc can hit appears in sc (the doc is in raw), so
-    // sc is the spine; target-absent buckets smooth to count 0
-    val lr = sc.join(tc, Seq("bucket"), "left")
+    spine.join(tc, Seq("bucket"), "left").join(sc, Seq("bucket"), "left")
       .crossJoin(broadcast(tTot)).crossJoin(broadcast(sTot))
       .select(col("bucket"),
         round((log((coalesce(col("tc"), lit(0L)) + lit(1)).cast("double") /
                    (col("__t") + lit(b.toDouble))) -
-               log((col("sc") + lit(1)).cast("double") /
+               log((coalesce(col("sc"), lit(0L)) + lit(1)).cast("double") /
                    (col("__s") + lit(b.toDouble)))) * lit(1e6), 0)
           .cast("long").as("lr6"))
-    raw.select(idCol.as("doc_id"), explode(tokens(text)).as("tok"))
+  }
+
+  /** Score `df` docs against a broadcast lr6 table: (doc_id, n_tokens,
+    * log_w) with the integer-sum / one-division discipline. */
+  private def dsirScore(df: DataFrame, text: Column, idCol: Column,
+      lr: DataFrame, buckets: Int): DataFrame =
+    df.select(idCol.as("doc_id"), explode(tokens(text)).as("tok"))
       .select(col("doc_id"), tokenBucket(col("tok"), buckets).as("bucket"))
       .join(broadcast(lr), Seq("bucket"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("lr6").as("__w"))
       .select(col("doc_id"), col("n_tokens"),
         (col("__w").cast("double") / lit(1e6)).as("log_w"))
+
+  def dsirWeights(raw: DataFrame, target: DataFrame, text: Column,
+      idCol: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    // both count tables feed two consumers (the lr join and their own
+    // total); persisting caps each corpus at ONE token-explode pass
+    val tc = graft.core.CacheScope.persist(
+      bucketCountsOf(target, text, buckets).withColumnRenamed("c", "tc"),
+      eager = false)
+    val sc = graft.core.CacheScope.persist(
+      bucketCountsOf(raw, text, buckets).withColumnRenamed("c", "sc"),
+      eager = false)
+    // every bucket a raw doc can hit appears in sc (the doc is in raw), so
+    // sc is the spine; target-absent buckets smooth to count 0
+    dsirScore(raw, text, idCol,
+      dsirLogRatio(sc.select("bucket"), tc, sc, buckets), buckets)
+  }
+
+  /** Persisted DSIR model: the two bucket-count tables written as a
+    * [[PersistedIndex]] (side 't' = target, 's' = raw) with the bucket
+    * count as the validated parameter — the incremental data-selection
+    * path.  [[dsirModelAppend]] adds a new raw shard's counts without
+    * rewriting (readers SUM per (side, bucket)); [[dsirWeightsAgainst]]
+    * scores a shard under the accumulated model.  Scoring a shard AFTER
+    * appending it reproduces batch [[dsirWeights]] on the union corpus
+    * exactly (the oracle fixture); scoring un-appended text is also
+    * well-defined — the lr spine is the full bucket domain, so unseen
+    * buckets smooth to count 0 instead of silently dropping tokens. */
+  def dsirModelWrite(target: DataFrame, raw: DataFrame, text: Column,
+      dir: String, buckets: Int = 4096): Unit = {
+    val t = bucketCountsOf(target, text, buckets)
+      .select(lit("t").as("side"), col("bucket"), col("c"))
+    val s = bucketCountsOf(raw, text, buckets)
+      .select(lit("s").as("side"), col("bucket"), col("c"))
+    PersistedIndex.write(t.unionByName(s), dir, Seq("buckets" -> buckets))
+  }
+
+  /** Append a raw shard's bucket counts to a persisted DSIR model. */
+  def dsirModelAppend(rawShard: DataFrame, text: Column, dir: String,
+      buckets: Int = 4096): Unit =
+    PersistedIndex.append(
+      bucketCountsOf(rawShard, text, buckets)
+        .select(lit("s").as("side"), col("bucket"), col("c")),
+      dir, Seq("buckets" -> buckets))
+
+  /** Score `shard` documents under the persisted model at `dir`. */
+  def dsirWeightsAgainst(dir: String, shard: DataFrame, text: Column,
+      idCol: Column, buckets: Int = 4096): DataFrame = {
+    val spark = shard.sparkSession
+    PersistedIndex.requireParams(spark, dir, Seq("buckets" -> buckets))
+    // append-mode writes leave multiple rows per (side, bucket): SUM first
+    val m = graft.core.CacheScope.persist(
+      spark.read.parquet(dir).groupBy("side", "bucket")
+        .agg(sum("c").as("c")), eager = false)
+    val tc = m.where(col("side") === "t")
+      .select(col("bucket"), col("c").as("tc"))
+    val sc = m.where(col("side") === "s")
+      .select(col("bucket"), col("c").as("sc"))
+    // full-domain spine: an un-appended shard's unseen buckets get the
+    // count-0 smoothed lr instead of dropping its tokens from the join
+    val spine = spark.range(buckets).select(col("id").as("bucket"))
+    dsirScore(shard, text, idCol,
+      dsirLogRatio(spine, tc, sc, buckets), buckets)
   }
 
   /** DSIR selection: the `n` raw documents with the highest importance

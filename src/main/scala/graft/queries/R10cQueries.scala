@@ -26,6 +26,21 @@ object R10cQueries {
         col("text"), col("doc_id"), n = 500)
     }),
 
+    // Incremental DSIR: model written from the even half, odd shard
+    // appended, then the odd shard scored against the persisted model —
+    // must equal batch dsirWeights on the full corpus restricted to odds
+    "text_dsir_incremental" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      val idx = R9Queries.runTmp + "/dsir_model_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.ops.TextOps.dsirModelWrite(d.where(col("source") === "src0"),
+        d.where(col("doc_id") % 2 === 0), col("text"), idx)
+      graft.ops.TextOps.dsirModelAppend(d.where(col("doc_id") % 2 === 1),
+        col("text"), idx)
+      graft.ops.TextOps.dsirWeightsAgainst(idx,
+        d.where(col("doc_id") % 2 === 1), col("text"), col("doc_id"))
+    }),
+
     // Bigram LM fluency: mean conditional log-prob of each doc's token
     // transitions under the src0-trained add-one bigram model
     "text_bigram_lm" -> ((s, dir) => {
@@ -203,6 +218,10 @@ object R10cQueries {
         |  WHERE cl.doc_id <> best.best_id)
         |SELECT doc_id, source, lang FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+
+    "text_dsir_incremental" ->
+      s"""WITH $DsirSql
+         |SELECT doc_id, n_tokens, log_w FROM w WHERE doc_id % 2 = 1""".stripMargin,
 
     "text_bigram_lm" ->
       """WITH t AS (

@@ -1400,6 +1400,32 @@ class OpsSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 3L))
   }
 
+  test("persisted DSIR model: append reproduces batch; param mismatch fails") {
+    val dir = java.nio.file.Files.createTempDirectory("dsir_t").toString + "/m"
+    val target = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw1 = Seq((0L, "alpha beta"), (1L, "delta epsilon")).toDF("doc_id", "text")
+    val raw2 = Seq((2L, "alpha gamma"), (3L, "zeta eta")).toDF("doc_id", "text")
+    TextOps.dsirModelWrite(target, raw1, col("text"), dir)
+    TextOps.dsirModelAppend(raw2, col("text"), dir)
+    val inc = TextOps.dsirWeightsAgainst(dir, raw2, col("text"), col("doc_id"))
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = TextOps.dsirWeights(raw1.unionByName(raw2), target,
+      col("text"), col("doc_id"))
+      .where(col("doc_id") >= 2).as[(Long, Long, Double)].collect().toSet
+    assert(inc == batch)
+    // wrong bucket count must fail loudly, not read mis-hashed keys
+    intercept[IllegalArgumentException] {
+      TextOps.dsirWeightsAgainst(dir, raw2, col("text"), col("doc_id"),
+        buckets = 8192)
+    }
+    // scoring un-appended text with unseen buckets still yields full
+    // token counts (full-domain lr spine — no silent token drop)
+    val unseen = Seq((9L, "totallynovel tokens here")).toDF("doc_id", "text")
+    val u = TextOps.dsirWeightsAgainst(dir, unseen, col("text"), col("doc_id"))
+      .as[(Long, Long, Double)].collect()
+    assert(u.length == 1 && u(0)._2 == 3L)
+  }
+
   test("bigramLmScore: reference-like transitions outrank unseen ones") {
     val ref = Seq((100L, "the cat sat on the mat"),
       (101L, "the cat ran on the mat")).toDF("doc_id", "text")
