@@ -281,6 +281,65 @@ object SimilarityOps {
         col("adist"), col("rank").cast("long").as("rank"))
   }
 
+  /** Per-dimension corpus bounds for scalar quantization: (j, mn, mx)
+    * over dims 0..dims-1.  min/max are exact and order-independent, so
+    * the bounds table is deterministic; it is `dims` rows — always
+    * broadcast-sized. */
+  def sqBounds(corpus: DataFrame, vec: Column, dims: Int): DataFrame =
+    corpus.select(posexplode(vec))
+      .select(col("pos").as("j"), col("col").cast("double").as("v"))
+      .groupBy("j").agg(min("v").as("mn"), max("v").as("mx"))
+
+  /** Scalar (int8) quantization: each dimension mapped to a 0..255 code
+    * on the corpus per-dim [mn, mx] range — 4× storage cut per float kept
+    * in a SQL-replayable exploded layout (vec_id, j, code); a constant
+    * dimension (mx = mn) codes to 0.  The bounds table broadcasts; the
+    * encode itself is a narrow pass.  The SQ counterpart of [[pqEncode]]:
+    * SQ8 preserves per-dim resolution, PQ preserves subspace geometry —
+    * real pipelines store SQ8 and re-rank with it after a coarse index. */
+  def sqEncode(corpus: DataFrame, vec: Column, id: Column,
+      bounds: DataFrame): DataFrame =
+    corpus.select(id.as("vec_id"), posexplode(vec))
+      .select(col("vec_id"), col("pos").as("j"),
+        col("col").cast("double").as("v"))
+      .join(broadcast(bounds), Seq("j"))
+      .select(col("vec_id"), col("j").cast("long").as("j"),
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(round((col("v") - col("mn")) * lit(255.0) /
+            (col("mx") - col("mn")), 0).cast("long")).as("code"))
+
+  /** SQ asymmetric top-k: exact query floats against reconstructed
+    * corpus codes (r = mn + code·(mx−mn)/255), squared-L2 distance with
+    * per-term fixed-point rounding so the cross-engine sum is integer-
+    * exact.  The corpus side after encoding is (vec_id, j, code) ints;
+    * the per-dim join fans out |corpus| × |queries| × dims rows — bound
+    * the query batch (the ADC discipline), or IVF-prune first at scale.
+    * Output: (query_id, neighbor_id, adist, rank). */
+  def sqTopK(codes: DataFrame, bounds: DataFrame,
+      queries: DataFrame, qvec: Column, qid: Column, k: Int): DataFrame = {
+    val q = queries.select(qid.as("query_id"), posexplode(qvec))
+      .select(col("query_id"), col("pos").as("j"),
+        col("col").cast("double").as("qv"))
+    val recon = codes.join(broadcast(bounds), Seq("j"))
+      .select(col("vec_id"), col("j"),
+        (col("mn") + col("code").cast("double") *
+          (col("mx") - col("mn")) / lit(255.0)).as("r"))
+    val terms = recon.join(broadcast(q), Seq("j"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round((col("qv") - col("r")) * (col("qv") - col("r")) * lit(1e6), 0)
+          .cast("long").as("t6"))
+    val appx = terms.groupBy("query_id", "vec_id")
+      .agg((sum("t6").cast("double") / lit(1e6)).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adist"), col("vec_id"))
+    appx.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rank").cast("long").as("rank"))
+  }
+
   /** Johnson–Lindenstrauss random projection: `dims` → `outDims` via a
     * deterministic ±1 sign matrix (Achlioptas 2003, "Database-friendly
     * random projections" — ±1 entries preserve pairwise distances within

@@ -73,6 +73,23 @@ object R10cQueries {
         .select("doc_id", "source", "lang")
     }),
 
+    // Scalar (int8) quantization codes on corpus per-dim bounds
+    "sim_sq_codes" -> ((s, dir) => {
+      val e = Tables.emb(s, dir)
+      graft.ops.SimilarityOps.sqEncode(e, col("embedding"), col("vec_id"),
+        graft.ops.SimilarityOps.sqBounds(e, col("embedding"), 64))
+    }),
+
+    // SQ asymmetric top-5: exact query floats vs reconstructed int8 corpus
+    "sim_sq_topk" -> ((s, dir) => {
+      val e = Tables.emb(s, dir)
+      val b = graft.ops.SimilarityOps.sqBounds(e, col("embedding"), 64)
+      val codes = graft.ops.SimilarityOps.sqEncode(e, col("embedding"),
+        col("vec_id"), b)
+      graft.ops.SimilarityOps.sqTopK(codes, b,
+        e.where(col("vec_id") < 10), col("embedding"), col("vec_id"), k = 5)
+    }),
+
     // Recall@5 of the projected-space ranking against the exact 64-dim
     // ranking — the quality gauge for the JL scale path
     "sim_rp_recall" -> ((s, dir) => {
@@ -155,7 +172,45 @@ object R10cQueries {
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) - 1 AS rank
       |  FROM s)""".stripMargin
 
+  /** SQ CTE prefix: per-dim exact bounds and int8 codes. */
+  private val SqSql =
+    """js AS (SELECT unnest(generate_series(0, 63)) AS j),
+      |ev AS (
+      |  SELECT e.vec_id, js.j, e.embedding[js.j + 1]::DOUBLE AS v
+      |  FROM embeddings e CROSS JOIN js),
+      |bd AS (SELECT j, min(v) AS mn, max(v) AS mx FROM ev GROUP BY j),
+      |codes AS (
+      |  SELECT vec_id, j::BIGINT AS j,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE round((v - mn) * 255.0 / (mx - mn), 0)::BIGINT END AS code
+      |  FROM ev JOIN bd USING (j))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "sim_sq_codes" ->
+      s"""WITH $SqSql
+         |SELECT vec_id, j, code FROM codes""".stripMargin,
+
+    "sim_sq_topk" ->
+      s"""WITH $SqSql,
+         |rc AS (
+         |  SELECT c.vec_id, c.j, bd.mn + c.code::DOUBLE * (bd.mx - bd.mn) / 255.0 AS r
+         |  FROM codes c JOIN bd ON bd.j = c.j),
+         |qv AS (
+         |  SELECT e.vec_id AS query_id, js.j, e.embedding[js.j + 1]::DOUBLE AS qv
+         |  FROM embeddings e CROSS JOIN js WHERE e.vec_id < 10),
+         |tm AS (
+         |  SELECT q.query_id, rc.vec_id,
+         |    (round((q.qv - rc.r) * (q.qv - rc.r) * 1000000, 0))::BIGINT AS t6
+         |  FROM rc JOIN qv q ON q.j = rc.j
+         |  WHERE rc.vec_id <> q.query_id),
+         |ap AS (
+         |  SELECT query_id, vec_id, sum(t6)::DOUBLE / 1000000.0 AS adist
+         |  FROM tm GROUP BY 1, 2),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) - 1 AS rank
+         |  FROM ap)
+         |SELECT query_id, vec_id AS neighbor_id, adist, rank FROM r WHERE rank < 5""".stripMargin,
 
     "text_dsir_weights" ->
       s"""WITH $DsirSql

@@ -1400,6 +1400,25 @@ class OpsSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 3L))
   }
 
+  test("sqEncode: codes in [0,255], reconstruction within half a step") {
+    val rnd = new scala.util.Random(11)
+    val data = (0L until 20L).map(i => (i, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))
+    val df = data.toDF("vec_id", "embedding")
+    val b = SimilarityOps.sqBounds(df, col("embedding"), 8)
+    val codes = SimilarityOps.sqEncode(df, col("embedding"), col("vec_id"), b)
+      .as[(Long, Long, Long)].collect()
+    assert(codes.forall { case (_, _, c) => c >= 0 && c <= 255 })
+    val bounds = b.as[(Int, Double, Double)].collect()
+      .map(r => r._1.toLong -> (r._2, r._3)).toMap
+    codes.foreach { case (id, j, c) =>
+      val (mn, mx) = bounds(j)
+      val recon = mn + c.toDouble * (mx - mn) / 255.0
+      val orig = data(id.toInt)._2(j.toInt)
+      assert(math.abs(recon - orig) <= (mx - mn) / 255.0 / 2 + 1e-12,
+        s"vec $id dim $j: recon $recon vs $orig")
+    }
+  }
+
   test("persisted DSIR model: append reproduces batch; param mismatch fails") {
     val dir = java.nio.file.Files.createTempDirectory("dsir_t").toString + "/m"
     val target = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
