@@ -277,6 +277,17 @@ object TextOps {
     * stages). */
   def filterPipeline(df: DataFrame, text: Column, idCol: Column,
       minTokens: Long, maxTokens: Long, minQuality: Double,
+      langs: Seq[String]): DataFrame =
+    gateProjection(DedupOps.parallelized(df), text, idCol,
+      minTokens, maxTokens, minQuality, langs)
+
+  /** The gate kernel + decode projection of [[filterPipeline]], without
+    * the batch-only repartition probe — shared with the streaming form
+    * ([[graft.streaming.StreamingOps.qualityGateStream]]): the gate is
+    * stateless per-row, so stream and batch are the same plan per
+    * micro-batch. */
+  private[graft] def gateProjection(df: DataFrame, text: Column,
+      idCol: Column, minTokens: Long, maxTokens: Long, minQuality: Double,
       langs: Seq[String]): DataFrame = {
     val f = udf(gateKernel(minTokens, maxTokens, minQuality, langs))
     // The kernel returns a 0/1-element packed-long array (primitive
@@ -286,8 +297,7 @@ object TextOps {
     val packed = col("g")
     val langIdx = shiftright(packed, 50).cast("int")
     val quality = packed.bitwiseAND(lit((1L << 20) - 1)).cast("double") / 1e6
-    DedupOps.parallelized(df)
-      .select(idCol.as("doc_id"), explode(f(text)).as("g"))
+    df.select(idCol.as("doc_id"), explode(f(text)).as("g"))
       .select(col("doc_id"),
         element_at(typedLit(LangNames.toSeq), langIdx + 1).as("lang_pred"),
         shiftright(packed, 20).bitwiseAND(lit((1L << 30) - 1)).as("n_tokens"),

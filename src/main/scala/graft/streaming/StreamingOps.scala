@@ -137,6 +137,19 @@ object StreamingOps {
         unix_millis(col("w.end")).as("end_ms"), col("n_events"),
         col("value_sum"))
 
+  /** Streaming quality gate: [[graft.ops.TextOps.filterPipeline]] over a
+    * document file stream — the gate kernel is stateless per-row, so no
+    * watermark or state store is involved and each micro-batch's output
+    * equals the batch gate on the same rows (spec-proven).  The shape a
+    * continuous-ingestion curation pipeline runs: gate at arrival, land
+    * survivors, batch-dedup downstream on the landed table. */
+  def qualityGateStream(spark: SparkSession, dir: String,
+      schema: StructType, minTokens: Long, maxTokens: Long,
+      minQuality: Double, langs: Seq[String]): DataFrame =
+    graft.ops.TextOps.gateProjection(
+      spark.readStream.schema(schema).parquet(dir),
+      col("text"), col("doc_id"), minTokens, maxTokens, minQuality, langs)
+
   /** Streaming-mode tumbling aggregation with a watermark, reading a
     * parquet directory as a file stream.  Returns the streaming DataFrame;
     * attach a sink with `.writeStream`. */

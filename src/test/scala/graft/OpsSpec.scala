@@ -522,6 +522,47 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming quality gate equals the batch filterPipeline on the same docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qgate").toFile
+    try {
+      val b1 = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog and then the fox " +
+          "runs far away into the deep green forest tonight"),
+        (2L, "x"))
+      val b2 = Seq(
+        (3L, "this is another perfectly ordinary english sentence that " +
+          "should clear the token and quality gates without any trouble at all"),
+        (4L, "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"))
+      def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+      df(b1).coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      val q = StreamingOps.qualityGateStream(spark, dir.getAbsolutePath,
+          df(b1).schema, minTokens = 10L, maxTokens = 1000L,
+          minQuality = 0.3, langs = Seq("en", "de", "es", "fr"))
+        .writeStream.format("memory").queryName("graft_qgate_test")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      df(b2).coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      q.processAllAvailable()
+      val streamed = spark.table("graft_qgate_test")
+        .as[(Long, String, Long, Double)].collect().toSet
+      q.stop()
+      val batch = TextOps.filterPipeline(df(b1 ++ b2), col("text"),
+          col("doc_id"), minTokens = 10L, maxTokens = 1000L,
+          minQuality = 0.3, langs = Seq("en", "de", "es", "fr"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      // the gate actually gated: the 1-token and punctuation docs are out
+      val kept = streamed.map(_._1)
+      assert(kept.contains(1L) && kept.contains(3L))
+      assert(!kept.contains(2L) && !kept.contains(4L))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("streaming: flatMapGroupsWithState running stats accumulate across micro-batches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-state").toFile
     try {
