@@ -287,6 +287,31 @@ object DedupOps {
       "left_anti")
   }
 
+  /** Per-group contamination report: for each value of `groupCol` (a
+    * source, a crawl snapshot, a shard), the document count, the number
+    * contaminated (≥ `minShared` shared n-grams with the probe set) and
+    * the contaminated fraction — the leakage dashboard a benchmark-
+    * decontamination run signs off on.  Same bounded pair stage as
+    * [[contaminationPairs]]; the report adds one left join of the
+    * distinct contaminated-id set (duplicate-rate-sized) and a group agg
+    * whose key space is the group cardinality. */
+  def contaminationReport(corpus: DataFrame, text: Column, id: Column,
+      groupCol: Column, probe: DataFrame, ptext: Column, pid: Column,
+      n: Int = 13, minShared: Long = 1): DataFrame = {
+    val bad = contaminationPairs(corpus, text, id, probe, ptext, pid, n,
+      minShared)
+      .select(col("doc_id").as("__cid")).distinct()
+    corpus.select(id.cast("long").as("doc_id"), groupCol.as("grp"))
+      .join(bad, col("doc_id") === col("__cid"), "left")
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__cid").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_contaminated"))
+      .select(col("grp"), col("n_docs"), col("n_contaminated"),
+        (col("n_contaminated").cast("double") / col("n_docs").cast("double"))
+          .as("rate"))
+  }
+
   /** Candidate near-dup pairs by n-gram Jaccard similarity >= `minJaccard`.
     * Output: (doc_a, doc_b, common, size_a, size_b, jaccard) with
     * doc_a < doc_b.

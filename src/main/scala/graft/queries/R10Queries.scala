@@ -137,6 +137,14 @@ object R10Queries {
         d.where(col("doc_id") < 5), col("text"), col("doc_id"), n = 5)
     }),
 
+    // ... the per-source leakage dashboard over the same probe
+    "text_contam_rate" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      DedupOps.contaminationReport(d, col("text"), col("doc_id"),
+        col("source"), d.where(col("doc_id") < 5), col("text"),
+        col("doc_id"), n = 5)
+    }),
+
     // ... and the anti-join that removes the contaminated documents
     "text_decontam" -> ((s, dir) => {
       val d = Tables.docs(s, dir)
@@ -363,6 +371,15 @@ object R10Queries {
          |SELECT c.doc_id, p.probe_id, count(*) AS shared_ngrams
          |FROM post c JOIN probe p USING (sh)
          |GROUP BY 1, 2""".stripMargin,
+
+    "text_contam_rate" ->
+      s"""WITH $ContamSql,
+         |bad AS (SELECT DISTINCT c.doc_id FROM post c JOIN probe p USING (sh))
+         |SELECT d.source AS grp, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+         |  sum(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS rate
+         |FROM documents d LEFT JOIN bad b USING (doc_id)
+         |GROUP BY 1""".stripMargin,
 
     "text_decontam" ->
       s"""WITH $ContamSql

@@ -760,6 +760,14 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     CacheScope.release()
     assert(keptStrict == Set(1L, 2L, 3L))
+    // the per-group report counts carriers without dropping clean groups
+    val report = DedupOps.contaminationReport(
+      corpus.withColumn("src", when(col("doc_id") === 1L, "a").otherwise("b")),
+      col("text"), col("doc_id"), col("src"),
+      bench, col("text"), col("doc_id"), n = 5)
+      .as[(String, Long, Long, Double)].collect().toSet
+    CacheScope.release()
+    assert(report == Set(("a", 1L, 0L, 0.0), ("b", 2L, 1L, 0.5)))
     // the substring tier catches doc 3 too: "capital of france" is a
     // 17-char exact span even though its longest shared TOKEN run (3) is
     // below the 5-gram bar
