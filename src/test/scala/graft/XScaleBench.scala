@@ -174,7 +174,8 @@ object XScaleBench {
       "text_chunks", "dd_incremental_exact", "text_approx_distinct",
       "text_tfidf", "sim_pq_codes", "sim_pq_topk",
       "text_dsir_weights", "text_dsir_select", "sim_rp_project",
-      "dd_keep_longest", "text_bigram_lm",
+      "dd_keep_longest", "text_bigram_lm", "text_dsir_incremental",
+      "sim_sq_codes", "sim_sq_topk", "text_contam_rate",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
