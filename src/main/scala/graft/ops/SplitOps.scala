@@ -108,6 +108,42 @@ object SplitOps {
       .drop("__cls", "__f")
   }
 
+  /** Token-budget domain mixture: keep a deterministic Bernoulli subset
+    * of each class sized so the EXPECTED kept TOKEN mass realizes
+    * `weights` shares of `totalTokens` — LM mixtures are specified in
+    * tokens, not documents (the Pile/Dolma-style recipe table).  Keep
+    * fraction f_c = min(1, totalTokens·w_c/Σw / tokens_c), rounded to
+    * 6 dp for engine-exact keep decisions; classes absent from `weights`
+    * are dropped.  A class whose corpus holds fewer tokens than its
+    * budget caps at 1.0 (kept whole) — re-weight or upsample elsewhere.
+    *
+    * One token-sum agg per class (map-side-combined longs), a broadcast
+    * |classes|-row fraction table, then the [[stratifiedSample]] hash
+    * predicate — the corpus itself never shuffles. */
+  def tokenMixtureSample(df: DataFrame, classCol: Column, key: Column,
+      tokenCount: Column, seed: Long, weights: Map[String, Double],
+      totalTokens: Long): DataFrame = {
+    require(totalTokens > 0, "totalTokens must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "weights must be non-empty and positive")
+    val wsum = weights.values.sum
+    val wCase = weights.toSeq.sortBy(_._1)
+      .foldLeft(null: Column) { case (acc, (cls, w)) =>
+        if (acc == null) when(col("__cls") === cls, lit(w))
+        else acc.when(col("__cls") === cls, lit(w))
+      }
+    val counts = df.groupBy(classCol.as("__cls"))
+      .agg(sum(tokenCount).cast("double").as("__toks"))
+      .where(col("__cls").isin(weights.keys.toSeq: _*))
+    val fr = counts.select(col("__cls"),
+      round(least(lit(1.0),
+        lit(totalTokens.toDouble) * wCase / lit(wsum) / col("__toks")), 6)
+        .as("__f"))
+    df.join(broadcast(fr), classCol === col("__cls"))
+      .where(graft.core.Rng.Md5.uniform(seed, "tokmix", key) < col("__f"))
+      .drop("__cls", "__f")
+  }
+
   /** Exact per-class quota: keep a deterministic uniform sample of AT MOST
     * `k` rows per class — the "cap every domain at k documents" op, where
     * Bernoulli sampling can't promise the cap and tiny classes shouldn't

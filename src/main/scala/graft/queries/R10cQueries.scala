@@ -73,6 +73,16 @@ object R10cQueries {
         .select("doc_id", "source", "lang")
     }),
 
+    // Token-budget mixture: src0 gets 3/5 of a 200k-token budget, src1 and
+    // src2 1/5 each; every other source is dropped
+    "o3_token_mixture" -> ((s, dir) =>
+      graft.ops.SplitOps.tokenMixtureSample(Tables.docs(s, dir),
+        col("source"), col("doc_id"),
+        size(graft.ops.TextOps.tokens(col("text"))), seed = 17L,
+        weights = Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0),
+        totalTokens = 200000L)
+        .select("doc_id", "source")),
+
     // Scalar (int8) quantization codes on corpus per-dim bounds
     "sim_sq_codes" -> ((s, dir) => {
       val e = Tables.emb(s, dir)
@@ -186,6 +196,21 @@ object R10cQueries {
       |  FROM ev JOIN bd USING (j))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "o3_token_mixture" ->
+      s"""WITH c AS (
+         |  SELECT source AS cls,
+         |    sum(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')))::DOUBLE AS toks
+         |  FROM documents GROUP BY 1),
+         |f AS (
+         |  SELECT cls,
+         |    round(least(1.0, 200000.0 *
+         |      (CASE cls WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 1.0 WHEN 'src2' THEN 1.0 END)
+         |      / 5.0 / toks), 6) AS fr
+         |  FROM c WHERE cls IN ('src0', 'src1', 'src2'))
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN f ON f.cls = d.source
+         |WHERE ${graft.core.Rng.Md5.uniformSql(17L, "tokmix", Seq("d.doc_id"))} < f.fr""".stripMargin,
 
     "sim_sq_codes" ->
       s"""WITH $SqSql

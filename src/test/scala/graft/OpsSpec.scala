@@ -1449,6 +1449,35 @@ class OpsSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 3L))
   }
 
+  test("tokenMixtureSample: kept token mass tracks the budget shares") {
+    // hash-scatter the synthetic docs (see systematic-resampling lesson):
+    // ids drive the keep hash, so sequential ids with periodic classes are
+    // fine; token counts differ per class to decouple docs from tokens
+    val rows = (0L until 3000L).map { i =>
+      val (cls, words) =
+        if (i < 1000) ("a", 20) else if (i < 2000) ("b", 10) else ("c", 5)
+      (i, cls, Seq.fill(words)("w").mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "cls", "text")
+    // budget: 10k tokens, a:b = 3:1, c unlisted -> dropped.
+    // tokens: a = 20k, b = 10k -> f_a = 7500/20000, f_b = 2500/10000
+    val kept = SplitOps.tokenMixtureSample(df, col("cls"), col("doc_id"),
+      size(TextOps.tokens(col("text"))), seed = 5L,
+      weights = Map("a" -> 3.0, "b" -> 1.0), totalTokens = 10000L)
+      .groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(!kept.contains("c"))
+    val tokA = kept("a") * 20.0
+    val tokB = kept("b") * 10.0
+    assert(math.abs(tokA - 7500.0) / 7500.0 < 0.15, s"a tokens $tokA")
+    assert(math.abs(tokB - 2500.0) / 2500.0 < 0.15, s"b tokens $tokB")
+    // a class under budget is kept whole (fraction caps at 1.0)
+    val whole = SplitOps.tokenMixtureSample(df, col("cls"), col("doc_id"),
+      size(TextOps.tokens(col("text"))), seed = 5L,
+      weights = Map("b" -> 1.0), totalTokens = 50000L)
+      .count()
+    assert(whole == 1000L)
+  }
+
   test("sqEncode: codes in [0,255], reconstruction within half a step") {
     val rnd = new scala.util.Random(11)
     val data = (0L until 20L).map(i => (i, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))
