@@ -144,6 +144,48 @@ object SplitOps {
       .drop("__cls", "__f")
   }
 
+  /** Domain UPSAMPLING — the other half of mixture realization: when a
+    * class's token budget EXCEEDS its corpus (wiki/books in every LLM
+    * recipe), emit each document `floor(r_c)` times plus one more with
+    * probability `frac(r_c)`, where r_c = budget_c / tokens_c — the
+    * epochs-plus-remainder recipe, deterministic per (seed, doc).  Output
+    * adds `copy` (0-based copy index; training order should interleave
+    * copies, e.g. by hashing (key, copy)).  Classes absent from `weights`
+    * are dropped; r_c < 1 degenerates to [[tokenMixtureSample]]'s
+    * Bernoulli keep.
+    *
+    * Shape: the same broadcast fraction table + hash predicate, then a
+    * per-row `sequence` explode — fan-out is exactly the repeat factor,
+    * no shuffle, no join beyond the |classes|-row broadcast. */
+  def upsampleMixture(df: DataFrame, classCol: Column, key: Column,
+      tokenCount: Column, seed: Long, weights: Map[String, Double],
+      totalTokens: Long): DataFrame = {
+    require(totalTokens > 0, "totalTokens must be positive")
+    require(weights.nonEmpty && weights.values.forall(_ > 0.0),
+      "weights must be non-empty and positive")
+    val wsum = weights.values.sum
+    val wCase = weights.toSeq.sortBy(_._1)
+      .foldLeft(null: Column) { case (acc, (cls, w)) =>
+        if (acc == null) when(col("__cls") === cls, lit(w))
+        else acc.when(col("__cls") === cls, lit(w))
+      }
+    val counts = df.groupBy(classCol.as("__cls"))
+      .agg(sum(tokenCount).cast("double").as("__toks"))
+      .where(col("__cls").isin(weights.keys.toSeq: _*))
+    val fr = counts.select(col("__cls"),
+      round(lit(totalTokens.toDouble) * wCase / lit(wsum) / col("__toks"), 6)
+        .as("__f"))
+    val reps = (floor(col("__f")).cast("int") +
+      when(graft.core.Rng.Md5.uniform(seed, "upsamp", key) <
+        col("__f") - floor(col("__f")), lit(1)).otherwise(lit(0)))
+    df.join(broadcast(fr), classCol === col("__cls"))
+      .withColumn("__r", reps)
+      .where(col("__r") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("__r") - 1)))
+      .withColumn("copy", col("copy").cast("long"))
+      .drop("__cls", "__f", "__r")
+  }
+
   /** Exact per-class quota: keep a deterministic uniform sample of AT MOST
     * `k` rows per class — the "cap every domain at k documents" op, where
     * Bernoulli sampling can't promise the cap and tiny classes shouldn't

@@ -83,6 +83,16 @@ object R10cQueries {
         totalTokens = 200000L)
         .select("doc_id", "source")),
 
+    // Upsampling: src0 and src1 repeated to fill a 2M-token budget at
+    // 5:1 — epochs-plus-remainder, deterministic per (seed, doc)
+    "o3_upsample" -> ((s, dir) =>
+      graft.ops.SplitOps.upsampleMixture(Tables.docs(s, dir),
+        col("source"), col("doc_id"),
+        size(graft.ops.TextOps.tokens(col("text"))), seed = 19L,
+        weights = Map("src0" -> 5.0, "src1" -> 1.0),
+        totalTokens = 2000000L)
+        .select("doc_id", "source", "copy")),
+
     // Scalar (int8) quantization codes on corpus per-dim bounds
     "sim_sq_codes" -> ((s, dir) => {
       val e = Tables.emb(s, dir)
@@ -211,6 +221,27 @@ object R10cQueries {
          |SELECT d.doc_id, d.source
          |FROM documents d JOIN f ON f.cls = d.source
          |WHERE ${graft.core.Rng.Md5.uniformSql(17L, "tokmix", Seq("d.doc_id"))} < f.fr""".stripMargin,
+
+    "o3_upsample" ->
+      s"""WITH c AS (
+         |  SELECT source AS cls,
+         |    sum(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')))::DOUBLE AS toks
+         |  FROM documents GROUP BY 1),
+         |f AS (
+         |  SELECT cls,
+         |    round(2000000.0 *
+         |      (CASE cls WHEN 'src0' THEN 5.0 WHEN 'src1' THEN 1.0 END)
+         |      / 6.0 / toks, 6) AS fr
+         |  FROM c WHERE cls IN ('src0', 'src1')),
+         |r AS (
+         |  SELECT d.doc_id, d.source,
+         |    (floor(f.fr)::INT + CASE
+         |       WHEN ${graft.core.Rng.Md5.uniformSql(19L, "upsamp", Seq("d.doc_id"))} < f.fr - floor(f.fr)
+         |       THEN 1 ELSE 0 END) AS reps
+         |  FROM documents d JOIN f ON f.cls = d.source)
+         |SELECT doc_id, source, u::BIGINT AS copy
+         |FROM (SELECT doc_id, source, unnest(generate_series(0, reps - 1)) AS u
+         |      FROM r WHERE reps > 0)""".stripMargin,
 
     "sim_sq_codes" ->
       s"""WITH $SqSql

@@ -1478,6 +1478,34 @@ class OpsSpec extends AnyFunSuite {
     assert(whole == 1000L)
   }
 
+  test("upsampleMixture: repeat factor fills the budget, copies indexed") {
+    val rows = (0L until 1000L).map { i =>
+      val cls = if (i < 500) "a" else "b"
+      (i, cls, Seq.fill(10)("w").mkString(" "))
+    }
+    val df = rows.toDF("doc_id", "cls", "text")
+    // tokens: a = 5000, b = 5000.  budget 30k at 5:1 ->
+    // r_a = 25000/5000 = 5.0 exactly, r_b = 5000/5000 = 1.0 exactly
+    val up = SplitOps.upsampleMixture(df, col("cls"), col("doc_id"),
+      size(TextOps.tokens(col("text"))), seed = 3L,
+      weights = Map("a" -> 5.0, "b" -> 1.0), totalTokens = 30000L)
+    val byCls = up.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(byCls == Map("a" -> 2500L, "b" -> 500L)) // exact integer factors
+    // copies are 0-based and dense per doc
+    val copies = up.where(col("doc_id") === 0L).select("copy")
+      .as[Long].collect().sorted.toSeq
+    assert(copies == Seq(0L, 1L, 2L, 3L, 4L))
+    // fractional factor: budget 7500 for a alone -> r_a = 1.5: every doc
+    // kept once, ~half kept twice (deterministic per doc)
+    val frac = SplitOps.upsampleMixture(df.where(col("cls") === "a"),
+      col("cls"), col("doc_id"), size(TextOps.tokens(col("text"))),
+      seed = 3L, weights = Map("a" -> 1.0), totalTokens = 7500L)
+      .groupBy("doc_id").count().as[(Long, Long)].collect()
+    assert(frac.length == 500 && frac.forall(r => r._2 == 1L || r._2 == 2L))
+    val doubled = frac.count(_._2 == 2L)
+    assert(doubled > 150 && doubled < 350, s"~250 expected, got $doubled")
+  }
+
   test("sqEncode: codes in [0,255], reconstruction within half a step") {
     val rnd = new scala.util.Random(11)
     val data = (0L until 20L).map(i => (i, Seq.fill(8)(rnd.nextDouble() * 4 - 2)))
