@@ -709,6 +709,38 @@ object TextOps {
         col("col").as("chunk_text"))
   }
 
+  /** Corpus profile: the one-pass stats card a curation run opens with —
+    * (stat, value) rows for document count, whitespace-token and char
+    * totals, distinct source/lang counts, null/empty-text count, and mean
+    * tokens per document (the single float division).  One full-corpus
+    * aggregate (map-side combined to a single row per task) plus two
+    * small distinct aggs; emitted long-form so downstream diffing of two
+    * corpus versions is a join on `stat`. */
+  def corpusProfile(df: DataFrame, text: Column, sourceCol: Column,
+      langCol: Column): DataFrame = {
+    val base = df.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(size(tokens(text))), lit(0L)).as("n_tokens"),
+      coalesce(sum(length(text)), lit(0L)).as("n_chars"),
+      sum(when(text.isNull || length(text) === 0, 1L).otherwise(0L))
+        .as("n_empty"))
+    val nSrc = df.agg(count_distinct(sourceCol).as("v"))
+    val nLang = df.agg(count_distinct(langCol).as("v"))
+    val longForm = base.select(explode(array(
+      struct(lit("n_docs").as("stat"), col("n_docs").cast("double").as("value")),
+      struct(lit("n_tokens").as("stat"), col("n_tokens").cast("double").as("value")),
+      struct(lit("n_chars").as("stat"), col("n_chars").cast("double").as("value")),
+      struct(lit("n_empty_text").as("stat"), col("n_empty").cast("double").as("value")),
+      struct(lit("mean_doc_tokens").as("stat"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double")).as("value"))
+    ))).select(col("col.stat").as("stat"), col("col.value").as("value"))
+    longForm
+      .unionByName(nSrc.select(lit("n_sources").as("stat"),
+        col("v").cast("double").as("value")))
+      .unionByName(nLang.select(lit("n_langs").as("stat"),
+        col("v").cast("double").as("value")))
+  }
+
   /** Token bigrams as (w1, w2) rows — empty for documents with < 2
     * tokens.  Pure narrow plan: `transform(sequence)` over the token
     * array, then one explode. */

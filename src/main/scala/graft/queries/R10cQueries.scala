@@ -73,6 +73,11 @@ object R10cQueries {
         .select("doc_id", "source", "lang")
     }),
 
+    // One-pass corpus stats card in long form
+    "text_corpus_profile" -> ((s, dir) =>
+      graft.ops.TextOps.corpusProfile(Tables.docs(s, dir), col("text"),
+        col("source"), col("lang"))),
+
     // Token-budget mixture: src0 gets 3/5 of a 200k-token budget, src1 and
     // src2 1/5 each; every other source is dropped
     "o3_token_mixture" -> ((s, dir) =>
@@ -206,6 +211,21 @@ object R10cQueries {
       |  FROM ev JOIN bd USING (j))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "text_corpus_profile" ->
+      """WITH b AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |    coalesce(sum(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))), 0)::BIGINT AS n_tokens,
+        |    coalesce(sum(length(text)), 0)::BIGINT AS n_chars,
+        |    sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty
+        |  FROM documents)
+        |SELECT 'n_docs' AS stat, n_docs::DOUBLE AS value FROM b
+        |UNION ALL SELECT 'n_tokens', n_tokens::DOUBLE FROM b
+        |UNION ALL SELECT 'n_chars', n_chars::DOUBLE FROM b
+        |UNION ALL SELECT 'n_empty_text', n_empty::DOUBLE FROM b
+        |UNION ALL SELECT 'mean_doc_tokens', n_tokens::DOUBLE / n_docs::DOUBLE FROM b
+        |UNION ALL SELECT 'n_sources', count(DISTINCT source)::DOUBLE FROM documents
+        |UNION ALL SELECT 'n_langs', count(DISTINCT lang)::DOUBLE FROM documents""".stripMargin,
 
     "o3_token_mixture" ->
       s"""WITH c AS (
