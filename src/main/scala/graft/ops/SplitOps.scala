@@ -58,6 +58,27 @@ object SplitOps {
       fractions: Seq[(String, Double)], name: String): DataFrame =
     withSplit(df, key, seed, fractions).where(col("split") === name).drop("split")
 
+  /** Leakage-safe split: assign train/val/test by duplicate CLUSTER, not
+    * by document — near-duplicates (the `pairs` candidate edges, e.g.
+    * [[DedupOps.minhashCandidates]]) never straddle a split boundary, so
+    * a test document's near-copy cannot sit in train.  Every cluster
+    * member hashes on its cluster's min-id label; untouched documents
+    * hash on their own id (which IS their singleton cluster's min id —
+    * one uniform keying, no special case in the semantics).
+    *
+    * Shape: cluster labels from [[DedupOps.dedupClusters]] (duplicate-
+    * rate-sized, dual driver/distributed plan), one left join onto the
+    * corpus, then the same pure hash predicate as [[withSplit]]. */
+  def clusterSplit(df: DataFrame, pairs: DataFrame, id: Column, seed: Long,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    val clusters = graft.ops.DedupOps.dedupClusters(pairs)
+      .select(col("doc_id").as("__cdoc"), col("keeper_id"))
+    df.join(clusters, id === col("__cdoc"), "left")
+      .withColumn("split",
+        assignSplit(coalesce(col("keeper_id"), id), seed, fractions))
+      .drop("__cdoc", "keeper_id")
+  }
+
   /** Stratified Bernoulli sample: keep each row with its class's fraction
     * (classes absent from `fractions` keep with `default`).  The fraction
     * lookup is a literal CASE chain and the keep test a pure

@@ -62,6 +62,17 @@ object R10cQueries {
         rp.where(col("vec_id") < 10), col("rvec"), col("vec_id"), k = 5)
     }),
 
+    // Leakage-safe split: near-dup clusters share one split assignment
+    "p3_cluster_split" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      graft.ops.SplitOps.clusterSplit(d,
+        graft.ops.DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
+          k = 3, numHashes = 16, bands = 4),
+        col("doc_id"), seed = 42L,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "split")
+    }),
+
     // Quality-aware dedup: MinHash candidate clusters, keep the LONGEST
     // member of each cluster (n_chars arg-max, id tie-break)
     "dd_keep_longest" -> ((s, dir) => {
@@ -197,6 +208,50 @@ object R10cQueries {
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) - 1 AS rank
       |  FROM s)""".stripMargin
 
+  /** MinHash band chain (the dd_minhash_pairs oracle) + recursive CC —
+    * ends at `cl(doc_id, root)`, root = each component's min doc id.
+    * Callers prepend `WITH RECURSIVE `. */
+  private val MinhashClusterSql =
+    """toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+      |  FROM documents
+      |),
+      |shg AS (
+      |  SELECT doc_id,
+      |         list_distinct(CASE WHEN len(t) >= 3
+      |              THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+      |              ELSE [array_to_string(t, ' ')] END) AS shs
+      |  FROM toks
+      |),
+      |sig AS (
+      |  SELECT doc_id,
+      |         list_transform(generate_series(0, 15), j ->
+      |           list_min(list_transform(shs, sgl ->
+      |             (('0x' || substr(md5(sgl), 1, 15))::BIGINT
+      |              + j * ('0x' || substr(md5(sgl), 17, 14))::BIGINT)
+      |             % 1152921504606846976))) AS sg
+      |  FROM shg
+      |),
+      |b AS (SELECT doc_id, sg, unnest(generate_series(0, 3)) AS band FROM sig),
+      |bk AS (
+      |  SELECT doc_id, band,
+      |         md5(array_to_string(sg[band * 4 + 1 : band * 4 + 4], ',')) AS band_key
+      |  FROM b
+      |),
+      |mp AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM bk x JOIN bk y
+      |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+      |),
+      |e AS (SELECT doc_a AS a, doc_b AS b2 FROM mp UNION ALL SELECT doc_b, doc_a FROM mp),
+      |n AS (SELECT DISTINCT a AS node FROM e),
+      |reach(node, r) AS (
+      |  SELECT node, node FROM n
+      |  UNION
+      |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b2
+      |),
+      |cl AS (SELECT node AS doc_id, min(r) AS root FROM reach GROUP BY node)""".stripMargin
+
   /** SQ CTE prefix: per-dim exact bounds and int8 codes. */
   private val SqSql =
     """js AS (SELECT unnest(generate_series(0, 63)) AS j),
@@ -301,54 +356,29 @@ object R10cQueries {
     // (the dd_fuzzy_keep pattern) -> arg-max keeper on the integer
     // composite key n_chars * 1e10 - doc_id (longest member, id tie-break)
     "dd_keep_longest" ->
-      """WITH RECURSIVE toks AS (
-        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
-        |  FROM documents
-        |),
-        |shg AS (
-        |  SELECT doc_id,
-        |         list_distinct(CASE WHEN len(t) >= 3
-        |              THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
-        |              ELSE [array_to_string(t, ' ')] END) AS shs
-        |  FROM toks
-        |),
-        |sig AS (
-        |  SELECT doc_id,
-        |         list_transform(generate_series(0, 15), j ->
-        |           list_min(list_transform(shs, sgl ->
-        |             (('0x' || substr(md5(sgl), 1, 15))::BIGINT
-        |              + j * ('0x' || substr(md5(sgl), 17, 14))::BIGINT)
-        |             % 1152921504606846976))) AS sg
-        |  FROM shg
-        |),
-        |b AS (SELECT doc_id, sg, unnest(generate_series(0, 3)) AS band FROM sig),
-        |bk AS (
-        |  SELECT doc_id, band,
-        |         md5(array_to_string(sg[band * 4 + 1 : band * 4 + 4], ',')) AS band_key
-        |  FROM b
-        |),
-        |mp AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM bk x JOIN bk y
-        |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-        |),
-        |e AS (SELECT doc_a AS a, doc_b AS b2 FROM mp UNION ALL SELECT doc_b, doc_a FROM mp),
-        |n AS (SELECT DISTINCT a AS node FROM e),
-        |reach(node, r) AS (
-        |  SELECT node, node FROM n
-        |  UNION
-        |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.b2
-        |),
-        |cl AS (SELECT node AS doc_id, min(r) AS root FROM reach GROUP BY node),
-        |best AS (
-        |  SELECT cl.root,
-        |         arg_max(cl.doc_id, d.n_chars * 10000000000 - cl.doc_id) AS best_id
-        |  FROM cl JOIN documents d USING (doc_id) GROUP BY cl.root),
-        |losers AS (
-        |  SELECT cl.doc_id FROM cl JOIN best ON best.root = cl.root
-        |  WHERE cl.doc_id <> best.best_id)
-        |SELECT doc_id, source, lang FROM documents
-        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+      s"""WITH RECURSIVE $MinhashClusterSql,
+         |best AS (
+         |  SELECT cl.root,
+         |         arg_max(cl.doc_id, d.n_chars * 10000000000 - cl.doc_id) AS best_id
+         |  FROM cl JOIN documents d USING (doc_id) GROUP BY cl.root),
+         |losers AS (
+         |  SELECT cl.doc_id FROM cl JOIN best ON best.root = cl.root
+         |  WHERE cl.doc_id <> best.best_id)
+         |SELECT doc_id, source, lang FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+
+    // same cluster chain; split hashes on the cluster min-id label
+    "p3_cluster_split" ->
+      s"""WITH RECURSIVE $MinhashClusterSql
+         |SELECT doc_id,
+         |  CASE WHEN u < 0.8 THEN 'train'
+         |       WHEN u < 0.9 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT d.doc_id,
+         |    ${graft.core.Rng.Md5.uniformSql(42L, "split",
+                 Seq("coalesce(cl.root, d.doc_id)"))} AS u
+         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id)""".stripMargin,
 
     "text_dsir_incremental" ->
       s"""WITH $DsirSql

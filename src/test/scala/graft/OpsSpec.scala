@@ -1449,6 +1449,23 @@ class OpsSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 3L))
   }
 
+  test("clusterSplit: near-dup cluster members never straddle splits") {
+    val corpus = (0L until 300L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    // chains {0,1,2} and {10,11}; the rest isolated
+    val pairs = Seq((0L, 1L), (1L, 2L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val s = SplitOps.clusterSplit(corpus, pairs, col("doc_id"), seed = 9L,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s.size == 300)
+    assert(Set(s(0L), s(1L), s(2L)).size == 1, "cluster {0,1,2} split apart")
+    assert(s(10L) == s(11L), "cluster {10,11} split apart")
+    // isolated docs hash on their own id == plain withSplit assignment
+    val plain = SplitOps.withSplit(corpus, col("doc_id"), seed = 9L,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    (20L until 300L).foreach(i => assert(s(i) == plain(i)))
+  }
+
   test("tokenMixtureSample: kept token mass tracks the budget shares") {
     // hash-scatter the synthetic docs (see systematic-resampling lesson):
     // ids drive the keep hash, so sequential ids with periodic classes are
