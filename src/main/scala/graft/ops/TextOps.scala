@@ -440,26 +440,67 @@ object TextOps {
     * `least`/`greatest` SKIP null operands — without it a null row would
     * score a spurious 0.7; the oracle SQL carries the same IS NULL guard. */
   def qualityFeatures(df: DataFrame, text: Column, idCol: Column): DataFrame = {
-    val f = udf(featureKernel)
     val g = col("g")
     val n = element_at(g, 1)
     val punct = element_at(g, 2)
     val charSum = element_at(g, 3)
     val stop = element_at(g, 4)
     val nG = greatest(n, lit(1L)).cast("double")
-    DedupOps.parallelized(df)
-      .select(idCol.as("doc_id"), explode(array(f(text))).as("g"))
+    kernelFrame(DedupOps.parallelized(df), text, idCol)
       .select(
         col("doc_id"),
         n.as("n_tokens"),
         punct.as("punct_cnt"),
         round(charSum.cast("double") / nG, 6).as("avg_token_len"),
         round(stop.cast("double") / nG, 6).as("stop_ratio"),
-        when(n.isNotNull, round(
-          lit(0.4) * least(lit(1.0), n.cast("double") / lit(200.0)) +
-          lit(0.3) * (lit(1.0) - least(lit(1.0), punct.cast("double") / nG)) +
-          lit(0.3) * least(lit(1.0), (stop.cast("double") / nG) * lit(5.0)),
-          6)).as("quality"))
+        qualityExpr.as("quality"))
+  }
+
+  /** (doc_id[, carried cols], g = packed feature array) — the shared
+    * Generate-barrier kernel pass under [[qualityFeatures]] and
+    * [[qualityTiersBy]]. */
+  private def kernelFrame(df: DataFrame, text: Column, idCol: Column,
+      carry: (String, Column)* ): DataFrame = {
+    val f = udf(featureKernel)
+    df.select(idCol.as("doc_id") +: carry.map { case (nm, c) => c.as(nm) } :+
+      explode(array(f(text))).as("g"): _*)
+  }
+
+  /** The composite quality score decoded from the packed `g` column —
+    * exact operation order of the SQL oracle (see qualityFeatures). */
+  private def qualityExpr: Column = {
+    val g = col("g")
+    val n = element_at(g, 1)
+    val punct = element_at(g, 2)
+    val stop = element_at(g, 4)
+    val nG = greatest(n, lit(1L)).cast("double")
+    when(n.isNotNull, round(
+      lit(0.4) * least(lit(1.0), n.cast("double") / lit(200.0)) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), punct.cast("double") / nG)) +
+      lit(0.3) * least(lit(1.0), (stop.cast("double") / nG) * lit(5.0)),
+      6))
+  }
+
+  /** PER-CLASS quality tiers — CCNet's actual recipe: percentile
+    * boundaries computed WITHIN each language/domain, so one verbose or
+    * high-scoring class cannot absorb the whole corpus head.  Rank and
+    * count windows partition on the class — a REAL partition key (unlike
+    * the stripped constant-key windows, see vocabTopK), and exactly the
+    * shuffle a per-language pipeline wants; `tier = rank·tiers / n_class`
+    * in exact integer arithmetic as in [[qualityTiers]]. */
+  def qualityTiersBy(df: DataFrame, text: Column, idCol: Column,
+      classCol: Column, tiers: Int = 3): DataFrame = {
+    require(tiers > 0)
+    import org.apache.spark.sql.expressions.Window
+    val q = kernelFrame(DedupOps.parallelized(df), text, idCol,
+      "cls" -> classCol)
+      .select(col("doc_id"), col("cls"), qualityExpr.as("quality"))
+    val w = Window.partitionBy("cls").orderBy(col("quality").desc,
+      col("doc_id"))
+    q.withColumn("__r", row_number().over(w) - 1)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("cls")))
+      .select(col("doc_id"), col("cls"), col("quality"),
+        expr(s"(__r * $tiers) div __n").as("tier"))
   }
 
   private val WsPat = java.util.regex.Pattern.compile("\\s+")

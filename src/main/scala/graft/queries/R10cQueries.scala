@@ -84,6 +84,11 @@ object R10cQueries {
         .select("doc_id", "source", "lang")
     }),
 
+    // Per-language quality tiers (CCNet: percentiles within each class)
+    "text_quality_tiers_by" -> ((s, dir) =>
+      graft.ops.TextOps.qualityTiersBy(Tables.docs(s, dir), col("text"),
+        col("doc_id"), col("lang"), tiers = 3)),
+
     // One-pass corpus stats card in long form
     "text_corpus_profile" -> ((s, dir) =>
       graft.ops.TextOps.corpusProfile(Tables.docs(s, dir), col("text"),
@@ -266,6 +271,35 @@ object R10cQueries {
       |  FROM ev JOIN bd USING (j))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "text_quality_tiers_by" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, lang,
+        |    len(toks) AS n_tokens,
+        |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
+        |    len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','for','on'))) AS stop_hits
+        |  FROM t
+        |),
+        |q AS (
+        |  SELECT doc_id, lang, round(
+        |    0.4 * least(CAST(1.0 AS DOUBLE), n_tokens::DOUBLE / 200.0) +
+        |    0.3 * (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_cnt::DOUBLE / greatest(n_tokens, 1)::DOUBLE)) +
+        |    0.3 * least(CAST(1.0 AS DOUBLE), (stop_hits::DOUBLE / greatest(n_tokens, 1)::DOUBLE) * 5.0),
+        |    6) AS quality
+        |  FROM f
+        |),
+        |r AS (
+        |  SELECT doc_id, lang AS cls, quality,
+        |         row_number() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) - 1 AS rk,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM q
+        |)
+        |SELECT doc_id, cls, quality, (rk * 3) // n AS tier FROM r""".stripMargin,
 
     "text_corpus_profile" ->
       """WITH b AS (
