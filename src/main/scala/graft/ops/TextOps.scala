@@ -952,6 +952,51 @@ object TextOps {
         .select(lit("s").as("side"), col("bucket"), col("c")),
       dir, Seq("buckets" -> buckets))
 
+  /** The per-bucket fixed-point log-ratio table of the persisted model at
+    * `dir`, materialized driver-side over the FULL bucket domain — at most
+    * `buckets` (default 4096) entries, the broadcast-literal form that a
+    * stateless per-row scorer (the streaming path) consumes.  The
+    * arithmetic mirrors [[dsirLogRatio]] operation-for-operation
+    * (Math.log and HALF_UP rounding are exactly Spark's `log`/`round`),
+    * so driver-side and plan-side lr6 values are bit-identical. */
+  def dsirLogRatioMap(spark: org.apache.spark.sql.SparkSession, dir: String,
+      buckets: Int = 4096): Map[Long, Long] = {
+    PersistedIndex.requireParams(spark, dir, Seq("buckets" -> buckets))
+    val m = spark.read.parquet(dir).groupBy("side", "bucket")
+      .agg(sum("c").as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val tc = m.collect { case (("t", b), c) => b -> c }.toMap
+    val sc = m.collect { case (("s", b), c) => b -> c }.toMap
+    val t = tc.values.sum.toDouble
+    val s = sc.values.sum.toDouble
+    val bd = buckets.toDouble
+    (0L until buckets.toLong).map { b =>
+      val lr = (math.log((tc.getOrElse(b, 0L) + 1).toDouble / (t + bd)) -
+        math.log((sc.getOrElse(b, 0L) + 1).toDouble / (s + bd))) * 1e6
+      b -> java.math.BigDecimal.valueOf(lr)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    }.toMap
+  }
+
+  /** STATELESS per-row DSIR scoring against a driver-materialized lr map
+    * ([[dsirLogRatioMap]]) — no join, no per-doc shuffle: the score is a
+    * higher-order fold over the token array inside the row's own task.
+    * This is the form a STREAM can run (no state store), and the batch
+    * spec proves it equal to [[dsirWeightsAgainst]].  Emits every row
+    * with ≥ 1 token (matching the join form's contract). */
+  def dsirScoreStateless(df: DataFrame, text: Column, idCol: Column,
+      lrMap: Map[Long, Long], buckets: Int = 4096): DataFrame = {
+    val lrLit = typedLit(lrMap)
+    val toks = tokens(text)
+    val w6 = aggregate(
+      transform(toks, t =>
+        coalesce(element_at(lrLit, tokenBucket(t, buckets)), lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+    df.select(idCol.as("doc_id"), size(toks).cast("long").as("n_tokens"),
+        (w6.cast("double") / lit(1e6)).as("log_w"))
+      .where(col("n_tokens") >= 1)
+  }
+
   /** Score `shard` documents under the persisted model at `dir`. */
   def dsirWeightsAgainst(dir: String, shard: DataFrame, text: Column,
       idCol: Column, buckets: Int = 4096): DataFrame = {

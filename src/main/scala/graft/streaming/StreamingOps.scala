@@ -150,6 +150,20 @@ object StreamingOps {
       spark.readStream.schema(schema).parquet(dir),
       col("text"), col("doc_id"), minTokens, maxTokens, minQuality, langs)
 
+  /** Streaming DSIR scoring: every arriving document scored against a
+    * PERSISTED model ([[graft.ops.TextOps.dsirModelWrite]]) via the
+    * stateless per-row fold ([[graft.ops.TextOps.dsirScoreStateless]]) —
+    * no state store, no watermark; the lr map is materialized once at
+    * stream start.  Score-at-ingestion: route or tag documents by
+    * target-likeness as they land, refresh the model offline. */
+  def dsirScoreStream(spark: SparkSession, dir: String, schema: StructType,
+      modelDir: String, buckets: Int = 4096): DataFrame = {
+    val lr = graft.ops.TextOps.dsirLogRatioMap(spark, modelDir, buckets)
+    graft.ops.TextOps.dsirScoreStateless(
+      spark.readStream.schema(schema).parquet(dir),
+      col("text"), col("doc_id"), lr, buckets)
+  }
+
   /** Streaming-mode tumbling aggregation with a watermark, reading a
     * parquet directory as a file stream.  Returns the streaming DataFrame;
     * attach a sink with `.writeStream`. */

@@ -1568,6 +1568,32 @@ class OpsSpec extends AnyFunSuite {
     assert(u.length == 1 && u(0)._2 == 3L)
   }
 
+  test("stateless DSIR scoring equals the join form; stream equals batch") {
+    val base = java.nio.file.Files.createTempDirectory("dsir_s").toString
+    val modelDir = base + "/model"
+    val target = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = Seq((0L, "alpha beta"), (1L, "delta epsilon"),
+      (2L, "alpha gamma zeta"), (3L, "")).toDF("doc_id", "text")
+    TextOps.dsirModelWrite(target, raw, col("text"), modelDir)
+    val joinForm = TextOps.dsirWeightsAgainst(modelDir, raw, col("text"),
+      col("doc_id")).as[(Long, Long, Double)].collect().toSet
+    val lr = TextOps.dsirLogRatioMap(spark, modelDir)
+    val stateless = TextOps.dsirScoreStateless(raw, col("text"),
+      col("doc_id"), lr).as[(Long, Long, Double)].collect().toSet
+    assert(stateless == joinForm) // bit-identical, incl. the empty-doc drop
+    // stream over a parquet landing dir == the batch stateless form
+    val landDir = base + "/land"
+    raw.coalesce(1).write.mode("append").parquet(landDir)
+    val q = StreamingOps.dsirScoreStream(spark, landDir, raw.schema, modelDir)
+      .writeStream.format("memory").queryName("graft_dsir_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = spark.table("graft_dsir_stream")
+      .as[(Long, Long, Double)].collect().toSet
+    q.stop()
+    assert(streamed == stateless)
+  }
+
   test("bigramLmScore: reference-like transitions outrank unseen ones") {
     val ref = Seq((100L, "the cat sat on the mat"),
       (101L, "the cat ran on the mat")).toDF("doc_id", "text")
