@@ -817,13 +817,20 @@ object TextOps {
     * tokens produce no row.
     * Output: (doc_id, n_bigrams, mean_lp). */
   def bigramLmScore(df: DataFrame, text: Column, idCol: Column,
-      ref: DataFrame, refText: Column): DataFrame = {
+      ref: DataFrame, refText: Column,
+      broadcastModel: Boolean = true): DataFrame = {
     val rbg = graft.core.CacheScope.persist(
       ref.select(explode(bigrams(refText)).as("bg"))
         .select(col("bg.w1").as("w1"), col("bg.w2").as("w2")),
       eager = false)
-    val c12 = rbg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = rbg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // the model tables are reference-sized (the CCNet setup trains the LM
+    // on the small curated corpus): broadcast them by default so scoring
+    // is a narrow pass — a post-agg table has no stats, and the planner's
+    // blind default is a sort-merge join that sorts the corpus bigrams.
+    // Pass broadcastModel = false for a reference too big to broadcast.
+    def side(t: DataFrame): DataFrame = if (broadcastModel) broadcast(t) else t
+    val c12 = side(rbg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    val c1 = side(rbg.groupBy("w1").agg(count(lit(1)).as("c1")))
     val vSize = ref.select(explode(tokens(refText)).as("tok"))
       .agg(count_distinct(col("tok")).cast("double").as("__v"))
     val scored = df.select(idCol.as("doc_id"), explode(bigrams(text)).as("bg"))
