@@ -287,6 +287,62 @@ object DedupOps {
       "left_anti")
   }
 
+  /** Sparse hashed-TF postings: (doc_id, bucket, tf) — token counts
+    * hashed into `dim` buckets (the feature-hashing vectorizer), the
+    * sparse text-side counterpart of a dense embedding.  Narrow explode +
+    * one map-side-combined hash agg. */
+  def hashedTf(df: DataFrame, text: Column, id: Column,
+      dim: Int = 4096): DataFrame = {
+    require(dim > 0, "dim must be positive")
+    df.select(id.cast("long").as("doc_id"),
+        explode(TextOps.tokens(text)).as("tok"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
+          lit(dim)).as("bucket"))
+      .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
+  }
+
+  /** TF-COSINE confirmation — the count-weighted complement of the set-
+    * overlap [[confirmJaccard]] (set overlap misses documents that share
+    * vocabulary at very different repetition rates; weighted cosine
+    * catches boilerplate variants): score CANDIDATE pairs (from a banding
+    * tier, e.g. [[minhashCandidates]]) with
+    * cos(a,b) = Σ tf_a·tf_b / (‖a‖·‖b‖) over the hashed-TF vectors and
+    * keep those ≥ `minCosine`.
+    *
+    * Confirm-only by design: hashed buckets are DENSE (bucket doc-freq ≈
+    * corpus/dim), so a buckets-postings self-join generates the corpus
+    * cross product at any real size — candidates must come from a sparse-
+    * key tier; the scoring join fans out |pairs| × vector sparsity.
+    * All-integer until the final division: dot products and norms are
+    * exact count sums, one rounded float at the end — oracle-exact under
+    * any aggregation order. */
+  def tfCosineConfirm(df: DataFrame, text: Column, id: Column,
+      pairs: DataFrame, dim: Int = 4096,
+      minCosine: Double = 0.5): DataFrame = {
+    val p = graft.core.CacheScope.persist(hashedTf(df, text, id, dim),
+      eager = true)
+    val norms = p.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
+    val cand = pairs.select(col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b"))
+    val num = cand
+      .join(p.select(col("doc_id").as("doc_a"), col("bucket"),
+        col("tf").as("__ta")), Seq("doc_a"))
+      .join(p.select(col("doc_id").as("doc_b"), col("bucket"),
+        col("tf").as("__tb")), Seq("doc_b", "bucket"))
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("__ta") * col("__tb")).as("num"))
+    num.join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na")),
+        Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("num").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))),
+          6).as("cos"))
+      .where(col("cos") >= minCosine)
+  }
+
   /** Per-group contamination report: for each value of `groupCol` (a
     * source, a crawl snapshot, a shard), the document count, the number
     * contaminated (≥ `minShared` shared n-grams with the probe set) and

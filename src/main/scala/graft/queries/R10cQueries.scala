@@ -62,6 +62,20 @@ object R10cQueries {
         rp.where(col("vec_id") < 10), col("rvec"), col("vec_id"), k = 5)
     }),
 
+    // Sparse hashed-TF postings (feature-hashing vectorizer)
+    "dd_tf_sparse" -> ((s, dir) =>
+      graft.ops.DedupOps.hashedTf(Tables.docs(s, dir), col("text"),
+        col("doc_id"))),
+
+    // Count-weighted TF-cosine confirm on minhash candidates (catches
+    // repetition-rate variants that set-overlap Jaccard misses)
+    "dd_tf_cosine" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      graft.ops.DedupOps.tfCosineConfirm(d, col("text"), col("doc_id"),
+        graft.ops.DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
+          k = 3, numHashes = 16, bands = 4))
+    }),
+
     // Leakage-safe split: near-dup clusters share one split assignment
     "p3_cluster_split" -> ((s, dir) => {
       val d = Tables.docs(s, dir)
@@ -213,10 +227,9 @@ object R10cQueries {
       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) - 1 AS rank
       |  FROM s)""".stripMargin
 
-  /** MinHash band chain (the dd_minhash_pairs oracle) + recursive CC —
-    * ends at `cl(doc_id, root)`, root = each component's min doc id.
-    * Callers prepend `WITH RECURSIVE `. */
-  private val MinhashClusterSql =
+  /** MinHash band chain (the dd_minhash_pairs oracle) — ends at
+    * `mp(doc_a, doc_b)`, the id-ordered candidate pairs. */
+  private val MinhashPairsSql =
     """toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
       |  FROM documents
@@ -247,7 +260,13 @@ object R10cQueries {
       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       |  FROM bk x JOIN bk y
       |    ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
-      |),
+      |)""".stripMargin
+
+  /** [[MinhashPairsSql]] + recursive connected components — ends at
+    * `cl(doc_id, root)`, root = each component's min doc id.  Callers
+    * prepend `WITH RECURSIVE `. */
+  private val MinhashClusterSql = MinhashPairsSql +
+    """,
       |e AS (SELECT doc_a AS a, doc_b AS b2 FROM mp UNION ALL SELECT doc_b, doc_a FROM mp),
       |n AS (SELECT DISTINCT a AS node FROM e),
       |reach(node, r) AS (
@@ -270,7 +289,40 @@ object R10cQueries {
       |         ELSE round((v - mn) * 255.0 / (mx - mn), 0)::BIGINT END AS code
       |  FROM ev JOIN bd USING (j))""".stripMargin
 
+  /** Hashed-TF postings CTE (dim 4096, the dsir bucket hash). */
+  private val TfSql =
+    """tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+      |  FROM documents),
+      |tb AS (
+      |  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS bucket
+      |  FROM tok),
+      |p AS (SELECT doc_id, bucket, count(*)::BIGINT AS tf FROM tb GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+
+    "dd_tf_sparse" ->
+      s"""WITH $TfSql
+         |SELECT doc_id, bucket, tf FROM p""".stripMargin,
+
+    "dd_tf_cosine" ->
+      s"""WITH $MinhashPairsSql,
+         |$TfSql,
+         |norms AS (SELECT doc_id, sum(tf * tf) AS n2 FROM p GROUP BY 1),
+         |num AS (
+         |  SELECT mp.doc_a, mp.doc_b, sum(a.tf * b.tf) AS num
+         |  FROM mp
+         |  JOIN p a ON a.doc_id = mp.doc_a
+         |  JOIN p b ON b.doc_id = mp.doc_b AND b.bucket = a.bucket
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT doc_a, doc_b,
+         |    round(num::DOUBLE / (sqrt(na.n2::DOUBLE) * sqrt(nb.n2::DOUBLE)), 6) AS cos
+         |  FROM num
+         |  JOIN norms na ON na.doc_id = doc_a
+         |  JOIN norms nb ON nb.doc_id = doc_b)
+         |SELECT doc_a, doc_b, cos FROM sc WHERE cos >= 0.5""".stripMargin,
 
     "text_quality_tiers_by" ->
       """WITH t AS (

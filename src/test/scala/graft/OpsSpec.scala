@@ -1449,6 +1449,25 @@ class OpsSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 3L))
   }
 
+  test("tfCosineConfirm: repetition variants score 1.0, disjoint pairs drop") {
+    val c = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha alpha beta beta gamma gamma delta delta"), // 2x counts: cos = 1
+      (2L, "alpha beta gamma epsilon"),                      // 3/4 shared
+      (3L, "zeta eta theta iota"),                           // disjoint
+    ).toDF("doc_id", "text")
+    val cand = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("doc_a", "doc_b")
+    val pairs = DedupOps.tfCosineConfirm(c, col("text"), col("doc_id"),
+      cand, minCosine = 0.0)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    CacheScope.release()
+    assert(math.abs(pairs((0L, 1L)) - 1.0) < 1e-9,
+      s"uniform 2x repetition must cosine to 1.0, got ${pairs.get((0L, 1L))}")
+    assert(pairs((0L, 2L)) > 0.7 && pairs((0L, 2L)) < 0.8)
+    // zero shared buckets: the candidate yields no dot-product row at all
+    assert(!pairs.contains((0L, 3L)))
+  }
+
   test("clusterSplit: near-dup cluster members never straddle splits") {
     val corpus = (0L until 300L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
     // chains {0,1,2} and {10,11}; the rest isolated
