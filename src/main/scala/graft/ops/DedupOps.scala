@@ -1500,6 +1500,18 @@ object DedupOps {
     labels.select("doc_id", "keeper_id")
   }
 
+  /** Duplicate-cluster size histogram: (cluster_size, n_clusters) over
+    * the connected components of `pairs` — the dedup diagnostic that
+    * tells a corpus run whether duplication is a long tail of pairs or a
+    * few mega-clusters (boilerplate/templates), and therefore whether the
+    * banding parameters or a stop-list need tuning.  Cluster labels from
+    * [[dedupClusters]]; two small aggs on the duplicate-rate-sized label
+    * table. */
+  def clusterSizeHistogram(pairs: DataFrame): DataFrame =
+    dedupClusters(pairs)
+      .groupBy("keeper_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
   /** Keeper selection by QUALITY: given duplicate-candidate pairs and a
     * per-document score, keep the HIGHEST-scoring member of each connected
     * duplicate cluster (score tie → lowest doc_id) and every untouched

@@ -76,6 +76,15 @@ object R10cQueries {
           k = 3, numHashes = 16, bands = 4))
     }),
 
+    // Dup-cluster size histogram over minhash clusters (the dedup
+    // diagnostic: pair tail vs mega-cluster boilerplate)
+    "dd_cluster_sizes" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      graft.ops.DedupOps.clusterSizeHistogram(
+        graft.ops.DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
+          k = 3, numHashes = 16, bands = 4))
+    }),
+
     // Leakage-safe split: near-dup clusters share one split assignment
     "p3_cluster_split" -> ((s, dir) => {
       val d = Tables.docs(s, dir)
@@ -452,6 +461,12 @@ object R10cQueries {
          |  WHERE cl.doc_id <> best.best_id)
          |SELECT doc_id, source, lang FROM documents
          |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+
+    "dd_cluster_sizes" ->
+      s"""WITH RECURSIVE $MinhashClusterSql,
+         |sz AS (SELECT root, count(*)::BIGINT AS cluster_size FROM cl GROUP BY 1)
+         |SELECT cluster_size, count(*)::BIGINT AS n_clusters
+         |FROM sz GROUP BY 1""".stripMargin,
 
     // same cluster chain; split hashes on the cluster min-id label
     "p3_cluster_split" ->
