@@ -750,6 +750,35 @@ object TextOps {
         col("col").as("chunk_text"))
   }
 
+  /** EXACT-IQR outlier gate on an integer metric (document length, token
+    * count): flag rows outside [q1 − k·IQR, q3 + k·IQR] with quartiles
+    * defined by EXACT rank (r1 = (n−1)/4, r3 = 3(n−1)/4 in the (metric,
+    * id) total order) — no approxQuantile nondeterminism, and with an
+    * integer `k` the bounds are integer arithmetic, oracle-exact.  The
+    * extreme-length filter every curation run applies before
+    * length-sensitive stages.
+    *
+    * Shape: one range-partitioned rank ([[graft.core.Ranker]] — no
+    * single-partition window), a 2-row collect for the quartile values,
+    * then a pure pushdown-able predicate over the scan. */
+  def iqrOutlierGate(df: DataFrame, metric: Column, idCol: Column,
+      k: Long = 3L): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    val m = df.select(idCol.as("doc_id"), metric.cast("long").as("v"))
+    val n = m.count()
+    require(n > 0, "empty input")
+    val r1 = (n - 1) / 4
+    val r3 = 3 * (n - 1) / 4
+    val ranked = graft.core.Ranker.withRank(m, "__r", col("v"), col("doc_id"))
+    val qs = ranked.where(col("__r") === r1 || col("__r") === r3)
+      .select("__r", "v").collect().map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val q1 = qs(r1); val q3 = qs(r3); val iqr = q3 - q1
+    m.select(col("doc_id"), col("v"),
+      (col("v") < lit(q1 - k * iqr) || col("v") > lit(q3 + k * iqr))
+        .as("is_outlier"))
+  }
+
   /** Corpus profile: the one-pass stats card a curation run opens with —
     * (stat, value) rows for document count, whitespace-token and char
     * totals, distinct source/lang counts, null/empty-text count, and mean

@@ -112,6 +112,15 @@ object R10cQueries {
       graft.ops.TextOps.qualityTiersBy(Tables.docs(s, dir), col("text"),
         col("doc_id"), col("lang"), tiers = 3)),
 
+    // Exact-IQR outlier gate (k = 3).  The synthetic corpus is too
+    // well-behaved to fire at k = 3, so lengths are PLANTED 50x on
+    // doc_id % 97 = 0 (the PII-query convention: same construction in
+    // the oracle) — the gate must flag exactly the planted docs
+    "text_length_outliers" -> ((s, dir) =>
+      graft.ops.TextOps.iqrOutlierGate(Tables.docs(s, dir),
+        col("n_chars") * when(col("doc_id") % 97 === 0, 50L).otherwise(1L),
+        col("doc_id"))),
+
     // One-pass corpus stats card in long form
     "text_corpus_profile" -> ((s, dir) =>
       graft.ops.TextOps.corpusProfile(Tables.docs(s, dir), col("text"),
@@ -361,6 +370,20 @@ object R10cQueries {
         |  FROM q
         |)
         |SELECT doc_id, cls, quality, (rk * 3) // n AS tier FROM r""".stripMargin,
+
+    "text_length_outliers" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    (n_chars * CASE WHEN doc_id % 97 = 0 THEN 50 ELSE 1 END)::BIGINT AS v
+        |  FROM documents),
+        |r AS (SELECT doc_id, v, row_number() OVER (ORDER BY v, doc_id) - 1 AS r FROM v),
+        |n AS (SELECT count(*) AS n FROM v),
+        |q AS (SELECT
+        |  (SELECT v FROM r WHERE r = (SELECT (n - 1) // 4 FROM n)) AS q1,
+        |  (SELECT v FROM r WHERE r = (SELECT 3 * (n - 1) // 4 FROM n)) AS q3)
+        |SELECT doc_id, v,
+        |  (v < q1 - 3 * (q3 - q1) OR v > q3 + 3 * (q3 - q1)) AS is_outlier
+        |FROM v CROSS JOIN q""".stripMargin,
 
     "text_corpus_profile" ->
       """WITH b AS (

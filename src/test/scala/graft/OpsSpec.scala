@@ -1449,6 +1449,16 @@ class OpsSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 3L))
   }
 
+  test("iqrOutlierGate flags exactly the planted extremes") {
+    // 100 well-behaved lengths around 100, two planted extremes
+    val rows = (0L until 100L).map(i => (i, 90L + i % 21)) ++
+      Seq((100L, 5000L), (101L, 1L))
+    val df = rows.toDF("doc_id", "len")
+    val out = TextOps.iqrOutlierGate(df, col("len"), col("doc_id"))
+      .where(col("is_outlier")).select("doc_id").as[Long].collect().toSet
+    assert(out == Set(100L, 101L))
+  }
+
   test("tfCosineConfirm: repetition variants score 1.0, disjoint pairs drop") {
     val c = Seq(
       (0L, "alpha beta gamma delta"),
