@@ -245,6 +245,30 @@ object DedupOps {
     post.join(broadcast(hot), Seq("sh"), "left_anti")
   }
 
+  /** N-gram NOVELTY score — the uniqueness/memorization-risk signal: per
+    * document, the number of distinct word-`n`-grams, how many of them
+    * appear NOWHERE else in the corpus (document frequency 1), and the
+    * novel fraction.  Low novelty = templated/boilerplate content (its
+    * n-grams are everywhere); novelty 1.0 = entirely unique text.
+    * Integer aggregates with one final division — oracle-exact.
+    *
+    * Shape: the shared postings table ([[rawPostings]]) feeds a df count
+    * (map-side combined on the 60-bit key) joined back to itself — two
+    * hash aggs and one co-keyed join on `sh`, never the raw text. */
+  def noveltyScore(df: DataFrame, text: Column, id: Column,
+      n: Int = 5): DataFrame = {
+    val p = rawPostings(df, text, id, n)
+    val dfreq = p.groupBy("sh").agg(count(lit(1)).as("__df"))
+    p.join(dfreq, Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("__df") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_ngrams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_ngrams").cast("double"))
+          .as("novelty"))
+  }
+
   /** Benchmark-contamination pairs (the n-gram decontamination check of
     * GPT-3 appx. C / Lee et al.: training documents sharing word n-grams
     * with an evaluation set): every (corpus doc, probe doc) pair sharing

@@ -137,6 +137,11 @@ object R10Queries {
         d.where(col("doc_id") < 5), col("text"), col("doc_id"), n = 5)
     }),
 
+    // N-gram novelty: fraction of each doc's 5-grams found nowhere else
+    "text_novelty" -> ((s, dir) =>
+      DedupOps.noveltyScore(Tables.docs(s, dir), col("text"),
+        col("doc_id"), n = 5)),
+
     // ... the per-source leakage dashboard over the same probe
     "text_contam_rate" -> ((s, dir) => {
       val d = Tables.docs(s, dir)
@@ -371,6 +376,16 @@ object R10Queries {
          |SELECT c.doc_id, p.probe_id, count(*) AS shared_ngrams
          |FROM post c JOIN probe p USING (sh)
          |GROUP BY 1, 2""".stripMargin,
+
+    // reuses the ContamSql 5-gram postings (its probe CTE goes unused)
+    "text_novelty" ->
+      s"""WITH $ContamSql,
+         |dfq AS (SELECT sh, count(*) AS df FROM post GROUP BY 1)
+         |SELECT p.doc_id, count(*)::BIGINT AS n_ngrams,
+         |  sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+         |  sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS novelty
+         |FROM post p JOIN dfq USING (sh)
+         |GROUP BY 1""".stripMargin,
 
     "text_contam_rate" ->
       s"""WITH $ContamSql,

@@ -1449,6 +1449,21 @@ class OpsSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 3L))
   }
 
+  test("noveltyScore: exact dups score 0, unique docs score 1") {
+    val c = Seq(
+      (0L, "one two three four five six"),
+      (1L, "one two three four five six"), // exact dup: all 5-grams shared
+      (2L, "seven eight nine ten eleven twelve"), // fully unique
+    ).toDF("doc_id", "text")
+    val m = DedupOps.noveltyScore(c, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._4)).toMap
+    CacheScope.release()
+    assert(m(0L)._2 == 0.0 && m(1L)._2 == 0.0)
+    assert(m(2L)._2 == 1.0)
+    assert(m(0L)._1 == 2L) // 6 tokens -> two distinct 5-grams
+  }
+
   test("iqrOutlierGate flags exactly the planted extremes") {
     // 100 well-behaved lengths around 100, two planted extremes
     val rows = (0L until 100L).map(i => (i, 90L + i % 21)) ++
