@@ -1592,6 +1592,51 @@ object DedupOps {
       .where(col("cos") >= minCosine)
   }
 
+  /** MULTI-BAND SRP-LSH embedding pairs — the minhash-banding analogue
+    * for vectors: `bands` independent buckets of `planesPerBand` random-
+    * hyperplane bits each; vectors colliding in ANY band become a
+    * candidate, then exact cosine confirms.  Versus the single-bucket
+    * [[embeddingPairsBucketed]] (one 2^planes bucket), banding trades
+    * bucket population for recall: P(candidate) = 1 − (1 − s^b)^r for
+    * angular similarity s — the tunable-recall knob every production
+    * embedding-dedup needs (raise bands for recall, planesPerBand for
+    * precision).  One shuffle on (band, key); in-band fan-out bounded by
+    * the band-bucket population; id-distinct candidates before the
+    * cosine so a pair colliding in several bands confirms once. */
+  def embeddingPairsBanded(df: DataFrame, vec: Column, id: Column,
+      minCosine: Double, dims: Int, bands: Int = 4, planesPerBand: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(bands > 0 && planesPerBand > 0, "bands/planesPerBand positive")
+    val v = graft.core.CacheScope.persist(
+      df.select(id.cast("long").as("vid"), vec.as("v")), eager = true)
+    val bandKeys = array((0 until bands).map { r =>
+      (0 until planesPerBand).map { j =>
+        when(SimilarityOps.planeProjection(col("v"), dims,
+          r * planesPerBand + j, seed) > 0.0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    // the band table and the candidate distinct carry IDS ONLY — the
+    // float payloads re-join at the confirm (the oracle's shape); pushing
+    // vectors through the bucket shuffle + pair-distinct multiplied the
+    // shuffle payload by the duplication rate (caught by the 10× sweep)
+    val withB = graft.core.CacheScope.persist(
+      v.select(col("vid"), posexplode(bandKeys))
+        .select(col("vid"), col("pos").as("band"), col("col").as("key")),
+      eager = true)
+    val cand = withB.as("a")
+      .join(withB.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"))
+      .distinct()
+    cand
+      .join(v.select(col("vid").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(v.select(col("vid").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(SimilarityOps.cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= minCosine)
+  }
+
   /** Exact embedding near-duplicate pairs: cosine >= `minCosine` over all
     * id-ordered pairs (vec_a < vec_b).
     *

@@ -68,6 +68,13 @@ object SimilarityOps {
     * hyperplanes are literal constant arrays (computed once on the driver,
     * not per row) and each projection is the codegen'd
     * [[graft.functions.DotProduct]] — same fold order as the SQL oracle. */
+  /** Signed projection of `vec` onto md5-derived hyperplane `j` — the
+    * shared SRP primitive behind [[lshBucket]] and the banded variant
+    * ([[DedupOps.embeddingPairsBanded]]). */
+  private[ops] def planeProjection(vec: Column, dims: Int, j: Int,
+      seed: Long): Column =
+    graft.functions.VecKernels.dot(vec, typedLit(planeSigns(seed, j, dims)))
+
   def lshBucket(vec: Column, dims: Int, planes: Int, seed: Long): Column =
     (0 until planes).map { j =>
       val proj = graft.functions.VecKernels.dot(vec,

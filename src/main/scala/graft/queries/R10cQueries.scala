@@ -62,6 +62,12 @@ object R10cQueries {
         rp.where(col("vec_id") < 10), col("rvec"), col("vec_id"), k = 5)
     }),
 
+    // Multi-band SRP-LSH embedding pairs (4 bands x 4 planes): the
+    // tunable-recall banding analogue of the single-bucket dd_embed_lsh
+    "dd_embed_banded" -> ((s, dir) =>
+      graft.ops.DedupOps.embeddingPairsBanded(Tables.emb(s, dir),
+        col("embedding"), col("vec_id"), minCosine = 0.4, dims = 64)),
+
     // Sparse hashed-TF postings (feature-hashing vectorizer)
     "dd_tf_sparse" -> ((s, dir) =>
       graft.ops.DedupOps.hashedTf(Tables.docs(s, dir), col("text"),
@@ -319,6 +325,36 @@ object R10cQueries {
       |p AS (SELECT doc_id, bucket, count(*)::BIGINT AS tf FROM tb GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+
+    "dd_embed_banded" ->
+      """WITH bs AS (SELECT unnest(generate_series(0, 3)) AS band),
+        |b AS (
+        |  SELECT e.vec_id, e.embedding, bs.band,
+        |    list_reduce(list_transform(generate_series(0, 3), j ->
+        |      CASE WHEN
+        |        list_reduce(list_transform(generate_series(0, 63), i ->
+        |          e.embedding[i + 1]::DOUBLE *
+        |          (CASE WHEN (('0x' || substr(md5(concat_ws(':', 'plane', '42', (bs.band * 4 + j)::VARCHAR, i::VARCHAR)), 1, 8))::BIGINT
+        |                      / CAST(4294967296.0 AS DOUBLE)) >= 0.5
+        |                THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)),
+        |          (a, b) -> a + b) > 0.0
+        |      THEN (1 << j) ELSE 0 END), (a, b) -> a + b) AS key
+        |  FROM embeddings e CROSS JOIN bs),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+        |  FROM b x JOIN b y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id),
+        |s AS (
+        |  SELECT c.vec_a, c.vec_b,
+        |    round(
+        |      list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+        |        z -> z[1]::DOUBLE * z[2]::DOUBLE), (a, b) -> a + b) /
+        |      (sqrt(list_reduce(list_transform(ea.embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b)) *
+        |       sqrt(list_reduce(list_transform(eb.embedding, x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b))),
+        |      6) AS cos
+        |  FROM cand c
+        |  JOIN embeddings ea ON ea.vec_id = c.vec_a
+        |  JOIN embeddings eb ON eb.vec_id = c.vec_b)
+        |SELECT vec_a, vec_b, cos FROM s WHERE cos >= 0.4""".stripMargin,
 
     "dd_tf_sparse" ->
       s"""WITH $TfSql

@@ -1449,6 +1449,33 @@ class OpsSpec extends AnyFunSuite {
     assert(rows == Map(0L -> 3L))
   }
 
+  test("embeddingPairsBanded: superset of single-bucket recall, no dup pairs") {
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    val rows = (0L until 40L).map { i =>
+      if (i < 4) (i, base.map(_ + rnd.nextGaussian() * 0.05).toSeq) // near-dup clump
+      else (i, Array.fill(64)(rnd.nextGaussian()).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val banded = DedupOps.embeddingPairsBanded(df, col("embedding"),
+      col("vec_id"), minCosine = 0.8, dims = 64, bands = 4, planesPerBand = 4)
+      .as[(Long, Long, Double)].collect()
+    CacheScope.release()
+    val single = DedupOps.embeddingPairsBucketed(df, col("embedding"),
+      col("vec_id"), minCosine = 0.8, dims = 64, planes = 16)
+      .as[(Long, Long, Double)].collect()
+    // every pair confirmed once, above the floor
+    assert(banded.map(p => (p._1, p._2)).distinct.length == banded.length)
+    assert(banded.forall(_._3 >= 0.8))
+    // 4 bands of 4 bits recall at least what one 16-bit bucket does over
+    // the same 16 planes: all-band collision implies any-band collision
+    assert(single.map(p => (p._1, p._2)).toSet
+      .subsetOf(banded.map(p => (p._1, p._2)).toSet))
+    // the planted clump is found
+    assert(banded.exists(p => p._1 < 4 && p._2 < 4))
+  }
+
   test("noveltyScore: exact dups score 0, unique docs score 1") {
     val c = Seq(
       (0L, "one two three four five six"),

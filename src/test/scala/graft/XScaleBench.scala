@@ -179,7 +179,7 @@ object XScaleBench {
       "o3_token_mixture", "o3_upsample", "text_corpus_profile",
       "p3_cluster_split", "text_quality_tiers_by", "dd_tf_cosine",
       "dd_tf_sparse", "dd_cluster_sizes", "text_length_outliers",
-      "text_novelty",
+      "text_novelty", "dd_embed_banded",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
