@@ -785,39 +785,84 @@ object DedupOps {
     * lowercased texts ((__tid, __t)), seed every shared SELECTED
     * fingerprint and extend to maximal char runs >= `ml`.
     *
-    * Seeds are packed (pos_a << 32 | pos_b) — one primitive-long array per
-    * pair instead of a struct list (struct rows deserialize one object per
-    * seed in the kernel; packed longs are a single flat array); each seed
-    * is char-verified in the kernel, so hash collisions cannot surface. */
+    * Positions are pre-aggregated per (doc, fp) BEFORE the pair join, so a
+    * fingerprint recurring n times in each document of a pair contributes
+    * n+n array elements, not n×n join rows — on low-entropy/repetitive
+    * documents (boilerplate, 'aaaa…' pages) the old row-per-seed shape
+    * materialized the full quadratic cross product into one collect_list
+    * row.  The kernel enumerates the per-fp cross product lazily and skips
+    * any seed that lands inside a run already extended on its diagonal
+    * (extension is maximal char-match along the diagonal, so such a seed
+    * reproduces the same run; a seed straddling a run boundary fails the
+    * char verify at the boundary mismatch) — each maximal run is extended
+    * exactly once.  `maxPosPerFp` bounds the per-(doc, fp) position list
+    * (smallest positions kept, deterministically): it only binds when ONE
+    * k-gram recurs more than that many times inside one document — text no
+    * quality gate would pass — and caps the worst-case enumeration at
+    * maxPosPerFp² cheap lookups per shared fingerprint.
+    *
+    * Each seed is char-verified in the kernel, so hash collisions cannot
+    * surface. */
   private def extendSpans(cand: DataFrame, fpsA: DataFrame, fpsB: DataFrame,
-      loweredA: DataFrame, loweredB: DataFrame, k: Int, ml: Int): DataFrame = {
+      loweredA: DataFrame, loweredB: DataFrame, k: Int, ml: Int,
+      maxPosPerFp: Int = 256, broadcastB: Boolean = false): DataFrame = {
+    val aggA = fpsA.groupBy(col("doc_id").as("doc_a"), col("fp"))
+      .agg(slice(array_sort(collect_list(col("pos"))), 1, maxPosPerFp)
+        .as("pas"))
+    val aggB0 = fpsB.groupBy(col("doc_id").as("doc_b"), col("fp"))
+      .agg(slice(array_sort(collect_list(col("pos"))), 1, maxPosPerFp)
+        .as("pbs"))
+    // the hint must sit directly on the join input — a broadcast() applied
+    // by the caller to raw fpsB would be buried under the aggregation
+    val aggB = if (broadcastB) broadcast(aggB0) else aggB0
     val seeds = cand
-      .join(fpsA.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
-        col("fp")), Seq("doc_a"))
-      .join(fpsB.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
-        col("fp")), Seq("doc_b", "fp"))
+      .join(aggA, Seq("doc_a"))
+      .join(aggB, Seq("doc_b", "fp"))
       .groupBy("doc_a", "doc_b")
-      .agg(collect_list(shiftleft(col("pos_a"), 32)
-        .bitwiseOR(col("pos_b"))).as("__seeds"))
-    val extend = udf { (ta: String, tb: String, seeds: Array[Long]) =>
+      .agg(collect_list(struct(col("pas").as("_1"), col("pbs").as("_2")))
+        .as("__seeds"))
+    val extend = udf { (ta: String, tb: String,
+        seeds: Seq[(Seq[Long], Seq[Long])]) =>
       val la = ta.length; val lb = tb.length
       val out = new scala.collection.mutable.LinkedHashSet[(Long, Long, Long)]()
-      seeds.foreach { s =>
-        val pa = (s >>> 32).toInt; val pb = (s & 0xffffffffL).toInt
-        // char-verify the seed gram (kills hash collisions); then extend
-        var ok = pa + k <= la && pb + k <= lb
-        var i = 0
-        while (ok && i < k) { ok = ta.charAt(pa + i) == tb.charAt(pb + i); i += 1 }
-        if (ok) {
-          var sa = pa; var sb = pb
-          while (sa > 0 && sb > 0 && ta.charAt(sa - 1) == tb.charAt(sb - 1)) {
-            sa -= 1; sb -= 1
+      // diagonal (pa - pb) -> runs found so far, as (sa, ea) intervals
+      val runs = new java.util.HashMap[Int,
+        scala.collection.mutable.ArrayBuffer[(Int, Int)]]()
+      seeds.foreach { case (pas, pbs) =>
+        pas.foreach { paL =>
+          val pa = paL.toInt
+          pbs.foreach { pbL =>
+            val pb = pbL.toInt
+            val diag = pa - pb
+            val known = runs.get(diag)
+            val covered = known != null && known.exists { case (sa, ea) =>
+              sa <= pa && pa + k <= ea
+            }
+            if (!covered) {
+              // char-verify the seed gram (kills hash collisions); extend
+              var ok = pa + k <= la && pb + k <= lb
+              var i = 0
+              while (ok && i < k) {
+                ok = ta.charAt(pa + i) == tb.charAt(pb + i); i += 1
+              }
+              if (ok) {
+                var sa = pa; var sb = pb
+                while (sa > 0 && sb > 0 &&
+                    ta.charAt(sa - 1) == tb.charAt(sb - 1)) {
+                  sa -= 1; sb -= 1
+                }
+                var ea = pa + k; var eb = pb + k
+                while (ea < la && eb < lb && ta.charAt(ea) == tb.charAt(eb)) {
+                  ea += 1; eb += 1
+                }
+                runs.computeIfAbsent(diag,
+                  _ => new scala.collection.mutable.ArrayBuffer[(Int, Int)]())
+                  .append((sa, ea))
+                if (ea - sa >= ml)
+                  out += ((sa.toLong, sb.toLong, (ea - sa).toLong))
+              }
+            }
           }
-          var ea = pa + k; var eb = pb + k
-          while (ea < la && eb < lb && ta.charAt(ea) == tb.charAt(eb)) {
-            ea += 1; eb += 1
-          }
-          if (ea - sa >= ml) out += ((sa.toLong, sb.toLong, (ea - sa).toLong))
         }
       }
       out.toArray
@@ -865,10 +910,10 @@ object DedupOps {
         col("a.fp") === col("b.fp"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    extendSpans(cand, fpsC, broadcast(fpsP),
+    extendSpans(cand, fpsC, fpsP,
       corpus.select(id.cast("long").as("__tid"), lower(text).as("__t")),
       probe.select(pid.cast("long").as("__tid"), lower(ptext).as("__t")),
-      k, ml)
+      k, ml, broadcastB = true)
       .select(col("doc_a").as("doc_id"), col("doc_b").as("probe_id"),
         col("start_a").as("start"), col("start_b").as("probe_start"),
         col("len"))
@@ -1140,7 +1185,9 @@ object DedupOps {
     * correct at any size, just not shuffle-free.
     *
     * Within-shard duplicates are NOT collapsed (use [[exactDedup]] on the
-    * shard first); result equals the plain anti-join exactly. */
+    * shard first); result equals the plain anti-join exactly — including on
+    * null text, whose null digest never matches an index key and is
+    * therefore kept as new on every path. */
   def exactNewAgainst(indexDir: String, newDf: DataFrame, text: Column,
       id: Column, fpp: Double = 0.01,
       maxBroadcastKeys: Long = 5000000L): DataFrame = {
@@ -1150,7 +1197,10 @@ object DedupOps {
     val idxRows = math.max(1L, idx.count())
     val bloom = idx.stat.bloomFilter("text_hash", idxRows, fpp)
     val bc = spark.sparkContext.broadcast(bloom)
-    val mc = udf { (h: String) => bc.value.mightContainString(h) }
+    // null text ⇒ null digest ⇒ DEFINITELY NEW: a null key never matches in
+    // the plain anti-join this op must equal, so the Bloom gate must route
+    // null digests to the definite-new side (and never NPE on them).
+    val mc = udf { (h: String) => h != null && bc.value.mightContainString(h) }
     val d = newDf.withColumn("__h", md5(text))
     val definiteNew = d.where(!mc(col("__h")))
     val maybe = graft.core.CacheScope.persist(
@@ -1331,26 +1381,27 @@ object DedupOps {
     * API must not pin corpus-derived tables in executor storage until the
     * caller remembers [[graft.core.CacheScope.release]].  Only the loser
     * list itself (≤ one row per duplicate document) stays cached; it is
-    * registered with the scope, so the caller's usual per-query `release()`
-    * drops it.  NOTE: the scope is process-global (one pipeline at a time
-    * per JVM — see [[graft.core.CacheScope]]), so the internal release
-    * also drops any OTHER in-flight engine intermediates. */
+    * promoted to the caller's scope, so their usual per-query `release()`
+    * drops it.  The internal cleanup is SCOPED
+    * ([[graft.core.CacheScope.scoped]]): only frames this pipeline itself
+    * persisted are dropped — never a handle the caller (or a concurrent
+    * pipeline in the same JVM) registered. */
   def fuzzyDedup(df: DataFrame, text: Column, id: Column, k: Int = 3,
       numHashes: Int = 16, bands: Int = 4, maxDocFreq: Long = 100,
-      minJaccard: Double = 0.5): DataFrame = {
-    val cand = minhashCandidates(df, text, id, k, numHashes, bands)
-    val confirmed = confirmJaccard(df, text, id, cand, k, maxDocFreq,
-      minJaccard)
-    // rename to avoid capturing the caller frame's own id column
-    val losers = dedupClusters(confirmed)
-      .where(col("doc_id") =!= col("keeper_id"))
-      .select(col("doc_id").as("__loser_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    losers.count() // materialize BEFORE dropping the upstream caches
-    graft.core.CacheScope.release()
-    graft.core.CacheScope.register(losers)
-    df.join(losers, id === col("__loser_id"), "left_anti")
-  }
+      minJaccard: Double = 0.5): DataFrame =
+    graft.core.CacheScope.scoped { scope =>
+      val cand = minhashCandidates(df, text, id, k, numHashes, bands)
+      val confirmed = confirmJaccard(df, text, id, cand, k, maxDocFreq,
+        minJaccard)
+      // rename to avoid capturing the caller frame's own id column
+      val losers = dedupClusters(confirmed)
+        .where(col("doc_id") =!= col("keeper_id"))
+        .select(col("doc_id").as("__loser_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      losers.count() // materialize BEFORE dropping the upstream caches
+      scope.releaseExcept(losers)
+      df.join(losers, id === col("__loser_id"), "left_anti")
+    }
 
   /** In-cluster cosine near-duplicate pairs — the pair stage of semantic
     * dedup: given a cluster assignment (the coarse quantizer's output —
@@ -1389,17 +1440,17 @@ object DedupOps {
     * list is materialized, every upstream cache released, and only the
     * loser list stays registered with the scope. */
   def semanticDedupAssigned(df: DataFrame, vec: Column, id: Column,
-      clusters: DataFrame, minCosine: Double): DataFrame = {
-    val pairs = semanticPairs(df, vec, id, clusters, minCosine)
-    val losers = dedupClusters(pairs)
-      .where(col("doc_id") =!= col("keeper_id"))
-      .select(col("doc_id").as("__loser_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    losers.count() // materialize BEFORE dropping the upstream caches
-    graft.core.CacheScope.release()
-    graft.core.CacheScope.register(losers)
-    df.join(losers, id.cast("long") === col("__loser_id"), "left_anti")
-  }
+      clusters: DataFrame, minCosine: Double): DataFrame =
+    graft.core.CacheScope.scoped { scope =>
+      val pairs = semanticPairs(df, vec, id, clusters, minCosine)
+      val losers = dedupClusters(pairs)
+        .where(col("doc_id") =!= col("keeper_id"))
+        .select(col("doc_id").as("__loser_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      losers.count() // materialize BEFORE dropping the upstream caches
+      scope.releaseExcept(losers)
+      df.join(losers, id.cast("long") === col("__loser_id"), "left_anti")
+    }
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): embedding-tier
@@ -1554,22 +1605,22 @@ object DedupOps {
     * released before returning; only the materialized loser set stays
     * registered for the caller's release(). */
   def keepBestInClusters(df: DataFrame, pairs: DataFrame, id: Column,
-      score: Column): DataFrame = {
-    val clusters = dedupClusters(pairs)
-    val scored = df.select(id.as("doc_id"), score.as("__q"))
-    val best = clusters.join(scored, Seq("doc_id"))
-      .groupBy(col("keeper_id"))
-      .agg(max_by(col("doc_id"), struct(col("__q"), -col("doc_id")))
-        .as("best_id"))
-    val losers = clusters.join(best, Seq("keeper_id"))
-      .where(col("doc_id") =!= col("best_id"))
-      .select(col("doc_id").as("__loser_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    losers.count() // materialize BEFORE dropping the cluster-stage caches
-    graft.core.CacheScope.release()
-    graft.core.CacheScope.register(losers)
-    df.join(losers, id === col("__loser_id"), "left_anti")
-  }
+      score: Column): DataFrame =
+    graft.core.CacheScope.scoped { scope =>
+      val clusters = dedupClusters(pairs)
+      val scored = df.select(id.as("doc_id"), score.as("__q"))
+      val best = clusters.join(scored, Seq("doc_id"))
+        .groupBy(col("keeper_id"))
+        .agg(max_by(col("doc_id"), struct(col("__q"), -col("doc_id")))
+          .as("best_id"))
+      val losers = clusters.join(best, Seq("keeper_id"))
+        .where(col("doc_id") =!= col("best_id"))
+        .select(col("doc_id").as("__loser_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      losers.count() // materialize BEFORE dropping the cluster-stage caches
+      scope.releaseExcept(losers)
+      df.join(losers, id === col("__loser_id"), "left_anti")
+    }
 
   /** Embedding near-duplicate pairs at scale: cosine >= `minCosine`
     * restricted to pairs sharing a random-hyperplane LSH bucket

@@ -35,20 +35,44 @@ object PiiOps {
   val Redactions: Seq[(String, String)] = Seq(
     EmailRe -> "<EMAIL>", PhoneRe -> "<PHONE>", Ipv4Re -> "<IP>")
 
-  /** Per-row match counts for one pattern. */
+  /** Per-row match counts for one pattern (null text counts 0 — `size`
+    * over a null extract list is null/-1 depending on the legacy flag,
+    * never what a count column should carry). */
   def countMatches(text: Column, pattern: String): Column =
-    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+    when(text.isNull, lit(0L))
+      .otherwise(size(regexp_extract_all(text, lit(pattern), lit(0)))
+        .cast("long"))
 
-  /** (id, n_emails, n_ipv4, n_phones, has_pii) per document.  One narrow
+  /** Match counts per category, each taken against the text AFTER every
+    * earlier category's sentinels were substituted — exactly the cascade
+    * [[redact]] applies, so one substring is never double-counted across
+    * categories (in `a@1.2.3.4.com` the dotted quad is part of the email,
+    * and the IPv4 matcher never sees it).  Returned keyed by sentinel, in
+    * [[Redactions]] order. */
+  private def stagedCounts(text: Column): Map[String, Column] = {
+    val (counts, _) = Redactions.foldLeft(
+      (Map.empty[String, Column], text)) {
+      case ((m, cur), (pat, sub)) =>
+        (m + (sub -> countMatches(cur, pat)),
+          regexp_replace(cur, lit(pat), lit(sub)))
+    }
+    counts
+  }
+
+  /** (id, n_emails, n_ipv4, n_phones, has_pii) per document, counted
+    * against the progressively-redacted text (see [[stagedCounts]]) so the
+    * numbers agree with what [[redact]] substitutes.  One narrow
     * projection; Catalyst prunes the scan to (id, text). */
-  def scan(df: DataFrame, text: Column, idCol: Column): DataFrame =
+  def scan(df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val c = stagedCounts(text)
     df.select(
       idCol.as("doc_id"),
-      countMatches(text, EmailRe).as("n_emails"),
-      countMatches(text, Ipv4Re).as("n_ipv4"),
-      countMatches(text, PhoneRe).as("n_phones"))
+      c("<EMAIL>").as("n_emails"),
+      c("<IP>").as("n_ipv4"),
+      c("<PHONE>").as("n_phones"))
       .withColumn("has_pii",
         col("n_emails") + col("n_ipv4") + col("n_phones") > 0)
+  }
 
   /** Text with every PII match replaced by its sentinel, applied in
     * [[Redactions]] order.  Still a single narrow projection. */
@@ -60,9 +84,10 @@ object PiiOps {
   }
 
   /** Documents whose PII density passes: at most `maxMatches` total PII
-    * hits (0 = drop any document containing PII). */
-  def filter(df: DataFrame, text: Column, maxMatches: Long = 0L): DataFrame =
-    df.where(
-      countMatches(text, EmailRe) + countMatches(text, Ipv4Re) +
-        countMatches(text, PhoneRe) <= maxMatches)
+    * hits (0 = drop any document containing PII), counted with the same
+    * cascade as [[scan]]. */
+  def filter(df: DataFrame, text: Column, maxMatches: Long = 0L): DataFrame = {
+    val c = stagedCounts(text)
+    df.where(c("<EMAIL>") + c("<IP>") + c("<PHONE>") <= maxMatches)
+  }
 }

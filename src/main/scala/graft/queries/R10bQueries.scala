@@ -176,16 +176,27 @@ object R10bQueries {
 
   def oracles: Map[String, String] = Map(
 
+    // counts mirror the redaction CASCADE: phones counted on the
+    // email-redacted text, IPs on the email+phone-redacted text — one
+    // substring never double-counts across categories
     "text_pii_scan" ->
-      s"""WITH $PiiAugSql
+      s"""WITH $PiiAugSql,
+         |r1 AS (
+         |  SELECT doc_id, ptext,
+         |    regexp_replace(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+         |  FROM aug),
+         |r2 AS (
+         |  SELECT doc_id, ptext, t1,
+         |    regexp_replace(t1, '\\+\\d{1,2}[ .-]?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}', '<PHONE>', 'g') AS t2
+         |  FROM r1)
          |SELECT doc_id,
          |  len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
-         |  len(regexp_extract_all(ptext, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))::BIGINT AS n_ipv4,
-         |  len(regexp_extract_all(ptext, '\\+\\d{1,2}[ .-]?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}'))::BIGINT AS n_phones,
+         |  len(regexp_extract_all(t2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+         |  len(regexp_extract_all(t1, '\\+\\d{1,2}[ .-]?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}'))::BIGINT AS n_phones,
          |  (len(regexp_extract_all(ptext, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
-         |   + len(regexp_extract_all(ptext, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
-         |   + len(regexp_extract_all(ptext, '\\+\\d{1,2}[ .-]?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}'))) > 0 AS has_pii
-         |FROM aug""".stripMargin,
+         |   + len(regexp_extract_all(t2, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
+         |   + len(regexp_extract_all(t1, '\\+\\d{1,2}[ .-]?\\(?\\d{3}\\)?[ .-]\\d{3}[ .-]\\d{4}'))) > 0 AS has_pii
+         |FROM r2""".stripMargin,
 
     "text_pii_redact" ->
       s"""WITH $PiiAugSql

@@ -933,6 +933,66 @@ class OpsSpec extends AnyFunSuite {
     assert(merged == Seq((2L, 10L, 35L)))
   }
 
+  test("sharedSpans: single-char edit yields BOTH runs on one diagonal; repetitive text bounded") {
+    // near-identical docs differing by ONE substituted char: the match grid
+    // has two maximal runs on the SAME diagonal — a per-diagonal seed
+    // collapse would lose one of them
+    val head = "the quick brown fox jumps over the lazy dog near the river"
+    val tail = "while seventeen geese wander across the frozen meadow slowly"
+    val a = head + " X " + tail
+    val b = head + " Y " + tail
+    val wd = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val spans = DedupOps.sharedSpans(wd, col("text"), col("doc_id"),
+      k = 8, w = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._3)
+    CacheScope.release()
+    assert(spans.length == 2)
+    // run 1: [0, head+1) including the trailing shared space; run 2 from
+    // after the edit to the end — both on diagonal 0
+    assert(spans(0) == ((1L, 2L, 0L, 0L, head.length + 1L)))
+    assert(spans(1) == ((1L, 2L, head.length + 2L, head.length + 2L,
+      tail.length + 1L)))
+    // low-entropy page: one repeated gram at every position must not blow
+    // up — spans come out as one run per surviving diagonal, deduped
+    val rep = "ab" * 300 // 600 chars, k-gram "abababab" everywhere
+    val wr = Seq((1L, rep + "PQRSTUV"), (2L, rep + "JKLMNOP"))
+      .toDF("doc_id", "text")
+    val rspans = DedupOps.sharedSpans(wr, col("text"), col("doc_id"),
+      k = 8, w = 4, minLen = 550)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    CacheScope.release()
+    // diagonals 0, ±2, …: runs of length 600 - |diag| ≥ 550 → 51 diagonals
+    assert(rspans.length == 51)
+    assert(rspans.forall { case (_, _, sa, sbb, len) =>
+      len == 600L - math.abs(sa - sbb) && (sa == 0L || sbb == 0L)
+    })
+    // and each diagonal surfaced exactly once
+    assert(rspans.map(s => s._3 - s._4).distinct.length == 51)
+  }
+
+  test("CacheScope.scoped releases only the scope's own frames, promotes keeps") {
+    val outside = CacheScope.persist(spark.range(5).toDF("v"), eager = true)
+    assert(outside.storageLevel.useMemory)
+    val kept = CacheScope.scoped { scope =>
+      val inner = CacheScope.persist(spark.range(7).toDF("w"), eager = true)
+      assert(inner.storageLevel.useMemory)
+      val keep = spark.range(3).toDF("k")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      keep.count()
+      scope.releaseExcept(keep)
+      // inner dropped, caller's frame untouched, keep still cached
+      assert(!inner.storageLevel.useMemory)
+      assert(outside.storageLevel.useMemory)
+      assert(keep.storageLevel.useMemory)
+      keep
+    }
+    // the promoted keep is now globally registered: release() drops it
+    // along with the caller's own frame
+    CacheScope.release()
+    assert(!kept.storageLevel.useMemory)
+    assert(!outside.storageLevel.useMemory)
+  }
+
   test("bpeTrain learns hand-computed merges; bpeTokens applies them greedily") {
     // corpus: low x3, lower x2, newest x4, widest x1 (the classic fixture)
     val corpus = Seq(
@@ -1391,6 +1451,8 @@ class OpsSpec extends AnyFunSuite {
       (1L, "server at 192.168.0.1 and 10.0.0.255; version 1.2 is fine"),
       (2L, "no pii here, just words and the number 12345"),
       (3L, "two mails: x@y.io, zz@w-w.co.uk and ip 8.8.8.8"),
+      (4L, "write a@1.2.3.4.com or +1 555-123-4567 x"), // quad inside email
+      (5L, null),
     ).toDF("doc_id", "text")
     val scan = PiiOps.scan(pii, col("text"), col("doc_id"))
       .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
@@ -1398,15 +1460,20 @@ class OpsSpec extends AnyFunSuite {
     assert(scan(1) == ((1L, 0L, 2L, 0L, true))) // "version 1.2" not an IP
     assert(scan(2) == ((2L, 0L, 0L, 0L, false)))
     assert(scan(3) == ((3L, 2L, 1L, 0L, true)))
+    // the dotted quad is part of the email match — counted once, as email
+    assert(scan(4) == ((4L, 1L, 0L, 1L, true)))
+    assert(scan(5) == ((5L, 0L, 0L, 0L, false))) // null text: clean
     val red = PiiOps.redact(pii, col("text"), col("doc_id"))
       .as[(Long, String)].collect().toMap
     assert(red(0L) == "mail me at <EMAIL> or call <PHONE> now")
     assert(red(1L) == "server at <IP> and <IP>; version 1.2 is fine")
     assert(red(2L) == "no pii here, just words and the number 12345")
     assert(red(3L) == "two mails: <EMAIL>, <EMAIL> and ip <IP>")
-    // filter at maxMatches=0 keeps only the clean doc
+    assert(red(4L) == "write <EMAIL> or <PHONE> x") // no <IP> inside the email
+    assert(red(5L) == null)
+    // filter at maxMatches=0 keeps the clean doc and the null-text doc
     assert(PiiOps.filter(pii, col("text")).select("doc_id")
-      .as[Long].collect().toSeq == Seq(2L))
+      .as[Long].collect().toSeq.sorted == Seq(2L, 5L))
   }
 
   test("keepBestInClusters keeps the arg-max member, id tie-break, isolates survive") {
