@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed for
@@ -177,6 +177,43 @@ object DedupOps {
     df.select(id.as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("deduped_text"), lit("")).as("deduped_text"))
+  }
+
+  /** Boilerplate-segment removal — the C4/CCNet LINE rule, as opposed to
+    * [[paragraphDedupedText]]'s keep-first convention: a segment occurring
+    * in MORE than `maxDocs` distinct documents is navigation/footer/cookie
+    * boilerplate and is cut from EVERY document, first occurrence included
+    * (no copy carries signal).  Segments at or under the threshold are
+    * untouched, so near-unique prose never moves.
+    *
+    * Shape at 100 TB: the df count collapses map-side to segment-hash
+    * cardinality; the hot set (true boilerplate) is tiny and broadcasts
+    * into both the anti-join and the removed-count semi-join; the only
+    * corpus-wide shuffle is the per-document rebuild groupBy.
+    * Output: (doc_id, clean_text, n_removed) — one row per input document
+    * (fully-boilerplate documents come out as ""). */
+  def boilerplateRemove(df: DataFrame, text: Column, id: Column,
+      sepRegex: String = "\\n{2,}", joinSep: String = "\n",
+      maxDocs: Long = 2): DataFrame = {
+    val paras = graft.core.CacheScope.persist(
+      paragraphs(df, text, id, sepRegex), eager = true)
+    val hot = paras.groupBy("para_hash")
+      .agg(count_distinct(col("doc_id")).as("__df"))
+      .where(col("__df") > maxDocs)
+      .select("para_hash")
+    val rebuilt = paras.join(broadcast(hot), Seq("para_hash"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("para_idx"),
+          col("para")))), x => x("para")),
+        joinSep).as("clean_text"))
+    val removed = paras.join(broadcast(hot), Seq("para_hash"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    df.select(id.as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
   /** Ensure at least default parallelism under the per-row kernels.  A small
@@ -1586,6 +1623,99 @@ object DedupOps {
     dedupClusters(pairs)
       .groupBy("keeper_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+
+  /** SOFT dedup: instead of dropping near-duplicates, DOWNWEIGHT them —
+    * every member of a duplicate cluster of size n gets sampling weight
+    * 1/n, so the cluster as a whole contributes one document's worth of
+    * probability mass and no text is lost (the "soft deduplication"
+    * recipe — e.g. SoftDeDup, arXiv:2401.xx pattern; also how repeated
+    * crawl snapshots are equalized without discarding fresher copies).
+    * Unclustered documents keep weight 1.0.
+    *
+    * The output column feeds [[graft.core.BlockWeightedSampling]] /
+    * [[graft.ops.SplitOps]] directly as the per-row weight.
+    *
+    * Shape: cluster labels ([[dedupClusters]] dual plan) → one map-side-
+    * combined count per cluster → broadcast-sized label table LEFT-joined
+    * back to the corpus ids.  Output: (doc_id, dup_count, weight), one row
+    * per input document. */
+  def softDedupWeights(df: DataFrame, id: Column,
+      pairs: DataFrame): DataFrame = {
+    val clusters = dedupClusters(pairs)
+    val sizes = clusters.groupBy("keeper_id")
+      .agg(count(lit(1)).as("dup_count"))
+    val labeled = clusters.join(sizes, Seq("keeper_id"))
+      .select(col("doc_id"), col("dup_count"))
+    df.select(id.cast("long").as("doc_id"))
+      .join(labeled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("dup_count"), lit(1L)).as("dup_count"),
+        round(lit(1.0) / coalesce(col("dup_count"), lit(1L)), 6)
+          .as("weight"))
+  }
+
+  /** Banding-quality report: recall/precision of the MinHash-LSH candidate
+    * stage against the EXACT n-gram-Jaccard ground truth at `minJaccard` —
+    * the gauge that justifies (numHashes, bands) before a 100 TB run, on a
+    * sample, the same way [[graft.queries]]' `sim_rp_recall` gauges the
+    * JL cut.  Ground truth restricted to the df-capped shingle vocabulary
+    * ([[ngramJaccardPairs]] semantics); both sides computed with the
+    * engine's own kernels, joined on the pair key.
+    * Output: ONE row (n_truth, n_candidates, n_hits, recall, precision). */
+  def minhashEvalReport(df: DataFrame, text: Column, id: Column,
+      k: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      maxDocFreq: Long = 100, minJaccard: Double = 0.5): DataFrame = {
+    val truth = ngramJaccardPairs(df, text, id, k, maxDocFreq, minJaccard)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = minhashCandidates(df, text, id, k, numHashes, bands)
+      .select(col("doc_a"), col("doc_b"))
+    val t = graft.core.CacheScope.persist(truth, eager = true)
+    val c = graft.core.CacheScope.persist(cand, eager = true)
+    val hits = t.join(c, Seq("doc_a", "doc_b"), "left_semi")
+    t.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(c.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        round(col("n_hits").cast("double") /
+          greatest(col("n_truth"), lit(1L)), 6).as("recall"),
+        round(col("n_hits").cast("double") /
+          greatest(col("n_candidates"), lit(1L)), 6).as("precision"))
+  }
+
+  /** MinHash-LSH parameter tuner: the closed-form collision S-curve
+    * P(candidate | jaccard=s) = 1 − (1 − s^rows)^bands evaluated over
+    * every (bands, rows) factorization of each `numHashes` option — plus
+    * the curve's threshold location (1/bands)^(1/rows) — so a pipeline
+    * picks the banding whose threshold sits closest to its target
+    * similarity BEFORE hashing a 100 TB corpus (Leskovec/Rajaraman/Ullman,
+    * "Mining of Massive Datasets" §3.4.3).  Pure plan-time arithmetic
+    * over a literal grid (the [[graft.core.AutoConfig]] pattern): no scan,
+    * no shuffle; every double is 6-dp rounded for cross-engine parity.
+    * Output: (num_hashes, bands, rows_per_band, threshold, p_at_low,
+    * p_at_target, p_at_high) for s = target−0.2 / target / target+0.2. */
+  def lshTuneGrid(spark: SparkSession, numHashesOptions: Seq[Int],
+      target: Double): DataFrame = {
+    val sqlImplicits = spark.implicits
+    import sqlImplicits._
+    // probe points as exact decimals, so the doubles equal what a SQL
+    // mirror's literals parse to (target - 0.2 in binary would drift)
+    val sLow = (BigDecimal(target) - BigDecimal("0.2")).toDouble
+    val sHigh = (BigDecimal(target) + BigDecimal("0.2")).toDouble
+    def p(s: Double, r: Int, b: Int): Double =
+      BigDecimal(1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = for {
+      n <- numHashesOptions
+      b <- 1 to n
+      if n % b == 0
+      r = n / b
+    } yield (n.toLong, b.toLong, r.toLong,
+      BigDecimal(math.pow(1.0 / b, 1.0 / r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      p(sLow, r, b), p(target, r, b), p(sHigh, r, b))
+    rows.toDF("num_hashes", "bands", "rows_per_band", "threshold",
+      "p_at_low", "p_at_target", "p_at_high")
+  }
 
   /** Keeper selection by QUALITY: given duplicate-candidate pairs and a
     * per-document score, keep the HIGHEST-scoring member of each connected

@@ -70,6 +70,41 @@ object MultimodalOps {
             floor(j * dim / lit(dim2)).cast("int") + 1)))
   }
 
+  /** Average-hash (aHash) perceptual fingerprint over a decoded feature
+    * grid: bit j is set iff features[j] > mean(features) — the classic
+    * 64-bit "is this the same image, re-encoded?" near-dup fingerprint
+    * (pHash's cheap sibling), here over [[stubDecode]]'s deterministic
+    * fake grid: swap the decode for a real codec, the hash is unchanged.
+    * Bit weights accumulate as Σ 2^j in double (exact to 2^52, so grids
+    * up to 52 cells), sequential fold — a pure narrow codegen expression,
+    * no UDF, no shuffle, SQL-replayable. */
+  def aHash(features: Column): Column = {
+    val n = size(features)
+    val mean = aggregate(features, lit(0.0),
+      (a, x) => a + x) / n.cast("double")
+    aggregate(
+      zip_with(features, sequence(lit(0), n - 1),
+        (f, j) => when(f > mean, pow(lit(2.0), j.cast("double")))
+          .otherwise(lit(0.0))),
+      lit(0.0), (a, x) => a + x).cast("long")
+  }
+
+  /** Media near-duplicate pairs by identical aHash: the bucket join of the
+    * dedup ladder applied to the media tier — one shuffle on the hash,
+    * in-bucket id-ordered pairs, never all-pairs.  (Hamming-tolerant
+    * variants band the 64 bits exactly like SimHash — see
+    * [[DedupOps.simhashCandidates]]; exact-equality is the conservative
+    * tier.)  Output: (doc_a, doc_b, ahash). */
+  def aHashPairs(decoded: DataFrame, id: Column): DataFrame = {
+    val withH = decoded.select(id.cast("long").as("doc_id"),
+      aHash(col("features")).as("ahash"))
+    withH.as("a").join(withH.as("b"),
+        col("a.ahash") === col("b.ahash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ahash").as("ahash"))
+  }
+
   def stubDecode(df: DataFrame, payload: Column, id: Column,
       dim: Int = 8): Dataset[MediaFeatures] = {
     val in = df.select(id.cast("long").as("doc_id"), payload.as("p"))

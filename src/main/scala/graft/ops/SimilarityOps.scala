@@ -347,6 +347,66 @@ object SimilarityOps {
         col("adist"), col("rank").cast("long").as("rank"))
   }
 
+  /** IVF-PQ search — the billion-vector composition (the FAISS
+    * `IVFx,PQy` layout; Jégou et al. 2011 §V): the IVF coarse quantizer
+    * prunes the corpus to each query's `nprobe` nearest cells, and PQ
+    * asymmetric distance (ADC) ranks WITHIN the probed cells — so the
+    * search cost is (corpus/cells)·nprobe code lookups per query, and the
+    * corpus side of the whole plan carries only integers.
+    *
+    * Inputs are the two persisted artifacts a real deployment maintains:
+    * `codes` = [[pqEncode]] output ((vec_id, sub, code)), `cells` =
+    * [[ivfAssign]] output ((vec_id, centroid_id)).  At 100 TB both live
+    * partitioned by `centroid_id` (the [[ivfIndexWrite]] layout), so the
+    * probe join becomes static partition pruning: a query touches nprobe
+    * directories of int codes — float vectors appear nowhere after
+    * encoding.
+    *
+    * Shape: centroids and the per-query subspace LUT broadcast (queries ×
+    * m × ncodes rows); the only corpus-side joins are int-keyed and
+    * map-side; the ADC sum is a map-side-combined hash aggregate.
+    * Ranking matches [[pqTopK]] (adist 6-dp, neighbor-id tie-break,
+    * self-pairs excluded) restricted to probed cells.
+    * Output: (query_id, neighbor_id, adist, rank). */
+  def ivfPqTopK(codes: DataFrame, cells: DataFrame, codebooks: DataFrame,
+      centroids: DataFrame, cvec: Column, cid: Column,
+      queries: DataFrame, qvec: Column, qid: Column,
+      k: Int, m: Int, subDim: Int, nprobe: Int = 1): DataFrame = {
+    val q = queries.select(qid.as("query_id"), qvec.as("qv"))
+    val ct = centroids.select(cid.as("centroid_id"), cvec.as("ctv"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(ct))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        round(cosine(col("qv"), col("ctv")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select("query_id", "qv", "centroid_id")
+    val cb = codebooks.select(col("sub"), col("code_id"), col("cv"))
+    val lut = probes.select("query_id", "qv").distinct()
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("sub"),
+        col("code_id").as("code"),
+        round(sqdist(slice(col("qv"), col("sub") * subDim + 1, lit(subDim)),
+          col("cv")), 6).as("ld"))
+    val pruned = codes.select(col("vec_id"), col("sub"), col("code"))
+      .join(cells.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .join(broadcast(probes.select("query_id", "centroid_id")),
+        Seq("centroid_id"))
+    val appx = pruned.join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum(col("ld")), 6).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adist"), col("vec_id"))
+    appx.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rank").cast("long").as("rank"))
+  }
+
   /** Johnson–Lindenstrauss random projection: `dims` → `outDims` via a
     * deterministic ±1 sign matrix (Achlioptas 2003, "Database-friendly
     * random projections" — ±1 entries preserve pairwise distances within

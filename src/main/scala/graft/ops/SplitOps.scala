@@ -217,6 +217,41 @@ object SplitOps {
     * running top-k heap per class instead of materializing and sorting
     * whole classes, so a billion-row class costs O(k) memory, not a
     * single-task full sort. */
+  /** Deterministic weighted source interleave — one totally-ordered
+    * training stream where a source with weight w contributes every
+    * ~1/w-th position (the batch replay of `interleave_datasets`-style
+    * probability mixing, made exact and rank-based so every engine
+    * reproduces the same stream).  Each source's rows are ranked by `key`
+    * within the source; its r-th row (1-based) gets the integer interleave
+    * key  ik = (r · SCALE) div w  (SCALE = 720720 = lcm(1..16), so any
+    * weight ≤ 16 divides exactly; `div` = integer division, identical in
+    * every engine), and the stream position is the global rank over
+    * (ik, class, r) — sources with larger weights recur proportionally
+    * more often, round-robin at equal weights.
+    *
+    * Shape: per-source ranks and the final position both come from
+    * [[graft.core.Ranker.withRank]] (range-partitioned sort — never a
+    * single-partition window); the per-source pass loops over the weight
+    * map, which is a handful of sources by construction.
+    * Output: (doc_id, cls, ik, pos). */
+  def interleaveBySource(df: DataFrame, classCol: Column, key: Column,
+      weights: Map[String, Long]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weights must be positive")
+    val Scale = 720720L
+    val parts = weights.toSeq.sortBy(_._1).map { case (cls, wt) =>
+      val sub = df.where(classCol === cls)
+        .select(key.cast("long").as("doc_id"), classCol.as("cls"))
+      graft.core.Ranker.withRank(sub, "__r0", col("doc_id"))
+        .select(col("doc_id"), col("cls"),
+          (col("__r0") + 1).as("__r"),
+          expr(s"((__r0 + 1) * $Scale) div $wt").as("ik"))
+    }
+    val all = parts.reduce(_ unionByName _)
+    graft.core.Ranker.withRank(all, "pos", col("ik"), col("cls"), col("__r"))
+      .select(col("doc_id"), col("cls"), col("ik"), col("pos"))
+  }
+
   def quotaSample(df: DataFrame, classCol: Column, key: Column,
       seed: Long, k: Int): DataFrame = {
     require(k > 0, s"quota k must be positive, got $k")

@@ -878,6 +878,88 @@ object TextOps {
           (lit(1e6) * col("n_bigrams").cast("double"))).as("mean_lp"))
   }
 
+  private def trigrams(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"),
+          element_at(toks, i + 2).as("w3"))))
+      .otherwise(array()
+        .cast("array<struct<w1:string,w2:string,w3:string>>"))
+  }
+
+  /** Trigram Stupid-Backoff fluency score (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4) — the web-scale LM
+    * smoothing: no discounting to tune, just back off with a fixed
+    * multiplier α=0.4 when a higher-order count is absent:
+    *
+    *   S(w3|w1 w2) = c123/c12                   if c123 > 0
+    *               = 0.4 · c23/c2               elif c23 > 0
+    *               = 0.4² · (c3+1)/(N+V)        otherwise (add-one floor,
+    *                                             so unseen words score > 0)
+    *
+    * Per-document output is the mean log-score of its trigrams — the
+    * trigram upgrade of [[bigramLmScore]], same determinism discipline:
+    * each trigram's log S is 6-dp fixed-point scaled to BIGINT, summed as
+    * integers (order-independent), one final division.
+    *
+    * Shape at 100 TB: all model tables collapse map-side to n-gram-type
+    * cardinality and broadcast (the reference corpus is the small curated
+    * sample — pass broadcastModel=false otherwise); scoring is a narrow
+    * explode over the corpus scan whose only shuffle is the final per-doc
+    * hash agg.  Output: (doc_id, n_trigrams, mean_lp). */
+  def sboScore(df: DataFrame, text: Column, idCol: Column,
+      ref: DataFrame, refText: Column,
+      broadcastModel: Boolean = true): DataFrame = {
+    val rtg = graft.core.CacheScope.persist(
+      ref.select(explode(trigrams(refText)).as("tg"))
+        .select(col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+          col("tg.w3").as("w3")),
+      eager = false)
+    val rbg = graft.core.CacheScope.persist(
+      ref.select(explode(bigrams(refText)).as("bg"))
+        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2")),
+      eager = false)
+    def side(t: DataFrame): DataFrame = if (broadcastModel) broadcast(t) else t
+    val c123 = side(rtg.groupBy("w1", "w2", "w3")
+      .agg(count(lit(1)).as("c123")))
+    val c12 = side(rbg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    // c23 keyed on the LAST two positions of the trigram
+    val c23 = side(rbg.groupBy(col("w1").as("w2"), col("w2").as("w3"))
+      .agg(count(lit(1)).as("c23")))
+    val c2 = side(ref.select(explode(tokens(refText)).as("w2"))
+      .groupBy("w2").agg(count(lit(1)).as("c2")))
+    val c3 = side(ref.select(explode(tokens(refText)).as("w3"))
+      .groupBy("w3").agg(count(lit(1)).as("c3")))
+    val nv = ref.select(explode(tokens(refText)).as("tok"))
+      .agg(count(lit(1)).cast("double").as("__n"),
+        count_distinct(col("tok")).cast("double").as("__v"))
+    val score =
+      when(col("c123").isNotNull && col("c12").isNotNull,
+        col("c123").cast("double") / col("c12"))
+        .when(col("c23").isNotNull && col("c2").isNotNull,
+          lit(0.4) * col("c23").cast("double") / col("c2"))
+        .otherwise(lit(0.16) * (coalesce(col("c3"), lit(0L)) + lit(1))
+          .cast("double") / (col("__n") + col("__v")))
+    val scored = df.select(idCol.as("doc_id"), explode(trigrams(text)).as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(c2, Seq("w2"), "left")
+      .join(c3, Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"),
+        round(log(score) * lit(1e6), 0).cast("long").as("lp6"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"), sum("lp6").as("__s"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (col("__s").cast("double") /
+          (lit(1e6) * col("n_trigrams").cast("double"))).as("mean_lp"))
+  }
+
   /** Hashed bag-of-words bucket id for one token: top 60 bits of md5 mod
     * `buckets` — the cross-engine-stable hash convention used by every
     * dedup kernel (DuckDB mirror: `('0x'||substr(md5(tok),1,15))::BIGINT %

@@ -253,7 +253,7 @@ object R10cQueries {
 
   /** MinHash band chain (the dd_minhash_pairs oracle) — ends at
     * `mp(doc_a, doc_b)`, the id-ordered candidate pairs. */
-  private val MinhashPairsSql =
+  private[queries] val MinhashPairsSql =
     """toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
       |  FROM documents
@@ -289,7 +289,7 @@ object R10cQueries {
   /** [[MinhashPairsSql]] + recursive connected components — ends at
     * `cl(doc_id, root)`, root = each component's min doc id.  Callers
     * prepend `WITH RECURSIVE `. */
-  private val MinhashClusterSql = MinhashPairsSql +
+  private[queries] val MinhashClusterSql = MinhashPairsSql +
     """,
       |e AS (SELECT doc_a AS a, doc_b AS b2 FROM mp UNION ALL SELECT doc_b, doc_a FROM mp),
       |n AS (SELECT DISTINCT a AS node FROM e),
