@@ -29,6 +29,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -63,7 +64,10 @@ object Bench {
       try graft.core.CacheScope.release() catch { case _: Throwable => () }
       name -> (sec, rows)
     }
-    val qs = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + sec }
+    // 3-dp timings: the driver's artifact keeps only a ~2000-char tail of
+    // stdout, so every byte of the JSON line costs per-query visibility
+    def s3(d: Double): String = (math.rint(d * 1000) / 1000.0).toString
+    val qs = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + s3(sec) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
     // samples/sec for the headline sampling pipelines — the unit BASELINE.md
@@ -79,7 +83,16 @@ object Bench {
       val (sh, pop) = batchEntropy(spark, sfDir)
       s"""{"block1024_bs64":$sh,"population":$pop}"""
     } catch { case _: Throwable => "null" }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples_per_sec":$tp,"batch_entropy":$ent,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"samples_per_sec":$tp,"batch_entropy":$ent,"sf":"$sfDir"}"""
+    // The driver captures only a stdout tail, which has truncated the
+    // per-query map mid-key in past rounds (BENCH_r10/r11 "parsed": null).
+    // Persist the full payload to a committed repo file so bench artifacts
+    // stay machine-comparable across rounds regardless of tail size.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    println(line)
     spark.stop()
   }
 }

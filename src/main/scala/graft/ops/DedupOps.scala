@@ -1624,6 +1624,34 @@ object DedupOps {
       .groupBy("keeper_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
 
+  /** Cross-source duplication matrix: duplicate-pair counts per unordered
+    * source pair — the provenance diagnostic behind a mixture decision
+    * (which crawls/snapshots mirror each other; whether within-source or
+    * cross-source duplication dominates; which source pair a dedup pass
+    * should anti-join first).  `pairs` is any candidate/confirmed pair
+    * frame of the dedup ladder ((doc_a, doc_b)); `meta` maps ids to a
+    * source/class column.
+    *
+    * Shape: two id-keyed joins of the dup-rate-sized pair table against
+    * the meta projection (AQE broadcasts the pair side when small), then
+    * one hash agg on |sources|² keys — output bounded by the source
+    * vocabulary, never the corpus.  The pair is canonicalized
+    * (least, greatest) so (A,B) and (B,A) collapse.
+    * Output: (src_a, src_b, n_pairs). */
+  def crossSourceDupMatrix(pairs: DataFrame, meta: DataFrame,
+      id: Column, cls: Column): DataFrame = {
+    val m = meta.select(id.cast("long").as("__mid"), cls.as("__mcls"))
+    pairs.select(col("doc_a").cast("long").as("doc_a"),
+        col("doc_b").cast("long").as("doc_b"))
+      .join(m.select(col("__mid"), col("__mcls").as("__ca")),
+        col("doc_a") === col("__mid")).drop("__mid")
+      .join(m.select(col("__mid"), col("__mcls").as("__cb")),
+        col("doc_b") === col("__mid")).drop("__mid")
+      .groupBy(least(col("__ca"), col("__cb")).as("src_a"),
+        greatest(col("__ca"), col("__cb")).as("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** SOFT dedup: instead of dropping near-duplicates, DOWNWEIGHT them —
     * every member of a duplicate cluster of size n gets sampling weight
     * 1/n, so the cluster as a whole contributes one document's worth of

@@ -49,4 +49,30 @@ object EmbedOps {
         (col("__s").cast("double") /
           (col("n").cast("double") * lit(1000000.0))).as("centroid"),
         col("n"))
+
+  /** Semantic outlier flags: each vector's cosine to its OWN label
+    * centroid (the exact [[centroids]] aggregate), `is_outlier` when it
+    * falls below `minCosine` — the prototype-distance prune a curation
+    * pipeline runs before training (mislabeled / off-cluster embeddings;
+    * the cluster-distance signal of SemDeDup, Abbas et al. 2023, applied
+    * to pruning rather than dedup).
+    *
+    * Shape: the centroid table is |labels| rows — rebuilt into vectors
+    * with a per-label array_sort (tiny), then BROADCAST into a single
+    * narrow pass over the corpus; the only corpus-scale shuffle is the
+    * one inside [[centroids]] (already collapsed map-side to
+    * |labels|·dims partials).  The flag is a pushdown-able predicate once
+    * written out.  Output: (vec_id, label, ccos, is_outlier). */
+  def centroidOutliers(df: DataFrame, vec: Column, label: Column,
+      id: Column, minCosine: Double): DataFrame = {
+    val cent = centroids(df, vec, label)
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"),
+        col("centroid")))), x => x("centroid")).as("cv"))
+    df.select(id.cast("long").as("vec_id"), label.as("label"), vec.as("v"))
+      .join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(SimilarityOps.cosine(col("v"), col("cv")), 6).as("ccos"))
+      .withColumn("is_outlier", col("ccos") < minCosine)
+  }
 }

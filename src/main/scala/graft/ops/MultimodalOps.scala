@@ -105,6 +105,50 @@ object MultimodalOps {
         col("a.ahash").as("ahash"))
   }
 
+  /** Hamming-tolerant media near-dup pairs: the [[aHash]] fingerprint
+    * banded SimHash-style ([[DedupOps.simhashCandidates]]'s blocking,
+    * applied to the media tier) — the `bits`-bit hash splits into `bands`
+    * equal slices; docs colliding on any slice are candidates, and the
+    * pointwise popcount(xor) confirm keeps pairs within `maxHamming`.
+    * Pigeonhole gives EXACT recall for maxHamming <= bands - 1 (that many
+    * differing bits cannot touch every band), so the default 4-band/
+    * Hamming-3 tier is lossless over the hash space; looser tolerances
+    * must raise `bands` rather than silently drop recall (enforced).
+    * One shuffle on (band, key), in-bucket id-ordered pairs, never
+    * all-pairs — ~2^(bits/bands) buckets per band keep in-bucket
+    * populations near-linear at corpus scale.
+    * Output: (doc_a, doc_b, hamming), doc_a < doc_b. */
+  def aHashBandedPairs(decoded: DataFrame, id: Column, bits: Int = 16,
+      bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bands > 0 && bits % bands == 0,
+      s"bits=$bits must split into $bands equal bands")
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming exceeds the exact-recall bound of " +
+        s"$bands-band blocking (${bands - 1}); raise bands")
+    val bw = bits / bands
+    val mask = (1L << bw) - 1L
+    val withH = decoded.select(id.cast("long").as("doc_id"),
+      aHash(col("features")).as("ahash"))
+    val banded = withH.select(col("doc_id"), col("ahash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("ahash"), bw * b).bitwiseAND(mask).as("key"))): _*))
+        .as("b"))
+      .select(col("doc_id"), col("ahash"), col("b.band").as("band"),
+        col("b.key").as("key"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.ahash").as("ah_a"), col("b.ahash").as("ah_b"))
+      .distinct() // (doc_a, doc_b) determine the hashes: distinct pairs
+      .withColumn("hamming",
+        bit_count(col("ah_a").bitwiseXOR(col("ah_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
   def stubDecode(df: DataFrame, payload: Column, id: Column,
       dim: Int = 8): Dataset[MediaFeatures] = {
     val in = df.select(id.cast("long").as("doc_id"), payload.as("p"))

@@ -407,6 +407,136 @@ object SimilarityOps {
         col("adist"), col("rank").cast("long").as("rank"))
   }
 
+  /** Persist an IVF-PQ index — the durable form of [[ivfPqTopK]]'s two
+    * input artifacts, laid out so a search is partition pruning + int
+    * joins: PQ codes joined with their coarse-cell assignment, written
+    * `partitionBy(centroid_id)` (each cell a partition directory of
+    * (vec_id, sub, code) ints — float vectors appear nowhere), plus the
+    * two quantizers persisted INSIDE the index (underscore-prefixed, so
+    * directory reads skip them): `_graft_centroids` (the coarse quantizer,
+    * same drift-proofing as [[ivfIndexWrite]]) and `_graft_codebooks` (the
+    * PQ codebooks — encoding codes against one codebook and building query
+    * LUTs against another is the silent-garbage-distance failure mode).
+    * At 100 TB this is built once per corpus version; each query batch
+    * then reads nprobe directories of ints. */
+  def ivfPqIndexWrite(corpus: DataFrame, vec: Column, id: Column,
+      centroids: DataFrame, cvec: Column, cid: Column,
+      codebooks: DataFrame, m: Int, subDim: Int, dir: String): Unit = {
+    val cells = ivfAssign(corpus, vec, id, centroids, cvec, cid)
+      .select(col("vec_id"), col("centroid_id"))
+    pqEncode(corpus, vec, id, codebooks, m, subDim)
+      .select(col("vec_id"), col("sub"), col("code"))
+      .join(cells, Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+    centroids.select(cid.as("centroid_id"), cvec.as("ctv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_centroids")
+    codebooks.select(col("sub"), col("code_id"), col("cv"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_graft_codebooks")
+  }
+
+  /** Search a persisted IVF-PQ index ([[ivfPqIndexWrite]]) with ITS OWN
+    * persisted quantizers: identical semantics and ranking to
+    * [[ivfPqTopK]] (ADC within each query's nprobe nearest cells, adist
+    * 6-dp, neighbor-id tie-break, self-pairs excluded), but the corpus
+    * side is the partitioned code index — the probe join prunes the scan
+    * to the probed cells' directories, and only (sub, code) ints flow. */
+  def ivfPqSearchIndex(spark: SparkSession, indexDir: String,
+      queries: DataFrame, qvec: Column, qid: Column,
+      k: Int, subDim: Int, nprobe: Int = 1): DataFrame = {
+    val ct = spark.read.parquet(s"$indexDir/_graft_centroids")
+    val cb = spark.read.parquet(s"$indexDir/_graft_codebooks")
+    val corpus = spark.read.parquet(indexDir)
+    val q = queries.select(qid.as("query_id"), qvec.as("qv"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(ct))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        round(cosine(col("qv"), col("ctv")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= nprobe)
+      .select("query_id", "qv", "centroid_id")
+    val lut = probes.select("query_id", "qv").distinct()
+      .crossJoin(broadcast(cb))
+      .select(col("query_id"), col("sub"),
+        col("code_id").as("code"),
+        round(sqdist(slice(col("qv"), col("sub") * subDim + 1, lit(subDim)),
+          col("cv")), 6).as("ld"))
+    val pruned = corpus.join(broadcast(probes.select("query_id", "centroid_id")),
+      Seq("centroid_id"))
+    val appx = pruned.join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum(col("ld")), 6).as("adist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("adist"), col("vec_id"))
+    appx.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("adist"), col("rank").cast("long").as("rank"))
+  }
+
+  /** Large×large kNN JOIN via shared IVF cells — the two-corpus form of
+    * [[ivfTopK]].  There the query set is driver-sized and the probe table
+    * broadcasts; here BOTH sides are corpus-scale (embedding-join two
+    * shards, link a refresh against the prior corpus version), so nothing
+    * per-row may broadcast or window on a small key.
+    *
+    * Probe selection is a PER-ROW expression: the centroid table (tiny by
+    * construction) collapses to one array row and broadcasts; each left
+    * row sorts its |cells| (cos, id) entries locally and keeps `nprobe` —
+    * no window, no shuffle on the left side for probing.  The `0.0 − cos`
+    * sort key (instead of a negation) keeps `-0.0` out of the array
+    * ordering, which — unlike Spark's exchange sort — is NOT float-
+    * normalized.
+    *
+    * Shuffles: exactly two that touch corpus-scale data — the probes ⋈
+    * right-cells join on `centroid_id` (in-cell fan-out = |left probes in
+    * cell| × |right in cell|, the usual LSH-join bound — never the cross
+    * product) and the final per-left top-k window on `query_id`.  At
+    * 100 TB, right-side cells come from a persisted [[ivfIndexWrite]]
+    * layout, and both sides can be pre-partitioned on `centroid_id` to
+    * make the join co-located.
+    *
+    * Ranking matches [[ivfTopK]]: cosine 6-dp, neighbor-id tie-break,
+    * `rank` 0-based, rows with `neighbor_id == query_id` excluded (so the
+    * self-join degenerates to ivfTopK with a corpus-sized query set).
+    * Output: (query_id, neighbor_id, cos, rank). */
+  def knnJoinIvf(left: DataFrame, lvec: Column, lid: Column,
+      right: DataFrame, rvec: Column, rid: Column,
+      centroids: DataFrame, cvec: Column, cid: Column,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    val ctArr = centroids
+      .select(cid.cast("long").as("centroid_id"), cvec.as("ctv"))
+      .agg(collect_list(struct(col("centroid_id"), col("ctv"))).as("__cents"))
+    val probes = left.select(lid.cast("long").as("query_id"), lvec.as("qv"))
+      .crossJoin(broadcast(ctArr))
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(transform(col("__cents"), c =>
+          struct((lit(0.0) - round(cosine(col("qv"), c("ctv")), 6)).as("negc"),
+            c("centroid_id").as("centroid_id")))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"),
+        col("p.centroid_id").as("centroid_id"))
+    val cells = ivfAssign(right, rvec, rid, centroids, cvec, cid)
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id").cast("long")
+        .as("centroid_id"))
+    val rightCells = right
+      .select(rid.cast("long").as("neighbor_id"), rvec.as("nv"))
+      .join(cells, Seq("neighbor_id"))
+    val scored = rightCells.join(probes, Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Johnson–Lindenstrauss random projection: `dims` → `outDims` via a
     * deterministic ±1 sign matrix (Achlioptas 2003, "Database-friendly
     * random projections" — ±1 entries preserve pairwise distances within

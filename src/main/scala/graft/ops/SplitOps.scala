@@ -252,6 +252,39 @@ object SplitOps {
       .select(col("doc_id"), col("cls"), col("ik"), col("pos"))
   }
 
+  /** EXACT-count split: the named `counts` splits receive exactly that
+    * many rows each, the remainder lands in `rest` — vs [[withSplit]]'s
+    * binomial sizes.  The eval-set contract ("a 50 000-doc held-out set",
+    * not "≈1%") needs exact cardinality; assignment order is the
+    * deterministic (seed, key) md5 hash with a key tie-break, so the
+    * member set is reproducible and independent of partitioning.
+    *
+    * Unlike [[withSplit]], appending data DOES reassign rows (a new row
+    * hashing into the test prefix displaces the old boundary row) — exact
+    * counts and append-stability are mutually exclusive; pick per use.
+    *
+    * Shape: one range-partitioned rank ([[graft.core.Ranker]] — no
+    * single-partition window), then a literal CASE on the rank.  Output:
+    * input columns + `split`. */
+  def exactSplit(df: DataFrame, key: Column, seed: Long,
+      counts: Seq[(String, Long)], rest: String = "train"): DataFrame = {
+    require(counts.nonEmpty && counts.forall(_._2 > 0), "counts must be > 0")
+    val names = counts.map(_._1)
+    require(names.distinct == names && !names.contains(rest),
+      "split names must be distinct and exclude the rest split")
+    val ranked = graft.core.Ranker.withRank(
+      df.withColumn("__sk",
+        graft.core.Rng.Md5.sortKey(seed, "exact_split", key)),
+      "__xr", col("__sk"), key)
+    val cuts = counts.scanLeft(0L)(_ + _._2).tail
+    val split = counts.zip(cuts)
+      .foldLeft(null: Column) { case (acc, ((name, _), cut)) =>
+        if (acc == null) when(col("__xr") < cut, name)
+        else acc.when(col("__xr") < cut, name)
+      }.otherwise(rest)
+    ranked.withColumn("split", split).drop("__sk", "__xr")
+  }
+
   def quotaSample(df: DataFrame, classCol: Column, key: Column,
       seed: Long, k: Int): DataFrame = {
     require(k > 0, s"quota k must be positive, got $k")

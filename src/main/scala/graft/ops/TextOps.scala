@@ -960,6 +960,73 @@ object TextOps {
           (lit(1e6) * col("n_trigrams").cast("double"))).as("mean_lp"))
   }
 
+  /** Out-of-vocabulary rate against the top-`vocabSize` tokens of a
+    * reference corpus (count desc, token asc ties — a total order, so the
+    * vocabulary set is deterministic): per document, the fraction of its
+    * tokens missing from that vocabulary.  High OOV ≈ foreign language,
+    * boilerplate-mangled, or domain-shifted text — the vocabulary-coverage
+    * gate of CCNet-style curation.
+    *
+    * Shape at 100 TB: the vocabulary is a `vocabSize`-row TakeOrdered off
+    * the reference corpus's map-side-combined token counts, then BROADCAST
+    * into the scoring join — the corpus explode never shuffles tokens,
+    * only the final per-doc hash agg (map-side combined to ~1 row/doc)
+    * does.  Documents with zero tokens yield no row (the [[dsirWeights]]
+    * convention).  Output: (doc_id, n_tokens, oov_rate 6-dp). */
+  def oovRate(df: DataFrame, text: Column, id: Column,
+      ref: DataFrame, refText: Column, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val vocab = ref.select(explode(tokens(refText)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__in"))
+    df.select(id.cast("long").as("doc_id"), explode(tokens(text)).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("__oov"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("__oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
+  /** Top-k collocations by pointwise mutual information (Church & Hanks
+    * 1990): PMI(w1,w2) = ln( (c12/N_bg) / ((c1/N_tok)·(c2/N_tok)) ) over
+    * bigrams with `c12 ≥ minCount` (the low-count PMI blow-up guard).
+    * All counts are exact integers from map-side-combined hash aggs; PMI
+    * is one ln of an integer-ratio product, 6-dp rounded, and the top-k
+    * order (pmi desc, w1, w2) is total — engine-exact.
+    *
+    * Shape at 100 TB: two explode+agg passes (bigrams, unigrams) that
+    * collapse map-side to vocabulary cardinality; the ≥minCount bigram
+    * table joins the unigram counts on word keys (AQE picks the
+    * broadcast when the filtered side is small); the result is a
+    * TakeOrdered top-k — output bounded by the parameter, not the corpus.
+    * Output: (w1, w2, c12, pmi). */
+  def pmiTop(df: DataFrame, text: Column, k: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(k > 0 && minCount >= 1, "k and minCount must be positive")
+    val bg = df.select(explode(bigrams(text)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    val nBg = bg.agg(count(lit(1)).as("__nb"))
+    val uni = df.select(explode(tokens(text)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+    val nTok = uni.agg(sum("__c").as("__nt"))
+    bgCounts
+      .join(uni.select(col("tok").as("w1"), col("__c").as("__c1")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("__c").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(nBg)).crossJoin(broadcast(nTok))
+      .select(col("w1"), col("w2"), col("c12"),
+        // double products (left-assoc, same in the SQL mirror): the long
+        // product c12·N²_tok overflows 64 bits at real corpus scale
+        round(log((col("c12").cast("double") * col("__nt") * col("__nt")) /
+          (col("__nb").cast("double") * col("__c1") * col("__c2"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Hashed bag-of-words bucket id for one token: top 60 bits of md5 mod
     * `buckets` — the cross-engine-stable hash convention used by every
     * dedup kernel (DuckDB mirror: `('0x'||substr(md5(tok),1,15))::BIGINT %

@@ -185,6 +185,27 @@ object R11Queries {
       |  JOIN sizes sb ON sb.doc_id = doc_b
       |  WHERE round(common::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE, 6) >= 0.5)""".stripMargin
 
+  /** aHash oracle CTE: mirrors stubDecode's md5-derived 16-cell feature
+    * grid and the bit-weight fold of [[graft.ops.MultimodalOps.aHash]] —
+    * ends at `a(doc_id, ahash)`. */
+  private[queries] val AHashSql =
+    """d AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |f AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(0, 15),
+      |      j -> ('0x' || substr(h, j * 2 + 1, 2))::INT / 255.0) AS fs
+      |  FROM d),
+      |m AS (
+      |  SELECT doc_id, fs,
+      |    list_reduce(fs, (a, b) -> a + b) / 16.0 AS mean
+      |  FROM f),
+      |a AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(generate_series(0, 15),
+      |      j -> CASE WHEN fs[j + 1] > mean THEN pow(2.0, j) ELSE 0.0 END),
+      |      (a, b) -> a + b)::BIGINT AS ahash
+      |  FROM m)""".stripMargin
+
   def oracles: Map[String, String] = Map(
 
     "sim_ivfpq_topk" ->
@@ -320,23 +341,8 @@ object R11Queries {
         |FROM i""".stripMargin,
 
     "mm_ahash_pairs" ->
-      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
-        |f AS (
-        |  SELECT doc_id,
-        |    list_transform(generate_series(0, 15),
-        |      j -> ('0x' || substr(h, j * 2 + 1, 2))::INT / 255.0) AS fs
-        |  FROM d),
-        |m AS (
-        |  SELECT doc_id, fs,
-        |    list_reduce(fs, (a, b) -> a + b) / 16.0 AS mean
-        |  FROM f),
-        |a AS (
-        |  SELECT doc_id,
-        |    list_reduce(list_transform(generate_series(0, 15),
-        |      j -> CASE WHEN fs[j + 1] > mean THEN pow(2.0, j) ELSE 0.0 END),
-        |      (a, b) -> a + b)::BIGINT AS ahash
-        |  FROM m)
-        |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.ahash
-        |FROM a x JOIN a y ON x.ahash = y.ahash AND x.doc_id < y.doc_id""".stripMargin
+      s"""WITH $AHashSql
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.ahash
+         |FROM a x JOIN a y ON x.ahash = y.ahash AND x.doc_id < y.doc_id""".stripMargin
   )
 }

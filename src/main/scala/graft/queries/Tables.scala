@@ -13,9 +13,12 @@ private[queries] object Tables {
   def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and convert (floor) to a
-    * microsecond timestamp — downstream ms math is unaffected.
+  /** events.parquet has shipped with two physical types for `ts` across
+    * driver testdata generations: TIMESTAMP(NANOS) — which Spark's
+    * vectorized reader rejects, so `nanosAsLong=true` surfaces it as a
+    * BIGINT of nanos — and plain timestamp[us], which loads as a native
+    * TimestampType. Branch on the *loaded* dtype so both generations read
+    * to the same microsecond-precision timestamp column.
     *
     * `nanosAsLong` is a runtime-settable SQL conf; Verify/Bench also set it
     * at session build, but it is (idempotently) re-asserted here so the
@@ -23,7 +26,17 @@ private[queries] object Tables {
     * their own). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // non-UTC-adjusted parquet loads as NTZ; downstream window/epoch
+        // math needs TIMESTAMP.  Under the UTC session timezone (set by
+        // Verify/Bench and the loader contract) the cast is instant-exact
+        // and matches DuckDB's naive-as-UTC reading of the same file.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw // already an instant timestamp — use as-is
+    }
   }
 }

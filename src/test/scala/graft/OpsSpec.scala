@@ -1771,4 +1771,289 @@ class OpsSpec extends AnyFunSuite {
     // independent vector after projection
     assert(d2(m(0L), m(1L)) < d2(m(0L), m(2L)) / 4)
   }
+
+  test("softDedupWeights: cluster mass sums to 1, singletons weigh 1.0") {
+    val pairs = Seq((0L, 3L)).toDF("doc_a", "doc_b")
+    val w = DedupOps.softDedupWeights(docs, col("doc_id"), pairs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(w.keySet == Set(0L, 1L, 2L, 3L)) // one row per input doc
+    assert(w(0L) == (2L, 0.5) && w(3L) == (2L, 0.5)) // cluster of 2
+    assert(w(1L) == (1L, 1.0) && w(2L) == (1L, 1.0)) // untouched docs
+    // the defining invariant: every duplicate cluster carries total mass 1
+    assert(w(0L)._2 + w(3L)._2 == 1.0)
+  }
+
+  test("minhashEvalReport matches direct kernel counts; dup pair is recalled") {
+    val rep = DedupOps.minhashEvalReport(docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Double, Double)].collect().head
+    val (nTruth, nCand, nHits, recall, precision) = rep
+    val truth = DedupOps.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      3, 100, 0.5).select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cand = DedupOps.minhashCandidates(docs, col("text"), col("doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(nTruth == truth.size && nCand == cand.size)
+    assert(nHits == truth.intersect(cand).size)
+    // the identical pair (0,3) collides on every band: it must be recalled
+    assert(truth.contains((0L, 3L)) && cand.contains((0L, 3L)))
+    assert(recall == math.rint(nHits.toDouble / nTruth * 1e6) / 1e6)
+    assert(precision == math.rint(nHits.toDouble / nCand * 1e6) / 1e6)
+  }
+
+  test("lshTuneGrid: every factorization present, closed-form S-curve exact") {
+    val g = DedupOps.lshTuneGrid(spark, Seq(16), target = 0.5)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].collect()
+    // divisors of 16 → 5 (bands, rows) factorizations
+    assert(g.map(r => (r._2, r._3)).toSet ==
+      Set((1L, 16L), (2L, 8L), (4L, 4L), (8L, 2L), (16L, 1L)))
+    val r44 = g.find(r => r._2 == 4L && r._3 == 4L).get
+    assert(r44._4 == 0.707107) // threshold (1/4)^(1/4) = 1/√2
+    assert(r44._6 == 0.227524) // 1 − (1 − 0.5⁴)⁴
+    // monotone: more bands (shorter rows) at fixed n ⇒ lower threshold
+    val byBands = g.sortBy(_._2).map(_._4).toSeq
+    assert(byBands == byBands.sorted.reverse)
+  }
+
+  test("boilerplateRemove cuts >maxDocs segments everywhere, keeps the rest") {
+    val bp = Seq(
+      (0L, "cookie policy\n\nunique zero"),
+      (1L, "cookie policy\n\nunique one"),
+      (2L, "cookie policy\n\nunique two"),
+      (3L, "cookie policy"),            // fully boilerplate
+      (4L, "shared twice\n\nunique four"),
+      (5L, "shared twice\n\nunique five"), // df=2 == maxDocs: kept
+    ).toDF("doc_id", "text")
+    val out = DedupOps.boilerplateRemove(bp, col("text"), col("doc_id"))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // the C4 line rule: first occurrence removed too (vs paragraph dedup)
+    assert(out(0L) == ("unique zero", 1L) && out(1L) == ("unique one", 1L))
+    assert(out(3L) == ("", 1L)) // fully-boilerplate doc survives as a row
+    // at-threshold segments untouched
+    assert(out(4L) == ("shared twice\nunique four", 0L))
+    assert(out(5L) == ("shared twice\nunique five", 0L))
+  }
+
+  test("sboScore: trigram, backoff-bigram, and unigram tiers score exactly") {
+    val ref = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "a b c"), // seen trigram: c123/c12 = 1 → lp = 0
+      (1L, "x b c"), // backoff: 0.4·c23(b,c)/c2(b) = 0.4
+      (2L, "x y z"), // unseen unigram: 0.16·(0+1)/(n+v) = 0.16/6
+    ).toDF("doc_id", "text")
+    val s = TextOps.sboScore(corpus, col("text"), col("doc_id"),
+      ref, col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(s.values.forall(_._1 == 1L)) // one trigram per doc
+    assert(s(0L)._2 == 0.0)
+    assert(math.abs(s(1L)._2 - math.log(0.4)) < 1e-6)
+    assert(math.abs(s(2L)._2 - math.log(0.16 / 6)) < 1e-6)
+    // tier ordering: direct hit > backoff > out-of-vocabulary
+    assert(s(0L)._2 > s(1L)._2 && s(1L)._2 > s(2L)._2)
+  }
+
+  test("interleaveBySource: dense positions, per-class order, weighted share") {
+    val rows = (0L until 30L).map(i => (i, "A")) ++
+      (100L until 115L).map(i => (i, "B"))
+    val df = rows.toDF("doc_id", "src")
+    val out = SplitOps.interleaveBySource(df, col("src"), col("doc_id"),
+      Map("A" -> 2L, "B" -> 1L))
+      .select("pos", "doc_id", "cls").as[(Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 45L)) // dense global positions
+    // within each class the original key order is preserved
+    def ids(c: String) = out.filter(_._3 == c).map(_._2).toSeq
+    assert(ids("A") == ids("A").sorted && ids("B") == ids("B").sorted)
+    // every prefix holds the 2:1 share to within one item per class
+    (1 to 45).foreach { n =>
+      val a = out.take(n).count(_._3 == "A")
+      assert(math.abs(a - n * 2.0 / 3) <= 2, s"prefix $n: a=$a")
+    }
+  }
+
+  test("ivfPqTopK equals pqTopK when one probed cell covers the corpus") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val base = Seq(
+      (0L, v(1, 0, 0, 0, 0, 1, 0, 0)),
+      (1L, v(0, 0, 1, 0, 0, 0, 0, 1)),
+      (2L, v(1, 0.1, 0, 0, 0, 1, 0.1, 0)),
+      (3L, v(0, 0.1, 1, 0, 0.1, 0, 0, 1)),
+    ).toDF("vec_id", "embedding")
+    val cb = base.where(col("vec_id") < 2)
+      .select(col("vec_id").as("code_id"), col("embedding").as("e"))
+      .select(explode(sequence(lit(0), lit(1))).as("sub"), col("code_id"),
+        col("e"))
+      .select(col("sub"), col("code_id"),
+        slice(col("e"), col("sub") * 4 + 1, lit(4)).as("cv"))
+    val codes = SimilarityOps.pqEncode(base, col("embedding"), col("vec_id"),
+      cb, m = 2, subDim = 4).select("vec_id", "sub", "code")
+    val oneCell = base.select(col("vec_id"), lit(0L).as("centroid_id"))
+    val cents = base.where(col("vec_id") === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv0"))
+    val q = base.where(col("vec_id") === 0)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val composed = rows(SimilarityOps.ivfPqTopK(codes, oneCell, cb,
+      cents, col("cv0"), col("cid"),
+      q, col("embedding"), col("vec_id"), k = 3, m = 2, subDim = 4))
+    val flat = rows(SimilarityOps.pqTopK(codes, cb,
+      q, col("embedding"), col("vec_id"), k = 3, m = 2, subDim = 4))
+    assert(composed.nonEmpty && composed == flat)
+  }
+
+  test("persisted IVF-PQ index reproduces ivfPqTopK; partition pruning holds") {
+    val r = new scala.util.Random(11)
+    val df = (0L until 60L).map(i =>
+      (i, Array.fill(8)(r.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val cents = df.where(col("vec_id") < 4)
+    val cb = df.where(col("vec_id") < 2)
+      .select(col("vec_id").as("code_id"), col("embedding").as("e"))
+      .select(explode(sequence(lit(0), lit(1))).as("sub"), col("code_id"),
+        col("e"))
+      .select(col("sub"), col("code_id"),
+        slice(col("e"), col("sub") * 4 + 1, lit(4)).as("cv"))
+    val queries = df.where(col("vec_id") >= 50)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    SimilarityOps.ivfPqIndexWrite(df, col("embedding"), col("vec_id"),
+      cents, col("embedding"), col("vec_id"), cb, m = 2, subDim = 4, idx)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val viaIndex = rows(SimilarityOps.ivfPqSearchIndex(spark, idx,
+      queries, col("embedding"), col("vec_id"), k = 5, subDim = 4, nprobe = 2))
+    val codes = SimilarityOps.pqEncode(df, col("embedding"), col("vec_id"),
+      cb, m = 2, subDim = 4).select("vec_id", "sub", "code")
+    val cells = SimilarityOps.ivfAssign(df, col("embedding"), col("vec_id"),
+      cents, col("embedding"), col("vec_id"))
+      .select("vec_id", "centroid_id")
+    val direct = rows(SimilarityOps.ivfPqTopK(codes, cells, cb,
+      cents, col("embedding"), col("vec_id"),
+      queries, col("embedding"), col("vec_id"),
+      k = 5, m = 2, subDim = 4, nprobe = 2))
+    assert(viaIndex.nonEmpty && viaIndex == direct)
+    // the cell id is a real partition column of the code index
+    val plan = spark.read.parquet(idx).where(col("centroid_id") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("centroid_id"))
+  }
+
+  test("knnJoinIvf with all cells probed equals bruteTopK on both sides") {
+    val r = new scala.util.Random(13)
+    val df = (0L until 40L).map(i =>
+      (i, Array.fill(8)(r.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val cents = df.where(col("vec_id") < 4)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("query_id", "neighbor_id", "cos")
+        .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    // nprobe = |cells|: every query probes every cell → exact search
+    val joined = rows(SimilarityOps.knnJoinIvf(df, col("embedding"),
+      col("vec_id"), df, col("embedding"), col("vec_id"),
+      cents, col("embedding"), col("vec_id"), k = 3, nprobe = 4))
+    val brute = rows(SimilarityOps.bruteTopK(df, col("embedding"),
+      col("vec_id"), df, col("embedding"), col("vec_id"), k = 3))
+    assert(joined.nonEmpty && joined == brute)
+    // nprobe = 1 returns ≤ k per query, ranks dense from 0, no self-pairs
+    val n1 = SimilarityOps.knnJoinIvf(df, col("embedding"), col("vec_id"),
+      df, col("embedding"), col("vec_id"),
+      cents, col("embedding"), col("vec_id"), k = 3, nprobe = 1)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Long)].collect()
+    assert(n1.forall { case (q, n, _) => q != n })
+    n1.groupBy(_._1).values.foreach { g =>
+      assert(g.length <= 3 &&
+        g.map(_._3).sorted.toSeq == (0L until g.length.toLong))
+    }
+  }
+
+  test("centroidOutliers flags the planted off-cluster vector only") {
+    def v(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val df = Seq(
+      (0L, 0L, v(1, 0, 0, 0)), (1L, 0L, v(0.9, 0.1, 0, 0)),
+      (2L, 0L, v(-1, 0, 0, 0)), // planted: opposes its label-0 cluster
+      (3L, 1L, v(0, 0, 1, 0)), (4L, 1L, v(0, 0, 0.9, 0.1)),
+    ).toDF("vec_id", "label", "embedding")
+    val out = EmbedOps.centroidOutliers(df, col("embedding"), col("label"),
+      col("vec_id"), minCosine = 0.0)
+      .select("vec_id", "ccos", "is_outlier")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 5)
+    assert(out(2L)._3 && out(2L)._2 < 0.0)
+    assert(Seq(0L, 1L, 3L, 4L).forall(i => !out(i)._3 && out(i)._2 > 0.0))
+  }
+
+  test("crossSourceDupMatrix: canonical source pairs, exact counts") {
+    val meta = Seq((0L, "cc"), (1L, "wiki"), (2L, "cc"), (3L, "books"))
+      .toDF("doc_id", "source")
+    val pairs = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L))
+      .toDF("doc_a", "doc_b")
+    val m = DedupOps.crossSourceDupMatrix(pairs, meta, col("doc_id"),
+      col("source"))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // (0,1)=cc·wiki and (1,2)=wiki·cc canonicalize to the same cell
+    assert(m == Map(("cc", "wiki") -> 2L, ("cc", "cc") -> 1L,
+      ("books", "cc") -> 1L))
+  }
+
+  test("oovRate: vocabulary cut by (count desc, token asc); exact rates") {
+    // ref counts: common×3, rare×1, tie×1 — vocabSize=2 keeps
+    // {common, rare} (tie 'zeta' loses the count-then-token order)
+    val ref = Seq((0L, "common common common rare tie")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "common rare"),        // all in vocab → 0.0
+      (1L, "common tie unseen"),  // 2 of 3 OOV
+      (2L, ""),                   // no tokens → no row
+    ).toDF("doc_id", "text")
+    val out = TextOps.oovRate(corpus, col("text"), col("doc_id"),
+      ref, col("text"), vocabSize = 2)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out.keySet == Set(0L, 1L))
+    assert(out(0L) == (2L, 0.0))
+    assert(out(1L) == (3L, 0.666667))
+  }
+
+  test("pmiTop: hand-computed PMI, minCount guard, bounded output") {
+    // corpus: "a b" ×3, "c d" ×1 in one doc each; unigrams a:3 b:3 c:1 d:1
+    val df = Seq((0L, "a b"), (1L, "a b"), (2L, "a b"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val out = TextOps.pmiTop(df, col("text"), k = 10, minCount = 2L)
+      .as[(String, String, Long, Double)].collect()
+    // only (a,b) survives minCount; PMI = ln(3·8²/(4·3·3)) = ln(16/3)
+    assert(out.toSeq == Seq(("a", "b", 3L,
+      math.rint(math.log(3.0 * 64 / (4 * 9)) * 1e6) / 1e6)))
+  }
+
+  test("exactSplit: exact counts, deterministic membership, dense cover") {
+    val df = (0L until 100L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def splits() = SplitOps.exactSplit(df, col("doc_id"), seed = 7L,
+      counts = Seq("test" -> 10L, "val" -> 5L))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s1 = splits()
+    assert(s1.size == 100)
+    assert(s1.values.count(_ == "test") == 10)
+    assert(s1.values.count(_ == "val") == 5)
+    assert(s1.values.count(_ == "train") == 85)
+    assert(splits() == s1) // reproducible member sets, not just sizes
+  }
+
+  test("aHashBandedPairs equals brute-force Hamming ≤ 3; bound enforced") {
+    val r = new scala.util.Random(5)
+    val feats = (0L until 40L).map(i =>
+      (i, Array.fill(16)(r.nextFloat()))).toDF("doc_id", "features")
+    val hashes = feats
+      .select(col("doc_id"), MultimodalOps.aHash(col("features")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      ham = java.lang.Long.bitCount(hashes(a) ^ hashes(b))
+      if ham <= 3
+    } yield (a, b, ham.toLong)).toSet
+    val banded = MultimodalOps.aHashBandedPairs(feats, col("doc_id"),
+      bits = 16, bands = 4, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // pigeonhole: 4-band blocking is lossless at Hamming ≤ 3
+    assert(banded == brute && brute.nonEmpty)
+    // a tolerance past bands−1 would silently lose recall: rejected
+    intercept[IllegalArgumentException] {
+      MultimodalOps.aHashBandedPairs(feats, col("doc_id"),
+        bits = 16, bands = 4, maxHamming = 4)
+    }
+  }
 }

@@ -180,6 +180,11 @@ object XScaleBench {
       "p3_cluster_split", "text_quality_tiers_by", "dd_tf_cosine",
       "dd_tf_sparse", "dd_cluster_sizes", "text_length_outliers",
       "text_novelty", "dd_embed_banded",
+      "sim_ivfpq_topk", "dd_soft_weights", "dd_minhash_recall",
+      "dd_lsh_tune", "text_boilerplate", "text_sbo_lm", "o3_interleave",
+      "mm_ahash_pairs", "sim_ivfpq_persisted", "mm_ahash_banded",
+      "sim_knn_join", "emb_outliers", "dd_source_matrix", "text_oov_rate",
+      "text_pmi_top", "p3_exact_split",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
