@@ -537,6 +537,46 @@ object SimilarityOps {
         col("rank").cast("long").as("rank"))
   }
 
+  /** [[knnJoinIvf]] with the right side read from a persisted IVF index
+    * ([[ivfIndexWrite]]) and probed with the index's OWN quantizer
+    * (`_graft_centroids` — the drift-proofing of [[ivfSearchIndex]]).
+    * Identical output to knnJoinIvf over the indexed corpus with the same
+    * centroids; physically, the right side arrives pre-assigned AND
+    * pre-partitioned on `centroid_id`, so the cell join needs no
+    * assignment pass and no right-side shuffle — at 100 TB the index is
+    * built once and every left-corpus linkage run joins against cell
+    * directories directly. */
+  def knnJoinIvfIndex(spark: SparkSession, indexDir: String,
+      left: DataFrame, lvec: Column, lid: Column,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    val ct = spark.read.parquet(s"$indexDir/_graft_centroids")
+    val ctArr = ct.select(col("centroid_id").cast("long").as("centroid_id"),
+        col("ctv"))
+      .agg(collect_list(struct(col("centroid_id"), col("ctv"))).as("__cents"))
+    val probes = left.select(lid.cast("long").as("query_id"), lvec.as("qv"))
+      .crossJoin(broadcast(ctArr))
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(transform(col("__cents"), c =>
+          struct((lit(0.0) - round(cosine(col("qv"), c("ctv")), 6)).as("negc"),
+            c("centroid_id").as("centroid_id")))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"),
+        col("p.centroid_id").as("centroid_id"))
+    val rightCells = spark.read.parquet(indexDir)
+      .select(col("neighbor_id").cast("long").as("neighbor_id"), col("cv"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val scored = rightCells.join(probes, Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Johnson–Lindenstrauss random projection: `dims` → `outDims` via a
     * deterministic ±1 sign matrix (Achlioptas 2003, "Database-friendly
     * random projections" — ±1 entries preserve pairwise distances within

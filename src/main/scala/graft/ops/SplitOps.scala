@@ -285,6 +285,31 @@ object SplitOps {
     ranked.withColumn("split", split).drop("__sk", "__xr")
   }
 
+  /** Deterministic shuffled N-shard export layout (the WebDataset/tfrecord
+    * shard convention): every row gets `(shard, pos)` — shard from the
+    * (seed, key) md5 uniform, position = the row's rank within its shard
+    * under the same hash order (key tie-break) — so writing
+    * `partitionBy(shard)` + sort on `pos` yields globally-shuffled,
+    * reproducible training shards with no `rand()` and no global sort.
+    *
+    * Shape: one shuffle on `shard` with an in-shard sort (the window is
+    * per-shard).  Pick `nShards` at or above the cluster's parallelism
+    * (shards are typically 100s–1000s at 100 TB) — each shard is one sort
+    * task, which is exactly the parallelism of the export write itself. */
+  def exportShards(df: DataFrame, key: Column, seed: Long,
+      nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val sk = graft.core.Rng.Md5.sortKey(seed, "shard", key)
+    val w = Window.partitionBy("shard").orderBy(col("__sk"), key)
+    df.withColumn("__sk", sk)
+      .withColumn("shard",
+        pmod(conv(substring(col("__sk"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__sk")
+  }
+
   def quotaSample(df: DataFrame, classCol: Column, key: Column,
       seed: Long, k: Int): DataFrame = {
     require(k > 0, s"quota k must be positive, got $k")

@@ -989,6 +989,38 @@ object TextOps {
         round(col("__oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
   }
 
+  /** Driver-materialized top-`vocabSize` vocabulary of a reference corpus
+    * (same (count desc, token asc) total order as [[oovRate]]) — the
+    * model artifact for stateless/stream scoring.  Bounded collect: the
+    * result is `vocabSize` strings, never corpus-sized (the
+    * [[dsirLogRatioMap]] convention). */
+  def vocabTop(ref: DataFrame, refText: Column, vocabSize: Int): Seq[String] = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    import ref.sparkSession.implicits._
+    ref.select(explode(tokens(refText)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok")).limit(vocabSize)
+      .select("tok").as[String].collect().toSeq
+  }
+
+  /** Stateless per-row OOV rate against a driver-held vocabulary
+    * ([[vocabTop]]): pure array arithmetic on the token list — no join,
+    * no shuffle, no state — so it runs identically over a batch frame or
+    * a micro-batch (score-at-ingestion;
+    * [[graft.streaming.StreamingOps.oovScoreStream]]).  Bit-equal to
+    * [[oovRate]] under the same vocabulary.  The per-token cost is a
+    * linear scan of the vocabulary literal — fine for gate-sized vocabs
+    * (hundreds–thousands); use the join form for larger ones. */
+  def oovRateStateless(df: DataFrame, text: Column, id: Column,
+      vocab: Seq[String]): DataFrame = {
+    val vlit = typedLit(vocab)
+    df.select(id.cast("long").as("doc_id"), tokens(text).as("__t"))
+      .where(size(col("__t")) > 0)
+      .select(col("doc_id"), size(col("__t")).cast("long").as("n_tokens"),
+        round(size(filter(col("__t"), t => !array_contains(vlit, t)))
+          .cast("double") / size(col("__t")), 6).as("oov_rate"))
+  }
+
   /** Top-k collocations by pointwise mutual information (Church & Hanks
     * 1990): PMI(w1,w2) = ln( (c12/N_bg) / ((c1/N_tok)·(c2/N_tok)) ) over
     * bigrams with `c12 ≥ minCount` (the low-count PMI blow-up guard).

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.{DedupOps, EmbedOps, MultimodalOps, SimilarityOps, SplitOps, TextOps}
+import graft.streaming.StreamingOps
 
 /** Round-12 queries: the persisted IVF-PQ index (codes partitioned by
   * coarse cell + both quantizers stored inside the index, so a search is
@@ -67,6 +68,31 @@ object R12Queries {
         col("doc_id"), seed = 7L,
         counts = Seq("test" -> 50L, "val" -> 25L))),
 
+    // Deterministic shuffled shard layout for training export: 8 shards,
+    // hash-assigned, hash-ordered within shard (WebDataset convention)
+    "o5_export_shards" -> ((s, dir) =>
+      SplitOps.exportShards(Tables.docs(s, dir).select(col("doc_id")),
+        col("doc_id"), seed = 5L, nShards = 8)),
+
+    // Recency-weighted per-user activity mass over the events stream
+    // (half-life 7 days, exact micro-unit sums)
+    "ev_recency_weights" -> ((s, dir) =>
+      StreamingOps.recencyWeights(Tables.events(s, dir),
+        halfLifeDays = 7.0)),
+
+    // kNN join against a PERSISTED IVF index: right side pre-assigned and
+    // pre-partitioned on centroid_id, probed with the index's own
+    // quantizer — same output as sim_knn_join
+    "sim_knn_join_persisted" -> ((s, dir) => {
+      val e = Tables.emb(s, dir)
+      val idx = R9Queries.runTmp + "/knnj_index_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      SimilarityOps.ivfIndexWrite(e, col("embedding"), col("vec_id"),
+        e.where(col("vec_id") < 8), col("embedding"), col("vec_id"), idx)
+      SimilarityOps.knnJoinIvfIndex(s, idx, e, col("embedding"),
+        col("vec_id"), k = 3, nprobe = 2)
+    }),
+
     // Persisted IVF-PQ: same cells/codebooks/probe/ADC semantics (and
     // oracle) as sim_ivfpq_topk, but built once as a partitioned code
     // index and searched with the index's OWN persisted quantizers —
@@ -120,40 +146,48 @@ object R12Queries {
   private def toksSql(x: String): String =
     s"""list_filter(string_split_regex(lower($x), '\\s+'), t -> t <> '')"""
 
+  /** kNN-join mirror (self-join form over embeddings, 8 fixed centroids,
+    * nprobe=2, k=3): cell assignment = rank-1 probe; shared by
+    * `sim_knn_join` and its persisted-index layout twin. */
+  private lazy val KnnJoinSql: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+       |asg0 AS (
+       |  SELECT e.vec_id AS neighbor_id, e.embedding AS nv, c.centroid_id,
+       |    ${cosSql("e.embedding", "c.cv")} AS acos
+       |  FROM embeddings e CROSS JOIN c
+       |),
+       |asg AS (
+       |  SELECT neighbor_id, nv, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY acos DESC, centroid_id) AS rn
+       |    FROM asg0) WHERE rn = 1
+       |),
+       |qp AS (
+       |  SELECT neighbor_id AS query_id, nv AS qv, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY acos DESC, centroid_id) AS rn
+       |    FROM asg0) WHERE rn <= 2
+       |),
+       |s AS (
+       |  SELECT qp.query_id, a.neighbor_id,
+       |    ${cosSql("qp.qv", "a.nv")} AS cos
+       |  FROM asg a JOIN qp ON a.centroid_id = qp.centroid_id
+       |  WHERE a.neighbor_id <> qp.query_id
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) - 1 AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank < 3""".stripMargin
+
   def oracles: Map[String, String] = Map(
 
     // identical semantics to the in-memory composed search — the index is
     // a layout, not a different algorithm
     "sim_ivfpq_persisted" -> R11Queries.oracles("sim_ivfpq_topk"),
 
-    "sim_knn_join" ->
-      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
-         |asg0 AS (
-         |  SELECT e.vec_id AS neighbor_id, e.embedding AS nv, c.centroid_id,
-         |    ${cosSql("e.embedding", "c.cv")} AS acos
-         |  FROM embeddings e CROSS JOIN c
-         |),
-         |asg AS (
-         |  SELECT neighbor_id, nv, centroid_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY acos DESC, centroid_id) AS rn
-         |    FROM asg0) WHERE rn = 1
-         |),
-         |qp AS (
-         |  SELECT neighbor_id AS query_id, nv AS qv, centroid_id FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY acos DESC, centroid_id) AS rn
-         |    FROM asg0) WHERE rn <= 2
-         |),
-         |s AS (
-         |  SELECT qp.query_id, a.neighbor_id,
-         |    ${cosSql("qp.qv", "a.nv")} AS cos
-         |  FROM asg a JOIN qp ON a.centroid_id = qp.centroid_id
-         |  WHERE a.neighbor_id <> qp.query_id
-         |),
-         |r AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) - 1 AS rank
-         |  FROM s
-         |)
-         |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank < 3""".stripMargin,
+    "sim_knn_join" -> KnnJoinSql,
+
+    // the index is a layout, not a different algorithm: same oracle
+    "sim_knn_join_persisted" -> KnnJoinSql,
 
     "emb_outliers" ->
       s"""WITH x AS (
@@ -246,6 +280,33 @@ object R12Queries {
          |       ELSE 'train' END AS split
          |FROM r""".stripMargin
     },
+
+    "o5_export_shards" -> {
+      val sk = graft.core.Rng.Md5.sortKeySql(5L, "shard", Seq("doc_id"))
+      s"""WITH r AS (SELECT doc_id, $sk AS sk FROM documents),
+         |s AS (
+         |  SELECT doc_id, sk,
+         |    ('0x' || substr(sk, 1, 8))::BIGINT % 8 AS shard
+         |  FROM r
+         |)
+         |SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY sk, doc_id) - 1 AS pos
+         |FROM s""".stripMargin
+    },
+
+    "ev_recency_weights" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |mx AS (SELECT max(ms) AS mx FROM e),
+        |w AS (
+        |  SELECT user_id,
+        |    CAST(floor(round(
+        |      exp(-0.6931471805599453 * (mx.mx - e.ms) / (7.0 * 86400000.0)),
+        |      6) * 1000000.0) AS BIGINT) AS w6
+        |  FROM e CROSS JOIN mx
+        |)
+        |SELECT user_id, count(*) AS n_events,
+        |  sum(w6)::DOUBLE / 1000000.0 AS recency_mass
+        |FROM w GROUP BY user_id""".stripMargin,
 
     // banding at 4 bands is lossless for Hamming <= 3, so the ground truth
     // is the direct all-pairs Hamming filter over the same aHash

@@ -29,6 +29,34 @@ object StreamingOps {
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("cnt"), col("value_sum"))
 
+  /** Per-user recency-weighted activity mass: each event weighted
+    * `exp(−ln2 · age/halfLife)` relative to the corpus's newest event
+    * (half-life decay — the freshness prior a training-data pipeline puts
+    * on event/interaction streams before sampling).  Each weight is
+    * 6-dp rounded THEN integerized to micro-units, so the per-user sum is
+    * exact integer arithmetic — order-independent and oracle-exact (the
+    * [[exactValueSum]] discipline; a raw float sum of exps would drift
+    * with partitioning).
+    *
+    * Shape: one agg for the global max ts (1 row, broadcast), one narrow
+    * weighting pass, one map-side-combined per-user agg.
+    * Output: (user_id, n_events, recency_mass). */
+  def recencyWeights(events: DataFrame, halfLifeDays: Double): DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val mx = events.agg(max(unix_millis(col("ts"))).as("__mx"))
+    events.select(col("user_id"), unix_millis(col("ts")).as("__ms"))
+      .crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        floor(round(
+          exp(lit(-0.6931471805599453) * (col("__mx") - col("__ms")) /
+            lit(halfLifeDays * 86400000.0)), 6) * lit(1000000.0))
+          .cast("long").as("__w6"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("__w6")).cast("double") / lit(1000000.0))
+          .as("recency_mass"))
+  }
+
   /** Sliding-window counts + value sums per event_type: window `windowLen`,
     * slide `slideLen` (each event lands in windowLen/slideLen windows).
     * Same shape batch or streaming. */
@@ -163,6 +191,17 @@ object StreamingOps {
       spark.readStream.schema(schema).parquet(dir),
       col("text"), col("doc_id"), lr, buckets)
   }
+
+  /** Streaming OOV-rate scoring: every arriving document scored against a
+    * driver-held vocabulary ([[graft.ops.TextOps.vocabTop]], refreshed
+    * offline) via the stateless per-row form — no join, no state, no
+    * watermark; bit-equal to the batch [[graft.ops.TextOps.oovRate]]
+    * under the same vocabulary.  Vocabulary-coverage gate-at-ingestion. */
+  def oovScoreStream(spark: SparkSession, dir: String, schema: StructType,
+      vocab: Seq[String]): DataFrame =
+    graft.ops.TextOps.oovRateStateless(
+      spark.readStream.schema(schema).parquet(dir),
+      col("text"), col("doc_id"), vocab)
 
   /** Streaming-mode tumbling aggregation with a watermark, reading a
     * parquet directory as a file stream.  Returns the streaming DataFrame;

@@ -2033,6 +2033,89 @@ class OpsSpec extends AnyFunSuite {
     assert(splits() == s1) // reproducible member sets, not just sizes
   }
 
+  test("exportShards: shards in range, dense per-shard positions, deterministic") {
+    val df = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def run() = SplitOps.exportShards(df, col("doc_id"), seed = 5L, nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect()
+    val out = run()
+    assert(out.length == 200)
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // every shard's positions are exactly 0..size-1 (a writable sort key)
+    out.groupBy(_._2).values.foreach { g =>
+      assert(g.map(_._3).sorted.toSeq == (0L until g.length.toLong))
+    }
+    assert(run().toSet == out.toSet) // reproducible layout
+    // hash order, not input order: some shard must not be id-sorted
+    assert(out.groupBy(_._2).values.exists { g =>
+      val byPos = g.sortBy(_._3).map(_._1).toSeq
+      byPos != byPos.sorted
+    })
+  }
+
+  test("recencyWeights: newest event weighs 1.0, mass matches hand-computed decay") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2026-01-08 00:00:00"), 7L),  // newest: age 0 → weight 1.0
+      (2L, t("2026-01-01 00:00:00"), 7L),  // age = one half-life → 0.5
+      (3L, t("2026-01-01 00:00:00"), 9L),
+    ).toDF("event_id", "ts", "user_id")
+    val out = StreamingOps.recencyWeights(ev, halfLifeDays = 7.0)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(7L) == (2L, 1.5))
+    assert(out(9L) == (1L, 0.5))
+  }
+
+  test("oovRateStateless equals the batch join form; stream equals batch") {
+    val ref = Seq((0L, "alpha beta alpha gamma")).toDF("doc_id", "text")
+    val corpus = Seq((0L, "alpha beta"), (1L, "alpha delta unseen"),
+      (2L, "gamma gamma")).toDF("doc_id", "text")
+    val vocab = TextOps.vocabTop(ref, col("text"), 2)
+    assert(vocab == Seq("alpha", "beta")) // count desc, token asc tie
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double)].collect().toSet
+    val stateless = rows(TextOps.oovRateStateless(corpus, col("text"),
+      col("doc_id"), vocab))
+    val joined = rows(TextOps.oovRate(corpus, col("text"), col("doc_id"),
+      ref, col("text"), vocabSize = 2))
+    assert(stateless == joined && stateless.size == 3)
+    // stream form: same kernel over a file stream = same rows
+    val dir = java.nio.file.Files.createTempDirectory("graft-oov").toFile
+    try {
+      corpus.coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      val q = StreamingOps.oovScoreStream(spark, dir.getAbsolutePath,
+          corpus.schema, vocab)
+        .writeStream.format("memory").queryName("graft_oov_test")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val streamed = rows(spark.table("graft_oov_test"))
+      q.stop()
+      assert(streamed == stateless)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("knnJoinIvfIndex reproduces knnJoinIvf from the persisted layout") {
+    val r = new scala.util.Random(17)
+    val df = (0L until 50L).map(i =>
+      (i, Array.fill(8)(r.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val cents = df.where(col("vec_id") < 4)
+    val idx = java.nio.file.Files.createTempDirectory("graft_knnidx").toString
+    SimilarityOps.ivfIndexWrite(df, col("embedding"), col("vec_id"),
+      cents, col("embedding"), col("vec_id"), idx)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Long, Long, Double, Long)].collect().sortBy(p => (p._1, p._4)).toSeq
+    val viaIndex = rows(SimilarityOps.knnJoinIvfIndex(spark, idx,
+      df, col("embedding"), col("vec_id"), k = 3, nprobe = 2))
+    val direct = rows(SimilarityOps.knnJoinIvf(df, col("embedding"),
+      col("vec_id"), df, col("embedding"), col("vec_id"),
+      cents, col("embedding"), col("vec_id"), k = 3, nprobe = 2))
+    assert(viaIndex.nonEmpty && viaIndex == direct)
+  }
+
   test("aHashBandedPairs equals brute-force Hamming ≤ 3; bound enforced") {
     val r = new scala.util.Random(5)
     val feats = (0L until 40L).map(i =>

@@ -184,7 +184,8 @@ object XScaleBench {
       "dd_lsh_tune", "text_boilerplate", "text_sbo_lm", "o3_interleave",
       "mm_ahash_pairs", "sim_ivfpq_persisted", "mm_ahash_banded",
       "sim_knn_join", "emb_outliers", "dd_source_matrix", "text_oov_rate",
-      "text_pmi_top", "p3_exact_split",
+      "text_pmi_top", "p3_exact_split", "o5_export_shards",
+      "ev_recency_weights", "sim_knn_join_persisted",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
