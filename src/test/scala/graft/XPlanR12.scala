@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch (test scope): physical-plan audit of the round-12 queries —
+  * counts exchanges / broadcasts / windows and flags single-partition
+  * windows (the scale hazard).  Run:
+  *   sbt 'Test/runMain graft.XPlanR12 [sfDir]' */
+object XPlanR12 {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val names = Seq("sim_ivfpq_topk", "dd_soft_weights", "dd_minhash_recall",
+      "dd_lsh_tune", "text_boilerplate", "text_sbo_lm", "o3_interleave",
+      "mm_ahash_pairs", "sim_ivfpq_persisted", "mm_ahash_banded",
+      "sim_knn_join", "emb_outliers", "dd_source_matrix", "text_oov_rate",
+      "text_pmi_top", "p3_exact_split", "o5_export_shards",
+      "ev_recency_weights", "sim_knn_join_persisted")
+    println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
+    println("PLAN |---|---|---|---|---|")
+    names.foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        val ex = "Exchange hashpartitioning|Exchange rangepartitioning".r
+          .findAllIn(plan).length
+        val bc = "BroadcastExchange|BroadcastHashJoin|BroadcastNestedLoop".r
+          .findAllIn(plan).length
+        val wn = "\\bWindow\\b".r.findAllIn(plan).length
+        val sp = "Exchange SinglePartition".r.findAllIn(plan).length
+        println(s"PLAN | $name | $ex | $bc | $wn | $sp |")
+        graft.core.CacheScope.release()
+      } catch { case e: Throwable =>
+        println(s"PLAN | $name | ERR ${e.toString.take(80)} |")
+      }
+    }
+    spark.stop()
+  }
+}
