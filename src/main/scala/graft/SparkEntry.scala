@@ -14,7 +14,8 @@ object SparkEntry {
     CoreQueries.queries ++ WeightedQueries.queries ++ ExtQueries.queries ++
       CoverageQueries.queries ++ PipelineQueries.queries ++
       R9Queries.queries ++ R10Queries.queries ++ R10bQueries.queries ++
-      R10cQueries.queries ++ R11Queries.queries ++ R12Queries.queries
+      R10cQueries.queries ++ R11Queries.queries ++ R12Queries.queries ++
+      R12bQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +23,6 @@ object SparkEntry {
     CoreQueries.oracles ++ WeightedQueries.oracles ++ ExtQueries.oracles ++
       CoverageQueries.oracles ++ PipelineQueries.oracles ++
       R9Queries.oracles ++ R10Queries.oracles ++ R10bQueries.oracles ++
-      R10cQueries.oracles ++ R11Queries.oracles ++ R12Queries.oracles
+      R10cQueries.oracles ++ R11Queries.oracles ++ R12Queries.oracles ++
+      R12bQueries.oracles
 }

@@ -75,4 +75,33 @@ object EmbedOps {
         round(SimilarityOps.cosine(col("v"), col("cv")), 6).as("ccos"))
       .withColumn("is_outlier", col("ccos") < minCosine)
   }
+
+  /** Embedding-space decontamination: each corpus vector's max cosine to
+    * a benchmark/probe embedding set, with the count of probes at or
+    * above `minCosine` and the contamination flag — the semantic tier of
+    * benchmark decontamination (n-gram tiers catch verbatim leakage;
+    * this catches paraphrased eval items the way SemDeDup catches
+    * paraphrased dups).  Output: (vec_id, max_cos, n_hits,
+    * is_contaminated), one row per corpus vector, self-pairs excluded.
+    *
+    * Scale shape: the probe side is an eval benchmark — thousands of
+    * rows, not corpus-scale — so it is BROADCAST and the whole operator
+    * is one narrow pass over the corpus followed by a hash aggregate on
+    * vec_id (map-side combined to one row per corpus vector per task).
+    * The corpus never shuffles by probe; per-pair cosine is the codegen'd
+    * dot kernel.  Cosines are 6-dp rounded BEFORE max/threshold so the
+    * aggregate is order-free and oracle-replayable. */
+  def semanticContam(corpus: DataFrame, vec: Column, id: Column,
+      probe: DataFrame, pvec: Column, pid: Column,
+      minCosine: Double): DataFrame = {
+    val p = probe.select(pid.cast("long").as("probe_id"), pvec.as("pv"))
+    corpus.select(id.cast("long").as("vec_id"), vec.as("v"))
+      .join(broadcast(p), col("vec_id") =!= col("probe_id"))
+      .select(col("vec_id"),
+        round(SimilarityOps.cosine(col("v"), col("pv")), 6).as("cos"))
+      .groupBy("vec_id")
+      .agg(max("cos").as("max_cos"),
+        sum(when(col("cos") >= minCosine, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("is_contaminated", col("n_hits") > 0L)
+  }
 }

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream relational operators the reference's loader world doesn't
+  * have but any training-data/telemetry pipeline at scale does: the as-of
+  * join (latest right row at-or-before each left row, per key — kdb/
+  * QuestDB/DuckDB `ASOF JOIN`), ordered funnel-stage attribution, and the
+  * bounded-window range join.
+  *
+  * Scale design:
+  *  - [[asofJoin]] is NOT an inequality join (which Spark plans as a
+  *    broadcast-nested-loop — quadratic and driver-bound).  Both sides are
+  *    tagged and unioned, hash-shuffled ONCE on the key, and the match is a
+  *    running `last(ignoreNulls)` over the interleaved timeline — linear
+  *    work per key, no per-row range probe, no second shuffle.
+  *  - [[funnelStages]] folds each user's time-ordered event-type sequence
+  *    through a stage automaton INSIDE an aggregate over `sort_array` —
+  *    one hash shuffle on the user key, no window, no re-sort.
+  *  - [[rangeJoinPairs]] rewrites `0 <= tB−tA <= Δ` as an equi-join on
+  *    `floor(t/Δ)` against the bucket and its successor (every qualifying
+  *    pair spans at most one boundary), so Catalyst plans a shuffled hash
+  *    join keyed by (key, bucket) instead of a nested loop.
+  */
+object EventOps {
+
+  /** As-of join: for every left row, attach the single latest right row
+    * with `right.ts <= left.ts` under the same key (null columns when no
+    * right row precedes).  Ties on ts: a right row AT the left row's
+    * timestamp is eligible (the `>=` convention of DuckDB/kdb), and equal
+    * right timestamps resolve to the greatest right id — deterministic.
+    *
+    * Output: leftId as `left_id`, key, ts, then `matched_id` /
+    * `matched_value` from the right side.
+    */
+  def asofJoin(left: DataFrame, leftId: Column, leftKey: Column,
+      leftTs: Column, right: DataFrame, rightId: Column, rightKey: Column,
+      rightTs: Column, rightVal: Column): DataFrame = {
+    val l = left.select(leftKey.as("k"), leftTs.as("ts"),
+      leftId.as("left_id"), lit(null).cast("long").as("r_id"),
+      lit(null).cast("double").as("r_val"), lit(1).as("side"))
+    val r = right.select(rightKey.as("k"), rightTs.as("ts"),
+      lit(null).cast("long").as("left_id"), rightId.cast("long").as("r_id"),
+      rightVal.cast("double").as("r_val"), lit(0).as("side"))
+    // One shuffle: partition by key, order the interleaved timeline so
+    // every right row sorts before any left row at the same instant
+    // (side 0 < 1) and equal-ts right rows sort ascending by id — the
+    // running last() then IS the as-of match.
+    val w = Window.partitionBy("k")
+      .orderBy(col("ts"), col("side"), col("r_id").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("matched_id", last(col("r_id"), ignoreNulls = true).over(w))
+      .withColumn("matched_value", last(col("r_val"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("left_id"), col("k"), col("ts"),
+        col("matched_id"), col("matched_value"))
+  }
+
+  /** Ordered funnel attribution: each key's events are time-ordered and
+    * folded through the stage automaton — stage s advances to s+1 exactly
+    * when the next event's type equals `steps(s)`.  Returns one row per
+    * key with the furthest stage reached (0 = none).  Ordering ties on ts
+    * break by event id, so the fold is deterministic.
+    *
+    * One hash shuffle (groupBy key); the fold is a codegen'd `aggregate`
+    * over the collected per-key sequence — no window, no driver loop.
+    * Per-key state is the event list: bounded by per-user activity, the
+    * same envelope any sessionizer carries.
+    */
+  def funnelStages(events: DataFrame, key: Column, ts: Column, id: Column,
+      typ: Column, steps: Seq[String]): DataFrame = {
+    val stepArr = array(steps.map(lit): _*)
+    events
+      .select(key.as("k"), struct(ts.as("ts"), id.as("id"),
+        typ.as("typ")).as("e"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(col("e"))).as("seq"))
+      .select(col("k").as("user_id"),
+        aggregate(col("seq"), lit(0),
+          (acc, e) => when(acc < steps.size &&
+            e.getField("typ") === element_at(stepArr, acc + 1), acc + 1)
+            .otherwise(acc)).as("stage"))
+  }
+
+  /** Bounded-window range join: all ordered pairs (a, b) under the same
+    * key with `0 <= tsB − tsA <= windowMs` and (optionally) distinct
+    * event types for the two sides.  Output: a_id, b_id, key, gap_ms.
+    *
+    * Every qualifying pair has `floor(tB/Δ) ∈ {floor(tA/Δ), +1}`, so side
+    * A is duplicated into its own and its successor bucket and the join is
+    * a plain equi-join on (key, bucket) — shuffled hash join, no nested
+    * loop, parallelism = #(key, bucket) groups.  Self-pairs (same id) are
+    * excluded.
+    */
+  def rangeJoinPairs(eventsA: DataFrame, aId: Column, aKey: Column,
+      aTs: Column, eventsB: DataFrame, bId: Column, bKey: Column,
+      bTs: Column, windowMs: Long): DataFrame = {
+    // exact integer milliseconds: unix_micros/1000 stays inside the
+    // double mantissa (~1.7e12), unlike seconds-as-double * 1000
+    val ms = (c: Column) => floor(unix_micros(c) / 1000).cast("long")
+    val a = eventsA.select(aId.as("a_id"), aKey.as("k"), ms(aTs).as("a_ms"))
+      .withColumn("bucket",
+        explode(array(floor(col("a_ms") / windowMs),
+          floor(col("a_ms") / windowMs) + 1)))
+    val b = eventsB.select(bId.as("b_id"), bKey.as("bk"), ms(bTs).as("b_ms"),
+      floor(ms(bTs) / windowMs).as("b_bucket"))
+    a.join(b, col("k") === col("bk") && col("bucket") === col("b_bucket"))
+      .where(col("b_ms") >= col("a_ms") &&
+        col("b_ms") - col("a_ms") <= windowMs &&
+        col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"), col("k"),
+        (col("b_ms") - col("a_ms")).as("gap_ms"))
+  }
+}

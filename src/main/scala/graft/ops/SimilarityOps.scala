@@ -111,6 +111,25 @@ object SimilarityOps {
         col("best.cos").as("cos"))
   }
 
+  /** Stateless form of [[ivfAssign]]: the centroid set is a driver-held
+    * literal (an IVF codebook is k·dim floats — kilobytes), so the argmax
+    * is a pure per-row expression over an inline array — no join, no
+    * shuffle, no state; usable unchanged on a streaming DataFrame
+    * (route-to-cell at ingestion).  Bit-equal to [[ivfAssign]] under the
+    * same centroids: same 6-dp rounded cosine, same (max cos, min id)
+    * tie-break via lexicographic `array_max` on (cos, −id). */
+  def centroidAssignStateless(df: DataFrame, vec: Column, id: Column,
+      cents: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    val scored = array(cents.map { case (cid, cv) =>
+      struct(round(cosine(vec, array(cv.map(lit): _*)), 6).as("cos"),
+        lit(-cid).cast("long").as("negid"))
+    }: _*)
+    df.select(id.as("vec_id"), array_max(scored).as("__best"))
+      .select(col("vec_id"), (-col("__best.negid")).as("centroid_id"),
+        col("__best.cos").as("cos"))
+  }
+
   /** IVF search: approximate top-k via the inverted-file index — each query
     * probes its `nprobe` nearest centroids' cells and ranks exactly (cosine,
     * 6-decimal round, id tiebreak) within the probed cells only.

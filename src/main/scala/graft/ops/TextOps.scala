@@ -1247,4 +1247,99 @@ object TextOps {
       .orderBy(col("log_w").desc, col("doc_id"))
       .limit(n)
   }
+
+  /** CCNet-style normalization (Wenzek et al. 2020 §4.1: the text form
+    * hashed for dedup): lowercase → fold common Latin accents → every
+    * digit to `0` → every remaining non-`[a-z0 ]` char (punctuation,
+    * other scripts, newlines) to a space → collapse runs → trim.
+    *
+    * Pure codegen'd string expression — narrow, no UDF, no shuffle; the
+    * `translate` table is identical in Spark and DuckDB so the oracle
+    * replays it verbatim (DuckDB needs the `'g'` regexp flag). */
+  def normalizeText(text: Column): Column = {
+    val accents = "áàâäãåçéèêëíìîïñóòôöõúùûüýÿ"
+    val plain = "aaaaaaceeeeiiiinooooouuuuyy"
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(translate(lower(coalesce(text, lit(""))), accents,
+          plain), "[0-9]", "0"),
+        "[^a-z0 ]", " "),
+      " +", " "))
+  }
+
+  /** Per-document lexical-diversity card: token count, type count
+    * (distinct tokens), hapax count (tokens occurring exactly once in the
+    * doc), type-token ratio and hapax fraction (6 dp; null when the
+    * denominator is 0).
+    *
+    * Scale shape: a narrow per-row fold — `array_sort` the doc's tokens,
+    * then one `aggregate` pass counting run boundaries (a run of length 1
+    * is a hapax).  The corpus token multiset never shuffles; contrast the
+    * naive explode → groupBy(doc, token) → groupBy(doc) double shuffle.
+    * Exact integer counts, so the two ratios are single IEEE divisions —
+    * deterministic under any partitioning. */
+  def lexicalDiversity(df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val z = struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+      lit(0L).as("types"), lit(0L).as("hapax"))
+    val folded = aggregate(array_sort(tokens(coalesce(text, lit("")))), z,
+      (acc, t) => {
+        val prev = acc.getField("prev")
+        val run = acc.getField("run")
+        val types = acc.getField("types")
+        val hapax = acc.getField("hapax")
+        when(prev.isNull,
+          struct(t.as("prev"), lit(1L).as("run"), lit(1L).as("types"),
+            lit(0L).as("hapax")))
+          .when(t === prev,
+            struct(t.as("prev"), (run + 1L).as("run"), types.as("types"),
+              hapax.as("hapax")))
+          .otherwise(struct(t.as("prev"), lit(1L).as("run"),
+            (types + 1L).as("types"),
+            (hapax + when(run === 1L, 1L).otherwise(0L)).as("hapax")))
+      },
+      acc => struct(acc.getField("types").as("types"),
+        (acc.getField("hapax") +
+          when(acc.getField("run") === 1L, 1L).otherwise(0L)).as("hapax")))
+    df.select(idCol.as("doc_id"),
+        size(tokens(coalesce(text, lit("")))).cast("long").as("n_tokens"),
+        folded.getField("types").as("n_types"),
+        folded.getField("hapax").as("n_hapax"))
+      .withColumn("ttr",
+        when(col("n_tokens") > 0,
+          round(col("n_types").cast("double") / col("n_tokens"), 6)))
+      .withColumn("hapax_frac",
+        when(col("n_types") > 0,
+          round(col("n_hapax").cast("double") / col("n_types"), 6)))
+  }
+
+  /** Zipf-fit diagnostic over the top-k vocabulary: least-squares slope /
+    * intercept of ln(freq) ~ ln(rank+1) — natural text sits near slope −1;
+    * a corpus drifting toward 0 (flat) or below −1.5 (degenerate) signals
+    * template spam or collapsed diversity (Zipf 1949; common corpus-health
+    * probe).  Output: one row (n_terms, slope, intercept), 6 dp.
+    *
+    * Exactness: ln values are integerized to MILLI-units (micro-units
+    * would push n·Σx² past 2⁶³ at k=1000) and the five regression sums
+    * are exact 64-bit integers, so the closed-form slope/intercept are
+    * single double expressions over identical integers in both engines —
+    * no accumulation-order drift, unlike `regr_slope`.  Data side is
+    * [[vocabTopK]]: map-side combine + TakeOrdered, ≤ k rows collected. */
+  def zipfFit(df: DataFrame, text: Column, k: Int): DataFrame = {
+    val v = vocabTopK(df, text, k)
+      .select(floor(log(col("rank").cast("double") + 1.0) * 1e3)
+          .cast("long").as("x6"),
+        floor(log(col("cnt").cast("double")) * 1e3).cast("long").as("y6"))
+    v.agg(count(lit(1)).as("n"), sum("x6").as("sx"), sum("y6").as("sy"),
+        sum(col("x6") * col("y6")).as("sxy"),
+        sum(col("x6") * col("x6")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("slope_raw"),
+        col("n"), col("sx"), col("sy"))
+      .select(col("n_terms"), round(col("slope_raw"), 6).as("slope"),
+        round((col("sy").cast("double") / 1e3 -
+          col("slope_raw") * col("sx").cast("double") / 1e3) /
+          col("n").cast("double"), 6).as("intercept"))
+  }
 }

@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{EmbedOps, EventOps, TextOps}
+
+/** Round-12b queries: the event-relational tier ([[graft.ops.EventOps]]:
+  * as-of join, funnel attribution, bounded range join), CCNet text
+  * normalization, the lexical-diversity card, the Zipf-fit corpus
+  * diagnostic, and embedding-space benchmark decontamination.
+  */
+object R12bQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // As-of join: every click annotated with the user's latest purchase
+    // at-or-before it — one key shuffle, running last() over the
+    // interleaved timeline, no inequality join
+    "ev_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      EventOps.asofJoin(
+        e.where(col("event_type") === "click"), col("event_id"),
+        col("user_id"), col("ts"),
+        e.where(col("event_type") === "purchase"), col("event_id"),
+        col("user_id"), col("ts"), col("value"))
+    }),
+
+    // Ordered funnel: furthest signup → view → purchase stage per user
+    // (strictly time-ordered, fold over the sorted per-user sequence)
+    "ev_funnel" -> ((s, dir) =>
+      EventOps.funnelStages(Tables.events(s, dir), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"),
+        Seq("signup", "view", "purchase"))),
+
+    // Bounded range join: every error within 1 h at-or-after a click by
+    // the same user — time-bucketed equi-join, not a nested loop
+    "ev_range_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      EventOps.rangeJoinPairs(
+        e.where(col("event_type") === "click"), col("event_id"),
+        col("user_id"), col("ts"),
+        e.where(col("event_type") === "error"), col("event_id"),
+        col("user_id"), col("ts"), windowMs = 3600000L)
+    }),
+
+    // CCNet normalization: the canonical text form hashed for dedup
+    "text_normalize" -> ((s, dir) =>
+      Tables.docs(s, dir).select(col("doc_id"),
+        TextOps.normalizeText(col("text")).as("norm_text"))),
+
+    // Per-doc lexical diversity: types, hapaxes, TTR — template spam has
+    // collapsed TTR; the fold never shuffles the token multiset
+    "text_lexdiv" -> ((s, dir) =>
+      TextOps.lexicalDiversity(Tables.docs(s, dir), col("text"),
+        col("doc_id"))),
+
+    // Zipf fit over the top-1000 vocabulary: corpus-health slope/intercept
+    "text_zipf" -> ((s, dir) =>
+      TextOps.zipfFit(Tables.docs(s, dir), col("text"), k = 1000)),
+
+    // Embedding-space decontamination: max cosine of every corpus vector
+    // against the 16-vector probe "benchmark", flag at 0.35
+    "emb_semantic_contam" -> ((s, dir) => {
+      val e = Tables.emb(s, dir)
+      EmbedOps.semanticContam(e, col("embedding"), col("vec_id"),
+        e.where(col("vec_id") < 16), col("embedding"), col("vec_id"),
+        minCosine = 0.35)
+    })
+  )
+
+  /** 6-dp rounded cosine mirror — same fold as R12Queries.cosSql. */
+  private def cosSql(a: String, b: String): String =
+    s"""round(
+       |      list_reduce(list_transform(list_zip($a, $b),
+       |        x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y) /
+       |      (sqrt(list_reduce(list_transform($a, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) *
+       |       sqrt(list_reduce(list_transform($b, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))),
+       |      6)""".stripMargin
+
+  /** Tokenizer mirror shared with every text oracle. */
+  private def toksSql(x: String): String =
+    s"""list_filter(string_split_regex(lower($x), '\\s+'), t -> t <> '')"""
+
+  def oracles: Map[String, String] = Map(
+
+    // deterministic explicit form of ASOF LEFT JOIN: latest right ts,
+    // greatest right id on ties — the operator's documented tie-break
+    "ev_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT l.event_id AS lid, r.event_id AS rid, r.value AS rv,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY r.ts DESC, r.event_id DESC) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |)
+        |SELECT l.event_id AS left_id, l.user_id AS k, l.ts,
+        |  j.rid AS matched_id, j.rv AS matched_value
+        |FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.lid = l.event_id""".stripMargin,
+
+    // the same stage automaton as a string-state list_reduce over the
+    // (ts, event_id)-ordered per-user sequence
+    "ev_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT user_id, CAST(list_reduce(list_prepend('0', seq), (acc, x) ->
+        |  CASE WHEN acc = '0' AND x = 'signup' THEN '1'
+        |       WHEN acc = '1' AND x = 'view' THEN '2'
+        |       WHEN acc = '2' AND x = 'purchase' THEN '3'
+        |       ELSE acc END) AS INTEGER) AS stage
+        |FROM s""".stripMargin,
+
+    // plain inequality join on exact millisecond epochs — the ground
+    // truth the bucketed equi-join must reproduce
+    "ev_range_join" ->
+      """WITH a AS (SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms
+        |  FROM events WHERE event_type = 'click'),
+        |b AS (SELECT event_id, user_id, epoch_us(ts) // 1000 AS ms
+        |  FROM events WHERE event_type = 'error')
+        |SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS k,
+        |  b.ms - a.ms AS gap_ms
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |WHERE b.ms >= a.ms AND b.ms - a.ms <= 3600000
+        |  AND a.event_id <> b.event_id""".stripMargin,
+
+    "text_normalize" ->
+      """SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+        |  translate(lower(coalesce(text, '')),
+        |    'áàâäãåçéèêëíìîïñóòôöõúùûüýÿ', 'aaaaaaceeeeiiiinooooouuuuyy'),
+        |  '[0-9]', '0', 'g'), '[^a-z0 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
+
+    "text_lexdiv" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(${toksSql("coalesce(text, '')")}) AS tok
+         |  FROM documents
+         |),
+         |c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         |a AS (
+         |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+         |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+         |  FROM c GROUP BY 1
+         |)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.n_types, 0) AS n_types, coalesce(a.n_hapax, 0) AS n_hapax,
+         |  CASE WHEN coalesce(a.n_tokens, 0) > 0
+         |    THEN round(a.n_types::DOUBLE / a.n_tokens, 6) END AS ttr,
+         |  CASE WHEN coalesce(a.n_types, 0) > 0
+         |    THEN round(a.n_hapax::DOUBLE / a.n_types, 6) END AS hapax_frac
+         |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
+
+    // identical milli-unit integerization + integer regression sums, so
+    // the closed-form slope/intercept are bit-equal
+    "text_zipf" ->
+      s"""WITH t AS (SELECT unnest(${toksSql("text")}) AS tok FROM documents),
+         |vc AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),
+         |tops AS (
+         |  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS rank
+         |  FROM vc ORDER BY cnt DESC, tok LIMIT 1000
+         |),
+         |xy AS (
+         |  SELECT CAST(floor(ln(rank + 1.0) * 1000) AS BIGINT) AS x6,
+         |         CAST(floor(ln(cnt::DOUBLE) * 1000) AS BIGINT) AS y6
+         |  FROM tops
+         |),
+         |s AS (
+         |  SELECT count(*)::BIGINT AS n, sum(x6)::BIGINT AS sx,
+         |    sum(y6)::BIGINT AS sy, sum(x6 * y6)::BIGINT AS sxy,
+         |    sum(x6 * x6)::BIGINT AS sxx
+         |  FROM xy
+         |)
+         |SELECT n AS n_terms,
+         |  round((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE, 6) AS slope,
+         |  round((sy::DOUBLE / 1000 -
+         |    ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) *
+         |    sx::DOUBLE / 1000) / n::DOUBLE, 6) AS intercept
+         |FROM s""".stripMargin,
+
+    "emb_semantic_contam" ->
+      s"""WITH p AS (
+         |  SELECT vec_id AS probe_id, embedding AS pv FROM embeddings
+         |  WHERE vec_id < 16
+         |),
+         |s AS (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "p.pv")} AS cos
+         |  FROM embeddings e JOIN p ON e.vec_id <> p.probe_id
+         |)
+         |SELECT vec_id, max(cos) AS max_cos,
+         |  sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+         |  sum(CASE WHEN cos >= 0.35 THEN 1 ELSE 0 END) > 0 AS is_contaminated
+         |FROM s GROUP BY vec_id""".stripMargin
+  )
+}

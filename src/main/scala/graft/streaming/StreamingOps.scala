@@ -203,6 +203,19 @@ object StreamingOps {
       spark.readStream.schema(schema).parquet(dir),
       col("text"), col("doc_id"), vocab)
 
+  /** Streaming nearest-centroid routing: every arriving embedding is
+    * assigned to its IVF cell via the stateless literal-codebook argmax
+    * ([[graft.ops.SimilarityOps.centroidAssignStateless]]) — no join, no
+    * state, no watermark; bit-equal to the batch
+    * [[graft.ops.SimilarityOps.ivfAssign]] under the same centroids.
+    * Route-to-cell at ingestion: an arriving vector lands in the right
+    * index partition without a batch re-assignment pass. */
+  def centroidAssignStream(spark: SparkSession, dir: String,
+      schema: StructType, cents: Seq[(Long, Seq[Double])]): DataFrame =
+    graft.ops.SimilarityOps.centroidAssignStateless(
+      spark.readStream.schema(schema).parquet(dir),
+      col("embedding"), col("vec_id"), cents)
+
   /** Streaming-mode tumbling aggregation with a watermark, reading a
     * parquet directory as a file stream.  Returns the streaming DataFrame;
     * attach a sink with `.writeStream`. */

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops._
+import graft.streaming.StreamingOps
+
+/** Invariants for the round-12b surface: the event-relational tier
+  * (as-of join, funnel, bounded range join), CCNet normalization, the
+  * lexical-diversity fold, the Zipf fit, semantic decontamination, and
+  * stateless/stream centroid routing. */
+class R12bSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin: latest at-or-before match, ties to greatest id, null when none") {
+    // user 1: left at :10 sees right at :05; left at :04 sees nothing.
+    // user 2: two rights AT the left's exact ts -> eligible (>=), greatest
+    // right id (21) wins the tie.
+    val left = Seq(
+      (100L, 1L, ts("2024-01-01 00:00:10")),
+      (101L, 1L, ts("2024-01-01 00:00:04")),
+      (102L, 2L, ts("2024-01-01 00:00:07"))
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, ts("2024-01-01 00:00:05"), 5.0),
+      (11L, 1L, ts("2024-01-01 00:00:09"), 9.0),
+      (20L, 2L, ts("2024-01-01 00:00:07"), 7.0),
+      (21L, 2L, ts("2024-01-01 00:00:07"), 8.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val out = EventOps.asofJoin(left, col("event_id"), col("user_id"),
+      col("ts"), right, col("event_id"), col("user_id"), col("ts"),
+      col("value"))
+      .select("left_id", "matched_id", "matched_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+        .map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(out(100L) == (Some(11L), Some(9.0))) // latest of the two priors
+    assert(out(101L) == (None, None))           // nothing at-or-before
+    assert(out(102L) == (Some(21L), Some(8.0))) // equal-ts tie: max id
+  }
+
+  test("funnelStages: strict order advances, out-of-order does not") {
+    val ev = Seq(
+      // user 1 completes signup -> view -> purchase in order
+      (1L, ts("2024-01-01 00:00:01"), 1L, "signup"),
+      (1L, ts("2024-01-01 00:00:02"), 2L, "view"),
+      (1L, ts("2024-01-01 00:00:03"), 3L, "purchase"),
+      // user 2: purchase BEFORE signup never counts; stage stops at 2
+      (2L, ts("2024-01-01 00:00:01"), 4L, "purchase"),
+      (2L, ts("2024-01-01 00:00:02"), 5L, "signup"),
+      (2L, ts("2024-01-01 00:00:03"), 6L, "view"),
+      // user 3: never signs up
+      (3L, ts("2024-01-01 00:00:01"), 7L, "view"),
+      (3L, ts("2024-01-01 00:00:02"), 8L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val st = EventOps.funnelStages(ev, col("user_id"), col("ts"),
+      col("event_id"), col("event_type"), Seq("signup", "view", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(st == Map(1L -> 3, 2L -> 2, 3L -> 0))
+  }
+
+  test("rangeJoinPairs equals brute force, including cross-bucket pairs") {
+    // window 10 s; pairs straddling a bucket boundary must still be found
+    val base = ts("2024-01-01 00:00:00").getTime
+    val ev = Seq(
+      (1L, 1L, "a", 1000L), (2L, 1L, "b", 9500L),   // in-window, same bucket
+      (3L, 1L, "a", 19000L), (4L, 1L, "b", 21000L), // in-window, NEXT bucket
+      (5L, 1L, "a", 30000L), (6L, 1L, "b", 45000L), // out of window
+      (7L, 2L, "b", 1500L)                          // wrong user for id 1
+    ).map { case (id, u, t, off) =>
+      (id, u, t, new java.sql.Timestamp(base + off))
+    }.toDF("event_id", "user_id", "event_type", "ts")
+    val a = ev.where(col("event_type") === "a")
+    val b = ev.where(col("event_type") === "b")
+    val got = EventOps.rangeJoinPairs(a, col("event_id"), col("user_id"),
+      col("ts"), b, col("event_id"), col("user_id"), col("ts"),
+      windowMs = 10000L)
+      .select("a_id", "b_id", "gap_ms").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 2L, 8500L), (3L, 4L, 2000L)))
+  }
+
+  test("normalizeText: accents fold, digits to 0, punct/scripts to space") {
+    val out = Seq(
+      (0L, "Héllo, Wörld! 42 times—über élève"),
+      (1L, "  a   b  "),
+      (2L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.normalizeText(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    // ö/é/è fold; ü folds; comma/dash/bang are spaces; 42 -> 00
+    assert(out(0L) == "hello world 00 times uber eleve")
+    assert(out(1L) == "a b")
+    assert(out(2L) == "")
+  }
+
+  test("lexicalDiversity: exact type/hapax counts, null-safe") {
+    val out = TextOps.lexicalDiversity(Seq(
+      (0L, "a b a c b a"),   // 6 tokens, 3 types, hapax {c}
+      (1L, "x"),             // 1 token, 1 type, 1 hapax
+      (2L, ""),              // empty
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .select("doc_id", "n_tokens", "n_types", "n_hapax", "ttr")
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(0L) == ((6L, 3L, 1L, Some(0.5))))
+    assert(out(1L) == ((1L, 1L, 1L, Some(1.0))))
+    assert(out(2L) == ((0L, 0L, 0L, None)))
+    assert(out(3L) == ((0L, 0L, 0L, None)))
+  }
+
+  test("zipfFit matches the closed form computed by hand") {
+    val docs = Seq((0L, "a a a a b b c"), (1L, "a b c d")).toDF("doc_id", "text")
+    // counts: a=5 b=3 c=2 d=1 -> ranks 0..3
+    val pts = Seq((0L, 5L), (1L, 3L), (2L, 2L), (3L, 1L)).map { case (r, c) =>
+      (math.floor(math.log(r + 1.0) * 1e3).toLong,
+        math.floor(math.log(c.toDouble) * 1e3).toLong)
+    }
+    val n = pts.size.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val slopeRaw = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val expSlope = math.rint(slopeRaw * 1e6) / 1e6
+    val expInter = math.rint((sy.toDouble / 1e3 -
+      slopeRaw * sx.toDouble / 1e3) / n * 1e6) / 1e6
+    val got = TextOps.zipfFit(docs, col("text"), k = 10)
+      .as[(Long, Double, Double)].collect().head
+    assert(got._1 == 4L)
+    assert(math.abs(got._2 - expSlope) < 1e-9)
+    assert(math.abs(got._3 - expInter) < 1e-9)
+  }
+
+  test("semanticContam flags the planted near-copy, not the orthogonal rest") {
+    val probe = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(0.99f, 0.01f, 0f, 0f)), // near-copy of the probe
+      (11L, Array(0f, 1f, 0f, 0f)),       // orthogonal
+      (12L, Array(-1f, 0f, 0f, 0f))       // opposite
+    ).toDF("vec_id", "embedding")
+    val out = EmbedOps.semanticContam(corpus, col("embedding"),
+      col("vec_id"), probe, col("embedding"), col("vec_id"),
+      minCosine = 0.9)
+      .select("vec_id", "n_hits", "is_contaminated")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(10L) == ((1L, true)))
+    assert(out(11L) == ((0L, false)))
+    assert(out(12L) == ((0L, false)))
+  }
+
+  test("centroidAssignStateless == ivfAssign; stream == batch") {
+    val r = new scala.util.Random(23)
+    val df = (0L until 40L).map(i =>
+      (i, Array.fill(8)(r.nextFloat() - 0.5f))).toDF("vec_id", "embedding")
+    val centRows = df.where(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq.sortBy(_._1)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id", "centroid_id", "cos")
+        .as[(Long, Long, Double)].collect().toSet
+    val stateless = rows(SimilarityOps.centroidAssignStateless(df,
+      col("embedding"), col("vec_id"), centRows))
+    val joined = rows(SimilarityOps.ivfAssign(df, col("embedding"),
+      col("vec_id"), df.where(col("vec_id") < 4), col("embedding"),
+      col("vec_id")))
+    assert(stateless == joined && stateless.size == 40)
+    val dir = java.nio.file.Files.createTempDirectory("graft-cass").toFile
+    try {
+      df.coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      val q = StreamingOps.centroidAssignStream(spark, dir.getAbsolutePath,
+          df.schema, centRows)
+        .writeStream.format("memory").queryName("graft_cass_test")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val streamed = rows(spark.table("graft_cass_test"))
+      q.stop()
+      assert(streamed == stateless)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+}
