@@ -20,7 +20,9 @@ object XPlanR12 {
       "mm_ahash_pairs", "sim_ivfpq_persisted", "mm_ahash_banded",
       "sim_knn_join", "emb_outliers", "dd_source_matrix", "text_oov_rate",
       "text_pmi_top", "p3_exact_split", "o5_export_shards",
-      "ev_recency_weights", "sim_knn_join_persisted")
+      "ev_recency_weights", "sim_knn_join_persisted",
+      "ev_asof_join", "ev_funnel", "ev_range_join", "text_normalize",
+      "text_lexdiv", "text_zipf", "emb_semantic_contam")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>
