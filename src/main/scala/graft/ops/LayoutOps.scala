@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Physical-layout operators: bucketed tables and the exchange-free
+  * co-located join they buy.
+  *
+  * At 100 TB the dominant cost of a fact-fact join is the shuffle of both
+  * sides.  Writing each side ONCE as a bucketed+sorted table on the join
+  * key amortizes that shuffle across every subsequent join/aggregation on
+  * the same key: Spark's scan reports the bucket spec, Catalyst sees both
+  * sides hash-distributed identically, and the join plans with NO Exchange
+  * (and with `sortBy`, no Sort) under it — the 100 TB analogue of the
+  * reference keeping its collection pre-sorted by index
+  * (scdataset/scdataset.py:103's sorted-fetch rationale, re-expressed as a
+  * storage layout instead of a runtime sort).
+  */
+object LayoutOps {
+
+  /** Write `df` as a bucketed, in-bucket-sorted EXTERNAL parquet table
+    * (data at `path`, name in the session catalog).  `buckets` should be
+    * sized so one bucket of the LARGER table fits an executor's scan
+    * partition at the target scale; both sides of a co-located join must
+    * use the same count. */
+  def writeBucketed(df: DataFrame, key: String, buckets: Int, name: String,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    df.write.format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(name)
+  }
+
+  /** Inner equi-join of two same-bucket-spec tables on `key` — plans
+    * exchange-free (bucketed SortMergeJoin).  Callers aggregate on top;
+    * the only shuffle in the whole query is then the (tiny) final
+    * aggregation exchange. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

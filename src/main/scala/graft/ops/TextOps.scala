@@ -1312,6 +1312,89 @@ object TextOps {
           round(col("n_hapax").cast("double") / col("n_types"), 6)))
   }
 
+  /** Gopher §A1.1's word-n-gram repetition fractions (Rae et al. 2021),
+    * the tier [[repetitionFeatures]]' paragraph/bigram signals don't
+    * cover: per document, the char mass of the MOST frequent n-gram
+    * (n = 2, 3, 4) and of ALL duplicated n-grams (n = 5, 10), each as a
+    * fraction of the doc's total token chars (6 dp; null when the doc
+    * has no tokens; 0 when it is shorter than n).  Char mass of a gram =
+    * occurrences × token chars (separators excluded); "most frequent"
+    * ties break to the larger char length, then lexicographically
+    * smallest gram — deterministic and oracle-replayable.
+    *
+    * Scale shape: per-row only — n-grams are built with
+    * `transform(sequence)`/`slice`, sorted, and folded in ONE aggregate
+    * pass per n that closes runs (a run's length is the gram's count).
+    * The corpus gram multiset never shuffles; contrast the naive
+    * explode → groupBy(doc, gram) → window top-1, which shuffles ~6× the
+    * token stream.  Exact integer masses; the fraction is one division. */
+  def ngramRepetition(df: DataFrame, text: Column, idCol: Column): DataFrame = {
+    val toks = tokens(coalesce(text, lit("")))
+    val totChars = aggregate(toks, lit(0L), (a, t) => a + length(t))
+    def grams(n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    // fold the SORTED gram list closing runs: track the best (count,
+    // charLen) run and the duplicated-run char mass, then top = cnt·len
+    def masses(n: Int): Column = {
+      val glen = (s: Column) => (length(s) - (n - 1)).cast("long")
+      val z = struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("bestCnt"), lit(0L).as("bestLen"),
+        lit(0L).as("dup"))
+      val close = (prev: Column, run: Column, bestCnt: Column,
+          bestLen: Column, dup: Column) => {
+        val better = run > bestCnt ||
+          (run === bestCnt && glen(prev) > bestLen)
+        struct(when(better, run).otherwise(bestCnt).as("bestCnt"),
+          when(better, glen(prev)).otherwise(bestLen).as("bestLen"),
+          (dup + when(run >= 2L, run * glen(prev)).otherwise(0L)).as("dup"))
+      }
+      val folded = aggregate(array_sort(grams(n)), z,
+        (acc, t) => {
+          val prev = acc.getField("prev"); val run = acc.getField("run")
+          val closed = close(prev, run, acc.getField("bestCnt"),
+            acc.getField("bestLen"), acc.getField("dup"))
+          when(prev.isNull,
+            struct(t.as("prev"), lit(1L).as("run"), lit(0L).as("bestCnt"),
+              lit(0L).as("bestLen"), lit(0L).as("dup")))
+            .when(t === prev,
+              struct(t.as("prev"), (run + 1L).as("run"),
+                acc.getField("bestCnt").as("bestCnt"),
+                acc.getField("bestLen").as("bestLen"),
+                acc.getField("dup").as("dup")))
+            .otherwise(struct(t.as("prev"), lit(1L).as("run"),
+              closed.getField("bestCnt").as("bestCnt"),
+              closed.getField("bestLen").as("bestLen"),
+              closed.getField("dup").as("dup")))
+        },
+        acc => when(acc.getField("prev").isNull,
+          struct(lit(0L).as("top"), lit(0L).as("dup")))
+          .otherwise {
+            val closed = close(acc.getField("prev"), acc.getField("run"),
+              acc.getField("bestCnt"), acc.getField("bestLen"),
+              acc.getField("dup"))
+            struct((closed.getField("bestCnt") * closed.getField("bestLen"))
+              .as("top"), closed.getField("dup").as("dup"))
+          })
+      folded
+    }
+    val frac = (mass: Column) =>
+      when(col("n_token_chars") > 0L,
+        round(mass.cast("double") / col("n_token_chars"), 6))
+    df.select(idCol.as("doc_id"), totChars.as("n_token_chars"),
+        masses(2).getField("top").as("t2"),
+        masses(3).getField("top").as("t3"),
+        masses(4).getField("top").as("t4"),
+        masses(5).getField("dup").as("d5"),
+        masses(10).getField("dup").as("d10"))
+      .select(col("doc_id"), col("n_token_chars"),
+        frac(col("t2")).as("top2_frac"), frac(col("t3")).as("top3_frac"),
+        frac(col("t4")).as("top4_frac"), frac(col("d5")).as("dup5_frac"),
+        frac(col("d10")).as("dup10_frac"))
+  }
+
   /** Zipf-fit diagnostic over the top-k vocabulary: least-squares slope /
     * intercept of ln(freq) ~ ln(rank+1) — natural text sits near slope −1;
     * a corpus drifting toward 0 (flat) or below −1.5 (degenerate) signals

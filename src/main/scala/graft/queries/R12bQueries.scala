@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{EmbedOps, EventOps, TextOps}
+import graft.ops.{EmbedOps, EventOps, LayoutOps, TextOps}
 
 /** Round-12b queries: the event-relational tier ([[graft.ops.EventOps]]:
   * as-of join, funnel attribution, bounded range join), CCNet text
@@ -66,8 +66,60 @@ object R12bQueries {
       EmbedOps.semanticContam(e, col("embedding"), col("vec_id"),
         e.where(col("vec_id") < 16), col("embedding"), col("vec_id"),
         minCosine = 0.35)
+    }),
+
+    // Gopher word-n-gram repetition fractions (top 2/3/4-gram char mass,
+    // duplicated 5/10-gram char mass) — per-row folds, no gram shuffle
+    "text_rep_ngrams" -> ((s, dir) =>
+      TextOps.ngramRepetition(Tables.docs(s, dir), col("text"),
+        col("doc_id"))),
+
+    // Co-located fact-fact join: lineitem ⋈ orders, both bucketed+sorted
+    // on the order key — the join itself plans with NO exchange; the only
+    // shuffle is the final 3-group aggregate
+    "tpch_bucketed_join" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tmp = R9Queries.runTmp + "/bucketed_" + safe
+      LayoutOps.writeBucketed(s.read.parquet(s"$dir/lineitem.parquet"),
+        "l_orderkey", 8, s"graft_li_$safe", s"$tmp/li")
+      LayoutOps.writeBucketed(s.read.parquet(s"$dir/orders.parquet")
+          .withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", 8, s"graft_ord_$safe", s"$tmp/ord")
+      LayoutOps.bucketedJoin(s, s"graft_li_$safe", s"graft_ord_$safe",
+          "l_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(countDistinct("l_orderkey").as("n_orders"),
+          count(lit(1)).as("n_lines"),
+          (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * 100).cast("long")).cast("double") / 100.0).as("revenue"))
     })
   )
+
+  /** Per-n CTE fragment for the repetition oracle: n-grams, counts with
+    * token-char length, the deterministic top-1 mass, and the duplicated
+    * mass. */
+  private def repCte(n: Int): String = {
+    val m = n - 1
+    s"""g$n AS (
+       |  SELECT doc_id, array_to_string(list_slice(t, i, i + $m), ' ') AS gram
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - $m)) AS i
+       |        FROM toks WHERE len(t) >= $n)
+       |),
+       |c$n AS (
+       |  SELECT doc_id, gram, count(*)::BIGINT AS c,
+       |    (length(gram) - $m)::BIGINT AS gl
+       |  FROM g$n GROUP BY doc_id, gram
+       |),
+       |top$n AS (
+       |  SELECT doc_id, c * gl AS mass FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY c DESC, gl DESC, gram) AS rn FROM c$n) WHERE rn = 1
+       |),
+       |dup$n AS (
+       |  SELECT doc_id, sum(c * gl)::BIGINT AS mass FROM c$n
+       |  WHERE c >= 2 GROUP BY doc_id
+       |)""".stripMargin
+  }
 
   /** 6-dp rounded cosine mirror — same fold as R12Queries.cosSql. */
   private def cosSql(a: String, b: String): String =
@@ -178,6 +230,44 @@ object R12bQueries {
          |    ((n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE) *
          |    sx::DOUBLE / 1000) / n::DOUBLE, 6) AS intercept
          |FROM s""".stripMargin,
+
+    "text_rep_ngrams" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("coalesce(text, '')")} AS t FROM documents
+         |),
+         |tot AS (
+         |  SELECT doc_id,
+         |    coalesce(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT AS n
+         |  FROM toks
+         |),
+         |${repCte(2)},
+         |${repCte(3)},
+         |${repCte(4)},
+         |${repCte(5)},
+         |${repCte(10)}
+         |SELECT tot.doc_id, tot.n AS n_token_chars,
+         |  CASE WHEN tot.n > 0 THEN round(coalesce(top2.mass, 0)::DOUBLE / tot.n, 6) END AS top2_frac,
+         |  CASE WHEN tot.n > 0 THEN round(coalesce(top3.mass, 0)::DOUBLE / tot.n, 6) END AS top3_frac,
+         |  CASE WHEN tot.n > 0 THEN round(coalesce(top4.mass, 0)::DOUBLE / tot.n, 6) END AS top4_frac,
+         |  CASE WHEN tot.n > 0 THEN round(coalesce(dup5.mass, 0)::DOUBLE / tot.n, 6) END AS dup5_frac,
+         |  CASE WHEN tot.n > 0 THEN round(coalesce(dup10.mass, 0)::DOUBLE / tot.n, 6) END AS dup10_frac
+         |FROM tot
+         |LEFT JOIN top2 ON tot.doc_id = top2.doc_id
+         |LEFT JOIN top3 ON tot.doc_id = top3.doc_id
+         |LEFT JOIN top4 ON tot.doc_id = top4.doc_id
+         |LEFT JOIN dup5 ON tot.doc_id = dup5.doc_id
+         |LEFT JOIN dup10 ON tot.doc_id = dup10.doc_id""".stripMargin,
+
+    // the bucketed layout is invisible to results: plain join + aggregate;
+    // cent-integerized revenue so the sum is order-free
+    "tpch_bucketed_join" ->
+      """SELECT o.o_orderstatus,
+        |  count(DISTINCT l.l_orderkey) AS n_orders,
+        |  count(*) AS n_lines,
+        |  sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100)
+        |    AS BIGINT))::DOUBLE / 100.0 AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     "emb_semantic_contam" ->
       s"""WITH p AS (

@@ -153,6 +153,49 @@ class R12bSpec extends AnyFunSuite {
     assert(out(12L) == ((0L, false)))
   }
 
+  test("ngramRepetition: hand-computed masses, degenerate and null docs") {
+    val out = TextOps.ngramRepetition(Seq(
+      (0L, "a b a b c"), // top2 "a b"×2 mass 4/5; top3 tie -> "a b a" 3/5
+      (1L, "z"),         // shorter than every n: 0.0 fractions
+      (2L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text"), col("text"), col("doc_id"))
+      .select("doc_id", "n_token_chars", "top2_frac", "top3_frac",
+        "dup5_frac")
+      .as[(Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(0L) == ((5L, Some(0.8), Some(0.6), Some(0.0))))
+    assert(out(1L) == ((1L, Some(0.0), Some(0.0), Some(0.0))))
+    assert(out(2L) == ((0L, None, None, None)))
+  }
+
+  test("bucketed join: same result as plain join, NO exchange in the join") {
+    val a = (0L until 100L).map(i => (i % 20, i)).toDF("k", "va")
+    val b = (0L until 40L).map(i => (i % 20, i * 10)).toDF("k", "vb")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+    LayoutOps.writeBucketed(a, "k", 4, "graft_bkt_a", s"$tmp/a")
+    LayoutOps.writeBucketed(b, "k", 4, "graft_bkt_b", s"$tmp/b")
+    // tables this small would (rightly) broadcast, which also avoids a
+    // shuffle — disable it to exercise the large×large SMJ path the
+    // bucketing exists for, and assert THAT plans exchange-free
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = LayoutOps.bucketedJoin(spark, "graft_bkt_a",
+        "graft_bkt_b", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join shuffled:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+      val got = joined.select("k", "va", "vb")
+        .as[(Long, Long, Long)].collect().toSet
+      val plain = a.join(b, "k").select("k", "va", "vb")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == plain && got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE graft_bkt_a"); spark.sql("DROP TABLE graft_bkt_b")
+    }
+  }
+
   test("centroidAssignStateless == ivfAssign; stream == batch") {
     val r = new scala.util.Random(23)
     val df = (0L until 40L).map(i =>
