@@ -43,6 +43,15 @@ object DedupOps {
     (v << 4) | ((d(7) >> 4) & 0xfL)
   }
 
+  /** First 8 hex chars of an md5 digest as an unsigned 32-bit long — the
+    * SQL mirror is `('0x' || substr(md5(s), 1, 8))::BIGINT`. */
+  private def key32(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 4) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v
+  }
+
 
   /** JVM mirror of the tokenize→k-shingle pipeline in [[TextOps]]
     * (split(lower, \s+) with empties removed; short docs yield one shingle =
@@ -1929,5 +1938,81 @@ object DedupOps {
         }
       }
     spark.createDataFrame(pairs).toDF("vec_a", "vec_b", "cos")
+  }
+
+  /** Content-defined chunking over TOKEN k-grams (the rsync/FastCDC idea
+    * re-expressed at token granularity so the oracle can replay it): a cut
+    * lands after every k-gram whose md5 bucket ≡ 0 (mod m) — boundaries
+    * depend only on local content, so an insertion early in a document
+    * shifts ONE chunk instead of re-chunking everything after it (the
+    * property fixed-size blocking lacks).  Expected chunk length ≈ m
+    * grams.  Output: (doc_id, pos, chunk_key, n_toks), one row per chunk;
+    * `chunk_key` is the house 60-bit md5 key of the chunk's token string.
+    * Docs with no tokens emit nothing.
+    *
+    * Kernel over per-row tokens (same tokenizer as [[TextOps.tokens]]);
+    * chunk rows ≈ tokens/m — the corpus token stream itself never
+    * shuffles. */
+  def cdcChunks(df: DataFrame, text: Column, id: Column, k: Int = 3,
+      m: Int = 8): DataFrame = {
+    require(k > 0 && m > 0, "k and m must be positive")
+    val f = udf { (t0: String) =>
+      val toks: Array[String] =
+        if (t0 == null) Array.empty
+        else t0.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+          .filter(_.nonEmpty)
+      val n = toks.length
+      if (n == 0) Array.empty[(Int, Long, Int)]
+      else {
+        val md = Md5Local.get()
+        val cuts = scala.collection.mutable.ArrayBuffer[Int](0)
+        var i = 0
+        while (i + k <= n) {
+          val gram = toks.slice(i, i + k).mkString(" ")
+          if (key32(md.digest(gram.getBytes("UTF-8"))) % m == 0L)
+            cuts += (i + k)
+          i += 1
+        }
+        if (cuts.last != n) cuts += n
+        val out = new scala.collection.mutable.ArrayBuffer[(Int, Long, Int)]()
+        var j = 1
+        var pos = 0
+        while (j < cuts.length) {
+          val s = cuts(j - 1); val e = cuts(j)
+          if (e > s) {
+            val chunk = toks.slice(s, e).mkString(" ")
+            out += ((pos, key60(md.digest(chunk.getBytes("UTF-8"))), e - s))
+            pos += 1
+          }
+          j += 1
+        }
+        out.toArray
+      }
+    }
+    df.select(id.as("doc_id"), explode(f(text)).as("c"))
+      .select(col("doc_id"), col("c._1").cast("long").as("pos"),
+        col("c._2").as("chunk_key"), col("c._3").cast("long").as("n_toks"))
+  }
+
+  /** Per-document chunk-level dedup report over [[cdcChunks]]: chunk
+    * count, chunks whose key occurs more than once CORPUS-wide (within-doc
+    * repeats included), and the duplicated token-mass fraction — the
+    * storage/dedup-saving estimate CDC systems report.  Two shuffles, both
+    * on the chunk table (≈ tokens/m rows): the key-frequency aggregate and
+    * the per-doc roll-up. */
+  def cdcDedupReport(df: DataFrame, text: Column, id: Column, k: Int = 3,
+      m: Int = 8): DataFrame = {
+    val ch = graft.core.CacheScope.persist(cdcChunks(df, text, id, k, m),
+      eager = false)
+    val freq = ch.groupBy("chunk_key").agg(count(lit(1)).as("cnt"))
+    ch.join(freq, "chunk_key")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cnt") > 1L, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum("n_toks").as("tok_mass"),
+        sum(when(col("cnt") > 1L, col("n_toks")).otherwise(0L)).as("dup_mass"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        round(col("dup_mass").cast("double") / col("tok_mass"), 6)
+          .as("dup_frac"))
   }
 }

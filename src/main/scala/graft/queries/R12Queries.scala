@@ -22,11 +22,14 @@ object R12Queries {
     // table — every vector is a query): per-row probe selection against
     // the broadcast centroid array, shuffle join on centroid_id, top-3
     // per query within the probed cells
+    // 32 coarse cells ≈ the √N IVF design point at sf0.1 (5000 vectors):
+    // candidate pairs scale as N²·nprobe/cells, so cells must GROW with
+    // the corpus — 8 cells was brute-force/4 and benched 4× slower
     "sim_knn_join" -> ((s, dir) => {
       val e = Tables.emb(s, dir)
       SimilarityOps.knnJoinIvf(e, col("embedding"), col("vec_id"),
         e, col("embedding"), col("vec_id"),
-        e.where(col("vec_id") < 8), col("embedding"), col("vec_id"),
+        e.where(col("vec_id") < 32), col("embedding"), col("vec_id"),
         k = 3, nprobe = 2)
     }),
 
@@ -88,7 +91,7 @@ object R12Queries {
       val idx = R9Queries.runTmp + "/knnj_index_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
       SimilarityOps.ivfIndexWrite(e, col("embedding"), col("vec_id"),
-        e.where(col("vec_id") < 8), col("embedding"), col("vec_id"), idx)
+        e.where(col("vec_id") < 32), col("embedding"), col("vec_id"), idx)
       SimilarityOps.knnJoinIvfIndex(s, idx, e, col("embedding"),
         col("vec_id"), k = 3, nprobe = 2)
     }),
@@ -150,7 +153,7 @@ object R12Queries {
     * nprobe=2, k=3): cell assignment = rank-1 probe; shared by
     * `sim_knn_join` and its persisted-index layout twin. */
   private lazy val KnnJoinSql: String =
-    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 32),
        |asg0 AS (
        |  SELECT e.vec_id AS neighbor_id, e.embedding AS nv, c.centroid_id,
        |    ${cosSql("e.embedding", "c.cv")} AS acos

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{EmbedOps, EventOps, LayoutOps, TextOps}
+import graft.ops.{DedupOps, EmbedOps, EventOps, LayoutOps, TextOps}
 
 /** Round-12b queries: the event-relational tier ([[graft.ops.EventOps]]:
   * as-of join, funnel attribution, bounded range join), CCNet text
@@ -73,6 +73,12 @@ object R12bQueries {
     "text_rep_ngrams" -> ((s, dir) =>
       TextOps.ngramRepetition(Tables.docs(s, dir), col("text"),
         col("doc_id"))),
+
+    // Content-defined chunk dedup report: cut after every token 3-gram
+    // with md5 bucket ≡ 0 (mod 8); duplicated chunk-mass fraction per doc
+    "dd_cdc_chunks" -> ((s, dir) =>
+      DedupOps.cdcDedupReport(Tables.docs(s, dir), col("text"),
+        col("doc_id"), k = 3, m = 8)),
 
     // Co-located fact-fact join: lineitem ⋈ orders, both bucketed+sorted
     // on the order key — the join itself plans with NO exchange; the only
@@ -257,6 +263,42 @@ object R12bQueries {
          |LEFT JOIN top4 ON tot.doc_id = top4.doc_id
          |LEFT JOIN dup5 ON tot.doc_id = dup5.doc_id
          |LEFT JOIN dup10 ON tot.doc_id = dup10.doc_id""".stripMargin,
+
+    // same cut rule in list form: 1-based gram start j cuts after token
+    // j + k - 1; bounds [0] ∪ cuts ∪ [n]; 60-bit md5 chunk keys
+    "dd_cdc_chunks" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("text")} AS t FROM documents
+         |  WHERE len(${toksSql("text")}) > 0
+         |),
+         |cu AS (
+         |  SELECT doc_id, t, len(t) AS n,
+         |    list_transform(
+         |      list_filter(generate_series(1, len(t) - 2), i ->
+         |        ('0x' || substr(md5(array_to_string(list_slice(t, i, i + 2), ' ')), 1, 8))::BIGINT % 8 = 0),
+         |      i -> i + 2) AS cc
+         |  FROM toks
+         |),
+         |b AS (
+         |  SELECT doc_id, t, n,
+         |    list_concat(list_concat([0], cc),
+         |      CASE WHEN len(cc) = 0 OR cc[-1] <> n THEN [n] ELSE [] END) AS bd
+         |  FROM cu
+         |),
+         |ch AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(array_to_string(list_slice(t, bd[j] + 1, bd[j + 1]), ' ')), 1, 15))::BIGINT AS chunk_key,
+         |    (bd[j + 1] - bd[j])::BIGINT AS n_toks
+         |  FROM (SELECT doc_id, t, bd, unnest(generate_series(1, len(bd) - 1)) AS j FROM b)
+         |  WHERE bd[j + 1] > bd[j]
+         |),
+         |fr AS (SELECT chunk_key, count(*) AS cnt FROM ch GROUP BY chunk_key)
+         |SELECT ch.doc_id, count(*)::BIGINT AS n_chunks,
+         |  sum(CASE WHEN fr.cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+         |  round(sum(CASE WHEN fr.cnt > 1 THEN ch.n_toks ELSE 0 END)::DOUBLE /
+         |    sum(ch.n_toks), 6) AS dup_frac
+         |FROM ch JOIN fr ON ch.chunk_key = fr.chunk_key
+         |GROUP BY ch.doc_id""".stripMargin,
 
     // the bucketed layout is invisible to results: plain join + aggregate;
     // cent-integerized revenue so the sum is order-free

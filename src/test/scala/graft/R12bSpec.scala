@@ -168,6 +168,27 @@ class R12bSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, None, None, None)))
   }
 
+  test("cdcChunks partitions the token stream; dup docs fully duplicated") {
+    val words = (0 until 60).map(i => s"w${i * 7 % 53}x$i").mkString(" ")
+    val other = (0 until 45).map(i => s"q${i * 11 % 41}y$i").mkString(" ")
+    val docs = Seq((0L, words), (1L, words), (2L, other), (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ch = DedupOps.cdcChunks(docs, col("text"), col("doc_id"))
+      .as[(Long, Long, Long, Long)].collect()
+    // chunks partition each doc's tokens exactly
+    val massByDoc = ch.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(massByDoc == Map(0L -> 60L, 1L -> 60L, 2L -> 45L))
+    // identical docs -> identical ordered chunk-key sequences
+    def keys(d: Long) = ch.filter(_._1 == d).sortBy(_._2).map(_._3).toSeq
+    assert(keys(0L) == keys(1L) && keys(0L).nonEmpty)
+    // a 60-token doc at m=8, k=3 should split into several chunks
+    assert(keys(0L).size > 1)
+    val rep = DedupOps.cdcDedupReport(docs, col("text"), col("doc_id"))
+      .select("doc_id", "dup_frac").as[(Long, Double)].collect().toMap
+    assert(rep(0L) == 1.0 && rep(1L) == 1.0 && rep(2L) == 0.0)
+    assert(!rep.contains(3L) && !rep.contains(4L)) // tokenless: no rows
+  }
+
   test("bucketed join: same result as plain join, NO exchange in the join") {
     val a = (0L until 100L).map(i => (i % 20, i)).toDF("k", "va")
     val b = (0L until 40L).map(i => (i % 20, i * 10)).toDF("k", "vb")
