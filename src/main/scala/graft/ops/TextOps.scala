@@ -1041,7 +1041,11 @@ object TextOps {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .where(col("c12") >= minCount)
-    val nBg = bg.agg(count(lit(1)).as("__nb"))
+    // total bigrams = Σ max(n_tokens−1, 0): a narrow per-row sum — NOT a
+    // second explode of the corpus bigram stream (which doubled the
+    // query's scan+explode cost)
+    val nBg = df.select(greatest(size(tokens(text)) - 1, lit(0))
+      .cast("long").as("__b")).agg(sum("__b").as("__nb"))
     val uni = df.select(explode(tokens(text)).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("__c"))
     val nTok = uni.agg(sum("__c").as("__nt"))
