@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, EmbedOps, EventOps, LayoutOps, TextOps}
+import graft.ops.{DedupOps, EmbedOps, EventOps, LayoutOps, SplitOps, TextOps}
 
 /** Round-12b queries: the event-relational tier ([[graft.ops.EventOps]]:
   * as-of join, funnel attribution, bounded range join), CCNet text
@@ -66,6 +66,27 @@ object R12bQueries {
       EmbedOps.semanticContam(e, col("embedding"), col("vec_id"),
         e.where(col("vec_id") < 16), col("embedding"), col("vec_id"),
         minCosine = 0.35)
+    }),
+
+    // Flagship curation pipeline, end to end in ONE plan: quality gate →
+    // exact dedup (first occurrence wins) → hash split → train shards.
+    // Every stage is an already-oracled operator; the composition is the
+    // production shape — gate prunes before dedup hashes, dedup prunes
+    // before the split, only train pays the shard window.
+    "pipeline_curate" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      val gated = TextOps.filterPipeline(d, col("text"), col("doc_id"),
+        minTokens = 20L, maxTokens = 1000L, minQuality = 0.5,
+        langs = Seq("en", "de", "es", "fr"))
+      val gatedDocs = d.join(gated.select("doc_id"), "doc_id")
+      val kept = DedupOps.exactDedup(gatedDocs, col("text"), col("doc_id"))
+      val split = SplitOps.withSplit(kept.select("doc_id"), col("doc_id"),
+        seed = 42L, Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val shards = SplitOps.exportShards(
+        split.where(col("split") === "train").select("doc_id"),
+        col("doc_id"), seed = 5L, nShards = 4)
+      split.join(shards.select(col("doc_id"), col("shard"), col("pos")),
+        Seq("doc_id"), "left")
     }),
 
     // Gopher word-n-gram repetition fractions (top 2/3/4-gram char mass,
@@ -263,6 +284,73 @@ object R12bQueries {
          |LEFT JOIN top4 ON tot.doc_id = top4.doc_id
          |LEFT JOIN dup5 ON tot.doc_id = dup5.doc_id
          |LEFT JOIN dup10 ON tot.doc_id = dup10.doc_id""".stripMargin,
+
+    // the four stage oracles chained as CTEs: the filter_pipeline gate,
+    // min-id-per-digest dedup, the md5-uniform split, the shard window
+    "pipeline_curate" -> {
+      val u = graft.core.Rng.Md5.uniformSql(42L, "split", Seq("doc_id"))
+      val sk = graft.core.Rng.Md5.sortKeySql(5L, "shard", Seq("doc_id"))
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+         |  FROM documents
+         |),
+         |f AS (
+         |  SELECT doc_id,
+         |    len(toks) AS n_tokens,
+         |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct_cnt,
+         |    len(list_filter(toks, x -> x IN ('the','a','an','and','of','to','in','is','for','on'))) AS stop_hits,
+         |    len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS s_de,
+         |    len(list_filter(toks, x -> x IN ('el','los','las','una','que','por'))) AS s_es,
+         |    len(list_filter(toks, x -> x IN ('le','les','des','est','dans','pour'))) AS s_fr,
+         |    len(list_filter(toks, x -> x IN ('the','and','of','is','to','in'))) AS s_en
+         |  FROM t
+         |),
+         |q AS (
+         |  SELECT doc_id,
+         |    CASE WHEN s_de > s_en AND s_de > s_es AND s_de > s_fr THEN 'de'
+         |         WHEN s_es > s_en AND s_es > s_fr THEN 'es'
+         |         WHEN s_fr > s_en THEN 'fr'
+         |         ELSE 'en' END AS lang_pred,
+         |    n_tokens,
+         |    round(
+         |      0.4 * least(CAST(1.0 AS DOUBLE), n_tokens::DOUBLE / 200.0) +
+         |      0.3 * (CAST(1.0 AS DOUBLE) - least(CAST(1.0 AS DOUBLE), punct_cnt::DOUBLE / greatest(n_tokens, 1)::DOUBLE)) +
+         |      0.3 * least(CAST(1.0 AS DOUBLE), (stop_hits::DOUBLE / greatest(n_tokens, 1)::DOUBLE) * 5.0),
+         |      6) AS quality
+         |  FROM f
+         |),
+         |g AS (
+         |  SELECT doc_id FROM q
+         |  WHERE n_tokens >= 20 AND n_tokens <= 1000 AND quality >= 0.5
+         |    AND lang_pred IN ('en', 'de', 'es', 'fr')
+         |),
+         |gd AS (SELECT d.doc_id, d.text FROM documents d JOIN g ON d.doc_id = g.doc_id),
+         |kept AS (
+         |  SELECT doc_id FROM gd
+         |  WHERE doc_id IN (SELECT min(doc_id) FROM gd GROUP BY md5(text))
+         |),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN u < 0.8 THEN 'train'
+         |         WHEN u < 0.9 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, $u AS u FROM kept)
+         |),
+         |tr AS (SELECT doc_id, $sk AS sk FROM sp WHERE split = 'train'),
+         |sh AS (
+         |  SELECT doc_id,
+         |    ('0x' || substr(sk, 1, 8))::BIGINT % 4 AS shard, sk
+         |  FROM tr
+         |),
+         |shp AS (
+         |  SELECT doc_id, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY sk, doc_id) - 1 AS pos
+         |  FROM sh
+         |)
+         |SELECT sp.doc_id, sp.split, shp.shard, shp.pos
+         |FROM sp LEFT JOIN shp ON sp.doc_id = shp.doc_id""".stripMargin
+    },
 
     // same cut rule in list form: 1-based gram start j cuts after token
     // j + k - 1; bounds [0] ∪ cuts ∪ [n]; 60-bit md5 chunk keys
