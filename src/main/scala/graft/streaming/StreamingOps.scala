@@ -203,6 +203,18 @@ object StreamingOps {
       spark.readStream.schema(schema).parquet(dir),
       col("text"), col("doc_id"), vocab)
 
+  /** Stream-static enrichment: every arriving event left-joined to a
+    * STATIC dimension snapshot (user profile, domain metadata) on `key` —
+    * Spark's stream-static join needs no state store or watermark; the
+    * static side is broadcast when small (the hint below), so enrichment
+    * adds no shuffle to the stream.  Refresh the snapshot by restarting
+    * the query (the standard slowly-changing-dimension pattern).
+    * Bit-equal to the same join on the batch frame. */
+  def enrichStream(spark: SparkSession, dir: String, schema: StructType,
+      dim: DataFrame, key: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq(key), "left")
+
   /** Streaming nearest-centroid routing: every arriving embedding is
     * assigned to its IVF cell via the stateless literal-codebook argmax
     * ([[graft.ops.SimilarityOps.centroidAssignStateless]]) — no join, no

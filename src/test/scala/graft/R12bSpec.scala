@@ -168,6 +168,33 @@ class R12bSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, None, None, None)))
   }
 
+  test("enrichStream: stream-static left join equals the batch join") {
+    val ev = Seq((1L, 10L, "click"), (2L, 20L, "view"), (3L, 99L, "view"))
+      .toDF("event_id", "user_id", "event_type")
+    val dim = Seq((10L, "gold"), (20L, "silver")).toDF("user_id", "tier")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("event_id", "tier").as[(Long, Option[String])].collect().toSet
+    val batch = rows(ev.join(dim, Seq("user_id"), "left"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-enrich").toFile
+    try {
+      ev.coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      val q = StreamingOps.enrichStream(spark, dir.getAbsolutePath,
+          ev.schema, dim, "user_id")
+        .writeStream.format("memory").queryName("graft_enrich_test")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      val streamed = rows(spark.table("graft_enrich_test"))
+      q.stop()
+      assert(streamed == batch && streamed.size == 3)
+      assert(streamed.exists(_._2.isEmpty)) // unmatched key stays, null dim
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("cdcChunks partitions the token stream; dup docs fully duplicated") {
     val words = (0 until 60).map(i => s"w${i * 7 % 53}x$i").mkString(" ")
     val other = (0 until 45).map(i => s"q${i * 11 % 41}y$i").mkString(" ")
