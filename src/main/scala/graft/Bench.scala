@@ -80,7 +80,9 @@ object Bench {
       "text_tokens", "text_bpe_tokens", "text_langid", "text_dsir_weights",
       "pack_plan", "sim_topk", "sim_ivf_topk", "sim_pq_topk", "sim_knn_join",
       "mm_decode", "stream_tumbling", "stream_sessions", "skew_salted_agg",
-      "p3_hash_split", "text_pii_redact", "emb_outliers", "text_pmi_top")
+      "p3_hash_split", "text_pii_redact", "emb_outliers", "text_pmi_top",
+      "pipeline_curate", "tpch_bucketed_join", "dd_cdc_chunks",
+      "ev_asof_join", "text_rep_ngrams")
     val headSet = headline.toSet
     val qs = results.collect { case (k, (sec, _)) if headSet(k) =>
       s"\"" + k + "\":" + s3(sec) }.mkString("{", ",", "}")

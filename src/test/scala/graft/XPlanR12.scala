@@ -22,7 +22,8 @@ object XPlanR12 {
       "text_pmi_top", "p3_exact_split", "o5_export_shards",
       "ev_recency_weights", "sim_knn_join_persisted",
       "ev_asof_join", "ev_funnel", "ev_range_join", "text_normalize",
-      "text_lexdiv", "text_zipf", "emb_semantic_contam")
+      "text_lexdiv", "text_zipf", "emb_semantic_contam", "pipeline_curate",
+      "dd_cdc_chunks", "text_rep_ngrams", "tpch_bucketed_join")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>
