@@ -455,7 +455,35 @@ object DedupOps {
     * sort-based aggregation past 128 groups), no shuffle of raw text. */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
       k: Int = 3, maxDocFreq: Long = 100,
-      minJaccard: Double = 0.2): DataFrame = {
+      minJaccard: Double = 0.2): DataFrame =
+    ngramPairStats(df, text, id, k, maxDocFreq)
+      .withColumn("jaccard", round(
+        col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
+
+  /** Asymmetric near-dup pairs by the overlap (containment) coefficient
+    * `|A∩B| / min(|A|,|B|)` over the same capped shingle postings as
+    * [[ngramJaccardPairs]] — the measure that catches a SHORT document
+    * embedded verbatim in a long one, where Jaccard stays small because
+    * the union is dominated by the long side (Broder 1997's containment,
+    * the quote/excerpt case every symmetric threshold misses). */
+  def containmentPairs(df: DataFrame, text: Column, id: Column,
+      k: Int = 3, maxDocFreq: Long = 100,
+      minContainment: Double = 0.5): DataFrame =
+    ngramPairStats(df, text, id, k, maxDocFreq)
+      .withColumn("containment", round(
+        col("common").cast("double") /
+          least(col("size_a"), col("size_b")).cast("double"), 6))
+      .where(col("containment") >= minContainment)
+      .select("doc_a", "doc_b", "common", "size_a", "size_b", "containment")
+
+  /** Shared pair-statistics stage behind the n-gram similarity
+    * coefficients: capped shingle postings → sorted posting walk →
+    * (doc_a, doc_b, common, size_a, size_b). */
+  private def ngramPairStats(df: DataFrame, text: Column, id: Column,
+      k: Int, maxDocFreq: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val hashes = udf { (t: String) =>
@@ -523,11 +551,6 @@ object DedupOps {
         .withColumnRenamed("sz", "size_a"), Seq("doc_a"))
       .join(sizes.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("sz", "size_b"), Seq("doc_b"))
-      .withColumn("jaccard", round(
-        col("common").cast("double") /
-          (col("size_a") + col("size_b") - col("common")).cast("double"), 6))
-      .where(col("jaccard") >= minJaccard)
-      .select("doc_a", "doc_b", "common", "size_a", "size_b", "jaccard")
   }
 
   /** Per-document MinHash signature: `numHashes` md5-family min-hashes over

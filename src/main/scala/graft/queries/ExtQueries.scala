@@ -15,7 +15,7 @@ object ExtQueries {
   import Tables.{docs, emb, events}
 
   /** Shared oracle CTEs: tokens + word-3-shingle postings over documents. */
-  private val PostingsCte =
+  private[queries] val PostingsCte =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
       |  FROM documents

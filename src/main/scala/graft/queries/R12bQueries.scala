@@ -95,6 +95,12 @@ object R12bQueries {
       TextOps.ngramRepetition(Tables.docs(s, dir), col("text"),
         col("doc_id"))),
 
+    // Asymmetric containment pairs: |A∩B|/min(|A|,|B|) on the capped
+    // shingle postings — catches a short doc quoted inside a long one
+    "dd_containment_pairs" -> ((s, dir) =>
+      DedupOps.containmentPairs(Tables.docs(s, dir), col("text"),
+        col("doc_id"), k = 3, maxDocFreq = 100, minContainment = 0.5)),
+
     // Content-defined chunk dedup report: cut after every token 3-gram
     // with md5 bucket ≡ 0 (mod 8); duplicated chunk-mass fraction per doc
     "dd_cdc_chunks" -> ((s, dir) =>
@@ -351,6 +357,23 @@ object R12bQueries {
          |SELECT sp.doc_id, sp.split, shp.shard, shp.pos
          |FROM sp LEFT JOIN shp ON sp.doc_id = shp.doc_id""".stripMargin
     },
+
+    "dd_containment_pairs" ->
+      s"""${ExtQueries.PostingsCte},
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM post GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+         |  FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |c AS (
+         |  SELECT doc_a, doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
+         |    round(common::DOUBLE / least(sa.sz, sb.sz)::DOUBLE, 6) AS containment
+         |  FROM pairs
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |)
+         |SELECT * FROM c WHERE containment >= 0.5""".stripMargin,
 
     // same cut rule in list form: 1-based gram start j cuts after token
     // j + k - 1; bounds [0] ∪ cuts ∪ [n]; 60-bit md5 chunk keys

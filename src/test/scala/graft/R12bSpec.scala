@@ -168,6 +168,34 @@ class R12bSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, None, None, None)))
   }
 
+  test("containmentPairs: short-inside-long scores 1.0 where Jaccard fails") {
+    val short = "p q r s t u"
+    val filler = (0 until 30).map(i => s"f$i").mkString(" ")
+    val docs = Seq((0L, short), (1L, s"$short $filler"),
+      (2L, "unrelated words only here")).toDF("doc_id", "text")
+    val cp = DedupOps.containmentPairs(docs, col("text"), col("doc_id"),
+        minContainment = 0.9)
+      .select("doc_a", "doc_b", "containment")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(cp == Seq((0L, 1L, 1.0)))
+    // the symmetric coefficient misses the same embedding: union is
+    // dominated by the long side
+    val jp = DedupOps.ngramJaccardPairs(docs, col("text"), col("doc_id"),
+      minJaccard = 0.5).collect()
+    assert(jp.isEmpty)
+  }
+
+  test("streaming batch queries run against the REAL events parquet") {
+    // r11 regression guard: the loader must branch on the parquet's actual
+    // ts physical type (timestamp[us] vs nanos-as-long) — in-memory spec
+    // frames bypassed the reader and masked the break
+    Seq("stream_tumbling", "stream_sessions", "stream_first_events",
+      "ev_asof_join", "ev_range_join").foreach { q =>
+      val n = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      assert(n > 0, s"$q returned no rows from the parquet events table")
+    }
+  }
+
   test("enrichStream: stream-static left join equals the batch join") {
     val ev = Seq((1L, 10L, "click"), (2L, 20L, "view"), (3L, 99L, "view"))
       .toDF("event_id", "user_id", "event_type")
