@@ -848,18 +848,21 @@ object TextOps {
   def bigramLmScore(df: DataFrame, text: Column, idCol: Column,
       ref: DataFrame, refText: Column,
       broadcastModel: Boolean = true): DataFrame = {
-    val rbg = graft.core.CacheScope.persist(
-      ref.select(explode(bigrams(refText)).as("bg"))
-        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2")),
-      eager = false)
     // the model tables are reference-sized (the CCNet setup trains the LM
     // on the small curated corpus): broadcast them by default so scoring
     // is a narrow pass — a post-agg table has no stats, and the planner's
     // blind default is a sort-merge join that sorts the corpus bigrams.
     // Pass broadcastModel = false for a reference too big to broadcast.
     def side(t: DataFrame): DataFrame = if (broadcastModel) broadcast(t) else t
-    val c12 = side(rbg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
-    val c1 = side(rbg.groupBy("w1").agg(count(lit(1)).as("c1")))
+    // ONE bigram aggregate; the w1 marginal is a sum over the MODEL table
+    // (c1(w1) = Σ_w2 c12), not a second pass over the reference bigrams
+    val bgAgg = graft.core.CacheScope.persist(
+      ref.select(explode(bigrams(refText)).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("c12")),
+      eager = false)
+    val c12 = side(bgAgg)
+    val c1 = side(bgAgg.groupBy("w1").agg(sum("c12").as("c1")))
     val vSize = ref.select(explode(tokens(refText)).as("tok"))
       .agg(count_distinct(col("tok")).cast("double").as("__v"))
     val scored = df.select(idCol.as("doc_id"), explode(bigrams(text)).as("bg"))
@@ -912,29 +915,32 @@ object TextOps {
   def sboScore(df: DataFrame, text: Column, idCol: Column,
       ref: DataFrame, refText: Column,
       broadcastModel: Boolean = true): DataFrame = {
-    val rtg = graft.core.CacheScope.persist(
-      ref.select(explode(trigrams(refText)).as("tg"))
-        .select(col("tg.w1").as("w1"), col("tg.w2").as("w2"),
-          col("tg.w3").as("w3")),
-      eager = false)
-    val rbg = graft.core.CacheScope.persist(
-      ref.select(explode(bigrams(refText)).as("bg"))
-        .select(col("bg.w1").as("w1"), col("bg.w2").as("w2")),
-      eager = false)
     def side(t: DataFrame): DataFrame = if (broadcastModel) broadcast(t) else t
-    val c123 = side(rtg.groupBy("w1", "w2", "w3")
+    val c123 = side(ref.select(explode(trigrams(refText)).as("tg"))
+      .groupBy(col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
       .agg(count(lit(1)).as("c123")))
-    val c12 = side(rbg.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
-    // c23 keyed on the LAST two positions of the trigram
-    val c23 = side(rbg.groupBy(col("w1").as("w2"), col("w2").as("w3"))
-      .agg(count(lit(1)).as("c23")))
-    val c2 = side(ref.select(explode(tokens(refText)).as("w2"))
-      .groupBy("w2").agg(count(lit(1)).as("c2")))
-    val c3 = side(ref.select(explode(tokens(refText)).as("w3"))
-      .groupBy("w3").agg(count(lit(1)).as("c3")))
-    val nv = ref.select(explode(tokens(refText)).as("tok"))
-      .agg(count(lit(1)).cast("double").as("__n"),
-        count_distinct(col("tok")).cast("double").as("__v"))
+    // ONE bigram aggregate serves both backoff keys: c23 is c12 re-keyed
+    // on the trigram's last two positions, not a second explode+aggregate
+    // over the reference corpus (which doubled the model-build cost)
+    val bgAgg = graft.core.CacheScope.persist(
+      ref.select(explode(bigrams(refText)).as("bg"))
+        .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .agg(count(lit(1)).as("cbg")),
+      eager = false)
+    val c12 = side(bgAgg.select(col("w1"), col("w2"), col("cbg").as("c12")))
+    val c23 = side(bgAgg.select(col("w1").as("w2"), col("w2").as("w3"),
+      col("cbg").as("c23")))
+    // likewise ONE unigram aggregate for both w2/w3 lookups AND the (N, V)
+    // totals — three former explodes of the reference token stream
+    val uniAgg = graft.core.CacheScope.persist(
+      ref.select(explode(tokens(refText)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cu")),
+      eager = false)
+    val c2 = side(uniAgg.select(col("tok").as("w2"), col("cu").as("c2")))
+    val c3 = side(uniAgg.select(col("tok").as("w3"), col("cu").as("c3")))
+    val nv = uniAgg.agg(sum("cu").cast("double").as("__n"),
+      count(lit(1)).cast("double").as("__v"))
     val score =
       when(col("c123").isNotNull && col("c12").isNotNull,
         col("c123").cast("double") / col("c12"))
