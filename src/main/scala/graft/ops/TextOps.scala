@@ -1322,6 +1322,46 @@ object TextOps {
           round(col("n_hapax").cast("double") / col("n_types"), 6)))
   }
 
+  /** Per-class length quantiles, sketch vs exact: the GK/KLL-style
+    * `percentile_approx` sketch (one pass, constant memory per class —
+    * the 100 TB path) cross-checked against the exact rank quantile
+    * (value at rank ⌈q·n⌉ of the sorted values).  Output per class:
+    * (cls, n, p50_exact, p90_exact, within_bound) where `within_bound`
+    * asserts both sketch estimates land within `tol` (relative) of
+    * exact — the [[approxDistinctTokens]] invariant-oracle pattern: the
+    * oracle replays the exact side and a constant `true`, so a sketch
+    * regression breaks the hash match.  The exact side is the expensive
+    * verification artifact, not the production path. */
+  def lengthQuantiles(df: DataFrame, cls: Column, value: Column,
+      qs: Seq[Double] = Seq(0.5, 0.9), tol: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1))
+    val w = Window.partitionBy("cls").orderBy(col("v"))
+    val ranked = df.select(cls.as("cls"), value.cast("long").as("v"))
+      .withColumn("rn", row_number().over(w))
+    val n = ranked.groupBy("cls").agg(count(lit(1)).as("n"))
+    val exact = qs.foldLeft(ranked.join(n, "cls")) { (acc, q) =>
+      acc.withColumn(s"is_p${(q * 100).toInt}",
+        col("rn") === ceil(lit(q) * col("n")).cast("int"))
+    }
+    val aggCols = first(col("n")).as("n") +:
+      qs.map(q => max(when(col(s"is_p${(q * 100).toInt}"), col("v")))
+        .as(s"p${(q * 100).toInt}_exact"))
+    val exactAgg = exact.groupBy("cls").agg(aggCols.head, aggCols.tail: _*)
+    val approxAgg = df.select(cls.as("cls"), value.cast("long").as("v"))
+      .groupBy("cls")
+      .agg(percentile_approx(col("v"),
+        array(qs.map(lit): _*), lit(10000)).as("ap"))
+    exactAgg.join(approxAgg, "cls")
+      .withColumn("within_bound",
+        qs.zipWithIndex.map { case (q, i) =>
+          val e = col(s"p${(q * 100).toInt}_exact").cast("double")
+          (abs(element_at(col("ap"), i + 1).cast("double") - e) <=
+            lit(tol) * abs(e)) || e === 0.0
+        }.reduce(_ && _))
+      .drop("ap")
+  }
+
   /** Gopher §A1.1's word-n-gram repetition fractions (Rae et al. 2021),
     * the tier [[repetitionFeatures]]' paragraph/bigram signals don't
     * cover: per document, the char mass of the MOST frequent n-gram

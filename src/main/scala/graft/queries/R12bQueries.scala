@@ -95,6 +95,12 @@ object R12bQueries {
       TextOps.ngramRepetition(Tables.docs(s, dir), col("text"),
         col("doc_id"))),
 
+    // Per-source doc-length quantiles: one-pass sketch cross-checked
+    // against the exact rank quantile (invariant oracle: exact + true)
+    "text_len_quantiles" -> ((s, dir) =>
+      TextOps.lengthQuantiles(Tables.docs(s, dir), col("source"),
+        col("n_chars"))),
+
     // Asymmetric containment pairs: |A∩B|/min(|A|,|B|) on the capped
     // shingle postings — catches a short doc quoted inside a long one
     "dd_containment_pairs" -> ((s, dir) =>
@@ -357,6 +363,19 @@ object R12bQueries {
          |SELECT sp.doc_id, sp.split, shp.shard, shp.pos
          |FROM sp LEFT JOIN shp ON sp.doc_id = shp.doc_id""".stripMargin
     },
+
+    "text_len_quantiles" ->
+      """WITH r AS (
+        |  SELECT source AS cls, n_chars AS v,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents
+        |)
+        |SELECT cls, max(n)::BIGINT AS n,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS INTEGER) THEN v END)::BIGINT AS p50_exact,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS INTEGER) THEN v END)::BIGINT AS p90_exact,
+        |  true AS within_bound
+        |FROM r GROUP BY cls""".stripMargin,
 
     "dd_containment_pairs" ->
       s"""${ExtQueries.PostingsCte},

@@ -168,6 +168,19 @@ class R12bSpec extends AnyFunSuite {
     assert(out(2L) == ((0L, None, None, None)))
   }
 
+  test("lengthQuantiles: exact ranks by hand; sketch lands in bound") {
+    // class a: values 1..10 -> p50 = rank ceil(5.0) = 5, p90 = rank 9
+    // class b: constant 7s -> both quantiles 7
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      (1 to 4).map(_ => ("b", 7L))).toDF("cls", "v")
+    val out = TextOps.lengthQuantiles(df, col("cls"), col("v"))
+      .select("cls", "n", "p50_exact", "p90_exact", "within_bound")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("a") == ((10L, 5L, 9L, true)))
+    assert(out("b") == ((4L, 7L, 7L, true)))
+  }
+
   test("containmentPairs: short-inside-long scores 1.0 where Jaccard fails") {
     val short = "p q r s t u"
     val filler = (0 until 30).map(i => s"f$i").mkString(" ")
