@@ -95,6 +95,13 @@ object R12bQueries {
       TextOps.ngramRepetition(Tables.docs(s, dir), col("text"),
         col("doc_id"))),
 
+    // Hierarchical corpus census: doc/char totals at (source, lang),
+    // per-source subtotal, and grand total in ONE pass — Spark's rollup
+    // plans a single Expand+aggregate, not three scans
+    "a1_rollup" -> ((s, dir) =>
+      Tables.docs(s, dir).rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))),
+
     // Per-source doc-length quantiles: one-pass sketch cross-checked
     // against the exact rank quantile (invariant oracle: exact + true)
     "text_len_quantiles" -> ((s, dir) =>
@@ -363,6 +370,11 @@ object R12bQueries {
          |SELECT sp.doc_id, sp.split, shp.shard, shp.pos
          |FROM sp LEFT JOIN shp ON sp.doc_id = shp.doc_id""".stripMargin
     },
+
+    "a1_rollup" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  sum(n_chars)::BIGINT AS chars
+        |FROM documents GROUP BY ROLLUP(source, lang)""".stripMargin,
 
     "text_len_quantiles" ->
       """WITH r AS (
