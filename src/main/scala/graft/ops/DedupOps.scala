@@ -2038,4 +2038,33 @@ object DedupOps {
         round(col("dup_mass").cast("double") / col("tok_mass"), 6)
           .as("dup_frac"))
   }
+
+  /** Edit-distance (Levenshtein) confirm over banding candidates: the
+    * character-level near-dup tier below token Jaccard — catches single-
+    * character edits, OCR noise, and whitespace-preserving rewrites that
+    * token-set overlap over-credits.  Distance runs on the lowercased
+    * first `prefixChars` characters (Levenshtein is O(|a|·|b|); the prefix
+    * cap bounds per-pair work at scale — near-dup prefixes are near-dup
+    * documents at curation granularity).  `edit_sim` = 1 − dist/max(len),
+    * 6-dp rounded; pairs land unfiltered so the caller picks the cut.
+    *
+    * Confirm-only by design (like [[tfCosineConfirm]]): the quadratic
+    * kernel touches CANDIDATE pairs, never the corpus cross product.  The
+    * two id-keyed joins that attach prefix text to the bounded pair table
+    * are plain co-hash joins; Spark's `levenshtein` is a codegen'd
+    * built-in, no UDF. */
+  def editSimilarityPairs(df: DataFrame, text: Column, id: Column,
+      candidates: DataFrame, prefixChars: Int = 800): DataFrame = {
+    require(prefixChars > 0, "prefixChars must be positive")
+    val t = df.select(id.as("__eid"),
+      substring(lower(coalesce(text, lit(""))), 1, prefixChars).as("__t"))
+    candidates.select("doc_a", "doc_b")
+      .join(t.select(col("__eid").as("doc_a"), col("__t").as("__ta")), "doc_a")
+      .join(t.select(col("__eid").as("doc_b"), col("__t").as("__tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("edit_dist"),
+        round(lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
+          greatest(length(col("__ta")), length(col("__tb")), lit(1)), 6)
+          .as("edit_sim"))
+  }
 }

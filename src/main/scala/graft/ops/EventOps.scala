@@ -114,4 +114,61 @@ object EventOps {
       .select(col("a_id"), col("b_id"), col("k"),
         (col("b_ms") - col("a_ms")).as("gap_ms"))
   }
+
+  /** Cohort retention matrix: users bucketed by the fixed-length period of
+    * their FIRST event (`cohort` = floor(firstMs / periodMs)), then the
+    * distinct-active-user count per (cohort, period offset) — the classic
+    * "week-0 signups still active in week k" triangle.
+    *
+    * ONE user-keyed shuffle: the (user, period) pairs collapse to a per-user
+    * period SET via a map-side-combinable `collect_set`, the cohort is the
+    * set's min, and the final count groups the re-exploded (cohort, offset)
+    * rows — each (user, cohort, offset) row is unique by construction, so a
+    * plain `count` IS the distinct-user count (no distinct expansion).
+    * Per-user state is the period set, bounded by lifetime activity span in
+    * periods (weeks/years), not by event count.
+    *
+    * Output: (cohort, period_offset, n_users), all longs. */
+  def cohortRetention(events: DataFrame, user: Column, ts: Column,
+      periodMs: Long = 7L * 24 * 3600 * 1000): DataFrame = {
+    require(periodMs > 0, "periodMs must be positive")
+    val p = floor(floor(unix_micros(ts) / 1000) / periodMs).cast("long")
+    events.select(user.as("uid"), p.as("p"))
+      .groupBy("uid")
+      .agg(collect_set("p").as("ps"))
+      .select(col("uid"), array_min(col("ps")).as("cohort"),
+        explode(col("ps")).as("p"))
+      .groupBy(col("cohort"), (col("p") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Per-user inter-event gap statistics over the sorted event timeline:
+    * event count, first→last span, maximum gap, and the exact lower-median
+    * gap (element ⌈m/2⌉ of the m sorted gaps) — the burstiness/dormancy
+    * card behind session-timeout and retention-window choices.
+    *
+    * One hash shuffle (groupBy user); the sorted-timestamp diffs, max, and
+    * rank-exact median are all array folds INSIDE the aggregate row — the
+    * event stream never shuffles twice and there is no window.  All values
+    * are exact integer milliseconds; gap columns are null for single-event
+    * users.  Per-user state is the event-timestamp list — the same
+    * per-user-activity envelope as [[funnelStages]]. */
+  def interEventGaps(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val ms = floor(unix_micros(ts) / 1000).cast("long")
+    events.select(user.as("user_id"), ms.as("ms"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("ms"))).as("arr"))
+      .select(col("user_id"), col("arr"),
+        when(size(col("arr")) > 1,
+          transform(sequence(lit(1), size(col("arr")) - 1),
+            i => element_at(col("arr"), i + 1) - element_at(col("arr"), i)))
+          .as("gaps"))
+      .select(col("user_id"),
+        size(col("arr")).cast("long").as("n_events"),
+        (element_at(col("arr"), size(col("arr"))) - element_at(col("arr"), 1))
+          .as("span_ms"),
+        array_max(col("gaps")).as("max_gap_ms"),
+        element_at(array_sort(col("gaps")),
+          ceil(size(col("gaps")) / lit(2.0)).cast("int")).as("median_gap_ms"))
+  }
 }

@@ -633,6 +633,41 @@ object SimilarityOps {
     df.select(id.as("vec_id"), proj.as("rvec"))
   }
 
+  /** Two-stage coarse-then-rerank ANN: stage 1 ranks in the JL-projected
+    * `projDims`-dim space ([[rpProjected]] — the cheap kernel: `projDims/
+    * dims` of the distance work and shuffle payload) and keeps `coarseK`
+    * candidates per query; stage 2 re-scores ONLY those candidates with
+    * exact cosine in the original space and keeps `k`.  The production ANN
+    * serving shape (bi-encoder retrieve → exact re-rank): recall ≈ the
+    * probability the true top-k survive the projected top-`coarseK`, which
+    * the JL lemma makes high for coarseK a small multiple of k.
+    *
+    * Scale: the full corpus is touched once by each stage-1 query scan
+    * (queries broadcast by [[bruteTopK]]); stage 2's joins carry only the
+    * queries×coarseK candidate table against id-keyed vector lookups —
+    * the expensive exact kernel never sees the corpus.  Output is
+    * [[bruteTopK]]-shaped: (query_id, neighbor_id, cos, rank). */
+  def rerankTopK(corpus: DataFrame, vec: Column, id: Column,
+      queries: DataFrame, qvec: Column, qid: Column, dims: Int,
+      projDims: Int, coarseK: Int, k: Int, seed: Long = 42L): DataFrame = {
+    require(coarseK >= k, "coarseK must be >= k")
+    val rp = rpProjected(corpus, vec, id, dims, projDims, seed)
+    val rq = rpProjected(queries, qvec, qid, dims, projDims, seed)
+    val coarse = bruteTopK(rp, col("rvec"), col("vec_id"),
+        rq, col("rvec"), col("vec_id"), coarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(id.as("neighbor_id"), vec.as("__cv"))
+    val qv = queries.select(qid.as("query_id"), qvec.as("__qv"))
+    val scored = coarse.join(cv, "neighbor_id").join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to each query's LSH
     * bucket.  One shuffle on bucket; the cross product never materializes. */
   def lshTopK(corpus: DataFrame, vec: Column, id: Column,

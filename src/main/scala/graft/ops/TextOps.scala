@@ -1475,4 +1475,32 @@ object TextOps {
           col("slope_raw") * col("sx").cast("double") / 1e3) /
           col("n").cast("double"), 6).as("intercept"))
   }
+
+  /** Flesch reading-ease readability card per document: word, sentence,
+    * and syllable counts plus the classic score
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`.
+    * Syllables use the standard deterministic heuristic — one syllable per
+    * maximal vowel group `[aeiouy]+` in the lowercased text; sentences are
+    * maximal `[.!?]+` runs, floored at 1 so fragments still score.  The
+    * score is null for wordless documents and 6-dp rounded.
+    *
+    * All three counts are codegen'd regexp/split expressions over the scan
+    * — a pure narrow map, no shuffle, no UDF; the regexes are in the
+    * Java∩RE2 dialect so the DuckDB oracle evaluates the identical
+    * formula. */
+  def readability(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val t = lower(coalesce(text, lit("")))
+    val nW = size(tokens(coalesce(text, lit("")))).cast("long")
+    val nS = greatest(lit(1L),
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long"))
+    val nSyl = size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    df.select(id.as("doc_id"), nW.as("n_words"), nS.as("n_sentences"),
+        nSyl.as("n_syllables"))
+      .withColumn("flesch", when(col("n_words") > 0,
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+          lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+          6)))
+  }
 }

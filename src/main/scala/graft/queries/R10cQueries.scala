@@ -221,7 +221,7 @@ object R10cQueries {
   /** JL projection CTE prefix: per-(vector, output-dim) signed dot against
     * the md5 (seed=42) plane convention of the LSH oracles, scaled by
     * 1/√16 = 0.25 exactly, plus the packed per-vector array form. */
-  private val RpSql =
+  private[queries] val RpSql =
     """js AS (SELECT unnest(generate_series(0, 15)) AS j),
       |rp AS (
       |  SELECT e.vec_id, js.j,
@@ -236,7 +236,7 @@ object R10cQueries {
       |  SELECT vec_id, list(val ORDER BY j) AS rvec FROM rp GROUP BY vec_id)""".stripMargin
 
   /** Top-5 ranking over `rv` rvec arrays — the sim_topk oracle shape. */
-  private val RpTopkSql =
+  private[queries] val RpTopkSql =
     """s AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
       |    round(
