@@ -142,6 +142,81 @@ object EventOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Gap-timeout sessionized conversion rate per user: events more than
+    * `gapMs` apart open a new session; a session "converts" when it
+    * contains at least one `convType` event.  Output: (user_id,
+    * n_sessions, n_converted, conv_rate) — the funnel-adjacent metric
+    * product analytics computes per cohort.
+    *
+    * One hash shuffle (groupBy user); sessionization AND conversion
+    * counting happen in a single `aggregate` fold over the (ts, id)-sorted
+    * per-user sequence — no window-function session id, no second pass,
+    * no re-shuffle of the event stream.  Fold state is four scalars
+    * (last-ms, session count, converted count, current-session-converted
+    * flag); per-key collected state is the event list, the same envelope
+    * as [[funnelStages]]. */
+  def sessionConversion(events: DataFrame, user: Column, ts: Column,
+      id: Column, typ: Column, convType: String, gapMs: Long): DataFrame = {
+    require(gapMs > 0, "gapMs must be positive")
+    val ms = floor(unix_micros(ts) / 1000).cast("long")
+    val init = struct(lit(-1L).as("last"), lit(0L).as("ns"),
+      lit(0L).as("nc"), lit(0).as("cur"))
+    events
+      .select(user.as("user_id"),
+        struct(ms.as("ms"), id.cast("long").as("id"),
+          (typ === convType).cast("int").as("cv")).as("e"))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(col("e"))).as("seq"))
+      .select(col("user_id"),
+        aggregate(col("seq"), init, (acc, e) => {
+          val isNew = acc.getField("last") === -1L ||
+            (e.getField("ms") - acc.getField("last")) > gapMs
+          val ncInc = when(isNew, e.getField("cv").cast("long"))
+            .otherwise(when(acc.getField("cur") === 0 &&
+              e.getField("cv") === 1, 1L).otherwise(0L))
+          struct(e.getField("ms").as("last"),
+            (acc.getField("ns") + when(isNew, 1L).otherwise(0L)).as("ns"),
+            (acc.getField("nc") + ncInc).as("nc"),
+            when(isNew, e.getField("cv"))
+              .otherwise(greatest(acc.getField("cur"), e.getField("cv")))
+              .as("cur"))
+        }).as("st"))
+      .select(col("user_id"), col("st.ns").as("n_sessions"),
+        col("st.nc").as("n_converted"),
+        round(col("st.nc").cast("double") / col("st.ns"), 6).as("conv_rate"))
+  }
+
+  /** Per-type z-score outlier flagging on the event value, exact to the
+    * last bit: values are integerized to milli-units ONCE, the per-type
+    * moment sums are exact integers (count/sum as 64-bit, sum-of-squares
+    * as DECIMAL(38,0) — overflow-proof at any corpus size), and
+    * mean/variance/z derive from those integers through one fixed double
+    * expression — no accumulation-order drift, so the flagged set is
+    * deterministic and oracle-reproducible.  Flags rows with |z| >
+    * `zThreshold` (on the unrounded z; the emitted z is 6-dp).
+    *
+    * Scale: one hash aggregate to the |types|-row moment table, broadcast
+    * back over a narrow second pass — the event stream shuffles zero
+    * times.  Constant-typed degenerate groups (variance 0) emit
+    * nothing. */
+  def valueOutliers(events: DataFrame, id: Column, typ: Column,
+      value: Column, zThreshold: Double = 3.0): DataFrame = {
+    val e = events.select(id.as("event_id"), typ.as("event_type"),
+      round(value * 1000).cast("long").as("vm"))
+    val st = e.groupBy("event_type").agg(count(lit(1)).as("n"),
+      sum("vm").as("s"),
+      sum((col("vm") * col("vm")).cast("decimal(38,0)")).as("sq"))
+    val mean = col("s").cast("double") / col("n")
+    val variance = col("sq").cast("double") / col("n") -
+      (col("s").cast("double") / col("n")) *
+      (col("s").cast("double") / col("n"))
+    val z = (col("vm").cast("double") - mean) / sqrt(variance)
+    e.join(broadcast(st), "event_type")
+      .where(variance > 0 && abs(z) > zThreshold)
+      .select(col("event_id"), col("event_type"),
+        col("vm").as("value_milli"), round(z, 6).as("z"))
+  }
+
   /** Per-user inter-event gap statistics over the sorted event timeline:
     * event count, first→last span, maximum gap, and the exact lower-median
     * gap (element ⌈m/2⌉ of the m sorted gaps) — the burstiness/dormancy

@@ -319,4 +319,29 @@ object SplitOps {
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= k).drop("__rn")
   }
+
+  /** Per-class WEIGHTED sampling without replacement, exactly k per class:
+    * the A-Res reservoir rule (Efraimidis & Spirakis 2006, "Weighted
+    * random sampling with a reservoir") — each row draws the key
+    * `u^(1/w)` from its md5 uniform `u` and weight `w`, and the k largest
+    * keys per class win, so inclusion probability tracks weight share.
+    * The distributed form needs no reservoir at all: the key is a pure
+    * per-row expression and the per-class top-k plans as a
+    * WindowGroupLimit (O(k) state per partition, no full sort).
+    *
+    * The key is 6-dp rounded with id tie-break so the selected set is
+    * oracle-reproducible (`pow` is the one non-correctly-rounded IEEE op
+    * in the chain).  Weights must be strictly positive.  Output: the
+    * input columns plus `sample_key`. */
+  def weightedQuotaSample(df: DataFrame, classCol: Column, key: Column,
+      weight: Column, seed: Long, k: Int): DataFrame = {
+    require(k > 0, s"quota k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val u = graft.core.Rng.Md5.uniform(seed, "wquota", key)
+    val akey = round(pow(u, lit(1.0) / weight.cast("double")), 6)
+    val w = Window.partitionBy(classCol).orderBy(col("sample_key").desc, key)
+    df.withColumn("sample_key", akey)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k).drop("__rn")
+  }
 }
