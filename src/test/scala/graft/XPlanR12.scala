@@ -23,7 +23,12 @@ object XPlanR12 {
       "ev_recency_weights", "sim_knn_join_persisted",
       "ev_asof_join", "ev_funnel", "ev_range_join", "text_normalize",
       "text_lexdiv", "text_zipf", "emb_semantic_contam", "pipeline_curate",
-      "dd_cdc_chunks", "text_rep_ngrams", "tpch_bucketed_join")
+      "dd_cdc_chunks", "text_rep_ngrams", "tpch_bucketed_join",
+      "skew_salted_join", "a1_pivot", "ev_cohort_retention", "ev_gaps",
+      "dd_edit_confirm", "text_readability", "sim_rerank",
+      "ev_session_conversion", "ev_value_outliers", "p3_weighted_quota",
+      "a1_length_hist", "a1_rollup", "text_len_quantiles",
+      "dd_containment_pairs")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>

@@ -186,6 +186,10 @@ object XScaleBench {
       "sim_knn_join", "emb_outliers", "dd_source_matrix", "text_oov_rate",
       "text_pmi_top", "p3_exact_split", "o5_export_shards",
       "ev_recency_weights", "sim_knn_join_persisted",
+      "skew_salted_join", "a1_pivot", "ev_cohort_retention", "ev_gaps",
+      "dd_edit_confirm", "text_readability", "sim_rerank",
+      "ev_session_conversion", "ev_value_outliers", "p3_weighted_quota",
+      "a1_length_hist",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
