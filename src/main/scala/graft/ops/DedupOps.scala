@@ -2039,6 +2039,93 @@ object DedupOps {
           .as("dup_frac"))
   }
 
+  /** SRP band table for the embedding index: (vec_id, band, key) under the
+    * same (seed, plane) convention as [[embeddingPairsBanded]]. */
+  private def embBandTable(df: DataFrame, vec: Column, id: Column,
+      dims: Int, bands: Int, planesPerBand: Int, seed: Long): DataFrame = {
+    val v = df.select(id.cast("long").as("vec_id"), vec.as("v"))
+    val bandKeys = array((0 until bands).map { r =>
+      (0 until planesPerBand).map { j =>
+        when(SimilarityOps.planeProjection(col("v"), dims,
+          r * planesPerBand + j, seed) > 0.0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+    v.select(col("vec_id"), posexplode(bandKeys))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("key"))
+  }
+
+  private def embParams(dims: Int, bands: Int, planesPerBand: Int,
+      seed: Long): Seq[(String, Int)] =
+    Seq("dims" -> dims, "bands" -> bands, "planes" -> planesPerBand,
+      "seed" -> seed.toInt)
+
+  /** Persist an embedding corpus as the SEMANTIC tier of the incremental-
+    * dedup ladder: `dir/bands` holds the SRP band table (the candidate
+    * pruner), `dir/vecs` the (vec_id, v) payload (the confirm side) — two
+    * [[PersistedIndex]] datasets so band rows stay id-only (the float
+    * payload is never multiplied by the band count).  Only a NEW shard is
+    * ever hashed; the index is read, not recomputed. */
+  def embIndexWrite(df: DataFrame, vec: Column, id: Column, dims: Int,
+      dir: String, bands: Int = 4, planesPerBand: Int = 4,
+      seed: Long = 42L): Unit = {
+    val ps = embParams(dims, bands, planesPerBand, seed)
+    PersistedIndex.write(
+      embBandTable(df, vec, id, dims, bands, planesPerBand, seed),
+      s"$dir/bands", ps)
+    PersistedIndex.write(
+      df.select(id.cast("long").as("vec_id"), vec.as("v")), s"$dir/vecs", ps)
+  }
+
+  /** Append a new shard's bands + vectors to a persisted embedding index
+    * (parameter mismatch fails loudly — [[PersistedIndex.append]]). */
+  def embIndexAppend(df: DataFrame, vec: Column, id: Column, dims: Int,
+      dir: String, bands: Int = 4, planesPerBand: Int = 4,
+      seed: Long = 42L): Unit = {
+    val ps = embParams(dims, bands, planesPerBand, seed)
+    PersistedIndex.append(
+      embBandTable(df, vec, id, dims, bands, planesPerBand, seed),
+      s"$dir/bands", ps)
+    PersistedIndex.append(
+      df.select(id.cast("long").as("vec_id"), vec.as("v")), s"$dir/vecs", ps)
+  }
+
+  /** Incremental embedding near-dup pairs of a NEW shard against a
+    * persisted index plus the shard itself: any-band SRP collisions
+    * pruned to candidates, exact cosine confirm against the stored
+    * vectors — equal to [[embeddingPairsBanded]] over the union corpus
+    * restricted to pairs touching a new vector (same banding-bounded
+    * recall).  Output: (vec_a, vec_b, cos), vec_a < vec_b, cos >=
+    * `minCosine`. */
+  def embCandidatesAgainst(indexDir: String, newDf: DataFrame, vec: Column,
+      id: Column, dims: Int, minCosine: Double, bands: Int = 4,
+      planesPerBand: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = newDf.sparkSession
+    val ps = embParams(dims, bands, planesPerBand, seed)
+    PersistedIndex.requireParams(spark, s"$indexDir/bands", ps)
+    PersistedIndex.requireParams(spark, s"$indexDir/vecs", ps)
+    val nb = graft.core.CacheScope.persist(
+      embBandTable(newDf, vec, id, dims, bands, planesPerBand, seed),
+      eager = true)
+    val all = spark.read.parquet(s"$indexDir/bands").unionByName(nb)
+    val cand = nb.as("a")
+      .join(all.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"))
+      .distinct()
+    val vecs = spark.read.parquet(s"$indexDir/vecs")
+      .unionByName(newDf.select(id.cast("long").as("vec_id"), vec.as("v")))
+    cand
+      .join(vecs.select(col("vec_id").as("vec_a"), col("v").as("va")),
+        Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("v").as("vb")),
+        Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(SimilarityOps.cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= minCosine)
+  }
+
   /** Edit-distance (Levenshtein) confirm over banding candidates: the
     * character-level near-dup tier below token Jaccard — catches single-
     * character edits, OCR noise, and whitespace-preserving rewrites that

@@ -240,4 +240,30 @@ object MlOps {
       alpha: Double = 1.0, broadcastModel: Boolean = true): DataFrame =
     nbScore(nbTrain(train, trainText, trainLabel, alpha),
       test, testText, testId, broadcastModel)
+
+  /** kNN classification over an embedding column: each query takes the
+    * majority label among its k nearest labeled neighbours by cosine
+    * (vote ties break to the smallest label — deterministic).  The
+    * label-propagation / weak-supervision primitive: label a huge corpus
+    * from a small curated seed set without training anything.
+    *
+    * Built on [[SimilarityOps.bruteTopK]] (queries broadcast, corpus
+    * scanned once); swap in an IVF/rerank candidate stage for corpus-scale
+    * query sets — the voting tail is identical.  The vote aggregate and
+    * argmax window both run on queries×k rows, never the corpus.
+    * Output: (query_id, pred_label, votes). */
+  def knnClassify(labeled: DataFrame, vec: Column, id: Column,
+      label: Column, queries: DataFrame, qvec: Column, qid: Column,
+      k: Int): DataFrame = {
+    val nn = SimilarityOps.bruteTopK(labeled, vec, id, queries, qvec, qid, k)
+    val lbl = labeled.select(id.as("neighbor_id"), label.as("pred_label"))
+    val votes = nn.join(lbl, "neighbor_id")
+      .groupBy("query_id", "pred_label").agg(count(lit(1)).as("votes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("votes").desc, col("pred_label"))
+    votes.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select("query_id", "pred_label", "votes")
+  }
 }

@@ -1488,6 +1488,43 @@ object TextOps {
     * — a pure narrow map, no shuffle, no UDF; the regexes are in the
     * Java∩RE2 dialect so the DuckDB oracle evaluates the identical
     * formula. */
+  /** Jensen-Shannon divergence between two corpora's hashed-unigram
+    * distributions — the drift/mixture monitor: 0 = identical token
+    * mixes, ln 2 ≈ 0.693 = disjoint.  Tokens hash into `buckets` buckets
+    * (the [[tokenBucket]] convention shared with DSIR), so the model is
+    * O(buckets) regardless of vocabulary and the only shuffles are two
+    * bucket-count aggregates with map-side combine — each corpus is
+    * scanned once, narrow.
+    *
+    * Exactness: bucket counts are exact integers; each bucket's JS term
+    * is one fixed double expression over those integers, integerized to
+    * nano-units BEFORE the final sum — summation order cannot drift the
+    * result.  Output (one row): js_nats (6-dp), n_buckets (occupied),
+    * tokens_a, tokens_b. */
+  def jsDivergence(dfA: DataFrame, textA: Column, dfB: DataFrame,
+      textB: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketCounts(df: DataFrame, text: Column, out: String): DataFrame =
+      df.select(explode(tokens(text)).as("tok"))
+        .groupBy(tokenBucket(col("tok"), buckets).as("b"))
+        .agg(count(lit(1)).as(out))
+    val j = bucketCounts(dfA, textA, "ca")
+      .join(bucketCounts(dfB, textB, "cb"), Seq("b"), "full")
+      .na.fill(0L, Seq("ca", "cb"))
+    val tot = j.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    val p = col("ca").cast("double") / col("na")
+    val q = col("cb").cast("double") / col("nb")
+    val m = (p + q) / 2
+    val term = when(col("ca") > 0, lit(0.5) * p * log(p / m)).otherwise(0.0) +
+      when(col("cb") > 0, lit(0.5) * q * log(q / m)).otherwise(0.0)
+    j.crossJoin(broadcast(tot))
+      .select(floor(term * 1e9).cast("long").as("t9"),
+        col("na"), col("nb"))
+      .agg(round(sum("t9").cast("double") / 1e9, 6).as("js_nats"),
+        count(lit(1)).as("n_buckets"),
+        max("na").as("tokens_a"), max("nb").as("tokens_b"))
+  }
+
   def readability(df: DataFrame, text: Column, id: Column): DataFrame = {
     val t = lower(coalesce(text, lit("")))
     val nW = size(tokens(coalesce(text, lit("")))).cast("long")
