@@ -41,4 +41,25 @@ object LayoutOps {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Write `df` hive-partitioned on `partitionCol` — the directory-level
+    * counterpart of [[writeBucketed]]: bucketing co-locates JOIN keys,
+    * partitioning makes FILTER keys prunable.  A later read with a
+    * predicate on `partitionCol` lists only the matching directories
+    * (`PartitionFilters` in the scan — zero bytes of the other partitions
+    * are opened), which at 100 TB is the difference between scanning one
+    * language/day/source and scanning the corpus.  Keep the column's
+    * cardinality directory-sized (languages, dates, sources — not ids). */
+  def writePartitioned(df: DataFrame, partitionCol: String,
+      path: String): Unit =
+    df.write.partitionBy(partitionCol).mode("overwrite").parquet(path)
+
+  /** Read a [[writePartitioned]] layout with an equality predicate on the
+    * partition column — plans with `PartitionFilters`, no data read from
+    * non-matching partitions.  (A helper, not magic: any read of that
+    * path with a `partitionCol` predicate prunes the same way.) */
+  def readPartition(spark: SparkSession, path: String, partitionCol: String,
+      value: String): DataFrame =
+    spark.read.parquet(path)
+      .where(org.apache.spark.sql.functions.col(partitionCol) === value)
 }

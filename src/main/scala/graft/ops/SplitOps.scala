@@ -333,6 +333,44 @@ object SplitOps {
     * oracle-reproducible (`pow` is the one non-correctly-rounded IEEE op
     * in the chain).  Weights must be strictly positive.  Output: the
     * input columns plus `sample_key`. */
+  /** Poisson bootstrap resample: each row is emitted `c` times where `c`
+    * is Poisson(`lambda`)-distributed — the standard distributed
+    * approximation of sampling n-with-replacement-from-n (bagging /
+    * bootstrap confidence intervals), exact in the n→∞ limit and
+    * embarrassingly parallel because each row draws independently.
+    *
+    * The draw is inverse-CDF over the row's md5 uniform against PLAN-TIME
+    * cumulative Poisson thresholds (computed once on the driver, truncated
+    * where the tail probability < 1e-12) — deterministic under retry,
+    * oracle-reproducible, no rand().  A pure narrow map + explode: no
+    * shuffle, no state.  Output: the input columns plus `copy`
+    * (0-based replica index); rows drawing c = 0 disappear. */
+  /** Cumulative Poisson thresholds P[X <= k], k = 0.., truncated where the
+    * tail probability drops below 1e-12 (k ≈ 12 at λ = 1).  Shared by
+    * [[bootstrapSample]] and its SQL oracle so both CASE chains compare
+    * the uniform against bit-identical double constants. */
+  def poissonCum(lambda: Double): Seq[Double] =
+    Iterator.iterate((0, math.exp(-lambda), math.exp(-lambda))) {
+      case (k, pk, c) =>
+        val p = pk * lambda / (k + 1); (k + 1, p, c + p)
+    }.takeWhile(_._3 < 1.0 - 1e-12).map(_._3).toSeq
+
+  def bootstrapSample(df: DataFrame, key: Column, seed: Long,
+      lambda: Double = 1.0): DataFrame = {
+    require(lambda > 0, "lambda must be positive")
+    val u = graft.core.Rng.Md5.uniform(seed, "boot", key)
+    val cum = poissonCum(lambda)
+    // copies = smallest k with u < cum(k); u beyond the last threshold
+    // takes the truncation bucket cum.size
+    val copies = cum.zipWithIndex.foldRight(lit(cum.size)) {
+      case ((c, k), rest) => when(u < c, k).otherwise(rest)
+    }
+    df.withColumn("__c", copies)
+      .where(col("__c") > 0)
+      .withColumn("copy", explode(sequence(lit(0), col("__c") - 1)))
+      .drop("__c")
+  }
+
   def weightedQuotaSample(df: DataFrame, classCol: Column, key: Column,
       weight: Column, seed: Long, k: Int): DataFrame = {
     require(k > 0, s"quota k must be positive, got $k")
