@@ -217,6 +217,75 @@ object EventOps {
         col("vm").as("value_milli"), round(z, 6).as("z"))
   }
 
+  /** Pearson correlation between the event value and the hour-of-day, per
+    * event type — the "is this metric diurnal" diagnostic — computed from
+    * EXACT integer moments: value in milli-units, hour in [0, 24), the
+    * five cross-sums as 64-bit/DECIMAL(38,0) integers, and the closed-form
+    * r as ONE double expression over them (6-dp) — no accumulation-order
+    * drift, same contract as [[valueOutliers]] and `TextOps.zipfFit`.
+    * One hash aggregate to a |types|-row table; the event stream never
+    * shuffles.  Degenerate types (zero variance on either side) emit a
+    * null r. */
+  def valueHourCorr(events: DataFrame, typ: Column, value: Column,
+      ts: Column): DataFrame = {
+    val vm = round(value * 1000).cast("long")
+    val h = pmod(floor(floor(unix_micros(ts) / 1000) / 3600000).cast("long"),
+      lit(24L))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val st = events.select(typ.as("event_type"), vm.as("vm"), h.as("h"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vm").as("sx"), sum("h").as("sy"),
+        sum(col("vm") * col("h")).as("sxy"),
+        sum((col("vm") * col("vm")).cast("decimal(38,0)")).as("sxx"),
+        sum(col("h") * col("h")).as("syy"))
+    val varX = (dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+      .cast("double")
+    val varY = (dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy")))
+      .cast("double")
+    val num = (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+      .cast("double")
+    st.select(col("event_type"), col("n"),
+      when(varX > 0 && varY > 0,
+        round(num / (sqrt(varX) * sqrt(varY)), 6)).as("corr"))
+  }
+
+  /** Stateless per-row z-score against a DRIVER-HELD per-type stats map
+    * (means/sds in milli-units, e.g. from a prior [[valueOutliers]]
+    * moment pass) — the score-at-ingestion form: no join, no state, no
+    * shuffle, usable unchanged on a streaming frame
+    * ([[graft.streaming.StreamingOps.outlierScoreStream]]).  Types absent
+    * from the map score null.  Bit-equal to the broadcast-join form on
+    * the same stats. */
+  def outlierScoreStateless(events: DataFrame, id: Column, typ: Column,
+      value: Column, stats: Map[String, (Double, Double)]): DataFrame = {
+    val means = typedLit(stats.map { case (k, v) => k -> v._1 })
+    val sds = typedLit(stats.map { case (k, v) => k -> v._2 })
+    val vm = round(value * 1000).cast("long")
+    val mean = element_at(means, typ)
+    val sd = element_at(sds, typ)
+    events.select(id.as("event_id"), typ.as("event_type"),
+      vm.as("value_milli"),
+      when(sd > 0, round((vm.cast("double") - mean) / sd, 6)).as("z"))
+  }
+
+  /** Driver-side per-type (mean, sd) in milli-units from the exact integer
+    * moments — the stats payload for [[outlierScoreStateless]].  Collects
+    * |types| rows. */
+  def valueStats(events: DataFrame, typ: Column,
+      value: Column): Map[String, (Double, Double)] = {
+    val vm = round(value * 1000).cast("long")
+    events.select(typ.as("t"), vm.as("vm"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("n"), sum("vm").as("s"),
+        sum((col("vm") * col("vm")).cast("decimal(38,0)")).as("sq"))
+      .select(col("t"), (col("s").cast("double") / col("n")).as("mean"),
+        sqrt(col("sq").cast("double") / col("n") -
+          (col("s").cast("double") / col("n")) *
+          (col("s").cast("double") / col("n"))).as("sd"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+  }
+
   /** Per-user inter-event gap statistics over the sorted event timeline:
     * event count, first→last span, maximum gap, and the exact lower-median
     * gap (element ⌈m/2⌉ of the m sorted gaps) — the burstiness/dormancy

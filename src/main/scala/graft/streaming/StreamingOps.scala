@@ -228,6 +228,18 @@ object StreamingOps {
       spark.readStream.schema(schema).parquet(dir),
       col("embedding"), col("vec_id"), cents)
 
+  /** Streaming value-anomaly scoring: every arriving event z-scored
+    * against a driver-held per-type stats map
+    * ([[graft.ops.EventOps.valueStats]], refreshed offline) via the
+    * stateless per-row form — no join, no state, no watermark; bit-equal
+    * to the batch [[graft.ops.EventOps.outlierScoreStateless]] under the
+    * same stats.  Flag-at-ingestion for the monitoring sink. */
+  def outlierScoreStream(spark: SparkSession, dir: String,
+      schema: StructType, stats: Map[String, (Double, Double)]): DataFrame =
+    graft.ops.EventOps.outlierScoreStateless(
+      spark.readStream.schema(schema).parquet(dir),
+      col("event_id"), col("event_type"), col("value"), stats)
+
   /** Streaming-mode tumbling aggregation with a watermark, reading a
     * parquet directory as a file stream.  Returns the streaming DataFrame;
     * attach a sink with `.writeStream`. */
