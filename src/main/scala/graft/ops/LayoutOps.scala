@@ -62,4 +62,15 @@ object LayoutOps {
       value: String): DataFrame =
     spark.read.parquet(path)
       .where(org.apache.spark.sql.functions.col(partitionCol) === value)
+
+  /** Compact `df` into exactly `nFiles` output files — the small-files
+    * remedy: a table written by a 1000-task job as 1000 shards re-lands as
+    * `nFiles` scan-sized parquet files (metadata pressure, open() counts,
+    * and footer reads all drop by the same factor).  One round-robin
+    * repartition exchange; size `nFiles` to rows × row-width /
+    * `maxPartitionBytes` so a later scan gets one task per file. */
+  def compactWrite(df: DataFrame, nFiles: Int, path: String): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    df.repartition(nFiles).write.mode("overwrite").parquet(path)
+  }
 }

@@ -4,6 +4,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
+/** Mutable per-user state carried across micro-batches by
+  * [[StreamingOps.runningUserStats]].  Value sums are held in exact
+  * integer micro-units (same hardening as `exactValueSum`) so the running
+  * total is bit-reproducible regardless of micro-batch boundaries.
+  * Top-level (not nested in the object): Catalyst's runtime-reflection
+  * encoder resolves top-level case classes reliably under sbt's layered
+  * test classloaders, where object-nested ones intermittently fail
+  * `staticClass` lookup. */
+final case class UserState(n: Long, valueMicros: Long, lastTsMs: Long)
+
 /** Structured-Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value, props).  Each transform is
   * written against an unbounded DataFrame, so the SAME code runs in batch
@@ -257,12 +267,6 @@ object StreamingOps {
       .select(unix_millis(col("w.start")).as("window_start_ms"),
         col("event_type"), col("cnt"), col("value_sum"))
 
-  /** Mutable per-user state carried across micro-batches by
-    * [[runningUserStats]].  Value sums are held in exact integer micro-units
-    * (same hardening as [[exactValueSum]]) so the running total is
-    * bit-reproducible regardless of micro-batch boundaries. */
-  final case class UserState(n: Long, valueMicros: Long, lastTsMs: Long)
-
   /** Custom-state streaming (flatMapGroupsWithState): per-user RUNNING
     * totals — event count, exact value sum, last event time — updated every
     * micro-batch (`OutputMode.Update`).  The state is keyed by user and
@@ -309,5 +313,37 @@ object StreamingOps {
           }
       }
       .toDF("user_id", "n_events", "value_sum", "last_ts_ms")
+  }
+
+  /** Streaming funnel attribution: per-user furthest stage, maintained
+    * incrementally via `flatMapGroupsWithState` — the stream form of
+    * [[graft.ops.EventOps.funnelStages]].  State per user is ONE int (the
+    * stage); each micro-batch's rows are (ts, id)-sorted before the fold,
+    * so the result equals the batch automaton whenever events arrive
+    * time-ordered ACROSS batches (the file-stream contract; a reordering
+    * buffer would need watermarked custom state à la [[runningUserStats]]).
+    * Emits the updated (user_id, stage) rows each batch
+    * (`OutputMode.Update`). */
+  def funnelStream(spark: SparkSession, dir: String, schema: StructType,
+      steps: Seq[String]): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+            state: GroupState[Int]) =>
+          var st = state.getOption.getOrElse(0)
+          rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach {
+            case (_, _, _, typ) =>
+              if (st < steps.size && typ == steps(st)) st += 1
+          }
+          state.update(st)
+          Iterator((user, st))
+      }
+      .toDF("user_id", "stage")
   }
 }

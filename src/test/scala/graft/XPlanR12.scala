@@ -28,7 +28,12 @@ object XPlanR12 {
       "dd_edit_confirm", "text_readability", "sim_rerank",
       "ev_session_conversion", "ev_value_outliers", "p3_weighted_quota",
       "a1_length_hist", "a1_rollup", "text_len_quantiles",
-      "dd_containment_pairs")
+      "dd_containment_pairs",
+      "text_js_divergence", "ml_knn_classify", "dd_incremental_embed",
+      "a1_equidepth_hist", "o5_partitioned_read", "set_vocab_intersect",
+      "set_digest_except", "ev_user_rank", "o3_bootstrap",
+      "text_langid_acc", "tpch_q1", "tpch_q3", "ev_value_corr",
+      "s2_schema_merge", "s3_orc_roundtrip")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>

@@ -190,6 +190,11 @@ object XScaleBench {
       "dd_edit_confirm", "text_readability", "sim_rerank",
       "ev_session_conversion", "ev_value_outliers", "p3_weighted_quota",
       "a1_length_hist",
+      "text_js_divergence", "ml_knn_classify", "dd_incremental_embed",
+      "a1_equidepth_hist", "o5_partitioned_read", "set_vocab_intersect",
+      "set_digest_except", "ev_user_rank", "o3_bootstrap",
+      "text_langid_acc", "tpch_q1", "tpch_q3", "ev_value_corr",
+      "s2_schema_merge", "s3_orc_roundtrip",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
