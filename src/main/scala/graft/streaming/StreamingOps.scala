@@ -315,6 +315,29 @@ object StreamingOps {
       .toDF("user_id", "n_events", "value_sum", "last_ts_ms")
   }
 
+  /** Ingest-time exact dedup against a persisted exact index
+    * ([[graft.ops.DedupOps.exactIndexWrite]]'s digest table): arriving
+    * documents are digest-deduplicated WITHIN the stream (first arrival
+    * wins — `dropDuplicates` state keyed by digest) and anti-joined
+    * against the historical index — the production shape: never re-admit
+    * yesterday's corpus, never admit today's twice.  The index side is a
+    * static read (refresh by restart, same SCD pattern as
+    * [[enrichStream]]); the anti-join is stream-static, no shuffle on the
+    * stream side when the digest set broadcasts.
+    *
+    * NOTE: un-watermarked `dropDuplicates` state grows with the distinct
+    * digests seen — bound it with `withWatermark` +
+    * `dropDuplicatesWithinWatermark` when the stream is unbounded and
+    * re-arrivals are time-local. */
+  def exactDedupStream(spark: SparkSession, dir: String, schema: StructType,
+      indexDir: String): DataFrame = {
+    val idx = spark.read.parquet(indexDir).select(col("text_hash"))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("text_hash", md5(col("text")))
+      .dropDuplicates("text_hash")
+      .join(broadcast(idx), Seq("text_hash"), "left_anti")
+  }
+
   /** Streaming funnel attribution: per-user furthest stage, maintained
     * incrementally via `flatMapGroupsWithState` — the stream form of
     * [[graft.ops.EventOps.funnelStages]].  State per user is ONE int (the
