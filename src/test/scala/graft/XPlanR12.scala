@@ -33,7 +33,9 @@ object XPlanR12 {
       "a1_equidepth_hist", "o5_partitioned_read", "set_vocab_intersect",
       "set_digest_except", "ev_user_rank", "o3_bootstrap",
       "text_langid_acc", "tpch_q1", "tpch_q3", "ev_value_corr",
-      "s2_schema_merge", "s3_orc_roundtrip")
+      "s2_schema_merge", "s3_orc_roundtrip",
+      "ev_hourly_dense", "text_hll_union", "o5_compacted_write",
+      "tpch_q5", "mm_frame_dedup")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>

@@ -195,6 +195,8 @@ object XScaleBench {
       "set_digest_except", "ev_user_rank", "o3_bootstrap",
       "text_langid_acc", "tpch_q1", "tpch_q3", "ev_value_corr",
       "s2_schema_merge", "s3_orc_roundtrip",
+      "ev_hourly_dense", "text_hll_union", "o5_compacted_write",
+      "tpch_q5", "mm_frame_dedup",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
