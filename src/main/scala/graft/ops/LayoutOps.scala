@@ -63,6 +63,22 @@ object LayoutOps {
     spark.read.parquet(path)
       .where(org.apache.spark.sql.functions.col(partitionCol) === value)
 
+  /** Write `df` range-partitioned and sorted on `sortCol` — the
+    * zone-map layout: each parquet file covers a disjoint value range and
+    * its row groups carry tight min/max statistics, so a later range
+    * predicate on `sortCol` prunes at BOTH levels (file skip via
+    * `PushedFilters` row-group stats, range skip via the layout).  The
+    * clustering counterpart of [[writePartitioned]] for HIGH-cardinality
+    * numeric columns where directory partitioning would explode. */
+  def writeSorted(df: DataFrame, sortCol: String, nParts: Int,
+      path: String): Unit = {
+    require(nParts > 0, "nParts must be positive")
+    df.repartitionByRange(nParts,
+        org.apache.spark.sql.functions.col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Compact `df` into exactly `nFiles` output files — the small-files
     * remedy: a table written by a 1000-task job as 1000 shards re-lands as
     * `nFiles` scan-sized parquet files (metadata pressure, open() counts,

@@ -1525,6 +1525,44 @@ object TextOps {
         max("na").as("tokens_a"), max("nb").as("tokens_b"))
   }
 
+  /** Per-group Jensen-Shannon drift: each group's hashed-unigram
+    * distribution vs the REST of the corpus — the per-source/per-snapshot
+    * drift dashboard behind mixture decisions ([[jsDivergence]] is the
+    * two-corpus primitive; this is its one-vs-rest sweep).
+    *
+    * ONE corpus-scale shuffle (the (group, bucket) count with map-side
+    * combine; ≤ |groups|·buckets rows); bucket/group totals, the dense
+    * (group × occupied-bucket) spine, and the nano-unit term sums all
+    * derive from that small table.  Same exactness contract as
+    * [[jsDivergence]].  Output: (group, tokens, js_nats) per group. */
+  def jsDriftByGroup(df: DataFrame, text: Column, group: Column,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val tb = graft.core.CacheScope.persist(
+      df.select(group.as("g"), explode(tokens(text)).as("tok"))
+        .groupBy(col("g"), tokenBucket(col("tok"), buckets).as("b"))
+        .agg(count(lit(1)).as("c")),
+      eager = true)
+    val bt = tb.groupBy("b").agg(sum("c").as("tb"))
+    val gt = tb.groupBy("g").agg(sum("c").as("ng"))
+    val nn = gt.agg(sum("ng").as("nn"))
+    val spine = gt.crossJoin(broadcast(nn)).crossJoin(broadcast(bt))
+      .join(tb, Seq("g", "b"), "left")
+      .na.fill(0L, Seq("c"))
+    val p = col("c").cast("double") / col("ng")
+    val q = (col("tb") - col("c")).cast("double") / (col("nn") - col("ng"))
+    val m = (p + q) / 2
+    val term =
+      when(col("c") > 0, lit(0.5) * p * log(p / m)).otherwise(0.0) +
+      when(col("tb") - col("c") > 0, lit(0.5) * q * log(q / m)).otherwise(0.0)
+    spine
+      .select(col("g"), col("ng"), floor(term * 1e9).cast("long").as("t9"))
+      .groupBy("g")
+      .agg(max("ng").as("tokens"),
+        round(sum("t9").cast("double") / 1e9, 6).as("js_nats"))
+      .withColumnRenamed("g", "group")
+  }
+
   def readability(df: DataFrame, text: Column, id: Column): DataFrame = {
     val t = lower(coalesce(text, lit("")))
     val nW = size(tokens(coalesce(text, lit("")))).cast("long")

@@ -166,7 +166,7 @@ object R10bQueries {
 
   /** Fixed PQ codebooks: per subspace, the vec_id < 4 slices (code_id =
     * vec_id) — deterministic, so DuckDB replays the encoding exactly. */
-  private def pqCodebooks(s: SparkSession, dir: String): DataFrame =
+  private[queries] def pqCodebooks(s: SparkSession, dir: String): DataFrame =
     Tables.emb(s, dir).where(col("vec_id") < 4)
       .select(col("vec_id").as("code_id"), col("embedding").as("e"))
       .select(explode(sequence(lit(0), lit(3))).as("sub"), col("code_id"),
@@ -371,7 +371,7 @@ object R10bQueries {
   /** PQ encoding CTE prefix: subspace codebooks (vec_id < 4 slices) and
     * per-(vector, subspace, code) squared distances — ‖a‖² + ‖b‖² − 2·a·b
     * with the same sequential folds as the Spark kernels. */
-  private val PqEncSql =
+  private[queries] val PqEncSql =
     """subs AS (SELECT unnest(generate_series(0, 3)) AS sub),
       |cb AS (
       |  SELECT s.sub, e.vec_id AS code_id,
