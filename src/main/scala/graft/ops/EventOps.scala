@@ -217,6 +217,39 @@ object EventOps {
         col("vm").as("value_milli"), round(z, 6).as("z"))
   }
 
+  /** First-order Markov transition matrix over event types: corpus-wide
+    * counts of consecutive (from → to) pairs on each user's time-ordered
+    * event sequence, plus the per-from transition probability — the
+    * user-journey structure behind funnel design.
+    *
+    * One user-keyed shuffle; the consecutive pairs are an array transform
+    * over the sorted per-user sequence INSIDE the aggregate row (no
+    * window, no self-join), and the output is |types|²-bounded regardless
+    * of corpus size.  Ordering ties on ts break by event id —
+    * deterministic.  Output: (from_type, to_type, n, p) with p the 6-dp
+    * row-normalized probability. */
+  def transitionMatrix(events: DataFrame, user: Column, ts: Column,
+      id: Column, typ: Column): DataFrame = {
+    val ms = floor(unix_micros(ts) / 1000).cast("long")
+    val pairs = events
+      .select(user.as("u"),
+        struct(ms.as("ms"), id.cast("long").as("id"), typ.as("typ")).as("e"))
+      .groupBy("u")
+      .agg(sort_array(collect_list(col("e"))).as("seq"))
+      .select(explode(when(size(col("seq")) > 1,
+        transform(sequence(lit(1), size(col("seq")) - 1), i =>
+          struct(element_at(col("seq"), i).getField("typ").as("from_type"),
+            element_at(col("seq"), i + 1).getField("typ").as("to_type")))))
+        .as("p"))
+      .select(col("p.from_type"), col("p.to_type"))
+    val counts = pairs.groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("tot"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("tot"), 6).as("p"))
+  }
+
   /** Pearson correlation between the event value and the hour-of-day, per
     * event type — the "is this metric diurnal" diagnostic — computed from
     * EXACT integer moments: value in milli-units, hour in [0, 24), the

@@ -779,6 +779,23 @@ object TextOps {
         .as("is_outlier"))
   }
 
+  /** Exact percentile rank of a metric per row: rank/(n−1) under the
+    * (metric, id) total order — the threshold-free normalization behind
+    * "keep the top X%" gates (quantile normalization of arbitrary score
+    * distributions).  Rank comes from the range-partitioned Ranker (no
+    * single-partition window); ties order by id, so the percentile is
+    * deterministic and oracle-reproducible.  Output: (doc_id, metric,
+    * pctile) with pctile 6-dp in [0, 1]. */
+  def percentileRank(df: DataFrame, metric: Column, idCol: Column): DataFrame = {
+    val m = df.select(idCol.as("doc_id"), metric.as("v"))
+    val n = m.count()
+    require(n > 0, "empty input")
+    val denom = math.max(1L, n - 1L).toDouble
+    graft.core.Ranker.withRank(m, "__r", col("v"), col("doc_id"))
+      .select(col("doc_id"), col("v").as("metric"),
+        round(col("__r").cast("double") / lit(denom), 6).as("pctile"))
+  }
+
   /** Corpus profile: the one-pass stats card a curation run opens with —
     * (stat, value) rows for document count, whitespace-token and char
     * totals, distinct source/lang counts, null/empty-text count, and mean
