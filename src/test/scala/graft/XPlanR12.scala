@@ -35,7 +35,10 @@ object XPlanR12 {
       "text_langid_acc", "tpch_q1", "tpch_q3", "ev_value_corr",
       "s2_schema_merge", "s3_orc_roundtrip",
       "ev_hourly_dense", "text_hll_union", "o5_compacted_write",
-      "tpch_q5", "mm_frame_dedup")
+      "tpch_q5", "mm_frame_dedup",
+      "text_source_drift", "sim_pq_error", "o5_sorted_layout",
+      "ev_transitions", "text_len_pctile", "tpch_q6", "a1_cube",
+      "s3_json_roundtrip", "ml_nb_confusion")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>

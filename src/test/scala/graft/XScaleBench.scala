@@ -197,6 +197,9 @@ object XScaleBench {
       "s2_schema_merge", "s3_orc_roundtrip",
       "ev_hourly_dense", "text_hll_union", "o5_compacted_write",
       "tpch_q5", "mm_frame_dedup",
+      "text_source_drift", "sim_pq_error", "o5_sorted_layout",
+      "ev_transitions", "text_len_pctile", "tpch_q6", "a1_cube",
+      "s3_json_roundtrip", "ml_nb_confusion",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
