@@ -50,6 +50,38 @@ object EmbedOps {
           (col("n").cast("double") * lit(1000000.0))).as("centroid"),
         col("n"))
 
+  /** Per-label centroid drift between two corpus snapshots: the cosine of
+    * each label's [[centroids]] vector computed on A vs on B — the
+    * embedding-space counterpart of `TextOps.jsDriftByGroup` (did this
+    * class's representation move between crawls / model versions?).
+    *
+    * Exactness: centroid components are already exact-integer-derived
+    * doubles; the per-dim products are pico-unit-floored to longs BEFORE
+    * the per-label sums, so the cosine is summation-order-immune and
+    * oracle-reproducible.  Joins and aggregates run on |labels|×dims
+    * rows — nothing corpus-scale after the two centroid passes.
+    * Output: (label, cos, n_a, n_b), cosine 6-dp. */
+  def centroidDrift(dfA: DataFrame, dfB: DataFrame, vec: Column,
+      label: Column): DataFrame = {
+    val ca = centroids(dfA, vec, label)
+      .select(col("label"), col("dim"), col("centroid").as("ca"),
+        col("n").as("na"))
+    val cb = centroids(dfB, vec, label)
+      .select(col("label"), col("dim"), col("centroid").as("cb"),
+        col("n").as("nb"))
+    ca.join(cb, Seq("label", "dim"))
+      .groupBy("label")
+      .agg(sum(floor(col("ca") * col("cb") * 1e12).cast("long")).as("num"),
+        sum(floor(col("ca") * col("ca") * 1e12).cast("long")).as("da"),
+        sum(floor(col("cb") * col("cb") * 1e12).cast("long")).as("db"),
+        max("na").as("n_a"), max("nb").as("n_b"))
+      .select(col("label"),
+        round(col("num").cast("double") /
+          (sqrt(col("da").cast("double")) * sqrt(col("db").cast("double"))),
+          6).as("cos"),
+        col("n_a"), col("n_b"))
+  }
+
   /** Semantic outlier flags: each vector's cosine to its OWN label
     * centroid (the exact [[centroids]] aggregate), `is_outlier` when it
     * falls below `minCosine` — the prototype-distance prune a curation

@@ -779,6 +779,39 @@ object TextOps {
         .as("is_outlier"))
   }
 
+  /** Frequent-token subsampling (Mikolov et al. 2013 §2.3's downsampling,
+    * in its simple `min(1, √(t/f))` keep-probability form): each token
+    * POSITION survives with probability tied to its corpus frequency, so
+    * stop-word mass shrinks while rare-token signal is untouched.  The
+    * draw is the md5 uniform of (doc, position) — deterministic under
+    * retry, oracle-reproducible.
+    *
+    * Shuffles: the frequency aggregate and the token-keyed probability
+    * join (both map-side combinable / bounded by vocabulary); the keep
+    * decision itself is a pure row predicate.  Output per document (with
+    * ≥ 1 token): (doc_id, n_tokens, n_kept). */
+  def downsampleFrequentTokens(df: DataFrame, text: Column, id: Column,
+      threshold: Double = 1e-3, seed: Long = 17L): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    val tk = graft.core.CacheScope.persist(
+      df.select(id.as("doc_id"),
+        posexplode(tokens(text)).as(Seq("pos", "tok"))),
+      eager = true)
+    val freq = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum("cnt").as("tot"))
+    val p = freq.crossJoin(broadcast(tot))
+      .select(col("tok"), round(least(lit(1.0),
+        sqrt(lit(threshold) * col("tot").cast("double") / col("cnt"))), 6)
+        .as("p"))
+    val kept = tk.join(p, "tok")
+      .where(graft.core.Rng.Md5.uniform(seed, "tds", col("doc_id"),
+        col("pos")) < col("p"))
+    tk.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(kept.groupBy("doc_id").agg(count(lit(1)).as("n_kept")),
+        Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_kept"))
+  }
+
   /** Exact percentile rank of a metric per row: rank/(n−1) under the
     * (metric, id) total order — the threshold-free normalization behind
     * "keep the top X%" gates (quantile normalization of arbitrary score
