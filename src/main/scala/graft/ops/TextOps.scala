@@ -779,6 +779,35 @@ object TextOps {
         .as("is_outlier"))
   }
 
+  /** Median-absolute-deviation outlier gate: flags rows with
+    * `|v − median| > k·MAD` — the robust alternative to [[iqrOutlierGate]]
+    * when even the quartiles are contaminated (MAD has a 50% breakdown
+    * point vs the IQR's 25%).  Both medians are EXACT lower medians
+    * (rank ⌊(n−1)/2⌋ under (value, id) order) computed with the
+    * range-partitioned Ranker; on integer metrics every comparison is
+    * integer arithmetic — deterministic and oracle-reproducible.
+    * Two tiny driver collects (one scalar each), no single-partition
+    * window.  Output: (doc_id, v, is_outlier). */
+  def madGate(df: DataFrame, metric: Column, idCol: Column,
+      k: Long = 3L): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    val m = graft.core.CacheScope.persist(
+      df.select(idCol.as("doc_id"), metric.cast("long").as("v")),
+      eager = true)
+    val n = m.count()
+    require(n > 0, "empty input")
+    val medRank = (n - 1) / 2
+    def lowerMedian(d: DataFrame, value: Column): Long =
+      graft.core.Ranker.withRank(d, "__r", value, col("doc_id"))
+        .where(col("__r") === medRank).select(value.as("v"))
+        .head().getLong(0)
+    val med = lowerMedian(m, col("v"))
+    val dev = m.select(col("doc_id"), abs(col("v") - med).as("dev"))
+    val mad = lowerMedian(dev, col("dev"))
+    m.select(col("doc_id"), col("v"),
+      (abs(col("v") - med) > k * mad).as("is_outlier"))
+  }
+
   /** Frequent-token subsampling (Mikolov et al. 2013 §2.3's downsampling,
     * in its simple `min(1, √(t/f))` keep-probability form): each token
     * POSITION survives with probability tied to its corpus frequency, so
