@@ -38,7 +38,9 @@ object XPlanR12 {
       "tpch_q5", "mm_frame_dedup",
       "text_source_drift", "sim_pq_error", "o5_sorted_layout",
       "ev_transitions", "text_len_pctile", "tpch_q6", "a1_cube",
-      "s3_json_roundtrip", "ml_nb_confusion")
+      "s3_json_roundtrip", "ml_nb_confusion",
+      "o5_curriculum", "text_token_downsample", "emb_drift",
+      "ev_interval_lookup", "s2_corrupt_tolerant", "text_mad_gate")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>

@@ -200,6 +200,8 @@ object XScaleBench {
       "text_source_drift", "sim_pq_error", "o5_sorted_layout",
       "ev_transitions", "text_len_pctile", "tpch_q6", "a1_cube",
       "s3_json_roundtrip", "ml_nb_confusion",
+      "o5_curriculum", "text_token_downsample", "emb_drift",
+      "ev_interval_lookup", "s2_corrupt_tolerant", "text_mad_gate",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
