@@ -68,7 +68,7 @@ object R12eQueries {
   /** SRP 4×4 band chain over embeddings (seed 42, dims 64) ending at
     * `cand(vec_a, vec_b)` — the dd_embed_banded banding, restricted by the
     * caller's predicate downstream. */
-  private val EmbBandSql =
+  private[queries] val EmbBandSql =
     """bs AS (SELECT unnest(generate_series(0, 3)) AS band),
       |b AS (
       |  SELECT e.vec_id, e.embedding, bs.band,
