@@ -217,6 +217,35 @@ object EventOps {
         col("vm").as("value_milli"), round(z, 6).as("z"))
   }
 
+  /** Seasonal traffic-anomaly detection: each (type, absolute hour)'s
+    * event count z-scored against that type's SAME-HOUR-OF-DAY baseline —
+    * "is 3 am Tuesday unusually busy *for 3 am*", the monitoring shape a
+    * flat threshold cannot express.  Counts are exact integers, the
+    * per-(type, hour-of-day) moments are exact 64-bit sums, and z derives
+    * through one fixed double expression — the same
+    * determinism contract as [[valueOutliers]].  Two hash aggregates (the
+    * hour-count table, then the |types|×24 baseline) and a broadcast
+    * join back; the event stream shuffles once.  Output: flagged
+    * (event_type, h, n, z) rows with |z| > `zThreshold`. */
+  def hourlyAnomalies(events: DataFrame, typ: Column, ts: Column,
+      zThreshold: Double = 2.0): DataFrame = {
+    val h = floor(floor(unix_micros(ts) / 1000) / 3600000).cast("long")
+    val hc = events.select(typ.as("event_type"), h.as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("n"))
+      .withColumn("hod", pmod(col("h"), lit(24L)))
+    val st = hc.groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("m"), sum("n").as("s"),
+        sum(col("n") * col("n")).as("sq"))
+    val mean = col("s").cast("double") / col("m")
+    val variance = col("sq").cast("double") / col("m") -
+      (col("s").cast("double") / col("m")) *
+      (col("s").cast("double") / col("m"))
+    val z = (col("n").cast("double") - mean) / sqrt(variance)
+    hc.join(broadcast(st), Seq("event_type", "hod"))
+      .where(variance > 0 && abs(z) > zThreshold)
+      .select(col("event_type"), col("h"), col("n"), round(z, 6).as("z"))
+  }
+
   /** First-order Markov transition matrix over event types: corpus-wide
     * counts of consecutive (from → to) pairs on each user's time-ordered
     * event sequence, plus the per-from transition probability — the

@@ -79,6 +79,17 @@ object LayoutOps {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** SCD1 upsert without a table format: `updates ∪ (base ANTI updates)`
+    * on `key` — updated keys take the new row, unmatched base rows
+    * survive, new keys insert.  The MERGE-INTO shape for plain parquet
+    * lakes: both legs are one key-hash join (the anti side broadcasts
+    * when the update batch is small — the usual case); rewrite the
+    * result with [[writePartitioned]]/[[writeSorted]] to finish the
+    * swap.  Schemas must match by name. */
+  def upsert(base: DataFrame, updates: DataFrame, key: String): DataFrame =
+    updates.unionByName(
+      base.join(updates.select(key), Seq(key), "left_anti"))
+
   /** Compact `df` into exactly `nFiles` output files — the small-files
     * remedy: a table written by a 1000-task job as 1000 shards re-lands as
     * `nFiles` scan-sized parquet files (metadata pressure, open() counts,
