@@ -41,11 +41,14 @@ object R12qQueries {
     }),
 
     // Nearest-duplicate distance histogram: per-vector best cosine among
-    // its SRP-banded candidates, bucketed at 0.05 — the "how much
-    // near-dup mass is there" gauge before choosing a semantic threshold
+    // its SRP-banded candidates IN THE NEAR-DUP-RELEVANT REGION
+    // (cos >= 0.2), bucketed at 0.05 — the "how much near-dup mass is
+    // there" gauge before choosing a semantic threshold.  The floor keeps
+    // the confirmed-pair set bounded: an uncut histogram would
+    // materialize EVERY banded collision (measured super-linear at 10x)
     "dd_nn_dist_hist" -> ((s, dir) => {
       val pairs = DedupOps.embeddingPairsBanded(Tables.emb(s, dir),
-        col("embedding"), col("vec_id"), minCosine = -1.0, dims = 64)
+        col("embedding"), col("vec_id"), minCosine = 0.2, dims = 64)
       val best = pairs.select(col("vec_a").as("v"), col("cos"))
         .unionByName(pairs.select(col("vec_b").as("v"), col("cos")))
         .groupBy("v").agg(max("cos").as("best_cos"))
@@ -110,7 +113,8 @@ object R12qQueries {
          |u AS (
          |  SELECT vec_a AS v, cos FROM sc
          |  UNION ALL SELECT vec_b, cos FROM sc),
-         |best AS (SELECT v, max(cos) AS best_cos FROM u GROUP BY v)
+         |f AS (SELECT * FROM u WHERE cos >= 0.2),
+         |best AS (SELECT v, max(cos) AS best_cos FROM f GROUP BY v)
          |SELECT CAST(floor(best_cos * 20) AS BIGINT) AS bucket,
          |  count(*)::BIGINT AS n_vecs
          |FROM best GROUP BY 1""".stripMargin

@@ -40,7 +40,11 @@ object XPlanR12 {
       "ev_transitions", "text_len_pctile", "tpch_q6", "a1_cube",
       "s3_json_roundtrip", "ml_nb_confusion",
       "o5_curriculum", "text_token_downsample", "emb_drift",
-      "ev_interval_lookup", "s2_corrupt_tolerant", "text_mad_gate")
+      "ev_interval_lookup", "s2_corrupt_tolerant", "text_mad_gate",
+      "a1_dq_report", "dd_norm_exact", "ev_funnel_rates",
+      "emb_negatives", "emb_hard_negatives", "rlhf_pairs",
+      "emb_triplets", "p3_split_manifest", "dd_nn_dist_hist",
+      "o5_upsert", "ev_hourly_anomalies")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>

@@ -202,6 +202,10 @@ object XScaleBench {
       "s3_json_roundtrip", "ml_nb_confusion",
       "o5_curriculum", "text_token_downsample", "emb_drift",
       "ev_interval_lookup", "s2_corrupt_tolerant", "text_mad_gate",
+      "a1_dq_report", "dd_norm_exact", "ev_funnel_rates",
+      "emb_negatives", "emb_hard_negatives", "rlhf_pairs",
+      "emb_triplets", "p3_split_manifest", "dd_nn_dist_hist",
+      "o5_upsert", "ev_hourly_anomalies",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
