@@ -349,11 +349,16 @@ object SplitOps {
     * tail probability drops below 1e-12 (k ≈ 12 at λ = 1).  Shared by
     * [[bootstrapSample]] and its SQL oracle so both CASE chains compare
     * the uniform against bit-identical double constants. */
-  def poissonCum(lambda: Double): Seq[Double] =
+  def poissonCum(lambda: Double): Seq[Double] = {
+    // beyond λ ≈ 30, exp(-λ) underflow would make the tail test never
+    // terminate — and a bootstrap with λ that large is a modeling error
+    require(lambda <= 30.0,
+      s"lambda=$lambda too large for the double-precision CDF table")
     Iterator.iterate((0, math.exp(-lambda), math.exp(-lambda))) {
       case (k, pk, c) =>
         val p = pk * lambda / (k + 1); (k + 1, p, c + p)
     }.takeWhile(_._3 < 1.0 - 1e-12).map(_._3).toSeq
+  }
 
   def bootstrapSample(df: DataFrame, key: Column, seed: Long,
       lambda: Double = 1.0): DataFrame = {
