@@ -995,10 +995,10 @@ object TextOps {
       ref: DataFrame, refText: Column,
       broadcastModel: Boolean = true): DataFrame = {
     def side(t: DataFrame): DataFrame = if (broadcastModel) broadcast(t) else t
-    val c123 = side(ref.select(explode(trigrams(refText)).as("tg"))
+    val c123 = ref.select(explode(trigrams(refText)).as("tg"))
       .groupBy(col("tg.w1").as("w1"), col("tg.w2").as("w2"),
         col("tg.w3").as("w3"))
-      .agg(count(lit(1)).as("c123")))
+      .agg(count(lit(1)).as("c123"))
     // ONE bigram aggregate serves both backoff keys: c23 is c12 re-keyed
     // on the trigram's last two positions, not a second explode+aggregate
     // over the reference corpus (which doubled the model-build cost)
@@ -1007,33 +1007,42 @@ object TextOps {
         .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
         .agg(count(lit(1)).as("cbg")),
       eager = false)
-    val c12 = side(bgAgg.select(col("w1"), col("w2"), col("cbg").as("c12")))
-    val c23 = side(bgAgg.select(col("w1").as("w2"), col("w2").as("w3"),
-      col("cbg").as("c23")))
+    val c12 = bgAgg.select(col("w1"), col("w2"), col("cbg").as("c12"))
+    val c23 = bgAgg.select(col("w1").as("w2"), col("w2").as("w3"),
+      col("cbg").as("c23"))
     // likewise ONE unigram aggregate for both w2/w3 lookups AND the (N, V)
     // totals — three former explodes of the reference token stream
     val uniAgg = graft.core.CacheScope.persist(
       ref.select(explode(tokens(refText)).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cu")),
       eager = false)
-    val c2 = side(uniAgg.select(col("tok").as("w2"), col("cu").as("c2")))
     val c3 = side(uniAgg.select(col("tok").as("w3"), col("cu").as("c3")))
     val nv = uniAgg.agg(sum("cu").cast("double").as("__n"),
       count(lit(1)).cast("double").as("__v"))
+    // Backoff ratios PRECOMPUTED at model-build time: every reference
+    // trigram implies its prefix bigram exists (and every bigram its
+    // first unigram), so c123/c12 and 0.4·c23/c2 are total on their key
+    // sets and fold into the model tables — the corpus-wide exploded
+    // trigram stream then pays THREE broadcast probes instead of five.
+    // The divisions are the same IEEE ops the score previously did per
+    // row, so results are bit-identical (and oracle-unchanged).
+    val r123 = side(c123.join(c12, Seq("w1", "w2"))
+      .select(col("w1"), col("w2"), col("w3"),
+        (col("c123").cast("double") / col("c12")).as("r3")))
+    val r23 = side(c23.join(uniAgg.select(col("tok").as("w2"),
+        col("cu").as("c2")), Seq("w2"))
+      .select(col("w2"), col("w3"),
+        (lit(0.4) * col("c23").cast("double") / col("c2")).as("r2")))
     val score =
-      when(col("c123").isNotNull && col("c12").isNotNull,
-        col("c123").cast("double") / col("c12"))
-        .when(col("c23").isNotNull && col("c2").isNotNull,
-          lit(0.4) * col("c23").cast("double") / col("c2"))
+      when(col("r3").isNotNull, col("r3"))
+        .when(col("r2").isNotNull, col("r2"))
         .otherwise(lit(0.16) * (coalesce(col("c3"), lit(0L)) + lit(1))
           .cast("double") / (col("__n") + col("__v")))
     val scored = df.select(idCol.as("doc_id"), explode(trigrams(text)).as("tg"))
       .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
         col("tg.w3").as("w3"))
-      .join(c123, Seq("w1", "w2", "w3"), "left")
-      .join(c12, Seq("w1", "w2"), "left")
-      .join(c23, Seq("w2", "w3"), "left")
-      .join(c2, Seq("w2"), "left")
+      .join(r123, Seq("w1", "w2", "w3"), "left")
+      .join(r23, Seq("w2", "w3"), "left")
       .join(c3, Seq("w3"), "left")
       .crossJoin(broadcast(nv))
       .select(col("doc_id"),
