@@ -338,6 +338,46 @@ object StreamingOps {
       .join(broadcast(idx), Seq("text_hash"), "left_anti")
   }
 
+  /** Streaming seasonal anomaly monitor: watermarked tumbling counts per
+    * (window, type), z-scored at window close against a DRIVER-HELD
+    * baseline map keyed by (type, hour-of-day) — mean/sd from an offline
+    * [[graft.ops.EventOps.hourlyAnomalies]]-style moment pass, refreshed
+    * by restart.  The stream side is one windowed aggregate (watermark
+    * bounds state); the scoring is a pure literal-map expression — no
+    * stream-static join, no second state store.  Output: (window_start_ms,
+    * event_type, cnt, z), z null for types/hours absent from the
+    * baseline.  Bit-equal to the same expression over the batch
+    * [[tumblingCounts]]. */
+  def anomalyStream(spark: SparkSession, dir: String, schema: StructType,
+      watermark: String,
+      baseline: Map[(String, Long), (Double, Double)]): DataFrame = {
+    val ev = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("cnt"))
+    scoreAgainstBaseline(ev, baseline)
+  }
+
+  /** The shared (stateless) scoring tail of [[anomalyStream]]: z of `cnt`
+    * against the literal (type:hod)-keyed baseline — usable identically
+    * on the batch [[tumblingCounts]] frame (the stream == batch spec
+    * hinges on this being ONE definition). */
+  def scoreAgainstBaseline(windowCounts: DataFrame,
+      baseline: Map[(String, Long), (Double, Double)]): DataFrame = {
+    val means = typedLit(baseline.map { case ((t, h), v) => s"$t:$h" -> v._1 })
+    val sds = typedLit(baseline.map { case ((t, h), v) => s"$t:$h" -> v._2 })
+    val key = concat_ws(":", col("event_type"),
+      pmod(floor(col("window_start_ms") / 3600000).cast("long"), lit(24L)))
+    val mean = element_at(means, key)
+    val sd = element_at(sds, key)
+    windowCounts.select(col("window_start_ms"), col("event_type"),
+      col("cnt"),
+      when(sd > 0, round((col("cnt").cast("double") - mean) / sd, 6))
+        .as("z"))
+  }
+
   /** Streaming funnel attribution: per-user furthest stage, maintained
     * incrementally via `flatMapGroupsWithState` — the stream form of
     * [[graft.ops.EventOps.funnelStages]].  State per user is ONE int (the
