@@ -45,7 +45,8 @@ object XPlanR12 {
       "emb_negatives", "emb_hard_negatives", "rlhf_pairs",
       "emb_triplets", "p3_split_manifest", "dd_nn_dist_hist",
       "o5_upsert", "ev_hourly_anomalies",
-      "ev_session_hist", "ev_dau_wau", "dd_funnel_report")
+      "ev_session_hist", "ev_dau_wau", "dd_funnel_report",
+      "sim_rerank_recall")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>
