@@ -207,7 +207,7 @@ object XScaleBench {
       "emb_triplets", "p3_split_manifest", "dd_nn_dist_hist",
       "o5_upsert", "ev_hourly_anomalies",
       "ev_session_hist", "ev_dau_wau", "dd_funnel_report",
-      "sim_rerank_recall",
+      "sim_rerank_recall", "text_fertility", "emb_norm_hist", "pack_efficiency",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
