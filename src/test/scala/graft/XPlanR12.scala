@@ -46,7 +46,8 @@ object XPlanR12 {
       "emb_triplets", "p3_split_manifest", "dd_nn_dist_hist",
       "o5_upsert", "ev_hourly_anomalies",
       "ev_session_hist", "ev_dau_wau", "dd_funnel_report",
-      "sim_rerank_recall", "text_fertility", "emb_norm_hist", "pack_efficiency")
+      "sim_rerank_recall", "text_fertility", "emb_norm_hist", "pack_efficiency",
+      "ev_attribution", "text_ngram_coverage")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>

@@ -208,6 +208,7 @@ object XScaleBench {
       "o5_upsert", "ev_hourly_anomalies",
       "ev_session_hist", "ev_dau_wau", "dd_funnel_report",
       "sim_rerank_recall", "text_fertility", "emb_norm_hist", "pack_efficiency",
+      "ev_attribution", "text_ngram_coverage",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
