@@ -209,6 +209,7 @@ object XScaleBench {
       "ev_session_hist", "ev_dau_wau", "dd_funnel_report",
       "sim_rerank_recall", "text_fertility", "emb_norm_hist", "pack_efficiency",
       "ev_attribution", "text_ngram_coverage",
+      "ev_conversion_lag", "text_char_entropy",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
