@@ -377,4 +377,55 @@ object EventOps {
         element_at(array_sort(col("gaps")),
           ceil(size(col("gaps")) / lit(2.0)).cast("int")).as("median_gap_ms"))
   }
+
+  /** Gap-filled hourly value series per group with LINEAR interpolation:
+    * exact fixed-point hourly sums (micro-units, partitioning-immune), a
+    * dense hour spine per group spanning its observed [min, max] hours, and
+    * interior gaps filled as
+    * `prev + (next − prev) · (h − prevH)/(nextH − prevH)` — the standard
+    * resample-and-interpolate step feeding any downstream per-hour model
+    * (the seasonal baseline, drift monitors) that assumes a dense series.
+    *
+    * Scale shape: the one heavy pass is the hourly `groupBy` over the raw
+    * events, which combines map-side to one row per (group, hour).  The
+    * spine, join, and the four ignore-null window scans all run on that
+    * hourly table — cardinality (groups × hours-in-range), bounded by the
+    * calendar, not the data; a year of hours is 8 760 rows per group no
+    * matter how many trillion events fed them.  Spine endpoints are
+    * observed hours, so every gap has both neighbours and no output is
+    * null.  The interpolation arithmetic is fixed operand order over
+    * micro-unit longs, reproducible across engines at 6 dp. */
+  def interpolateHourly(events: DataFrame, typ: Column, ts: Column,
+      value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hr = floor(unix_micros(ts) / lit(3600000000L)).cast("long")
+    val hourly = events
+      .select(typ.as("event_type"), hr.as("hr"),
+        floor(value * lit(1000000.0)).cast("long").as("vmic"))
+      .groupBy("event_type", "hr").agg(sum("vmic").as("vmic"))
+    val spine = hourly.groupBy("event_type")
+      .agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(col("event_type"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+    val wPrev = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = Window.partitionBy("event_type").orderBy("hr")
+      .rowsBetween(0, Window.unboundedFollowing)
+    spine.join(hourly, Seq("event_type", "hr"), "left")
+      .withColumn("pv", last(col("vmic"), ignoreNulls = true).over(wPrev))
+      .withColumn("ph", last(when(col("vmic").isNotNull, col("hr")),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("vmic"), ignoreNulls = true).over(wNext))
+      .withColumn("nh", first(when(col("vmic").isNotNull, col("hr")),
+        ignoreNulls = true).over(wNext))
+      .select(col("event_type"), col("hr"),
+        col("vmic").isNull.as("interpolated"),
+        round(
+          when(col("vmic").isNotNull, col("vmic").cast("double") / lit(1000000.0))
+            .otherwise(
+              (col("pv").cast("double") / lit(1000000.0)) +
+                ((col("nv") - col("pv")).cast("double") / lit(1000000.0)) *
+                  ((col("hr") - col("ph")).cast("double") /
+                    (col("nh") - col("ph")).cast("double"))),
+          6).as("val"))
+  }
 }

@@ -409,4 +409,36 @@ object StreamingOps {
       }
       .toDF("user_id", "stage")
   }
+
+  /** Stream–stream interval join: each purchase paired with every click by
+    * the same user inside the `windowMs` lookback — the incremental form of
+    * the batch attribution window (candidate pairs; last-touch selection is
+    * a downstream reduction).  Both sides carry watermarks and the join
+    * condition time-bounds the click relative to the purchase, which is
+    * what lets Spark BOUND the join state: clicks older than
+    * (watermark − window) and purchases past the watermark are evicted
+    * instead of accumulating forever — the non-negotiable requirement for a
+    * join between two unbounded streams.  State is hash-partitioned by
+    * user, so it scales out with executors; per-user state is the window's
+    * click count, not history.  Append mode: pairs emit once, finalized by
+    * the watermark. */
+  def attributionStream(spark: SparkSession, dir: String, schema: StructType,
+      windowMs: Long, watermark: String = "1 hour"): DataFrame = {
+    val ev = spark.readStream.schema(schema).parquet(dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECOND"),
+      "inner")
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"))
+  }
 }
