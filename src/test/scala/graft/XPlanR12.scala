@@ -48,7 +48,8 @@ object XPlanR12 {
       "ev_session_hist", "ev_dau_wau", "dd_funnel_report",
       "sim_rerank_recall", "text_fertility", "emb_norm_hist", "pack_efficiency",
       "ev_attribution", "text_ngram_coverage",
-      "ev_conversion_lag", "text_char_entropy")
+      "ev_conversion_lag", "text_char_entropy",
+      "join_size_census", "join_bloom_prune", "ev_interpolate")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>

@@ -210,6 +210,7 @@ object XScaleBench {
       "sim_rerank_recall", "text_fertility", "emb_norm_hist", "pack_efficiency",
       "ev_attribution", "text_ngram_coverage",
       "ev_conversion_lag", "text_char_entropy",
+      "join_size_census", "join_bloom_prune", "ev_interpolate",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
