@@ -428,4 +428,54 @@ object EventOps {
                     (col("nh") - col("ph")).cast("double"))),
           6).as("val"))
   }
+
+  /** Slowly-changing-dimension (type 2) intervalization of an event log:
+    * each key's time-ordered attribute observations become validity
+    * intervals `[valid_from, valid_to)` — `valid_to` is the NEXT
+    * observation's timestamp (exclusive), null for the current row.  The
+    * event-sourcing → dimension-table build: replaying a mutation log into
+    * the temporal table that point-in-time joins (the as-of join) probe.
+    *
+    * One hash shuffle on the key; the `lead` window partitions BY KEY, so
+    * parallelism is the key cardinality and per-partition state is one
+    * key's history — no global sort, no single-partition window.  Ties on
+    * ts are ordered by `id` (the deterministic arrival tiebreak).
+    * Timestamps are exact microsecond longs. */
+  def scd2Intervals(events: DataFrame, key: Column, ts: Column, id: Column,
+      attr: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("us"), col("id"))
+    events.select(key.as("key"), unix_micros(ts).as("us"), id.as("id"),
+        attr.as("attr"))
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w))
+      .select(col("key"), col("attr"), col("us").as("valid_from_us"),
+        col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+  }
+
+  /** Top path n-grams: each key's time-ordered event-type sequence is cut
+    * into sliding n-grams and the corpus-wide n-gram counts returned — the
+    * sequence-mining card behind funnel design ("what do users actually do
+    * in order?"), generalizing the first-order [[transitionMatrix]] to
+    * order `n`.
+    *
+    * One hash shuffle groups each key's events (map-side list collect);
+    * sorting and n-gram slicing happen INSIDE the per-key aggregate row
+    * (the same per-key-history envelope as [[funnelStages]] — per-key
+    * sequence length is the bound, not the corpus), and the n-gram count
+    * is a second map-side-combinable aggregate.  Ties on ts order by id. */
+  def pathNgrams(events: DataFrame, key: Column, ts: Column, id: Column,
+      typ: Column, n: Int): DataFrame = {
+    require(n >= 2, "n must be at least 2")
+    val seqs = events
+      .select(key.as("key"), struct(unix_micros(ts).as("us"), id.as("id"),
+        typ.as("typ")).as("ev"))
+      .groupBy("key")
+      .agg(array_sort(collect_list(col("ev"))).as("evs"))
+      .select(transform(col("evs"), e => e.getField("typ")).as("types"))
+    seqs.where(size(col("types")) >= n)
+      .select(explode(transform(sequence(lit(0), size(col("types")) - n),
+        i => concat_ws(">", slice(col("types"), i + 1, lit(n))))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("cnt"))
+  }
 }

@@ -100,4 +100,60 @@ object LayoutOps {
     require(nFiles > 0, "nFiles must be positive")
     df.repartition(nFiles).write.mode("overwrite").parquet(path)
   }
+
+  /** Morton (Z-order) interleave of two non-negative integer columns, each
+    * truncated to `bits` low bits: bit i of `a` lands at position 2i, bit i
+    * of `b` at 2i+1.  Pure native bit expressions — whole-stage codegen,
+    * no UDF. */
+  def zOrderValue(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits > 0 && bits <= 31, "bits must be in 1..31")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-order clustered write: range-partition + in-partition sort on the
+    * Morton interleave of TWO filter dimensions, so each output file covers
+    * a small rectangle of the (a, b) plane and a scan filtered on EITHER
+    * dimension (or a box on both) prunes most files from their min/max
+    * footer stats — the multi-dimensional generalization of [[writeSorted]]
+    * (which buys skipping on one column by sacrificing all others).  One
+    * range exchange; sampling for the range bounds is Spark's own.
+    *
+    * The interleave needs both dimensions pre-mapped to bounded
+    * non-negative ints (bucket ids, epoch hours, modular ids): Z-order
+    * locality is in BIT space, so callers map values to compact ranges,
+    * not raw 64-bit ids. */
+  def writeZOrdered(df: DataFrame, a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, bits: Int, nParts: Int,
+      path: String): Unit = {
+    require(nParts > 0, "nParts must be positive")
+    val z = zOrderValue(a, b, bits)
+    df.repartitionByRange(nParts, z).sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Incremental rollup maintenance: merge a materialized additive rollup
+    * with a delta rollup over the same keys — `unionByName` + one re-sum.
+    * Because counts and sums are associative partial aggregates, the merge
+    * of per-period partials is EXACTLY the rollup of the union of the
+    * inputs; the nightly 100 TB re-aggregation becomes a merge whose cost
+    * is the ROLLUP's cardinality (keys × periods), not the event log's.
+    * Non-additive measures must be carried in mergeable form (sum+count
+    * for mean, HLL sketches for distinct — see `hllMerge`); a raw avg or
+    * distinct-count column silently breaks the invariant, so this API
+    * takes only the additive sum columns. */
+  def mergeRollups(base: DataFrame, delta: DataFrame, keys: Seq[String],
+      sumCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty && sumCols.nonEmpty, "keys and sumCols required")
+    base.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(sumCols.head).as(sumCols.head),
+        sumCols.tail.map(c => sum(c).as(c)): _*)
+  }
 }

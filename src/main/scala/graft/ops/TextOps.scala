@@ -1666,4 +1666,59 @@ object TextOps {
           lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
           6)))
   }
+
+  /** BM25 retrieval scoring of the corpus against a fixed term set (the
+    * Robertson/Spärck-Jones ranking function — the lexical retriever behind
+    * hard-negative mining and RAG candidate generation), top-k docs by
+    * score.
+    *
+    * Per-term contribution: `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)` (the +1 keeps idf
+    * positive).  Corpus statistics `N`/`avgdl` are one tiny aggregate,
+    * broadcast; `df` is one row per query term, broadcast.  The only
+    * corpus-wide shuffle is the (doc, term) tf aggregate, whose input is
+    * pre-filtered to the query terms — corpus tokens that match nothing
+    * never shuffle.  Per-doc summation is nano-unit fixed point (longs), so
+    * the score is immune to partial-aggregation order; the top-k is a
+    * TakeOrdered, not a global sort.  `avgdl` uses whitespace [[tokens]]. */
+  def bm25TopK(docs: DataFrame, id: Column, text: Column,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && k > 0, "terms and k must be non-empty/positive")
+    val spark = docs.sparkSession
+    val base = docs.select(id.as("doc_id"), tokens(text).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum("dl").as("total_dl"))
+    val hits = base
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .where(col("tok").isin(terms: _*))
+    val tf = hits.groupBy("doc_id", "dl", "tok")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val contrib = tf
+      .join(broadcast(df), "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_dl").cast("double") / col("n_docs").cast("double"))
+      // idf is floored to 9 dp BEFORE use: ln() is libm, not IEEE-mandated,
+      // so its last ulp may differ across engines — everything downstream
+      // of this fixed-point value is exact-literal +,*,/ and reproducible
+      .withColumn("idf",
+        floor(log((col("n_docs").cast("double") - col("df").cast("double")
+            + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)) * lit(1e9))
+          .cast("long").cast("double") / lit(1e9))
+      .withColumn("c",
+        floor(col("idf") *
+          ((col("tf").cast("double") * lit(k1 + 1.0)) /
+            (col("tf").cast("double") +
+              lit(k1) * (lit(1.0 - b) +
+                lit(b) * (col("dl").cast("double") / col("avgdl"))))) *
+          lit(1e9)).cast("long"))
+    contrib.groupBy("doc_id")
+      .agg((sum("c").cast("double") / lit(1e9)).as("score"))
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
 }
