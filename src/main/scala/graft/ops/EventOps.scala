@@ -478,4 +478,35 @@ object EventOps {
         i => concat_ws(">", slice(col("types"), i + 1, lit(n))))).as("path"))
       .groupBy("path").agg(count(lit(1)).as("cnt"))
   }
+
+  /** Point-in-time trailing-window features: for every `target`-type event,
+    * the count of `signal`-type events by the same key inside each trailing
+    * horizon `[t − h, t]` — the feature-backfill primitive for training
+    * tables ("clicks in the last hour / day at purchase time"), computed
+    * WITHOUT a self-join: one per-key window pass with RANGE frames over
+    * the microsecond timeline produces every horizon at once.
+    *
+    * Leakage-safe by construction: frames end at the current row, so no
+    * future event can contribute to a feature (the train-serve-skew bug a
+    * naive join-on-hour commits).  One hash shuffle on the key; the window
+    * partitions BY KEY (parallelism = key cardinality, state = one key's
+    * history).  Counting is indicator-sum, so the pass is a native codegen
+    * window aggregate. */
+  def trailingFeatures(events: DataFrame, key: Column, ts: Column,
+      id: Column, typ: Column, target: String, signal: String,
+      horizonsMs: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(horizonsMs.nonEmpty, "at least one horizon required")
+    val base = events.select(key.as("key"), unix_micros(ts).as("us"),
+      id.as("id"), typ.as("typ"),
+      when(typ === signal, 1L).otherwise(0L).as("sig"))
+    val withFeatures = horizonsMs.foldLeft(base) { (d, h) =>
+      val w = Window.partitionBy("key").orderBy("us")
+        .rangeBetween(-h * 1000L, 0L)
+      d.withColumn(s"n_${signal}_${h}ms", sum(col("sig")).over(w))
+    }
+    withFeatures.where(col("typ") === target)
+      .select(col("id").as("event_id") +: col("key") +: col("us") +:
+        horizonsMs.map(h => col(s"n_${signal}_${h}ms")): _*)
+  }
 }

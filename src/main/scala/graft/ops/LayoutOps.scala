@@ -156,4 +156,28 @@ object LayoutOps {
       .agg(sum(sumCols.head).as(sumCols.head),
         sumCols.tail.map(c => sum(c).as(c)): _*)
   }
+
+  /** 60-bit row digest from md5 over the `|`-joined columns — the
+    * engine-portable per-row fingerprint (md5 is specified byte-exact
+    * everywhere, unlike xxhash/murmur whose seeds differ across engines). */
+  def rowDigest(cols: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    conv(substring(md5(concat_ws("|", cols: _*)), 1, 15), 16, 10).cast("long")
+  }
+
+  /** Content-addressed audit manifest: per group, the row count and the
+    * XOR of all row digests.  XOR is commutative/associative, so the
+    * digest is independent of row order, partitioning, and merge order —
+    * two replicas of a 100 TB table compare by exchanging one manifest row
+    * per partition group instead of re-reading each other; any dropped,
+    * duplicated, or bit-flipped row flips the group digest.  One
+    * map-side-combinable aggregate; nothing but (group, count, digest)
+    * ever shuffles. */
+  def auditManifest(df: DataFrame, group: org.apache.spark.sql.Column,
+      digest: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(group.as("grp"), digest.as("h"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_digest"))
+  }
 }

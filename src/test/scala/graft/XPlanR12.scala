@@ -49,7 +49,9 @@ object XPlanR12 {
       "sim_rerank_recall", "text_fertility", "emb_norm_hist", "pack_efficiency",
       "ev_attribution", "text_ngram_coverage",
       "ev_conversion_lag", "text_char_entropy",
-      "join_size_census", "join_bloom_prune", "ev_interpolate")
+      "join_size_census", "join_bloom_prune", "ev_interpolate",
+      "ev_scd2", "ev_path_trigrams", "text_bm25_topk", "ev_rollup_merge",
+      "o5_zorder_layout")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>
