@@ -136,4 +136,90 @@ object EmbedOps {
         sum(when(col("cos") >= minCosine, 1L).otherwise(0L)).as("n_hits"))
       .withColumn("is_contaminated", col("n_hits") > 0L)
   }
+
+  /** Exact Gram statistics of the embedding column as a long-format table:
+    * one [[graft.functions.GramAgg]] pass reduces the corpus to
+    * `1 + d + d(d+1)/2` integers; rows are
+    *   - `(0, 0, n)`          — vector count,
+    *   - `(0, j, s_j)`        — Σ floor(x_j·10⁹), j in 1..d,
+    *   - `(i, j, q_ij)`       — Σ floor(x_i·x_j·10¹²), 1 ≤ i ≤ j ≤ d,
+    * (1-based dims).  All integers — the engine-portable sufficient
+    * statistics from which mean/covariance/PCA derive; nothing float ever
+    * crosses the compare.  At 100 TB this is the whole point: the corpus
+    * never shuffles, only the d² longs do. */
+  def gramTable(df: DataFrame, vec: Column, d: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val gram = udaf(new graft.functions.GramAgg(d))
+    val arr = df.select(vec.cast("array<float>").as("v"))
+      .agg(gram(col("v")).as("g")).head().getSeq[Long](0)
+    val rows = Seq((0, 0, arr(0))) ++
+      (1 to d).map(j => (0, j, arr(j))) ++ {
+        var qOff = 1 + d
+        (1 to d).flatMap { i =>
+          val r = (i to d).map(j => (i, j, arr(qOff + (j - i))))
+          qOff += d - i + 1
+          r
+        }
+      }
+    rows.toDF("i", "j", "q")
+  }
+
+  /** PCA top-k projection: covariance from the [[gramTable]] sufficient
+    * statistics (one distributed pass), eigenvectors by power iteration
+    * with deflation on the DRIVER (the d×d matrix is executor-irrelevant —
+    * 64×64 here; MLlib draws the same line), then one broadcast
+    * matrix-multiply pass projects every centered vector.  Returns
+    * (id, pc) with `pc` the k projection doubles.
+    *
+    * Deterministic: fixed e_1.. init vectors and a fixed iteration count —
+    * no randomness; sign convention: each eigenvector's
+    * largest-magnitude component is made positive. */
+  def pcaProject(df: DataFrame, id: Column, vec: Column, d: Int,
+      k: Int, iters: Int = 100): DataFrame = {
+    require(k > 0 && k <= d, "k must be in 1..d")
+    val stats = gramTable(df, vec, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val n = stats((0, 0)).toDouble
+    val mean = Array.tabulate(d)(j => stats((0, j + 1)).toDouble / 1e9 / n)
+    val cov = Array.tabulate(d, d) { (a, b) =>
+      val (i, j) = (math.min(a, b) + 1, math.max(a, b) + 1)
+      stats((i, j)).toDouble / 1e12 / n - mean(a) * mean(b)
+    }
+    def matVec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
+      Array.tabulate(d)(r => {
+        var s = 0.0; var c = 0
+        while (c < d) { s += m(r)(c) * v(c); c += 1 }; s
+      })
+    def normalize(v: Array[Double]): Array[Double] = {
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      if (nn == 0.0) v else v.map(_ / nn)
+    }
+    val work = cov.map(_.clone())
+    val comps = (0 until k).map { c =>
+      var v = normalize(Array.tabulate(d)(i => if (i == c) 1.0 else 1e-4))
+      (0 until iters).foreach { _ => v = normalize(matVec(work, v)) }
+      // sign convention
+      val m = v.indices.maxBy(i => math.abs(v(i)))
+      val vv = if (v(m) < 0) v.map(x => -x) else v
+      // deflate: work -= λ vvᵀ
+      val lam = {
+        val av = matVec(work, vv)
+        vv.zip(av).map { case (a, b) => a * b }.sum
+      }
+      for (r <- 0 until d; cc <- 0 until d) work(r)(cc) -= lam * vv(r) * vv(cc)
+      vv
+    }.toArray
+    val bc = df.sparkSession.sparkContext.broadcast((mean, comps))
+    val project = udf((v: Seq[Float]) => {
+      val (mu, cs) = bc.value
+      cs.map { comp =>
+        var s = 0.0; var i = 0
+        while (i < mu.length) { s += (v(i).toDouble - mu(i)) * comp(i); i += 1 }
+        s
+      }.toSeq
+    })
+    df.select(id.as("id"), vec.cast("array<float>").as("v"))
+      .select(col("id"), project(col("v")).as("pc"))
+  }
 }

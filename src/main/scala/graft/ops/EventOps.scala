@@ -509,4 +509,66 @@ object EventOps {
       .select(col("id").as("event_id") +: col("key") +: col("us") +:
         horizonsMs.map(h => col(s"n_${signal}_${h}ms")): _*)
   }
+
+  /** Per-group OLS trend of hourly activity: the least-squares slope (and
+    * intercept) of hourly event counts against the hour index — the
+    * is-this-source-growing gauge.  Hours are re-based to each group's
+    * first hour so every sum (Σx, Σx², Σxy, Σy) stays an exact long at any
+    * calendar span; slope/intercept are ONE double division over integer
+    * sums — bit-reproducible across engines, no rounding needed.  Two
+    * map-side-combinable aggregates (events → hourly, hourly → sums) and a
+    * broadcast-sized per-group min-hour join. */
+  def trendSlope(events: DataFrame, typ: Column, ts: Column): DataFrame = {
+    val hr = floor(unix_micros(ts) / lit(3600000000L)).cast("long")
+    val hourly = events.select(typ.as("event_type"), hr.as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("y"))
+    val mins = hourly.groupBy("event_type").agg(min("hr").as("mn"))
+    val sums = hourly.join(broadcast(mins), "event_type")
+      .withColumn("x", col("hr") - col("mn"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    sums
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept",
+        (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+          col("n").cast("double"))
+      .select("event_type", "n", "slope", "intercept")
+  }
+
+  /** Exact per-group distribution-shape card: skewness and excess kurtosis
+    * of the value column from integer power sums.  Values integerize to
+    * milli-units; the four power sums accumulate in decimal(38,0) (vm⁴ at
+    * vm ≈ 5·10⁵ needs 128-bit headroom), so every sufficient statistic is
+    * an exact integer under any partitioning.  The final central-moment
+    * arithmetic is fixed-operand-order doubles with `sqrt` (IEEE
+    * correctly-rounded) instead of `pow` (libm) — reproducible across
+    * engines at 6 dp.  One map-side-combinable aggregate. */
+  def valueMoments(events: DataFrame, typ: Column, value: Column): DataFrame = {
+    val vm = round(value * 1000).cast("long")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val sums = events.select(typ.as("event_type"), vm.as("vm"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("vm").as("s1"),
+        sum(d(col("vm")) * col("vm")).as("s2"),
+        sum(d(col("vm")) * col("vm") * col("vm")).as("s3"),
+        sum(d(col("vm")) * col("vm") * col("vm") * col("vm")).as("s4"))
+    val n = col("n").cast("double")
+    val mean = col("s1").cast("double") / n
+    val m2 = col("s2").cast("double") / n - mean * mean
+    val m3 = col("s3").cast("double") / n -
+      lit(3.0) * mean * (col("s2").cast("double") / n) +
+      lit(2.0) * mean * mean * mean
+    val m4 = col("s4").cast("double") / n -
+      lit(4.0) * mean * (col("s3").cast("double") / n) +
+      lit(6.0) * mean * mean * (col("s2").cast("double") / n) -
+      lit(3.0) * mean * mean * mean * mean
+    sums.select(col("event_type"), col("n"),
+      round(mean / lit(1000.0), 6).as("mean"),
+      round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
+      round(m4 / (m2 * m2) - lit(3.0), 6).as("excess_kurtosis"))
+  }
 }

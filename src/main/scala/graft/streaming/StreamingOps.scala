@@ -441,4 +441,39 @@ object StreamingOps {
       .select(col("purchase_id"), col("click_id"),
         col("p_user").as("user_id"))
   }
+
+  /** Ingest-time per-key admission control: each key's first `maxPerKey`
+    * events (by event time, id tiebreak within a micro-batch) pass; the
+    * rest drop — the anti-flood / per-source quota gate in front of a
+    * training-data firehose, where one runaway producer would otherwise
+    * swamp the corpus mix.  State per key is ONE long (the admitted
+    * count), maintained with `flatMapGroupsWithState`; keys hash-partition
+    * across executors, so both state and throughput scale out.  Emits the
+    * admitted (user_id, event_id, admit_rank) rows each batch. */
+  def rateLimitStream(spark: SparkSession, dir: String, schema: StructType,
+      maxPerKey: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxPerKey > 0, "maxPerKey must be positive")
+    val ev = spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"))
+      .as[(Long, java.sql.Timestamp, Long)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(r => (r._2.getTime, r._3)).flatMap {
+            case (_, _, id) =>
+              if (admitted < maxPerKey) {
+                admitted += 1
+                Some((user, id, admitted))
+              } else None
+          }
+          state.update(admitted)
+          out.iterator
+      }
+      .toDF("user_id", "event_id", "admit_rank")
+  }
 }
