@@ -571,4 +571,36 @@ object EventOps {
       round(m3 / (m2 * sqrt(m2)), 6).as("skewness"),
       round(m4 / (m2 * m2) - lit(3.0), 6).as("excess_kurtosis"))
   }
+
+  /** Two-sample experiment card: per-variant count/mean and the Welch
+    * z-statistic of the metric difference, from ONE map-side-combinable
+    * aggregate (conditional fixed-point power sums per arm — the metric
+    * stream shuffles six longs, not rows).  Variance is the population
+    * form (÷n); z = (m₁−m₀)/√(v₁/n₁+v₀/n₀) with `sqrt` (IEEE-exact), all
+    * operand order fixed — reproducible at 6 dp.  The experimentation
+    * readout behind data-mix A/B runs. */
+  def abTestCard(events: DataFrame, variant: Column,
+      value: Column): DataFrame = {
+    val vm = round(value * 1000).cast("long")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val s = events.select(variant.as("arm"), vm.as("vm"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("vm")).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 0, d(col("vm")) * col("vm"))
+          .otherwise(d(lit(0)))).as("q0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("vm")).otherwise(0L)).as("s1"),
+        sum(when(col("arm") === 1, d(col("vm")) * col("vm"))
+          .otherwise(d(lit(0)))).as("q1"))
+    val n0 = col("n0").cast("double"); val n1 = col("n1").cast("double")
+    val m0 = col("s0").cast("double") / n0
+    val m1 = col("s1").cast("double") / n1
+    val v0 = col("q0").cast("double") / n0 - m0 * m0
+    val v1 = col("q1").cast("double") / n1 - m1 * m1
+    s.select(col("n0"), col("n1"),
+      round(m0 / lit(1000.0), 6).as("mean0"),
+      round(m1 / lit(1000.0), 6).as("mean1"),
+      round((m1 - m0) / sqrt(v1 / n1 + v0 / n0), 6).as("z"))
+  }
 }

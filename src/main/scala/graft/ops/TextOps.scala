@@ -1721,4 +1721,36 @@ object TextOps {
       .select(col("doc_id"), round(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
+
+  /** Vocabulary-coverage curve: the smallest frequency-ranked vocabulary
+    * size whose cumulative token mass reaches each coverage target — the
+    * "how big a vocab covers 95 % of the corpus" sizing card behind
+    * tokenizer budgets and OOV-rate predictions.
+    *
+    * Token counts are one map-side-combinable aggregate; the count-desc
+    * ranking and running mass use [[graft.core.Ranker]]'s range-partitioned
+    * rank + two-phase exact cumsum — NO single-partition window even at a
+    * 100 TB corpus's vocabulary.  Thresholds are `ceil(p·total)` with the
+    * division-free integer compare, one conditional-min aggregate for all
+    * targets at once. */
+  def vocabCoverage(docs: DataFrame, text: Column,
+      targets: Seq[Double]): DataFrame = {
+    require(targets.nonEmpty && targets.forall(p => p > 0.0 && p <= 1.0),
+      "targets must be in (0, 1]")
+    val counts = docs.select(explode(tokens(text)).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val ranked = graft.core.Ranker.withRank(counts, "__r",
+      col("cnt").desc, col("tok"))
+    val (cum, total) = graft.core.Ranker.withCumsumLongAndTotal(
+      ranked, "__r", col("cnt"), "__cum")
+    val aggCols = targets.zipWithIndex.map { case (p, i) =>
+      min(when(col("__cum") >= ceil(lit(p) * lit(total)).cast("long"),
+        col("__r") + 1)).as(s"v$i")
+    }
+    cum.agg(aggCols.head, aggCols.tail: _*)
+      .select(explode(array(targets.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("target"), col(s"v$i").as("vocab_size"))
+      }: _*)).as("e"))
+      .select(col("e.target"), col("e.vocab_size"))
+  }
 }

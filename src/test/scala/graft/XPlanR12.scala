@@ -52,7 +52,8 @@ object XPlanR12 {
       "join_size_census", "join_bloom_prune", "ev_interpolate",
       "ev_scd2", "ev_path_trigrams", "text_bm25_topk", "ev_rollup_merge",
       "o5_zorder_layout",
-      "ev_trailing_features", "a1_manifest", "a1_topk_per_group")
+      "ev_trailing_features", "a1_manifest", "a1_topk_per_group",
+      "emb_gram", "ev_trend_slope", "ev_value_moments")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>
