@@ -53,7 +53,8 @@ object XPlanR12 {
       "ev_scd2", "ev_path_trigrams", "text_bm25_topk", "ev_rollup_merge",
       "o5_zorder_layout",
       "ev_trailing_features", "a1_manifest", "a1_topk_per_group",
-      "emb_gram", "ev_trend_slope", "ev_value_moments")
+      "emb_gram", "ev_trend_slope", "ev_value_moments",
+      "text_vocab_coverage", "ev_ab_test", "a1_fd_check")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>
