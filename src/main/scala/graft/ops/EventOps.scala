@@ -603,4 +603,54 @@ object EventOps {
       round(m1 / lit(1000.0), 6).as("mean1"),
       round((m1 - m0) / sqrt(v1 / n1 + v0 / n0), 6).as("z"))
   }
+
+  /** Item co-occurrence with lift: for every item pair (i < j), the count
+    * of users who touched BOTH, and `lift = n_co·N / (n_i·n_j)` (observed
+    * over expected-under-independence co-engagement) — the co-visitation
+    * similarity behind item-to-item recommendation and bundle mining.
+    *
+    * The (user, item) incidence is deduplicated first, so a user counts
+    * once per item; the pair generation is a same-user self-join whose
+    * fan-out is each user's ITEM-SET size (catalog-bounded), not their
+    * event count.  At a web-scale catalog, cap per-user item sets or
+    * df-filter hot items first (the same postings-cap discipline as the
+    * Jaccard pair miner).  Lift is integer-exact until one final double
+    * division. */
+  def itemCooc(events: DataFrame, user: Column, item: Column): DataFrame = {
+    val ui = events.select(user.as("u"), item.as("item"))
+      .where(col("item").isNotNull).distinct()
+    val ni = ui.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val nu = ui.agg(countDistinct(col("u")).as("n_users"))
+    val b = ui.select(col("u"), col("item").as("item_b"))
+    val pairs = ui.join(b, ui("u") === b("u") && col("item") < col("item_b"))
+      .groupBy(col("item").as("i"), col("item_b").as("j"))
+      .agg(count(lit(1)).as("n_co"))
+    pairs
+      .join(broadcast(ni.select(col("item").as("i"), col("n_item").as("n_i"))), "i")
+      .join(broadcast(ni.select(col("item").as("j"), col("n_item").as("n_j"))), "j")
+      .crossJoin(broadcast(nu))
+      .select(col("i"), col("j"), col("n_co"),
+        ((col("n_co") * col("n_users")).cast("double") /
+          (col("n_i") * col("n_j")).cast("double")).as("lift"))
+  }
+
+  /** Gini concentration of a weight across keys (0 = uniform, →1 = one
+    * key holds everything) — the catalog/source-skew gauge.  Weights are
+    * ranked ascending via the range-partitioned [[graft.core.Ranker]] (no
+    * single-partition window over the key space) and the classic
+    * `(2·Σ rank·w − (n+1)·Σw) / (n·Σw)` form is computed from exact
+    * integer sums with ONE final double division.  Tied weights get
+    * arbitrary rank order among themselves, which provably does not change
+    * Σ rank·w. */
+  def giniConcentration(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    val counts = df.select(key.as("k"), weight.cast("long").as("w"))
+      .groupBy("k").agg(sum("w").as("w"))
+    val ranked = graft.core.Ranker.withRank(counts, "__r",
+      col("w").asc, col("k"))
+    ranked.agg(count(lit(1)).as("n"), sum("w").as("s"),
+        sum((col("__r") + 1) * col("w")).as("s1"))
+      .select(col("n"), col("s").as("total"),
+        ((lit(2) * col("s1") - (col("n") + 1) * col("s")).cast("double") /
+          (col("n") * col("s")).cast("double")).as("gini"))
+  }
 }

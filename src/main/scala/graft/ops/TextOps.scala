@@ -1753,4 +1753,33 @@ object TextOps {
       }: _*)).as("e"))
       .select(col("e.target"), col("e.vocab_size"))
   }
+
+  /** Per-group character-class profile: fractions of lowercase-letter,
+    * digit, whitespace, and other characters — the charset/mojibake gauge
+    * (a prose corpus is letter-dominated; binary payloads and table dumps
+    * shift mass into `other`).  Classes are ASCII regexes with identical
+    * semantics in every engine; counts are exact longs from ONE map-side-
+    * combinable aggregate, fractions are single double divisions at 6 dp. */
+  def scriptProfile(docs: DataFrame, text: Column, group: Column): DataFrame = {
+    val lowered = lower(text)
+    def cnt(cls: String) =
+      length(regexp_replace(lowered, cls, ""))
+    val base = docs.select(group.as("grp"),
+      length(text).cast("long").as("total"),
+      (length(text) - cnt("[a-z]")).cast("long").as("letters"),
+      (length(text) - cnt("[0-9]")).cast("long").as("digits"),
+      (length(text) - cnt("[ \\t\\n]")).cast("long").as("spaces"))
+    base.groupBy("grp")
+      .agg(sum("total").as("total"), sum("letters").as("letters"),
+        sum("digits").as("digits"), sum("spaces").as("spaces"))
+      .select(col("grp"), col("total"),
+        round(col("letters").cast("double") / col("total").cast("double"), 6)
+          .as("letter_frac"),
+        round(col("digits").cast("double") / col("total").cast("double"), 6)
+          .as("digit_frac"),
+        round(col("spaces").cast("double") / col("total").cast("double"), 6)
+          .as("space_frac"),
+        round((col("total") - col("letters") - col("digits") - col("spaces"))
+          .cast("double") / col("total").cast("double"), 6).as("other_frac"))
+  }
 }
