@@ -653,4 +653,44 @@ object EventOps {
         ((lit(2) * col("s1") - (col("n") + 1) * col("s")).cast("double") /
           (col("n") * col("s")).cast("double")).as("gini"))
   }
+
+  /** Cross-correlation of two event types' hourly series at lags
+    * 0..maxLag: Pearson r between a(h) and b(h+ℓ) over the dense shared
+    * hour spine (missing hours are true zeros, not gaps) — the does-A-
+    * lead-B probe behind attribution-window and feature-horizon choices.
+    *
+    * The heavy pass is the hourly count aggregate; the spine, the ℓ-shift
+    * join, and the per-lag moment sums all run on the calendar-bounded
+    * hourly table.  Every sufficient statistic (n, Σa, Σb, Σab, Σa², Σb²)
+    * is an exact long; r is one fixed-order double expression with IEEE
+    * `sqrt`, reproducible at 6 dp. */
+  def crossCorrelation(events: DataFrame, typ: Column, ts: Column,
+      typeA: String, typeB: String, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, "maxLag must be non-negative")
+    val hr = floor(unix_micros(ts) / lit(3600000000L)).cast("long")
+    val hourly = events.select(typ.as("t"), hr.as("hr"))
+      .where(col("t").isin(typeA, typeB))
+      .groupBy("t", "hr").agg(count(lit(1)).as("y"))
+    val spine = hourly.agg(min("hr").as("mn"), max("hr").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("hr"))
+    def series(t: String) = spine.join(
+      hourly.where(col("t") === t).select(col("hr"), col("y")),
+      Seq("hr"), "left").select(col("hr"), coalesce(col("y"), lit(0L)).as("y"))
+    val a = series(typeA).select(col("hr"), col("y").as("ya"))
+    val b = series(typeB).select(col("hr").as("hrb"), col("y").as("yb"))
+    val lagged = a
+      .select(col("hr"), col("ya"),
+        explode(sequence(lit(0), lit(maxLag))).as("lag"))
+      .join(b, col("hrb") === col("hr") + col("lag"))
+    val sums = lagged.groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum("ya").as("sa"), sum("yb").as("sb"),
+        sum(col("ya") * col("yb")).as("sab"),
+        sum(col("ya") * col("ya")).as("saa"),
+        sum(col("yb") * col("yb")).as("sbb"))
+    sums.select(col("lag"), col("n"),
+      round((col("n") * col("sab") - col("sa") * col("sb")).cast("double") /
+        (sqrt((col("n") * col("saa") - col("sa") * col("sa")).cast("double")) *
+          sqrt((col("n") * col("sbb") - col("sb") * col("sb")).cast("double"))),
+        6).as("r"))
+  }
 }

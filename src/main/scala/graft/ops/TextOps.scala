@@ -1782,4 +1782,39 @@ object TextOps {
         round((col("total") - col("letters") - col("digits") - col("spaces"))
           .cast("double") / col("total").cast("double"), 6).as("other_frac"))
   }
+
+  /** Chi-square keyness: the tokens that most distinguish a focus slice
+    * from the rest of the corpus (χ² on the 2×2 token/slice contingency
+    * table) — corpus forensics for "what is this source actually full
+    * of?" and the term-level complement of the distributional JS-drift
+    * monitor.
+    *
+    * One token-count aggregate keyed by (token, in-focus) carries the
+    * corpus' only shuffle; the 2×2 arithmetic runs per token with the
+    * squared term and the four-margin product in decimal(38,0) (token ×
+    * corpus products overflow longs at scale), one double division at the
+    * end.  Top-k by the ROUNDED χ² with token tiebreak, so the ordering is
+    * engine-identical. */
+  def keyness(docs: DataFrame, text: Column, inFocus: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val toks = docs.select(inFocus.as("f"), explode(tokens(text)).as("tok"))
+    val counts = toks.groupBy("tok")
+      .agg(sum(when(col("f"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("f"), 0L).otherwise(1L)).as("b"))
+    val tots = counts.agg(sum("a").as("ta"), sum("b").as("tb"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    counts.crossJoin(broadcast(tots))
+      .withColumn("c", col("ta") - col("a"))
+      .withColumn("dd", col("tb") - col("b"))
+      .withColumn("det", d(col("a")) * col("dd") - d(col("b")) * col("c"))
+      .withColumn("chi2", round(
+        (d(col("ta") + col("tb")) * col("det") * col("det")).cast("double") /
+          (d(col("a") + col("b")) * (col("c") + col("dd")) *
+            (col("a") + col("c")) * (col("b") + col("dd"))).cast("double"),
+        6))
+      .select(col("tok"), col("a").as("n_focus"), col("b").as("n_rest"),
+        col("chi2"))
+      .orderBy(col("chi2").desc, col("tok")).limit(k)
+  }
 }
