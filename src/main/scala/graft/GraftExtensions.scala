@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, Norm2, SparseToDense}
+import graft.functions.{DotProduct, Norm2, SparseToDense, ZOrder64}
 
 /** Session-extension entry point: registers the engine's native codegen
   * expressions as SQL functions, so `spark.sql` users (and pure-SQL
@@ -25,6 +25,8 @@ import graft.functions.{DotProduct, Norm2, SparseToDense}
   *  - `vec_norm2(a)`         — squared L2 norm over array<double>
   *  - `sparse_to_dense(i, v, n)` — scatter (indices, values) into a dense
   *    length-n array<double> (U6)
+  *  - `zorder64(a, b, bits)`  — Morton interleave for multi-dimensional
+  *    clustered layouts
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -49,7 +51,9 @@ object GraftExtensions {
       args => DotProduct(args(0), args(1))),
     entry("vec_norm2", classOf[Norm2], 1, args => Norm2(args(0))),
     entry("sparse_to_dense", classOf[SparseToDense], 3,
-      args => SparseToDense(args(0), args(1), args(2))))
+      args => SparseToDense(args(0), args(1), args(2))),
+    entry("zorder64", classOf[ZOrder64], 3,
+      args => ZOrder64(args(0), args(1), args(2))))
 
   /** Register the functions on an existing session. */
   def register(spark: SparkSession): Unit =

@@ -103,17 +103,13 @@ object LayoutOps {
 
   /** Morton (Z-order) interleave of two non-negative integer columns, each
     * truncated to `bits` low bits: bit i of `a` lands at position 2i, bit i
-    * of `b` at 2i+1.  Pure native bit expressions — whole-stage codegen,
-    * no UDF. */
+    * of `b` at 2i+1.  Backed by the native codegen expression
+    * [[graft.functions.ZOrder64]] — one tight generated loop per row
+    * instead of a 3·bits-term composed column. */
   def zOrderValue(a: org.apache.spark.sql.Column,
       b: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
     require(bits > 0 && bits <= 31, "bits must be in 1..31")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    graft.functions.ZOrder64.zorder64(a, b, bits)
   }
 
   /** Z-order clustered write: range-partition + in-partition sort on the

@@ -46,4 +46,23 @@ class R12afSpec extends AnyFunSuite {
     val zebra = out.find(_._1 == "zebra").get
     assert(zebra._2 == 30L && zebra._3 == 0L && zebra._4 > 50.0)
   }
+
+  test("ZOrder64 native expression: interpreted == codegen == SQL form") {
+    val ref = (a: Long, b: Long) => (0 until 10).map { i =>
+      (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }.reduce(_ | _)
+    val df = Seq((0L, 0L), (5L, 3L), (1023L, 512L), (768L, 255L))
+      .toDF("a", "b")
+    val viaColumn = df
+      .select(graft.functions.ZOrder64.zorder64(col("a"), col("b"), 10))
+      .as[Long].collect().toSeq
+    GraftExtensions.register(spark)
+    df.createOrReplaceTempView("zin")
+    val viaSql = spark.sql("SELECT zorder64(a, b, 10) FROM zin")
+      .as[Long].collect().toSeq
+    val expected = Seq((0L, 0L), (5L, 3L), (1023L, 512L), (768L, 255L))
+      .map { case (a, b) => ref(a, b) }
+    assert(viaColumn == expected)
+    assert(viaSql == expected)
+  }
 }
