@@ -266,4 +266,49 @@ object MlOps {
       .where(col("__rn") === 1)
       .select("query_id", "pred_label", "votes")
   }
+
+  /** Isotonic (PAV) calibration of a bucketed reliability table: given
+    * per-bucket trial/success counts keyed by an ordered confidence
+    * bucket, returns each bucket's raw rate and the pool-adjacent-
+    * violators fit — the monotone success-probability curve that turns a
+    * raw confidence score into a trustworthy probability.
+    *
+    * Distributed/driver split on the MLlib line: the corpus-sized work
+    * (scoring + bucketing) happens upstream; PAV itself is inherently
+    * sequential but runs on the BUCKET table (tens of rows), so it
+    * collects, pools with exact integer (successes, trials) weights —
+    * merge order cannot drift the result — and returns the curve for a
+    * broadcast-join back onto predictions. */
+  def pavCalibrate(reliability: DataFrame, bucket: Column, n: Column,
+      nPos: Column): DataFrame = {
+    val spark = reliability.sparkSession
+    import spark.implicits._
+    val rows = reliability
+      .select(bucket.cast("long").as("b"), n.cast("long").as("n"),
+        nPos.cast("long").as("p"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // pool-adjacent-violators over (trials, successes) blocks
+    val stack = scala.collection.mutable.ArrayBuffer[(Long, Long, List[Long])]()
+    rows.foreach { case (b, nn, pp) =>
+      var cur = (nn, pp, List(b))
+      while (stack.nonEmpty && {
+        val (tn, tp, _) = stack.last
+        // prev rate > cur rate  ⇔  tp·curN > curP·tn  (integer-exact)
+        tp * cur._1 > cur._2 * tn
+      }) {
+        val (tn, tp, tb) = stack.remove(stack.size - 1)
+        cur = (tn + cur._1, tp + cur._2, tb ++ cur._3)
+      }
+      stack += cur
+    }
+    val out = stack.flatMap { case (nn, pp, bs) =>
+      val cal = math.rint(pp.toDouble / nn.toDouble * 1e6) / 1e6
+      bs.map(b => (b, cal))
+    }.toMap
+    rows.toSeq.map { case (b, nn, pp) =>
+      (b, nn, pp, math.rint(pp.toDouble / nn.toDouble * 1e6) / 1e6, out(b))
+    }.toDF("bucket", "n", "n_pos", "rate", "calibrated")
+  }
 }
