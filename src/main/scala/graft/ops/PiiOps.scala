@@ -90,4 +90,26 @@ object PiiOps {
     val c = stagedCounts(text)
     df.where(c("<EMAIL>") + c("<IP>") + c("<PHONE>") <= maxMatches)
   }
+
+  /** Differentially-private count release: per-group counts with Laplace
+    * (sensitivity 1 / ε) noise via the inverse CDF — the
+    * privacy-preserving form of a group-by census for stats shared outside
+    * the data boundary.  ε is the privacy budget (smaller = noisier).
+    *
+    * The noise uniform is [[graft.core.Rng.Md5]] over (seed, group), so
+    * the release is reproducible for the correctness oracle and stable
+    * under task retry; a PRODUCTION release must draw fresh true
+    * randomness per publication instead (determinism across releases
+    * would let an observer cancel the noise).  One map-side-combinable
+    * aggregate; the noise arithmetic is per-GROUP (dimension-sized). */
+  def dpNoisyCounts(df: DataFrame, group: Column, epsilon: Double,
+      seed: Long): DataFrame = {
+    require(epsilon > 0, "epsilon must be positive")
+    val b = 1.0 / epsilon
+    val counts = df.groupBy(group.as("grp")).agg(count(lit(1)).as("n"))
+    val u = graft.core.Rng.Md5.uniform(seed, "dp", col("grp"))
+    val v = u - lit(0.5)
+    val noise = -lit(b) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v))
+    counts.select(col("grp"), round(col("n") + noise, 6).as("noisy_n"))
+  }
 }
