@@ -218,7 +218,7 @@ object XScaleBench {
       "text_vocab_coverage", "ev_ab_test", "a1_fd_check",
       "a1_observed_metrics", "o5_snapshot_diff", "s3_csv_roundtrip",
       "ev_item_cooc", "ev_item_gini", "text_script_profile",
-      "ev_xcorr", "text_keyness", "ml_reliability",
+      "ev_xcorr", "text_keyness", "ml_reliability", "a1_dp_counts",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
