@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edge-list graph analytics in the message-passing-by-join style: rank
+  * state joins the edge list, per-destination aggregation is the message
+  * combine, and the driver loop is the superstep barrier — the Pregel
+  * shape expressed in plain DataFrames, so it scales exactly like any
+  * other join+aggregate (hash-partitioned by vertex, map-side combined).
+  * (Connected components live in DedupOps' dedup-cluster machinery; this
+  * file holds the rank/centrality side.)
+  */
+object GraphOps {
+
+  /** Deterministic integer PageRank over an UNDIRECTED edge list, damping
+    * 0.85, fixed iteration count.  All arithmetic is integer (ranks carry
+    * `scale` total mass; per-edge contribution is `r div deg`, the update
+    * is `(15·init + 85·Σcontrib) div 100`), so the result is bit-identical
+    * under any partitioning/merge order AND replayable in an exact SQL
+    * oracle — no float drift after 10 supersteps, which a double-typed
+    * rank cannot promise across engines.
+    *
+    * Each superstep is one join + one combinable aggregate on (vertex)
+    * keys.  Lineage is truncated every 5 supersteps (`localCheckpoint`) so
+    * the plan does not grow unboundedly — the standard iterative-Spark
+    * discipline.  Isolated vertices cannot occur (vertices are derived
+    * from the edge list); dangling mass is impossible for the same
+    * reason. */
+  def pageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters > 0, "iters must be positive")
+    val e = edges.select(src.as("src"), dst.as("dst"))
+    val both = e.unionByName(
+      e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = both.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nodes = deg.select(col("src").as("item")).cache()
+    val n = nodes.count()
+    val init = scale / n
+    val edgesDeg = both.join(deg, "src").cache()
+    var ranks = nodes.select(col("item"), lit(init).as("r"))
+    (1 to iters).foreach { i =>
+      val contrib = edgesDeg
+        .join(ranks, edgesDeg("src") === ranks("item"))
+        .select(col("dst").as("item"), expr("r div deg").as("c"))
+        .groupBy("item").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("item"), "left")
+        .select(col("item"),
+          expr(s"(${15L * init} + 85 * coalesce(s, 0)) div 100").as("r"))
+      if (i % 5 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+}

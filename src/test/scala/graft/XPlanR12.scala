@@ -57,7 +57,8 @@ object XPlanR12 {
       "text_vocab_coverage", "ev_ab_test", "a1_fd_check",
       "a1_observed_metrics", "o5_snapshot_diff", "s3_csv_roundtrip",
       "ev_item_cooc", "ev_item_gini", "text_script_profile",
-      "ev_xcorr", "text_keyness", "ml_reliability", "a1_dp_counts")
+      "ev_xcorr", "text_keyness", "ml_reliability", "a1_dp_counts",
+      "a1_expectations", "ev_ingest_lag")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>
