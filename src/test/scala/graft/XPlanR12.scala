@@ -58,7 +58,7 @@ object XPlanR12 {
       "a1_observed_metrics", "o5_snapshot_diff", "s3_csv_roundtrip",
       "ev_item_cooc", "ev_item_gini", "text_script_profile",
       "ev_xcorr", "text_keyness", "ml_reliability", "a1_dp_counts",
-      "a1_expectations", "ev_ingest_lag")
+      "a1_expectations", "ev_ingest_lag", "graph_pagerank")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>
