@@ -176,4 +176,71 @@ object LayoutOps {
       .groupBy("grp")
       .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_digest"))
   }
+
+  // ---- Versioned lake (manifest-based time travel) -------------------
+  //
+  // The transaction-log pattern without a table format: each commit
+  // writes ONLY its new files (under files/v<n>/) and a version manifest
+  // listing every directory composing that snapshot — an append commit
+  // carries the previous manifest's entries forward, an overwrite starts
+  // fresh.  Old versions stay readable forever (no file is ever
+  // rewritten), and a 100 TB append commits in O(new data), not O(table).
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(path: String, v: Int) =
+    new org.apache.hadoop.fs.Path(s"$path/_v$v.manifest")
+
+  /** Largest committed version, or -1 if the table does not exist. */
+  def latestVersion(spark: SparkSession, path: String): Int = {
+    val f = fs(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(p)) -1
+    else f.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("_v") && n.endsWith(".manifest") =>
+        n.stripPrefix("_v").stripSuffix(".manifest").toInt }
+      .foldLeft(-1)(math.max)
+  }
+
+  private def commit(df: DataFrame, path: String,
+      carryPrevious: Boolean): Int = {
+    val spark = df.sparkSession
+    val v = latestVersion(spark, path) + 1
+    val dataDir = s"$path/files/v$v"
+    df.write.mode("errorifexists").parquet(dataDir)
+    val prev: Seq[String] =
+      if (carryPrevious && v > 0) {
+        val in = fs(spark, path).open(manifestPath(path, v - 1))
+        val txt = new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        in.close()
+        txt.split("\n").filter(_.nonEmpty).toSeq
+      } else Seq.empty
+    val out = fs(spark, path).create(manifestPath(path, v), false)
+    out.write((prev :+ dataDir).mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    v
+  }
+
+  /** Append commit: the new snapshot = previous snapshot + `df`. */
+  def commitAppend(df: DataFrame, path: String): Int =
+    commit(df, path, carryPrevious = true)
+
+  /** Overwrite commit: the new snapshot = `df` alone (old versions stay
+    * readable — nothing is deleted). */
+  def commitOverwrite(df: DataFrame, path: String): Int =
+    commit(df, path, carryPrevious = false)
+
+  /** Time-travel read of snapshot `v` (any committed version). */
+  def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
+    val in = fs(spark, path).open(manifestPath(path, v))
+    val dirs = new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty)
+    in.close()
+    spark.read.parquet(dirs.toIndexedSeq: _*)
+  }
 }

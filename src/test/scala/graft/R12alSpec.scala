@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.LayoutOps
+
+/** Invariants for the round-12al surface: versioned-lake time travel. */
+class R12alSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rm(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+  }
+
+  test("append/overwrite commits; every old snapshot stays readable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tt").toFile
+    val p = dir.getAbsolutePath + "/table"
+    try {
+      assert(LayoutOps.latestVersion(spark, p) == -1)
+      assert(LayoutOps.commitAppend(Seq(1L, 2L).toDF("id"), p) == 0)
+      assert(LayoutOps.commitAppend(Seq(3L).toDF("id"), p) == 1)
+      assert(LayoutOps.commitOverwrite(Seq(9L).toDF("id"), p) == 2)
+      assert(LayoutOps.latestVersion(spark, p) == 2)
+      def read(v: Int) = LayoutOps.readVersion(spark, p, v)
+        .as[Long].collect().toSet
+      assert(read(0) == Set(1L, 2L))
+      assert(read(1) == Set(1L, 2L, 3L))   // append carried v0 forward
+      assert(read(2) == Set(9L))           // overwrite started fresh
+      // v1 still intact AFTER the overwrite — no file was rewritten
+      assert(read(1) == Set(1L, 2L, 3L))
+    } finally rm(dir)
+  }
+
+  test("append commit writes only the delta's files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttd").toFile
+    val p = dir.getAbsolutePath + "/table"
+    try {
+      LayoutOps.commitAppend((1L to 100L).toDF("id"), p)
+      val before = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(p, "files", "v0")).count()
+      LayoutOps.commitAppend(Seq(101L).toDF("id"), p)
+      val after = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(p, "files", "v0")).count()
+      assert(before == after)  // v0's files untouched by the v1 commit
+      assert(LayoutOps.readVersion(spark, p, 1).count() == 101L)
+    } finally rm(dir)
+  }
+}

@@ -58,7 +58,8 @@ object XPlanR12 {
       "a1_observed_metrics", "o5_snapshot_diff", "s3_csv_roundtrip",
       "ev_item_cooc", "ev_item_gini", "text_script_profile",
       "ev_xcorr", "text_keyness", "ml_reliability", "a1_dp_counts",
-      "a1_expectations", "ev_ingest_lag", "graph_pagerank")
+      "a1_expectations", "ev_ingest_lag", "graph_pagerank",
+      "ev_audience_overlap", "ev_benford")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>
