@@ -477,6 +477,73 @@ object StreamingOps {
       .toDF("user_id", "event_id", "admit_rank")
   }
 
+  /** [[attributionStream]]'s LEFT OUTER form: purchases with NO click in
+    * the lookback window emit with null click columns ONCE the watermark
+    * passes their join window (the engine must prove no matching click
+    * can still arrive before declaring the purchase an orphan) — the
+    * unattributed-conversion monitor.  Same bounded state as the inner
+    * join; the null rows are watermark-finalized, so results are
+    * eventually-complete rather than instant.
+    *
+    * Operational caveat (spec-demonstrated): the two watermark operators
+    * sit AFTER the event-type filters, and the global watermark is their
+    * MIN — a quiet branch (no purchases arriving) pins the global
+    * watermark and defers orphan finalization indefinitely.  Production
+    * monitors should watermark BEFORE splitting, or ensure both branches
+    * see traffic (heartbeat events are the standard fix). */
+  def attributionStreamOuter(spark: SparkSession, dir: String,
+      schema: StructType, windowMs: Long,
+      watermark: String = "10 seconds"): DataFrame = {
+    val ev = spark.readStream.schema(schema).parquet(dir)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMs MILLISECOND"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"))
+  }
+
+  /** Streaming incremental-view maintenance: each micro-batch's delta
+    * rollup merges into a materialized additive rollup via
+    * [[graft.ops.LayoutOps.mergeRollups]] + atomic swap — the nightly
+    * 100 TB re-aggregation replaced by per-batch merges whose cost is the
+    * ROLLUP's cardinality.  Exactly the associativity invariant
+    * `ev_rollup_merge` oracle-checks, run continuously. */
+  def rollupSink(stream: DataFrame, keys: Seq[String], sumCols: Seq[String],
+      path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.functions.{col, count, lit, sum}
+        val delta = batch.groupBy(keys.map(col): _*)
+          .agg(sum(sumCols.head).as(sumCols.head),
+            sumCols.tail.map(c => sum(c).as(c)): _*)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(p))
+            graft.ops.LayoutOps.mergeRollups(spark.read.parquet(path), delta,
+              keys, sumCols)
+          else delta
+        val tmp = new org.apache.hadoop.fs.Path(path + "__swap")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(p, true)
+        fs.rename(tmp, p)
+        ()
+      }
+      .start()
+
   /** Streaming MERGE-INTO sink for a plain-parquet lake: each micro-batch
     * is key-deduplicated and upserted into the target table via
     * `foreachBatch` + [[graft.ops.LayoutOps.upsert]], landing with a
