@@ -311,4 +311,36 @@ object MlOps {
       (b, nn, pp, math.rint(pp.toDouble / nn.toDouble * 1e6) / 1e6, out(b))
     }.toDF("bucket", "n", "n_pos", "rate", "calibrated")
   }
+
+  /** Exact AUC (area under the ROC curve) of an integer score against a
+    * binary label, with standard average-rank tie handling — the
+    * threshold-free discrimination metric for any scorer in the pipeline
+    * (quality gates, dedup confirms, classifiers).
+    *
+    * Rank-based Mann-Whitney form, kept integer to the end:
+    * `AUC = (2·ΣR⁺ − P(P+1)) / (2·P·N)` where R⁺ are average ranks of
+    * positives ascending by score; a tie group's average rank doubles to
+    * the exact integer `minRank + maxRank`.  The heavy pass is one
+    * group-by-score aggregate; ranks come from the range-partitioned
+    * [[graft.core.Ranker]] cumsum over the SCORE GROUPS (distinct-score-
+    * bounded, not row-bounded) — no single-partition window, no doubles
+    * until the final division.  Returns one row
+    * (n_pos, n_neg, auc). */
+  def exactAuc(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val groups = df.select(score.cast("long").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy("s").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val ranked = graft.core.Ranker.withRank(groups, "__r", col("s"))
+    val (cum, _) = graft.core.Ranker.withCumsumLongAndTotal(
+      ranked, "__r", col("cnt"), "__cum")
+    cum
+      .select(col("cnt"), col("pos"),
+        // 2·avgRank over the group = minRank + maxRank (exact integer)
+        ((col("__cum") - col("cnt") + 1) + col("__cum")).as("r2"))
+      .agg(sum("pos").as("p"), sum(col("cnt") - col("pos")).as("n"),
+        sum(col("pos") * col("r2")).as("sr2"))
+      .select(col("p").as("n_pos"), col("n").as("n_neg"),
+        round((col("sr2") - col("p") * (col("p") + 1)).cast("double") /
+          (lit(2) * col("p") * col("n")).cast("double"), 6).as("auc"))
+  }
 }
