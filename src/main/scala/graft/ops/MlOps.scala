@@ -343,4 +343,27 @@ object MlOps {
         round((col("sr2") - col("p") * (col("p") + 1)).cast("double") /
           (lit(2) * col("p") * col("n")).cast("double"), 6).as("auc"))
   }
+
+  /** Exact precision/recall curve: one row per distinct score threshold
+    * (classify positive when `score ≥ s`), with TP/FP counts and 6-dp
+    * precision/recall — [[exactAuc]]'s companion when a THRESHOLD must
+    * actually be picked.  Same shape: a group-by-score aggregate, then a
+    * Ranker cumsum in DESCENDING score order (distinct-score-bounded), so
+    * the curve costs O(distinct scores) after one corpus pass. */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    val groups = df.select(score.cast("long").as("s"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy("s").agg(count(lit(1)).as("cnt"), sum("y").as("pos"))
+    val ranked = graft.core.Ranker.withRank(groups, "__r", col("s").desc)
+    val (cumPos, totPos) = graft.core.Ranker.withCumsumLongAndTotal(
+      ranked, "__r", col("pos"), "tp")
+    val (cum, _) = graft.core.Ranker.withCumsumLongAndTotal(
+      cumPos, "__r", col("cnt"), "__cumAll")
+    cum.select(col("s").as("threshold"), col("tp"),
+      (col("__cumAll") - col("tp")).as("fp"),
+      round(col("tp").cast("double") / col("__cumAll").cast("double"), 6)
+        .as("precision"),
+      round(col("tp").cast("double") / lit(totPos).cast("double"), 6)
+        .as("recall"))
+  }
 }

@@ -34,4 +34,18 @@ class R12aoSpec extends AnyFunSuite {
     assert(MlOps.exactAuc(const, col("s"), col("y"))
       .as[(Long, Long, Double)].head()._3 == 0.5)
   }
+
+  test("prCurve thresholds carry exact cumulative TP/FP from the top") {
+    // scores: 3→(T), 2→(T,F), 1→(F,F)
+    val df = Seq((3L, true), (2L, true), (2L, false), (1L, false),
+      (1L, false)).toDF("s", "y")
+    val rows = MlOps.prCurve(df, col("s"), col("y"))
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .sortBy(-_._1)
+    assert(rows.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((3L, 1L, 0L), (2L, 2L, 1L), (1L, 2L, 3L)))
+    assert(rows(0)._4 == 1.0 && rows(0)._5 == 0.5)       // p=1/1, r=1/2
+    assert(rows(1)._4 == 0.666667)                       // round(2/3, 6)
+    assert(rows(2)._5 == 1.0)                            // full recall
+  }
 }

@@ -59,7 +59,8 @@ object XPlanR12 {
       "ev_item_cooc", "ev_item_gini", "text_script_profile",
       "ev_xcorr", "text_keyness", "ml_reliability", "a1_dp_counts",
       "a1_expectations", "ev_ingest_lag", "graph_pagerank",
-      "ev_audience_overlap", "ev_benford", "o5_time_travel")
+      "ev_audience_overlap", "ev_benford", "o5_time_travel",
+      "s1_gen_source", "ml_auc")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>
