@@ -893,14 +893,8 @@ object TextOps {
   /** Token bigrams as (w1, w2) rows — empty for documents with < 2
     * tokens.  Pure narrow plan: `transform(sequence)` over the token
     * array, then one explode. */
-  private def bigrams(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1), i =>
-        struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
-  }
+  private def bigrams(text: Column): Column =
+    graft.functions.NgramStructs.ngramStructs(text, 2)
 
   /** Bigram language-model fluency score — the CCNet/KenLM pattern with a
     * corpus-estimable model: each document scored by the mean conditional
@@ -960,16 +954,8 @@ object TextOps {
           (lit(1e6) * col("n_bigrams").cast("double"))).as("mean_lp"))
   }
 
-  private def trigrams(text: Column): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2), i =>
-        struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2"),
-          element_at(toks, i + 2).as("w3"))))
-      .otherwise(array()
-        .cast("array<struct<w1:string,w2:string,w3:string>>"))
-  }
+  private def trigrams(text: Column): Column =
+    graft.functions.NgramStructs.ngramStructs(text, 3)
 
   /** Trigram Stupid-Backoff fluency score (Brants et al. 2007, "Large
     * Language Models in Machine Translation" §4) — the web-scale LM

@@ -91,6 +91,31 @@ object R12Props2 extends Properties("round12b") {
       census.getLong(1) == a.join(b, col("k") === col("k2")).count()
     }
 
+  property("NgramStructs == the composed tokens+transform form") =
+    Prop.forAll(Gen.choose(2, 3), Gen.listOfN(8,
+        Gen.oneOf("alpha", "beta", "Gamma", "", " ", "\t", "x,y",
+          "Ünïcode", "\n"))) { (n, parts) =>
+      val text = parts.mkString(" ")
+      val df = Seq(text).toDF("text")
+      val native = df.select(
+          explode(graft.functions.NgramStructs.ngramStructs(col("text"), n))
+            .as("g"))
+        .selectExpr((1 to n).map(i => s"g.w$i"): _*)
+        .collect().map(_.toSeq).toSeq
+      val toks = TextOps.tokens(col("text"))
+      val composed = df.select(
+          explode(when(size(toks) >= n,
+            transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+              struct((0 until n).map(k =>
+                element_at(toks, i + k).as(s"w${k + 1}")): _*)))
+            .otherwise(array().cast(
+              s"array<struct<${(1 to n).map(i => s"w$i:string").mkString(",")}>>")))
+            .as("g"))
+        .selectExpr((1 to n).map(i => s"g.w$i"): _*)
+        .collect().map(_.toSeq).toSeq
+      native == composed
+    }
+
   property("giniConcentration is in [0, 1) and 0 for uniform weights") =
     Prop.forAll(Gen.choose(2, 40), Gen.choose(1L, 50L)) { (n, w) =>
       val uni = (1 to n).map(i => (i, w)).toDF("k", "w")
