@@ -39,8 +39,8 @@ object R12wQueries {
     // (high coverage = heavily templated corpus)
     "text_ngram_coverage" -> ((s, dir) => {
       val g = Tables.docs(s, dir)
-        .select(explode(TextOps.wordShingles(
-          TextOps.tokens(col("text")), 3)).as("g"))
+        .select(explode(graft.functions.NgramStrings.ngramStrings(
+          col("text"), 3)).as("g"))
       val counts = g.groupBy("g").agg(count(lit(1)).as("cnt"))
       val tot = counts.agg(sum("cnt").as("total_grams"),
         count(lit(1)).as("distinct_grams"))

@@ -116,6 +116,21 @@ object R12Props2 extends Properties("round12b") {
       native == composed
     }
 
+  property("NgramStrings == the composed wordShingles form") =
+    Prop.forAll(Gen.choose(2, 4), Gen.listOfN(6,
+        Gen.oneOf("alpha", "beta", "Gamma", "", " ", "\t", "x,y",
+          "Ünïcode"))) { (n, parts) =>
+      val text = parts.mkString(" ")
+      val df = Seq(text).toDF("text")
+      val native = df.select(
+          graft.functions.NgramStrings.ngramStrings(col("text"), n))
+        .as[Seq[String]].head()
+      val composed = df.select(
+          TextOps.wordShingles(TextOps.tokens(col("text")), n))
+        .as[Seq[String]].head()
+      native == composed
+    }
+
   property("giniConcentration is in [0, 1) and 0 for uniform weights") =
     Prop.forAll(Gen.choose(2, 40), Gen.choose(1L, 50L)) { (n, w) =>
       val uni = (1 to n).map(i => (i, w)).toDF("k", "w")
