@@ -45,6 +45,8 @@ case class NgramStructs(text: Expression, n: Expression)
       StructField(s"w$i", StringType, nullable = false))),
     containsNull = false)
 
+  override def foldable: Boolean = children.forall(_.foldable)
+
   override protected def nullSafeEval(t: Any, nn: Any): Any =
     NgramStructs.compute(t.asInstanceOf[UTF8String], nn.asInstanceOf[Int])
 
@@ -168,6 +170,8 @@ case class NgramStrings(text: Expression, n: Expression)
 
   override def dataType: DataType = ArrayType(StringType,
     containsNull = false)
+
+  override def foldable: Boolean = children.forall(_.foldable)
 
   override protected def nullSafeEval(t: Any, nn: Any): Any =
     NgramStructs.shingleCompute(t.asInstanceOf[UTF8String],

@@ -34,6 +34,8 @@ case class ZOrder64(a: Expression, b: Expression, bits: Expression)
 
   override def dataType: DataType = LongType
 
+  override def foldable: Boolean = children.forall(_.foldable)
+
   override protected def nullSafeEval(av: Any, bv: Any, nb: Any): Any = {
     val x = av.asInstanceOf[Long]
     val y = bv.asInstanceOf[Long]

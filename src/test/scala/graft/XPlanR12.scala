@@ -60,7 +60,8 @@ object XPlanR12 {
       "ev_xcorr", "text_keyness", "ml_reliability", "a1_dp_counts",
       "a1_expectations", "ev_ingest_lag", "graph_pagerank",
       "ev_audience_overlap", "ev_benford", "o5_time_travel",
-      "s1_gen_source", "ml_auc", "ml_pr_curve", "s3_nested_roundtrip")
+      "s1_gen_source", "ml_auc", "ml_pr_curve", "s3_nested_roundtrip",
+      "ev_ewma")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>
