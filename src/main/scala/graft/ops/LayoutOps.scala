@@ -243,4 +243,40 @@ object LayoutOps {
     in.close()
     spark.read.parquet(dirs.toIndexedSeq: _*)
   }
+
+  private def manifestDirs(spark: SparkSession, path: String,
+      v: Int): Seq[String] = {
+    val in = fs(spark, path).open(manifestPath(path, v))
+    val dirs = new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSeq
+    in.close()
+    dirs
+  }
+
+  /** VACUUM: drop every version below `keepFrom` and delete the data
+    * directories no surviving manifest references — the storage-reclaim
+    * step that completes the commit/read/time-travel lifecycle.  Because
+    * append commits share files across versions, a directory is removed
+    * ONLY when no kept version lists it; kept snapshots read identically
+    * after the vacuum.  Returns the number of data directories deleted.
+    * (Run it when no reader can hold a dropped version open — the same
+    * retention contract as any table format's VACUUM.) */
+  def vacuum(spark: SparkSession, path: String, keepFrom: Int): Int = {
+    val latest = latestVersion(spark, path)
+    require(keepFrom >= 0 && keepFrom <= latest,
+      s"keepFrom must be in 0..$latest")
+    val f = fs(spark, path)
+    val keep = (keepFrom to latest)
+      .flatMap(v => manifestDirs(spark, path, v)).toSet
+    // versions below an earlier vacuum's cut are already gone — skip them
+    val present = (0 until keepFrom)
+      .filter(v => f.exists(manifestPath(path, v)))
+    val dropped = present
+      .flatMap(v => manifestDirs(spark, path, v)).toSet -- keep
+    dropped.foreach(d =>
+      f.delete(new org.apache.hadoop.fs.Path(d), true))
+    present.foreach(v => f.delete(manifestPath(path, v), false))
+    dropped.size
+  }
 }

@@ -32,6 +32,40 @@ class R12alSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("vacuum reclaims only unreferenced files; kept snapshots intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vac").toFile
+    val p = dir.getAbsolutePath + "/table"
+    try {
+      LayoutOps.commitAppend(Seq(1L, 2L).toDF("id"), p)      // v0
+      LayoutOps.commitOverwrite(Seq(9L).toDF("id"), p)       // v1 (fresh)
+      LayoutOps.commitAppend(Seq(10L).toDF("id"), p)         // v2 = v1+delta
+      // keep v1+: v0's files are referenced by NOTHING kept → reclaimed
+      val n = LayoutOps.vacuum(spark, p, keepFrom = 1)
+      assert(n == 1)                                          // files/v0 gone
+      assert(LayoutOps.readVersion(spark, p, 1)
+        .as[Long].collect().toSet == Set(9L))
+      assert(LayoutOps.readVersion(spark, p, 2)
+        .as[Long].collect().toSet == Set(9L, 10L))
+      // dropped version is no longer readable
+      intercept[Exception] { LayoutOps.readVersion(spark, p, 0).collect() }
+      // vacuum keeping everything deletes nothing
+      assert(LayoutOps.vacuum(spark, p, keepFrom = 1) == 0)
+    } finally rm(dir)
+  }
+
+  test("vacuum never reclaims files shared into kept versions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vac2").toFile
+    val p = dir.getAbsolutePath + "/table"
+    try {
+      LayoutOps.commitAppend(Seq(1L).toDF("id"), p)          // v0
+      LayoutOps.commitAppend(Seq(2L).toDF("id"), p)          // v1 carries v0
+      val n = LayoutOps.vacuum(spark, p, keepFrom = 1)
+      assert(n == 0)  // v0's files live on inside v1's manifest
+      assert(LayoutOps.readVersion(spark, p, 1)
+        .as[Long].collect().toSet == Set(1L, 2L))
+    } finally rm(dir)
+  }
+
   test("append commit writes only the delta's files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ttd").toFile
     val p = dir.getAbsolutePath + "/table"
