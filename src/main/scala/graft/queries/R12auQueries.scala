@@ -19,10 +19,14 @@ object R12auQueries {
     "ev_entropy_rate" -> ((s, dir) => {
       val m = EventOps.transitionMatrix(Tables.events(s, dir),
         col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      val tot = m.agg(sum("n").as("total"))
+        .persist()
+      graft.core.CacheScope.register(m)
       // term per (s, t): floor( (n_st/n_s)·ln(n_s/n_st) · w_s · 1e9 )
       // with w_s = n_s/N — all ratios from exact integers, fixed order
       val perFrom = m.groupBy("from_type").agg(sum("n").as("ns"))
+      // the grand total derives from the TYPES-bounded per-from table —
+      // no second pass over the corpus-sized transition build
+      val tot = perFrom.agg(sum("ns").as("total"))
       m.select(col("from_type"), col("to_type"), col("n"))
         .join(broadcast(perFrom), "from_type")
         .crossJoin(broadcast(tot))
