@@ -16,9 +16,9 @@ object XSlowTail {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = "/root/testdata/sf0.1"
-    val names = Seq("text_sbo_lm", "sim_knn_join_persisted", "text_pmi_top",
-      "dd_incremental_winnow", "text_bigram_lm", "dd_spans",
-      "dd_incremental_embed", "dd_fuzzy_keep")
+    val names = Seq("graph_pagerank", "dd_spans", "dd_funnel_report",
+      "dd_substr_pairs", "tpch_bucketed_join", "dd_incremental_winnow",
+      "ml_nb_confusion", "b2_buffer_shuffle")
     println("SLOWTAIL | query | min s | max s | rows |")
     println("SLOWTAIL |---|---|---|---|")
     names.foreach { name =>
