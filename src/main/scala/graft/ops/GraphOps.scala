@@ -28,9 +28,37 @@ object GraphOps {
     * from the edge list); dangling mass is impossible for the same
     * reason. */
   def pageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
-      scale: Long = 1000000000000L): DataFrame = {
+      scale: Long = 1000000000000L,
+      maxDriverEdges: Long = 3000000L): DataFrame = {
     require(iters > 0, "iters must be positive")
-    val e = edges.select(src.as("src"), dst.as("dst"))
+    val spark = edges.sparkSession
+    val e = graft.core.CacheScope.persist(
+      edges.select(src.cast("long").as("src"), dst.cast("long").as("dst")),
+      eager = true)
+    val nEdges = e.count()
+    if (nEdges <= maxDriverEdges) {
+      // catalog-sized graphs (the common case for item/co-click analytics)
+      // run the identical integer recurrence on the driver: ten tiny
+      // Spark jobs become one collect — the same dual-plan gate
+      // discipline as DedupOps' cluster machinery, and the spec asserts
+      // path agreement (integer math ⇒ bit-equal)
+      val raw = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val both = raw ++ raw.map(p => (p._2, p._1))
+      val deg = both.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+      val items = deg.keys.toArray.sorted
+      val init = scale / items.length
+      var ranks = items.map(_ -> init).toMap
+      val inEdges = both.groupBy(_._2)
+      (1 to iters).foreach { _ =>
+        ranks = items.map { v =>
+          val s = inEdges.getOrElse(v, Array.empty[(Long, Long)])
+            .foldLeft(0L) { case (acc, (u, _)) => acc + ranks(u) / deg(u) }
+          v -> (15L * init + 85L * s) / 100L
+        }.toMap
+      }
+      import spark.implicits._
+      return items.map(v => (v, ranks(v))).toSeq.toDF("item", "r")
+    }
     val both = e.unionByName(
       e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = both.groupBy("src").agg(count(lit(1)).as("deg"))
