@@ -520,8 +520,12 @@ object EventOps {
     * broadcast-sized per-group min-hour join. */
   def trendSlope(events: DataFrame, typ: Column, ts: Column): DataFrame = {
     val hr = floor(unix_micros(ts) / lit(3600000000L)).cast("long")
-    val hourly = events.select(typ.as("event_type"), hr.as("hr"))
-      .groupBy("event_type", "hr").agg(count(lit(1)).as("y"))
+    // persisted: both the min-hour probe and the re-based sums derive
+    // from the hourly table — one corpus pass, not two
+    val hourly = graft.core.CacheScope.persist(
+      events.select(typ.as("event_type"), hr.as("hr"))
+        .groupBy("event_type", "hr").agg(count(lit(1)).as("y")),
+      eager = true)
     val mins = hourly.groupBy("event_type").agg(min("hr").as("mn"))
     val sums = hourly.join(broadcast(mins), "event_type")
       .withColumn("x", col("hr") - col("mn"))

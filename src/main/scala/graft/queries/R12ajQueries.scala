@@ -14,7 +14,9 @@ object R12ajQueries {
     // pairs), 10 integer supersteps — which catalog items sit at the
     // center of cross-engagement.
     "graph_pagerank" -> ((s, dir) => {
-      val item = get_json_object(col("props"), "$.k").cast("int")
+      val item =
+        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
+          .cast("int")
       val ui = Tables.events(s, dir)
         .select(col("user_id").as("u"), item.as("item"))
         .where(col("item").isNotNull).distinct()

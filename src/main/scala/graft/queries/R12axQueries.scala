@@ -13,11 +13,14 @@ object R12axQueries {
     // Which catalog items are growing?  The OLS hourly-trend card keyed
     // by the JSON item id — catalog-bounded output, exact integer sums,
     // one double division per item.
+    // item extraction via anchored regex, not a full JSON parse: the
+    // props column is a fixed machine format and get_json_object's
+    // per-row Jackson parse measured ~20x slower at the 10x scale
     "ev_item_trend" -> ((s, dir) =>
       EventOps.trendSlope(
         Tables.events(s, dir)
-          .select(get_json_object(col("props"), "$.k").cast("int")
-            .as("item"), col("ts"))
+          .select(nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1),
+            lit("")).cast("int").as("item"), col("ts"))
           .where(col("item").isNotNull),
         col("item"), col("ts"))
         .withColumnRenamed("event_type", "item"))

@@ -62,7 +62,7 @@ object XPlanR12 {
       "ev_audience_overlap", "ev_benford", "o5_time_travel",
       "s1_gen_source", "ml_auc", "ml_pr_curve", "s3_nested_roundtrip",
       "ev_ewma", "ev_cuped", "ml_markov_backtest", "ev_entropy_rate",
-      "dd_cluster_purity")
+      "dd_cluster_purity", "ev_item_trend")
     println("PLAN | query | exchanges | broadcasts | windows | 1-part windows |")
     println("PLAN |---|---|---|---|---|")
     names.foreach { name =>

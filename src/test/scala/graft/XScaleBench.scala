@@ -223,7 +223,7 @@ object XScaleBench {
       "ev_audience_overlap", "ev_benford", "o5_time_travel",
       "s1_gen_source", "ml_auc", "ml_pr_curve", "s3_nested_roundtrip",
       "ev_ewma", "ev_cuped", "ml_markov_backtest", "ev_entropy_rate",
-      "dd_cluster_purity",
+      "dd_cluster_purity", "ev_item_trend",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
