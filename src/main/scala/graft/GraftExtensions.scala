@@ -29,8 +29,11 @@ import graft.functions.{DotProduct, Norm2, SparseToDense, ZOrder64}
   *    clustered layouts
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    // whole-operator plan nodes (logical node + physical strategy)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftExtensions {

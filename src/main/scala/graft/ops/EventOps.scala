@@ -59,6 +59,35 @@ object EventOps {
         col("matched_id"), col("matched_value"))
   }
 
+  /** The same as-of join as the NATIVE whole-operator plan node
+    * ([[graft.plans.AsOfJoin]]): one co-partitioned shuffle + sort per
+    * side, then a streaming two-pointer merge with O(1) state per
+    * partition — no union row-widening, no window buffer.  Output and
+    * tie-breaks are identical to [[asofJoin]] (same oracle).
+    *
+    * The planner strategy is appended to `spark.experimental
+    * .extraStrategies` idempotently so the operator works on sessions
+    * built without `spark.sql.extensions=graft.GraftExtensions`. */
+  def asofJoinNative(left: DataFrame, leftId: Column, leftKey: Column,
+      leftTs: Column, right: DataFrame, rightId: Column, rightKey: Column,
+      rightTs: Column, rightVal: Column): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val l = left.select(leftKey.cast("long").as("k"),
+      unix_micros(leftTs).as("ts"), leftId.cast("long").as("left_id"))
+    val r = right.select(rightKey.cast("long").as("k"),
+      unix_micros(rightTs).as("ts"), rightId.cast("long").as("r_id"),
+      rightVal.cast("double").as("r_val"))
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+        graft.plans.AsOfJoin(l.queryExecution.analyzed,
+          r.queryExecution.analyzed))
+      .select(col("left_id"), col("k"),
+        timestamp_micros(col("ts")).as("ts"),
+        col("matched_id"), col("matched_value"))
+  }
+
   /** Ordered funnel attribution: each key's events are time-ordered and
     * folded through the stage automaton — stage s advances to s+1 exactly
     * when the next event's type equals `steps(s)`.  Returns one row per

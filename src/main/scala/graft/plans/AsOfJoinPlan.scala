@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession, Strategy}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  AttributeReference, GenericInternalRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Whole-operator custom plan node: the backward as-of join as a first-
+  * class Catalyst operator — `LogicalPlan` + `SparkStrategy` + physical
+  * `BinaryExecNode` — instead of the union + keyed-window composition in
+  * [[graft.ops.EventOps.asofJoin]].
+  *
+  * The physical operator declares `requiredChildDistribution` (both sides
+  * clustered on the key) and `requiredChildOrdering` ((key, ts, id)
+  * ascending), so EnsureRequirements plans ONE co-partitioned shuffle +
+  * sort per side, and the join itself is a streaming two-pointer merge:
+  * per partition, O(|L| + |R|) with O(1) state — no window buffer, no
+  * union row-widening, no per-row range probe.  This is the plan shape a
+  * dedicated engine (kdb, QuestDB, DuckDB ASOF) uses, expressed as a
+  * Spark operator so Catalyst still handles distribution, AQE, and
+  * column pruning around it.
+  *
+  * Child contracts (the DSL wrapper in [[graft.ops.EventOps]] arranges
+  * these projections): left = (k long, ts long, left_id long);
+  * right = (k long, ts long, r_id long, r_val double).  Match: the right
+  * row with the greatest (ts, r_id) such that `r.ts <= l.ts` under the
+  * same key — ties at the left instant are eligible, equal right
+  * timestamps resolve to the greatest id, exactly the composed
+  * operator's documented tie-break.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+    output: Seq[Attribute] = AsOfJoin.defaultOutput())
+  extends org.apache.spark.sql.catalyst.plans.logical.BinaryNode {
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+      newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoin {
+  def defaultOutput(): Seq[Attribute] = Seq(
+    AttributeReference("left_id", LongType, nullable = true)(),
+    AttributeReference("k", LongType, nullable = true)(),
+    AttributeReference("ts", LongType, nullable = true)(),
+    AttributeReference("matched_id", LongType, nullable = true)(),
+    AttributeReference("matched_value", DoubleType, nullable = true)())
+}
+
+/** Plans [[AsOfJoin]] as [[AsOfJoinExec]].  Registered through
+  * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or
+  * appended to `spark.experimental.extraStrategies` by the DSL wrapper. */
+object AsOfJoinStrategy extends Strategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, out) => AsOfJoinExec(out, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(Seq(left.output.head)),
+    ClusteredDistribution(Seq(right.output.head)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    left.output.take(3).map(SortOrder(_, Ascending)),
+    right.output.take(3).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // the merge emits left rows in their incoming order, so the left sort
+  // survives the operator
+  override def outputOrdering: Seq[SortOrder] =
+    output.take(3).map(SortOrder(_, Ascending))
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+      newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val types = output.map(_.dataType).toArray
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val proj = UnsafeProjection.create(types)
+      val out = new GenericInternalRow(5)
+      new Iterator[InternalRow] {
+        // lookahead right row not yet consumed (rows from execute() are
+        // reused buffers — only primitive fields are retained, never rows)
+        private var rRow: InternalRow = _
+        // current as-of candidate: the latest right (ts, id) seen for candK
+        private var candK = 0L
+        private var candHas = false
+        private var candId = 0L
+        private var candVal = 0.0
+        private var candValNull = false
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          val k = l.getLong(0)
+          val ts = l.getLong(1)
+          val lid = l.getLong(2)
+          var done = false
+          while (!done) {
+            if (rRow == null) {
+              if (rIt.hasNext) rRow = rIt.next() else done = true
+            }
+            if (!done) {
+              val rk = rRow.getLong(0)
+              val rts = rRow.getLong(1)
+              if (rk < k) rRow = null // behind the left cursor: discard
+              else if (rk == k && rts <= ts) {
+                candK = k
+                candHas = true
+                candId = rRow.getLong(2)
+                candValNull = rRow.isNullAt(3)
+                candVal = if (candValNull) 0.0 else rRow.getDouble(3)
+                rRow = null
+              } else done = true // ahead of the left cursor: keep for later
+            }
+          }
+          out.setLong(0, lid)
+          out.setLong(1, k)
+          out.setLong(2, ts)
+          if (candHas && candK == k) {
+            out.setLong(3, candId)
+            if (candValNull) out.setNullAt(4) else out.setDouble(4, candVal)
+          } else { out.setNullAt(3); out.setNullAt(4) }
+          proj(out)
+        }
+      }
+    }
+  }
+}
