@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, SparkSession, Strategy}
+import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   AttributeReference, GenericInternalRow, SortOrder, UnsafeProjection}
@@ -37,6 +37,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     output: Seq[Attribute] = AsOfJoin.defaultOutput())
   extends org.apache.spark.sql.catalyst.plans.logical.BinaryNode {
+  // the output attributes are PRODUCED here, not projected from children —
+  // without this the analyzer reads them as missing references
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  // the merge consumes EVERY child column (the wrapper already projects
+  // the children to the minimal (k, ts, id[, val]) shape); without this
+  // ColumnPruning sees no referenced child attributes and empties both
+  // sides
+  override def references: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(
+      left.output ++ right.output)
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
       newRight: LogicalPlan): AsOfJoin =
     copy(left = newLeft, right = newRight)
@@ -54,7 +65,7 @@ object AsOfJoin {
 /** Plans [[AsOfJoin]] as [[AsOfJoinExec]].  Registered through
   * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or
   * appended to `spark.experimental.extraStrategies` by the DSL wrapper. */
-object AsOfJoinStrategy extends Strategy {
+object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoin(l, r, out) => AsOfJoinExec(out, planLater(l), planLater(r)) :: Nil
     case _ => Nil

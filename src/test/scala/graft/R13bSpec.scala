@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.EventOps
+
+/** The native as-of join plan node vs the composed union+window form:
+  * equal output on real data, the documented tie-breaks on a planted
+  * fixture, and proof the custom exec actually planned (not a fallback). */
+class R13bSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(us: Long): java.sql.Timestamp = new java.sql.Timestamp(us)
+
+  test("asofJoinNative plans AsOfJoinExec and equals the composed asofJoin " +
+      "on the sf0.001 events table") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val e = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    def run(f: => org.apache.spark.sql.DataFrame) =
+      f.orderBy("left_id").collect().map(_.toSeq).toSeq
+    val native = EventOps.asofJoinNative(
+      e.where(col("event_type") === "click"), col("event_id"),
+      col("user_id"), col("ts"),
+      e.where(col("event_type") === "purchase"), col("event_id"),
+      col("user_id"), col("ts"), col("value"))
+    // physical nodeName strips the Exec suffix ("SortMergeJoin" style)
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "the planner strategy must plan the custom exec")
+    val composed = EventOps.asofJoin(
+      e.where(col("event_type") === "click"), col("event_id"),
+      col("user_id"), col("ts"),
+      e.where(col("event_type") === "purchase"), col("event_id"),
+      col("user_id"), col("ts"), col("value"))
+    assert(run(native) == run(composed))
+  }
+
+  test("asofJoinNative tie-breaks: at-instant right row eligible, greatest " +
+      "id wins on equal ts, null when nothing precedes") {
+    val left = Seq((100L, 1L, ts(5000)), (101L, 1L, ts(999)),
+        (102L, 2L, ts(5000)), (103L, 3L, ts(5000)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+        (10L, 1L, ts(5000), 1.0),  // AT the left instant — eligible
+        (11L, 1L, ts(5000), 2.0),  // equal ts: greatest id wins
+        (12L, 1L, ts(1000), 3.0),  // after left 101's ts=999 — ineligible
+        (13L, 2L, ts(4000), 4.0))  // user 3 has no right rows at all
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = EventOps.asofJoinNative(left, col("event_id"), col("user_id"),
+        col("ts"), right, col("event_id"), col("user_id"), col("ts"),
+        col("value"))
+      .select("left_id", "matched_id", "matched_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(out(100L) == (Some(11L), Some(2.0)))
+    assert(out(101L) == (None, None))
+    assert(out(102L) == (Some(13L), Some(4.0)))
+    assert(out(103L) == (None, None))
+  }
+}
