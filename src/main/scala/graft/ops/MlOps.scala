@@ -366,4 +366,49 @@ object MlOps {
       round(col("tp").cast("double") / lit(totPos).cast("double"), 6)
         .as("recall"))
   }
+
+  /** General-d ridge regression by normal equations: ONE distributed pass
+    * collects the (d+1)×(d+1) Gram sufficient statistics (intercept
+    * column included) and XᵀY as exact long sums over integerized
+    * features, then the driver solves the tiny (XᵀX + λI)θ = XᵀY system
+    * by Gaussian elimination with partial pivoting — corpus-sized work is
+    * one combinable aggregate; the solve is O(d³) on d tens, not rows.
+    * λ is applied to the feature diagonal only (the intercept is not
+    * shrunk).  Features/target must already be integer-scaled columns
+    * (cents/milli) so the sums are exact and the fit is deterministic
+    * under any partitioning.  Returns (feature index, coefficient) with
+    * index 0 = intercept. */
+  def ridgeNormal(df: DataFrame, xs: Seq[Column], y: Column,
+      lambda: Double): Seq[(Int, Double)] = {
+    val d = xs.size + 1
+    val cols = lit(1L) +: xs.map(_.cast("long"))
+    val sums = (for { i <- 0 until d; j <- i until d }
+      yield sum(cols(i) * cols(j)).as(s"g_${i}_$j")) ++
+      (0 until d).map(i => sum(cols(i) * y.cast("long")).as(s"b_$i"))
+    val row = df.agg(sums.head, sums.tail: _*).head()
+    val a = Array.ofDim[Double](d, d + 1)
+    var idx = 0
+    for { i <- 0 until d; j <- i until d } {
+      a(i)(j) = row.getLong(idx).toDouble
+      a(j)(i) = a(i)(j)
+      idx += 1
+    }
+    for (i <- 0 until d) a(i)(d) = row.getLong(idx + i).toDouble
+    for (i <- 1 until d) a(i)(i) += lambda
+    for (p <- 0 until d) { // elimination with partial pivoting
+      val best = (p until d).maxBy(r => math.abs(a(r)(p)))
+      val t = a(p); a(p) = a(best); a(best) = t
+      for (r <- p + 1 until d) {
+        val f = a(r)(p) / a(p)(p)
+        for (c <- p to d) a(r)(c) -= f * a(p)(c)
+      }
+    }
+    val theta = Array.ofDim[Double](d)
+    for (p <- d - 1 to 0 by -1) {
+      var s = a(p)(d)
+      for (c <- p + 1 until d) s -= a(p)(c) * theta(c)
+      theta(p) = s / a(p)(p)
+    }
+    theta.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+  }
 }
