@@ -31,8 +31,10 @@ import graft.functions.{DotProduct, Norm2, SparseToDense, ZOrder64}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
-    // whole-operator plan nodes (logical node + physical strategy)
+    // whole-operator plan nodes (logical node + physical strategy) and
+    // the pushdown rule Catalyst can't derive for a black-box node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.AsOfJoinKeyFilterPushdown)
   }
 }
 

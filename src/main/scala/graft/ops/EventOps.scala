@@ -75,6 +75,11 @@ object EventOps {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.AsOfJoinKeyFilterPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.AsOfJoinKeyFilterPushdown
     val l = left.select(leftKey.cast("long").as("k"),
       unix_micros(leftTs).as("ts"), leftId.cast("long").as("left_id"))
     val r = right.select(rightKey.cast("long").as("k"),

@@ -62,6 +62,35 @@ object AsOfJoin {
     AttributeReference("matched_value", DoubleType, nullable = true)())
 }
 
+/** Optimizer rule: a Filter above [[AsOfJoin]] whose condition references
+  * ONLY the key output column pushes to BOTH children (the key passes
+  * through the join unchanged, and every match shares the left row's key,
+  * so filtering the right side by the same predicate drops only rows that
+  * could never match).  This is the pushdown Catalyst cannot derive for a
+  * black-box node — after it fires, the ordinary rules carry the
+  * predicate all the way into the parquet scan.
+  * Registered via `injectOptimizerRule` / `experimental.extraOptimizations`. */
+object AsOfJoinKeyFilterPushdown
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Expression => CExpr}
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, j: AsOfJoin)
+        if cond.references.subsetOf(
+          org.apache.spark.sql.catalyst.expressions.AttributeSet(
+            Seq(j.output(1)))) &&
+          cond.deterministic =>
+      val kOut = j.output(1)
+      def remap(target: CExpr): CExpr = cond.transform {
+        case a: AttributeReference if a.exprId == kOut.exprId => target
+      }
+      val newLeft = Filter(remap(j.left.output.head), j.left)
+      val newRight = Filter(remap(j.right.output.head), j.right)
+      j.copy(left = newLeft, right = newRight)
+  }
+}
+
 /** Plans [[AsOfJoin]] as [[AsOfJoinExec]].  Registered through
   * `SparkSessionExtensions.injectPlannerStrategy` (GraftExtensions) or
   * appended to `spark.experimental.extraStrategies` by the DSL wrapper. */

@@ -40,6 +40,34 @@ class R13bSpec extends AnyFunSuite {
     assert(run(native) == run(composed))
   }
 
+  test("AsOfJoinKeyFilterPushdown pushes a key predicate into BOTH " +
+      "children and preserves results") {
+    val left = Seq((1L, 10L, ts(100)), (2L, 20L, ts(100)), (3L, 15L, ts(100)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, 10L, ts(50), 1.5), (8L, 20L, ts(60), 2.5),
+        (9L, 15L, ts(70), 3.5))
+      .toDF("event_id", "user_id", "ts", "value")
+    def joined() = EventOps.asofJoinNative(left, col("event_id"),
+      col("user_id"), col("ts"), right, col("event_id"), col("user_id"),
+      col("ts"), col("value"))
+    val filtered = joined().where(col("k") > 12)
+    // the rule fires: no Filter remains ABOVE the AsOfJoin node, and both
+    // children carry the pushed predicate
+    val opt = filtered.queryExecution.optimizedPlan
+    val asOfNodes = opt.collect { case j: graft.plans.AsOfJoin => j }
+    assert(asOfNodes.nonEmpty, "optimized plan keeps the AsOfJoin node")
+    assert(opt.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.child.isInstanceOf[graft.plans.AsOfJoin] => f
+    }.isEmpty, "the key filter must not remain above the join")
+    assert(asOfNodes.head.left.toString.contains("> 12") &&
+      asOfNodes.head.right.toString.contains("> 12"),
+      "both children must carry the pushed predicate")
+    val got = filtered.select("left_id", "matched_id", "matched_value")
+      .as[(Long, Option[Long], Option[Double])].collect().toSet
+    assert(got == Set((2L, Some(8L), Some(2.5)), (3L, Some(9L), Some(3.5))))
+  }
+
   test("asofJoinNative tie-breaks: at-instant right row eligible, greatest " +
       "id wins on equal ts, null when nothing precedes") {
     val left = Seq((100L, 1L, ts(5000)), (101L, 1L, ts(999)),
