@@ -111,4 +111,36 @@ object GraphOps {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 9)
           .as("clustering"))
   }
+
+  /** k-hop reachability census: for every vertex, the size of its ≤1, ≤2,
+    * …, ≤`hops` hop neighborhood (self excluded) over the undirected edge
+    * list — the audience-expansion / influence-radius card.
+    *
+    * Each hop is one join + distinct on (seed, v) pairs — the standard
+    * BFS-by-joins frontier expansion, hash-partitioned by vertex.  The
+    * materialized reach set is O(Σ |N_k(v)|), which is fine for
+    * catalog-sized graphs (items, segments); for social-scale graphs swap
+    * the exact distinct for HLL sketches per seed — same plan shape,
+    * bounded state (documented, not built: the catalogs here are small).
+    */
+  def kHopReach(edges: DataFrame, src: Column, dst: Column,
+      hops: Int): DataFrame = {
+    val e = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val dir = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+    var reach = dir.select(col("a").as("seed"), col("b").as("v")).distinct()
+    val counts = (1 to hops).map { k =>
+      if (k > 1) {
+        reach = reach.unionAll(
+            reach.join(dir, col("v") === col("a"))
+              .select(col("seed"), col("b").as("v")))
+          .where(col("v") =!= col("seed")).distinct()
+      }
+      reach.groupBy("seed").agg(count(lit(1)).as(s"n$k"))
+    }
+    counts.reduce { (l, r) =>
+      l.join(r, "seed")
+    }.orderBy("seed")
+  }
 }

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.GraphOps
+
+/** Round-13d queries: k-hop reachability census and the unpivot/melt
+  * reshape surface. */
+object R13dQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Audience-expansion radius: per item, the ≤1/≤2/≤3-hop neighborhood
+    // sizes on the co-engaged item graph — BFS-by-joins, one join +
+    // distinct per hop
+    "graph_reach" -> ((s, dir) => {
+      val item =
+        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
+          .cast("int")
+      val ui = Tables.events(s, dir)
+        .select(col("user_id").as("u"), item.as("item"))
+        .where(col("item").isNotNull).distinct()
+      val b = ui.select(col("u"), col("item").as("item_b"))
+      val pairs = ui.join(b, ui("u") === b("u") && col("item") < col("item_b"))
+        .select(col("item").as("src"), col("item_b").as("dst")).distinct()
+      GraphOps.kHopReach(pairs, col("src"), col("dst"), hops = 3)
+    }),
+
+    // Wide→long reshape: the per-language documents census melted into
+    // (lang, metric, value) rows with Spark's native unpivot
+    "a1_unpivot" -> ((s, dir) => {
+      val census = Tables.docs(s, dir).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      census.unpivot(Array(col("lang")),
+        Array(col("n_docs").cast("long"), col("chars").cast("long")),
+        "metric", "value")
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "graph_reach" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |    json_extract_string(props, '$.k')::INT AS item
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |p AS (SELECT DISTINCT a.item AS a, b.item AS b
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item),
+        |dir AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |r1 AS (SELECT DISTINCT a AS seed, b AS v FROM dir),
+        |r2 AS (SELECT DISTINCT seed, v FROM (
+        |    SELECT seed, v FROM r1
+        |    UNION SELECT r1.seed, d.b AS v FROM r1 JOIN dir d ON r1.v = d.a)
+        |  WHERE v <> seed),
+        |r3 AS (SELECT DISTINCT seed, v FROM (
+        |    SELECT seed, v FROM r2
+        |    UNION SELECT r2.seed, d.b AS v FROM r2 JOIN dir d ON r2.v = d.a)
+        |  WHERE v <> seed)
+        |SELECT c1.seed::BIGINT AS seed, c1.n1, c2.n2, c3.n3
+        |FROM (SELECT seed, count(*)::BIGINT AS n1 FROM r1 GROUP BY 1) c1
+        |JOIN (SELECT seed, count(*)::BIGINT AS n2 FROM r2 GROUP BY 1) c2 USING (seed)
+        |JOIN (SELECT seed, count(*)::BIGINT AS n3 FROM r3 GROUP BY 1) c3 USING (seed)
+        |ORDER BY seed""".stripMargin,
+
+    "a1_unpivot" ->
+      """WITH census AS (
+        |  SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS chars
+        |  FROM documents GROUP BY 1)
+        |SELECT lang, 'n_docs' AS metric, n_docs AS value FROM census
+        |UNION ALL
+        |SELECT lang, 'chars' AS metric, chars AS value FROM census""".stripMargin
+  )
+}

@@ -28,6 +28,18 @@ class R13cSpec extends AnyFunSuite {
     assert(out._1 == 0L && out._2 == 4L && out._3 == 0.0)
   }
 
+  test("kHopReach on a path graph: neighborhood sizes grow by one hop") {
+    // path 1-2-3-4
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = GraphOps.kHopReach(e, col("src"), col("dst"), hops = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) == ((1L, 2L, 3L)))
+    assert(out(2L) == ((2L, 3L, 3L)))
+    assert(out(3L) == ((2L, 3L, 3L)))
+    assert(out(4L) == ((1L, 2L, 3L)))
+  }
+
   test("ridgeNormal recovers exact planted coefficients at lambda 0") {
     // y = 3 + 2*x1 - x2 exactly, over a deterministic integer grid
     val rows = for { x1 <- 0L to 20L; x2 <- 0L to 10L }
