@@ -119,6 +119,38 @@ object EventOps {
             .otherwise(acc)).as("stage"))
   }
 
+  /** Windowed funnel attribution: like [[funnelStages]], but each stage
+    * after the first must occur within `windowMs` of the PREVIOUS stage's
+    * event (the "converted within an hour of the view" product-analytics
+    * form).  The fold state is (stage, last-stage timestamp) carried as a
+    * struct through the same per-key `aggregate` — still one hash
+    * shuffle, no window function, no driver loop.  Tie order (ts, id) is
+    * deterministic, and the timestamps fold as exact integer micros. */
+  def funnelStagesWindowed(events: DataFrame, key: Column, ts: Column,
+      id: Column, typ: Column, steps: Seq[String],
+      windowMs: Long): DataFrame = {
+    val stepArr = array(steps.map(lit): _*)
+    val wUs = windowMs * 1000L
+    events
+      .select(key.as("k"), struct(unix_micros(ts).as("us"), id.as("id"),
+        typ.as("typ")).as("e"))
+      .groupBy("k")
+      .agg(sort_array(collect_list(col("e"))).as("seq"))
+      .select(col("k").as("user_id"),
+        aggregate(col("seq"),
+          struct(lit(0).as("stage"), lit(0L).as("us")),
+          (acc, e) => {
+            val stage = acc.getField("stage")
+            val advances = stage < steps.size &&
+              e.getField("typ") === element_at(stepArr, stage + 1) &&
+              (stage === 0 ||
+                e.getField("us") - acc.getField("us") <= wUs)
+            when(advances,
+              struct((stage + 1).as("stage"),
+                e.getField("us").as("us"))).otherwise(acc)
+          }).getField("stage").as("stage"))
+  }
+
   /** Bounded-window range join: all ordered pairs (a, b) under the same
     * key with `0 <= tsB − tsA <= windowMs` and (optionally) distinct
     * event types for the two sides.  Output: a_id, b_id, key, gap_ms.

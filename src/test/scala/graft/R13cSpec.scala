@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ops.{GraphOps, MlOps}
+import graft.ops.{EventOps, GraphOps, MlOps}
 
 /** Planted fixtures for the round-13c ops: triangle census and
   * normal-equation ridge regression. */
@@ -38,6 +38,34 @@ class R13cSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 3L, 3L)))
     assert(out(3L) == ((2L, 3L, 3L)))
     assert(out(4L) == ((1L, 2L, 3L)))
+  }
+
+  test("funnelStagesWindowed: stages advance only within the time budget") {
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    val events = Seq(
+      // user 1 converts fully: each stage 1 s after the previous
+      (1L, t(0L), 1L, "signup"), (1L, t(1000000L), 2L, "view"),
+      (1L, t(2000000L), 3L, "purchase"),
+      // user 2: view arrives 2 h after signup — stuck at stage 1 even
+      // though the UNwindowed funnel would reach 3
+      (2L, t(0L), 4L, "signup"), (2L, t(7200L * 1000000L), 5L, "view"),
+      (2L, t(7201L * 1000000L), 6L, "purchase"),
+      // user 3: the window resets per stage — view at 50 min (ok),
+      // purchase at 50 min after the view (ok) = full conversion even
+      // though purchase is 100 min after signup
+      (3L, t(0L), 7L, "signup"), (3L, t(3000L * 1000000L), 8L, "view"),
+      (3L, t(6000L * 1000000L), 9L, "purchase")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val win = EventOps.funnelStagesWindowed(events, col("user_id"),
+        col("ts"), col("event_id"), col("event_type"),
+        Seq("signup", "view", "purchase"), windowMs = 3600000L)
+      .as[(Long, Int)].collect().toMap
+    assert(win == Map(1L -> 3, 2L -> 1, 3L -> 3))
+    val plain = EventOps.funnelStages(events, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"),
+        Seq("signup", "view", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(plain(2L) == 3, "the unwindowed funnel does reach stage 3")
   }
 
   test("ridgeNormal recovers exact planted coefficients at lambda 0") {
