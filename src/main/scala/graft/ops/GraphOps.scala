@@ -94,8 +94,12 @@ object GraphOps {
     * catalog-sized graphs here don't need it.  Everything is integer
     * until the one final double division. */
   def triangleCensus(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val e = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
-      .where(col("a") < col("b")).distinct()
+    // the ordered edge list feeds FOUR consumers (three join legs + the
+    // degree table) — persist it once instead of recomputing its lineage
+    // per branch (registered with CacheScope; the caller releases)
+    val e = graft.core.CacheScope.persist(
+      edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+        .where(col("a") < col("b")).distinct(), eager = true)
     val tri = e
       .join(e.select(col("a").as("b2"), col("b").as("c")),
         col("b") === col("b2"))
@@ -127,15 +131,22 @@ object GraphOps {
       hops: Int): DataFrame = {
     val e = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    val dir = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
-    var reach = dir.select(col("a").as("seed"), col("b").as("v")).distinct()
+    // the directed edge list is probed once per hop, and each hop's reach
+    // set feeds both its census and the next expansion — persist both so
+    // hop k doesn't replay hops 1..k-1 (CacheScope-tracked)
+    val dir = graft.core.CacheScope.persist(
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      eager = true)
+    var reach = graft.core.CacheScope.persist(
+      dir.select(col("a").as("seed"), col("b").as("v")).distinct(),
+      eager = true)
     val counts = (1 to hops).map { k =>
       if (k > 1) {
-        reach = reach.unionAll(
-            reach.join(dir, col("v") === col("a"))
-              .select(col("seed"), col("b").as("v")))
-          .where(col("v") =!= col("seed")).distinct()
+        reach = graft.core.CacheScope.persist(
+          reach.unionAll(
+              reach.join(dir, col("v") === col("a"))
+                .select(col("seed"), col("b").as("v")))
+            .where(col("v") =!= col("seed")).distinct(), eager = true)
       }
       reach.groupBy("seed").agg(count(lit(1)).as(s"n$k"))
     }
