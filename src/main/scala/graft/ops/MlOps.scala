@@ -367,6 +367,43 @@ object MlOps {
         .as("recall"))
   }
 
+  /** Distributed full-batch gradient-descent logistic regression with a
+    * RATIONAL sigmoid — engine-reproducible by construction.  Each
+    * iteration is one combinable aggregate: per-row probability
+    * `p = 0.5 + z/(2·(1+|z|))` (the fast sigmoid: only +,*,/,abs — no
+    * libm exp, whose last-ulp varies across runtimes), residual gradients
+    * floored to exact integer micro-units and long-summed, then a driver
+    * coefficient update with fixed operand order.  Every cross-engine
+    * replay of the same iteration count reproduces the coefficients
+    * BIT-EXACTLY (the ml_logreg oracle unrolls the iterations as
+    * generated CTEs).  Features should be pre-scaled to ~unit range.
+    *
+    * Corpus work is `iters` aggregates; driver work is O(features).
+    * Returns one row (b0, b1, b2) — intercept first. */
+  def logregGd(df: DataFrame, x1: Column, x2: Column, y: Column,
+      iters: Int, eta: Double): DataFrame = {
+    val base = df.select(x1.cast("double").as("x1"),
+      x2.cast("double").as("x2"), y.cast("double").as("y"))
+    var b0 = 0.0; var b1 = 0.0; var b2 = 0.0
+    for (_ <- 1 to iters) {
+      val z = lit(b0) + lit(b1) * col("x1") + lit(b2) * col("x2")
+      val p = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+      val r = p - col("y")
+      val row = base.agg(
+        count(lit(1)).as("n"),
+        sum(floor(r * lit(1000000.0))).as("g0"),
+        sum(floor(r * col("x1") * lit(1000000.0))).as("g1"),
+        sum(floor(r * col("x2") * lit(1000000.0))).as("g2")).head()
+      val n = row.getLong(0).toDouble
+      b0 -= eta * ((row.getLong(1) / 1000000.0) / n)
+      b1 -= eta * ((row.getLong(2) / 1000000.0) / n)
+      b2 -= eta * ((row.getLong(3) / 1000000.0) / n)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((b0, b1, b2)).toDF("b0", "b1", "b2")
+  }
+
   /** General-d ridge regression by normal equations: ONE distributed pass
     * collects the (d+1)×(d+1) Gram sufficient statistics (intercept
     * column included) and XᵀY as exact long sums over integerized

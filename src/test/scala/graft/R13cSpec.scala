@@ -80,6 +80,21 @@ class R13cSpec extends AnyFunSuite {
     assert(math.abs(theta(2) + 1.0) < 1e-6)
   }
 
+  test("logregGd: separable fixture learns the right signs, and the fit " +
+      "is bit-identical under different partitionings") {
+    // y follows x1 (positive) and anti-follows x2 (negative)
+    val rows = for { x1 <- 0 to 10; x2 <- 0 to 10 }
+      yield (x1 / 10.0, x2 / 10.0, if (x1 - x2 > 0) 1.0 else 0.0)
+    val df = rows.toDF("x1", "x2", "y")
+    def fit(parts: Int) = MlOps.logregGd(df.repartition(parts),
+        col("x1"), col("x2"), col("y"), iters = 5, eta = 1.0)
+      .as[(Double, Double, Double)].head()
+    val f1 = fit(1)
+    val f8 = fit(8)
+    assert(f1 == f8, "micro-unit gradients must be partitioning-immune")
+    assert(f1._2 > 0 && f1._3 < 0, "signs follow the planted relation")
+  }
+
   test("ridgeNormal shrinks feature coefficients, not the intercept") {
     val rows = for { x1 <- 0L to 20L; x2 <- 0L to 10L }
       yield (x1, x2, 3L + 2 * x1 - x2)
