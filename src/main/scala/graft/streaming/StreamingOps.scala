@@ -554,6 +554,42 @@ object StreamingOps {
     * same keys — idempotent by construction.  This is the
     * streaming→lakehouse integration a 100 TB ingest pipeline runs all
     * day: CDC in, queryable parquet out, no table format required. */
+  /** One micro-batch → one versioned-lake commit, exactly once: a marker
+    * file per batch id makes the foreachBatch replay after a restart a
+    * no-op (the checkpoint makes replays rare; the marker makes them
+    * harmless), and a half-committed data directory from a crash between
+    * data write and manifest write is swept before retrying.  Public so
+    * the replay invariant is directly testable. */
+  def commitBatchIdempotent(batch: DataFrame, batchId: Long,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$path/_batch$batchId.committed")
+    if (!fsys.exists(marker)) {
+      val orphan = new org.apache.hadoop.fs.Path(
+        s"$path/files/v${graft.ops.LayoutOps.latestVersion(spark, path) + 1}")
+      if (fsys.exists(orphan)) fsys.delete(orphan, true)
+      val v = graft.ops.LayoutOps.commitAppend(batch, path)
+      val out = fsys.create(marker, false)
+      out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
+  }
+
+  /** Streaming CDC → versioned lake: every micro-batch lands as one lake
+    * version (append commit = O(batch), never O(table)), old snapshots
+    * stay time-travel-readable, and replays are idempotent via
+    * [[commitBatchIdempotent]].  The continuous-ingestion counterpart of
+    * the batch `o5_time_travel` surface. */
+  def lakeSink(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) => commitBatchIdempotent(batch, id, path) }
+      .start()
+
   def upsertSink(stream: DataFrame, key: String, path: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
