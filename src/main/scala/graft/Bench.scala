@@ -82,7 +82,9 @@ object Bench {
       "mm_decode", "stream_tumbling", "stream_sessions", "skew_salted_agg",
       "p3_hash_split", "text_pii_redact", "emb_outliers", "text_pmi_top",
       "pipeline_curate", "tpch_bucketed_join", "dd_cdc_chunks",
-      "ev_asof_join", "text_rep_ngrams")
+      "ev_asof_join", "text_rep_ngrams",
+      "tpch_q1", "tpch_q9", "tpch_q18", "tpch_q21", "ev_asof_native",
+      "ml_logreg", "graph_triangles", "graph_reach")
     val headSet = headline.toSet
     val qs = results.collect { case (k, (sec, _)) if headSet(k) =>
       s"\"" + k + "\":" + s3(sec) }.mkString("{", ",", "}")
