@@ -70,7 +70,8 @@ object EventOps {
     * built without `spark.sql.extensions=graft.GraftExtensions`. */
   def asofJoinNative(left: DataFrame, leftId: Column, leftKey: Column,
       leftTs: Column, right: DataFrame, rightId: Column, rightKey: Column,
-      rightTs: Column, rightVal: Column): DataFrame = {
+      rightTs: Column, rightVal: Column, forward: Boolean = false,
+      toleranceMs: Long = -1L): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -87,7 +88,8 @@ object EventOps {
       rightVal.cast("double").as("r_val"))
     org.apache.spark.sql.GraftBridge.ofRows(spark,
         graft.plans.AsOfJoin(l.queryExecution.analyzed,
-          r.queryExecution.analyzed))
+          r.queryExecution.analyzed, forward = forward,
+          toleranceUs = if (toleranceMs < 0) -1L else toleranceMs * 1000L))
       .select(col("left_id"), col("k"),
         timestamp_micros(col("ts")).as("ts"),
         col("matched_id"), col("matched_value"))

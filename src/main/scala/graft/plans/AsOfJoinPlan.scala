@@ -35,6 +35,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * operator's documented tie-break.
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+    forward: Boolean = false, toleranceUs: Long = -1L,
     output: Seq[Attribute] = AsOfJoin.defaultOutput())
   extends org.apache.spark.sql.catalyst.plans.logical.BinaryNode {
   // the output attributes are PRODUCED here, not projected from children —
@@ -96,13 +97,22 @@ object AsOfJoinKeyFilterPushdown
   * appended to `spark.experimental.extraStrategies` by the DSL wrapper. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, out) => AsOfJoinExec(out, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, fwd, tol, out) =>
+      AsOfJoinExec(out, planLater(l), planLater(r), fwd, tol) :: Nil
     case _ => Nil
   }
 }
 
+/** Physical as-of merge.  `forward = false` (default): match the right
+  * row with the greatest (ts, id) such that `r.ts <= l.ts`; `forward =
+  * true`: the right row with the SMALLEST (ts, id) such that
+  * `r.ts >= l.ts`.  `toleranceUs >= 0` bounds the match's staleness
+  * (backward: `l.ts − r.ts`; forward: `r.ts − l.ts`) — the single
+  * nearest candidate is checked at emit, which is sufficient because any
+  * other eligible row is strictly farther. */
 case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan, forward: Boolean = false,
+    toleranceUs: Long = -1L) extends BinaryExecNode {
 
   override def requiredChildDistribution: Seq[Distribution] = Seq(
     ClusteredDistribution(Seq(left.output.head)),
@@ -135,6 +145,7 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
         // current as-of candidate: the latest right (ts, id) seen for candK
         private var candK = 0L
         private var candHas = false
+        private var candTs = 0L
         private var candId = 0L
         private var candVal = 0.0
         private var candValNull = false
@@ -147,28 +158,56 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
           val ts = l.getLong(1)
           val lid = l.getLong(2)
           var done = false
-          while (!done) {
-            if (rRow == null) {
-              if (rIt.hasNext) rRow = rIt.next() else done = true
+          if (!forward) {
+            while (!done) {
+              if (rRow == null) {
+                if (rIt.hasNext) rRow = rIt.next() else done = true
+              }
+              if (!done) {
+                val rk = rRow.getLong(0)
+                val rts = rRow.getLong(1)
+                if (rk < k) rRow = null // behind the left cursor: discard
+                else if (rk == k && rts <= ts) {
+                  candK = k
+                  candHas = true
+                  candTs = rts
+                  candId = rRow.getLong(2)
+                  candValNull = rRow.isNullAt(3)
+                  candVal = if (candValNull) 0.0 else rRow.getDouble(3)
+                  rRow = null
+                } else done = true // ahead of the left cursor: keep for later
+              }
             }
-            if (!done) {
-              val rk = rRow.getLong(0)
-              val rts = rRow.getLong(1)
-              if (rk < k) rRow = null // behind the left cursor: discard
-              else if (rk == k && rts <= ts) {
-                candK = k
-                candHas = true
-                candId = rRow.getLong(2)
-                candValNull = rRow.isNullAt(3)
-                candVal = if (candValNull) 0.0 else rRow.getDouble(3)
-                rRow = null
-              } else done = true // ahead of the left cursor: keep for later
+          } else {
+            // forward: park the cursor on the FIRST right row with
+            // (rk, rts) >= (k, ts); rows strictly before it can never
+            // match a later left row either (left ts is ascending)
+            while (!done) {
+              if (rRow == null) {
+                if (rIt.hasNext) rRow = rIt.next() else done = true
+              }
+              if (!done) {
+                val rk = rRow.getLong(0)
+                val rts = rRow.getLong(1)
+                if (rk < k || (rk == k && rts < ts)) rRow = null
+                else done = true
+              }
+            }
+            candHas = rRow != null && rRow.getLong(0) == k
+            if (candHas) {
+              candK = k
+              candTs = rRow.getLong(1)
+              candId = rRow.getLong(2)
+              candValNull = rRow.isNullAt(3)
+              candVal = if (candValNull) 0.0 else rRow.getDouble(3)
             }
           }
+          val within = candHas && candK == k && (toleranceUs < 0L ||
+            (if (forward) candTs - ts else ts - candTs) <= toleranceUs)
           out.setLong(0, lid)
           out.setLong(1, k)
           out.setLong(2, ts)
-          if (candHas && candK == k) {
+          if (within) {
             out.setLong(3, candId)
             if (candValNull) out.setNullAt(4) else out.setDouble(4, candVal)
           } else { out.setNullAt(3); out.setNullAt(4) }

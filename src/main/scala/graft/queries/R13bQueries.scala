@@ -21,6 +21,28 @@ object R13bQueries {
         col("user_id"), col("ts"),
         e.where(col("event_type") === "purchase"), col("event_id"),
         col("user_id"), col("ts"), col("value"))
+    }),
+
+    // forward direction: the NEXT purchase at-or-after each click —
+    // smallest (ts, id) with r.ts >= l.ts
+    "ev_asof_forward" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      EventOps.asofJoinNative(
+        e.where(col("event_type") === "click"), col("event_id"),
+        col("user_id"), col("ts"),
+        e.where(col("event_type") === "purchase"), col("event_id"),
+        col("user_id"), col("ts"), col("value"), forward = true)
+    }),
+
+    // staleness-bounded backward match (pandas merge_asof tolerance):
+    // the latest purchase within ONE HOUR before each click
+    "ev_asof_tolerance" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      EventOps.asofJoinNative(
+        e.where(col("event_type") === "click"), col("event_id"),
+        col("user_id"), col("ts"),
+        e.where(col("event_type") === "purchase"), col("event_id"),
+        col("user_id"), col("ts"), col("value"), toleranceMs = 3600000L)
     })
   )
 
@@ -35,6 +57,33 @@ object R13bQueries {
         |    row_number() OVER (PARTITION BY l.event_id
         |      ORDER BY r.ts DESC, r.event_id DESC) AS rn
         |  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |)
+        |SELECT l.event_id AS left_id, l.user_id AS k, l.ts,
+        |  j.rid AS matched_id, j.rv AS matched_value
+        |FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.lid = l.event_id""".stripMargin,
+
+    "ev_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT l.event_id AS lid, r.event_id AS rid, r.value AS rv,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY r.ts ASC, r.event_id ASC) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+        |)
+        |SELECT l.event_id AS left_id, l.user_id AS k, l.ts,
+        |  j.rid AS matched_id, j.rv AS matched_value
+        |FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.lid = l.event_id""".stripMargin,
+
+    "ev_asof_tolerance" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT l.event_id AS lid, r.event_id AS rid, r.value AS rv,
+        |    row_number() OVER (PARTITION BY l.event_id
+        |      ORDER BY r.ts DESC, r.event_id DESC) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+        |    AND epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
         |)
         |SELECT l.event_id AS left_id, l.user_id AS k, l.ts,
         |  j.rid AS matched_id, j.rv AS matched_value

@@ -68,6 +68,39 @@ class R13bSpec extends AnyFunSuite {
     assert(got == Set((2L, Some(8L), Some(2.5)), (3L, Some(9L), Some(3.5))))
   }
 
+  test("forward as-of: first right row at-or-after, lowest id at the " +
+      "instant, null when nothing follows") {
+    val left = Seq((100L, 1L, ts(5000)), (101L, 1L, ts(9000)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+        (10L, 1L, ts(5000), 1.0),  // AT the instant — eligible forward
+        (11L, 1L, ts(5000), 2.0),  // equal ts: LOWEST id wins forward
+        (12L, 1L, ts(7000), 3.0))  // before left 101's ts=9000: no match
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = EventOps.asofJoinNative(left, col("event_id"), col("user_id"),
+        col("ts"), right, col("event_id"), col("user_id"), col("ts"),
+        col("value"), forward = true)
+      .select("left_id", "matched_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(100L -> Some(10L), 101L -> None))
+  }
+
+  test("tolerance: a match staler than the bound is dropped, the bound " +
+      "itself is inclusive") {
+    val left = Seq((100L, 1L, ts(10000L)), (101L, 2L, ts(10000L)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+        (10L, 1L, ts(9000L), 1.0),   // exactly 1000 ms stale: kept
+        (11L, 2L, ts(8999L), 2.0))   // 1001 ms stale: dropped
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = EventOps.asofJoinNative(left, col("event_id"), col("user_id"),
+        col("ts"), right, col("event_id"), col("user_id"), col("ts"),
+        col("value"), toleranceMs = 1000L)
+      .select("left_id", "matched_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out == Map(100L -> Some(10L), 101L -> None))
+  }
+
   test("asofJoinNative tie-breaks: at-instant right row eligible, greatest " +
       "id wins on equal ts, null when nothing precedes") {
     val left = Seq((100L, 1L, ts(5000)), (101L, 1L, ts(999)),
