@@ -706,6 +706,38 @@ object EventOps {
           (col("n_i") * col("n_j")).cast("double")).as("lift"))
   }
 
+  /** Within-session item co-occurrence: item pairs (i < j) touched by the
+    * same user inside the same gap-session, with pair counts — the
+    * co-visitation table restricted to one browsing intent, which is the
+    * principled granularity for item-to-item affinity (the all-time
+    * per-user variant, [[itemCooc]], conflates months-apart interests).
+    * One keyed window builds the session ids (partitioned by user — never
+    * single-partition), the (user, session, item) incidence is
+    * deduplicated, and the pair join's fan-out is the per-SESSION item-set
+    * size — far smaller than per-user at scale. */
+  def sessionItemCooc(events: DataFrame, item: Column,
+      gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val si = events
+      .withColumn("ts_ms", unix_millis(col("ts")))
+      .withColumn("item", item)
+      .withColumn("is_start",
+        when(col("ts_ms") - lag("ts_ms", 1).over(byUser) > gapMs, 1)
+          .when(lag("ts_ms", 1).over(byUser).isNull, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum("is_start").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .where(col("item").isNotNull)
+      .select("user_id", "session_id", "item").distinct()
+    val b = si.select(col("user_id").as("u2"), col("session_id").as("s2"),
+      col("item").as("item_b"))
+    si.join(b, col("user_id") === col("u2") &&
+        col("session_id") === col("s2") && col("item") < col("item_b"))
+      .groupBy(col("item").as("i"), col("item_b").as("j"))
+      .agg(count(lit(1)).as("n_co"))
+  }
+
   /** Gini concentration of a weight across keys (0 = uniform, →1 = one
     * key holds everything) — the catalog/source-skew gauge.  Weights are
     * ranked ascending via the range-partitioned [[graft.core.Ranker]] (no

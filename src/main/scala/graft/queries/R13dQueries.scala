@@ -27,6 +27,34 @@ object R13dQueries {
       GraphOps.kHopReach(pairs, col("src"), col("dst"), hops = 3)
     }),
 
+    // Degree distribution of the co-engaged item graph — the standard
+    // "is this graph hub-skewed" card (and the gauge for when triangle
+    // counting needs the compact-forward orientation)
+    "graph_degree_hist" -> ((s, dir) => {
+      val item =
+        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
+          .cast("int")
+      val ui = Tables.events(s, dir)
+        .select(col("user_id").as("u"), item.as("item"))
+        .where(col("item").isNotNull).distinct()
+      val b = ui.select(col("u"), col("item").as("item_b"))
+      val e = ui.join(b, ui("u") === b("u") && col("item") < col("item_b"))
+        .select(col("item").as("a"), col("item_b").as("b")).distinct()
+      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+        .groupBy("d").agg(count(lit(1)).as("n_vertices"))
+    }),
+
+    // Within-session item co-occurrence: the co-visitation table at the
+    // browsing-intent granularity (30-min gap sessions)
+    "ev_item_session_cooc" -> ((s, dir) => {
+      val item =
+        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
+          .cast("int")
+      graft.ops.EventOps.sessionItemCooc(Tables.events(s, dir), item,
+        gapMs = 1800000L)
+    }),
+
     // Wide→long reshape: the per-language documents census melted into
     // (lang, metric, value) rows with Spark's native unpivot
     "a1_unpivot" -> ((s, dir) => {
@@ -61,6 +89,40 @@ object R13dQueries {
         |JOIN (SELECT seed, count(*)::BIGINT AS n2 FROM r2 GROUP BY 1) c2 USING (seed)
         |JOIN (SELECT seed, count(*)::BIGINT AS n3 FROM r3 GROUP BY 1) c3 USING (seed)
         |ORDER BY seed""".stripMargin,
+
+    "graph_degree_hist" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |    json_extract_string(props, '$.k')::INT AS item
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |e AS (SELECT DISTINCT a.item AS a, b.item AS b
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item),
+        |deg AS (SELECT v, count(*)::BIGINT AS d
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY 1)
+        |SELECT d, count(*)::BIGINT AS n_vertices FROM deg GROUP BY 1""".stripMargin,
+
+    "ev_item_session_cooc" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    json_extract_string(props, '$.k')::INT AS item
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CASE
+        |    WHEN lag(ts_ms) OVER w IS NULL THEN 1
+        |    WHEN ts_ms - lag(ts_ms) OVER w > 1800000 THEN 1
+        |    ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |),
+        |sid AS (
+        |  SELECT *, sum(is_start) OVER (PARTITION BY user_id
+        |    ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM s),
+        |si AS (SELECT DISTINCT user_id, session_id, item FROM sid
+        |  WHERE item IS NOT NULL)
+        |SELECT a.item AS i, b.item AS j, count(*)::BIGINT AS n_co
+        |FROM si a JOIN si b ON a.user_id = b.user_id
+        |  AND a.session_id = b.session_id AND a.item < b.item
+        |GROUP BY 1, 2""".stripMargin,
 
     "a1_unpivot" ->
       """WITH census AS (
