@@ -71,7 +71,7 @@ object EventOps {
   def asofJoinNative(left: DataFrame, leftId: Column, leftKey: Column,
       leftTs: Column, right: DataFrame, rightId: Column, rightKey: Column,
       rightTs: Column, rightVal: Column, forward: Boolean = false,
-      toleranceMs: Long = -1L): DataFrame = {
+      toleranceMs: Long = -1L, nearest: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -89,7 +89,8 @@ object EventOps {
     org.apache.spark.sql.GraftBridge.ofRows(spark,
         graft.plans.AsOfJoin(l.queryExecution.analyzed,
           r.queryExecution.analyzed, forward = forward,
-          toleranceUs = if (toleranceMs < 0) -1L else toleranceMs * 1000L))
+          toleranceUs = if (toleranceMs < 0) -1L else toleranceMs * 1000L,
+          nearest = nearest))
       .select(col("left_id"), col("k"),
         timestamp_micros(col("ts")).as("ts"),
         col("matched_id"), col("matched_value"))

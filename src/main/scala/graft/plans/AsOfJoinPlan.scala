@@ -36,6 +36,7 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
     forward: Boolean = false, toleranceUs: Long = -1L,
+    nearest: Boolean = false,
     output: Seq[Attribute] = AsOfJoin.defaultOutput())
   extends org.apache.spark.sql.catalyst.plans.logical.BinaryNode {
   // the output attributes are PRODUCED here, not projected from children —
@@ -97,8 +98,8 @@ object AsOfJoinKeyFilterPushdown
   * appended to `spark.experimental.extraStrategies` by the DSL wrapper. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, fwd, tol, out) =>
-      AsOfJoinExec(out, planLater(l), planLater(r), fwd, tol) :: Nil
+    case AsOfJoin(l, r, fwd, tol, near, out) =>
+      AsOfJoinExec(out, planLater(l), planLater(r), fwd, tol, near) :: Nil
     case _ => Nil
   }
 }
@@ -112,7 +113,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   * other eligible row is strictly farther. */
 case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
     right: SparkPlan, forward: Boolean = false,
-    toleranceUs: Long = -1L) extends BinaryExecNode {
+    toleranceUs: Long = -1L, nearest: Boolean = false)
+  extends BinaryExecNode {
 
   override def requiredChildDistribution: Seq[Distribution] = Seq(
     ClusteredDistribution(Seq(left.output.head)),
@@ -158,6 +160,50 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
           val ts = l.getLong(1)
           val lid = l.getLong(2)
           var done = false
+          if (nearest) {
+            // like backward, but park at the first row STRICTLY after the
+            // left instant: rows AT the instant are backward candidates
+            // (Δ=0, and the nearest tie rule prefers the backward side)
+            while (!done) {
+              if (rRow == null) {
+                if (rIt.hasNext) rRow = rIt.next() else done = true
+              }
+              if (!done) {
+                val rk = rRow.getLong(0)
+                val rts = rRow.getLong(1)
+                if (rk < k) rRow = null
+                else if (rk == k && rts <= ts) {
+                  candK = k
+                  candHas = true
+                  candTs = rts
+                  candId = rRow.getLong(2)
+                  candValNull = rRow.isNullAt(3)
+                  candVal = if (candValNull) 0.0 else rRow.getDouble(3)
+                  rRow = null
+                } else done = true
+              }
+            }
+            val bwdOk = candHas && candK == k &&
+              (toleranceUs < 0L || ts - candTs <= toleranceUs)
+            val fwdParked = rRow != null && rRow.getLong(0) == k
+            val fwdOk = fwdParked && (toleranceUs < 0L ||
+              rRow.getLong(1) - ts <= toleranceUs)
+            // smaller |Δ| wins; a tie goes to the backward row
+            val useFwd = fwdOk &&
+              (!bwdOk || (rRow.getLong(1) - ts) < (ts - candTs))
+            out.setLong(0, lid)
+            out.setLong(1, k)
+            out.setLong(2, ts)
+            if (useFwd) {
+              out.setLong(3, rRow.getLong(2))
+              if (rRow.isNullAt(3)) out.setNullAt(4)
+              else out.setDouble(4, rRow.getDouble(3))
+            } else if (bwdOk) {
+              out.setLong(3, candId)
+              if (candValNull) out.setNullAt(4) else out.setDouble(4, candVal)
+            } else { out.setNullAt(3); out.setNullAt(4) }
+            return proj(out)
+          }
           if (!forward) {
             while (!done) {
               if (rRow == null) {

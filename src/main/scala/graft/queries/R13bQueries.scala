@@ -34,6 +34,17 @@ object R13bQueries {
         col("user_id"), col("ts"), col("value"), forward = true)
     }),
 
+    // nearest direction: the closest purchase on EITHER side of each
+    // click; a tie in |Δ| goes to the backward row
+    "ev_asof_nearest" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      EventOps.asofJoinNative(
+        e.where(col("event_type") === "click"), col("event_id"),
+        col("user_id"), col("ts"),
+        e.where(col("event_type") === "purchase"), col("event_id"),
+        col("user_id"), col("ts"), col("value"), nearest = true)
+    }),
+
     // staleness-bounded backward match (pandas merge_asof tolerance):
     // the latest purchase within ONE HOUR before each click
     "ev_asof_tolerance" -> ((s, dir) => {
@@ -70,6 +81,21 @@ object R13bQueries {
         |    row_number() OVER (PARTITION BY l.event_id
         |      ORDER BY r.ts ASC, r.event_id ASC) AS rn
         |  FROM l JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+        |)
+        |SELECT l.event_id AS left_id, l.user_id AS k, l.ts,
+        |  j.rid AS matched_id, j.rv AS matched_value
+        |FROM l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.lid = l.event_id""".stripMargin,
+
+    "ev_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        |r AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT l.event_id AS lid, r.event_id AS rid, r.value AS rv,
+        |    row_number() OVER (PARTITION BY l.event_id ORDER BY
+        |      abs(epoch_us(r.ts) - epoch_us(l.ts)) ASC,
+        |      CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END ASC,
+        |      CASE WHEN r.ts <= l.ts THEN -r.event_id ELSE r.event_id END ASC) AS rn
+        |  FROM l JOIN r ON l.user_id = r.user_id
         |)
         |SELECT l.event_id AS left_id, l.user_id AS k, l.ts,
         |  j.rid AS matched_id, j.rv AS matched_value

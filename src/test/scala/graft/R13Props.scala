@@ -31,33 +31,46 @@ object R13Props extends Properties("round13") {
     }
   }
 
-  property("asofJoinNative (backward/forward, ± tolerance) == brute force") =
-    Prop.forAll(genSeries, Gen.oneOf(true, false),
+  property("asofJoinNative (backward/forward/nearest, ± tolerance) == brute force") =
+    Prop.forAll(genSeries, Gen.oneOf("backward", "forward", "nearest"),
         Gen.oneOf(-1L, 5000L, 20000L)) {
-      case ((nL, nR, seed), fwd, tolMs) =>
+      case ((nL, nR, seed), mode, tolMs) =>
         val lRows = mkRows(nL, seed, 100L)
         val rRows = mkRows(nR, seed + 7, 1000L)
         val l = lRows.toDF("event_id", "user_id", "ts", "value")
         val r = rRows.toDF("event_id", "user_id", "ts", "value")
         val got = EventOps.asofJoinNative(l, col("event_id"), col("user_id"),
             col("ts"), r, col("event_id"), col("user_id"), col("ts"),
-            col("value"), forward = fwd, toleranceMs = tolMs)
+            col("value"), forward = mode == "forward", toleranceMs = tolMs,
+            nearest = mode == "nearest")
           .select("left_id", "matched_id")
           .as[(Long, Option[Long])].collect().toMap
+        def bwd(k: Long, ltsMs: Long) = rRows
+          .filter(e => e._2 == k && e._3.getTime <= ltsMs &&
+            (tolMs < 0 || ltsMs - e._3.getTime <= tolMs))
+          .sortBy(e => (e._3.getTime, e._1)).lastOption
+        def fwd(k: Long, ltsMs: Long) = rRows
+          .filter(e => e._2 == k && e._3.getTime >= ltsMs &&
+            (tolMs < 0 || e._3.getTime - ltsMs <= tolMs))
+          .sortBy(e => (e._3.getTime, e._1)).headOption
         val want = lRows.map { case (lid, k, lts, _) =>
-          val elig = rRows.filter { case (_, rk, rts, _) =>
-            rk == k &&
-              (if (fwd) rts.getTime >= lts.getTime
-               else rts.getTime <= lts.getTime) &&
-              (tolMs < 0 || math.abs(rts.getTime - lts.getTime) <= tolMs)
+          val ltsMs = lts.getTime
+          val best = mode match {
+            case "backward" => bwd(k, ltsMs)
+            case "forward"  => fwd(k, ltsMs)
+            case "nearest"  =>
+              // smaller |delta| wins; a tie goes to the backward row;
+              // rows AT the instant count as backward
+              (bwd(k, ltsMs), fwd(k, ltsMs)) match {
+                case (Some(b), Some(f))
+                  if f._3.getTime - ltsMs < ltsMs - b._3.getTime => Some(f)
+                case (Some(b), _) => Some(b)
+                case (_, f) => f
+              }
           }
-          val best =
-            if (elig.isEmpty) None
-            else if (fwd) Some(elig.minBy(e => (e._3.getTime, e._1))._1)
-            else Some(elig.maxBy(e => (e._3.getTime, e._1))._1)
-          lid -> best
+          lid -> best.map(_._1)
         }.toMap
-        got == want
+        Prop(got == want) :| s"mode=$mode tol=$tolMs got=$got want=$want"
     }
 
   private val genGraph = for {
