@@ -18,7 +18,9 @@ object XSlowTail {
     val sfDir = "/root/testdata/sf0.1"
     val names = Seq("graph_pagerank", "dd_spans", "dd_funnel_report",
       "dd_substr_pairs", "tpch_bucketed_join", "dd_incremental_winnow",
-      "ml_nb_confusion", "b2_buffer_shuffle")
+      "ml_nb_confusion", "b2_buffer_shuffle",
+      "tpch_q2", "tpch_q17", "tpch_q21", "graph_reach", "graph_triangles",
+      "ev_asof_nearest", "ev_item_session_cooc")
     println("SLOWTAIL | query | min s | max s | rows |")
     println("SLOWTAIL |---|---|---|---|")
     names.foreach { name =>
