@@ -707,6 +707,42 @@ object EventOps {
           (col("n_i") * col("n_j")).cast("double")).as("lift"))
   }
 
+  /** RFM (recency / frequency / monetary) segmentation: per-user last
+    * activity, event count, and exact micro-unit value mass, each ranked
+    * into quintiles by the range-partitioned [[graft.core.Ranker]] (NO
+    * single-partition window over the user space — the classic `ntile(5)`
+    * formulation cannot scale out), then the (R, F, M) cell census.
+    * Quintile 1 = most recent / most frequent / highest value; all
+    * boundaries are exact integer arithmetic with (metric, user_id)
+    * tie-breaks, so the segmentation is deterministic and
+    * engine-reproducible. */
+  def rfmSegments(events: DataFrame, user: Column, ts: Column,
+      value: Column): DataFrame = {
+    val perUser = events.select(user.as("user_id"),
+        unix_micros(ts).as("us"),
+        floor(value * lit(1000000.0)).cast("long").as("vmi"))
+      .groupBy("user_id")
+      .agg(max("us").as("last_us"), count(lit(1)).as("f"),
+        sum("vmi").as("m"))
+    val ref = perUser.agg(max("last_us").as("ref_us"),
+      count(lit(1)).as("n"))
+    val x = perUser.crossJoin(broadcast(ref))
+      .withColumn("r_days", expr("(ref_us - last_us) div 86400000000"))
+    val ranked = Seq(
+      ("rk_r", Seq(col("r_days").asc, col("user_id").asc)),
+      ("rk_f", Seq(col("f").desc, col("user_id").asc)),
+      ("rk_m", Seq(col("m").desc, col("user_id").asc))
+    ).foldLeft(x) { case (d, (name, ord)) =>
+      graft.core.Ranker.withRank(d, name, ord: _*)
+    }
+    ranked
+      .select(expr("1 + (5*rk_r) div n").as("r_q"),
+        expr("1 + (5*rk_f) div n").as("f_q"),
+        expr("1 + (5*rk_m) div n").as("m_q"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Within-session item co-occurrence: item pairs (i < j) touched by the
     * same user inside the same gap-session, with pair counts — the
     * co-visitation table restricted to one browsing intent, which is the

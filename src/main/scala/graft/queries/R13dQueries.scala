@@ -55,6 +55,13 @@ object R13dQueries {
         gapMs = 1800000L)
     }),
 
+    // RFM segmentation of purchasers: exact quintiles via the
+    // range-partitioned Ranker, (R, F, M) cell census
+    "ev_rfm" -> ((s, dir) =>
+      graft.ops.EventOps.rfmSegments(
+        Tables.events(s, dir).where(col("event_type") === "purchase"),
+        col("user_id"), col("ts"), col("value"))),
+
     // Wide→long reshape: the per-language documents census melted into
     // (lang, metric, value) rows with Spark's native unpivot
     "a1_unpivot" -> ((s, dir) => {
@@ -123,6 +130,25 @@ object R13dQueries {
         |FROM si a JOIN si b ON a.user_id = b.user_id
         |  AND a.session_id = b.session_id AND a.item < b.item
         |GROUP BY 1, 2""".stripMargin,
+
+    "ev_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 1000000.0) AS BIGINT) AS vmi
+        |  FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT user_id, max(us) AS last_us, count(*) AS f,
+        |  sum(vmi) AS m FROM p GROUP BY 1),
+        |ref AS (SELECT max(last_us) AS ref_us, count(*) AS n FROM u),
+        |x AS (SELECT u.*, (ref.ref_us - u.last_us) // 86400000000 AS r_days,
+        |  ref.n FROM u, ref),
+        |rr AS (SELECT *,
+        |  row_number() OVER (ORDER BY r_days ASC, user_id ASC) - 1 AS rk_r,
+        |  row_number() OVER (ORDER BY f DESC, user_id ASC) - 1 AS rk_f,
+        |  row_number() OVER (ORDER BY m DESC, user_id ASC) - 1 AS rk_m
+        |  FROM x)
+        |SELECT 1 + (5*rk_r)//n AS r_q, 1 + (5*rk_f)//n AS f_q,
+        |  1 + (5*rk_m)//n AS m_q, count(*)::BIGINT AS n_users
+        |FROM rr GROUP BY 1, 2, 3""".stripMargin,
 
     "a1_unpivot" ->
       """WITH census AS (

@@ -68,6 +68,27 @@ class R13cSpec extends AnyFunSuite {
     assert(plain(2L) == 3, "the unwindowed funnel does reach stage 3")
   }
 
+  test("rfmSegments: five planted users land in five distinct quintiles " +
+      "per axis") {
+    def t(day: Int) = new java.sql.Timestamp(day * 86400000L)
+    // user u: last activity day u (u=5 most recent → R quintile 1 is u5),
+    // u purchases of value 10*u each (F and M quintile 1 are u5 too)
+    val rows = for { u <- 1 to 5; i <- 1 to u }
+      yield (u.toLong * 100 + i, t(if (i == 1) u else 1), u.toLong,
+        "purchase", 10.0 * u, "")
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value",
+      "props")
+    val cells = graft.ops.EventOps.rfmSegments(ev, col("user_id"),
+        col("ts"), col("value"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // most-recent = most-frequent = highest-value user → (1,1,1); the
+    // least on all axes → (5,5,5); each axis spans exactly 1..5 once
+    assert(cells.map(_._4).forall(_ == 1L) && cells.size == 5)
+    assert(cells.map(c => (c._1, c._2, c._3)) ==
+      Set((1L, 1L, 1L), (2L, 2L, 2L), (3L, 3L, 3L), (4L, 4L, 4L),
+        (5L, 5L, 5L)))
+  }
+
   test("ridgeNormal recovers exact planted coefficients at lambda 0") {
     // y = 3 + 2*x1 - x2 exactly, over a deterministic integer grid
     val rows = for { x1 <- 0L to 20L; x2 <- 0L to 10L }
