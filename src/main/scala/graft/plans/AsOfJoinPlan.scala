@@ -116,6 +116,15 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
     toleranceUs: Long = -1L, nearest: Boolean = false)
   extends BinaryExecNode {
 
+  // standard operator observability: output rows and how many actually
+  // matched (the null-match rate is the first thing to check when an
+  // as-of enrichment looks wrong)
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override def requiredChildDistribution: Seq[Distribution] = Seq(
     ClusteredDistribution(Seq(left.output.head)),
     ClusteredDistribution(Seq(right.output.head)))
@@ -137,6 +146,8 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
 
   override protected def doExecute(): RDD[InternalRow] = {
     val types = output.map(_.dataType).toArray
+    val numOut = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val proj = UnsafeProjection.create(types)
       val out = new GenericInternalRow(5)
@@ -202,6 +213,8 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
               out.setLong(3, candId)
               if (candValNull) out.setNullAt(4) else out.setDouble(4, candVal)
             } else { out.setNullAt(3); out.setNullAt(4) }
+            numOut += 1
+            if (useFwd || bwdOk) numMatched += 1
             return proj(out)
           }
           if (!forward) {
@@ -257,6 +270,8 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
             out.setLong(3, candId)
             if (candValNull) out.setNullAt(4) else out.setDouble(4, candVal)
           } else { out.setNullAt(3); out.setNullAt(4) }
+          numOut += 1
+          if (within) numMatched += 1
           proj(out)
         }
       }

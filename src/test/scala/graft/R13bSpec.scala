@@ -68,6 +68,35 @@ class R13bSpec extends AnyFunSuite {
     assert(got == Set((2L, Some(8L), Some(2.5)), (3L, Some(9L), Some(3.5))))
   }
 
+  test("AsOfJoinExec reports numOutputRows and numMatched metrics") {
+    val left = Seq((1L, 1L, ts(5000)), (2L, 1L, ts(100)), (3L, 2L, ts(5000)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((10L, 1L, ts(4000), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val df = EventOps.asofJoinNative(left, col("event_id"), col("user_id"),
+      col("ts"), right, col("event_id"), col("user_id"), col("ts"),
+      col("value"))
+    // collect() executes THIS queryExecution (count() would plan a fresh
+    // aggregate tree whose exec instance is a different object)
+    df.collect()
+    // AQE wraps the final plan in query stages whose inner plans are NOT
+    // tree children — unwrap them explicitly
+    def findExec(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[graft.plans.AsOfJoinExec] = p match {
+      case e: graft.plans.AsOfJoinExec => Some(e)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findExec(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findExec(s.plan)
+      case other => other.children.view.flatMap(findExec(_)).headOption
+    }
+    val exec = findExec(df.queryExecution.executedPlan)
+    assert(exec.nonEmpty, "custom exec present in the executed plan")
+    assert(exec.get.metrics("numOutputRows").value == 3L)
+    // only left row 1 matches (row 2 precedes the purchase; user 2 has none)
+    assert(exec.get.metrics("numMatched").value == 1L)
+  }
+
   test("forward as-of: first right row at-or-after, lowest id at the " +
       "instant, null when nothing follows") {
     val left = Seq((100L, 1L, ts(5000)), (101L, 1L, ts(9000)))
