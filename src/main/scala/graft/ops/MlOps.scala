@@ -404,6 +404,66 @@ object MlOps {
     Seq((b0, b1, b2)).toDF("b0", "b1", "b2")
   }
 
+  /** Fully distributed, engine-reproducible Lloyd k-means: vectors are
+    * integerized to exact micro-units, every distance is an exact long
+    * sum of squared integer differences, centroid updates are integer
+    * truncating division (Spark `div` == DuckDB `//` toward zero), and
+    * ties (equal distance) resolve to the lowest centroid id — so the
+    * whole trajectory is bit-identical under any partitioning AND
+    * replayable in a generated-CTE SQL oracle (`ml_kmeans_lloyd`).
+    * Initialization is the k lowest-id vectors; a centroid that loses all
+    * members is dropped (documented, matched by the oracle).
+    *
+    * Per iteration: one broadcast of k×d ints, one distributed
+    * assignment + two combinable aggregates — corpus work is O(n·k·d)
+    * map-side, driver work O(k·d).  Returns the long-form
+    * (cid, j, val) table: j = -1 carries the cluster size, j = 1..d the
+    * centroid coordinates (micro-units). */
+  def kmeansLloyd(df: DataFrame, vec: Column, id: Column, k: Int,
+      iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val iv = df.select(id.cast("long").as("vec_id"),
+      transform(vec.cast("array<double>"),
+        x => floor(x * lit(1000000.0)).cast("long")).as("v"))
+    var cents: Seq[(Int, Seq[Long])] = iv.orderBy("vec_id").limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Long](1)) }.toSeq
+    var counts: Map[Int, Long] = Map.empty
+    for (_ <- 1 to iters) {
+      val centDf = cents.toDF("cid", "c")
+      val assigned = iv.crossJoin(broadcast(centDf))
+        .withColumn("d", aggregate(
+          zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cid"))).as("m"),
+          first(col("v")).as("v"))
+        .select(col("m.cid").as("cid"), col("v"))
+      val nBy = assigned.groupBy("cid").agg(count(lit(1)).as("n"))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("j0", "x")))
+        .groupBy("cid", "j0").agg(sum("x").as("s"))
+        .join(nBy, "cid")
+        // truncating integer division in an engine-agnostic form: the
+        // numerator is made exactly divisible first (Spark's `div` floors
+        // negative quotients; DuckDB's `//` truncates — subtracting the
+        // truncation remainder, whose sign follows the dividend in BOTH
+        // engines, removes the ambiguity)
+        .select(col("cid"), col("j0"), expr("(s - s % n) div n").as("cj"),
+          col("n"))
+        .collect()
+      counts = sums.map(r => r.getInt(0) -> r.getLong(3)).toMap
+      cents = sums.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+      }.sortBy(_._1)
+    }
+    cents.flatMap { case (cid, c) =>
+      (cid, -1, counts(cid)) +:
+        c.zipWithIndex.map { case (x, j) => (cid, j + 1, x) }
+    }.toDF("cid", "j", "val")
+  }
+
   /** General-d ridge regression by normal equations: ONE distributed pass
     * collects the (d+1)×(d+1) Gram sufficient statistics (intercept
     * column included) and XᵀY as exact long sums over integerized

@@ -116,6 +116,30 @@ class R13cSpec extends AnyFunSuite {
     assert(f1._2 > 0 && f1._3 < 0, "signs follow the planted relation")
   }
 
+  test("kmeansLloyd: separable planted clusters recovered, bit-identical " +
+      "under different partitionings") {
+    // two tight clusters around (0.1, 0.1) and (0.9, 0.9); the two
+    // lowest-id seeds land one in each cluster
+    val rows = Seq(
+      (0L, Seq(0.1f, 0.1f)), (2L, Seq(0.12f, 0.1f)), (4L, Seq(0.1f, 0.14f)),
+      (1L, Seq(0.9f, 0.9f)), (3L, Seq(0.88f, 0.9f)), (5L, Seq(0.9f, 0.86f)))
+    val df = rows.toDF("vec_id", "embedding")
+    def run(parts: Int) = graft.ops.MlOps.kmeansLloyd(
+        df.repartition(parts), col("embedding"), col("vec_id"),
+        k = 2, iters = 2)
+      .as[(Int, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val a = run(1)
+    val b = run(6)
+    assert(a == b, "integer trajectory must be partitioning-immune")
+    val counts = a.filter(_._2 == -1).map(r => r._1 -> r._3).toMap
+    assert(counts == Map(0 -> 3L, 1 -> 3L))
+    // centroid 0 ≈ (0.106.., 0.113..) in micro-units; exact integer mean
+    val c0 = a.filter(r => r._1 == 0 && r._2 > 0).map(_._3)
+    assert(c0.forall(v => v > 90000L && v < 130000L))
+    val c1 = a.filter(r => r._1 == 1 && r._2 > 0).map(_._3)
+    assert(c1.forall(v => v > 850000L && v < 910000L))
+  }
+
   test("ridgeNormal shrinks feature coefficients, not the intercept") {
     val rows = for { x1 <- 0L to 20L; x2 <- 0L to 10L }
       yield (x1, x2, 3L + 2 * x1 - x2)
