@@ -464,6 +464,38 @@ object MlOps {
     }.toDF("cid", "j", "val")
   }
 
+  /** Within-cluster SSE (inertia) of the [[kmeansLloyd]] run: re-assigns
+    * against the final centroids and sums the exact long distances per
+    * cluster — the elbow-plot quantity, exact to the micro-unit² and
+    * therefore engine-reproducible.  One more broadcast + one combinable
+    * aggregate on top of the fit. */
+  def kmeansInertia(df: DataFrame, vec: Column, id: Column, k: Int,
+      iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fit = kmeansLloyd(df, vec, id, k, iters)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val cents = fit.filter(_._2 > 0).groupBy(_._1).toSeq
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_._2).map(_._3).toSeq) }
+    val centDf = cents.toDF("cid", "c")
+    val iv = df.select(id.cast("long").as("vec_id"),
+      transform(vec.cast("array<double>"),
+        x => floor(x * lit(1000000.0)).cast("long")).as("v"))
+    iv.crossJoin(broadcast(centDf))
+      .withColumn("d", aggregate(
+        zip_with(col("v"), col("c"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cid"))).as("m"))
+      .select(col("m.cid").as("cid"), col("m.d").as("d"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        sum(col("d").cast("decimal(38,0)")).as("inertia"))
+      .select(col("cid"), col("n"),
+        (col("inertia").cast("double") / 1e12).as("inertia"))
+  }
+
   /** General-d ridge regression by normal equations: ONE distributed pass
     * collects the (d+1)×(d+1) Gram sufficient statistics (intercept
     * column included) and XᵀY as exact long sums over integerized

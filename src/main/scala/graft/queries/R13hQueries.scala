@@ -17,6 +17,12 @@ object R13hQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_kmeans_lloyd" -> ((s, dir) =>
       MlOps.kmeansLloyd(Tables.emb(s, dir), col("embedding"),
+        col("vec_id"), k = K, iters = Iters)),
+
+    // per-cluster within-SSE of the same fit — the elbow quantity, exact
+    // to the micro-unit²
+    "ml_kmeans_inertia" -> ((s, dir) =>
+      MlOps.kmeansInertia(Tables.emb(s, dir), col("embedding"),
         col("vec_id"), k = K, iters = Iters))
   )
 
@@ -61,7 +67,28 @@ object R13hQueries {
     sb.toString
   }
 
+  /** The inertia oracle extends the fit's CTE chain with one more
+    * assignment against the final centroids. */
+  private def inertiaSql(k: Int, iters: Int): String = {
+    val fit = kmeansSql(k, iters)
+    val pre = fit.substring(0, fit.indexOf("\nSELECT cid, -1"))
+    s"""$pre,
+       |af AS (
+       |  SELECT iv.vec_id,
+       |    list_sum(list_transform(list_zip(iv.v, c.c),
+       |      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d, c.cid
+       |  FROM iv, c$iters c),
+       |bf AS (
+       |  SELECT vec_id, cid, d FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d, cid) AS rn FROM af) WHERE rn = 1)
+       |SELECT cid, count(*)::BIGINT AS n,
+       |  sum(d::DECIMAL(38,0))::DOUBLE / 1e12 AS inertia
+       |FROM bf GROUP BY 1""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
-    "ml_kmeans_lloyd" -> kmeansSql(K, Iters)
+    "ml_kmeans_lloyd" -> kmeansSql(K, Iters),
+    "ml_kmeans_inertia" -> inertiaSql(K, Iters)
   )
 }
