@@ -55,6 +55,26 @@ object R13dQueries {
         gapMs = 1800000L)
     }),
 
+    // Connected components of the co-engaged item graph (dedupClusters'
+    // dual-path min-label machinery) → component-size histogram — the
+    // "is the catalog one giant blob or many islands" card
+    "graph_components" -> ((s, dir) => {
+      val item =
+        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
+          .cast("int")
+      val ui = Tables.events(s, dir)
+        .select(col("user_id").as("u"), item.as("item"))
+        .where(col("item").isNotNull).distinct()
+      val b = ui.select(col("u"), col("item").as("item_b"))
+      val pairs = ui.join(b, ui("u") === b("u") && col("item") < col("item_b"))
+        .select(col("item").as("doc_a"), col("item_b").as("doc_b"))
+        .distinct()
+      graft.ops.DedupOps.dedupClusters(pairs)
+        .groupBy("keeper_id").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("component_size"))
+        .agg(count(lit(1)).as("n_components"))
+    }),
+
     // RFM segmentation of purchasers: exact quintiles via the
     // range-partitioned Ranker, (R, F, M) cell census
     "ev_rfm" -> ((s, dir) =>
@@ -130,6 +150,24 @@ object R13dQueries {
         |FROM si a JOIN si b ON a.user_id = b.user_id
         |  AND a.session_id = b.session_id AND a.item < b.item
         |GROUP BY 1, 2""".stripMargin,
+
+    "graph_components" ->
+      """WITH RECURSIVE ui AS (SELECT DISTINCT user_id AS u,
+        |    json_extract_string(props, '$.k')::INT AS item
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |p AS (SELECT DISTINCT a.item AS a, b.item AS b
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item),
+        |e AS (SELECT a, b AS bb FROM p UNION ALL SELECT b, a FROM p),
+        |n AS (SELECT DISTINCT a AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON reach.node = e.bb
+        |),
+        |comp AS (SELECT node, min(r) AS keeper FROM reach GROUP BY node),
+        |sizes AS (SELECT keeper, count(*) AS sz FROM comp GROUP BY 1)
+        |SELECT sz::BIGINT AS component_size, count(*)::BIGINT AS n_components
+        |FROM sizes GROUP BY 1""".stripMargin,
 
     "ev_rfm" ->
       """WITH p AS (
