@@ -112,7 +112,10 @@ object GraphOps {
       .as("n_wedges"))
     tri.crossJoin(wedges)
       .select(col("n_triangles"), col("n_wedges"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 9)
+        // a wedge-less graph (all degrees <= 1) has nothing to close:
+        // define clustering as 0 rather than dividing by zero (ANSI)
+        when(col("n_wedges") === 0L, lit(0.0))
+          .otherwise(round(lit(3.0) * col("n_triangles") / col("n_wedges"), 9))
           .as("clustering"))
   }
 

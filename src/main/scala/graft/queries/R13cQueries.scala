@@ -101,7 +101,8 @@ object R13cQueries {
         |  GROUP BY 1),
         |w AS (SELECT CAST(sum(d*(d-1)/2) AS BIGINT) AS n_wedges FROM deg)
         |SELECT n_triangles, n_wedges,
-        |  round(3.0 * n_triangles / n_wedges, 9) AS clustering
+        |  CASE WHEN n_wedges = 0 THEN 0.0
+        |       ELSE round(3.0 * n_triangles / n_wedges, 9) END AS clustering
         |FROM tri, w""".stripMargin,
 
     "ml_ridge" -> {

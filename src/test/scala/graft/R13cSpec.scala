@@ -20,6 +20,14 @@ class R13cSpec extends AnyFunSuite {
     assert(out == ((1L, 5L, 0.6)))
   }
 
+  test("triangleCensus: a single edge (no wedges) yields zero clustering, " +
+      "not a division error") {
+    val out = GraphOps.triangleCensus(Seq((1L, 2L)).toDF("src", "dst"),
+        col("src"), col("dst"))
+      .as[(Long, Long, Double)].head()
+    assert(out == ((0L, 0L, 0.0)))
+  }
+
   test("triangleCensus: bipartite graph has zero triangles") {
     val e = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L))
       .toDF("src", "dst")
