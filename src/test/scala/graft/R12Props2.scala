@@ -76,7 +76,9 @@ object R12Props2 extends Properties("round12b") {
       (pos.nonEmpty && neg.nonEmpty) ==> {
         val pairs = for { p <- pos; q <- neg } yield
           if (p > q) 1.0 else if (p == q) 0.5 else 0.0
-        val ref = math.rint(pairs.sum / pairs.size * 1e6) / 1e6
+        // HALF-UP to match Spark's round() (and the DuckDB oracle) —
+        // rint's half-even breaks on exact .5 ULP boundaries like 57/128
+        val ref = math.floor(pairs.sum / pairs.size * 1e6 + 0.5) / 1e6
         val got = MlOps.exactAuc(rows.toDF("s", "y"), col("s"), col("y"))
           .as[(Long, Long, Double)].head()._3
         got == ref
