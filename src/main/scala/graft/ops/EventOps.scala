@@ -81,19 +81,40 @@ object EventOps {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.AsOfJoinKeyFilterPushdown
-    val l = left.select(leftKey.cast("long").as("k"),
+    val l0 = left.select(leftKey.cast("long").as("k"),
       unix_micros(leftTs).as("ts"), leftId.cast("long").as("left_id"))
-    val r = right.select(rightKey.cast("long").as("k"),
+    val r0 = right.select(rightKey.cast("long").as("k"),
       unix_micros(rightTs).as("ts"), rightId.cast("long").as("r_id"),
       rightVal.cast("double").as("r_val"))
-    org.apache.spark.sql.GraftBridge.ofRows(spark,
-        graft.plans.AsOfJoin(l.queryExecution.analyzed,
+    // AsOfJoinExec reads k/ts with getLong, where a null reads as 0 — a
+    // null-keyed row would silently merge under key 0 and can break the
+    // ascending-merge invariant.  Enforce the SQL null semantics in the
+    // wrapper instead: null-keyed/null-ts right rows can never match
+    // (drop), null-keyed/null-ts left rows emit unmatched (null match
+    // columns).  When the child schema proves k/ts non-nullable the extra
+    // branch is skipped entirely — zero plan change on the common path.
+    def nullable(df: DataFrame): Boolean =
+      df.schema("k").nullable || df.schema("ts").nullable
+    val lOk = if (nullable(l0))
+      l0.where(col("k").isNotNull && col("ts").isNotNull) else l0
+    val r = if (nullable(r0))
+      r0.where(col("k").isNotNull && col("ts").isNotNull) else r0
+    val joined = org.apache.spark.sql.GraftBridge.ofRows(spark,
+        graft.plans.AsOfJoin(lOk.queryExecution.analyzed,
           r.queryExecution.analyzed, forward = forward,
           toleranceUs = if (toleranceMs < 0) -1L else toleranceMs * 1000L,
           nearest = nearest))
       .select(col("left_id"), col("k"),
         timestamp_micros(col("ts")).as("ts"),
         col("matched_id"), col("matched_value"))
+    if (nullable(l0))
+      joined.unionByName(
+        l0.where(col("k").isNull || col("ts").isNull)
+          .select(col("left_id"), col("k"),
+            timestamp_micros(col("ts")).as("ts"),
+            lit(null).cast("long").as("matched_id"),
+            lit(null).cast("double").as("matched_value")))
+    else joined
   }
 
   /** Ordered funnel attribution: each key's events are time-ordered and

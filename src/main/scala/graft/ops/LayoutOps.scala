@@ -205,7 +205,7 @@ object LayoutOps {
   }
 
   private def commit(df: DataFrame, path: String,
-      carryPrevious: Boolean): Int = {
+      carryPrevious: Boolean, txn: Option[String] = None): Int = {
     val spark = df.sparkSession
     val v = latestVersion(spark, path) + 1
     val dataDir = s"$path/files/v$v"
@@ -216,18 +216,41 @@ object LayoutOps {
         val txt = new String(in.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
         in.close()
-        txt.split("\n").filter(_.nonEmpty).toSeq
+        txt.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
       } else Seq.empty
     val out = fs(spark, path).create(manifestPath(path, v), false)
-    out.write((prev :+ dataDir).mkString("\n")
+    out.write((txn.map(t => s"#txn:$t").toSeq ++ prev :+ dataDir)
+      .mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
     v
   }
 
-  /** Append commit: the new snapshot = previous snapshot + `df`. */
-  def commitAppend(df: DataFrame, path: String): Int =
-    commit(df, path, carryPrevious = true)
+  /** Append commit: the new snapshot = previous snapshot + `df`.  An
+    * optional `txn` id is recorded INSIDE the manifest (the atomic commit
+    * point), Delta-`txn`-style, so a writer can ask "did this logical
+    * write already land?" with no separate marker file and therefore no
+    * committed-but-unmarked crash window. */
+  def commitAppend(df: DataFrame, path: String,
+      txn: Option[String] = None): Int =
+    commit(df, path, carryPrevious = true, txn)
+
+  /** True iff some committed manifest carries `#txn:<txn>` — i.e. the
+    * logical write with this id is already part of the table.  O(number
+    * of versions) tiny manifest reads; no data files are touched. */
+  def txnCommitted(spark: SparkSession, path: String, txn: String): Boolean = {
+    val f = fs(spark, path)
+    (0 to latestVersion(spark, path)).exists { v =>
+      val mp = manifestPath(path, v)
+      f.exists(mp) && {
+        val in = f.open(mp)
+        val txt = new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        in.close()
+        txt.split("\n").contains(s"#txn:$txn")
+      }
+    }
+  }
 
   /** Overwrite commit: the new snapshot = `df` alone (old versions stay
     * readable — nothing is deleted). */
@@ -239,7 +262,7 @@ object LayoutOps {
     val in = fs(spark, path).open(manifestPath(path, v))
     val dirs = new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty)
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#"))
     in.close()
     spark.read.parquet(dirs.toIndexedSeq: _*)
   }
@@ -249,7 +272,7 @@ object LayoutOps {
     val in = fs(spark, path).open(manifestPath(path, v))
     val dirs = new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty).toSeq
+      .split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
     in.close()
     dirs
   }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
   AttributeReference, GenericInternalRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
-  Distribution, Partitioning}
+  Distribution, HashPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -133,12 +133,33 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
     left.output.take(3).map(SortOrder(_, Ascending)),
     right.output.take(3).map(SortOrder(_, Ascending)))
 
-  override def outputPartitioning: Partitioning = left.outputPartitioning
+  // the left child is hash-partitioned on ITS `k` attribute; downstream
+  // operators only see THIS node's output attributes, so the partitioning
+  // must be re-expressed in terms of output(1) (the k we emit) or it can
+  // never satisfy a downstream distribution requirement and a chained
+  // keyed op on k pays a needless shuffle
+  override def outputPartitioning: Partitioning = {
+    val remap: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Attribute] =
+      Map(left.output(0).exprId -> output(1),  // k
+          left.output(1).exprId -> output(2),  // ts
+          left.output(2).exprId -> output(0))  // left_id
+    left.outputPartitioning match {
+      case h: HashPartitioning
+          if h.references.forall(a => remap.contains(a.exprId)) =>
+        h.copy(expressions = h.expressions.map(_.transform {
+          case a: Attribute if remap.contains(a.exprId) => remap(a.exprId)
+        }))
+      case p => UnknownPartitioning(p.numPartitions)
+    }
+  }
 
-  // the merge emits left rows in their incoming order, so the left sort
-  // survives the operator
+  // the merge emits left rows in their incoming order — the left child is
+  // sorted (k, ts, left_id) ascending, and those columns map to
+  // output(1), output(2), output(0) of THIS node's schema.  Declaring the
+  // output-column order (left_id first) would let EnsureRequirements
+  // elide a downstream Sort on left_id that the data does not satisfy.
   override def outputOrdering: Seq[SortOrder] =
-    output.take(3).map(SortOrder(_, Ascending))
+    Seq(output(1), output(2), output(0)).map(SortOrder(_, Ascending))
 
   override protected def withNewChildrenInternal(newLeft: SparkPlan,
       newRight: SparkPlan): AsOfJoinExec =

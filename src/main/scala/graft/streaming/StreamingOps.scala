@@ -554,26 +554,27 @@ object StreamingOps {
     * same keys — idempotent by construction.  This is the
     * streaming→lakehouse integration a 100 TB ingest pipeline runs all
     * day: CDC in, queryable parquet out, no table format required. */
-  /** One micro-batch → one versioned-lake commit, exactly once: a marker
-    * file per batch id makes the foreachBatch replay after a restart a
-    * no-op (the checkpoint makes replays rare; the marker makes them
-    * harmless), and a half-committed data directory from a crash between
-    * data write and manifest write is swept before retrying.  Public so
-    * the replay invariant is directly testable. */
+  /** One micro-batch → one versioned-lake commit, exactly once: the batch
+    * id is recorded INSIDE the version manifest (`#txn:batch<id>`,
+    * Delta-`txn`-style), so the commit and its replay marker are ONE
+    * atomic manifest write — there is no window where the data is
+    * committed but the marker is missing (the flaw of a separate marker
+    * file written after the commit).  A foreachBatch replay after a
+    * restart first asks the manifest log whether this batch already
+    * landed; a half-committed data directory from a crash between data
+    * write and manifest write is swept before retrying.  Public so the
+    * replay invariant is directly testable. */
   def commitBatchIdempotent(batch: DataFrame, batchId: Long,
       path: String): Unit = {
     val spark = batch.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new org.apache.hadoop.fs.Path(s"$path/_batch$batchId.committed")
-    if (!fsys.exists(marker)) {
+    if (!graft.ops.LayoutOps.txnCommitted(spark, path, s"batch$batchId")) {
       val orphan = new org.apache.hadoop.fs.Path(
         s"$path/files/v${graft.ops.LayoutOps.latestVersion(spark, path) + 1}")
       if (fsys.exists(orphan)) fsys.delete(orphan, true)
-      val v = graft.ops.LayoutOps.commitAppend(batch, path)
-      val out = fsys.create(marker, false)
-      out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
+      graft.ops.LayoutOps.commitAppend(batch, path,
+        txn = Some(s"batch$batchId"))
     }
   }
 

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{EventOps, LayoutOps}
+import graft.streaming.StreamingOps
+
+/** Round-14 hardening of the native as-of join's declared physical
+  * properties and the lake sink's exactly-once commit. */
+class R14Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def rmr(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(rmr)); f.delete(); ()
+  }
+
+  // a non-nullable fixture (long keys/ts built from tuple columns) so the
+  // wrapper plans the bare AsOfJoin node with no null branch
+  private def fixture() = {
+    // left_id runs OPPOSITE to (k, ts): id 30 carries the smallest key —
+    // an ordering-on-left_id requirement is NOT satisfied by the join's
+    // emit order, so an elided downstream Sort would be observable
+    val left = Seq((30L, 1L, 100L), (20L, 2L, 100L), (10L, 3L, 100L),
+        (25L, 1L, 200L), (15L, 3L, 50L))
+      .toDF("event_id", "user_id", "tsl")
+    val right = Seq((7L, 1L, 90L, 1.5), (8L, 2L, 60L, 2.5),
+        (9L, 3L, 70L, 3.5))
+      .toDF("event_id", "user_id", "tsl", "value")
+    (left, right)
+  }
+
+  private def nativeJoin(left: org.apache.spark.sql.DataFrame,
+      right: org.apache.spark.sql.DataFrame) =
+    EventOps.asofJoinNative(left, col("event_id"), col("user_id"),
+      timestamp_micros(col("tsl")), right, col("event_id"), col("user_id"),
+      timestamp_micros(col("tsl")), col("value"))
+
+  test("AsOfJoinExec declares its TRUE output ordering (k, ts, left_id): " +
+      "a downstream sortWithinPartitions(left_id) is honored, not elided") {
+    val (left, right) = fixture()
+    val sorted = nativeJoin(left, right)
+      .repartition(1, col("k"))
+      .sortWithinPartitions("left_id")
+    val ids = sorted.select("left_id").as[Long].collect().toSeq
+    assert(ids == ids.sorted,
+      s"rows must come out sorted by left_id, got $ids")
+    // and the exec's declared ordering leads with the key column, not
+    // the first output column
+    val exec = sorted.queryExecution.executedPlan.collectFirst {
+      case e: graft.plans.AsOfJoinExec => e }
+    exec.foreach { e =>
+      assert(e.outputOrdering.head.child.asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.Attribute].name == "k")
+    }
+  }
+
+  test("AsOfJoinExec re-exposes hash partitioning on the OUTPUT k " +
+      "attribute: a chained groupBy(k) adds no exchange above the join") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (left, right) = fixture()
+      val agg = nativeJoin(left, right).groupBy("k")
+        .agg(count(lit(1)).as("n"), max("matched_value").as("mx"))
+      val plan = agg.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 2,
+        s"expected only the join's two child shuffles, got ${exchanges.size}:\n$plan")
+      // the partitioning the exec advertises references ITS OWN output
+      val exec = plan.collectFirst { case e: graft.plans.AsOfJoinExec => e }.get
+      val outIds = exec.output.map(_.exprId).toSet
+      val partRefs = exec.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.references.toSeq
+        case _ => fail("expected HashPartitioning from the left child")
+      }
+      assert(partRefs.forall(a => outIds.contains(a.exprId)),
+        "outputPartitioning must be expressed in output attributes")
+      // and the aggregation result is still correct
+      val m = agg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("asofJoinNative null semantics: null-keyed/null-ts left rows emit " +
+      "unmatched; null right rows never match") {
+    // java.lang.Long columns are nullable → the wrapper takes the guarded
+    // path
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val left = Seq(
+      (jl(1L), jl(10L), jl(100L)),
+      (jl(2L), null.asInstanceOf[java.lang.Long], jl(100L)), // null key
+      (jl(3L), jl(10L), null.asInstanceOf[java.lang.Long]),  // null ts
+      (jl(4L), jl(20L), jl(100L)))
+      .toDF("event_id", "user_id", "tsl")
+    val right = Seq(
+      (jl(7L), jl(10L), jl(90L), 1.5),
+      (jl(8L), null.asInstanceOf[java.lang.Long], jl(60L), 2.5), // null key
+      (jl(9L), jl(20L), null.asInstanceOf[java.lang.Long], 3.5)) // null ts
+      .toDF("event_id", "user_id", "tsl", "value")
+    val out = EventOps.asofJoinNative(left, col("event_id"),
+      col("user_id"), timestamp_micros(col("tsl")), right, col("event_id"),
+      col("user_id"), timestamp_micros(col("tsl")), col("value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(out.size == 4, "one row per left row, null-keyed included")
+    assert(out(1L) == 7L, "valid row matches the valid right row")
+    assert(out(2L) == -1L, "null-key left row emits unmatched")
+    assert(out(3L) == -1L, "null-ts left row emits unmatched")
+    assert(out(4L) == -1L,
+      "null-ts right row for key 20 must not match (dropped)")
+  }
+
+  test("commitBatchIdempotent survives a crash AFTER the commit with no " +
+      "separate-marker window: the batch id lives in the manifest itself") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lake4").toFile
+    val lake = s"$root/lake"
+    try {
+      val b = Seq((1L, "a")).toDF("id", "v")
+      // simulate: commitAppend landed (manifest written, txn recorded)
+      // and the process died immediately — under the old marker-file
+      // design this is the duplicate window
+      LayoutOps.commitAppend(b, lake, txn = Some("batch5"))
+      assert(LayoutOps.txnCommitted(spark, lake, "batch5"))
+      // the foreachBatch replay after restart must be a no-op
+      StreamingOps.commitBatchIdempotent(b, 5L, lake)
+      assert(LayoutOps.latestVersion(spark, lake) == 0)
+      assert(LayoutOps.readVersion(spark, lake, 0).count() == 1)
+      // txn header lines are invisible to readers and to vacuum
+      StreamingOps.commitBatchIdempotent(b, 6L, lake)
+      assert(LayoutOps.readVersion(spark, lake, 1).count() == 2)
+      LayoutOps.vacuum(spark, lake, keepFrom = 1)
+      assert(LayoutOps.readVersion(spark, lake, 1).count() == 2)
+    } finally rmr(root)
+  }
+}
