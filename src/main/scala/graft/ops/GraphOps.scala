@@ -86,28 +86,49 @@ object GraphOps {
     * coefficient 3·T / W — the "how cliquey is the co-engagement graph"
     * card.
     *
-    * The count joins the ordered edge list with itself twice — (a,b) ⋈
-    * (b,c) ⋈ (a,c) with a<b<c — so every triangle is found exactly once,
-    * the standard distributed formulation.  Join fan-out is bounded by
-    * per-vertex degree; at web scale, orient edges by (degree, id) first
-    * (the compact-forward trick) to cap the skewed-hub fan-out — the
-    * catalog-sized graphs here don't need it.  Everything is integer
-    * until the one final double division. */
+    * Counting uses the COMPACT-FORWARD orientation: every edge is pointed
+    * at its higher-(degree, id) endpoint, a wedge is two out-edges at one
+    * vertex, and a triangle is a wedge closed by an oriented edge —
+    * each triangle found exactly once at its lowest-(degree, id) corner.
+    * The wedge join's fan-out is Σ outdeg², and compact-forward bounds
+    * outdeg by O(√E) REGARDLESS of skew: a 10⁴-degree hub has out-degree
+    * ~√E because all its edges point AWAY from it toward rarer, higher-
+    * rank endpoints.  The naive id-ordered (a,b)⋈(b,c) formulation is
+    * Σ deg² and melts on exactly that hub.  Everything is integer until
+    * the one final double division. */
   def triangleCensus(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    // the ordered edge list feeds FOUR consumers (three join legs + the
-    // degree table) — persist it once instead of recomputing its lineage
-    // per branch (registered with CacheScope; the caller releases)
+    // the ordered edge list feeds the degree table and the orientation;
+    // persist it once instead of recomputing its lineage per branch
+    // (registered with CacheScope; the caller releases)
     val e = graft.core.CacheScope.persist(
       edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
         .where(col("a") < col("b")).distinct(), eager = true)
-    val tri = e
-      .join(e.select(col("a").as("b2"), col("b").as("c")),
-        col("b") === col("b2"))
-      .join(e.select(col("a").as("a3"), col("b").as("c3")),
-        col("a") === col("a3") && col("c") === col("c3"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
+    // orient: (a,b) becomes u→w with u ≺ w in (degree, id) order; carry
+    // the destination's rank so the wedge join can order out-neighbors
+    // without another degree join
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val o = graft.core.CacheScope.persist(
+      withDeg.select(
+        when(fwd, col("a")).otherwise(col("b")).as("u"),
+        when(fwd, col("b")).otherwise(col("a")).as("w"),
+        when(fwd, col("db")).otherwise(col("da")).as("dw")), eager = true)
+    // wedge at u between out-neighbors x ≺ y, closed by oriented (x, y)
+    val o2 = o.select(col("u").as("u2"), col("w").as("w2"),
+      col("dw").as("dw2"))
+    val wedgePairs = o.join(o2, col("u") === col("u2") &&
+        (col("dw") < col("dw2") ||
+          (col("dw") === col("dw2") && col("w") < col("w2"))))
+      .select(col("w").as("x"), col("w2").as("y"))
+    val tri = wedgePairs
+      .join(o.select(col("u").as("x"), col("w").as("y")),
+        Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
     val wedges = deg.agg(sum(col("d") * (col("d") - 1) / 2).cast("long")
       .as("n_wedges"))
     tri.crossJoin(wedges)
@@ -156,5 +177,67 @@ object GraphOps {
     counts.reduce { (l, r) =>
       l.join(r, "seed")
     }.orderBy("seed")
+  }
+
+  /** Approximate k-hop reachability census with BOUNDED state — the
+    * HyperANF formulation (Boldi, Rosa & Vigna, WWW'11): every vertex
+    * carries one mergeable HLL sketch of its ≤k-hop ball, and a hop is
+    * `ball_k(v) = ball_{k-1}(v) ∪ ⋃_{u∈N(v)} ball_{k-1}(u)` — one edge
+    * join + one sketch-union aggregate.  State is O(V · 2^lgK) BYTES no
+    * matter how dense the graph: on a small-diameter social graph where
+    * the exact [[kHopReach]]'s materialized (seed, v) reach set
+    * approaches O(V²) rows, the sketch path's per-hop work stays O(E)
+    * sketch merges.  This is the documented scale path for the exact
+    * operator; [[kHopReachAuto]] gates between them.
+    *
+    * Output schema matches [[kHopReach]] (seed, n1..nk); counts are HLL
+    * estimates (self excluded), within the sketch's standard error
+    * (~1.04/√2^lgK ≈ 2.6% at the default lgK=12) of the exact census.
+    * Deterministic: DataSketches HLL hashing and register-max merging are
+    * order-independent, so the result is stable under any partitioning. */
+  def kHopReachSketch(edges: DataFrame, src: Column, dst: Column,
+      hops: Int, lgK: Int = 12): DataFrame = {
+    val e = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val dir = graft.core.CacheScope.persist(
+      e.unionAll(e.select(col("b").as("a"), col("a").as("b"))).distinct(),
+      eager = true)
+    // ball_1(v) = {v} ∪ N(v): seeding the ball with v itself makes the
+    // recurrence pure union (no per-hop self-filter a sketch can't do);
+    // the final estimate subtracts the self member back out
+    var balls = graft.core.CacheScope.persist(
+      dir.select(col("a").as("v"), col("b").as("m"))
+        .unionAll(dir.select(col("a").as("v"), col("a").as("m")).distinct())
+        .groupBy("v").agg(hll_sketch_agg(col("m"), lit(lgK)).as("sk")),
+      eager = true)
+    def census(k: Int) = balls.select(col("v").as("seed"),
+      (hll_sketch_estimate(col("sk")) - 1L).as(s"n$k"))
+    val counts = (1 to hops).map { k =>
+      if (k > 1) {
+        balls = graft.core.CacheScope.persist(
+          dir.join(balls, dir("b") === balls("v"))
+            .select(dir("a").as("v"), col("sk"))
+            .unionByName(balls)
+            .groupBy("v").agg(hll_union_agg(col("sk")).as("sk")),
+          eager = true)
+      }
+      census(k)
+    }
+    counts.reduce { (l, r) => l.join(r, "seed") }.orderBy("seed")
+  }
+
+  /** Dual-plan gate for the k-hop census, mirroring the dedupClusters
+    * discipline: the exact distinct-pairs BFS while the (cheap, already-
+    * computed) directed edge count stays under `maxExactEdges`, the
+    * bounded-state HLL sketch path beyond it.  Both paths share the same
+    * output schema, so callers swap transparently at the crossover. */
+  def kHopReachAuto(edges: DataFrame, src: Column, dst: Column, hops: Int,
+      maxExactEdges: Long = 5000000L, lgK: Int = 12): DataFrame = {
+    val e = graft.core.CacheScope.persist(
+      edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+        .where(col("a") =!= col("b")), eager = true)
+    if (e.count() <= maxExactEdges)
+      kHopReach(e, col("a"), col("b"), hops)
+    else kHopReachSketch(e, col("a"), col("b"), hops, lgK)
   }
 }

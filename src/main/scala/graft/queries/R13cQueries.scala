@@ -38,18 +38,11 @@ object R13cQueries {
     // Triangle census of the co-engaged item graph: closed triangles,
     // wedges, global clustering coefficient — two self-joins on the
     // ordered edge list, degree-bounded fan-out
-    "graph_triangles" -> ((s, dir) => {
-      val item =
-        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
-          .cast("int")
-      val ui = Tables.events(s, dir)
-        .select(col("user_id").as("u"), item.as("item"))
-        .where(col("item").isNotNull).distinct()
-      val b = ui.select(col("u"), col("item").as("item_b"))
-      val pairs = ui.join(b, ui("u") === b("u") && col("item") < col("item_b"))
-        .select(col("item").as("src"), col("item_b").as("dst")).distinct()
-      GraphOps.triangleCensus(pairs, col("src"), col("dst"))
-    }),
+    "graph_triangles" -> ((s, dir) =>
+      // reads the tier-shared bucketed co-engagement layout (Tables
+      // .coEdges) — derived once per session, scanned by every graph query
+      GraphOps.triangleCensus(Tables.coEdges(s, dir),
+        col("src"), col("dst"))),
 
     // Ridge regression (normal equations) predicting line revenue from
     // quantity and discount: ONE pass of exact integer sufficient

@@ -14,33 +14,38 @@ object R13dQueries {
     // Audience-expansion radius: per item, the ≤1/≤2/≤3-hop neighborhood
     // sizes on the co-engaged item graph — BFS-by-joins, one join +
     // distinct per hop
-    "graph_reach" -> ((s, dir) => {
-      val item =
-        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
-          .cast("int")
-      val ui = Tables.events(s, dir)
-        .select(col("user_id").as("u"), item.as("item"))
-        .where(col("item").isNotNull).distinct()
-      val b = ui.select(col("u"), col("item").as("item_b"))
-      val pairs = ui.join(b, ui("u") === b("u") && col("item") < col("item_b"))
-        .select(col("item").as("src"), col("item_b").as("dst")).distinct()
-      GraphOps.kHopReach(pairs, col("src"), col("dst"), hops = 3)
+    "graph_reach" -> ((s, dir) =>
+      GraphOps.kHopReach(Tables.coEdges(s, dir),
+        col("src"), col("dst"), hops = 3)),
+
+    // The bounded-state HyperANF path checked AGAINST the exact census:
+    // per hop, the number of seeds and the number whose HLL estimate is
+    // within 15% (or ±2) of the exact count — the oracle asserts
+    // n_within == n_seeds, so any sketch drift beyond tolerance fails the
+    // gate.  This is the 100×-scale path for graph_reach (state is
+    // O(V · 2^lgK) bytes vs the exact path's O(Σ|N_k(v)|) rows).
+    "graph_reach_sketch" -> ((s, dir) => {
+      val edges = Tables.coEdges(s, dir)
+      val exact = GraphOps.kHopReach(edges, col("src"), col("dst"), hops = 3)
+      val sk = GraphOps.kHopReachSketch(edges, col("src"), col("dst"),
+        hops = 3)
+      val j = exact.alias("e").join(sk.alias("a"), "seed")
+      def hop(k: Int) = {
+        val e = col(s"e.n$k"); val a = col(s"a.n$k")
+        j.agg(count(lit(1)).as("n_seeds"),
+            sum(when(abs(a - e) <= greatest(lit(2.0), e * 0.15), 1L)
+              .otherwise(0L)).as("n_within"))
+          .select(lit(k).as("hop"), col("n_seeds"), col("n_within"))
+      }
+      hop(1).unionByName(hop(2)).unionByName(hop(3))
     }),
 
     // Degree distribution of the co-engaged item graph — the standard
     // "is this graph hub-skewed" card (and the gauge for when triangle
     // counting needs the compact-forward orientation)
     "graph_degree_hist" -> ((s, dir) => {
-      val item =
-        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
-          .cast("int")
-      val ui = Tables.events(s, dir)
-        .select(col("user_id").as("u"), item.as("item"))
-        .where(col("item").isNotNull).distinct()
-      val b = ui.select(col("u"), col("item").as("item_b"))
-      val e = ui.join(b, ui("u") === b("u") && col("item") < col("item_b"))
-        .select(col("item").as("a"), col("item_b").as("b")).distinct()
-      e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      val e = Tables.coEdges(s, dir)
+      e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v")))
         .groupBy("v").agg(count(lit(1)).as("d"))
         .groupBy("d").agg(count(lit(1)).as("n_vertices"))
     }),
@@ -59,16 +64,8 @@ object R13dQueries {
     // dual-path min-label machinery) → component-size histogram — the
     // "is the catalog one giant blob or many islands" card
     "graph_components" -> ((s, dir) => {
-      val item =
-        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
-          .cast("int")
-      val ui = Tables.events(s, dir)
-        .select(col("user_id").as("u"), item.as("item"))
-        .where(col("item").isNotNull).distinct()
-      val b = ui.select(col("u"), col("item").as("item_b"))
-      val pairs = ui.join(b, ui("u") === b("u") && col("item") < col("item_b"))
-        .select(col("item").as("doc_a"), col("item_b").as("doc_b"))
-        .distinct()
+      val pairs = Tables.coEdges(s, dir)
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))
       graft.ops.DedupOps.dedupClusters(pairs)
         .groupBy("keeper_id").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("component_size"))
@@ -116,6 +113,32 @@ object R13dQueries {
         |JOIN (SELECT seed, count(*)::BIGINT AS n2 FROM r2 GROUP BY 1) c2 USING (seed)
         |JOIN (SELECT seed, count(*)::BIGINT AS n3 FROM r3 GROUP BY 1) c3 USING (seed)
         |ORDER BY seed""".stripMargin,
+
+    // the oracle replays the EXACT census and asserts every seed's sketch
+    // estimate was within tolerance: n_within must equal n_seeds per hop
+    "graph_reach_sketch" ->
+      """WITH ui AS (SELECT DISTINCT user_id AS u,
+        |    json_extract_string(props, '$.k')::INT AS item
+        |  FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |p AS (SELECT DISTINCT a.item AS a, b.item AS b
+        |  FROM ui a JOIN ui b ON a.u = b.u AND a.item < b.item),
+        |dir AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+        |r1 AS (SELECT DISTINCT a AS seed, b AS v FROM dir),
+        |r2 AS (SELECT DISTINCT seed, v FROM (
+        |    SELECT seed, v FROM r1
+        |    UNION SELECT r1.seed, d.b AS v FROM r1 JOIN dir d ON r1.v = d.a)
+        |  WHERE v <> seed),
+        |r3 AS (SELECT DISTINCT seed, v FROM (
+        |    SELECT seed, v FROM r2
+        |    UNION SELECT r2.seed, d.b AS v FROM r2 JOIN dir d ON r2.v = d.a)
+        |  WHERE v <> seed),
+        |s1 AS (SELECT seed FROM r1 GROUP BY 1),
+        |s2 AS (SELECT seed FROM r2 GROUP BY 1),
+        |s3 AS (SELECT seed FROM r3 GROUP BY 1)
+        |SELECT 1 AS hop, count(*)::BIGINT AS n_seeds,
+        |  count(*)::BIGINT AS n_within FROM s1
+        |UNION ALL SELECT 2, count(*)::BIGINT, count(*)::BIGINT FROM s2
+        |UNION ALL SELECT 3, count(*)::BIGINT, count(*)::BIGINT FROM s3""".stripMargin,
 
     "graph_degree_hist" ->
       """WITH ui AS (SELECT DISTINCT user_id AS u,

@@ -24,6 +24,38 @@ private[queries] object Tables {
     * at session build, but it is (idempotently) re-asserted here so the
     * loader stays correct under any caller-provided session (specs build
     * their own). */
+  /** The co-engagement item graph derived from events — the shared input
+    * of the whole graph tier (reach, degree histogram, components,
+    * triangles).  The expensive part is the user×item self-join; it runs
+    * ONCE per (JVM, dir) and lands as a bucketed-by-src parquet layout
+    * ([[graft.ops.LayoutOps.writeBucketed]]), so every graph query scans
+    * one committed table instead of re-deriving pairs from the events
+    * fact — at 100 TB the derivation dominates each graph query and this
+    * amortizes it across the tier (and the bucket spec makes src-keyed
+    * joins exchange-free on the scan side). */
+  def coEdges(s: SparkSession, dir: String): DataFrame = {
+    val name = coEdgeTables.getOrElseUpdate(dir, {
+      val tbl = "graft_co_edges_" + java.lang.Integer.toHexString(
+        dir.hashCode).replace('-', '0')
+      val item =
+        nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
+          .cast("int")
+      val ui = events(s, dir)
+        .select(col("user_id").as("u"), item.as("item"))
+        .where(col("item").isNotNull).distinct()
+      val b = ui.select(col("u"), col("item").as("item_b"))
+      val pairs = ui
+        .join(b, ui("u") === b("u") && col("item") < col("item_b"))
+        .select(col("item").as("src"), col("item_b").as("dst")).distinct()
+      graft.ops.LayoutOps.writeBucketed(pairs, "src", 8, tbl,
+        s"${System.getProperty("java.io.tmpdir")}/graft_layout/$tbl")
+      tbl
+    })
+    s.table(name)
+  }
+  private val coEdgeTables =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
