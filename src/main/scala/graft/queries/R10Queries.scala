@@ -20,18 +20,31 @@ object R10Queries {
 
   import Tables.emb
 
+  /** Target in-cell population for the semantic-dedup quantizer: cells
+    * grow ∝ corpus (k = ⌈n/TargetCell⌉, floor 8) so the in-cell pair
+    * stage stays O(n · TargetCell) — LINEAR in corpus size — instead of
+    * the O(n²/k) quadratic a fixed cell count degenerates to.  The
+    * centroid set stays the deterministic `vec_id < k` prefix, so DuckDB
+    * replays the assignment exactly at ANY scale (the learned-kmeans
+    * front end, [[graft.ops.MlOps.kmeansFit]], is the production
+    * quantizer and is spec-covered). */
+  private val TargetCell = 64L
+
   /** The fixed-centroid cluster assignment shared by the semantic-dedup
-    * queries: (vec_id, cluster). */
+    * queries: (vec_id, cluster), with corpus-proportional cell count. */
   private def ivfClusters(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    val k = math.max(8L, math.ceil(e.count() / TargetCell.toDouble).toLong)
     SimilarityOps.ivfAssign(e, col("embedding"), col("vec_id"),
-      e.where(col("vec_id") < 8), col("embedding"), col("vec_id"))
+      e.where(col("vec_id") < k), col("embedding"), col("vec_id"))
       .select(col("vec_id"), col("centroid_id").as("cluster"))
   }
 
-  /** The ivfAssign CTE prefix shared by the semantic oracle SQL. */
+  /** The ivfAssign CTE prefix shared by the semantic oracle SQL — the
+    * centroid count mirrors [[ivfClusters]]'s ⌈n/TargetCell⌉ (floor 8). */
   private val AsgSql =
-    """c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 8),
+    """c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings
+      |  WHERE vec_id < greatest(8, ceil((SELECT count(*) FROM embeddings) / 64.0))),
       |s AS (
       |  SELECT e.vec_id, c.centroid_id,
       |    round(
@@ -115,8 +128,10 @@ object R10Queries {
       val shard = d.where(col("doc_id") % 2 === 1)
       val idx = R9Queries.runTmp + "/wn_index_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
-      DedupOps.winnowIndexWrite(indexed, col("text"), col("doc_id"), idx,
-        k = 25, w = 4)
+      IndexBuilds.once(s"dd_incremental_winnow:$dir") {
+        DedupOps.winnowIndexWrite(indexed, col("text"), col("doc_id"), idx,
+          k = 25, w = 4)
+      }
       DedupOps.winnowCandidatesAgainst(idx, shard, col("text"),
         col("doc_id"), k = 25, w = 4, maxDocFreq = 100, minSharedFps = 2)
     }),

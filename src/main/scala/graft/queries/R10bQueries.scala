@@ -113,8 +113,10 @@ object R10bQueries {
       val d = Tables.docs(s, dir)
       val idx = R9Queries.runTmp + "/ex_index_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
-      graft.ops.DedupOps.exactIndexWrite(
-        d.where(col("doc_id") % 2 === 0), col("text"), col("doc_id"), idx)
+      IndexBuilds.once(s"dd_incremental_exact:$dir") {
+        graft.ops.DedupOps.exactIndexWrite(
+          d.where(col("doc_id") % 2 === 0), col("text"), col("doc_id"), idx)
+      }
       val shard = d.where(col("doc_id") % 2 === 0 && col("doc_id") < 100)
         .select((col("doc_id") + 10000).as("doc_id"), col("text"))
         .unionByName(

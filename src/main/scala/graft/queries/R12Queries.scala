@@ -90,8 +90,10 @@ object R12Queries {
       val e = Tables.emb(s, dir)
       val idx = R9Queries.runTmp + "/knnj_index_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
-      SimilarityOps.ivfIndexWrite(e, col("embedding"), col("vec_id"),
-        e.where(col("vec_id") < 32), col("embedding"), col("vec_id"), idx)
+      IndexBuilds.once(s"sim_knn_join_persisted:$dir") {
+        SimilarityOps.ivfIndexWrite(e, col("embedding"), col("vec_id"),
+          e.where(col("vec_id") < 32), col("embedding"), col("vec_id"), idx)
+      }
       SimilarityOps.knnJoinIvfIndex(s, idx, e, col("embedding"),
         col("vec_id"), k = 3, nprobe = 2)
     }),
@@ -104,9 +106,11 @@ object R12Queries {
       val e = Tables.emb(s, dir)
       val idx = R9Queries.runTmp + "/ivfpq_index_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
-      SimilarityOps.ivfPqIndexWrite(e, col("embedding"), col("vec_id"),
-        e.where(col("vec_id") < 8), col("embedding"), col("vec_id"),
-        pqCodebooks(s, dir), m = 4, subDim = 16, idx)
+      IndexBuilds.once(s"sim_ivfpq_persisted:$dir") {
+        SimilarityOps.ivfPqIndexWrite(e, col("embedding"), col("vec_id"),
+          e.where(col("vec_id") < 8), col("embedding"), col("vec_id"),
+          pqCodebooks(s, dir), m = 4, subDim = 16, idx)
+      }
       SimilarityOps.ivfPqSearchIndex(s, idx,
         e.where(col("vec_id") < 10), col("embedding"), col("vec_id"),
         k = 5, subDim = 16, nprobe = 2)

@@ -37,8 +37,10 @@ object R12eQueries {
       val e = Tables.emb(s, dir)
       val idx = R9Queries.runTmp + "/emb_index_" +
         dir.replaceAll("[^A-Za-z0-9]", "_")
-      DedupOps.embIndexWrite(e.where(col("vec_id") % 2 === 0),
-        col("embedding"), col("vec_id"), dims = 64, idx)
+      IndexBuilds.once(s"dd_incremental_embed:$dir") {
+        DedupOps.embIndexWrite(e.where(col("vec_id") % 2 === 0),
+          col("embedding"), col("vec_id"), dims = 64, idx)
+      }
       DedupOps.embCandidatesAgainst(idx, e.where(col("vec_id") % 2 === 1),
         col("embedding"), col("vec_id"), dims = 64, minCosine = 0.4)
     }),

@@ -153,8 +153,10 @@ object R9Queries {
       // under the per-run scratch root (no cross-process races); the full
       // sanitized dir keeps distinct data dirs from colliding within a run
       val idx = runTmp + "/ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      SimilarityOps.ivfIndexWrite(e, col("embedding"), col("vec_id"),
-        e.where(col("vec_id") < 8), col("embedding"), col("vec_id"), idx)
+      IndexBuilds.once(s"sim_ivf_persisted:$dir") {
+        SimilarityOps.ivfIndexWrite(e, col("embedding"), col("vec_id"),
+          e.where(col("vec_id") < 8), col("embedding"), col("vec_id"), idx)
+      }
       // the drift-proof overload: probes with the index's OWN quantizer
       SimilarityOps.ivfSearchIndex(s, idx,
         e.where(col("vec_id") >= 8 && col("vec_id") < 13),
@@ -169,7 +171,9 @@ object R9Queries {
       val indexed = d.where(col("doc_id") % 2 === 0)
       val shard = d.where(col("doc_id") % 2 === 1)
       val idx = runTmp + "/mh_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
-      DedupOps.minhashIndexWrite(indexed, col("text"), col("doc_id"), idx)
+      IndexBuilds.once(s"dd_incremental:$dir") {
+        DedupOps.minhashIndexWrite(indexed, col("text"), col("doc_id"), idx)
+      }
       DedupOps.minhashCandidatesAgainst(idx, shard, col("text"), col("doc_id"))
     })
   )
