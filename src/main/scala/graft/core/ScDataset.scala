@@ -175,6 +175,48 @@ final case class ScDataset(
       def next(): Row = it.next()
     }
   }
+
+  /** [[toBatches]] with ASYNC READ-AHEAD: a daemon producer thread drains
+    * Spark's batch iterator into a bounded queue of `prefetch` batches
+    * while the consumer trains on the current one, so fetch latency
+    * overlaps compute instead of serializing with it — the reference's
+    * `prefetch_factor` pipelining (reference README.md:156-164,
+    * src/scdataset/auto_config.py:470-471: prefetch = fetch_factor + 1,
+    * the default here).  Batch order and content are identical to
+    * [[toBatches]] (the queue preserves producer order); a producer-side
+    * failure re-throws in the consumer at the point it is observed.  The
+    * queue bound means at most `prefetch` materialized batches exist
+    * beyond the one being consumed — same memory envelope the reference's
+    * DataLoader prefetch holds. */
+  def toBatchesPrefetched(epoch: Int, cols: Seq[String],
+      prefetch: Int = 0): Iterator[Row] = {
+    val depth = if (prefetch > 0) prefetch else fetchFactor + 1
+    val src = toBatchFrame(epoch, cols).orderBy(col("batch_id"))
+      .toLocalIterator()
+    val queue = new java.util.concurrent.ArrayBlockingQueue[AnyRef](depth)
+    val done = new Object
+    @volatile var err: Throwable = null
+    val t = new Thread(() => {
+      try { while (src.hasNext) queue.put(src.next()) }
+      catch { case e: Throwable => err = e }
+      finally queue.put(done)
+    }, "graft-batch-prefetch")
+    t.setDaemon(true)
+    t.start()
+    new Iterator[Row] {
+      private var staged: AnyRef = queue.take()
+      def hasNext: Boolean = {
+        if (staged eq done) { if (err != null) throw err; false }
+        else true
+      }
+      def next(): Row = {
+        if (!hasNext) throw new NoSuchElementException("exhausted")
+        val r = staged.asInstanceOf[Row]
+        staged = queue.take()
+        r
+      }
+    }
+  }
 }
 
 object ScDataset {

@@ -149,23 +149,39 @@ object MultimodalOps {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  def stubDecode(df: DataFrame, payload: Column, id: Column,
-      dim: Int = 8): Dataset[MediaFeatures] = {
+  /** The codec SEAM: a decode kernel maps (doc id, raw payload bytes) to
+    * one decoded record — width/height plus the fixed-width feature grid.
+    * Production swaps ONE serializable function here (a JNI / imageio /
+    * ffmpeg call); every downstream stage — [[aHash]],
+    * [[aHashBandedPairs]], [[stubResize]], frame dedup — consumes only
+    * the record and is untouched by the swap (R14SeamSpec drives an
+    * alternative kernel through decode→aHash→near-dup to prove it). */
+  type DecodeKernel = (Long, Array[Byte]) => MediaFeatures
+
+  /** Decode through an arbitrary kernel: per-partition batched iteration
+    * (the Scala analogue of `mapInPandas` batch shape), narrow map, no
+    * shuffle — the payload bytes never leave the executor that read
+    * them. */
+  def decodeWith(df: DataFrame, payload: Column, id: Column,
+      kernel: DecodeKernel): Dataset[MediaFeatures] = {
     val in = df.select(id.cast("long").as("doc_id"), payload.as("p"))
     implicit val enc = Encoders.product[MediaFeatures]
-    in.mapPartitions { rows =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      rows.map { r =>
-        val docId = r.getLong(0)
-        val bytes = r.getAs[Array[Byte]](1)
-        // ??? real decode goes here; deterministic fake below
-        val digest = md.digest(bytes)
-        val feats = Array.tabulate(dim) { j =>
-          (digest(j % 16) & 0xff) / 255.0 }
-        MediaFeatures(docId, bytes.length.toLong,
-          width = 64 + (digest(0) & 0x3f), height = 64 + (digest(1) & 0x3f),
-          features = feats)
-      }
-    }
+    in.mapPartitions(_.map(r =>
+      kernel(r.getLong(0), r.getAs[Array[Byte]](1))))
   }
+
+  /** SYNTHETIC stand-in kernel — not a real codec (none exists in this
+    * container): features are a deterministic md5-derived fake with the
+    * REAL record shape.  Marked synthetic in SURVEY §2.8; unshippable as
+    * a decoder, shippable as the seam's reference implementation. */
+  def stubKernel(dim: Int = 8): DecodeKernel = (docId, bytes) => {
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    MediaFeatures(docId, bytes.length.toLong,
+      width = 64 + (digest(0) & 0x3f), height = 64 + (digest(1) & 0x3f),
+      features = Array.tabulate(dim)(j => (digest(j % 16) & 0xff) / 255.0))
+  }
+
+  def stubDecode(df: DataFrame, payload: Column, id: Column,
+      dim: Int = 8): Dataset[MediaFeatures] =
+    decodeWith(df, payload, id, stubKernel(dim))
 }

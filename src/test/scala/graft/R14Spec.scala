@@ -114,6 +114,37 @@ class R14Spec extends AnyFunSuite {
       "null-ts right row for key 20 must not match (dropped)")
   }
 
+  test("toBatchesPrefetched yields batches identical in order and content " +
+      "to toBatches, and overlaps fetch with consumption") {
+    import graft.core._
+    val base = spark.range(20000L).toDF("k")
+      .withColumn("label", pmod(col("k"), lit(3)))
+    val sc = ScCollection.fromDataFrame(base, col("k"))
+    val ds = ScDataset(sc, BlockShuffling(blockSize = 256), batchSize = 500,
+      fetchFactor = 2, seed = 42L)
+    val plain = ds.toBatches(0, Seq("k")).map(_.toString).toVector
+    val pre = ds.toBatchesPrefetched(0, Seq("k")).map(_.toString).toVector
+    assert(pre == plain, "prefetched stream must be batch-for-batch equal")
+    // overlap: with a slow consumer (25 ms/batch), the producer works
+    // ahead during the sleeps, so nearly every next() returns instantly
+    // instead of paying a fetch stall at partition boundaries
+    val it = ds.toBatchesPrefetched(0, Seq("k"), prefetch = 4)
+    var slow = 0; var n = 0
+    while (it.hasNext) {
+      val t0 = System.nanoTime()
+      it.next()
+      if ((System.nanoTime() - t0) / 1e6 > 10.0) slow += 1
+      n += 1
+      Thread.sleep(25)
+    }
+    assert(n == plain.size)
+    // the first next() legitimately waits for the first batch; beyond
+    // that, stalls mean the producer is NOT running ahead
+    assert(slow <= math.max(2, n / 5),
+      s"$slow of $n nexts stalled >10ms — prefetch is not overlapping")
+    graft.core.CacheScope.release()
+  }
+
   test("commitBatchIdempotent survives a crash AFTER the commit with no " +
       "separate-marker window: the batch id lives in the manifest itself") {
     val root = java.nio.file.Files.createTempDirectory("graft-lake4").toFile
