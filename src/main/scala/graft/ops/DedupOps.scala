@@ -1534,7 +1534,15 @@ object DedupOps {
     *
     * Deterministic for fixed input+seed on both k-means regimes; pin
     * `requireLocal` semantics via `maxDriverRows` if downstream checks
-    * replay the exact arithmetic (see [[MlOps.kmeansFit]]). */
+    * replay the exact arithmetic (see [[MlOps.kmeansFit]]).
+    *
+    * Cost envelope: with cells ∝ corpus (k = n/cell, the parameterization
+    * that keeps the PAIR stage linear), the flat nearest-centroid
+    * assignment is O(n·k) = O(n²/cell) — the dominant term at true
+    * 100× scale.  When cluster structure is not required, prefer the
+    * SRP-banded embedding tier ([[embCandidates]] /
+    * [[embCandidatesAgainst]]): candidate generation by band collision is
+    * O(n·bands) with NO centroid scan, the linear-time scale path. */
   def semanticDedup(df: DataFrame, vec: Column, id: Column, k: Int,
       minCosine: Double, seed: Long = 42L, maxIter: Int = 10,
       maxDriverRows: Long = 200000L): DataFrame = {

@@ -57,4 +57,22 @@ class R14IngestSpec extends AnyFunSuite {
     assert(vars.where(col("var_name").startsWith("GENE")).count() == 50L)
     CacheScope.release()
   }
+
+  test("converted HF-Arrow dataset reads through ScCollection.fromParquet " +
+      "with positional row ids preserved across files") {
+    import scala.sys.process._
+    val out = java.nio.file.Files.createTempDirectory("graft-hfarrow").toFile
+    val rc = Seq("python3", "/root/repo/tools/hf_arrow_to_parquet.py",
+      "--selftest", out.toString).!
+    assert(rc == 0, "arrow converter selftest must succeed")
+    val sc = ScCollection.fromParquet(spark, s"$out/docs.parquet",
+      Seq("row_idx"))
+    assert(sc.df.count() == 100L)
+    // global positional ids in file order → rowId == row_id, and the
+    // per-file label sequence survives the concatenation in order
+    assert(sc.df.where(col(ScCollection.RowId) =!= col("row_idx"))
+      .count() == 0L)
+    assert(sc.df.where(col("label") =!= col("row_idx")).count() == 0L)
+    CacheScope.release()
+  }
 }

@@ -228,7 +228,7 @@ object XScaleBench {
       "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15",
       "tpch_q16", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q20",
       "tpch_q21", "tpch_q22", "ev_asof_native", "graph_triangles",
-      "ml_ridge", "tpch_q6_sql", "graph_reach", "a1_unpivot", "ev_funnel_windowed", "ev_sessions_native", "ml_logreg", "ev_asof_forward", "ev_asof_tolerance", "ev_asof_nearest", "graph_degree_hist", "ev_item_session_cooc", "graph_components", "ev_rfm", "ml_cv_accuracy", "ml_kmeans_lloyd", "ml_kmeans_inertia",
+      "ml_ridge", "tpch_q6_sql", "graph_reach", "graph_reach_sketch", "a1_unpivot", "ev_funnel_windowed", "ev_sessions_native", "ml_logreg", "ev_asof_forward", "ev_asof_tolerance", "ev_asof_nearest", "graph_degree_hist", "ev_item_session_cooc", "graph_components", "ev_rfm", "ml_cv_accuracy", "ml_kmeans_lloyd", "ml_kmeans_inertia",
       "emb_centroids", "sim_ivf_persisted",
       "sim_lsh_buckets", "dd_embed_lsh", "stream_tumbling", "stream_sliding",
       "stream_sessions", "stream_first_events", "u8_label_encode",
