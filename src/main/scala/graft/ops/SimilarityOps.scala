@@ -111,6 +111,58 @@ object SimilarityOps {
         col("best.cos").as("cos"))
   }
 
+  /** Two-level (coarse → fine) centroid assignment — the O(n·√k) scale
+    * path for corpus-proportional quantizers, where the flat
+    * [[ivfAssign]]'s every-vector×every-centroid scan is O(n·k) =
+    * O(n²/cell) and becomes the dominant quadratic term (the pair stage
+    * itself is linear once cells ∝ corpus).
+    *
+    * Shape: (1) each FINE centroid routes to its `probe` nearest coarse
+    * cells (k×K₁ work, both sets broadcast); (2) each vector picks its
+    * nearest COARSE cell (n×K₁); (3) the vector scores only the fine
+    * centroids routed to its coarse cell (n × ~probe·k/K₁).  With
+    * K₁ ≈ √k the total is O(n·√k·probe).  `coarseC` must be a SUBSET of
+    * `centroids` (e.g. the id-prefix), so every coarse cell holds at
+    * least its own centroid and no vector is left candidate-less.
+    *
+    * Approximate: a vector whose true nearest fine centroid routed only
+    * to coarse cells the vector did not pick resolves to the best
+    * candidate it does see; raise `probe` for recall.  Deterministic and
+    * SQL-replayable: 6-dp rounded cosine, (max cos, min id) tie-breaks at
+    * every stage — the `sim_assign2_agree` oracle replays both paths and
+    * the agreement count exactly. */
+  def ivfAssignTwoLevel(corpus: DataFrame, vec: Column, id: Column,
+      centroids: DataFrame, cvec: Column, cid: Column,
+      coarseC: DataFrame, probe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ct = centroids.select(cid.cast("long").as("centroid_id"),
+      cvec.as("cv"))
+    val co = coarseC.select(cid.cast("long").as("coarse_id"), cvec.as("gv"))
+    // fine centroid -> its `probe` nearest coarse cells (tiny × tiny: the
+    // window sorts k·K1 rows, a broadcast-scale set)
+    val routes = ct.crossJoin(broadcast(co))
+      .select(col("centroid_id"), col("cv"), col("coarse_id"),
+        round(cosine(col("cv"), col("gv")), 6).as("rcos"))
+      .withColumn("rn", row_number().over(Window.partitionBy("centroid_id")
+        .orderBy(col("rcos").desc, col("coarse_id"))))
+      .where(col("rn") <= probe)
+      .select(col("coarse_id"), col("centroid_id"), col("cv"))
+    // vector -> nearest coarse cell (n × K1)
+    val v2c = ivfAssign(corpus, vec, id, coarseC, cvec, cid)
+      .select(col("vec_id"), col("centroid_id").as("coarse_id"))
+    // fine scoring against the routed candidates only
+    corpus.select(id.as("vec_id"), vec.as("v"))
+      .join(v2c, "vec_id")
+      .join(broadcast(routes), "coarse_id")
+      .select(col("vec_id"), col("centroid_id"),
+        round(cosine(col("v"), col("cv")), 6).as("cos"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("centroid_id"), col("cos")),
+        struct(col("cos"), negate(col("centroid_id")))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        col("best.cos").as("cos"))
+  }
+
   /** Stateless form of [[ivfAssign]]: the centroid set is a driver-held
     * literal (an IVF codebook is k·dim floats — kilobytes), so the argmax
     * is a pure per-row expression over an inline array — no join, no
