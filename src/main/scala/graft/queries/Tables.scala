@@ -47,8 +47,13 @@ private[queries] object Tables {
       val pairs = ui
         .join(b, ui("u") === b("u") && col("item") < col("item_b"))
         .select(col("item").as("src"), col("item_b").as("dst")).distinct()
+      // under the warehouse dir, NOT java.io.tmpdir: the warehouse is
+      // shared storage on a real cluster (executors must all reach the
+      // bucketed files), local ./spark-warehouse in local mode
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
       graft.ops.LayoutOps.writeBucketed(pairs, "src", 8, tbl,
-        s"${System.getProperty("java.io.tmpdir")}/graft_layout/$tbl")
+        s"$wh/graft_layout/$tbl")
       tbl
     })
     s.table(name)
