@@ -187,7 +187,9 @@ final case class ScDataset(
     * failure re-throws in the consumer at the point it is observed.  The
     * queue bound means at most `prefetch` materialized batches exist
     * beyond the one being consumed — same memory envelope the reference's
-    * DataLoader prefetch holds. */
+    * DataLoader prefetch holds.  Abandoning the iterator mid-drain parks
+    * the producer on its bounded queue until the JVM exits (it is a
+    * daemon thread); drain to exhaustion for prompt cleanup. */
   def toBatchesPrefetched(epoch: Int, cols: Seq[String],
       prefetch: Int = 0): Iterator[Row] = {
     val depth = if (prefetch > 0) prefetch else fetchFactor + 1

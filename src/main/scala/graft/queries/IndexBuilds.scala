@@ -15,8 +15,11 @@ private[graft] object IndexBuilds {
   private val done = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   /** Run `build` at most once per `key` (idempotent rebuild guard — the
-    * same key always derives the same index from the same inputs). */
-  def once(key: String)(build: => Unit): Unit = {
+    * same key always derives the same index from the same inputs).
+    * Synchronized: TrieMap.getOrElseUpdate may evaluate the thunk twice
+    * under contention, and a doubled DROP TABLE + write race would
+    * corrupt the layout. */
+  def once(key: String)(build: => Unit): Unit = synchronized {
     done.getOrElseUpdate(key, {
       val t0 = System.nanoTime()
       build

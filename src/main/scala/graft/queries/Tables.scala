@@ -34,7 +34,9 @@ private[queries] object Tables {
     * amortizes it across the tier (and the bucket spec makes src-keyed
     * joins exchange-free on the scan side). */
   def coEdges(s: SparkSession, dir: String): DataFrame = {
-    val name = coEdgeTables.getOrElseUpdate(dir, {
+    // synchronized: a doubled getOrElseUpdate thunk would race the
+    // DROP TABLE + bucketed write
+    val name = coEdgeTables.synchronized(coEdgeTables.getOrElseUpdate(dir, {
       val tbl = "graft_co_edges_" + java.lang.Integer.toHexString(
         dir.hashCode).replace('-', '0')
       val item =
@@ -55,7 +57,7 @@ private[queries] object Tables {
       graft.ops.LayoutOps.writeBucketed(pairs, "src", 8, tbl,
         s"$wh/graft_layout/$tbl")
       tbl
-    })
+    }))
     s.table(name)
   }
   private val coEdgeTables =
