@@ -91,13 +91,19 @@ object EventOps {
     // ascending-merge invariant.  Enforce the SQL null semantics in the
     // wrapper instead: null-keyed/null-ts right rows can never match
     // (drop), null-keyed/null-ts left rows emit unmatched (null match
-    // columns).  When the child schema proves k/ts non-nullable the extra
-    // branch is skipped entirely — zero plan change on the common path.
-    def nullable(df: DataFrame): Boolean =
-      df.schema("k").nullable || df.schema("ts").nullable
-    val lOk = if (nullable(l0))
+    // columns).  A nullable SCHEMA does not mean nulls EXIST (parquet
+    // columns are nullable by default), and the guarded union plan costs
+    // a second left scan and forfeits the exec's declared partitioning —
+    // so probe the DATA once (parquet footer null-counts make the IsNull
+    // scan metadata-cheap, limit-1 terminates it) and keep the clean
+    // single-scan plan for the null-free common case.
+    def hasNulls(df: DataFrame): Boolean =
+      (df.schema("k").nullable || df.schema("ts").nullable) &&
+        !df.where(col("k").isNull || col("ts").isNull).isEmpty
+    val lHasNulls = hasNulls(l0)
+    val lOk = if (lHasNulls)
       l0.where(col("k").isNotNull && col("ts").isNotNull) else l0
-    val r = if (nullable(r0))
+    val r = if (hasNulls(r0))
       r0.where(col("k").isNotNull && col("ts").isNotNull) else r0
     val joined = org.apache.spark.sql.GraftBridge.ofRows(spark,
         graft.plans.AsOfJoin(lOk.queryExecution.analyzed,
@@ -107,7 +113,7 @@ object EventOps {
       .select(col("left_id"), col("k"),
         timestamp_micros(col("ts")).as("ts"),
         col("matched_id"), col("matched_value"))
-    if (nullable(l0))
+    if (lHasNulls)
       joined.unionByName(
         l0.where(col("k").isNull || col("ts").isNull)
           .select(col("left_id"), col("k"),

@@ -297,6 +297,28 @@ object LayoutOps {
       .filter(v => f.exists(manifestPath(path, v)))
     val dropped = present
       .flatMap(v => manifestDirs(spark, path, v)).toSet -- keep
+    // the dropped manifests may carry #txn idempotency markers
+    // (commitBatchIdempotent); deleting them would re-open the
+    // duplicate-commit window for a replay from an old checkpoint.
+    // Fold every dropped txn line into the oldest KEPT manifest before
+    // deleting, so txnCommitted still sees the full commit history.
+    def readLines(v: Int): Seq[String] = {
+      val in = f.open(manifestPath(path, v))
+      val txt = new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      in.close()
+      txt.split("\n").filter(_.nonEmpty).toSeq
+    }
+    val droppedTxns = present.flatMap(readLines)
+      .filter(_.startsWith("#txn:")).distinct
+    if (droppedTxns.nonEmpty) {
+      val keepLines = readLines(keepFrom)
+      val merged = (droppedTxns ++ keepLines).distinct
+      val out = f.create(manifestPath(path, keepFrom), true)
+      out.write(merged.mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+    }
     dropped.foreach(d =>
       f.delete(new org.apache.hadoop.fs.Path(d), true))
     present.foreach(v => f.delete(manifestPath(path, v), false))

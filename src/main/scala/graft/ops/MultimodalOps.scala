@@ -174,8 +174,17 @@ object MultimodalOps {
     * container): features are a deterministic md5-derived fake with the
     * REAL record shape.  Marked synthetic in SURVEY §2.8; unshippable as
     * a decoder, shippable as the seam's reference implementation. */
+  // one MessageDigest per executor thread, not per record (digest()
+  // resets state, so reuse is safe) — the hot-path cost the old
+  // per-partition instance paid once
+  private lazy val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   def stubKernel(dim: Int = 8): DecodeKernel = (docId, bytes) => {
-    val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val digest = md5Local.get().digest(bytes)
     MediaFeatures(docId, bytes.length.toLong,
       width = 64 + (digest(0) & 0x3f), height = 64 + (digest(1) & 0x3f),
       features = Array.tabulate(dim)(j => (digest(j % 16) & 0xff) / 255.0))

@@ -127,10 +127,14 @@ object SimilarityOps {
     *
     * Approximate: a vector whose true nearest fine centroid routed only
     * to coarse cells the vector did not pick resolves to the best
-    * candidate it does see; raise `probe` for recall.  Deterministic and
-    * SQL-replayable: 6-dp rounded cosine, (max cos, min id) tie-breaks at
-    * every stage — the `sim_assign2_agree` oracle replays both paths and
-    * the agreement count exactly. */
+    * candidate it does see; raise `probe` for recall.  Every coarse cell
+    * additionally routes to ITSELF (identity routes), so no cell is
+    * candidate-less even when 6-dp cosine ties route all `probe` slots of
+    * some fine centroid elsewhere — no vector can drop out of the
+    * output.  Deterministic and SQL-replayable: 6-dp rounded cosine,
+    * (max cos, min id) tie-breaks at every stage — the
+    * `sim_assign2_agree` oracle replays both paths and the agreement
+    * count exactly. */
   def ivfAssignTwoLevel(corpus: DataFrame, vec: Column, id: Column,
       centroids: DataFrame, cvec: Column, cid: Column,
       coarseC: DataFrame, probe: Int = 2): DataFrame = {
@@ -147,6 +151,11 @@ object SimilarityOps {
         .orderBy(col("rcos").desc, col("coarse_id"))))
       .where(col("rn") <= probe)
       .select(col("coarse_id"), col("centroid_id"), col("cv"))
+      // identity routes: each coarse centroid is a candidate of its own
+      // cell (coarseC ⊆ centroids), so every cell has ≥1 candidate
+      .unionByName(co.select(col("coarse_id"),
+        col("coarse_id").as("centroid_id"), col("gv").as("cv")))
+      .dropDuplicates("coarse_id", "centroid_id")
     // vector -> nearest coarse cell (n × K1)
     val v2c = ivfAssign(corpus, vec, id, coarseC, cvec, cid)
       .select(col("vec_id"), col("centroid_id").as("coarse_id"))

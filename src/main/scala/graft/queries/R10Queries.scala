@@ -30,11 +30,18 @@ object R10Queries {
     * quantizer and is spec-covered). */
   private val TargetCell = 64L
 
+  // the embeddings row count per dir, computed once per JVM: several
+  // semantic queries (× two bench passes) would otherwise each pay a
+  // full table count just to derive k
+  private val embCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
   /** The fixed-centroid cluster assignment shared by the semantic-dedup
     * queries: (vec_id, cluster), with corpus-proportional cell count. */
   private def ivfClusters(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val k = math.max(8L, math.ceil(e.count() / TargetCell.toDouble).toLong)
+    val n = embCounts.getOrElseUpdate(dir, e.count())
+    val k = math.max(8L, math.ceil(n / TargetCell.toDouble).toLong)
     SimilarityOps.ivfAssign(e, col("embedding"), col("vec_id"),
       e.where(col("vec_id") < k), col("embedding"), col("vec_id"))
       .select(col("vec_id"), col("centroid_id").as("cluster"))

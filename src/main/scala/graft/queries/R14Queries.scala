@@ -65,12 +65,16 @@ object R14Queries {
          |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
          |        ${cosSql("e.embedding", "c.cv")} DESC, c.centroid_id) AS rn
          |    FROM embeddings e CROSS JOIN c) WHERE rn = 1),
-         |routes AS (
+         |routes0 AS (
          |  SELECT coarse_id, centroid_id, cv FROM (
          |    SELECT c.centroid_id, c.cv, g.coarse_id,
          |      row_number() OVER (PARTITION BY c.centroid_id ORDER BY
          |        ${cosSql("c.cv", "g.gv")} DESC, g.coarse_id) AS rn
          |    FROM c CROSS JOIN g) WHERE rn <= 3),
+         |routes AS (
+         |  SELECT coarse_id, centroid_id, cv FROM routes0
+         |  UNION
+         |  SELECT coarse_id, coarse_id AS centroid_id, gv AS cv FROM g),
          |v2c AS (
          |  SELECT vec_id, coarse_id FROM (
          |    SELECT e.vec_id, g.coarse_id,

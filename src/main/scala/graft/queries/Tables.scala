@@ -37,8 +37,9 @@ private[queries] object Tables {
     // synchronized: a doubled getOrElseUpdate thunk would race the
     // DROP TABLE + bucketed write
     val name = coEdgeTables.synchronized(coEdgeTables.getOrElseUpdate(dir, {
-      val tbl = "graft_co_edges_" + java.lang.Integer.toHexString(
-        dir.hashCode).replace('-', '0')
+      // full sanitized dir, not a hashCode: colliding hashes would make
+      // two data dirs silently share (and overwrite) one layout
+      val tbl = "graft_co_edges_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       val item =
         nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
           .cast("int")

@@ -148,6 +148,11 @@ object NpySource {
     val hIdx = header(spark, s"$dir/indices.npy")
     val hDat = header(spark, s"$dir/data.npy")
     require(hIdx.cols == 1 && hDat.cols == 1, "indices/data must be 1-D")
+    // fail at the DRIVER with a clear message, not a MatchError in a task
+    require(hIdx.descr == "<i4" || hIdx.descr == "<i8",
+      s"indices dtype ${hIdx.descr}: integer (<i4/<i8) required")
+    require(Set("<f4", "<f8", "<i4", "<i8").contains(hDat.descr),
+      s"data dtype ${hDat.descr}: <f4/<f8/<i4/<i8 required")
     val n = if (slices > 0) slices
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -164,9 +169,16 @@ object NpySource {
       else {
         val e0 = ptr(lo.toInt); val e1 = ptr(hi.toInt)
         def slurp(path: String, off: Long, eb: Int): java.nio.ByteBuffer = {
+          val sz = (e1 - e0) * eb
+          // a wrapped .toInt would allocate a too-small array and read
+          // garbage offsets — refuse loudly instead (same guard as
+          // readNpy); dense CSR slices at BioNeMo scale need more slices
+          require(sz <= Int.MaxValue,
+            s"CSR slice of $sz bytes exceeds 2 GiB; raise slices " +
+              s"(nonzeros are skewed across rows or slices=$n is too low)")
           val p = new org.apache.hadoop.fs.Path(path)
           val in = p.getFileSystem(conf.value).open(p)
-          val bytes = new Array[Byte](((e1 - e0) * eb).toInt)
+          val bytes = new Array[Byte](sz.toInt)
           in.readFully(off + e0 * eb, bytes)
           in.close()
           java.nio.ByteBuffer.wrap(bytes)
@@ -182,6 +194,7 @@ object NpySource {
           case "<f4" => db.getFloat(((e - e0) * datEb).toInt)
           case "<f8" => db.getDouble(((e - e0) * datEb).toInt).toFloat
           case "<i4" => db.getInt(((e - e0) * datEb).toInt).toFloat
+          case "<i8" => db.getLong(((e - e0) * datEb).toInt).toFloat
         }
         (lo until hi).iterator.map { r =>
           val s = ptr(r.toInt); val e = ptr(r.toInt + 1)

@@ -167,4 +167,25 @@ class R14Spec extends AnyFunSuite {
       assert(LayoutOps.readVersion(spark, lake, 1).count() == 2)
     } finally rmr(root)
   }
+
+  test("vacuum carries txn markers of dropped manifests forward: a replay " +
+      "of a vacuumed batch stays a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft-lake5").toFile
+    val lake = s"$root/lake"
+    try {
+      val b = Seq((1L, "a")).toDF("id", "v")
+      (0L to 2L).foreach(StreamingOps.commitBatchIdempotent(b, _, lake))
+      assert(LayoutOps.latestVersion(spark, lake) == 2)
+      LayoutOps.vacuum(spark, lake, keepFrom = 2)
+      // batches 0 and 1's manifests are gone, but their commit history
+      // must survive — a restart from an old checkpoint replays them
+      assert(LayoutOps.txnCommitted(spark, lake, "batch0"))
+      assert(LayoutOps.txnCommitted(spark, lake, "batch1"))
+      StreamingOps.commitBatchIdempotent(b, 0L, lake) // replay after vacuum
+      assert(LayoutOps.latestVersion(spark, lake) == 2,
+        "vacuumed batch must not re-commit")
+      // and the kept snapshot still reads correctly
+      assert(LayoutOps.readVersion(spark, lake, 2).count() == 3)
+    } finally rmr(root)
+  }
 }

@@ -185,14 +185,30 @@ def main(argv):
               if f.endswith(".h5ad")] if os.path.isdir(src) else [src])
     if not files:
         raise SystemExit(f"no .h5ad files under {src}")
-    plates, offset, tables, var_names = {}, 0, [], None
+    plates, offset, tables, var_names, n_var = {}, 0, [], None, None
     for p in files:
-        table, n_obs, _n_var, names = convert_one(p, offset)
+        table, n_obs, file_n_var, names = convert_one(p, offset)
+        # plates must share ONE gene panel: concatenated CSR column ids
+        # are only meaningful against a common var axis, and a silent
+        # mismatch would densify/join every later plate's genes to the
+        # wrong names
+        if n_var is None:
+            n_var = file_n_var
+        elif file_n_var != n_var:
+            raise SystemExit(
+                f"{p}: n_var {file_n_var} != first file's {n_var} — "
+                "plates must share one gene panel")
+        if names is not None:
+            if var_names is None:
+                var_names = names
+            elif names != var_names:
+                raise SystemExit(
+                    f"{p}: var names differ from the first file's — "
+                    "plates must share one gene panel")
         tables.append(table)
         plates[os.path.basename(p)] = {"plate_offset": offset,
                                        "n_obs": n_obs}
         offset += n_obs
-        var_names = var_names or names
     pq.write_table(pa.concat_tables(tables),
                    os.path.join(out_dir, "cells.parquet"))
     if var_names:
