@@ -143,6 +143,42 @@ object XScaleBench {
     } catch { case e: Throwable =>
       println(s"SCALEBENCH | dedupClusters | FAILED: $e |")
     }
+
+    // 5. kHopReachAuto: exact distinct-pairs BFS vs bounded-state HLL
+    //    sketch on a 2M-edge random graph; "agree" = same seed set and
+    //    every seed's sketch estimate within max(2, 15%) of exact at
+    //    both hops (the sketch is approximate by design — this is the
+    //    graph_reach_sketch tolerance applied at gate scale).
+    val gEdges = 2000000L
+    val gVerts = 500000L
+    val g = spark.range(gEdges).select(
+      pmod(hash(col("id"), lit(1)), lit(gVerts)).cast("long").as("src"),
+      pmod(hash(col("id"), lit(2)), lit(gVerts)).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    try {
+      val (ex, tF) = timed {
+        graft.ops.GraphOps.kHopReachAuto(g, col("src"), col("dst"),
+          hops = 2, maxExactEdges = 10000000L)
+          .select("seed", "n1", "n2").collect()
+      }
+      CacheScope.release()
+      val (sk, tD) = timed {
+        graft.ops.GraphOps.kHopReachAuto(g, col("src"), col("dst"),
+          hops = 2, maxExactEdges = 1L)
+          .select("seed", "n1", "n2").collect()
+      }
+      CacheScope.release()
+      val em = ex.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val sm = sk.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      def near(a: Long, b: Long) =
+        math.abs(a - b) <= math.max(2L, (0.15 * b).toLong)
+      val agree = em.keySet == sm.keySet && em.forall { case (s, (n1, n2)) =>
+        val (s1, s2) = sm(s); near(s1, n1) && near(s2, n2) }
+      println(f"SCALEBENCH | kHopReachAuto ($gEdges edges) | exact BFS | $tF%.1f | HLL sketch | $tD%.1f | ${tD / tF}%.2f | $agree (n=${em.size}) |")
+      if (!agree) System.err.println("kHopReachAuto paths diverge beyond tolerance")
+    } catch { case e: Throwable =>
+      println(s"SCALEBENCH | kHopReachAuto | FAILED: $e |")
+    }
     sc.df.unpersist()
     }
 
