@@ -126,6 +126,18 @@ object ScCollection {
       spark.read.format(format).options(options).load(path),
       orderBy.map(col): _*)
 
+  /** A BioNeMo-style CSR memmap directory (data/indices/indptr `.npy`)
+    * as an indexable collection — the reference's third format adapter
+    * (reference src/scdataset/transforms.py:267-302), read through
+    * [[graft.sources.NpySource.readCsrDir]]'s distributed range reader
+    * into the (cell_id, genes, expressions) schema and ranked on
+    * cell_id.  `cell_id` is already positional in the memmap, so the
+    * rank is an identity re-label, not a reorder. */
+  def fromCsrNpy(spark: SparkSession, dir: String,
+      slices: Int = 0): ScCollection =
+    fromDataFrame(graft.sources.NpySource.readCsrDir(spark, dir, slices),
+      col("cell_id"))
+
   /** Ordered union of per-file collections with per-file rowId offsets —
     * the AnnCollection analogue (reference:
     * benchmarks/evaluate_scdataset.py:70-78: ordered concatenation of

@@ -72,9 +72,16 @@ class R14NpySpec extends AnyFunSuite {
     val r13 = cells.where(col("cell_id") === 13).head()
     assert(r13.getSeq[Int](1) == Seq(3, 6)) // sorted cols {13%10, 16%10}
     assert(r13.getSeq[Float](2) == Seq(13.25f, 13.75f))
-    // drops into the engine like any other cells table
+    // drops into the engine like any other cells table — and the
+    // one-call collection adapter agrees with the manual wrap
     val sc = graft.core.ScCollection.fromDataFrame(cells, col("cell_id"))
     assert(sc.df.count() == 50L)
+    val sc2 = graft.core.ScCollection.fromCsrNpy(spark, s"$dir/csr",
+      slices = 4)
+    assert(sc2.df.count() == 50L)
+    // positional memmap ids → rowId is the identity re-label
+    assert(sc2.df.where(
+      col(graft.core.ScCollection.RowId) =!= col("cell_id")).count() == 0L)
     graft.core.CacheScope.release()
   }
 }
