@@ -134,9 +134,16 @@ object ScCollection {
     * cell_id.  `cell_id` is already positional in the memmap, so the
     * rank is an identity re-label, not a reorder. */
   def fromCsrNpy(spark: SparkSession, dir: String,
-      slices: Int = 0): ScCollection =
-    fromDataFrame(graft.sources.NpySource.readCsrDir(spark, dir, slices),
-      col("cell_id"))
+      slices: Int = 0): ScCollection = {
+    val cells = graft.sources.NpySource.readCsrDir(spark, dir, slices)
+    // the row count is free driver-side (indptr header: rows+1 entries) —
+    // counting the reader frame would re-slurp every CSR byte just to
+    // count, so give `length` a metadata-only frame instead
+    val rows = graft.sources.NpySource
+      .header(spark, s"$dir/indptr.npy").rows - 1
+    ScCollection(Ranker.withRank(cells, RowId, col("cell_id")),
+      countFrom = Some(spark.range(rows).toDF("n")))
+  }
 
   /** Ordered union of per-file collections with per-file rowId offsets —
     * the AnnCollection analogue (reference:

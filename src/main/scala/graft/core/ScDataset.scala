@@ -187,41 +187,82 @@ final case class ScDataset(
     * failure re-throws in the consumer at the point it is observed.  The
     * queue bound means at most `prefetch` materialized batches exist
     * beyond the one being consumed — same memory envelope the reference's
-    * DataLoader prefetch holds.  Abandoning the iterator mid-drain parks
-    * the producer on its bounded queue until the JVM exits (it is a
-    * daemon thread); drain to exhaustion for prompt cleanup. */
+    * DataLoader prefetch holds.  Exhausting the iterator releases the
+    * producer automatically; a consumer that stops early (exception,
+    * pilot break) should `close()` it — otherwise the daemon producer
+    * stays parked holding its buffered batches until the JVM exits. */
   def toBatchesPrefetched(epoch: Int, cols: Seq[String],
-      prefetch: Int = 0): Iterator[Row] = {
+      prefetch: Int = 0): ScDataset.PrefetchedBatches = {
     val depth = if (prefetch > 0) prefetch else fetchFactor + 1
     val src = toBatchFrame(epoch, cols).orderBy(col("batch_id"))
       .toLocalIterator()
-    val queue = new java.util.concurrent.ArrayBlockingQueue[AnyRef](depth)
-    val done = new Object
-    @volatile var err: Throwable = null
-    val t = new Thread(() => {
-      try { while (src.hasNext) queue.put(src.next()) }
-      catch { case e: Throwable => err = e }
-      finally queue.put(done)
-    }, "graft-batch-prefetch")
-    t.setDaemon(true)
-    t.start()
-    new Iterator[Row] {
-      private var staged: AnyRef = queue.take()
-      def hasNext: Boolean = {
-        if (staged eq done) { if (err != null) throw err; false }
-        else true
-      }
-      def next(): Row = {
-        if (!hasNext) throw new NoSuchElementException("exhausted")
-        val r = staged.asInstanceOf[Row]
-        staged = queue.take()
-        r
-      }
-    }
+    new ScDataset.PrefetchedBatches(src, depth)
   }
 }
 
 object ScDataset {
+
+  /** The async read-ahead iterator behind
+    * [[ScDataset.toBatchesPrefetched]]: a daemon producer drains `src`
+    * into a bounded queue; the consumer reads batches in order.
+    * `close()` (or exhaustion) stops the producer and frees its buffered
+    * batches — safe to call from any thread, idempotent. */
+  final class PrefetchedBatches private[core] (src: java.util.Iterator[Row],
+      depth: Int) extends Iterator[Row] with AutoCloseable {
+    require(depth > 0, "prefetch depth must be positive")
+    private val queue =
+      new java.util.concurrent.ArrayBlockingQueue[AnyRef](depth)
+    private val endMark = new Object
+    @volatile private var closed = false
+    @volatile private var err: Throwable = _
+    private val producer = new Thread(() => {
+      try {
+        while (!closed && src.hasNext) {
+          val row = src.next()
+          var ok = false
+          while (!ok && !closed)
+            ok = queue.offer(row, 100,
+              java.util.concurrent.TimeUnit.MILLISECONDS)
+        }
+      } catch { case e: Throwable => err = e }
+      finally {
+        var ok = closed
+        while (!ok)
+          ok = closed || queue.offer(endMark, 100,
+            java.util.concurrent.TimeUnit.MILLISECONDS)
+      }
+    }, "graft-batch-prefetch")
+    producer.setDaemon(true)
+    producer.start()
+
+    private def takeNext(): AnyRef = {
+      var x: AnyRef = null
+      while (x == null && !closed)
+        x = queue.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (x == null || (x eq endMark)) { close(); endMark } else x
+    }
+
+    private var staged: AnyRef = takeNext()
+
+    def hasNext: Boolean = {
+      if (staged eq endMark) { if (err != null) throw err; false }
+      else true
+    }
+
+    def next(): Row = {
+      if (!hasNext) throw new NoSuchElementException("exhausted")
+      val r = staged.asInstanceOf[Row]
+      staged = takeNext()
+      r
+    }
+
+    /** Stop the producer and drop buffered batches.  Idempotent. */
+    def close(): Unit = {
+      closed = true
+      queue.clear()
+    }
+  }
+
   /** The default batch assembly (one row per batch: batch_id, n, ordered
     * payload array) — shared with [[AutoConfig.estimateSampleBytes]] so the
     * A5 size probe measures exactly what the real pipeline materializes. */

@@ -81,46 +81,25 @@ object EventOps {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.AsOfJoinKeyFilterPushdown
-    val l0 = left.select(leftKey.cast("long").as("k"),
+    val l = left.select(leftKey.cast("long").as("k"),
       unix_micros(leftTs).as("ts"), leftId.cast("long").as("left_id"))
-    val r0 = right.select(rightKey.cast("long").as("k"),
+    val r = right.select(rightKey.cast("long").as("k"),
       unix_micros(rightTs).as("ts"), rightId.cast("long").as("r_id"),
       rightVal.cast("double").as("r_val"))
-    // AsOfJoinExec reads k/ts with getLong, where a null reads as 0 — a
-    // null-keyed row would silently merge under key 0 and can break the
-    // ascending-merge invariant.  Enforce the SQL null semantics in the
-    // wrapper instead: null-keyed/null-ts right rows can never match
-    // (drop), null-keyed/null-ts left rows emit unmatched (null match
-    // columns).  A nullable SCHEMA does not mean nulls EXIST (parquet
-    // columns are nullable by default), and the guarded union plan costs
-    // a second left scan and forfeits the exec's declared partitioning —
-    // so probe the DATA once (parquet footer null-counts make the IsNull
-    // scan metadata-cheap, limit-1 terminates it) and keep the clean
-    // single-scan plan for the null-free common case.
-    def hasNulls(df: DataFrame): Boolean =
-      (df.schema("k").nullable || df.schema("ts").nullable) &&
-        !df.where(col("k").isNull || col("ts").isNull).isEmpty
-    val lHasNulls = hasNulls(l0)
-    val lOk = if (lHasNulls)
-      l0.where(col("k").isNotNull && col("ts").isNotNull) else l0
-    val r = if (hasNulls(r0))
-      r0.where(col("k").isNotNull && col("ts").isNotNull) else r0
-    val joined = org.apache.spark.sql.GraftBridge.ofRows(spark,
-        graft.plans.AsOfJoin(lOk.queryExecution.analyzed,
+    // SQL null semantics live IN AsOfJoinExec's merge (nulls sort first
+    // under the declared ordering; left nulls emit unmatched, right
+    // nulls never match) — no wrapper probe, no filter, no union, so the
+    // plan stays one scan per side and keeps the exec's partitioning
+    // regardless of schema nullability or data drift between planning
+    // and execution.
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+        graft.plans.AsOfJoin(l.queryExecution.analyzed,
           r.queryExecution.analyzed, forward = forward,
           toleranceUs = if (toleranceMs < 0) -1L else toleranceMs * 1000L,
           nearest = nearest))
       .select(col("left_id"), col("k"),
         timestamp_micros(col("ts")).as("ts"),
         col("matched_id"), col("matched_value"))
-    if (lHasNulls)
-      joined.unionByName(
-        l0.where(col("k").isNull || col("ts").isNull)
-          .select(col("left_id"), col("k"),
-            timestamp_micros(col("ts")).as("ts"),
-            lit(null).cast("long").as("matched_id"),
-            lit(null).cast("double").as("matched_value")))
-    else joined
   }
 
   /** Ordered funnel attribution: each key's events are time-ordered and

@@ -284,7 +284,10 @@ object LayoutOps {
     * ONLY when no kept version lists it; kept snapshots read identically
     * after the vacuum.  Returns the number of data directories deleted.
     * (Run it when no reader can hold a dropped version open — the same
-    * retention contract as any table format's VACUUM.) */
+    * retention contract as any table format's VACUUM.)  When dropped
+    * manifests carried `#txn` markers, a new fold version (latest+1,
+    * same snapshot) is committed first so the idempotency history
+    * survives the manifest deletions. */
   def vacuum(spark: SparkSession, path: String, keepFrom: Int): Int = {
     val latest = latestVersion(spark, path)
     require(keepFrom >= 0 && keepFrom <= latest,
@@ -300,8 +303,11 @@ object LayoutOps {
     // the dropped manifests may carry #txn idempotency markers
     // (commitBatchIdempotent); deleting them would re-open the
     // duplicate-commit window for a replay from an old checkpoint.
-    // Fold every dropped txn line into the oldest KEPT manifest before
-    // deleting, so txnCommitted still sees the full commit history.
+    // Fold every dropped txn line into a NEW manifest version carrying
+    // the latest snapshot forward — a pure append (one atomic manifest
+    // create, the same commit point every write uses; no file is ever
+    // rewritten), written BEFORE anything is deleted so a crash at any
+    // point loses nothing.
     def readLines(v: Int): Seq[String] = {
       val in = f.open(manifestPath(path, v))
       val txt = new String(in.readAllBytes(),
@@ -312,10 +318,9 @@ object LayoutOps {
     val droppedTxns = present.flatMap(readLines)
       .filter(_.startsWith("#txn:")).distinct
     if (droppedTxns.nonEmpty) {
-      val keepLines = readLines(keepFrom)
-      val merged = (droppedTxns ++ keepLines).distinct
-      val out = f.create(manifestPath(path, keepFrom), true)
-      out.write(merged.mkString("\n")
+      val fold = (droppedTxns ++ readLines(latest)).distinct
+      val out = f.create(manifestPath(path, latest + 1), false)
+      out.write(fold.mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
     }

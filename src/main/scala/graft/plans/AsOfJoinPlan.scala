@@ -186,8 +186,24 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
 
         override def hasNext: Boolean = lIt.hasNext
 
+        // SQL null semantics handled IN the merge (no wrapper probe, no
+        // union): the declared ASC ordering sorts nulls FIRST, so
+        // null-keyed/null-ts rows arrive before any mergeable row —
+        // left nulls emit unmatched, right nulls are discarded on
+        // sight, and the two-pointer invariant is untouched.
+        private def rNull: Boolean =
+          rRow.isNullAt(0) || rRow.isNullAt(1)
+
         override def next(): InternalRow = {
           val l = lIt.next()
+          if (l.isNullAt(0) || l.isNullAt(1)) {
+            if (l.isNullAt(2)) out.setNullAt(0) else out.setLong(0, l.getLong(2))
+            if (l.isNullAt(0)) out.setNullAt(1) else out.setLong(1, l.getLong(0))
+            if (l.isNullAt(1)) out.setNullAt(2) else out.setLong(2, l.getLong(1))
+            out.setNullAt(3); out.setNullAt(4)
+            numOut += 1
+            return proj(out)
+          }
           val k = l.getLong(0)
           val ts = l.getLong(1)
           val lid = l.getLong(2)
@@ -201,6 +217,8 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
                 if (rIt.hasNext) rRow = rIt.next() else done = true
               }
               if (!done) {
+                if (rNull) { rRow = null }
+                else {
                 val rk = rRow.getLong(0)
                 val rts = rRow.getLong(1)
                 if (rk < k) rRow = null
@@ -213,6 +231,7 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
                   candVal = if (candValNull) 0.0 else rRow.getDouble(3)
                   rRow = null
                 } else done = true
+                }
               }
             }
             val bwdOk = candHas && candK == k &&
@@ -244,6 +263,8 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
                 if (rIt.hasNext) rRow = rIt.next() else done = true
               }
               if (!done) {
+                if (rNull) { rRow = null }
+                else {
                 val rk = rRow.getLong(0)
                 val rts = rRow.getLong(1)
                 if (rk < k) rRow = null // behind the left cursor: discard
@@ -256,6 +277,7 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
                   candVal = if (candValNull) 0.0 else rRow.getDouble(3)
                   rRow = null
                 } else done = true // ahead of the left cursor: keep for later
+                }
               }
             }
           } else {
@@ -267,10 +289,13 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
                 if (rIt.hasNext) rRow = rIt.next() else done = true
               }
               if (!done) {
+                if (rNull) { rRow = null }
+                else {
                 val rk = rRow.getLong(0)
                 val rts = rRow.getLong(1)
                 if (rk < k || (rk == k && rts < ts)) rRow = null
                 else done = true
+                }
               }
             }
             candHas = rRow != null && rRow.getLong(0) == k

@@ -13,19 +13,26 @@ private[graft] object IndexBuilds {
   /** query-key → build wall seconds (first build in this JVM). */
   val buildSecs = scala.collection.concurrent.TrieMap.empty[String, Double]
   private val done = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+  private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
 
   /** Run `build` at most once per `key` (idempotent rebuild guard — the
-    * same key always derives the same index from the same inputs).
-    * Synchronized: TrieMap.getOrElseUpdate may evaluate the thunk twice
-    * under contention, and a doubled DROP TABLE + write race would
-    * corrupt the layout. */
-  def once(key: String)(build: => Unit): Unit = synchronized {
-    done.getOrElseUpdate(key, {
-      val t0 = System.nanoTime()
-      build
-      buildSecs(key) = (System.nanoTime() - t0) / 1e9
-      true
-    })
-    ()
+    * same key always derives the same index from the same inputs, and
+    * "same inputs" is the contract: a dir whose data is rewritten
+    * mid-JVM must use a fresh key).  Per-KEY mutual exclusion: a bare
+    * TrieMap.getOrElseUpdate could run the thunk twice and race the
+    * DROP TABLE + write, while one global lock would serialize
+    * unrelated multi-minute builds behind each other. */
+  def once(key: String)(build: => Unit): Unit = {
+    // TrieMap.getOrElseUpdate inserts atomically: racers may allocate a
+    // spare Object but all callers lock the single winning instance
+    val lock = locks.getOrElseUpdate(key, new Object)
+    lock.synchronized {
+      if (!done.contains(key)) {
+        val t0 = System.nanoTime()
+        build
+        buildSecs(key) = (System.nanoTime() - t0) / 1e9
+        done(key) = true
+      }
+    }
   }
 }

@@ -32,7 +32,9 @@ object R10Queries {
 
   // the embeddings row count per dir, computed once per JVM: several
   // semantic queries (× two bench passes) would otherwise each pay a
-  // full table count just to derive k
+  // full table count just to derive k.  Contract (same as coEdges /
+  // IndexBuilds): one dir = one immutable dataset within a JVM —
+  // rewriting a dir's data mid-JVM requires a fresh process (or dir)
   private val embCounts =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 

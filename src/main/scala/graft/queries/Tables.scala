@@ -34,12 +34,21 @@ private[queries] object Tables {
     * amortizes it across the tier (and the bucket spec makes src-keyed
     * joins exchange-free on the scan side). */
   def coEdges(s: SparkSession, dir: String): DataFrame = {
-    // synchronized: a doubled getOrElseUpdate thunk would race the
-    // DROP TABLE + bucketed write
-    val name = coEdgeTables.synchronized(coEdgeTables.getOrElseUpdate(dir, {
-      // full sanitized dir, not a hashCode: colliding hashes would make
-      // two data dirs silently share (and overwrite) one layout
-      val tbl = "graft_co_edges_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+    // per-DIR lock (IndexBuilds.once discipline): a doubled
+    // getOrElseUpdate thunk would race the DROP TABLE + bucketed write,
+    // but a global lock would needlessly serialize different dirs
+    val lock = coEdgeLocks.getOrElseUpdate(dir, new Object)
+    val name = lock.synchronized(coEdgeTables.getOrElseUpdate(dir, {
+      // sanitized prefix for readability + an md5 suffix for injectivity:
+      // catalog identifiers are case-INSENSITIVE, so the sanitized dir
+      // alone could still collide (".../RunA" vs ".../runa"), and very
+      // long dirs would exceed metastore name limits
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(6)
+        .map(b => f"$b%02x").mkString
+      val tbl = "graft_co_edges_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40).toLowerCase +
+        "_" + digest
       val item =
         nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1), lit(""))
           .cast("int")
@@ -52,9 +61,11 @@ private[queries] object Tables {
         .select(col("item").as("src"), col("item_b").as("dst")).distinct()
       // under the warehouse dir, NOT java.io.tmpdir: the warehouse is
       // shared storage on a real cluster (executors must all reach the
-      // bucketed files), local ./spark-warehouse in local mode
+      // bucketed files), local ./spark-warehouse in local mode.  The
+      // conf value is a URI — pass it through untouched (Spark's path
+      // option accepts URIs; string-stripping the scheme would break
+      // URI-encoded characters)
       val wh = s.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
       graft.ops.LayoutOps.writeBucketed(pairs, "src", 8, tbl,
         s"$wh/graft_layout/$tbl")
       tbl
@@ -63,6 +74,8 @@ private[queries] object Tables {
   }
   private val coEdgeTables =
     scala.collection.concurrent.TrieMap.empty[String, String]
+  private val coEdgeLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
 
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -94,7 +94,8 @@ object NpySource {
         val p = new org.apache.hadoop.fs.Path(path)
         val in = p.getFileSystem(conf.value).open(p)
         val bytes = new Array[Byte]((hi - lo) * cols * eb match {
-          case sz if sz <= Int.MaxValue => sz.toInt
+          // VM array limit is Int.MaxValue - 2; stay safely under it
+          case sz if sz <= Int.MaxValue - 8 => sz.toInt
           case _ => sys.error("slice too large; raise slices")
         })
         in.readFully(off + lo * cols * eb, bytes)
@@ -173,8 +174,9 @@ object NpySource {
           // a wrapped .toInt would allocate a too-small array and read
           // garbage offsets — refuse loudly instead (same guard as
           // readNpy); dense CSR slices at BioNeMo scale need more slices
-          require(sz <= Int.MaxValue,
-            s"CSR slice of $sz bytes exceeds 2 GiB; raise slices " +
+          // VM array limit is Int.MaxValue - 2; stay safely under it
+          require(sz <= Int.MaxValue - 8,
+            s"CSR slice of $sz bytes exceeds the 2 GiB array limit; raise slices " +
               s"(nonzeros are skewed across rows or slices=$n is too low)")
           val p = new org.apache.hadoop.fs.Path(path)
           val in = p.getFileSystem(conf.value).open(p)

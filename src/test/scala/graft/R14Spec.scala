@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{EventOps, LayoutOps}
 import graft.streaming.StreamingOps
+import scala.jdk.CollectionConverters._
 
 /** Round-14 hardening of the native as-of join's declared physical
   * properties and the lake sink's exactly-once commit. */
@@ -142,6 +143,16 @@ class R14Spec extends AnyFunSuite {
     // that, stalls mean the producer is NOT running ahead
     assert(slow <= math.max(2, n / 5),
       s"$slow of $n nexts stalled >10ms — prefetch is not overlapping")
+    // early abandonment: close() releases the parked producer instead of
+    // leaking it (and its buffered batches) for the JVM's lifetime
+    val it2 = ds.toBatchesPrefetched(0, Seq("k"), prefetch = 2)
+    assert(it2.hasNext); it2.next()
+    it2.close()
+    val deadline = System.nanoTime() + 5000000000L
+    def producerAlive() = Thread.getAllStackTraces.keySet.asScala
+      .exists(t => t.getName == "graft-batch-prefetch" && t.isAlive)
+    while (producerAlive() && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(!producerAlive(), "producer must terminate after close()")
     graft.core.CacheScope.release()
   }
 
@@ -178,14 +189,18 @@ class R14Spec extends AnyFunSuite {
       assert(LayoutOps.latestVersion(spark, lake) == 2)
       LayoutOps.vacuum(spark, lake, keepFrom = 2)
       // batches 0 and 1's manifests are gone, but their commit history
-      // must survive — a restart from an old checkpoint replays them
+      // must survive — folded into a new version (3) committed BEFORE
+      // any deletion, so a restart from an old checkpoint replays safely
+      assert(LayoutOps.latestVersion(spark, lake) == 3,
+        "vacuum commits a txn-fold version")
       assert(LayoutOps.txnCommitted(spark, lake, "batch0"))
       assert(LayoutOps.txnCommitted(spark, lake, "batch1"))
       StreamingOps.commitBatchIdempotent(b, 0L, lake) // replay after vacuum
-      assert(LayoutOps.latestVersion(spark, lake) == 2,
+      assert(LayoutOps.latestVersion(spark, lake) == 3,
         "vacuumed batch must not re-commit")
-      // and the kept snapshot still reads correctly
+      // and both surviving snapshots still read correctly
       assert(LayoutOps.readVersion(spark, lake, 2).count() == 3)
+      assert(LayoutOps.readVersion(spark, lake, 3).count() == 3)
     } finally rmr(root)
   }
 }
