@@ -14,8 +14,12 @@ object R13dQueries {
     // Audience-expansion radius: per item, the ≤1/≤2/≤3-hop neighborhood
     // sizes on the co-engaged item graph — BFS-by-joins, one join +
     // distinct per hop
+    // registered through the dual-plan gate: exact BFS (and the exact
+    // SQL oracle) at every driver scale, the bounded-state HLL sketch
+    // beyond maxExactEdges — the query a user runs IS the one that
+    // survives 100×
     "graph_reach" -> ((s, dir) =>
-      GraphOps.kHopReach(Tables.coEdges(s, dir),
+      GraphOps.kHopReachAuto(Tables.coEdges(s, dir),
         col("src"), col("dst"), hops = 3)),
 
     // The bounded-state HyperANF path checked AGAINST the exact census:
