@@ -111,6 +111,12 @@ object Bench {
     val qsFull = results.map { case (k, (sec, _)) => s"\"" + k + "\":" + s3(sec) }
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
+    // Both methodologies banked side-by-side so cross-round deltas can
+    // separate real speedups from the r14 measurement change: `value` is
+    // the min-of-2 warm total (comparable to r14+), `pass1_total_s` is
+    // the cold single-pass total (comparable to rounds ≤13, which timed
+    // one cold pass including index builds).
+    val pass1Total = pass1.map(_._2._1).sum
     // samples/sec for the headline sampling pipelines — the unit BASELINE.md
     // reports for the reference loader (rows emitted / wall time).
     val rmap = results.toMap
@@ -131,8 +137,8 @@ object Bench {
     val builds = graft.queries.IndexBuilds.buildSecs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":$nq,"timing":"min2_over_1s","queries":$qs,"samples_per_sec":$tp,"batch_entropy":$ent,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
-    val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":$nq,"timing":"min2_over_1s","queries":$qsFull,"samples_per_sec":$tp,"index_build_s":$builds,"batch_entropy":$ent,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":$nq,"timing":"min2_over_1s","pass1_total_s":${s3(pass1Total)},"queries":$qs,"samples_per_sec":$tp,"batch_entropy":$ent,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":$nq,"timing":"min2_over_1s","pass1_total_s":${s3(pass1Total)},"queries":$qsFull,"samples_per_sec":$tp,"index_build_s":$builds,"batch_entropy":$ent,"sf":"$sfDir"}"""
     // The driver captures only a stdout tail, which has truncated the
     // per-query map mid-key in past rounds (BENCH_r10/r11 "parsed": null).
     // Persist the full payload to a committed repo file so bench artifacts

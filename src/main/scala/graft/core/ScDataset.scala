@@ -194,20 +194,37 @@ final case class ScDataset(
   def toBatchesPrefetched(epoch: Int, cols: Seq[String],
       prefetch: Int = 0): ScDataset.PrefetchedBatches = {
     val depth = if (prefetch > 0) prefetch else fetchFactor + 1
-    val src = toBatchFrame(epoch, cols).orderBy(col("batch_id"))
-      .toLocalIterator()
-    new ScDataset.PrefetchedBatches(src, depth)
+    // LAZY start: the toLocalIterator (and its Spark jobs) is created by
+    // the producer thread on first consumption, not here — a handle that
+    // is close()d before use (epoch skipped, early break in a multi-epoch
+    // loop) never launches a job, and nothing is stranded.
+    val frame = toBatchFrame(epoch, cols).orderBy(col("batch_id"))
+    new ScDataset.PrefetchedBatches(() => frame.toLocalIterator(), depth)
   }
 }
 
 object ScDataset {
 
   /** The async read-ahead iterator behind
-    * [[ScDataset.toBatchesPrefetched]]: a daemon producer drains `src`
-    * into a bounded queue; the consumer reads batches in order.
-    * `close()` (or exhaustion) stops the producer and frees its buffered
-    * batches — safe to call from any thread, idempotent. */
-  final class PrefetchedBatches private[core] (src: java.util.Iterator[Row],
+    * [[ScDataset.toBatchesPrefetched]]: a daemon producer drains the
+    * source iterator into a bounded queue; the consumer reads batches in
+    * order.
+    *
+    * LAZY start — the source (a `toLocalIterator`, i.e. Spark jobs) is
+    * only created on the first `hasNext`/`next`, so a handle that is
+    * `close()`d unused never launches a job (multi-epoch loops can
+    * construct per-epoch handles ahead of time and skip some).
+    *
+    * FAIL FAST — a producer failure surfaces on the very next
+    * `hasNext`/`next`, BEFORE any still-buffered batches are served: a
+    * consumer never keeps training on stale read-ahead after the scan
+    * has died.  `close()` rethrows a producer error the consumer never
+    * observed (so an early `close()` cannot silently swallow a scan
+    * failure); call it from a position that tolerates that, or drain
+    * first.  Safe from any thread, idempotent once the error (if any)
+    * has been delivered. */
+  final class PrefetchedBatches private[core] (
+      mkSrc: () => java.util.Iterator[Row],
       depth: Int) extends Iterator[Row] with AutoCloseable {
     require(depth > 0, "prefetch depth must be positive")
     private val queue =
@@ -215,51 +232,79 @@ object ScDataset {
     private val endMark = new Object
     @volatile private var closed = false
     @volatile private var err: Throwable = _
-    private val producer = new Thread(() => {
-      try {
-        while (!closed && src.hasNext) {
-          val row = src.next()
-          var ok = false
-          while (!ok && !closed)
-            ok = queue.offer(row, 100,
-              java.util.concurrent.TimeUnit.MILLISECONDS)
-        }
-      } catch { case e: Throwable => err = e }
-      finally {
-        var ok = closed
-        while (!ok)
-          ok = closed || queue.offer(endMark, 100,
-            java.util.concurrent.TimeUnit.MILLISECONDS)
+    @volatile private var errDelivered = false
+    private var producer: Thread = _
+
+    private def ensureStarted(): Unit = synchronized {
+      if (producer == null && !closed) {
+        producer = new Thread(() => {
+          try {
+            val src = mkSrc()
+            while (!closed && src.hasNext) {
+              val row = src.next()
+              var ok = false
+              while (!ok && !closed)
+                ok = queue.offer(row, 100,
+                  java.util.concurrent.TimeUnit.MILLISECONDS)
+            }
+          } catch { case e: Throwable => err = e }
+          finally {
+            var ok = closed
+            while (!ok)
+              ok = closed || queue.offer(endMark, 100,
+                java.util.concurrent.TimeUnit.MILLISECONDS)
+          }
+        }, "graft-batch-prefetch")
+        producer.setDaemon(true)
+        producer.start()
       }
-    }, "graft-batch-prefetch")
-    producer.setDaemon(true)
-    producer.start()
+    }
 
+    // Pulls the next element, checking `err` BEFORE serving anything the
+    // producer buffered ahead of its failure.
     private def takeNext(): AnyRef = {
-      var x: AnyRef = null
-      while (x == null && !closed)
-        x = queue.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
-      if (x == null || (x eq endMark)) { close(); endMark } else x
+      while (true) {
+        val e = err
+        if (e != null) { doClose(); errDelivered = true; throw e }
+        if (closed) return endMark
+        val x = queue.poll(100, java.util.concurrent.TimeUnit.MILLISECONDS)
+        if (x != null) {
+          if (x eq endMark) {
+            doClose()
+            val e2 = err
+            if (e2 != null) { errDelivered = true; throw e2 }
+          }
+          return x
+        }
+      }
+      endMark // unreachable
     }
 
-    private var staged: AnyRef = takeNext()
+    private var staged: AnyRef = _
 
-    def hasNext: Boolean = {
-      if (staged eq endMark) { if (err != null) throw err; false }
-      else true
-    }
+    private def stage(): Unit =
+      if (staged == null) { ensureStarted(); staged = takeNext() }
+
+    def hasNext: Boolean = { stage(); staged ne endMark }
 
     def next(): Row = {
-      if (!hasNext) throw new NoSuchElementException("exhausted")
+      stage()
+      if (staged eq endMark) throw new NoSuchElementException("exhausted")
       val r = staged.asInstanceOf[Row]
-      staged = takeNext()
+      staged = null
       r
     }
 
-    /** Stop the producer and drop buffered batches.  Idempotent. */
+    private def doClose(): Unit = { closed = true; queue.clear() }
+
+    /** Stop the producer and drop buffered batches.  If the producer
+      * failed and the consumer never saw the error, rethrows it here —
+      * errors are never silently discarded.  Idempotent after the error
+      * (if any) is delivered. */
     def close(): Unit = {
-      closed = true
-      queue.clear()
+      doClose()
+      val e = err
+      if (e != null && !errDelivered) { errDelivered = true; throw e }
     }
   }
 

@@ -206,7 +206,10 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
           }
           val k = l.getLong(0)
           val ts = l.getLong(1)
-          val lid = l.getLong(2)
+          // left_id nullability is independent of (k, ts): a null id with a
+          // valid key still merges, it just emits a null id (not id 0)
+          val lidNull = l.isNullAt(2)
+          val lid = if (lidNull) 0L else l.getLong(2)
           var done = false
           if (nearest) {
             // like backward, but park at the first row STRICTLY after the
@@ -242,7 +245,7 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
             // smaller |Δ| wins; a tie goes to the backward row
             val useFwd = fwdOk &&
               (!bwdOk || (rRow.getLong(1) - ts) < (ts - candTs))
-            out.setLong(0, lid)
+            if (lidNull) out.setNullAt(0) else out.setLong(0, lid)
             out.setLong(1, k)
             out.setLong(2, ts)
             if (useFwd) {
@@ -309,7 +312,7 @@ case class AsOfJoinExec(output: Seq[Attribute], left: SparkPlan,
           }
           val within = candHas && candK == k && (toleranceUs < 0L ||
             (if (forward) candTs - ts else ts - candTs) <= toleranceUs)
-          out.setLong(0, lid)
+          if (lidNull) out.setNullAt(0) else out.setLong(0, lid)
           out.setLong(1, k)
           out.setLong(2, ts)
           if (within) {

@@ -13,14 +13,21 @@ object R13dQueries {
 
     // Audience-expansion radius: per item, the ≤1/≤2/≤3-hop neighborhood
     // sizes on the co-engaged item graph — BFS-by-joins, one join +
-    // distinct per hop
-    // registered through the dual-plan gate: exact BFS (and the exact
-    // SQL oracle) at every driver scale, the bounded-state HLL sketch
-    // beyond maxExactEdges — the query a user runs IS the one that
-    // survives 100×
+    // distinct per hop.
+    // Registered EXACT so the oracle (an exact SQL BFS replay) stays
+    // meaningful at every scale: a size-gated registration would silently
+    // swap to an HLL estimate right where the gate matters, diverging
+    // from the unchanged oracle.  The production 100×-scale API is
+    // [[GraphOps.kHopReachAuto]] (exact under maxExactEdges, bounded-
+    // state sketch beyond — an ESTIMATE, documented as such); its sketch
+    // side's accuracy gate is `graph_reach_sketch` below, which IS
+    // scale-aware (per-seed 15%/±2 tolerance vs exact).
     "graph_reach" -> ((s, dir) =>
-      GraphOps.kHopReachAuto(Tables.coEdges(s, dir),
-        col("src"), col("dst"), hops = 3)),
+      GraphOps.kHopReach(Tables.coEdges(s, dir)
+          .select(col("src").cast("long").as("a"),
+            col("dst").cast("long").as("b"))
+          .where(col("a") =!= col("b")),
+        col("a"), col("b"), hops = 3)),
 
     // The bounded-state HyperANF path checked AGAINST the exact census:
     // per hop, the number of seeds and the number whose HLL estimate is

@@ -190,7 +190,10 @@ object NpySource {
         val db = slurp(datPath, datOff, datEb)
         def idxAt(e: Long): Int = idxDescr match {
           case "<i4" => ib.getInt(((e - e0) * idxEb).toInt)
-          case "<i8" => ib.getLong(((e - e0) * idxEb).toInt).toInt
+          // a gene index above 2^31 has no valid Int form — fail loudly
+          // (matches the driver-side dtype/size guards) instead of
+          // wrapping to a garbage/negative gene id
+          case "<i8" => Math.toIntExact(ib.getLong(((e - e0) * idxEb).toInt))
         }
         def datAt(e: Long): Float = datDescr match {
           case "<f4" => db.getFloat(((e - e0) * datEb).toInt)
