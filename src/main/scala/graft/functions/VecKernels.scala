@@ -98,6 +98,57 @@ case class Norm2(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sequential squared Euclidean distance: `s += (a_i−b_i)²` in index
+  * order — the EXACT arithmetic (and association) of the k-means
+  * assignment loop in [[graft.ops.MlOps.kmeansFit]], so an argmin over
+  * this expression is bit-equal to the UDF loop it replaces (the norm-
+  * algebra form `|a|²−2a·b+|b|²` is NOT: it can flip a near-tie by a
+  * ulp, the exact failure MLlib's distance has). */
+case class Dist2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType.isInstanceOf[ArrayType] &&
+        right.dataType.isInstanceOf[ArrayType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("dist2 expects array<double> inputs")
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val aa = a.asInstanceOf[ArrayData]
+    val ba = b.asInstanceOf[ArrayData]
+    val m = math.min(aa.numElements(), ba.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      val d = aa.getDouble(i) - ba.getDouble(i); s += d * d; i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VecKernels {
   private val Dbl = ArrayType(DoubleType)
 
@@ -109,4 +160,10 @@ object VecKernels {
   /** Sequential squared L2 norm, in double. */
   def norm2(a: Column): Column =
     GraftBridge.column(Norm2(GraftBridge.expression(a.cast(Dbl))))
+
+  /** Sequential squared Euclidean distance, in double — bit-equal to the
+    * k-means assignment loop's arithmetic. */
+  def dist2(a: Column, b: Column): Column =
+    GraftBridge.column(Dist2(
+      GraftBridge.expression(a.cast(Dbl)), GraftBridge.expression(b.cast(Dbl))))
 }

@@ -1538,16 +1538,45 @@ object DedupOps {
     *
     * Cost envelope: with cells ∝ corpus (k = n/cell, the parameterization
     * that keeps the PAIR stage linear), the flat nearest-centroid
-    * assignment is O(n·k) = O(n²/cell) — the dominant term at true
-    * 100× scale.  When cluster structure is not required, prefer the
-    * SRP-banded embedding tier ([[embCandidates]] /
+    * assignment is O(n·k) = O(n²/cell) — so the ASSIGNMENT is dual-plan
+    * gated (the [[GraphOps.kHopReachAuto]] discipline): while `n·k ≤
+    * maxFlatAssignCost` the exact flat pass runs
+    * ([[SimilarityOps.l2Assign]], bit-equal to the k-means UDF loop);
+    * beyond it the learned-coarse two-level route
+    * ([[SimilarityOps.l2AssignTwoLevelLearned]], O(n·√k·probe) ~ n^1.5)
+    * takes over.  The two-level result is bit-equal to flat wherever the
+    * routed candidate set contains the true argmin — on clusterable data
+    * that is every vector (R15QuantSpec pins full agreement on separated
+    * fixtures); on near-isotropic data a near-boundary vector can land
+    * one cell over, bounded by the `sim_assign2_learned` distortion
+    * gauge (total routed cell cost ≤ 1.05× the flat optimum; measured
+    * 1.016× on the synthetic embeddings) — for dedup CELLS (not search)
+    * that is the same recall trade every banded tier above makes.  When cluster structure is not required,
+    * prefer the SRP-banded embedding tier ([[embCandidates]] /
     * [[embCandidatesAgainst]]): candidate generation by band collision is
     * O(n·bands) with NO centroid scan, the linear-time scale path. */
   def semanticDedup(df: DataFrame, vec: Column, id: Column, k: Int,
       minCosine: Double, seed: Long = 42L, maxIter: Int = 10,
-      maxDriverRows: Long = 200000L): DataFrame = {
-    val (_, asg) = MlOps.kmeansFit(df, vec, id, k, seed, maxIter,
+      maxDriverRows: Long = 200000L,
+      // default = the measured flat↔two-level crossover (XR15Scale:
+      // n·k = 1e8 flat 1.7 s vs two 2.2 s; 1.6e9 flat 28 s vs two 6.5 s;
+      // 6.4e9 flat 91 s vs two 4 s — 22×)
+      maxFlatAssignCost: Long = 200000000L, probe: Int = 3): DataFrame = {
+    val n = df.count()
+    val (centers, flatAsg) = MlOps.kmeansFit(df, vec, id, k, seed, maxIter,
       maxDriverRows)
+    val asg =
+      if (n * k.toLong <= maxFlatAssignCost) flatAsg
+      else {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val centDf = spark.createDataset(centers.toSeq.zipWithIndex
+            .map { case (v, i) => (i.toLong, v.toSeq) })
+          .toDF("centroid_id", "cv")
+        SimilarityOps.l2AssignTwoLevelLearned(df, vec, id, centDf,
+          col("cv"), col("centroid_id"), probe = probe, seed = seed + 7)
+          .select(col("vec_id"), col("centroid_id").as("cluster"))
+      }
     semanticDedupAssigned(df, vec, id, asg, minCosine)
   }
 

@@ -172,6 +172,113 @@ object SimilarityOps {
         col("best.cos").as("cos"))
   }
 
+  /** Euclidean (L2) flat assignment — the metric twin of [[ivfAssign]],
+    * bit-equal to the k-means assignment loop in
+    * [[graft.ops.MlOps.kmeansFit]] (same sequential `(a_i−b_i)²` fold via
+    * [[graft.functions.Dist2]], same strict-argmin/lowest-id tie-break),
+    * so it can replace that UDF pass wherever the centroids came from a
+    * k-means fit.  Output: (vec_id, centroid_id, d2). */
+  def l2Assign(corpus: DataFrame, vec: Column, id: Column,
+      centroids: DataFrame, cvec: Column, cid: Column): DataFrame = {
+    val c = corpus.select(id.as("vec_id"), vec.as("v"))
+    val ct = centroids.select(cid.cast("long").as("centroid_id"),
+      cvec.as("cv"))
+    c.crossJoin(broadcast(ct))
+      .select(col("vec_id"), col("centroid_id"),
+        graft.functions.VecKernels.dist2(col("v"), col("cv")).as("d2"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("centroid_id"), col("d2")),
+        struct(negate(col("d2")), negate(col("centroid_id")))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        col("best.d2").as("d2"))
+  }
+
+  /** Learned coarse level for a two-level quantizer: a seeded k-means over
+    * the FINE centroid table itself ([[graft.ops.MlOps.kmeansFit]] — the
+    * input is k rows, so the fit is driver-sized for any practical
+    * codebook and falls to the distributed regime automatically beyond
+    * that).  Returns (coarse_id = 0..k1−1, gv).  Unlike the id-prefix
+    * coarse subset (a degenerate quantizer whose cells reflect id order,
+    * not geometry), the learned level places coarse cells where the fine
+    * centroids actually are — the routing-recall path at scale. */
+  def coarseFromCentroids(centroids: DataFrame, cvec: Column, cid: Column,
+      k1: Int, seed: Long = 42L, maxIter: Int = 10): DataFrame = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    val (cc, _) = graft.ops.MlOps.kmeansFit(centroids, cvec, cid, k1, seed,
+      maxIter)
+    spark.createDataset(cc.toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v.toSeq) })
+      .toDF("coarse_id", "gv")
+  }
+
+  /** Two-level assignment with a LEARNED coarse level and L2 metric — the
+    * production O(n·√k·probe) replacement for the flat O(n·k) k-means
+    * assignment pass (the engine's last quadratic term when the codebook
+    * grows ∝ corpus, k = n/cell).
+    *
+    * Shape mirrors [[ivfAssignTwoLevel]]: (1) k-means over the k fine
+    * centroids gives k1 ≈ √k coarse cells ([[coarseFromCentroids]] —
+    * k-row fit); (2) each fine centroid routes to its `probe` nearest
+    * coarse cells; (3) each vector picks its nearest coarse cell (n×k1)
+    * and scores ONLY the fine centroids routed there (n×~probe·√k).
+    * Because the learned coarse set is NOT a subset of the fine set, the
+    * no-empty-cell guarantee is the REVERSE route: every coarse cell
+    * additionally admits its own single nearest fine centroid, so no
+    * vector can drop out of the output.
+    *
+    * All scoring is the sequential-fold [[graft.functions.Dist2]] with
+    * strict-argmin/lowest-id tie-breaks — on the vectors where the routed
+    * candidate set contains the true argmin (all of them, for a
+    * reasonable `probe`), the result is BIT-EQUAL to the flat k-means
+    * assignment.  Approximate otherwise: a vector whose true nearest fine
+    * centroid routed only to coarse cells the vector did not pick
+    * resolves to the best candidate it does see; raise `probe` for
+    * recall.  Deterministic for fixed (input, seed, probe). */
+  def l2AssignTwoLevelLearned(corpus: DataFrame, vec: Column, id: Column,
+      centroids: DataFrame, cvec: Column, cid: Column,
+      probe: Int = 3, k1: Int = 0, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d2 = graft.functions.VecKernels.dist2 _
+    val ct = centroids.select(cid.cast("long").as("centroid_id"),
+      cvec.as("cv"))
+    val k = ct.count()
+    val kc = if (k1 > 0) k1
+      else math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
+    val co = coarseFromCentroids(ct, col("cv"), col("centroid_id"), kc, seed)
+    // fine ↔ coarse scores once (k×k1 rows, broadcast-scale): forward
+    // routes (fine → `probe` nearest coarse) plus the reverse guarantee
+    // (each coarse cell admits its nearest fine centroid)
+    val rscore = ct.crossJoin(broadcast(co))
+      .select(col("centroid_id"), col("cv"), col("coarse_id"),
+        d2(col("cv"), col("gv")).as("rd2"))
+    val fwd = rscore
+      .withColumn("rn", row_number().over(Window.partitionBy("centroid_id")
+        .orderBy(col("rd2"), col("coarse_id"))))
+      .where(col("rn") <= probe)
+    val rev = rscore
+      .withColumn("rn", row_number().over(Window.partitionBy("coarse_id")
+        .orderBy(col("rd2"), col("centroid_id"))))
+      .where(col("rn") === 1)
+    val routes = fwd.select(col("coarse_id"), col("centroid_id"), col("cv"))
+      .unionByName(rev.select(col("coarse_id"), col("centroid_id"), col("cv")))
+      .dropDuplicates("coarse_id", "centroid_id")
+    // vector → nearest coarse cell (n × k1)
+    val v2c = l2Assign(corpus, vec, id, co, col("gv"), col("coarse_id"))
+      .select(col("vec_id"), col("centroid_id").as("coarse_id"))
+    // fine scoring against the routed candidates only (n × ~probe·√k)
+    corpus.select(id.as("vec_id"), vec.as("v"))
+      .join(v2c, "vec_id")
+      .join(broadcast(routes), "coarse_id")
+      .select(col("vec_id"), col("centroid_id"),
+        d2(col("v"), col("cv")).as("d2"))
+      .groupBy("vec_id")
+      .agg(max_by(struct(col("centroid_id"), col("d2")),
+        struct(negate(col("d2")), negate(col("centroid_id")))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        col("best.d2").as("d2"))
+  }
+
   /** Stateless form of [[ivfAssign]]: the centroid set is a driver-held
     * literal (an IVF codebook is k·dim floats — kilobytes), so the argmax
     * is a pure per-row expression over an inline array — no join, no
@@ -557,6 +664,53 @@ object SimilarityOps {
         col("adist"), col("rank").cast("long").as("rank"))
   }
 
+  /** Two-level per-row probe selection shared by [[knnJoinIvf]] /
+    * [[knnJoinIvfIndex]]: coarse ⊆ centroids (the [[ivfAssignTwoLevel]]
+    * subset convention, identity routes included), each left row scores
+    * the k1 coarse cells, picks its nearest (6-dp cosine desc, lowest id),
+    * and sorts only the routed fine candidates of that cell to keep
+    * `nprobe` — per-row work k1 + ~routeProbe·k/k1 instead of k.
+    * Everything stays per-row expressions over broadcast arrays: no
+    * window, no shuffle on the left side, same as the flat branch. */
+  private def probesTwoLevel(left: DataFrame, lvec: Column, lid: Column,
+      centroids: DataFrame, cvec: Column, cid: Column, coarse: DataFrame,
+      nprobe: Int, routeProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ct = centroids.select(cid.cast("long").as("centroid_id"),
+      cvec.as("ctv"))
+    val co = coarse.select(cid.cast("long").as("coarse_id"), cvec.as("gv"))
+    val routes = ct.crossJoin(broadcast(co))
+      .select(col("centroid_id"), col("ctv"), col("coarse_id"),
+        round(cosine(col("ctv"), col("gv")), 6).as("rcos"))
+      .withColumn("rn", row_number().over(Window.partitionBy("centroid_id")
+        .orderBy(col("rcos").desc, col("coarse_id"))))
+      .where(col("rn") <= routeProbe)
+      .select(col("coarse_id"), col("centroid_id"), col("ctv"))
+      .unionByName(co.select(col("coarse_id"),
+        col("coarse_id").as("centroid_id"), col("gv").as("ctv")))
+      .dropDuplicates("coarse_id", "centroid_id")
+    val routesArr = routes.groupBy("coarse_id")
+      .agg(collect_list(struct(col("centroid_id"), col("ctv"))).as("__cand"))
+    val coArr = co
+      .agg(collect_list(struct(col("coarse_id"), col("gv"))).as("__co"))
+    left.select(lid.cast("long").as("query_id"), lvec.as("qv"))
+      .crossJoin(broadcast(coArr))
+      .select(col("query_id"), col("qv"),
+        element_at(array_sort(transform(col("__co"), g =>
+          struct((lit(0.0) - round(cosine(col("qv"), g("gv")), 6))
+            .as("negc"),
+            g("coarse_id").as("coarse_id")))), 1)("coarse_id")
+          .as("coarse_id"))
+      .join(broadcast(routesArr), "coarse_id")
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(transform(col("__cand"), c =>
+          struct((lit(0.0) - round(cosine(col("qv"), c("ctv")), 6))
+            .as("negc"),
+            c("centroid_id").as("centroid_id")))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"),
+        col("p.centroid_id").as("centroid_id"))
+  }
+
   /** Large×large kNN JOIN via shared IVF cells — the two-corpus form of
     * [[ivfTopK]].  There the query set is driver-sized and the probe table
     * broadcasts; here BOTH sides are corpus-scale (embedding-join two
@@ -586,21 +740,45 @@ object SimilarityOps {
   def knnJoinIvf(left: DataFrame, lvec: Column, lid: Column,
       right: DataFrame, rvec: Column, rid: Column,
       centroids: DataFrame, cvec: Column, cid: Column,
-      k: Int, nprobe: Int = 1): DataFrame = {
-    val ctArr = centroids
-      .select(cid.cast("long").as("centroid_id"), cvec.as("ctv"))
-      .agg(collect_list(struct(col("centroid_id"), col("ctv"))).as("__cents"))
-    val probes = left.select(lid.cast("long").as("query_id"), lvec.as("qv"))
-      .crossJoin(broadcast(ctArr))
-      .select(col("query_id"), col("qv"),
-        explode(slice(array_sort(transform(col("__cents"), c =>
-          struct((lit(0.0) - round(cosine(col("qv"), c("ctv")), 6)).as("negc"),
-            c("centroid_id").as("centroid_id")))), 1, nprobe)).as("p"))
-      .select(col("query_id"), col("qv"),
-        col("p.centroid_id").as("centroid_id"))
+      k: Int, nprobe: Int = 1,
+      coarse: Option[DataFrame] = None, routeProbe: Int = 3): DataFrame = {
+    val probes = coarse match {
+      case None =>
+        val ctArr = centroids
+          .select(cid.cast("long").as("centroid_id"), cvec.as("ctv"))
+          .agg(collect_list(struct(col("centroid_id"), col("ctv")))
+            .as("__cents"))
+        left.select(lid.cast("long").as("query_id"), lvec.as("qv"))
+          .crossJoin(broadcast(ctArr))
+          .select(col("query_id"), col("qv"),
+            explode(slice(array_sort(transform(col("__cents"), c =>
+              struct((lit(0.0) - round(cosine(col("qv"), c("ctv")), 6))
+                .as("negc"),
+                c("centroid_id").as("centroid_id")))), 1, nprobe)).as("p"))
+          .select(col("query_id"), col("qv"),
+            col("p.centroid_id").as("centroid_id"))
+      case Some(co0) =>
+        // TWO-LEVEL probe selection (`coarse` ⊆ centroids, the
+        // [[ivfAssignTwoLevel]] convention): each left row scores the k1
+        // coarse cells, picks its nearest, and sorts only the fine
+        // centroids ROUTED to that cell — per-row work k1 + ~routeProbe·
+        // k/k1 instead of k, the O(n·√k) path for corpus-proportional
+        // codebooks.  Same orderings as the flat branch everywhere
+        // (6-dp cosine desc, lowest id on ties), so the routed choice is
+        // SQL-replayable (the `sim_knn_join` oracle replays it).
+        probesTwoLevel(left, lvec, lid, centroids, cvec, cid, co0,
+          nprobe, routeProbe)
+    }
+    // the right-side cell assignment stays FLAT in both forms: it is the
+    // BUILD-time cost (amortized once in the persisted layout, which is
+    // how the 100 TB path runs), so routing it would only break output
+    // parity with [[knnJoinIvfIndex]] — the recurring per-query term is
+    // probe selection, which is what the coarse route removes.  Callers
+    // who want a routed build use [[ivfAssignTwoLevel]] /
+    // [[l2AssignTwoLevelLearned]] directly.
     val cells = ivfAssign(right, rvec, rid, centroids, cvec, cid)
-      .select(col("vec_id").as("neighbor_id"), col("centroid_id").cast("long")
-        .as("centroid_id"))
+      .select(col("vec_id").as("neighbor_id"), col("centroid_id")
+        .cast("long").as("centroid_id"))
     val rightCells = right
       .select(rid.cast("long").as("neighbor_id"), rvec.as("nv"))
       .join(cells, Seq("neighbor_id"))
@@ -628,19 +806,32 @@ object SimilarityOps {
     * directories directly. */
   def knnJoinIvfIndex(spark: SparkSession, indexDir: String,
       left: DataFrame, lvec: Column, lid: Column,
-      k: Int, nprobe: Int = 1): DataFrame = {
+      k: Int, nprobe: Int = 1, coarseK1: Int = 0,
+      routeProbe: Int = 3): DataFrame = {
     val ct = spark.read.parquet(s"$indexDir/_graft_centroids")
-    val ctArr = ct.select(col("centroid_id").cast("long").as("centroid_id"),
-        col("ctv"))
-      .agg(collect_list(struct(col("centroid_id"), col("ctv"))).as("__cents"))
-    val probes = left.select(lid.cast("long").as("query_id"), lvec.as("qv"))
-      .crossJoin(broadcast(ctArr))
-      .select(col("query_id"), col("qv"),
-        explode(slice(array_sort(transform(col("__cents"), c =>
-          struct((lit(0.0) - round(cosine(col("qv"), c("ctv")), 6)).as("negc"),
-            c("centroid_id").as("centroid_id")))), 1, nprobe)).as("p"))
-      .select(col("query_id"), col("qv"),
-        col("p.centroid_id").as("centroid_id"))
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("ctv"))
+    val probes = if (coarseK1 > 0)
+      // two-level probe routing against the index's own quantizer: the
+      // coarse level is the id-prefix subset of the persisted centroids
+      // (same subset convention as [[ivfAssignTwoLevel]], so the routed
+      // choice is SQL-replayable and identical to [[knnJoinIvf]] with
+      // the same coarse set)
+      probesTwoLevel(left, lvec, lid, ct, col("ctv"), col("centroid_id"),
+        ct.where(col("centroid_id") < coarseK1), nprobe, routeProbe)
+    else {
+      val ctArr = ct
+        .agg(collect_list(struct(col("centroid_id"), col("ctv")))
+          .as("__cents"))
+      left.select(lid.cast("long").as("query_id"), lvec.as("qv"))
+        .crossJoin(broadcast(ctArr))
+        .select(col("query_id"), col("qv"),
+          explode(slice(array_sort(transform(col("__cents"), c =>
+            struct((lit(0.0) - round(cosine(col("qv"), c("ctv")), 6))
+              .as("negc"),
+              c("centroid_id").as("centroid_id")))), 1, nprobe)).as("p"))
+        .select(col("query_id"), col("qv"),
+          col("p.centroid_id").as("centroid_id"))
+    }
     val rightCells = spark.read.parquet(indexDir)
       .select(col("neighbor_id").cast("long").as("neighbor_id"), col("cv"),
         col("centroid_id").cast("long").as("centroid_id"))

@@ -25,12 +25,17 @@ object R12Queries {
     // 32 coarse cells ≈ the √N IVF design point at sf0.1 (5000 vectors):
     // candidate pairs scale as N²·nprobe/cells, so cells must GROW with
     // the corpus — 8 cells was brute-force/4 and benched 4× slower
+    // probe selection runs the TWO-LEVEL route (coarse = the first-6
+    // centroid prefix, routeProbe=3): per-left-row work 6 + ~16 scores
+    // instead of 32 — the O(n·√k) recurring-cost path, replayed exactly
+    // by the oracle (KnnJoinSql's v2c/routes CTEs)
     "sim_knn_join" -> ((s, dir) => {
       val e = Tables.emb(s, dir)
       SimilarityOps.knnJoinIvf(e, col("embedding"), col("vec_id"),
         e, col("embedding"), col("vec_id"),
         e.where(col("vec_id") < 32), col("embedding"), col("vec_id"),
-        k = 3, nprobe = 2)
+        k = 3, nprobe = 2,
+        coarse = Some(e.where(col("vec_id") < 6)), routeProbe = 3)
     }),
 
     // Semantic outlier pruning: cosine to the OWN-label exact centroid
@@ -95,7 +100,7 @@ object R12Queries {
           e.where(col("vec_id") < 32), col("embedding"), col("vec_id"), idx)
       }
       SimilarityOps.knnJoinIvfIndex(s, idx, e, col("embedding"),
-        col("vec_id"), k = 3, nprobe = 2)
+        col("vec_id"), k = 3, nprobe = 2, coarseK1 = 6, routeProbe = 3)
     }),
 
     // Persisted IVF-PQ: same cells/codebooks/probe/ADC semantics (and
@@ -153,11 +158,16 @@ object R12Queries {
   private def toksSql(x: String): String =
     s"""list_filter(string_split_regex(lower($x), '\\s+'), t -> t <> '')"""
 
-  /** kNN-join mirror (self-join form over embeddings, 8 fixed centroids,
-    * nprobe=2, k=3): cell assignment = rank-1 probe; shared by
+  /** kNN-join mirror (self-join form over embeddings, 32 fixed centroids,
+    * nprobe=2, k=3): cell assignment = rank-1 over ALL centroids (the
+    * flat build-time pass), probe selection = the TWO-LEVEL route the
+    * Spark side runs (coarse = first-6 centroid prefix, routeProbe=3
+    * forward routes + identity routes, rank-1 coarse pick per query,
+    * top-2 fine probes among the routed candidates only); shared by
     * `sim_knn_join` and its persisted-index layout twin. */
   private lazy val KnnJoinSql: String =
     s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 32),
+       |g AS (SELECT vec_id AS coarse_id, embedding AS gv FROM embeddings WHERE vec_id < 6),
        |asg0 AS (
        |  SELECT e.vec_id AS neighbor_id, e.embedding AS nv, c.centroid_id,
        |    ${cosSql("e.embedding", "c.cv")} AS acos
@@ -168,10 +178,28 @@ object R12Queries {
        |    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY acos DESC, centroid_id) AS rn
        |    FROM asg0) WHERE rn = 1
        |),
+       |routes0 AS (
+       |  SELECT coarse_id, centroid_id, cv FROM (
+       |    SELECT c.centroid_id, c.cv, g.coarse_id,
+       |      row_number() OVER (PARTITION BY c.centroid_id ORDER BY
+       |        ${cosSql("c.cv", "g.gv")} DESC, g.coarse_id) AS rn
+       |    FROM c CROSS JOIN g) WHERE rn <= 3),
+       |routes AS (
+       |  SELECT coarse_id, centroid_id, cv FROM routes0
+       |  UNION
+       |  SELECT coarse_id, coarse_id AS centroid_id, gv AS cv FROM g),
+       |v2c AS (
+       |  SELECT query_id, qv, coarse_id FROM (
+       |    SELECT e.vec_id AS query_id, e.embedding AS qv, g.coarse_id,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${cosSql("e.embedding", "g.gv")} DESC, g.coarse_id) AS rn
+       |    FROM embeddings e CROSS JOIN g) WHERE rn = 1),
        |qp AS (
-       |  SELECT neighbor_id AS query_id, nv AS qv, centroid_id FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY acos DESC, centroid_id) AS rn
-       |    FROM asg0) WHERE rn <= 2
+       |  SELECT query_id, qv, centroid_id FROM (
+       |    SELECT v.query_id, v.qv, r.centroid_id,
+       |      row_number() OVER (PARTITION BY v.query_id ORDER BY
+       |        ${cosSql("v.qv", "r.cv")} DESC, r.centroid_id) AS rn
+       |    FROM v2c v JOIN routes r ON r.coarse_id = v.coarse_id) WHERE rn <= 2
        |),
        |s AS (
        |  SELECT qp.query_id, a.neighbor_id,
