@@ -204,26 +204,71 @@ object LayoutOps {
       .foldLeft(-1)(math.max)
   }
 
+  private def alreadyExists(e: Throwable): Boolean = e match {
+    case _: org.apache.hadoop.fs.FileAlreadyExistsException => true
+    case _: java.nio.file.FileAlreadyExistsException => true
+    case _ => e.getMessage != null &&
+      e.getMessage.toLowerCase(java.util.Locale.ROOT)
+        .contains("already exists")
+  }
+
+  /** One commit = one data write + one manifest CAS, concurrency-safe by
+    * RETRY-ON-CONFLICT rather than a lock.
+    *
+    * The data lands ONCE, in a WRITER-UNIQUE directory
+    * (`files/v<intended>-<nonce>`): two committers writing the same
+    * target path would interleave their job-committer `_temporary` state
+    * and corrupt each other, and a crashed writer's leftover directory
+    * could block a version number forever — under unique names neither
+    * can happen, because snapshots are defined ONLY by manifest contents
+    * (readers never parse data-directory names; [[vacuum]] sweeps
+    * unreferenced leftovers).
+    *
+    * The commit point is `create(_v<n>.manifest, overwrite = false)` —
+    * atomic on HDFS (and object stores with conditional create); the
+    * single-host local FS has the usual check-then-create window, which
+    * the bounded backoff makes practically unhittable.  A loser
+    * re-reads `latestVersion` AND the new predecessor's manifest (so
+    * carried entries are the winner's snapshot) and re-CASes the SAME
+    * data directory under the next version — data is never rewritten.
+    * `maxRetries` exhaustion rethrows the conflict: no corruption either
+    * way, the caller simply did not land. */
   private def commit(df: DataFrame, path: String,
-      carryPrevious: Boolean, txn: Option[String] = None): Int = {
+      carryPrevious: Boolean, txn: Option[String] = None,
+      maxRetries: Int = 8): Int = {
     val spark = df.sparkSession
-    val v = latestVersion(spark, path) + 1
-    val dataDir = s"$path/files/v$v"
+    val f = fs(spark, path)
+    val nonce = java.lang.Long.toHexString(
+      System.nanoTime() ^ (Thread.currentThread().getId << 40))
+    val dataDir = s"$path/files/v${latestVersion(spark, path) + 1}-$nonce"
     df.write.mode("errorifexists").parquet(dataDir)
-    val prev: Seq[String] =
-      if (carryPrevious && v > 0) {
-        val in = fs(spark, path).open(manifestPath(path, v - 1))
-        val txt = new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        in.close()
-        txt.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
-      } else Seq.empty
-    val out = fs(spark, path).create(manifestPath(path, v), false)
-    out.write((txn.map(t => s"#txn:$t").toSeq ++ prev :+ dataDir)
-      .mkString("\n")
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
-    v
+    var attempt = 0
+    var committed = -1
+    while (committed < 0) {
+      val v = latestVersion(spark, path) + 1
+      val prev: Seq[String] =
+        if (carryPrevious && v > 0) {
+          val in = f.open(manifestPath(path, v - 1))
+          val txt = new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          in.close()
+          txt.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+        } else Seq.empty
+      try {
+        val out = f.create(manifestPath(path, v), false)
+        out.write((txn.map(t => s"#txn:$t").toSeq ++ prev :+ dataDir)
+          .mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        committed = v
+      } catch {
+        case e: Throwable if alreadyExists(e) && attempt < maxRetries =>
+          attempt += 1
+          Thread.sleep(20L * attempt)
+        case e: Throwable => throw e
+      }
+    }
+    committed
   }
 
   /** Append commit: the new snapshot = previous snapshot + `df`.  An
@@ -277,17 +322,22 @@ object LayoutOps {
     dirs
   }
 
-  /** VACUUM: drop every version below `keepFrom` and delete the data
-    * directories no surviving manifest references — the storage-reclaim
-    * step that completes the commit/read/time-travel lifecycle.  Because
-    * append commits share files across versions, a directory is removed
-    * ONLY when no kept version lists it; kept snapshots read identically
-    * after the vacuum.  Returns the number of data directories deleted.
-    * (Run it when no reader can hold a dropped version open — the same
-    * retention contract as any table format's VACUUM.)  When dropped
-    * manifests carried `#txn` markers, a new fold version (latest+1,
-    * same snapshot) is committed first so the idempotency history
-    * survives the manifest deletions. */
+  /** VACUUM: drop every version below `keepFrom` and delete every data
+    * directory under `files/` that no surviving manifest references —
+    * the storage-reclaim step that completes the commit/read/time-travel
+    * lifecycle.  Because append commits share files across versions, a
+    * directory is removed ONLY when no kept version lists it; kept
+    * snapshots read identically after the vacuum.  The disk-based sweep
+    * also collects directories no manifest EVER referenced — the
+    * leftovers of a writer that crashed between its data write and its
+    * manifest CAS ([[commit]]'s writer-unique directories make such
+    * leftovers harmless until vacuumed).  Returns the number of data
+    * directories deleted.  (Run it when no reader holds a dropped
+    * version open AND no writer is in flight — an in-flight commit's
+    * not-yet-manifested directory looks exactly like a crash leftover.)
+    * When dropped manifests carried `#txn` markers, a new fold version
+    * (latest+1, same snapshot) is committed first so the idempotency
+    * history survives the manifest deletions. */
   def vacuum(spark: SparkSession, path: String, keepFrom: Int): Int = {
     val latest = latestVersion(spark, path)
     require(keepFrom >= 0 && keepFrom <= latest,
@@ -298,8 +348,14 @@ object LayoutOps {
     // versions below an earlier vacuum's cut are already gone — skip them
     val present = (0 until keepFrom)
       .filter(v => f.exists(manifestPath(path, v)))
-    val dropped = present
-      .flatMap(v => manifestDirs(spark, path, v)).toSet -- keep
+    // sweep by directory NAME under files/ (manifest strings and FS
+    // listings may differ in scheme qualification, names cannot)
+    val keepNames = keep.map(d => new org.apache.hadoop.fs.Path(d).getName)
+    val filesRoot = new org.apache.hadoop.fs.Path(s"$path/files")
+    val dropped: Set[org.apache.hadoop.fs.Path] =
+      if (!f.exists(filesRoot)) Set.empty
+      else f.listStatus(filesRoot).map(_.getPath)
+        .filterNot(p => keepNames.contains(p.getName)).toSet
     // the dropped manifests may carry #txn idempotency markers
     // (commitBatchIdempotent); deleting them would re-open the
     // duplicate-commit window for a replay from an old checkpoint.
@@ -324,8 +380,7 @@ object LayoutOps {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       out.close()
     }
-    dropped.foreach(d =>
-      f.delete(new org.apache.hadoop.fs.Path(d), true))
+    dropped.foreach(d => f.delete(d, true))
     present.foreach(v => f.delete(manifestPath(path, v), false))
     dropped.size
   }

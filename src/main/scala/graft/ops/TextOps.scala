@@ -570,22 +570,39 @@ object TextOps {
 
   /** Train a BPE merge table over the corpus: `numMerges` rounds of
     * "count adjacent token pairs, merge the most frequent" (ties broken
-    * lexicographically — fully deterministic, no rand()).
+    * lexicographically in UTF-8 byte order — fully deterministic, no
+    * rand()).
     *
-    * Physical shape: pair counting runs on the WORD-FREQUENCY table, not
-    * the corpus — one corpus-wide shuffle builds (word, cnt) once (the
-    * vocabulary is orders of magnitude smaller than 100 TB of text, and
-    * cached); each round is then one pair-explode + weighted count + a
-    * 1-row argmax on that table, re-tokenizing words under the merges
-    * learned so far.  O(numMerges) jobs over the word table, none over the
-    * corpus. */
-  def bpeTrain(df: DataFrame, text: Column, numMerges: Int): Seq[(String, String)] = {
+    * Physical shape — dual-plan gated, the engine's standard discipline:
+    * ONE corpus-wide shuffle builds the (word, cnt) frequency table (the
+    * vocabulary is orders of magnitude smaller than 100 TB of text).
+    * While that table fits the driver (`maxDriverWords`, the common case
+    * at any corpus size — vocabulary grows ~Heaps-law, not with the
+    * corpus), the merge loop runs LOCALLY with incremental pair-count
+    * updates (Sennrich, Haddow & Birch 2016, "Neural Machine Translation
+    * of Rare Words with Subword Units" — learn_bpe's update trick): a
+    * merge re-counts only the words that CONTAIN the merged pair, and
+    * the argmax pops from a lazy-invalidation heap — a 32 k-merge
+    * production vocabulary trains in seconds instead of 32 000
+    * sequential Spark jobs (~3 scheduler round-trips each, hours of
+    * overhead for milliseconds of work).  Beyond the gate the previous
+    * distributed loop takes over: one pair-explode + weighted count +
+    * 1-row argmax per round over the cached word table, re-tokenizing
+    * under the merges so far — never a corpus pass either way.
+    * R15BpeSpec proves local == distributed merge-for-merge. */
+  def bpeTrain(df: DataFrame, text: Column, numMerges: Int,
+      maxDriverWords: Long = 2000000L): Seq[(String, String)] = {
     require(numMerges >= 0)
     val spark = df.sparkSession
     val words = graft.core.CacheScope.persist(
       df.select(explode(tokens(text)).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt")),
       eager = true)
+    if (words.count() <= maxDriverWords) {
+      import spark.implicits._
+      return bpeTrainLocal(
+        words.as[(String, Long)].collect(), numMerges)
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
     while (merges.length < numMerges && !exhausted) {
@@ -602,6 +619,108 @@ object TextOps {
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else merges += ((top(0).getString(0), top(0).getString(1)))
+    }
+    merges.toSeq
+  }
+
+  /** UTF-8 binary string comparison — Spark's (and DuckDB's) string sort
+    * order, which Java's UTF-16 `compareTo` does NOT match for
+    * supplementary characters.  The local merge loop must break count
+    * ties exactly like the distributed `orderBy(c desc, l, r)`. */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Driver-side BPE merge loop over the collected word-frequency table.
+    * Semantics identical to the distributed loop: per round, the
+    * (count DESC, l, r) argmax over the adjacent-pair counts of the
+    * current tokenization, applied leftmost-first per word (the
+    * [[bpeWord]] order).  Incremental: a round touches only the words
+    * holding the merged pair (tracked by an inverted index), re-diffing
+    * each touched word's pair multiset; candidates live in a heap with
+    * lazy invalidation (an entry is valid only if its count still
+    * matches the live table).  A trained table can never make a merge
+    * create a pair of EARLIER rank (pair sides only exist once their own
+    * merges ran), so applying just the new merge per round reproduces
+    * [[bpeWord]]'s full re-tokenization. */
+  private def bpeTrainLocal(wordCnt: Array[(String, Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    val n = wordCnt.length
+    val syms = new Array[mutable.ArrayBuffer[String]](n)
+    val cnts = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val w = wordCnt(i)._1
+      syms(i) = mutable.ArrayBuffer.tabulate(w.length)(j =>
+        String.valueOf(w.charAt(j)))
+      cnts(i) = wordCnt(i)._2
+      i += 1
+    }
+    val stats = mutable.HashMap.empty[(String, String), Long]
+    val wordsOf = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def pairsOf(s: mutable.ArrayBuffer[String]): Iterator[(String, String)] =
+      if (s.length < 2) Iterator.empty
+      else (0 until s.length - 1).iterator.map(j => (s(j), s(j + 1)))
+    i = 0
+    while (i < n) {
+      val c = cnts(i)
+      pairsOf(syms(i)).foreach { p =>
+        stats.update(p, stats.getOrElse(p, 0L) + c)
+        wordsOf.getOrElseUpdate(p, mutable.HashSet.empty) += i
+      }
+      i += 1
+    }
+    // max-heap on (count, then UTF-8-ascending (l, r)); stale entries are
+    // skipped on pop when their count no longer matches `stats`
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val l = utf8Compare(y._2, x._2) // reversed: smaller l = higher
+          if (l != 0) l else utf8Compare(y._3, x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    stats.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.length < numMerges && heap.nonEmpty) {
+      val (c, l, r) = heap.dequeue()
+      if (c > 0 && stats.getOrElse((l, r), 0L) == c) {
+        merges += ((l, r))
+        val p = (l, r)
+        val lr = l + r
+        val touched = wordsOf.getOrElse(p, mutable.HashSet.empty).toArray
+        stats.remove(p); wordsOf.remove(p)
+        val delta = mutable.HashMap.empty[(String, String), Long]
+        touched.foreach { wi =>
+          val s = syms(wi)
+          val wc = cnts(wi)
+          pairsOf(s).foreach(q => delta.update(q, delta.getOrElse(q, 0L) - wc))
+          // leftmost-first application, continuing past each replacement
+          // (a replacement cannot create another (l, r) at or before it)
+          var j = 0
+          while (j < s.length - 1) {
+            if (s(j) == l && s(j + 1) == r) {
+              s(j) = lr; s.remove(j + 1)
+            } else j += 1
+          }
+          pairsOf(s).foreach { q =>
+            delta.update(q, delta.getOrElse(q, 0L) + wc)
+            wordsOf.getOrElseUpdate(q, mutable.HashSet.empty) += wi
+          }
+        }
+        delta.foreach { case (q, d) =>
+          if (d != 0 && q != p) {
+            val nc = stats.getOrElse(q, 0L) + d
+            if (nc <= 0) stats.remove(q)
+            else { stats.update(q, nc); heap.enqueue((nc, q._1, q._2)) }
+          }
+        }
+      }
     }
     merges.toSeq
   }

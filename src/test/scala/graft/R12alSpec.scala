@@ -71,11 +71,17 @@ class R12alSpec extends AnyFunSuite {
     val p = dir.getAbsolutePath + "/table"
     try {
       LayoutOps.commitAppend((1L to 100L).toDF("id"), p)
+      // v0's data directory as the manifest records it (directory names
+      // are writer-unique; manifests are the only name authority)
+      val v0dir = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p, "_v0.manifest")),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).head
       val before = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(p, "files", "v0")).count()
+        java.nio.file.Paths.get(v0dir)).count()
       LayoutOps.commitAppend(Seq(101L).toDF("id"), p)
       val after = java.nio.file.Files.walk(
-        java.nio.file.Paths.get(p, "files", "v0")).count()
+        java.nio.file.Paths.get(v0dir)).count()
       assert(before == after)  // v0's files untouched by the v1 commit
       assert(LayoutOps.readVersion(spark, p, 1).count() == 101L)
     } finally rm(dir)

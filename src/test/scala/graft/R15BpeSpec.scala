@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.CacheScope
+import graft.ops.TextOps
+
+/** Round-15: the driver-gated BPE merge loop — incremental local merges
+  * must reproduce the distributed per-round argmax merge-for-merge. */
+class R15BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("local incremental merge loop == distributed loop, merge-for-merge, " +
+      "on a corpus with overlapping/repeating pairs and count ties") {
+    // stresses the incremental update paths: repeated chars (overlapping
+    // occurrences of (l,l)), words sharing prefixes/suffixes (one merge
+    // shifts many pair counts), ties broken lexicographically, and
+    // exhaustion behaviour
+    val corpus = Seq(
+      (1L, "banana bandana aaa aaaa cabana"),
+      (2L, "low lower lowest newest widest west"),
+      (3L, "mississippi missive permission aaa banana"),
+      (4L, "abcabcabc zzz zzzz abab")).toDF("doc_id", "text")
+    val local = TextOps.bpeTrain(corpus, col("text"), numMerges = 60)
+    CacheScope.release()
+    val dist = TextOps.bpeTrain(corpus, col("text"), numMerges = 60,
+      maxDriverWords = 0L)
+    CacheScope.release()
+    assert(local == dist,
+      s"first divergence at ${local.zip(dist).indexWhere(p => p._1 != p._2)}")
+    // both exhaust at the same point (every word fully merged)
+    assert(local.length == dist.length)
+  }
+
+  test("the classic fixture's hand-computed merges come out of the LOCAL " +
+      "path (the small-vocabulary default regime)") {
+    val corpus = Seq(
+      (1L, "low low low newest newest"),
+      (2L, "lower lower newest newest widest")).toDF("doc_id", "text")
+    val merges = TextOps.bpeTrain(corpus, col("text"), numMerges = 3)
+    CacheScope.release()
+    assert(merges == Seq(("w", "e"), ("l", "o"), ("s", "t")))
+  }
+
+  test("1000+ merges train in seconds on a synthetic vocabulary") {
+    // ~6000 distinct pseudo-words — enough pair supply for >1000 merges
+    val corpus = spark.range(6000L)
+      .select(col("id").as("doc_id"),
+        concat_ws("", shuffleFree(col("id"))).as("text"))
+    val t0 = System.nanoTime()
+    val merges = TextOps.bpeTrain(corpus, col("text"), numMerges = 1200)
+    val sec = (System.nanoTime() - t0) / 1e9
+    CacheScope.release()
+    assert(merges.length == 1200, s"pair supply exhausted at ${merges.length}")
+    assert(sec < 60.0, f"local merge loop took $sec%.1f s for 1200 merges")
+    info(f"1200 merges in $sec%.1f s")
+  }
+
+  // deterministic pseudo-word: 12 hash-derived lowercase letters
+  private def shuffleFree(id: org.apache.spark.sql.Column) =
+    array((0 until 12).map(j =>
+      chr(pmod(hash(id, lit(j)), lit(26)) + 97)): _*)
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.LayoutOps
+
+/** Round-15: versioned-lake commits retry on conflict — two racing
+  * committers BOTH land (distinct versions, union snapshot) instead of
+  * the loser throwing. */
+class R15LakeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two racing append committers both land; the final snapshot is " +
+      "the union and every intermediate version stays readable") {
+    val path = java.nio.file.Files.createTempDirectory("r15lake").toString +
+      "/tbl"
+    // seed version 0 so both racers carry a predecessor forward
+    LayoutOps.commitAppend(Seq((0L, "seed")).toDF("id", "payload"), path)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (1 to 3).foreach { round =>
+        val base = round * 10L
+        val fa = pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = LayoutOps.commitAppend(
+            Seq((base + 1L, s"a$round")).toDF("id", "payload"), path)
+        })
+        val fb = pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = LayoutOps.commitAppend(
+            Seq((base + 2L, s"b$round")).toDF("id", "payload"), path)
+        })
+        val (va, vb) = (fa.get(), fb.get())
+        assert(va != vb, s"round $round: racers must land distinct versions")
+        assert(Set(va, vb) == Set(2 * round - 1, 2 * round),
+          s"round $round: got versions $va/$vb")
+      }
+      val latest = LayoutOps.latestVersion(spark, path)
+      assert(latest == 6)
+      val snap = LayoutOps.readVersion(spark, path, latest)
+        .select("id").as[Long].collect().toSet
+      assert(snap == Set(0L, 11L, 12L, 21L, 22L, 31L, 32L),
+        "the final snapshot is the union of every committed append")
+      // every intermediate version is a consistent prefix: v rows = v+1
+      (0 to latest).foreach { v =>
+        assert(LayoutOps.readVersion(spark, path, v).count() == v + 1L,
+          s"version $v must carry exactly its committed appends")
+      }
+    } finally pool.shutdown()
+  }
+}
