@@ -14,6 +14,19 @@ import org.apache.spark.sql.types.StructType
   * `staticClass` lookup. */
 final case class UserState(n: Long, valueMicros: Long, lastTsMs: Long)
 
+/** Per-key as-of state for [[StreamingOps.asofEnrichStream]]: the single
+  * latest right-side row seen so far — (event-time micros, id, value) —
+  * O(1) per key no matter how long the stream runs.  Top-level for the
+  * same classloader reason as [[UserState]]. */
+final case class AsofState(tsMicros: Long, id: Long, value: Double,
+  valueNull: Boolean)
+
+/** Output row of [[StreamingOps.asofEnrichStream]] — the batch
+  * [[graft.ops.EventOps.asofJoin]] schema. */
+final case class AsofOut(left_id: Long, k: Long,
+  ts: java.sql.Timestamp, matched_id: Option[Long],
+  matched_value: Option[Double])
+
 /** Structured-Streaming operators over the `events` stream shape
   * (event_id, ts, user_id, event_type, value, props).  Each transform is
   * written against an unbounded DataFrame, so the SAME code runs in batch
@@ -440,6 +453,80 @@ object StreamingOps {
       "inner")
       .select(col("purchase_id"), col("click_id"),
         col("p_user").as("user_id"))
+  }
+
+  /** Streaming AS-OF enrichment — the stream form of the one composed
+    * batch operator that had none: every left-type event (default:
+    * click) annotated with the key's latest right-type event (default:
+    * purchase) at-or-before it, the batch
+    * [[graft.ops.EventOps.asofJoin]] semantics (ties at the same
+    * instant: right rows are eligible, equal right timestamps resolve
+    * to the greatest right id) and output schema (left_id, k, ts,
+    * matched_id, matched_value).
+    *
+    * Physical shape: `flatMapGroupsWithState` keyed by user — NOT a
+    * stream-stream interval join, because an as-of needs only the
+    * single LATEST right row, so per-key state is one (ts, id, value)
+    * triple, O(1) forever, with no watermark-bounded click buffer and
+    * no lookback-window cap on how far back the match may reach.
+    * Within a micro-batch the group's rows are folded in the batch
+    * operator's exact interleave order (ts, right-before-left,
+    * right-id ascending); across micro-batches the state carries the
+    * running latest right row, guarded lexicographically so a
+    * same-instant smaller-id right arriving in a later batch cannot
+    * regress the match.
+    *
+    * Exactness contract (R15StreamSpec): under per-key ORDERED arrival
+    * — each micro-batch's events at-or-after the previous batch's, the
+    * replay/backfill shape — the emitted rows equal the batch asofJoin
+    * row-for-row.  Under disorder, a left row is enriched with the
+    * latest right row KNOWN at its micro-batch (no retraction of
+    * already-emitted rows — the standard streaming-enrichment trade;
+    * emitted in Update mode). */
+  def asofEnrichStream(spark: SparkSession, dir: String,
+      schema: StructType, leftType: String = "click",
+      rightType: String = "purchase"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = spark.readStream.schema(schema).parquet(dir)
+      .where(col("event_type").isin(leftType, rightType))
+      .select(col("user_id").cast("long").as("k"),
+        col("ts"),
+        when(col("event_type") === lit(rightType), 0).otherwise(1)
+          .as("side"),
+        col("event_id").cast("long").as("id"),
+        col("value").cast("double").as("v"))
+      .as[(Long, java.sql.Timestamp, Int, Long, java.lang.Double)]
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: Long,
+            rows: Iterator[(Long, java.sql.Timestamp, Int, Long, java.lang.Double)],
+            state: GroupState[AsofState]) =>
+          var s = state.getOption.orNull
+          // the batch window's interleave: ts, right (side 0) before left
+          // at the same instant, equal-ts rights ascending by id — the
+          // running "latest right" after each row IS the as-of match
+          val ordered = rows.toSeq.sortBy { case (_, ts, side, id, _) =>
+            (ts.getTime * 1000 + ts.getNanos / 1000 % 1000, side, id)
+          }
+          val out = ordered.flatMap { case (_, ts, side, id, v) =>
+            val tsMicros = ts.getTime * 1000 + ts.getNanos / 1000 % 1000
+            if (side == 0) {
+              // right row: advance the running latest (lexicographic
+              // (ts, id) guard for cross-batch same-instant arrivals)
+              if (s == null || tsMicros > s.tsMicros ||
+                  (tsMicros == s.tsMicros && id >= s.id))
+                s = AsofState(tsMicros, id,
+                  if (v == null) 0.0 else v.doubleValue(), v == null)
+              None
+            } else Some(AsofOut(id, k, ts,
+              if (s == null) None else Some(s.id),
+              if (s == null || s.valueNull) None else Some(s.value)))
+          }
+          if (s != null) state.update(s)
+          out.iterator
+      }
+      .toDF("left_id", "k", "ts", "matched_id", "matched_value")
   }
 
   /** Ingest-time per-key admission control: each key's first `maxPerKey`

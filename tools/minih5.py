@@ -1,0 +1,315 @@
+#!/usr/bin/env python3
+"""Minimal pure-Python read-only HDF5 parser with an h5py-shaped surface.
+
+``h5ad_to_parquet.py`` falls back to this module when ``h5py`` is not
+installed, so the REAL ``.h5ad`` branch (HDF5 groups/datasets/attributes,
+not the --selftest synthesizer) is exercisable — and tested against the
+committed ``tools/fixtures/*.h5ad`` binaries — in environments without
+libhdf5.
+
+Supported subset (the layout libhdf5 emits for an uncompressed
+``anndata.write_h5ad`` with default/earliest settings, and what
+``gen_h5ad_fixture.py`` writes):
+
+  - superblock version 0, 8-byte offsets/lengths
+  - old-style groups: v1 object headers + symbol-table message
+    (v1 B-tree over SNOD symbol nodes + local heap), any nesting depth
+  - datasets: contiguous layout, little-endian int8..64 / uint / float32
+    / float64 / fixed-size strings, 0-2 dimensional
+  - attributes (v1 messages): scalar + 1-D, same datatypes, plus
+    variable-length strings resolved through global heap collections
+  - symbol-table entries with cached (cache_type 1) or uncached group
+    metadata
+
+NOT supported (fail loudly): chunked/compressed datasets, v2+ object
+headers, fractal-heap "new style" groups, big-endian data.  Files from
+``h5py`` with compression need real h5py — the subset is documented in
+the conversion tool's --help.
+
+Everything here is implemented from the public HDF5 File Format
+Specification (v1.x, hdfgroup.org); no HDF5 code was consulted.
+"""
+import struct
+
+import numpy as np
+
+UNDEF = 0xFFFFFFFFFFFFFFFF
+SIG = b"\x89HDF\r\n\x1a\n"
+
+
+class Mini5Error(RuntimeError):
+    pass
+
+
+class Dataset:
+    """Read-only dataset: ``d[...]`` / ``d[a:b]`` return numpy arrays."""
+
+    def __init__(self, arr, attrs):
+        self._arr = arr
+        self.attrs = attrs
+
+    def __getitem__(self, key):
+        return self._arr[key]
+
+    @property
+    def shape(self):
+        return self._arr.shape
+
+    @property
+    def dtype(self):
+        return self._arr.dtype
+
+
+class Group:
+    def __init__(self, links, attrs):
+        self._links = links
+        self.attrs = attrs
+
+    def keys(self):
+        return self._links.keys()
+
+    def __contains__(self, name):
+        return name in self._links
+
+    def __getitem__(self, name):
+        cur = self
+        for part in name.split("/"):
+            if part == "":
+                continue
+            cur = cur._links[part]
+        return cur
+
+
+class File(Group):
+    def __init__(self, path, mode="r"):
+        if mode != "r":
+            raise Mini5Error("minih5 is read-only")
+        with open(path, "rb") as fh:
+            self._buf = fh.read()
+        if self._buf[:8] != SIG:
+            raise Mini5Error(f"{path}: not an HDF5 file")
+        ver = self._buf[8]
+        if ver != 0:
+            raise Mini5Error(f"{path}: superblock v{ver}; only v0 supported")
+        if self._buf[13] != 8 or self._buf[14] != 8:
+            raise Mini5Error("only 8-byte offsets/lengths supported")
+        # root symbol-table entry sits at offset 24+32 = 56 in a v0
+        # superblock: 24 fixed bytes then base/freespace/eof/driver
+        root_oh = struct.unpack_from("<Q", self._buf, 56 + 8)[0]
+        root = _read_object(self._buf, root_oh)
+        super().__init__(root._links, root.attrs)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def close(self):
+        pass
+
+
+# ---- low-level parsing ---------------------------------------------------
+
+def _u(buf, off, n):
+    return int.from_bytes(buf[off:off + n], "little")
+
+
+def _parse_datatype(buf, off):
+    """Returns (numpy dtype or ('vlen-str',) marker, byte size)."""
+    cls = buf[off] & 0x0F
+    version = buf[off] >> 4
+    if version not in (1, 2, 3):
+        raise Mini5Error(f"datatype version {version} unsupported")
+    bits0 = buf[off + 1]
+    size = _u(buf, off + 4, 4)
+    if cls == 0:  # fixed-point
+        if bits0 & 0x01:
+            raise Mini5Error("big-endian integers unsupported")
+        signed = bool(bits0 & 0x08)
+        return np.dtype(f"<{'i' if signed else 'u'}{size}"), size
+    if cls == 1:  # float
+        if bits0 & 0x01:
+            raise Mini5Error("big-endian floats unsupported")
+        if size not in (4, 8):
+            raise Mini5Error(f"float{size * 8} unsupported")
+        return np.dtype(f"<f{size}"), size
+    if cls == 3:  # fixed-size string
+        return np.dtype(f"S{size}"), size
+    if cls == 9:  # variable-length
+        base_cls = buf[off + 8] & 0x0F
+        if (bits0 & 0x0F) == 1 and base_cls == 3:  # vlen string
+            return ("vlen-str",), size
+        raise Mini5Error("only vlen STRINGS supported")
+    raise Mini5Error(f"datatype class {cls} unsupported")
+
+
+def _parse_dataspace(buf, off):
+    version = buf[off]
+    if version == 1:
+        rank = buf[off + 1]
+        dims_off = off + 8
+    elif version == 2:
+        rank = buf[off + 1]
+        dims_off = off + 4
+    else:
+        raise Mini5Error(f"dataspace version {version} unsupported")
+    return [_u(buf, dims_off + 8 * i, 8) for i in range(rank)]
+
+
+def _global_heap_str(buf, addr, index):
+    if buf[addr:addr + 4] != b"GCOL":
+        raise Mini5Error("bad global heap signature")
+    end = addr + _u(buf, addr + 8, 8)
+    off = addr + 16
+    while off < end:
+        idx = _u(buf, off, 2)
+        osize = _u(buf, off + 8, 8)
+        if idx == 0:  # free space marker terminates the collection
+            break
+        if idx == index:
+            return buf[off + 16:off + 16 + osize]
+        off += 16 + (osize + 7) // 8 * 8
+    raise Mini5Error(f"global heap object {index} not found")
+
+
+def _attr_value(buf, data_off, dtype, dims):
+    n = int(np.prod(dims)) if dims else 1
+    if dtype == ("vlen-str",):
+        # per element: length(4) + gcol address(8) + object index(4)
+        vals = []
+        for i in range(n):
+            o = data_off + 16 * i
+            length = _u(buf, o, 4)
+            gaddr = _u(buf, o + 4, 8)
+            gidx = _u(buf, o + 12, 4)
+            vals.append(_global_heap_str(buf, gaddr, gidx)[:length])
+        return vals if dims else vals[0]
+    arr = np.frombuffer(buf, dtype=dtype, count=n, offset=data_off)
+    if not dims:
+        v = arr[0]
+        return bytes(v) if dtype.kind == "S" else v
+    return arr.reshape(dims)
+
+
+def _parse_attribute(buf, off):
+    version = buf[off]
+    if version != 1:
+        raise Mini5Error(f"attribute message v{version} unsupported")
+    name_size = _u(buf, off + 2, 2)
+    dt_size = _u(buf, off + 4, 2)
+    ds_size = _u(buf, off + 6, 2)
+    p = off + 8
+    name = buf[p:p + name_size].split(b"\x00")[0].decode()
+    p += (name_size + 7) // 8 * 8
+    dtype, _ = _parse_datatype(buf, p)
+    p += (dt_size + 7) // 8 * 8
+    dims = _parse_dataspace(buf, p)
+    p += (ds_size + 7) // 8 * 8
+    value = _attr_value(buf, p, dtype, dims)
+    return name, value
+
+
+def _local_heap(buf, addr):
+    if buf[addr:addr + 4] != b"HEAP":
+        raise Mini5Error("bad local heap signature")
+    data_addr = _u(buf, addr + 24, 8)
+
+    def name_at(offset):
+        end = buf.index(b"\x00", data_addr + offset)
+        return buf[data_addr + offset:end].decode()
+    return name_at
+
+
+def _btree_snod_entries(buf, btree_addr, heap_name):
+    """Yield (name, object header addr) across a v1 group B-tree."""
+    sig = buf[btree_addr:btree_addr + 4]
+    if sig != b"TREE":
+        raise Mini5Error("bad B-tree signature")
+    node_type = buf[btree_addr + 4]
+    level = buf[btree_addr + 5]
+    n = _u(buf, btree_addr + 6, 2)
+    if node_type != 0:
+        raise Mini5Error("non-group B-tree node")
+    # children sit between keys: key0 child0 key1 child1 ... keyN
+    p = btree_addr + 24 + 8  # skip sig/type/level/entries/siblings + key0
+    for _ in range(n):
+        child = _u(buf, p, 8)
+        p += 16  # child + next key
+        if level > 0:
+            yield from _btree_snod_entries(buf, child, heap_name)
+            continue
+        if buf[child:child + 4] != b"SNOD":
+            raise Mini5Error("bad symbol node signature")
+        nsym = _u(buf, child + 6, 2)
+        for i in range(nsym):
+            e = child + 8 + 40 * i
+            name_off = _u(buf, e, 8)
+            oh_addr = _u(buf, e + 8, 8)
+            yield heap_name(name_off), oh_addr
+
+
+def _read_object(buf, oh_addr):
+    """Parse a v1 object header into a Group or Dataset."""
+    if buf[oh_addr] != 1:
+        raise Mini5Error(
+            f"object header v{buf[oh_addr]} at {oh_addr}; only v1 supported"
+            " (file written with libver='latest'?)")
+    nmsgs = _u(buf, oh_addr + 2, 2)
+    hdr_size = _u(buf, oh_addr + 8, 4)
+    attrs = {}
+    dtype = dims = None
+    data_addr = data_size = None
+    st_btree = st_heap = None
+    blocks = [(oh_addr + 16, oh_addr + 16 + hdr_size)]
+    seen = 0
+    while blocks and seen < nmsgs:
+        off, end = blocks.pop(0)
+        while off + 8 <= end and seen < nmsgs:
+            mtype = _u(buf, off, 2)
+            msize = _u(buf, off + 2, 2)
+            body = off + 8
+            seen += 1
+            if mtype == 0x0001:
+                dims = _parse_dataspace(buf, body)
+            elif mtype == 0x0003:
+                dtype, _ = _parse_datatype(buf, body)
+            elif mtype == 0x0008:
+                v = buf[body]
+                if v != 3:
+                    raise Mini5Error(f"data layout v{v} unsupported")
+                if buf[body + 1] != 1:
+                    raise Mini5Error(
+                        "chunked/compact dataset unsupported (contiguous "
+                        "only — rewrite without compression)")
+                data_addr = _u(buf, body + 2, 8)
+                data_size = _u(buf, body + 10, 8)
+            elif mtype == 0x0011:
+                st_btree = _u(buf, body, 8)
+                st_heap = _u(buf, body + 8, 8)
+            elif mtype == 0x000C:
+                name, value = _parse_attribute(buf, body)
+                attrs[name] = value
+            elif mtype == 0x0010:  # continuation block
+                blocks.append((_u(buf, body, 8),
+                               _u(buf, body, 8) + _u(buf, body + 8, 8)))
+            # 0x0000 NIL, 0x0005 fill, 0x000A group info, etc.: skip
+            off = body + msize
+    if st_btree is not None:
+        links = {}
+        for name, child_addr in _btree_snod_entries(
+                buf, st_btree, _local_heap(buf, st_heap)):
+            links[name] = _read_object(buf, child_addr)
+        return Group(links, attrs)
+    if dtype is None or dims is None:
+        return Group({}, attrs)  # empty/attribute-only node
+    if dtype == ("vlen-str",):
+        raise Mini5Error("vlen-string DATASETS unsupported (attrs only)")
+    if data_addr is None or data_addr == UNDEF:
+        arr = np.zeros([int(d) for d in dims], dtype=dtype)
+    else:
+        n = int(np.prod(dims)) if dims else 1
+        arr = np.frombuffer(
+            buf[data_addr:data_addr + n * dtype.itemsize], dtype=dtype,
+            count=n).reshape([int(d) for d in dims] if dims else ())
+    return Dataset(arr, attrs)
