@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch (test scope): the per-round BANKED plan audit — writes
+  * `PLANS_r<N>.md` so plan regressions diff across rounds the way
+  * correctness artifacts do.
+  *
+  * Section 1: the global XPlanAll gate over EVERY SparkEntry query
+  * (Window-over-SinglePartition = the one shape that cannot scale out).
+  * Section 2: a per-query physical census of the bench's most expensive
+  * queries — exchange counts, scan counts, pushed/partition filters,
+  * bucketed-scan flags, codegen spans.
+  *
+  * Run:  sbt 'Test/runMain graft.XPlanBank [sfDir] [outFile]' */
+object XPlanBank {
+
+  // the bench's top tier by r14/r15 wall time, plus the headline
+  // pipeline/join queries — the set whose plans matter most
+  val census = Seq(
+    "dd_spans", "graph_reach_sketch", "dd_funnel_report",
+    "o3_weighted_rounds", "dd_nn_dist_hist", "dd_substr_pairs",
+    "dd_incremental_winnow", "ml_cv_accuracy", "dd_minhash_recall",
+    "text_dsir_incremental", "ml_nb_classify", "graph_reach",
+    "o4_class_balanced", "dd_fuzzy_keep", "dd_embed_banded",
+    "dd_tf_cosine", "sim_knn_join", "sim_assign2_learned",
+    "tpch_q9", "tpch_q21", "ev_asof_native", "o1_streaming")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val outFile = if (args.length > 1) args(1) else "/root/repo/PLANS_r15.md"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE off: the unexecuted adaptive plan string hides codegen
+      // stages; the audit wants the full static shape
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    sb.append("# PLANS — banked physical-plan audit\n\n")
+    sb.append(s"Scale: `$sfDir`.  Regenerate: " +
+      "`sbt 'Test/runMain graft.XPlanBank'`.\n\n")
+
+    // ---- section 1: global single-partition-window gate ----------------
+    var flagged = List.empty[String]
+    var errs = List.empty[String]
+    var n = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        n += 1
+        val lines = plan.split("\n")
+        val bad = lines.zipWithIndex.exists { case (l, i) =>
+          l.contains("Window") &&
+            lines.slice(i + 1, i + 4)
+              .exists(_.contains("Exchange SinglePartition"))
+        }
+        if (bad) flagged ::= name
+        graft.core.CacheScope.release()
+      } catch { case e: Throwable =>
+        errs ::= s"$name: ${e.toString.take(80)}"
+      }
+    }
+    sb.append("## 1. Global gate: Window over SinglePartition\n\n")
+    sb.append(s"$n queries audited; ${flagged.size} flagged" +
+      (if (flagged.isEmpty) " — every window runs on a partitioned key.\n\n"
+       else s": ${flagged.sorted.mkString(", ")}\n\n"))
+    errs.sorted.foreach(e => sb.append(s"- ERROR $e\n"))
+
+    // ---- section 2: per-query physical census --------------------------
+    sb.append("## 2. Physical census (bench top tier)\n\n")
+    sb.append("| query | hash ex | range ex | single ex | scans | " +
+      "pushed filters | partition filters | bucketed | codegen spans |\n")
+    sb.append("|---|---|---|---|---|---|---|---|---|\n")
+    census.foreach { name =>
+      SparkEntry.queries.get(name) match {
+        case None => sb.append(s"| $name | (not registered) |\n")
+        case Some(fn) =>
+          try {
+            val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+            def c(p: String) = p.r.findAllIn(plan).length
+            val scans = c("FileScan ")
+            // a pushed/partition filter column counts only when non-empty
+            val pushed = c("PushedFilters: \\[[^\\]]") +
+              c("PushedAggregation: \\[[^\\]]")
+            val part = c("PartitionFilters: \\[[^\\]]")
+            // codegen stages print as the star notation `*(n)` in
+            // executedPlan.toString — count DISTINCT stage ids
+            val codegen = "\\*\\((\\d+)\\)".r
+              .findAllMatchIn(plan).map(_.group(1)).toSet.size
+            sb.append(s"| $name | ${c("Exchange hashpartitioning")} | " +
+              s"${c("Exchange rangepartitioning")} | " +
+              s"${c("Exchange SinglePartition")} | $scans | $pushed | " +
+              s"$part | ${plan.contains("Bucketed: true")} | " +
+              s"$codegen |\n")
+          } catch { case e: Throwable =>
+            sb.append(s"| $name | ERROR ${e.toString.take(60)} |\n")
+          } finally graft.core.CacheScope.release()
+      }
+    }
+    sb.append("\nSingle-partition exchanges in the census feed one-row " +
+      "global aggregates (count/argmax reads), not windows — the gate in " +
+      "§1 holds.\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      sb.toString)
+    println(s"PLANBANK wrote $outFile: $n audited, ${flagged.size} flagged, " +
+      s"${errs.size} errors")
+    spark.stop()
+  }
+}
