@@ -25,11 +25,24 @@ object R12Queries {
     // 32 coarse cells ≈ the √N IVF design point at sf0.1 (5000 vectors):
     // candidate pairs scale as N²·nprobe/cells, so cells must GROW with
     // the corpus — 8 cells was brute-force/4 and benched 4× slower
-    // probe selection runs the TWO-LEVEL route (coarse = the first-6
-    // centroid prefix, routeProbe=3): per-left-row work 6 + ~16 scores
-    // instead of 32 — the O(n·√k) recurring-cost path, replayed exactly
-    // by the oracle (KnnJoinSql's v2c/routes CTEs)
     "sim_knn_join" -> ((s, dir) => {
+      val e = Tables.emb(s, dir)
+      SimilarityOps.knnJoinIvf(e, col("embedding"), col("vec_id"),
+        e, col("embedding"), col("vec_id"),
+        e.where(col("vec_id") < 32), col("embedding"), col("vec_id"),
+        k = 3, nprobe = 2)
+    }),
+
+    // the TWO-LEVEL probe route (coarse = the first-6 centroid prefix,
+    // routeProbe=3): per-left-row work 6 + ~16 scores instead of 32 —
+    // the O(n·√k) recurring-cost path for corpus-proportional codebooks,
+    // replayed exactly by its oracle (KnnJoinRoutedSql's v2c/routes
+    // CTEs).  Registered separately from the flat form: at k=32 routing
+    // has nothing to win (its fixed extra stages cost ~0.5 s), so the
+    // flat plan stays the right default at this scale while the routed
+    // plan is the one that survives k ∝ corpus (XR15Scale) — both are
+    // oracle-gated, neither changes semantics with data size.
+    "sim_knn_join_routed" -> ((s, dir) => {
       val e = Tables.emb(s, dir)
       SimilarityOps.knnJoinIvf(e, col("embedding"), col("vec_id"),
         e, col("embedding"), col("vec_id"),
@@ -100,7 +113,7 @@ object R12Queries {
           e.where(col("vec_id") < 32), col("embedding"), col("vec_id"), idx)
       }
       SimilarityOps.knnJoinIvfIndex(s, idx, e, col("embedding"),
-        col("vec_id"), k = 3, nprobe = 2, coarseK1 = 6, routeProbe = 3)
+        col("vec_id"), k = 3, nprobe = 2)
     }),
 
     // Persisted IVF-PQ: same cells/codebooks/probe/ADC semantics (and
@@ -159,13 +172,44 @@ object R12Queries {
     s"""list_filter(string_split_regex(lower($x), '\\s+'), t -> t <> '')"""
 
   /** kNN-join mirror (self-join form over embeddings, 32 fixed centroids,
-    * nprobe=2, k=3): cell assignment = rank-1 over ALL centroids (the
-    * flat build-time pass), probe selection = the TWO-LEVEL route the
-    * Spark side runs (coarse = first-6 centroid prefix, routeProbe=3
-    * forward routes + identity routes, rank-1 coarse pick per query,
-    * top-2 fine probes among the routed candidates only); shared by
-    * `sim_knn_join` and its persisted-index layout twin. */
+    * nprobe=2, k=3): cell assignment AND probe selection = rank over ALL
+    * centroids (the flat pass); shared by `sim_knn_join` and its
+    * persisted-index layout twin. */
   private lazy val KnnJoinSql: String =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 32),
+       |asg0 AS (
+       |  SELECT e.vec_id AS neighbor_id, e.embedding AS nv, c.centroid_id,
+       |    ${cosSql("e.embedding", "c.cv")} AS acos
+       |  FROM embeddings e CROSS JOIN c
+       |),
+       |asg AS (
+       |  SELECT neighbor_id, nv, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY acos DESC, centroid_id) AS rn
+       |    FROM asg0) WHERE rn = 1
+       |),
+       |qp AS (
+       |  SELECT neighbor_id AS query_id, nv AS qv, centroid_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY acos DESC, centroid_id) AS rn
+       |    FROM asg0) WHERE rn <= 2
+       |),
+       |s AS (
+       |  SELECT qp.query_id, a.neighbor_id,
+       |    ${cosSql("qp.qv", "a.nv")} AS cos
+       |  FROM asg a JOIN qp ON a.centroid_id = qp.centroid_id
+       |  WHERE a.neighbor_id <> qp.query_id
+       |),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) - 1 AS rank
+       |  FROM s
+       |)
+       |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank < 3""".stripMargin
+
+  /** The ROUTED kNN-join mirror (`sim_knn_join_routed`): cell assignment
+    * = flat rank-1 (as built/persisted), probe selection = the TWO-LEVEL
+    * route the Spark side runs (coarse = first-6 centroid prefix,
+    * routeProbe=3 forward routes + identity routes, rank-1 coarse pick
+    * per query, top-2 fine probes among the routed candidates only). */
+  private lazy val KnnJoinRoutedSql: String =
     s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 32),
        |g AS (SELECT vec_id AS coarse_id, embedding AS gv FROM embeddings WHERE vec_id < 6),
        |asg0 AS (
@@ -220,6 +264,8 @@ object R12Queries {
     "sim_ivfpq_persisted" -> R11Queries.oracles("sim_ivfpq_topk"),
 
     "sim_knn_join" -> KnnJoinSql,
+
+    "sim_knn_join_routed" -> KnnJoinRoutedSql,
 
     // the index is a layout, not a different algorithm: same oracle
     "sim_knn_join_persisted" -> KnnJoinSql,
