@@ -88,10 +88,14 @@ class Writer:
         self.buf += data
         return addr
 
-    def dataset(self, arr, attrs=()):
-        """Write raw data + a v1 object header; returns OH address."""
+    def dataset(self, arr, attrs=(), chunks=None, gzip=None):
+        """Write data + a v1 object header; returns OH address.
+
+        ``chunks`` (a shape tuple) switches to the chunked layout (v1
+        chunk B-tree); ``gzip`` (a level) additionally deflates every
+        chunk through a filter-pipeline message — the layout
+        ``anndata.write_h5ad(compression='gzip')`` produces."""
         arr = np.ascontiguousarray(arr)
-        daddr = self.alloc(pad8(arr.tobytes()))
         if arr.dtype.kind in "iu":
             dt = dt_int(arr.dtype.itemsize, arr.dtype.kind == "i")
         elif arr.dtype.kind == "f":
@@ -101,9 +105,56 @@ class Writer:
         else:
             raise ValueError(f"dtype {arr.dtype}")
         msgs = [message(0x0001, dataspace(list(arr.shape))),
-                message(0x0003, dt, flags=1),
-                message(0x0008, pad8(struct.pack(
-                    "<BBQQ", 3, 1, daddr, arr.nbytes)))]
+                message(0x0003, dt, flags=1)]
+        if chunks is None:
+            daddr = self.alloc(pad8(arr.tobytes()))
+            msgs.append(message(0x0008, pad8(struct.pack(
+                "<BBQQ", 3, 1, daddr, arr.nbytes))))
+        else:
+            rank = arr.ndim
+            import itertools
+            import zlib
+            entries = []
+            grid = [range(0, arr.shape[d], chunks[d]) for d in range(rank)]
+            for offs in itertools.product(*grid):
+                # edge chunks are stored FULL-SIZE (zero-padded)
+                full = np.zeros(chunks, dtype=arr.dtype)
+                sel = tuple(slice(offs[d], min(offs[d] + chunks[d],
+                                               arr.shape[d]))
+                            for d in range(rank))
+                src = tuple(slice(0, sel[d].stop - sel[d].start)
+                            for d in range(rank))
+                full[src] = arr[sel]
+                raw = full.tobytes()
+                if gzip is not None:
+                    raw = zlib.compress(raw, gzip)
+                entries.append((offs, len(raw), self.alloc(pad8(raw))))
+            # chunk B-tree: one leaf (fixtures stay within one node)
+            key_sz = 8 + 8 * (rank + 1)
+
+            def key(offs, stored):
+                return struct.pack("<II", stored, 0) + b"".join(
+                    struct.pack("<Q", o) for o in offs) + struct.pack(
+                        "<Q", 0)
+            bt = b"TREE" + struct.pack("<BBHQQ", 1, 0, len(entries),
+                                       UNDEF, UNDEF)
+            for offs, stored, addr in entries:
+                bt += key(offs, stored) + struct.pack("<Q", addr)
+            past = tuple((arr.shape[d] + chunks[d] - 1) // chunks[d] *
+                         chunks[d] for d in range(rank))
+            bt += key(past, 0)
+            bt_addr = self.alloc(pad8(bt))
+            layout = struct.pack("<BBB", 3, 2, rank + 1)
+            layout += struct.pack("<Q", bt_addr)
+            layout += b"".join(struct.pack("<I", c) for c in chunks)
+            layout += struct.pack("<I", arr.dtype.itemsize)
+            msgs.append(message(0x0008, pad8(layout)))
+            if gzip is not None:
+                # filter pipeline v1: deflate (id 1), one client value
+                # (the level), padded to 8 (odd client count)
+                filt = struct.pack("<BB6x", 1, 1)
+                filt += struct.pack("<HHHHI4x", 1, 0, 0, 1, gzip)
+                msgs.append(message(0x000B, pad8(filt)))
         msgs += list(attrs)
         return self.object_header(msgs)
 
@@ -163,12 +214,18 @@ def shape_attr(n_obs, n_var):
 
 
 def build_plate(indptr, indices, data, cell_types, n_counts, n_var,
-                categories):
+                categories, gzip_chunks=None):
     w = Writer()
+
+    def xds(a):
+        if gzip_chunks is None:
+            return w.dataset(a)
+        # multiple chunks + deflate: the compressed-anndata file shape
+        return w.dataset(a, chunks=(max(2, len(a) // 3),), gzip=6)
     x = w.group([
-        ("data", w.dataset(np.asarray(data, dtype="<f4"))),
-        ("indices", w.dataset(np.asarray(indices, dtype="<i4"))),
-        ("indptr", w.dataset(np.asarray(indptr, dtype="<i8"))),
+        ("data", xds(np.asarray(data, dtype="<f4"))),
+        ("indices", xds(np.asarray(indices, dtype="<i4"))),
+        ("indptr", xds(np.asarray(indptr, dtype="<i8"))),
     ], attrs=[str_attr("encoding-type", "csr_matrix"),
               shape_attr(len(indptr) - 1, n_var)])
     cat = w.group([
@@ -203,11 +260,21 @@ def main(out_dir):
             data=[5.0, 2.25, 1.0, 1.0, 2.0, 3.5, 0.5],
             cell_types=[2, 2, 0],
             n_counts=[12.0, 44.5, 3.25]),
+        # plate2: X stored CHUNKED + gzip — the compressed-anndata shape
+        "plate2.h5ad": dict(
+            indptr=[0, 4, 5, 9, 12],
+            indices=[1, 3, 5, 7, 10, 0, 2, 4, 6, 8, 9, 11],
+            data=[0.5, 1.5, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5, 8.5, 9.5,
+                  10.5, 11.5],
+            cell_types=[1, 0, 2, 1],
+            n_counts=[1.0, 2.0, 3.0, 4.0],
+            gzip=True),
     }
     for fname, p in plates.items():
         blob = build_plate(p["indptr"], p["indices"], p["data"],
                            p["cell_types"], p["n_counts"], n_var,
-                           ["T", "B", "NK"])
+                           ["T", "B", "NK"],
+                           gzip_chunks=p.get("gzip"))
         with open(os.path.join(out_dir, fname), "wb") as fh:
             fh.write(blob)
         print(f"wrote {fname}: {len(blob)} bytes")

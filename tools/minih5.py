@@ -14,22 +14,24 @@ Supported subset (the layout libhdf5 emits for an uncompressed
   - superblock version 0, 8-byte offsets/lengths
   - old-style groups: v1 object headers + symbol-table message
     (v1 B-tree over SNOD symbol nodes + local heap), any nesting depth
-  - datasets: contiguous layout, little-endian int8..64 / uint / float32
-    / float64 / fixed-size strings, 0-2 dimensional
+  - datasets: contiguous layout AND chunked layout (v1 chunk B-tree)
+    with no filter or the deflate filter (gzip — what
+    ``anndata.write_h5ad(compression="gzip")`` produces), little-endian
+    int8..64 / uint / float32 / float64 / fixed-size strings, 0-2
+    dimensional, including partial edge chunks
   - attributes (v1 messages): scalar + 1-D, same datatypes, plus
     variable-length strings resolved through global heap collections
   - symbol-table entries with cached (cache_type 1) or uncached group
     metadata
 
-NOT supported (fail loudly): chunked/compressed datasets, v2+ object
-headers, fractal-heap "new style" groups, big-endian data.  Files from
-``h5py`` with compression need real h5py — the subset is documented in
-the conversion tool's --help.
+NOT supported (fail loudly): non-deflate filters (shuffle/szip/lzf),
+v2+ object headers, fractal-heap "new style" groups, big-endian data.
 
 Everything here is implemented from the public HDF5 File Format
 Specification (v1.x, hdfgroup.org); no HDF5 code was consulted.
 """
 import struct
+import zlib
 
 import numpy as np
 
@@ -249,6 +251,60 @@ def _btree_snod_entries(buf, btree_addr, heap_name):
             yield heap_name(name_off), oh_addr
 
 
+def _chunk_btree_entries(buf, addr, rank):
+    """Yield (offsets, stored_size, filter_mask, data_addr) across a v1
+    CHUNK B-tree (node type 1)."""
+    if buf[addr:addr + 4] != b"TREE":
+        raise Mini5Error("bad chunk B-tree signature")
+    if buf[addr + 4] != 1:
+        raise Mini5Error("expected a raw-data (type 1) B-tree node")
+    level = buf[addr + 5]
+    n = _u(buf, addr + 6, 2)
+    key_size = 8 + 8 * (rank + 1)  # size(4)+mask(4)+offsets
+    p = addr + 24
+    for _ in range(n):
+        stored = _u(buf, p, 4)
+        mask = _u(buf, p + 4, 4)
+        offs = [_u(buf, p + 8 + 8 * d, 8) for d in range(rank)]
+        child = _u(buf, p + key_size, 8)
+        p += key_size + 8
+        if level > 0:
+            yield from _chunk_btree_entries(buf, child, rank)
+        else:
+            yield offs, stored, mask, child
+
+
+def _read_chunked(buf, btree_addr, chunk_dims, dims, dtype, filters):
+    arr = np.zeros([int(d) for d in dims], dtype=dtype)
+    rank = len(dims)
+    csize = int(np.prod(chunk_dims)) * dtype.itemsize
+    for offs, stored, mask, addr in _chunk_btree_entries(
+            buf, btree_addr, rank):
+        raw = buf[addr:addr + stored]
+        # undo the pipeline in reverse; the mask's bit i marks filter i
+        # as SKIPPED for this chunk
+        for i in range(len(filters) - 1, -1, -1):
+            if mask & (1 << i):
+                continue
+            if filters[i] == 1:
+                raw = zlib.decompress(raw)
+            else:
+                raise Mini5Error(
+                    f"filter id {filters[i]} unsupported (deflate only — "
+                    "rewrite with compression='gzip' or none)")
+        if len(raw) < csize:
+            raise Mini5Error("short chunk after decompression")
+        chunk = np.frombuffer(raw[:csize], dtype=dtype).reshape(chunk_dims)
+        # clip the chunk to the dataset bounds (edge chunks are stored
+        # full-size)
+        sel = tuple(slice(offs[d], min(offs[d] + chunk_dims[d], dims[d]))
+                    for d in range(rank))
+        src = tuple(slice(0, sel[d].stop - sel[d].start)
+                    for d in range(rank))
+        arr[sel] = chunk[src]
+    return arr
+
+
 def _read_object(buf, oh_addr):
     """Parse a v1 object header into a Group or Dataset."""
     if buf[oh_addr] != 1:
@@ -260,6 +316,8 @@ def _read_object(buf, oh_addr):
     attrs = {}
     dtype = dims = None
     data_addr = data_size = None
+    chunk_btree = chunk_dims = None
+    filters = []
     st_btree = st_heap = None
     blocks = [(oh_addr + 16, oh_addr + 16 + hdr_size)]
     seen = 0
@@ -278,12 +336,28 @@ def _read_object(buf, oh_addr):
                 v = buf[body]
                 if v != 3:
                     raise Mini5Error(f"data layout v{v} unsupported")
-                if buf[body + 1] != 1:
-                    raise Mini5Error(
-                        "chunked/compact dataset unsupported (contiguous "
-                        "only — rewrite without compression)")
-                data_addr = _u(buf, body + 2, 8)
-                data_size = _u(buf, body + 10, 8)
+                lclass = buf[body + 1]
+                if lclass == 1:  # contiguous
+                    data_addr = _u(buf, body + 2, 8)
+                    data_size = _u(buf, body + 10, 8)
+                elif lclass == 2:  # chunked: dimensionality, btree, dims
+                    crank = buf[body + 2] - 1  # stored rank includes elem dim
+                    chunk_btree = _u(buf, body + 3, 8)
+                    chunk_dims = [_u(buf, body + 11 + 4 * d, 4)
+                                  for d in range(crank)]
+                else:
+                    raise Mini5Error("compact dataset layout unsupported")
+            elif mtype == 0x000B:  # filter pipeline
+                nf = buf[body + 1]
+                p = body + 8
+                for _ in range(nf):
+                    fid = _u(buf, p, 2)
+                    name_len = _u(buf, p + 2, 2)
+                    ncd = _u(buf, p + 6, 2)
+                    filters.append(fid)
+                    p += 8 + (name_len + 7) // 8 * 8 + 4 * ncd
+                    if ncd % 2 == 1:
+                        p += 4  # client data padded to 8
             elif mtype == 0x0011:
                 st_btree = _u(buf, body, 8)
                 st_heap = _u(buf, body + 8, 8)
@@ -305,7 +379,13 @@ def _read_object(buf, oh_addr):
         return Group({}, attrs)  # empty/attribute-only node
     if dtype == ("vlen-str",):
         raise Mini5Error("vlen-string DATASETS unsupported (attrs only)")
-    if data_addr is None or data_addr == UNDEF:
+    if chunk_btree is not None:
+        if chunk_btree == UNDEF:
+            arr = np.zeros([int(d) for d in dims], dtype=dtype)
+        else:
+            arr = _read_chunked(buf, chunk_btree, chunk_dims, dims, dtype,
+                                filters)
+    elif data_addr is None or data_addr == UNDEF:
         arr = np.zeros([int(d) for d in dims], dtype=dtype)
     else:
         n = int(np.prod(dims)) if dims else 1
