@@ -1563,11 +1563,16 @@ object DedupOps {
       // 6.4e9 flat 91 s vs two 4 s — 22×)
       maxFlatAssignCost: Long = 200000000L, probe: Int = 3): DataFrame = {
     val n = df.count()
-    val (centers, flatAsg) = MlOps.kmeansFit(df, vec, id, k, seed, maxIter,
-      maxDriverRows)
     val asg =
-      if (n * k.toLong <= maxFlatAssignCost) flatAsg
-      else {
+      if (n * k.toLong <= maxFlatAssignCost) {
+        val (_, flatAsg) = MlOps.kmeansFit(df, vec, id, k, seed, maxIter,
+          maxDriverRows)
+        flatAsg
+      } else if (n <= maxDriverRows) {
+        // driver-sized corpus with a big codebook: local fit (pure CPU),
+        // routed assignment over its centers
+        val (centers, _) = MlOps.kmeansFit(df, vec, id, k, seed, maxIter,
+          maxDriverRows)
         val spark = df.sparkSession
         import spark.implicits._
         val centDf = spark.createDataset(centers.toSeq.zipWithIndex
@@ -1576,6 +1581,12 @@ object DedupOps {
         SimilarityOps.l2AssignTwoLevelLearned(df, vec, id, centDf,
           col("cv"), col("centroid_id"), probe = probe, seed = seed + 7)
           .select(col("vec_id"), col("centroid_id").as("cluster"))
+      } else {
+        // corpus past the driver too: sample-init + routed-Lloyd fit —
+        // NO O(n·k) stage anywhere in fit or assignment
+        val (_, routedAsg) = MlOps.kmeansFitRouted(df, vec, id, k, seed,
+          maxIter, maxDriverRows, probe = probe)
+        routedAsg
       }
     semanticDedupAssigned(df, vec, id, asg, minCosine)
   }

@@ -58,8 +58,11 @@ object MlOps {
       maxDriverRows: Long = 200000L,
       requireLocal: Boolean = false): (Array[Array[Double]], DataFrame) = {
     val data = df.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+    // overflow-safe: maxDriverRows near Long.MaxValue must clamp, not
+    // wrap to a limit(0)
     val probe = data
-      .limit(math.min(maxDriverRows + 1, Int.MaxValue.toLong).toInt).collect()
+      .limit(if (maxDriverRows >= Int.MaxValue.toLong - 1) Int.MaxValue - 1
+        else (maxDriverRows + 1).toInt).collect()
     if (probe.length > maxDriverRows) {
       require(!requireLocal,
         s"kmeansFit(requireLocal=true): input exceeds maxDriverRows=" +
@@ -166,6 +169,83 @@ object MlOps {
       bi.toLong
     }
     (centers, data.select(col("vec_id"), assignU(col("v")).as("cluster")))
+  }
+
+  /** Corpus-scale k-means fit with NO quadratic stage — the fit-side
+    * completion of the two-level assignment story
+    * ([[SimilarityOps.l2AssignTwoLevelLearned]]).
+    *
+    * [[kmeansFit]]'s regimes both pay O(n·k) per Lloyd step once the
+    * training set outgrows the driver (MLlib's distributed Lloyd scans
+    * every centroid per vector per iteration) — with k ∝ corpus that is
+    * the same n² term the assignment gate removed.  This fit instead:
+    * (1) fits on a SEEDED Rng-hash sample of ≤ `maxDriverRows` vectors
+    * (SemDeDup's own recipe — fit on sample, assign corpus; the local
+    * kmeans++/Lloyd over the sample is driver CPU), then (2) runs
+    * `refineIters` FULL-CORPUS Lloyd steps where the assign half is the
+    * routed two-level pass (O(n·√k·probe)) and the update half is one
+    * shuffle: per-cluster element-wise means in micro-unit integer sums
+    * (exact under any partitioning — a plain `avg(double)` would make
+    * the learned centroids partitioning-dependent).  Empty clusters
+    * keep their previous center.  Per refine iteration: one routed
+    * assignment + one groupBy + a k×d driver collect (the codebook,
+    * which the return contract holds driver-side anyway).
+    *
+    * Deterministic for fixed (input, seed, parameters).  Returns
+    * (centers, (vec_id, cluster)) like [[kmeansFit]]; the assignment is
+    * the routed pass over the FINAL centers. */
+  def kmeansFitRouted(df: DataFrame, vec: Column, id: Column, k: Int,
+      seed: Long, maxIter: Int = 10, maxDriverRows: Long = 200000L,
+      refineIters: Int = 3, probe: Int = 3): (Array[Array[Double]], DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val data = graft.core.CacheScope.persist(
+      df.select(id.as("vec_id"), vec.cast("array<double>").as("v")),
+      eager = true)
+    val n = data.count()
+    require(n >= k, s"k=$k exceeds corpus rows n=$n")
+    val frac = math.min(1.0, maxDriverRows.toDouble / math.max(n, 1L))
+    val sample = if (frac >= 1.0) data
+      else data.where(
+        graft.core.Rng.Xx.uniform(seed, "kmfit_sample", col("vec_id"))
+          < frac)
+    // local regime forced: the sample IS driver-sized by construction
+    // (gate raised, NOT Long.MaxValue — kmeansFit probes maxDriverRows+1)
+    val (c0, _) = kmeansFit(sample, col("v"), col("vec_id"), k, seed,
+      maxIter, maxDriverRows = Int.MaxValue.toLong - 2)
+    var centers = c0
+    val d = centers(0).length
+    def centDf(cs: Array[Array[Double]]) =
+      spark.createDataset(cs.toSeq.zipWithIndex
+          .map { case (v0, i) => (i.toLong, v0.toSeq) })
+        .toDF("centroid_id", "cv")
+    def assign(cs: Array[Array[Double]]) =
+      SimilarityOps.l2AssignTwoLevelLearned(data, col("v"), col("vec_id"),
+        centDf(cs), col("cv"), col("centroid_id"), probe = probe,
+        seed = seed + 13)
+    var it = 0
+    while (it < refineIters) {
+      val sums = (0 until d).map(i =>
+        sum(round(element_at(col("v"), i + 1) * 1e6).cast("long"))
+          .as(s"__s$i"))
+      val rows = data
+        .join(assign(centers).select(col("vec_id"), col("centroid_id")),
+          "vec_id")
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("__n"), sums: _*)
+        .collect()
+      val next = centers.map(_.clone())
+      rows.foreach { r =>
+        val cid = r.getLong(0).toInt
+        val cnt = r.getLong(1)
+        next(cid) = Array.tabulate(d)(i =>
+          r.getLong(i + 2).toDouble / 1e6 / cnt)
+      }
+      centers = next
+      it += 1
+    }
+    (centers, assign(centers)
+      .select(col("vec_id"), col("centroid_id").as("cluster")))
   }
 
   /** A trained multinomial Naive Bayes text classifier, held as plain

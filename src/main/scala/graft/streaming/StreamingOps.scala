@@ -476,16 +476,25 @@ object StreamingOps {
     * same-instant smaller-id right arriving in a later batch cannot
     * regress the match.
     *
+    * `toleranceMs ≥ 0` bounds the match's staleness at emit (the batch
+    * `AsOfJoin(toleranceUs)` rule): a left row whose latest right row is
+    * older than the tolerance emits unmatched.  State is unchanged —
+    * the latest right row is still the only candidate a future left row
+    * could need.
+    *
     * Exactness contract (R15StreamSpec): under per-key ORDERED arrival
     * — each micro-batch's events at-or-after the previous batch's, the
     * replay/backfill shape — the emitted rows equal the batch asofJoin
+    * (and, with tolerance, the native `asofJoinNative(toleranceMs)`)
     * row-for-row.  Under disorder, a left row is enriched with the
     * latest right row KNOWN at its micro-batch (no retraction of
     * already-emitted rows — the standard streaming-enrichment trade;
     * emitted in Update mode). */
   def asofEnrichStream(spark: SparkSession, dir: String,
       schema: StructType, leftType: String = "click",
-      rightType: String = "purchase"): DataFrame = {
+      rightType: String = "purchase",
+      toleranceMs: Long = -1L): DataFrame = {
+    val tolUs = if (toleranceMs < 0) -1L else toleranceMs * 1000L
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val ev = spark.readStream.schema(schema).parquet(dir)
@@ -519,9 +528,15 @@ object StreamingOps {
                 s = AsofState(tsMicros, id,
                   if (v == null) 0.0 else v.doubleValue(), v == null)
               None
-            } else Some(AsofOut(id, k, ts,
-              if (s == null) None else Some(s.id),
-              if (s == null || s.valueNull) None else Some(s.value)))
+            } else {
+              // tolerance bounds the match's staleness at emit — the
+              // batch AsOfJoin(toleranceUs) rule
+              val ok = s != null &&
+                (tolUs < 0L || tsMicros - s.tsMicros <= tolUs)
+              Some(AsofOut(id, k, ts,
+                if (!ok) None else Some(s.id),
+                if (!ok || s.valueNull) None else Some(s.value)))
+            }
           }
           if (s != null) state.update(s)
           out.iterator

@@ -127,6 +127,31 @@ class R15QuantSpec extends AnyFunSuite {
     CacheScope.release()
   }
 
+  test("kmeansFitRouted (sample init + routed Lloyd) recovers the same " +
+      "cluster structure as the exact local fit, deterministically, " +
+      "even from a genuine subsample") {
+    // canonical form: the partition of ids into clusters (labels are
+    // arbitrary between fits)
+    def groupsOf(asg: Map[Long, Long]): Set[Set[Long]] =
+      asg.groupBy(_._2).values.map(_.keySet.toSet).toSet
+    val exact = groupsOf(MlOps.kmeansFit(corpus, col("embedding"),
+      col("vec_id"), k = 8, seed = 42L)._2
+      .as[(Long, Long)].collect().toMap)
+    assert(exact.size == 8 && exact.forall(_.size == 24),
+      "the separated fixture's true cells")
+    val routed = MlOps.kmeansFitRouted(corpus, col("embedding"),
+      col("vec_id"), k = 8, seed = 42L, maxDriverRows = 64L)._2
+      .as[(Long, Long)].collect().toMap
+    graft.core.CacheScope.release()
+    assert(groupsOf(routed) == exact,
+      "a 64-row sample init + 3 routed Lloyd steps recover the cells")
+    val again = MlOps.kmeansFitRouted(corpus, col("embedding"),
+      col("vec_id"), k = 8, seed = 42L, maxDriverRows = 64L)._2
+      .as[(Long, Long)].collect().toMap
+    graft.core.CacheScope.release()
+    assert(again == routed, "deterministic for fixed input + seed")
+  }
+
   test("semanticDedup through the gated two-level assignment keeps the " +
       "same keepers as the flat path") {
     // the OpsSpec fixture: 3 cells, planted near-identical pairs (10c,

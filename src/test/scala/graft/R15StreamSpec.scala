@@ -78,6 +78,38 @@ class R15StreamSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("tolerance bounds staleness: stream == batch native as-of with " +
+      "the same tolerance (the 9.5 h-stale match drops, fresh ones stay)") {
+    val tolMs = 3600L * 1000L
+    val batch = EventOps.asofJoinNative(
+      events.where($"event_type" === "click"), col("event_id"),
+      col("user_id"), col("ts"),
+      events.where($"event_type" === "purchase"), col("event_id"),
+      col("user_id"), col("ts"), col("value"), toleranceMs = tolMs)
+      .select($"left_id", $"k", $"matched_id", $"matched_value")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    graft.core.CacheScope.release()
+    assert(batch.contains((4L, 2L, None, None)),
+      "the 9.5 h-old purchase is outside the 1 h tolerance")
+    assert(batch.contains((2L, 1L, Some(12L), Some(9.0))),
+      "the same-instant match survives any tolerance")
+    val dir = java.nio.file.Files.createTempDirectory("graft-asofstream3")
+      .toFile
+    try {
+      events.coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      val q = StreamingOps.asofEnrichStream(spark, dir.getAbsolutePath,
+          events.schema, toleranceMs = tolMs)
+        .writeStream.format("memory").queryName("graft_asof_tol")
+        .outputMode("update").start()
+      q.processAllAvailable()
+      val out = spark.table("graft_asof_tol")
+        .select($"left_id", $"k", $"matched_id", $"matched_value")
+        .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+      q.stop()
+      assert(out == batch)
+    } finally rm(dir)
+  }
+
   test("ordered arrival across micro-batches: per-key state carries the " +
       "running latest purchase over the batch boundary") {
     val dir = java.nio.file.Files.createTempDirectory("graft-asofstream2")

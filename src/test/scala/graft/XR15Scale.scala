@@ -52,6 +52,32 @@ object XR15Scale {
       e.unpersist(); cents.unpersist()
       graft.core.CacheScope.release()
     }
+
+    // --- 2. fit cost: MLlib kmeans|| (O(n·k) per Lloyd step) vs the
+    //        sample-init + routed-Lloyd fit (O(n·√k·probe) per step) ----
+    {
+      val n = 320000L
+      val k = 5000
+      val e = emb(n).cache(); e.count()
+      val t0 = System.nanoTime()
+      val (_, asg) = graft.ops.MlOps.kmeansFitRouted(e, col("embedding"),
+        col("vec_id"), k, seed = 42L, maxIter = 5, refineIters = 2)
+      val nAsg = asg.count()
+      val routedSec = (System.nanoTime() - t0) / 1e9
+      graft.core.CacheScope.release()
+      // MLlib reference point: ONE Lloyd iteration (full fits at this
+      // k are impractical — which is the point being measured)
+      val t1 = System.nanoTime()
+      val vdata = e.select(col("vec_id"),
+        graft.ops.MlOps.toVector(col("embedding")).as("features"))
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(k).setSeed(42L).setMaxIter(1).fit(vdata)
+      val mllibSec = (System.nanoTime() - t1) / 1e9
+      println(f"FITSCALE n=$n k=$k routed_full_fit=$routedSec%.1fs " +
+        f"(sample init + 2 routed Lloyd steps, $nAsg rows assigned) " +
+        f"mllib_ONE_iter=$mllibSec%.1fs")
+      e.unpersist()
+    }
     spark.stop()
   }
 }
