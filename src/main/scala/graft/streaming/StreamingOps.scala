@@ -482,6 +482,15 @@ object StreamingOps {
     * the latest right row is still the only candidate a future left row
     * could need.
     *
+    * `stateTtl` bounds TOTAL state at unbounded key churn: per-key state
+    * is O(1), but over months the KEY COUNT grows without it.  With a
+    * TTL, the input is watermarked by the same duration and a key whose
+    * last seen event falls `stateTtl` behind the watermark is evicted
+    * (event-time timeout) — a later left row for that key emits
+    * unmatched, exactly what a `toleranceMs ≤ stateTtl` would have
+    * decided anyway; set `stateTtl ≥ toleranceMs` so eviction never
+    * drops a match tolerance would keep.
+    *
     * Exactness contract (R15StreamSpec): under per-key ORDERED arrival
     * — each micro-batch's events at-or-after the previous batch's, the
     * replay/backfill shape — the emitted rows equal the batch asofJoin
@@ -493,12 +502,13 @@ object StreamingOps {
   def asofEnrichStream(spark: SparkSession, dir: String,
       schema: StructType, leftType: String = "click",
       rightType: String = "purchase",
-      toleranceMs: Long = -1L): DataFrame = {
+      toleranceMs: Long = -1L, stateTtl: Option[String] = None): DataFrame = {
     val tolUs = if (toleranceMs < 0) -1L else toleranceMs * 1000L
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val ev = spark.readStream.schema(schema).parquet(dir)
+    val raw = spark.readStream.schema(schema).parquet(dir)
       .where(col("event_type").isin(leftType, rightType))
+    val ev = stateTtl.fold(raw)(ttl => raw.withWatermark("ts", ttl))
       .select(col("user_id").cast("long").as("k"),
         col("ts"),
         when(col("event_type") === lit(rightType), 0).otherwise(1)
@@ -506,11 +516,25 @@ object StreamingOps {
         col("event_id").cast("long").as("id"),
         col("value").cast("double").as("v"))
       .as[(Long, java.sql.Timestamp, Int, Long, java.lang.Double)]
+    val timeoutKind =
+      if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    val ttlMs = stateTtl.map(t =>
+      org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+      .map(i => i.months * 2592000000L + i.days * 86400000L +
+        i.microseconds / 1000L)
     ev.groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, timeoutKind) {
         (k: Long,
             rows: Iterator[(Long, java.sql.Timestamp, Int, Long, java.lang.Double)],
             state: GroupState[AsofState]) =>
+          if (state.hasTimedOut) {
+            // the key's last event fell `stateTtl` behind the watermark:
+            // evict — a later left row re-creates the key unmatched
+            state.remove()
+            Iterator.empty
+          } else {
           var s = state.getOption.orNull
           // the batch window's interleave: ts, right (side 0) before left
           // at the same instant, equal-ts rights ascending by id — the
@@ -539,7 +563,21 @@ object StreamingOps {
             }
           }
           if (s != null) state.update(s)
+          // arm the eviction clock: this key times out once the
+          // watermark passes its last-seen event by the TTL (clamped
+          // above the current watermark — a late straggler key must
+          // still get a VALID timeout, just an imminent one)
+          ttlMs.foreach { t =>
+            if (state.exists) {
+              val lastSeenMs = ordered.lastOption
+                .map { case (_, ts, _, _, _) => ts.getTime }
+                .getOrElse(state.get.tsMicros / 1000L)
+              state.setTimeoutTimestamp(
+                math.max(lastSeenMs + t, state.getCurrentWatermarkMs() + 1))
+            }
+          }
           out.iterator
+          }
       }
       .toDF("left_id", "k", "ts", "matched_id", "matched_value")
   }

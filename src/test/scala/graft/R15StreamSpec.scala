@@ -110,6 +110,44 @@ class R15StreamSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("stateTtl bounds total state: an idle key is evicted once the " +
+      "watermark passes its TTL, a fresh key's state survives") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-asofstream4")
+      .toFile
+    try {
+      def ev(rows: Seq[(Long, String, Long, String, Double)]) =
+        rows.map { case (u, t, id, et, v) => (u, ts(t), id, et, v) }
+          .toDF("user_id", "ts", "event_id", "event_type", "value")
+      // batch 1: user 1 purchases at 08:00 (state created)
+      ev(Seq((1L, "2024-01-01 08:00:00", 100L, "purchase", 1.0)))
+        .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      val q = StreamingOps.asofEnrichStream(spark, dir.getAbsolutePath,
+          events.schema, stateTtl = Some("2 hours"))
+        .writeStream.format("memory").queryName("graft_asof_ttl")
+        .outputMode("update").start()
+      q.processAllAvailable()
+      // batch 2: user 2 far in the future — advances the watermark to
+      // 22:00 (24:00 − 2 h TTL), far past user 1's 08:00+2 h timeout
+      ev(Seq((2L, "2024-01-02 00:00:00", 200L, "purchase", 2.0)))
+        .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      q.processAllAvailable()
+      // batch 3: the timeout fires (user 1 evicted); then batch 4's
+      // click from user 1 finds NO state, while user 2's state (within
+      // TTL of the watermark) still matches
+      ev(Seq((2L, "2024-01-02 00:30:00", 201L, "click", 0.0),
+          (1L, "2024-01-02 00:30:00", 101L, "click", 0.0)))
+        .coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      q.processAllAvailable()
+      val out = spark.table("graft_asof_ttl")
+        .select($"left_id", $"matched_id")
+        .as[(Long, Option[Long])].collect().toMap
+      q.stop()
+      assert(out(201L) == Some(200L), "fresh key's state survives the TTL")
+      assert(out(101L) == None,
+        "evicted key: the 08:00 purchase is gone, the click is unmatched")
+    } finally rm(dir)
+  }
+
   test("ordered arrival across micro-batches: per-key state carries the " +
       "running latest purchase over the batch boundary") {
     val dir = java.nio.file.Files.createTempDirectory("graft-asofstream2")
