@@ -36,6 +36,15 @@ class R15LakeSpec extends AnyFunSuite {
       }
       val latest = LayoutOps.latestVersion(spark, path)
       assert(latest == 6)
+      // vacuum's disk-based sweep collects a crash leftover: a data dir
+      // written but never manifested (the writer died before its CAS)
+      val orphan = s"$path/files/v99-deadbeef"
+      Seq((999L, "junk")).toDF("id", "payload")
+        .write.parquet(orphan)
+      val swept = LayoutOps.vacuum(spark, path, keepFrom = 0)
+      assert(swept == 1, "only the orphan is unreferenced — all kept")
+      assert(!new java.io.File(orphan).exists,
+        "the never-manifested leftover is gone")
       val snap = LayoutOps.readVersion(spark, path, latest)
         .select("id").as[Long].collect().toSet
       assert(snap == Set(0L, 11L, 12L, 21L, 22L, 31L, 32L),
