@@ -118,10 +118,15 @@ case class Dist2(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val aa = a.asInstanceOf[ArrayData]
     val ba = b.asInstanceOf[ArrayData]
-    val m = math.min(aa.numElements(), ba.numElements())
+    // a silent min-length truncation would assign a corrupt short vector
+    // to a wrong-but-plausible centroid; the k-means loop this kernel
+    // replaces surfaces the mismatch, so this does too
+    if (aa.numElements() != ba.numElements())
+      throw new IllegalArgumentException(
+        s"dist2: dimension mismatch ${aa.numElements()} vs ${ba.numElements()}")
     var s = 0.0
     var i = 0
-    while (i < m) {
+    while (i < aa.numElements()) {
       val d = aa.getDouble(i) - ba.getDouble(i); s += d * d; i += 1
     }
     s
@@ -134,7 +139,11 @@ case class Dist2(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $m = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $m = $a.numElements();
+         |if ($m != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dist2: dimension mismatch " + $m + " vs " + $b.numElements());
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $m; $i++) {
          |  double $d = $a.getDouble($i) - $b.getDouble($i);

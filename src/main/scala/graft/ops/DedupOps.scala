@@ -1562,9 +1562,16 @@ object DedupOps {
       // n·k = 1e8 flat 1.7 s vs two 2.2 s; 1.6e9 flat 28 s vs two 6.5 s;
       // 6.4e9 flat 91 s vs two 4 s — 22×)
       maxFlatAssignCost: Long = 200000000L, probe: Int = 3): DataFrame = {
-    val n = df.count()
+    // the gate needs n only up to the point where BOTH thresholds are
+    // already exceeded — a bounded limit(...).count() probe, never a full
+    // corpus scan (on a multi-TB uncached input a plain count() would be
+    // one extra complete pass just to pick a branch)
+    val probeLim = math.min(Int.MaxValue.toLong - 2,
+      math.max(maxFlatAssignCost / math.max(k, 1), maxDriverRows) + 1)
+    val probed = df.limit(probeLim.toInt).count()
+    val n = probed // exact when probed < probeLim; a lower bound otherwise
     val asg =
-      if (n * k.toLong <= maxFlatAssignCost) {
+      if (probed < probeLim && n * k.toLong <= maxFlatAssignCost) {
         val (_, flatAsg) = MlOps.kmeansFit(df, vec, id, k, seed, maxIter,
           maxDriverRows)
         flatAsg

@@ -204,16 +204,36 @@ object MlOps {
       eager = true)
     val n = data.count()
     require(n >= k, s"k=$k exceeds corpus rows n=$n")
-    val frac = math.min(1.0, maxDriverRows.toDouble / math.max(n, 1L))
-    val sample = if (frac >= 1.0) data
-      else data.where(
-        graft.core.Rng.Xx.uniform(seed, "kmfit_sample", col("vec_id"))
-          < frac)
-    // local regime forced: the sample IS driver-sized by construction
-    // (gate raised, NOT Long.MaxValue — kmeansFit probes maxDriverRows+1)
-    val (c0, _) = kmeansFit(sample, col("v"), col("vec_id"), k, seed,
-      maxIter, maxDriverRows = Int.MaxValue.toLong - 2)
-    var centers = c0
+    var centers =
+      if (k <= maxDriverRows / 2) {
+        // sample comfortably holds k training points: SemDeDup's
+        // fit-on-sample (local kmeans++/Lloyd) gives a quality init
+        val frac = math.min(1.0, maxDriverRows.toDouble / math.max(n, 1L))
+        val sample = if (frac >= 1.0) data
+          else data.where(
+            graft.core.Rng.Xx.uniform(seed, "kmfit_sample", col("vec_id"))
+              < frac)
+        // local regime forced: the sample IS driver-sized by construction
+        // (gate raised, NOT Long.MaxValue — kmeansFit probes limit+1)
+        kmeansFit(sample, col("v"), col("vec_id"), k, seed,
+          maxIter, maxDriverRows = Int.MaxValue.toLong - 2)._1
+      } else {
+        // k ∝ corpus past the sample's capacity (the regime this fit
+        // exists for): init = k seeded-hash-ranked corpus vectors — a
+        // distributed top-k, no local fit — and let the routed Lloyd
+        // steps do the placement work.  k·d doubles land on the driver,
+        // the same bound as the returned codebook itself.
+        val init = data
+          .withColumn("__u", graft.core.Rng.Xx.uniform(seed, "kmfit_init",
+            col("vec_id")))
+          .orderBy(col("__u"), col("vec_id"))
+          .limit(k)
+          .select(col("v")).collect()
+          .map(_.getSeq[Double](0).toArray)
+        require(init.length == k,
+          s"corpus yielded only ${init.length} init vectors for k=$k")
+        init
+      }
     val d = centers(0).length
     def centDf(cs: Array[Array[Double]]) =
       spark.createDataset(cs.toSeq.zipWithIndex

@@ -243,6 +243,10 @@ object SimilarityOps {
     val ct = centroids.select(cid.cast("long").as("centroid_id"),
       cvec.as("cv"))
     val k = ct.count()
+    // a handful of centroids has nothing to route — the flat scan IS the
+    // cheap plan, and a coarse fit over ≤4 rows can't even hold 2 cells
+    if (k <= 4) return l2Assign(corpus, vec, id, ct, col("cv"),
+      col("centroid_id"))
     val kc = if (k1 > 0) k1
       else math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong).toInt
     val co = coarseFromCentroids(ct, col("cv"), col("centroid_id"), kc, seed)

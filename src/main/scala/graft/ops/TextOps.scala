@@ -515,9 +515,26 @@ object TextOps {
     * recursion, which is what the oracle does.  O(len²) per word; real
     * vocab sizes keep words short enough that the simple scan beats a heap
     * on constant factors. */
+  /** Initial BPE symbols: CODE POINTS, not chars — a charAt split would
+    * break a supplementary character (emoji etc.) into lone surrogates,
+    * which Spark's UTF8String conversion replaces with '?' — silently
+    * corrupting the distributed trainer's pair table while the local
+    * trainer kept the real chars (divergence).  Whole code points always
+    * round-trip UTF-8, so both training regimes and the tokenizer agree. */
+  private def codePointSplit(word: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](word.length)
+    var i = 0
+    while (i < word.length) {
+      val n = Character.charCount(word.codePointAt(i))
+      out += word.substring(i, i + n)
+      i += n
+    }
+    out.toArray
+  }
+
   private def bpeWord(word: String,
       rank: java.util.HashMap[String, Int]): Array[String] = {
-    var toks = Array.tabulate(word.length)(i => String.valueOf(word.charAt(i)))
+    var toks = codePointSplit(word)
     var done = toks.length <= 1
     while (!done) {
       var best = Int.MaxValue; var bp = -1
@@ -652,9 +669,8 @@ object TextOps {
     val cnts = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val w = wordCnt(i)._1
-      syms(i) = mutable.ArrayBuffer.tabulate(w.length)(j =>
-        String.valueOf(w.charAt(j)))
+      // code-point split, matching bpeWord's initial symbols exactly
+      syms(i) = mutable.ArrayBuffer.from(codePointSplit(wordCnt(i)._1))
       cnts(i) = wordCnt(i)._2
       i += 1
     }

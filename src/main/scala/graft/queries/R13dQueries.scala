@@ -23,11 +23,8 @@ object R13dQueries {
     // side's accuracy gate is `graph_reach_sketch` below, which IS
     // scale-aware (per-seed 15%/±2 tolerance vs exact).
     "graph_reach" -> ((s, dir) =>
-      GraphOps.kHopReach(Tables.coEdges(s, dir)
-          .select(col("src").cast("long").as("a"),
-            col("dst").cast("long").as("b"))
-          .where(col("a") =!= col("b")),
-        col("a"), col("b"), hops = 3)),
+      GraphOps.kHopReach(Tables.coEdges(s, dir), col("src"), col("dst"),
+        hops = 3)),
 
     // The bounded-state HyperANF path checked AGAINST the exact census:
     // per hop, the number of seeds and the number whose HLL estimate is

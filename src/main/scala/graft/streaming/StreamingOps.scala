@@ -22,8 +22,9 @@ final case class AsofState(tsMicros: Long, id: Long, value: Double,
   valueNull: Boolean)
 
 /** Output row of [[StreamingOps.asofEnrichStream]] — the batch
-  * [[graft.ops.EventOps.asofJoin]] schema. */
-final case class AsofOut(left_id: Long, k: Long,
+  * [[graft.ops.EventOps.asofJoin]] schema (left_id nullable: a null left
+  * id with a valid key still merges, exactly the batch rule). */
+final case class AsofOut(left_id: Option[Long], k: Long,
   ts: java.sql.Timestamp, matched_id: Option[Long],
   matched_value: Option[Double])
 
@@ -508,14 +509,29 @@ object StreamingOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val raw = spark.readStream.schema(schema).parquet(dir)
       .where(col("event_type").isin(leftType, rightType))
-    val ev = stateTtl.fold(raw)(ttl => raw.withWatermark("ts", ttl))
+    val tagged = stateTtl.fold(raw)(ttl => raw.withWatermark("ts", ttl))
       .select(col("user_id").cast("long").as("k"),
         col("ts"),
         when(col("event_type") === lit(rightType), 0).otherwise(1)
           .as("side"),
         col("event_id").cast("long").as("id"),
         col("value").cast("double").as("v"))
-      .as[(Long, java.sql.Timestamp, Int, Long, java.lang.Double)]
+    // SQL null semantics, matching the batch asofJoin: right rows with a
+    // null key/ts are discarded; LEFT rows with a null key/ts bypass the
+    // stateful merge and emit unmatched (they can never match, and a
+    // null key cannot enter the non-nullable group key anyway)
+    val nullLeft = tagged
+      .where(col("side") === 1 && (col("k").isNull || col("ts").isNull))
+      .select(col("id").as("left_id"), col("k"), col("ts"),
+        lit(null).cast("long").as("matched_id"),
+        lit(null).cast("double").as("matched_value"))
+    // null ids: a LEFT row's id may be null (emits a null left_id, the
+    // batch rule); a RIGHT row with a null id carries no usable match
+    // reference and is discarded like a null key
+    val ev = tagged
+      .where(col("k").isNotNull && col("ts").isNotNull &&
+        !(col("side") === 0 && col("id").isNull))
+      .as[(Long, java.sql.Timestamp, Int, java.lang.Long, java.lang.Double)]
     val timeoutKind =
       if (stateTtl.isDefined) GroupStateTimeout.EventTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -527,7 +543,7 @@ object StreamingOps {
     ev.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Update, timeoutKind) {
         (k: Long,
-            rows: Iterator[(Long, java.sql.Timestamp, Int, Long, java.lang.Double)],
+            rows: Iterator[(Long, java.sql.Timestamp, Int, java.lang.Long, java.lang.Double)],
             state: GroupState[AsofState]) =>
           if (state.hasTimedOut) {
             // the key's last event fell `stateTtl` behind the watermark:
@@ -540,7 +556,8 @@ object StreamingOps {
           // at the same instant, equal-ts rights ascending by id — the
           // running "latest right" after each row IS the as-of match
           val ordered = rows.toSeq.sortBy { case (_, ts, side, id, _) =>
-            (ts.getTime * 1000 + ts.getNanos / 1000 % 1000, side, id)
+            (ts.getTime * 1000 + ts.getNanos / 1000 % 1000, side,
+              if (id == null) Long.MinValue else id.longValue())
           }
           val out = ordered.flatMap { case (_, ts, side, id, v) =>
             val tsMicros = ts.getTime * 1000 + ts.getNanos / 1000 % 1000
@@ -549,7 +566,7 @@ object StreamingOps {
               // (ts, id) guard for cross-batch same-instant arrivals)
               if (s == null || tsMicros > s.tsMicros ||
                   (tsMicros == s.tsMicros && id >= s.id))
-                s = AsofState(tsMicros, id,
+                s = AsofState(tsMicros, id.longValue(),
                   if (v == null) 0.0 else v.doubleValue(), v == null)
               None
             } else {
@@ -557,7 +574,7 @@ object StreamingOps {
               // batch AsOfJoin(toleranceUs) rule
               val ok = s != null &&
                 (tolUs < 0L || tsMicros - s.tsMicros <= tolUs)
-              Some(AsofOut(id, k, ts,
+              Some(AsofOut(Option(id).map(_.longValue()), k, ts,
                 if (!ok) None else Some(s.id),
                 if (!ok || s.valueNull) None else Some(s.value)))
             }
@@ -580,6 +597,7 @@ object StreamingOps {
           }
       }
       .toDF("left_id", "k", "ts", "matched_id", "matched_value")
+      .unionByName(nullLeft)
   }
 
   /** Ingest-time per-key admission control: each key's first `maxPerKey`
@@ -701,21 +719,18 @@ object StreamingOps {
     * committed but the marker is missing (the flaw of a separate marker
     * file written after the commit).  A foreachBatch replay after a
     * restart first asks the manifest log whether this batch already
-    * landed; a half-committed data directory from a crash between data
-    * write and manifest write is swept before retrying.  Public so the
+    * landed.  A crash between data write and manifest write leaves only
+    * an unreferenced, WRITER-UNIQUE data directory (LayoutOps.commit's
+    * naming): it can never collide with the retry's own write, is
+    * invisible to every reader (manifests are the only name authority),
+    * and is reclaimed by `LayoutOps.vacuum`'s disk sweep.  Public so the
     * replay invariant is directly testable. */
   def commitBatchIdempotent(batch: DataFrame, batchId: Long,
       path: String): Unit = {
     val spark = batch.sparkSession
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!graft.ops.LayoutOps.txnCommitted(spark, path, s"batch$batchId")) {
-      val orphan = new org.apache.hadoop.fs.Path(
-        s"$path/files/v${graft.ops.LayoutOps.latestVersion(spark, path) + 1}")
-      if (fsys.exists(orphan)) fsys.delete(orphan, true)
+    if (!graft.ops.LayoutOps.txnCommitted(spark, path, s"batch$batchId"))
       graft.ops.LayoutOps.commitAppend(batch, path,
         txn = Some(s"batch$batchId"))
-    }
   }
 
   /** Streaming CDC → versioned lake: every micro-batch lands as one lake

@@ -57,21 +57,26 @@ class R13fSpec extends AnyFunSuite {
     } finally rmr(root)
   }
 
-  test("commitBatchIdempotent sweeps a half-committed data dir before retry") {
+  test("a crash-orphaned data dir neither blocks nor pollutes a batch " +
+      "retry: writer-unique names make it invisible until vacuumed") {
     val root = java.nio.file.Files.createTempDirectory("graft-lake3").toFile
     val lake = s"$root/lake"
     try {
       val b = Seq((1L, "a")).toDF("id", "v")
       StreamingOps.commitBatchIdempotent(b, 0L, lake)
-      // simulate a crash AFTER the v1 data write but BEFORE its manifest:
-      // an orphan files/v1 dir with no _v1.manifest and no marker
+      // simulate a crash AFTER a data write but BEFORE its manifest —
+      // under writer-unique naming the leftover occupies no version slot
       Seq((9L, "junk")).toDF("id", "v")
-        .write.parquet(s"$lake/files/v1")
+        .write.parquet(s"$lake/files/v1-deadbeef")
       StreamingOps.commitBatchIdempotent(b, 1L, lake)
       assert(LayoutOps.latestVersion(spark, lake) == 1)
       // the orphan's junk row must NOT appear in the committed snapshot
       assert(LayoutOps.readVersion(spark, lake, 1)
         .where(col("id") === 9L).count() == 0)
+      // and vacuum's disk sweep reclaims exactly the orphan
+      assert(LayoutOps.vacuum(spark, lake, keepFrom = 0) == 1)
+      assert(!new java.io.File(s"$lake/files/v1-deadbeef").exists)
+      assert(LayoutOps.readVersion(spark, lake, 1).count() == 2)
     } finally rmr(root)
   }
 }

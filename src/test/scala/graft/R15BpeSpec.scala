@@ -33,6 +33,33 @@ class R15BpeSpec extends AnyFunSuite {
     assert(local.length == dist.length)
   }
 
+  test("supplementary characters: code-point symbols keep local == " +
+      "distributed (a charAt split would corrupt surrogates to '?' on " +
+      "the distributed side only)") {
+    // U+1F600 GRINNING FACE and U+10348 GOTHIC HWAIR — both outside the
+    // BMP, interleaved with ASCII and repeated for real pair pressure
+    val smile = new String(Character.toChars(0x1F600))
+    val hwair = new String(Character.toChars(0x10348))
+    val corpus = Seq(
+      (1L, s"$smile$smile a$smile b$hwair$hwair $smile$hwair"),
+      (2L, s"ab$smile ab$smile ba$hwair $smile$smile$smile"))
+      .toDF("doc_id", "text")
+    val local = TextOps.bpeTrain(corpus, col("text"), numMerges = 10)
+    CacheScope.release()
+    val dist = TextOps.bpeTrain(corpus, col("text"), numMerges = 10,
+      maxDriverWords = 0L)
+    CacheScope.release()
+    assert(local == dist, s"local $local vs distributed $dist")
+    assert(local.exists(m => m._1.contains(smile) || m._2.contains(smile)),
+      "the emoji participates in learned merges as a WHOLE code point")
+    // and the tokenizer applies them losslessly
+    val toks = TextOps.bpeTokens(
+      Seq((9L, s"$smile$smile")).toDF("doc_id", "text"),
+      col("text"), col("doc_id"), local)
+      .as[(Long, Seq[String])].collect().head._2
+    assert(toks.mkString == s"$smile$smile", "no surrogate corruption")
+  }
+
   test("the classic fixture's hand-computed merges come out of the LOCAL " +
       "path (the small-vocabulary default regime)") {
     val corpus = Seq(

@@ -150,6 +150,33 @@ class R15QuantSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     graft.core.CacheScope.release()
     assert(again == routed, "deterministic for fixed input + seed")
+    // k past the sample's capacity (k > maxDriverRows/2): the hash-rank
+    // init path — the k-proportional-to-corpus regime — must not crash
+    // and must still recover the cells after routed refinement
+    val rankInit = MlOps.kmeansFitRouted(corpus, col("embedding"),
+      col("vec_id"), k = 8, seed = 42L, maxDriverRows = 10L)._2
+      .as[(Long, Long)].collect().toMap
+    graft.core.CacheScope.release()
+    assert(groupsOf(rankInit) == exact,
+      "hash-rank init + routed Lloyd recovers the cells without a sample fit")
+  }
+
+  test("Dist2 fails loudly on mismatched dimensions instead of silently " +
+      "truncating; tiny codebooks delegate to the flat scan") {
+    val bad = Seq((1L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)))
+      .toDF("id", "a", "b")
+    val e = intercept[Exception](
+      bad.select(graft.functions.VecKernels.dist2(col("a"), col("b")))
+        .collect())
+    assert(e.getMessage != null)
+    // k=1: routing has nothing to route — must behave as l2Assign
+    val one = corpus.limit(20)
+    val cents1 = corpus.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val out = SimilarityOps.l2AssignTwoLevelLearned(one, col("embedding"),
+      col("vec_id"), cents1, col("cv"), col("centroid_id")).collect()
+    assert(out.length == 20 && out.forall(_.getLong(1) == 0L))
+    graft.core.CacheScope.release()
   }
 
   test("semanticDedup through the gated two-level assignment keeps the " +

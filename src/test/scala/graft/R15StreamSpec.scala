@@ -110,6 +110,39 @@ class R15StreamSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("null semantics match the batch join: null-key/ts left rows emit " +
+      "unmatched (not a crashed query), null right keys are discarded") {
+    def jl(x: Long): java.lang.Long = java.lang.Long.valueOf(x)
+    val nullable = Seq(
+      (jl(1L), ts("2024-01-01 09:00:00"), jl(10L), "purchase", 5.0),
+      (null.asInstanceOf[java.lang.Long], ts("2024-01-01 09:30:00"),
+        jl(11L), "purchase", 7.0),                       // null-key right
+      (jl(1L), ts("2024-01-01 10:00:00"), jl(1L), "click", 0.0),
+      (null.asInstanceOf[java.lang.Long], ts("2024-01-01 10:30:00"),
+        jl(2L), "click", 0.0),                           // null-key left
+      (jl(2L), null.asInstanceOf[java.sql.Timestamp], jl(3L), "click", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("graft-asofstream5")
+      .toFile
+    try {
+      nullable.coalesce(1).write.mode("append").parquet(dir.getAbsolutePath)
+      val q = StreamingOps.asofEnrichStream(spark, dir.getAbsolutePath,
+          nullable.schema)
+        .writeStream.format("memory").queryName("graft_asof_nulls")
+        .outputMode("update").start()
+      q.processAllAvailable()
+      val out = spark.table("graft_asof_nulls")
+        .select($"left_id", $"matched_id")
+        .as[(Option[Long], Option[Long])].collect().toSet
+      q.stop()
+      assert(out == Set(
+        (Some(1L), Some(10L)), // valid click matches the valid purchase
+        (Some(2L), None),      // null-key click preserved, unmatched
+        (Some(3L), None)),     // null-ts click preserved, unmatched
+        s"got $out — and the null-key purchase (11) must match nothing")
+    } finally rm(dir)
+  }
+
   test("stateTtl bounds total state: an idle key is evicted once the " +
       "watermark passes its TTL, a fresh key's state survives") {
     val dir = java.nio.file.Files.createTempDirectory("graft-asofstream4")
