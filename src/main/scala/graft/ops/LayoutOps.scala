@@ -235,13 +235,13 @@ object LayoutOps {
     * way, the caller simply did not land. */
   private def commit(df: DataFrame, path: String,
       carryPrevious: Boolean, txn: Option[String] = None,
-      maxRetries: Int = 8): Int = {
+      maxRetries: Int = 8, statsCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
     val f = fs(spark, path)
     val nonce = java.lang.Long.toHexString(
       System.nanoTime() ^ (Thread.currentThread().getId << 40))
     val dataDir = s"$path/files/v${latestVersion(spark, path) + 1}-$nonce"
-    df.write.mode("errorifexists").parquet(dataDir)
+    val statLines = writeWithStats(df, dataDir, statsCols)
     var attempt = 0
     var committed = -1
     while (committed < 0) {
@@ -252,13 +252,18 @@ object LayoutOps {
           val txt = new String(in.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8)
           in.close()
-          txt.split("\n").filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+          // data dirs AND their carried stats lines compose the snapshot;
+          // #txn markers stay in the version that wrote them (txnCommitted
+          // scans all manifests, vacuum folds dropped ones)
+          txt.split("\n").filter(l => l.nonEmpty &&
+            (!l.startsWith("#") || l.startsWith("#stats:"))).toSeq
         } else Seq.empty
       try {
         val out = f.create(manifestPath(path, v), false)
-        out.write((txn.map(t => s"#txn:$t").toSeq ++ prev :+ dataDir)
-          .mkString("\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.write(
+          (txn.map(t => s"#txn:$t").toSeq ++ prev ++ (dataDir +: statLines))
+            .mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
         committed = v
       } catch {
@@ -271,14 +276,188 @@ object LayoutOps {
     committed
   }
 
+  // ---- manifest column statistics (listing-level data skipping) ------
+  //
+  // One `#stats:<dir>:<col>:<kind>:<min>:<max>` manifest line per
+  // (data directory, tracked column), recording the DELTA's min/max at
+  // commit time.  At 100 TB a time-ranged read of an append-mostly lake
+  // should not even LIST the files of out-of-range commits, let alone
+  // open their footers: the manifest — already in hand — answers the
+  // range question per directory.  Stats are computed DURING the
+  // commit's own write pass (Observation API), so they cost zero extra
+  // scans; they are strictly optional and strictly conservative — a
+  // directory without a stats line for the queried column is always
+  // read, unparseable or foreign-typed stats are ignored, and the
+  // range filter is re-applied to the surviving rows, so pruning can
+  // never change a result, only skip work.
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Conservative manifest encoding of one observed min/max value:
+    * (kind, literal).  Numerics (and date/time, via their epoch form)
+    * compare as decimals, strings compare lexicographically (Spark's own
+    * string ordering) — anything else is unsupported and yields no stats
+    * line (the directory is then never skipped). */
+  private def statLit(v: Any): Option[(String, String)] = v match {
+    case null => None
+    case n: java.lang.Number => Some(("num", n.toString)) // incl. BigDecimal
+    case s: String => Some(("str", s))
+    case t: java.sql.Timestamp =>
+      Some(("num", (t.getTime * 1000 + t.getNanos / 1000 % 1000).toString))
+    case i: java.time.Instant =>
+      Some(("num", (i.getEpochSecond * 1000000L + i.getNano / 1000).toString))
+    case d: java.sql.Date => Some(("num", d.toLocalDate.toEpochDay.toString))
+    case d: java.time.LocalDate => Some(("num", d.toEpochDay.toString))
+    case _ => None
+  }
+
+  /** Write `df` to `dataDir` and return its `#stats:` manifest lines for
+    * `statsCols`, computed in the SAME pass via `observe` (no re-scan).
+    * An all-null (or empty) delta records kind `none`: a range query can
+    * skip the directory outright, because a range predicate never
+    * matches null. */
+  private def writeWithStats(df: DataFrame, dataDir: String,
+      statsCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    if (statsCols.isEmpty) {
+      df.write.mode("errorifexists").parquet(dataDir)
+      return Nil
+    }
+    val obs = new org.apache.spark.sql.Observation(
+      "lake_stats_" + java.util.UUID.randomUUID().toString)
+    val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(col(c)).as(s"mn$i"), max(col(c)).as(s"mx$i")) }
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode("errorifexists").parquet(dataDir)
+    val m = obs.get
+    val dirName = new org.apache.hadoop.fs.Path(dataDir).getName
+    statsCols.zipWithIndex.flatMap { case (c, i) =>
+      (statLit(m(s"mn$i")), statLit(m(s"mx$i"))) match {
+        case (Some((k1, lo)), Some((k2, hi))) if k1 == k2 =>
+          Some(s"#stats:${enc(dirName)}:${enc(c)}:$k1:${enc(lo)}:${enc(hi)}")
+        case (None, None) =>
+          Some(s"#stats:${enc(dirName)}:${enc(c)}:none::")
+        case _ => None // mixed/unsupported: no claim, directory always read
+      }
+    }
+  }
+
+  /** Split snapshot `v`'s data directories into (kept, skipped) for the
+    * closed range `lo..hi` on `column`, using only manifest stats — no
+    * file listing, no footer reads.  Conservative in every direction:
+    * directories without a stats line for `column` are kept, stats of a
+    * different kind than the bounds are kept, unsupported bound types
+    * keep everything; only a directory whose recorded delta range lies
+    * wholly outside `lo..hi` (or whose delta had no non-null values —
+    * kind `none`) is skipped, which a range predicate cannot observe. */
+  def rangeDirs(spark: SparkSession, path: String, v: Int, column: String,
+      lo: Any, hi: Any): (Seq[String], Seq[String]) = {
+    val in = fs(spark, path).open(manifestPath(path, v))
+    val lines = new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+    in.close()
+    val dirs = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
+    val stats: Map[String, (String, String, String)] = lines
+      .filter(_.startsWith("#stats:"))
+      .flatMap { l =>
+        l.stripPrefix("#stats:").split(":", -1) match {
+          case Array(d, c, kind, mn, mx) if dec(c) == column =>
+            Some(dec(d) -> (kind, dec(mn), dec(mx)))
+          case _ => None
+        }
+      }.toMap
+    (statLit(lo), statLit(hi)) match {
+      case (Some((bk1, bLo)), Some((bk2, bHi))) if bk1 == bk2 =>
+        val keep = (kind: String, mn: String, mx: String) => kind match {
+          case "none" => false
+          case k if k != bk1 => true // foreign-typed stats: no claim
+          case "num" =>
+            val (l, h) = (new java.math.BigDecimal(bLo),
+              new java.math.BigDecimal(bHi))
+            !(new java.math.BigDecimal(mx).compareTo(l) < 0 ||
+              new java.math.BigDecimal(mn).compareTo(h) > 0)
+          case _ => !(mx < bLo || mn > bHi)
+        }
+        dirs.partition { d =>
+          val name = new org.apache.hadoop.fs.Path(d).getName
+          stats.get(name).forall { case (k, mn, mx) =>
+            try keep(k, mn, mx)
+            catch { case _: NumberFormatException => true }
+          }
+        }
+      case _ => (dirs, Nil) // unsupported bounds: read everything
+    }
+  }
+
+  /** Time-travel read of snapshot `v` restricted to `column` in
+    * `lo..hi` (closed range), with manifest-stats directory pruning.
+    * The predicate is re-applied to the surviving directories, so the
+    * result equals `readVersion(...).where(column between lo and hi)`
+    * whether or not any commit recorded stats. */
+  def readVersionRange(spark: SparkSession, path: String, v: Int,
+      column: String, lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = rangeDirs(spark, path, v, column, lo, hi)
+    val flt = col(column).between(lit(lo), lit(hi))
+    if (kept.isEmpty) readVersion(spark, path, v).where(lit(false) && flt)
+    else spark.read.parquet(kept: _*).where(flt)
+  }
+
+  /** Rewrite snapshot `base` into `targetFiles` files and publish the
+    * result as version `base + 1` — the OPTIMIZE step that undoes the
+    * one-directory-per-micro-batch fragmentation of a streaming
+    * [[graft.streaming.StreamingOps.lakeSink]] (ten thousand tiny
+    * commits of a 100 TB day re-read as ten thousand directory listings
+    * is a driver-side outage; after compaction the snapshot is
+    * `targetFiles` parquet files in ONE directory).  Rows are identical
+    * to `readVersion(base)`; older versions stay readable; the replaced
+    * small directories are reclaimed by [[vacuum]] once `keepFrom`
+    * passes them.
+    *
+    * Concurrency: the rewrite is only correct if NOTHING commits after
+    * `base` was read, so the manifest CAS here is attempted exactly once
+    * at `base + 1` — a concurrent winner means the compacted data is
+    * stale, and the call returns None WITHOUT retrying (the orphaned
+    * rewrite directory is writer-unique and vacuum-swept, like any
+    * crashed commit).  Callers re-run compaction at the new tip.
+    * `coalesce` keeps the rewrite shuffle-free; pass `statsCols` to
+    * re-establish manifest stats over the merged directory. */
+  def compactFrom(spark: SparkSession, path: String, base: Int,
+      targetFiles: Int = 1, statsCols: Seq[String] = Nil): Option[Int] = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val f = fs(spark, path)
+    val nonce = java.lang.Long.toHexString(
+      System.nanoTime() ^ (Thread.currentThread().getId << 40))
+    val dataDir = s"$path/files/v${base + 1}c-$nonce"
+    val statLines = writeWithStats(
+      readVersion(spark, path, base).coalesce(targetFiles), dataDir,
+      statsCols)
+    try {
+      val out = f.create(manifestPath(path, base + 1), false)
+      out.write((dataDir +: statLines).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      Some(base + 1)
+    } catch {
+      case e: Throwable if alreadyExists(e) => None
+    }
+  }
+
+  /** [[compactFrom]] at the current latest version. */
+  def compactSnapshot(spark: SparkSession, path: String,
+      targetFiles: Int = 1, statsCols: Seq[String] = Nil): Option[Int] =
+    compactFrom(spark, path, latestVersion(spark, path), targetFiles,
+      statsCols)
+
   /** Append commit: the new snapshot = previous snapshot + `df`.  An
     * optional `txn` id is recorded INSIDE the manifest (the atomic commit
     * point), Delta-`txn`-style, so a writer can ask "did this logical
     * write already land?" with no separate marker file and therefore no
     * committed-but-unmarked crash window. */
   def commitAppend(df: DataFrame, path: String,
-      txn: Option[String] = None): Int =
-    commit(df, path, carryPrevious = true, txn)
+      txn: Option[String] = None, statsCols: Seq[String] = Nil): Int =
+    commit(df, path, carryPrevious = true, txn, statsCols = statsCols)
 
   /** True iff some committed manifest carries `#txn:<txn>` — i.e. the
     * logical write with this id is already part of the table.  O(number
@@ -299,8 +478,9 @@ object LayoutOps {
 
   /** Overwrite commit: the new snapshot = `df` alone (old versions stay
     * readable — nothing is deleted). */
-  def commitOverwrite(df: DataFrame, path: String): Int =
-    commit(df, path, carryPrevious = false)
+  def commitOverwrite(df: DataFrame, path: String,
+      statsCols: Seq[String] = Nil): Int =
+    commit(df, path, carryPrevious = false, statsCols = statsCols)
 
   /** Time-travel read of snapshot `v` (any committed version). */
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.LayoutOps
+
+/** Round-15b: lake maintenance surface, oracle-gated.
+  *
+  * `o5_compact_travel` — a streaming-shaped lake (three micro-batch
+  * appends) is compacted (OPTIMIZE); the pre- and post-compaction
+  * snapshots must BOTH equal the plain relational answer.
+  *
+  * `o5_stats_skip` — a day-range read through manifest-stats directory
+  * pruning; the query itself REQUIRES that pruning skipped the
+  * out-of-range commits (the scale property is part of the gate), and
+  * the oracle checks the surviving rows against DuckDB.
+  */
+object R15bQueries {
+
+  private def dayEvents(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("day",
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long"))
+      .withColumn("vmic",
+        floor(col("value") * lit(1000000.0)).cast("long"))
+      .select("event_id", "event_type", "day", "vmic")
+
+  private val cut1 = 19732L // 2024-01-10
+  private val cut2 = 19742L // 2024-01-20
+
+  private def buildSliced(s: org.apache.spark.sql.SparkSession, dir: String,
+      p: String): Unit =
+    if (LayoutOps.latestVersion(s, p) < 0) {
+      val e = dayEvents(s, dir)
+      LayoutOps.commitAppend(e.where(col("day") < cut1), p,
+        statsCols = Seq("day"))
+      LayoutOps.commitAppend(
+        e.where(col("day") >= cut1 && col("day") < cut2), p,
+        statsCols = Seq("day"))
+      LayoutOps.commitAppend(e.where(col("day") >= cut2), p,
+        statsCols = Seq("day"))
+    }
+
+  def queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] = Map(
+
+    // Micro-batch-fragmented lake, then OPTIMIZE: snapshot v2 (three
+    // directories) and v3 (compacted, one directory) must aggregate
+    // identically — compaction moves bytes, never rows.
+    "o5_compact_travel" -> ((s, dir) => {
+      val p = R9Queries.runTmp + "/ct_events_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      buildSliced(s, dir, p)
+      if (LayoutOps.latestVersion(s, p) == 2)
+        LayoutOps.compactSnapshot(s, p, targetFiles = 2,
+          statsCols = Seq("day"))
+      def agg(v: Int, tag: String): DataFrame =
+        LayoutOps.readVersion(s, p, v)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
+          .withColumn("phase", lit(tag))
+      agg(2, "pre").unionByName(agg(3, "post"))
+    }),
+
+    // Day-ranged read through manifest-stats pruning: of the three
+    // day-sliced commits only the middle one intersects 19735..19739,
+    // so exactly two directories MUST be skipped without being listed —
+    // enforced here, value-checked by the oracle.
+    "o5_stats_skip" -> ((s, dir) => {
+      val p = R9Queries.runTmp + "/ss_events_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      buildSliced(s, dir, p)
+      val v = LayoutOps.latestVersion(s, p)
+      val (_, skipped) = LayoutOps.rangeDirs(s, p, v, "day", 19735L, 19739L)
+      require(skipped.size == 2,
+        s"manifest stats must skip the two out-of-range commits, " +
+          s"skipped ${skipped.size}")
+      LayoutOps.readVersionRange(s, p, v, "day", 19735L, 19739L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "o5_compact_travel" ->
+      """WITH e AS (SELECT event_type,
+        |    floor(value * 1000000.0)::BIGINT AS vmic
+        |  FROM events),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(vmic)::BIGINT AS vmic
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n, vmic, 'pre' AS phase FROM a
+        |UNION ALL
+        |SELECT event_type, n, vmic, 'post' AS phase FROM a""".stripMargin,
+
+    "o5_stats_skip" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000)::BIGINT AS day,
+        |    floor(value * 1000000.0)::BIGINT AS vmic
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n, sum(vmic)::BIGINT AS vmic
+        |FROM e WHERE day BETWEEN 19735 AND 19739
+        |GROUP BY event_type""".stripMargin
+  )
+}
