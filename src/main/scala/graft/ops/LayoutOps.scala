@@ -424,15 +424,27 @@ object LayoutOps {
     * `coalesce` keeps the rewrite shuffle-free; pass `statsCols` to
     * re-establish manifest stats over the merged directory. */
   def compactFrom(spark: SparkSession, path: String, base: Int,
-      targetFiles: Int = 1, statsCols: Seq[String] = Nil): Option[Int] = {
+      targetFiles: Int = 1, statsCols: Seq[String] = Nil,
+      sortCol: Option[String] = None): Option[Int] = {
     require(targetFiles > 0, "targetFiles must be positive")
     val f = fs(spark, path)
     val nonce = java.lang.Long.toHexString(
       System.nanoTime() ^ (Thread.currentThread().getId << 40))
     val dataDir = s"$path/files/v${base + 1}c-$nonce"
-    val statLines = writeWithStats(
-      readVersion(spark, path, base).coalesce(targetFiles), dataDir,
-      statsCols)
+    val snap = readVersion(spark, path, base)
+    // plain compaction is shuffle-free (coalesce); re-CLUSTERING
+    // compaction pays one range exchange to sort the snapshot on
+    // `sortCol`, so each rewritten file covers a narrow value range and
+    // parquet footer stats prune within the directory — the in-dir
+    // complement of the manifest-level rangeDirs skip (micro-batch
+    // appends interleave arrival order with event time; compaction is
+    // exactly when that clustering is worth re-establishing)
+    val arranged = sortCol.fold(snap.coalesce(targetFiles)) { c =>
+      import org.apache.spark.sql.functions.col
+      snap.repartitionByRange(targetFiles, col(c))
+        .sortWithinPartitions(col(c))
+    }
+    val statLines = writeWithStats(arranged, dataDir, statsCols)
     try {
       val out = f.create(manifestPath(path, base + 1), false)
       out.write((dataDir +: statLines).mkString("\n")
@@ -446,9 +458,27 @@ object LayoutOps {
 
   /** [[compactFrom]] at the current latest version. */
   def compactSnapshot(spark: SparkSession, path: String,
-      targetFiles: Int = 1, statsCols: Seq[String] = Nil): Option[Int] =
+      targetFiles: Int = 1, statsCols: Seq[String] = Nil,
+      sortCol: Option[String] = None): Option[Int] =
     compactFrom(spark, path, latestVersion(spark, path), targetFiles,
-      statsCols)
+      statsCols, sortCol)
+
+  /** Compact only when the snapshot has fragmented past `maxDirs`
+    * directories — the auto-OPTIMIZE policy a continuously-appending
+    * writer calls after each commit.  Amortized cost: with batches of
+    * roughly equal size the snapshot is rewritten every `maxDirs`
+    * commits, i.e. each row is rewritten O(total/maxDirs-ish) times —
+    * size `maxDirs` so that rewrite cost stays a small multiple of
+    * ingest cost (64 is a sane default for minute-scale micro-batches).
+    * Returns the new version if a compaction was published, None if the
+    * snapshot was still healthy or a concurrent commit won the race. */
+  def maybeCompact(spark: SparkSession, path: String, maxDirs: Int = 64,
+      targetFiles: Int = 1, statsCols: Seq[String] = Nil,
+      sortCol: Option[String] = None): Option[Int] = {
+    val base = latestVersion(spark, path)
+    if (base < 0 || manifestDirs(spark, path, base).size <= maxDirs) None
+    else compactFrom(spark, path, base, targetFiles, statsCols, sortCol)
+  }
 
   /** Append commit: the new snapshot = previous snapshot + `df`.  An
     * optional `txn` id is recorded INSIDE the manifest (the atomic commit

@@ -726,24 +726,42 @@ object StreamingOps {
     * and is reclaimed by `LayoutOps.vacuum`'s disk sweep.  Public so the
     * replay invariant is directly testable. */
   def commitBatchIdempotent(batch: DataFrame, batchId: Long,
-      path: String): Unit = {
+      path: String, statsCols: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     if (!graft.ops.LayoutOps.txnCommitted(spark, path, s"batch$batchId"))
       graft.ops.LayoutOps.commitAppend(batch, path,
-        txn = Some(s"batch$batchId"))
+        txn = Some(s"batch$batchId"), statsCols = statsCols)
   }
 
   /** Streaming CDC → versioned lake: every micro-batch lands as one lake
     * version (append commit = O(batch), never O(table)), old snapshots
     * stay time-travel-readable, and replays are idempotent via
     * [[commitBatchIdempotent]].  The continuous-ingestion counterpart of
-    * the batch `o5_time_travel` surface. */
+    * the batch `o5_time_travel` surface.
+    *
+    * `statsCols` records manifest min/max per micro-batch directory (a
+    * time-ranged read then skips out-of-range batches from the manifest
+    * alone — on an event-time-ordered stream nearly all of them);
+    * `autoCompactDirs` bounds fragmentation by running the
+    * [[graft.ops.LayoutOps.maybeCompact]] policy after each commit —
+    * foreachBatch runs batches sequentially, so the policy never races
+    * its own stream; on a replayed batch the commit is skipped
+    * (already-committed txn) and the policy check is one cheap manifest
+    * read that compacts only if the snapshot is genuinely fragmented. */
   def lakeSink(stream: DataFrame, path: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String, statsCols: Seq[String] = Nil,
+      autoCompactDirs: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-          id: Long) => commitBatchIdempotent(batch, id, path) }
+          id: Long) =>
+        commitBatchIdempotent(batch, id, path, statsCols)
+        if (autoCompactDirs > 0) {
+          graft.ops.LayoutOps.maybeCompact(batch.sparkSession, path,
+            maxDirs = autoCompactDirs, statsCols = statsCols)
+          ()
+        }
+      }
       .start()
 
   def upsertSink(stream: DataFrame, key: String, path: String,
