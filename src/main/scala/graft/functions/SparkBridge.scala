@@ -3,9 +3,10 @@ package org.apache.spark.sql
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Bridge into Spark's `private[sql]` Column↔Expression converters (Spark 4
-  * moved `Column.expr` behind the ColumnNode abstraction).  This is the only
-  * place the project reaches into Spark internals; everything else uses the
-  * public API. */
+  * moved `Column.expr` behind the ColumnNode abstraction).  Together with
+  * graft.sources.LakeFileIndex (which implements the execution-side
+  * `FileIndex` listing contract), this is the only place the project
+  * reaches into Spark internals; everything else uses the public API. */
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
@@ -24,4 +25,21 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Builds a parquet-backed DataFrame over a caller-supplied
+    * [[org.apache.spark.sql.execution.datasources.FileIndex]] — the
+    * entry point for listing-level data skipping (the planner hands its
+    * pushed data filters to `FileIndex.listFiles`, so the index decides
+    * which files exist for this query; see graft.sources.LakeFileIndex). */
+  def parquetTable(spark: SparkSession,
+      index: execution.datasources.FileIndex,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val relation = execution.datasources.HadoopFsRelation(
+      index, new org.apache.spark.sql.types.StructType(), schema, None,
+      new execution.datasources.parquet.ParquetFileFormat(),
+      Map.empty[String, String])(cs)
+    classic.Dataset.ofRows(cs,
+      execution.datasources.LogicalRelation(relation, false))
+  }
 }

@@ -14,6 +14,14 @@ import graft.ops.LayoutOps
   * pruning; the query itself REQUIRES that pruning skipped the
   * out-of-range commits (the scale property is part of the gate), and
   * the oracle checks the surviving rows against DuckDB.
+  *
+  * `o5_pushdown_skip` — the same range read with NO hint: a plain
+  * `.where` on `readVersionIndexed`, pruned by the PLANNER through
+  * [[graft.sources.LakeFileIndex]] (census-asserted: 2 of 3 commits
+  * skipped and never listed).
+  *
+  * `o5_version_delta` — the structural append-delta (CDC read) between
+  * two snapshots, O(delta) from the manifests alone.
   */
 object R15bQueries {
 
@@ -78,6 +86,42 @@ object R15bQueries {
       LayoutOps.readVersionRange(s, p, v, "day", 19735L, 19739L)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
+    }),
+
+    // The same day-range read with NO pruning hint: a plain `.where` on
+    // the Catalyst-integrated snapshot (readVersionIndexed) must make
+    // the PLANNER skip the two out-of-range commits via the manifest
+    // stats — enforced by probing the index's pruning census after a
+    // real scan — and the values must match the relational oracle.
+    "o5_pushdown_skip" -> ((s, dir) => {
+      val p = R9Queries.runTmp + "/ss_events_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      buildSliced(s, dir, p)
+      val v = LayoutOps.latestVersion(s, p)
+      val (snap, idx) = LayoutOps.indexedRead(s, p, v)
+      val ranged = snap.where(col("day").between(19735L, 19739L))
+      ranged.count() // force one planned scan to observe the census
+      require(idx.lastPruning == (1, 2),
+        s"planner-driven stats pruning must keep 1 of 3 commits, " +
+          s"got ${idx.lastPruning}")
+      require(idx.listedDirCount == 1,
+        s"skipped commits must never be listed, " +
+          s"listed ${idx.listedDirCount}")
+      ranged.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
+    }),
+
+    // Incremental consumer catch-up: the structural append-delta between
+    // snapshots v0 and v2 must be exactly the two later day-slices —
+    // read in O(delta) from the manifests, never an anti-join — and the
+    // values must match the relational day-range oracle.
+    "o5_version_delta" -> ((s, dir) => {
+      val p = R9Queries.runTmp + "/ss_events_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      buildSliced(s, dir, p)
+      LayoutOps.readVersionDelta(s, p, 0, 2)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
     })
   )
 
@@ -101,6 +145,24 @@ object R15bQueries {
         |  FROM events)
         |SELECT event_type, count(*)::BIGINT AS n, sum(vmic)::BIGINT AS vmic
         |FROM e WHERE day BETWEEN 19735 AND 19739
+        |GROUP BY event_type""".stripMargin,
+
+    "o5_pushdown_skip" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000)::BIGINT AS day,
+        |    floor(value * 1000000.0)::BIGINT AS vmic
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n, sum(vmic)::BIGINT AS vmic
+        |FROM e WHERE day BETWEEN 19735 AND 19739
+        |GROUP BY event_type""".stripMargin,
+
+    "o5_version_delta" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000)::BIGINT AS day,
+        |    floor(value * 1000000.0)::BIGINT AS vmic
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n, sum(vmic)::BIGINT AS vmic
+        |FROM e WHERE day >= 19732
         |GROUP BY event_type""".stripMargin
   )
 }

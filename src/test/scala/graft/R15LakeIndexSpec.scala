@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.LayoutOps
+
+/** Round-15: Catalyst-integrated lake reads — `readVersionIndexed`'s
+  * LakeFileIndex lets the PLANNER's own pushed filters prune commit
+  * directories from the manifest stats, with pruned directories never
+  * listed and `sizeInBytes` answered from `#size:` manifest lines.
+  * Invariant under every predicate: indexed result == full-scan
+  * `readVersion(...).where(...)`. */
+class R15LakeIndexSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Lake with four commits:
+    *  v0 ids 0..99,    s "a*",  tag all-null
+    *  v1 ids 100..199, s "h*",  tag set
+    *  v2 ids 200..299, s "p*",  tag set
+    *  v3 ids 300..399  — committed WITHOUT stats (pruning must keep it)
+    */
+  private lazy val lake: String = {
+    val path = java.nio.file.Files.createTempDirectory("r15idx").toString +
+      "/tbl"
+    def slice(lo: Int, pre: String, tagged: Boolean) =
+      (lo until lo + 100).map { i =>
+        (i.toLong, f"$pre${i}%04d", if (tagged) s"t$i" else null)
+      }.toDF("id", "s", "tag")
+    LayoutOps.commitAppend(slice(0, "a", tagged = false), path,
+      statsCols = Seq("id", "s", "tag"))
+    LayoutOps.commitAppend(slice(100, "h", tagged = true), path,
+      statsCols = Seq("id", "s", "tag"))
+    LayoutOps.commitAppend(slice(200, "p", tagged = true), path,
+      statsCols = Seq("id", "s", "tag"))
+    LayoutOps.commitAppend(slice(300, "z", tagged = true), path)
+    path
+  }
+
+  private def checkAgainstFullScan(
+      flt: org.apache.spark.sql.Column): Long = {
+    val v = LayoutOps.latestVersion(spark, lake)
+    val (df, idx) = LayoutOps.indexedRead(spark, lake, v)
+    val got = df.where(flt).orderBy("id").collect().toSeq
+    val want = LayoutOps.readVersion(spark, lake, v).where(flt)
+      .orderBy("id").collect().toSeq
+    assert(got == want, s"indexed read diverged under $flt")
+    idx.lastPruning._2.toLong // skipped dirs
+  }
+
+  test("numeric range filter prunes out-of-range commits at planning " +
+      "time; rows match the full scan") {
+    // only v1 intersects 120..180; v3 (no stats) must be kept
+    assert(checkAgainstFullScan(col("id").between(120, 180)) == 2)
+    // upper range: v0/v1/v2 provably out, v3 kept conservatively
+    assert(checkAgainstFullScan(col("id") >= 350) == 3)
+    // literal-first shape
+    assert(checkAgainstFullScan(lit(50L) > col("id")) == 2)
+  }
+
+  test("string equality, IN and prefix filters prune by the str stats") {
+    assert(checkAgainstFullScan(col("s") === "h0150") == 2)
+    assert(checkAgainstFullScan(col("s").isin("a0003", "p0299")) == 1)
+    assert(checkAgainstFullScan(col("s").startsWith("p")) == 2)
+  }
+
+  test("an all-null delta (kind none) is pruned by IsNotNull and by any " +
+      "comparison; OR keeps a dir either side may match") {
+    assert(checkAgainstFullScan(col("tag").isNotNull) == 1)    // v0 skipped
+    // v0 by kind none, v2 by range (t200..t299)
+    assert(checkAgainstFullScan(col("tag") === "t123") == 2)
+    assert(checkAgainstFullScan(
+      col("id") < 50 || col("s").startsWith("p")) == 1)        // keeps v0+v2
+    // unsupported shape: no pruning, still correct
+    assert(checkAgainstFullScan(length(col("s")) === 5) == 0)
+  }
+
+  test("pruned directories are never listed and sizeInBytes comes from " +
+      "the manifest, not a listing") {
+    val v = LayoutOps.latestVersion(spark, lake)
+    val (df, idx) = LayoutOps.indexedRead(spark, lake, v)
+    assert(idx.listedDirCount == 0, "index construction must not list")
+    val n = df.where(col("id").between(120, 180)).count()
+    assert(n == 61)
+    assert(idx.lastPruning == (2, 2), "v1 kept + stat-less v3 kept")
+    assert(idx.listedDirCount == 2,
+      s"only surviving dirs may be listed, saw ${idx.listedDirCount}")
+    // the three stats'd commits carry #size lines; v3 (no statsCols)
+    // does too — writeWithStats emits them on both branches
+    val (_, _, sizes) = LayoutOps.manifestEntries(spark, lake, v)
+    assert(sizes.size == 4, s"every commit records #size, got $sizes")
+    assert(idx.sizeInBytes == sizes.values.sum)
+    assert(idx.listedDirCount == 2, "sizeInBytes must not trigger listing")
+  }
+
+  test("readVersionDelta reads exactly the appended directories, with " +
+      "pushdown, and an empty interval yields an empty frame") {
+    // everything after v0: ids 100..399 (three appended dirs)
+    val d03 = LayoutOps.readVersionDelta(spark, lake, 0, 3)
+    assert(d03.count() == 300)
+    assert(d03.agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(100L, 399L))
+    // filters prune within the delta: only v2 (200..299) survives
+    assert(d03.where(col("id") >= 200 && col("id") < 300).count() == 100)
+    // from the beginning = the full snapshot
+    assert(LayoutOps.readVersionDelta(spark, lake, -1, 3).count() == 400)
+    // empty interval: schema preserved, zero rows
+    val empty = LayoutOps.readVersionDelta(spark, lake, 2, 2)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "s", "tag"))
+  }
+
+  test("size lines survive carry, compaction and vacuum fold") {
+    val v = LayoutOps.latestVersion(spark, lake)
+    assert(v == 3)
+    val (dirs3, stats3, _) = LayoutOps.manifestEntries(spark, lake, 3)
+    assert(dirs3.size == 4)
+    // v3's manifest carried v0..v2's stats lines forward
+    assert(stats3.keys.map(_._2).toSet == Set("id", "s", "tag"))
+    val compacted = LayoutOps.compactSnapshot(spark, lake, targetFiles = 1,
+      statsCols = Seq("id"))
+    assert(compacted.contains(4))
+    val (dirs4, _, sizes4) = LayoutOps.manifestEntries(spark, lake, 4)
+    assert(dirs4.size == 1 && sizes4.size == 1)
+    val (df4, idx4) = LayoutOps.indexedRead(spark, lake, 4)
+    assert(df4.count() == 400)
+    assert(idx4.sizeInBytes == sizes4.values.sum)
+    // a compaction inside the interval rewrites history: the structural
+    // append-delta must refuse, not silently replay the snapshot as new
+    val e = intercept[IllegalArgumentException] {
+      LayoutOps.readVersionDelta(spark, lake, 3, 4)
+    }
+    assert(e.getMessage.contains("compaction/overwrite"))
+  }
+}
