@@ -212,6 +212,34 @@ object LayoutOps {
         .contains("already exists")
   }
 
+  /** Create-exclusive manifest publish — the CAS every commit point goes
+    * through.  On HDFS and conditional-create object stores,
+    * `create(overwrite = false)` is atomic and this delegates to it.  On
+    * the LOCAL filesystem that call is check-then-create (a genuine race
+    * window two concurrent committers can hit), so the bytes are staged
+    * to a writer-unique temp file and PUBLISHED with `Files.createLink` —
+    * POSIX link(2) is atomic and fails with EEXIST if the destination
+    * appeared in between, which surfaces as the same "already exists"
+    * conflict the retry loop expects. */
+  private def createExclusive(f: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = {
+    val local = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (!local) {
+      val out = f.create(target, false)
+      out.write(bytes)
+      out.close()
+    } else {
+      val dst = java.nio.file.Paths.get(
+        target.toUri.getPath)
+      val tmp = dst.resolveSibling(
+        s".${dst.getFileName}.${java.util.UUID.randomUUID()}.tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      try java.nio.file.Files.createLink(dst, tmp)
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    }
+  }
+
   /** One commit = one data write + one manifest CAS, concurrency-safe by
     * RETRY-ON-CONFLICT rather than a lock.
     *
@@ -224,10 +252,10 @@ object LayoutOps {
     * (readers never parse data-directory names; [[vacuum]] sweeps
     * unreferenced leftovers).
     *
-    * The commit point is `create(_v<n>.manifest, overwrite = false)` —
-    * atomic on HDFS (and object stores with conditional create); the
-    * single-host local FS has the usual check-then-create window, which
-    * the bounded backoff makes practically unhittable.  A loser
+    * The commit point is an EXCLUSIVE create of `_v<n>.manifest`
+    * ([[createExclusive]]) — `create(overwrite = false)` where that is
+    * atomic (HDFS, conditional-create object stores), an atomic
+    * link(2) publish on the local filesystem.  A loser
     * re-reads `latestVersion` AND the new predecessor's manifest (so
     * carried entries are the winner's snapshot) and re-CASes the SAME
     * data directory under the next version — data is never rewritten.
@@ -260,12 +288,10 @@ object LayoutOps {
               l.startsWith("#size:"))).toSeq
         } else Seq.empty
       try {
-        val out = f.create(manifestPath(path, v), false)
-        out.write(
+        createExclusive(f, manifestPath(path, v),
           (txn.map(t => s"#txn:$t").toSeq ++ prev ++ (dataDir +: statLines))
             .mkString("\n")
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        out.close()
         committed = v
       } catch {
         case e: Throwable if alreadyExists(e) && attempt < maxRetries =>
@@ -461,10 +487,9 @@ object LayoutOps {
     }
     val statLines = writeWithStats(arranged, dataDir, statsCols)
     try {
-      val out = f.create(manifestPath(path, base + 1), false)
-      out.write((dataDir +: statLines).mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
+      createExclusive(f, manifestPath(path, base + 1),
+        (dataDir +: statLines).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       Some(base + 1)
     } catch {
       case e: Throwable if alreadyExists(e) => None
@@ -501,8 +526,10 @@ object LayoutOps {
     * write already land?" with no separate marker file and therefore no
     * committed-but-unmarked crash window. */
   def commitAppend(df: DataFrame, path: String,
-      txn: Option[String] = None, statsCols: Seq[String] = Nil): Int =
-    commit(df, path, carryPrevious = true, txn, statsCols = statsCols)
+      txn: Option[String] = None, statsCols: Seq[String] = Nil,
+      maxRetries: Int = 8): Int =
+    commit(df, path, carryPrevious = true, txn, maxRetries = maxRetries,
+      statsCols = statsCols)
 
   /** True iff some committed manifest carries `#txn:<txn>` — i.e. the
     * logical write with this id is already part of the table.  O(number
@@ -703,10 +730,9 @@ object LayoutOps {
       .filter(_.startsWith("#txn:")).distinct
     if (droppedTxns.nonEmpty) {
       val fold = (droppedTxns ++ readLines(latest)).distinct
-      val out = f.create(manifestPath(path, latest + 1), false)
-      out.write(fold.mkString("\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out.close()
+      createExclusive(f, manifestPath(path, latest + 1),
+        fold.mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     dropped.foreach(d => f.delete(d, true))
     present.foreach(v => f.delete(manifestPath(path, v), false))

@@ -56,4 +56,35 @@ class R15LakeSpec extends AnyFunSuite {
       }
     } finally pool.shutdown()
   }
+
+  test("eight-way commit hammer: the manifest CAS is atomic on the " +
+      "local filesystem (link(2) publish), every committer lands a " +
+      "distinct version") {
+    val path = java.nio.file.Files.createTempDirectory("r15cas").toString +
+      "/tbl"
+    val n = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    try {
+      val futs = (1 to n).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = LayoutOps.commitAppend(
+            Seq((i.toLong, s"w$i")).toDF("id", "payload"), path,
+            maxRetries = 32)
+        })
+      }
+      val versions = futs.map(_.get()).toSet
+      assert(versions == (0 until n).toSet,
+        s"all $n racers must land distinct consecutive versions, " +
+          s"got $versions")
+      val snap = LayoutOps.readVersion(spark, path, n - 1)
+        .select("id").as[Long].collect().toSet
+      assert(snap == (1 to n).map(_.toLong).toSet,
+        "no commit may be lost or duplicated under contention")
+      // no stray staging files left behind by the link-publish
+      val leftovers = new java.io.File(path).listFiles()
+        .map(_.getName).filter(_.endsWith(".tmp"))
+      assert(leftovers.isEmpty, s"staging files must be cleaned: " +
+        leftovers.mkString(","))
+    } finally pool.shutdown()
+  }
 }
