@@ -657,6 +657,93 @@ object LayoutOps {
     }
   }
 
+  // ---- incremental consumption (the dual of StreamingOps.lakeSink) --
+
+  /** Catch-up consumption of an append-only lake, AvailableNow-style:
+    * one call processes everything committed since the last call — it
+    * hands `f` the structural delta `(cursor, latest]` as ONE DataFrame
+    * (O(delta) via [[readVersionDelta]], never a table re-read) plus the
+    * new high version, then durably advances the cursor under
+    * `checkpoint`.  Returns the number of versions consumed (0 = already
+    * caught up).  Drive it from any scheduler for a polling tail.
+    *
+    * Delivery is AT-LEAST-ONCE: the cursor advances only after `f`
+    * returns, so a crash between the two replays the same delta — pair
+    * it with an idempotent `f` (e.g. [[lakeMirror]]'s manifest-txn
+    * dedup) for exactly-once effect.  Single-consumer per checkpoint. */
+  def lakeTail(spark: SparkSession, path: String, checkpoint: String)
+      (f: (DataFrame, Int) => Unit): Int = {
+    val fsys = fs(spark, checkpoint)
+    val curPath = new org.apache.hadoop.fs.Path(s"$checkpoint/cursor")
+    val cursor: Int =
+      if (!fsys.exists(curPath)) -1
+      else {
+        val in = fsys.open(curPath)
+        val s = new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        in.close()
+        s.toInt
+      }
+    val latest = latestVersion(spark, path)
+    if (latest <= cursor) 0
+    else {
+      f(readVersionDelta(spark, path, cursor, latest), latest)
+      // durable cursor advance: stage + rename (atomic replace on posix
+      // and HDFS; a torn cursor is impossible, a stale one only replays)
+      val tmp = new org.apache.hadoop.fs.Path(
+        s"$checkpoint/.cursor.${java.util.UUID.randomUUID()}.tmp")
+      val out = fsys.create(tmp, true)
+      out.write(latest.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.close()
+      if (!fsys.rename(tmp, curPath)) {
+        fsys.delete(curPath, false)
+        if (!fsys.rename(tmp, curPath))
+          throw new java.io.IOException(
+            s"could not advance tail cursor at $curPath")
+      }
+      latest - cursor
+    }
+  }
+
+  /** Exactly-once lake→lake replication: appends `src`'s structural
+    * delta to `dst`, one commit per catch-up, with the processed high
+    * version recorded as a `#txn:mirror<v>` marker INSIDE `dst`'s
+    * manifest — the destination's own transaction history is the cursor,
+    * so there is no separate checkpoint to desynchronize and a replay
+    * after any crash point is a no-op.  Returns the new high version
+    * mirrored, or None when already caught up.  Single mirror writer per
+    * destination (concurrent mirrors of the same source could double-
+    * apply between the check and the commit).  A compaction/overwrite in
+    * `src` makes the delta undefined and throws ([[readVersionDelta]]);
+    * re-seed the mirror from a snapshot read. */
+  def lakeMirror(spark: SparkSession, src: String, dst: String,
+      statsCols: Seq[String] = Nil): Option[Int] = {
+    val latest = latestVersion(spark, src)
+    if (latest < 0) return None
+    // one pass over dst's manifests for the highest mirror marker
+    val f = fs(spark, dst)
+    val mirrored = (0 to latestVersion(spark, dst)).flatMap { v =>
+      val mp = manifestPath(dst, v)
+      if (!f.exists(mp)) Seq.empty[Int]
+      else {
+        val in = f.open(mp)
+        val txt = new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        in.close()
+        txt.split("\n").toSeq
+          .filter(_.startsWith("#txn:mirror"))
+          .flatMap(_.stripPrefix("#txn:mirror").toIntOption)
+      }
+    }.foldLeft(-1)((a, b) => math.max(a, b))
+    if (mirrored >= latest) None
+    else {
+      commitAppend(readVersionDelta(spark, src, mirrored, latest), dst,
+        txn = Some(s"mirror$latest"), statsCols = statsCols)
+      Some(latest)
+    }
+  }
+
   /** Time-travel read of snapshot `v` (any committed version). */
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
     val in = fs(spark, path).open(manifestPath(path, v))

@@ -111,6 +111,35 @@ object R15bQueries {
         .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
     }),
 
+    // Exactly-once lake->lake mirror driven in two catch-ups: stage the
+    // day-sliced commits into a source lake, mirror after each stage
+    // (with an idempotent replay in between), and the MIRROR's snapshot
+    // must equal the full relational answer.
+    "o5_tail_mirror" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val src = R9Queries.runTmp + "/tm_src_" + tag
+      val dst = R9Queries.runTmp + "/tm_dst_" + tag
+      if (LayoutOps.latestVersion(s, src) < 0) {
+        val e = dayEvents(s, dir)
+        LayoutOps.commitAppend(e.where(col("day") < cut1), src,
+          statsCols = Seq("day"))
+        LayoutOps.lakeMirror(s, src, dst, statsCols = Seq("day"))
+        LayoutOps.lakeMirror(s, src, dst) // replay: must be a no-op
+        LayoutOps.commitAppend(
+          e.where(col("day") >= cut1 && col("day") < cut2), src,
+          statsCols = Seq("day"))
+        LayoutOps.commitAppend(e.where(col("day") >= cut2), src,
+          statsCols = Seq("day"))
+        LayoutOps.lakeMirror(s, src, dst, statsCols = Seq("day"))
+      }
+      val d = LayoutOps.latestVersion(s, dst)
+      require(d == 1, s"two catch-ups must land exactly two mirror " +
+        s"commits, got ${d + 1}")
+      LayoutOps.readVersionIndexed(s, dst, d)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
+    }),
+
     // Incremental consumer catch-up: the structural append-delta between
     // snapshots v0 and v2 must be exactly the two later day-slices —
     // read in O(delta) from the manifests, never an anti-join — and the
@@ -155,6 +184,13 @@ object R15bQueries {
         |SELECT event_type, count(*)::BIGINT AS n, sum(vmic)::BIGINT AS vmic
         |FROM e WHERE day BETWEEN 19735 AND 19739
         |GROUP BY event_type""".stripMargin,
+
+    "o5_tail_mirror" ->
+      """WITH e AS (SELECT event_type,
+        |    floor(value * 1000000.0)::BIGINT AS vmic
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n, sum(vmic)::BIGINT AS vmic
+        |FROM e GROUP BY event_type""".stripMargin,
 
     "o5_version_delta" ->
       """WITH e AS (SELECT event_type,
