@@ -374,12 +374,18 @@ object LayoutOps {
     val m = obs.get
     val dirName = new org.apache.hadoop.fs.Path(dataDir).getName
     statsCols.zipWithIndex.flatMap { case (c, i) =>
-      (statLit(m(s"mn$i")), statLit(m(s"mx$i"))) match {
-        case (Some((k1, lo)), Some((k2, hi))) if k1 == k2 =>
-          Some(s"#stats:${enc(dirName)}:${enc(c)}:$k1:${enc(lo)}:${enc(hi)}")
-        case (None, None) =>
+      (m(s"mn$i"), m(s"mx$i")) match {
+        // kind `none` means the delta had NO NON-NULL VALUES — it must
+        // only be claimed when the observed min/max are literally null
+        // (an UNSUPPORTED type also fails statLit, but its values are
+        // real: that case gets no line, so the directory is always read)
+        case (null, null) =>
           Some(s"#stats:${enc(dirName)}:${enc(c)}:none::")
-        case _ => None // mixed/unsupported: no claim, directory always read
+        case (mnV, mxV) => (statLit(mnV), statLit(mxV)) match {
+          case (Some((k1, lo)), Some((k2, hi))) if k1 == k2 =>
+            Some(s"#stats:${enc(dirName)}:${enc(c)}:$k1:${enc(lo)}:${enc(hi)}")
+          case _ => None // mixed/unsupported: no claim, always read
+        }
       }
     } :+ sizeLine(df.sparkSession, dataDir)
   }
@@ -394,22 +400,19 @@ object LayoutOps {
     * kind `none`) is skipped, which a range predicate cannot observe. */
   def rangeDirs(spark: SparkSession, path: String, v: Int, column: String,
       lo: Any, hi: Any): (Seq[String], Seq[String]) = {
-    val in = fs(spark, path).open(manifestPath(path, v))
-    val lines = new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
-    in.close()
-    val dirs = lines.filter(l => l.nonEmpty && !l.startsWith("#"))
-    val stats: Map[String, (String, String, String)] = lines
-      .filter(_.startsWith("#stats:"))
-      .flatMap { l =>
-        l.stripPrefix("#stats:").split(":", -1) match {
-          case Array(d, c, kind, mn, mx) if dec(c) == column =>
-            Some(dec(d) -> (kind, dec(mn), dec(mx)))
-          case _ => None
-        }
-      }.toMap
+    val (dirs, allStats, _) = manifestEntries(spark, path, v)
+    val stats: Map[String, (String, String, String)] =
+      allStats.collect { case ((d, c), st) if c == column => d -> st }
     (statLit(lo), statLit(hi)) match {
       case (Some((bk1, bLo)), Some((bk2, bHi))) if bk1 == bk2 =>
+        // strings compare in UTF8String BYTE order — the ordering
+        // Spark's min/max used when the stats were observed and the
+        // ordering the re-applied filter uses (Java String compare
+        // disagrees for supplementary-plane vs U+E000..U+FFFF values
+        // and would wrongly skip directories)
+        def strCmp(a: String, b: String): Int =
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
         val keep = (kind: String, mn: String, mx: String) => kind match {
           case "none" => false
           case k if k != bk1 => true // foreign-typed stats: no claim
@@ -418,7 +421,7 @@ object LayoutOps {
               new java.math.BigDecimal(bHi))
             !(new java.math.BigDecimal(mx).compareTo(l) < 0 ||
               new java.math.BigDecimal(mn).compareTo(h) > 0)
-          case _ => !(mx < bLo || mn > bHi)
+          case _ => !(strCmp(mx, bLo) < 0 || strCmp(mn, bHi) > 0)
         }
         dirs.partition { d =>
           val name = new org.apache.hadoop.fs.Path(d).getName
@@ -441,7 +444,16 @@ object LayoutOps {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _) = rangeDirs(spark, path, v, column, lo, hi)
     val flt = col(column).between(lit(lo), lit(hi))
-    if (kept.isEmpty) readVersion(spark, path, v).where(lit(false) && flt)
+    if (kept.isEmpty) {
+      // all directories pruned: build the empty frame from ONE footer
+      // (schema only) — a full-snapshot read here would pay the
+      // O(files) listing cost exactly when pruning saved the most
+      val (dirs, _, _) = manifestEntries(spark, path, v)
+      val sch = spark.read.parquet(dirs.last).schema
+      org.apache.spark.sql.GraftBridge.parquetTable(spark,
+        new graft.sources.LakeFileIndex(spark, Nil, Map.empty, Map.empty),
+        sch).where(flt)
+    }
     else spark.read.parquet(kept: _*).where(flt)
   }
 
@@ -468,6 +480,7 @@ object LayoutOps {
       targetFiles: Int = 1, statsCols: Seq[String] = Nil,
       sortCol: Option[String] = None): Option[Int] = {
     require(targetFiles > 0, "targetFiles must be positive")
+    if (base < 0) return None // not-yet-written table: nothing to compact
     val f = fs(spark, path)
     val nonce = java.lang.Long.toHexString(
       System.nanoTime() ^ (Thread.currentThread().getId << 40))

@@ -110,6 +110,65 @@ class R15LakeIndexSpec extends AnyFunSuite {
     assert(empty.schema.fieldNames.toSeq == Seq("id", "s", "tag"))
   }
 
+  test("an unsupported stats type (boolean) records NO claim — never " +
+      "kind none — so its directories are always read") {
+    val path = java.nio.file.Files.createTempDirectory("r15bool").toString +
+      "/tbl"
+    LayoutOps.commitAppend(
+      Seq((1L, true), (2L, false)).toDF("id", "flag"), path,
+      statsCols = Seq("id", "flag"))
+    val (_, stats, _) = LayoutOps.manifestEntries(spark, path, 0)
+    assert(!stats.keys.exists(_._2 == "flag"),
+      s"boolean min/max is unsupported: no stats line, got $stats")
+    assert(stats.keys.exists(_._2 == "id"), "numeric stats still recorded")
+    val got = LayoutOps.readVersionIndexed(spark, path, 0)
+      .where(col("flag") === true).count()
+    assert(got == 1, "the non-null boolean rows must NOT be pruned away")
+  }
+
+  test("string range pruning compares in UTF8 byte order: a " +
+      "supplementary-plane value inside the range keeps its directory") {
+    val path = java.nio.file.Files.createTempDirectory("r15utf8").toString +
+      "/tbl"
+    // U+E000 (UTF-8 EE 80 80) < U+1F600 (F0 9F 98 80) in byte order,
+    // but "\uD83D..." < "" in Java's UTF-16 ordering
+    LayoutOps.commitAppend(
+      Seq((1L, ""), (2L, "😀")).toDF("id", "s"), path,
+      statsCols = Seq("s"))
+    val v = LayoutOps.latestVersion(spark, path)
+    val (kept, _) =
+      LayoutOps.rangeDirs(spark, path, v, "s", "", "😁")
+    assert(kept.size == 1, "the emoji row is inside the range — " +
+      "UTF-16 comparison would wrongly skip the directory")
+    val rows = LayoutOps
+      .readVersionRange(spark, path, v, "s", "", "😁")
+      .select("id").as[Long].collect().toSeq
+    assert(rows == Seq(2L))
+  }
+
+  test("all-pruned range read returns an empty frame from one footer; " +
+      "compacting a not-yet-written table returns None") {
+    // every commit carries stats, so an out-of-range read prunes ALL
+    // dirs and must hit the cheap empty-frame branch
+    val path = java.nio.file.Files.createTempDirectory("r15allpruned")
+      .toString + "/tbl"
+    LayoutOps.commitAppend(Seq((1L, "a")).toDF("id", "s"), path,
+      statsCols = Seq("id"))
+    LayoutOps.commitAppend(Seq((2L, "b")).toDF("id", "s"), path,
+      statsCols = Seq("id"))
+    val v = LayoutOps.latestVersion(spark, path)
+    val (kept, skipped) = LayoutOps.rangeDirs(spark, path, v, "id",
+      100000L, 200000L)
+    assert(kept.isEmpty && skipped.size == 2)
+    val empty = LayoutOps.readVersionRange(spark, path, v, "id",
+      100000L, 200000L)
+    assert(empty.count() == 0)
+    assert(empty.schema.fieldNames.toSeq == Seq("id", "s"))
+    val blank = java.nio.file.Files.createTempDirectory("r15blank")
+      .toString + "/tbl"
+    assert(LayoutOps.compactSnapshot(spark, blank).isEmpty)
+  }
+
   test("size lines survive carry, compaction and vacuum fold") {
     val v = LayoutOps.latestVersion(spark, lake)
     assert(v == 3)
