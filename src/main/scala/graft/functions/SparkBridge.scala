@@ -42,4 +42,36 @@ object GraftBridge {
     classic.Dataset.ofRows(cs,
       execution.datasources.LogicalRelation(relation, false))
   }
+
+  /** Executor-side parquet row reader for a caller-scheduled file split —
+    * the reading half of a custom DSv2 source (graft.sources
+    * .LakeStreamSource schedules lake commit files as input partitions
+    * and reads them through this).  Built once on the driver (it
+    * captures a broadcast Hadoop conf); the returned function is
+    * serializable and called per `PartitionedFile` on executors.  The
+    * vectorized reader hands back `ColumnarBatch`es disguised as rows
+    * (FileSourceScanExec's private contract), so the wrapper flattens
+    * them to `InternalRow`s. */
+  def parquetReadFunc(spark: SparkSession,
+      dataSchema: org.apache.spark.sql.types.StructType)
+      : execution.datasources.PartitionedFile =>
+        Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val fmt = new execution.datasources.parquet.ParquetFileFormat()
+    val conf = cs.sessionState.newHadoopConfWithOptions(Map.empty)
+    val f = fmt.buildReaderWithPartitionValues(cs, dataSchema,
+      new org.apache.spark.sql.types.StructType(), dataSchema, Nil,
+      // rows, not ColumnarBatches: the DSv2 PartitionReader contract
+      // here is row-based (the flatten below is belt-and-braces)
+      Map(execution.datasources.FileFormat.OPTION_RETURNING_BATCH ->
+        "false"), conf)
+    pf => f(pf).asInstanceOf[Iterator[Any]].flatMap {
+      case b: org.apache.spark.sql.vectorized.ColumnarBatch =>
+        scala.jdk.CollectionConverters.IteratorHasAsScala(b.rowIterator())
+          .asScala
+      case r =>
+        Iterator.single(
+          r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+    }
+  }
 }

@@ -140,6 +140,36 @@ object R15bQueries {
         .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
     }),
 
+    // readStream FROM the lake (LakeStreamSource): AvailableNow drains
+    // the three day-sliced commits as version-offset micro-batches into
+    // a parquet sink; the drained rows must equal the full relational
+    // answer.  A re-run against the same checkpoint delivers nothing
+    // (exactly-once), so the sink stays stable across repeat timings.
+    "o5_stream_tail" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val src = R9Queries.runTmp + "/st_src_" + tag
+      val out = R9Queries.runTmp + "/st_out_" + tag
+      val ckp = R9Queries.runTmp + "/st_ckp_" + tag
+      buildSliced(s, dir, src)
+      val q = s.readStream
+        .format("graft.sources.LakeStreamSource")
+        .option("path", src)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            b.write.mode("append").parquet(out)
+        }
+        .start()
+      q.awaitTermination(180000L)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
+    }),
+
     // Incremental consumer catch-up: the structural append-delta between
     // snapshots v0 and v2 must be exactly the two later day-slices —
     // read in O(delta) from the manifests, never an anti-join — and the
@@ -186,6 +216,13 @@ object R15bQueries {
         |GROUP BY event_type""".stripMargin,
 
     "o5_tail_mirror" ->
+      """WITH e AS (SELECT event_type,
+        |    floor(value * 1000000.0)::BIGINT AS vmic
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n, sum(vmic)::BIGINT AS vmic
+        |FROM e GROUP BY event_type""".stripMargin,
+
+    "o5_stream_tail" ->
       """WITH e AS (SELECT event_type,
         |    floor(value * 1000000.0)::BIGINT AS vmic
         |  FROM events)
