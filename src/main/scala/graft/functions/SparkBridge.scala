@@ -43,6 +43,13 @@ object GraftBridge {
       execution.datasources.LogicalRelation(relation, false))
   }
 
+  /** Spark's own schema union (`StructType.merge` is `private[sql]`):
+    * nested-struct aware, type-conflict checked — the semantics
+    * `spark.read.option("mergeSchema", true)` uses. */
+  def mergeSchemas(a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = a.merge(b)
+
   /** Executor-side parquet row reader for a caller-scheduled file split —
     * the reading half of a custom DSv2 source (graft.sources
     * .LakeStreamSource schedules lake commit files as input partitions

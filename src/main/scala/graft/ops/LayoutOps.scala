@@ -625,6 +625,24 @@ object LayoutOps {
       : DataFrame =
     indexedRead(spark, path, v, schema)._1
 
+  /** [[readVersionIndexed]] under the UNION of every commit's schema —
+    * the schema-evolution read.  Append commits may add columns over a
+    * table's lifetime; the default read resolves to the NEWEST commit's
+    * footer (cheap, right for stable schemas), while this variant reads
+    * one footer per commit directory (O(dirs), only when asked) and
+    * merges them, so rows from pre-evolution commits surface the added
+    * columns as nulls instead of the columns silently vanishing when an
+    * old directory happens to be last.  Same planner-integrated pruning:
+    * the merged schema rides the same LakeFileIndex. */
+  def readVersionEvolved(spark: SparkSession, path: String,
+      v: Int): DataFrame = {
+    val (dirs, _, _) = manifestEntries(spark, path, v)
+    require(dirs.nonEmpty, s"snapshot v$v of $path has no data directories")
+    val merged = dirs.map(d => spark.read.parquet(d).schema)
+      .reduce(org.apache.spark.sql.GraftBridge.mergeSchemas)
+    indexedRead(spark, path, v, Some(merged))._1
+  }
+
   /** Incremental (CDC-style) read: the rows APPENDED between snapshot
     * `fromV` (exclusive; -1 = from the beginning) and snapshot `toV`
     * (inclusive), computed structurally from the two manifests — the

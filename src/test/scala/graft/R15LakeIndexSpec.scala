@@ -169,6 +169,36 @@ class R15LakeIndexSpec extends AnyFunSuite {
     assert(LayoutOps.compactSnapshot(spark, blank).isEmpty)
   }
 
+  test("schema evolution: readVersionEvolved unions commit schemas so " +
+      "pre-evolution rows surface added columns as nulls; pruning still " +
+      "applies") {
+    val path = java.nio.file.Files.createTempDirectory("r15evo").toString +
+      "/tbl"
+    LayoutOps.commitAppend(Seq((1L, "a")).toDF("id", "s"), path,
+      statsCols = Seq("id"))
+    LayoutOps.commitAppend(
+      Seq((2L, "b", 7.5)).toDF("id", "s", "score"), path,
+      statsCols = Seq("id"))
+    val v = LayoutOps.latestVersion(spark, path)
+    val evolved = LayoutOps.readVersionEvolved(spark, path, v)
+    assert(evolved.schema.fieldNames.toSeq == Seq("id", "s", "score"))
+    val rows = evolved.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some(7.5))))
+    // the default (newest-footer) read would also see all three columns
+    // here only because the evolved commit is last; evolved is order-proof:
+    // a third OLD-schema commit must not shrink the merged schema
+    LayoutOps.commitAppend(Seq((3L, "c")).toDF("id", "s"), path,
+      statsCols = Seq("id"))
+    val evolved2 = LayoutOps.readVersionEvolved(spark, path,
+      LayoutOps.latestVersion(spark, path))
+    assert(evolved2.schema.fieldNames.toSeq == Seq("id", "s", "score"))
+    assert(evolved2.where(col("score").isNotNull).count() == 1)
+    // pruning still rides the merged schema
+    assert(evolved2.where(col("id") >= 3L).count() == 1)
+  }
+
   test("size lines survive carry, compaction and vacuum fold") {
     val v = LayoutOps.latestVersion(spark, lake)
     assert(v == 3)
