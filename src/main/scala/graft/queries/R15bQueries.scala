@@ -170,6 +170,41 @@ object R15bQueries {
         .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
     }),
 
+    // The 100 TB ingestion loop end-to-end: documents arrive as lake
+    // commits; each lakeTail catch-up dedups ONLY the delta against the
+    // persisted MinHash index (old corpus never re-hashed) and appends
+    // the delta's bands.  The union of the staged candidate sets must
+    // equal the FULL-corpus LSH pairs (every pair is found exactly when
+    // its later shard arrives) — checked against the all-pairs oracle.
+    "pipe_lake_dedup" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val lake = R9Queries.runTmp + "/pld_lake_" + tag
+      val idx = R9Queries.runTmp + "/pld_idx_" + tag
+      val ckp = R9Queries.runTmp + "/pld_ckp_" + tag
+      val cand = R9Queries.runTmp + "/pld_cand_" + tag
+      if (LayoutOps.latestVersion(s, lake) < 0) {
+        val d = Tables.docs(s, dir).select(col("doc_id"), col("text"))
+        (0 until 3).foreach { k =>
+          LayoutOps.commitAppend(d.where(col("doc_id") % 3 === k), lake)
+          LayoutOps.lakeTail(s, lake, ckp) { (delta, _) =>
+            val seeded = new java.io.File(
+              idx.stripPrefix("file:")).exists
+            val pairs =
+              if (!seeded) graft.ops.DedupOps.minhashCandidates(
+                delta, col("text"), col("doc_id"))
+              else graft.ops.DedupOps.minhashCandidatesAgainst(
+                idx, delta, col("text"), col("doc_id"))
+            pairs.write.mode("append").parquet(cand)
+            if (!seeded) graft.ops.DedupOps.minhashIndexWrite(
+              delta, col("text"), col("doc_id"), idx)
+            else graft.ops.DedupOps.minhashIndexAppend(
+              delta, col("text"), col("doc_id"), idx)
+          }
+        }
+      }
+      s.read.parquet(cand).distinct()
+    }),
+
     // Incremental consumer catch-up: the structural append-delta between
     // snapshots v0 and v2 must be exactly the two later day-slices —
     // read in O(delta) from the manifests, never an anti-join — and the
@@ -228,6 +263,40 @@ object R15bQueries {
         |  FROM events)
         |SELECT event_type, count(*)::BIGINT AS n, sum(vmic)::BIGINT AS vmic
         |FROM e GROUP BY event_type""".stripMargin,
+
+    // the full-corpus LSH pairs (same band construction as the
+    // dd_minhash_* oracles) — the staged incremental union must equal it
+    "pipe_lake_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS t
+        |  FROM documents
+        |),
+        |shg AS (
+        |  SELECT doc_id,
+        |         list_distinct(CASE WHEN len(t) >= 3
+        |              THEN list_transform(generate_series(1, len(t) - 2), i -> array_to_string(t[i:i+2], ' '))
+        |              ELSE [array_to_string(t, ' ')] END) AS shs
+        |  FROM toks
+        |),
+        |sig AS (
+        |  SELECT doc_id,
+        |         list_transform(generate_series(0, 15), j ->
+        |           list_min(list_transform(shs, sgl ->
+        |             (('0x' || substr(md5(sgl), 1, 15))::BIGINT
+        |              + j * ('0x' || substr(md5(sgl), 17, 14))::BIGINT)
+        |             % 1152921504606846976))) AS sg
+        |  FROM shg
+        |),
+        |b AS (SELECT doc_id, sg, unnest(generate_series(0, 3)) AS band FROM sig),
+        |bk AS (
+        |  SELECT doc_id, band,
+        |         md5(array_to_string(sg[band * 4 + 1 : band * 4 + 4], ',')) AS band_key
+        |  FROM b
+        |)
+        |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |FROM bk x JOIN bk y
+        |  ON x.band = y.band AND x.band_key = y.band_key
+        |  AND x.doc_id < y.doc_id""".stripMargin,
 
     "o5_version_delta" ->
       """WITH e AS (SELECT event_type,
