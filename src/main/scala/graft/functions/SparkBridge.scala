@@ -43,6 +43,20 @@ object GraftBridge {
       execution.datasources.LogicalRelation(relation, false))
   }
 
+  /** The ANALYZED catalyst form of `predicate` against `df`'s schema —
+    * resolved `AttributeReference`s and catalyst comparison nodes, not
+    * the lazy ColumnNode wrappers `expression(Column)` returns in
+    * Spark 4 (those read as "unsupported shape" to interval logic like
+    * LakeFileIndex.mayMatch).  Falls back to a literal TRUE (the
+    * conservative "could match anything") if no Filter node is found. */
+  def analyzedCondition(df: DataFrame, predicate: Column): Expression =
+    df.filter(predicate).asInstanceOf[classic.Dataset[_]]
+      .queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(
+        org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+
   /** Spark's own schema union (`StructType.merge` is `private[sql]`):
     * nested-struct aware, type-conflict checked — the semantics
     * `spark.read.option("mergeSchema", true)` uses. */

@@ -688,6 +688,145 @@ object LayoutOps {
     }
   }
 
+  /** Shared publish step of the directory-granular REWRITE commits
+    * (DELETE / MERGE): write `survivors` to one new `dirSuffix`-tagged
+    * directory, carry every kept directory's manifest lines verbatim by
+    * name, and CAS the manifest once at `base+1` (a concurrent winner
+    * means the rewrite is stale: None, orphan vacuum-swept — the
+    * [[compactFrom]] discipline). */
+  private def publishRewrite(spark: SparkSession, path: String, base: Int,
+      kept: Seq[String], survivors: DataFrame, sCols: Seq[String],
+      dirSuffix: String): Option[Int] = {
+    val f = fs(spark, path)
+    val nonce = java.lang.Long.toHexString(
+      System.nanoTime() ^ (Thread.currentThread().getId << 40))
+    val dataDir = s"$path/files/v${base + 1}$dirSuffix-$nonce"
+    val statLines = writeWithStats(survivors, dataDir, sCols)
+    val keptNames = kept
+      .map(d => new org.apache.hadoop.fs.Path(d).getName).toSet
+    val in = f.open(manifestPath(path, base))
+    val raw = new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+    in.close()
+    val carried = raw.filter { l =>
+      if (l.isEmpty) false
+      else if (!l.startsWith("#"))
+        keptNames(new org.apache.hadoop.fs.Path(l).getName)
+      else if (l.startsWith("#stats:") || l.startsWith("#size:"))
+        l.split(":", -1).lift(1).exists(d => keptNames(dec(d)))
+      else false // #txn markers stay in the version that wrote them
+    }
+    try {
+      createExclusive(f, manifestPath(path, base + 1),
+        (carried ++ (dataDir +: statLines)).mkString("\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      Some(base + 1)
+    } catch {
+      case e: Throwable if alreadyExists(e) => None
+    }
+  }
+
+  /** Row-level DELETE with directory-granular rewrites: publish (as
+    * version `base+1`) a snapshot equal to the current one minus every
+    * row where `predicate` is TRUE (false/null rows are kept — SQL
+    * DELETE semantics).  Cost is ∝ the AFFECTED directories, not the
+    * table: the manifest stats decide, via the same conservative
+    * interval logic the planner-integrated read uses
+    * (`LakeFileIndex.mayMatch`), which directories the predicate could
+    * possibly touch; only those are read, filtered and rewritten into
+    * one new directory — every other directory (and its stats/size
+    * lines) is carried by NAME, its files untouched.  At 100 TB a
+    * day-ranged retention delete on a day-stats'd lake rewrites one
+    * day's commits, not the lake.
+    *
+    * Returns Some(newVersion) when a new version was published; None
+    * when nothing could match (the delete is trivially complete) or a
+    * concurrent commit won the single CAS (same discipline as
+    * [[compactFrom]] — re-run at the new tip; the orphaned rewrite is
+    * vacuum-swept).  `statsCols = Nil` inherits the stat columns the
+    * base manifest already tracks.  NOTE: a delete REWRITES history, so
+    * structural-delta consumers ([[readVersionDelta]], [[lakeTail]],
+    * the lake stream) refuse intervals spanning it — by design. */
+  def deleteWhere(spark: SparkSession,
+      path: String, predicate: org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Nil): Option[Int] = {
+    val base = latestVersion(spark, path)
+    if (base < 0) return None
+    val (dirs, stats, _) = manifestEntries(spark, path, base)
+    val expr = org.apache.spark.sql.GraftBridge.analyzedCondition(
+      spark.read.parquet(dirs.last), predicate)
+    val (affected, kept) = dirs.partition { d =>
+      val name = new org.apache.hadoop.fs.Path(d).getName
+      graft.sources.LakeFileIndex.mayMatch(expr,
+        c => stats.get((name, c)))
+    }
+    if (affected.isEmpty) return None
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val sCols =
+      if (statsCols.nonEmpty) statsCols
+      else stats.keys.map(_._2).toSeq.distinct.sorted
+    val survivors = spark.read.parquet(affected: _*)
+      .where(not(coalesce(predicate, lit(false))))
+    publishRewrite(spark, path, base, kept, survivors, sCols, "d")
+  }
+
+  /** MERGE (upsert) into the lake with directory-granular rewrites:
+    * publish (as `base+1`) a snapshot where every row whose `key`
+    * matches an update row is REPLACED by it and unmatched update rows
+    * are inserted.  The manifest's `key` stats bound the rewrite: every
+    * update key lies in the updates' own [min, max], so a directory
+    * whose recorded key range provably misses that interval cannot hold
+    * a matching row and is carried BY NAME, files untouched; only the
+    * possibly-overlapping directories are anti-joined against the
+    * update keys and rewritten (Delta's MERGE shape — the key interval
+    * check is conservative, the anti-join is exact).  At 100 TB a
+    * key-clustered lake rewrites the few directories an update batch
+    * touches, not the table.
+    *
+    * `updates` must be key-unique (enforced: duplicate update keys
+    * would make the merge order-dependent).  Returns Some(newVersion),
+    * or None when a concurrent commit won the single CAS (re-run at the
+    * new tip).  A merge REWRITES history wherever it deletes, so
+    * structural-delta consumers refuse intervals spanning it unless the
+    * merge touched nothing (pure insert of disjoint keys still rewrites
+    * nothing but publishes a new directory — that one stays
+    * tail-consumable).  `statsCols = Nil` inherits the base manifest's
+    * stat columns. */
+  def mergeInto(spark: SparkSession, path: String,
+      updates: DataFrame, key: String,
+      statsCols: Seq[String] = Nil): Option[Int] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val base = latestVersion(spark, path)
+    if (base < 0) return Some(commitAppend(updates, path,
+      statsCols = statsCols))
+    val dup = updates.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      .where(col("__n") > 1).limit(1).count()
+    require(dup == 0, s"mergeInto updates must be unique on '$key'")
+    val (dirs, stats, _) = manifestEntries(spark, path, base)
+    val kr = updates.agg(min(col(key)), max(col(key))).head()
+    val (affected, kept) =
+      if (kr.isNullAt(0)) (Seq.empty[String], dirs) // empty updates
+      else {
+        val between = col(key).between(lit(kr.get(0)), lit(kr.get(1)))
+        val expr = org.apache.spark.sql.GraftBridge.analyzedCondition(
+          spark.read.parquet(dirs.last), between)
+        dirs.partition { d =>
+          val name = new org.apache.hadoop.fs.Path(d).getName
+          graft.sources.LakeFileIndex.mayMatch(expr,
+            c => stats.get((name, c)))
+        }
+      }
+    val sCols =
+      if (statsCols.nonEmpty) statsCols
+      else stats.keys.map(_._2).toSeq.distinct.sorted
+    val survivors =
+      if (affected.isEmpty) updates
+      else spark.read.parquet(affected: _*)
+        .join(updates.select(col(key)).distinct(), Seq(key), "left_anti")
+        .unionByName(updates)
+    publishRewrite(spark, path, base, kept, survivors, sCols, "m")
+  }
+
   // ---- incremental consumption (the dual of StreamingOps.lakeSink) --
 
   /** Catch-up consumption of an append-only lake, AvailableNow-style:

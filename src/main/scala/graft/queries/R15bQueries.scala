@@ -170,6 +170,64 @@ object R15bQueries {
         .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
     }),
 
+    // Retention DELETE with directory-granular rewrites: removing a day
+    // range from the day-sliced lake must rewrite ONLY the one commit
+    // the range can touch (the other two carried by name, files
+    // untouched — asserted structurally) and the surviving snapshot
+    // must equal the relational complement.
+    "o5_delete_where" -> ((s, dir) => {
+      val p = R9Queries.runTmp + "/dw_events_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      buildSliced(s, dir, p)
+      if (LayoutOps.latestVersion(s, p) == 2) {
+        val (before, _, _) = LayoutOps.manifestEntries(s, p, 2)
+        require(LayoutOps.deleteWhere(s, p,
+          col("day").between(19735L, 19739L)).contains(3))
+        val (after, _, _) = LayoutOps.manifestEntries(s, p, 3)
+        require(after.count(before.contains) == 2 && after.size == 3,
+          s"delete must rewrite exactly the one affected commit: " +
+            s"$before -> $after")
+      }
+      LayoutOps.readVersionIndexed(s, p,
+        LayoutOps.latestVersion(s, p))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
+    }),
+
+    // MERGE (upsert) with directory-granular rewrites: doubling a
+    // narrow event_id band's values must rewrite ONLY the one
+    // id-sliced commit whose key range the updates can touch (asserted
+    // structurally), and the merged snapshot must equal the relational
+    // CASE-expression oracle.
+    "o5_merge_into" -> ((s, dir) => {
+      val p = R9Queries.runTmp + "/mi_events_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      if (LayoutOps.latestVersion(s, p) < 0) {
+        val e = dayEvents(s, dir)
+        LayoutOps.commitAppend(e.where(col("event_id") < 400), p,
+          statsCols = Seq("event_id"))
+        LayoutOps.commitAppend(
+          e.where(col("event_id") >= 400 && col("event_id") < 800), p,
+          statsCols = Seq("event_id"))
+        LayoutOps.commitAppend(e.where(col("event_id") >= 800), p,
+          statsCols = Seq("event_id"))
+      }
+      if (LayoutOps.latestVersion(s, p) == 2) {
+        val upd = dayEvents(s, dir)
+          .where(col("event_id").between(100L, 199L))
+          .withColumn("vmic", col("vmic") * 2)
+        val (before, _, _) = LayoutOps.manifestEntries(s, p, 2)
+        require(LayoutOps.mergeInto(s, p, upd, "event_id").contains(3))
+        val (after, _, _) = LayoutOps.manifestEntries(s, p, 3)
+        require(after.count(before.contains) == 2 && after.size == 3,
+          s"merge must rewrite exactly the one key-overlapping commit: " +
+            s"$before -> $after")
+      }
+      LayoutOps.readVersionIndexed(s, p, LayoutOps.latestVersion(s, p))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
+    }),
+
     // The 100 TB ingestion loop end-to-end: documents arrive as lake
     // commits; each lakeTail catch-up dedups ONLY the delta against the
     // persisted MinHash index (old corpus never re-hashed) and appends
@@ -263,6 +321,24 @@ object R15bQueries {
         |  FROM events)
         |SELECT event_type, count(*)::BIGINT AS n, sum(vmic)::BIGINT AS vmic
         |FROM e GROUP BY event_type""".stripMargin,
+
+    "o5_merge_into" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    floor(value * 1000000.0)::BIGINT AS vmic
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |       sum(CASE WHEN event_id BETWEEN 100 AND 199
+        |                THEN 2 * vmic ELSE vmic END)::BIGINT AS vmic
+        |FROM e GROUP BY event_type""".stripMargin,
+
+    "o5_delete_where" ->
+      """WITH e AS (SELECT event_type,
+        |    (epoch_us(ts) // 86400000000)::BIGINT AS day,
+        |    floor(value * 1000000.0)::BIGINT AS vmic
+        |  FROM events)
+        |SELECT event_type, count(*)::BIGINT AS n, sum(vmic)::BIGINT AS vmic
+        |FROM e WHERE day < 19735 OR day > 19739
+        |GROUP BY event_type""".stripMargin,
 
     // the full-corpus LSH pairs (same band construction as the
     // dd_minhash_* oracles) — the staged incremental union must equal it

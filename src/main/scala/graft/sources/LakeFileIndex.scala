@@ -132,11 +132,13 @@ object LakeFileIndex {
     case _ => UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
   }
 
-  private type Stat = String => Option[(String, String, String)]
+  private[graft] type Stat = String => Option[(String, String, String)]
 
   /** Can some row of a directory with stats `stat` satisfy `e`?
-    * False ONLY when provably not. */
-  private[sources] def mayMatch(e: Expression, stat: Stat): Boolean = e match {
+    * False ONLY when provably not.  (private[graft]: LayoutOps
+    * .deleteWhere reuses it to find the directories a delete predicate
+    * could touch.) */
+  private[graft] def mayMatch(e: Expression, stat: Stat): Boolean = e match {
     case And(l, r) => mayMatch(l, stat) && mayMatch(r, stat)
     case Or(l, r) => mayMatch(l, stat) || mayMatch(r, stat)
 
