@@ -240,4 +240,42 @@ object GraphOps {
       kHopReach(e, col("a"), col("b"), hops)
     else kHopReachSketch(e, col("a"), col("b"), hops, lgK)
   }
+
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara 2007), made DETERMINISTIC: `iters` synchronous
+    * rounds where every node adopts the most frequent label among its
+    * neighbors, ties to the SMALLEST label (classic LPA breaks ties
+    * randomly — fine for exploration, useless for an oracle-gated
+    * engine; the min-label rule also guarantees convergence behaviour
+    * is reproducible across partitionings).  Edges are treated as
+    * undirected; self-loops dropped; isolated-by-filter nodes never
+    * appear (no edges → no community evidence).
+    *
+    * Physical shape per round: ONE shuffle join (neighbor labels) and
+    * TWO map-side-combined aggregations — the per-node argmax is
+    * `max(struct(cnt, -label))`, NOT a per-node window (a window would
+    * sort every adjacency list; the struct-max is a plain codegen'd
+    * agg).  State between rounds is the (node, label) table, O(V).
+    * Output: (v, label). */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+      iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val und = graft.core.CacheScope.persist(
+      e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+        .distinct(), eager = false)
+    var labels = und.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    (1 to iters).foreach { _ =>
+      val counts = und
+        .join(labels.select(col("v").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      labels = counts.groupBy(col("a"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("a").as("v"), (-col("m.nl")).as("label"))
+    }
+    labels
+  }
 }
