@@ -1938,4 +1938,204 @@ object TextOps {
         col("chi2"))
       .orderBy(col("chi2").desc, col("tok")).limit(k)
   }
+
+  // ---- unigram LM tokenizer (SentencePiece-style, hard-EM) ----------
+
+  /** Deterministic Viterbi segmentation of one word under a unigram
+    * piece model: maximizes the summed piece log-probs; characters the
+    * model has never seen segment as single-char pieces at `unkLogProb`
+    * (total coverage — tokenization is LOSSLESS by construction).  Ties
+    * prefer the LONGER final piece (smaller split point) — fully
+    * deterministic, partitioning-immune. */
+  private[ops] def unigramViterbi(word: String,
+      vocab: java.util.HashMap[String, java.lang.Double],
+      maxPieceLen: Int, unkLogProb: Double): Array[String] = {
+    val n = word.length
+    if (n == 0) return Array.empty
+    val dp = Array.fill(n + 1)(Double.NegativeInfinity)
+    val back = Array.fill(n + 1)(-1)
+    dp(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val piece = word.substring(j, i)
+        val lp = vocab.get(piece)
+        val score =
+          if (lp != null) dp(j) + lp.doubleValue()
+          else if (i - j == 1) dp(j) + unkLogProb // unseen char fallback
+          else Double.NegativeInfinity
+        // strict > keeps the FIRST (smallest j = longest piece) winner
+        if (score > dp(i)) { dp(i) = score; back(i) = j }
+        j += 1
+      }
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var k = n
+    while (k > 0) { val j = back(k); out += word.substring(j, k); k = j }
+    out.reverseIterator.toArray
+  }
+
+  private def unigramMap(vocab: Seq[(String, Double)]) = {
+    val m = new java.util.HashMap[String, java.lang.Double]()
+    vocab.foreach { case (p, lp) => m.put(p, lp) }
+    m
+  }
+
+  /** Train a unigram-LM subword vocabulary (Kudo 2018, "Subword
+    * Regularization" — the SentencePiece unigram model) with HARD EM
+    * (Viterbi counts), fully deterministic: seed with the corpus's most
+    * frequent substrings (every single character kept — coverage),
+    * alternate Viterbi-segment / re-estimate, then prune to `vocabSize`
+    * keeping the highest-usage pieces (ties lexicographic) and
+    * re-estimate once more.
+    *
+    * Physical shape — the [[bpeTrain]] discipline: ONE corpus-wide
+    * shuffle builds the (word, cnt) histogram; while it fits the driver
+    * (`maxDriverWords`, the common case — vocabulary grows ~Heaps-law)
+    * training runs locally in milliseconds.  Beyond the gate every EM
+    * round is one distributed explode-Viterbi + piece-count aggregation
+    * over the cached word table (the vocab itself is `vocabSize` rows —
+    * always driver-sized), so no stage ever touches the corpus twice.
+    * Returns (piece, logProb) sorted by piece. */
+  def unigramTrain(df: DataFrame, text: Column, vocabSize: Int,
+      maxPieceLen: Int = 8, emIters: Int = 3,
+      maxDriverWords: Long = 2000000L): Seq[(String, Double)] = {
+    require(vocabSize > 0 && maxPieceLen >= 1 && emIters >= 1)
+    val spark = df.sparkSession
+    val words = graft.core.CacheScope.persist(
+      df.select(explode(tokens(text)).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt")),
+      eager = true)
+    import spark.implicits._
+    if (words.count() <= maxDriverWords)
+      return unigramTrainLocal(
+        words.as[(String, Long)].collect(), vocabSize, maxPieceLen, emIters)
+    // distributed path: substring seeding + per-round Viterbi counts
+    val subs = words.select(explode(sequence(lit(1),
+        least(length(col("w")), lit(maxPieceLen)))).as("l"),
+        col("w"), col("cnt"))
+      .select(explode(expr(
+        "transform(sequence(0, length(w) - l), i -> substring(w, i + 1, l))"))
+        .as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("c"))
+    val chars = subs.where(length(col("piece")) === 1)
+    val multi = subs.where(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece"))
+      .limit(math.max(vocabSize * 4, vocabSize))
+    var vocab: Seq[(String, Double)] = normalized(
+      (chars.unionByName(multi)).as[(String, Long)].collect())
+    (1 to emIters).foreach { _ =>
+      vocab = emRoundDistributed(words, vocab, maxPieceLen)
+    }
+    vocab = pruneVocab(vocab, vocabSize)
+    normalizedByProb(emRoundDistributed(words, vocab, maxPieceLen))
+      .sortBy(_._1)
+  }
+
+  private def normalized(cnts: Seq[(String, Long)]): Seq[(String, Double)] = {
+    val total = math.max(cnts.map(_._2).sum, 1L).toDouble
+    cnts.map { case (p, c) =>
+      p -> math.log(math.max(c, 1L) / total) }
+  }
+
+  private def normalizedByProb(v: Seq[(String, Double)]) = v
+
+  /** One distributed hard-EM round: Viterbi-segment every word under the
+    * broadcast vocab, aggregate piece usage, re-normalize.  Unused
+    * multi-char pieces drop; single chars always survive (coverage). */
+  private def emRoundDistributed(words: DataFrame,
+      vocab: Seq[(String, Double)], maxPieceLen: Int): Seq[(String, Double)] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(unigramMap(vocab))
+    val seg = udf { (w: String) =>
+      unigramViterbi(w, bc.value, maxPieceLen, UnkLogProb) }
+    val used = words.select(explode(seg(col("w"))).as("piece"), col("cnt"))
+      .groupBy("piece").agg(sum("cnt").as("c"))
+      .as[(String, Long)].collect()
+    reestimate(vocab, used)
+  }
+
+  private val UnkLogProb = -1e4
+
+  /** M-step: piece log-probs from usage counts; unused multi-char pieces
+    * drop, single chars persist at a floor count of 1 (coverage). */
+  private def reestimate(vocab: Seq[(String, Double)],
+      used: Seq[(String, Long)]): Seq[(String, Double)] = {
+    val cnt = used.toMap
+    val kept = vocab.map(_._1).distinct.flatMap { p =>
+      val c = cnt.getOrElse(p, 0L)
+      if (c > 0) Some(p -> c)
+      else if (p.length == 1) Some(p -> 1L)
+      else None
+    }
+    normalized(kept)
+  }
+
+  private def pruneVocab(vocab: Seq[(String, Double)],
+      vocabSize: Int): Seq[(String, Double)] = {
+    val (chars, multi) = vocab.partition(_._1.length == 1)
+    val room = math.max(vocabSize - chars.size, 0)
+    chars ++ multi.sortBy { case (p, lp) => (-lp, p) }.take(room)
+  }
+
+  private def unigramTrainLocal(wordCnt: Array[(String, Long)],
+      vocabSize: Int, maxPieceLen: Int, emIters: Int): Seq[(String, Double)] = {
+    // seed: substring counts (all chars + top multi-char)
+    val seedCnt = new java.util.HashMap[String, Long]()
+    wordCnt.foreach { case (w, c) =>
+      var l = 1
+      while (l <= math.min(maxPieceLen, w.length)) {
+        var i = 0
+        while (i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          seedCnt.merge(p, c, (a, b) => a + b)
+          i += 1
+        }
+        l += 1
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val all = seedCnt.asScala.toSeq
+    val chars = all.filter(_._1.length == 1)
+    val multi = all.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(vocabSize * 4, vocabSize))
+    var vocab = normalized(chars ++ multi)
+    def emRound(v: Seq[(String, Double)]): Seq[(String, Double)] = {
+      val m = unigramMap(v)
+      val usage = new java.util.HashMap[String, Long]()
+      wordCnt.foreach { case (w, c) =>
+        unigramViterbi(w, m, maxPieceLen, UnkLogProb)
+          .foreach(p => usage.merge(p, c, (a, b) => a + b))
+      }
+      reestimate(v, usage.asScala.toSeq)
+    }
+    (1 to emIters).foreach(_ => vocab = emRound(vocab))
+    vocab = pruneVocab(vocab, vocabSize)
+    emRound(vocab).sortBy(_._1)
+  }
+
+  /** Unigram-LM subword tokenization: Viterbi best segmentation of each
+    * whitespace word of the lowercased text under a trained
+    * [[unigramTrain]] vocabulary (broadcast; narrow per-row kernel, no
+    * shuffle).  Unseen characters pass through as single-char pieces,
+    * so `concat(tokens) == concat(words)` ALWAYS — the lossless
+    * round-trip the `text_unigram_tokens` oracle gates hash-exactly.
+    * Output: (doc_id, tokens) in document order. */
+  def unigramTokens(df: DataFrame, text: Column, idCol: Column,
+      vocab: Seq[(String, Double)], maxPieceLen: Int = 8): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(unigramMap(vocab))
+    val f = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else WsPat.split(t.toLowerCase(java.util.Locale.ROOT)).iterator
+        .filter(_.nonEmpty)
+        .flatMap(w => unigramViterbi(w, bc.value, maxPieceLen, UnkLogProb))
+        .toArray
+    }
+    DedupOps.parallelized(df)
+      .select(idCol.as("doc_id"), f(text).as("tokens"))
+  }
 }
