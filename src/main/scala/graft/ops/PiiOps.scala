@@ -112,4 +112,34 @@ object PiiOps {
     val noise = -lit(b) * signum(v) * log(lit(1.0) - lit(2.0) * abs(v))
     counts.select(col("grp"), round(col("n") + noise, 6).as("noisy_n"))
   }
+
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002):
+    * one row per equivalence class (the distinct quasi-identifier
+    * combination) with its size and whether it violates k — a class
+    * smaller than k re-identifies its members by the quasi-identifiers
+    * alone.  One map-side-combined aggregation; nulls form their own
+    * class (a null quasi value still links records).  Output:
+    * (quasi..., class_size, violates_k). */
+  def kAnonymityAudit(df: DataFrame, quasi: Seq[Column],
+      k: Int): DataFrame = {
+    require(quasi.nonEmpty && k >= 1)
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("violates_k", col("class_size") < k)
+  }
+
+  /** l-diversity audit (Machanavajjhala 2007): per equivalence class,
+    * the number of DISTINCT sensitive values — a k-anonymous class
+    * whose sensitive attribute is constant still leaks it (homogeneity
+    * attack).  Distinct-count is exact (count_distinct, map-side
+    * partials).  Output: (quasi..., class_size, distinct_sensitive,
+    * diverse_l). */
+  def lDiversityAudit(df: DataFrame, quasi: Seq[Column],
+      sensitive: Column, l: Int): DataFrame = {
+    require(quasi.nonEmpty && l >= 1)
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(sensitive).as("distinct_sensitive"))
+      .withColumn("diverse_l", col("distinct_sensitive") >= l)
+  }
 }

@@ -2138,4 +2138,24 @@ object TextOps {
     DedupOps.parallelized(df)
       .select(idCol.as("doc_id"), f(text).as("tokens"))
   }
+
+  /** Per-source document cap — the "≤ N pages per domain" step of a web
+    * training corpus (over-represented domains otherwise dominate the
+    * mixture): keep each source's top `maxPerSource` documents by
+    * `quality` (descending), ties broken by ascending id (fully
+    * deterministic).  One keyed window per SOURCE — partitioned by the
+    * group key, never a single-partition sort; a pathologically hot
+    * domain sorts only its own rows.  Output: the surviving rows with
+    * their per-source rank. */
+  def perSourceCap(df: DataFrame, source: Column, idCol: Column,
+      quality: Column, maxPerSource: Int): DataFrame = {
+    require(maxPerSource >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(source)
+      .orderBy(quality.desc, idCol.asc)
+    df.withColumn("src_rank", row_number().over(w))
+      .where(col("src_rank") <= maxPerSource)
+      .select(idCol.as("doc_id"), source.as("source"),
+        quality.as("quality"), col("src_rank"))
+  }
 }

@@ -18,6 +18,26 @@ object R15cQueries {
       GraphOps.labelPropagation(Tables.coEdges(s, dir),
         col("src"), col("dst"), iters = 2)),
 
+    // Governance audits over quasi-identifiers: k-anonymity class sizes
+    // and l-diversity of a sensitive attribute — one aggregation each.
+    "pii_k_anon" -> ((s, dir) =>
+      graft.ops.PiiOps.kAnonymityAudit(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq(col("c_mktsegment"), col("c_nationkey")), k = 5)),
+
+    "pii_l_diversity" -> ((s, dir) =>
+      graft.ops.PiiOps.lDiversityAudit(
+        s.read.parquet(s"$dir/customer.parquet"),
+        Seq(col("c_mktsegment"), col("c_nationkey")),
+        floor(col("c_acctbal") / 1000).cast("long"), l = 8)),
+
+    // Per-source cap — the "<= N pages per domain" mixture-control step:
+    // each source keeps its 10 highest-quality docs (quality = length
+    // here; ties by id), replayed exactly by the window oracle.
+    "text_source_cap" -> ((s, dir) =>
+      TextOps.perSourceCap(Tables.docs(s, dir), col("source"),
+        col("doc_id"), col("n_chars").cast("long"), maxPerSource = 10)),
+
     // Unigram-LM (SentencePiece-style) tokenization: the Viterbi model
     // itself is spec-proven (R15UnigramSpec: EM learning, local ==
     // distributed, determinism); the oracle gates the tokenizer's
@@ -54,6 +74,30 @@ object R15cQueries {
         |  SELECT a, label, row_number() OVER (PARTITION BY a
         |    ORDER BY cnt DESC, label ASC) AS rn FROM c2) WHERE rn = 1)
         |SELECT v::BIGINT AS v, label FROM l2""".stripMargin,
+
+    "pii_k_anon" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  count(*)::BIGINT AS class_size,
+        |  count(*) < 5 AS violates_k
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    "pii_l_diversity" ->
+      """SELECT c_mktsegment, c_nationkey,
+        |  count(*)::BIGINT AS class_size,
+        |  count(DISTINCT floor(c_acctbal / 1000)::BIGINT)::BIGINT
+        |    AS distinct_sensitive,
+        |  count(DISTINCT floor(c_acctbal / 1000)::BIGINT) >= 8 AS diverse_l
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+
+    "text_source_cap" ->
+      """SELECT doc_id, source, n_chars::BIGINT AS quality,
+        |  src_rank::INT AS src_rank
+        |FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS src_rank
+        |  FROM documents)
+        |WHERE src_rank <= 10""".stripMargin,
 
     "text_unigram_tokens" ->
       """SELECT doc_id,
