@@ -2158,4 +2158,29 @@ object TextOps {
       .select(idCol.as("doc_id"), source.as("source"),
         quality.as("quality"), col("src_rank"))
   }
+
+  /** Temperature-scaled source mixture (the multilingual-sampling
+    * recipe, Conneau & Lample 2019 / mT5): a source with corpus share
+    * p_i is sampled toward target share q_i ∝ p_i^alpha — alpha < 1
+    * up-weights the tail, alpha = 1 is natural, alpha = 0 uniform.
+    * Output per source: n docs, natural share, target share, and the
+    * per-document resampling weight q_i/p_i a weighted sampler consumes
+    * (all 6-dp rounded for cross-engine reproducibility).  One
+    * map-side-combined count + a broadcast 1-row total — no second
+    * corpus pass. */
+  def sourceMixtureWeights(df: DataFrame, source: Column,
+      alpha: Double): DataFrame = {
+    require(alpha >= 0.0, "alpha must be >= 0")
+    val counts = df.groupBy(source.as("source"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("__tot"),
+      sum(pow(col("n").cast("double"), lit(alpha))).as("__ptot"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("source"), col("n"),
+        round(col("n") / col("__tot"), 6).as("share"),
+        round(pow(col("n").cast("double"), lit(alpha)) / col("__ptot"), 6)
+          .as("target_share"),
+        round((pow(col("n").cast("double"), lit(alpha)) / col("__ptot")) /
+          (col("n") / col("__tot")), 6).as("resample_w"))
+  }
 }

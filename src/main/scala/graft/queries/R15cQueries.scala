@@ -38,6 +38,14 @@ object R15cQueries {
       TextOps.perSourceCap(Tables.docs(s, dir), col("source"),
         col("doc_id"), col("n_chars").cast("long"), maxPerSource = 10)),
 
+    // Temperature-scaled language mixture (alpha = 0.5): en dominates
+    // the corpus, so its resampling weight drops below 1 while tail
+    // languages rise — the multilingual-sampling recipe as one
+    // aggregation + broadcast total.
+    "mix_temperature" -> ((s, dir) =>
+      TextOps.sourceMixtureWeights(Tables.docs(s, dir), col("lang"),
+        alpha = 0.5)),
+
     // Unigram-LM (SentencePiece-style) tokenization: the Viterbi model
     // itself is spec-proven (R15UnigramSpec: EM learning, local ==
     // distributed, determinism); the oracle gates the tokenizer's
@@ -98,6 +106,18 @@ object R15cQueries {
         |      ORDER BY n_chars DESC, doc_id ASC) AS src_rank
         |  FROM documents)
         |WHERE src_rank <= 10""".stripMargin,
+
+    "mix_temperature" ->
+      """WITH c AS (SELECT lang AS source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS tot,
+        |             sum(pow(n::DOUBLE, 0.5)) AS ptot FROM c)
+        |SELECT source, n,
+        |  round(n / tot, 6) AS share,
+        |  round(pow(n::DOUBLE, 0.5) / ptot, 6) AS target_share,
+        |  round((pow(n::DOUBLE, 0.5) / ptot) / (n / tot), 6)
+        |    AS resample_w
+        |FROM c, t""".stripMargin,
 
     "text_unigram_tokens" ->
       """SELECT doc_id,
