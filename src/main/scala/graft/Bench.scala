@@ -104,7 +104,9 @@ object Bench {
       "pipeline_curate", "tpch_bucketed_join", "dd_cdc_chunks",
       "ev_asof_join", "text_rep_ngrams",
       "tpch_q1", "tpch_q9", "tpch_q18", "tpch_q21", "ev_asof_native",
-      "ml_logreg", "graph_triangles", "graph_reach")
+      "ml_logreg", "graph_triangles", "graph_reach",
+      "o5_pushdown_skip", "o5_stream_tail", "o5_merge_into",
+      "pipe_lake_dedup", "graph_lpa", "text_unigram_tokens")
     val headSet = headline.toSet
     val qs = results.collect { case (k, (sec, _)) if headSet(k) =>
       s"\"" + k + "\":" + s3(sec) }.mkString("{", ",", "}")
