@@ -88,13 +88,16 @@ class Writer:
         self.buf += data
         return addr
 
-    def dataset(self, arr, attrs=(), chunks=None, gzip=None):
+    def dataset(self, arr, attrs=(), chunks=None, gzip=None,
+                shuffle=False):
         """Write data + a v1 object header; returns OH address.
 
         ``chunks`` (a shape tuple) switches to the chunked layout (v1
         chunk B-tree); ``gzip`` (a level) additionally deflates every
         chunk through a filter-pipeline message — the layout
-        ``anndata.write_h5ad(compression='gzip')`` produces."""
+        ``anndata.write_h5ad(compression='gzip')`` produces;
+        ``shuffle`` prepends the byte-shuffle filter (id 2) to the
+        pipeline — h5py's ``shuffle=True`` default companion of gzip."""
         arr = np.ascontiguousarray(arr)
         if arr.dtype.kind in "iu":
             dt = dt_int(arr.dtype.itemsize, arr.dtype.kind == "i")
@@ -126,6 +129,12 @@ class Writer:
                             for d in range(rank))
                 full[src] = arr[sel]
                 raw = full.tobytes()
+                if shuffle:
+                    # byte shuffle: all byte-0s, then all byte-1s, ...
+                    b = arr.dtype.itemsize
+                    n = len(raw) // b
+                    raw = np.frombuffer(raw, dtype=np.uint8).reshape(
+                        n, b).T.tobytes()
                 if gzip is not None:
                     raw = zlib.compress(raw, gzip)
                 entries.append((offs, len(raw), self.alloc(pad8(raw))))
@@ -150,9 +159,13 @@ class Writer:
             layout += struct.pack("<I", arr.dtype.itemsize)
             msgs.append(message(0x0008, pad8(layout)))
             if gzip is not None:
-                # filter pipeline v1: deflate (id 1), one client value
-                # (the level), padded to 8 (odd client count)
-                filt = struct.pack("<BB6x", 1, 1)
+                # filter pipeline v1 in APPLICATION order (shuffle
+                # before deflate); one client value each, padded to 8
+                nf = 2 if shuffle else 1
+                filt = struct.pack("<BB6x", 1, nf)
+                if shuffle:
+                    filt += struct.pack("<HHHHI4x", 2, 0, 0, 1,
+                                        arr.dtype.itemsize)
                 filt += struct.pack("<HHHHI4x", 1, 0, 0, 1, gzip)
                 msgs.append(message(0x000B, pad8(filt)))
         msgs += list(attrs)
@@ -214,14 +227,16 @@ def shape_attr(n_obs, n_var):
 
 
 def build_plate(indptr, indices, data, cell_types, n_counts, n_var,
-                categories, gzip_chunks=None):
+                categories, gzip_chunks=None, shuffle=False):
     w = Writer()
 
     def xds(a):
         if gzip_chunks is None:
             return w.dataset(a)
-        # multiple chunks + deflate: the compressed-anndata file shape
-        return w.dataset(a, chunks=(max(2, len(a) // 3),), gzip=6)
+        # multiple chunks + deflate (optionally byte-shuffled): the
+        # compressed-anndata file shape
+        return w.dataset(a, chunks=(max(2, len(a) // 3),), gzip=6,
+                         shuffle=shuffle)
     x = w.group([
         ("data", xds(np.asarray(data, dtype="<f4"))),
         ("indices", xds(np.asarray(indices, dtype="<i4"))),
@@ -269,12 +284,21 @@ def main(out_dir):
             cell_types=[1, 0, 2, 1],
             n_counts=[1.0, 2.0, 3.0, 4.0],
             gzip=True),
+        # plate3: gzip + SHUFFLE — h5py's default compression companion
+        "plate3.h5ad": dict(
+            indptr=[0, 2, 3],
+            indices=[2, 5, 7],
+            data=[1.25, 2.75, 3.5],
+            cell_types=[0, 2],
+            n_counts=[4.0, 6.25],
+            gzip=True, shuf=True),
     }
     for fname, p in plates.items():
         blob = build_plate(p["indptr"], p["indices"], p["data"],
                            p["cell_types"], p["n_counts"], n_var,
                            ["T", "B", "NK"],
-                           gzip_chunks=p.get("gzip"))
+                           gzip_chunks=p.get("gzip"),
+                           shuffle=p.get("shuf", False))
         with open(os.path.join(out_dir, fname), "wb") as fh:
             fh.write(blob)
         print(f"wrote {fname}: {len(blob)} bytes")

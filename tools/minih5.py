@@ -15,7 +15,7 @@ Supported subset (the layout libhdf5 emits for an uncompressed
   - old-style groups: v1 object headers + symbol-table message
     (v1 B-tree over SNOD symbol nodes + local heap), any nesting depth
   - datasets: contiguous layout AND chunked layout (v1 chunk B-tree)
-    with no filter or the deflate filter (gzip — what
+    with no filter, the deflate filter, or shuffle+deflate (what
     ``anndata.write_h5ad(compression="gzip")`` produces), little-endian
     int8..64 / uint / float32 / float64 / fixed-size strings, 0-2
     dimensional, including partial edge chunks
@@ -24,7 +24,7 @@ Supported subset (the layout libhdf5 emits for an uncompressed
   - symbol-table entries with cached (cache_type 1) or uncached group
     metadata
 
-NOT supported (fail loudly): non-deflate filters (shuffle/szip/lzf),
+NOT supported (fail loudly): szip/lzf filters,
 v2+ object headers, fractal-heap "new style" groups, big-endian data.
 
 Everything here is implemented from the public HDF5 File Format
@@ -288,10 +288,19 @@ def _read_chunked(buf, btree_addr, chunk_dims, dims, dtype, filters):
                 continue
             if filters[i] == 1:
                 raw = zlib.decompress(raw)
+            elif filters[i] == 2:
+                # byte shuffle: stored as all byte-0s, all byte-1s, ...
+                # of each element; undo by transposing back.  A tail
+                # shorter than one element stays unshuffled (HDF5 rule).
+                b = dtype.itemsize
+                if b > 1:
+                    n = len(raw) // b
+                    body = np.frombuffer(raw[:n * b], dtype=np.uint8)
+                    raw = body.reshape(b, n).T.tobytes() + raw[n * b:]
             else:
                 raise Mini5Error(
-                    f"filter id {filters[i]} unsupported (deflate only — "
-                    "rewrite with compression='gzip' or none)")
+                    f"filter id {filters[i]} unsupported (deflate/"
+                    "shuffle only — rewrite with compression='gzip')")
         if len(raw) < csize:
             raise Mini5Error("short chunk after decompression")
         chunk = np.frombuffer(raw[:csize], dtype=dtype).reshape(chunk_dims)
