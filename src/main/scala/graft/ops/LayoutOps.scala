@@ -765,9 +765,21 @@ object LayoutOps {
     val sCols =
       if (statsCols.nonEmpty) statsCols
       else stats.keys.map(_._2).toSeq.distinct.sorted
-    val survivors = spark.read.parquet(affected: _*)
+    val survivors = readMerged(spark, affected)
       .where(not(coalesce(predicate, lit(false))))
     publishRewrite(spark, path, base, kept, survivors, sCols, "d")
+  }
+
+  /** Read `dirs` under the UNION of their footer schemas — a rewrite
+    * that resolved the schema from one arbitrary footer would silently
+    * DROP evolved columns from the rewritten directory (heterogeneous
+    * commit schemas are a supported lake state; see
+    * [[readVersionEvolved]]). */
+  private def readMerged(spark: SparkSession,
+      dirs: Seq[String]): DataFrame = {
+    val sch = dirs.map(d => spark.read.parquet(d).schema)
+      .reduce(org.apache.spark.sql.GraftBridge.mergeSchemas)
+    spark.read.schema(sch).parquet(dirs: _*)
   }
 
   /** MERGE (upsert) into the lake with directory-granular rewrites:
@@ -783,9 +795,11 @@ object LayoutOps {
     * key-clustered lake rewrites the few directories an update batch
     * touches, not the table.
     *
-    * `updates` must be key-unique (enforced: duplicate update keys
-    * would make the merge order-dependent).  Returns Some(newVersion),
-    * or None when a concurrent commit won the single CAS (re-run at the
+    * `updates` must be key-unique (enforced — on the first commit too:
+    * duplicate update keys would make the merge order-dependent).
+    * Returns Some(newVersion); None when the update batch is empty
+    * (steady-state scheduled upserts must not churn a version per empty
+    * batch) or a concurrent commit won the single CAS (re-run at the
     * new tip).  A merge REWRITES history wherever it deletes, so
     * structural-delta consumers refuse intervals spanning it unless the
     * merge touched nothing (pure insert of disjoint keys still rewrites
@@ -796,16 +810,22 @@ object LayoutOps {
       updates: DataFrame, key: String,
       statsCols: Seq[String] = Nil): Option[Int] = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
-    val base = latestVersion(spark, path)
-    if (base < 0) return Some(commitAppend(updates, path,
-      statsCols = statsCols))
+    // uniqueness is the invariant EVERY later merge assumes — enforce it
+    // on the first commit too, not just the rewrite path
     val dup = updates.groupBy(col(key)).agg(count(lit(1)).as("__n"))
       .where(col("__n") > 1).limit(1).count()
     require(dup == 0, s"mergeInto updates must be unique on '$key'")
+    val base = latestVersion(spark, path)
+    if (base < 0) return Some(commitAppend(updates, path,
+      statsCols = statsCols))
     val (dirs, stats, _) = manifestEntries(spark, path, base)
     val kr = updates.agg(min(col(key)), max(col(key))).head()
+    // an empty update batch is the steady state of a scheduled upsert:
+    // publishing a version per empty batch would churn history for
+    // nothing — no-op instead
+    if (kr.isNullAt(0) && updates.limit(1).count() == 0) return None
     val (affected, kept) =
-      if (kr.isNullAt(0)) (Seq.empty[String], dirs) // empty updates
+      if (kr.isNullAt(0)) (Seq.empty[String], dirs) // all-null keys
       else {
         val between = col(key).between(lit(kr.get(0)), lit(kr.get(1)))
         val expr = org.apache.spark.sql.GraftBridge.analyzedCondition(
@@ -821,9 +841,9 @@ object LayoutOps {
       else stats.keys.map(_._2).toSeq.distinct.sorted
     val survivors =
       if (affected.isEmpty) updates
-      else spark.read.parquet(affected: _*)
+      else readMerged(spark, affected)
         .join(updates.select(col(key)).distinct(), Seq(key), "left_anti")
-        .unionByName(updates)
+        .unionByName(updates, allowMissingColumns = true)
     publishRewrite(spark, path, base, kept, survivors, sCols, "m")
   }
 

@@ -1946,12 +1946,19 @@ object TextOps {
     * model has never seen segment as single-char pieces at `unkLogProb`
     * (total coverage — tokenization is LOSSLESS by construction).  Ties
     * prefer the LONGER final piece (smaller split point) — fully
-    * deterministic, partitioning-immune. */
+    * deterministic, partitioning-immune.
+    *
+    * Positions are CODE POINTS, not UTF-16 chars (the [[codePointSplit]]
+    * rule): a charAt-indexed DP would emit lone surrogates as unk
+    * pieces, which UTF8String conversion replaces — corrupting the
+    * round trip on any emoji — and would disagree with Spark SQL's
+    * code-point `substring`/`length` used by the distributed trainer. */
   private[ops] def unigramViterbi(word: String,
       vocab: java.util.HashMap[String, java.lang.Double],
       maxPieceLen: Int, unkLogProb: Double): Array[String] = {
-    val n = word.length
-    if (n == 0) return Array.empty
+    if (word.isEmpty) return Array.empty
+    val offs = cpOffsets(word)
+    val n = offs.length - 1
     val dp = Array.fill(n + 1)(Double.NegativeInfinity)
     val back = Array.fill(n + 1)(-1)
     dp(0) = 0.0
@@ -1959,11 +1966,11 @@ object TextOps {
     while (i <= n) {
       var j = math.max(0, i - maxPieceLen)
       while (j < i) {
-        val piece = word.substring(j, i)
+        val piece = word.substring(offs(j), offs(i))
         val lp = vocab.get(piece)
         val score =
           if (lp != null) dp(j) + lp.doubleValue()
-          else if (i - j == 1) dp(j) + unkLogProb // unseen char fallback
+          else if (i - j == 1) dp(j) + unkLogProb // unseen cp fallback
           else Double.NegativeInfinity
         // strict > keeps the FIRST (smallest j = longest piece) winner
         if (score > dp(i)) { dp(i) = score; back(i) = j }
@@ -1973,8 +1980,21 @@ object TextOps {
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var k = n
-    while (k > 0) { val j = back(k); out += word.substring(j, k); k = j }
+    while (k > 0) {
+      val j = back(k); out += word.substring(offs(j), offs(k)); k = j
+    }
     out.reverseIterator.toArray
+  }
+
+  /** offs(k) = UTF-16 index of the k-th code point; offs(n) = length. */
+  private def cpOffsets(word: String): Array[Int] = {
+    val b = new scala.collection.mutable.ArrayBuffer[Int](word.length + 1)
+    var p = 0
+    while (p < word.length) {
+      b += p; p += Character.charCount(word.codePointAt(p))
+    }
+    b += word.length
+    b.toArray
   }
 
   private def unigramMap(vocab: Seq[(String, Double)]) = {
@@ -2030,8 +2050,7 @@ object TextOps {
       vocab = emRoundDistributed(words, vocab, maxPieceLen)
     }
     vocab = pruneVocab(vocab, vocabSize)
-    normalizedByProb(emRoundDistributed(words, vocab, maxPieceLen))
-      .sortBy(_._1)
+    emRoundDistributed(words, vocab, maxPieceLen).sortBy(_._1)
   }
 
   private def normalized(cnts: Seq[(String, Long)]): Seq[(String, Double)] = {
@@ -2040,35 +2059,43 @@ object TextOps {
       p -> math.log(math.max(c, 1L) / total) }
   }
 
-  private def normalizedByProb(v: Seq[(String, Double)]) = v
-
   /** One distributed hard-EM round: Viterbi-segment every word under the
     * broadcast vocab, aggregate piece usage, re-normalize.  Unused
-    * multi-char pieces drop; single chars always survive (coverage). */
+    * multi-cp pieces drop; single code points always survive (coverage).
+    * The round's broadcast is destroyed after the eager collect — EM
+    * loops would otherwise accumulate one dead vocab copy per round. */
   private def emRoundDistributed(words: DataFrame,
       vocab: Seq[(String, Double)], maxPieceLen: Int): Seq[(String, Double)] = {
     val spark = words.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(unigramMap(vocab))
-    val seg = udf { (w: String) =>
-      unigramViterbi(w, bc.value, maxPieceLen, UnkLogProb) }
-    val used = words.select(explode(seg(col("w"))).as("piece"), col("cnt"))
-      .groupBy("piece").agg(sum("cnt").as("c"))
-      .as[(String, Long)].collect()
-    reestimate(vocab, used)
+    try {
+      val seg = udf { (w: String) =>
+        unigramViterbi(w, bc.value, maxPieceLen, UnkLogProb) }
+      val used = words.select(explode(seg(col("w"))).as("piece"), col("cnt"))
+        .groupBy("piece").agg(sum("cnt").as("c"))
+        .as[(String, Long)].collect()
+      reestimate(vocab, used)
+    } finally bc.destroy()
   }
 
   private val UnkLogProb = -1e4
 
-  /** M-step: piece log-probs from usage counts; unused multi-char pieces
-    * drop, single chars persist at a floor count of 1 (coverage). */
+  /** One CODE POINT (the coverage unit — UTF-16 length lies for
+    * supplementary chars). */
+  private def isSingleCp(p: String): Boolean =
+    p.nonEmpty && p.codePointCount(0, p.length) == 1
+
+  /** M-step: piece log-probs from usage counts; unused multi-cp pieces
+    * drop, single code points persist at a floor count of 1
+    * (coverage). */
   private def reestimate(vocab: Seq[(String, Double)],
       used: Seq[(String, Long)]): Seq[(String, Double)] = {
     val cnt = used.toMap
     val kept = vocab.map(_._1).distinct.flatMap { p =>
       val c = cnt.getOrElse(p, 0L)
       if (c > 0) Some(p -> c)
-      else if (p.length == 1) Some(p -> 1L)
+      else if (isSingleCp(p)) Some(p -> 1L)
       else None
     }
     normalized(kept)
@@ -2076,21 +2103,25 @@ object TextOps {
 
   private def pruneVocab(vocab: Seq[(String, Double)],
       vocabSize: Int): Seq[(String, Double)] = {
-    val (chars, multi) = vocab.partition(_._1.length == 1)
+    val (chars, multi) = vocab.partition(v => isSingleCp(v._1))
     val room = math.max(vocabSize - chars.size, 0)
     chars ++ multi.sortBy { case (p, lp) => (-lp, p) }.take(room)
   }
 
   private def unigramTrainLocal(wordCnt: Array[(String, Long)],
       vocabSize: Int, maxPieceLen: Int, emIters: Int): Seq[(String, Double)] = {
-    // seed: substring counts (all chars + top multi-char)
+    // seed: substring counts over CODE POINTS (all single code points +
+    // top multi-cp), matching the distributed path's Spark SQL
+    // substring/length semantics
     val seedCnt = new java.util.HashMap[String, Long]()
     wordCnt.foreach { case (w, c) =>
+      val offs = cpOffsets(w)
+      val n = offs.length - 1
       var l = 1
-      while (l <= math.min(maxPieceLen, w.length)) {
+      while (l <= math.min(maxPieceLen, n)) {
         var i = 0
-        while (i + l <= w.length) {
-          val p = w.substring(i, i + l)
+        while (i + l <= n) {
+          val p = w.substring(offs(i), offs(i + l))
           seedCnt.merge(p, c, (a, b) => a + b)
           i += 1
         }
@@ -2099,8 +2130,8 @@ object TextOps {
     }
     import scala.jdk.CollectionConverters._
     val all = seedCnt.asScala.toSeq
-    val chars = all.filter(_._1.length == 1)
-    val multi = all.filter(_._1.length > 1)
+    val chars = all.filter(p => isSingleCp(p._1))
+    val multi = all.filterNot(p => isSingleCp(p._1))
       .sortBy { case (p, c) => (-c, p) }
       .take(math.max(vocabSize * 4, vocabSize))
     var vocab = normalized(chars ++ multi)

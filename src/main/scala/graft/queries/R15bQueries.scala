@@ -164,7 +164,10 @@ object R15bQueries {
             b.write.mode("append").parquet(out)
         }
         .start()
-      q.awaitTermination(180000L)
+      // a timed-out drain would read a partial sink (and leave the
+      // checkpoint held against the next timing run) — fail loudly
+      require(q.awaitTermination(180000L),
+        "lake stream drain did not finish within 180 s")
       s.read.parquet(out)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))

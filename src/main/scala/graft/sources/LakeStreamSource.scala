@@ -51,9 +51,19 @@ class LakeStreamSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new LakeStreamTable(schema, LakeStreamSource.pathOf(opts),
-      Option(opts.get("maxVersionsPerMicroBatch")).map(_.toInt)
-        .getOrElse(Int.MaxValue))
+    val maxV = Option(opts.get("maxVersionsPerMicroBatch")).map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"maxVersionsPerMicroBatch must be a positive integer, got '$v'")
+      }
+      // 0 or negative would pin the offset in place: the stream would
+      // silently deliver nothing forever — refuse loudly instead
+      require(n >= 1,
+        s"maxVersionsPerMicroBatch must be >= 1, got $n (omit the " +
+          "option for unlimited)")
+      n
+    }.getOrElse(Int.MaxValue)
+    new LakeStreamTable(schema, LakeStreamSource.pathOf(opts), maxV)
   }
 }
 

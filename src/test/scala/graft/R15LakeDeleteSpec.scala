@@ -95,6 +95,38 @@ class R15LakeDeleteSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unique"))
   }
 
+  test("rewrites read affected directories under their UNION schema: a " +
+      "delete spanning an evolved commit cannot drop the added column; " +
+      "empty merges no-op; fresh-lake merges enforce key uniqueness") {
+    val path = java.nio.file.Files.createTempDirectory("r15evo2")
+      .toString + "/tbl"
+    import spark.implicits._
+    // v0 (id, s) then v1 (id, s, score): heterogeneous commit schemas
+    LayoutOps.commitAppend(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), path)
+    LayoutOps.commitAppend(
+      Seq((3L, "c", 7.5), (4L, "d", 8.5)).toDF("id", "s", "score"), path)
+    // no stats anywhere: BOTH dirs are affected -> both rewritten
+    assert(LayoutOps.deleteWhere(spark, path, col("id") === 2L)
+      .contains(2))
+    val snap = LayoutOps.readVersionEvolved(spark, path, 2)
+    assert(snap.schema.fieldNames.contains("score"),
+      "the evolved column survives a rewrite that spans both schemas")
+    assert(snap.where(col("score") === 8.5).count() == 1)
+    assert(snap.count() == 3)
+    // empty update batch: no version churn
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    assert(LayoutOps.mergeInto(spark, path, empty, "id").isEmpty)
+    assert(LayoutOps.latestVersion(spark, path) == 2)
+    // duplicate keys are rejected even on a NOT-YET-CREATED lake
+    val fresh = java.nio.file.Files.createTempDirectory("r15fresh")
+      .toString + "/tbl"
+    val e = intercept[IllegalArgumentException] {
+      LayoutOps.mergeInto(spark, fresh,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "s"), "id")
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
   test("DELETE keeps false AND null predicate rows; a provably " +
       "unmatchable delete publishes nothing") {
     val path = freshLake()

@@ -88,6 +88,23 @@ class R15LakeStreamSpec extends AnyFunSuite {
       s"one version per micro-batch, in commit order; got $batches")
   }
 
+  test("a non-positive maxVersionsPerMicroBatch is refused loudly " +
+      "instead of silently pinning the offset") {
+    val src = tmp("r15lsbad") + "/tbl"
+    LayoutOps.commitAppend(Seq(1L).toDF("id"), src)
+    val e = intercept[Exception] {
+      spark.readStream.format("graft.sources.LakeStreamSource")
+        .option("path", src)
+        .option("maxVersionsPerMicroBatch", "0")
+        .load()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("maxVersionsPerMicroBatch")),
+      s"got $e")
+  }
+
   test("an uncommitted orphan directory is invisible to the stream; a " +
       "compaction inside the tailed interval is refused") {
     val src = tmp("r15lsorph") + "/tbl"

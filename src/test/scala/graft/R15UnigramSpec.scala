@@ -58,6 +58,34 @@ class R15UnigramSpec extends AnyFunSuite {
     assert(eps, "log-probs agree to fp tolerance")
   }
 
+  test("supplementary-plane text is code-point safe: no piece ever " +
+      "splits a surrogate pair, the round trip holds, and local == " +
+      "distributed on an emoji corpus") {
+    val emoji = Seq("😀😀ab 😀😀ab", "ab😀 😀😀", "𝔘𝔘x 𝔘𝔘x").toDF("text")
+    val vocab = TextOps.unigramTrain(emoji, col("text"), vocabSize = 12,
+      maxPieceLen = 3, emIters = 2)
+    assert(vocab.forall { case (p, _) =>
+      !p.exists(c => Character.isSurrogate(c)) ||
+        p.codePoints().toArray.forall(Character.isValidCodePoint)
+    })
+    // every piece is whole code points: re-encoding round-trips
+    assert(vocab.forall { case (p, _) =>
+      new String(p.codePoints().toArray, 0,
+        p.codePointCount(0, p.length)) == p })
+    val rebuilt = TextOps.unigramTokens(emoji, col("text"),
+      monotonically_increasing_id(), vocab, maxPieceLen = 3)
+      .select(concat_ws("", col("tokens")).as("r")).as[String]
+      .collect().sorted.toSeq
+    val want = emoji.select(
+      concat_ws("", filter(split(lower(col("text")), "\\s+"),
+        t => t =!= lit(""))).as("r")).as[String].collect().sorted.toSeq
+    assert(rebuilt == want, "lossless on non-BMP input")
+    val dist = TextOps.unigramTrain(emoji, col("text"), 12, 3, 2,
+      maxDriverWords = 0L)
+    assert(vocab.map(_._1) == dist.map(_._1),
+      "local and distributed agree on code-point segmentation")
+  }
+
   test("unseen characters tokenize as single-char pieces (lossless on " +
       "any input); pruning keeps all single chars") {
     val vocab = TextOps.unigramTrain(corpus, col("text"), 8, 4, 2)
