@@ -509,6 +509,30 @@ object LayoutOps {
     }
   }
 
+  /** Z-ORDER compaction: rewrite the latest snapshot clustered on the
+    * Morton interleave of TWO filter dimensions ([[zOrderValue]] — both
+    * pre-mapped to bounded non-negative ints, the [[writeZOrdered]]
+    * contract), published as a new version.  Each rewritten file covers
+    * a small rectangle of the (a, b) plane, so scans filtered on EITHER
+    * dimension prune most files from parquet footer stats — the
+    * multi-dimensional complement of `compactFrom(sortCol)`, which buys
+    * one column's skipping by sacrificing all others.  Same
+    * single-CAS/stale-base discipline as [[compactFrom]]; a concurrent
+    * commit wins → None, orphan vacuum-swept. */
+  def compactZOrdered(spark: SparkSession, path: String,
+      a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+      bits: Int, targetFiles: Int = 1,
+      statsCols: Seq[String] = Nil): Option[Int] = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val base = latestVersion(spark, path)
+    if (base < 0) return None
+    val z = zOrderValue(a, b, bits)
+    val arranged = readVersion(spark, path, base)
+      .repartitionByRange(targetFiles, z)
+      .sortWithinPartitions(z)
+    publishRewrite(spark, path, base, Nil, arranged, statsCols, "z")
+  }
+
   /** [[compactFrom]] at the current latest version. */
   def compactSnapshot(spark: SparkSession, path: String,
       targetFiles: Int = 1, statsCols: Seq[String] = Nil,

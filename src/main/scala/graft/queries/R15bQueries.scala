@@ -173,6 +173,27 @@ object R15bQueries {
         .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
     }),
 
+    // Z-ORDER compaction (OPTIMIZE ZORDER BY): the snapshot rewritten
+    // clustered on the (day, id-bucket) Morton interleave; pre- and
+    // post-compaction snapshots must aggregate identically — clustering
+    // moves bytes, never rows.
+    "o5_zorder_travel" -> ((s, dir) => {
+      val p = R9Queries.runTmp + "/zt_events_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      buildSliced(s, dir, p)
+      if (LayoutOps.latestVersion(s, p) == 2)
+        LayoutOps.compactZOrdered(s, p,
+          greatest(col("day") - 19700L, lit(0L)),
+          pmod(col("event_id"), lit(64)), bits = 8, targetFiles = 2,
+          statsCols = Seq("day"))
+      def agg(v: Int, tag: String): DataFrame =
+        LayoutOps.readVersion(s, p, v)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("vmic").as("vmic"))
+          .withColumn("phase", lit(tag))
+      agg(2, "pre").unionByName(agg(3, "post"))
+    }),
+
     // Retention DELETE with directory-granular rewrites: removing a day
     // range from the day-sliced lake must rewrite ONLY the one commit
     // the range can touch (the other two carried by name, files
@@ -324,6 +345,17 @@ object R15bQueries {
         |  FROM events)
         |SELECT event_type, count(*)::BIGINT AS n, sum(vmic)::BIGINT AS vmic
         |FROM e GROUP BY event_type""".stripMargin,
+
+    "o5_zorder_travel" ->
+      """WITH e AS (SELECT event_type,
+        |    floor(value * 1000000.0)::BIGINT AS vmic
+        |  FROM events),
+        |a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(vmic)::BIGINT AS vmic
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n, vmic, 'pre' AS phase FROM a
+        |UNION ALL
+        |SELECT event_type, n, vmic, 'post' AS phase FROM a""".stripMargin,
 
     "o5_merge_into" ->
       """WITH e AS (SELECT event_id, event_type,

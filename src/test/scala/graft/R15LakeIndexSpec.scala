@@ -199,6 +199,49 @@ class R15LakeIndexSpec extends AnyFunSuite {
     assert(evolved2.where(col("id") >= 3L).count() == 1)
   }
 
+  test("z-ordered compaction bounds BOTH dimensions per file — the " +
+      "clustering a single-column sort cannot give — with identical rows") {
+    val path = java.nio.file.Files.createTempDirectory("r15zorder")
+      .toString + "/tbl"
+    val grid = spark.range(1024).select(
+      (col("id") / 32).cast("long").as("x"),
+      pmod(col("id"), lit(32)).cast("long").as("y"))
+    // four arrival-order slices: rows 0..255 etc. (x-bands)
+    (0 until 4).foreach { s =>
+      LayoutOps.commitAppend(
+        grid.where(col("x") >= s * 8 && col("x") < (s + 1) * 8), path)
+    }
+    val v = LayoutOps.compactZOrdered(spark, path,
+      col("x"), col("y"), bits = 6, targetFiles = 4,
+      statsCols = Seq("x", "y"))
+    assert(v.contains(4))
+    val snap = LayoutOps.readVersion(spark, path, 4)
+    assert(snap.count() == 1024)
+    assert(snap.agg(sum("x"), sum("y")).head() ==
+      org.apache.spark.sql.Row(15872L, 15872L), "rows identical")
+    // per-FILE spans: a z-ordered layout keeps both dimensions bounded
+    // (a linear x-sort would leave y spanning the full 0..31 everywhere)
+    val (dirs, _, _) = LayoutOps.manifestEntries(spark, path, 4)
+    val files = new java.io.File(dirs.head.stripPrefix("file:"))
+      .listFiles().filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(files.length == 4)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("x"), max("x"), min("y"), max("y")).head()
+      (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+    }
+    // sampled range-split points need not align with quadrant edges, so
+    // ONE file may straddle a major z-curve jump and span wide; the
+    // property a linear sort cannot give is that MOST files bound both
+    // dimensions (an x-sort leaves y spanning 0..31 in every file)
+    assert(spans.count { case (sx, sy) => sx <= 24 && sy <= 24 } >= 3,
+      s"z-order bounds both dims in most files, got ${spans.toSeq}")
+    assert(spans.count { case (_, sy) => sy <= 24 } == 4,
+      s"the interleaved dimension is bounded everywhere, " +
+        s"got ${spans.toSeq}")
+  }
+
   test("size lines survive carry, compaction and vacuum fold") {
     val v = LayoutOps.latestVersion(spark, lake)
     assert(v == 3)
