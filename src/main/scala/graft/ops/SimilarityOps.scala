@@ -924,6 +924,40 @@ object SimilarityOps {
       .where(col("rank") < k)
   }
 
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher SIGIR'09) of two
+    * per-query ranked lists — the standard hybrid-retrieval combiner
+    * (lexical BM25/overlap ranks ⊕ dense embedding ranks).  Inputs carry
+    * (query_id, neighbor_id, rank) with rank 0-based; a candidate absent
+    * from one list simply contributes nothing from it (the full-outer
+    * semantics of RRF).  fused = Σ 1/(c + rank + 1), ranked per query with
+    * deterministic id tie-breaks.
+    *
+    * Scale shape: one shuffle on (query_id, neighbor_id) for the outer
+    * join, then a per-query window — partitioned by query, never global.
+    * The only floats are single IEEE divisions and one sum of two of them,
+    * deterministic across engines, so the oracle replays fused scores
+    * exactly at 6 dp.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60): DataFrame = {
+    require(k > 0 && c >= 0, s"k must be > 0 and c >= 0, got k=$k c=$c")
+    val la = a.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("rank_a"))
+    val lb = b.select(col("query_id"), col("neighbor_id"),
+      col("rank").cast("long").as("rank_b"))
+    val fused = la.join(lb, Seq("query_id", "neighbor_id"), "full_outer")
+      .select(col("query_id"), col("neighbor_id"),
+        round(
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_a") + lit(1.0)),
+            lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c.toDouble) + col("rank_b") + lit(1.0)),
+            lit(0.0)), 6).as("fused"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("fused").desc, col("neighbor_id"))
+    fused.withColumn("fused_rank", row_number().over(w) - 1)
+      .where(col("fused_rank") < k)
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to each query's LSH
     * bucket.  One shuffle on bucket; the cross product never materializes. */
   def lshTopK(corpus: DataFrame, vec: Column, id: Column,

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable, integer-exact sketch primitives for corpus-scale statistics.
+  *
+  * Both sketches here are ONE map-side-combined aggregation over the corpus
+  * — the canonical 100 TB shape: executors emit tiny partials (a bounded
+  * bucket table / a fixed depth×width grid), the shuffle moves only those
+  * partials, and merging IS the aggregation, so the result is bit-identical
+  * under any partitioning.  Every arithmetic step is integer (bit-length,
+  * shifts, modular md5 hashes), so a SQL oracle replays the sketch
+  * hash-exactly — no float tolerance anywhere.
+  *
+  * Reference scope note: the reference engine (scDataset) has no sketch
+  * tier at all (SURVEY.md §2.7 gap analysis); these are the extension ops a
+  * training-data pipeline needs for percentile dashboards (doc length,
+  * price, latency) and approximate frequency (token/domain counts) when the
+  * exact distinct key set itself is too large to materialize.
+  */
+object SketchOps {
+
+  /** HDR-histogram-style log-linear bucket table of a non-negative integer
+    * column (Tene's HdrHistogram recipe, expressed relationally).
+    *
+    * A value v with most-significant-bit position m lands in the bucket
+    * keyed by its top `subBits`+1 bits: shift = max(0, m − subBits),
+    * key = v >> shift.  Bucket width / lower-bound ≤ 2^−subBits, so any
+    * value reconstructed from its bucket carries a guaranteed relative
+    * error ≤ 2^−subBits (exact below 2^subBits), while the whole table is
+    * bounded by 64·2^(subBits+1) rows regardless of corpus size.
+    *
+    * All arithmetic is integer: the msb position comes from the length of
+    * the base-2 string (`conv(v,10,2)` here, `bin(v)` in the oracle), never
+    * from floating log2 — the bucket of every value is engine-exact.
+    *
+    * Output: (bucket_id, lb, ub, n) — lb/ub the inclusive value bounds.
+    * Negative inputs fail loudly (a quantile sketch silently dropping rows
+    * would lie).
+    */
+  def hdrHistogram(df: DataFrame, value: Column, subBits: Int): DataFrame = {
+    require(subBits >= 1 && subBits <= 16,
+      s"subBits must be in [1,16], got $subBits")
+    val guarded = when(value.cast("long") < 0,
+      raise_error(concat(lit("hdrHistogram: negative value "),
+        value.cast("string"))).cast("long"))
+      .otherwise(value.cast("long"))
+    val base = df.select(guarded.as("__v"))
+      .withColumn("__m", (length(conv(col("__v"), 10, 2)) - lit(1)).cast("int"))
+      .withColumn("__sh", greatest(lit(0), col("__m") - lit(subBits)))
+      .withColumn("__key", expr("shiftright(__v, __sh)"))
+    base
+      .groupBy(
+        (col("__sh").cast("long") * lit(1L << (subBits + 1)) + col("__key"))
+          .as("bucket_id"),
+        expr("shiftleft(__key, __sh)").as("lb"),
+        (expr("shiftleft(__key + 1L, __sh)") - lit(1L)).as("ub"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Quantile estimates from the [[hdrHistogram]] bucket table.
+    *
+    * Quantiles arrive as exact rationals (num, den) — e.g. (999, 1000) for
+    * p99.9 — so the target rank ceil(q·n) = (num·n + den − 1) div den is
+    * computed in integers; a literal double q·n would round differently
+    * across engines at rank boundaries.  The estimate for each q is the
+    * [lb, ub] of the first bucket whose cumulative count reaches the rank:
+    * the true rank-th smallest value provably lies inside that interval.
+    *
+    * The cumulative scan runs on the BUCKET table (≤ 64·2^(subBits+1)
+    * rows — corpus-size-independent) via a self-join, not a
+    * single-partition window, so no stage of the plan serializes.
+    */
+  def hdrQuantiles(df: DataFrame, value: Column, subBits: Int,
+      quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (nu, de) =>
+      require(nu > 0 && nu <= de, s"quantile $nu/$de out of (0,1]") }
+    val h = hdrHistogram(df, value, subBits)
+    val cum = h.as("a")
+      .join(h.select(col("bucket_id").as("b_id"), col("n").as("b_n")),
+        col("b_id") <= col("bucket_id"))
+      .groupBy(col("bucket_id"), col("lb"), col("ub"))
+      .agg(sum(col("b_n")).as("cum"))
+    val tot = h.agg(sum("n").as("n_total"))
+    val spark = df.sparkSession
+    val qdf = spark.range(1)
+      .select(explode(array(quantiles.map { case (nu, de) =>
+        struct(lit(nu).as("q_num"), lit(de).as("q_den"))
+      }: _*)).as("q"))
+      .select(col("q.q_num"), col("q.q_den"))
+    val ranks = qdf.crossJoin(broadcast(tot))
+      .withColumn("rank",
+        expr("(cast(q_num as bigint) * n_total + q_den - 1) div q_den"))
+    cum.crossJoin(broadcast(ranks))
+      .where(col("cum") >= col("rank"))
+      .groupBy(col("q_num"), col("q_den"), col("rank"), col("n_total"))
+      .agg(min(struct(col("bucket_id"), col("lb"), col("ub"))).as("m"))
+      .select(
+        round(col("q_num").cast("double") / col("q_den").cast("double"), 6)
+          .as("q"),
+        col("rank"), col("n_total"),
+        col("m.lb").as("est_lb"), col("m.ub").as("est_ub"))
+  }
+
+  private def cmsSlot(item: Column, row: Int, width: Int): Column =
+    pmod(conv(substring(md5(concat_ws("|", lit(row), item)), 1, 15), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** Count-min sketch of an item stream (Cormode–Muthukrishnan 2005): a
+    * fixed depth×width grid of counters, each row counting the stream under
+    * an independent md5-derived hash.  Built as one aggregation — the grid
+    * (depth·width rows, corpus-size-independent) IS the shuffle payload,
+    * and two sketches of disjoint streams merge by adding counters (a
+    * groupBy-sum union), which is how executor partials combine here.
+    *
+    * Output: (row, slot, n).  Estimates are upward-biased by construction
+    * (collisions only ADD), giving the deterministic guarantee
+    * est ≥ exact that [[cmsEstimate]] consumers rely on.
+    */
+  def cmsSketch(df: DataFrame, item: Column, depth: Int, width: Int)
+      : DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.select(item.cast("string").as("__it"))
+      .select(explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"), cmsSlot(col("__it"), i, width).as("slot"))
+      ): _*)).as("h"))
+      .groupBy(col("h.row").as("row"), col("h.slot").as("slot"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Point-frequency estimates for `items` against a [[cmsSketch]] grid:
+    * est(x) = min over rows of the counter at that row's hash of x.  The
+    * query set is broadcast (point queries are catalog-sized); the sketch
+    * side never moves.  For any item present in the stream the estimate is
+    * ≥ its exact count (counters only aggregate upward).
+    */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, item: Column,
+      depth: Int, width: Int): DataFrame = {
+    val probes = items.select(item.cast("string").as("item"))
+      .select(col("item"), explode(array((0 until depth).map(i =>
+        struct(lit(i).as("row"), cmsSlot(col("item"), i, width).as("slot"))
+      ): _*)).as("h"))
+      .select(col("item"), col("h.row").as("row"), col("h.slot").as("slot"))
+    sketch.join(broadcast(probes), Seq("row", "slot"))
+      .groupBy("item")
+      .agg(min(col("n")).as("n_est"))
+  }
+}

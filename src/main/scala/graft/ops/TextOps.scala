@@ -1802,6 +1802,36 @@ object TextOps {
     * never shuffle.  Per-doc summation is nano-unit fixed point (longs), so
     * the score is immune to partial-aggregation order; the top-k is a
     * TakeOrdered, not a global sort.  `avgdl` uses whitespace [[tokens]]. */
+  /** Lexical top-k by distinct-token overlap — the sparse side of hybrid
+    * retrieval (the dense side is [[graft.ops.SimilarityOps.bruteTopK]];
+    * [[graft.ops.SimilarityOps.rrfFuse]] combines them).  overlap(q, d) =
+    * |tokens(q) ∩ tokens(d)| over whitespace [[tokens]], candidates ranked
+    * per query by (overlap desc, id asc), zero-overlap candidates never
+    * materialize.
+    *
+    * Scale shape: the query side (exploded distinct tokens of a
+    * catalog-sized query set) is broadcast, so the corpus never shuffles
+    * for the match — only the (query, candidate) overlap counts do, and
+    * that set is bounded by matches, not by |corpus|·|queries|.  Integer
+    * counts end to end. */
+  def tokenOverlapTopK(corpus: DataFrame, id: Column, text: Column,
+      queries: DataFrame, qid: Column, qtext: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val ct = corpus.select(id.as("neighbor_id"),
+      explode(array_distinct(tokens(text))).as("tok"))
+    val qt = queries.select(qid.as("query_id"),
+      explode(array_distinct(tokens(qtext))).as("tok"))
+    val ov = ct.join(broadcast(qt), "tok")
+      .where(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(count(lit(1)).as("overlap"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("overlap").desc, col("neighbor_id"))
+    ov.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+  }
+
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
       terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
