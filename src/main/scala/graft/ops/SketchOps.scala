@@ -36,15 +36,18 @@ object SketchOps {
     * from floating log2 — the bucket of every value is engine-exact.
     *
     * Output: (bucket_id, lb, ub, n) — lb/ub the inclusive value bounds.
-    * Negative inputs fail loudly (a quantile sketch silently dropping rows
-    * would lie).
+    * Negative AND NULL inputs fail loudly (a quantile sketch silently
+    * dropping rows — or parking them in a null bucket the cumulative scan
+    * skips — would shift every rank it reports).
     */
   def hdrHistogram(df: DataFrame, value: Column, subBits: Int): DataFrame = {
     require(subBits >= 1 && subBits <= 16,
       s"subBits must be in [1,16], got $subBits")
-    val guarded = when(value.cast("long") < 0,
-      raise_error(concat(lit("hdrHistogram: negative value "),
-        value.cast("string"))).cast("long"))
+    val guarded = when(value.isNull,
+      raise_error(lit("hdrHistogram: NULL value")).cast("long"))
+      .when(value.cast("long") < 0,
+        raise_error(concat(lit("hdrHistogram: negative value "),
+          value.cast("string"))).cast("long"))
       .otherwise(value.cast("long"))
     val base = df.select(guarded.as("__v"))
       .withColumn("__m", (length(conv(col("__v"), 10, 2)) - lit(1)).cast("int"))
@@ -55,7 +58,11 @@ object SketchOps {
         (col("__sh").cast("long") * lit(1L << (subBits + 1)) + col("__key"))
           .as("bucket_id"),
         expr("shiftleft(__key, __sh)").as("lb"),
-        (expr("shiftleft(__key + 1L, __sh)") - lit(1L)).as("ub"))
+        // ub = lb + (2^sh − 1), NOT shiftleft(key+1, sh) − 1: the latter
+        // wraps past Long.MaxValue for the top bucket (ANSI overflow);
+        // this form never exceeds the bucket's own max value
+        (expr("shiftleft(__key, __sh)") +
+          (expr("shiftleft(1L, __sh)") - lit(1L))).as("ub"))
       .agg(count(lit(1)).as("n"))
   }
 
@@ -69,8 +76,10 @@ object SketchOps {
     * the true rank-th smallest value provably lies inside that interval.
     *
     * The cumulative scan runs on the BUCKET table (≤ 64·2^(subBits+1)
-    * rows — corpus-size-independent) via a self-join, not a
-    * single-partition window, so no stage of the plan serializes.
+    * rows — corpus-size-independent) via [[graft.core.Ranker]]'s
+    * range-partitioned rank + two-phase exact cumsum: O(B) work, no
+    * single-partition window, and no O(B²) self-join even at subBits=16
+    * (~8.4M buckets), so no stage of the plan serializes.
     */
   def hdrQuantiles(df: DataFrame, value: Column, subBits: Int,
       quantiles: Seq[(Int, Int)]): DataFrame = {
@@ -78,12 +87,11 @@ object SketchOps {
     quantiles.foreach { case (nu, de) =>
       require(nu > 0 && nu <= de, s"quantile $nu/$de out of (0,1]") }
     val h = hdrHistogram(df, value, subBits)
-    val cum = h.as("a")
-      .join(h.select(col("bucket_id").as("b_id"), col("n").as("b_n")),
-        col("b_id") <= col("bucket_id"))
-      .groupBy(col("bucket_id"), col("lb"), col("ub"))
-      .agg(sum(col("b_n")).as("cum"))
-    val tot = h.agg(sum("n").as("n_total"))
+    val ranked = graft.core.Ranker.withRank(h, "__r", col("bucket_id").asc)
+    val (cum0, nTotal) = graft.core.Ranker.withCumsumLongAndTotal(
+      ranked, "__r", col("n"), "cum")
+    val cum = cum0.select(col("bucket_id"), col("lb"), col("ub"), col("cum"))
+    val tot = h.sparkSession.range(1).select(lit(nTotal).as("n_total"))
     val spark = df.sparkSession
     val qdf = spark.range(1)
       .select(explode(array(quantiles.map { case (nu, de) =>
@@ -133,9 +141,13 @@ object SketchOps {
 
   /** Point-frequency estimates for `items` against a [[cmsSketch]] grid:
     * est(x) = min over rows of the counter at that row's hash of x.  The
-    * query set is broadcast (point queries are catalog-sized); the sketch
-    * side never moves.  For any item present in the stream the estimate is
-    * ≥ its exact count (counters only aggregate upward).
+    * sketch grid (depth·width rows, corpus-size-independent by
+    * construction) is broadcast; probes LEFT-join it so a probe slot with
+    * no counter row reads as the true CMS counter value 0 — an item never
+    * seen in the stream therefore returns n_est = 0 instead of vanishing
+    * (or, worse, taking its min over only its non-empty slots).  For any
+    * item present in the stream the estimate is ≥ its exact count
+    * (counters only aggregate upward).
     */
   def cmsEstimate(sketch: DataFrame, items: DataFrame, item: Column,
       depth: Int, width: Int): DataFrame = {
@@ -144,8 +156,8 @@ object SketchOps {
         struct(lit(i).as("row"), cmsSlot(col("item"), i, width).as("slot"))
       ): _*)).as("h"))
       .select(col("item"), col("h.row").as("row"), col("h.slot").as("slot"))
-    sketch.join(broadcast(probes), Seq("row", "slot"))
+    probes.join(broadcast(sketch), Seq("row", "slot"), "left")
       .groupBy("item")
-      .agg(min(col("n")).as("n_est"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("n_est"))
   }
 }

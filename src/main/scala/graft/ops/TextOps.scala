@@ -1788,20 +1788,6 @@ object TextOps {
           6)))
   }
 
-  /** BM25 retrieval scoring of the corpus against a fixed term set (the
-    * Robertson/Spärck-Jones ranking function — the lexical retriever behind
-    * hard-negative mining and RAG candidate generation), top-k docs by
-    * score.
-    *
-    * Per-term contribution: `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
-    * with `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)` (the +1 keeps idf
-    * positive).  Corpus statistics `N`/`avgdl` are one tiny aggregate,
-    * broadcast; `df` is one row per query term, broadcast.  The only
-    * corpus-wide shuffle is the (doc, term) tf aggregate, whose input is
-    * pre-filtered to the query terms — corpus tokens that match nothing
-    * never shuffle.  Per-doc summation is nano-unit fixed point (longs), so
-    * the score is immune to partial-aggregation order; the top-k is a
-    * TakeOrdered, not a global sort.  `avgdl` uses whitespace [[tokens]]. */
   /** Lexical top-k by distinct-token overlap — the sparse side of hybrid
     * retrieval (the dense side is [[graft.ops.SimilarityOps.bruteTopK]];
     * [[graft.ops.SimilarityOps.rrfFuse]] combines them).  overlap(q, d) =
@@ -1832,6 +1818,20 @@ object TextOps {
       .where(col("rank") < k)
   }
 
+  /** BM25 retrieval scoring of the corpus against a fixed term set (the
+    * Robertson/Spärck-Jones ranking function — the lexical retriever behind
+    * hard-negative mining and RAG candidate generation), top-k docs by
+    * score.
+    *
+    * Per-term contribution: `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)` (the +1 keeps idf
+    * positive).  Corpus statistics `N`/`avgdl` are one tiny aggregate,
+    * broadcast; `df` is one row per query term, broadcast.  The only
+    * corpus-wide shuffle is the (doc, term) tf aggregate, whose input is
+    * pre-filtered to the query terms — corpus tokens that match nothing
+    * never shuffle.  Per-doc summation is nano-unit fixed point (longs), so
+    * the score is immune to partial-aggregation order; the top-k is a
+    * TakeOrdered, not a global sort.  `avgdl` uses whitespace [[tokens]]. */
   def bm25TopK(docs: DataFrame, id: Column, text: Column,
       terms: Seq[String], k: Int, k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
