@@ -38,6 +38,56 @@ def pad8(b):
     return b + b"\x00" * ((8 - len(b) % 8) % 8)
 
 
+def lzf_compress(data):
+    """Greedy LZF compression (Marc Lehmann's liblzf format, h5py filter
+    id 32000) — written from the public format description: literal runs
+    of ≤ 32 bytes under a control byte < 0x20; back-references of length
+    3..264 at distance ≤ 8191 encoded as (len−2) in the top 3 control
+    bits (7 ⇒ extension byte) and the distance−1 split 5+8 bits.  Any
+    stream this emits round-trips through minih5.lzf_decompress;
+    deterministic (dict-based last-position table, no randomness)."""
+    n = len(data)
+    out = bytearray()
+    lit = bytearray()
+
+    def flush():
+        p = 0
+        while p < len(lit):
+            run = lit[p:p + 32]
+            out.append(len(run) - 1)
+            out.extend(run)
+            p += 32
+        del lit[:]
+
+    table = {}
+    i = 0
+    while i < n:
+        if i + 3 <= n:
+            key = bytes(data[i:i + 3])
+            ref = table.get(key, -1)
+            table[key] = i
+            dist = i - ref - 1
+            if ref >= 0 and dist <= 0x1FFF:
+                ln = 3
+                maxlen = min(n - i, 264)  # (7 + 255) + 2
+                while ln < maxlen and data[ref + ln] == data[i + ln]:
+                    ln += 1
+                flush()
+                enc = ln - 2
+                if enc < 7:
+                    out.append((enc << 5) | (dist >> 8))
+                else:
+                    out.append((7 << 5) | (dist >> 8))
+                    out.append(enc - 7)
+                out.append(dist & 0xFF)
+                i += ln
+                continue
+        lit.append(data[i])
+        i += 1
+    flush()
+    return bytes(out)
+
+
 # ---- message payload builders -------------------------------------------
 
 def dataspace(dims):
@@ -89,7 +139,7 @@ class Writer:
         return addr
 
     def dataset(self, arr, attrs=(), chunks=None, gzip=None,
-                shuffle=False):
+                shuffle=False, lzf=False):
         """Write data + a v1 object header; returns OH address.
 
         ``chunks`` (a shape tuple) switches to the chunked layout (v1
@@ -97,7 +147,10 @@ class Writer:
         chunk through a filter-pipeline message — the layout
         ``anndata.write_h5ad(compression='gzip')`` produces;
         ``shuffle`` prepends the byte-shuffle filter (id 2) to the
-        pipeline — h5py's ``shuffle=True`` default companion of gzip."""
+        pipeline — h5py's ``shuffle=True`` default companion of gzip;
+        ``lzf`` instead compresses chunks with the LZF filter
+        (id 32000, named filter + h5py's 3 client values) — the
+        ``compression='lzf'`` layout."""
         arr = np.ascontiguousarray(arr)
         if arr.dtype.kind in "iu":
             dt = dt_int(arr.dtype.itemsize, arr.dtype.kind == "i")
@@ -137,6 +190,8 @@ class Writer:
                         n, b).T.tobytes()
                 if gzip is not None:
                     raw = zlib.compress(raw, gzip)
+                if lzf:
+                    raw = lzf_compress(raw)
                 entries.append((offs, len(raw), self.alloc(pad8(raw))))
             # chunk B-tree: one leaf (fixtures stay within one node)
             key_sz = 8 + 8 * (rank + 1)
@@ -158,15 +213,26 @@ class Writer:
             layout += b"".join(struct.pack("<I", c) for c in chunks)
             layout += struct.pack("<I", arr.dtype.itemsize)
             msgs.append(message(0x0008, pad8(layout)))
-            if gzip is not None:
+            if gzip is not None or lzf:
                 # filter pipeline v1 in APPLICATION order (shuffle
                 # before deflate); one client value each, padded to 8
-                nf = 2 if shuffle else 1
+                nf = (1 if gzip is not None else 0) + \
+                     (1 if shuffle else 0) + (1 if lzf else 0)
                 filt = struct.pack("<BB6x", 1, nf)
                 if shuffle:
                     filt += struct.pack("<HHHHI4x", 2, 0, 0, 1,
                                         arr.dtype.itemsize)
-                filt += struct.pack("<HHHHI4x", 1, 0, 0, 1, gzip)
+                if gzip is not None:
+                    filt += struct.pack("<HHHHI4x", 1, 0, 0, 1, gzip)
+                if lzf:
+                    # registered filter (id >= 256) carries its name
+                    # (padded to 8) + h5py's 3 client values (filter
+                    # version, liblzf version, chunk nbytes); odd count
+                    # pads 4
+                    csz = int(np.prod(chunks)) * arr.dtype.itemsize
+                    filt += struct.pack("<HHHH", 32000, 4, 1, 3)
+                    filt += b"lzf\x00" + b"\x00" * 4
+                    filt += struct.pack("<III4x", 1, 261, csz)
                 msgs.append(message(0x000B, pad8(filt)))
         msgs += list(attrs)
         return self.object_header(msgs)
@@ -227,16 +293,17 @@ def shape_attr(n_obs, n_var):
 
 
 def build_plate(indptr, indices, data, cell_types, n_counts, n_var,
-                categories, gzip_chunks=None, shuffle=False):
+                categories, gzip_chunks=None, shuffle=False, lzf=False):
     w = Writer()
 
     def xds(a):
-        if gzip_chunks is None:
+        if gzip_chunks is None and not lzf:
             return w.dataset(a)
-        # multiple chunks + deflate (optionally byte-shuffled): the
-        # compressed-anndata file shape
-        return w.dataset(a, chunks=(max(2, len(a) // 3),), gzip=6,
-                         shuffle=shuffle)
+        # multiple chunks + deflate (optionally byte-shuffled) or LZF:
+        # the compressed-anndata file shapes
+        return w.dataset(a, chunks=(max(2, len(a) // 3),),
+                         gzip=6 if gzip_chunks else None,
+                         shuffle=shuffle, lzf=lzf)
     x = w.group([
         ("data", xds(np.asarray(data, dtype="<f4"))),
         ("indices", xds(np.asarray(indices, dtype="<i4"))),
@@ -293,12 +360,25 @@ def main(out_dir):
             n_counts=[4.0, 6.25],
             gzip=True, shuf=True),
     }
+    # lzf/: a separate plate set (h5py's compression='lzf' layout) so the
+    # four-plate concatenation fixtures above keep their committed counts.
+    # Repetitive data values make the LZF back-reference path actually
+    # fire (not just literal runs).
+    plates["lzf/plate_lzf.h5ad"] = dict(
+        indptr=[0, 4, 8, 10],
+        indices=[0, 2, 4, 6, 1, 3, 5, 7, 9, 11],
+        data=[1.5, 1.5, 1.5, 1.5, 2.5, 2.5, 2.5, 0.25, 1.5, 2.5],
+        cell_types=[1, 0, 2],
+        n_counts=[6.0, 7.75, 1.75],
+        lzf=True)
+    os.makedirs(os.path.join(out_dir, "lzf"), exist_ok=True)
     for fname, p in plates.items():
         blob = build_plate(p["indptr"], p["indices"], p["data"],
                            p["cell_types"], p["n_counts"], n_var,
                            ["T", "B", "NK"],
                            gzip_chunks=p.get("gzip"),
-                           shuffle=p.get("shuf", False))
+                           shuffle=p.get("shuf", False),
+                           lzf=p.get("lzf", False))
         with open(os.path.join(out_dir, fname), "wb") as fh:
             fh.write(blob)
         print(f"wrote {fname}: {len(blob)} bytes")

@@ -93,12 +93,12 @@ def convert_one(path, plate_offset):
         import h5py
     except ImportError:
         # pure-Python fallback (tools/minih5.py): superblock v0, v1
-        # object headers, symbol-table groups, contiguous AND chunked +
-        # deflate (gzip) datasets — the default and the
-        # compression='gzip' anndata layouts.  Non-deflate filters
-        # (shuffle/szip/lzf) and libver='latest' files need real h5py;
-        # minih5 fails loudly on them.  Exercised against the committed
-        # tools/fixtures/*.h5ad.
+        # object headers, symbol-table groups, contiguous AND chunked
+        # datasets under the deflate (gzip), byte-shuffle, and LZF
+        # filters — the default, compression='gzip', and
+        # compression='lzf' anndata layouts.  szip and libver='latest'
+        # files need real h5py; minih5 fails loudly on them.  Exercised
+        # against the committed tools/fixtures/*.h5ad (+ fixtures/lzf/).
         import minih5 as h5py
     with h5py.File(path, "r") as f:
         X = f["X"]

@@ -24,7 +24,11 @@ Supported subset (the layout libhdf5 emits for an uncompressed
   - symbol-table entries with cached (cache_type 1) or uncached group
     metadata
 
-NOT supported (fail loudly): szip/lzf filters,
+  - filters: deflate (id 1), byte-shuffle (id 2), and LZF (id 32000,
+    h5py's no-dependency default alternative; decompressor written from
+    the public LZF format description in liblzf's lzf.h)
+
+NOT supported (fail loudly): szip,
 v2+ object headers, fractal-heap "new style" groups, big-endian data.
 
 Everything here is implemented from the public HDF5 File Format
@@ -274,6 +278,42 @@ def _chunk_btree_entries(buf, addr, rank):
             yield offs, stored, mask, child
 
 
+def lzf_decompress(raw):
+    """Decompress one LZF stream (Marc Lehmann's liblzf format, as used
+    by h5py's filter id 32000).  Format, from the public lzf.h/lzf_c.c
+    description: a control byte < 0x20 introduces a literal run of
+    ctrl+1 bytes; otherwise the top 3 bits are the match length − 2
+    (7 ⇒ one extension byte follows), and the low 5 bits are the high
+    bits of the back-reference distance whose low byte follows.
+    Back-references may overlap the output being built, so the copy is
+    byte-sequential by construction."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        ctrl = raw[i]
+        i += 1
+        if ctrl < 0x20:               # literal run of ctrl+1 bytes
+            j = i + ctrl + 1
+            if j > n:
+                raise Mini5Error("lzf: literal run past end of stream")
+            out += raw[i:j]
+            i = j
+        else:                         # back-reference
+            ln = ctrl >> 5
+            if ln == 7:               # length extension byte
+                ln += raw[i]
+                i += 1
+            ln += 2
+            ref = len(out) - (((ctrl & 0x1F) << 8) | raw[i]) - 1
+            i += 1
+            if ref < 0:
+                raise Mini5Error("lzf: back-reference before stream start")
+            for _ in range(ln):      # may self-overlap: stay sequential
+                out.append(out[ref])
+                ref += 1
+    return bytes(out)
+
+
 def _read_chunked(buf, btree_addr, chunk_dims, dims, dtype, filters):
     arr = np.zeros([int(d) for d in dims], dtype=dtype)
     rank = len(dims)
@@ -288,6 +328,8 @@ def _read_chunked(buf, btree_addr, chunk_dims, dims, dtype, filters):
                 continue
             if filters[i] == 1:
                 raw = zlib.decompress(raw)
+            elif filters[i] == 32000:
+                raw = lzf_decompress(raw)
             elif filters[i] == 2:
                 # byte shuffle: stored as all byte-0s, all byte-1s, ...
                 # of each element; undo by transposing back.  A tail
@@ -300,7 +342,7 @@ def _read_chunked(buf, btree_addr, chunk_dims, dims, dtype, filters):
             else:
                 raise Mini5Error(
                     f"filter id {filters[i]} unsupported (deflate/"
-                    "shuffle only — rewrite with compression='gzip')")
+                    "shuffle/lzf only — rewrite with compression='gzip')")
         if len(raw) < csize:
             raise Mini5Error("short chunk after decompression")
         chunk = np.frombuffer(raw[:csize], dtype=dtype).reshape(chunk_dims)
