@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{ImageCodec, MultimodalOps}
+
+/** Round-16b: the REAL codec behind the multimodal seam.  Each document
+  * is deterministically rendered as an 8×8 gray raster (pixel (x,y) =
+  * text byte at (y·8+x) mod len — computable independently by the SQL
+  * oracle), encoded to actual BMP or binary-PPM bytes (format alternating
+  * by doc parity so ONE query exercises both decoders), then decoded by
+  * [[ImageCodec.kernel]] — real header parsing, bottom-up BGR rows, row
+  * padding, pixel reads — into 4×4 block-mean features that feed the
+  * SAME downstream aHash/near-dup/resize stages the stub tier proved.
+  * The oracle never sees the image bytes: it recomputes the block means
+  * straight from the text, so a decoder misreading any pixel fails the
+  * hash compare. */
+object R16bQueries {
+
+  /** docs → (doc_id, byte_len, width, height, features) through REAL
+    * encode→decode.  BMP for even ids, PPM for odd. */
+  private def realDecoded(s: SparkSession, dir: String): DataFrame = {
+    val toImg = udf((id: Long, text: String) =>
+      ImageCodec.grayFromBytes(8, 8, text.getBytes("UTF-8"), id % 2 == 1))
+    val d = Tables.docs(s, dir)
+      .withColumn("payload", toImg(col("doc_id"), col("text")))
+    MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+      ImageCodec.kernel(4, 4)).toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "mm_real_decode" -> ((s, dir) =>
+      realDecoded(s, dir)
+        .select(col("doc_id"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))),
+
+    // real-pixel near-dups: identical banded blocking as mm_ahash_banded,
+    // features from actual decoded rasters
+    "mm_real_ahash_banded" -> ((s, dir) =>
+      MultimodalOps.aHashBandedPairs(realDecoded(s, dir), col("doc_id"),
+        bits = 16, bands = 4, maxHamming = 3)),
+
+    // real-pixel resize: the nearest-map pooling over decoded features
+    "mm_real_resize" -> ((s, dir) =>
+      MultimodalOps.stubResize(realDecoded(s, dir), w = 4, h = 4, dim2 = 4)
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat")))
+  )
+
+  /** Block-mean features recomputed from the text (never the bytes):
+    * pixel v(x,y) = ascii(text[(y·8+x) mod len]); 2×2 cells of the 8×8
+    * raster → 16 exact-quarter means. */
+  private val RealFeatSql =
+    """py AS (SELECT doc_id, text, unnest(generate_series(0, 7)) AS y
+      |  FROM documents),
+      |pxy AS (SELECT doc_id, text, y, unnest(generate_series(0, 7)) AS x
+      |  FROM py),
+      |pv AS (
+      |  SELECT doc_id, (y // 2) AS gy, (x // 2) AS gx,
+      |    ascii(substr(text, (((y * 8 + x) % length(text)) + 1)::INT, 1))
+      |      AS v
+      |  FROM pxy),
+      |rf AS (
+      |  SELECT doc_id, (gy * 4 + gx)::BIGINT AS j,
+      |    round(sum(v)::DOUBLE / count(*), 6) AS feat
+      |  FROM pv GROUP BY 1, 2)""".stripMargin
+
+  /** rf → per-doc 16-bit aHash (bit j set iff feat_j > mean). */
+  private val RealAHashSql =
+    s"""$RealFeatSql,
+       |fl AS (
+       |  SELECT doc_id, list(feat ORDER BY j) AS fs FROM rf GROUP BY 1),
+       |mn AS (
+       |  SELECT doc_id, fs, list_reduce(fs, (a, b) -> a + b) / 16.0 AS mean
+       |  FROM fl),
+       |a AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(generate_series(0, 15),
+       |      j -> CASE WHEN fs[j + 1] > mean THEN pow(2.0, j)
+       |           ELSE 0.0 END),
+       |      (a, b) -> a + b)::BIGINT AS ahash
+       |  FROM mn)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+
+    // byte_len is the container size: BMP = 54-byte headers + 24-byte
+    // padded rows × 8; PPM = 11-byte "P6\n8 8\n255\n" header + 192
+    "mm_real_decode" ->
+      s"""WITH $RealFeatSql
+         |SELECT doc_id,
+         |  (CASE WHEN doc_id % 2 = 1 THEN 203 ELSE 246 END)::BIGINT
+         |    AS byte_len,
+         |  8::BIGINT AS width, 8::BIGINT AS height, j, feat
+         |FROM rf""".stripMargin,
+
+    "mm_real_ahash_banded" ->
+      s"""WITH $RealAHashSql
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  bit_count(xor(x.ahash, y.ahash))::BIGINT AS hamming
+         |FROM a x JOIN a y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.ahash, y.ahash)) <= 3""".stripMargin,
+
+    // nearest map at dim 16 → 4: source index floor(j·16/4) = 4j
+    "mm_real_resize" ->
+      s"""WITH $RealFeatSql
+         |SELECT doc_id, 4::BIGINT AS width, 4::BIGINT AS height,
+         |  (j // 4) AS j, feat
+         |FROM rf WHERE j % 4 = 0""".stripMargin
+  )
+}
