@@ -75,7 +75,14 @@ object MlOps {
         model.transform(vdata)
           .select(col("vec_id"), col("prediction").cast("long").as("cluster")))
     }
-    val vecs = probe.map(_.getSeq[Double](1).toArray)
+    // sort the collected training set by id BEFORE fitting: the kmeans++
+    // draws walk the array in order, so an unsorted collect would make
+    // the learned centers depend on partition/collect order — the fit
+    // must be a function of the row SET, not the plan that produced it
+    // (kmeansFitResident's bit-equality to the routed path rests on this)
+    val vecs = probe.sortWith { (a, b) =>
+      a.get(0).asInstanceOf[Comparable[Any]].compareTo(b.get(0)) < 0
+    }.map(_.getSeq[Double](1).toArray)
     val n = vecs.length
     val d = if (n > 0) vecs(0).length else 0
     require(n >= k, s"k=$k exceeds training rows n=$n")
@@ -266,6 +273,98 @@ object MlOps {
     }
     (centers, assign(centers)
       .select(col("vec_id"), col("centroid_id").as("cluster")))
+  }
+
+  /** DataFrame-RESIDENT routed k-means: [[kmeansFitRouted]]'s refine loop
+    * with the codebook living as a (centroid_id, cv) table end to end —
+    * NO k×d driver collect anywhere (grep: this method never calls
+    * .collect()), so k ∝ corpus can outgrow driver memory and the fit
+    * still runs.  This is the path beyond [[kmeansFitRouted]]'s one
+    * documented driver bound (the per-refine-step codebook collect).
+    *
+    * Bit-equal to [[kmeansFitRouted]] in its distributed-init regime
+    * (k > maxDriverRows/2) under the same (seed, refineIters, probe):
+    * identical init (the same seeded-hash top-k, materialized by rank
+    * instead of orderBy-limit-collect), identical routed assignment
+    * (shuffle-join routes instead of broadcast — same rows), identical
+    * micro-unit integer centroid updates (`long→double / 1e6 / n`, the
+    * exact IEEE sequence of the driver loop), identical empty-cluster
+    * carry (left join falls back to the previous center).
+    * R16ResidentKmeansSpec asserts the bit-equality at the gate boundary
+    * — the kHopReachAuto discipline.
+    *
+    * Returns (centroids (centroid_id, cv), assignment (vec_id, cluster)).
+    * Driver state: the dimension d (one 1-row probe) and loop counters —
+    * nothing proportional to k. */
+  def kmeansFitResident(df: DataFrame, vec: Column, id: Column, k: Int,
+      seed: Long, refineIters: Int = 3, probe: Int = 3)
+      : (DataFrame, DataFrame) = {
+    val data = graft.core.CacheScope.persist(
+      df.select(id.as("vec_id"), vec.cast("array<double>").as("v")),
+      eager = true)
+    val n = data.count()
+    require(n >= k, s"k=$k exceeds corpus rows n=$n")
+    val d = data.select(size(col("v"))).head.getInt(0)
+    // init = the k seeded-hash-ranked corpus vectors, centroid_id = rank
+    // (the same set AND the same ids as the routed path's sorted collect)
+    var cent: DataFrame = graft.core.CacheScope.persist(
+      graft.core.Ranker.withRank(
+          data.withColumn("__u",
+            graft.core.Rng.Xx.uniform(seed, "kmfit_init", col("vec_id"))),
+          "__cid", col("__u").asc, col("vec_id").asc)
+        .where(col("__cid") < k)
+        .select(col("__cid").as("centroid_id"), col("v").as("cv")),
+      eager = true)
+    def assign(c: DataFrame) =
+      SimilarityOps.l2AssignTwoLevelLearned(data, col("v"), col("vec_id"),
+        c, col("cv"), col("centroid_id"), probe = probe, seed = seed + 13,
+        broadcastRoutes = false)
+    val sums = (0 until d).map(i =>
+      sum(round(element_at(col("v"), i + 1) * 1e6).cast("long"))
+        .as(s"__s$i"))
+    var it = 0
+    while (it < refineIters) {
+      val agg = data
+        .join(assign(cent).select(col("vec_id"), col("centroid_id")),
+          "vec_id")
+        .groupBy("centroid_id")
+        .agg(count(lit(1)).as("__n"), sums: _*)
+      // empty clusters keep their previous center (left-join fallback)
+      val next = cent.join(agg, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          when(col("__n").isNull, col("cv"))
+            .otherwise(array((0 until d).map(i =>
+              col(s"__s$i").cast("double") / lit(1e6) /
+                col("__n").cast("double")): _*))
+            .as("cv"))
+      cent = graft.core.CacheScope.persist(next, eager = true)
+      it += 1
+    }
+    (cent, assign(cent)
+      .select(col("vec_id"), col("centroid_id").as("cluster")))
+  }
+
+  /** Codebook-size-routed fit (the kHopReachAuto discipline): while the
+    * k×d codebook fits comfortably on the driver (`k·d ≤ codebookGate`
+    * doubles) run [[kmeansFitRouted]] — local sample init, cheapest
+    * plans — and lift its array result into the table contract; beyond
+    * the gate run [[kmeansFitResident]], whose driver state is O(1).
+    * Both sides return (centroids (centroid_id, cv), assignment). */
+  def kmeansFitAuto(df: DataFrame, vec: Column, id: Column, k: Int,
+      seed: Long, maxIter: Int = 10, maxDriverRows: Long = 200000L,
+      refineIters: Int = 3, probe: Int = 3,
+      codebookGate: Long = 20000000L): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val d = df.select(size(vec.cast("array<double>"))).head.getInt(0)
+    if (k.toLong * d <= codebookGate) {
+      val (cs, asg) = kmeansFitRouted(df, vec, id, k, seed, maxIter,
+        maxDriverRows, refineIters, probe)
+      val centDf = spark.createDataset(cs.toSeq.zipWithIndex
+          .map { case (v0, i) => (i.toLong, v0.toSeq) })
+        .toDF("centroid_id", "cv")
+      (centDf, asg)
+    } else kmeansFitResident(df, vec, id, k, seed, refineIters, probe)
   }
 
   /** A trained multinomial Naive Bayes text classifier, held as plain

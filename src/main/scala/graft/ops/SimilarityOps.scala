@@ -234,10 +234,17 @@ object SimilarityOps {
     * assignment.  Approximate otherwise: a vector whose true nearest fine
     * centroid routed only to coarse cells the vector did not pick
     * resolves to the best candidate it does see; raise `probe` for
-    * recall.  Deterministic for fixed (input, seed, probe). */
+    * recall.  Deterministic for fixed (input, seed, probe).
+    *
+    * `broadcastRoutes = false` swaps the routes broadcast (k·probe·d
+    * doubles — 3× the codebook) for a plain shuffle join on coarse_id:
+    * the shape [[graft.ops.MlOps.kmeansFitResident]] needs when the
+    * codebook itself outgrows executor broadcast memory.  Same rows
+    * either way (max_by is order-independent). */
   def l2AssignTwoLevelLearned(corpus: DataFrame, vec: Column, id: Column,
       centroids: DataFrame, cvec: Column, cid: Column,
-      probe: Int = 3, k1: Int = 0, seed: Long = 42L): DataFrame = {
+      probe: Int = 3, k1: Int = 0, seed: Long = 42L,
+      broadcastRoutes: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d2 = graft.functions.VecKernels.dist2 _
     val ct = centroids.select(cid.cast("long").as("centroid_id"),
@@ -273,7 +280,7 @@ object SimilarityOps {
     // fine scoring against the routed candidates only (n × ~probe·√k)
     corpus.select(id.as("vec_id"), vec.as("v"))
       .join(v2c, "vec_id")
-      .join(broadcast(routes), "coarse_id")
+      .join(if (broadcastRoutes) broadcast(routes) else routes, "coarse_id")
       .select(col("vec_id"), col("centroid_id"),
         d2(col("v"), col("cv")).as("d2"))
       .groupBy("vec_id")
