@@ -72,8 +72,16 @@ object Bench {
     // (cold parquet scans, persisted-index builds, codegen), which are
     // reported separately (`index_build_s`) rather than charged to the
     // query.  Cheap queries keep their single measurement.
+    // The samples/sec headline queries are min-of-2'd UNCONDITIONALLY:
+    // they run sub-second at sf0.1, so the >1 s gate left them on a single
+    // sample and the banked throughput swung ±20% round-to-round on
+    // scheduler noise alone (r15's "o1_streaming 542k→445k" was exactly
+    // this — the plan was unchanged).
+    val tpSet = Set("o1_streaming", "o2_block_shuffle",
+      "o3_weighted_replace", "o4_class_balanced", "pipeline_block",
+      "b2_buffer_shuffle")
     val results = pass1.map { case (name, (sec, rows)) =>
-      if (sec <= 1.0 || rows < 0) name -> (sec, rows)
+      if ((sec <= 1.0 && !tpSet(name)) || rows < 0) name -> (sec, rows)
       else {
         val t0 = System.nanoTime()
         val rows2 = try SparkEntry.queries(name)(spark, sfDir).count()
