@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{AudioCodec, MultimodalOps}
+
+/** Round-16e: the REAL audio codec — each document deterministically
+  * rendered as a PCM WAV (sample i = (text byte at (7i+3) mod len − 76)
+  * · 256, computable independently by the SQL oracle), encoded to real
+  * RIFF bytes, decoded by [[AudioCodec]] (chunk walk, fmt validation,
+  * 16-bit little-endian sample reads) into 16 frame-energy features that
+  * feed the SAME near-dup stage as the image tier.  The oracle never
+  * sees the WAV bytes: it recomputes the envelope from the text, so a
+  * decoder misreading any sample fails the hash compare. */
+object R16eQueries {
+
+  private def wavDecoded(s: SparkSession, dir: String): DataFrame = {
+    val toWav = udf((text: String) =>
+      AudioCodec.wavFromBytes(16000, 256, text.getBytes("UTF-8")))
+    val d = Tables.docs(s, dir)
+      .withColumn("payload", toWav(col("text")))
+    AudioCodec.decodeWith(d, col("payload"), col("doc_id"), frames = 16)
+      .toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "mm_wav_decode" -> ((s, dir) =>
+      wavDecoded(s, dir)
+        .select(col("doc_id"), col("byte_len"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), posexplode(col("features")))
+        .select(col("doc_id"), col("byte_len"), col("sample_rate"),
+          col("n_samples"), col("pos").cast("long").as("j"),
+          round(col("col"), 6).as("feat"))),
+
+    // audio near-dups: aHash over the energy envelope, the identical
+    // banded blocking as the image tier (one downstream, two codecs)
+    "mm_wav_ahash_banded" -> ((s, dir) =>
+      MultimodalOps.aHashBandedPairs(wavDecoded(s, dir), col("doc_id"),
+        bits = 16, bands = 4, maxHamming = 3))
+  )
+
+  /** Envelope recomputed from the text: sample value v_i =
+    * (ascii(text[(7i+3) mod len]) − 76) · 256; 16 frames × 16 samples;
+    * feat = mean |v| per frame. */
+  private val WavFeatSql =
+    """ws AS (SELECT doc_id, text, unnest(generate_series(0, 255)) AS i
+      |  FROM documents),
+      |wv AS (
+      |  SELECT doc_id, (i // 16) AS j,
+      |    abs((ascii(substr(text,
+      |      (((i * 7 + 3) % length(text)) + 1)::INT, 1)) - 76) * 256)
+      |      AS av
+      |  FROM ws),
+      |wf AS (
+      |  SELECT doc_id, j::BIGINT AS j,
+      |    round(sum(av)::DOUBLE / count(*), 6) AS feat
+      |  FROM wv GROUP BY 1, 2)""".stripMargin
+
+  private val WavAHashSql =
+    s"""$WavFeatSql,
+       |fl AS (
+       |  SELECT doc_id, list(feat ORDER BY j) AS fs FROM wf GROUP BY 1),
+       |mn AS (
+       |  SELECT doc_id, fs, list_reduce(fs, (a, b) -> a + b) / 16.0 AS mean
+       |  FROM fl),
+       |a AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_transform(generate_series(0, 15),
+       |      j -> CASE WHEN fs[j + 1] > mean THEN pow(2.0, j)
+       |           ELSE 0.0 END),
+       |      (a, b) -> a + b)::BIGINT AS ahash
+       |  FROM mn)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+
+    // byte_len = 44-byte canonical header + 2·256 sample bytes
+    "mm_wav_decode" ->
+      s"""WITH $WavFeatSql
+         |SELECT doc_id, 556::BIGINT AS byte_len,
+         |  16000::BIGINT AS sample_rate, 256::BIGINT AS n_samples,
+         |  j, feat
+         |FROM wf""".stripMargin,
+
+    "mm_wav_ahash_banded" ->
+      s"""WITH $WavAHashSql
+         |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         |  bit_count(xor(x.ahash, y.ahash))::BIGINT AS hamming
+         |FROM a x JOIN a y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.ahash, y.ahash)) <= 3""".stripMargin
+  )
+}
