@@ -24,7 +24,11 @@ object XPlanBank {
     "text_dsir_incremental", "ml_nb_classify", "graph_reach",
     "o4_class_balanced", "dd_fuzzy_keep", "dd_embed_banded",
     "dd_tf_cosine", "sim_knn_join", "sim_assign2_learned",
-    "tpch_q9", "tpch_q21", "ev_asof_native", "o1_streaming")
+    "tpch_q9", "tpch_q21", "ev_asof_native", "o1_streaming",
+    // r16 additions: the new top-tier + the fused/sketch shapes
+    "ml_kmeans_resident", "sim_hybrid_topk", "sim_rrf_fuse",
+    "text_overlap_topk", "sketch_cms_grid", "sketch_hdr_quantiles",
+    "mm_real_ahash_banded", "mm_wav_ahash_banded")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
