@@ -965,6 +965,34 @@ object SimilarityOps {
       .where(col("fused_rank") < k)
   }
 
+  /** N-way reciprocal-rank fusion — [[rrfFuse]] generalized to any number
+    * of rankers (lexical ⊕ dense ⊕ approximate ⊕ recency…): iterated
+    * full-outer joins on (query_id, neighbor_id) accumulate one rank
+    * column per list; fused = Σ 1/(c + rank_i + 1) with absent lists
+    * contributing 0.  Join count is |lists|−1, each keyed — never a
+    * global stage; the float work is one IEEE division per (candidate,
+    * list) and a fixed-order sum, replayable at 6 dp. */
+  def rrfFuseMany(lists: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(lists.size >= 2, s"need >= 2 rank lists, got ${lists.size}")
+    require(k > 0 && c >= 0, s"k must be > 0 and c >= 0, got k=$k c=$c")
+    val keyed = lists.zipWithIndex.map { case (l, i) =>
+      l.select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as(s"rank_$i"))
+    }
+    val joined = keyed.reduce((a, b) =>
+      a.join(b, Seq("query_id", "neighbor_id"), "full_outer"))
+    val fused = joined.select(col("query_id"), col("neighbor_id"),
+      round(lists.indices.map(i =>
+          coalesce(lit(1.0) / (lit(c.toDouble) + col(s"rank_$i") + lit(1.0)),
+            lit(0.0)))
+        .reduce(_ + _), 6).as("fused"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("fused").desc, col("neighbor_id"))
+    fused.withColumn("fused_rank", row_number().over(w) - 1)
+      .where(col("fused_rank") < k)
+  }
+
   /** Approximate top-k: exact cosine ranking restricted to each query's LSH
     * bucket.  One shuffle on bucket; the cross product never materializes. */
   def lshTopK(corpus: DataFrame, vec: Column, id: Column,

@@ -112,6 +112,67 @@ object SketchOps {
         col("m.lb").as("est_lb"), col("m.ub").as("est_ub"))
   }
 
+  /** Per-group [[hdrHistogram]]: the bucket table keyed by `group` —
+    * ≤ 64·2^(subBits+1) rows PER GROUP, one aggregation.  The grouped
+    * form is what per-language/per-source length dashboards need. */
+  def hdrHistogramBy(df: DataFrame, group: Column, value: Column,
+      subBits: Int): DataFrame = {
+    require(subBits >= 1 && subBits <= 16,
+      s"subBits must be in [1,16], got $subBits")
+    val guarded = when(value.isNull,
+      raise_error(lit("hdrHistogramBy: NULL value")).cast("long"))
+      .when(value.cast("long") < 0,
+        raise_error(concat(lit("hdrHistogramBy: negative value "),
+          value.cast("string"))).cast("long"))
+      .otherwise(value.cast("long"))
+    df.select(group.as("grp"), guarded.as("__v"))
+      .withColumn("__m", (length(conv(col("__v"), 10, 2)) - lit(1)).cast("int"))
+      .withColumn("__sh", greatest(lit(0), col("__m") - lit(subBits)))
+      .withColumn("__key", expr("shiftright(__v, __sh)"))
+      .groupBy(col("grp"),
+        (col("__sh").cast("long") * lit(1L << (subBits + 1)) + col("__key"))
+          .as("bucket_id"),
+        expr("shiftleft(__key, __sh)").as("lb"),
+        (expr("shiftleft(__key, __sh)") +
+          (expr("shiftleft(1L, __sh)") - lit(1L))).as("ub"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-group quantiles from [[hdrHistogramBy]].  The cumulative scan is
+    * a window PARTITIONED BY GROUP over ≤ 64·2^(subBits+1) bucket rows —
+    * a keyed window, never a single partition, so the plan scales with
+    * group count.  Ranks are the same exact-rational integers as
+    * [[hdrQuantiles]]; the rank-th value per group provably lies in
+    * [est_lb, est_ub]. */
+  def hdrQuantilesBy(df: DataFrame, group: Column, value: Column,
+      subBits: Int, quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (nu, de) =>
+      require(nu > 0 && nu <= de, s"quantile $nu/$de out of (0,1]") }
+    val h = hdrHistogramBy(df, group, value, subBits)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("bucket_id")
+    val cum = h.withColumn("cum", sum("n").over(w))
+    val qdf = df.sparkSession.range(1)
+      .select(explode(array(quantiles.map { case (nu, de) =>
+        struct(lit(nu).as("q_num"), lit(de).as("q_den"))
+      }: _*)).as("q"))
+      .select(col("q.q_num"), col("q.q_den"))
+    val ranks = h.groupBy("grp").agg(sum("n").as("n_total"))
+      .crossJoin(broadcast(qdf))
+      .withColumn("rank",
+        expr("(cast(q_num as bigint) * n_total + q_den - 1) div q_den"))
+    cum.join(broadcast(ranks), Seq("grp"))
+      .where(col("cum") >= col("rank"))
+      .groupBy(col("grp"), col("q_num"), col("q_den"), col("rank"),
+        col("n_total"))
+      .agg(min(col("lb")).as("est_lb"), min(col("ub")).as("est_ub"))
+      .select(col("grp").as("group"),
+        round(col("q_num").cast("double") / col("q_den").cast("double"), 6)
+          .as("q"),
+        col("rank"), col("n_total"), col("est_lb"), col("est_ub"))
+  }
+
   private def cmsSlot(item: Column, row: Int, width: Int): Column =
     pmod(conv(substring(md5(concat_ws("|", lit(row), item)), 1, 15), 16, 10)
       .cast("long"), lit(width.toLong))

@@ -164,7 +164,7 @@ object R16Queries {
       |  FROM (SELECT n_chars::BIGINT AS v FROM documents))
       |GROUP BY 1, 2, 3""".stripMargin
 
-  private val OverlapTopkSql =
+  private[queries] val OverlapTopkSql =
     s"""WITH ct AS (
        |  SELECT doc_id AS neighbor_id, unnest(list_distinct($TokList)) AS tok
        |  FROM documents
@@ -185,7 +185,7 @@ object R16Queries {
        |  FROM ov
        |)""".stripMargin
 
-  private val BruteTopkSql =
+  private[queries] val BruteTopkSql =
     """bq AS (SELECT vec_id AS query_id, embedding AS qv
       |  FROM embeddings WHERE vec_id < 5),
       |bs AS (
@@ -226,7 +226,7 @@ object R16Queries {
        |SELECT query_id, neighbor_id, fused, fused_rank
        |FROM fr WHERE fused_rank < 10""".stripMargin
 
-  private val LshTopkSql =
+  private[queries] val LshTopkSql =
     """lb AS (
       |  SELECT vec_id, embedding,
       |    list_reduce(list_transform(generate_series(0, 7), j ->

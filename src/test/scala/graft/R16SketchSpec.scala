@@ -117,6 +117,44 @@ class R16SketchSpec extends AnyFunSuite {
     assert(SimilarityOps.rrfFuse(a, b, k = 1).count() === 1)
   }
 
+  test("hdrQuantilesBy: per-group ranks independent, exact small values") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 1000L))
+      .toDF("g", "v")
+    val out = SketchOps.hdrQuantilesBy(df, col("g"), col("v"), 4,
+      Seq((1, 2), (1, 1)))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(4),
+        r.getLong(5))).toSet
+    // group a: small values exact (lb == ub); p50 of {1,2,3} = 2, p100 = 3
+    // group b: p50 of {10,1000} = 10 exact; p100 = 1000 lands in its
+    // [992, 1023] bucket at subBits=4
+    assert(out == Set(("a", 0.5, 2L, 2L), ("a", 1.0, 3L, 3L),
+      ("b", 0.5, 10L, 10L), ("b", 1.0, 992L, 1023L)))
+  }
+
+  test("rrfFuseMany: 3-list sum, absent-from-two contribution, k cut") {
+    val a = Seq((1L, 10L, 0L), (1L, 11L, 1L)).toDF(
+      "query_id", "neighbor_id", "rank")
+    val b = Seq((1L, 10L, 0L), (1L, 12L, 1L)).toDF(
+      "query_id", "neighbor_id", "rank")
+    val c3 = Seq((1L, 10L, 2L), (1L, 13L, 0L)).toDF(
+      "query_id", "neighbor_id", "rank")
+    val out = SimilarityOps.rrfFuseMany(Seq(a, b, c3), k = 10)
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    def rr(r: Long) = 1.0 / (60 + r + 1)
+    assert(out.size == 4)
+    assert(math.abs(out(10L) - (rr(0) + rr(0) + rr(2))) < 1e-6)
+    assert(math.abs(out(11L) - rr(1)) < 1e-6) // only in list a
+    assert(math.abs(out(13L) - rr(0)) < 1e-6) // only in list c
+    // two-list degenerate form must equal rrfFuse
+    val two = SimilarityOps.rrfFuseMany(Seq(a, b), k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    val ref = SimilarityOps.rrfFuse(a, b, k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSet
+    assert(two == ref)
+    assert(SimilarityOps.rrfFuseMany(Seq(a, b, c3), k = 2).count() == 2)
+  }
+
   test("tokenOverlapTopK: overlap counts, self excluded, k bound") {
     val corpus = Seq((0L, "x y z"), (1L, "x y q"), (2L, "x p q"),
       (3L, "m n o")).toDF("id", "t")
