@@ -278,4 +278,52 @@ object GraphOps {
     }
     labels
   }
+
+  /** k-core decomposition (Seidman 1983): iteratively peel vertices whose
+    * degree in the SURVIVING subgraph is < k until fixpoint; what remains
+    * is the maximal subgraph with minimum degree ≥ k — the dense-cluster
+    * extractor (spam rings, tight co-engagement cliques).
+    *
+    * Per round: one degree aggregation + two keyed semi-joins (drop edges
+    * touching a peeled endpoint) — no global stage; peeling is MONOTONE,
+    * so rounds after the fixpoint are no-ops and the oracle can replay
+    * exactly `maxRounds` rounds as a generated CTE chain (the
+    * ml_kmeans_lloyd discipline).  FAILS LOUDLY if `maxRounds` rounds do
+    * not converge — an unconverged core silently reported would be a
+    * wrong answer, and the oracle's fixed-round replay would diverge.
+    * One bounded driver count per round (the convergence probe).
+    *
+    * Output: (v, degree) of the k-core, every degree ≥ k. */
+  def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
+      maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    // each round references the previous frontier TWICE (via keep), so
+    // without lineage truncation the logical plan grows 3^rounds —
+    // localCheckpoint per round (the pageRank superstep discipline)
+    // keeps it O(1)
+    var cur = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint(true)
+    var nEdges = cur.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val keep = cur.groupBy("a").agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select(col("a"))
+      val next = cur.join(keep, Seq("a"), "left_semi")
+        .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).localCheckpoint(true)
+      val n2 = next.count()
+      converged = n2 == nEdges
+      cur = next
+      nEdges = n2
+      round += 1
+    }
+    require(converged,
+      s"kCore(k=$k) did not converge in $maxRounds rounds — raise " +
+        "maxRounds (the oracle replays exactly that many rounds)")
+    cur.groupBy(col("a").as("v")).agg(count(lit(1)).as("degree"))
+  }
 }

@@ -75,7 +75,7 @@ object R16bQueries {
       |  FROM pv GROUP BY 1, 2)""".stripMargin
 
   /** rf → per-doc 16-bit aHash (bit j set iff feat_j > mean). */
-  private val RealAHashSql =
+  private[queries] val RealAHashSql =
     s"""$RealFeatSql,
        |fl AS (
        |  SELECT doc_id, list(feat ORDER BY j) AS fs FROM rf GROUP BY 1),
