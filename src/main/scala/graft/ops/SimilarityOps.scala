@@ -50,6 +50,58 @@ object SimilarityOps {
       .where(col("rank") < k)
   }
 
+  /** Hard-negative mining for contrastive / embedding training: for each
+    * query, the top-k highest-cosine corpus vectors whose `label` DIFFERS
+    * from the query's — the negatives a contrastive loss learns most from
+    * (the in-batch-negatives upgrade every retrieval-training pipeline
+    * runs, cf. DPR / SimCSE hard-negative sampling).
+    *
+    * The label filter sits BEFORE the rank window, not after it: filtering
+    * a plain top-k afterwards would silently return < k negatives whenever
+    * positives dominate the neighbourhood — the exact regime where hard
+    * negatives matter.  Output: (query_id, neighbor_id, cos, rank), rank
+    * dense per query over negatives only.
+    *
+    * Scale shape: identical to [[bruteTopK]] — broadcast the (small) query
+    * side, one corpus scan, window keyed by query_id.  For corpus-sized
+    * query sets compose the same filter-then-rank with [[knnJoinIvf]]'s
+    * candidate generation instead (probe the index, filter label, rank). */
+  def hardNegatives(corpus: DataFrame, vec: Column, id: Column,
+      label: Column, queries: DataFrame, qvec: Column, qid: Column,
+      qlabel: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val c = corpus.select(id.as("neighbor_id"), vec.as("cv"),
+      label.as("__nl"))
+    val q = queries.select(qid.as("query_id"), qvec.as("qv"),
+      qlabel.as("__ql"))
+    val scored = c.join(broadcast(q),
+        col("neighbor_id") =!= col("query_id") &&
+          col("__nl") =!= col("__ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+  }
+
+  /** Per-query contrastive margin gauge from a [[hardNegatives]] run and
+    * a positives frame: (query_id, hardest_neg_cos, easiest_pos_cos,
+    * margin) where margin = easiest_pos − hardest_neg.  Negative margins
+    * flag queries whose nearest negative out-scores some positive — the
+    * rows a curriculum should upweight. */
+  def negativeMargin(negatives: DataFrame, positives: DataFrame,
+      pQid: Column, pCos: Column): DataFrame = {
+    val n = negatives.groupBy("query_id")
+      .agg(max(col("cos")).as("hardest_neg_cos"))
+    val p = positives.groupBy(pQid.as("query_id"))
+      .agg(min(pCos).as("easiest_pos_cos"))
+    n.join(p, "query_id")
+      .withColumn("margin",
+        round(col("easiest_pos_cos") - col("hardest_neg_cos"), 6))
+  }
+
   /** Deterministic ±1 sign for (seed, plane j, dim i): md5-uniform >= 0.5
     * → +1.0 else -1.0.  The sign depends only on (seed, j, i), so the whole
     * hyperplane is a plan-time constant. */

@@ -759,6 +759,102 @@ object TextOps {
       .select("doc_id", "n_tokens", "pack_id", "pack_offset", "spans_boundary")
   }
 
+  /** Boundary-respecting sequence packing, shelf (size-class) variant —
+    * the truncation-free packing used for SFT / instruction-tuning data,
+    * where documents must land WHOLE inside a context window (Ding et al.
+    * 2024, "Fewer Truncations Improve Language Modeling").  Each document
+    * is assigned a size class q = ⌊capacity / n_tokens⌋ (the number of
+    * docs of its size that fit per window); within a class, docs are
+    * ranked by id and placed q per bin — so every bin's fill is ≤
+    * q·(capacity/q) = capacity BY CONSTRUCTION, with no sequential state.
+    *
+    * That makes the whole assignment closed-form arithmetic over a
+    * per-class rank: exactly replayable in SQL (the oracle) and free of
+    * the bin-fill carry that makes true first-fit inherently sequential.
+    * Waste is the harmonic-fit bound (≤ ~1.7× optimal worst case, far
+    * less on natural length distributions); callers who need tighter
+    * packing use [[packBinsFfd]] and give up the closed form.
+    *
+    * Physical shape: one global range-partitioned rank (class, id) via
+    * [[graft.core.Ranker]] — NOT a window partitioned by size_class,
+    * whose ≤ capacity distinct keys would funnel a 100 TB corpus through
+    * a handful of reducers — then per-class start offsets (≤ capacity
+    * rows) broadcast back.  Output: (doc_id, n_tokens, size_class,
+    * bin_in_class, slot); (size_class, bin_in_class) is the global bin key.
+    *
+    * Fails loudly on n_tokens NULL, < 1, or > capacity (an oversize doc
+    * cannot be packed whole — truncate or route it explicitly upstream). */
+  def packBinsShelf(df: DataFrame, nTokens: Column, idCol: Column,
+      capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val n = nTokens.cast("long")
+    val guarded = when(n.isNull,
+        raise_error(lit("packBinsShelf: NULL n_tokens")).cast("long"))
+      .when(n < 1L || n > capacity,
+        raise_error(concat(lit("packBinsShelf: n_tokens out of [1, "),
+          lit(capacity), lit("]: "), n)).cast("long"))
+      .otherwise(n)
+    val base = df.select(idCol.as("doc_id"), guarded.as("n_tokens"))
+      .withColumn("size_class",
+        floor(lit(capacity) / col("n_tokens")).cast("long"))
+    val ranked = graft.core.Ranker.withRank(base, "__gr",
+      col("size_class"), col("doc_id"))
+    // per-class first global rank: ≤ capacity rows — broadcast join
+    val starts = ranked.groupBy("size_class")
+      .agg(min(col("__gr")).as("__start"))
+    ranked.join(broadcast(starts), "size_class")
+      .withColumn("__cr", col("__gr") - col("__start"))
+      .select(col("doc_id"), col("n_tokens"), col("size_class"),
+        floor(col("__cr") / col("size_class")).cast("long")
+          .as("bin_in_class"),
+        pmod(col("__cr"), col("size_class")).cast("long").as("slot"))
+  }
+
+  /** Boundary-respecting sequence packing, first-fit-decreasing variant —
+    * tighter than [[packBinsShelf]] (FFD ≤ 11/9·OPT + 6/9 bins per group,
+    * Dósa 2007) at the cost of sequential bin-fill state.  The corpus is
+    * split into `numGroups` deterministic groups (doc_id mod numGroups)
+    * and classic FFD runs independently inside each: sort the group's
+    * docs by (n_tokens desc, id), place each in the first bin it fits.
+    *
+    * Scale shape: the sequential state is PER GROUP — group size, not
+    * corpus size, bounds both the memory for bin fills and the O(m·bins)
+    * scan, and groups pack in parallel across executors.  At 100 TB,
+    * numGroups grows with the corpus so each group stays executor-sized;
+    * the only shuffle is the groupBy on the group key.  Output:
+    * (doc_id, n_tokens, grp, bin_in_group); (grp, bin_in_group) is the
+    * global bin key.  Same loud-failure contract as [[packBinsShelf]]. */
+  def packBinsFfd(df: DataFrame, nTokens: Column, idCol: Column,
+      capacity: Long, numGroups: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(numGroups > 0, "numGroups must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = nTokens.cast("long")
+    val guarded = when(n.isNull,
+        raise_error(lit("packBinsFfd: NULL n_tokens")).cast("long"))
+      .when(n < 1L || n > capacity,
+        raise_error(concat(lit("packBinsFfd: n_tokens out of [1, "),
+          lit(capacity), lit("]: "), n)).cast("long"))
+      .otherwise(n)
+    df.select(pmod(idCol.cast("long"), lit(numGroups.toLong)).as("grp"),
+        idCol.cast("long").as("doc_id"), guarded.as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val docs = it.map { case (_, id, nt) => (id, nt) }.toArray
+          .sortBy { case (id, nt) => (-nt, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.iterator.map { case (id, nt) =>
+          var b = 0
+          while (b < fills.length && fills(b) + nt > capacity) b += 1
+          if (b == fills.length) fills += nt else fills(b) += nt
+          (id, nt, g, b.toLong)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "grp", "bin_in_group")
+  }
+
   /** EXACT heavy hitters at sketch cost: every token with corpus frequency
     * ≥ `phi` · N (N = total token count), with its exact count.
     *
