@@ -80,18 +80,223 @@ object ImageCodec {
     if (asPpm) encodePpm(w, h, f) else encodeBmp(w, h, f)
   }
 
+  /** [[grayFromBytes]], PNG container: same pixel map, chosen color type
+    * and per-row filter — so one corpus sweep exercises the compressed
+    * path (chunk walk, CRC, inflate, unfilter) with every filter kind. */
+  def grayPng(w: Int, h: Int, src: Array[Byte], colorType: Int,
+      filter: Int): Array[Byte] = {
+    require(src.nonEmpty, "empty source bytes")
+    encodePng(w, h, (x, y) => {
+      val v = src((y * w + x) % src.length) & 0xff
+      (v, v, v)
+    }, colorType, filter)
+  }
+
+  // ---- PNG (the first COMPRESSED container in the tier) -------------------
+  //
+  // Written from the public PNG 1.2 specification (RFC 2083): signature,
+  // length/type/data/CRC chunk grammar, IHDR/IDAT/IEND, zlib-wrapped
+  // DEFLATE scanlines, and the five per-row byte filters (None/Sub/Up/
+  // Average/Paeth).  Compression uses the JDK's java.util.zip (zlib) —
+  // still dependency-free.  Supported shapes: bit depth 8, color type 0
+  // (grayscale) or 2 (truecolor RGB), no interlace; anything else fails
+  // loudly, as does any chunk whose CRC does not match — a codec silently
+  // accepting corrupt IDAT bytes would poison every downstream fingerprint.
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+    .map(_.toByte)
+
+  private def crc32(b: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(b, off, len)
+    c.getValue.toInt
+  }
+
+  private def chunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val t = typ.getBytes("US-ASCII")
+    require(t.length == 4, "chunk type must be 4 bytes")
+    val be = java.nio.ByteBuffer.allocate(4)
+    out.write(be.putInt(0, data.length).array(), 0, 4)
+    out.write(t, 0, 4)
+    out.write(data, 0, data.length)
+    val payload = t ++ data
+    out.write(be.putInt(0, crc32(payload, 0, payload.length)).array(), 0, 4)
+  }
+
+  /** Paeth predictor (PNG spec §6.6): nearest of left/above/upper-left to
+    * the linear estimate a + b − c, ties resolved left, above, upper-left. */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** 8-bit PNG: color type 2 (RGB) or 0 (gray — encodes the r channel;
+    * callers pass gray content).  Every scanline carries `filter`
+    * (0=None 1=Sub 2=Up 3=Average 4=Paeth) so tests can exercise each
+    * filter's encode→decode round trip, not just the trivial one. */
+  def encodePng(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      colorType: Int = 2, filter: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0, "bad dims")
+    require(colorType == 0 || colorType == 2, s"color type $colorType")
+    require(filter >= 0 && filter <= 4, s"filter $filter")
+    val bpp = if (colorType == 2) 3 else 1
+    // raw scanlines, then per-row filtering against the previous raw row
+    val raw = Array.ofDim[Byte](h, w * bpp)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      if (colorType == 2) {
+        raw(y)(x * 3) = r.toByte; raw(y)(x * 3 + 1) = g.toByte
+        raw(y)(x * 3 + 2) = b.toByte
+      } else raw(y)(x) = r.toByte
+    }
+    val stride = w * bpp
+    val filtered = new Array[Byte](h * (1 + stride))
+    for (y <- 0 until h) {
+      filtered(y * (1 + stride)) = filter.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = raw(y)(i) & 0xff
+        val left = if (i >= bpp) raw(y)(i - bpp) & 0xff else 0
+        val up = if (y > 0) raw(y - 1)(i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) raw(y - 1)(i - bpp) & 0xff else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        filtered(y * (1 + stride) + 1 + i) = ((cur - pred) & 0xff).toByte
+        i += 1
+      }
+    }
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, /* zlib wrapper */ false)
+    deflater.setInput(filtered)
+    deflater.finish()
+    val zout = new java.io.ByteArrayOutputStream
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished())
+      zout.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(w).putInt(h)
+    ihdr.put(8.toByte).put(colorType.toByte) // bit depth, color type
+    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filt0, no ilace
+    val out = new java.io.ByteArrayOutputStream
+    out.write(PngSig, 0, PngSig.length)
+    chunk(out, "IHDR", ihdr.array())
+    chunk(out, "IDAT", zout.toByteArray)
+    chunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def decodePng(b: Array[Byte]): Raster = {
+    require(b.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOf(b, 8), PngSig), "bad PNG signature")
+    var p = 8
+    var w = 0; var h = 0; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream
+    var sawEnd = false
+    while (!sawEnd) {
+      require(b.length >= p + 8, "truncated PNG chunk header")
+      val len = java.nio.ByteBuffer.wrap(b, p, 4).getInt
+      require(len >= 0 && b.length >= p + 12 + len, "truncated PNG chunk")
+      val typ = new String(b, p + 4, 4, "US-ASCII")
+      val crc = java.nio.ByteBuffer.wrap(b, p + 8 + len, 4).getInt
+      require(crc == crc32(b, p + 4, 4 + len),
+        s"PNG chunk $typ CRC mismatch")
+      typ match {
+        case "IHDR" =>
+          val hb = java.nio.ByteBuffer.wrap(b, p + 8, len)
+          w = hb.getInt; h = hb.getInt
+          val depth = hb.get() & 0xff
+          colorType = hb.get() & 0xff
+          val (comp, filt, ilace) =
+            (hb.get() & 0xff, hb.get() & 0xff, hb.get() & 0xff)
+          require(w > 0 && h > 0, s"bad PNG dims ${w}x$h")
+          require(depth == 8, s"only 8-bit PNG supported, got depth $depth")
+          require(colorType == 0 || colorType == 2,
+            s"only gray/truecolor PNG supported, got color type $colorType")
+          require(comp == 0 && filt == 0, "bad PNG compression/filter method")
+          require(ilace == 0, "interlaced PNG unsupported")
+        case "IDAT" => idat.write(b, p + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped (CRC still verified above)
+      }
+      p += 12 + len
+    }
+    require(colorType >= 0, "PNG missing IHDR")
+    val bpp = if (colorType == 2) 3 else 1
+    val stride = w * bpp
+    val inflater = new java.util.zip.Inflater(/* zlib wrapper */ false)
+    inflater.setInput(idat.toByteArray)
+    val filtered = new Array[Byte](h * (1 + stride))
+    var got = 0
+    while (got < filtered.length && !inflater.finished()) {
+      val n = inflater.inflate(filtered, got, filtered.length - got)
+      if (n == 0) // input exhausted (or needs-dictionary): either is corrupt
+        throw new IllegalArgumentException("truncated PNG IDAT stream")
+      got += n
+    }
+    inflater.end()
+    require(got == filtered.length,
+      s"PNG pixel data short: $got of ${filtered.length}")
+    // unfilter in place into raw rows
+    val raw = Array.ofDim[Byte](h, stride)
+    for (y <- 0 until h) {
+      val ft = filtered(y * (1 + stride)) & 0xff
+      require(ft <= 4, s"bad PNG row filter $ft")
+      var i = 0
+      while (i < stride) {
+        val v = filtered(y * (1 + stride) + 1 + i) & 0xff
+        val left = if (i >= bpp) raw(y)(i - bpp) & 0xff else 0
+        val up = if (y > 0) raw(y - 1)(i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) raw(y - 1)(i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y)(i) = ((v + pred) & 0xff).toByte
+        i += 1
+      }
+    }
+    val sums = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        sums(y * w + x) =
+          if (colorType == 2)
+            (raw(y)(x * 3) & 0xff) + (raw(y)(x * 3 + 1) & 0xff) +
+              (raw(y)(x * 3 + 2) & 0xff)
+          else 3 * (raw(y)(x) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w, h, sums)
+  }
+
   // ---- decoder -----------------------------------------------------------
 
-  /** Sniff the magic and decode: BMP ("BM") or PPM ("P6").  Returns dims
-    * plus per-pixel integer r+g+b sums, top-down row-major. */
+  /** Sniff the magic and decode: BMP ("BM"), PPM ("P6"), or PNG.  Returns
+    * dims plus per-pixel integer r+g+b sums, top-down row-major. */
   def decode(bytes: Array[Byte]): Raster = {
     require(bytes.length >= 2, "truncated image")
     if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) decodeBmp(bytes)
     else if (bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte)
       decodePpm(bytes)
+    else if (bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte)
+      decodePng(bytes)
     else throw new IllegalArgumentException(
       f"unknown image magic 0x${bytes(0)}%02x${bytes(1)}%02x " +
-        "(BMP and binary PPM supported)")
+        "(BMP, binary PPM, and PNG supported)")
   }
 
   private def i32(b: Array[Byte], off: Int): Int =

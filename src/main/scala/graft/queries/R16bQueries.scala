@@ -59,7 +59,7 @@ object R16bQueries {
   /** Block-mean features recomputed from the text (never the bytes):
     * pixel v(x,y) = ascii(text[(y·8+x) mod len]); 2×2 cells of the 8×8
     * raster → 16 exact-quarter means. */
-  private val RealFeatSql =
+  private[queries] val RealFeatSql =
     """py AS (SELECT doc_id, text, unnest(generate_series(0, 7)) AS y
       |  FROM documents),
       |pxy AS (SELECT doc_id, text, y, unnest(generate_series(0, 7)) AS x
