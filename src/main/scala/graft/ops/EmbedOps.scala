@@ -177,28 +177,81 @@ object EmbedOps {
     * largest-magnitude component is made positive. */
   def pcaProject(df: DataFrame, id: Column, vec: Column, d: Int,
       k: Int, iters: Int = 100): DataFrame = {
+    val m = pcaFit(df, vec, d, k, iters)
+    projectWith(df, id, vec, m.mean, m.components)
+  }
+
+  /** The PCA model [[pcaFit]] returns: data mean, top-k eigenvectors
+    * (rows, unit length, largest-|component| sign-positive), their
+    * eigenvalues (descending), and the covariance trace (= total
+    * variance, exact up to the fixed-point statistics). */
+  final case class PcaModel(mean: Array[Double],
+      components: Array[Array[Double]], eigenvalues: Array[Double],
+      trace: Double, n: Long)
+
+  /** Fit the top-k PCA basis: covariance from the [[gramTable]] fixed-
+    * point sufficient statistics (ONE distributed pass — only
+    * 1 + d + d(d+1)/2 longs ever leave the executors), then deterministic
+    * power iteration + deflation on the driver's d×d (64×64 here; MLlib
+    * draws the same driver/cluster line).  No randomness: fixed init
+    * vectors, fixed iteration count, sign convention largest-|component|
+    * positive. */
+  def pcaFit(df: DataFrame, vec: Column, d: Int, k: Int,
+      iters: Int = 100): PcaModel = {
     require(k > 0 && k <= d, "k must be in 1..d")
     val stats = gramTable(df, vec, d).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-    val n = stats((0, 0)).toDouble
+    val nL = stats((0, 0))
+    require(nL > 0, "pcaFit: empty input")
+    val n = nL.toDouble
     val mean = Array.tabulate(d)(j => stats((0, j + 1)).toDouble / 1e9 / n)
     val cov = Array.tabulate(d, d) { (a, b) =>
       val (i, j) = (math.min(a, b) + 1, math.max(a, b) + 1)
       stats((i, j)).toDouble / 1e12 / n - mean(a) * mean(b)
     }
+    // exact-integer trace (scale 1e18·n²), one double conversion at the
+    // end — the SQL oracle reproduces this bit-for-bit from the same
+    // fixed-point sums
+    val traceFp = (0 until d).map { i =>
+      BigInt(stats((i + 1, i + 1))) * BigInt(1000000) * BigInt(nL) -
+        BigInt(stats((0, i + 1))) * BigInt(stats((0, i + 1)))
+    }.sum
+    val trace = traceFp.toDouble / 1e18 / n / n
     def matVec(m: Array[Array[Double]], v: Array[Double]): Array[Double] =
       Array.tabulate(d)(r => {
         var s = 0.0; var c = 0
         while (c < d) { s += m(r)(c) * v(c); c += 1 }; s
       })
+    def dotD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { s += a(i) * b(i); i += 1 }; s
+    }
     def normalize(v: Array[Double]): Array[Double] = {
       val nn = math.sqrt(v.map(x => x * x).sum)
       if (nn == 0.0) v else v.map(_ / nn)
     }
     val work = cov.map(_.clone())
-    val comps = (0 until k).map { c =>
-      var v = normalize(Array.tabulate(d)(i => if (i == c) 1.0 else 1e-4))
-      (0 until iters).foreach { _ => v = normalize(matVec(work, v)) }
+    val comps = new Array[Array[Double]](k)
+    val eigs = new Array[Double](k)
+    (0 until k).foreach { c =>
+      // re-orthogonalize against the accepted components every iteration
+      // (orthogonal iteration): deflation alone leaves O(gap⁻¹) cross-talk
+      // on near-degenerate spectra — real embedding corpora are close to
+      // isotropic, so the gaps ARE tiny
+      def orth(v: Array[Double]): Array[Double] = {
+        val out = v.clone()
+        var p = 0
+        while (p < c) {
+          val proj = dotD(out, comps(p))
+          var i = 0
+          while (i < d) { out(i) -= proj * comps(p)(i); i += 1 }
+          p += 1
+        }
+        out
+      }
+      var v = normalize(orth(
+        Array.tabulate(d)(i => if (i == c) 1.0 else 1e-4)))
+      (0 until iters).foreach { _ => v = normalize(orth(matVec(work, v))) }
       // sign convention
       val m = v.indices.maxBy(i => math.abs(v(i)))
       val vv = if (v(m) < 0) v.map(x => -x) else v
@@ -208,8 +261,14 @@ object EmbedOps {
         vv.zip(av).map { case (a, b) => a * b }.sum
       }
       for (r <- 0 until d; cc <- 0 until d) work(r)(cc) -= lam * vv(r) * vv(cc)
-      vv
-    }.toArray
+      comps(c) = vv
+      eigs(c) = lam
+    }
+    PcaModel(mean, comps, eigs, trace, nL)
+  }
+
+  private def projectWith(df: DataFrame, id: Column, vec: Column,
+      mean: Array[Double], comps: Array[Array[Double]]): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast((mean, comps))
     val project = udf((v: Seq[Float]) => {
       val (mu, cs) = bc.value
@@ -221,5 +280,20 @@ object EmbedOps {
     })
     df.select(id.as("id"), vec.cast("array<float>").as("v"))
       .select(col("id"), project(col("v")).as("pc"))
+  }
+
+  /** PCA whitening: project onto the top-k basis and scale component c by
+    * 1/√(λ_c + eps), so the output coordinates have (near-)unit variance —
+    * the standard preprocessing before cosine-based semantic dedup and
+    * ANN quantization (decorrelated, isotropic space).  Same distributed
+    * shape as [[pcaProject]]: one stats pass + one broadcast projection. */
+  def pcaWhiten(df: DataFrame, id: Column, vec: Column, d: Int, k: Int,
+      iters: Int = 100, eps: Double = 1e-9): DataFrame = {
+    val m = pcaFit(df, vec, d, k, iters)
+    val scaled = m.components.zip(m.eigenvalues).map { case (comp, lam) =>
+      val s = 1.0 / math.sqrt(math.max(lam, 0.0) + eps)
+      comp.map(_ * s)
+    }
+    projectWith(df, id, vec, m.mean, scaled)
   }
 }

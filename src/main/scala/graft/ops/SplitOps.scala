@@ -20,6 +20,39 @@ import org.apache.spark.sql.functions._
   */
 object SplitOps {
 
+  /** Curriculum schedule over a difficulty score (Bengio et al. 2009
+    * curriculum learning, in the bucketed-interleave form production
+    * pipelines use): rows are ranked easy→hard, cut into `nBuckets`
+    * equal-depth difficulty buckets, and scheduled round-robin across
+    * buckets — consuming in `sched_key` order yields a gentle difficulty
+    * ramp WITH per-step mixing (pure sorted order starves late training
+    * of easy examples; pure shuffle has no ramp).
+    *
+    * Everything is closed-form integer arithmetic over ONE global
+    * range-partitioned rank ([[graft.core.Ranker]], no single-partition
+    * window): bucket = rank·B DIV n, position = rank − ⌈bucket·n/B⌉,
+    * sched_key = position·B + bucket.  Exactly replayable in SQL; the
+    * sched_key order is a total order (deterministic ties by id).
+    *
+    * Output: (doc_id, bucket, pos_in_bucket, sched_key). */
+  def curriculumOrder(df: DataFrame, score: Column, id: Column,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val base = df.select(id.as("doc_id"), score.cast("double").as("__score"))
+    val ranked = graft.core.Ranker.withRank(base, "__r",
+      col("__score"), col("doc_id"))
+    val n = base.count()
+    require(n > 0, "curriculumOrder: empty input")
+    val b = nBuckets.toLong
+    ranked
+      .withColumn("bucket", expr(s"__r * ${b}L DIV ${n}L"))
+      .withColumn("pos_in_bucket",
+        col("__r") - expr(s"(bucket * ${n}L + ${b}L - 1) DIV ${b}L"))
+      .select(col("doc_id"), col("bucket"),
+        col("pos_in_bucket"),
+        (col("pos_in_bucket") * b + col("bucket")).as("sched_key"))
+  }
+
   /** Uniform in [0,1) for (seed, key): first 8 md5 hex chars / 2^32 —
     * `('0x' || substr(md5(concat_ws(':', 'split', seed, key)), 1, 8))::BIGINT
     *  / 4294967296.0` in SQL. */
