@@ -810,6 +810,39 @@ object TextOps {
         pmod(col("__cr"), col("size_class")).cast("long").as("slot"))
   }
 
+  /** [[packBinsShelf]] within groups: packing never mixes documents from
+    * different groups into one bin — the per-language / per-source packing
+    * multilingual SFT runs (a batch should not interleave languages the
+    * collator can't pad together).  Same closed form with the size class
+    * keyed by (group, q); the class-start table stays broadcast-sized
+    * (|groups| · capacity rows).  Output adds the group column; the global
+    * bin key is (grp, size_class, bin_in_class). */
+  def packBinsShelfBy(df: DataFrame, group: Column, nTokens: Column,
+      idCol: Column, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val n = nTokens.cast("long")
+    val guarded = when(n.isNull,
+        raise_error(lit("packBinsShelfBy: NULL n_tokens")).cast("long"))
+      .when(n < 1L || n > capacity,
+        raise_error(concat(lit("packBinsShelfBy: n_tokens out of [1, "),
+          lit(capacity), lit("]: "), n)).cast("long"))
+      .otherwise(n)
+    val base = df.select(group.as("grp"), idCol.as("doc_id"),
+        guarded.as("n_tokens"))
+      .withColumn("size_class",
+        floor(lit(capacity) / col("n_tokens")).cast("long"))
+    val ranked = graft.core.Ranker.withRank(base, "__gr",
+      col("grp"), col("size_class"), col("doc_id"))
+    val starts = ranked.groupBy("grp", "size_class")
+      .agg(min(col("__gr")).as("__start"))
+    ranked.join(broadcast(starts), Seq("grp", "size_class"))
+      .withColumn("__cr", col("__gr") - col("__start"))
+      .select(col("grp"), col("doc_id"), col("n_tokens"), col("size_class"),
+        floor(col("__cr") / col("size_class")).cast("long")
+          .as("bin_in_class"),
+        pmod(col("__cr"), col("size_class")).cast("long").as("slot"))
+  }
+
   /** Boundary-respecting sequence packing, first-fit-decreasing variant —
     * tighter than [[packBinsShelf]] (FFD ≤ 11/9·OPT + 6/9 bins per group,
     * Dósa 2007) at the cost of sequential bin-fill state.  The corpus is

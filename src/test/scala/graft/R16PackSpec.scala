@@ -104,6 +104,41 @@ class R16PackSpec extends AnyFunSuite {
     assert(out === Seq((2L, 0), (3L, 1))) // vec 1 excluded, ranks dense
   }
 
+  test("packBinsShelfBy: bins never mix groups, fills <= capacity") {
+    val df = Seq(("en", 0L, 60L), ("en", 1L, 60L), ("en", 2L, 60L),
+      ("de", 3L, 60L), ("de", 4L, 60L), ("en", 5L, 10L))
+      .toDF("g", "doc_id", "n")
+    val out = TextOps.packBinsShelfBy(df, col("g"), col("n"),
+      col("doc_id"), 128L)
+    assert(out.count() === 6)
+    val fills = out.groupBy("grp", "size_class", "bin_in_class")
+      .agg(sum("n_tokens").as("fill"), countDistinct("grp").as("ng"))
+    assert(fills.where(col("fill") > 128L).count() === 0)
+    // en docs of class 2 (60 tokens): ids 0,1 share bin 0; id 2 in bin 1.
+    // de restarts its own rank: ids 3,4 share de's bin 0.
+    val en = out.where(col("grp") === "en" && col("size_class") === 2)
+      .orderBy("doc_id").select("bin_in_class").as[Long].collect().toSeq
+    val de = out.where(col("grp") === "de")
+      .orderBy("doc_id").select("bin_in_class").as[Long].collect().toSeq
+    assert(en === Seq(0L, 0L, 1L) && de === Seq(0L, 0L))
+  }
+
+  test("gramTable partials over disjoint slices sum to the direct table") {
+    import graft.ops.EmbedOps
+    val rows = (0L until 40L).map(i =>
+      (i, Seq((i % 5).toFloat * 0.25f, (i % 3).toFloat * 0.5f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val direct = EmbedOps.gramTable(df, col("embedding"), 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val merged = (0 until 2).map(p =>
+        EmbedOps.gramTable(df.where(pmod(col("vec_id"), lit(2)) === p),
+          col("embedding"), 2))
+      .reduce(_ unionByName _)
+      .groupBy("i", "j").agg(sum("q").as("q"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged === direct)
+  }
+
   test("negativeMargin: easiest positive minus hardest negative") {
     val negs = Seq((0L, 2L, 0.9, 0)).toDF(
       "query_id", "neighbor_id", "cos", "rank")
