@@ -86,6 +86,55 @@ object SimilarityOps {
       .where(col("rank") < k)
   }
 
+  /** [[hardNegatives]] through the IVF candidate path — the corpus-sized-
+    * query-set form (mine negatives for EVERY training example, not a
+    * handful of probes).  Probe selection and cell assignment are exactly
+    * [[knnJoinIvf]]'s flat branch (per-row probe pick against the
+    * broadcast centroid array, shuffle join on centroid_id); the label
+    * filter sits between the cell join and the rank window, so the top-k
+    * ranks NEGATIVES within the probed cells — same reason as
+    * [[hardNegatives]]: filtering after the rank starves exactly the
+    * queries whose neighbourhood is positive-dominated. */
+  def hardNegativesIvf(corpus: DataFrame, vec: Column, id: Column,
+      label: Column, queries: DataFrame, qvec: Column, qid: Column,
+      qlabel: Column, centroids: DataFrame, cvec: Column, cid: Column,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    require(k > 0 && nprobe > 0, "k and nprobe must be positive")
+    val ctArr = centroids
+      .select(cid.cast("long").as("centroid_id"), cvec.as("ctv"))
+      .agg(collect_list(struct(col("centroid_id"), col("ctv")))
+        .as("__cents"))
+    val probes = queries.select(qid.cast("long").as("query_id"),
+        qvec.as("qv"), qlabel.as("__ql"))
+      .crossJoin(broadcast(ctArr))
+      .select(col("query_id"), col("qv"), col("__ql"),
+        explode(slice(array_sort(transform(col("__cents"), c =>
+          struct((lit(0.0) - round(cosine(col("qv"), c("ctv")), 6))
+            .as("negc"),
+            c("centroid_id").as("centroid_id")))), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("qv"), col("__ql"),
+        col("p.centroid_id").as("centroid_id"))
+    val cells = ivfAssign(corpus, vec, id, centroids, cvec, cid)
+      .select(col("vec_id").as("neighbor_id"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val rightCells = corpus
+      .select(id.cast("long").as("neighbor_id"), vec.as("nv"),
+        label.as("__nl"))
+      .join(cells, Seq("neighbor_id"))
+    val scored = rightCells.join(probes, Seq("centroid_id"))
+      .where(col("neighbor_id") =!= col("query_id") &&
+        col("__nl") =!= col("__ql"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("nv")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w) - 1)
+      .where(col("rank") < k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** Per-query contrastive margin gauge from a [[hardNegatives]] run and
     * a positives frame: (query_id, hardest_neg_cos, easiest_pos_cos,
     * margin) where margin = easiest_pos − hardest_neg.  Negative margins

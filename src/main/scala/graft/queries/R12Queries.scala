@@ -158,7 +158,7 @@ object R12Queries {
   /** 6-dp rounded cosine of two DuckDB list expressions — the SQL mirror
     * of [[graft.ops.SimilarityOps.cosine]] (sequential left fold from 0.0
     * in index order, dot / (sqrt·sqrt), then round). */
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"""round(
        |      list_reduce(list_transform(list_zip($a, $b),
        |        x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y) /

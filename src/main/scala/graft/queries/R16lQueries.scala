@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{EmbedOps, TextOps}
+import graft.ops.{EmbedOps, SimilarityOps, TextOps}
 
 /** Round-16l: mergeability proof for the ML sufficient-statistics tier
   * (Gram partials over corpus slices sum to the whole-corpus statistics —
@@ -34,7 +34,18 @@ object R16lQueries {
       TextOps.packBinsShelfBy(
         Tables.docs(s, dir).select(col("lang"), col("doc_id"),
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
-        col("lang"), col("n_tokens"), col("doc_id"), 128L))
+        col("lang"), col("n_tokens"), col("doc_id"), 128L)),
+
+    // hard negatives at corpus scale: every vector is a query, candidates
+    // from the IVF cell join (sim_knn_join's physical shape), label filter
+    // ahead of the rank window
+    "sim_hard_neg_ivf" -> ((s, dir) => {
+      val e = Tables.emb(s, dir)
+      SimilarityOps.hardNegativesIvf(e, col("embedding"), col("vec_id"),
+        col("label"), e, col("embedding"), col("vec_id"), col("label"),
+        e.where(col("vec_id") < 32), col("embedding"), col("vec_id"),
+        k = 3, nprobe = 2)
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -74,6 +85,44 @@ object R16lQueries {
         |SELECT grp, doc_id, n_tokens, size_class,
         |  (cr // size_class)::BIGINT AS bin_in_class,
         |  (cr % size_class)::BIGINT AS slot
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // KnnJoinSql's grammar (flat cell assignment + 2-probe selection)
+    // with the different-label filter ahead of the rank window
+    "sim_hard_neg_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 32),
+         |asg0 AS (
+         |  SELECT e.vec_id AS neighbor_id, e.embedding AS nv,
+         |    e.label AS nl, c.centroid_id,
+         |    ${R12Queries.cosSql("e.embedding", "c.cv")} AS acos
+         |  FROM embeddings e CROSS JOIN c
+         |),
+         |asg AS (
+         |  SELECT neighbor_id, nv, nl, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |      ORDER BY acos DESC, centroid_id) AS rn
+         |    FROM asg0) WHERE rn = 1
+         |),
+         |qp AS (
+         |  SELECT neighbor_id AS query_id, nv AS qv, nl AS ql,
+         |    centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |      ORDER BY acos DESC, centroid_id) AS rn
+         |    FROM asg0) WHERE rn <= 2
+         |),
+         |s AS (
+         |  SELECT qp.query_id, a.neighbor_id,
+         |    ${R12Queries.cosSql("qp.qv", "a.nv")} AS cos
+         |  FROM asg a JOIN qp ON a.centroid_id = qp.centroid_id
+         |  WHERE a.neighbor_id <> qp.query_id AND a.nl <> qp.ql
+         |),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) - 1 AS rank
+         |  FROM s
+         |)
+         |SELECT query_id, neighbor_id, cos, rank FROM r
+         |WHERE rank < 3""".stripMargin
   )
 }

@@ -139,6 +139,26 @@ class R16PackSpec extends AnyFunSuite {
     assert(merged === direct)
   }
 
+  test("hardNegativesIvf: equals brute hardNegatives when probes cover") {
+    val e = (0L until 30L).map { i =>
+      (i, Seq((math.cos(i * 0.7) * 2).toFloat, (math.sin(i * 0.7) * 2).toFloat,
+        (i % 5).toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val cents = e.where(col("vec_id") < 4)
+    // nprobe = all cells -> the IVF path degenerates to exact
+    val ivf = SimilarityOps.hardNegativesIvf(e, col("embedding"),
+        col("vec_id"), col("label"), e, col("embedding"), col("vec_id"),
+        col("label"), cents, col("embedding"), col("vec_id"),
+        k = 3, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank")
+    val brute = SimilarityOps.hardNegatives(e, col("embedding"),
+        col("vec_id"), col("label"), e, col("embedding"), col("vec_id"),
+        col("label"), k = 3)
+      .select("query_id", "neighbor_id", "rank")
+    assert(ivf.except(brute).count() === 0 &&
+      brute.except(ivf).count() === 0)
+  }
+
   test("negativeMargin: easiest positive minus hardest negative") {
     val negs = Seq((0L, 2L, 0.9, 0)).toDF(
       "query_id", "neighbor_id", "cos", "rank")
