@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{EmbedOps, SimilarityOps, TextOps}
+import graft.ops.{EmbedOps, SimilarityOps, SplitOps, TextOps}
 
 /** Round-16l: mergeability proof for the ML sufficient-statistics tier
   * (Gram partials over corpus slices sum to the whole-corpus statistics —
@@ -45,6 +45,42 @@ object R16lQueries {
         col("label"), e, col("embedding"), col("vec_id"), col("label"),
         e.where(col("vec_id") < 32), col("embedding"), col("vec_id"),
         k = 3, nprobe = 2)
+    }),
+
+    // The contrastive-curation pipeline in ONE plan: IVF hard negatives →
+    // prototype margin (cos to the OWN-label exact centroid minus the
+    // hardest negative — the scale-correct margin: one |labels|-sized
+    // centroid join instead of all same-label pairs) → curriculum buckets
+    // over the margin (largest margin = easiest first).  Every stage is
+    // individually oracle-gated; this chains their SQL end to end.
+    "pipeline_contrastive" -> ((s, dir) => {
+      val e = Tables.emb(s, dir)
+      val hardest = SimilarityOps.hardNegativesIvf(e, col("embedding"),
+          col("vec_id"), col("label"), e, col("embedding"), col("vec_id"),
+          col("label"), e.where(col("vec_id") < 32), col("embedding"),
+          col("vec_id"), k = 3, nprobe = 2)
+        .groupBy("query_id").agg(max(col("cos")).as("hneg"))
+      val cv = EmbedOps.centroids(e, col("embedding"),
+          col("label").cast("long"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(
+          struct(col("dim"), col("centroid")))), x => x("centroid"))
+          .as("cv"))
+      val margins = e
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          col("label").cast("long").as("label"))
+        .join(broadcast(cv), "label")
+        .select(col("query_id"),
+          round(SimilarityOps.cosine(col("embedding"), col("cv")), 6)
+            .as("pcos"))
+        .join(hardest, "query_id")
+        .select(col("query_id"),
+          round(col("pcos") - col("hneg"), 6).as("margin"))
+      SplitOps.curriculumOrder(margins, lit(1.0) - col("margin"),
+          col("query_id"), nBuckets = 4)
+        .join(margins, col("doc_id") === col("query_id"))
+        .select(col("query_id"), col("margin"), col("bucket"),
+          col("sched_key"))
     })
   )
 
@@ -123,6 +159,75 @@ object R16lQueries {
          |  FROM s
          |)
          |SELECT query_id, neighbor_id, cos, rank FROM r
-         |WHERE rank < 3""".stripMargin
+         |WHERE rank < 3""".stripMargin,
+
+    // the stages' own SQL chained: hard-negative candidates → hardest per
+    // query (max over candidates == max over the top-k) → exact own-label
+    // centroid → prototype margin → the curriculum closed form
+    "pipeline_contrastive" ->
+      s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 32),
+         |asg0 AS (
+         |  SELECT e.vec_id AS neighbor_id, e.embedding AS nv,
+         |    e.label AS nl, c.centroid_id,
+         |    ${R12Queries.cosSql("e.embedding", "c.cv")} AS acos
+         |  FROM embeddings e CROSS JOIN c
+         |),
+         |asg AS (
+         |  SELECT neighbor_id, nv, nl, centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |      ORDER BY acos DESC, centroid_id) AS rn
+         |    FROM asg0) WHERE rn = 1
+         |),
+         |qp AS (
+         |  SELECT neighbor_id AS query_id, nv AS qv, nl AS ql,
+         |    centroid_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY neighbor_id
+         |      ORDER BY acos DESC, centroid_id) AS rn
+         |    FROM asg0) WHERE rn <= 2
+         |),
+         |s AS (
+         |  SELECT qp.query_id, a.neighbor_id,
+         |    ${R12Queries.cosSql("qp.qv", "a.nv")} AS cos
+         |  FROM asg a JOIN qp ON a.centroid_id = qp.centroid_id
+         |  WHERE a.neighbor_id <> qp.query_id AND a.nl <> qp.ql
+         |),
+         |hn AS (SELECT query_id, max(cos) AS hneg FROM s GROUP BY 1),
+         |cx AS (
+         |  SELECT label::BIGINT AS label,
+         |    unnest(generate_series(1, len(embedding))) AS i,
+         |    embedding AS e
+         |  FROM embeddings),
+         |cm AS (
+         |  SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+         |    CAST(floor(e[i]::DOUBLE * 1000000.0) AS BIGINT) AS m
+         |  FROM cx),
+         |ct AS (
+         |  SELECT label, dim,
+         |    CAST(sum(m) AS DOUBLE) / (count(*)::DOUBLE * 1000000.0)
+         |      AS centroid
+         |  FROM cm GROUP BY label, dim),
+         |cvl AS (SELECT label, list(centroid ORDER BY dim) AS cvv
+         |  FROM ct GROUP BY 1),
+         |mg AS (
+         |  SELECT e.vec_id AS query_id,
+         |    round(${R12Queries.cosSql("e.embedding", "cvl.cvv")} - hn.hneg,
+         |      6) AS margin
+         |  FROM embeddings e
+         |  JOIN cvl ON cvl.label = e.label::BIGINT
+         |  JOIN hn ON hn.query_id = e.vec_id),
+         |n AS (SELECT count(*)::BIGINT AS n FROM mg),
+         |rk AS (
+         |  SELECT query_id, margin, row_number() OVER (
+         |    ORDER BY 1.0 - margin, query_id) - 1 AS rk
+         |  FROM mg),
+         |bk AS (
+         |  SELECT query_id, margin,
+         |    (rk * 4 // (SELECT n FROM n))::BIGINT AS bucket, rk
+         |  FROM rk)
+         |SELECT query_id, margin, bucket,
+         |  ((rk - (bucket * (SELECT n FROM n) + 3) // 4) * 4 + bucket)::BIGINT
+         |    AS sched_key
+         |FROM bk""".stripMargin
   )
 }
