@@ -28,7 +28,11 @@ object XPlanBank {
     // r16 additions: the new top-tier + the fused/sketch shapes
     "ml_kmeans_resident", "sim_hybrid_topk", "sim_rrf_fuse",
     "text_overlap_topk", "sketch_cms_grid", "sketch_hdr_quantiles",
-    "mm_real_ahash_banded", "mm_wav_ahash_banded")
+    "mm_real_ahash_banded", "mm_wav_ahash_banded",
+    // r16 late additions: packing / hard-negative / PNG / composition tier
+    "sim_hard_neg_ivf", "sim_hard_negatives", "text_pack_shelf",
+    "text_pack_ffd", "text_curriculum", "pipeline_sft_pack",
+    "pipeline_contrastive", "mm_png_ahash_banded", "emb_gram_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
