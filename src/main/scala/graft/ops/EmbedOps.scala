@@ -288,8 +288,14 @@ object EmbedOps {
     * ANN quantization (decorrelated, isotropic space).  Same distributed
     * shape as [[pcaProject]]: one stats pass + one broadcast projection. */
   def pcaWhiten(df: DataFrame, id: Column, vec: Column, d: Int, k: Int,
-      iters: Int = 100, eps: Double = 1e-9): DataFrame = {
-    val m = pcaFit(df, vec, d, k, iters)
+      iters: Int = 100, eps: Double = 1e-9): DataFrame =
+    pcaWhitenWith(df, id, vec, pcaFit(df, vec, d, k, iters), eps)
+
+  /** [[pcaWhiten]] against an already-fitted [[PcaModel]] — the form for
+    * callers that fit once and whiten many frames (shards, streams, or a
+    * gauge that also inspects the model), avoiding a refit per call. */
+  def pcaWhitenWith(df: DataFrame, id: Column, vec: Column, m: PcaModel,
+      eps: Double = 1e-9): DataFrame = {
     val scaled = m.components.zip(m.eigenvalues).map { case (comp, lam) =>
       val s = 1.0 / math.sqrt(math.max(lam, 0.0) + eps)
       comp.map(_ * s)

@@ -84,6 +84,10 @@ object SimilarityOps {
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w) - 1)
       .where(col("rank") < k)
+      // rank as long: schema parity with [[hardNegativesIvf]], so the
+      // exact and IVF paths union/substitute without implicit coercion
+      .select(col("query_id"), col("neighbor_id"), col("cos"),
+        col("rank").cast("long").as("rank"))
   }
 
   /** [[hardNegatives]] through the IVF candidate path — the corpus-sized-
@@ -100,20 +104,8 @@ object SimilarityOps {
       qlabel: Column, centroids: DataFrame, cvec: Column, cid: Column,
       k: Int, nprobe: Int = 1): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
-    val ctArr = centroids
-      .select(cid.cast("long").as("centroid_id"), cvec.as("ctv"))
-      .agg(collect_list(struct(col("centroid_id"), col("ctv")))
-        .as("__cents"))
-    val probes = queries.select(qid.cast("long").as("query_id"),
-        qvec.as("qv"), qlabel.as("__ql"))
-      .crossJoin(broadcast(ctArr))
-      .select(col("query_id"), col("qv"), col("__ql"),
-        explode(slice(array_sort(transform(col("__cents"), c =>
-          struct((lit(0.0) - round(cosine(col("qv"), c("ctv")), 6))
-            .as("negc"),
-            c("centroid_id").as("centroid_id")))), 1, nprobe)).as("p"))
-      .select(col("query_id"), col("qv"), col("__ql"),
-        col("p.centroid_id").as("centroid_id"))
+    val probes = flatProbes(queries.select(qid.cast("long").as("query_id"),
+      qvec.as("qv"), qlabel.as("__ql")), centroids, cvec, cid, nprobe)
     val cells = ivfAssign(corpus, vec, id, centroids, cvec, cid)
       .select(col("vec_id").as("neighbor_id"),
         col("centroid_id").cast("long").as("centroid_id"))
@@ -823,6 +815,31 @@ object SimilarityOps {
         col("p.centroid_id").as("centroid_id"))
   }
 
+  /** FLAT IVF probe selection — the shared primitive behind
+    * [[knnJoinIvf]], [[knnJoinIvfIndex]] and [[hardNegativesIvf]] (one
+    * grammar, one oracle mirror: a tie-breaking or rounding change here
+    * changes all three together).  `leftProj` must carry `query_id` and
+    * `qv` (any extra columns ride along); the centroid table collapses to
+    * ONE array row and broadcasts, each left row sorts its (0.0 − cos,
+    * id) entries locally and keeps `nprobe` — no window, no shuffle on
+    * the left side.  The `0.0 − cos` key (not a negation) keeps `-0.0`
+    * out of the array ordering, which is NOT float-normalized. */
+  private[ops] def flatProbes(leftProj: DataFrame, centroids: DataFrame,
+      cvec: Column, cid: Column, nprobe: Int): DataFrame = {
+    val ctArr = centroids
+      .select(cid.cast("long").as("centroid_id"), cvec.as("ctv"))
+      .agg(collect_list(struct(col("centroid_id"), col("ctv")))
+        .as("__cents"))
+    val keep = leftProj.columns.map(col).toSeq
+    leftProj.crossJoin(broadcast(ctArr))
+      .select(keep :+
+        explode(slice(array_sort(transform(col("__cents"), c =>
+          struct((lit(0.0) - round(cosine(col("qv"), c("ctv")), 6))
+            .as("negc"),
+            c("centroid_id").as("centroid_id")))), 1, nprobe)).as("p"): _*)
+      .select(keep :+ col("p.centroid_id").as("centroid_id"): _*)
+  }
+
   /** Large×large kNN JOIN via shared IVF cells — the two-corpus form of
     * [[ivfTopK]].  There the query set is driver-sized and the probe table
     * broadcasts; here BOTH sides are corpus-scale (embedding-join two
@@ -856,19 +873,8 @@ object SimilarityOps {
       coarse: Option[DataFrame] = None, routeProbe: Int = 3): DataFrame = {
     val probes = coarse match {
       case None =>
-        val ctArr = centroids
-          .select(cid.cast("long").as("centroid_id"), cvec.as("ctv"))
-          .agg(collect_list(struct(col("centroid_id"), col("ctv")))
-            .as("__cents"))
-        left.select(lid.cast("long").as("query_id"), lvec.as("qv"))
-          .crossJoin(broadcast(ctArr))
-          .select(col("query_id"), col("qv"),
-            explode(slice(array_sort(transform(col("__cents"), c =>
-              struct((lit(0.0) - round(cosine(col("qv"), c("ctv")), 6))
-                .as("negc"),
-                c("centroid_id").as("centroid_id")))), 1, nprobe)).as("p"))
-          .select(col("query_id"), col("qv"),
-            col("p.centroid_id").as("centroid_id"))
+        flatProbes(left.select(lid.cast("long").as("query_id"),
+          lvec.as("qv")), centroids, cvec, cid, nprobe)
       case Some(co0) =>
         // TWO-LEVEL probe selection (`coarse` ⊆ centroids, the
         // [[ivfAssignTwoLevel]] convention): each left row scores the k1
@@ -930,20 +936,9 @@ object SimilarityOps {
       // the same coarse set)
       probesTwoLevel(left, lvec, lid, ct, col("ctv"), col("centroid_id"),
         ct.where(col("centroid_id") < coarseK1), nprobe, routeProbe)
-    else {
-      val ctArr = ct
-        .agg(collect_list(struct(col("centroid_id"), col("ctv")))
-          .as("__cents"))
-      left.select(lid.cast("long").as("query_id"), lvec.as("qv"))
-        .crossJoin(broadcast(ctArr))
-        .select(col("query_id"), col("qv"),
-          explode(slice(array_sort(transform(col("__cents"), c =>
-            struct((lit(0.0) - round(cosine(col("qv"), c("ctv")), 6))
-              .as("negc"),
-              c("centroid_id").as("centroid_id")))), 1, nprobe)).as("p"))
-        .select(col("query_id"), col("qv"),
-          col("p.centroid_id").as("centroid_id"))
-    }
+    else
+      flatProbes(left.select(lid.cast("long").as("query_id"),
+        lvec.as("qv")), ct, col("ctv"), col("centroid_id"), nprobe)
     val rightCells = spark.read.parquet(indexDir)
       .select(col("neighbor_id").cast("long").as("neighbor_id"), col("cv"),
         col("centroid_id").cast("long").as("centroid_id"))

@@ -38,7 +38,12 @@ object SplitOps {
   def curriculumOrder(df: DataFrame, score: Column, id: Column,
       nBuckets: Int): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
-    val base = df.select(id.as("doc_id"), score.cast("double").as("__score"))
+    // persisted (CacheScope-registered, consumer releases): the narrow
+    // (id, score) frame drives two actions — count() and the rank sort —
+    // and without the persist an expensive upstream (e.g. the contrastive
+    // pipeline's margin stages) would recompute once per action
+    val base = graft.core.CacheScope.persist(
+      df.select(id.as("doc_id"), score.cast("double").as("__score")))
     val ranked = graft.core.Ranker.withRank(base, "__r",
       col("__score"), col("doc_id"))
     val n = base.count()

@@ -870,8 +870,15 @@ object TextOps {
         raise_error(concat(lit("packBinsFfd: n_tokens out of [1, "),
           lit(capacity), lit("]: "), n)).cast("long"))
       .otherwise(n)
-    df.select(pmod(idCol.cast("long"), lit(numGroups.toLong)).as("grp"),
-        idCol.cast("long").as("doc_id"), guarded.as("n_tokens"))
+    // the id cast must fail as loudly as the token guard: a non-numeric
+    // id would otherwise null out grp/doc_id and die as an opaque
+    // encoder NPE
+    val idL = idCol.cast("long")
+    val idG = when(idL.isNull,
+      raise_error(lit("packBinsFfd: NULL or non-numeric doc_id"))
+        .cast("long")).otherwise(idL)
+    df.select(pmod(idG, lit(numGroups.toLong)).as("grp"),
+        idG.as("doc_id"), guarded.as("n_tokens"))
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (g, it) =>

@@ -88,14 +88,9 @@ object R16iQueries {
     })
   )
 
-  private val CosSql =
-    """round(
-      |  list_reduce(list_transform(list_zip(q.qv, e.embedding),
-      |    x -> x[1]::DOUBLE * x[2]::DOUBLE), (x, y) -> x + y) /
-      |  (sqrt(list_reduce(list_transform(q.qv, x -> x::DOUBLE * x::DOUBLE),
-      |     (x, y) -> x + y)) *
-      |   sqrt(list_reduce(list_transform(e.embedding,
-      |     x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y))), 6)""".stripMargin
+  // the shared 6-dp cosine grammar — same helper as every other cosine
+  // oracle in the bank, so the fold/rounding can never drift per-file
+  private val CosSql = R12Queries.cosSql("q.qv", "e.embedding")
 
   def oracles: Map[String, String] = Map(
 

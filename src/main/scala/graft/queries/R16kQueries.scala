@@ -58,7 +58,7 @@ object R16kQueries {
           p.length < 2 || p(0) >= p(1) - 1e-9)
       val massOk = m.eigenvalues.sum <= m.trace * (1 + 1e-6) + 1e-9 &&
         m.eigenvalues.head >= m.trace / d - 1e-9
-      val w = EmbedOps.pcaWhiten(e, col("vec_id"), col("embedding"), d, k)
+      val w = EmbedOps.pcaWhitenWith(e, col("vec_id"), col("embedding"), m)
       val stats = w.select(posexplode(col("pc")))
         .groupBy("pos")
         .agg(avg(col("col")).as("mu"),

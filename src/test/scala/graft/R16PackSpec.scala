@@ -100,8 +100,8 @@ class R16PackSpec extends AnyFunSuite {
         col("vec_id"), col("label"), e.where(col("vec_id") === 0),
         col("embedding"), col("vec_id"), col("label"), k = 2)
       .orderBy("rank")
-      .select("neighbor_id", "rank").as[(Long, Int)].collect().toSeq
-    assert(out === Seq((2L, 0), (3L, 1))) // vec 1 excluded, ranks dense
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((2L, 0L), (3L, 1L))) // vec 1 excluded, ranks dense
   }
 
   test("packBinsShelfBy: bins never mix groups, fills <= capacity") {

@@ -111,11 +111,11 @@ object R16Props extends Properties("round16") {
       val out = SimilarityOps.hardNegatives(e, col("embedding"),
           col("vec_id"), col("label"), q, col("embedding"), col("vec_id"),
           col("label"), k)
-        .select("neighbor_id", "rank").as[(Long, Int)].collect()
+        .select("neighbor_id", "rank").as[(Long, Long)].collect()
         .sortBy(_._2)
       val negLabels = rows.filter(r => r._1 != 0L && r._3 != 0).map(_._1)
       out.length == math.min(k, negLabels.size) &&
-        out.map(_._2).toSeq == (0 until out.length) &&
+        out.map(_._2).toSeq == (0L until out.length.toLong) &&
         out.forall { case (id, _) => negLabels.contains(id) }
     }
 }
