@@ -48,8 +48,16 @@ object AudioCodec {
   def wavFromBytes(sampleRate: Int, nSamples: Int, src: Array[Byte])
       : Array[Byte] = {
     require(src.nonEmpty, "empty source bytes")
-    encodeWav(sampleRate, Array.tabulate(nSamples)(i =>
-      (((src((i * 7 + 3) % src.length) & 0xff) - 76) * 256).toShort))
+    encodeWav(sampleRate, Array.tabulate(nSamples) { i =>
+      val v = src((i * 7 + 3) % src.length) & 0xff
+      // (v − 76)·256 must fit 16-bit PCM: v ≥ 204 would silently wrap
+      // through toShort and diverge from the unwrapped SQL envelope —
+      // fail loudly instead (the fixture queries feed printable ASCII,
+      // v ≤ 126, via MultimodalOps.asciiBytes)
+      require(v <= 203, s"wavFromBytes: source byte $v overflows 16-bit " +
+        "PCM under the (v-76)*256 map (max 203)")
+      ((v - 76) * 256).toShort
+    })
   }
 
   // ---- decoder -------------------------------------------------------------

@@ -316,7 +316,10 @@ object GraphOps {
         .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
         .select(col("a"), col("b")).localCheckpoint(true)
       val n2 = next.count()
-      converged = n2 == nEdges
+      // n2 == 0 is as final as a fixpoint: an empty graph cannot peel
+      // further, so a run whose LAST allowed round empties the graph is
+      // converged, not a failure
+      converged = n2 == nEdges || n2 == 0
       cur = next
       nEdges = n2
       round += 1

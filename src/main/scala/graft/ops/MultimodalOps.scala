@@ -183,6 +183,25 @@ object MultimodalOps {
         java.security.MessageDigest.getInstance("MD5")
     }
 
+  /** Printable-ASCII projection of a string, ONE BYTE PER CODEPOINT:
+    * chars in 0x20..0x7e pass through, everything else becomes '?'.
+    * This is the shared text→bytes map for the real-codec fixture
+    * queries (`mm_real_*`/`mm_wav_*`/`mm_png_*`/`graph_kcore`): the SQL
+    * oracles index text by CHARACTER (`ascii(substr(text, i, 1))`,
+    * `length(text)`), so the engine side must too — raw UTF-8 bytes
+    * would silently diverge on the first multi-byte character (length
+    * in bytes ≠ length in codepoints, and ascii() returns codepoints
+    * > 255).  The SQL mirror is `regexp_replace(text, '[^ -~]', '?',
+    * 'g')`.  Iterates CODEPOINTS (not UTF-16 units) so supplementary
+    * characters count once, matching SQL's substr/length. */
+  def asciiBytes(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    s.codePoints().forEach { cp =>
+      out.write(if (cp >= 0x20 && cp <= 0x7e) cp else '?')
+    }
+    out.toByteArray
+  }
+
   def stubKernel(dim: Int = 8): DecodeKernel = (docId, bytes) => {
     val digest = md5Local.get().digest(bytes)
     MediaFeatures(docId, bytes.length.toLong,

@@ -43,28 +43,38 @@ object SketchOps {
   def hdrHistogram(df: DataFrame, value: Column, subBits: Int): DataFrame = {
     require(subBits >= 1 && subBits <= 16,
       s"subBits must be in [1,16], got $subBits")
-    val guarded = when(value.isNull,
-      raise_error(lit("hdrHistogram: NULL value")).cast("long"))
+    bucketed(df.select(guardedValue(value, "hdrHistogram").as("__v")),
+        subBits)
+      .groupBy(col("bucket_id"), col("lb"), col("ub"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The shared NULL/negative guard — both histogram forms fail loudly
+    * on inputs a quantile sketch must not silently drop or park in a
+    * null bucket the cumulative scan would skip. */
+  private def guardedValue(value: Column, who: String): Column =
+    when(value.isNull,
+      raise_error(lit(s"$who: NULL value")).cast("long"))
       .when(value.cast("long") < 0,
-        raise_error(concat(lit("hdrHistogram: negative value "),
+        raise_error(concat(lit(s"$who: negative value "),
           value.cast("string"))).cast("long"))
       .otherwise(value.cast("long"))
-    val base = df.select(guarded.as("__v"))
+
+  /** The shared HDR bucket algebra over a frame carrying `__v`: appends
+    * bucket_id, lb, ub.  ONE copy of the msb/shift/key arithmetic and of
+    * the ub = lb + (2^sh − 1) form — NOT shiftleft(key+1, sh) − 1, which
+    * wraps past Long.MaxValue for the top bucket (ANSI overflow); this
+    * form never exceeds the bucket's own max value. */
+  private def bucketed(base: DataFrame, subBits: Int): DataFrame =
+    base
       .withColumn("__m", (length(conv(col("__v"), 10, 2)) - lit(1)).cast("int"))
       .withColumn("__sh", greatest(lit(0), col("__m") - lit(subBits)))
       .withColumn("__key", expr("shiftright(__v, __sh)"))
-    base
-      .groupBy(
-        (col("__sh").cast("long") * lit(1L << (subBits + 1)) + col("__key"))
-          .as("bucket_id"),
-        expr("shiftleft(__key, __sh)").as("lb"),
-        // ub = lb + (2^sh − 1), NOT shiftleft(key+1, sh) − 1: the latter
-        // wraps past Long.MaxValue for the top bucket (ANSI overflow);
-        // this form never exceeds the bucket's own max value
-        (expr("shiftleft(__key, __sh)") +
-          (expr("shiftleft(1L, __sh)") - lit(1L))).as("ub"))
-      .agg(count(lit(1)).as("n"))
-  }
+      .withColumn("bucket_id",
+        col("__sh").cast("long") * lit(1L << (subBits + 1)) + col("__key"))
+      .withColumn("lb", expr("shiftleft(__key, __sh)"))
+      .withColumn("ub", expr("shiftleft(__key, __sh)") +
+        (expr("shiftleft(1L, __sh)") - lit(1L)))
 
   /** Quantile estimates from the [[hdrHistogram]] bucket table.
     *
@@ -119,22 +129,9 @@ object SketchOps {
       subBits: Int): DataFrame = {
     require(subBits >= 1 && subBits <= 16,
       s"subBits must be in [1,16], got $subBits")
-    val guarded = when(value.isNull,
-      raise_error(lit("hdrHistogramBy: NULL value")).cast("long"))
-      .when(value.cast("long") < 0,
-        raise_error(concat(lit("hdrHistogramBy: negative value "),
-          value.cast("string"))).cast("long"))
-      .otherwise(value.cast("long"))
-    df.select(group.as("grp"), guarded.as("__v"))
-      .withColumn("__m", (length(conv(col("__v"), 10, 2)) - lit(1)).cast("int"))
-      .withColumn("__sh", greatest(lit(0), col("__m") - lit(subBits)))
-      .withColumn("__key", expr("shiftright(__v, __sh)"))
-      .groupBy(col("grp"),
-        (col("__sh").cast("long") * lit(1L << (subBits + 1)) + col("__key"))
-          .as("bucket_id"),
-        expr("shiftleft(__key, __sh)").as("lb"),
-        (expr("shiftleft(__key, __sh)") +
-          (expr("shiftleft(1L, __sh)") - lit(1L))).as("ub"))
+    bucketed(df.select(group.as("grp"),
+        guardedValue(value, "hdrHistogramBy").as("__v")), subBits)
+      .groupBy(col("grp"), col("bucket_id"), col("lb"), col("ub"))
       .agg(count(lit(1)).as("n"))
   }
 
@@ -162,7 +159,11 @@ object SketchOps {
       .crossJoin(broadcast(qdf))
       .withColumn("rank",
         expr("(cast(q_num as bigint) * n_total + q_den - 1) div q_den"))
-    cum.join(broadcast(ranks), Seq("grp"))
+    // plain shuffle join on grp (NOT broadcast): ranks has one row per
+    // group × quantile, and the grouped form exists precisely for
+    // high-cardinality group columns — broadcasting the per-group table
+    // would cap the op at driver/broadcast memory
+    cum.join(ranks, Seq("grp"))
       .where(col("cum") >= col("rank"))
       .groupBy(col("grp"), col("q_num"), col("q_den"), col("rank"),
         col("n_total"))

@@ -21,7 +21,8 @@ object R16bQueries {
     * encode→decode.  BMP for even ids, PPM for odd. */
   private def realDecoded(s: SparkSession, dir: String): DataFrame = {
     val toImg = udf((id: Long, text: String) =>
-      ImageCodec.grayFromBytes(8, 8, text.getBytes("UTF-8"), id % 2 == 1))
+      ImageCodec.grayFromBytes(8, 8, MultimodalOps.asciiBytes(text),
+        id % 2 == 1))
     val d = Tables.docs(s, dir)
       .withColumn("payload", toImg(col("doc_id"), col("text")))
     MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
@@ -58,10 +59,15 @@ object R16bQueries {
 
   /** Block-mean features recomputed from the text (never the bytes):
     * pixel v(x,y) = ascii(text[(y·8+x) mod len]); 2×2 cells of the 8×8
-    * raster → 16 exact-quarter means. */
+    * raster → 16 exact-quarter means.  Text goes through the printable-
+    * ASCII projection FIRST — the exact SQL mirror of
+    * [[graft.ops.MultimodalOps.asciiBytes]], so char indexing and byte
+    * indexing agree on any input, not just ASCII corpora. */
   private[queries] val RealFeatSql =
-    """py AS (SELECT doc_id, text, unnest(generate_series(0, 7)) AS y
-      |  FROM documents),
+    """pa AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g')
+      |    AS text FROM documents),
+      |py AS (SELECT doc_id, text, unnest(generate_series(0, 7)) AS y
+      |  FROM pa),
       |pxy AS (SELECT doc_id, text, y, unnest(generate_series(0, 7)) AS x
       |  FROM py),
       |pv AS (

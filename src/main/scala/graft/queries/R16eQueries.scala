@@ -16,7 +16,7 @@ object R16eQueries {
 
   private def wavDecoded(s: SparkSession, dir: String): DataFrame = {
     val toWav = udf((text: String) =>
-      AudioCodec.wavFromBytes(16000, 256, text.getBytes("UTF-8")))
+      AudioCodec.wavFromBytes(16000, 256, MultimodalOps.asciiBytes(text)))
     val d = Tables.docs(s, dir)
       .withColumn("payload", toWav(col("text")))
     AudioCodec.decodeWith(d, col("payload"), col("doc_id"), frames = 16)
@@ -45,8 +45,10 @@ object R16eQueries {
     * (ascii(text[(7i+3) mod len]) − 76) · 256; 16 frames × 16 samples;
     * feat = mean |v| per frame. */
   private val WavFeatSql =
-    """ws AS (SELECT doc_id, text, unnest(generate_series(0, 255)) AS i
-      |  FROM documents),
+    """wa AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g')
+      |    AS text FROM documents),
+      |ws AS (SELECT doc_id, text, unnest(generate_series(0, 255)) AS i
+      |  FROM wa),
       |wv AS (
       |  SELECT doc_id, (i // 16) AS j,
       |    abs((ascii(substr(text,

@@ -19,7 +19,8 @@ object R16gQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_kcore" -> ((s, dir) => {
       val toImg = udf((id: Long, text: String) =>
-        ImageCodec.grayFromBytes(8, 8, text.getBytes("UTF-8"), id % 2 == 1))
+        ImageCodec.grayFromBytes(8, 8,
+        graft.ops.MultimodalOps.asciiBytes(text), id % 2 == 1))
       val d = Tables.docs(s, dir)
       val k = math.max(9L, d.count() / 125).toInt
       val decoded = MultimodalOps.decodeWith(

@@ -17,7 +17,7 @@ object R16jQueries {
 
   private def pngDecoded(s: SparkSession, dir: String): DataFrame = {
     val toImg = udf((id: Long, text: String) =>
-      ImageCodec.grayPng(8, 8, text.getBytes("UTF-8"),
+      ImageCodec.grayPng(8, 8, MultimodalOps.asciiBytes(text),
         colorType = if (id % 2 == 0) 2 else 0,
         filter = (id % 5).toInt))
     val d = Tables.docs(s, dir)

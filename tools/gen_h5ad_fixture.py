@@ -225,12 +225,14 @@ class Writer:
                 if gzip is not None:
                     filt += struct.pack("<HHHHI4x", 1, 0, 0, 1, gzip)
                 if lzf:
-                    # registered filter (id >= 256) carries its name
-                    # (padded to 8) + h5py's 3 client values (filter
-                    # version, liblzf version, chunk nbytes); odd count
-                    # pads 4
+                    # registered filter (id >= 256) carries its name —
+                    # the v1 pipeline spec requires the DECLARED name
+                    # length be a multiple of eight (h5py writes 8;
+                    # libhdf5 rejects anything else) — + h5py's 3 client
+                    # values (filter version, liblzf version, chunk
+                    # nbytes); odd count pads 4
                     csz = int(np.prod(chunks)) * arr.dtype.itemsize
-                    filt += struct.pack("<HHHH", 32000, 4, 1, 3)
+                    filt += struct.pack("<HHHH", 32000, 8, 1, 3)
                     filt += b"lzf\x00" + b"\x00" * 4
                     filt += struct.pack("<III4x", 1, 261, csz)
                 msgs.append(message(0x000B, pad8(filt)))
