@@ -895,6 +895,51 @@ object TextOps {
       .toDF("doc_id", "n_tokens", "grp", "bin_in_group")
   }
 
+  /** [[packBinsFfd]] within groups: FFD packing that never mixes
+    * documents from different groups into one bin (the per-language
+    * [[packBinsShelfBy]] constraint, with FFD tightness).  The FFD state
+    * is per (group, doc_id mod subGroups) composite key, so a huge group
+    * still fans out across `subGroups` parallel packers.  Output:
+    * (grp, sub, doc_id, n_tokens, bin_in_group); the global bin key is
+    * (grp, sub, bin_in_group). */
+  def packBinsFfdBy(df: DataFrame, group: Column, nTokens: Column,
+      idCol: Column, capacity: Long, subGroups: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    require(subGroups > 0, "subGroups must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = nTokens.cast("long")
+    val guarded = when(n.isNull,
+        raise_error(lit("packBinsFfdBy: NULL n_tokens")).cast("long"))
+      .when(n < 1L || n > capacity,
+        raise_error(concat(lit("packBinsFfdBy: n_tokens out of [1, "),
+          lit(capacity), lit("]: "), n)).cast("long"))
+      .otherwise(n)
+    val idL = idCol.cast("long")
+    val idG = when(idL.isNull,
+      raise_error(lit("packBinsFfdBy: NULL or non-numeric doc_id"))
+        .cast("long")).otherwise(idL)
+    df.select(group.cast("string").as("grp"),
+        pmod(idG, lit(subGroups.toLong)).as("sub"),
+        idG.as("doc_id"), guarded.as("n_tokens"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey { case (g, s, _, _) => (g, s) }
+      .flatMapGroups { (key: (String, Long),
+          it: Iterator[(String, Long, Long, Long)]) =>
+        val (g, s) = key
+        val docs = it.map { case (_, _, id, nt) => (id, nt) }.toArray
+          .sortBy { case (id, nt) => (-nt, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        docs.iterator.map { case (id, nt) =>
+          var b = 0
+          while (b < fills.length && fills(b) + nt > capacity) b += 1
+          if (b == fills.length) fills += nt else fills(b) += nt
+          (g, s, id, nt, b.toLong)
+        }
+      }
+      .toDF("grp", "sub", "doc_id", "n_tokens", "bin_in_group")
+  }
+
   /** EXACT heavy hitters at sketch cost: every token with corpus frequency
     * ≥ `phi` · N (N = total token count), with its exact count.
     *

@@ -36,6 +36,35 @@ object R16lQueries {
           size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
         col("lang"), col("n_tokens"), col("doc_id"), 128L)),
 
+    // per-language FFD packing gauge: the text_pack_ffd invariants held
+    // PER LANGUAGE, plus group isolation (no bin mixes languages — true
+    // by construction, asserted anyway via the count identity)
+    "text_pack_ffd_lang" -> ((s, dir) => {
+      val packed = TextOps.packBinsFfdBy(
+        Tables.docs(s, dir).select(col("lang"), col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens")),
+        col("lang"), col("n_tokens"), col("doc_id"), 128L, subGroups = 4)
+      val bins = packed.groupBy("grp", "sub", "bin_in_group")
+        .agg(sum("n_tokens").as("fill"))
+      val halfPer = bins.groupBy("grp", "sub")
+        .agg(sum(when(col("fill") <= 64L, 1L).otherwise(0L)).as("nhalf"))
+      val perLang = packed.groupBy("grp").agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_distinct"),
+        sum(col("n_tokens")).as("total_tokens"))
+      val binAgg = bins.groupBy("grp").agg(count(lit(1)).as("bins_used"),
+        max(col("fill")).as("max_fill"))
+      val halfAgg = halfPer.groupBy("grp").agg(max("nhalf").as("max_half"))
+      perLang.join(binAgg, "grp").join(halfAgg, "grp")
+        .select(col("grp").as("lang"), col("n_docs"), col("total_tokens"),
+          (col("n_distinct") === col("n_docs") &&
+            col("max_fill") <= 128L &&
+            col("bins_used") >=
+              ceil(col("total_tokens").cast("double") / 128L) &&
+            col("bins_used") <= col("n_docs") &&
+            col("max_half") <= 1L).as("packing_ok"))
+    }),
+
     // hard negatives at corpus scale: every vector is a query, candidates
     // from the IVF cell join (sim_knn_join's physical shape), label filter
     // ahead of the rank window
@@ -122,6 +151,17 @@ object R16lQueries {
         |  (cr // size_class)::BIGINT AS bin_in_class,
         |  (cr % size_class)::BIGINT AS slot
         |FROM r""".stripMargin,
+
+    "text_pack_ffd_lang" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> ''))::BIGINT AS n_tokens
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_tokens)::BIGINT AS total_tokens,
+        |  true AS packing_ok
+        |FROM t GROUP BY lang""".stripMargin,
 
     // KnnJoinSql's grammar (flat cell assignment + 2-probe selection)
     // with the different-label filter ahead of the rank window

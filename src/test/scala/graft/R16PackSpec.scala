@@ -139,6 +139,20 @@ class R16PackSpec extends AnyFunSuite {
     assert(merged === direct)
   }
 
+  test("packBinsFfdBy: group isolation + per-group FFD trace") {
+    // two langs, one sub-group: each lang runs its own classic FFD
+    val df = Seq(("en", 0L, 6L), ("en", 1L, 5L), ("en", 2L, 4L),
+      ("de", 3L, 6L), ("de", 4L, 5L))
+      .toDF("g", "doc_id", "n")
+    val out = TextOps.packBinsFfdBy(df, col("g"), col("n"), col("doc_id"),
+        10L, subGroups = 1)
+      .select("grp", "doc_id", "bin_in_group")
+      .as[(String, Long, Long)].collect().toSet
+    // en: 6->b0, 5->b1, 4->b0(=10); de: 6->b0, 5->b1
+    assert(out === Set(("en", 0L, 0L), ("en", 1L, 1L), ("en", 2L, 0L),
+      ("de", 3L, 0L), ("de", 4L, 1L)))
+  }
+
   test("hardNegativesIvf: equals brute hardNegatives when probes cover") {
     val e = (0L until 30L).map { i =>
       (i, Seq((math.cos(i * 0.7) * 2).toFloat, (math.sin(i * 0.7) * 2).toFloat,

@@ -95,6 +95,26 @@ object R16Props extends Properties("round16") {
         }
     }
 
+  property("PNG decode: EVERY single-byte corruption throws, never " +
+    "silently misreads") =
+    forAll(for {
+      w <- Gen.choose(2, 6); h <- Gen.choose(2, 6)
+      ct <- Gen.oneOf(0, 2); f <- Gen.choose(0, 4)
+      pos <- Gen.choose(0, 10000); bit <- Gen.choose(0, 7)
+    } yield (w, h, ct, f, pos, bit)) { case (w, h, ct, f, pos, bit) =>
+      val ok = graft.ops.ImageCodec.encodePng(w, h, (x, y) => {
+        val v = (x * 29 + y * 53 + 7) % 256; (v, v, v)
+      }, ct, f)
+      val bad = ok.clone()
+      val p = pos % ok.length
+      bad(p) = (bad(p) ^ (1 << bit)).toByte
+      // the signature check or a chunk CRC catches every flip — a codec
+      // that silently misreads any byte would poison every fingerprint
+      try { graft.ops.ImageCodec.decode(bad); false }
+      catch { case _: IllegalArgumentException => true
+              case _: Exception => true }
+    }
+
   private val labeledVecs = for {
     n <- Gen.choose(8, 40)
     k <- Gen.choose(1, 6)
