@@ -283,10 +283,199 @@ object ImageCodec {
     Raster(w, h, sums)
   }
 
+  // ---- GIF87a (LZW — the tier's third compression family) -----------------
+  //
+  // Written from the public GIF87a specification: logical screen
+  // descriptor, 256-entry grayscale global color table, image descriptor,
+  // and variable-width LZW with clear/EOI codes, little-endian bit
+  // packing, dictionary growth to 12 bits, and the KwKwK case.  Lossless,
+  // so the text-derived oracles replay features hash-exactly (same
+  // pattern as BMP/PPM/PNG).  GIF has no checksums — corruption safety is
+  // structural only (magic, bounds, sub-block walk); the PNG tier is the
+  // checksummed one.  Interlace and local color tables fail loudly.
+
+  /** 8-bit grayscale GIF87a: pixel (x, y) = palette index v(x, y) where
+    * the global table maps i → (i, i, i).  Real LZW compression (string
+    * table, not literal-only), so decode exercises dictionary hits. */
+  def encodeGif(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "bad dims")
+    val out = new java.io.ByteArrayOutputStream
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF87a".getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0xf7) // global table, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background, aspect
+    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    out.write(0x2c) // image descriptor
+    u16(0); u16(0); u16(w); u16(h)
+    out.write(0) // no local table, no interlace
+    out.write(8) // LZW minimum code size
+    // LZW: dictionary of pixel strings; codes 0..255 literals, 256 clear,
+    // 257 EOI; width grows when the NEXT code would not fit; at 4096 we
+    // emit clear and restart (the spec's standard overflow policy)
+    val bits = new java.io.ByteArrayOutputStream
+    var acc = 0L; var nAcc = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nAcc; nAcc += width
+      while (nAcc >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nAcc -= 8 }
+    }
+    // boxed key/value types: a Scala HashMap[Long, Int] would null-unbox
+    // a miss to 0 and `Int != null` is constant-true — every lookup would
+    // silently "hit" code 0
+    val dict = new java.util.HashMap[java.lang.Long, java.lang.Integer]()
+    var nextCode = 258
+    def resetDict(): Unit = { dict.clear(); nextCode = 258; width = 9 }
+    put(256) // initial clear
+    var prefix = -1
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = gray(x, y) & 0xff
+      if (prefix < 0) prefix = px
+      else {
+        val key = (prefix.toLong << 8) | px
+        val hit = dict.get(key)
+        if (hit ne null) prefix = hit.intValue()
+        else {
+          put(prefix)
+          dict.put(key, nextCode)
+          // width grows when the decoder's NEXT assignable code crosses
+          // a power of two (decoder adds its entry right after reading)
+          if (nextCode == (1 << width) && width < 12) width += 1
+          nextCode += 1
+          if (nextCode > 4095) { put(256); resetDict() }
+          prefix = px
+        }
+      }
+    }
+    if (prefix >= 0) put(prefix)
+    put(257) // EOI
+    if (nAcc > 0) bits.write((acc & 0xff).toInt)
+    val data = bits.toByteArray
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(255, data.length - off)
+      out.write(n); out.write(data, off, n); off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** [[grayFromBytes]], GIF container. */
+  def grayGif(w: Int, h: Int, src: Array[Byte]): Array[Byte] = {
+    require(src.nonEmpty, "empty source bytes")
+    encodeGif(w, h, (x, y) => src((y * w + x) % src.length) & 0xff)
+  }
+
+  private def decodeGif(b: Array[Byte]): Raster = {
+    require(b.length >= 13, "truncated GIF header")
+    val magic = new String(b, 0, 6, "US-ASCII")
+    require(magic == "GIF87a" || magic == "GIF89a", s"bad GIF magic $magic")
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    var p = 6
+    p += 4 // logical screen w/h (per-image descriptor is authoritative)
+    val packed = b(p) & 0xff; p += 3
+    val palette: Array[Int] =
+      if ((packed & 0x80) != 0) {
+        val n = 1 << ((packed & 7) + 1)
+        require(b.length >= p + 3 * n, "truncated GIF color table")
+        val pal = Array.tabulate(n) { i =>
+          (b(p + 3 * i) & 0xff) + (b(p + 3 * i + 1) & 0xff) +
+            (b(p + 3 * i + 2) & 0xff)
+        }
+        p += 3 * n
+        pal
+      } else throw new IllegalArgumentException(
+        "GIF without a global color table unsupported")
+    // walk blocks to the first image descriptor (skip 89a extensions)
+    while (p < b.length && (b(p) & 0xff) == 0x21) {
+      p += 2 // extension introducer + label
+      while ((b(p) & 0xff) != 0) p += 1 + (b(p) & 0xff)
+      p += 1
+    }
+    require(p < b.length && (b(p) & 0xff) == 0x2c, "GIF image descriptor missing")
+    val w = u16(p + 5); val h = u16(p + 7)
+    require(w > 0 && h > 0, s"bad GIF dims ${w}x$h")
+    val ipacked = b(p + 9) & 0xff
+    require((ipacked & 0x80) == 0, "GIF local color table unsupported")
+    require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
+    p += 10
+    val minCode = b(p) & 0xff; p += 1
+    require(minCode == 8, s"only 8-bit GIF palettes supported, got $minCode")
+    // concatenate LZW sub-blocks
+    val z = new java.io.ByteArrayOutputStream
+    while (p < b.length && (b(p) & 0xff) != 0) {
+      val n = b(p) & 0xff
+      require(b.length >= p + 1 + n, "truncated GIF data sub-block")
+      z.write(b, p + 1, n); p += 1 + n
+    }
+    require(p < b.length, "GIF data blocks unterminated")
+    val data = z.toByteArray
+    // LZW decode
+    val clear = 256; val eoi = 257
+    val px = new Array[Int](w * h)
+    var nPx = 0
+    var width = 9
+    var acc = 0L; var nAcc = 0; var dp = 0
+    // dictionary: entries as (prefix code, last byte); literals implicit
+    val prefixOf = new Array[Int](4096); val byteOf = new Array[Int](4096)
+    var nextCode = 258
+    def emit(code: Int): Int = { // writes the string of `code`, returns first byte
+      if (code < 256) {
+        require(nPx < px.length, "GIF pixel overflow")
+        px(nPx) = code; nPx += 1; code
+      } else {
+        val first = emit(prefixOf(code))
+        require(nPx < px.length, "GIF pixel overflow")
+        px(nPx) = byteOf(code); nPx += 1
+        first
+      }
+    }
+    var prev = -1
+    var done = false
+    while (!done) {
+      while (nAcc < width && dp < data.length) {
+        acc |= (data(dp) & 0xff).toLong << nAcc; nAcc += 8; dp += 1
+      }
+      require(nAcc >= width, "truncated GIF LZW stream")
+      val code = (acc & ((1L << width) - 1)).toInt
+      acc >>= width; nAcc -= width
+      if (code == eoi) done = true
+      else if (code == clear) { nextCode = 258; width = 9; prev = -1 }
+      else {
+        require(code < nextCode || (code == nextCode && prev >= 0),
+          s"corrupt GIF LZW code $code")
+        if (prev < 0) { require(code < 256, "corrupt GIF first code"); emit(code) }
+        else {
+          val firstByte =
+            if (code < nextCode) emit(code)
+            else { // KwKwK: string = prev's string + its first byte
+              val f = emit(prev)
+              require(nPx < px.length, "GIF pixel overflow")
+              px(nPx) = f; nPx += 1; f
+            }
+          if (nextCode < 4096) {
+            prefixOf(nextCode) = prev; byteOf(nextCode) = firstByte
+            // widen ONE entry before the encoder's id boundary: the
+            // decoder creates entry k−1 while processing emission E_k
+            // (its table lags one code behind), so to read E_{2^w + 1}
+            // at the encoder's new width it must widen after assigning
+            // id 2^w − 1
+            if (nextCode + 1 == (1 << width) && width < 12) width += 1
+            nextCode += 1
+          }
+        }
+        prev = code
+      }
+    }
+    require(nPx == w * h, s"GIF pixel data short: $nPx of ${w * h}")
+    Raster(w, h, px.map(palette))
+  }
+
   // ---- decoder -----------------------------------------------------------
 
-  /** Sniff the magic and decode: BMP ("BM"), PPM ("P6"), or PNG.  Returns
-    * dims plus per-pixel integer r+g+b sums, top-down row-major. */
+  /** Sniff the magic and decode: BMP ("BM"), PPM ("P6"), PNG, or GIF.
+    * Returns dims plus per-pixel integer r+g+b sums, top-down row-major. */
   def decode(bytes: Array[Byte]): Raster = {
     require(bytes.length >= 2, "truncated image")
     if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) decodeBmp(bytes)
@@ -294,9 +483,11 @@ object ImageCodec {
       decodePpm(bytes)
     else if (bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte)
       decodePng(bytes)
+    else if (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte)
+      decodeGif(bytes)
     else throw new IllegalArgumentException(
       f"unknown image magic 0x${bytes(0)}%02x${bytes(1)}%02x " +
-        "(BMP, binary PPM, and PNG supported)")
+        "(BMP, binary PPM, PNG, and GIF supported)")
   }
 
   private def i32(b: Array[Byte], off: Int): Int =
