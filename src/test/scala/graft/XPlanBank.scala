@@ -31,7 +31,7 @@ object XPlanBank {
     "mm_real_ahash_banded", "mm_wav_ahash_banded",
     // r16 late additions: packing / hard-negative / PNG / composition tier
     "sim_hard_neg_ivf", "sim_hard_negatives", "text_pack_shelf",
-    "text_pack_ffd", "text_curriculum", "pipeline_sft_pack",
+    "text_pack_ffd", "text_curriculum", "pipeline_sft_pack", "mm_gif_ahash_banded",
     "pipeline_contrastive", "mm_png_ahash_banded", "emb_gram_merge")
 
   def main(args: Array[String]): Unit = {
