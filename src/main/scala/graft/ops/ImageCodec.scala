@@ -402,6 +402,10 @@ object ImageCodec {
     p += 10
     val minCode = b(p) & 0xff; p += 1
     require(minCode == 8, s"only 8-bit GIF palettes supported, got $minCode")
+    // 8-bit codes address 256 palette slots — a shorter declared table
+    // would make a legal literal index out of bounds
+    require(palette.length >= 256,
+      s"GIF color table too small (${palette.length}) for 8-bit codes")
     // concatenate LZW sub-blocks
     val z = new java.io.ByteArrayOutputStream
     while (p < b.length && (b(p) & 0xff) != 0) {
