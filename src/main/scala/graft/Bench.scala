@@ -21,6 +21,34 @@ object Bench {
     (math.rint(shuffled * 10000) / 10000.0,
       math.rint(population * 10000) / 10000.0)
   }
+  /** Isolated per-query mode — the reference's methodology (its harness
+    * times ONE config per process, benchmarks/utils.py:88-268) and the
+    * only way to distinguish a real regression from cache/run-order noise
+    * inside a contended 355-query JVM.  Invoked as
+    * `graft.Bench --only q1,q2[,...] [--reps N]`: fresh JVM, same warm-up,
+    * each named query timed `reps` times (default 3), min + all samples
+    * printed as one JSON line.  Never touches BENCH_FULL.json — the
+    * banked artifact stays the full-registry run. */
+  private def runOnly(spark: SparkSession, sfDir: String,
+      names: Seq[String], reps: Int): Unit = {
+    def s3(d: Double): String = (math.rint(d * 1000) / 1000.0).toString
+    val out = names.map { name =>
+      val fn = SparkEntry.queries.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown query: $name"))
+      val samples = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        try graft.core.CacheScope.release() catch { case _: Throwable => () }
+        (sec, rows)
+      }
+      val secs = samples.map(_._1)
+      s"\"$name\":{\"min\":${s3(secs.min)},\"samples\":[" +
+        secs.map(s3).mkString(",") + s"],\"rows\":${samples.head._2}}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"isolated","unit":"sec","reps":$reps,"queries":$out,"sf":"$sfDir"}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Contract: bench runs at local[32] unless explicitly overridden.
@@ -48,6 +76,15 @@ object Bench {
       // a broken warm-up silently shifts JIT/codegen cost onto the first
       // timed query and skews cross-round comparison — make it visible
       System.err.println(s"[bench] warm-up FAILED (timings will include JIT): $e")
+    }
+    val onlyIdx = args.indexOf("--only")
+    if (onlyIdx >= 0) {
+      val names = args(onlyIdx + 1).split(",").map(_.trim).filter(_.nonEmpty)
+      val repsIdx = args.indexOf("--reps")
+      val reps = if (repsIdx >= 0) args(repsIdx + 1).toInt else 3
+      runOnly(spark, sfDir, names.toIndexedSeq, reps)
+      spark.stop()
+      return
     }
     // name-sorted so per-query timings stay comparable across rounds even
     // as the query set grows (Map iteration order reshuffles per round)

@@ -293,11 +293,20 @@ object GraphOps {
     * wrong answer, and the oracle's fixed-round replay would diverge.
     * One bounded driver count per round (the convergence probe).
     *
+    * Dual-plan gate (the pageRank discipline): graphs at or under
+    * `maxDriverEdges` symmetric edges run the identical synchronized peel
+    * on the driver — one collect instead of maxRounds × (3 shuffles +
+    * checkpoint + count) materialization barriers, which dominate wall
+    * time on catalog-sized graphs.  Same rounds, same maxRounds
+    * enforcement, bit-equal result (R16KcoreSpec asserts agreement at
+    * the boundary).
+    *
     * Output: (v, degree) of the k-core, every degree ≥ k. */
   def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
-      maxRounds: Int = 8): DataFrame = {
+      maxRounds: Int = 8, maxDriverEdges: Long = 3000000L): DataFrame = {
     require(k >= 1, "k must be >= 1")
     require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = edges.sparkSession
     val e = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
       .where(col("a") =!= col("b"))
     // each round references the previous frontier TWICE (via keep), so
@@ -307,6 +316,35 @@ object GraphOps {
     var cur = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint(true)
     var nEdges = cur.count()
+    if (nEdges <= maxDriverEdges) {
+      // catalog-sized graphs run the IDENTICAL synchronized peel on the
+      // driver (the pageRank/kHopReachAuto dual-plan gate): up to 16
+      // distributed rounds × (3 shuffles + checkpoint + count) collapse
+      // into one collect.  Rounds stay synchronized and maxRounds stays
+      // enforced — the oracle replays exactly maxRounds rounds, so a
+      // driver peel that silently ran past the bound would diverge from
+      // it on non-converged inputs.  Spec asserts path agreement at the
+      // gate boundary (R16KcoreSpec).
+      var adj = cur.collect().map(r => (r.getLong(0), r.getLong(1)))
+      var n = adj.length
+      var round = 0
+      var converged = false
+      while (round < maxRounds && !converged) {
+        val deg = adj.groupBy(_._1).map { case (v, es) => v -> es.length }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = adj.filter(p => keep(p._1) && keep(p._2))
+        converged = next.length == n || next.isEmpty
+        adj = next
+        n = next.length
+        round += 1
+      }
+      require(converged,
+        s"kCore(k=$k) did not converge in $maxRounds rounds — raise " +
+          "maxRounds (the oracle replays exactly that many rounds)")
+      import spark.implicits._
+      return adj.groupBy(_._1).toSeq
+        .map { case (v, es) => (v, es.length.toLong) }.toDF("v", "degree")
+    }
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {

@@ -203,7 +203,9 @@ object ImageCodec {
     while (!sawEnd) {
       require(b.length >= p + 8, "truncated PNG chunk header")
       val len = java.nio.ByteBuffer.wrap(b, p, 4).getInt
-      require(len >= 0 && b.length >= p + 12 + len, "truncated PNG chunk")
+      // subtraction form: `p + 12 + len` overflows Int for crafted lens
+      // near 2^31, silently bypassing the addition-form bound
+      require(len >= 0 && len <= b.length - p - 12, "truncated PNG chunk")
       val typ = new String(b, p + 4, 4, "US-ASCII")
       val crc = java.nio.ByteBuffer.wrap(b, p + 8 + len, 4).getInt
       require(crc == crc32(b, p + 4, 4 + len),
@@ -390,7 +392,11 @@ object ImageCodec {
     // walk blocks to the first image descriptor (skip 89a extensions)
     while (p < b.length && (b(p) & 0xff) == 0x21) {
       p += 2 // extension introducer + label
-      while ((b(p) & 0xff) != 0) p += 1 + (b(p) & 0xff)
+      require(p < b.length, "truncated GIF extension")
+      while ((b(p) & 0xff) != 0) {
+        p += 1 + (b(p) & 0xff)
+        require(p < b.length, "truncated GIF extension")
+      }
       p += 1
     }
     require(p < b.length && (b(p) & 0xff) == 0x2c, "GIF image descriptor missing")

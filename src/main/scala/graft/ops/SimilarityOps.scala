@@ -66,14 +66,23 @@ object SimilarityOps {
     * side, one corpus scan, window keyed by query_id.  For corpus-sized
     * query sets compose the same filter-then-rank with [[knnJoinIvf]]'s
     * candidate generation instead (probe the index, filter label, rank). */
+  /** NULL-label guard shared by both hard-negative miners: `=!=` on a
+    * NULL label evaluates to NULL and the join would silently DROP the
+    * row — the repo's fail-loud contract (hdrHistogram, packBins*) says
+    * raise instead.  `raise_error` is NullType, so the `when` keeps the
+    * label's own type. */
+  private def guardedLabel(label: Column, who: String): Column =
+    when(label.isNull, raise_error(lit(s"$who: NULL label")))
+      .otherwise(label)
+
   def hardNegatives(corpus: DataFrame, vec: Column, id: Column,
       label: Column, queries: DataFrame, qvec: Column, qid: Column,
       qlabel: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val c = corpus.select(id.as("neighbor_id"), vec.as("cv"),
-      label.as("__nl"))
+      guardedLabel(label, "hardNegatives").as("__nl"))
     val q = queries.select(qid.as("query_id"), qvec.as("qv"),
-      qlabel.as("__ql"))
+      guardedLabel(qlabel, "hardNegatives").as("__ql"))
     val scored = c.join(broadcast(q),
         col("neighbor_id") =!= col("query_id") &&
           col("__nl") =!= col("__ql"))
@@ -105,13 +114,15 @@ object SimilarityOps {
       k: Int, nprobe: Int = 1): DataFrame = {
     require(k > 0 && nprobe > 0, "k and nprobe must be positive")
     val probes = flatProbes(queries.select(qid.cast("long").as("query_id"),
-      qvec.as("qv"), qlabel.as("__ql")), centroids, cvec, cid, nprobe)
+      qvec.as("qv"),
+      guardedLabel(qlabel, "hardNegativesIvf").as("__ql")),
+      centroids, cvec, cid, nprobe)
     val cells = ivfAssign(corpus, vec, id, centroids, cvec, cid)
       .select(col("vec_id").as("neighbor_id"),
         col("centroid_id").cast("long").as("centroid_id"))
     val rightCells = corpus
       .select(id.cast("long").as("neighbor_id"), vec.as("nv"),
-        label.as("__nl"))
+        guardedLabel(label, "hardNegativesIvf").as("__nl"))
       .join(cells, Seq("neighbor_id"))
     val scored = rightCells.join(probes, Seq("centroid_id"))
       .where(col("neighbor_id") =!= col("query_id") &&

@@ -41,10 +41,13 @@ object R16bQueries {
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))),
 
     // real-pixel near-dups: identical banded blocking as mm_ahash_banded,
-    // features from actual decoded rasters
+    // features from actual decoded rasters — read from the SHARED landed
+    // layout (Tables.nearDupPairs) rather than re-deriving: the pair
+    // graph is derived once per (JVM, dir) and every consumer (this
+    // query, graph_kcore) scans the bucketed table
     "mm_real_ahash_banded" -> ((s, dir) =>
-      MultimodalOps.aHashBandedPairs(realDecoded(s, dir), col("doc_id"),
-        bits = 16, bands = 4, maxHamming = 3)),
+      Tables.nearDupPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))),
 
     // real-pixel resize: the nearest-map pooling over decoded features
     "mm_real_resize" -> ((s, dir) =>

@@ -2,34 +2,28 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{GraphOps, ImageCodec, MultimodalOps}
+import graft.ops.GraphOps
 
 /** Round-16g: k-core decomposition over the REAL-pixel near-dup graph —
   * the dense-cluster extractor (template farms / spam rings are exactly
-  * the high-k cores of a near-duplicate graph).  Edges come from
-  * `mm_real_ahash_banded`'s pipeline (real codec → banded aHash pairs);
-  * k scales with the corpus (`max(9, n/125)`), the peel loop early-exits
-  * at its fixpoint, and the oracle replays a FIXED 16 rounds — peeling
-  * is monotone, so post-fixpoint rounds are no-ops and the two agree
-  * hash-exactly (the generated-CTE discipline of ml_kmeans_lloyd). */
+  * the high-k cores of a near-duplicate graph).  Edges are the SHARED
+  * near-dup pair layout ([[Tables.nearDupPairs]] — landed once per (JVM,
+  * dir), same discipline as the graph tier's coEdges; r16 derived the
+  * codec+pair graph inline here, which made this the bench's most
+  * expensive query); k scales with the corpus (`max(9, n/125)`), the
+  * peel loop early-exits at its fixpoint, and the oracle replays a FIXED
+  * 16 rounds — peeling is monotone, so post-fixpoint rounds are no-ops
+  * and the two agree hash-exactly (the generated-CTE discipline of
+  * ml_kmeans_lloyd). */
 object R16gQueries {
 
   private val MaxRounds = 16
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_kcore" -> ((s, dir) => {
-      val toImg = udf((id: Long, text: String) =>
-        ImageCodec.grayFromBytes(8, 8,
-        graft.ops.MultimodalOps.asciiBytes(text), id % 2 == 1))
-      val d = Tables.docs(s, dir)
-      val k = math.max(9L, d.count() / 125).toInt
-      val decoded = MultimodalOps.decodeWith(
-        d.withColumn("payload", toImg(col("doc_id"), col("text"))),
-        col("payload"), col("doc_id"), ImageCodec.kernel(4, 4)).toDF()
-      val pairs = MultimodalOps.aHashBandedPairs(decoded, col("doc_id"),
-        bits = 16, bands = 4, maxHamming = 3)
-      GraphOps.kCore(pairs, col("doc_a"), col("doc_b"), k,
-        maxRounds = MaxRounds)
+      val k = math.max(9L, Tables.docs(s, dir).count() / 125).toInt
+      GraphOps.kCore(Tables.nearDupPairs(s, dir), col("doc_a"),
+        col("doc_b"), k, maxRounds = MaxRounds)
     })
   )
 

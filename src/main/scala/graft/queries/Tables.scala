@@ -77,6 +77,43 @@ private[queries] object Tables {
   private val coEdgeLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
 
+  /** The REAL-pixel near-duplicate pair graph — the [[coEdges]] discipline
+    * applied to the codec tier: render→encode→decode every document
+    * through the real codecs ([[graft.ops.ImageCodec]]) and band-join the
+    * 16-bit aHashes ONCE per (JVM, dir), landed as a bucketed layout.
+    * Every consumer (`mm_real_ahash_banded`, `graph_kcore`, any future
+    * near-dup-graph query) scans the committed table instead of re-running
+    * the per-document decode UDF and the banded self-join — at 100 TB the
+    * derivation dominates each individual query and this amortizes it
+    * across the tier.  Build seconds are recorded via [[IndexBuilds.once]]
+    * so Bench reports them as `index_build_s`, not query time.
+    *
+    * Columns: (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ 3. */
+  def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    val tbl = "graft_neardup_pairs_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40).toLowerCase +
+      "_" + digest
+    IndexBuilds.once(s"layout_neardup_pairs@$dir") {
+      val toImg = udf((id: Long, text: String) =>
+        graft.ops.ImageCodec.grayFromBytes(8, 8,
+          graft.ops.MultimodalOps.asciiBytes(text), id % 2 == 1))
+      val decoded = graft.ops.MultimodalOps.decodeWith(
+        docs(s, dir).withColumn("payload",
+          toImg(col("doc_id"), col("text"))),
+        col("payload"), col("doc_id"),
+        graft.ops.ImageCodec.kernel(4, 4)).toDF()
+      val pairs = graft.ops.MultimodalOps.aHashBandedPairs(decoded,
+        col("doc_id"), bits = 16, bands = 4, maxHamming = 3)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.ops.LayoutOps.writeBucketed(pairs, "doc_a", 8, tbl,
+        s"$wh/graft_layout/$tbl")
+    }
+    s.table(tbl)
+  }
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")

@@ -60,6 +60,18 @@ class R16GifSpec extends AnyFunSuite {
     spliced(4) = '9'.toByte // GIF89a
     val a = ImageCodec.decode(spliced)
     assert(a.lumaSum3.toSeq === ImageCodec.decode(ok).lumaSum3.toSeq)
+
+    // an extension TRUNCATED mid-sub-block must fail with the codec's
+    // descriptive require, not a raw ArrayIndexOutOfBoundsException
+    // (the sub-block walk bounds-checks every introducer byte)
+    val truncated = spliced.take(head + 2)           // introducer + label only
+    val exA = intercept[IllegalArgumentException] {
+      ImageCodec.decode(truncated) }
+    assert(exA.getMessage.contains("truncated GIF extension"))
+    val midBlock = spliced.take(head + 8)            // cut inside the sub-block
+    val exB = intercept[IllegalArgumentException] {
+      ImageCodec.decode(midBlock) }
+    assert(exB.getMessage.contains("truncated GIF extension"))
   }
 
   test("grayGif matches grayFromBytes pixel map") {

@@ -40,17 +40,47 @@ class R16KcoreSpec extends AnyFunSuite {
     assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
   }
 
-  test("non-convergence within maxRounds fails loudly") {
+  test("non-convergence within maxRounds fails loudly — BOTH paths") {
     // a 12-vertex path peels one layer per round from each end: 1-core
     // converges round 1, but k=2 peels the whole path over ~6 rounds —
-    // maxRounds=2 must refuse rather than return a half-peeled graph
+    // maxRounds=2 must refuse rather than return a half-peeled graph.
+    // The driver gate must NOT relax this: the oracle replays exactly
+    // maxRounds rounds, so both plans enforce the same bound.
     val path = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalArgumentException] {
       GraphOps.kCore(path, col("a"), col("b"), k = 2, maxRounds = 2)
         .collect()
     }
+    intercept[IllegalArgumentException] {
+      GraphOps.kCore(path, col("a"), col("b"), k = 2, maxRounds = 2,
+        maxDriverEdges = 0L).collect()
+    }
     // and with enough rounds the 2-core of a path is empty
     assert(GraphOps.kCore(path, col("a"), col("b"), k = 2, maxRounds = 8)
       .collect().isEmpty)
+  }
+
+  test("driver and distributed peels agree bit-for-bit at the boundary") {
+    // pseudo-random 23-vertex graph: driver path (default gate) vs the
+    // distributed loop (gate forced off) must produce the identical
+    // (v, degree) map — the pageRank dual-plan agreement discipline
+    val edges = (1 to 80).map(i => ((i * 7L) % 23, (i * 11L) % 23))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    for (k <- Seq(2, 3, 5)) {
+      val driver = GraphOps.kCore(edges, col("a"), col("b"), k,
+        maxRounds = 16).as[(Long, Long)].collect().toMap
+      val dist = GraphOps.kCore(edges, col("a"), col("b"), k,
+        maxRounds = 16, maxDriverEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(driver == dist, s"k=$k paths diverge")
+    }
+  }
+
+  test("distributed path still passes the planted fixtures") {
+    val out = GraphOps.kCore(fixture, col("a"), col("b"), k = 3,
+      maxDriverEdges = 0L).as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    assert(GraphOps.kCore(fixture, col("a"), col("b"), k = 4,
+      maxDriverEdges = 0L).collect().isEmpty)
   }
 }
