@@ -21,6 +21,31 @@ object Bench {
     (math.rint(shuffled * 10000) / 10000.0,
       math.rint(population * 10000) / 10000.0)
   }
+  /** Samples/sec through the ASYNC prefetched driver sink (S6) — the
+    * measured counterpart of the reference's `prefetch_factor` pipelining
+    * claim (reference README.md:156-164): one full epoch of batches
+    * drained through [[graft.core.ScDataset.toBatchesPrefetched]], samples
+    * counted from each batch row's `n`.  Min-of-2 like the other
+    * throughput headliners (sub-second runs swing on scheduler noise). */
+  private def prefetchThroughput(spark: SparkSession,
+      sfDir: String): (Double, Long) = {
+    val c = ScCollection.fromParquet(spark, s"$sfDir/customer.parquet",
+      Seq("c_custkey"), Seq("c_mktsegment"))
+    val ds = ScDataset(c, BlockShuffling(blockSize = 1024), batchSize = 64,
+      seed = 42L)
+    def run(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val it = ds.toBatchesPrefetched(0, Seq("c_mktsegment"))
+      var n = 0L
+      try { while (it.hasNext) n += it.next().getAs[Long]("n") }
+      finally it.close()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val a = run()
+    val b = run()
+    if (b._1 < a._1) b else a
+  }
+
   /** Isolated per-query mode — the reference's methodology (its harness
     * times ONE config per process, benchmarks/utils.py:88-268) and the
     * only way to distinguish a real regression from cache/run-order noise
@@ -172,7 +197,16 @@ object Bench {
       .flatMap(k => rmap.get(k).collect {
         case (sec, rows) if rows > 0 && sec > 0 =>
           s"\"" + k + "\":" + math.round(rows / sec)
-      }).mkString("{", ",", "}")
+      })
+      .appendedAll(
+        try {
+          val (sec, n) = prefetchThroughput(spark, sfDir)
+          Seq("\"s6_prefetched_sink\":" + math.round(n / sec))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] prefetch throughput FAILED: $e")
+          Seq.empty
+        })
+      .mkString("{", ",", "}")
     val ent = try {
       val (sh, pop) = batchEntropy(spark, sfDir)
       s"""{"block1024_bs64":$sh,"population":$pop}"""

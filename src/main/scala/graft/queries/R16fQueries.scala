@@ -20,6 +20,14 @@ object R16fQueries {
         col("n_chars"), subBits = 4,
         quantiles = Seq((1, 2), (9, 10), (1, 1)))),
 
+    // the per-group HISTOGRAM itself (not just its quantiles) — the
+    // dashboard primitive: one shuffle whose payload is the (group ×
+    // bucket) grid, corpus-size-independent.  hdrHistogramBy was
+    // previously reachable only through hdrQuantilesBy (r16 verdict #7)
+    "sketch_hdr_hist_by_lang" -> ((s, dir) =>
+      SketchOps.hdrHistogramBy(Tables.docs(s, dir), col("lang"),
+        col("n_chars"), subBits = 4)),
+
     // sketch-driven gate: clip docs outside the [p5 bucket lb, p95
     // bucket ub] length band — the trim-the-tails step, with the bounds
     // COMPUTED by the quantile sketch inside the same plan (broadcast
@@ -95,6 +103,8 @@ object R16fQueries {
       |  FROM est)""".stripMargin
 
   def oracles: Map[String, String] = Map(
+
+    "sketch_hdr_hist_by_lang" -> GroupedBuckets,
 
     "sketch_hdr_by_lang" ->
       s"""WITH g AS ($GroupedBuckets),
