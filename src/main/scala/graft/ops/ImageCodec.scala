@@ -495,9 +495,11 @@ object ImageCodec {
       decodePng(bytes)
     else if (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte)
       decodeGif(bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      JpegCodec.decode(bytes) // the LOSSY tier (baseline sequential)
     else throw new IllegalArgumentException(
       f"unknown image magic 0x${bytes(0)}%02x${bytes(1)}%02x " +
-        "(BMP, binary PPM, PNG, and GIF supported)")
+        "(BMP, binary PPM, PNG, GIF, and baseline JPEG supported)")
   }
 
   private def i32(b: Array[Byte], off: Int): Int =

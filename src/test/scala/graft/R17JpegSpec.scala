@@ -1,0 +1,160 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{ImageCodec, JpegCodec, MultimodalOps}
+
+/** Baseline-JPEG codec fixtures — the R16PngSpec shape for the first
+  * LOSSY tier: round-trip TOLERANCE (not hash-exactness: post-DCT the
+  * encoder's quantization moves pixels), DC-only exactness, structural
+  * fail-loud shapes, and corruption TOTALITY.  JPEG has no CRC, so the
+  * PNG "every byte flip throws" property cannot hold — a flipped entropy
+  * bit is legal data that decodes to different pixels; the JPEG totality
+  * contract is weaker and stated exactly: every single-byte flip either
+  * decodes to a well-formed raster or throws the codec's
+  * IllegalArgumentException, never an uncontrolled error. */
+class R17JpegSpec extends AnyFunSuite {
+
+  private def roundTrip(w: Int, h: Int, f: (Int, Int) => Int,
+      q: Int): (ImageCodec.Raster, Int) = {
+    val r = JpegCodec.decode(JpegCodec.encode(w, h, f, q))
+    assert(r.width == w && r.height == h)
+    var m = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val d = math.abs(r.lumaSum3(y * w + x) / 3 - f(x, y))
+      if (d > m) m = d
+    }
+    (r, m)
+  }
+
+  test("zigzag order matches the published T.81 scan sequence") {
+    val std = Array(0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28, 35, 42,
+      49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51, 58, 59, 52, 45,
+      38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    assert(JpegCodec.ZigZag.toSeq == std.toSeq)
+  }
+
+  test("uniform images round-trip exactly (DC-only blocks)") {
+    // exactness needs the DC quant step ≤ 8: the DC coefficient is
+    // 8·(v−128), so dequantized error ≤ step/2 → ≤ step/16 < 0.5 px.
+    // q90's step is 3, q75's is 8; q50's is 16 and can be off by 1.
+    for (v <- Seq(0, 7, 128, 200, 255); q <- Seq(75, 90, 95)) {
+      val (_, err) = roundTrip(8, 8, (_, _) => v, q)
+      assert(err == 0, s"uniform $v at q$q: err $err")
+    }
+    for (v <- Seq(0, 7, 200)) {
+      val (_, err) = roundTrip(8, 8, (_, _) => v, 50)
+      assert(err <= 1, s"uniform $v at q50: err $err")
+    }
+  }
+
+  test("round-trip error stays within the quality bound, incl. edge blocks") {
+    val fixtures: Seq[(Int, Int, (Int, Int) => Int)] = Seq(
+      (8, 8, (x, y) => (x * 32 + y * 4) % 256),
+      (8, 8, (x, y) => if ((x + y) % 2 == 0) 0 else 255), // worst high-freq
+      (16, 12, (x, y) => ((x * 37 + y * 91 + 13) * 31) % 256), // non-multiple-of-8
+      (24, 8, (x, y) => (x * x + y * 17) % 256),
+      (8, 8, (x, y) => {
+        val s = MultimodalOps.asciiBytes(
+          "The quick brown fox jumps over the lazy dog 0123456789")
+        s((y * 8 + x) % s.length) & 0xff
+      }))
+    for ((w, h, f) <- fixtures; q <- Seq(75, 90, 95)) {
+      val bound = JpegCodec.pixelErrorBound(q)
+      val (_, err) = roundTrip(w, h, f, q)
+      assert(err <= bound, s"${w}x$h at q$q: err $err > bound $bound")
+      // and the corpus gauge constant holds at its quality
+      if (q == 90) assert(err <= 32, s"${w}x$h at q90: err $err > gauge 32")
+    }
+  }
+
+  test("identical inputs give identical bytes — the hamming-0 invariant") {
+    val src = MultimodalOps.asciiBytes("same text same raster")
+    val a = JpegCodec.grayJpeg(8, 8, src)
+    val b = JpegCodec.grayJpeg(8, 8, src)
+    assert(java.util.Arrays.equals(a, b))
+  }
+
+  test("byte stuffing round-trips (a sweep that emits 0xFF scan bytes)") {
+    // 50 deterministic pseudo-random images: with ~1/256 odds per scan
+    // byte, the sweep exercises the FF→FF00 stuff/unstuff path many
+    // times; a stuffing bug would corrupt the bit stream and blow the
+    // error bound (or throw)
+    var sawStuffed = false
+    for (i <- 1 to 50) {
+      val f = (x: Int, y: Int) =>
+        (((x * 2654435761L + y * 40503L + i * 97L) >>> 7) % 256).toInt
+      val enc = JpegCodec.encode(16, 16, f, 90)
+      // any FF00 after SOS is a stuffed data byte (FF00 never occurs in
+      // the marker segments our encoder writes)
+      if (enc.sliding(2).exists(p => (p(0) & 0xff) == 0xff && p(1) == 0))
+        sawStuffed = true
+      val bound = JpegCodec.pixelErrorBound(90)
+      val r = JpegCodec.decode(enc)
+      for (y <- 0 until 16; x <- 0 until 16)
+        assert(math.abs(r.lumaSum3(y * 16 + x) / 3 - f(x, y)) <= bound)
+    }
+    assert(sawStuffed, "sweep never emitted a stuffed FF — not exercised")
+  }
+
+  test("structural corruption fails loudly with descriptive errors") {
+    val ok = JpegCodec.encode(8, 8, (x, y) => (x * 5 + y * 11) % 256, 90)
+    // truncation at EVERY prefix length: loud, never uncontrolled
+    for (n <- 2 until ok.length) {
+      val ex = intercept[IllegalArgumentException] {
+        JpegCodec.decode(java.util.Arrays.copyOf(ok, n))
+      }
+      assert(ex.getMessage != null)
+    }
+    // bad signature
+    intercept[IllegalArgumentException] {
+      JpegCodec.decode(Array[Byte](0, 1, 2, 3)) }
+    // progressive SOF2 rejected by name
+    val prog = ok.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    val ex2 = intercept[IllegalArgumentException] { JpegCodec.decode(prog) }
+    assert(ex2.getMessage.contains("progressive"))
+    // arithmetic coding rejected by name
+    val arith = ok.clone(); arith(sofAt + 1) = 0xc9.toByte
+    val ex3 = intercept[IllegalArgumentException] { JpegCodec.decode(arith) }
+    assert(ex3.getMessage.contains("unsupported"))
+  }
+
+  test("corruption totality: every single-byte flip is controlled") {
+    val ok = JpegCodec.encode(8, 8, (x, y) => (x * 29 + y * 53) % 256, 90)
+    for (i <- ok.indices) {
+      val bad = ok.clone()
+      bad(i) = (bad(i) ^ 0x55).toByte
+      try {
+        val r = JpegCodec.decode(bad)
+        // decoded without error: must still be a well-formed raster
+        assert(r.width > 0 && r.height > 0 &&
+          r.lumaSum3.length == r.width * r.height)
+      } catch {
+        case _: IllegalArgumentException => () // the codec's loud path
+        case e: Throwable =>
+          fail(s"flip at $i escaped the codec's error contract: $e")
+      }
+    }
+  }
+
+  test("ImageCodec.decode dispatches FFD8 to the JPEG decoder") {
+    val src = MultimodalOps.asciiBytes("dispatch me")
+    val viaDispatch = ImageCodec.decode(JpegCodec.grayJpeg(8, 8, src))
+    val direct = JpegCodec.decode(JpegCodec.grayJpeg(8, 8, src))
+    assert(viaDispatch.lumaSum3.toSeq == direct.lumaSum3.toSeq)
+  }
+
+  test("restart intervals and multi-component scans are rejected") {
+    // splice a DRI(interval=4) segment before SOS
+    val ok = JpegCodec.encode(8, 8, (x, y) => (x + y * 8) % 256, 90)
+    val sosAt = (0 until ok.length - 1).find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xda).get
+    val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x04).map(_.toByte)
+    val spliced = ok.take(sosAt) ++ dri ++ ok.drop(sosAt)
+    val ex = intercept[IllegalArgumentException] { JpegCodec.decode(spliced) }
+    assert(ex.getMessage.contains("restart"))
+  }
+}
