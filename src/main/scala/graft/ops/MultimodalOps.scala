@@ -82,11 +82,16 @@ object MultimodalOps {
     val n = size(features)
     val mean = aggregate(features, lit(0.0),
       (a, x) => a + x) / n.cast("double")
+    // integer shift + bitwise OR, not pow(2,j) double sums: doubles stop
+    // being exact past bit 52 and the cast to long overflows at bit 63,
+    // capping the hash at 16–32 usable bits; this form is exact for the
+    // full 64 (identical values for every narrower width)
     aggregate(
       zip_with(features, sequence(lit(0), n - 1),
-        (f, j) => when(f > mean, pow(lit(2.0), j.cast("double")))
-          .otherwise(lit(0.0))),
-      lit(0.0), (a, x) => a + x).cast("long")
+        (f, j) => when(f > mean,
+          call_function("shiftleft", lit(1L), j.cast("int")))
+          .otherwise(lit(0L))),
+      lit(0L), (a, x) => a.bitwiseOR(x))
   }
 
   /** Media near-duplicate pairs by identical aHash: the bucket join of the
