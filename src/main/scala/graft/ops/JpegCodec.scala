@@ -398,7 +398,9 @@ object JpegCodec {
           "arithmetic-coded JPEG unsupported")
         case 0xdb => // DQT (possibly several tables in one segment)
           val len = u16(p)
-          require(p + len <= b.length, "truncated DQT")
+          // len < 2 would stop `p` advancing — a crafted header must
+          // fail loudly, not hang the decoder
+          require(len >= 2 && p + len <= b.length, "truncated DQT")
           var q = p + 2
           while (q < p + len) {
             val pqtq = b(q) & 0xff
@@ -414,7 +416,7 @@ object JpegCodec {
           p += len
         case 0xc4 => // DHT (possibly several tables)
           val len = u16(p)
-          require(p + len <= b.length, "truncated DHT")
+          require(len >= 2 && p + len <= b.length, "truncated DHT")
           var q = p + 2
           while (q < p + len) {
             val tcth = b(q) & 0xff
@@ -432,7 +434,7 @@ object JpegCodec {
           p += len
         case 0xdd =>
           val len = u16(p)
-          require(p + len <= b.length, "truncated DRI")
+          require(len == 4 && p + len <= b.length, "truncated DRI")
           require(u16(p + 2) == 0, "JPEG restart intervals unsupported")
           p += len
         case 0xda => // SOS

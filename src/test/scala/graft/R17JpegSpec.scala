@@ -120,6 +120,15 @@ class R17JpegSpec extends AnyFunSuite {
     val arith = ok.clone(); arith(sofAt + 1) = 0xc9.toByte
     val ex3 = intercept[IllegalArgumentException] { JpegCodec.decode(arith) }
     assert(ex3.getMessage.contains("unsupported"))
+    // a crafted segment length < 2 must fail loudly, not loop forever
+    // (len < 2 would stop the marker-walk cursor from advancing)
+    val dqtAt = (0 until ok.length - 1).find(i =>
+      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xdb).get
+    val shortLen = ok.clone()
+    shortLen(dqtAt + 2) = 0; shortLen(dqtAt + 3) = 1
+    val ex4 = intercept[IllegalArgumentException] {
+      JpegCodec.decode(shortLen) }
+    assert(ex4.getMessage.contains("DQT"))
   }
 
   test("corruption totality: every single-byte flip is controlled") {

@@ -32,7 +32,13 @@ object XPlanBank {
     // r16 late additions: packing / hard-negative / PNG / composition tier
     "sim_hard_neg_ivf", "sim_hard_negatives", "text_pack_shelf",
     "text_pack_ffd", "text_curriculum", "pipeline_sft_pack", "mm_gif_ahash_banded",
-    "pipeline_contrastive", "mm_png_ahash_banded", "emb_gram_merge")
+    "pipeline_contrastive", "mm_png_ahash_banded", "emb_gram_merge",
+    // r17 additions: the re-planned kcore (shared layout + driver-gated
+    // peel: the census row shows the final assembly over the landed pair
+    // table — the bench's formerly most expensive query, now diffable),
+    // the lossy JPEG tier, the per-group HDR histogram
+    "graph_kcore", "mm_jpeg_decode", "mm_jpeg_ahash_banded",
+    "sketch_hdr_hist_by_lang")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
