@@ -1,29 +1,30 @@
 package graft.ops
 
-/** Dependency-free BASELINE SEQUENTIAL JPEG codec (grayscale, one
-  * component), written from the public JPEG specification (ITU-T T.81:
-  * marker grammar, Annex K example quantization/Huffman tables, the
-  * DECODE/RECEIVE/EXTEND procedures of §F.2.2) and the JFIF container
-  * note.  This is the tier's first LOSSY codec: encode→decode is exact
-  * for DC-only content but inexact in general (quantized DCT), so its
-  * oracle queries are TOLERANCE/INVARIANT gauges rather than the
+/** Dependency-free BASELINE SEQUENTIAL JPEG codec, written from the
+  * public JPEG specification (ITU-T T.81: marker grammar, Annex K
+  * example quantization/Huffman tables, the DECODE/RECEIVE/EXTEND
+  * procedures of §F.2.2) and the JFIF container note (BT.601 full-range
+  * YCbCr).  This is the tier's first LOSSY codec: encode→decode is
+  * exact for DC-only content but inexact in general (quantized DCT), so
+  * its oracle queries are TOLERANCE/INVARIANT gauges rather than the
   * hash-exact text replays the five lossless codecs use — per-pixel
   * |error| bounded by a quality-derived constant, and exact-duplicate
   * inputs (identical bytes ⇒ identical decode) must still pair at
   * hamming 0 through the banded-aHash stage.
   *
-  * Supported: baseline DCT (SOF0), 8-bit, single component, 1×1
-  * sampling, no restart intervals.  Everything else — progressive
-  * (SOF2), arithmetic coding, multi-component scans, 12-bit precision,
-  * DRI≠0 — fails loudly with a descriptive message: a decoder silently
-  * misreading entropy-coded data would poison every downstream
-  * fingerprint (the ImageCodec fail-loud contract).
+  * Supported: baseline DCT (SOF0), 8-bit, GRAYSCALE (1 component) and
+  * COLOR (3-component interleaved YCbCr, 4:4:4 — every component 1×1),
+  * restart intervals (DRI + RSTn cycling, with the marker-sequence
+  * check).  Everything else — progressive (SOF2), arithmetic coding,
+  * chroma subsampling (4:2:0/4:2:2), 12-bit precision — fails loudly
+  * with a descriptive message: a decoder silently misreading
+  * entropy-coded data would poison every downstream fingerprint (the
+  * ImageCodec fail-loud contract).
   */
 object JpegCodec {
 
-  // ---- Annex K.1: luminance quantization table (zigzag-NATURAL order,
-  //      row-major 8×8) ----
-  private val BaseQuant: Array[Int] = Array(
+  // ---- Annex K.1/K.2: example quantization tables (row-major 8×8) ----
+  private val BaseQuantLuma: Array[Int] = Array(
     16, 11, 10, 16, 24, 40, 51, 61,
     12, 12, 14, 19, 26, 58, 60, 55,
     14, 13, 16, 24, 40, 57, 69, 56,
@@ -33,15 +34,23 @@ object JpegCodec {
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99)
 
+  private val BaseQuantChroma: Array[Int] = Array(
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99)
+
   /** libjpeg's quality→scale mapping (public IJG convention): q<50 ⇒
     * 5000/q, else 200−2q; each entry (base·scale+50)/100 clamped to
     * [1,255]. */
-  private def scaledQuant(quality: Int): Array[Int] = {
+  private def scaledQuant(quality: Int, base: Array[Int]): Array[Int] = {
     require(quality >= 1 && quality <= 100, s"quality $quality out of [1,100]")
     val scale = if (quality < 50) 5000 / quality else 200 - 2 * quality
-    BaseQuant.map { b =>
-      math.min(255, math.max(1, (b * scale + 50) / 100))
-    }
+    base.map(b => math.min(255, math.max(1, (b * scale + 50) / 100)))
   }
 
   // ---- zigzag order: ZigZag(i) = natural (row-major) index of the i-th
@@ -60,13 +69,15 @@ object JpegCodec {
     out
   }
 
-  // ---- Annex K.3.3: typical Huffman tables for luminance ----
+  // ---- Annex K.3.3: typical Huffman tables (luminance + chrominance) --
   // BITS = number of codes of each length 1..16; HUFFVAL = symbols in
   // code order.
-  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
-  private val DcVals = (0 to 11).map(_.toByte).toArray
-  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
-  private val AcVals: Array[Byte] = Array(
+  private val DcLumaBits =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumaVals = (0 to 11).map(_.toByte).toArray
+  private val AcLumaBits =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumaVals: Array[Byte] = Array(
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
@@ -87,6 +98,34 @@ object JpegCodec {
     0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
     0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
     0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa).map(_.toByte)
+
+  private val DcChromaBits =
+    Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val DcChromaVals = (0 to 11).map(_.toByte).toArray
+  private val AcChromaBits =
+    Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val AcChromaVals: Array[Byte] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0,
+    0x15, 0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34,
+    0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3,
+    0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2,
+    0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9,
+    0xea, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
     0xf9, 0xfa).map(_.toByte)
 
   /** Canonical Huffman code assignment (spec §C.2): codes of each length
@@ -214,7 +253,9 @@ object JpegCodec {
       acc = 0
       nBits = 0
     }
-    /** pad the final partial byte with 1-bits (spec: fill with 1s). */
+    /** pad the final partial byte with 1-bits (spec: fill with 1s);
+      * leaves the writer clean, so entropy coding may resume after a
+      * restart marker. */
     def finish(): Unit =
       if (nBits > 0) { acc = (acc << (8 - nBits)) | ((1 << (8 - nBits)) - 1); nBits = 8; flushByte() }
   }
@@ -245,20 +286,43 @@ object JpegCodec {
   private def extend(v: Int, s: Int): Int =
     if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
-  private def bitSize(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+  private def bitSize(v: Int): Int =
+    32 - Integer.numberOfLeadingZeros(math.abs(v))
 
-  // ---- encoder ----
+  // ---- BT.601 full-range YCbCr (the JFIF convention) ----
+  private def clamp255(v: Double): Int =
+    math.max(0, math.min(255, math.round(v).toInt))
 
-  /** Baseline grayscale JPEG: SOI, JFIF APP0, DQT (quality-scaled K.1),
-    * SOF0 (8-bit, one component, 1×1), DHT (K.3.3 DC+AC), SOS, entropy
-    * data, EOI.  `gray(x, y)` is top-down row-major 0..255; edge blocks
-    * replicate the last row/column (the standard edge-extension). */
-  def encode(w: Int, h: Int, gray: (Int, Int) => Int,
-      quality: Int = 90): Array[Byte] = {
+  private def rgbToYcc(r: Int, g: Int, b: Int): (Int, Int, Int) = (
+    clamp255(0.299 * r + 0.587 * g + 0.114 * b),
+    clamp255(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0),
+    clamp255(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0))
+
+  private def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = (
+    clamp255(y + 1.402 * (cr - 128)),
+    clamp255(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)),
+    clamp255(y + 1.772 * (cb - 128)))
+
+  // ---- encoder --------------------------------------------------------
+
+  /** One component's encoding setup: a sampled plane + its table ids. */
+  private final case class EncComp(plane: (Int, Int) => Int, quantId: Int,
+      dcTable: Map[Int, (Int, Int)], acTable: Map[Int, (Int, Int)])
+
+  /** Shared interleaved-scan engine for 1 (gray) or 3 (YCbCr 4:4:4)
+    * components: every component 1×1, so an MCU is one 8×8 block per
+    * component at the same tile.  `restartInterval` > 0 emits DRI and a
+    * cycling RSTn every that-many MCUs (DC predictors reset, bit stream
+    * byte-aligned) — the error-resilience machinery real encoders use. */
+  private def encodeInterleaved(w: Int, h: Int, comps: Seq[EncComp],
+      quality: Int, restartInterval: Int): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dims")
-    val quant = scaledQuant(quality)
-    val dcEnc = buildEncodeTable(DcBits, DcVals)
-    val acEnc = buildEncodeTable(AcBits, AcVals)
+    require(restartInterval >= 0 && restartInterval <= 65535,
+      "bad restart interval")
+    val nc = comps.length
+    require(nc == 1 || nc == 3, s"unsupported component count $nc")
+    val quants = Array(scaledQuant(quality, BaseQuantLuma),
+      scaledQuant(quality, BaseQuantChroma))
     val out = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Byte]): Unit = {
@@ -268,76 +332,147 @@ object JpegCodec {
       out.write(payload, 0, payload.length)
     }
     marker(0xd8) // SOI
-    seg(0xe0, "JFIF ".getBytes("US-ASCII") ++
+    seg(0xe0, "JFIF ".getBytes("US-ASCII") ++
       Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0)) // v1.1, no density/thumb
-    seg(0xdb, Array[Byte](0) ++ // Pq=0 (8-bit), Tq=0; entries in ZIGZAG order
-      ZigZag.map(n => quant(n).toByte))
+    // DQT: table 0 always; table 1 only when a component references it
+    val usedQ = comps.map(_.quantId).distinct.sorted
+    seg(0xdb, usedQ.toArray.flatMap(qid =>
+      Array(qid.toByte) ++ ZigZag.map(n => quants(qid)(n).toByte)))
     seg(0xc0, Array[Byte](8, // precision
       ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
       ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
-      1, // one component
-      1, 0x11, 0)) // id=1, sampling 1×1, quant table 0
-    seg(0xc4, Array[Byte](0x00) ++ DcBits.map(_.toByte) ++ DcVals) // DC class
-    seg(0xc4, Array[Byte](0x10) ++ AcBits.map(_.toByte) ++ AcVals) // AC class
-    seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // one comp, DC0/AC0, full spectral
+      nc.toByte) ++
+      comps.zipWithIndex.flatMap { case (c, i) =>
+        Array((i + 1).toByte, 0x11.toByte, c.quantId.toByte) })
+    // DHT: luma pair always; chroma pair only for color
+    seg(0xc4, Array[Byte](0x00) ++ DcLumaBits.map(_.toByte) ++ DcLumaVals)
+    seg(0xc4, Array[Byte](0x10) ++ AcLumaBits.map(_.toByte) ++ AcLumaVals)
+    if (nc == 3) {
+      seg(0xc4, Array[Byte](0x01) ++ DcChromaBits.map(_.toByte) ++
+        DcChromaVals)
+      seg(0xc4, Array[Byte](0x11) ++ AcChromaBits.map(_.toByte) ++
+        AcChromaVals)
+    }
+    if (restartInterval > 0)
+      seg(0xdd, Array[Byte](((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
+    seg(0xda, Array[Byte](nc.toByte) ++
+      comps.zipWithIndex.flatMap { case (c, i) =>
+        // DC/AC table id = quant id by construction (0 luma, 1 chroma)
+        Array((i + 1).toByte, ((c.quantId << 4) | c.quantId).toByte) } ++
+      Array[Byte](0, 63, 0))
     val bw = new BitWriter(out)
-    var prevDc = 0
+    val prevDc = new Array[Int](nc)
     val blocksY = (h + 7) / 8
     val blocksX = (w + 7) / 8
     val block = new Array[Double](64)
+    var mcu = 0
+    var rst = 0
     for (by <- 0 until blocksY; bx <- 0 until blocksX) {
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          val px = math.min(w - 1, bx * 8 + x)
-          val py = math.min(h - 1, by * 8 + y)
-          val v = gray(px, py)
-          require(v >= 0 && v <= 255, s"gray($px,$py)=$v out of [0,255]")
-          block(y * 8 + x) = v - 128.0
-          x += 1
-        }
-        y += 1
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw.finish()
+        marker(0xd0 + rst)
+        rst = (rst + 1) % 8
+        java.util.Arrays.fill(prevDc, 0)
       }
-      val coef = fdct(block)
-      // quantize in zigzag order; round half away from zero
-      val q = new Array[Int](64)
-      var i = 0
-      while (i < 64) {
-        val n = ZigZag(i)
-        val c = coef(n) / quant(n)
-        q(i) = math.round(c).toInt
-        i += 1
-      }
-      // DC
-      val diff = q(0) - prevDc
-      prevDc = q(0)
-      val s = bitSize(diff)
-      val (dcCode, dcLen) = dcEnc(s)
-      bw.put(dcCode, dcLen)
-      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-      // AC with run-length
-      var run = 0
-      var k = 1
-      while (k < 64) {
-        if (q(k) == 0) run += 1
-        else {
-          while (run >= 16) {
-            val (zc, zl) = acEnc(0xf0); bw.put(zc, zl); run -= 16
+      var ci = 0
+      while (ci < nc) {
+        val comp = comps(ci)
+        val quant = quants(comp.quantId)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val px = math.min(w - 1, bx * 8 + x)
+            val py = math.min(h - 1, by * 8 + y)
+            val v = comp.plane(px, py)
+            require(v >= 0 && v <= 255, s"sample($px,$py)=$v out of [0,255]")
+            block(y * 8 + x) = v - 128.0
+            x += 1
           }
-          val sz = bitSize(q(k))
-          val (ac, al) = acEnc((run << 4) | sz)
-          bw.put(ac, al)
-          bw.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
-          run = 0
+          y += 1
         }
-        k += 1
+        val coef = fdct(block)
+        // quantize in zigzag order; round half away from zero
+        val q = new Array[Int](64)
+        var i = 0
+        while (i < 64) {
+          val n = ZigZag(i)
+          q(i) = math.round(coef(n) / quant(n)).toInt
+          i += 1
+        }
+        // DC
+        val diff = q(0) - prevDc(ci)
+        prevDc(ci) = q(0)
+        val s = bitSize(diff)
+        val (dcCode, dcLen) = comp.dcTable(s)
+        bw.put(dcCode, dcLen)
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        // AC with run-length
+        var run = 0
+        var k = 1
+        while (k < 64) {
+          if (q(k) == 0) run += 1
+          else {
+            while (run >= 16) {
+              val (zc, zl) = comp.acTable(0xf0); bw.put(zc, zl); run -= 16
+            }
+            val sz = bitSize(q(k))
+            val (ac, al) = comp.acTable((run << 4) | sz)
+            bw.put(ac, al)
+            bw.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) { val (ec, el) = comp.acTable(0x00); bw.put(ec, el) }
+        ci += 1
       }
-      if (run > 0) { val (ec, el) = acEnc(0x00); bw.put(ec, el) } // EOB
+      mcu += 1
     }
     bw.finish()
     marker(0xd9) // EOI
     out.toByteArray
+  }
+
+  /** Baseline GRAYSCALE JPEG (SOF0, one component).  `gray(x, y)` is
+    * top-down row-major 0..255; edge blocks replicate the last
+    * row/column (the standard edge-extension). */
+  def encode(w: Int, h: Int, gray: (Int, Int) => Int, quality: Int = 90,
+      restartInterval: Int = 0): Array[Byte] = {
+    val dcL = buildEncodeTable(DcLumaBits, DcLumaVals)
+    val acL = buildEncodeTable(AcLumaBits, AcLumaVals)
+    encodeInterleaved(w, h, Seq(EncComp(gray, 0, dcL, acL)), quality,
+      restartInterval)
+  }
+
+  /** Baseline COLOR JPEG: BT.601 YCbCr, 4:4:4 (no subsampling), Annex K
+    * luma tables for Y and chroma tables for Cb/Cr — the shape real
+    * encoders emit at `-sample 1x1`.  `rgb(x, y)` channels 0..255. */
+  def encodeColor(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      quality: Int = 90, restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dims")
+    // materialize the YCbCr planes once (rgb() may be arbitrary code and
+    // each pixel is read once per component plane)
+    val yP = new Array[Int](w * h)
+    val cbP = new Array[Int](w * h)
+    val crP = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      require(r >= 0 && r <= 255 && g >= 0 && g <= 255 && b >= 0 && b <= 255,
+        s"rgb($x,$y)=($r,$g,$b) out of [0,255]")
+      val (yy, cb, cr) = rgbToYcc(r, g, b)
+      yP(y * w + x) = yy; cbP(y * w + x) = cb; crP(y * w + x) = cr
+    }
+    val dcL = buildEncodeTable(DcLumaBits, DcLumaVals)
+    val acL = buildEncodeTable(AcLumaBits, AcLumaVals)
+    val dcC = buildEncodeTable(DcChromaBits, DcChromaVals)
+    val acC = buildEncodeTable(AcChromaBits, AcChromaVals)
+    encodeInterleaved(w, h, Seq(
+      EncComp((x, y) => yP(y * w + x), 0, dcL, acL),
+      EncComp((x, y) => cbP(y * w + x), 1, dcC, acC),
+      EncComp((x, y) => crP(y * w + x), 1, dcC, acC)), quality,
+      restartInterval)
   }
 
   /** Gray JPEG whose pixel map is the shared text→raster fixture formula
@@ -349,18 +484,36 @@ object JpegCodec {
     encode(w, h, (x, y) => src((y * w + x) % src.length) & 0xff, quality)
   }
 
-  // ---- decoder ----
+  /** Color JPEG from the shared text fixture: channel c of pixel (x, y)
+    * is src[(y·w + x + offs_c) mod len] with offsets (0, 13, 29) — three
+    * phase-shifted reads of the SAME byte stream, so the SQL oracle can
+    * recompute every channel from the text. */
+  def colorJpeg(w: Int, h: Int, src: Array[Byte],
+      quality: Int = 90): Array[Byte] = {
+    require(src.nonEmpty, "empty source bytes")
+    encodeColor(w, h, (x, y) => {
+      val j = y * w + x
+      (src(j % src.length) & 0xff,
+        src((j + 13) % src.length) & 0xff,
+        src((j + 29) % src.length) & 0xff)
+    }, quality)
+  }
+
+  // ---- decoder --------------------------------------------------------
+
+  private final case class SofComp(id: Int, quantId: Int)
 
   def decode(b: Array[Byte]): ImageCodec.Raster = {
     require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
       "bad JPEG signature")
     var p = 2
     var w = 0; var h = 0
-    var sawSof = false
-    var quant: Array[Int] = null // natural order
-    var dcTab: DecodeTable = null
-    var acTab: DecodeTable = null
+    var sofComps: Array[SofComp] = null
+    val quant = new Array[Array[Int]](4)
+    val huff = scala.collection.mutable.Map.empty[(Int, Int), DecodeTable]
+    var restartInterval = 0
     var scanStart = -1
+    var scanTables: Array[(Int, Int)] = null // per component (dc id, ac id)
     def u16(off: Int): Int = {
       require(off + 1 < b.length, "truncated JPEG segment")
       ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
@@ -381,12 +534,17 @@ object JpegCodec {
           h = u16(p + 3); w = u16(p + 5)
           require(w > 0 && h > 0, s"bad JPEG dims ${w}x$h")
           val nComp = b(p + 7) & 0xff
-          require(nComp == 1,
-            s"only single-component (grayscale) JPEG supported, got $nComp")
-          require((b(p + 9) & 0xff) == 0x11,
-            "only 1x1 sampling supported")
-          require((b(p + 10) & 0xff) == 0, "component must use quant table 0")
-          sawSof = true
+          require(nComp == 1 || nComp == 3,
+            s"only 1- or 3-component JPEG supported, got $nComp")
+          require(len >= 8 + 3 * nComp, "truncated SOF0 components")
+          sofComps = Array.tabulate(nComp) { i =>
+            val off = p + 8 + 3 * i
+            require((b(off + 1) & 0xff) == 0x11,
+              "only 1x1 sampling (4:4:4) supported — no chroma subsampling")
+            val tq = b(off + 2) & 0xff
+            require(tq <= 3, s"bad quant table id $tq")
+            SofComp(b(off) & 0xff, tq)
+          }
           p += len
         case 0xc2 => throw new IllegalArgumentException(
           "progressive JPEG (SOF2) unsupported")
@@ -405,12 +563,12 @@ object JpegCodec {
           while (q < p + len) {
             val pqtq = b(q) & 0xff
             require((pqtq >> 4) == 0, "16-bit quant tables unsupported")
+            require((pqtq & 0x0f) <= 3, "bad quant table id")
             require(q + 65 <= p + len, "truncated DQT table")
-            if ((pqtq & 0x0f) == 0) {
-              quant = new Array[Int](64)
-              var i = 0
-              while (i < 64) { quant(ZigZag(i)) = b(q + 1 + i) & 0xff; i += 1 }
-            }
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(ZigZag(i)) = b(q + 1 + i) & 0xff; i += 1 }
+            quant(pqtq & 0x0f) = t
             q += 65
           }
           p += len
@@ -420,29 +578,41 @@ object JpegCodec {
           var q = p + 2
           while (q < p + len) {
             val tcth = b(q) & 0xff
+            require((tcth >> 4) <= 1 && (tcth & 0x0f) <= 3,
+              "bad Huffman table class/id")
             require(q + 17 <= p + len, "truncated DHT header")
             val bits = Array.tabulate(16)(i => b(q + 1 + i) & 0xff)
             val n = bits.sum
             require(q + 17 + n <= p + len, "truncated DHT values")
             val vals = java.util.Arrays.copyOfRange(b, q + 17, q + 17 + n)
-            if ((tcth >> 4) == 0 && (tcth & 0x0f) == 0)
-              dcTab = new DecodeTable(bits, vals)
-            else if ((tcth >> 4) == 1 && (tcth & 0x0f) == 0)
-              acTab = new DecodeTable(bits, vals)
+            huff((tcth >> 4, tcth & 0x0f)) = new DecodeTable(bits, vals)
             q += 17 + n
           }
           p += len
         case 0xdd =>
           val len = u16(p)
           require(len == 4 && p + len <= b.length, "truncated DRI")
-          require(u16(p + 2) == 0, "JPEG restart intervals unsupported")
+          restartInterval = u16(p + 2)
           p += len
         case 0xda => // SOS
           val len = u16(p)
           require(len >= 8 && p + len <= b.length, "truncated SOS")
-          require((b(p + 2) & 0xff) == 1, "multi-component scan unsupported")
-          require((b(p + 4) & 0xff) == 0x00, "scan must use DC 0 / AC 0")
-          require((b(p + 5) & 0xff) == 0 && (b(p + 6) & 0xff) == 63,
+          val ns = b(p + 2) & 0xff
+          require(sofComps != null, "JPEG SOS before SOF0")
+          require(ns == sofComps.length,
+            s"scan components ($ns) must match frame (${sofComps.length})" +
+              " — non-interleaved multi-scan unsupported")
+          require(len >= 6 + 2 * ns, "truncated SOS components")
+          scanTables = Array.tabulate(ns) { i =>
+            val cs = b(p + 3 + 2 * i) & 0xff
+            require(cs == sofComps(i).id,
+              "scan component order must match the frame")
+            val tt = b(p + 4 + 2 * i) & 0xff
+            require((tt >> 4) <= 3 && (tt & 0x0f) <= 3, "bad scan table id")
+            (tt >> 4, tt & 0x0f)
+          }
+          val so = p + 3 + 2 * ns
+          require((b(so) & 0xff) == 0 && (b(so + 1) & 0xff) == 63,
             "partial spectral selection unsupported")
           scanStart = p + len
         case _ => // APPn, COM, others with a length field: skip
@@ -451,11 +621,21 @@ object JpegCodec {
           p += len
       }
     }
-    require(sawSof, "JPEG SOS before SOF0")
-    require(quant != null, "JPEG missing quant table 0")
-    require(dcTab != null && acTab != null, "JPEG missing Huffman tables")
-    // unstuff entropy-coded bytes up to the next marker
-    val ent = new java.io.ByteArrayOutputStream()
+    require(sofComps != null, "JPEG SOS before SOF0")
+    val nc = sofComps.length
+    sofComps.foreach(c => require(quant(c.quantId) != null,
+      s"JPEG missing quant table ${c.quantId}"))
+    scanTables.foreach { case (dc, ac) =>
+      require(huff.contains((0, dc)), s"JPEG missing DC Huffman table $dc")
+      require(huff.contains((1, ac)), s"JPEG missing AC Huffman table $ac")
+    }
+    // unstuff entropy-coded bytes; RSTn markers split the stream into
+    // restart segments (recorded with their marker index for the
+    // cycle check)
+    val segments = scala.collection.mutable.ArrayBuffer
+      .empty[(Array[Byte], Int)] // (bytes, rst marker index or -1 for first)
+    var ent = new java.io.ByteArrayOutputStream()
+    var segMarker = -1
     var q = scanStart
     var done = false
     while (!done) {
@@ -467,11 +647,35 @@ object JpegCodec {
         val nxt = b(q + 1) & 0xff
         if (nxt == 0x00) { ent.write(0xff); q += 2 } // stuffed data byte
         else if (nxt == 0xd9) done = true // EOI
-        else throw new IllegalArgumentException(
+        else if (nxt >= 0xd0 && nxt <= 0xd7) { // RSTn: close the segment
+          segments += ((ent.toByteArray, segMarker))
+          ent = new java.io.ByteArrayOutputStream()
+          segMarker = nxt - 0xd0
+          q += 2
+        } else throw new IllegalArgumentException(
           f"unexpected marker 0x$nxt%02x inside JPEG scan")
       }
     }
-    val br = new BitReader(ent.toByteArray)
+    segments += ((ent.toByteArray, segMarker))
+    val blocksY = (h + 7) / 8
+    val blocksX = (w + 7) / 8
+    val totalMcus = blocksX * blocksY
+    if (restartInterval == 0)
+      require(segments.length == 1,
+        "restart markers present but DRI said none")
+    else {
+      val expected = (totalMcus + restartInterval - 1) / restartInterval
+      require(segments.length == expected,
+        s"restart segment count ${segments.length} != expected $expected")
+      // markers must cycle D0..D7 in order (spec §B.2.1.2)
+      segments.zipWithIndex.drop(1).foreach { case ((_, mk), i) =>
+        require(mk == (i - 1) % 8,
+          s"restart marker out of sequence at segment $i")
+      }
+    }
+    val planes = Array.fill(nc)(new Array[Int](w * h))
+    var br: BitReader = null
+    val prevDc = new Array[Int](nc)
     def huffDecode(t: DecodeTable): Int = {
       var code = br.bit()
       var l = 1
@@ -483,50 +687,70 @@ object JpegCodec {
         "invalid JPEG Huffman code")
       t.value(l, code)
     }
-    val blocksY = (h + 7) / 8
-    val blocksX = (w + 7) / 8
-    val luma = new Array[Int](w * h)
-    var prevDc = 0
     val qcoef = new Array[Double](64)
+    var mcu = 0
     for (by <- 0 until blocksY; bx <- 0 until blocksX) {
-      java.util.Arrays.fill(qcoef, 0.0)
-      val s = huffDecode(dcTab)
-      require(s <= 11, s"DC size $s out of baseline range")
-      prevDc += extend(br.receive(s), s)
-      qcoef(0) = prevDc.toDouble * quant(0)
-      var k = 1
-      while (k < 64) {
-        val rs = huffDecode(acTab)
-        val r = rs >> 4
-        val sz = rs & 0x0f
-        if (sz == 0) {
-          if (rs == 0x00) k = 64 // EOB
-          else if (rs == 0xf0) k += 16 // ZRL
-          else throw new IllegalArgumentException(
-            f"invalid JPEG AC symbol 0x$rs%02x")
-        } else {
-          k += r
-          require(k < 64, "JPEG AC run past block end")
-          val n = ZigZag(k)
-          qcoef(n) = extend(br.receive(sz), sz).toDouble * quant(n)
-          k += 1
-        }
+      if (restartInterval == 0) {
+        if (br == null) br = new BitReader(segments(0)._1)
+      } else if (mcu % restartInterval == 0) {
+        br = new BitReader(segments(mcu / restartInterval)._1)
+        java.util.Arrays.fill(prevDc, 0)
       }
-      val px = idct(qcoef)
-      var y = 0
-      while (y < 8) {
-        val iy = by * 8 + y
-        var x = 0
-        while (x < 8) {
-          val ix = bx * 8 + x
-          if (ix < w && iy < h) {
-            val v = math.max(0, math.min(255,
-              math.round(px(y * 8 + x) + 128.0).toInt))
-            luma(iy * w + ix) = 3 * v // Raster carries r+g+b sums
+      var ci = 0
+      while (ci < nc) {
+        val qt = quant(sofComps(ci).quantId)
+        val dcT = huff((0, scanTables(ci)._1))
+        val acT = huff((1, scanTables(ci)._2))
+        java.util.Arrays.fill(qcoef, 0.0)
+        val s = huffDecode(dcT)
+        require(s <= 11, s"DC size $s out of baseline range")
+        prevDc(ci) += extend(br.receive(s), s)
+        qcoef(0) = prevDc(ci).toDouble * qt(0)
+        var k = 1
+        while (k < 64) {
+          val rs = huffDecode(acT)
+          val r = rs >> 4
+          val sz = rs & 0x0f
+          if (sz == 0) {
+            if (rs == 0x00) k = 64 // EOB
+            else if (rs == 0xf0) k += 16 // ZRL
+            else throw new IllegalArgumentException(
+              f"invalid JPEG AC symbol 0x$rs%02x")
+          } else {
+            k += r
+            require(k < 64, "JPEG AC run past block end")
+            val n = ZigZag(k)
+            qcoef(n) = extend(br.receive(sz), sz).toDouble * qt(n)
+            k += 1
           }
-          x += 1
         }
-        y += 1
+        val px = idct(qcoef)
+        var y = 0
+        while (y < 8) {
+          val iy = by * 8 + y
+          var x = 0
+          while (x < 8) {
+            val ix = bx * 8 + x
+            if (ix < w && iy < h)
+              planes(ci)(iy * w + ix) = clamp255(px(y * 8 + x) + 128.0)
+            x += 1
+          }
+          y += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    val luma = new Array[Int](w * h)
+    if (nc == 1) {
+      var i = 0
+      while (i < luma.length) { luma(i) = 3 * planes(0)(i); i += 1 }
+    } else {
+      var i = 0
+      while (i < luma.length) {
+        val (r, g, bb) = yccToRgb(planes(0)(i), planes(1)(i), planes(2)(i))
+        luma(i) = r + g + bb
+        i += 1
       }
     }
     ImageCodec.Raster(w, h, luma)
@@ -537,9 +761,11 @@ object JpegCodec {
     * quant/2, the IDCT basis magnitudes are ≤ C(u)C(v)/4 per pixel, plus
     * 0.5 for the final integer rounding.  The closed form is loose; this
     * returns the bound the gauge queries assert (validated empirically in
-    * R17JpegSpec over adversarial fixtures). */
+    * R17JpegSpec over adversarial fixtures).  Luma table (the gray
+    * path); the color path's chroma error compounds through the YCbCr
+    * inverse and is gauged empirically in its query. */
   def pixelErrorBound(quality: Int): Double = {
-    val quant = scaledQuant(quality)
+    val quant = scaledQuant(quality, BaseQuantLuma)
     var s = 0.0
     var u = 0
     while (u < 8) {

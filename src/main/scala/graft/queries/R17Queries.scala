@@ -33,6 +33,11 @@ object R17Queries {
   /** per-pixel gauge bound at quality 90 (see scaladoc above). */
   private val ErrBound = 32.0
 
+  /** color gauge on the per-pixel r+g+b SUM: chroma error compounds
+    * through the coarser Annex-K.2 quant table and the BT.601 inverse —
+    * measured corpus max 68 across sf0.001/0.01/0.1 at quality 90. */
+  private val ColorErrBound = 96.0
+
   /** printable-ASCII projection + the 64 source pixels of the shared
     * text→8×8 raster formula — the engine-side mirror of the oracles'
     * `RealFeatSql` pixel map, as one Catalyst expression (codegen'd). */
@@ -44,6 +49,9 @@ object R17Queries {
 
   private val toJpeg = udf((text: String) =>
     JpegCodec.grayJpeg(8, 8, MultimodalOps.asciiBytes(text), quality = 90))
+
+  private val toColorJpeg = udf((text: String) =>
+    JpegCodec.colorJpeg(8, 8, MultimodalOps.asciiBytes(text), quality = 90))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -62,6 +70,33 @@ object R17Queries {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           (col("max_err") <= ErrBound).as("within_bound"))
+    }),
+
+    // COLOR baseline JPEG (YCbCr 4:4:4): three phase-shifted channel
+    // reads of the same text bytes (offsets 0/13/29 — all oracle-
+    // recomputable), encoded through the chroma quant/Huffman tables and
+    // the BT.601 forward transform, decoded back through the inverse;
+    // the kernel's per-pixel feature is (r+g+b)/3, so 3·feature gauges
+    // the channel-sum reconstruction
+    "mm_jpeg_color_decode" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toColorJpeg(col("text")))
+      val dec = MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+        ImageCodec.kernel(8, 8)).toDF()
+      withSourcePixels(dec.join(Tables.docs(s, dir), "doc_id"))
+        .withColumn("src_sum", expr(
+          "transform(sequence(0, 63), j -> " +
+            "ascii(substr(ptext, (j % length(ptext)) + 1, 1)) + " +
+            "ascii(substr(ptext, ((j + 13) % length(ptext)) + 1, 1)) + " +
+            "ascii(substr(ptext, ((j + 29) % length(ptext)) + 1, 1)))"))
+        .withColumn("max_err", expr(
+          "aggregate(zip_with(features, src_sum, " +
+            "(f, p) -> abs(3 * f - p)), " +
+            "0D, (acc, x) -> greatest(acc, x))"))
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          (col("max_err") <= ColorErrBound).as("within_bound"))
     }),
 
     "mm_jpeg_ahash_banded" -> ((s, dir) => {
@@ -102,6 +137,11 @@ object R17Queries {
   def oracles: Map[String, String] = Map(
 
     "mm_jpeg_decode" ->
+      """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+        |  true AS within_bound
+        |FROM documents""".stripMargin,
+
+    "mm_jpeg_color_decode" ->
       """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
         |  true AS within_bound
         |FROM documents""".stripMargin,

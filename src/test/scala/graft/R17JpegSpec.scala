@@ -156,14 +156,89 @@ class R17JpegSpec extends AnyFunSuite {
     assert(viaDispatch.lumaSum3.toSeq == direct.lumaSum3.toSeq)
   }
 
-  test("restart intervals and multi-component scans are rejected") {
-    // splice a DRI(interval=4) segment before SOS
-    val ok = JpegCodec.encode(8, 8, (x, y) => (x + y * 8) % 256, 90)
-    val sosAt = (0 until ok.length - 1).find(i =>
-      (ok(i) & 0xff) == 0xff && (ok(i + 1) & 0xff) == 0xda).get
-    val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x04).map(_.toByte)
-    val spliced = ok.take(sosAt) ++ dri ++ ok.drop(sosAt)
-    val ex = intercept[IllegalArgumentException] { JpegCodec.decode(spliced) }
-    assert(ex.getMessage.contains("restart"))
+  test("restart intervals round-trip; out-of-sequence markers fail") {
+    // 32×24 = 12 MCUs, interval 3 → 4 restart segments, markers D0..D2
+    val f = (x: Int, y: Int) => (x * 13 + y * 41) % 256
+    val enc = JpegCodec.encode(32, 24, f, 90, restartInterval = 3)
+    assert(enc.sliding(2).exists(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7),
+      "encoder emitted no RST markers")
+    val r = JpegCodec.decode(enc)
+    val bound = JpegCodec.pixelErrorBound(90)
+    for (y <- 0 until 24; x <- 0 until 32)
+      assert(math.abs(r.lumaSum3(y * 32 + x) / 3 - f(x, y)) <= bound)
+    // and the restart stream must equal the no-restart stream pixelwise
+    // (restart only resets predictors/alignment, never pixel content)
+    val plain = JpegCodec.decode(JpegCodec.encode(32, 24, f, 90))
+    assert(r.lumaSum3.toSeq == plain.lumaSum3.toSeq)
+    // corrupt the FIRST RST marker's index → out-of-sequence, loud
+    val rstAt = (0 until enc.length - 1).find(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xd0).get
+    val bad = enc.clone(); bad(rstAt + 1) = 0xd5.toByte
+    val ex = intercept[IllegalArgumentException] { JpegCodec.decode(bad) }
+    assert(ex.getMessage.contains("restart marker out of sequence"))
+    // RST markers with DRI absent → loud
+    val noDri = JpegCodec.encode(8, 8, f, 90) // 1 MCU, no DRI
+    val driAt = (0 until enc.length - 1).find(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xdd).get
+    val stripped = enc.take(driAt) ++ enc.drop(driAt + 6) // remove DRI seg
+    val ex2 = intercept[IllegalArgumentException] {
+      JpegCodec.decode(stripped) }
+    assert(ex2.getMessage.contains("DRI said none"))
+    assert(noDri.length > 0)
+  }
+
+  test("color JPEG round-trips within tolerance and converts YCbCr") {
+    val f = (x: Int, y: Int) =>
+      ((x * 37 + y * 11) % 256, (x * 5 + y * 73) % 256, (x * 91 + y) % 256)
+    val enc = JpegCodec.encodeColor(16, 16, f, 90)
+    val r = JpegCodec.decode(enc)
+    assert(r.width == 16 && r.height == 16)
+    // chroma error compounds through quantization (coarser table) and
+    // the BT.601 inverse; gauge the r+g+b SUM per pixel
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val (er, eg, eb) = f(x, y)
+      val d = math.abs(r.lumaSum3(y * 16 + x) - (er + eg + eb))
+      assert(d <= 96, s"color err $d at ($x,$y)") // empirical q90 gauge ×3 ch
+    }
+    // gray content through the color path ≈ the gray path (YCbCr of
+    // (v,v,v) is (v,128,128) — chroma blocks are DC-only uniform)
+    val g = (x: Int, y: Int) => (x * 16 + y * 8) % 256
+    val viaColor = JpegCodec.decode(
+      JpegCodec.encodeColor(8, 8, (x, y) => (g(x, y), g(x, y), g(x, y)), 90))
+    val viaGray = JpegCodec.decode(JpegCodec.encode(8, 8, g, 90))
+    for (i <- 0 until 64)
+      assert(math.abs(viaColor.lumaSum3(i) - viaGray.lumaSum3(i)) <= 6,
+        s"gray-content color drifted at $i")
+  }
+
+  test("color + restart intervals compose; uniform color is DC-exact") {
+    val f = (x: Int, y: Int) => ((x * 7 + y * 3) % 256, 90, 200)
+    val withRst = JpegCodec.decode(
+      JpegCodec.encodeColor(24, 16, f, 90, restartInterval = 2))
+    val plain = JpegCodec.decode(JpegCodec.encodeColor(24, 16, f, 90))
+    assert(withRst.lumaSum3.toSeq == plain.lumaSum3.toSeq)
+    // uniform color: every block DC-only in all three components — the
+    // YCbCr forward/inverse round trip is the only error source (±1/ch)
+    val u = JpegCodec.decode(
+      JpegCodec.encodeColor(8, 8, (_, _) => (200, 30, 90), 95))
+    for (i <- 0 until 64)
+      assert(math.abs(u.lumaSum3(i) - (200 + 30 + 90)) <= 3,
+        s"uniform color err at $i: ${u.lumaSum3(i)}")
+  }
+
+  test("subsampled JPEG is rejected by name (no silent misread)") {
+    // craft: take a color image and set the Y component's sampling to
+    // 2×2 (the 4:2:0 shape) — must be rejected, not misparsed
+    val enc = JpegCodec.encodeColor(8, 8,
+      (x, y) => (x * 30 % 256, y * 30 % 256, 128), 90)
+    val sofAt = (0 until enc.length - 1).find(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc0).get
+    // byte layout from the marker: FF C0 len(2) prec(1) h(2) w(2)
+    // ncomp(1), then per comp (id, sampling, tq) — Y's sampling byte is
+    // marker+11
+    val bad = enc.clone(); bad(sofAt + 11) = 0x22.toByte
+    val ex = intercept[IllegalArgumentException] { JpegCodec.decode(bad) }
+    assert(ex.getMessage.contains("subsampling"))
   }
 }
