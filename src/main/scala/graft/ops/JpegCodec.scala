@@ -12,14 +12,16 @@ package graft.ops
   * inputs (identical bytes ⇒ identical decode) must still pair at
   * hamming 0 through the banded-aHash stage.
   *
-  * Supported: baseline DCT (SOF0), 8-bit, GRAYSCALE (1 component) and
-  * COLOR (3-component interleaved YCbCr, 4:4:4 — every component 1×1),
-  * restart intervals (DRI + RSTn cycling, with the marker-sequence
-  * check).  Everything else — progressive (SOF2), arithmetic coding,
-  * chroma subsampling (4:2:0/4:2:2), 12-bit precision — fails loudly
-  * with a descriptive message: a decoder silently misreading
-  * entropy-coded data would poison every downstream fingerprint (the
-  * ImageCodec fail-loud contract).
+  * Supported: baseline DCT (SOF0), 8-bit, GRAYSCALE (1 component),
+  * COLOR 4:4:4 (3-component interleaved YCbCr, every component 1×1),
+  * COLOR 4:2:0 (luma 2×2 + chroma 1×1 with box downsampling on encode
+  * and nearest upsampling on decode — the shape real-world encoders
+  * emit by default), and restart intervals (DRI + RSTn cycling, with
+  * the marker-sequence check).  Everything else — progressive (SOF2),
+  * arithmetic coding, other subsampling geometries (4:2:2/4:1:1),
+  * 12-bit precision — fails loudly with a descriptive message: a
+  * decoder silently misreading entropy-coded data would poison every
+  * downstream fingerprint (the ImageCodec fail-loud contract).
   */
 object JpegCodec {
 
@@ -305,15 +307,19 @@ object JpegCodec {
 
   // ---- encoder --------------------------------------------------------
 
-  /** One component's encoding setup: a sampled plane + its table ids. */
-  private final case class EncComp(plane: (Int, Int) => Int, quantId: Int,
+  /** One component's encoding setup: a plane in COMPONENT coordinates
+    * (already downsampled for subsampled chroma), its sampling factors,
+    * and its table ids. */
+  private final case class EncComp(plane: (Int, Int) => Int,
+      hSamp: Int, vSamp: Int, quantId: Int,
       dcTable: Map[Int, (Int, Int)], acTable: Map[Int, (Int, Int)])
 
-  /** Shared interleaved-scan engine for 1 (gray) or 3 (YCbCr 4:4:4)
-    * components: every component 1×1, so an MCU is one 8×8 block per
-    * component at the same tile.  `restartInterval` > 0 emits DRI and a
-    * cycling RSTn every that-many MCUs (DC predictors reset, bit stream
-    * byte-aligned) — the error-resilience machinery real encoders use. */
+  /** Shared interleaved-scan engine: 1 component (gray), 3 × 1×1
+    * (YCbCr 4:4:4), or Y 2×2 + chroma 1×1 (4:2:0 — one MCU is four Y
+    * blocks plus one Cb and one Cr).  `restartInterval` > 0 emits DRI
+    * and a cycling RSTn every that-many MCUs (DC predictors reset, bit
+    * stream byte-aligned) — the error-resilience machinery real
+    * encoders use. */
   private def encodeInterleaved(w: Int, h: Int, comps: Seq[EncComp],
       quality: Int, restartInterval: Int): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dims")
@@ -321,6 +327,8 @@ object JpegCodec {
       "bad restart interval")
     val nc = comps.length
     require(nc == 1 || nc == 3, s"unsupported component count $nc")
+    val hMax = comps.map(_.hSamp).max
+    val vMax = comps.map(_.vSamp).max
     val quants = Array(scaledQuant(quality, BaseQuantLuma),
       scaledQuant(quality, BaseQuantChroma))
     val out = new java.io.ByteArrayOutputStream()
@@ -343,7 +351,8 @@ object JpegCodec {
       ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
       nc.toByte) ++
       comps.zipWithIndex.flatMap { case (c, i) =>
-        Array((i + 1).toByte, 0x11.toByte, c.quantId.toByte) })
+        Array((i + 1).toByte, ((c.hSamp << 4) | c.vSamp).toByte,
+          c.quantId.toByte) })
     // DHT: luma pair always; chroma pair only for color
     seg(0xc4, Array[Byte](0x00) ++ DcLumaBits.map(_.toByte) ++ DcLumaVals)
     seg(0xc4, Array[Byte](0x10) ++ AcLumaBits.map(_.toByte) ++ AcLumaVals)
@@ -363,12 +372,17 @@ object JpegCodec {
       Array[Byte](0, 63, 0))
     val bw = new BitWriter(out)
     val prevDc = new Array[Int](nc)
-    val blocksY = (h + 7) / 8
-    val blocksX = (w + 7) / 8
+    // MCU grid is (8·hMax)×(8·vMax) image pixels; each component
+    // contributes hSamp×vSamp blocks per MCU from its OWN plane
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // component-plane dims (ceil scaling of the image dims)
+    val compW = comps.map(c => (w * c.hSamp + hMax - 1) / hMax)
+    val compH = comps.map(c => (h * c.vSamp + vMax - 1) / vMax)
     val block = new Array[Double](64)
     var mcu = 0
     var rst = 0
-    for (by <- 0 until blocksY; bx <- 0 until blocksX) {
+    for (by <- 0 until mcusY; bx <- 0 until mcusX) {
       if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
         bw.finish()
         marker(0xd0 + rst)
@@ -379,53 +393,68 @@ object JpegCodec {
       while (ci < nc) {
         val comp = comps(ci)
         val quant = quants(comp.quantId)
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            val px = math.min(w - 1, bx * 8 + x)
-            val py = math.min(h - 1, by * 8 + y)
-            val v = comp.plane(px, py)
-            require(v >= 0 && v <= 255, s"sample($px,$py)=$v out of [0,255]")
-            block(y * 8 + x) = v - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        val coef = fdct(block)
-        // quantize in zigzag order; round half away from zero
-        val q = new Array[Int](64)
-        var i = 0
-        while (i < 64) {
-          val n = ZigZag(i)
-          q(i) = math.round(coef(n) / quant(n)).toInt
-          i += 1
-        }
-        // DC
-        val diff = q(0) - prevDc(ci)
-        prevDc(ci) = q(0)
-        val s = bitSize(diff)
-        val (dcCode, dcLen) = comp.dcTable(s)
-        bw.put(dcCode, dcLen)
-        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
-        // AC with run-length
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          if (q(k) == 0) run += 1
-          else {
-            while (run >= 16) {
-              val (zc, zl) = comp.acTable(0xf0); bw.put(zc, zl); run -= 16
+        var vy = 0
+        while (vy < comp.vSamp) {
+          var vx = 0
+          while (vx < comp.hSamp) {
+            val x0 = (bx * comp.hSamp + vx) * 8
+            val y0 = (by * comp.vSamp + vy) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                val px = math.min(compW(ci) - 1, x0 + x)
+                val py = math.min(compH(ci) - 1, y0 + y)
+                val v = comp.plane(px, py)
+                require(v >= 0 && v <= 255,
+                  s"sample($px,$py)=$v out of [0,255]")
+                block(y * 8 + x) = v - 128.0
+                x += 1
+              }
+              y += 1
             }
-            val sz = bitSize(q(k))
-            val (ac, al) = comp.acTable((run << 4) | sz)
-            bw.put(ac, al)
-            bw.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
-            run = 0
+            val coef = fdct(block)
+            // quantize in zigzag order; round half away from zero
+            val q = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              val n = ZigZag(i)
+              q(i) = math.round(coef(n) / quant(n)).toInt
+              i += 1
+            }
+            // DC
+            val diff = q(0) - prevDc(ci)
+            prevDc(ci) = q(0)
+            val s = bitSize(diff)
+            val (dcCode, dcLen) = comp.dcTable(s)
+            bw.put(dcCode, dcLen)
+            if (s > 0)
+              bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+            // AC with run-length
+            var run = 0
+            var k = 1
+            while (k < 64) {
+              if (q(k) == 0) run += 1
+              else {
+                while (run >= 16) {
+                  val (zc, zl) = comp.acTable(0xf0)
+                  bw.put(zc, zl); run -= 16
+                }
+                val sz = bitSize(q(k))
+                val (ac, al) = comp.acTable((run << 4) | sz)
+                bw.put(ac, al)
+                bw.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
+                run = 0
+              }
+              k += 1
+            }
+            if (run > 0) {
+              val (ec, el) = comp.acTable(0x00); bw.put(ec, el)
+            }
+            vx += 1
           }
-          k += 1
+          vy += 1
         }
-        if (run > 0) { val (ec, el) = comp.acTable(0x00); bw.put(ec, el) }
         ci += 1
       }
       mcu += 1
@@ -442,18 +471,17 @@ object JpegCodec {
       restartInterval: Int = 0): Array[Byte] = {
     val dcL = buildEncodeTable(DcLumaBits, DcLumaVals)
     val acL = buildEncodeTable(AcLumaBits, AcLumaVals)
-    encodeInterleaved(w, h, Seq(EncComp(gray, 0, dcL, acL)), quality,
+    encodeInterleaved(w, h, Seq(EncComp(gray, 1, 1, 0, dcL, acL)), quality,
       restartInterval)
   }
 
   /** Baseline COLOR JPEG: BT.601 YCbCr, 4:4:4 (no subsampling), Annex K
     * luma tables for Y and chroma tables for Cb/Cr — the shape real
     * encoders emit at `-sample 1x1`.  `rgb(x, y)` channels 0..255. */
-  def encodeColor(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
-      quality: Int = 90, restartInterval: Int = 0): Array[Byte] = {
-    require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dims")
-    // materialize the YCbCr planes once (rgb() may be arbitrary code and
-    // each pixel is read once per component plane)
+  /** Materialized YCbCr planes of an RGB image (full resolution). */
+  private def yccPlanes(w: Int, h: Int,
+      rgb: (Int, Int) => (Int, Int, Int))
+      : (Array[Int], Array[Int], Array[Int]) = {
     val yP = new Array[Int](w * h)
     val cbP = new Array[Int](w * h)
     val crP = new Array[Int](w * h)
@@ -464,14 +492,56 @@ object JpegCodec {
       val (yy, cb, cr) = rgbToYcc(r, g, b)
       yP(y * w + x) = yy; cbP(y * w + x) = cb; crP(y * w + x) = cr
     }
+    (yP, cbP, crP)
+  }
+
+  def encodeColor(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      quality: Int = 90, restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dims")
+    val (yP, cbP, crP) = yccPlanes(w, h, rgb)
     val dcL = buildEncodeTable(DcLumaBits, DcLumaVals)
     val acL = buildEncodeTable(AcLumaBits, AcLumaVals)
     val dcC = buildEncodeTable(DcChromaBits, DcChromaVals)
     val acC = buildEncodeTable(AcChromaBits, AcChromaVals)
     encodeInterleaved(w, h, Seq(
-      EncComp((x, y) => yP(y * w + x), 0, dcL, acL),
-      EncComp((x, y) => cbP(y * w + x), 1, dcC, acC),
-      EncComp((x, y) => crP(y * w + x), 1, dcC, acC)), quality,
+      EncComp((x, y) => yP(y * w + x), 1, 1, 0, dcL, acL),
+      EncComp((x, y) => cbP(y * w + x), 1, 1, 1, dcC, acC),
+      EncComp((x, y) => crP(y * w + x), 1, 1, 1, dcC, acC)), quality,
+      restartInterval)
+  }
+
+  /** 4:2:0 color JPEG — the shape virtually every real-world encoder
+    * emits by default: Y at full resolution (2×2 sampling), Cb/Cr
+    * box-downsampled 2× in both axes (the standard mean-of-the-2×2-
+    * quad), MCU = four Y blocks + one Cb + one Cr. */
+  def encodeColor420(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      quality: Int = 90, restartInterval: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dims")
+    val (yP, cbP, crP) = yccPlanes(w, h, rgb)
+    val cw = (w + 1) / 2
+    val ch = (h + 1) / 2
+    def down(src: Array[Int]): Array[Int] = {
+      val out = new Array[Int](cw * ch)
+      for (cy <- 0 until ch; cx <- 0 until cw) {
+        var sum = 0; var n = 0
+        for (dy <- 0 to 1; dx <- 0 to 1) {
+          val x = cx * 2 + dx; val y = cy * 2 + dy
+          if (x < w && y < h) { sum += src(y * w + x); n += 1 }
+        }
+        out(cy * cw + cx) = (sum + n / 2) / n // rounded mean
+      }
+      out
+    }
+    val cbD = down(cbP)
+    val crD = down(crP)
+    val dcL = buildEncodeTable(DcLumaBits, DcLumaVals)
+    val acL = buildEncodeTable(AcLumaBits, AcLumaVals)
+    val dcC = buildEncodeTable(DcChromaBits, DcChromaVals)
+    val acC = buildEncodeTable(AcChromaBits, AcChromaVals)
+    encodeInterleaved(w, h, Seq(
+      EncComp((x, y) => yP(y * w + x), 2, 2, 0, dcL, acL),
+      EncComp((x, y) => cbD(y * cw + x), 1, 1, 1, dcC, acC),
+      EncComp((x, y) => crD(y * cw + x), 1, 1, 1, dcC, acC)), quality,
       restartInterval)
   }
 
@@ -499,9 +569,23 @@ object JpegCodec {
     }, quality)
   }
 
+  /** [[colorJpeg]] in the 4:2:0 container — the same text-derived pixel
+    * map through chroma downsampling (the real-world default shape). */
+  def color420Jpeg(w: Int, h: Int, src: Array[Byte],
+      quality: Int = 90): Array[Byte] = {
+    require(src.nonEmpty, "empty source bytes")
+    encodeColor420(w, h, (x, y) => {
+      val j = y * w + x
+      (src(j % src.length) & 0xff,
+        src((j + 13) % src.length) & 0xff,
+        src((j + 29) % src.length) & 0xff)
+    }, quality)
+  }
+
   // ---- decoder --------------------------------------------------------
 
-  private final case class SofComp(id: Int, quantId: Int)
+  private final case class SofComp(id: Int, hSamp: Int, vSamp: Int,
+      quantId: Int)
 
   def decode(b: Array[Byte]): ImageCodec.Raster = {
     require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
@@ -539,12 +623,18 @@ object JpegCodec {
           require(len >= 8 + 3 * nComp, "truncated SOF0 components")
           sofComps = Array.tabulate(nComp) { i =>
             val off = p + 8 + 3 * i
-            require((b(off + 1) & 0xff) == 0x11,
-              "only 1x1 sampling (4:4:4) supported — no chroma subsampling")
+            val hv = b(off + 1) & 0xff
             val tq = b(off + 2) & 0xff
             require(tq <= 3, s"bad quant table id $tq")
-            SofComp(b(off) & 0xff, tq)
+            SofComp(b(off) & 0xff, hv >> 4, hv & 0x0f, tq)
           }
+          // supported sampling geometries: all 1×1 (gray / 4:4:4), or
+          // luma 2×2 + chroma 1×1 (4:2:0 — the real-world default)
+          val hv = sofComps.map(c => (c.hSamp, c.vSamp)).toSeq
+          val ok444 = hv.forall(_ == ((1, 1)))
+          val ok420 = nComp == 3 && hv == Seq((2, 2), (1, 1), (1, 1))
+          require(ok444 || ok420,
+            s"unsupported chroma subsampling $hv — 4:4:4 and 4:2:0 only")
           p += len
         case 0xc2 => throw new IllegalArgumentException(
           "progressive JPEG (SOF2) unsupported")
@@ -657,9 +747,11 @@ object JpegCodec {
       }
     }
     segments += ((ent.toByteArray, segMarker))
-    val blocksY = (h + 7) / 8
-    val blocksX = (w + 7) / 8
-    val totalMcus = blocksX * blocksY
+    val hMax = sofComps.map(_.hSamp).max
+    val vMax = sofComps.map(_.vSamp).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val totalMcus = mcusX * mcusY
     if (restartInterval == 0)
       require(segments.length == 1,
         "restart markers present but DRI said none")
@@ -673,7 +765,12 @@ object JpegCodec {
           s"restart marker out of sequence at segment $i")
       }
     }
-    val planes = Array.fill(nc)(new Array[Int](w * h))
+    // per-component PADDED planes (whole MCUs); sampled down to image
+    // coordinates at assembly
+    val planeW = sofComps.map(c => mcusX * 8 * c.hSamp)
+    val planeH = sofComps.map(c => mcusY * 8 * c.vSamp)
+    val planes = Array.tabulate(nc)(ci =>
+      new Array[Int](planeW(ci) * planeH(ci)))
     var br: BitReader = null
     val prevDc = new Array[Int](nc)
     def huffDecode(t: DecodeTable): Int = {
@@ -689,7 +786,7 @@ object JpegCodec {
     }
     val qcoef = new Array[Double](64)
     var mcu = 0
-    for (by <- 0 until blocksY; bx <- 0 until blocksX) {
+    for (by <- 0 until mcusY; bx <- 0 until mcusX) {
       if (restartInterval == 0) {
         if (br == null) br = new BitReader(segments(0)._1)
       } else if (mcu % restartInterval == 0) {
@@ -698,59 +795,85 @@ object JpegCodec {
       }
       var ci = 0
       while (ci < nc) {
-        val qt = quant(sofComps(ci).quantId)
+        val comp = sofComps(ci)
+        val qt = quant(comp.quantId)
         val dcT = huff((0, scanTables(ci)._1))
         val acT = huff((1, scanTables(ci)._2))
-        java.util.Arrays.fill(qcoef, 0.0)
-        val s = huffDecode(dcT)
-        require(s <= 11, s"DC size $s out of baseline range")
-        prevDc(ci) += extend(br.receive(s), s)
-        qcoef(0) = prevDc(ci).toDouble * qt(0)
-        var k = 1
-        while (k < 64) {
-          val rs = huffDecode(acT)
-          val r = rs >> 4
-          val sz = rs & 0x0f
-          if (sz == 0) {
-            if (rs == 0x00) k = 64 // EOB
-            else if (rs == 0xf0) k += 16 // ZRL
-            else throw new IllegalArgumentException(
-              f"invalid JPEG AC symbol 0x$rs%02x")
-          } else {
-            k += r
-            require(k < 64, "JPEG AC run past block end")
-            val n = ZigZag(k)
-            qcoef(n) = extend(br.receive(sz), sz).toDouble * qt(n)
-            k += 1
+        var vy = 0
+        while (vy < comp.vSamp) {
+          var vx = 0
+          while (vx < comp.hSamp) {
+            java.util.Arrays.fill(qcoef, 0.0)
+            val s = huffDecode(dcT)
+            require(s <= 11, s"DC size $s out of baseline range")
+            prevDc(ci) += extend(br.receive(s), s)
+            qcoef(0) = prevDc(ci).toDouble * qt(0)
+            var k = 1
+            while (k < 64) {
+              val rs = huffDecode(acT)
+              val r = rs >> 4
+              val sz = rs & 0x0f
+              if (sz == 0) {
+                if (rs == 0x00) k = 64 // EOB
+                else if (rs == 0xf0) k += 16 // ZRL
+                else throw new IllegalArgumentException(
+                  f"invalid JPEG AC symbol 0x$rs%02x")
+              } else {
+                k += r
+                require(k < 64, "JPEG AC run past block end")
+                val n = ZigZag(k)
+                qcoef(n) = extend(br.receive(sz), sz).toDouble * qt(n)
+                k += 1
+              }
+            }
+            val px = idct(qcoef)
+            val x0 = (bx * comp.hSamp + vx) * 8
+            val y0 = (by * comp.vSamp + vy) * 8
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                planes(ci)((y0 + y) * planeW(ci) + (x0 + x)) =
+                  clamp255(px(y * 8 + x) + 128.0)
+                x += 1
+              }
+              y += 1
+            }
+            vx += 1
           }
-        }
-        val px = idct(qcoef)
-        var y = 0
-        while (y < 8) {
-          val iy = by * 8 + y
-          var x = 0
-          while (x < 8) {
-            val ix = bx * 8 + x
-            if (ix < w && iy < h)
-              planes(ci)(iy * w + ix) = clamp255(px(y * 8 + x) + 128.0)
-            x += 1
-          }
-          y += 1
+          vy += 1
         }
         ci += 1
       }
       mcu += 1
     }
+    // assemble image pixels: component sample (x·h/hMax, y·v/vMax) —
+    // nearest-neighbour chroma upsampling for 4:2:0 (the JFIF default)
     val luma = new Array[Int](w * h)
+    def sample(ci: Int, x: Int, y: Int): Int = {
+      val c = sofComps(ci)
+      val sx = x * c.hSamp / hMax
+      val sy = y * c.vSamp / vMax
+      planes(ci)(sy * planeW(ci) + sx)
+    }
     if (nc == 1) {
-      var i = 0
-      while (i < luma.length) { luma(i) = 3 * planes(0)(i); i += 1 }
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { luma(y * w + x) = 3 * sample(0, x, y); x += 1 }
+        y += 1
+      }
     } else {
-      var i = 0
-      while (i < luma.length) {
-        val (r, g, bb) = yccToRgb(planes(0)(i), planes(1)(i), planes(2)(i))
-        luma(i) = r + g + bb
-        i += 1
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, bb) = yccToRgb(sample(0, x, y), sample(1, x, y),
+            sample(2, x, y))
+          luma(y * w + x) = r + g + bb
+          x += 1
+        }
+        y += 1
       }
     }
     ImageCodec.Raster(w, h, luma)

@@ -38,6 +38,11 @@ object R17Queries {
     * measured corpus max 68 across sf0.001/0.01/0.1 at quality 90. */
   private val ColorErrBound = 96.0
 
+  /** 4:2:0 gauge: the text fixture's chroma varies EVERY pixel (the
+    * adversarial case for 2×2 box downsampling + nearest upsampling) —
+    * measured corpus max 122 across sf0.001/0.01/0.1 at quality 90. */
+  private val Err420Bound = 160.0
+
   /** printable-ASCII projection + the 64 source pixels of the shared
     * text→8×8 raster formula — the engine-side mirror of the oracles'
     * `RealFeatSql` pixel map, as one Catalyst expression (codegen'd). */
@@ -52,6 +57,37 @@ object R17Queries {
 
   private val toColorJpeg = udf((text: String) =>
     JpegCodec.colorJpeg(8, 8, MultimodalOps.asciiBytes(text), quality = 90))
+
+  private val to420Jpeg = udf((text: String) =>
+    JpegCodec.color420Jpeg(8, 8, MultimodalOps.asciiBytes(text),
+      quality = 90))
+
+  /** shared per-document channel-sum tolerance gauge for the color
+    * containers: decode the payload at per-pixel granularity, recompute
+    * the three phase-shifted source channels from the text, assert
+    * max |3·feature − (r+g+b)| ≤ bound in-row. */
+  private def colorSumGauge(s: SparkSession, dir: String,
+      payload: org.apache.spark.sql.expressions.UserDefinedFunction,
+      bound: Double): DataFrame = {
+    val d = Tables.docs(s, dir)
+      .withColumn("payload", payload(col("text")))
+    val dec = MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+      ImageCodec.kernel(8, 8)).toDF()
+    withSourcePixels(dec.join(Tables.docs(s, dir), "doc_id"))
+      .withColumn("src_sum", expr(
+        "transform(sequence(0, 63), j -> " +
+          "ascii(substr(ptext, (j % length(ptext)) + 1, 1)) + " +
+          "ascii(substr(ptext, ((j + 13) % length(ptext)) + 1, 1)) + " +
+          "ascii(substr(ptext, ((j + 29) % length(ptext)) + 1, 1)))"))
+      .withColumn("max_err", expr(
+        "aggregate(zip_with(features, src_sum, " +
+          "(f, p) -> abs(3 * f - p)), " +
+          "0D, (acc, x) -> greatest(acc, x))"))
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        (col("max_err") <= bound).as("within_bound"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -78,26 +114,14 @@ object R17Queries {
     // the BT.601 forward transform, decoded back through the inverse;
     // the kernel's per-pixel feature is (r+g+b)/3, so 3·feature gauges
     // the channel-sum reconstruction
-    "mm_jpeg_color_decode" -> ((s, dir) => {
-      val d = Tables.docs(s, dir)
-        .withColumn("payload", toColorJpeg(col("text")))
-      val dec = MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
-        ImageCodec.kernel(8, 8)).toDF()
-      withSourcePixels(dec.join(Tables.docs(s, dir), "doc_id"))
-        .withColumn("src_sum", expr(
-          "transform(sequence(0, 63), j -> " +
-            "ascii(substr(ptext, (j % length(ptext)) + 1, 1)) + " +
-            "ascii(substr(ptext, ((j + 13) % length(ptext)) + 1, 1)) + " +
-            "ascii(substr(ptext, ((j + 29) % length(ptext)) + 1, 1)))"))
-        .withColumn("max_err", expr(
-          "aggregate(zip_with(features, src_sum, " +
-            "(f, p) -> abs(3 * f - p)), " +
-            "0D, (acc, x) -> greatest(acc, x))"))
-        .select(col("doc_id"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          (col("max_err") <= ColorErrBound).as("within_bound"))
-    }),
+    "mm_jpeg_color_decode" -> ((s, dir) =>
+      colorSumGauge(s, dir, toColorJpeg, ColorErrBound)),
+
+    // the same gauge through the 4:2:0 container — chroma planes box-
+    // downsampled 2× on encode, nearest-upsampled on decode (the
+    // default shape of real-world encoders; MCU = 4 Y + Cb + Cr)
+    "mm_jpeg420_decode" -> ((s, dir) =>
+      colorSumGauge(s, dir, to420Jpeg, Err420Bound)),
 
     "mm_jpeg_ahash_banded" -> ((s, dir) => {
       val d = Tables.docs(s, dir)
@@ -142,6 +166,11 @@ object R17Queries {
         |FROM documents""".stripMargin,
 
     "mm_jpeg_color_decode" ->
+      """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+        |  true AS within_bound
+        |FROM documents""".stripMargin,
+
+    "mm_jpeg420_decode" ->
       """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
         |  true AS within_bound
         |FROM documents""".stripMargin,

@@ -227,9 +227,9 @@ class R17JpegSpec extends AnyFunSuite {
         s"uniform color err at $i: ${u.lumaSum3(i)}")
   }
 
-  test("subsampled JPEG is rejected by name (no silent misread)") {
-    // craft: take a color image and set the Y component's sampling to
-    // 2×2 (the 4:2:0 shape) — must be rejected, not misparsed
+  test("unsupported subsampling (4:2:2) is rejected by name") {
+    // craft: set Y's sampling to 2×1 (4:2:2) — a geometry the decoder
+    // does not implement must be rejected, not silently misparsed
     val enc = JpegCodec.encodeColor(8, 8,
       (x, y) => (x * 30 % 256, y * 30 % 256, 128), 90)
     val sofAt = (0 until enc.length - 1).find(i =>
@@ -237,8 +237,42 @@ class R17JpegSpec extends AnyFunSuite {
     // byte layout from the marker: FF C0 len(2) prec(1) h(2) w(2)
     // ncomp(1), then per comp (id, sampling, tq) — Y's sampling byte is
     // marker+11
-    val bad = enc.clone(); bad(sofAt + 11) = 0x22.toByte
+    val bad = enc.clone(); bad(sofAt + 11) = 0x21.toByte
     val ex = intercept[IllegalArgumentException] { JpegCodec.decode(bad) }
     assert(ex.getMessage.contains("subsampling"))
+  }
+
+  test("4:2:0 round-trips: luma crisp, chroma smeared but bounded") {
+    val f = (x: Int, y: Int) =>
+      ((x * 37 + y * 11) % 256, (x * 5 + y * 73) % 256, (x * 91 + y) % 256)
+    val enc420 = JpegCodec.encodeColor420(16, 16, f, 90)
+    val enc444 = JpegCodec.encodeColor(16, 16, f, 90)
+    assert(enc420.length < enc444.length,
+      "4:2:0 must be smaller than 4:4:4 on chroma-detailed content")
+    val r = JpegCodec.decode(enc420)
+    assert(r.width == 16 && r.height == 16)
+    // gray-content 4:2:0 ≈ gray path exactly as 4:4:4 does (uniform
+    // chroma planes survive downsampling unchanged)
+    val g = (x: Int, y: Int) => (x * 16 + y * 8) % 256
+    val via420 = JpegCodec.decode(JpegCodec.encodeColor420(16, 16,
+      (x, y) => (g(x, y), g(x, y), g(x, y)), 90))
+    val viaGray = JpegCodec.decode(JpegCodec.encode(16, 16, g, 90))
+    for (i <- 0 until 256)
+      assert(math.abs(via420.lumaSum3(i) - viaGray.lumaSum3(i)) <= 6,
+        s"gray-content 4:2:0 drifted at $i")
+    // uniform color: DC-only everywhere — downsampling a constant is
+    // lossless, so the YCbCr round trip is the only error (±1/channel)
+    val u = JpegCodec.decode(
+      JpegCodec.encodeColor420(8, 8, (_, _) => (200, 30, 90), 95))
+    for (i <- 0 until 64)
+      assert(math.abs(u.lumaSum3(i) - 320) <= 3, s"uniform 420 err at $i")
+    // odd dims exercise the padded-MCU + edge-replication path
+    val odd = JpegCodec.decode(JpegCodec.encodeColor420(13, 11, f, 90))
+    assert(odd.width == 13 && odd.height == 11)
+    // restart intervals compose with 4:2:0 MCUs identically
+    val withRst = JpegCodec.decode(
+      JpegCodec.encodeColor420(48, 16, f, 90, restartInterval = 2))
+    val plain = JpegCodec.decode(JpegCodec.encodeColor420(48, 16, f, 90))
+    assert(withRst.lumaSum3.toSeq == plain.lumaSum3.toSeq)
   }
 }
