@@ -79,10 +79,31 @@ object XR17Scale {
     val tJpeg = (System.nanoTime() - t0) / 1e9
     require(maxErr <= 32, s"JPEG gauge bound violated at 10×: $maxErr")
 
+    // 5) 4:2:0 color sweep — the heaviest codec path (6 blocks/MCU +
+    //    YCbCr both ways + chroma resampling) with its own gauge
+    val err420 = udf((text: String) => {
+      val src = MultimodalOps.asciiBytes(text)
+      val rgb = (x: Int, y: Int) => {
+        val j = y * 8 + x
+        (src(j % src.length) & 0xff, (src((j + 13) % src.length) & 0xff),
+          src((j + 29) % src.length) & 0xff)
+      }
+      val r = JpegCodec.decode(JpegCodec.encodeColor420(8, 8, rgb, 90))
+      (0 until 64).map { j =>
+        val (a, b2, c) = rgb(j % 8, j / 8)
+        math.abs(r.lumaSum3(j) - (a + b2 + c))
+      }.max
+    })
+    t0 = System.nanoTime()
+    val max420 = docs.select(max(err420(col("text")))).head().getInt(0)
+    val t420 = (System.nanoTime() - t0) / 1e9
+    require(max420 <= 160, s"4:2:0 gauge bound violated at 10×: $max420")
+
     println(f"PROBE nDocs=$nDocs decode=$tDecode%.1fs pairs=$nPairs" +
       f" tPairs=$tPairs%.1fs kcoreDriver=$tDriver%.1fs" +
       f" kcoreDist=$tDist%.1fs coreSize=${coreDriver.size}" +
-      f" jpegSweep=$tJpeg%.1fs jpegMaxErr=$maxErr")
+      f" jpegSweep=$tJpeg%.1fs jpegMaxErr=$maxErr" +
+      f" jpeg420Sweep=$t420%.1fs jpeg420MaxErr=$max420")
     spark.stop()
   }
 }
