@@ -636,8 +636,8 @@ object JpegCodec {
           require(ok444 || ok420,
             s"unsupported chroma subsampling $hv — 4:4:4 and 4:2:0 only")
           p += len
-        case 0xc2 => throw new IllegalArgumentException(
-          "progressive JPEG (SOF2) unsupported")
+        case 0xc2 => // progressive: its own multi-scan walker
+          return decodeProgressive(b)
         case x if (x >= 0xc1 && x <= 0xcf) && x != 0xc4 && x != 0xc8 &&
             x != 0xcc =>
           throw new IllegalArgumentException(
@@ -871,6 +871,378 @@ object JpegCodec {
           val (r, g, bb) = yccToRgb(sample(0, x, y), sample(1, x, y),
             sample(2, x, y))
           luma(y * w + x) = r + g + bb
+          x += 1
+        }
+        y += 1
+      }
+    }
+    ImageCodec.Raster(w, h, luma)
+  }
+
+  // ---- progressive (SOF2), spectral selection ------------------------
+  //
+  // Spec §G: the frame's quantized coefficients are delivered over
+  // MULTIPLE scans — a DC scan (Ss=Se=0) then AC band scans (Ss..Se,
+  // single-component).  AC scans use the EOBRUN code (symbol r<<4|0,
+  // r<15: a run of 2^r + RECEIVE(r) blocks that are all-zero in the
+  // band from the current position on).  Entropy coding is LOSSLESS
+  // over the same quantized coefficients as the sequential mode, so
+  // progressive decode must equal baseline decode BIT-EXACTLY — the
+  // invariant the oracle query asserts.  Scope: grayscale, Ah=0
+  // (successive-approximation refinement scans and progressive color
+  // are rejected by name), no restart intervals.
+
+  /** AC Huffman table for progressive scans: the Annex-K SEQUENTIAL AC
+    * table defines no EOBn symbols (its 0x10/0x20/… slots are (run,
+    * size) pairs with size ≥ 1), so a progressive encoder must carry
+    * its own table — real encoders optimize one per image; this fixed
+    * one assigns a uniform 8-bit code to every progressive-legal AC
+    * symbol: EOB1 + EOBn (r = 1..14) + ZRL + all (run 0..15 ×
+    * size 1..10).  176 codes of length 8 is a valid canonical table
+    * (176 < 256; the all-ones code stays unused). */
+  private val AcProgSyms: Array[Byte] = {
+    val b = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    b += 0x00
+    for (r <- 1 to 14) b += (r << 4).toByte
+    b += 0xf0.toByte
+    for (run <- 0 to 15; sz <- 1 to 10) b += ((run << 4) | sz).toByte
+    b.toArray
+  }
+  private val AcProgBits: Array[Int] =
+    Array(0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** quantized zigzag-ordered coefficient blocks of a grayscale image
+    * (the shared front half of both sequential and progressive
+    * encoding). */
+  private def quantizedBlocks(w: Int, h: Int, gray: (Int, Int) => Int,
+      quant: Array[Int]): Array[Array[Int]] = {
+    val blocksY = (h + 7) / 8
+    val blocksX = (w + 7) / 8
+    val out = new Array[Array[Int]](blocksY * blocksX)
+    val block = new Array[Double](64)
+    var bi = 0
+    for (by <- 0 until blocksY; bx <- 0 until blocksX) {
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val px = math.min(w - 1, bx * 8 + x)
+          val py = math.min(h - 1, by * 8 + y)
+          val v = gray(px, py)
+          require(v >= 0 && v <= 255, s"gray($px,$py)=$v out of [0,255]")
+          block(y * 8 + x) = v - 128.0
+          x += 1
+        }
+        y += 1
+      }
+      val coef = fdct(block)
+      val q = new Array[Int](64)
+      var i = 0
+      while (i < 64) { q(i) = math.round(coef(ZigZag(i)) / quant(ZigZag(i))).toInt; i += 1 }
+      out(bi) = q
+      bi += 1
+    }
+    out
+  }
+
+  /** Progressive grayscale JPEG: SOF2, a DC scan, then one AC scan per
+    * `bands` entry (inclusive zigzag ranges covering 1..63 in order). */
+  def encodeProgressive(w: Int, h: Int, gray: (Int, Int) => Int,
+      quality: Int = 90,
+      bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dims")
+    require(bands.nonEmpty, "need at least one AC band")
+    bands.foldLeft(1) { case (next, (a, b)) =>
+      require(a == next && b >= a && b <= 63,
+        s"bands must tile 1..63 in order, got ($a,$b) expecting start $next")
+      b + 1
+    }
+    require(bands.last._2 == 63, "bands must end at 63")
+    val quant = scaledQuant(quality, BaseQuantLuma)
+    val qb = quantizedBlocks(w, h, gray, quant)
+    val dcEnc = buildEncodeTable(DcLumaBits, DcLumaVals)
+    val acEnc = buildEncodeTable(AcProgBits, AcProgSyms)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    marker(0xd8)
+    seg(0xe0, "JFIF ".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, Array[Byte](0) ++ ZigZag.map(n => quant(n).toByte))
+    seg(0xc2, Array[Byte](8,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      1, 1, 0x11, 0))
+    seg(0xc4, Array[Byte](0x00) ++ DcLumaBits.map(_.toByte) ++ DcLumaVals)
+    seg(0xc4, Array[Byte](0x10) ++ AcProgBits.map(_.toByte) ++ AcProgSyms)
+    // ---- DC scan (Ss=0, Se=0, Ah=0, Al=0): sequential-style diffs ----
+    seg(0xda, Array[Byte](1, 1, 0x00, 0, 0, 0))
+    var bw = new BitWriter(out)
+    var prevDc = 0
+    qb.foreach { q =>
+      val diff = q(0) - prevDc
+      prevDc = q(0)
+      val s = bitSize(diff)
+      val (c, l) = dcEnc(s)
+      bw.put(c, l)
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    }
+    bw.finish()
+    // ---- AC band scans (Ah=0, Al=0) with EOBRUN coding ----
+    bands.foreach { case (ss, se) =>
+      seg(0xda, Array[Byte](1, 1, 0x00, ss.toByte, se.toByte, 0))
+      bw = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = acEnc(r << 4)
+        bw.put(c, l)
+        if (r > 0) bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      qb.foreach { q =>
+        // last nonzero position in the band, or ss-1 if none
+        var last = se
+        while (last >= ss && q(last) == 0) last -= 1
+        if (last < ss) {
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob() // spec cap: 32767
+        } else {
+          flushEob()
+          var run = 0
+          var k = ss
+          while (k <= last) {
+            if (q(k) == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (zc, zl) = acEnc(0xf0); bw.put(zc, zl); run -= 16
+              }
+              val sz = bitSize(q(k))
+              val (c, l) = acEnc((run << 4) | sz)
+              bw.put(c, l)
+              bw.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (last < se) eobrun += 1 // this block's own EOB joins the run
+        }
+      }
+      flushEob()
+      bw.finish()
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** [[grayJpeg]] in the progressive container. */
+  def progJpeg(w: Int, h: Int, src: Array[Byte], quality: Int = 90,
+      bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
+    require(src.nonEmpty, "empty source bytes")
+    encodeProgressive(w, h,
+      (x, y) => src((y * w + x) % src.length) & 0xff, quality, bands)
+  }
+
+  /** unstuff entropy bytes from `start` until the next marker; returns
+    * (data, markerByte, position AFTER the marker). */
+  private def unstuffToMarker(b: Array[Byte],
+      start: Int): (Array[Byte], Int, Int) = {
+    val ent = new java.io.ByteArrayOutputStream()
+    var q = start
+    while (true) {
+      require(q < b.length, "truncated JPEG scan (no terminating marker)")
+      val v = b(q) & 0xff
+      if (v != 0xff) { ent.write(v); q += 1 }
+      else {
+        require(q + 1 < b.length, "truncated JPEG scan (dangling FF)")
+        val nxt = b(q + 1) & 0xff
+        if (nxt == 0x00) { ent.write(0xff); q += 2 }
+        else return (ent.toByteArray, nxt, q + 2)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def decodeProgressive(b: Array[Byte]): ImageCodec.Raster = {
+    var p = 2 // caller verified the SOI
+    var w = 0; var h = 0
+    var sawSof = false
+    val quant = new Array[Array[Int]](4)
+    var quantId = 0
+    val huff = scala.collection.mutable.Map.empty[(Int, Int), DecodeTable]
+    var coefs: Array[Array[Int]] = null // per block, NATURAL order
+    def u16(off: Int): Int = {
+      require(off + 1 < b.length, "truncated JPEG segment")
+      ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    }
+    var done = false
+    while (!done) {
+      require(p + 1 < b.length, "truncated progressive JPEG (no EOI)")
+      require((b(p) & 0xff) == 0xff, f"expected marker, got 0x${b(p)}%02x")
+      val m = b(p + 1) & 0xff
+      p += 2
+      m match {
+        case 0xd9 =>
+          require(coefs != null, "progressive JPEG with no scans")
+          done = true
+        case 0x01 => ()
+        case 0xc2 =>
+          val len = u16(p)
+          require(len >= 11 && p + len <= b.length, "truncated SOF2")
+          require((b(p + 2) & 0xff) == 8, "only 8-bit JPEG supported")
+          h = u16(p + 3); w = u16(p + 5)
+          require(w > 0 && h > 0, s"bad JPEG dims ${w}x$h")
+          require((b(p + 7) & 0xff) == 1,
+            "progressive color unsupported (grayscale SOF2 only)")
+          require((b(p + 9) & 0xff) == 0x11, "only 1x1 sampling supported")
+          quantId = b(p + 10) & 0xff
+          require(quantId <= 3, s"bad quant table id $quantId")
+          sawSof = true
+          coefs = Array.fill(((h + 7) / 8) * ((w + 7) / 8))(new Array[Int](64))
+          p += len
+        case 0xc0 => throw new IllegalArgumentException(
+          "mixed SOF0 after SOF2")
+        case 0xdb =>
+          val len = u16(p)
+          require(len >= 2 && p + len <= b.length, "truncated DQT")
+          var q = p + 2
+          while (q < p + len) {
+            val pqtq = b(q) & 0xff
+            require((pqtq >> 4) == 0, "16-bit quant tables unsupported")
+            require((pqtq & 0x0f) <= 3, "bad quant table id")
+            require(q + 65 <= p + len, "truncated DQT table")
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(ZigZag(i)) = b(q + 1 + i) & 0xff; i += 1 }
+            quant(pqtq & 0x0f) = t
+            q += 65
+          }
+          p += len
+        case 0xc4 =>
+          val len = u16(p)
+          require(len >= 2 && p + len <= b.length, "truncated DHT")
+          var q = p + 2
+          while (q < p + len) {
+            val tcth = b(q) & 0xff
+            require((tcth >> 4) <= 1 && (tcth & 0x0f) <= 3,
+              "bad Huffman table class/id")
+            require(q + 17 <= p + len, "truncated DHT header")
+            val bits = Array.tabulate(16)(i => b(q + 1 + i) & 0xff)
+            val n = bits.sum
+            require(q + 17 + n <= p + len, "truncated DHT values")
+            huff((tcth >> 4, tcth & 0x0f)) = new DecodeTable(bits,
+              java.util.Arrays.copyOfRange(b, q + 17, q + 17 + n))
+            q += 17 + n
+          }
+          p += len
+        case 0xdd =>
+          val len = u16(p)
+          require(len == 4 && p + len <= b.length, "truncated DRI")
+          require(u16(p + 2) == 0,
+            "restart intervals in progressive JPEG unsupported")
+          p += len
+        case 0xda =>
+          require(sawSof, "progressive SOS before SOF2")
+          val len = u16(p)
+          require(len >= 8 && p + len <= b.length, "truncated SOS")
+          require((b(p + 2) & 0xff) == 1, "multi-component scan unsupported")
+          val tt = b(p + 4) & 0xff
+          val ss = b(p + 5) & 0xff
+          val se = b(p + 6) & 0xff
+          val ahal = b(p + 7) & 0xff
+          val ah = ahal >> 4
+          val al = ahal & 0x0f
+          require(ah == 0, "successive-approximation refinement scans " +
+            "(Ah > 0) unsupported")
+          require(ss <= se && se <= 63, s"bad spectral range $ss..$se")
+          val (data, nextMarker, after) = unstuffToMarker(b, p + len)
+          require(nextMarker == 0xd9 || nextMarker == 0xda ||
+            nextMarker == 0xc4 || nextMarker == 0xdb,
+            f"unexpected marker 0x$nextMarker%02x after progressive scan")
+          val br = new BitReader(data)
+          def huffDecode(t: DecodeTable): Int = {
+            var code = br.bit()
+            var l = 1
+            while (l < 16 && (t.maxCode(l) == -1 || code > t.maxCode(l))) {
+              code = (code << 1) | br.bit()
+              l += 1
+            }
+            require(t.maxCode(l) != -1 && code <= t.maxCode(l),
+              "invalid JPEG Huffman code")
+            t.value(l, code)
+          }
+          if (ss == 0) { // DC scan
+            require(se == 0, "DC scan must have Se = 0")
+            val dcT = huff.getOrElse((0, tt >> 4), throw
+              new IllegalArgumentException("missing DC Huffman table"))
+            var prevDc = 0
+            coefs.foreach { c =>
+              val s = huffDecode(dcT)
+              require(s <= 11, s"DC size $s out of baseline range")
+              prevDc += extend(br.receive(s), s)
+              c(0) = prevDc << al
+            }
+          } else { // AC band scan with EOBRUN
+            val acT = huff.getOrElse((1, tt & 0x0f), throw
+              new IllegalArgumentException("missing AC Huffman table"))
+            var eobrun = 0
+            coefs.foreach { c =>
+              if (eobrun > 0) eobrun -= 1
+              else {
+                var k = ss
+                var eob = false
+                while (k <= se && !eob) {
+                  val rs = huffDecode(acT)
+                  val r = rs >> 4
+                  val sz = rs & 0x0f
+                  if (sz == 0) {
+                    if (r == 15) k += 16 // ZRL
+                    else { // EOBRUN: 2^r + receive(r) blocks incl. this
+                      eobrun = (1 << r) + br.receive(r) - 1
+                      eob = true
+                    }
+                  } else {
+                    k += r
+                    require(k <= se, "AC coefficient past the scan band")
+                    c(ZigZag(k)) = extend(br.receive(sz), sz) << al
+                    k += 1
+                  }
+                }
+              }
+            }
+            require(eobrun == 0, "EOBRUN past the last block")
+          }
+          p = after - 2 // hand the terminating marker back to the walk
+        case _ =>
+          val len = u16(p)
+          require(len >= 2 && p + len <= b.length, "truncated JPEG segment")
+          p += len
+      }
+    }
+    require(quant(quantId) != null, "JPEG missing quant table")
+    val qt = quant(quantId)
+    val blocksX = (w + 7) / 8
+    val luma = new Array[Int](w * h)
+    val qcoef = new Array[Double](64)
+    coefs.zipWithIndex.foreach { case (c, bi) =>
+      var i = 0
+      while (i < 64) { qcoef(i) = c(i).toDouble * qt(i); i += 1 }
+      val px = idct(qcoef)
+      val bx = bi % blocksX
+      val by = bi / blocksX
+      var y = 0
+      while (y < 8) {
+        val iy = by * 8 + y
+        var x = 0
+        while (x < 8) {
+          val ix = bx * 8 + x
+          if (ix < w && iy < h)
+            luma(iy * w + ix) = 3 * clamp255(px(y * 8 + x) + 128.0)
           x += 1
         }
         y += 1

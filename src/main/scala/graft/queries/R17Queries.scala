@@ -62,6 +62,9 @@ object R17Queries {
     JpegCodec.color420Jpeg(8, 8, MultimodalOps.asciiBytes(text),
       quality = 90))
 
+  private val toProgJpeg = udf((text: String) =>
+    JpegCodec.progJpeg(8, 8, MultimodalOps.asciiBytes(text), quality = 90))
+
   /** shared per-document channel-sum tolerance gauge for the color
     * containers: decode the payload at per-pixel granularity, recompute
     * the three phase-shifted source channels from the text, assert
@@ -123,6 +126,27 @@ object R17Queries {
     "mm_jpeg420_decode" -> ((s, dir) =>
       colorSumGauge(s, dir, to420Jpeg, Err420Bound)),
 
+    // PROGRESSIVE (SOF2, spectral selection + EOBRUN): the entropy
+    // coding is lossless over the SAME quantized coefficients as the
+    // sequential container, so the decode must equal the sequential
+    // decode BIT-EXACTLY — asserted in-row per document (the strongest
+    // oracle a multi-scan container admits)
+    "mm_jpeg_prog_decode" -> ((s, dir) => {
+      val d = Tables.docs(s, dir)
+      val seqDec = MultimodalOps.decodeWith(
+        d.withColumn("payload", toJpeg(col("text"))),
+        col("payload"), col("doc_id"), ImageCodec.kernel(8, 8)).toDF()
+        .select(col("doc_id"), col("features").as("f_seq"))
+      val progDec = MultimodalOps.decodeWith(
+        d.withColumn("payload", toProgJpeg(col("text"))),
+        col("payload"), col("doc_id"), ImageCodec.kernel(8, 8)).toDF()
+      progDec.join(seqDec, "doc_id")
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          (col("features") === col("f_seq")).as("prog_equals_seq"))
+    }),
+
     "mm_jpeg_ahash_banded" -> ((s, dir) => {
       val d = Tables.docs(s, dir)
         .withColumn("payload", toJpeg(col("text")))
@@ -173,6 +197,11 @@ object R17Queries {
     "mm_jpeg420_decode" ->
       """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
         |  true AS within_bound
+        |FROM documents""".stripMargin,
+
+    "mm_jpeg_prog_decode" ->
+      """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+        |  true AS prog_equals_seq
         |FROM documents""".stripMargin,
 
     "mm_jpeg_ahash_banded" ->

@@ -109,13 +109,15 @@ class R17JpegSpec extends AnyFunSuite {
     // bad signature
     intercept[IllegalArgumentException] {
       JpegCodec.decode(Array[Byte](0, 1, 2, 3)) }
-    // progressive SOF2 rejected by name
+    // a baseline stream relabeled SOF2 routes to the progressive
+    // walker, whose scan-header validation rejects the sequential
+    // full-spectral SOS (progressive DC and AC cannot share a scan)
     val prog = ok.clone()
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sofAt + 1) = 0xc2.toByte
     val ex2 = intercept[IllegalArgumentException] { JpegCodec.decode(prog) }
-    assert(ex2.getMessage.contains("progressive"))
+    assert(ex2.getMessage.contains("DC scan must have Se = 0"))
     // arithmetic coding rejected by name
     val arith = ok.clone(); arith(sofAt + 1) = 0xc9.toByte
     val ex3 = intercept[IllegalArgumentException] { JpegCodec.decode(arith) }
@@ -225,6 +227,79 @@ class R17JpegSpec extends AnyFunSuite {
     for (i <- 0 until 64)
       assert(math.abs(u.lumaSum3(i) - (200 + 30 + 90)) <= 3,
         s"uniform color err at $i: ${u.lumaSum3(i)}")
+  }
+
+  test("progressive decode equals sequential decode bit-exactly") {
+    // entropy coding is lossless over the same quantized coefficients,
+    // so EVERY band split and quality must reproduce the sequential
+    // pixels exactly — including odd dims (edge-replicated blocks)
+    val fs: Seq[(Int, Int) => Int] = Seq(
+      (x, y) => (x * 32 + y * 4) % 256,
+      (x, y) => if ((x + y) % 2 == 0) 0 else 255,
+      (x, y) => {
+        val s = MultimodalOps.asciiBytes("progressive fox 0123456789")
+        s((y * 16 + x) % s.length) & 0xff
+      })
+    for (f <- fs; q <- Seq(50, 90, 95);
+         bands <- Seq(Seq((1, 63)), Seq((1, 5), (6, 63)),
+           Seq((1, 2), (3, 8), (9, 30), (31, 63)))) {
+      val seqR = JpegCodec.decode(JpegCodec.encode(16, 16, f, q))
+      val progR = JpegCodec.decode(
+        JpegCodec.encodeProgressive(16, 16, f, q, bands))
+      assert(seqR.lumaSum3.toSeq == progR.lumaSum3.toSeq,
+        s"q$q bands=$bands diverged")
+    }
+    val odd = JpegCodec.decode(
+      JpegCodec.encodeProgressive(13, 11, fs.head, 90))
+    val oddSeq = JpegCodec.decode(JpegCodec.encode(13, 11, fs.head, 90))
+    assert(odd.lumaSum3.toSeq == oddSeq.lumaSum3.toSeq)
+  }
+
+  test("EOBRUN spans many blocks (the r>0 path) and still matches") {
+    // 64×64 uniform = 64 blocks, every AC band all-zero: the whole AC
+    // scan collapses to one EOBn with r = 6 — the multi-block run path
+    val u = (_: Int, _: Int) => 77
+    val prog = JpegCodec.encodeProgressive(64, 64, u, 90)
+    val seqEnc = JpegCodec.encode(64, 64, u, 90)
+    assert(JpegCodec.decode(prog).lumaSum3.toSeq ==
+      JpegCodec.decode(seqEnc).lumaSum3.toSeq)
+    // and a sparse image: one bright pixel per block row → runs broken
+    // by coefficient blocks, EOBRUN restarts between them
+    val sparse = (x: Int, y: Int) => if (x % 16 == 3 && y % 16 == 5) 250 else 40
+    assert(JpegCodec.decode(JpegCodec.encodeProgressive(64, 64, sparse, 90))
+      .lumaSum3.toSeq ==
+      JpegCodec.decode(JpegCodec.encode(64, 64, sparse, 90)).lumaSum3.toSeq)
+  }
+
+  test("progressive fail-loud shapes: refinement scans, color, DRI, truncation") {
+    val prog = JpegCodec.encodeProgressive(8, 8,
+      (x, y) => (x * 9 + y * 31) % 256, 90)
+    // every truncation prefix is controlled
+    for (n <- 2 until prog.length) {
+      intercept[IllegalArgumentException] {
+        JpegCodec.decode(java.util.Arrays.copyOf(prog, n)) }
+    }
+    // a refinement scan (Ah > 0) is rejected by name: flip the LAST
+    // SOS header's Ah/Al byte (the AC scan; header is 8 bytes before
+    // its data: FF DA len(2) ns(1) comp(2) Ss Se AhAl)
+    val sosAts = (0 until prog.length - 1).filter(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda)
+    val lastSos = sosAts.last
+    val refine = prog.clone(); refine(lastSos + 9) = 0x10.toByte // Ah=1
+    val ex = intercept[IllegalArgumentException] { JpegCodec.decode(refine) }
+    assert(ex.getMessage.contains("refinement"))
+    // progressive color: craft SOF2 claiming 3 components
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc2).get
+    val color = prog.clone(); color(sofAt + 9) = 3
+    val ex2 = intercept[IllegalArgumentException] { JpegCodec.decode(color) }
+    assert(ex2.getMessage.contains("progressive color"))
+    // DRI ≠ 0 in progressive is rejected by name
+    val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x02).map(_.toByte)
+    val withDri = prog.take(sofAt) ++ dri ++ prog.drop(sofAt)
+    val ex3 = intercept[IllegalArgumentException] {
+      JpegCodec.decode(withDri) }
+    assert(ex3.getMessage.contains("progressive"))
   }
 
   test("unsupported subsampling (4:2:2) is rejected by name") {
