@@ -1040,6 +1040,213 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Progressive grayscale JPEG WITH SUCCESSIVE APPROXIMATION (spec
+    * §G.1.2): first scans deliver each coefficient's top bits (point
+    * transform at Al = `al`), refinement scans deliver one bit plane at
+    * a time down to Al = 0 — the mode real progressive encoders use.
+    * DC: first scan codes diffs of (DC >> al) (arithmetic shift), each
+    * refinement scan is one raw bit per block.  AC: first scans code
+    * sign·(|v| >> al) with EOBRUN; refinement scans code newly-
+    * significant coefficients as (run, 1) + sign and append one
+    * correction bit per already-significant coefficient, with the
+    * correction bits buffered behind the next symbol (the spec's BR
+    * buffer) and EOB runs carrying the skipped blocks' correction bits.
+    * Decoding all scans reconstructs the EXACT sequential coefficients,
+    * so decode stays bit-equal to the sequential container. */
+  def encodeProgressiveSA(w: Int, h: Int, gray: (Int, Int) => Int,
+      quality: Int = 90, bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63)),
+      al: Int = 1): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dims")
+    require(al >= 1 && al <= 10, s"al=$al out of [1,10]")
+    require(bands.nonEmpty, "need at least one AC band")
+    bands.foldLeft(1) { case (next, (a, b)) =>
+      require(a == next && b >= a && b <= 63,
+        s"bands must tile 1..63 in order, got ($a,$b) expecting start $next")
+      b + 1
+    }
+    require(bands.last._2 == 63, "bands must end at 63")
+    val quant = scaledQuant(quality, BaseQuantLuma)
+    val qb = quantizedBlocks(w, h, gray, quant)
+    val dcEnc = buildEncodeTable(DcLumaBits, DcLumaVals)
+    val acEnc = buildEncodeTable(AcProgBits, AcProgSyms)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    marker(0xd8)
+    seg(0xe0, "JFIF ".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, Array[Byte](0) ++ ZigZag.map(n => quant(n).toByte))
+    seg(0xc2, Array[Byte](8,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      1, 1, 0x11, 0))
+    seg(0xc4, Array[Byte](0x00) ++ DcLumaBits.map(_.toByte) ++ DcLumaVals)
+    seg(0xc4, Array[Byte](0x10) ++ AcProgBits.map(_.toByte) ++ AcProgSyms)
+    // ---- DC first scan (Ah=0, Al=al): diffs of DC >> al ----
+    seg(0xda, Array[Byte](1, 1, 0x00, 0, 0, al.toByte))
+    var bw = new BitWriter(out)
+    var prevDc = 0
+    qb.foreach { q =>
+      val v = q(0) >> al // arithmetic shift (spec G.1.2.1)
+      val diff = v - prevDc
+      prevDc = v
+      val s = bitSize(diff)
+      val (c, l) = dcEnc(s)
+      bw.put(c, l)
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    }
+    bw.finish()
+    // ---- DC refinement scans (Ah = a, Al = a−1): one bit per block ----
+    for (a <- al to 1 by -1) {
+      seg(0xda, Array[Byte](1, 1, 0x00, 0, 0, ((a << 4) | (a - 1)).toByte))
+      bw = new BitWriter(out)
+      qb.foreach(q => bw.put((q(0) >> (a - 1)) & 1, 1))
+      bw.finish()
+    }
+    // ---- AC first scans (Ah=0, Al=al) per band ----
+    bands.foreach { case (ss, se) =>
+      seg(0xda, Array[Byte](1, 1, 0x00, ss.toByte, se.toByte, al.toByte))
+      bw = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = acEnc(r << 4)
+        bw.put(c, l)
+        if (r > 0) bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      qb.foreach { q =>
+        def pt(k: Int): Int = { // AC point transform: toward zero
+          val m = math.abs(q(k)) >> al
+          if (q(k) < 0) -m else m
+        }
+        var last = se
+        while (last >= ss && pt(last) == 0) last -= 1
+        if (last < ss) {
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob()
+        } else {
+          flushEob()
+          var run = 0
+          var k = ss
+          while (k <= last) {
+            val v = pt(k)
+            if (v == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (zc, zl) = acEnc(0xf0); bw.put(zc, zl); run -= 16
+              }
+              val sz = bitSize(v)
+              val (c, l) = acEnc((run << 4) | sz)
+              bw.put(c, l)
+              bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (last < se) eobrun += 1
+        }
+      }
+      flushEob()
+      bw.finish()
+    }
+    // ---- AC refinement scans (Ah = a, Al = a−1) per band ----
+    for (a <- al to 1 by -1; (ss, se) <- bands) {
+      val lo = a - 1
+      seg(0xda, Array[Byte](1, 1, 0x00, ss.toByte, se.toByte,
+        ((a << 4) | lo).toByte))
+      bw = new BitWriter(out)
+      var eobrun = 0
+      val pendingBits = new scala.collection.mutable.ArrayBuffer[Int]()
+      // correction bits only ever accumulate together with an EOB entry,
+      // so a flush always has a symbol to hang them on
+      def flushEob(): Unit = {
+        if (eobrun == 0) require(pendingBits.isEmpty,
+          "internal: correction bits without an EOB run")
+        else {
+          val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+          val (c, l) = acEnc(r << 4)
+          bw.put(c, l)
+          if (r > 0) bw.put(eobrun - (1 << r), r)
+          eobrun = 0
+          pendingBits.foreach(bit => bw.put(bit, 1))
+          pendingBits.clear()
+        }
+      }
+      qb.foreach { q =>
+        def hi(k: Int): Int = math.abs(q(k)) >> a // already-significant?
+        def bitAt(k: Int): Int = (math.abs(q(k)) >> lo) & 1
+        // EOB position: last NEWLY significant coefficient in the band
+        var eobPos = ss - 1
+        var k = ss
+        while (k <= se) {
+          if (hi(k) == 0 && (math.abs(q(k)) >> lo) == 1) eobPos = k
+          k += 1
+        }
+        if (eobPos < ss) {
+          // no new coefficients: block joins the EOB run; its
+          // already-significant coefficients' correction bits ride along
+          var j = ss
+          while (j <= se) {
+            if (hi(j) != 0) pendingBits += bitAt(j)
+            j += 1
+          }
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob()
+        } else {
+          flushEob()
+          var run = 0
+          val br = new scala.collection.mutable.ArrayBuffer[Int]()
+          k = ss
+          while (k <= eobPos) {
+            if (hi(k) != 0) br += bitAt(k) // correction bit, buffered
+            else if ((math.abs(q(k)) >> lo) == 0) {
+              run += 1
+              if (run == 16) { // ZRL before 16 insignificant zeros pass
+                val (zc, zl) = acEnc(0xf0)
+                bw.put(zc, zl)
+                br.foreach(bit => bw.put(bit, 1))
+                br.clear()
+                run = 0
+              }
+            } else { // newly significant (magnitude bit == 1)
+              val (c, l) = acEnc((run << 4) | 1)
+              bw.put(c, l)
+              bw.put(if (q(k) < 0) 0 else 1, 1) // sign
+              br.foreach(bit => bw.put(bit, 1))
+              br.clear()
+              run = 0
+            }
+            k += 1
+          }
+          // tail beyond the last new coefficient: the decoder keeps
+          // reading symbols until k > Se OR an EOB arrives, so ANY
+          // remaining positions (trailing zeros or correction-only)
+          // force this block to contribute an EOB entry, carrying its
+          // trailing correction bits
+          while (k <= se) {
+            if (hi(k) != 0) br += bitAt(k)
+            k += 1
+          }
+          if (eobPos < se) {
+            pendingBits ++= br
+            eobrun += 1
+            if (eobrun == 0x7fff) flushEob()
+          }
+        }
+      }
+      flushEob()
+      bw.finish()
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** [[grayJpeg]] in the progressive container. */
   def progJpeg(w: Int, h: Int, src: Array[Byte], quality: Int = 90,
       bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
@@ -1157,8 +1364,8 @@ object JpegCodec {
           val ahal = b(p + 7) & 0xff
           val ah = ahal >> 4
           val al = ahal & 0x0f
-          require(ah == 0, "successive-approximation refinement scans " +
-            "(Ah > 0) unsupported")
+          require(ah == 0 || ah == al + 1,
+            s"non-contiguous successive approximation (Ah=$ah, Al=$al)")
           require(ss <= se && se <= 63, s"bad spectral range $ss..$se")
           val (data, nextMarker, after) = unstuffToMarker(b, p + len)
           require(nextMarker == 0xd9 || nextMarker == 0xda ||
@@ -1176,7 +1383,7 @@ object JpegCodec {
               "invalid JPEG Huffman code")
             t.value(l, code)
           }
-          if (ss == 0) { // DC scan
+          if (ss == 0 && ah == 0) { // DC first scan
             require(se == 0, "DC scan must have Se = 0")
             val dcT = huff.getOrElse((0, tt >> 4), throw
               new IllegalArgumentException("missing DC Huffman table"))
@@ -1187,7 +1394,12 @@ object JpegCodec {
               prevDc += extend(br.receive(s), s)
               c(0) = prevDc << al
             }
-          } else { // AC band scan with EOBRUN
+          } else if (ss == 0) { // DC refinement: one raw bit per block
+            require(se == 0, "DC scan must have Se = 0")
+            // x == (x >> k << k) | (low k bits): OR-ing each delivered
+            // bit reconstructs the two's-complement DC exactly
+            coefs.foreach(c => c(0) |= br.bit() << al)
+          } else if (ah == 0) { // AC first scan with EOBRUN
             val acT = huff.getOrElse((1, tt & 0x0f), throw
               new IllegalArgumentException("missing AC Huffman table"))
             var eobrun = 0
@@ -1213,6 +1425,68 @@ object JpegCodec {
                     k += 1
                   }
                 }
+              }
+            }
+            require(eobrun == 0, "EOBRUN past the last block")
+          } else { // AC refinement (spec G.1.2.3)
+            val acT = huff.getOrElse((1, tt & 0x0f), throw
+              new IllegalArgumentException("missing AC Huffman table"))
+            val p1 = 1 << al
+            val n1 = -(1 << al)
+            // refine one already-significant coefficient: bit 1 adds the
+            // p1 magnitude bit (negatives are stored as −magnitude, so
+            // (coef & p1) tests the magnitude bit directly — low bits
+            // are zero until delivered)
+            def refine(c: Array[Int], n: Int): Unit =
+              if (br.bit() == 1 && (c(n) & p1) == 0)
+                c(n) += (if (c(n) >= 0) p1 else n1)
+            var eobrun = 0
+            coefs.foreach { c =>
+              var k = ss
+              if (eobrun == 0) {
+                var eob = false
+                while (k <= se && !eob) {
+                  val rs = huffDecode(acT)
+                  var r = rs >> 4
+                  val sz = rs & 0x0f
+                  var newVal = 0
+                  if (sz == 0) {
+                    if (r != 15) { // EOBn: this block + (run−1) more
+                      eobrun = (1 << r) + br.receive(r)
+                      eob = true
+                    } // r == 15: ZRL — skip 16 zero-history positions
+                  } else {
+                    require(sz == 1,
+                      "AC refinement coefficient size must be 1")
+                    newVal = if (br.bit() == 1) p1 else n1
+                  }
+                  if (!eob) {
+                    // walk: refine nonzero-history coefficients en
+                    // route; count r down over zero-history ones; land
+                    // on the (r+1)-th zero-history position
+                    var placed = false
+                    while (k <= se && !placed) {
+                      val n = ZigZag(k)
+                      if (c(n) != 0) refine(c, n)
+                      else if (r == 0) {
+                        if (sz != 0) c(n) = newVal
+                        placed = true
+                      } else r -= 1
+                      k += 1
+                    }
+                    require(placed || sz == 0,
+                      "AC refinement run past the band")
+                  }
+                }
+              }
+              if (eobrun > 0) {
+                // the EOB run covers the REST of this block's band …
+                while (k <= se) {
+                  val n = ZigZag(k)
+                  if (c(n) != 0) refine(c, n)
+                  k += 1
+                }
+                eobrun -= 1 // … and (eobrun−1) full blocks after it
               }
             }
             require(eobrun == 0, "EOBRUN past the last block")

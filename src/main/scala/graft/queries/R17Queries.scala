@@ -65,6 +65,13 @@ object R17Queries {
   private val toProgJpeg = udf((text: String) =>
     JpegCodec.progJpeg(8, 8, MultimodalOps.asciiBytes(text), quality = 90))
 
+  private val toSaJpeg = udf((text: String) => {
+    val src = MultimodalOps.asciiBytes(text)
+    JpegCodec.encodeProgressiveSA(8, 8,
+      (x, y) => src((y * 8 + x) % src.length) & 0xff, quality = 90,
+      al = 2)
+  })
+
   /** shared per-document channel-sum tolerance gauge for the color
     * containers: decode the payload at per-pixel granularity, recompute
     * the three phase-shifted source channels from the text, assert
@@ -90,6 +97,27 @@ object R17Queries {
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
         (col("max_err") <= bound).as("within_bound"))
+  }
+
+  /** shared bit-equality gauge for the lossless-recoding containers
+    * (progressive / successive approximation): their decoded features
+    * must equal the SEQUENTIAL container's decode exactly, per doc. */
+  private def bitEqualGauge(s: SparkSession, dir: String,
+      payload: org.apache.spark.sql.expressions.UserDefinedFunction,
+      flag: String): DataFrame = {
+    val d = Tables.docs(s, dir)
+    val seqDec = MultimodalOps.decodeWith(
+      d.withColumn("payload", toJpeg(col("text"))),
+      col("payload"), col("doc_id"), ImageCodec.kernel(8, 8)).toDF()
+      .select(col("doc_id"), col("features").as("f_seq"))
+    val otherDec = MultimodalOps.decodeWith(
+      d.withColumn("payload", payload(col("text"))),
+      col("payload"), col("doc_id"), ImageCodec.kernel(8, 8)).toDF()
+    otherDec.join(seqDec, "doc_id")
+      .select(col("doc_id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        (col("features") === col("f_seq")).as(flag))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -131,21 +159,16 @@ object R17Queries {
     // sequential container, so the decode must equal the sequential
     // decode BIT-EXACTLY — asserted in-row per document (the strongest
     // oracle a multi-scan container admits)
-    "mm_jpeg_prog_decode" -> ((s, dir) => {
-      val d = Tables.docs(s, dir)
-      val seqDec = MultimodalOps.decodeWith(
-        d.withColumn("payload", toJpeg(col("text"))),
-        col("payload"), col("doc_id"), ImageCodec.kernel(8, 8)).toDF()
-        .select(col("doc_id"), col("features").as("f_seq"))
-      val progDec = MultimodalOps.decodeWith(
-        d.withColumn("payload", toProgJpeg(col("text"))),
-        col("payload"), col("doc_id"), ImageCodec.kernel(8, 8)).toDF()
-      progDec.join(seqDec, "doc_id")
-        .select(col("doc_id"),
-          col("width").cast("long").as("width"),
-          col("height").cast("long").as("height"),
-          (col("features") === col("f_seq")).as("prog_equals_seq"))
-    }),
+    "mm_jpeg_prog_decode" -> ((s, dir) =>
+      bitEqualGauge(s, dir, toProgJpeg, "prog_equals_seq")),
+
+    // SUCCESSIVE APPROXIMATION (Ah/Al bit-plane scans — how real
+    // progressive encoders actually write): DC bit planes + AC
+    // newly-significant/correction-bit scans from Al=2 down to 0; the
+    // fully-refined coefficients are the sequential ones, so the same
+    // bit-equality invariant holds
+    "mm_jpeg_sa_decode" -> ((s, dir) =>
+      bitEqualGauge(s, dir, toSaJpeg, "sa_equals_seq")),
 
     "mm_jpeg_ahash_banded" -> ((s, dir) => {
       val d = Tables.docs(s, dir)
@@ -202,6 +225,11 @@ object R17Queries {
     "mm_jpeg_prog_decode" ->
       """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
         |  true AS prog_equals_seq
+        |FROM documents""".stripMargin,
+
+    "mm_jpeg_sa_decode" ->
+      """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+        |  true AS sa_equals_seq
         |FROM documents""".stripMargin,
 
     "mm_jpeg_ahash_banded" ->

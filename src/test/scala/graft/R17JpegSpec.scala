@@ -271,6 +271,46 @@ class R17JpegSpec extends AnyFunSuite {
       JpegCodec.decode(JpegCodec.encode(64, 64, sparse, 90)).lumaSum3.toSeq)
   }
 
+  test("successive approximation reconstructs sequential bit-exactly") {
+    // SA delivers each coefficient's bits over multiple scans (DC: raw
+    // bit planes; AC: newly-significant (run,1)+sign symbols with
+    // buffered correction bits and EOB runs carrying skipped blocks'
+    // corrections).  Decoding ALL scans must equal the sequential
+    // decode exactly — every Al depth, band split, and the adversarial
+    // shapes (checker = max AC energy, sparse = long EOB runs with
+    // mid-run corrections)
+    val fs: Seq[(Int, Int) => Int] = Seq(
+      (x, y) => (x * 32 + y * 4) % 256,
+      (x, y) => if ((x + y) % 2 == 0) 0 else 255,
+      (x, y) => if (x % 16 == 3 && y % 16 == 5) 250 else 40)
+    for (f <- fs; q <- Seq(50, 90); al <- Seq(1, 2, 3);
+         bands <- Seq(Seq((1, 63)), Seq((1, 5), (6, 63)))) {
+      val seqR = JpegCodec.decode(JpegCodec.encode(32, 32, f, q))
+      val saR = JpegCodec.decode(
+        JpegCodec.encodeProgressiveSA(32, 32, f, q, bands, al))
+      assert(seqR.lumaSum3.toSeq == saR.lumaSum3.toSeq,
+        s"q$q al=$al bands=$bands diverged")
+    }
+    // odd dims through SA
+    val odd = JpegCodec.decode(
+      JpegCodec.encodeProgressiveSA(13, 11, fs.head, 90, al = 2))
+    val oddSeq = JpegCodec.decode(JpegCodec.encode(13, 11, fs.head, 90))
+    assert(odd.lumaSum3.toSeq == oddSeq.lumaSum3.toSeq)
+    // SA truncation stays controlled at every prefix
+    val sa = JpegCodec.encodeProgressiveSA(8, 8,
+      (x, y) => (x * 9 + y * 31) % 256, 90, al = 2)
+    for (n <- 2 until sa.length) {
+      intercept[IllegalArgumentException] {
+        JpegCodec.decode(java.util.Arrays.copyOf(sa, n)) }
+    }
+    // non-contiguous approximation (Ah != Al + 1) is rejected by name
+    val sosAts = (0 until sa.length - 1).filter(i =>
+      (sa(i) & 0xff) == 0xff && (sa(i + 1) & 0xff) == 0xda)
+    val bad = sa.clone(); bad(sosAts.last + 9) = 0x30.toByte // Ah=3,Al=0
+    val ex = intercept[IllegalArgumentException] { JpegCodec.decode(bad) }
+    assert(ex.getMessage.contains("non-contiguous"))
+  }
+
   test("progressive fail-loud shapes: refinement scans, color, DRI, truncation") {
     val prog = JpegCodec.encodeProgressive(8, 8,
       (x, y) => (x * 9 + y * 31) % 256, 90)
@@ -279,15 +319,15 @@ class R17JpegSpec extends AnyFunSuite {
       intercept[IllegalArgumentException] {
         JpegCodec.decode(java.util.Arrays.copyOf(prog, n)) }
     }
-    // a refinement scan (Ah > 0) is rejected by name: flip the LAST
-    // SOS header's Ah/Al byte (the AC scan; header is 8 bytes before
-    // its data: FF DA len(2) ns(1) comp(2) Ss Se AhAl)
+    // a NON-CONTIGUOUS approximation header (Ah ≠ Al + 1) is rejected
+    // by name: flip the LAST SOS header's Ah/Al byte (header is 8
+    // bytes: FF DA len(2) ns(1) comp(2) Ss Se AhAl)
     val sosAts = (0 until prog.length - 1).filter(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda)
     val lastSos = sosAts.last
-    val refine = prog.clone(); refine(lastSos + 9) = 0x10.toByte // Ah=1
+    val refine = prog.clone(); refine(lastSos + 9) = 0x31.toByte // Ah=3,Al=1
     val ex = intercept[IllegalArgumentException] { JpegCodec.decode(refine) }
-    assert(ex.getMessage.contains("refinement"))
+    assert(ex.getMessage.contains("non-contiguous"))
     // progressive color: craft SOF2 claiming 3 components
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc2).get

@@ -39,7 +39,7 @@ object XPlanBank {
     // the lossy JPEG tier, the per-group HDR histogram
     "graph_kcore", "mm_jpeg_decode", "mm_jpeg_ahash_banded",
     "sketch_hdr_hist_by_lang", "mm_jpeg_color_decode", "mm_jpeg420_decode",
-    "mm_jpeg_prog_decode")
+    "mm_jpeg_prog_decode", "mm_jpeg_sa_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
