@@ -2,16 +2,28 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 
-/** Dependency-free audio codec for PCM WAV (RIFF container, 16-bit mono
-  * little-endian — the uncompressed interchange format), written from the
-  * public RIFF/WAVE format description.  The audio sibling of
-  * [[ImageCodec]]: real container parsing (chunk walk, unknown chunks
-  * skipped, fmt validated before data), real sample reads, and a
-  * frame-energy feature kernel whose arithmetic is integer until one IEEE
-  * division per frame — so the SQL oracle replays features exactly from
-  * the source that generated the samples.
+/** Dependency-free audio codec for the WAV family (RIFF container,
+  * mono), written from the public RIFF/WAVE format description plus the
+  * public compressed-sample specs: 16-bit PCM (format tag 1 — the
+  * uncompressed interchange shape), G.711 μ-law and A-law companding
+  * (tags 7 and 6, ITU-T G.711 segment tables — the telephony shapes),
+  * and IMA/DVI ADPCM (tag 0x11, the IMA Digital Audio compatibility
+  * spec's step/index tables — the classic 4-bit adaptive codec).  The
+  * audio sibling of [[ImageCodec]]: real container parsing (chunk walk,
+  * unknown chunks skipped, fmt validated before data), real sample
+  * reads, and a frame-energy feature kernel whose arithmetic is integer
+  * until one IEEE division per frame — so the SQL oracle replays
+  * features exactly from the source that generated the samples.
   *
-  * Unsupported shapes (stereo, non-PCM format tags, 8/24/32-bit,
+  * The companded/adaptive tags are the tier's LOSSY audio members (the
+  * JPEG discipline): decode(encode(x)) ≠ x in general, so their oracle
+  * queries are tolerance gauges — G.711's reconstruction error has the
+  * CLOSED-FORM bound 2^(seg+2) ≤ 512 (midpoint reconstruction of a
+  * 2^(seg+3)-wide quantization cell), and IMA ADPCM carries an exact
+  * anchor instead: each block header stores its first sample VERBATIM,
+  * so every block-start sample must round-trip bit-exactly.
+  *
+  * Unsupported shapes (stereo, other format tags, other bit depths,
   * truncated chunks) fail loudly — a decoder silently misreading samples
   * would poison every downstream fingerprint.
   */
@@ -60,6 +72,196 @@ object AudioCodec {
     })
   }
 
+  // ---- G.711 companding (ITU-T G.711; the classic segment encoding) --------
+
+  private val UlawBias = 0x84 // 132
+  private val UlawClip = 32635
+
+  /** μ-law compress one 16-bit sample to its 8-bit code (G.711 PCMU):
+    * bias + segment search + 4-bit mantissa, all bits inverted on the
+    * wire. */
+  def ulawEncode(s: Short): Byte = {
+    var x = s.toInt
+    val sign = if (x < 0) { x = -x; 0x80 } else 0
+    if (x > UlawClip) x = UlawClip
+    x += UlawBias
+    var exp = 7
+    var mask = 0x4000
+    while (exp > 0 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+    (~(sign | (exp << 4) | ((x >> (exp + 3)) & 0x0f))).toByte
+  }
+
+  /** μ-law expand one 8-bit code back to 16-bit PCM — the midpoint of
+    * its quantization cell, so |expand(compress(x)) − x| ≤ 2^(seg+2)
+    * ≤ 512 (the closed-form gauge bound). */
+  def ulawDecode(c: Byte): Short = {
+    val u = ~c & 0xff
+    val exp = (u >> 4) & 7
+    val x = ((((u & 0x0f) << 3) + UlawBias) << exp) - UlawBias
+    (if ((u & 0x80) != 0) -x else x).toShort
+  }
+
+  /** A-law compress (G.711 PCMA): no bias, segment 0 is linear, even
+    * bits inverted (XOR 0x55); sign bit 1 = positive. */
+  def alawEncode(s: Short): Byte = {
+    var x = s.toInt
+    val sign = if (x >= 0) 0x80 else { x = -x; 0 }
+    if (x > UlawClip) x = UlawClip
+    val v =
+      if (x < 256) x >> 4
+      else {
+        var exp = 7
+        var mask = 0x4000
+        while (exp > 1 && (x & mask) == 0) { exp -= 1; mask >>= 1 }
+        (exp << 4) | ((x >> (exp + 3)) & 0x0f)
+      }
+    ((v | sign) ^ 0x55).toByte
+  }
+
+  /** A-law expand — midpoint reconstruction; |error| ≤ 2^(seg+2) ≤ 512,
+    * and ≤ 8 in the linear segment. */
+  def alawDecode(c: Byte): Short = {
+    val a = (c ^ 0x55) & 0xff
+    val exp = (a >> 4) & 7
+    val mant = a & 0x0f
+    val x =
+      if (exp == 0) (mant << 4) + 8
+      else ((mant << 4) + 0x108) << (exp - 1)
+    (if ((a & 0x80) != 0) x else -x).toShort
+  }
+
+  // ---- IMA/DVI ADPCM (the IMA compatibility spec's published tables) -------
+
+  private val ImaStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val ImaIndexTable: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** mutable ADPCM coder state: the decoder's predictor/step index —
+    * the ENCODER must run the identical reconstruction to stay in sync
+    * (the spec's "decoder in the encoder" discipline). */
+  private final class ImaState(var predictor: Int, var index: Int) {
+    /** apply one 4-bit code: reconstruct the quantized diff, update
+      * predictor (clamped) and step index; returns the new predictor. */
+    def step(code: Int): Int = {
+      val st = ImaStepTable(index)
+      var diffq = st >> 3
+      if ((code & 4) != 0) diffq += st
+      if ((code & 2) != 0) diffq += st >> 1
+      if ((code & 1) != 0) diffq += st >> 2
+      predictor =
+        if ((code & 8) != 0) math.max(-32768, predictor - diffq)
+        else math.min(32767, predictor + diffq)
+      index = math.max(0, math.min(88, index + ImaIndexTable(code & 7)))
+      predictor
+    }
+    /** quantize one target sample to a 4-bit code (spec quantizer) and
+      * advance the state through it. */
+    def encode(sample: Int): Int = {
+      var diff = sample - predictor
+      var code = if (diff < 0) { diff = -diff; 8 } else 0
+      var st = ImaStepTable(index)
+      if (diff >= st) { code |= 4; diff -= st }
+      st >>= 1
+      if (diff >= st) { code |= 2; diff -= st }
+      st >>= 1
+      if (diff >= st) code |= 1
+      step(code)
+      code
+    }
+  }
+
+  /** samples per mono IMA block of `blockAlign` bytes: the 4-byte
+    * header carries sample 0 verbatim; each later byte carries two. */
+  def imaSamplesPerBlock(blockAlign: Int): Int = (blockAlign - 4) * 2 + 1
+
+  // ---- encoders (fixture/query side) for the compressed tags ---------------
+
+  /** WAV container writer shared by the companded tags: tag 6/7, 8 bits
+    * per sample, one byte per frame. */
+  private def encodeWavG711(sampleRate: Int, samples: Array[Short],
+      tag: Int, compress: Short => Byte): Array[Byte] = {
+    require(sampleRate > 0 && samples.nonEmpty, "bad wav args")
+    val dataLen = samples.length
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen + (dataLen & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII"))
+      .putInt(36 + dataLen + (dataLen & 1))
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(tag.toShort).putShort(1)        // mono
+    out.putInt(sampleRate).putInt(sampleRate)    // byte rate = rate · 1
+    out.putShort(1).putShort(8)                  // block align, bits
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => out.put(compress(s)))
+    out.array()
+  }
+
+  /** G.711 μ-law WAV (format tag 7). */
+  def encodeWavUlaw(sampleRate: Int, samples: Array[Short]): Array[Byte] =
+    encodeWavG711(sampleRate, samples, 7, ulawEncode)
+
+  /** G.711 A-law WAV (format tag 6). */
+  def encodeWavAlaw(sampleRate: Int, samples: Array[Short]): Array[Byte] =
+    encodeWavG711(sampleRate, samples, 6, alawEncode)
+
+  /** IMA ADPCM WAV (format tag 0x11), mono, fixed `blockAlign` bytes per
+    * block: each block = 4-byte header (sample 0 verbatim + step index)
+    * + two 4-bit codes per byte, low nibble first; fmt carries the
+    * samplesPerBlock extension and a fact chunk carries the true sample
+    * count (the compressed-WAV convention real writers follow). */
+  def encodeWavAdpcm(sampleRate: Int, samples: Array[Short],
+      blockAlign: Int = 256): Array[Byte] = {
+    require(sampleRate > 0 && samples.nonEmpty, "bad wav args")
+    require(blockAlign >= 8 && blockAlign % 4 == 0, "bad block align")
+    val spb = imaSamplesPerBlock(blockAlign)
+    val nBlocks = (samples.length + spb - 1) / spb
+    val dataLen = nBlocks * blockAlign
+    // RIFF(12) + fmt(8+20) + fact(8+4) + data header(8) + payload
+    val out = java.nio.ByteBuffer.allocate(60 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(52 + dataLen)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(20)
+    out.putShort(0x11).putShort(1)               // IMA ADPCM, mono
+    out.putInt(sampleRate)
+      .putInt(sampleRate * blockAlign / spb)     // approx byte rate
+    out.putShort(blockAlign.toShort).putShort(4) // block align, bits
+    out.putShort(2).putShort(spb.toShort)        // cbSize, samplesPerBlock
+    out.put("fact".getBytes("US-ASCII")).putInt(4).putInt(samples.length)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    val state = new ImaState(0, 0)
+    var i = 0
+    while (i < samples.length) {
+      // block header: first sample verbatim (the exact anchor), current
+      // step index carried across blocks (predictor restarts from the
+      // stored sample — the spec's block independence)
+      state.predictor = samples(i)
+      out.putShort(samples(i))
+      out.put(state.index.toByte).put(0.toByte)
+      var j = 1
+      while (j < spb) {
+        // final partial block pads with repeats of the last sample —
+        // the fact chunk trims them on decode
+        def target(k: Int): Int =
+          samples(math.min(samples.length - 1, i + k))
+        val lo = state.encode(target(j))
+        val hi = if (j + 1 < spb) state.encode(target(j + 1)) else 0
+        out.put(((hi << 4) | lo).toByte)
+        j += 2
+      }
+      i += spb
+    }
+    out.array()
+  }
+
   // ---- decoder -------------------------------------------------------------
 
   private def u16(b: Array[Byte], o: Int): Int =
@@ -70,14 +272,21 @@ object AudioCodec {
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
 
   /** Parse the RIFF chunk walk and return (sampleRate, 16-bit samples).
-    * Unknown chunks (LIST, fact, …) are skipped with word alignment; the
-    * fmt chunk must precede data and declare PCM / mono / 16-bit. */
+    * Unknown chunks (LIST, …) are skipped with word alignment; the fmt
+    * chunk must precede data and declare a supported mono shape: 16-bit
+    * PCM (tag 1), G.711 μ-law/A-law (tags 7/6 — expanded through the
+    * segment tables), or IMA ADPCM (tag 0x11 — block decode, fact-chunk
+    * trimmed). */
   def decodeWav(b: Array[Byte]): (Int, Array[Short]) = {
     require(b.length >= 44, "truncated WAV header")
     require(new String(b, 0, 4, "US-ASCII") == "RIFF" &&
       new String(b, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE file")
     var p = 12
     var rate = -1
+    var tag = -1
+    var blockAlign = -1
+    var spb = -1
+    var factSamples = -1
     while (p + 8 <= b.length) {
       val cid = new String(b, p, 4, "US-ASCII")
       val len = i32(b, p + 4)
@@ -85,26 +294,97 @@ object AudioCodec {
         s"truncated '$cid' chunk")
       if (cid == "fmt ") {
         require(len >= 16, "short fmt chunk")
-        require(u16(b, p + 8) == 1, "only PCM (format tag 1) supported")
+        tag = u16(b, p + 8)
+        require(tag == 1 || tag == 6 || tag == 7 || tag == 0x11,
+          s"unsupported WAV format tag $tag — PCM (1), A-law (6), " +
+            "μ-law (7), IMA ADPCM (0x11) only")
         require(u16(b, p + 10) == 1, "only mono supported")
         rate = i32(b, p + 12)
-        require(u16(b, p + 22) == 16, "only 16-bit samples supported")
+        blockAlign = u16(b, p + 20)
+        val bits = u16(b, p + 22)
+        tag match {
+          case 1 => require(bits == 16, "only 16-bit PCM supported")
+          case 6 | 7 => require(bits == 8, s"G.711 requires 8 bits, got $bits")
+          case _ =>
+            require(bits == 4, s"IMA ADPCM requires 4 bits, got $bits")
+            require(len >= 20, "IMA ADPCM fmt missing samplesPerBlock")
+            spb = u16(b, p + 26)
+            require(blockAlign >= 8 &&
+              spb == imaSamplesPerBlock(blockAlign),
+              s"samplesPerBlock $spb inconsistent with block align " +
+                s"$blockAlign")
+        }
+      } else if (cid == "fact") {
+        require(len >= 4, "short fact chunk")
+        factSamples = i32(b, p + 8)
       } else if (cid == "data") {
         require(rate > 0, "data chunk before fmt")
-        require(len % 2 == 0, "odd data length for 16-bit samples")
-        val n = len / 2
-        val samples = new Array[Short](n)
-        var i = 0
-        while (i < n) {
-          samples(i) = (u16(b, p + 8 + 2 * i) & 0xffff).toShort
-          i += 1
-        }
-        return (rate, samples)
+        return (rate, decodeData(b, p + 8, len, tag, blockAlign, spb,
+          factSamples))
       }
       p += 8 + len + (len & 1)  // RIFF chunks are word-aligned
     }
     throw new IllegalArgumentException("no data chunk found")
   }
+
+  private def decodeData(b: Array[Byte], off: Int, len: Int, tag: Int,
+      blockAlign: Int, spb: Int, factSamples: Int): Array[Short] =
+    tag match {
+      case 1 =>
+        require(len % 2 == 0, "odd data length for 16-bit samples")
+        val n = len / 2
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = (u16(b, off + 2 * i) & 0xffff).toShort
+          i += 1
+        }
+        samples
+      case 6 | 7 =>
+        val expand: Byte => Short = if (tag == 7) ulawDecode else alawDecode
+        val samples = new Array[Short](len)
+        var i = 0
+        while (i < len) { samples(i) = expand(b(off + i)); i += 1 }
+        samples
+      case _ => // 0x11 IMA ADPCM
+        require(len % blockAlign == 0,
+          s"ADPCM data length $len not a whole number of $blockAlign-byte" +
+            " blocks")
+        val nBlocks = len / blockAlign
+        val total = nBlocks * spb
+        val n = if (factSamples >= 0) factSamples else total
+        require(n <= total && n > total - spb,
+          s"fact sample count $n inconsistent with $nBlocks blocks of $spb")
+        val samples = new Array[Short](n)
+        var blk = 0
+        var si = 0
+        while (blk < nBlocks) {
+          val bo = off + blk * blockAlign
+          val first = (u16(b, bo) & 0xffff).toShort
+          val idx = b(bo + 2) & 0xff
+          require(idx <= 88, s"ADPCM step index $idx out of [0,88]")
+          require((b(bo + 3) & 0xff) == 0, "nonzero ADPCM reserved byte")
+          val state = new ImaState(first, idx)
+          if (si < n) samples(si) = first
+          si += 1
+          var j = 1
+          var k = bo + 4
+          while (j < spb) {
+            val byte = b(k) & 0xff
+            if (si < n) samples(si) = state.step(byte & 0x0f).toShort
+            si += 1
+            j += 1
+            if (j < spb) {
+              if (si < n) samples(si) = state.step(byte >> 4).toShort
+              si += 1
+              j += 1
+            }
+            k += 1
+          }
+          blk += 1
+        }
+        samples
+    }
 
   // ---- the real audio kernel -----------------------------------------------
 

@@ -14,14 +14,15 @@ package graft.ops
   *
   * Supported: baseline DCT (SOF0), 8-bit, GRAYSCALE (1 component),
   * COLOR 4:4:4 (3-component interleaved YCbCr, every component 1×1),
-  * COLOR 4:2:0 (luma 2×2 + chroma 1×1 with box downsampling on encode
-  * and nearest upsampling on decode — the shape real-world encoders
-  * emit by default), and restart intervals (DRI + RSTn cycling, with
-  * the marker-sequence check).  Everything else — progressive (SOF2),
-  * arithmetic coding, other subsampling geometries (4:2:2/4:1:1),
+  * COLOR 4:2:0 / 4:2:2 / 4:1:1 (luma 2×2, 2×1 or 4×1 + chroma 1×1,
+  * box downsampling on encode and nearest upsampling on decode — the
+  * default, broadcast, and NTSC-DV shapes respectively), and restart
+  * intervals (DRI + RSTn cycling, with the marker-sequence check).
+  * Everything else — arithmetic coding, exotic sampling geometries,
   * 12-bit precision — fails loudly with a descriptive message: a
   * decoder silently misreading entropy-coded data would poison every
   * downstream fingerprint (the ImageCodec fail-loud contract).
+  * Progressive (SOF2) is handled by its own multi-scan walker below.
   */
 object JpegCodec {
 
@@ -510,40 +511,67 @@ object JpegCodec {
       restartInterval)
   }
 
-  /** 4:2:0 color JPEG — the shape virtually every real-world encoder
-    * emits by default: Y at full resolution (2×2 sampling), Cb/Cr
-    * box-downsampled 2× in both axes (the standard mean-of-the-2×2-
-    * quad), MCU = four Y blocks + one Cb + one Cr. */
-  def encodeColor420(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
-      quality: Int = 90, restartInterval: Int = 0): Array[Byte] = {
+  /** Box-downsample a plane by (fx, fy) — rounded mean over each
+    * fx×fy cell, partial cells averaging only in-image samples (the
+    * standard chroma decimation for every subsampled geometry). */
+  private def downPlane(src: Array[Int], w: Int, h: Int, fx: Int,
+      fy: Int): Array[Int] = {
+    val cw = (w + fx - 1) / fx
+    val ch = (h + fy - 1) / fy
+    val out = new Array[Int](cw * ch)
+    for (cy <- 0 until ch; cx <- 0 until cw) {
+      var sum = 0; var n = 0
+      for (dy <- 0 until fy; dx <- 0 until fx) {
+        val x = cx * fx + dx; val y = cy * fy + dy
+        if (x < w && y < h) { sum += src(y * w + x); n += 1 }
+      }
+      out(cy * cw + cx) = (sum + n / 2) / n // rounded mean
+    }
+    out
+  }
+
+  /** Shared builder for the subsampled-chroma color geometries: luma at
+    * (hs, vs), chroma box-downsampled by the same factors. */
+  private def encodeColorSubsampled(w: Int, h: Int,
+      rgb: (Int, Int) => (Int, Int, Int), hs: Int, vs: Int, quality: Int,
+      restartInterval: Int): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dims")
     val (yP, cbP, crP) = yccPlanes(w, h, rgb)
-    val cw = (w + 1) / 2
-    val ch = (h + 1) / 2
-    def down(src: Array[Int]): Array[Int] = {
-      val out = new Array[Int](cw * ch)
-      for (cy <- 0 until ch; cx <- 0 until cw) {
-        var sum = 0; var n = 0
-        for (dy <- 0 to 1; dx <- 0 to 1) {
-          val x = cx * 2 + dx; val y = cy * 2 + dy
-          if (x < w && y < h) { sum += src(y * w + x); n += 1 }
-        }
-        out(cy * cw + cx) = (sum + n / 2) / n // rounded mean
-      }
-      out
-    }
-    val cbD = down(cbP)
-    val crD = down(crP)
+    val cw = (w + hs - 1) / hs
+    val cbD = downPlane(cbP, w, h, hs, vs)
+    val crD = downPlane(crP, w, h, hs, vs)
     val dcL = buildEncodeTable(DcLumaBits, DcLumaVals)
     val acL = buildEncodeTable(AcLumaBits, AcLumaVals)
     val dcC = buildEncodeTable(DcChromaBits, DcChromaVals)
     val acC = buildEncodeTable(AcChromaBits, AcChromaVals)
     encodeInterleaved(w, h, Seq(
-      EncComp((x, y) => yP(y * w + x), 2, 2, 0, dcL, acL),
+      EncComp((x, y) => yP(y * w + x), hs, vs, 0, dcL, acL),
       EncComp((x, y) => cbD(y * cw + x), 1, 1, 1, dcC, acC),
       EncComp((x, y) => crD(y * cw + x), 1, 1, 1, dcC, acC)), quality,
       restartInterval)
   }
+
+  /** 4:2:0 color JPEG — the shape virtually every real-world encoder
+    * emits by default: Y at full resolution (2×2 sampling), Cb/Cr
+    * box-downsampled 2× in both axes (the standard mean-of-the-2×2-
+    * quad), MCU = four Y blocks + one Cb + one Cr. */
+  def encodeColor420(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      quality: Int = 90, restartInterval: Int = 0): Array[Byte] =
+    encodeColorSubsampled(w, h, rgb, 2, 2, quality, restartInterval)
+
+  /** 4:2:2 color JPEG — the broadcast/video-interchange shape (DV, many
+    * camera pipelines): Y at 2×1 sampling, Cb/Cr halved HORIZONTALLY
+    * only; MCU = two Y blocks + one Cb + one Cr over a 16×8 tile. */
+  def encodeColor422(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      quality: Int = 90, restartInterval: Int = 0): Array[Byte] =
+    encodeColorSubsampled(w, h, rgb, 2, 1, quality, restartInterval)
+
+  /** 4:1:1 color JPEG — the legacy NTSC-DV shape: Y at 4×1 sampling,
+    * Cb/Cr quartered horizontally; MCU = four Y blocks + one Cb + one
+    * Cr over a 32×8 tile. */
+  def encodeColor411(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      quality: Int = 90, restartInterval: Int = 0): Array[Byte] =
+    encodeColorSubsampled(w, h, rgb, 4, 1, quality, restartInterval)
 
   /** Gray JPEG whose pixel map is the shared text→raster fixture formula
     * (pixel (x, y) = src[(y·w + x) mod len] — [[ImageCodec.grayFromBytes]]'s
@@ -569,17 +597,39 @@ object JpegCodec {
     }, quality)
   }
 
+  /** the shared three-phase text→RGB pixel map of the color fixtures
+    * (offsets 0/13/29 — every channel oracle-recomputable from the
+    * text). */
+  private def textRgb(w: Int, src: Array[Byte])
+      : (Int, Int) => (Int, Int, Int) = (x, y) => {
+    val j = y * w + x
+    (src(j % src.length) & 0xff,
+      src((j + 13) % src.length) & 0xff,
+      src((j + 29) % src.length) & 0xff)
+  }
+
   /** [[colorJpeg]] in the 4:2:0 container — the same text-derived pixel
     * map through chroma downsampling (the real-world default shape). */
   def color420Jpeg(w: Int, h: Int, src: Array[Byte],
       quality: Int = 90): Array[Byte] = {
     require(src.nonEmpty, "empty source bytes")
-    encodeColor420(w, h, (x, y) => {
-      val j = y * w + x
-      (src(j % src.length) & 0xff,
-        src((j + 13) % src.length) & 0xff,
-        src((j + 29) % src.length) & 0xff)
-    }, quality)
+    encodeColor420(w, h, textRgb(w, src), quality)
+  }
+
+  /** [[colorJpeg]] in the 4:2:2 container (horizontal-only chroma
+    * halving — the broadcast shape). */
+  def color422Jpeg(w: Int, h: Int, src: Array[Byte],
+      quality: Int = 90): Array[Byte] = {
+    require(src.nonEmpty, "empty source bytes")
+    encodeColor422(w, h, textRgb(w, src), quality)
+  }
+
+  /** [[colorJpeg]] in the 4:1:1 container (horizontal chroma
+    * quartering — the legacy NTSC-DV shape). */
+  def color411Jpeg(w: Int, h: Int, src: Array[Byte],
+      quality: Int = 90): Array[Byte] = {
+    require(src.nonEmpty, "empty source bytes")
+    encodeColor411(w, h, textRgb(w, src), quality)
   }
 
   // ---- decoder --------------------------------------------------------
@@ -629,12 +679,15 @@ object JpegCodec {
             SofComp(b(off) & 0xff, hv >> 4, hv & 0x0f, tq)
           }
           // supported sampling geometries: all 1×1 (gray / 4:4:4), or
-          // luma 2×2 + chroma 1×1 (4:2:0 — the real-world default)
+          // luma (2,2)/(2,1)/(4,1) + chroma 1×1 (4:2:0 — the real-world
+          // default — plus the 4:2:2 broadcast and 4:1:1 NTSC-DV shapes)
           val hv = sofComps.map(c => (c.hSamp, c.vSamp)).toSeq
           val ok444 = hv.forall(_ == ((1, 1)))
-          val ok420 = nComp == 3 && hv == Seq((2, 2), (1, 1), (1, 1))
-          require(ok444 || ok420,
-            s"unsupported chroma subsampling $hv — 4:4:4 and 4:2:0 only")
+          val okSub = nComp == 3 && hv.tail.forall(_ == ((1, 1))) &&
+            Set((2, 2), (2, 1), (4, 1)).contains(hv.head)
+          require(ok444 || okSub,
+            s"unsupported chroma subsampling $hv — " +
+              "4:4:4 / 4:2:0 / 4:2:2 / 4:1:1 only")
           p += len
         case 0xc2 => // progressive: its own multi-scan walker
           return decodeProgressive(b)
@@ -1255,6 +1308,137 @@ object JpegCodec {
       (x, y) => src((y * w + x) % src.length) & 0xff, quality, bands)
   }
 
+  /** PROGRESSIVE COLOR (SOF2, 3-component YCbCr 4:4:4, spectral
+    * selection): per spec §G the DC first scan may be INTERLEAVED
+    * (Ns = 3, MCU = one block per component at 1×1 sampling) but every
+    * AC scan must be single-component — so the container is one
+    * 3-component DC scan followed by one scan per (component × band).
+    * Quantization is the exact pipeline of the sequential 4:4:4 encoder
+    * (same planes, FDCT, tables, rounding), so decode must equal the
+    * sequential color decode BIT-EXACTLY — the oracle invariant. */
+  def encodeProgressiveColor(w: Int, h: Int,
+      rgb: (Int, Int) => (Int, Int, Int), quality: Int = 90,
+      bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dims")
+    require(bands.nonEmpty, "need at least one AC band")
+    bands.foldLeft(1) { case (next, (a, b)) =>
+      require(a == next && b >= a && b <= 63,
+        s"bands must tile 1..63 in order, got ($a,$b) expecting start $next")
+      b + 1
+    }
+    require(bands.last._2 == 63, "bands must end at 63")
+    val quantL = scaledQuant(quality, BaseQuantLuma)
+    val quantC = scaledQuant(quality, BaseQuantChroma)
+    val (yP, cbP, crP) = yccPlanes(w, h, rgb)
+    def planeBlocks(pl: Array[Int], q: Array[Int]): Array[Array[Int]] =
+      quantizedBlocks(w, h, (x, y) => pl(y * w + x), q)
+    // per-component quantized blocks, raster block order (== MCU order
+    // at 1×1 sampling — the sequential scan order, so coefficients are
+    // bit-identical to the SOF0 container's)
+    val qbs = Array(planeBlocks(yP, quantL), planeBlocks(cbP, quantC),
+      planeBlocks(crP, quantC))
+    val dcEncL = buildEncodeTable(DcLumaBits, DcLumaVals)
+    val dcEncC = buildEncodeTable(DcChromaBits, DcChromaVals)
+    val acEnc = buildEncodeTable(AcProgBits, AcProgSyms)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    marker(0xd8)
+    seg(0xe0, "JFIF ".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, Array[Byte](0) ++ ZigZag.map(n => quantL(n).toByte) ++
+      Array[Byte](1) ++ ZigZag.map(n => quantC(n).toByte))
+    seg(0xc2, Array[Byte](8,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(0xc4, Array[Byte](0x00) ++ DcLumaBits.map(_.toByte) ++ DcLumaVals)
+    seg(0xc4, Array[Byte](0x01) ++ DcChromaBits.map(_.toByte) ++
+      DcChromaVals)
+    seg(0xc4, Array[Byte](0x10) ++ AcProgBits.map(_.toByte) ++ AcProgSyms)
+    // ---- interleaved DC scan (Ns=3, Ss=Se=0, Ah=Al=0) ----
+    seg(0xda, Array[Byte](3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0))
+    var bw = new BitWriter(out)
+    val prevDc = new Array[Int](3)
+    val nBlocks = qbs(0).length
+    var bi = 0
+    while (bi < nBlocks) {
+      var ci = 0
+      while (ci < 3) {
+        val q = qbs(ci)(bi)
+        val diff = q(0) - prevDc(ci)
+        prevDc(ci) = q(0)
+        val s = bitSize(diff)
+        val (c, l) = (if (ci == 0) dcEncL else dcEncC)(s)
+        bw.put(c, l)
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        ci += 1
+      }
+      bi += 1
+    }
+    bw.finish()
+    // ---- per-component AC band scans (Ns=1, Ah=Al=0, EOBRUN) ----
+    for (ci <- 0 until 3; (ss, se) <- bands) {
+      seg(0xda, Array[Byte]((1).toByte, (ci + 1).toByte,
+        // AC table 0 for every component (the shared progressive table)
+        0x00, ss.toByte, se.toByte, 0))
+      bw = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = acEnc(r << 4)
+        bw.put(c, l)
+        if (r > 0) bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      qbs(ci).foreach { q =>
+        var last = se
+        while (last >= ss && q(last) == 0) last -= 1
+        if (last < ss) {
+          eobrun += 1
+          if (eobrun == 0x7fff) flushEob()
+        } else {
+          flushEob()
+          var run = 0
+          var k = ss
+          while (k <= last) {
+            if (q(k) == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (zc, zl) = acEnc(0xf0); bw.put(zc, zl); run -= 16
+              }
+              val sz = bitSize(q(k))
+              val (c, l) = acEnc((run << 4) | sz)
+              bw.put(c, l)
+              bw.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (last < se) eobrun += 1
+        }
+      }
+      flushEob()
+      bw.finish()
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** [[colorJpeg]] in the progressive container — the three-phase text
+    * pixel map through the interleaved-DC + per-component-AC scan
+    * sequence. */
+  def progColorJpeg(w: Int, h: Int, src: Array[Byte],
+      quality: Int = 90): Array[Byte] = {
+    require(src.nonEmpty, "empty source bytes")
+    encodeProgressiveColor(w, h, textRgb(w, src), quality)
+  }
+
   /** unstuff entropy bytes from `start` until the next marker; returns
     * (data, markerByte, position AFTER the marker). */
   private def unstuffToMarker(b: Array[Byte],
@@ -1280,9 +1464,12 @@ object JpegCodec {
     var w = 0; var h = 0
     var sawSof = false
     val quant = new Array[Array[Int]](4)
-    var quantId = 0
+    var compIds: Array[Int] = null    // frame component ids, in order
+    var quantIds: Array[Int] = null   // per component
     val huff = scala.collection.mutable.Map.empty[(Int, Int), DecodeTable]
-    var coefs: Array[Array[Int]] = null // per block, NATURAL order
+    // per component × per block (NATURAL order); at the supported 1×1
+    // sampling every component has the same raster block grid
+    var coefs: Array[Array[Array[Int]]] = null
     def u16(off: Int): Int = {
       require(off + 1 < b.length, "truncated JPEG segment")
       ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
@@ -1304,13 +1491,23 @@ object JpegCodec {
           require((b(p + 2) & 0xff) == 8, "only 8-bit JPEG supported")
           h = u16(p + 3); w = u16(p + 5)
           require(w > 0 && h > 0, s"bad JPEG dims ${w}x$h")
-          require((b(p + 7) & 0xff) == 1,
-            "progressive color unsupported (grayscale SOF2 only)")
-          require((b(p + 9) & 0xff) == 0x11, "only 1x1 sampling supported")
-          quantId = b(p + 10) & 0xff
-          require(quantId <= 3, s"bad quant table id $quantId")
+          val nComp = b(p + 7) & 0xff
+          require(nComp == 1 || nComp == 3,
+            s"progressive JPEG supports 1 or 3 components, got $nComp")
+          require(len >= 8 + 3 * nComp, "truncated SOF2 components")
+          compIds = new Array[Int](nComp)
+          quantIds = new Array[Int](nComp)
+          for (i <- 0 until nComp) {
+            val off = p + 8 + 3 * i
+            compIds(i) = b(off) & 0xff
+            require((b(off + 1) & 0xff) == 0x11,
+              "progressive subsampled color unsupported (1x1 sampling only)")
+            quantIds(i) = b(off + 2) & 0xff
+            require(quantIds(i) <= 3, s"bad quant table id ${quantIds(i)}")
+          }
           sawSof = true
-          coefs = Array.fill(((h + 7) / 8) * ((w + 7) / 8))(new Array[Int](64))
+          val nBlocks = ((h + 7) / 8) * ((w + 7) / 8)
+          coefs = Array.fill(nComp, nBlocks)(new Array[Int](64))
           p += len
         case 0xc0 => throw new IllegalArgumentException(
           "mixed SOF0 after SOF2")
@@ -1357,11 +1554,22 @@ object JpegCodec {
           require(sawSof, "progressive SOS before SOF2")
           val len = u16(p)
           require(len >= 8 && p + len <= b.length, "truncated SOS")
-          require((b(p + 2) & 0xff) == 1, "multi-component scan unsupported")
-          val tt = b(p + 4) & 0xff
-          val ss = b(p + 5) & 0xff
-          val se = b(p + 6) & 0xff
-          val ahal = b(p + 7) & 0xff
+          val ns = b(p + 2) & 0xff
+          require(ns >= 1 && ns <= compIds.length,
+            s"bad scan component count $ns")
+          require(len >= 6 + 2 * ns, "truncated SOS components")
+          val scanCs = Array.tabulate(ns)(i => b(p + 3 + 2 * i) & 0xff)
+          val scanTt = Array.tabulate(ns)(i => b(p + 4 + 2 * i) & 0xff)
+          // map each scan component to its frame index
+          val scanIdx = scanCs.map { cs =>
+            val i = compIds.indexOf(cs)
+            require(i >= 0, s"scan component $cs not in the frame")
+            i
+          }
+          val so = p + 3 + 2 * ns
+          val ss = b(so) & 0xff
+          val se = b(so + 1) & 0xff
+          val ahal = b(so + 2) & 0xff
           val ah = ahal >> 4
           val al = ahal & 0x0f
           require(ah == 0 || ah == al + 1,
@@ -1383,27 +1591,50 @@ object JpegCodec {
               "invalid JPEG Huffman code")
             t.value(l, code)
           }
-          if (ss == 0 && ah == 0) { // DC first scan
+          if (ss == 0) { // DC scan — the only kind the spec allows to
+            // interleave (§G.1.1); MCU = one block/component at 1×1
             require(se == 0, "DC scan must have Se = 0")
-            val dcT = huff.getOrElse((0, tt >> 4), throw
-              new IllegalArgumentException("missing DC Huffman table"))
-            var prevDc = 0
-            coefs.foreach { c =>
-              val s = huffDecode(dcT)
-              require(s <= 11, s"DC size $s out of baseline range")
-              prevDc += extend(br.receive(s), s)
-              c(0) = prevDc << al
+            if (ns > 1) require(scanIdx.toSeq == compIds.indices.toSeq,
+              "interleaved DC scan must cover all components in frame order")
+            val nBlocks = coefs(0).length
+            if (ah == 0) {
+              val dcTs = scanTt.map(tt => huff.getOrElse((0, tt >> 4), throw
+                new IllegalArgumentException("missing DC Huffman table")))
+              val prevDc = new Array[Int](ns)
+              var bi = 0
+              while (bi < nBlocks) {
+                var j = 0
+                while (j < ns) {
+                  val s = huffDecode(dcTs(j))
+                  require(s <= 11, s"DC size $s out of baseline range")
+                  prevDc(j) += extend(br.receive(s), s)
+                  coefs(scanIdx(j))(bi)(0) = prevDc(j) << al
+                  j += 1
+                }
+                bi += 1
+              }
+            } else {
+              // refinement: one raw bit per component per MCU
+              // (x == (x >> k << k) | low bits: OR-ing each delivered
+              // bit reconstructs the two's-complement DC exactly)
+              var bi = 0
+              while (bi < nBlocks) {
+                var j = 0
+                while (j < ns) {
+                  coefs(scanIdx(j))(bi)(0) |= br.bit() << al
+                  j += 1
+                }
+                bi += 1
+              }
             }
-          } else if (ss == 0) { // DC refinement: one raw bit per block
-            require(se == 0, "DC scan must have Se = 0")
-            // x == (x >> k << k) | (low k bits): OR-ing each delivered
-            // bit reconstructs the two's-complement DC exactly
-            coefs.foreach(c => c(0) |= br.bit() << al)
           } else if (ah == 0) { // AC first scan with EOBRUN
+            require(ns == 1,
+              "progressive AC scans must be single-component (spec G.1.1)")
+            val tt = scanTt(0)
             val acT = huff.getOrElse((1, tt & 0x0f), throw
               new IllegalArgumentException("missing AC Huffman table"))
             var eobrun = 0
-            coefs.foreach { c =>
+            coefs(scanIdx(0)).foreach { c =>
               if (eobrun > 0) eobrun -= 1
               else {
                 var k = ss
@@ -1429,6 +1660,9 @@ object JpegCodec {
             }
             require(eobrun == 0, "EOBRUN past the last block")
           } else { // AC refinement (spec G.1.2.3)
+            require(ns == 1,
+              "progressive AC scans must be single-component (spec G.1.1)")
+            val tt = scanTt(0)
             val acT = huff.getOrElse((1, tt & 0x0f), throw
               new IllegalArgumentException("missing AC Huffman table"))
             val p1 = 1 << al
@@ -1441,7 +1675,7 @@ object JpegCodec {
               if (br.bit() == 1 && (c(n) & p1) == 0)
                 c(n) += (if (c(n) >= 0) p1 else n1)
             var eobrun = 0
-            coefs.foreach { c =>
+            coefs(scanIdx(0)).foreach { c =>
               var k = ss
               if (eobrun == 0) {
                 var eob = false
@@ -1498,28 +1732,50 @@ object JpegCodec {
           p += len
       }
     }
-    require(quant(quantId) != null, "JPEG missing quant table")
-    val qt = quant(quantId)
+    val nComp = compIds.length
+    for (ci <- 0 until nComp)
+      require(quant(quantIds(ci)) != null,
+        s"JPEG missing quant table ${quantIds(ci)}")
     val blocksX = (w + 7) / 8
-    val luma = new Array[Int](w * h)
+    val nBlocks = coefs(0).length
+    // per-component dequantize + IDCT into full-resolution planes
+    val planes = Array.ofDim[Int](nComp, w * h)
     val qcoef = new Array[Double](64)
-    coefs.zipWithIndex.foreach { case (c, bi) =>
-      var i = 0
-      while (i < 64) { qcoef(i) = c(i).toDouble * qt(i); i += 1 }
-      val px = idct(qcoef)
-      val bx = bi % blocksX
-      val by = bi / blocksX
-      var y = 0
-      while (y < 8) {
-        val iy = by * 8 + y
-        var x = 0
-        while (x < 8) {
-          val ix = bx * 8 + x
-          if (ix < w && iy < h)
-            luma(iy * w + ix) = 3 * clamp255(px(y * 8 + x) + 128.0)
-          x += 1
+    for (ci <- 0 until nComp) {
+      val qt = quant(quantIds(ci))
+      var bi = 0
+      while (bi < nBlocks) {
+        val c = coefs(ci)(bi)
+        var i = 0
+        while (i < 64) { qcoef(i) = c(i).toDouble * qt(i); i += 1 }
+        val px = idct(qcoef)
+        val bx = bi % blocksX
+        val by = bi / blocksX
+        var y = 0
+        while (y < 8) {
+          val iy = by * 8 + y
+          var x = 0
+          while (x < 8) {
+            val ix = bx * 8 + x
+            if (ix < w && iy < h)
+              planes(ci)(iy * w + ix) = clamp255(px(y * 8 + x) + 128.0)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        bi += 1
+      }
+    }
+    val luma = new Array[Int](w * h)
+    if (nComp == 1) {
+      var i = 0
+      while (i < w * h) { luma(i) = 3 * planes(0)(i); i += 1 }
+    } else {
+      var i = 0
+      while (i < w * h) {
+        val (r, g, bb) = yccToRgb(planes(0)(i), planes(1)(i), planes(2)(i))
+        luma(i) = r + g + bb
+        i += 1
       }
     }
     ImageCodec.Raster(w, h, luma)

@@ -76,7 +76,7 @@ object R17Queries {
     * containers: decode the payload at per-pixel granularity, recompute
     * the three phase-shifted source channels from the text, assert
     * max |3·feature − (r+g+b)| ≤ bound in-row. */
-  private def colorSumGauge(s: SparkSession, dir: String,
+  private[queries] def colorSumGauge(s: SparkSession, dir: String,
       payload: org.apache.spark.sql.expressions.UserDefinedFunction,
       bound: Double): DataFrame = {
     val d = Tables.docs(s, dir)
@@ -101,13 +101,17 @@ object R17Queries {
 
   /** shared bit-equality gauge for the lossless-recoding containers
     * (progressive / successive approximation): their decoded features
-    * must equal the SEQUENTIAL container's decode exactly, per doc. */
-  private def bitEqualGauge(s: SparkSession, dir: String,
+    * must equal the BASELINE SEQUENTIAL container's decode exactly,
+    * per doc (`baseline` defaults to the grayscale fixture; the color
+    * variants pass their own sequential twin). */
+  private[queries] def bitEqualGauge(s: SparkSession, dir: String,
       payload: org.apache.spark.sql.expressions.UserDefinedFunction,
-      flag: String): DataFrame = {
+      flag: String,
+      baseline: org.apache.spark.sql.expressions.UserDefinedFunction = toJpeg)
+      : DataFrame = {
     val d = Tables.docs(s, dir)
     val seqDec = MultimodalOps.decodeWith(
-      d.withColumn("payload", toJpeg(col("text"))),
+      d.withColumn("payload", baseline(col("text"))),
       col("payload"), col("doc_id"), ImageCodec.kernel(8, 8)).toDF()
       .select(col("doc_id"), col("features").as("f_seq"))
     val otherDec = MultimodalOps.decodeWith(
@@ -119,6 +123,10 @@ object R17Queries {
         col("height").cast("long").as("height"),
         (col("features") === col("f_seq")).as(flag))
   }
+
+  /** the sequential 4:4:4 color fixture, exposed for the progressive-
+    * color twin in [[R17bQueries]]. */
+  private[queries] def colorJpegUdf = toColorJpeg
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{AudioCodec, JpegCodec, MultimodalOps}
+
+/** Round-17b: the lossy tier widens along both axes.
+  *
+  * IMAGE — the remaining real-world JPEG sampling geometries, formerly
+  * rejected by name: 4:2:2 (horizontal-only chroma halving — the
+  * broadcast/DV interchange shape) and 4:1:1 (horizontal quartering —
+  * legacy NTSC-DV).  Same [[R17Queries.colorSumGauge]] tolerance
+  * discipline: per-pixel channel-sum error bounded in-row, oracle
+  * replays the invariant.  Measured corpus maxima at quality 90 across
+  * sf0.001/0.01/0.1: 4:2:2 → 112, 4:1:1 → 130 (bounds 150 / 176 with
+  * the 4:2:0 tier's headroom ratio).
+  *
+  * AUDIO — the first LOSSY audio codecs behind the [[AudioCodec]] seam
+  * (the JPEG discipline applied to sound): G.711 μ-law and A-law
+  * companding (ITU-T G.711 segment tables; reconstruction error has the
+  * CLOSED-FORM bound 2^(seg+2) ≤ 512 — measured corpus maxima 132 and
+  * 256) and IMA/DVI ADPCM (4-bit adaptive; the text fixture's
+  * pseudo-random ±12800 jumps are ADVERSARIAL for a slew-limited
+  * codec, so the honest gauge is the measured global max — 22773 across
+  * all SFs, bound 24576 — PLUS the codec's exact anchor: each block
+  * header stores its first sample verbatim, so feature[0] must match
+  * the source bit-exactly).  The per-sample granularity trick is the
+  * image tier's kernel(8,8) move: frame count = sample count makes the
+  * frame-energy kernel emit |sample| per frame, so the gauge compares
+  * every reconstructed sample against the oracle-recomputable source
+  * envelope |(src[(i·7+3) mod len] − 76) · 256|.
+  */
+object R17bQueries {
+
+  private val Err422Bound = 150.0
+  private val Err411Bound = 176.0
+  private val G711Bound = 512.0   // closed form: max over segments of 2^(seg+2)
+  private val AdpcmBound = 24576.0 // measured corpus max 22773 (adversarial slew)
+
+  private val to422Jpeg = udf((text: String) =>
+    JpegCodec.color422Jpeg(8, 8, MultimodalOps.asciiBytes(text),
+      quality = 90))
+
+  private val to411Jpeg = udf((text: String) =>
+    JpegCodec.color411Jpeg(8, 8, MultimodalOps.asciiBytes(text),
+      quality = 90))
+
+  private def fixtureSignal(text: String): Array[Short] = {
+    val src = MultimodalOps.asciiBytes(text)
+    Array.tabulate(256) { i =>
+      (((src((i * 7 + 3) % src.length) & 0xff) - 76) * 256).toShort
+    }
+  }
+
+  private val toUlawWav = udf((text: String) =>
+    AudioCodec.encodeWavUlaw(16000, fixtureSignal(text)))
+
+  private val toAlawWav = udf((text: String) =>
+    AudioCodec.encodeWavAlaw(16000, fixtureSignal(text)))
+
+  private val toAdpcmWav = udf((text: String) =>
+    AudioCodec.encodeWavAdpcm(16000, fixtureSignal(text)))
+
+  private val toProgColorJpeg = udf((text: String) =>
+    JpegCodec.progColorJpeg(8, 8, MultimodalOps.asciiBytes(text),
+      quality = 90))
+
+  /** per-sample tolerance gauge for a lossy WAV container: decode at
+    * frame-per-sample granularity, recompute the source envelope from
+    * the text, assert max ||decoded| − |source|| ≤ bound in-row
+    * (||a|−|b|| ≤ |a−b|, so the companding/slew bound transfers). */
+  private def wavGauge(s: SparkSession, dir: String,
+      payload: org.apache.spark.sql.expressions.UserDefinedFunction,
+      bound: Double, withAnchor: Boolean): DataFrame = {
+    val d = Tables.docs(s, dir).withColumn("payload", payload(col("text")))
+    val dec = AudioCodec.decodeWith(d, col("payload"), col("doc_id"),
+      frames = 256).toDF()
+    val base = dec.join(Tables.docs(s, dir), "doc_id")
+      .withColumn("ptext", regexp_replace(col("text"), "[^ -~]", "?"))
+      .withColumn("src_abs", expr(
+        "transform(sequence(0, 255), i -> abs((ascii(substr(ptext, " +
+          "((i * 7 + 3) % length(ptext)) + 1, 1)) - 76) * 256))"))
+      .withColumn("max_err", expr(
+        "aggregate(zip_with(features, src_abs, (f, p) -> abs(f - p)), " +
+          "0D, (acc, x) -> greatest(acc, x))"))
+    val gauged = base.select(col("doc_id"), col("byte_len"),
+      col("sample_rate").cast("long").as("sample_rate"), col("n_samples"),
+      (col("max_err") <= bound).as("within_bound"),
+      // the ADPCM block header stores sample 0 VERBATIM — its decoded
+      // magnitude must equal the source's exactly (the lossless anchor
+      // inside the lossy container)
+      (element_at(col("features"), 1) ===
+        element_at(col("src_abs"), 1).cast("double")).as("anchor_exact"))
+    if (withAnchor) gauged else gauged.drop("anchor_exact")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // 4:2:2 — horizontal-only chroma halving (the broadcast shape);
+    // MCU = 2 Y blocks + Cb + Cr over a 16×8 tile
+    "mm_jpeg422_decode" -> ((s, dir) =>
+      R17Queries.colorSumGauge(s, dir, to422Jpeg, Err422Bound)),
+
+    // 4:1:1 — horizontal chroma quartering (legacy NTSC-DV);
+    // MCU = 4 Y blocks + Cb + Cr over a 32×8 tile
+    "mm_jpeg411_decode" -> ((s, dir) =>
+      R17Queries.colorSumGauge(s, dir, to411Jpeg, Err411Bound)),
+
+    // G.711 μ-law (WAV format tag 7): 8-bit companded telephony audio;
+    // closed-form midpoint-reconstruction bound 512
+    "mm_wav_ulaw" -> ((s, dir) =>
+      wavGauge(s, dir, toUlawWav, G711Bound, withAnchor = false)),
+
+    // G.711 A-law (tag 6): the European companding variant, same bound
+    "mm_wav_alaw" -> ((s, dir) =>
+      wavGauge(s, dir, toAlawWav, G711Bound, withAnchor = false)),
+
+    // IMA/DVI ADPCM (tag 0x11): 4-bit adaptive differential coding;
+    // measured adversarial-slew bound + the verbatim block-start anchor
+    "mm_wav_adpcm" -> ((s, dir) =>
+      wavGauge(s, dir, toAdpcmWav, AdpcmBound, withAnchor = true)),
+
+    // PROGRESSIVE COLOR (SOF2, 3-component 4:4:4): interleaved DC scan
+    // (the only scan kind spec §G.1.1 lets interleave) + per-component
+    // AC band scans; same quantized coefficients as the sequential
+    // 4:4:4 container ⇒ decode asserted BIT-EQUAL per document
+    "mm_jpeg_prog_color_decode" -> ((s, dir) =>
+      R17Queries.bitEqualGauge(s, dir, toProgColorJpeg,
+        "prog_color_equals_seq", baseline = R17Queries.colorJpegUdf))
+  )
+
+  def oracles: Map[String, String] = Map(
+
+    "mm_jpeg422_decode" ->
+      """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+        |  true AS within_bound
+        |FROM documents""".stripMargin,
+
+    "mm_jpeg411_decode" ->
+      """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+        |  true AS within_bound
+        |FROM documents""".stripMargin,
+
+    // byte_len = 44-byte canonical header + 256 companded bytes
+    "mm_wav_ulaw" ->
+      """SELECT doc_id, 300::BIGINT AS byte_len,
+        |  16000::BIGINT AS sample_rate, 256::BIGINT AS n_samples,
+        |  true AS within_bound
+        |FROM documents""".stripMargin,
+
+    "mm_wav_alaw" ->
+      """SELECT doc_id, 300::BIGINT AS byte_len,
+        |  16000::BIGINT AS sample_rate, 256::BIGINT AS n_samples,
+        |  true AS within_bound
+        |FROM documents""".stripMargin,
+
+    // byte_len = 60-byte header (RIFF + 20-byte fmt + fact) + one
+    // 256-byte block; the anchor column asserts the verbatim sample
+    "mm_wav_adpcm" ->
+      """SELECT doc_id, 316::BIGINT AS byte_len,
+        |  16000::BIGINT AS sample_rate, 256::BIGINT AS n_samples,
+        |  true AS within_bound, true AS anchor_exact
+        |FROM documents""".stripMargin,
+
+    "mm_jpeg_prog_color_decode" ->
+      """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+        |  true AS prog_color_equals_seq
+        |FROM documents""".stripMargin
+  )
+}

@@ -328,12 +328,13 @@ class R17JpegSpec extends AnyFunSuite {
     val refine = prog.clone(); refine(lastSos + 9) = 0x31.toByte // Ah=3,Al=1
     val ex = intercept[IllegalArgumentException] { JpegCodec.decode(refine) }
     assert(ex.getMessage.contains("non-contiguous"))
-    // progressive color: craft SOF2 claiming 3 components
+    // SOF2 claiming 3 components over a 1-component stream: the header
+    // itself is now too short for its claim — still controlled
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc2).get
     val color = prog.clone(); color(sofAt + 9) = 3
     val ex2 = intercept[IllegalArgumentException] { JpegCodec.decode(color) }
-    assert(ex2.getMessage.contains("progressive color"))
+    assert(ex2.getMessage.contains("SOF2"))
     // DRI ≠ 0 in progressive is rejected by name
     val dri = Array(0xff, 0xdd, 0x00, 0x04, 0x00, 0x02).map(_.toByte)
     val withDri = prog.take(sofAt) ++ dri ++ prog.drop(sofAt)
@@ -342,9 +343,66 @@ class R17JpegSpec extends AnyFunSuite {
     assert(ex3.getMessage.contains("progressive"))
   }
 
-  test("unsupported subsampling (4:2:2) is rejected by name") {
-    // craft: set Y's sampling to 2×1 (4:2:2) — a geometry the decoder
-    // does not implement must be rejected, not silently misparsed
+  test("progressive COLOR decode equals sequential color bit-exactly") {
+    val f = (x: Int, y: Int) =>
+      ((x * 37 + y * 11) % 256, (x * 5 + y * 73) % 256, (x * 91 + y) % 256)
+    for ((w, h) <- Seq((8, 8), (16, 16), (13, 11))) {
+      val seq = JpegCodec.decode(JpegCodec.encodeColor(w, h, f, 90))
+      val prog = JpegCodec.decode(JpegCodec.encodeProgressiveColor(w, h, f,
+        90))
+      assert(prog.width == w && prog.height == h)
+      assert(prog.lumaSum3.toSeq == seq.lumaSum3.toSeq,
+        s"progressive color drifted at ${w}x$h")
+      // multiple AC bands deliver the same coefficients
+      val banded = JpegCodec.decode(JpegCodec.encodeProgressiveColor(w, h,
+        f, 90, bands = Seq((1, 2), (3, 20), (21, 63))))
+      assert(banded.lumaSum3.toSeq == seq.lumaSum3.toSeq)
+    }
+    // fixture wrapper matches the sequential color fixture
+    val src = "progressive color fixture".getBytes("US-ASCII")
+    val viaProg = JpegCodec.decode(JpegCodec.progColorJpeg(8, 8, src))
+    val viaSeq = JpegCodec.decode(JpegCodec.colorJpeg(8, 8, src))
+    assert(viaProg.lumaSum3.toSeq == viaSeq.lumaSum3.toSeq)
+  }
+
+  test("progressive color fail-loud: subsampling, interleaved AC scans") {
+    val f = (x: Int, y: Int) => (x * 30 % 256, y * 30 % 256, 128)
+    val prog = JpegCodec.encodeProgressiveColor(8, 8, f, 90)
+    // flip Y's sampling to 2×2: progressive subsampled color is the
+    // named remaining seam
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc2).get
+    val sub = prog.clone(); sub(sofAt + 11) = 0x22.toByte
+    val ex = intercept[IllegalArgumentException] { JpegCodec.decode(sub) }
+    assert(ex.getMessage.contains("subsampled"))
+    // rewrite an AC scan header to claim 3 components: spec G.1.1
+    // forbids interleaved AC scans — rejected by name.  The second SOS
+    // is the first AC scan (header: FF DA len ns (cs tt)… Ss Se AhAl);
+    // claiming ns=3 shifts Ss into the table bytes, so craft a full
+    // 3-component header in place by splicing
+    val sosAts = (0 until prog.length - 1).filter(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xda)
+    val acSos = sosAts(1)
+    val acLen = ((prog(acSos + 2) & 0xff) << 8) | (prog(acSos + 3) & 0xff)
+    val ss = prog(acSos + 7) & 0xff
+    val se = prog(acSos + 8) & 0xff
+    val spliced = prog.take(acSos) ++
+      Array(0xff, 0xda, 0x00, 12, 3, 1, 0x00, 2, 0x00, 3, 0x00, ss, se,
+        0).map(_.toByte) ++ prog.drop(acSos + 2 + acLen)
+    val ex2 = intercept[IllegalArgumentException] {
+      JpegCodec.decode(spliced) }
+    assert(ex2.getMessage.contains("single-component"))
+    // truncation totality holds for the color container too
+    for (n <- 2 until prog.length by 7) {
+      intercept[IllegalArgumentException] {
+        JpegCodec.decode(java.util.Arrays.copyOf(prog, n)) }
+    }
+  }
+
+  test("unsupported subsampling geometries are rejected by name") {
+    // craft: set Y's sampling to 3×1 / 1×2 / 4×2 — geometries the
+    // decoder does not implement must be rejected, not silently
+    // misparsed
     val enc = JpegCodec.encodeColor(8, 8,
       (x, y) => (x * 30 % 256, y * 30 % 256, 128), 90)
     val sofAt = (0 until enc.length - 1).find(i =>
@@ -352,9 +410,52 @@ class R17JpegSpec extends AnyFunSuite {
     // byte layout from the marker: FF C0 len(2) prec(1) h(2) w(2)
     // ncomp(1), then per comp (id, sampling, tq) — Y's sampling byte is
     // marker+11
-    val bad = enc.clone(); bad(sofAt + 11) = 0x21.toByte
-    val ex = intercept[IllegalArgumentException] { JpegCodec.decode(bad) }
-    assert(ex.getMessage.contains("subsampling"))
+    for (hv <- Seq(0x31, 0x12, 0x42)) {
+      val bad = enc.clone(); bad(sofAt + 11) = hv.toByte
+      val ex = intercept[IllegalArgumentException] { JpegCodec.decode(bad) }
+      assert(ex.getMessage.contains("subsampling"), f"0x$hv%02x")
+    }
+  }
+
+  test("4:2:2 and 4:1:1 round-trip: the broadcast and NTSC-DV shapes") {
+    val f = (x: Int, y: Int) =>
+      ((x * 37 + y * 11) % 256, (x * 5 + y * 73) % 256, (x * 91 + y) % 256)
+    // horizontal-only downsampling: payload sizes order 444 > 422 > 411
+    // on chroma-detailed content — at w ≥ 32 so the 4:1:1 MCU (32 px
+    // wide) carries no padded luma blocks that would mask the saving
+    val enc444 = JpegCodec.encodeColor(32, 16, f, 90)
+    val enc422 = JpegCodec.encodeColor422(32, 16, f, 90)
+    val enc411 = JpegCodec.encodeColor411(32, 16, f, 90)
+    assert(enc422.length < enc444.length && enc411.length < enc422.length)
+    for (enc <- Seq(enc422, enc411)) {
+      val r = JpegCodec.decode(enc)
+      assert(r.width == 32 && r.height == 16)
+    }
+    // gray content: uniform chroma survives any horizontal decimation,
+    // so both geometries track the pure-gray path within rounding
+    val g = (x: Int, y: Int) => (x * 16 + y * 8) % 256
+    val viaGray = JpegCodec.decode(JpegCodec.encode(16, 16, g, 90))
+    for (mk <- Seq(JpegCodec.encodeColor422 _, JpegCodec.encodeColor411 _)) {
+      val via = JpegCodec.decode(
+        mk(16, 16, (x, y) => (g(x, y), g(x, y), g(x, y)), 90, 0))
+      for (i <- 0 until 256)
+        assert(math.abs(via.lumaSum3(i) - viaGray.lumaSum3(i)) <= 6,
+          s"gray-content drift at $i")
+    }
+    // uniform color: constant chroma planes downsample losslessly —
+    // DC-only, so only the YCbCr round trip contributes (±1/channel)
+    for (mk <- Seq(JpegCodec.encodeColor422 _, JpegCodec.encodeColor411 _)) {
+      val u = JpegCodec.decode(mk(8, 8, (_, _) => (200, 30, 90), 95, 0))
+      for (i <- 0 until 64)
+        assert(math.abs(u.lumaSum3(i) - 320) <= 3, s"uniform err at $i")
+    }
+    // odd dims (partial MCUs: 4:1:1 MCU is 32 px wide) + restart compose
+    val odd = JpegCodec.decode(JpegCodec.encodeColor411(13, 11, f, 90))
+    assert(odd.width == 13 && odd.height == 11)
+    val withRst = JpegCodec.decode(
+      JpegCodec.encodeColor422(48, 16, f, 90, restartInterval = 2))
+    val plain = JpegCodec.decode(JpegCodec.encodeColor422(48, 16, f, 90))
+    assert(withRst.lumaSum3.toSeq == plain.lumaSum3.toSeq)
   }
 
   test("4:2:0 round-trips: luma crisp, chroma smeared but bounded") {

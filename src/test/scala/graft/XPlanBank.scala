@@ -39,7 +39,11 @@ object XPlanBank {
     // the lossy JPEG tier, the per-group HDR histogram
     "graph_kcore", "mm_jpeg_decode", "mm_jpeg_ahash_banded",
     "sketch_hdr_hist_by_lang", "mm_jpeg_color_decode", "mm_jpeg420_decode",
-    "mm_jpeg_prog_decode", "mm_jpeg_sa_decode")
+    "mm_jpeg_prog_decode", "mm_jpeg_sa_decode",
+    // r17b additions: the remaining sampling geometries, progressive
+    // color, and the lossy audio tier (G.711 + IMA ADPCM)
+    "mm_jpeg422_decode", "mm_jpeg411_decode", "mm_jpeg_prog_color_decode",
+    "mm_wav_ulaw", "mm_wav_alaw", "mm_wav_adpcm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
