@@ -84,24 +84,27 @@ object ImageCodec {
     * and per-row filter — so one corpus sweep exercises the compressed
     * path (chunk walk, CRC, inflate, unfilter) with every filter kind. */
   def grayPng(w: Int, h: Int, src: Array[Byte], colorType: Int,
-      filter: Int): Array[Byte] = {
+      filter: Int, interlace: Boolean = false): Array[Byte] = {
     require(src.nonEmpty, "empty source bytes")
     encodePng(w, h, (x, y) => {
       val v = src((y * w + x) % src.length) & 0xff
       (v, v, v)
-    }, colorType, filter)
+    }, colorType, filter, interlace)
   }
 
   // ---- PNG (the first COMPRESSED container in the tier) -------------------
   //
   // Written from the public PNG 1.2 specification (RFC 2083): signature,
   // length/type/data/CRC chunk grammar, IHDR/IDAT/IEND, zlib-wrapped
-  // DEFLATE scanlines, and the five per-row byte filters (None/Sub/Up/
-  // Average/Paeth).  Compression uses the JDK's java.util.zip (zlib) —
-  // still dependency-free.  Supported shapes: bit depth 8, color type 0
-  // (grayscale) or 2 (truecolor RGB), no interlace; anything else fails
-  // loudly, as does any chunk whose CRC does not match — a codec silently
-  // accepting corrupt IDAT bytes would poison every downstream fingerprint.
+  // DEFLATE scanlines, the five per-row byte filters (None/Sub/Up/
+  // Average/Paeth), and ADAM7 INTERLACING (seven sub-image passes, each
+  // filtered independently — the progressive-download shape).
+  // Compression uses the JDK's java.util.zip (zlib) — still
+  // dependency-free.  Supported shapes: bit depth 8, color type 0
+  // (grayscale) or 2 (truecolor RGB), interlace methods 0/1; anything
+  // else fails loudly, as does any chunk whose CRC does not match — a
+  // codec silently accepting corrupt IDAT bytes would poison every
+  // downstream fingerprint.
 
   private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
     .map(_.toByte)
@@ -132,28 +135,25 @@ object ImageCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** 8-bit PNG: color type 2 (RGB) or 0 (gray — encodes the r channel;
-    * callers pass gray content).  Every scanline carries `filter`
-    * (0=None 1=Sub 2=Up 3=Average 4=Paeth) so tests can exercise each
-    * filter's encode→decode round trip, not just the trivial one. */
-  def encodePng(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
-      colorType: Int = 2, filter: Int = 0): Array[Byte] = {
-    require(w > 0 && h > 0, "bad dims")
-    require(colorType == 0 || colorType == 2, s"color type $colorType")
-    require(filter >= 0 && filter <= 4, s"filter $filter")
-    val bpp = if (colorType == 2) 3 else 1
-    // raw scanlines, then per-row filtering against the previous raw row
-    val raw = Array.ofDim[Byte](h, w * bpp)
-    for (y <- 0 until h; x <- 0 until w) {
-      val (r, g, b) = rgb(x, y)
-      if (colorType == 2) {
-        raw(y)(x * 3) = r.toByte; raw(y)(x * 3 + 1) = g.toByte
-        raw(y)(x * 3 + 2) = b.toByte
-      } else raw(y)(x) = r.toByte
+  /** Adam7 interlace pass origins/strides (PNG spec §8.2): (x0, y0,
+    * dx, dy) per pass; each pass filters as an INDEPENDENT sub-image. */
+  private val Adam7 = Array((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+    (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  private def adam7PassDims(w: Int, h: Int): Array[(Int, Int)] =
+    Adam7.map { case (x0, y0, dx, dy) =>
+      ((w - x0 + dx - 1) / dx, (h - y0 + dy - 1) / dy)
     }
-    val stride = w * bpp
-    val filtered = new Array[Byte](h * (1 + stride))
-    for (y <- 0 until h) {
+
+  /** Apply one row filter to a (sub-)image's raw rows → the filtered
+    * byte stream (1 filter byte + stride bytes per row). */
+  private def filterRows(raw: Array[Array[Byte]], bpp: Int,
+      filter: Int): Array[Byte] = {
+    val hh = raw.length
+    if (hh == 0 || raw(0).length == 0) return Array.emptyByteArray
+    val stride = raw(0).length
+    val filtered = new Array[Byte](hh * (1 + stride))
+    for (y <- 0 until hh) {
       filtered(y * (1 + stride)) = filter.toByte
       var i = 0
       while (i < stride) {
@@ -172,6 +172,77 @@ object ImageCodec {
         i += 1
       }
     }
+    filtered
+  }
+
+  /** Reverse the per-row filters of one (sub-)image inside the inflated
+    * stream: `hh` rows of `stride` bytes starting at `off`. */
+  private def unfilterRows(filtered: Array[Byte], off: Int, hh: Int,
+      stride: Int, bpp: Int): Array[Array[Byte]] = {
+    val raw = Array.ofDim[Byte](hh, stride)
+    for (y <- 0 until hh) {
+      val ft = filtered(off + y * (1 + stride)) & 0xff
+      require(ft <= 4, s"bad PNG row filter $ft")
+      var i = 0
+      while (i < stride) {
+        val v = filtered(off + y * (1 + stride) + 1 + i) & 0xff
+        val left = if (i >= bpp) raw(y)(i - bpp) & 0xff else 0
+        val up = if (y > 0) raw(y - 1)(i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) raw(y - 1)(i - bpp) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y)(i) = ((v + pred) & 0xff).toByte
+        i += 1
+      }
+    }
+    raw
+  }
+
+  /** 8-bit PNG: color type 2 (RGB) or 0 (gray — encodes the r channel;
+    * callers pass gray content).  Every scanline carries `filter`
+    * (0=None 1=Sub 2=Up 3=Average 4=Paeth) so tests can exercise each
+    * filter's encode→decode round trip, not just the trivial one.
+    * `interlace` writes the Adam7 container (seven sub-image passes,
+    * each filtered independently — the progressive-download shape). */
+  def encodePng(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      colorType: Int = 2, filter: Int = 0,
+      interlace: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0, "bad dims")
+    require(colorType == 0 || colorType == 2, s"color type $colorType")
+    require(filter >= 0 && filter <= 4, s"filter $filter")
+    val bpp = if (colorType == 2) 3 else 1
+    // raw scanlines, then per-row filtering against the previous raw row
+    val raw = Array.ofDim[Byte](h, w * bpp)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = rgb(x, y)
+      if (colorType == 2) {
+        raw(y)(x * 3) = r.toByte; raw(y)(x * 3 + 1) = g.toByte
+        raw(y)(x * 3 + 2) = b.toByte
+      } else raw(y)(x) = r.toByte
+    }
+    val filtered: Array[Byte] =
+      if (!interlace) filterRows(raw, bpp, filter)
+      else {
+        val out = new java.io.ByteArrayOutputStream
+        val dims = adam7PassDims(w, h)
+        for (pi <- 0 until 7) {
+          val (x0, y0, dx, dy) = Adam7(pi)
+          val (pw, ph) = dims(pi)
+          if (pw > 0 && ph > 0) {
+            val sub = Array.ofDim[Byte](ph, pw * bpp)
+            for (py <- 0 until ph; px <- 0 until pw; c <- 0 until bpp)
+              sub(py)(px * bpp + c) = raw(y0 + py * dy)((x0 + px * dx) * bpp + c)
+            val f = filterRows(sub, bpp, filter)
+            out.write(f, 0, f.length)
+          }
+        }
+        out.toByteArray
+      }
     val deflater = new java.util.zip.Deflater(
       java.util.zip.Deflater.DEFAULT_COMPRESSION, /* zlib wrapper */ false)
     deflater.setInput(filtered)
@@ -184,7 +255,8 @@ object ImageCodec {
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(w).putInt(h)
     ihdr.put(8.toByte).put(colorType.toByte) // bit depth, color type
-    ihdr.put(0.toByte).put(0.toByte).put(0.toByte) // deflate, filt0, no ilace
+    ihdr.put(0.toByte).put(0.toByte) // deflate, filter method 0
+    ihdr.put((if (interlace) 1 else 0).toByte)
     val out = new java.io.ByteArrayOutputStream
     out.write(PngSig, 0, PngSig.length)
     chunk(out, "IHDR", ihdr.array())
@@ -197,7 +269,7 @@ object ImageCodec {
     require(b.length >= 8 && java.util.Arrays.equals(
       java.util.Arrays.copyOf(b, 8), PngSig), "bad PNG signature")
     var p = 8
-    var w = 0; var h = 0; var colorType = -1
+    var w = 0; var h = 0; var colorType = -1; var interlace = 0
     val idat = new java.io.ByteArrayOutputStream
     var sawEnd = false
     while (!sawEnd) {
@@ -223,7 +295,9 @@ object ImageCodec {
           require(colorType == 0 || colorType == 2,
             s"only gray/truecolor PNG supported, got color type $colorType")
           require(comp == 0 && filt == 0, "bad PNG compression/filter method")
-          require(ilace == 0, "interlaced PNG unsupported")
+          require(ilace == 0 || ilace == 1,
+            s"bad PNG interlace method $ilace")
+          interlace = ilace
         case "IDAT" => idat.write(b, p + 8, len)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks skipped (CRC still verified above)
@@ -233,12 +307,27 @@ object ImageCodec {
     require(colorType >= 0, "PNG missing IHDR")
     val bpp = if (colorType == 2) 3 else 1
     val stride = w * bpp
+    val expected =
+      if (interlace == 0) h * (1 + stride)
+      else adam7PassDims(w, h).map { case (pw, ph) =>
+        if (pw > 0 && ph > 0) ph * (1 + pw * bpp) else 0
+      }.sum
     val inflater = new java.util.zip.Inflater(/* zlib wrapper */ false)
     inflater.setInput(idat.toByteArray)
-    val filtered = new Array[Byte](h * (1 + stride))
+    val filtered = new Array[Byte](expected)
     var got = 0
     while (got < filtered.length && !inflater.finished()) {
-      val n = inflater.inflate(filtered, got, filtered.length - got)
+      val n =
+        try inflater.inflate(filtered, got, filtered.length - got)
+        catch {
+          // keep the codec's fail-loud contract even when a corrupt
+          // stream carries a VALID chunk CRC (e.g. re-checksummed
+          // truncation): zlib-level damage surfaces as the same
+          // IllegalArgumentException every other corruption does
+          case e: java.util.zip.DataFormatException =>
+            throw new IllegalArgumentException(
+              s"corrupt PNG IDAT stream: ${e.getMessage}")
+        }
       if (n == 0) // input exhausted (or needs-dictionary): either is corrupt
         throw new IllegalArgumentException("truncated PNG IDAT stream")
       got += n
@@ -246,28 +335,25 @@ object ImageCodec {
     inflater.end()
     require(got == filtered.length,
       s"PNG pixel data short: $got of ${filtered.length}")
-    // unfilter in place into raw rows
-    val raw = Array.ofDim[Byte](h, stride)
-    for (y <- 0 until h) {
-      val ft = filtered(y * (1 + stride)) & 0xff
-      require(ft <= 4, s"bad PNG row filter $ft")
-      var i = 0
-      while (i < stride) {
-        val v = filtered(y * (1 + stride) + 1 + i) & 0xff
-        val left = if (i >= bpp) raw(y)(i - bpp) & 0xff else 0
-        val up = if (y > 0) raw(y - 1)(i) & 0xff else 0
-        val ul = if (y > 0 && i >= bpp) raw(y - 1)(i - bpp) & 0xff else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
+    val raw: Array[Array[Byte]] =
+      if (interlace == 0) unfilterRows(filtered, 0, h, stride, bpp)
+      else {
+        // Adam7: unfilter each pass independently, scatter into place
+        val full = Array.ofDim[Byte](h, stride)
+        val dims = adam7PassDims(w, h)
+        var off = 0
+        for (pi <- 0 until 7) {
+          val (x0, y0, dx, dy) = Adam7(pi)
+          val (pw, ph) = dims(pi)
+          if (pw > 0 && ph > 0) {
+            val sub = unfilterRows(filtered, off, ph, pw * bpp, bpp)
+            off += ph * (1 + pw * bpp)
+            for (py <- 0 until ph; px <- 0 until pw; c <- 0 until bpp)
+              full(y0 + py * dy)((x0 + px * dx) * bpp + c) = sub(py)(px * bpp + c)
+          }
         }
-        raw(y)(i) = ((v + pred) & 0xff).toByte
-        i += 1
+        full
       }
-    }
     val sums = new Array[Int](w * h)
     var y = 0
     while (y < h) {

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AudioCodec, JpegCodec, MultimodalOps}
+import graft.ops.{AudioCodec, ImageCodec, JpegCodec, MultimodalOps}
 
 /** Round-17b: the lossy tier widens along both axes.
   *
@@ -126,7 +126,28 @@ object R17bQueries {
     // 4:4:4 container ⇒ decode asserted BIT-EQUAL per document
     "mm_jpeg_prog_color_decode" -> ((s, dir) =>
       R17Queries.bitEqualGauge(s, dir, toProgColorJpeg,
-        "prog_color_equals_seq", baseline = R17Queries.colorJpegUdf))
+        "prog_color_equals_seq", baseline = R17Queries.colorJpegUdf)),
+
+    // ADAM7-INTERLACED PNG (the progressive-download container shape):
+    // lossless, so the oracle is the mm_png_decode HASH-EXACT text
+    // replay — color type and row filter cycle by doc as in the
+    // sequential PNG sweep, now through the 7-pass scatter path
+    "mm_png_interlaced" -> ((s, dir) => {
+      val toImg = udf((id: Long, text: String) =>
+        ImageCodec.grayPng(8, 8, MultimodalOps.asciiBytes(text),
+          colorType = if (id % 2 == 0) 2 else 0,
+          filter = (id % 5).toInt, interlace = true))
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toImg(col("doc_id"), col("text")))
+      MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+        ImageCodec.kernel(4, 4)).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -165,6 +186,11 @@ object R17bQueries {
     "mm_jpeg_prog_color_decode" ->
       """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
         |  true AS prog_color_equals_seq
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "mm_png_interlaced" ->
+      s"""WITH ${R16bQueries.RealFeatSql}
+         |SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height, j, feat
+         |FROM rf""".stripMargin
   )
 }

@@ -30,6 +30,53 @@ class R16PngSpec extends AnyFunSuite {
     }
   }
 
+  test("Adam7 interlacing round-trips bit-exactly for every filter") {
+    // dims chosen to make passes partial/empty: 1×1 (passes 2-7 empty),
+    // 3×3, 5×7 (sub-8 so late passes dominate), 8×8, 13×11
+    for ((w, h) <- Seq((1, 1), (3, 3), (5, 7), (8, 8), (13, 11));
+         f <- 0 to 4; ct <- Seq(0, 2)) {
+      val pxf: (Int, Int) => (Int, Int, Int) =
+        if (ct == 0) gray else px
+      val plain = ImageCodec.decode(ImageCodec.encodePng(w, h, pxf,
+        colorType = ct, filter = f))
+      val inter = ImageCodec.decode(ImageCodec.encodePng(w, h, pxf,
+        colorType = ct, filter = f, interlace = true))
+      assert(inter.width == w && inter.height == h)
+      assert(inter.lumaSum3.toSeq == plain.lumaSum3.toSeq,
+        s"Adam7 drift at ${w}x$h filter $f ct $ct")
+    }
+    // the interlaced fixture matches the sequential fixture's raster
+    val src = "adam7 interlace fixture".getBytes("US-ASCII")
+    val a = ImageCodec.decode(ImageCodec.grayPng(8, 8, src, 2, 3,
+      interlace = true))
+    val b = ImageCodec.decode(ImageCodec.grayPng(8, 8, src, 2, 3))
+    assert(a.lumaSum3.toSeq == b.lumaSum3.toSeq)
+    // truncated interlaced IDAT still fails loudly (the stream-length
+    // accounting covers the 7-pass layout)
+    val ok = ImageCodec.encodePng(13, 11, px, 2, 4, interlace = true)
+    val idatAt = (12 until ok.length - 4).find(i =>
+      new String(ok, i, 4, "US-ASCII") == "IDAT").get
+    val lenOff = idatAt - 4
+    val oldLen = java.nio.ByteBuffer.wrap(ok, lenOff, 4).getInt
+    // halve the IDAT (genuinely losing deflate data, not just the zlib
+    // Adler tail) and fix the chunk CRC so only the inflate accounting
+    // can object
+    val keep = oldLen / 2
+    val cut = new java.io.ByteArrayOutputStream
+    cut.write(ok, 0, lenOff)
+    val nl = java.nio.ByteBuffer.allocate(4).putInt(keep).array()
+    cut.write(nl, 0, 4)
+    cut.write(ok, idatAt, 4 + keep)
+    val crcIn = new java.util.zip.CRC32
+    crcIn.update(ok, idatAt, 4 + keep)
+    cut.write(java.nio.ByteBuffer.allocate(4)
+      .putInt(crcIn.getValue.toInt).array(), 0, 4)
+    cut.write(ok, idatAt + 4 + oldLen + 4, ok.length - (idatAt + 4 + oldLen + 4))
+    val e = intercept[IllegalArgumentException](
+      ImageCodec.decode(cut.toByteArray))
+    assert(e.getMessage.contains("IDAT"))
+  }
+
   test("gray color type agrees with truecolor for gray content") {
     val a = ImageCodec.decode(ImageCodec.encodePng(8, 8, gray,
       colorType = 0, filter = 4))

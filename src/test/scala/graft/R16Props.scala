@@ -100,11 +100,12 @@ object R16Props extends Properties("round16") {
     forAll(for {
       w <- Gen.choose(2, 6); h <- Gen.choose(2, 6)
       ct <- Gen.oneOf(0, 2); f <- Gen.choose(0, 4)
+      il <- Gen.oneOf(true, false) // Adam7 and sequential containers
       pos <- Gen.choose(0, 10000); bit <- Gen.choose(0, 7)
-    } yield (w, h, ct, f, pos, bit)) { case (w, h, ct, f, pos, bit) =>
+    } yield (w, h, ct, f, il, pos, bit)) { case (w, h, ct, f, il, pos, bit) =>
       val ok = graft.ops.ImageCodec.encodePng(w, h, (x, y) => {
         val v = (x * 29 + y * 53 + 7) % 256; (v, v, v)
-      }, ct, f)
+      }, ct, f, il)
       val bad = ok.clone()
       val p = pos % ok.length
       bad(p) = (bad(p) ^ (1 << bit)).toByte
