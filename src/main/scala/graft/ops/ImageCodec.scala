@@ -570,8 +570,9 @@ object ImageCodec {
 
   // ---- decoder -----------------------------------------------------------
 
-  /** Sniff the magic and decode: BMP ("BM"), PPM ("P6"), PNG, or GIF.
-    * Returns dims plus per-pixel integer r+g+b sums, top-down row-major. */
+  /** Sniff the magic and decode: BMP ("BM"), PPM ("P6"), PNG, GIF,
+    * TIFF ("II"/"MM"), or JPEG (FFD8).  Returns dims plus per-pixel
+    * integer r+g+b sums, top-down row-major. */
   def decode(bytes: Array[Byte]): Raster = {
     require(bytes.length >= 2, "truncated image")
     if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) decodeBmp(bytes)
@@ -581,11 +582,14 @@ object ImageCodec {
       decodePng(bytes)
     else if (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte)
       decodeGif(bytes)
+    else if ((bytes(0) == 'I'.toByte && bytes(1) == 'I'.toByte) ||
+        (bytes(0) == 'M'.toByte && bytes(1) == 'M'.toByte))
+      TiffCodec.decode(bytes)
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
       JpegCodec.decode(bytes) // the LOSSY tier (baseline sequential)
     else throw new IllegalArgumentException(
       f"unknown image magic 0x${bytes(0)}%02x${bytes(1)}%02x " +
-        "(BMP, binary PPM, PNG, GIF, and baseline JPEG supported)")
+        "(BMP, binary PPM, PNG, GIF, TIFF, and baseline JPEG supported)")
   }
 
   private def i32(b: Array[Byte], off: Int): Int =

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AudioCodec, ImageCodec, JpegCodec, MultimodalOps}
+import graft.ops.{AudioCodec, ImageCodec, JpegCodec, MultimodalOps,
+  TiffCodec}
 
 /** Round-17b: the lossy tier widens along both axes.
   *
@@ -128,6 +129,35 @@ object R17bQueries {
       R17Queries.bitEqualGauge(s, dir, toProgColorJpeg,
         "prog_color_equals_seq", baseline = R17Queries.colorJpegUdf)),
 
+    // TIFF 6.0 (the scanner/scientific interchange container): one
+    // corpus sweep cycles compression (none / LZW / PackBits) by
+    // doc_id mod 3 — LZW docs alternate the horizontal-differencing
+    // predictor — byte order by parity (II and MM both occur in the
+    // wild), and strip layout by doc_id mod 4; lossless, so the oracle
+    // is the same hash-exact text replay as the PNG tier
+    "mm_tiff_decode" -> ((s, dir) => {
+      val toImg = udf((id: Long, text: String) => {
+        val comp = (id % 3) match {
+          case 0 => 1; case 1 => 5; case _ => 32773
+        }
+        TiffCodec.grayTiff(8, 8, MultimodalOps.asciiBytes(text),
+          compression = comp,
+          predictor = if (comp == 5 && id % 2 == 0) 2 else 1,
+          bigEndian = id % 2 == 1,
+          rowsPerStrip = if (id % 4 == 3) 3 else 0)
+      })
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toImg(col("doc_id"), col("text")))
+      MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+        ImageCodec.kernel(4, 4)).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
     // ADAM7-INTERLACED PNG (the progressive-download container shape):
     // lossless, so the oracle is the mm_png_decode HASH-EXACT text
     // replay — color type and row filter cycle by doc as in the
@@ -189,6 +219,11 @@ object R17bQueries {
         |FROM documents""".stripMargin,
 
     "mm_png_interlaced" ->
+      s"""WITH ${R16bQueries.RealFeatSql}
+         |SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height, j, feat
+         |FROM rf""".stripMargin,
+
+    "mm_tiff_decode" ->
       s"""WITH ${R16bQueries.RealFeatSql}
          |SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height, j, feat
          |FROM rf""".stripMargin
