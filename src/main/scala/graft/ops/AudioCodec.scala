@@ -386,6 +386,17 @@ object AudioCodec {
         samples
     }
 
+  /** Sniff the audio magic and decode: RIFF/WAVE (all supported format
+    * tags) or fLaC — the [[ImageCodec.decode]] dispatch for sound. */
+  def decodeAudio(b: Array[Byte]): (Int, Array[Short]) = {
+    require(b.length >= 4, "truncated audio")
+    val magic = new String(b, 0, 4, "US-ASCII")
+    if (magic == "RIFF") decodeWav(b)
+    else if (magic == "fLaC") FlacCodec.decode(b)
+    else throw new IllegalArgumentException(
+      s"unknown audio magic '$magic' (RIFF/WAVE and FLAC supported)")
+  }
+
   // ---- the real audio kernel -----------------------------------------------
 
   /** Frame-energy features: the sample array splits into `frames` cells
@@ -397,7 +408,7 @@ object AudioCodec {
   def kernel(frames: Int): (Long, Array[Byte]) => AudioFeatures =
     (docId, bytes) => {
       require(frames > 0, "bad frame count")
-      val (rate, s) = decodeWav(bytes)
+      val (rate, s) = decodeAudio(bytes)
       val n = s.length
       val feats = new Array[Double](frames)
       var f = 0

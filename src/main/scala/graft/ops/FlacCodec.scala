@@ -1,0 +1,457 @@
+package graft.ops
+
+/** Dependency-free FLAC codec for the FIXED-PREDICTOR subset, written
+  * from the public FLAC format specification (xiph.org): the fLaC
+  * magic + STREAMINFO metadata block (with the raw-PCM MD5 the decoder
+  * VERIFIES — the container's end-to-end integrity anchor), fixed-
+  * blocking frames with the 14-bit sync code, UTF-8-coded frame
+  * numbers, CRC-8 (poly 0x07) header checksums and CRC-16 (poly
+  * 0x8005) frame checksums, and per-channel subframes: CONSTANT,
+  * VERBATIM, and FIXED predictors of order 0–4 with Rice-coded
+  * residuals (zigzag fold, unary quotient of 0-bits + terminating 1,
+  * 4-bit parameters with the 0b1111 raw-width escape, 2^p partitions).
+  *
+  * This is the LOSSLESS compressed audio container — the audio analog
+  * of the PNG tier: decode(encode(x)) == x bit-for-bit, so the oracle
+  * queries replay features hash-exactly from the text that generated
+  * the samples.  Scope: mono, 16-bit (the corpus fixture shape);
+  * LPC subframes, stereo decorrelation, and wasted bits are rejected
+  * BY NAME — a decoder silently misreading entropy-coded residuals
+  * would poison every downstream fingerprint.  No external FLAC
+  * implementation exists in this container, so the conformance anchors
+  * are the published artifacts themselves: the CRC polynomials, the
+  * zigzag/Rice/UTF-8 codings, the fixed-predictor recurrences, and the
+  * MD5 of the raw channel data.
+  */
+object FlacCodec {
+
+  // ---- CRCs (FLAC spec: CRC-8 poly 0x07 init 0; CRC-16 poly 0x8005) --------
+
+  private val Crc8Table: Array[Int] = {
+    val t = new Array[Int](256)
+    for (i <- 0 until 256) {
+      var c = i
+      for (_ <- 0 until 8)
+        c = if ((c & 0x80) != 0) ((c << 1) ^ 0x07) & 0xff else (c << 1) & 0xff
+      t(i) = c
+    }
+    t
+  }
+
+  private val Crc16Table: Array[Int] = {
+    val t = new Array[Int](256)
+    for (i <- 0 until 256) {
+      var c = i << 8
+      for (_ <- 0 until 8)
+        c = if ((c & 0x8000) != 0) ((c << 1) ^ 0x8005) & 0xffff
+        else (c << 1) & 0xffff
+      t(i) = c
+    }
+    t
+  }
+
+  private def crc8(b: Array[Byte], off: Int, len: Int): Int = {
+    var c = 0
+    var i = off
+    while (i < off + len) { c = Crc8Table(c ^ (b(i) & 0xff)); i += 1 }
+    c
+  }
+
+  private def crc16(b: Array[Byte], off: Int, len: Int): Int = {
+    var c = 0
+    var i = off
+    while (i < off + len) {
+      c = ((c << 8) & 0xffff) ^ Crc16Table(((c >> 8) ^ (b(i) & 0xff)) & 0xff)
+      i += 1
+    }
+    c
+  }
+
+  // ---- MSB-first bit I/O ---------------------------------------------------
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream
+    private var acc = 0L
+    private var n = 0
+    def put(v: Long, bits: Int): Unit = {
+      require(bits >= 0 && bits <= 57, s"put $bits bits")
+      acc = (acc << bits) | (v & ((1L << bits) - 1))
+      n += bits
+      while (n >= 8) {
+        out.write(((acc >> (n - 8)) & 0xff).toInt)
+        n -= 8
+      }
+    }
+    def putUnary(q: Int): Unit = { // q zeros then a terminating 1
+      var r = q
+      while (r >= 32) { put(0, 32); r -= 32 }
+      put(1, r + 1)
+    }
+    def align(): Unit = if (n > 0) put(0, 8 - n)
+    def bytes: Array[Byte] = { require(n == 0, "unaligned"); out.toByteArray }
+  }
+
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0L
+    private var n = 0
+    def bits(k: Int): Long = {
+      require(k >= 0 && k <= 57, s"read $k bits")
+      while (n < k) {
+        require(pos < b.length, "truncated FLAC stream")
+        acc = (acc << 8) | (b(pos) & 0xff)
+        pos += 1
+        n += 8
+      }
+      n -= k
+      (acc >> n) & ((1L << k) - 1)
+    }
+    def unary(): Int = {
+      var q = 0
+      while (bits(1) == 0) {
+        q += 1
+        require(q < (1 << 24), "runaway FLAC unary code")
+      }
+      q
+    }
+    def align(): Unit = { val r = n % 8; if (r != 0) bits(r) }
+    def aligned: Boolean = n % 8 == 0
+  }
+
+  // ---- fixed predictors (spec: orders 0-4, binomial coefficients) ----------
+
+  private def residual(x: Array[Int], i: Int, order: Int): Int =
+    order match {
+      case 0 => x(i)
+      case 1 => x(i) - x(i - 1)
+      case 2 => x(i) - 2 * x(i - 1) + x(i - 2)
+      case 3 => x(i) - 3 * x(i - 1) + 3 * x(i - 2) - x(i - 3)
+      case _ => x(i) - 4 * x(i - 1) + 6 * x(i - 2) - 4 * x(i - 3) + x(i - 4)
+    }
+
+  private def restore(x: Array[Int], i: Int, order: Int, r: Int): Int =
+    order match {
+      case 0 => r
+      case 1 => r + x(i - 1)
+      case 2 => r + 2 * x(i - 1) - x(i - 2)
+      case 3 => r + 3 * x(i - 1) - 3 * x(i - 2) + x(i - 3)
+      case _ => r + 4 * x(i - 1) - 6 * x(i - 2) + 4 * x(i - 3) - x(i - 4)
+    }
+
+  private def zigzag(r: Int): Long = ((r.toLong << 1) ^ (r >> 31)) & 0xffffffffL
+
+  private def unzigzag(u: Long): Int = (((u >>> 1) ^ -(u & 1)).toInt)
+
+  /** UTF-8-style coded number (the frame-number coding of §9.1.5). */
+  private def putUtf8(bw: BitWriter, v: Long): Unit = {
+    require(v >= 0 && v < (1L << 36), "frame number out of range")
+    if (v < 0x80) bw.put(v, 8)
+    else {
+      // count continuation bytes needed
+      var k = 1
+      while (v >= (1L << (if (k == 1) 11 else 5 * k + 6))) k += 1
+      // leading byte: k+1 ones, a zero, then the top bits
+      val topBits = 6 - k
+      bw.put((0xff << (topBits + 1)) & 0xff | ((v >> (6 * k)) &
+        ((1 << topBits) - 1)).toInt, 8)
+      for (j <- (k - 1) to 0 by -1)
+        bw.put(0x80L | ((v >> (6 * j)) & 0x3f), 8)
+    }
+  }
+
+  private def readUtf8(br: BitReader): Long = {
+    val b0 = br.bits(8).toInt
+    if ((b0 & 0x80) == 0) b0.toLong
+    else {
+      var k = 0
+      var mask = 0x40
+      while ((b0 & mask) != 0) { k += 1; mask >>= 1 }
+      require(k >= 1 && k <= 6, s"bad FLAC UTF-8 lead byte $b0")
+      var v = (b0 & (mask - 1)).toLong
+      for (_ <- 0 until k) {
+        val c = br.bits(8).toInt
+        require((c & 0xc0) == 0x80, "bad FLAC UTF-8 continuation")
+        v = (v << 6) | (c & 0x3f)
+      }
+      v
+    }
+  }
+
+  // ---- encoder -------------------------------------------------------------
+
+  /** Encode mono 16-bit PCM as fixed-predictor FLAC.  Per frame the
+    * encoder picks CONSTANT for flat blocks, otherwise the fixed order
+    * 0–4 minimizing total |residual| (the classic estimator), with one
+    * Rice partition and the parameter fit to the mean magnitude. */
+  def encode(sampleRate: Int, samples: Array[Short],
+      blockSize: Int = 256): Array[Byte] = {
+    require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
+    require(samples.nonEmpty, "no samples")
+    require(blockSize >= 16 && blockSize <= 65535, "bad block size")
+    val out = new java.io.ByteArrayOutputStream
+    out.write("fLaC".getBytes("US-ASCII"), 0, 4)
+    // STREAMINFO (type 0, last metadata block)
+    val md5 = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val raw = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) { // little-endian, per spec
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      d.digest(raw)
+    }
+    val si = new BitWriter
+    // the spec's 16..65535 range applies to all frames EXCEPT a shorter
+    // final frame, which is excluded from the min — so min == max here
+    si.put(blockSize.toLong, 16) // min block size
+    si.put(blockSize.toLong, 16) // max block size
+    si.put(0, 24); si.put(0, 24)                      // frame sizes unknown
+    si.put(sampleRate.toLong, 20)
+    si.put(0, 3)  // channels - 1 (mono)
+    si.put(15, 5) // bits per sample - 1
+    si.put(samples.length.toLong, 36)
+    val siBytes = si.bytes
+    out.write(0x80) // last-metadata flag | type 0
+    out.write(0); out.write(0); out.write(siBytes.length + 16)
+    out.write(siBytes, 0, siBytes.length)
+    out.write(md5, 0, 16)
+    // frames
+    val nFrames = (samples.length + blockSize - 1) / blockSize
+    for (f <- 0 until nFrames) {
+      val i0 = f * blockSize
+      val n = math.min(blockSize, samples.length - i0)
+      val x = Array.tabulate(n)(j => samples(i0 + j).toInt)
+      val bw = new BitWriter
+      bw.put(0x3ffe, 14) // sync
+      bw.put(0, 1)       // reserved
+      bw.put(0, 1)       // fixed blocking
+      bw.put(7, 4)       // block size: 16-bit value - 1 follows
+      bw.put(0, 4)       // sample rate: from STREAMINFO
+      bw.put(0, 4)       // channels: mono
+      bw.put(4, 3)       // sample size: 16 bits
+      bw.put(0, 1)       // reserved
+      putUtf8(bw, f.toLong)
+      bw.put((n - 1).toLong, 16)
+      val headerBytes = bw.bytes // aligned: 5 header bytes + utf8 + 2
+      val fw = new BitWriter
+      // subframe
+      val constant = x.forall(_ == x(0))
+      if (constant) {
+        fw.put(0, 1); fw.put(0, 6); fw.put(0, 1) // CONSTANT, no wasted
+        fw.put(x(0).toLong & 0xffff, 16)
+      } else {
+        // best fixed order by total |residual| (orders capped by n)
+        val maxOrder = math.min(4, n - 1)
+        val costs = (0 to maxOrder).map { o =>
+          var s = 0L
+          var i = o
+          while (i < n) { s += math.abs(residual(x, i, o).toLong); i += 1 }
+          (s, o)
+        }
+        val order = costs.min._2
+        fw.put(0, 1); fw.put(8 + order, 6); fw.put(0, 1) // FIXED
+        for (j <- 0 until order) fw.put(x(j).toLong & 0xffff, 16)
+        // residual: method 0 (4-bit rice), partition order 0
+        fw.put(0, 2); fw.put(0, 4)
+        val res = Array.tabulate(n - order)(j => residual(x, j + order, order))
+        val mean = if (res.isEmpty) 0L
+        else res.map(r => zigzag(r)).sum / math.max(1, res.length)
+        var param = 0
+        while (param < 14 && (1L << (param + 1)) < mean + 1) param += 1
+        fw.put(param.toLong, 4)
+        res.foreach { r =>
+          val u = zigzag(r)
+          fw.putUnary((u >>> param).toInt)
+          if (param > 0) fw.put(u, param)
+        }
+      }
+      fw.align()
+      val bodyBytes = fw.bytes
+      val withCrc8 = headerBytes :+ crc8(headerBytes, 0,
+        headerBytes.length).toByte
+      val frame = withCrc8 ++ bodyBytes
+      val c16 = crc16(frame, 0, frame.length)
+      out.write(frame, 0, frame.length)
+      out.write((c16 >> 8) & 0xff); out.write(c16 & 0xff)
+    }
+    out.toByteArray
+  }
+
+  /** [[AudioCodec.wavFromBytes]]'s fixture signal in the FLAC
+    * container. */
+  def flacFromBytes(sampleRate: Int, nSamples: Int, src: Array[Byte],
+      blockSize: Int = 64): Array[Byte] = {
+    require(src.nonEmpty, "empty source bytes")
+    encode(sampleRate, Array.tabulate(nSamples) { i =>
+      val v = src((i * 7 + 3) % src.length) & 0xff
+      require(v <= 203, s"flacFromBytes: source byte $v overflows the " +
+        "(v-76)*256 map")
+      ((v - 76) * 256).toShort
+    }, blockSize)
+  }
+
+  // ---- decoder -------------------------------------------------------------
+
+  def decode(b: Array[Byte]): (Int, Array[Short]) = {
+    require(b.length >= 42, "truncated FLAC stream")
+    require(new String(b, 0, 4, "US-ASCII") == "fLaC", "bad FLAC magic")
+    var p = 4
+    var sampleRate = -1
+    var totalSamples = -1L
+    var md5: Array[Byte] = null
+    var last = false
+    var maxBlock = -1
+    while (!last) {
+      require(p + 4 <= b.length, "truncated FLAC metadata header")
+      val h = b(p) & 0xff
+      last = (h & 0x80) != 0
+      val typ = h & 0x7f
+      val len = ((b(p + 1) & 0xff) << 16) | ((b(p + 2) & 0xff) << 8) |
+        (b(p + 3) & 0xff)
+      require(p + 4 + len <= b.length, "truncated FLAC metadata block")
+      require(typ != 127, "invalid FLAC metadata type 127")
+      if (typ == 0) {
+        require(len == 34, s"bad STREAMINFO length $len")
+        val br = new BitReader(b, p + 4)
+        val minB = br.bits(16).toInt
+        maxBlock = br.bits(16).toInt
+        require(minB >= 16 && maxBlock >= minB,
+          s"bad STREAMINFO block sizes $minB/$maxBlock")
+        br.bits(24); br.bits(24) // frame sizes
+        sampleRate = br.bits(20).toInt
+        require(sampleRate > 0, "bad FLAC sample rate")
+        require(br.bits(3) == 0, "only mono FLAC supported")
+        require(br.bits(5) == 15, "only 16-bit FLAC supported")
+        totalSamples = br.bits(36)
+        md5 = java.util.Arrays.copyOfRange(b, p + 4 + 18, p + 4 + 34)
+      }
+      p += 4 + len
+    }
+    require(sampleRate > 0, "FLAC missing STREAMINFO")
+    require(totalSamples > 0 && totalSamples <= Int.MaxValue,
+      "bad FLAC total sample count")
+    val samples = new Array[Short](totalSamples.toInt)
+    var got = 0
+    var frameIdx = 0L
+    while (got < samples.length) {
+      val frameStart = p
+      val br = new BitReader(b, p)
+      require(br.bits(14) == 0x3ffe, "bad FLAC frame sync")
+      require(br.bits(1) == 0, "reserved frame bit set")
+      require(br.bits(1) == 0,
+        "variable-blocking FLAC unsupported (fixed blocking only)")
+      val bsCode = br.bits(4).toInt
+      val srCode = br.bits(4).toInt
+      val chan = br.bits(4).toInt
+      require(chan == 0, s"only mono FLAC supported, got assignment $chan")
+      val ssCode = br.bits(3).toInt
+      require(ssCode == 4, "only 16-bit FLAC frames supported")
+      require(br.bits(1) == 0, "reserved frame bit set")
+      val num = readUtf8(br)
+      require(num == frameIdx, s"frame number $num != expected $frameIdx")
+      val blockSize = bsCode match {
+        case 1 => 192
+        case c if c >= 2 && c <= 5 => 576 << (c - 2)
+        case 6 => br.bits(8).toInt + 1
+        case 7 => br.bits(16).toInt + 1
+        case c if c >= 8 => 256 << (c - 8)
+        case _ => throw new IllegalArgumentException(
+          s"reserved FLAC block size code $bsCode")
+      }
+      srCode match {
+        case 0 => () // from STREAMINFO
+        case 12 => br.bits(8)
+        case 13 | 14 => br.bits(16)
+        case 15 => throw new IllegalArgumentException(
+          "invalid FLAC sample rate code 15")
+        case _ => () // table codes carry no extra bytes
+      }
+      require(blockSize <= maxBlock, "frame block size exceeds STREAMINFO")
+      require(got + blockSize <= samples.length,
+        s"FLAC frames exceed STREAMINFO total ($got + $blockSize)")
+      val headerLen = br.pos - frameStart
+      val hcrc = br.bits(8).toInt
+      require(hcrc == crc8(b, frameStart, headerLen),
+        "FLAC frame header CRC-8 mismatch")
+      // subframe (mono)
+      require(br.bits(1) == 0, "subframe padding bit set")
+      val sfType = br.bits(6).toInt
+      require(br.bits(1) == 0, "wasted-bits FLAC subframes unsupported")
+      val x = new Array[Int](blockSize)
+      if (sfType == 0) { // CONSTANT
+        val v = (br.bits(16).toInt << 16) >> 16
+        java.util.Arrays.fill(x, v)
+      } else if (sfType == 1) { // VERBATIM
+        for (i <- 0 until blockSize)
+          x(i) = (br.bits(16).toInt << 16) >> 16
+      } else if (sfType >= 8 && sfType <= 12) { // FIXED order 0-4
+        val order = sfType - 8
+        require(order <= blockSize, "fixed order exceeds block")
+        for (i <- 0 until order) x(i) = (br.bits(16).toInt << 16) >> 16
+        val method = br.bits(2).toInt
+        require(method == 0 || method == 1,
+          s"reserved FLAC residual method $method")
+        val pBits = if (method == 0) 4 else 5
+        val escape = (1 << pBits) - 1
+        val partOrder = br.bits(4).toInt
+        val nParts = 1 << partOrder
+        require(blockSize % nParts == 0,
+          "partition order does not divide block size")
+        var i = order
+        for (part <- 0 until nParts) {
+          val count = (blockSize >> partOrder) -
+            (if (part == 0) order else 0)
+          require(count >= 0, "partition underflow")
+          val param = br.bits(pBits).toInt
+          if (param == escape) {
+            val w = br.bits(5).toInt
+            for (_ <- 0 until count) {
+              val raw = br.bits(w)
+              x(i) = restore(x, i, order,
+                if (w == 0) 0 else ((raw << (64 - w)) >> (64 - w)).toInt)
+              i += 1
+            }
+          } else {
+            for (_ <- 0 until count) {
+              val q = br.unary()
+              val u = (q.toLong << param) |
+                (if (param > 0) br.bits(param) else 0L)
+              x(i) = restore(x, i, order, unzigzag(u))
+              i += 1
+            }
+          }
+        }
+        require(i == blockSize, "residual count mismatch")
+      } else if (sfType >= 32) {
+        throw new IllegalArgumentException(
+          s"LPC FLAC subframes unsupported (fixed-predictor subset)")
+      } else {
+        throw new IllegalArgumentException(
+          s"reserved FLAC subframe type $sfType")
+      }
+      br.align()
+      val bodyEnd = br.pos
+      val c16 = (br.bits(8).toInt << 8) | br.bits(8).toInt
+      require(c16 == crc16(b, frameStart, bodyEnd - frameStart),
+        "FLAC frame CRC-16 mismatch")
+      for (i <- 0 until blockSize) {
+        require(x(i) >= Short.MinValue && x(i) <= Short.MaxValue,
+          s"decoded sample ${x(i)} out of 16-bit range")
+        samples(got + i) = x(i).toShort
+      }
+      got += blockSize
+      frameIdx += 1
+      p = br.pos
+    }
+    // the stream-level integrity anchor: MD5 of the raw little-endian
+    // sample bytes must match STREAMINFO's
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val raw = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    require(java.util.Arrays.equals(d.digest(raw), md5),
+      "FLAC MD5 mismatch: decoded audio differs from STREAMINFO digest")
+    (sampleRate, samples)
+  }
+}

@@ -44,7 +44,7 @@ object R16eQueries {
   /** Envelope recomputed from the text: sample value v_i =
     * (ascii(text[(7i+3) mod len]) − 76) · 256; 16 frames × 16 samples;
     * feat = mean |v| per frame. */
-  private val WavFeatSql =
+  private[queries] val WavFeatSql =
     """wa AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g')
       |    AS text FROM documents),
       |ws AS (SELECT doc_id, text, unnest(generate_series(0, 255)) AS i

@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AudioCodec, ImageCodec, JpegCodec, MultimodalOps,
-  TiffCodec}
+import graft.ops.{AudioCodec, FlacCodec, ImageCodec, JpegCodec,
+  MultimodalOps, TiffCodec}
 
 /** Round-17b: the lossy tier widens along both axes.
   *
@@ -129,6 +129,26 @@ object R17bQueries {
       R17Queries.bitEqualGauge(s, dir, toProgColorJpeg,
         "prog_color_equals_seq", baseline = R17Queries.colorJpegUdf)),
 
+    // FLAC (fixed-predictor subset): the LOSSLESS compressed audio
+    // container — decode(encode(x)) == x bit-for-bit (MD5-anchored in
+    // STREAMINFO, CRC-8/CRC-16 per frame), so the oracle replays the
+    // envelope HASH-EXACTLY from the text, through real Rice-coded
+    // residuals and fixed predictors (blockSize 64 ⇒ 4 frames/doc);
+    // byte_len omitted — compressed size is content-dependent
+    "mm_flac_decode" -> ((s, dir) => {
+      val toFlac = udf((text: String) =>
+        FlacCodec.flacFromBytes(16000, 256, MultimodalOps.asciiBytes(text)))
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toFlac(col("text")))
+      AudioCodec.decodeWith(d, col("payload"), col("doc_id"), frames = 16)
+        .toDF()
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), posexplode(col("features")))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
     // TIFF 6.0 (the scanner/scientific interchange container): one
     // corpus sweep cycles compression (none / LZW / PackBits) by
     // doc_id mod 3 — LZW docs alternate the horizontal-differencing
@@ -226,6 +246,12 @@ object R17bQueries {
     "mm_tiff_decode" ->
       s"""WITH ${R16bQueries.RealFeatSql}
          |SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height, j, feat
-         |FROM rf""".stripMargin
+         |FROM rf""".stripMargin,
+
+    "mm_flac_decode" ->
+      s"""WITH ${R16eQueries.WavFeatSql}
+         |SELECT doc_id, 16000::BIGINT AS sample_rate,
+         |  256::BIGINT AS n_samples, j, feat
+         |FROM wf""".stripMargin
   )
 }
