@@ -204,6 +204,71 @@ object AudioCodec {
     out.array()
   }
 
+  /** Stereo 16-bit PCM WAV (interleaved L/R frames).  Decode downmixes
+    * to mono via (L + R) >> 1 (arithmetic shift = floor — the
+    * SQL-replayable convention). */
+  def encodeWavStereo(sampleRate: Int, left: Array[Short],
+      right: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && left.nonEmpty, "bad wav args")
+    require(left.length == right.length, "channel length mismatch")
+    val dataLen = left.length * 4
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1).putShort(2)                    // PCM, stereo
+    out.putInt(sampleRate).putInt(sampleRate * 4)
+    out.putShort(4).putShort(16)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    for (i <- left.indices) { out.putShort(left(i)); out.putShort(right(i)) }
+    out.array()
+  }
+
+  /** 8-bit PCM WAV (the legacy UNSIGNED convention: stored byte =
+    * (s >> 8) + 128; decode expands (b − 128) << 8). */
+  def encodeWav8(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && samples.nonEmpty, "bad wav args")
+    val dataLen = samples.length
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen + (dataLen & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII"))
+      .putInt(36 + dataLen + (dataLen & 1))
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1).putShort(1)
+    out.putInt(sampleRate).putInt(sampleRate)
+    out.putShort(1).putShort(8)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => out.put((((s >> 8) + 128) & 0xff).toByte))
+    out.array()
+  }
+
+  /** 24-bit PCM WAV (3-byte little-endian signed frames; decode keeps
+    * the top 16 bits — sample >> 8). */
+  def encodeWav24(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    require(sampleRate > 0 && samples.nonEmpty, "bad wav args")
+    samples.foreach(s => require(s >= -(1 << 23) && s < (1 << 23),
+      s"sample $s out of 24-bit range"))
+    val dataLen = samples.length * 3
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen + (dataLen & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII"))
+      .putInt(36 + dataLen + (dataLen & 1))
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1).putShort(1)
+    out.putInt(sampleRate).putInt(sampleRate * 3)
+    out.putShort(3).putShort(24)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      out.put((s & 0xff).toByte)
+      out.put(((s >> 8) & 0xff).toByte)
+      out.put(((s >> 16) & 0xff).toByte)
+    }
+    out.array()
+  }
+
   /** G.711 μ-law WAV (format tag 7). */
   def encodeWavUlaw(sampleRate: Int, samples: Array[Short]): Array[Byte] =
     encodeWavG711(sampleRate, samples, 7, ulawEncode)
@@ -284,6 +349,8 @@ object AudioCodec {
     var p = 12
     var rate = -1
     var tag = -1
+    var channels = 1
+    var bits = -1
     var blockAlign = -1
     var spb = -1
     var factSamples = -1
@@ -298,12 +365,16 @@ object AudioCodec {
         require(tag == 1 || tag == 6 || tag == 7 || tag == 0x11,
           s"unsupported WAV format tag $tag — PCM (1), A-law (6), " +
             "μ-law (7), IMA ADPCM (0x11) only")
-        require(u16(b, p + 10) == 1, "only mono supported")
+        channels = u16(b, p + 10)
+        require(channels == 1 || (channels == 2 && tag == 1),
+          s"unsupported channel layout: $channels channels under tag $tag" +
+            " (stereo is PCM-only; compressed tags are mono)")
         rate = i32(b, p + 12)
         blockAlign = u16(b, p + 20)
-        val bits = u16(b, p + 22)
+        bits = u16(b, p + 22)
         tag match {
-          case 1 => require(bits == 16, "only 16-bit PCM supported")
+          case 1 => require(bits == 8 || bits == 16 || bits == 24,
+            s"only 8/16/24-bit PCM supported, got $bits")
           case 6 | 7 => require(bits == 8, s"G.711 requires 8 bits, got $bits")
           case _ =>
             require(bits == 4, s"IMA ADPCM requires 4 bits, got $bits")
@@ -319,8 +390,8 @@ object AudioCodec {
         factSamples = i32(b, p + 8)
       } else if (cid == "data") {
         require(rate > 0, "data chunk before fmt")
-        return (rate, decodeData(b, p + 8, len, tag, blockAlign, spb,
-          factSamples))
+        return (rate, decodeData(b, p + 8, len, tag, bits, channels,
+          blockAlign, spb, factSamples))
       }
       p += 8 + len + (len & 1)  // RIFF chunks are word-aligned
     }
@@ -328,15 +399,32 @@ object AudioCodec {
   }
 
   private def decodeData(b: Array[Byte], off: Int, len: Int, tag: Int,
-      blockAlign: Int, spb: Int, factSamples: Int): Array[Short] =
+      bits: Int, channels: Int, blockAlign: Int, spb: Int,
+      factSamples: Int): Array[Short] =
     tag match {
       case 1 =>
-        require(len % 2 == 0, "odd data length for 16-bit samples")
-        val n = len / 2
+        val bytesPerFrame = (bits / 8) * channels
+        require(len % bytesPerFrame == 0,
+          s"data length $len not a whole number of $bytesPerFrame-byte" +
+            " frames")
+        val n = len / bytesPerFrame
         val samples = new Array[Short](n)
+        // one channel sample at byte offset o, expanded to 16-bit
+        def sample16(o: Int): Int = bits match {
+          case 8 => ((b(o) & 0xff) - 128) << 8 // legacy unsigned bytes
+          case 16 => (u16(b, o) << 16) >> 16
+          case _ => // 24-bit: keep the top 16 bits
+            val v = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+              ((b(o + 2) & 0xff) << 16)
+            ((v << 8) >> 8) >> 8
+        }
         var i = 0
         while (i < n) {
-          samples(i) = (u16(b, off + 2 * i) & 0xffff).toShort
+          val o = off + i * bytesPerFrame
+          val v =
+            if (channels == 1) sample16(o)
+            else (sample16(o) + sample16(o + bits / 8)) >> 1 // downmix
+          samples(i) = v.toShort
           i += 1
         }
         samples

@@ -129,6 +129,35 @@ object R17bQueries {
       R17Queries.bitEqualGauge(s, dir, toProgColorJpeg,
         "prog_color_equals_seq", baseline = R17Queries.colorJpegUdf)),
 
+    // PCM WAV breadth (the real-world container shapes): stereo 16-bit
+    // (identical channels ⇒ the (L+R)>>1 downmix reproduces the mono
+    // envelope exactly), legacy UNSIGNED 8-bit ((b−128)<<8 expansion),
+    // and 24-bit (top-16 truncation) — the fixture samples are
+    // multiples of 256, so every conversion is EXACT and the oracle
+    // replays the envelope hash-exactly; byte_len pins each container's
+    // exact size by doc
+    "mm_wav_formats" -> ((s, dir) => {
+      val toWav = udf((id: Long, text: String) => {
+        val sig = fixtureSignal(text)
+        (id % 3) match {
+          case 0 => AudioCodec.encodeWavStereo(16000, sig, sig)
+          case 1 => AudioCodec.encodeWav8(16000, sig)
+          case _ => AudioCodec.encodeWav24(16000,
+            sig.map(s => s.toInt << 8))
+        }
+      })
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toWav(col("doc_id"), col("text")))
+      AudioCodec.decodeWith(d, col("payload"), col("doc_id"), frames = 16)
+        .toDF()
+        .select(col("doc_id"), col("byte_len"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), posexplode(col("features")))
+        .select(col("doc_id"), col("byte_len"), col("sample_rate"),
+          col("n_samples"), col("pos").cast("long").as("j"),
+          round(col("col"), 6).as("feat"))
+    }),
+
     // FLAC (fixed-predictor subset): the LOSSLESS compressed audio
     // container — decode(encode(x)) == x bit-for-bit (MD5-anchored in
     // STREAMINFO, CRC-8/CRC-16 per frame), so the oracle replays the
@@ -252,6 +281,16 @@ object R17bQueries {
       s"""WITH ${R16eQueries.WavFeatSql}
          |SELECT doc_id, 16000::BIGINT AS sample_rate,
          |  256::BIGINT AS n_samples, j, feat
+         |FROM wf""".stripMargin,
+
+    // stereo: 44 + 4·256; 8-bit: 44 + 256; 24-bit: 44 + 3·256
+    "mm_wav_formats" ->
+      s"""WITH ${R16eQueries.WavFeatSql}
+         |SELECT doc_id,
+         |  (CASE doc_id % 3 WHEN 0 THEN 1068 WHEN 1 THEN 300
+         |   ELSE 812 END)::BIGINT AS byte_len,
+         |  16000::BIGINT AS sample_rate, 256::BIGINT AS n_samples,
+         |  j, feat
          |FROM wf""".stripMargin
   )
 }

@@ -92,6 +92,34 @@ class R17AudioSpec extends AnyFunSuite {
       assert(dec64(b * spb64) == sig(b * spb64), s"align-64 block $b anchor")
   }
 
+  test("PCM breadth: stereo downmix, 8-bit expansion, 24-bit truncation") {
+    val sig = Array.tabulate(200)(i =>
+      (math.sin(i * 0.07) * 11000).toInt.toShort)
+    // identical channels: downmix == mono exactly
+    val (r1, d1) = AudioCodec.decodeWav(
+      AudioCodec.encodeWavStereo(48000, sig, sig))
+    assert(r1 == 48000 && d1.toSeq == sig.toSeq)
+    // distinct channels: (L + R) >> 1 floor semantics, incl. negatives
+    val left = Array[Short](100, -101, 32767, -32768)
+    val right = Array[Short](201, -100, 32767, -32768)
+    val d2 = AudioCodec.decodeWav(
+      AudioCodec.encodeWavStereo(8000, left, right))._2
+    assert(d2.toSeq == Seq[Short](150, -101, 32767, -32768),
+      s"downmix ${d2.toSeq}")
+    // 8-bit: exact on 256-multiples, quantized otherwise
+    val coarse = sig.map(s => ((s >> 8) << 8).toShort)
+    val d3 = AudioCodec.decodeWav(AudioCodec.encodeWav8(8000, coarse))._2
+    assert(d3.toSeq == coarse.toSeq)
+    // 24-bit: top-16 truncation recovers sig when encoded as s << 8
+    val d4 = AudioCodec.decodeWav(
+      AudioCodec.encodeWav24(96000, sig.map(_.toInt << 8)))._2
+    assert(d4.toSeq == sig.toSeq)
+    // negative 24-bit values sign-extend correctly
+    val d5 = AudioCodec.decodeWav(AudioCodec.encodeWav24(8000,
+      Array(-(1 << 23), (1 << 23) - 1, -256, 255)))._2
+    assert(d5.toSeq == Seq[Short](-32768, 32767, -1, 0))
+  }
+
   test("fail-loud shapes: bad tags, bit depths, corrupt ADPCM headers") {
     val sig = Array.tabulate(64)(i => (i * 100).toShort)
     val pcm = AudioCodec.encodeWav(8000, sig)
