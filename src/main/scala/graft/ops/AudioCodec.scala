@@ -373,9 +373,20 @@ object AudioCodec {
         blockAlign = u16(b, p + 20)
         bits = u16(b, p + 22)
         tag match {
-          case 1 => require(bits == 8 || bits == 16 || bits == 24,
-            s"only 8/16/24-bit PCM supported, got $bits")
-          case 6 | 7 => require(bits == 8, s"G.711 requires 8 bits, got $bits")
+          case 1 =>
+            require(bits == 8 || bits == 16 || bits == 24,
+              s"only 8/16/24-bit PCM supported, got $bits")
+            // a claimed layout whose frame size disagrees with the
+            // stored block align would silently re-slice the data —
+            // fail loudly instead (the fail-loud contract's guard
+            // against crafted channel/depth flips)
+            require(blockAlign == channels * (bits / 8),
+              s"block align $blockAlign inconsistent with $channels × " +
+                s"$bits-bit frames")
+          case 6 | 7 =>
+            require(bits == 8, s"G.711 requires 8 bits, got $bits")
+            require(blockAlign == 1,
+              s"block align $blockAlign inconsistent with G.711 frames")
           case _ =>
             require(bits == 4, s"IMA ADPCM requires 4 bits, got $bits")
             require(len >= 20, "IMA ADPCM fmt missing samplesPerBlock")

@@ -380,12 +380,27 @@ object ImageCodec {
   // so the text-derived oracles replay features hash-exactly (same
   // pattern as BMP/PPM/PNG).  GIF has no checksums — corruption safety is
   // structural only (magic, bounds, sub-block walk); the PNG tier is the
-  // checksummed one.  Interlace and local color tables fail loudly.
+  // checksummed one.  Interlace (four-pass row order, r17) and local
+  // color tables (per-image override of the global, r17) are supported;
+  // sub-8-bit palettes fail loudly.
+
+  /** GIF interlace row order (spec: four passes — every 8th row from 0,
+    * every 8th from 4, every 4th from 2, every 2nd from 1). */
+  private def gifRowOrder(h: Int): Array[Int] =
+    (Seq((0, 8), (4, 8), (2, 4), (1, 2)).flatMap { case (start, step) =>
+      start until h by step
+    }).toArray
 
   /** 8-bit grayscale GIF87a: pixel (x, y) = palette index v(x, y) where
     * the global table maps i → (i, i, i).  Real LZW compression (string
-    * table, not literal-only), so decode exercises dictionary hits. */
-  def encodeGif(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    * table, not literal-only), so decode exercises dictionary hits.
+    * `interlace` stores rows in the spec's four-pass order;
+    * `localTable` attaches a per-image color table (identity gray) and
+    * INVERTS the global one — so a decoder that ignores the local table
+    * produces provably wrong pixels, not silently right ones. */
+  def encodeGif(w: Int, h: Int, gray: (Int, Int) => Int,
+      interlace: Boolean = false, localTable: Boolean = false)
+      : Array[Byte] = {
     require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "bad dims")
     val out = new java.io.ByteArrayOutputStream
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
@@ -393,10 +408,16 @@ object ImageCodec {
     u16(w); u16(h)
     out.write(0xf7) // global table, 8-bit color resolution, 256 entries
     out.write(0); out.write(0) // background, aspect
-    for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
+    for (i <- 0 until 256) {
+      val v = if (localTable) 255 - i else i // adversarial global
+      out.write(v); out.write(v); out.write(v)
+    }
     out.write(0x2c) // image descriptor
     u16(0); u16(0); u16(w); u16(h)
-    out.write(0) // no local table, no interlace
+    out.write((if (localTable) 0x87 else 0) |
+      (if (interlace) 0x40 else 0)) // local table (256), interlace flags
+    if (localTable)
+      for (i <- 0 until 256) { out.write(i); out.write(i); out.write(i) }
     out.write(8) // LZW minimum code size
     // LZW: dictionary of pixel strings; codes 0..255 literals, 256 clear,
     // 257 EOI; width grows when the NEXT code would not fit; at 4096 we
@@ -416,7 +437,8 @@ object ImageCodec {
     def resetDict(): Unit = { dict.clear(); nextCode = 258; width = 9 }
     put(256) // initial clear
     var prefix = -1
-    for (y <- 0 until h; x <- 0 until w) {
+    val rows = if (interlace) gifRowOrder(h) else Array.range(0, h)
+    for (y <- rows; x <- 0 until w) {
       val px = gray(x, y) & 0xff
       if (prefix < 0) prefix = px
       else {
@@ -473,8 +495,7 @@ object ImageCodec {
         }
         p += 3 * n
         pal
-      } else throw new IllegalArgumentException(
-        "GIF without a global color table unsupported")
+      } else Array.emptyIntArray // legal when a local table follows
     // walk blocks to the first image descriptor (skip 89a extensions)
     while (p < b.length && (b(p) & 0xff) == 0x21) {
       p += 2 // extension introducer + label
@@ -489,15 +510,31 @@ object ImageCodec {
     val w = u16(p + 5); val h = u16(p + 7)
     require(w > 0 && h > 0, s"bad GIF dims ${w}x$h")
     val ipacked = b(p + 9) & 0xff
-    require((ipacked & 0x80) == 0, "GIF local color table unsupported")
-    require((ipacked & 0x40) == 0, "interlaced GIF unsupported")
+    val interlaced = (ipacked & 0x40) != 0
     p += 10
+    // a local color table overrides the global for this image (spec
+    // §20); its size comes from the descriptor's low bits
+    val activePalette: Array[Int] =
+      if ((ipacked & 0x80) != 0) {
+        val n = 1 << ((ipacked & 7) + 1)
+        require(b.length >= p + 3 * n, "truncated GIF local color table")
+        val pal = Array.tabulate(n) { i =>
+          (b(p + 3 * i) & 0xff) + (b(p + 3 * i + 1) & 0xff) +
+            (b(p + 3 * i + 2) & 0xff)
+        }
+        p += 3 * n
+        pal
+      } else {
+        require(palette.nonEmpty,
+          "GIF with neither global nor local color table")
+        palette
+      }
     val minCode = b(p) & 0xff; p += 1
     require(minCode == 8, s"only 8-bit GIF palettes supported, got $minCode")
     // 8-bit codes address 256 palette slots — a shorter declared table
     // would make a legal literal index out of bounds
-    require(palette.length >= 256,
-      s"GIF color table too small (${palette.length}) for 8-bit codes")
+    require(activePalette.length >= 256,
+      s"GIF color table too small (${activePalette.length}) for 8-bit codes")
     // concatenate LZW sub-blocks
     val z = new java.io.ByteArrayOutputStream
     while (p < b.length && (b(p) & 0xff) != 0) {
@@ -565,7 +602,17 @@ object ImageCodec {
       }
     }
     require(nPx == w * h, s"GIF pixel data short: $nPx of ${w * h}")
-    Raster(w, h, px.map(palette))
+    val ordered =
+      if (!interlaced) px
+      else {
+        // stored row r is actual row gifRowOrder(h)(r): scatter back
+        val o = new Array[Int](w * h)
+        val order = gifRowOrder(h)
+        for (r <- 0 until h)
+          System.arraycopy(px, r * w, o, order(r) * w, w)
+        o
+      }
+    Raster(w, h, ordered.map(activePalette))
   }
 
   // ---- decoder -----------------------------------------------------------

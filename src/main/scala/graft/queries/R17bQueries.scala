@@ -178,6 +178,29 @@ object R17bQueries {
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
     }),
 
+    // INTERLACED GIF (four-pass row order) with per-image LOCAL color
+    // tables by doc parity — the local-table docs carry an INVERTED
+    // global table, so a decoder ignoring the override produces wrong
+    // pixels, not silently right ones; lossless ⇒ hash-exact replay
+    "mm_gif_interlaced" -> ((s, dir) => {
+      val toImg = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        ImageCodec.encodeGif(8, 8,
+          (x, y) => src((y * 8 + x) % src.length) & 0xff,
+          interlace = true, localTable = id % 2 == 0)
+      })
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toImg(col("doc_id"), col("text")))
+      MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+        ImageCodec.kernel(4, 4)).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
     // TIFF 6.0 (the scanner/scientific interchange container): one
     // corpus sweep cycles compression (none / LZW / PackBits) by
     // doc_id mod 3 — LZW docs alternate the horizontal-differencing
@@ -266,6 +289,11 @@ object R17bQueries {
       """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
         |  true AS prog_color_equals_seq
         |FROM documents""".stripMargin,
+
+    "mm_gif_interlaced" ->
+      s"""WITH ${R16bQueries.RealFeatSql}
+         |SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height, j, feat
+         |FROM rf""".stripMargin,
 
     "mm_png_interlaced" ->
       s"""WITH ${R16bQueries.RealFeatSql}

@@ -13,6 +13,32 @@ class R16GifSpec extends AnyFunSuite {
   private def gray(v: (Int, Int) => Int): (Int, Int) => (Int, Int, Int) =
     (x, y) => { val g = v(x, y); (g, g, g) }
 
+  test("interlaced GIF de-interlaces to the sequential decode") {
+    val f = (x: Int, y: Int) => (x * 37 + y * 91 + 13) % 256
+    // heights hitting every pass-boundary shape: 1 (pass 1 only), 2, 5,
+    // 8, 13
+    for (h <- Seq(1, 2, 5, 8, 13)) {
+      val seq = ImageCodec.decode(ImageCodec.encodeGif(9, h, f))
+      val il = ImageCodec.decode(ImageCodec.encodeGif(9, h, f,
+        interlace = true))
+      assert(il.lumaSum3.toSeq == seq.lumaSum3.toSeq, s"h=$h")
+    }
+  }
+
+  test("local color table overrides an adversarially inverted global") {
+    val f = (x: Int, y: Int) => (x * 29 + y * 53 + 7) % 256
+    val ref = ImageCodec.decode(ImageCodec.encodeGif(8, 8, f))
+    // localTable=true inverts the GLOBAL table — correct decode must
+    // read the local one
+    val viaLocal = ImageCodec.decode(ImageCodec.encodeGif(8, 8, f,
+      localTable = true))
+    assert(viaLocal.lumaSum3.toSeq == ref.lumaSum3.toSeq)
+    // both flags compose
+    val both = ImageCodec.decode(ImageCodec.encodeGif(8, 8, f,
+      interlace = true, localTable = true))
+    assert(both.lumaSum3.toSeq == ref.lumaSum3.toSeq)
+  }
+
   test("round-trips vs BMP for mixed content") {
     val f = (x: Int, y: Int) => (x * 37 + y * 91 + 13) % 256
     val a = ImageCodec.decode(ImageCodec.encodeGif(9, 7, f))

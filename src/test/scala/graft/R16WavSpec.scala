@@ -41,10 +41,17 @@ class R16WavSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       AudioCodec.decodeWav("OggS....".getBytes("US-ASCII") ++
         new Array[Byte](40)) }
+    // stereo and 8-bit are SUPPORTED shapes since r17 — but a crafted
+    // flip of just the channel/depth field leaves the block align
+    // inconsistent with the claimed frame size, and re-slicing the data
+    // under the new layout would be a silent misread: the consistency
+    // check must reject both
     val stereo = ok.clone(); stereo(22) = 2
-    intercept[IllegalArgumentException] { AudioCodec.decodeWav(stereo) }
+    assert(intercept[IllegalArgumentException] {
+      AudioCodec.decodeWav(stereo) }.getMessage.contains("block align"))
     val eightBit = ok.clone(); eightBit(34) = 8
-    intercept[IllegalArgumentException] { AudioCodec.decodeWav(eightBit) }
+    assert(intercept[IllegalArgumentException] {
+      AudioCodec.decodeWav(eightBit) }.getMessage.contains("block align"))
     val floatFmt = ok.clone(); floatFmt(20) = 3 // IEEE float tag
     intercept[IllegalArgumentException] { AudioCodec.decodeWav(floatFmt) }
     intercept[IllegalArgumentException] {       // truncated data chunk

@@ -41,9 +41,12 @@ object XPlanBank {
     "sketch_hdr_hist_by_lang", "mm_jpeg_color_decode", "mm_jpeg420_decode",
     "mm_jpeg_prog_decode", "mm_jpeg_sa_decode",
     // r17b additions: the remaining sampling geometries, progressive
-    // color, and the lossy audio tier (G.711 + IMA ADPCM)
+    // color, the lossy audio tier (G.711 + IMA ADPCM), and the new
+    // containers (TIFF, FLAC, Adam7 PNG, PCM breadth)
     "mm_jpeg422_decode", "mm_jpeg411_decode", "mm_jpeg_prog_color_decode",
-    "mm_wav_ulaw", "mm_wav_alaw", "mm_wav_adpcm")
+    "mm_wav_ulaw", "mm_wav_alaw", "mm_wav_adpcm",
+    "mm_tiff_decode", "mm_flac_decode", "mm_png_interlaced",
+    "mm_wav_formats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
