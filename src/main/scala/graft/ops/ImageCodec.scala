@@ -652,29 +652,177 @@ object ImageCodec {
     val dibSize = i32(b, 14)
     require(dibSize >= 40, s"BMP core-header (size $dibSize) unsupported")
     val w = i32(b, 18)
-    val h = i32(b, 22)
-    require(w > 0, s"bad BMP width $w")
-    require(h > 0, s"top-down BMP (height $h) unsupported")
+    val hRaw = i32(b, 22)
+    // negative height = TOP-DOWN row order (the spec's convention)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    require(w > 0 && h > 0, s"bad BMP dims ${w}x$hRaw")
     require(i16(b, 26) == 1, "BMP planes must be 1")
     val bpp = i16(b, 28)
-    require(bpp == 24, s"only 24-bit BMP supported, got $bpp")
-    require(i32(b, 30) == 0, "compressed BMP unsupported (BI_RGB only)")
-    val stride = (w * 3 + 3) / 4 * 4
-    require(b.length >= dataOff + stride * h, "truncated BMP pixel data")
+    require(bpp == 24 || bpp == 8,
+      s"only 24-bit and 8-bit-palette BMP supported, got $bpp")
+    val compression = i32(b, 30)
+    require(compression == 0 || (compression == 1 && bpp == 8),
+      s"unsupported BMP compression $compression (BI_RGB, or BI_RLE8" +
+        " with 8-bit)")
+    require(!(topDown && compression == 1),
+      "top-down RLE8 BMP is invalid (spec: RLE bitmaps are bottom-up)")
+    // 8-bit: palette follows the DIB header (biClrUsed entries, 0 ⇒ 256)
+    val palette: Array[Int] =
+      if (bpp == 8) {
+        val used = i32(b, 46) match { case 0 => 256; case n => n }
+        require(used > 0 && used <= 256, s"bad BMP palette size $used")
+        val palOff = 14 + dibSize
+        require(b.length >= palOff + 4 * used, "truncated BMP palette")
+        Array.tabulate(used)(i => // BGRA quads
+          (b(palOff + 4 * i) & 0xff) + (b(palOff + 4 * i + 1) & 0xff) +
+            (b(palOff + 4 * i + 2) & 0xff))
+      } else null
+    // file row r → image row (top-down: r; bottom-up: h-1-r)
+    def imageRow(r: Int): Int = if (topDown) r else h - 1 - r
     val sums = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      val rowOff = dataOff + (h - 1 - y) * stride
-      var x = 0
-      while (x < w) {
-        val p = rowOff + x * 3
-        sums(y * w + x) =
-          (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
-        x += 1
+    if (bpp == 24) {
+      val stride = (w * 3 + 3) / 4 * 4
+      require(b.length >= dataOff + stride.toLong * h,
+        "truncated BMP pixel data")
+      for (r <- 0 until h) {
+        val rowOff = dataOff + r * stride
+        val y = imageRow(r)
+        var x = 0
+        while (x < w) {
+          val p = rowOff + x * 3
+          sums(y * w + x) =
+            (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+          x += 1
+        }
       }
-      y += 1
+    } else if (compression == 0) { // uncompressed 8-bit palette
+      val stride = (w + 3) / 4 * 4
+      require(b.length >= dataOff + stride.toLong * h,
+        "truncated BMP pixel data")
+      for (r <- 0 until h) {
+        val rowOff = dataOff + r * stride
+        val y = imageRow(r)
+        var x = 0
+        while (x < w) {
+          val idx = b(rowOff + x) & 0xff
+          require(idx < palette.length, s"BMP palette index $idx out of" +
+            s" range (${palette.length})")
+          sums(y * w + x) = palette(idx)
+          x += 1
+        }
+      }
+    } else { // BI_RLE8 (spec: encoded runs, absolute mode, EOL/EOB/delta)
+      var p = dataOff
+      var fx = 0 // file-coordinate cursor (bottom-up rows)
+      var fy = 0
+      var eob = false
+      def setPx(): Int => Unit = idx => {
+        require(fx < w && fy < h, s"RLE8 cursor out of bounds ($fx,$fy)")
+        require(idx < palette.length, s"BMP palette index $idx out of" +
+          s" range (${palette.length})")
+        sums((h - 1 - fy) * w + fx) = palette(idx)
+        fx += 1
+      }
+      val put = setPx()
+      while (!eob) {
+        require(p + 1 < b.length, "truncated BMP RLE8 stream")
+        val n = b(p) & 0xff
+        val v = b(p + 1) & 0xff
+        p += 2
+        if (n > 0) { // encoded mode: n pixels of index v
+          var i = 0
+          while (i < n) { put(v); i += 1 }
+        } else v match {
+          case 0 => fx = 0; fy += 1 // end of line
+          case 1 => eob = true      // end of bitmap
+          case 2 =>                  // delta: skipped pixels stay 0
+            require(p + 1 < b.length, "truncated BMP RLE8 delta")
+            fx += b(p) & 0xff
+            fy += b(p + 1) & 0xff
+            p += 2
+          case cnt =>               // absolute mode: cnt literal indices
+            require(p + cnt <= b.length, "truncated BMP RLE8 literals")
+            var i = 0
+            while (i < cnt) { put(b(p + i) & 0xff); i += 1 }
+            p += cnt + (cnt & 1)    // word-aligned
+        }
+      }
     }
     Raster(w, h, sums)
+  }
+
+  /** 8-bit palette BMP (grayscale identity palette): `topDown` writes
+    * the spec's negative-height row order; `rle` compresses with
+    * BI_RLE8 (encoded runs + absolute mode + EOL/EOB markers —
+    * bottom-up only, per spec). */
+  def encodeBmp8(w: Int, h: Int, gray: (Int, Int) => Int,
+      topDown: Boolean = false, rle: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0, "bad dims")
+    require(!(topDown && rle), "RLE8 BMP must be bottom-up (spec)")
+    val pixels = new java.io.ByteArrayOutputStream
+    if (rle) {
+      for (fy <- 0 until h) {
+        val y = h - 1 - fy // bottom-up file rows
+        var x = 0
+        while (x < w) {
+          val v = gray(x, y) & 0xff
+          var run = 1
+          while (x + run < w && run < 255 &&
+            (gray(x + run, y) & 0xff) == v) run += 1
+          if (run >= 2) {
+            pixels.write(run); pixels.write(v)
+            x += run
+          } else {
+            // literal stretch until a run of ≥ 3 or 255 pixels;
+            // absolute mode needs ≥ 3 literals, else encoded singles
+            var j = x + 1
+            var stop = false
+            while (j < w && j - x < 255 && !stop) {
+              if (j + 2 < w && (gray(j, y) & 0xff) == (gray(j + 1, y) & 0xff)
+                && (gray(j, y) & 0xff) == (gray(j + 2, y) & 0xff)) stop = true
+              else j += 1
+            }
+            val cnt = j - x
+            if (cnt >= 3) {
+              pixels.write(0); pixels.write(cnt)
+              for (i <- 0 until cnt) pixels.write(gray(x + i, y) & 0xff)
+              if ((cnt & 1) == 1) pixels.write(0) // word align
+              x = j
+            } else {
+              for (i <- 0 until cnt) {
+                pixels.write(1); pixels.write(gray(x + i, y) & 0xff)
+              }
+              x = j
+            }
+          }
+        }
+        pixels.write(0); pixels.write(0) // end of line
+      }
+      pixels.write(0); pixels.write(1) // end of bitmap
+    } else {
+      val stride = (w + 3) / 4 * 4
+      for (fy <- 0 until h) {
+        val y = if (topDown) fy else h - 1 - fy
+        for (x <- 0 until w) pixels.write(gray(x, y) & 0xff)
+        for (_ <- w until stride) pixels.write(0)
+      }
+    }
+    val data = pixels.toByteArray
+    val dataOff = 54 + 4 * 256
+    val out = java.nio.ByteBuffer.allocate(dataOff + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(dataOff + data.length).putInt(0).putInt(dataOff)
+    out.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+    out.putShort(1).putShort(8)
+    out.putInt(if (rle) 1 else 0).putInt(data.length)
+    out.putInt(2835).putInt(2835).putInt(256).putInt(0)
+    for (i <- 0 until 256) { // BGRA grayscale identity palette
+      out.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte)
+    }
+    out.put(data)
+    out.array()
   }
 
   private def decodePpm(b: Array[Byte]): Raster = {

@@ -178,6 +178,32 @@ object R17bQueries {
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
     }),
 
+    // BMP real-world shapes (r17): 8-bit palette (bottom-up),
+    // TOP-DOWN (negative height), and BI_RLE8 compression (encoded
+    // runs + absolute mode + EOL/EOB) cycling by doc — lossless ⇒ the
+    // same hash-exact replay as the 24-bit sweep
+    "mm_bmp_shapes" -> ((s, dir) => {
+      val toImg = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        val g = (x: Int, y: Int) => src((y * 8 + x) % src.length) & 0xff
+        (id % 3) match {
+          case 0 => ImageCodec.encodeBmp8(8, 8, g)
+          case 1 => ImageCodec.encodeBmp8(8, 8, g, topDown = true)
+          case _ => ImageCodec.encodeBmp8(8, 8, g, rle = true)
+        }
+      })
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toImg(col("doc_id"), col("text")))
+      MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+        ImageCodec.kernel(4, 4)).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
     // INTERLACED GIF (four-pass row order) with per-image LOCAL color
     // tables by doc parity — the local-table docs carry an INVERTED
     // global table, so a decoder ignoring the override produces wrong
@@ -289,6 +315,11 @@ object R17bQueries {
       """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
         |  true AS prog_color_equals_seq
         |FROM documents""".stripMargin,
+
+    "mm_bmp_shapes" ->
+      s"""WITH ${R16bQueries.RealFeatSql}
+         |SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height, j, feat
+         |FROM rf""".stripMargin,
 
     "mm_gif_interlaced" ->
       s"""WITH ${R16bQueries.RealFeatSql}

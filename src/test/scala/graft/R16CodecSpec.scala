@@ -32,6 +32,37 @@ class R16CodecSpec extends AnyFunSuite {
     assert(r.lumaSum3.toSeq == Seq(255, 255, 255, 765))
   }
 
+  test("BMP r17 shapes: 8-bit palette, top-down, RLE8 round-trip") {
+    val g = (x: Int, y: Int) => (x * 29 + y * 53 + 7) % 256
+    val ref = ImageCodec.decode(
+      ImageCodec.encodeBmp(9, 7, (x, y) => (g(x, y), g(x, y), g(x, y))))
+    // 8-bit palette, bottom-up
+    val p8 = ImageCodec.decode(ImageCodec.encodeBmp8(9, 7, g))
+    assert(p8.lumaSum3.toSeq == ref.lumaSum3.toSeq)
+    // top-down (negative height) — both 8-bit and crafted content agree
+    val td = ImageCodec.decode(ImageCodec.encodeBmp8(9, 7, g,
+      topDown = true))
+    assert(td.lumaSum3.toSeq == ref.lumaSum3.toSeq)
+    // RLE8 on runny content compresses and round-trips
+    val runny = (x: Int, y: Int) => if (x < 20) 7 else (x + y) % 256
+    val refR = ImageCodec.decode(ImageCodec.encodeBmp(40, 12,
+      (x, y) => (runny(x, y), runny(x, y), runny(x, y))))
+    val rleBytes = ImageCodec.encodeBmp8(40, 12, runny, rle = true)
+    val plainBytes = ImageCodec.encodeBmp8(40, 12, runny)
+    assert(rleBytes.length < plainBytes.length, "RLE8 should compress runs")
+    assert(ImageCodec.decode(rleBytes).lumaSum3.toSeq ==
+      refR.lumaSum3.toSeq)
+    // mixed content (forces absolute mode + encoded singles)
+    val noisy = (x: Int, y: Int) => (x * 37 + y * 91 + 13) % 251
+    val refN = ImageCodec.decode(ImageCodec.encodeBmp(13, 5,
+      (x, y) => (noisy(x, y), noisy(x, y), noisy(x, y))))
+    assert(ImageCodec.decode(ImageCodec.encodeBmp8(13, 5, noisy,
+      rle = true)).lumaSum3.toSeq == refN.lumaSum3.toSeq)
+    // top-down RLE8 is invalid by spec — encoder and decoder both refuse
+    intercept[IllegalArgumentException] {
+      ImageCodec.encodeBmp8(4, 4, g, topDown = true, rle = true) }
+  }
+
   test("PPM: header with comments parses; triplets decode top-down") {
     val base = ImageCodec.encodePpm(2, 1, {
       case (0, _) => (10, 20, 30)
@@ -52,14 +83,17 @@ class R16CodecSpec extends AnyFunSuite {
       ImageCodec.decode("GIF89a".getBytes("US-ASCII")) }
     intercept[IllegalArgumentException] {       // truncated pixel data
       ImageCodec.decode(ok.dropRight(4)) }
+    // an 8-bit claim on a paletteless 24-bit file: the (supported since
+    // r17) palette path still fails loudly on the missing table
     val bpp8 = ok.clone(); bpp8(28) = 8
     intercept[IllegalArgumentException] { ImageCodec.decode(bpp8) }
+    // RLE8 is 8-bit-only: claiming it on 24-bit data fails by name
     val rle = ok.clone(); rle(30) = 1           // BI_RLE8
-    intercept[IllegalArgumentException] { ImageCodec.decode(rle) }
-    val topDown = ok.clone()                    // height = -2 (top-down)
-    topDown(22) = 0xfe.toByte; topDown(23) = 0xff.toByte
-    topDown(24) = 0xff.toByte; topDown(25) = 0xff.toByte
-    intercept[IllegalArgumentException] { ImageCodec.decode(topDown) }
+    assert(intercept[IllegalArgumentException] {
+      ImageCodec.decode(rle) }.getMessage.contains("compression"))
+    // 16-bit bpp stays rejected
+    val bpp16 = ok.clone(); bpp16(28) = 16
+    intercept[IllegalArgumentException] { ImageCodec.decode(bpp16) }
     intercept[IllegalArgumentException] {       // 16-bit PPM
       ImageCodec.decode(("P6\n1 1\n65535\n" + "\u0000" * 6)
         .getBytes("ISO-8859-1")) }
