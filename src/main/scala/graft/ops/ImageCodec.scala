@@ -623,8 +623,9 @@ object ImageCodec {
   def decode(bytes: Array[Byte]): Raster = {
     require(bytes.length >= 2, "truncated image")
     if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) decodeBmp(bytes)
-    else if (bytes(0) == 'P'.toByte && bytes(1) == '6'.toByte)
-      decodePpm(bytes)
+    else if (bytes(0) == 'P'.toByte && bytes(1) >= '2'.toByte &&
+        bytes(1) <= '6'.toByte)
+      decodePpm(bytes) // Netpbm family: P2/P3/P5/P6 (P4 rejected inside)
     else if (bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte)
       decodePng(bytes)
     else if (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte)
@@ -826,8 +827,15 @@ object ImageCodec {
   }
 
   private def decodePpm(b: Array[Byte]): Raster = {
-    // header grammar: "P6", then whitespace-separated w, h, maxval with
-    // '#' comments, then ONE whitespace byte before the binary triplets
+    // Netpbm family (r17 widens beyond P6): header grammar is "P" +
+    // format digit, then whitespace-separated w, h, maxval with '#'
+    // comments; P5/P6 follow with ONE whitespace byte then binary
+    // samples, P2/P3 with whitespace-separated ASCII decimal samples
+    val fmt = b(1).toChar
+    require(fmt == '2' || fmt == '3' || fmt == '5' || fmt == '6',
+      s"unsupported Netpbm format P$fmt (P2/P3/P5/P6 only)")
+    val gray = fmt == '2' || fmt == '5'
+    val ascii = fmt == '2' || fmt == '3'
     var p = 2
     def skipWs(): Unit = {
       var go = true
@@ -842,22 +850,76 @@ object ImageCodec {
       skipWs()
       val s = p
       while (p < b.length && (b(p) >= '0' && b(p) <= '9')) p += 1
-      require(p > s, "bad PPM header integer")
+      require(p > s, "bad Netpbm integer")
       new String(b, s, p - s, "US-ASCII").toInt
     }
     val w = int(); val h = int(); val maxv = int()
-    require(w > 0 && h > 0, s"bad PPM dims ${w}x$h")
-    require(maxv == 255, s"only maxval 255 PPM supported, got $maxv")
-    p += 1 // the single whitespace after maxval
-    require(b.length >= p + w * h * 3, "truncated PPM pixel data")
+    require(w > 0 && h > 0, s"bad Netpbm dims ${w}x$h")
+    require(maxv == 255, s"only maxval 255 Netpbm supported, got $maxv")
+    val spp = if (gray) 1 else 3
     val sums = new Array[Int](w * h)
-    var i = 0
-    while (i < w * h) {
-      sums(i) = (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
-      p += 3
-      i += 1
+    if (ascii) {
+      var i = 0
+      while (i < w * h) {
+        var s = 0
+        var c = 0
+        while (c < spp) {
+          val v = int()
+          require(v <= 255, s"Netpbm sample $v exceeds maxval")
+          s += v
+          c += 1
+        }
+        sums(i) = if (gray) 3 * s else s
+        i += 1
+      }
+    } else {
+      p += 1 // the single whitespace after maxval
+      require(b.length >= p + w * h * spp, "truncated Netpbm pixel data")
+      var i = 0
+      while (i < w * h) {
+        if (gray) { sums(i) = 3 * (b(p) & 0xff); p += 1 }
+        else {
+          sums(i) = (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
+          p += 3
+        }
+        i += 1
+      }
     }
     Raster(w, h, sums)
+  }
+
+  /** Binary PGM (P5), grayscale single-byte samples. */
+  def encodePgm(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, "bad dims")
+    val header = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var p = header.length
+    for (y <- 0 until h; x <- 0 until w) {
+      out(p) = (gray(x, y) & 0xff).toByte
+      p += 1
+    }
+    out
+  }
+
+  /** ASCII Netpbm (P2 gray / P3 RGB), decimal samples with line
+    * wrapping — the human-readable interchange shape. */
+  def encodePnmAscii(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      gray: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0, "bad dims")
+    val sb = new StringBuilder
+    sb.append(if (gray) "P2" else "P3").append('\n')
+      .append(w).append(' ').append(h).append("\n255\n")
+    for (y <- 0 until h) {
+      for (x <- 0 until w) {
+        val (r, g, b) = rgb(x, y)
+        if (gray) sb.append(r)
+        else sb.append(r).append(' ').append(g).append(' ').append(b)
+        if (x < w - 1) sb.append(' ')
+      }
+      sb.append('\n')
+    }
+    sb.toString.getBytes("US-ASCII")
   }
 
   // ---- the real DecodeKernel ----------------------------------------------

@@ -178,6 +178,32 @@ object R17bQueries {
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
     }),
 
+    // Netpbm family breadth (r17): binary PGM (P5), ASCII PGM (P2),
+    // ASCII PPM (P3) cycling by doc — trivially lossless, hash-exact
+    "mm_pnm_formats" -> ((s, dir) => {
+      val toImg = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        val g = (x: Int, y: Int) => src((y * 8 + x) % src.length) & 0xff
+        (id % 3) match {
+          case 0 => ImageCodec.encodePgm(8, 8, g)
+          case 1 => ImageCodec.encodePnmAscii(8, 8,
+            (x, y) => (g(x, y), g(x, y), g(x, y)), gray = true)
+          case _ => ImageCodec.encodePnmAscii(8, 8,
+            (x, y) => (g(x, y), g(x, y), g(x, y)), gray = false)
+        }
+      })
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toImg(col("doc_id"), col("text")))
+      MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+        ImageCodec.kernel(4, 4)).toDF()
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
     // BMP real-world shapes (r17): 8-bit palette (bottom-up),
     // TOP-DOWN (negative height), and BI_RLE8 compression (encoded
     // runs + absolute mode + EOL/EOB) cycling by doc — lossless ⇒ the
@@ -315,6 +341,11 @@ object R17bQueries {
       """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
         |  true AS prog_color_equals_seq
         |FROM documents""".stripMargin,
+
+    "mm_pnm_formats" ->
+      s"""WITH ${R16bQueries.RealFeatSql}
+         |SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height, j, feat
+         |FROM rf""".stripMargin,
 
     "mm_bmp_shapes" ->
       s"""WITH ${R16bQueries.RealFeatSql}

@@ -63,6 +63,28 @@ class R16CodecSpec extends AnyFunSuite {
       ImageCodec.encodeBmp8(4, 4, g, topDown = true, rle = true) }
   }
 
+  test("Netpbm r17 variants: P5/P2/P3 agree with P6 for gray content") {
+    val g = (x: Int, y: Int) => (x * 29 + y * 53 + 7) % 256
+    val f = (x: Int, y: Int) => (g(x, y), g(x, y), g(x, y))
+    val ref = ImageCodec.decode(ImageCodec.encodePpm(9, 7, f))
+    val p5 = ImageCodec.decode(ImageCodec.encodePgm(9, 7, g))
+    assert(p5.lumaSum3.toSeq == ref.lumaSum3.toSeq, "P5")
+    val p2 = ImageCodec.decode(ImageCodec.encodePnmAscii(9, 7, f,
+      gray = true))
+    assert(p2.lumaSum3.toSeq == ref.lumaSum3.toSeq, "P2")
+    val p3 = ImageCodec.decode(ImageCodec.encodePnmAscii(9, 7, f,
+      gray = false))
+    assert(p3.lumaSum3.toSeq == ref.lumaSum3.toSeq, "P3")
+    // P4 (bitmap) stays rejected by name
+    val e = intercept[IllegalArgumentException] {
+      ImageCodec.decode("P4\n8 8\n".getBytes("US-ASCII") ++
+        new Array[Byte](8)) }
+    assert(e.getMessage.contains("P4"))
+    // ASCII sample above maxval fails loudly
+    intercept[IllegalArgumentException] {
+      ImageCodec.decode("P2\n1 1\n255\n300\n".getBytes("US-ASCII")) }
+  }
+
   test("PPM: header with comments parses; triplets decode top-down") {
     val base = ImageCodec.encodePpm(2, 1, {
       case (0, _) => (10, 20, 30)

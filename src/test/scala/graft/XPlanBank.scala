@@ -46,7 +46,8 @@ object XPlanBank {
     "mm_jpeg422_decode", "mm_jpeg411_decode", "mm_jpeg_prog_color_decode",
     "mm_wav_ulaw", "mm_wav_alaw", "mm_wav_adpcm",
     "mm_tiff_decode", "mm_flac_decode", "mm_png_interlaced",
-    "mm_wav_formats", "mm_gif_interlaced", "mm_bmp_shapes")
+    "mm_wav_formats", "mm_gif_interlaced", "mm_bmp_shapes",
+    "mm_pnm_formats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
