@@ -1,27 +1,31 @@
 package graft.ops
 
-/** Dependency-free FLAC codec for the FIXED-PREDICTOR subset, written
-  * from the public FLAC format specification (xiph.org): the fLaC
-  * magic + STREAMINFO metadata block (with the raw-PCM MD5 the decoder
-  * VERIFIES — the container's end-to-end integrity anchor), fixed-
-  * blocking frames with the 14-bit sync code, UTF-8-coded frame
-  * numbers, CRC-8 (poly 0x07) header checksums and CRC-16 (poly
-  * 0x8005) frame checksums, and per-channel subframes: CONSTANT,
-  * VERBATIM, and FIXED predictors of order 0–4 with Rice-coded
-  * residuals (zigzag fold, unary quotient of 0-bits + terminating 1,
-  * 4-bit parameters with the 0b1111 raw-width escape, 2^p partitions).
+/** Dependency-free FLAC codec, written from the public FLAC format
+  * specification (xiph.org): the fLaC magic + STREAMINFO metadata
+  * block (with the raw-PCM MD5 the decoder VERIFIES — the container's
+  * end-to-end integrity anchor), fixed-blocking frames with the 14-bit
+  * sync code, UTF-8-coded frame numbers, CRC-8 (poly 0x07) header
+  * checksums and CRC-16 (poly 0x8005) frame checksums, and per-channel
+  * subframes: CONSTANT, VERBATIM, FIXED predictors of order 0–4, and
+  * LPC of order 1–32 (Levinson-Durbin analysis + 12-bit QLP
+  * quantization on the encode side; general precision/shift/
+  * coefficient decode — the subframe kind real FLAC files mostly use),
+  * all with Rice-coded residuals (zigzag fold, unary quotient of
+  * 0-bits + terminating 1, 4-bit parameters with the 0b1111 raw-width
+  * escape, 2^p partitions).
   *
   * This is the LOSSLESS compressed audio container — the audio analog
-  * of the PNG tier: decode(encode(x)) == x bit-for-bit, so the oracle
-  * queries replay features hash-exactly from the text that generated
-  * the samples.  Scope: mono, 16-bit (the corpus fixture shape);
-  * LPC subframes, stereo decorrelation, and wasted bits are rejected
-  * BY NAME — a decoder silently misreading entropy-coded residuals
-  * would poison every downstream fingerprint.  No external FLAC
-  * implementation exists in this container, so the conformance anchors
-  * are the published artifacts themselves: the CRC polynomials, the
-  * zigzag/Rice/UTF-8 codings, the fixed-predictor recurrences, and the
-  * MD5 of the raw channel data.
+  * of the PNG tier: decode(encode(x)) == x bit-for-bit REGARDLESS of
+  * predictor quality (the decoder replays the exact integer
+  * prediction), so the oracle queries replay features hash-exactly
+  * from the text that generated the samples.  Scope: mono, 16-bit (the
+  * corpus fixture shape); stereo decorrelation, wasted bits, and
+  * negative LPC shifts are rejected BY NAME — a decoder silently
+  * misreading entropy-coded residuals would poison every downstream
+  * fingerprint.  No external FLAC implementation exists in this
+  * container, so the conformance anchors are the published artifacts
+  * themselves: the CRC polynomials, the zigzag/Rice/UTF-8 codings, the
+  * predictor recurrences, and the MD5 of the raw channel data.
   */
 object FlacCodec {
 
@@ -137,6 +141,75 @@ object FlacCodec {
       case _ => r + 4 * x(i - 1) - 6 * x(i - 2) + 4 * x(i - 3) - x(i - 4)
     }
 
+  // ---- LPC analysis (Levinson-Durbin over the autocorrelation —
+  //      the classic textbook recursion; any coefficient set is
+  //      LOSSLESS here because the decoder replays the exact integer
+  //      prediction, so analysis quality only affects size) ----------------
+
+  /** Real-valued LPC coefficients a(0..order−1) predicting
+    * x[i] ≈ Σ a(j)·x[i−1−j]. */
+  private def levinsonDurbin(x: Array[Int], order: Int): Array[Double] = {
+    val n = x.length
+    val r = new Array[Double](order + 1)
+    for (lag <- 0 to order) {
+      var s = 0.0
+      var i = lag
+      while (i < n) { s += x(i).toDouble * x(i - lag); i += 1 }
+      r(lag) = s
+    }
+    val a = new Array[Double](order)
+    var err = r(0)
+    if (err <= 0) return a // silent block: all-zero predictor
+    for (m <- 0 until order) {
+      var acc = r(m + 1)
+      for (j <- 0 until m) acc -= a(j) * r(m - j)
+      val k = acc / err
+      a(m) = k
+      var j = 0
+      while (j < m / 2 + (m % 2)) { // reflect in place
+        val tmp = a(j)
+        a(j) = tmp - k * a(m - 1 - j)
+        if (j != m - 1 - j) a(m - 1 - j) = a(m - 1 - j) - k * tmp
+        j += 1
+      }
+      err *= 1 - k * k
+      if (err <= 0) return a
+    }
+    a
+  }
+
+  /** Quantize LPC coefficients to `precision`-bit integers with a
+    * common right-shift (the spec's QLP form): the LARGEST shift that
+    * keeps every coefficient in range, with error-feedback rounding
+    * (each coefficient's rounding error is carried into the next — the
+    * standard trick that keeps the quantized filter's response close
+    * to the ideal one).  Returns (coeffs, shift). */
+  private def quantizeLpc(a: Array[Double],
+      precision: Int): (Array[Int], Int) = {
+    val maxA = a.map(math.abs).foldLeft(1e-9)(math.max)
+    val lim = 1 << (precision - 1)
+    var shift = 0
+    while (shift < 15 && maxA * (1L << (shift + 1)) <= lim - 1) shift += 1
+    var errAcc = 0.0
+    val c = a.map { v =>
+      val ideal = v * (1L << shift) + errAcc
+      val q = math.max(-lim, math.min(lim - 1, math.round(ideal).toInt))
+      errAcc = ideal - q
+      q
+    }
+    (c, shift)
+  }
+
+  /** Integer LPC prediction for sample i (spec: truncated arithmetic —
+    * Long accumulator, arithmetic right shift). */
+  private def lpcPredict(x: Array[Int], i: Int, c: Array[Int],
+      shift: Int): Int = {
+    var s = 0L
+    var j = 0
+    while (j < c.length) { s += c(j).toLong * x(i - 1 - j); j += 1 }
+    (s >> shift).toInt
+  }
+
   private def zigzag(r: Int): Long = ((r.toLong << 1) ^ (r >> 31)) & 0xffffffffL
 
   private def unzigzag(u: Long): Int = (((u >>> 1) ^ -(u & 1)).toInt)
@@ -182,8 +255,13 @@ object FlacCodec {
     * encoder picks CONSTANT for flat blocks, otherwise the fixed order
     * 0–4 minimizing total |residual| (the classic estimator), with one
     * Rice partition and the parameter fit to the mean magnitude. */
+  /** `lpcOrder` > 0 encodes non-constant blocks as LPC subframes of
+    * that order (Levinson-Durbin analysis, 12-bit QLP quantization);
+    * 0 keeps the fixed-predictor policy.  Either way the stream is
+    * lossless — the decoder replays the exact integer prediction. */
   def encode(sampleRate: Int, samples: Array[Short],
-      blockSize: Int = 256): Array[Byte] = {
+      blockSize: Int = 256, lpcOrder: Int = 0): Array[Byte] = {
+    require(lpcOrder >= 0 && lpcOrder <= 32, s"bad LPC order $lpcOrder")
     require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
     require(samples.nonEmpty, "no samples")
     require(blockSize >= 16 && blockSize <= 65535, "bad block size")
@@ -233,11 +311,37 @@ object FlacCodec {
       bw.put((n - 1).toLong, 16)
       val headerBytes = bw.bytes // aligned: 5 header bytes + utf8 + 2
       val fw = new BitWriter
+      // residual coding shared by the FIXED and LPC paths: method 0
+      // (4-bit rice), partition order 0, parameter fit to the mean
+      def emitResidual(res: Array[Int]): Unit = {
+        fw.put(0, 2); fw.put(0, 4)
+        val mean = if (res.isEmpty) 0L
+        else res.map(r => zigzag(r)).sum / math.max(1, res.length)
+        var param = 0
+        while (param < 14 && (1L << (param + 1)) < mean + 1) param += 1
+        fw.put(param.toLong, 4)
+        res.foreach { r =>
+          val u = zigzag(r)
+          fw.putUnary((u >>> param).toInt)
+          if (param > 0) fw.put(u, param)
+        }
+      }
       // subframe
       val constant = x.forall(_ == x(0))
       if (constant) {
         fw.put(0, 1); fw.put(0, 6); fw.put(0, 1) // CONSTANT, no wasted
         fw.put(x(0).toLong & 0xffff, 16)
+      } else if (lpcOrder > 0 && n > lpcOrder) {
+        val order = lpcOrder
+        val precision = 15 // max legal (precM1 = 14; 15 is invalid)
+        val (c, shift) = quantizeLpc(levinsonDurbin(x, order), precision)
+        fw.put(0, 1); fw.put(32 + order - 1, 6); fw.put(0, 1) // LPC
+        for (j <- 0 until order) fw.put(x(j).toLong & 0xffff, 16)
+        fw.put((precision - 1).toLong, 4)
+        fw.put(shift.toLong, 5)
+        c.foreach(v => fw.put(v.toLong & ((1L << precision) - 1), precision))
+        emitResidual(Array.tabulate(n - order)(j =>
+          x(j + order) - lpcPredict(x, j + order, c, shift)))
       } else {
         // best fixed order by total |residual| (orders capped by n)
         val maxOrder = math.min(4, n - 1)
@@ -250,19 +354,8 @@ object FlacCodec {
         val order = costs.min._2
         fw.put(0, 1); fw.put(8 + order, 6); fw.put(0, 1) // FIXED
         for (j <- 0 until order) fw.put(x(j).toLong & 0xffff, 16)
-        // residual: method 0 (4-bit rice), partition order 0
-        fw.put(0, 2); fw.put(0, 4)
-        val res = Array.tabulate(n - order)(j => residual(x, j + order, order))
-        val mean = if (res.isEmpty) 0L
-        else res.map(r => zigzag(r)).sum / math.max(1, res.length)
-        var param = 0
-        while (param < 14 && (1L << (param + 1)) < mean + 1) param += 1
-        fw.put(param.toLong, 4)
-        res.foreach { r =>
-          val u = zigzag(r)
-          fw.putUnary((u >>> param).toInt)
-          if (param > 0) fw.put(u, param)
-        }
+        emitResidual(Array.tabulate(n - order)(j =>
+          residual(x, j + order, order)))
       }
       fw.align()
       val bodyBytes = fw.bytes
@@ -279,14 +372,14 @@ object FlacCodec {
   /** [[AudioCodec.wavFromBytes]]'s fixture signal in the FLAC
     * container. */
   def flacFromBytes(sampleRate: Int, nSamples: Int, src: Array[Byte],
-      blockSize: Int = 64): Array[Byte] = {
+      blockSize: Int = 64, lpcOrder: Int = 0): Array[Byte] = {
     require(src.nonEmpty, "empty source bytes")
     encode(sampleRate, Array.tabulate(nSamples) { i =>
       val v = src((i * 7 + 3) % src.length) & 0xff
       require(v <= 203, s"flacFromBytes: source byte $v overflows the " +
         "(v-76)*256 map")
       ((v - 76) * 256).toShort
-    }, blockSize)
+    }, blockSize, lpcOrder)
   }
 
   // ---- decoder -------------------------------------------------------------
@@ -377,16 +470,10 @@ object FlacCodec {
       val sfType = br.bits(6).toInt
       require(br.bits(1) == 0, "wasted-bits FLAC subframes unsupported")
       val x = new Array[Int](blockSize)
-      if (sfType == 0) { // CONSTANT
-        val v = (br.bits(16).toInt << 16) >> 16
-        java.util.Arrays.fill(x, v)
-      } else if (sfType == 1) { // VERBATIM
-        for (i <- 0 until blockSize)
-          x(i) = (br.bits(16).toInt << 16) >> 16
-      } else if (sfType >= 8 && sfType <= 12) { // FIXED order 0-4
-        val order = sfType - 8
-        require(order <= blockSize, "fixed order exceeds block")
-        for (i <- 0 until order) x(i) = (br.bits(16).toInt << 16) >> 16
+      // partitioned-Rice residual shared by FIXED and LPC: `predict`
+      // returns the prediction for sample i from the already-restored
+      // history
+      def decodeResidual(order: Int, predict: Int => Int): Unit = {
         val method = br.bits(2).toInt
         require(method == 0 || method == 1,
           s"reserved FLAC residual method $method")
@@ -406,8 +493,8 @@ object FlacCodec {
             val w = br.bits(5).toInt
             for (_ <- 0 until count) {
               val raw = br.bits(w)
-              x(i) = restore(x, i, order,
-                if (w == 0) 0 else ((raw << (64 - w)) >> (64 - w)).toInt)
+              x(i) = predict(i) +
+                (if (w == 0) 0 else ((raw << (64 - w)) >> (64 - w)).toInt)
               i += 1
             }
           } else {
@@ -415,15 +502,40 @@ object FlacCodec {
               val q = br.unary()
               val u = (q.toLong << param) |
                 (if (param > 0) br.bits(param) else 0L)
-              x(i) = restore(x, i, order, unzigzag(u))
+              x(i) = predict(i) + unzigzag(u)
               i += 1
             }
           }
         }
         require(i == blockSize, "residual count mismatch")
-      } else if (sfType >= 32) {
-        throw new IllegalArgumentException(
-          s"LPC FLAC subframes unsupported (fixed-predictor subset)")
+      }
+      if (sfType == 0) { // CONSTANT
+        val v = (br.bits(16).toInt << 16) >> 16
+        java.util.Arrays.fill(x, v)
+      } else if (sfType == 1) { // VERBATIM
+        for (i <- 0 until blockSize)
+          x(i) = (br.bits(16).toInt << 16) >> 16
+      } else if (sfType >= 8 && sfType <= 12) { // FIXED order 0-4
+        val order = sfType - 8
+        require(order <= blockSize, "fixed order exceeds block")
+        for (i <- 0 until order) x(i) = (br.bits(16).toInt << 16) >> 16
+        decodeResidual(order, i => restore(x, i, order, 0))
+      } else if (sfType >= 32) { // LPC, order 1-32
+        val order = sfType - 32 + 1
+        require(order <= blockSize, "LPC order exceeds block")
+        for (i <- 0 until order) x(i) = (br.bits(16).toInt << 16) >> 16
+        val precM1 = br.bits(4).toInt
+        require(precM1 != 15, "invalid LPC coefficient precision 15")
+        val precision = precM1 + 1
+        val shiftRaw = br.bits(5).toInt
+        // 5-bit signed: 16..31 are negative shifts — pathological, no
+        // real encoder writes them
+        require(shiftRaw < 16, "negative LPC shift unsupported")
+        val c = Array.tabulate(order) { _ =>
+          val v = br.bits(precision)
+          ((v << (64 - precision)) >> (64 - precision)).toInt
+        }
+        decodeResidual(order, i => lpcPredict(x, i, c, shiftRaw))
       } else {
         throw new IllegalArgumentException(
           s"reserved FLAC subframe type $sfType")

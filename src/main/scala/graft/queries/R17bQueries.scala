@@ -158,17 +158,20 @@ object R17bQueries {
           round(col("col"), 6).as("feat"))
     }),
 
-    // FLAC (fixed-predictor subset): the LOSSLESS compressed audio
-    // container — decode(encode(x)) == x bit-for-bit (MD5-anchored in
-    // STREAMINFO, CRC-8/CRC-16 per frame), so the oracle replays the
-    // envelope HASH-EXACTLY from the text, through real Rice-coded
-    // residuals and fixed predictors (blockSize 64 ⇒ 4 frames/doc);
-    // byte_len omitted — compressed size is content-dependent
+    // FLAC: the LOSSLESS compressed audio container —
+    // decode(encode(x)) == x bit-for-bit (MD5-anchored in STREAMINFO,
+    // CRC-8/CRC-16 per frame), so the oracle replays the envelope
+    // HASH-EXACTLY from the text, through real Rice-coded residuals;
+    // predictors cycle by doc parity — FIXED (order 0-4) on even ids,
+    // LPC order 8 (Levinson-Durbin + QLP, the real-world subframe
+    // kind) on odd — blockSize 64 ⇒ 4 frames/doc; byte_len omitted —
+    // compressed size is content-dependent
     "mm_flac_decode" -> ((s, dir) => {
-      val toFlac = udf((text: String) =>
-        FlacCodec.flacFromBytes(16000, 256, MultimodalOps.asciiBytes(text)))
+      val toFlac = udf((id: Long, text: String) =>
+        FlacCodec.flacFromBytes(16000, 256, MultimodalOps.asciiBytes(text),
+          lpcOrder = if (id % 2 == 1) 8 else 0))
       val d = Tables.docs(s, dir)
-        .withColumn("payload", toFlac(col("text")))
+        .withColumn("payload", toFlac(col("doc_id"), col("text")))
       AudioCodec.decodeWith(d, col("payload"), col("doc_id"), frames = 16)
         .toDF()
         .select(col("doc_id"),

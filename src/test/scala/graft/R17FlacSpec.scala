@@ -51,6 +51,63 @@ class R17FlacSpec extends AnyFunSuite {
     assert(FlacCodec.decode(enc)._2.toSeq == sig.toSeq)
   }
 
+  test("LPC subframes: bit-exact round trips across orders and shapes") {
+    val shapes = Seq(
+      sine(1500),
+      Array.tabulate(1500)(i =>
+        (((i * 2654435761L >> 11) & 0xffff) - 32768).toShort), // noise
+      Array.tabulate(1500)(i => (i * 13 - 9000).toShort),      // ramp
+      Array[Short](Short.MinValue, Short.MaxValue, 0, -1, 1) ++
+        sine(200))                                             // extremes
+    for (sig <- shapes; order <- Seq(1, 2, 8, 32)) {
+      val enc = FlacCodec.encode(44100, sig, blockSize = 256,
+        lpcOrder = order)
+      val (_, dec) = FlacCodec.decode(enc)
+      assert(dec.toSeq == sig.toSeq, s"n=${sig.length} order=$order")
+    }
+    // LPC genuinely predicts: on an AR(2) process whose poles sit far
+    // from the difference-filter zeros (fixed predictors are the
+    // (1−z⁻¹)^k filters), order-8 LPC must beat the fixed encode —
+    // on pure sines fixed-4 is already near-optimal, so THIS is the
+    // signal class LPC exists for
+    val ar = {
+      val x = new Array[Short](4000)
+      var a = 1000.0; var b = 0.0
+      for (i <- 0 until 4000) {
+        val noise = (((i * 2654435761L >> 13) & 0xff) - 128).toDouble * 4
+        val v = 1.6 * a - 0.89 * b + noise
+        b = a; a = v
+        x(i) = math.max(-30000, math.min(30000, v)).toInt.toShort
+      }
+      x
+    }
+    val lpc = FlacCodec.encode(44100, ar, lpcOrder = 8)
+    val fixed = FlacCodec.encode(44100, ar)
+    assert(lpc.length < ar.length * 2)
+    assert(lpc.length < fixed.length,
+      s"order-8 LPC (${lpc.length}) should beat fixed (${fixed.length})" +
+        " on an AR(2) signal")
+    // the fixture wrapper exposes the LPC policy
+    val src = "lpc fixture".getBytes("US-ASCII")
+    val viaLpc = FlacCodec.decode(
+      FlacCodec.flacFromBytes(16000, 256, src, lpcOrder = 8))._2
+    val viaFixed = FlacCodec.decode(
+      FlacCodec.flacFromBytes(16000, 256, src))._2
+    assert(viaLpc.toSeq == viaFixed.toSeq)
+    // negative LPC shift is rejected by name: craft by flipping the
+    // shift field's top bit in a 1-frame stream — easier via encode of
+    // a tiny block then bit surgery is brittle; instead assert the
+    // decoder's guard directly through a corrupt-byte sweep: every
+    // single-byte corruption of an LPC stream stays controlled
+    val ok = FlacCodec.encode(8000, sine(300), blockSize = 256,
+      lpcOrder = 4)
+    for (p <- 42 until ok.length by 5; bit <- Seq(0, 7)) {
+      val bad = ok.clone(); bad(p) = (bad(p) ^ (1 << bit)).toByte
+      try { FlacCodec.decode(bad); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("fixture signal matches the WAV fixture map") {
     val src = "flac container fixture".getBytes("US-ASCII")
     val (rate, dec) = FlacCodec.decode(
