@@ -36,22 +36,34 @@ object AudioCodec {
 
   // ---- encoder (fixture/query side) ---------------------------------------
 
+  /** Shared canonical-44-byte-header writer for every simple WAV shape
+    * (one fmt layout parameterized by tag/channels/blockAlign/bits; the
+    * RIFF pad byte for odd payloads handled once here).  `payload`
+    * serializes the data chunk into the positioned buffer. */
+  private def wavContainer(sampleRate: Int, tag: Int, channels: Int,
+      blockAlign: Int, bits: Int, dataLen: Int)
+      (payload: java.nio.ByteBuffer => Unit): Array[Byte] = {
+    require(sampleRate > 0 && dataLen > 0, "bad wav args")
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen + (dataLen & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII"))
+      .putInt(36 + dataLen + (dataLen & 1))
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(tag.toShort).putShort(channels.toShort)
+    out.putInt(sampleRate).putInt(sampleRate * blockAlign)
+    out.putShort(blockAlign.toShort).putShort(bits.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    payload(out)
+    out.array()
+  }
+
   /** Canonical 44-byte-header PCM WAV: RIFF + fmt (PCM, mono, 16-bit) +
     * data. */
   def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
-    require(sampleRate > 0 && samples.nonEmpty, "bad wav args")
-    val dataLen = samples.length * 2
-    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-    out.put("WAVE".getBytes("US-ASCII"))
-    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
-    out.putShort(1).putShort(1)                    // PCM, mono
-    out.putInt(sampleRate).putInt(sampleRate * 2)  // byte rate
-    out.putShort(2).putShort(16)                   // block align, bits
-    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    samples.foreach(out.putShort)
-    out.array()
+    require(samples.nonEmpty, "bad wav args")
+    wavContainer(sampleRate, 1, 1, 2, 16, samples.length * 2)(out =>
+      samples.foreach(out.putShort))
   }
 
   /** Deterministic mono signal from source bytes: sample i =
@@ -184,24 +196,12 @@ object AudioCodec {
 
   // ---- encoders (fixture/query side) for the compressed tags ---------------
 
-  /** WAV container writer shared by the companded tags: tag 6/7, 8 bits
-    * per sample, one byte per frame. */
+  /** G.711 payload: tag 6/7, 8 bits per sample, one byte per frame. */
   private def encodeWavG711(sampleRate: Int, samples: Array[Short],
       tag: Int, compress: Short => Byte): Array[Byte] = {
-    require(sampleRate > 0 && samples.nonEmpty, "bad wav args")
-    val dataLen = samples.length
-    val out = java.nio.ByteBuffer.allocate(44 + dataLen + (dataLen & 1))
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes("US-ASCII"))
-      .putInt(36 + dataLen + (dataLen & 1))
-    out.put("WAVE".getBytes("US-ASCII"))
-    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
-    out.putShort(tag.toShort).putShort(1)        // mono
-    out.putInt(sampleRate).putInt(sampleRate)    // byte rate = rate · 1
-    out.putShort(1).putShort(8)                  // block align, bits
-    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    samples.foreach(s => out.put(compress(s)))
-    out.array()
+    require(samples.nonEmpty, "bad wav args")
+    wavContainer(sampleRate, tag, 1, 1, 8, samples.length)(out =>
+      samples.foreach(s => out.put(compress(s))))
   }
 
   /** Stereo 16-bit PCM WAV (interleaved L/R frames).  Decode downmixes
@@ -209,64 +209,34 @@ object AudioCodec {
     * SQL-replayable convention). */
   def encodeWavStereo(sampleRate: Int, left: Array[Short],
       right: Array[Short]): Array[Byte] = {
-    require(sampleRate > 0 && left.nonEmpty, "bad wav args")
+    require(left.nonEmpty, "bad wav args")
     require(left.length == right.length, "channel length mismatch")
-    val dataLen = left.length * 4
-    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-    out.put("WAVE".getBytes("US-ASCII"))
-    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
-    out.putShort(1).putShort(2)                    // PCM, stereo
-    out.putInt(sampleRate).putInt(sampleRate * 4)
-    out.putShort(4).putShort(16)
-    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    for (i <- left.indices) { out.putShort(left(i)); out.putShort(right(i)) }
-    out.array()
+    wavContainer(sampleRate, 1, 2, 4, 16, left.length * 4) { out =>
+      for (i <- left.indices) { out.putShort(left(i)); out.putShort(right(i)) }
+    }
   }
 
   /** 8-bit PCM WAV (the legacy UNSIGNED convention: stored byte =
     * (s >> 8) + 128; decode expands (b − 128) << 8). */
   def encodeWav8(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
-    require(sampleRate > 0 && samples.nonEmpty, "bad wav args")
-    val dataLen = samples.length
-    val out = java.nio.ByteBuffer.allocate(44 + dataLen + (dataLen & 1))
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes("US-ASCII"))
-      .putInt(36 + dataLen + (dataLen & 1))
-    out.put("WAVE".getBytes("US-ASCII"))
-    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
-    out.putShort(1).putShort(1)
-    out.putInt(sampleRate).putInt(sampleRate)
-    out.putShort(1).putShort(8)
-    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    samples.foreach(s => out.put((((s >> 8) + 128) & 0xff).toByte))
-    out.array()
+    require(samples.nonEmpty, "bad wav args")
+    wavContainer(sampleRate, 1, 1, 1, 8, samples.length)(out =>
+      samples.foreach(s => out.put((((s >> 8) + 128) & 0xff).toByte)))
   }
 
   /** 24-bit PCM WAV (3-byte little-endian signed frames; decode keeps
     * the top 16 bits — sample >> 8). */
   def encodeWav24(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
-    require(sampleRate > 0 && samples.nonEmpty, "bad wav args")
+    require(samples.nonEmpty, "bad wav args")
     samples.foreach(s => require(s >= -(1 << 23) && s < (1 << 23),
       s"sample $s out of 24-bit range"))
-    val dataLen = samples.length * 3
-    val out = java.nio.ByteBuffer.allocate(44 + dataLen + (dataLen & 1))
-      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    out.put("RIFF".getBytes("US-ASCII"))
-      .putInt(36 + dataLen + (dataLen & 1))
-    out.put("WAVE".getBytes("US-ASCII"))
-    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
-    out.putShort(1).putShort(1)
-    out.putInt(sampleRate).putInt(sampleRate * 3)
-    out.putShort(3).putShort(24)
-    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
-    samples.foreach { s =>
-      out.put((s & 0xff).toByte)
-      out.put(((s >> 8) & 0xff).toByte)
-      out.put(((s >> 16) & 0xff).toByte)
+    wavContainer(sampleRate, 1, 1, 3, 24, samples.length * 3) { out =>
+      samples.foreach { s =>
+        out.put((s & 0xff).toByte)
+        out.put(((s >> 8) & 0xff).toByte)
+        out.put(((s >> 16) & 0xff).toByte)
+      }
     }
-    out.array()
   }
 
   /** G.711 μ-law WAV (format tag 7). */

@@ -214,6 +214,17 @@ object FlacCodec {
 
   private def unzigzag(u: Long): Int = (((u >>> 1) ^ -(u & 1)).toInt)
 
+  /** MD5 of the raw little-endian sample bytes (the STREAMINFO anchor
+    * both the encoder and its own verifier must compute identically). */
+  private def md5Of(samples: Array[Short]): Array[Byte] = {
+    val raw = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      raw(2 * i) = (samples(i) & 0xff).toByte
+      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    java.security.MessageDigest.getInstance("MD5").digest(raw)
+  }
+
   /** UTF-8-style coded number (the frame-number coding of §9.1.5). */
   private def putUtf8(bw: BitWriter, v: Long): Unit = {
     require(v >= 0 && v < (1L << 36), "frame number out of range")
@@ -268,15 +279,7 @@ object FlacCodec {
     val out = new java.io.ByteArrayOutputStream
     out.write("fLaC".getBytes("US-ASCII"), 0, 4)
     // STREAMINFO (type 0, last metadata block)
-    val md5 = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-      val raw = new Array[Byte](samples.length * 2)
-      for (i <- samples.indices) { // little-endian, per spec
-        raw(2 * i) = (samples(i) & 0xff).toByte
-        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
-      }
-      d.digest(raw)
-    }
+    val md5 = md5Of(samples)
     val si = new BitWriter
     // the spec's 16..65535 range applies to all frames EXCEPT a shorter
     // final frame, which is excluded from the min — so min == max here
@@ -556,13 +559,7 @@ object FlacCodec {
     }
     // the stream-level integrity anchor: MD5 of the raw little-endian
     // sample bytes must match STREAMINFO's
-    val d = java.security.MessageDigest.getInstance("MD5")
-    val raw = new Array[Byte](samples.length * 2)
-    for (i <- samples.indices) {
-      raw(2 * i) = (samples(i) & 0xff).toByte
-      raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
-    }
-    require(java.util.Arrays.equals(d.digest(raw), md5),
+    require(java.util.Arrays.equals(md5Of(samples), md5),
       "FLAC MD5 mismatch: decoded audio differs from STREAMINFO digest")
     (sampleRate, samples)
   }

@@ -851,6 +851,9 @@ object ImageCodec {
       val s = p
       while (p < b.length && (b(p) >= '0' && b(p) <= '9')) p += 1
       require(p > s, "bad Netpbm integer")
+      // toInt on an over-long digit run would escape as
+      // NumberFormatException — keep the fail-loud contract
+      require(p - s <= 9, "Netpbm integer too long")
       new String(b, s, p - s, "US-ASCII").toInt
     }
     val w = int(); val h = int(); val maxv = int()

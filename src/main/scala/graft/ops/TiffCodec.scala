@@ -288,7 +288,17 @@ object TiffCodec {
       compression match {
         case 1 => body
         case 5 => lzwEncode(body)
-        case _ => packBitsEncode(body)
+        case _ =>
+          // TIFF 6.0 §9: each ROW must be compressed separately (runs
+          // may not cross scanline boundaries); the packets concatenate
+          // into one strip stream
+          val out = new java.io.ByteArrayOutputStream
+          for (r <- 0 until rows) {
+            val enc = packBitsEncode(java.util.Arrays.copyOfRange(body,
+              r * stride, (r + 1) * stride))
+            out.write(enc, 0, enc.length)
+          }
+          out.toByteArray
       }
     }
     // layout: header(8) + strips + IFD; IFD after data keeps offsets easy
@@ -307,6 +317,10 @@ object TiffCodec {
     val stripOffsets = new Array[Int](nStrips)
     var off = 8
     for (s <- 0 until nStrips) { stripOffsets(s) = off; off += strips(s).length }
+    // TIFF 6.0: out-of-line values and the IFD must start on a WORD
+    // boundary — pad after odd-length compressed strips
+    val pad = off & 1
+    off += pad
     // BitsPerSample for RGB needs 3 SHORTs = 6 bytes > 4 → out-of-line
     val bpsOffset = off
     if (spp == 3) off += 6
@@ -318,6 +332,7 @@ object TiffCodec {
     val ifdOffset = off
     w32(ifdOffset)
     strips.foreach(s => out.write(s, 0, s.length))
+    if (pad == 1) out.write(0)
     if (spp == 3) { w16(8); w16(8); w16(8) }
     if (nStrips > 1) stripOffsets.foreach(w32)
     if (nStrips > 1) strips.foreach(s => w32(s.length))
@@ -428,6 +443,9 @@ object TiffCodec {
       }
     }
     require(w > 0 && h > 0, s"bad TIFF dims ${w}x$h")
+    // crafted LONG dims must fail loudly, not wrap Int arithmetic
+    require(w <= 65535 && h <= 65535 && w.toLong * h * spp <= Int.MaxValue,
+      s"TIFF dims ${w}x$h too large")
     require(bps == 8, "only 8-bit TIFF supported")
     require(photo == 1 || photo == 2,
       s"only BlackIsZero/RGB TIFF supported, got photometric $photo")
@@ -439,7 +457,9 @@ object TiffCodec {
       s"unsupported TIFF predictor $predictor")
     require(predictor == 1 || comp == 5,
       "predictor without LZW compression")
-    if (rps <= 0) rps = h
+    // absent RowsPerStrip defaults to 2^32-1 (one strip per spec);
+    // clamp to h so (h + rps - 1) cannot overflow Int
+    if (rps <= 0 || rps > h) rps = h
     val nStrips = (h + rps - 1) / rps
     require(soCount == nStrips && scCount == nStrips,
       s"strip count mismatch: offsets $soCount, counts $scCount, " +

@@ -87,6 +87,54 @@ class R17TiffSpec extends AnyFunSuite {
     }
   }
 
+  test("RowsPerStrip larger than the image (the absent-tag default " +
+    "shape) decodes; crafted huge dims fail loudly") {
+    val ok = TiffCodec.encode(6, 6, px)
+    val rdLe = java.nio.ByteBuffer.wrap(ok)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = rdLe.getInt(4)
+    val nEnt = rdLe.getShort(ifd) & 0xffff
+    def entryAt(tag: Int): Int = (0 until nEnt).map(i => ifd + 2 + 12 * i)
+      .find(e => (rdLe.getShort(e) & 0xffff) == tag).get
+    // spec: absent RowsPerStrip defaults to 2^32-1 = one strip; emulate
+    // with a huge in-range SHORT value — must clamp, not overflow
+    val bigRps = ok.clone()
+    bigRps(entryAt(278) + 8) = 0xff.toByte
+    bigRps(entryAt(278) + 9) = 0xff.toByte
+    val r = TiffCodec.decode(bigRps)
+    assert(r.lumaSum3.toSeq == TiffCodec.decode(ok).lumaSum3.toSeq)
+    // crafted LONG dims that would wrap Int arithmetic fail loudly
+    val hugeDims = ok.clone()
+    val we = entryAt(256)
+    hugeDims(we + 2) = 4 // type LONG
+    val bb = java.nio.ByteBuffer.wrap(hugeDims)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(we + 8, 65536)
+    val e = intercept[IllegalArgumentException] {
+      TiffCodec.decode(hugeDims) }
+    assert(e.getMessage.contains("dims") || e.getMessage.contains("large"))
+    // PackBits strips compress each ROW separately (TIFF 6.0 §9): a
+    // constant image's runs must not cross scanline boundaries — every
+    // row starts a fresh packet, so the strip splits into h decodable
+    // row streams
+    val const = TiffCodec.encode(40, 4, (_, _) => (9, 9, 9), gray = true,
+      compression = 32773)
+    val rdC = java.nio.ByteBuffer.wrap(const)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifdC = rdC.getInt(4)
+    val nC = rdC.getShort(ifdC) & 0xffff
+    def cEntry(tag: Int): Int = (0 until nC).map(i => ifdC + 2 + 12 * i)
+      .find(e => (rdC.getShort(e) & 0xffff) == tag).get
+    val off = rdC.getShort(cEntry(273) + 8) & 0xffff
+    val cnt = rdC.getShort(cEntry(279) + 8) & 0xffff
+    // 4 rows of a constant 40-px row = 4 packets of (run byte, value):
+    // 2 bytes/row
+    assert(cnt == 8, s"expected 4 per-row packets, strip is $cnt bytes")
+    for (rw <- 0 until 4)
+      assert(const(off + 2 * rw) == (1 - 40).toByte,
+        s"row $rw does not start a fresh run packet")
+  }
+
   test("magic sniff routes TIFF; fail-loud shapes are named") {
     val ok = TiffCodec.encode(6, 6, px)
     assert(ImageCodec.decode(ok).width == 6)
