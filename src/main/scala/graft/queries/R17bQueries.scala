@@ -181,6 +181,26 @@ object R17bQueries {
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
     }),
 
+    // JPEG QUALITY sweep (r17): quality 50/70/90 by doc — the per-doc
+    // max pixel error must stay within the CLOSED-FORM quantization
+    // ceiling [[JpegCodec.pixelErrorBound]](q) at every quality, tying
+    // the quality knob to the codec's error model (the bound is
+    // derived, not fitted: Σ C(u)C(v)·quant/8 + rounding)
+    "mm_jpeg_quality_gauge" -> ((s, dir) => {
+      val gauge = udf((id: Long, text: String) => {
+        val q = (id % 3) match { case 0 => 50; case 1 => 70; case _ => 90 }
+        val src = MultimodalOps.asciiBytes(text)
+        val r = JpegCodec.decode(JpegCodec.grayJpeg(8, 8, src, q))
+        val maxErr = (0 until 64).map(j => math.abs(r.lumaSum3(j) / 3 -
+          (src(j % src.length) & 0xff))).max
+        maxErr <= JpegCodec.pixelErrorBound(q)
+      })
+      Tables.docs(s, dir)
+        .select(col("doc_id"),
+          (col("doc_id") % 3).cast("long").as("q_class"),
+          gauge(col("doc_id"), col("text")).as("within_bound"))
+    }),
+
     // Netpbm family breadth (r17): binary PGM (P5), ASCII PGM (P2),
     // ASCII PPM (P3) cycling by doc — trivially lossless, hash-exact
     "mm_pnm_formats" -> ((s, dir) => {
@@ -343,6 +363,11 @@ object R17bQueries {
     "mm_jpeg_prog_color_decode" ->
       """SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
         |  true AS prog_color_equals_seq
+        |FROM documents""".stripMargin,
+
+    "mm_jpeg_quality_gauge" ->
+      """SELECT doc_id, (doc_id % 3)::BIGINT AS q_class,
+        |  true AS within_bound
         |FROM documents""".stripMargin,
 
     "mm_pnm_formats" ->

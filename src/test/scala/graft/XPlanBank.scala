@@ -47,7 +47,7 @@ object XPlanBank {
     "mm_wav_ulaw", "mm_wav_alaw", "mm_wav_adpcm",
     "mm_tiff_decode", "mm_flac_decode", "mm_png_interlaced",
     "mm_wav_formats", "mm_gif_interlaced", "mm_bmp_shapes",
-    "mm_pnm_formats")
+    "mm_pnm_formats", "mm_jpeg_quality_gauge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
