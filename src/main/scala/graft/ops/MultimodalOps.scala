@@ -6,11 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media (image/audio/video) as opaque `binary`
   * payloads with typed metadata, processed by per-partition batch UDFs.
   *
-  * The decode kernels themselves (JPEG/PNG/audio codecs) are NOT in this
-  * container, so [[stubDecode]] is a clearly-marked deterministic fake — but
-  * the Spark-side plumbing is real and tested: binary schema, per-partition
-  * batched iteration (the Scala analogue of `mapInPandas` batch shape),
-  * fixed-width feature vectors, and frame sampling by byte ranges.
+  * The decode kernels are REAL from-spec codecs behind the
+  * [[DecodeKernel]] seam — [[ImageCodec]] (BMP/PPM/PNG/GIF/TIFF/JPEG),
+  * [[AudioCodec]] (WAV PCM/G.711/ADPCM) and [[FlacCodec]] — each
+  * oracle-gated; [[stubDecode]] remains only as the seam's synthetic
+  * reference kernel (R14SeamSpec proves downstream stages are kernel-
+  * agnostic).  The Spark-side plumbing is shared: binary schema,
+  * per-partition batched iteration (the Scala analogue of `mapInPandas`
+  * batch shape), fixed-width feature vectors, frame sampling by byte
+  * ranges.
   *
   * At 100 TB the payloads dominate: every op here is a narrow map (no
   * shuffle), metadata extraction prunes to (id, meta) before any wide op,
@@ -48,17 +52,12 @@ object MultimodalOps {
       .withColumnRenamed("pos", "frame")
       .withColumnRenamed("col", "frame_hash")
 
-  /** STUB decoder: a real codec is unavailable in this container (???), so
-    * features are a deterministic md5-derived fake with the REAL batch
-    * shape: per-partition iteration, fixed `dim`-width float vectors,
-    * synthesized "image" dims from the byte length.  Swap the body for a
-    * JNI/codec call in production; the plumbing (schema, partitioning,
-    * batch signature) is what this exercises. */
-  /** STUB resize: nearest-neighbour re-sampling of a decoded record's
-    * feature grid to `dim2` entries plus the new nominal dims — the
-    * pointwise, shuffle-free resize contract (real pixel resampling lives
-    * behind the same ??? as [[stubDecode]]'s codec).  Source index for
-    * target j is `floor(j * dim / dim2)` — the standard nearest map. */
+  /** Nearest-neighbour resize of a decoded record's feature grid to
+    * `dim2` entries plus the new nominal dims — the pointwise,
+    * shuffle-free resize contract over whatever kernel produced the
+    * record (real codecs via [[ImageCodec.kernel]], or the synthetic
+    * [[stubDecode]]).  Source index for target j is
+    * `floor(j * dim / dim2)` — the standard nearest map. */
   def stubResize(decoded: DataFrame, w: Int, h: Int, dim2: Int): DataFrame = {
     val dim = size(col("features"))
     decoded
@@ -120,13 +119,20 @@ object MultimodalOps {
     * Hamming-3 tier is lossless over the hash space; looser tolerances
     * must raise `bands` rather than silently drop recall (enforced).
     * One shuffle on (band, key), in-bucket id-ordered pairs, never
-    * all-pairs — ~2^(bits/bands) buckets per band keep in-bucket
-    * populations near-linear at corpus scale.
+    * all-pairs.  SCALE RULE: the band-key cardinality is 2^(bits/bands),
+    * and every bucket joins with itself — so the key width must grow
+    * with the corpus.  The default 64/4 gives 16-bit band keys (~65k
+    * values, the `simhash60` discipline): buckets stay near-linear at
+    * corpus scale.  Narrow hashes (e.g. bits=16 → 4-bit keys, 16 values
+    * per band) put n/16 of the corpus in every bucket and the candidate
+    * join is Θ(n²) — fine for unit fixtures, never for a landed layout.
     * Output: (doc_a, doc_b, hamming), doc_a < doc_b. */
-  def aHashBandedPairs(decoded: DataFrame, id: Column, bits: Int = 16,
+  def aHashBandedPairs(decoded: DataFrame, id: Column, bits: Int = 64,
       bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(bands > 0 && bits % bands == 0,
       s"bits=$bits must split into $bands equal bands")
+    require(bits / bands < 64,
+      s"band width ${bits / bands} overflows the long mask; raise bands")
     require(maxHamming <= bands - 1,
       s"maxHamming=$maxHamming exceeds the exact-recall bound of " +
         s"$bands-band blocking (${bands - 1}); raise bands")

@@ -134,9 +134,15 @@ object R12Queries {
         k = 5, subDim = 16, nprobe = 2)
     }),
 
-    // Media near-dups within Hamming distance 3 of the 16-bit aHash:
+    // Media near-dups within Hamming distance 3 of a 16-bit aHash:
     // 4x4-bit band blocking (exact recall at <=3 by pigeonhole) +
-    // popcount(xor) confirm — the tolerant tier above mm_ahash_pairs
+    // popcount(xor) confirm — the tolerant tier above mm_ahash_pairs.
+    // DELIBERATELY 16-bit: the md5-fake stub kernel only yields 16
+    // bytes of features, and this row exists to pin the banding
+    // mechanics over the synthetic seam.  The PRODUCTION shape — what
+    // Tables.nearDupPairs lands and every real-codec mm_*_ahash_banded
+    // query registers — is the 64-bit hash with 16-bit band keys
+    // (quadratic-candidate-proof; see MultimodalOps.aHashBandedPairs)
     "mm_ahash_banded" -> ((s, dir) =>
       MultimodalOps.aHashBandedPairs(
         MultimodalOps.stubDecode(

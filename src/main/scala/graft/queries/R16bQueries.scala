@@ -83,21 +83,31 @@ object R16bQueries {
       |    round(sum(v)::DOUBLE / count(*), 6) AS feat
       |  FROM pv GROUP BY 1, 2)""".stripMargin
 
-  /** rf → per-doc 16-bit aHash (bit j set iff feat_j > mean). */
-  private[queries] val RealAHashSql =
-    s"""$RealFeatSql,
-       |fl AS (
-       |  SELECT doc_id, list(feat ORDER BY j) AS fs FROM rf GROUP BY 1),
-       |mn AS (
-       |  SELECT doc_id, fs, list_reduce(fs, (a, b) -> a + b) / 16.0 AS mean
-       |  FROM fl),
-       |a AS (
-       |  SELECT doc_id,
-       |    list_reduce(list_transform(generate_series(0, 15),
-       |      j -> CASE WHEN fs[j + 1] > mean THEN pow(2.0, j)
-       |           ELSE 0.0 END),
-       |      (a, b) -> a + b)::BIGINT AS ahash
-       |  FROM mn)""".stripMargin
+  /** Per-PIXEL 64-bit aHash recomputed from the text — the SQL mirror of
+    * [[graft.ops.ImageCodec.kernel]](8,8) over the 8×8 raster (each cell
+    * is one pixel, so feature j IS pixel j: v(j) =
+    * ascii(ptext[(j mod len)+1])) followed by
+    * [[graft.ops.MultimodalOps.aHash]].  Bit 63 can't be written as
+    * `1 << 63` in DuckDB (range-checked shift), so it's the BIGINT
+    * min-value literal — the identical two's-complement value Spark's
+    * `shiftleft(1L, 63)` wraps to. */
+  private[queries] val RealAHash64Sql =
+    """h64p AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g')
+      |    AS ptext FROM documents),
+      |h64v AS (SELECT doc_id,
+      |    list_transform(generate_series(0, 63), j ->
+      |      ascii(substr(ptext, ((j % length(ptext)) + 1)::INT, 1)))
+      |      AS pv
+      |  FROM h64p),
+      |h64m AS (SELECT doc_id, pv,
+      |    list_reduce(pv, (a, b) -> a + b) / 64.0 AS mean FROM h64v),
+      |a AS (SELECT doc_id,
+      |    list_reduce(list_transform(generate_series(0, 63),
+      |      j -> CASE WHEN pv[j + 1] <= mean THEN 0::BIGINT
+      |           WHEN j = 63 THEN (-9223372036854775808)::BIGINT
+      |           ELSE 1::BIGINT << j END),
+      |      (x, y) -> x | y) AS ahash
+      |  FROM h64m)""".stripMargin
 
   def oracles: Map[String, String] = Map(
 
@@ -112,7 +122,7 @@ object R16bQueries {
          |FROM rf""".stripMargin,
 
     "mm_real_ahash_banded" ->
-      s"""WITH $RealAHashSql
+      s"""WITH $RealAHash64Sql
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  bit_count(xor(x.ahash, y.ahash))::BIGINT AS hamming
          |FROM a x JOIN a y ON x.doc_id < y.doc_id

@@ -14,12 +14,33 @@ import graft.ops.{AudioCodec, MultimodalOps}
   * decoder misreading any sample fails the hash compare. */
 object R16eQueries {
 
-  private def wavDecoded(s: SparkSession, dir: String): DataFrame = {
+  private def wavDecodedAt(s: SparkSession, dir: String,
+      frames: Int): DataFrame = {
     val toWav = udf((text: String) =>
       AudioCodec.wavFromBytes(16000, 256, MultimodalOps.asciiBytes(text)))
     val d = Tables.docs(s, dir)
       .withColumn("payload", toWav(col("text")))
-    AudioCodec.decodeWith(d, col("payload"), col("doc_id"), frames = 16)
+    AudioCodec.decodeWith(d, col("payload"), col("doc_id"), frames).toDF()
+  }
+
+  /** 16-frame envelope — the decode query's grid. */
+  private def wavDecoded(s: SparkSession, dir: String): DataFrame =
+    wavDecodedAt(s, dir, frames = 16)
+
+  /** The near-dup query's renderer: WAV from the document's 64-byte
+    * projected HEAD (the same dup-bearing prefix the image tier rasters),
+    * decoded at 64 frames so the envelope fills a full 64-bit aHash.
+    * Rendering from the head — not the whole text — makes the fixture's
+    * duplicate clusters (prefix dups) land as hamming-0 envelope pairs,
+    * exactly like the raster tier; the full-text map would only pair
+    * byte-exact documents, of which the sf0.01 corpus has none. */
+  private def wavHeadDecoded64(s: SparkSession, dir: String): DataFrame = {
+    val toWav = udf((text: String) =>
+      AudioCodec.wavFromBytes(16000, 256,
+        MultimodalOps.asciiBytes(text).take(64)))
+    val d = Tables.docs(s, dir)
+      .withColumn("payload", toWav(col("text")))
+    AudioCodec.decodeWith(d, col("payload"), col("doc_id"), frames = 64)
       .toDF()
   }
 
@@ -35,10 +56,12 @@ object R16eQueries {
           round(col("col"), 6).as("feat"))),
 
     // audio near-dups: aHash over the energy envelope, the identical
-    // banded blocking as the image tier (one downstream, two codecs)
+    // banded blocking as the image tier (one downstream, two codecs) —
+    // 64 frames → 64-bit hash, 16-bit band keys (the scale-safe shape)
     "mm_wav_ahash_banded" -> ((s, dir) =>
-      MultimodalOps.aHashBandedPairs(wavDecoded(s, dir), col("doc_id"),
-        bits = 16, bands = 4, maxHamming = 3))
+      MultimodalOps.aHashBandedPairs(
+        wavHeadDecoded64(s, dir), col("doc_id"),
+        bits = 64, bands = 4, maxHamming = 3))
   )
 
   /** Envelope recomputed from the text: sample value v_i =
@@ -60,20 +83,40 @@ object R16eQueries {
       |    round(sum(av)::DOUBLE / count(*), 6) AS feat
       |  FROM wv GROUP BY 1, 2)""".stripMargin
 
-  private val WavAHashSql =
-    s"""$WavFeatSql,
-       |fl AS (
-       |  SELECT doc_id, list(feat ORDER BY j) AS fs FROM wf GROUP BY 1),
-       |mn AS (
-       |  SELECT doc_id, fs, list_reduce(fs, (a, b) -> a + b) / 16.0 AS mean
-       |  FROM fl),
-       |a AS (
-       |  SELECT doc_id,
-       |    list_reduce(list_transform(generate_series(0, 15),
-       |      j -> CASE WHEN fs[j + 1] > mean THEN pow(2.0, j)
-       |           ELSE 0.0 END),
-       |      (a, b) -> a + b)::BIGINT AS ahash
-       |  FROM mn)""".stripMargin
+  /** 64-frame envelope over the 64-byte projected HEAD → 64-bit aHash,
+    * the r18 scale-safe near-dup shape: sample i reads head byte
+    * (7i+3) mod min(len, 64), frame j covers samples [4j, 4j+4), feat =
+    * mean |v| (exact — integer sum / 4, no rounding needed), hash bit j
+    * set iff feat_j > mean.  Bit 63 is the BIGINT min-value literal
+    * (DuckDB range-checks `1 << 63`), identical to Spark's shiftleft
+    * wrap. */
+  private val WavAHash64Sql =
+    """w64a AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g')
+      |    AS text FROM documents),
+      |w64s AS (SELECT doc_id, text, unnest(generate_series(0, 255)) AS i
+      |  FROM w64a),
+      |w64v AS (
+      |  SELECT doc_id, (i // 4) AS j,
+      |    abs((ascii(substr(text,
+      |      (((i * 7 + 3) % least(length(text), 64)) + 1)::INT, 1)) - 76)
+      |      * 256) AS av
+      |  FROM w64s),
+      |w64f AS (
+      |  SELECT doc_id, j, sum(av)::DOUBLE / count(*) AS feat
+      |  FROM w64v GROUP BY 1, 2),
+      |w64l AS (
+      |  SELECT doc_id, list(feat ORDER BY j) AS fs FROM w64f GROUP BY 1),
+      |w64m AS (
+      |  SELECT doc_id, fs, list_reduce(fs, (a, b) -> a + b) / 64.0 AS mean
+      |  FROM w64l),
+      |a AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(generate_series(0, 63),
+      |      j -> CASE WHEN fs[j + 1] <= mean THEN 0::BIGINT
+      |           WHEN j = 63 THEN (-9223372036854775808)::BIGINT
+      |           ELSE 1::BIGINT << j END),
+      |      (x, y) -> x | y) AS ahash
+      |  FROM w64m)""".stripMargin
 
   def oracles: Map[String, String] = Map(
 
@@ -86,7 +129,7 @@ object R16eQueries {
          |FROM wf""".stripMargin,
 
     "mm_wav_ahash_banded" ->
-      s"""WITH $WavAHashSql
+      s"""WITH $WavAHash64Sql
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  bit_count(xor(x.ahash, y.ahash))::BIGINT AS hamming
          |FROM a x JOIN a y ON x.doc_id < y.doc_id

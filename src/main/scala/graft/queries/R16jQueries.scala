@@ -15,7 +15,8 @@ import graft.ops.{ImageCodec, MultimodalOps}
   * or chunk-walk slip fails the hash compare. */
 object R16jQueries {
 
-  private def pngDecoded(s: SparkSession, dir: String): DataFrame = {
+  private def pngDecodedAt(s: SparkSession, dir: String,
+      grid: Int): DataFrame = {
     val toImg = udf((id: Long, text: String) =>
       ImageCodec.grayPng(8, 8, MultimodalOps.asciiBytes(text),
         colorType = if (id % 2 == 0) 2 else 0,
@@ -23,8 +24,11 @@ object R16jQueries {
     val d = Tables.docs(s, dir)
       .withColumn("payload", toImg(col("doc_id"), col("text")))
     MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
-      ImageCodec.kernel(4, 4)).toDF()
+      ImageCodec.kernel(grid, grid)).toDF()
   }
+
+  private def pngDecoded(s: SparkSession, dir: String): DataFrame =
+    pngDecodedAt(s, dir, grid = 4)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -39,10 +43,12 @@ object R16jQueries {
         .select(col("doc_id"), col("width"), col("height"),
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))),
 
-    // real-PNG near-dups: identical banded blocking as the BMP/PPM tier
+    // real-PNG near-dups: identical banded blocking as the BMP/PPM tier —
+    // 64-bit per-pixel hash, 16-bit band keys (the scale-safe shape)
     "mm_png_ahash_banded" -> ((s, dir) =>
-      MultimodalOps.aHashBandedPairs(pngDecoded(s, dir), col("doc_id"),
-        bits = 16, bands = 4, maxHamming = 3))
+      MultimodalOps.aHashBandedPairs(
+        pngDecodedAt(s, dir, grid = 8), col("doc_id"),
+        bits = 64, bands = 4, maxHamming = 3))
   )
 
   def oracles: Map[String, String] = Map(
@@ -53,7 +59,7 @@ object R16jQueries {
          |FROM rf""".stripMargin,
 
     "mm_png_ahash_banded" ->
-      s"""WITH ${R16bQueries.RealAHashSql}
+      s"""WITH ${R16bQueries.RealAHash64Sql}
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  bit_count(xor(x.ahash, y.ahash))::BIGINT AS hamming
          |FROM a x JOIN a y ON x.doc_id < y.doc_id

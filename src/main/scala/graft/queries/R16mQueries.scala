@@ -13,14 +13,23 @@ import graft.ops.{ImageCodec, MultimodalOps}
   * oracle replays features hash-exactly from the text. */
 object R16mQueries {
 
-  private def gifDecoded(s: SparkSession, dir: String): DataFrame = {
+  private def gifDecodedAt(s: SparkSession, dir: String,
+      grid: Int): DataFrame = {
     val toImg = udf((text: String) =>
       ImageCodec.grayGif(8, 8, MultimodalOps.asciiBytes(text)))
     val d = Tables.docs(s, dir)
       .withColumn("payload", toImg(col("text")))
     MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
-      ImageCodec.kernel(4, 4)).toDF()
+      ImageCodec.kernel(grid, grid)).toDF()
   }
+
+  /** 4×4 block means — the decode query's grid (16 features). */
+  private def gifDecoded(s: SparkSession, dir: String): DataFrame =
+    gifDecodedAt(s, dir, grid = 4)
+
+  /** 8×8 = per-pixel grid — the 64-bit near-dup hash's input. */
+  private def gifDecoded64(s: SparkSession, dir: String): DataFrame =
+    gifDecodedAt(s, dir, grid = 8)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -35,10 +44,12 @@ object R16mQueries {
         .select(col("doc_id"), col("width"), col("height"),
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))),
 
-    // real-GIF near-dups: identical banded blocking as the other codecs
+    // real-GIF near-dups: identical banded blocking as the other codecs —
+    // 64-bit per-pixel hash, 16-bit band keys (the scale-safe shape)
     "mm_gif_ahash_banded" -> ((s, dir) =>
-      MultimodalOps.aHashBandedPairs(gifDecoded(s, dir), col("doc_id"),
-        bits = 16, bands = 4, maxHamming = 3))
+      MultimodalOps.aHashBandedPairs(
+        gifDecoded64(s, dir), col("doc_id"),
+        bits = 64, bands = 4, maxHamming = 3))
   )
 
   def oracles: Map[String, String] = Map(
@@ -49,7 +60,7 @@ object R16mQueries {
          |FROM rf""".stripMargin,
 
     "mm_gif_ahash_banded" ->
-      s"""WITH ${R16bQueries.RealAHashSql}
+      s"""WITH ${R16bQueries.RealAHash64Sql}
          |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
          |  bit_count(xor(x.ahash, y.ahash))::BIGINT AS hamming
          |FROM a x JOIN a y ON x.doc_id < y.doc_id

@@ -182,9 +182,9 @@ object R17Queries {
       val d = Tables.docs(s, dir)
         .withColumn("payload", toJpeg(col("text")))
       val dec = MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
-        ImageCodec.kernel(4, 4)).toDF()
+        ImageCodec.kernel(8, 8)).toDF()
       val jpegPairs = MultimodalOps.aHashBandedPairs(dec, col("doc_id"),
-        bits = 16, bands = 4, maxHamming = 3)
+        bits = 64, bands = 4, maxHamming = 3)
       // raster-equal pairs, keyed by the raster's content hash (the
       // dd_exact single-shuffle shape — never an all-pairs join); the
       // pv equality re-check makes the md5 key collision-proof

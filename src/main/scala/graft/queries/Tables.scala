@@ -80,7 +80,11 @@ private[queries] object Tables {
   /** The REAL-pixel near-duplicate pair graph — the [[coEdges]] discipline
     * applied to the codec tier: render→encode→decode every document
     * through the real codecs ([[graft.ops.ImageCodec]]) and band-join the
-    * 16-bit aHashes ONCE per (JVM, dir), landed as a bucketed layout.
+    * 64-bit per-pixel aHashes ONCE per (JVM, dir), landed as a bucketed
+    * layout.  64 bits / 4 bands = 16-bit band keys (~65k values per
+    * band — the `simhash60` discipline): in-bucket populations stay
+    * near-linear as the corpus grows, where the old 16-bit shape's
+    * 4-bit keys (16 values) went quadratic.
     * Every consumer (`mm_real_ahash_banded`, `graph_kcore`, any future
     * near-dup-graph query) scans the committed table instead of re-running
     * the per-document decode UDF and the banded self-join — at 100 TB the
@@ -104,9 +108,9 @@ private[queries] object Tables {
         docs(s, dir).withColumn("payload",
           toImg(col("doc_id"), col("text"))),
         col("payload"), col("doc_id"),
-        graft.ops.ImageCodec.kernel(4, 4)).toDF()
+        graft.ops.ImageCodec.kernel(8, 8)).toDF()
       val pairs = graft.ops.MultimodalOps.aHashBandedPairs(decoded,
-        col("doc_id"), bits = 16, bands = 4, maxHamming = 3)
+        col("doc_id"), bits = 64, bands = 4, maxHamming = 3)
       val wh = s.conf.get("spark.sql.warehouse.dir")
       graft.ops.LayoutOps.writeBucketed(pairs, "doc_a", 8, tbl,
         s"$wh/graft_layout/$tbl")
