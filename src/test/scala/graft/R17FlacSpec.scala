@@ -149,11 +149,18 @@ class R17FlacSpec extends AnyFunSuite {
 
   test("out-of-subset shapes are rejected by name") {
     val ok = FlacCodec.encode(8000, sine(64), blockSize = 64)
-    // claim stereo in STREAMINFO (channels field: byte 12 of the 34-byte
-    // block at offset 8; channels-1 lives in bits 3..1 of byte 20)
-    val stereo = ok.clone()
-    stereo(8 + 12) = (stereo(8 + 12) | 0x02).toByte
+    // claim 3 channels in STREAMINFO (channels-1 lives in bits 3..1 of
+    // byte 12 of the 34-byte block at offset 8) — r18 supports stereo,
+    // so the by-name rejection moves to >2 channels
+    val surround = ok.clone()
+    surround(8 + 12) = (surround(8 + 12) | 0x04).toByte
     assert(intercept[IllegalArgumentException] {
-      FlacCodec.decode(stereo) }.getMessage.contains("mono"))
+      FlacCodec.decode(surround) }.getMessage.contains("mono/stereo"))
+    // a STREAMINFO claiming stereo over mono frames is a channel-
+    // assignment mismatch the frame parser catches
+    val stereoClaim = ok.clone()
+    stereoClaim(8 + 12) = (stereoClaim(8 + 12) | 0x02).toByte
+    assert(intercept[IllegalArgumentException] {
+      FlacCodec.decode(stereoClaim) }.getMessage.contains("assignment"))
   }
 }
