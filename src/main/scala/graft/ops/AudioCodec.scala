@@ -255,7 +255,11 @@ object AudioCodec {
   def encodeWavAdpcm(sampleRate: Int, samples: Array[Short],
       blockAlign: Int = 256): Array[Byte] = {
     require(sampleRate > 0 && samples.nonEmpty, "bad wav args")
-    require(blockAlign >= 8 && blockAlign % 4 == 0, "bad block align")
+    // upper bound: samplesPerBlock = (blockAlign-4)*2+1 must fit the
+    // 16-bit fmt-extension field, or the container is inconsistent and
+    // only fails at decode time
+    require(blockAlign >= 8 && blockAlign % 4 == 0 && blockAlign <= 16384,
+      "bad block align")
     val spb = imaSamplesPerBlock(blockAlign)
     val nBlocks = (samples.length + spb - 1) / spb
     val dataLen = nBlocks * blockAlign

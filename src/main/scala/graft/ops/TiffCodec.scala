@@ -12,10 +12,14 @@ package graft.ops
   * effective on continuous-tone data.  Both byte orders decode; the
   * fixture encoder emits either — real-world TIFFs come in both.
   *
-  * Supported shapes: 8-bit grayscale (PhotometricInterpretation 1) and
-  * 8-bit RGB (2), any RowsPerStrip, compressions 1/5/32773, predictor
-  * 1/2.  Everything else — palettes, tiles, planar configuration 2,
-  * other bit depths, fill order 2 — fails loudly: a decoder silently
+  * Supported shapes: 8-bit grayscale (PhotometricInterpretation 1),
+  * 8-bit RGB (2) and 8-bit PALETTE (3, ColorMap tag 320 with the
+  * spec's 16-bit entries), STRIP-based (any RowsPerStrip) or TILED
+  * (§15: TileWidth/TileLength tags 322/323 in multiples of 16,
+  * TileOffsets/TileByteCounts 324/325, edge tiles padded to full size
+  * with only the image intersection kept), compressions 1/5/32773,
+  * predictor 1/2.  Everything else — planar configuration 2, other
+  * bit depths, fill order 2 — fails loudly: a decoder silently
   * misreading strips would poison every downstream fingerprint (the
   * [[ImageCodec]] contract).  TIFF carries no checksums (the PNG tier is
   * the checksummed one); corruption safety is structural — IFD bounds,
@@ -250,40 +254,54 @@ object TiffCodec {
   // ---- encoder (fixture/query side) ----------------------------------------
 
   /** Compression selector for [[encode]]: 1 = none, 5 = LZW,
-    * 32773 = PackBits. */
+    * 32773 = PackBits.  `tileW`/`tileH` > 0 switch to the §15 TILED
+    * layout (multiples of 16, edge tiles padded to full size).
+    * `palette` non-null switches to photometric 3: rgb()'s r-value is
+    * the 8-bit INDEX and `palette` is the 256-entry 8-bit RGB table,
+    * written as the spec's 16-bit ColorMap (v·257 = v<<8|v, so the
+    * decoder's >>8 recovers v exactly). */
   def encode(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
       gray: Boolean = false, compression: Int = 1, predictor: Int = 1,
-      rowsPerStrip: Int = 0, bigEndian: Boolean = false): Array[Byte] = {
+      rowsPerStrip: Int = 0, bigEndian: Boolean = false,
+      tileW: Int = 0, tileH: Int = 0,
+      palette: Array[(Int, Int, Int)] = null): Array[Byte] = {
     require(w > 0 && h > 0, "bad dims")
+    // ImageWidth/ImageLength are written as SHORT IFD values — larger
+    // dims would silently truncate (the decoder guards this too)
+    require(w <= 65535 && h <= 65535, s"dims ${w}x$h exceed SHORT range")
     require(compression == 1 || compression == 5 || compression == 32773,
       s"compression $compression")
     require(predictor == 1 || (predictor == 2 && compression == 5),
       "predictor 2 is only meaningful under LZW")
-    val spp = if (gray) 1 else 3
-    val rps = if (rowsPerStrip <= 0) h else rowsPerStrip
+    val tiled = tileW > 0 || tileH > 0
+    if (tiled)
+      require(tileW > 0 && tileW % 16 == 0 && tileH > 0 && tileH % 16 == 0,
+        s"tile dims ${tileW}x$tileH must be positive multiples of 16 (§15)")
+    if (palette != null)
+      require(palette.length == 256 && !gray,
+        "palette must have 256 entries (and excludes gray)")
+    val indexed = palette != null
+    val spp = if (gray || indexed) 1 else 3
     val stride = w * spp
     val raw = new Array[Byte](h * stride)
     for (y <- 0 until h; x <- 0 until w) {
       val (r, g, b) = rgb(x, y)
-      if (gray) raw(y * stride + x) = r.toByte
+      if (spp == 1) raw(y * stride + x) = r.toByte
       else {
         raw(y * stride + x * 3) = r.toByte
         raw(y * stride + x * 3 + 1) = g.toByte
         raw(y * stride + x * 3 + 2) = b.toByte
       }
     }
-    val nStrips = (h + rps - 1) / rps
-    val strips = (0 until nStrips).map { s =>
-      val y0 = s * rps
-      val rows = math.min(rps, h - y0)
-      val body = java.util.Arrays.copyOfRange(raw, y0 * stride,
-        (y0 + rows) * stride)
+    // one compressed segment per strip or per tile (predictor runs per
+    // SEGMENT row — stride w·spp for strips, tileW·spp for tiles)
+    def compress(body: Array[Byte], rows: Int, rowLen: Int): Array[Byte] = {
       if (predictor == 2)
         for (r <- 0 until rows) {
-          val row = java.util.Arrays.copyOfRange(body, r * stride,
-            (r + 1) * stride)
+          val row = java.util.Arrays.copyOfRange(body, r * rowLen,
+            (r + 1) * rowLen)
           predictorForward(row, spp)
-          System.arraycopy(row, 0, body, r * stride, stride)
+          System.arraycopy(row, 0, body, r * rowLen, rowLen)
         }
       compression match {
         case 1 => body
@@ -291,17 +309,49 @@ object TiffCodec {
         case _ =>
           // TIFF 6.0 §9: each ROW must be compressed separately (runs
           // may not cross scanline boundaries); the packets concatenate
-          // into one strip stream
+          // into one segment stream
           val out = new java.io.ByteArrayOutputStream
           for (r <- 0 until rows) {
             val enc = packBitsEncode(java.util.Arrays.copyOfRange(body,
-              r * stride, (r + 1) * stride))
+              r * rowLen, (r + 1) * rowLen))
             out.write(enc, 0, enc.length)
           }
           out.toByteArray
       }
     }
-    // layout: header(8) + strips + IFD; IFD after data keeps offsets easy
+    val rps = if (rowsPerStrip <= 0) h else rowsPerStrip
+    val segments: IndexedSeq[Array[Byte]] =
+      if (!tiled) {
+        val nStrips = (h + rps - 1) / rps
+        (0 until nStrips).map { s =>
+          val y0 = s * rps
+          val rows = math.min(rps, h - y0)
+          compress(java.util.Arrays.copyOfRange(raw, y0 * stride,
+            (y0 + rows) * stride), rows, stride)
+        }
+      } else {
+        // §15: tiles row-major, EVERY tile full tileW×tileH — edge
+        // tiles padded (zeros) beyond the image
+        val across = (w + tileW - 1) / tileW
+        val down = (h + tileH - 1) / tileH
+        val tStride = tileW * spp
+        for (ty <- 0 until down; tx <- 0 until across) yield {
+          val body = new Array[Byte](tileH * tStride)
+          for (r <- 0 until tileH) {
+            val y = ty * tileH + r
+            if (y < h) {
+              val x0 = tx * tileW
+              val cols = math.min(tileW, w - x0)
+              if (cols > 0)
+                System.arraycopy(raw, y * stride + x0 * spp,
+                  body, r * tStride, cols * spp)
+            }
+          }
+          compress(body, tileH, tStride)
+        }
+      }
+    val nSeg = segments.length
+    // layout: header(8) + segments + IFD; IFD after data keeps offsets easy
     val out = new java.io.ByteArrayOutputStream
     val le = !bigEndian
     def w16(v: Int): Unit =
@@ -314,43 +364,64 @@ object TiffCodec {
         out.write((v >> 8) & 0xff); out.write(v & 0xff) }
     out.write(if (le) 'I' else 'M'); out.write(if (le) 'I' else 'M')
     w16(42)
-    val stripOffsets = new Array[Int](nStrips)
+    val segOffsets = new Array[Int](nSeg)
     var off = 8
-    for (s <- 0 until nStrips) { stripOffsets(s) = off; off += strips(s).length }
+    for (s <- 0 until nSeg) { segOffsets(s) = off; off += segments(s).length }
     // TIFF 6.0: out-of-line values and the IFD must start on a WORD
-    // boundary — pad after odd-length compressed strips
+    // boundary — pad after odd-length compressed segments
     val pad = off & 1
     off += pad
     // BitsPerSample for RGB needs 3 SHORTs = 6 bytes > 4 → out-of-line
     val bpsOffset = off
     if (spp == 3) off += 6
-    // strip offset/count arrays out-of-line when nStrips > 1
+    // ColorMap: 3 × 256 SHORTs out-of-line
+    val cmOffset = off
+    if (indexed) off += 3 * 256 * 2
+    // segment offset/count arrays out-of-line when nSeg > 1
     val soOffset = off
-    if (nStrips > 1) off += 4 * nStrips
+    if (nSeg > 1) off += 4 * nSeg
     val scOffset = off
-    if (nStrips > 1) off += 4 * nStrips
+    if (nSeg > 1) off += 4 * nSeg
     val ifdOffset = off
     w32(ifdOffset)
-    strips.foreach(s => out.write(s, 0, s.length))
+    segments.foreach(s => out.write(s, 0, s.length))
     if (pad == 1) out.write(0)
     if (spp == 3) { w16(8); w16(8); w16(8) }
-    if (nStrips > 1) stripOffsets.foreach(w32)
-    if (nStrips > 1) strips.foreach(s => w32(s.length))
+    if (indexed) // spec plane order: all R, all G, all B
+      for (plane <- 0 until 3; i <- 0 until 256) {
+        val e = palette(i)
+        val v8 = plane match {
+          case 0 => e._1; case 1 => e._2; case _ => e._3
+        }
+        w16(v8 * 257)
+      }
+    if (nSeg > 1) segOffsets.foreach(w32)
+    if (nSeg > 1) segments.foreach(s => w32(s.length))
     // IFD entries, ascending tag order as the spec requires
     case class E(tag: Int, typ: Int, count: Int, value: Int)
-    val entries = Seq(
+    val photo = if (indexed) 3 else if (gray) 1 else 2
+    val common = Seq(
       E(256, 3, 1, w),                       // ImageWidth SHORT
       E(257, 3, 1, h),                       // ImageLength
       if (spp == 3) E(258, 3, 3, bpsOffset) else E(258, 3, 1, 8),
       E(259, 3, 1, compression),
-      E(262, 3, 1, if (gray) 1 else 2),      // BlackIsZero / RGB
-      E(273, 4, nStrips,
-        if (nStrips > 1) soOffset else stripOffsets(0)),
-      E(277, 3, 1, spp),
-      E(278, 3, 1, rps),
-      E(279, 4, nStrips,
-        if (nStrips > 1) scOffset else strips(0).length)) ++
-      (if (predictor == 2) Seq(E(317, 3, 1, 2)) else Nil)
+      E(262, 3, 1, photo))
+    val segEntries =
+      if (!tiled) Seq(
+        E(273, 4, nSeg, if (nSeg > 1) soOffset else segOffsets(0)),
+        E(277, 3, 1, spp),
+        E(278, 3, 1, rps),
+        E(279, 4, nSeg, if (nSeg > 1) scOffset else segments(0).length))
+      else Seq(
+        E(277, 3, 1, spp),
+        E(322, 3, 1, tileW),
+        E(323, 3, 1, tileH),
+        E(324, 4, nSeg, if (nSeg > 1) soOffset else segOffsets(0)),
+        E(325, 4, nSeg, if (nSeg > 1) scOffset else segments(0).length))
+    val entries = (common ++ segEntries ++
+      (if (predictor == 2) Seq(E(317, 3, 1, 2)) else Nil) ++
+      (if (indexed) Seq(E(320, 3, 3 * 256, cmOffset)) else Nil))
+      .sortBy(_.tag)
     w16(entries.length)
     entries.foreach { e =>
       w16(e.tag); w16(e.typ); w32(e.count)
@@ -362,16 +433,24 @@ object TiffCodec {
     out.toByteArray
   }
 
-  /** [[ImageCodec.grayFromBytes]]'s pixel map in a TIFF container. */
+  /** [[ImageCodec.grayFromBytes]]'s pixel map in a TIFF container.
+    * `tileW`/`tileH` switch to the tiled layout; `asPalette` writes the
+    * same pixels as photometric-3 indices through the identity gray
+    * ColorMap (v·257 entries, so the decode is pixel-identical — the
+    * indirection itself is proven by R18TiffSpec's inverted palette). */
   def grayTiff(w: Int, h: Int, src: Array[Byte], compression: Int,
       predictor: Int = 1, bigEndian: Boolean = false,
-      rowsPerStrip: Int = 0): Array[Byte] = {
+      rowsPerStrip: Int = 0, tileW: Int = 0, tileH: Int = 0,
+      asPalette: Boolean = false): Array[Byte] = {
     require(src.nonEmpty, "empty source bytes")
     encode(w, h, (x, y) => {
       val v = src((y * w + x) % src.length) & 0xff
       (v, v, v)
-    }, gray = true, compression = compression, predictor = predictor,
-      rowsPerStrip = rowsPerStrip, bigEndian = bigEndian)
+    }, gray = !asPalette, compression = compression, predictor = predictor,
+      rowsPerStrip = rowsPerStrip, bigEndian = bigEndian,
+      tileW = tileW, tileH = tileH,
+      palette = if (asPalette) Array.tabulate(256)(i => (i, i, i))
+        else null)
   }
 
   // ---- decoder -------------------------------------------------------------
@@ -391,7 +470,10 @@ object TiffCodec {
     var rps = Int.MaxValue; var predictor = 1; var bps = 8
     var soType = 0; var soCount = 0; var soValue = 0L
     var scType = 0; var scCount = 0; var scValue = 0L
-    val typeSize = Map(1 -> 1, 3 -> 2, 4 -> 4)
+    var tileW = 0; var tileH = 0
+    var toType = 0; var toCount = 0; var toValue = 0L
+    var tcType = 0; var tcCount = 0; var tcValue = 0L
+    var cmOffset = -1; var cmCount = 0
     for (i <- 0 until n) {
       val e = ifdOff.toInt + 2 + 12 * i
       val tag = rd.u16(e)
@@ -434,10 +516,16 @@ object TiffCodec {
         case 284 => require(scalar == 1,
           "planar configuration 2 unsupported")
         case 317 => predictor = scalar.toInt
-        case 320 => throw new IllegalArgumentException(
-          "palette TIFF unsupported")
-        case 322 | 323 => throw new IllegalArgumentException(
-          "tiled TIFF unsupported")
+        case 320 =>
+          require(typ == 3, "ColorMap must be SHORT")
+          cmCount = cnt.toInt
+          cmOffset = rd.u32(e + 8).toInt // 1536 bytes: never inline
+        case 322 => tileW = scalar.toInt
+        case 323 => tileH = scalar.toInt
+        case 324 => toType = typ; toCount = cnt.toInt; toValue =
+          if (cnt == 1) scalar else rd.u32(e + 8)
+        case 325 => tcType = typ; tcCount = cnt.toInt; tcValue =
+          if (cnt == 1) scalar else rd.u32(e + 8)
         case 266 => require(scalar == 1, "FillOrder 2 unsupported")
         case _ => () // ancillary tags skipped
       }
@@ -447,65 +535,124 @@ object TiffCodec {
     require(w <= 65535 && h <= 65535 && w.toLong * h * spp <= Int.MaxValue,
       s"TIFF dims ${w}x$h too large")
     require(bps == 8, "only 8-bit TIFF supported")
-    require(photo == 1 || photo == 2,
-      s"only BlackIsZero/RGB TIFF supported, got photometric $photo")
-    require((photo == 1 && spp == 1) || (photo == 2 && spp == 3),
+    require(photo == 1 || photo == 2 || photo == 3,
+      s"only BlackIsZero/RGB/palette TIFF supported, got photometric $photo")
+    require((photo == 1 && spp == 1) || (photo == 2 && spp == 3) ||
+      (photo == 3 && spp == 1),
       s"photometric $photo inconsistent with $spp samples/pixel")
+    require(photo != 3 || cmOffset >= 0,
+      "palette TIFF missing ColorMap (tag 320)")
+    require(photo == 3 || cmOffset < 0,
+      "ColorMap present on non-palette photometric")
     require(comp == 1 || comp == 5 || comp == 32773,
       s"unsupported TIFF compression $comp")
     require(predictor == 1 || predictor == 2,
       s"unsupported TIFF predictor $predictor")
     require(predictor == 1 || comp == 5,
       "predictor without LZW compression")
-    // absent RowsPerStrip defaults to 2^32-1 (one strip per spec);
-    // clamp to h so (h + rps - 1) cannot overflow Int
-    if (rps <= 0 || rps > h) rps = h
-    val nStrips = (h + rps - 1) / rps
-    require(soCount == nStrips && scCount == nStrips,
-      s"strip count mismatch: offsets $soCount, counts $scCount, " +
-        s"expected $nStrips")
-    def arr32(typ: Int, cnt: Int, value: Long): Array[Long] =
+    // §15: an IFD carries either the strip tags or the tile tags
+    val tiled = tileW > 0 || tileH > 0 || toCount > 0 || tcCount > 0
+    if (tiled)
+      require(soCount == 0 && scCount == 0,
+        "IFD mixes strip and tile tags")
+    // strip/tile offset+count arrays are SHORT or LONG only — BYTE-typed
+    // arrays would be bounds-checked at 1 byte/entry but read 4
+    def arr32(typ: Int, cnt: Int, value: Long, what: String): Array[Long] =
       if (cnt == 1) Array(value)
       else {
-        val sz = typeSize.getOrElse(typ,
-          throw new IllegalArgumentException(s"bad strip array type $typ"))
+        require(typ == 3 || typ == 4, s"bad $what array type $typ")
+        val sz = if (typ == 3) 2 else 4
         val base = value.toInt
         require(base >= 0 && base + sz.toLong * cnt <= b.length,
-          "truncated strip array")
+          s"truncated $what array")
         Array.tabulate(cnt)(j =>
           if (typ == 3) rd.u16(base + 2 * j).toLong else rd.u32(base + 4 * j))
       }
-    val offsets = arr32(soType, soCount, soValue)
-    val counts = arr32(scType, scCount, scValue)
     val stride = w * spp
     val raw = new Array[Byte](h * stride)
-    for (s <- 0 until nStrips) {
-      val y0 = s * rps
-      val rows = math.min(rps, h - y0)
-      val expect = rows * stride
-      val off = offsets(s)
-      val len = counts(s)
+    // decompress one segment to `expect` bytes and undo the per-row
+    // predictor at the segment's own row length
+    def decodeSegment(off: Long, len: Long, expect: Int, rows: Int,
+        rowLen: Int, what: String): Array[Byte] = {
       require(off >= 0 && len >= 0 && off + len <= b.length,
-        s"strip $s out of bounds")
+        s"$what out of bounds")
       val comp0 = java.util.Arrays.copyOfRange(b, off.toInt,
         (off + len).toInt)
       val body = comp match {
         case 1 =>
           require(comp0.length == expect,
-            s"uncompressed strip $s length ${comp0.length} != $expect")
+            s"uncompressed $what length ${comp0.length} != $expect")
           comp0
         case 5 => lzwDecode(comp0, expect)
         case _ => packBitsDecode(comp0, expect)
       }
       if (predictor == 2)
         for (r <- 0 until rows) {
-          val row = java.util.Arrays.copyOfRange(body, r * stride,
-            (r + 1) * stride)
+          val row = java.util.Arrays.copyOfRange(body, r * rowLen,
+            (r + 1) * rowLen)
           predictorInverse(row, spp)
-          System.arraycopy(row, 0, body, r * stride, stride)
+          System.arraycopy(row, 0, body, r * rowLen, rowLen)
         }
-      System.arraycopy(body, 0, raw, y0 * stride, expect)
+      body
     }
+    if (!tiled) {
+      // absent RowsPerStrip defaults to 2^32-1 (one strip per spec);
+      // clamp to h so (h + rps - 1) cannot overflow Int
+      if (rps <= 0 || rps > h) rps = h
+      val nStrips = (h + rps - 1) / rps
+      require(soCount == nStrips && scCount == nStrips,
+        s"strip count mismatch: offsets $soCount, counts $scCount, " +
+          s"expected $nStrips")
+      val offsets = arr32(soType, soCount, soValue, "strip offset")
+      val counts = arr32(scType, scCount, scValue, "strip count")
+      for (s <- 0 until nStrips) {
+        val y0 = s * rps
+        val rows = math.min(rps, h - y0)
+        val expect = rows * stride
+        val body = decodeSegment(offsets(s), counts(s), expect, rows,
+          stride, s"strip $s")
+        System.arraycopy(body, 0, raw, y0 * stride, expect)
+      }
+    } else {
+      // §15: TileWidth/TileLength in multiples of 16, tiles row-major,
+      // edge tiles padded to full size — only the image intersection
+      // lands in the raster
+      require(tileW > 0 && tileW % 16 == 0 && tileH > 0 && tileH % 16 == 0,
+        s"tile dims ${tileW}x$tileH must be positive multiples of 16")
+      require(tileW.toLong * tileH * spp <= Int.MaxValue, "tile too large")
+      val across = (w + tileW - 1) / tileW
+      val down = (h + tileH - 1) / tileH
+      val nTiles = across * down
+      require(toCount == nTiles && tcCount == nTiles,
+        s"tile count mismatch: offsets $toCount, counts $tcCount, " +
+          s"expected $nTiles")
+      val offsets = arr32(toType, toCount, toValue, "tile offset")
+      val counts = arr32(tcType, tcCount, tcValue, "tile count")
+      val tStride = tileW * spp
+      for (ty <- 0 until down; tx <- 0 until across) {
+        val t = ty * across + tx
+        val body = decodeSegment(offsets(t), counts(t), tileH * tStride,
+          tileH, tStride, s"tile $t")
+        val x0 = tx * tileW
+        val cols = math.min(tileW, w - x0)
+        for (r <- 0 until tileH) {
+          val y = ty * tileH + r
+          if (y < h && cols > 0)
+            System.arraycopy(body, r * tStride, raw, y * stride + x0 * spp,
+              cols * spp)
+        }
+      }
+    }
+    // palette indirection: spec ColorMap is 3 planes (R,G,B) of 2^bps
+    // 16-bit values; 8-bit via >>8
+    val cm: Array[Int] =
+      if (photo != 3) null
+      else {
+        require(cmCount == 3 * 256, s"ColorMap count $cmCount != 768")
+        require(cmOffset >= 0 && cmOffset + 1536 <= b.length,
+          "truncated ColorMap")
+        Array.tabulate(3 * 256)(j => rd.u16(cmOffset + 2 * j) >> 8)
+      }
     val sums = new Array[Int](w * h)
     var i = 0
     while (i < w * h) {
@@ -513,7 +660,10 @@ object TiffCodec {
         if (spp == 3)
           (raw(i * 3) & 0xff) + (raw(i * 3 + 1) & 0xff) +
             (raw(i * 3 + 2) & 0xff)
-        else 3 * (raw(i) & 0xff)
+        else if (photo == 3) {
+          val idx = raw(i) & 0xff
+          cm(idx) + cm(256 + idx) + cm(512 + idx)
+        } else 3 * (raw(i) & 0xff)
       i += 1
     }
     ImageCodec.Raster(w, h, sums)

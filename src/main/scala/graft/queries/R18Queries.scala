@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{AudioCodec, FlacCodec, MultimodalOps}
+import graft.ops.{AudioCodec, FlacCodec, ImageCodec, MultimodalOps,
+  TiffCodec}
 
 /** Round-18: the real-world codec shapes the r17 verdict ranked next.
   *
@@ -17,6 +18,16 @@ import graft.ops.{AudioCodec, FlacCodec, MultimodalOps}
   *    integer-exact, the downmix of two even multiples of 256 is exact,
   *    and a decoder slipping any bit of any mode's side-channel
   *    reconstruction fails MD5 first and the hash compare second.
+  *
+  *  - `mm_tiff_tiled`: the §15 TILED layout + palette TIFF over a
+  *    24×24 raster (so every container has real multi-tile grids with
+  *    ragged 8-pixel edges: 24 = 16 + 8).  Cycling by doc_id % 5 —
+  *    16×16 LE uncompressed, 16×16 BE LZW, 16×16 LE LZW+predictor-2,
+  *    32×16 BE PackBits, and 16×16 LE through the identity-gray
+  *    ColorMap (photometric 3).  Lossless, so the oracle replays
+  *    kernel(4,4) block means straight from the text — any tile
+  *    mis-stride, edge-padding slip, or palette misread fails the
+  *    hash compare.
   */
 object R18Queries {
 
@@ -39,6 +50,36 @@ object R18Queries {
           col("n_samples"), posexplode(col("features")))
         .select(col("doc_id"), col("mode_class"), col("sample_rate"),
           col("n_samples"), col("pos").cast("long").as("j"),
+          round(col("col"), 6).as("feat"))
+    }),
+
+    "mm_tiff_tiled" -> ((s, dir) => {
+      val toTiff = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        (id % 5) match {
+          case 0 => TiffCodec.grayTiff(24, 24, src, compression = 1,
+            tileW = 16, tileH = 16)
+          case 1 => TiffCodec.grayTiff(24, 24, src, compression = 5,
+            bigEndian = true, tileW = 16, tileH = 16)
+          case 2 => TiffCodec.grayTiff(24, 24, src, compression = 5,
+            predictor = 2, tileW = 16, tileH = 16)
+          case 3 => TiffCodec.grayTiff(24, 24, src, compression = 32773,
+            bigEndian = true, tileW = 32, tileH = 16)
+          case _ => TiffCodec.grayTiff(24, 24, src, compression = 1,
+            tileW = 16, tileH = 16, asPalette = true)
+        }
+      })
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toTiff(col("doc_id"), col("text")))
+      MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+        ImageCodec.kernel(4, 4)).toDF()
+        .select(col("doc_id"),
+          (col("doc_id") % 5).cast("long").as("container_class"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("container_class"), col("width"),
+          col("height"), col("pos").cast("long").as("j"),
           round(col("col"), 6).as("feat"))
     })
   )
@@ -65,6 +106,27 @@ object R18Queries {
       |    round(sum(av)::DOUBLE / count(*), 6) AS feat
       |  FROM fsv GROUP BY 1, 2)""".stripMargin
 
+  /** kernel(4,4) block means of the 24×24 raster recomputed from the
+    * text: pixel v(x,y) = ascii(text[(y·24+x) mod len]); 6×6 cells →
+    * 16 exact 36-pixel means (same IEEE division both sides). */
+  private val Tiff24FeatSql =
+    """t24a AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g')
+      |    AS text FROM documents),
+      |t24y AS (SELECT doc_id, text, unnest(generate_series(0, 23)) AS y
+      |  FROM t24a),
+      |t24xy AS (SELECT doc_id, text, y,
+      |    unnest(generate_series(0, 23)) AS x
+      |  FROM t24y),
+      |t24v AS (
+      |  SELECT doc_id, (y // 6) AS gy, (x // 6) AS gx,
+      |    ascii(substr(text, (((y * 24 + x) % length(text)) + 1)::INT, 1))
+      |      AS v
+      |  FROM t24xy),
+      |t24f AS (
+      |  SELECT doc_id, (gy * 4 + gx)::BIGINT AS j,
+      |    round(sum(v)::DOUBLE / count(*), 6) AS feat
+      |  FROM t24v GROUP BY 1, 2)""".stripMargin
+
   def oracles: Map[String, String] = Map(
 
     "mm_flac_stereo" ->
@@ -72,6 +134,12 @@ object R18Queries {
          |SELECT doc_id, (doc_id % 5)::BIGINT AS mode_class,
          |  16000::BIGINT AS sample_rate, 256::BIGINT AS n_samples,
          |  j, feat
-         |FROM fsf""".stripMargin
+         |FROM fsf""".stripMargin,
+
+    "mm_tiff_tiled" ->
+      s"""WITH $Tiff24FeatSql
+         |SELECT doc_id, (doc_id % 5)::BIGINT AS container_class,
+         |  24::BIGINT AS width, 24::BIGINT AS height, j, feat
+         |FROM t24f""".stripMargin
   )
 }
