@@ -84,12 +84,18 @@ object ImageCodec {
     * and per-row filter — so one corpus sweep exercises the compressed
     * path (chunk walk, CRC, inflate, unfilter) with every filter kind. */
   def grayPng(w: Int, h: Int, src: Array[Byte], colorType: Int,
-      filter: Int, interlace: Boolean = false): Array[Byte] = {
+      filter: Int, interlace: Boolean = false,
+      depth: Int = 8): Array[Byte] = {
     require(src.nonEmpty, "empty source bytes")
     encodePng(w, h, (x, y) => {
       val v = src((y * w + x) % src.length) & 0xff
       (v, v, v)
-    }, colorType, filter, interlace)
+    }, colorType, filter, interlace, depth,
+      // color type 3: pixel v doubles as the index through the identity
+      // gray palette (the indirection itself is proven in the spec with
+      // an inverted palette)
+      palette = if (colorType == 3) Array.tabulate(256)(i => (i, i, i))
+        else null)
   }
 
   // ---- PNG (the first COMPRESSED container in the tier) -------------------
@@ -203,27 +209,54 @@ object ImageCodec {
     raw
   }
 
-  /** 8-bit PNG: color type 2 (RGB) or 0 (gray — encodes the r channel;
-    * callers pass gray content).  Every scanline carries `filter`
+  /** PNG: color type 2 (RGB), 0 (gray — encodes the r channel; callers
+    * pass gray content) or 3 (PALETTE — rgb()'s r-value is the 8-bit
+    * index into the 256-entry `palette`, written as the PLTE chunk).
+    * `depth` 8 or 16 (gray/truecolor only): 16-bit samples are written
+    * big-endian per spec with the HIGH byte the 8-bit value and a
+    * deterministic non-equal low byte ((v·131+17) mod 256), so the
+    * decoder's high-byte projection is PROVEN, not coincidental.
+    * Every scanline carries `filter`
     * (0=None 1=Sub 2=Up 3=Average 4=Paeth) so tests can exercise each
     * filter's encode→decode round trip, not just the trivial one.
     * `interlace` writes the Adam7 container (seven sub-image passes,
     * each filtered independently — the progressive-download shape). */
   def encodePng(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
-      colorType: Int = 2, filter: Int = 0,
-      interlace: Boolean = false): Array[Byte] = {
+      colorType: Int = 2, filter: Int = 0, interlace: Boolean = false,
+      depth: Int = 8,
+      palette: Array[(Int, Int, Int)] = null): Array[Byte] = {
     require(w > 0 && h > 0, "bad dims")
-    require(colorType == 0 || colorType == 2, s"color type $colorType")
+    require(colorType == 0 || colorType == 2 || colorType == 3,
+      s"color type $colorType")
+    require(depth == 8 || depth == 16, s"depth $depth")
+    require(depth == 8 || colorType != 3, "palette PNG is 8-bit only")
+    require((colorType == 3) == (palette != null),
+      "palette required iff color type 3")
+    if (palette != null)
+      require(palette.length == 256, "palette must have 256 entries")
     require(filter >= 0 && filter <= 4, s"filter $filter")
-    val bpp = if (colorType == 2) 3 else 1
+    val bpp = colorType match {
+      case 2 => 3 * depth / 8
+      case 0 => depth / 8
+      case _ => 1
+    }
+    def lo16(v: Int): Byte = ((v * 131 + 17) & 0xff).toByte
     // raw scanlines, then per-row filtering against the previous raw row
     val raw = Array.ofDim[Byte](h, w * bpp)
     for (y <- 0 until h; x <- 0 until w) {
       val (r, g, b) = rgb(x, y)
-      if (colorType == 2) {
-        raw(y)(x * 3) = r.toByte; raw(y)(x * 3 + 1) = g.toByte
-        raw(y)(x * 3 + 2) = b.toByte
-      } else raw(y)(x) = r.toByte
+      colorType match {
+        case 2 if depth == 8 =>
+          raw(y)(x * 3) = r.toByte; raw(y)(x * 3 + 1) = g.toByte
+          raw(y)(x * 3 + 2) = b.toByte
+        case 2 =>
+          raw(y)(x * 6) = r.toByte; raw(y)(x * 6 + 1) = lo16(r)
+          raw(y)(x * 6 + 2) = g.toByte; raw(y)(x * 6 + 3) = lo16(g)
+          raw(y)(x * 6 + 4) = b.toByte; raw(y)(x * 6 + 5) = lo16(b)
+        case 0 if depth == 8 => raw(y)(x) = r.toByte
+        case 0 => raw(y)(x * 2) = r.toByte; raw(y)(x * 2 + 1) = lo16(r)
+        case _ => raw(y)(x) = r.toByte // palette index
+      }
     }
     val filtered: Array[Byte] =
       if (!interlace) filterRows(raw, bpp, filter)
@@ -254,12 +287,21 @@ object ImageCodec {
     deflater.end()
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(w).putInt(h)
-    ihdr.put(8.toByte).put(colorType.toByte) // bit depth, color type
+    ihdr.put(depth.toByte).put(colorType.toByte)
     ihdr.put(0.toByte).put(0.toByte) // deflate, filter method 0
     ihdr.put((if (interlace) 1 else 0).toByte)
     val out = new java.io.ByteArrayOutputStream
     out.write(PngSig, 0, PngSig.length)
     chunk(out, "IHDR", ihdr.array())
+    if (colorType == 3) {
+      val plte = new Array[Byte](768)
+      for (i <- 0 until 256) {
+        plte(3 * i) = palette(i)._1.toByte
+        plte(3 * i + 1) = palette(i)._2.toByte
+        plte(3 * i + 2) = palette(i)._3.toByte
+      }
+      chunk(out, "PLTE", plte)
+    }
     chunk(out, "IDAT", zout.toByteArray)
     chunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
@@ -270,6 +312,8 @@ object ImageCodec {
       java.util.Arrays.copyOf(b, 8), PngSig), "bad PNG signature")
     var p = 8
     var w = 0; var h = 0; var colorType = -1; var interlace = 0
+    var depth = 8
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream
     var sawEnd = false
     while (!sawEnd) {
@@ -286,18 +330,31 @@ object ImageCodec {
         case "IHDR" =>
           val hb = java.nio.ByteBuffer.wrap(b, p + 8, len)
           w = hb.getInt; h = hb.getInt
-          val depth = hb.get() & 0xff
+          depth = hb.get() & 0xff
           colorType = hb.get() & 0xff
           val (comp, filt, ilace) =
             (hb.get() & 0xff, hb.get() & 0xff, hb.get() & 0xff)
           require(w > 0 && h > 0, s"bad PNG dims ${w}x$h")
-          require(depth == 8, s"only 8-bit PNG supported, got depth $depth")
-          require(colorType == 0 || colorType == 2,
-            s"only gray/truecolor PNG supported, got color type $colorType")
+          require(colorType == 0 || colorType == 2 || colorType == 3,
+            s"only gray/truecolor/palette PNG supported, got color " +
+              s"type $colorType")
+          require(depth == 8 || (depth == 16 && colorType != 3),
+            s"unsupported PNG depth $depth for color type $colorType")
           require(comp == 0 && filt == 0, "bad PNG compression/filter method")
           require(ilace == 0 || ilace == 1,
             s"bad PNG interlace method $ilace")
           interlace = ilace
+        case "PLTE" =>
+          // spec: PLTE is required for type 3, optional (suggested
+          // quantization) for truecolor, ILLEGAL for grayscale; and it
+          // must precede IDAT
+          require(colorType == 2 || colorType == 3,
+            s"PLTE illegal for color type $colorType")
+          require(idat.size == 0, "PLTE after IDAT")
+          require(len > 0 && len % 3 == 0 && len <= 768,
+            s"bad PLTE length $len")
+          if (colorType == 3)
+            plte = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
         case "IDAT" => idat.write(b, p + 8, len)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks skipped (CRC still verified above)
@@ -305,7 +362,12 @@ object ImageCodec {
       p += 12 + len
     }
     require(colorType >= 0, "PNG missing IHDR")
-    val bpp = if (colorType == 2) 3 else 1
+    require(colorType != 3 || plte != null, "palette PNG missing PLTE")
+    val bpp = colorType match {
+      case 2 => 3 * depth / 8
+      case 0 => depth / 8
+      case _ => 1
+    }
     val stride = w * bpp
     val expected =
       if (interlace == 0) h * (1 + stride)
@@ -359,11 +421,24 @@ object ImageCodec {
     while (y < h) {
       var x = 0
       while (x < w) {
-        sums(y * w + x) =
-          if (colorType == 2)
+        // 16-bit samples project to 8-bit via the HIGH byte (big-endian
+        // per spec — the standard 16→8 reduction)
+        sums(y * w + x) = colorType match {
+          case 2 if depth == 8 =>
             (raw(y)(x * 3) & 0xff) + (raw(y)(x * 3 + 1) & 0xff) +
               (raw(y)(x * 3 + 2) & 0xff)
-          else 3 * (raw(y)(x) & 0xff)
+          case 2 =>
+            (raw(y)(x * 6) & 0xff) + (raw(y)(x * 6 + 2) & 0xff) +
+              (raw(y)(x * 6 + 4) & 0xff)
+          case 0 if depth == 8 => 3 * (raw(y)(x) & 0xff)
+          case 0 => 3 * (raw(y)(x * 2) & 0xff)
+          case _ =>
+            val i3 = 3 * (raw(y)(x) & 0xff)
+            // an index beyond the palette's entry count is corrupt
+            require(i3 + 2 < plte.length,
+              s"PNG palette index ${i3 / 3} beyond PLTE")
+            (plte(i3) & 0xff) + (plte(i3 + 1) & 0xff) + (plte(i3 + 2) & 0xff)
+        }
         x += 1
       }
       y += 1

@@ -28,6 +28,14 @@ import graft.ops.{AudioCodec, FlacCodec, ImageCodec, MultimodalOps,
   *    kernel(4,4) block means straight from the text — any tile
   *    mis-stride, edge-padding slip, or palette misread fails the
   *    hash compare.
+  *
+  *  - `mm_png_shapes`: the two most common real-world PNG shapes the
+  *    r17 tier still rejected — PALETTE (color type 3 + PLTE) and
+  *    16-BIT depth (gray and truecolor; samples big-endian with a
+  *    deterministic non-equal low byte, so the high-byte projection
+  *    is proven) — cycling by doc_id % 5 with Adam7 combinations; the
+  *    row filter still cycles by doc_id % 5 underneath.  Same
+  *    hash-exact text-replay oracle as the 8-bit tier.
   */
 object R18Queries {
 
@@ -79,6 +87,37 @@ object R18Queries {
           col("height").cast("long").as("height"),
           posexplode(col("features")))
         .select(col("doc_id"), col("container_class"), col("width"),
+          col("height"), col("pos").cast("long").as("j"),
+          round(col("col"), 6).as("feat"))
+    }),
+
+    "mm_png_shapes" -> ((s, dir) => {
+      val toPng = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        val f = (id % 5).toInt
+        (id % 5) match {
+          case 0 => ImageCodec.grayPng(8, 8, src, colorType = 3,
+            filter = f)
+          case 1 => ImageCodec.grayPng(8, 8, src, colorType = 0,
+            filter = f, depth = 16)
+          case 2 => ImageCodec.grayPng(8, 8, src, colorType = 2,
+            filter = f, depth = 16)
+          case 3 => ImageCodec.grayPng(8, 8, src, colorType = 3,
+            filter = f, interlace = true)
+          case _ => ImageCodec.grayPng(8, 8, src, colorType = 0,
+            filter = f, interlace = true, depth = 16)
+        }
+      })
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toPng(col("doc_id"), col("text")))
+      MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+        ImageCodec.kernel(4, 4)).toDF()
+        .select(col("doc_id"),
+          (col("doc_id") % 5).cast("long").as("shape_class"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("shape_class"), col("width"),
           col("height"), col("pos").cast("long").as("j"),
           round(col("col"), 6).as("feat"))
     })
@@ -140,6 +179,12 @@ object R18Queries {
       s"""WITH $Tiff24FeatSql
          |SELECT doc_id, (doc_id % 5)::BIGINT AS container_class,
          |  24::BIGINT AS width, 24::BIGINT AS height, j, feat
-         |FROM t24f""".stripMargin
+         |FROM t24f""".stripMargin,
+
+    "mm_png_shapes" ->
+      s"""WITH ${R16bQueries.RealFeatSql}
+         |SELECT doc_id, (doc_id % 5)::BIGINT AS shape_class,
+         |  8::BIGINT AS width, 8::BIGINT AS height, j, feat
+         |FROM rf""".stripMargin
   )
 }

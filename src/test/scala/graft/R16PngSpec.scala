@@ -119,14 +119,21 @@ class R16PngSpec extends AnyFunSuite {
       ImageCodec.encodePng(4, 4, px, colorType = 6))
     intercept[IllegalArgumentException](
       ImageCodec.encodePng(4, 4, px, filter = 5))
-    // palette color type in IHDR rejected at decode
+    // gray+alpha color type in IHDR rejected at decode (palette became
+    // a supported type in r18 — its missing-PLTE failure is separate)
     val ok = ImageCodec.encodePng(4, 4, px)
-    val pal = ok.clone(); pal(25) = 3.toByte // color type byte
+    val ga = ok.clone(); ga(25) = 4.toByte // color type byte
     // fix the IHDR CRC so the color-type check (not CRC) fires
-    val c = new java.util.zip.CRC32; c.update(pal, 12, 4 + 13)
-    java.nio.ByteBuffer.wrap(pal, 12 + 4 + 13, 4).putInt(c.getValue.toInt)
-    val e = intercept[IllegalArgumentException](ImageCodec.decode(pal))
+    val c = new java.util.zip.CRC32; c.update(ga, 12, 4 + 13)
+    java.nio.ByteBuffer.wrap(ga, 12 + 4 + 13, 4).putInt(c.getValue.toInt)
+    val e = intercept[IllegalArgumentException](ImageCodec.decode(ga))
     assert(e.getMessage.contains("color type"))
+    // type 3 without a PLTE is the palette tier's own fail-loud shape
+    val pal = ok.clone(); pal(25) = 3.toByte
+    val c2 = new java.util.zip.CRC32; c2.update(pal, 12, 4 + 13)
+    java.nio.ByteBuffer.wrap(pal, 12 + 4 + 13, 4).putInt(c2.getValue.toInt)
+    assert(intercept[IllegalArgumentException](
+      ImageCodec.decode(pal)).getMessage.contains("PLTE"))
     assert(ImageCodec.decode(ok).width === 4)
   }
 
