@@ -74,6 +74,88 @@ object Bench {
     println(s"""{"metric":"isolated","unit":"sec","reps":$reps,"queries":$out,"sf":"$sfDir"}""")
   }
 
+  /** The throughput headliner set BASELINE.md comparisons quote. */
+  private val HeadlinerSet = Seq("o1_streaming", "o2_block_shuffle",
+    "o3_weighted_replace", "o4_class_balanced", "pipeline_block",
+    "b2_buffer_shuffle")
+
+  /** Child mode `--headliners [--reps N]`: samples/sec for the headliner
+    * queries + the prefetched sink, min-of-`reps`, printed as ONE JSON
+    * line.  Runs in its own fresh JVM (forked by the full run below), so
+    * the banked headline throughputs stop swinging 2× on whatever the
+    * contended 376-query pass happened to be doing — r17's "o1_streaming
+    * 617k→362k" was pure ambient noise the isolated re-measure cleared. */
+  private def runHeadliners(spark: SparkSession, sfDir: String,
+      reps: Int): Unit = {
+    val entries = HeadlinerSet.flatMap { k =>
+      val fn = SparkEntry.queries(k)
+      val samples = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val rows = fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        try graft.core.CacheScope.release() catch { case _: Throwable => () }
+        (sec, rows)
+      }
+      val best = samples.minBy(_._1)
+      if (best._2 > 0 && best._1 > 0)
+        Some("\"" + k + "\":" + math.round(best._2 / best._1))
+      else None
+    } ++ (try {
+      val best = (1 to reps).map(_ => prefetchThroughput(spark, sfDir))
+        .minBy(_._1)
+      Seq("\"s6_prefetched_sink\":" + math.round(best._2 / best._1))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] prefetch headliner FAILED: $e")
+      Seq.empty
+    })
+    println(s"""{"metric":"headliners_isolated","reps":$reps,""" +
+      s""""samples_per_sec":${entries.mkString("{", ",", "}")},""" +
+      s""""sf":"$sfDir"}""")
+  }
+
+  /** Fork a fresh JVM running `--headliners` and return its JSON line —
+    * the isolated-methodology block the full run embeds.  The module
+    * opens are Spark's own public JDK-17 list
+    * (org.apache.spark.launcher.JavaModuleOptions), same as build.sbt. */
+  private def forkHeadliners(sfDir: String, reps: Int): String =
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar"
+      ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val mem = s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"
+      val cmd = (Seq(javaBin) ++ opens ++ Seq(mem,
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.Bench", "--headliners", "--reps", reps.toString))
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      val proc = pb.start()
+      val outF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        new String(proc.getInputStream.readAllBytes(), "UTF-8"))
+      val errF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        new String(proc.getErrorStream.readAllBytes(), "UTF-8"))
+      val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+      if (!done) { proc.destroyForcibly(); throw new RuntimeException(
+        "headliner child timed out") }
+      val line = outF.get().linesIterator
+        .find(_.startsWith("""{"metric":"headliners_isolated""""))
+      line.getOrElse {
+        System.err.println(s"[bench] headliner child stderr tail: " +
+          errF.get().takeRight(500))
+        "null"
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] headliner fork FAILED: $e")
+      "null"
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Contract: bench runs at local[32] unless explicitly overridden.
@@ -108,6 +190,13 @@ object Bench {
       val repsIdx = args.indexOf("--reps")
       val reps = if (repsIdx >= 0) args(repsIdx + 1).toInt else 3
       runOnly(spark, sfDir, names.toIndexedSeq, reps)
+      spark.stop()
+      return
+    }
+    if (args.contains("--headliners")) {
+      val repsIdx = args.indexOf("--reps")
+      val reps = if (repsIdx >= 0) args(repsIdx + 1).toInt else 3
+      runHeadliners(spark, sfDir, reps)
       spark.stop()
       return
     }
@@ -211,6 +300,11 @@ object Bench {
       val (sh, pop) = batchEntropy(spark, sfDir)
       s"""{"block1024_bs64":$sh,"population":$pop}"""
     } catch { case _: Throwable => "null" }
+    // the isolated-methodology headliner block: a FRESH JVM re-measures
+    // the samples/sec headliners min-of-3, so the banked BASELINE
+    // comparison numbers come from an uncontended process, not from
+    // wherever these queries landed inside the 376-query sweep
+    val iso = forkHeadliners(sfDir, reps = 3)
     val nq = results.size
     // persisted-index builds, timed once per JVM and reported as their own
     // map: the build is the amortized cost, the per-query numbers above
@@ -218,8 +312,8 @@ object Bench {
     val builds = graft.queries.IndexBuilds.buildSecs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":$nq,"timing":"min2_over_1s","pass1_total_s":${s3(pass1Total)},"queries":$qs,"samples_per_sec":$tp,"batch_entropy":$ent,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
-    val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":$nq,"timing":"min2_over_1s","pass1_total_s":${s3(pass1Total)},"queries":$qsFull,"samples_per_sec":$tp,"index_build_s":$builds,"batch_entropy":$ent,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":$nq,"timing":"min2_over_1s","pass1_total_s":${s3(pass1Total)},"queries":$qs,"samples_per_sec":$tp,"batch_entropy":$ent,"headliners_isolated":$iso,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":$nq,"timing":"min2_over_1s","pass1_total_s":${s3(pass1Total)},"queries":$qsFull,"samples_per_sec":$tp,"index_build_s":$builds,"batch_entropy":$ent,"headliners_isolated":$iso,"sf":"$sfDir"}"""
     // The driver captures only a stdout tail, which has truncated the
     // per-query map mid-key in past rounds (BENCH_r10/r11 "parsed": null).
     // Persist the full payload to a committed repo file so bench artifacts
