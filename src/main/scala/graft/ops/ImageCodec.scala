@@ -473,20 +473,12 @@ object ImageCodec {
     * `localTable` attaches a per-image color table (identity gray) and
     * INVERTS the global one — so a decoder that ignores the local table
     * produces provably wrong pixels, not silently right ones. */
-  def encodeGif(w: Int, h: Int, gray: (Int, Int) => Int,
-      interlace: Boolean = false, localTable: Boolean = false)
-      : Array[Byte] = {
-    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "bad dims")
-    val out = new java.io.ByteArrayOutputStream
+  /** One image: descriptor + optional local table + LZW data blocks —
+    * shared by the single-image and animated containers. */
+  private def gifWriteFrame(out: java.io.ByteArrayOutputStream, w: Int,
+      h: Int, gray: (Int, Int) => Int, interlace: Boolean,
+      localTable: Boolean): Unit = {
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
-    out.write("GIF87a".getBytes("US-ASCII"))
-    u16(w); u16(h)
-    out.write(0xf7) // global table, 8-bit color resolution, 256 entries
-    out.write(0); out.write(0) // background, aspect
-    for (i <- 0 until 256) {
-      val v = if (localTable) 255 - i else i // adversarial global
-      out.write(v); out.write(v); out.write(v)
-    }
     out.write(0x2c) // image descriptor
     u16(0); u16(0); u16(w); u16(h)
     out.write((if (localTable) 0x87 else 0) |
@@ -541,7 +533,62 @@ object ImageCodec {
       val n = math.min(255, data.length - off)
       out.write(n); out.write(data, off, n); off += n
     }
-    out.write(0)    // block terminator
+    out.write(0) // block terminator
+  }
+
+  /** GIF header + 256-entry global gray table (inverted when a local
+    * table will override it — the adversarial fixture shape). */
+  private def gifWriteHeader(out: java.io.ByteArrayOutputStream, w: Int,
+      h: Int, magic: String, invertGlobal: Boolean): Unit = {
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write(magic.getBytes("US-ASCII"))
+    u16(w); u16(h)
+    out.write(0xf7) // global table, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background, aspect
+    for (i <- 0 until 256) {
+      val v = if (invertGlobal) 255 - i else i
+      out.write(v); out.write(v); out.write(v)
+    }
+  }
+
+  def encodeGif(w: Int, h: Int, gray: (Int, Int) => Int,
+      interlace: Boolean = false, localTable: Boolean = false)
+      : Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "bad dims")
+    val out = new java.io.ByteArrayOutputStream
+    gifWriteHeader(out, w, h, "GIF87a", invertGlobal = localTable)
+    gifWriteFrame(out, w, h, gray, interlace, localTable)
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** ANIMATED GIF89a — the real-world GIF shape: NETSCAPE2.0 looping
+    * application extension, then one Graphic Control Extension (disposal
+    * 1 = leave in place, `delayCs` centiseconds, no transparency) +
+    * full-screen image per frame.  Frames share the global table. */
+  def encodeGifAnimated(w: Int, h: Int,
+      frames: Seq[(Int, Int) => Int], delayCs: Int = 10): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "bad dims")
+    require(frames.nonEmpty, "no frames")
+    require(delayCs >= 0 && delayCs <= 0xffff, "bad delay")
+    val out = new java.io.ByteArrayOutputStream
+    gifWriteHeader(out, w, h, "GIF89a", invertGlobal = false)
+    // NETSCAPE2.0 looping extension (the de-facto-standard block every
+    // real animated GIF carries): app extension, 11-byte id, sub-block
+    // {1, loopCount=0 (forever)}, terminator
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); out.write(0); out.write(0)
+    out.write(0)
+    frames.foreach { f =>
+      // GCE: label F9, block size 4, packed (disposal 1 <<2), delay,
+      // no transparent index
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(0x04)
+      out.write(delayCs & 0xff); out.write((delayCs >> 8) & 0xff)
+      out.write(0); out.write(0)
+      gifWriteFrame(out, w, h, f, interlace = false, localTable = false)
+    }
     out.write(0x3b) // trailer
     out.toByteArray
   }
@@ -552,13 +599,16 @@ object ImageCodec {
     encodeGif(w, h, (x, y) => src((y * w + x) % src.length) & 0xff)
   }
 
-  private def decodeGif(b: Array[Byte]): Raster = {
+  /** Header + logical screen + global table → (palette sums, next pos,
+    * screen w, screen h). */
+  private def gifHeader(b: Array[Byte]): (Array[Int], Int, Int, Int) = {
     require(b.length >= 13, "truncated GIF header")
     val magic = new String(b, 0, 6, "US-ASCII")
     require(magic == "GIF87a" || magic == "GIF89a", s"bad GIF magic $magic")
     def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     var p = 6
-    p += 4 // logical screen w/h (per-image descriptor is authoritative)
+    val sw = u16(p); val sh = u16(p + 2)
+    p += 4
     val packed = b(p) & 0xff; p += 3
     val palette: Array[Int] =
       if ((packed & 0x80) != 0) {
@@ -571,7 +621,13 @@ object ImageCodec {
         p += 3 * n
         pal
       } else Array.emptyIntArray // legal when a local table follows
-    // walk blocks to the first image descriptor (skip 89a extensions)
+    (palette, p, sw, sh)
+  }
+
+  /** Walk over any 0x21 extension blocks (GCE, app, comment — all share
+    * the sub-block grammar; CRC-less, so structure is the only check). */
+  private def gifSkipExtensions(b: Array[Byte], p0: Int): Int = {
+    var p = p0
     while (p < b.length && (b(p) & 0xff) == 0x21) {
       p += 2 // extension introducer + label
       require(p < b.length, "truncated GIF extension")
@@ -581,7 +637,53 @@ object ImageCodec {
       }
       p += 1
     }
+    p
+  }
+
+  private def decodeGif(b: Array[Byte]): Raster = {
+    val (palette, p0, _, _) = gifHeader(b)
+    val p = gifSkipExtensions(b, p0)
+    gifImageAt(b, p, palette)._1
+  }
+
+  /** Every frame of an (animated) GIF, decoded independently.  Scope:
+    * full-screen frames only — frames positioned or sized inside the
+    * logical screen need disposal-method compositing, which is rejected
+    * BY NAME rather than approximated (a half-composited frame would
+    * poison downstream fingerprints). */
+  def decodeGifFrames(b: Array[Byte]): IndexedSeq[Raster] = {
+    val (palette, p0, sw, sh) = gifHeader(b)
+    var p = p0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Raster]
+    var done = false
+    while (!done) {
+      p = gifSkipExtensions(b, p)
+      require(p < b.length, "GIF unterminated (missing trailer)")
+      (b(p) & 0xff) match {
+        case 0x3b => done = true
+        case 0x2c =>
+          val (r, left, top, np) = gifImageAt(b, p, palette)
+          require(left == 0 && top == 0 && r.width == sw && r.height == sh,
+            "partial-frame GIF compositing unsupported " +
+              "(full-screen frames only)")
+          frames += r
+          p = np
+        case x => throw new IllegalArgumentException(
+          f"unexpected GIF block 0x$x%02x")
+      }
+    }
+    require(frames.nonEmpty, "GIF has no image frames")
+    frames.toIndexedSeq
+  }
+
+  /** Decode the image whose descriptor starts at `p0` → (raster, left,
+    * top, position after the data terminator). */
+  private def gifImageAt(b: Array[Byte], p0: Int,
+      palette: Array[Int]): (Raster, Int, Int, Int) = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    var p = p0
     require(p < b.length && (b(p) & 0xff) == 0x2c, "GIF image descriptor missing")
+    val left = u16(p + 1); val top = u16(p + 3)
     val w = u16(p + 5); val h = u16(p + 7)
     require(w > 0 && h > 0, s"bad GIF dims ${w}x$h")
     val ipacked = b(p + 9) & 0xff
@@ -687,7 +789,8 @@ object ImageCodec {
           System.arraycopy(px, r * w, o, order(r) * w, w)
         o
       }
-    Raster(w, h, ordered.map(activePalette))
+    require(p < b.length, "GIF data blocks unterminated")
+    (Raster(w, h, ordered.map(activePalette)), left, top, p + 1)
   }
 
   // ---- decoder -----------------------------------------------------------
@@ -698,9 +801,9 @@ object ImageCodec {
   def decode(bytes: Array[Byte]): Raster = {
     require(bytes.length >= 2, "truncated image")
     if (bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) decodeBmp(bytes)
-    else if (bytes(0) == 'P'.toByte && bytes(1) >= '2'.toByte &&
+    else if (bytes(0) == 'P'.toByte && bytes(1) >= '1'.toByte &&
         bytes(1) <= '6'.toByte)
-      decodePpm(bytes) // Netpbm family: P2/P3/P5/P6 (P4 rejected inside)
+      decodePpm(bytes) // Netpbm family: P1-P6 (r18 adds the bitmaps)
     else if (bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte)
       decodePng(bytes)
     else if (bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte)
@@ -907,10 +1010,11 @@ object ImageCodec {
     // comments; P5/P6 follow with ONE whitespace byte then binary
     // samples, P2/P3 with whitespace-separated ASCII decimal samples
     val fmt = b(1).toChar
-    require(fmt == '2' || fmt == '3' || fmt == '5' || fmt == '6',
-      s"unsupported Netpbm format P$fmt (P2/P3/P5/P6 only)")
+    require(fmt >= '1' && fmt <= '6',
+      s"unsupported Netpbm format P$fmt (P1-P6)")
+    val bitmap = fmt == '1' || fmt == '4'
     val gray = fmt == '2' || fmt == '5'
-    val ascii = fmt == '2' || fmt == '3'
+    val ascii = fmt == '1' || fmt == '2' || fmt == '3'
     var p = 2
     def skipWs(): Unit = {
       var go = true
@@ -931,12 +1035,38 @@ object ImageCodec {
       require(p - s <= 9, "Netpbm integer too long")
       new String(b, s, p - s, "US-ASCII").toInt
     }
-    val w = int(); val h = int(); val maxv = int()
+    val w = int(); val h = int()
+    // PBM (P1/P4) has NO maxval field — bits are 1=black, 0=white
+    val maxv = if (bitmap) 1 else int()
     require(w > 0 && h > 0, s"bad Netpbm dims ${w}x$h")
-    require(maxv == 255, s"only maxval 255 Netpbm supported, got $maxv")
-    val spp = if (gray) 1 else 3
+    require(bitmap || maxv == 255,
+      s"only maxval 255 Netpbm supported, got $maxv")
+    val spp = if (gray || bitmap) 1 else 3
     val sums = new Array[Int](w * h)
-    if (ascii) {
+    if (fmt == '1') {
+      // P1: '0'/'1' digits, whitespace OPTIONAL between them (spec
+      // allows packed digit runs)
+      var i = 0
+      while (i < w * h) {
+        skipWs()
+        require(p < b.length, "truncated P1 pixel data")
+        val c = b(p).toChar
+        require(c == '0' || c == '1', s"bad P1 digit '$c'")
+        sums(i) = if (c == '1') 0 else 3 * 255 // 1 = black
+        p += 1
+        i += 1
+      }
+    } else if (fmt == '4') {
+      // P4: one whitespace after h, then bit-packed rows MSB-first,
+      // each ROW padded to a byte boundary
+      p += 1
+      val rowBytes = (w + 7) / 8
+      require(b.length >= p + rowBytes * h, "truncated P4 pixel data")
+      for (y <- 0 until h; x <- 0 until w) {
+        val bit = (b(p + y * rowBytes + (x >> 3)) >> (7 - (x & 7))) & 1
+        sums(y * w + x) = if (bit == 1) 0 else 3 * 255
+      }
+    } else if (ascii) {
       var i = 0
       while (i < w * h) {
         var s = 0
@@ -980,6 +1110,37 @@ object ImageCodec {
     out
   }
 
+  /** PBM bitmap (P4 binary / P1 ASCII): bit (x, y) true = BLACK (the
+    * Netpbm polarity — decodes to gray 0; false = white = 255).  P4
+    * packs bits MSB-first with each ROW padded to a byte boundary; P1
+    * writes '0'/'1' digits, line-wrapped. */
+  def encodePbm(w: Int, h: Int, bit: (Int, Int) => Boolean,
+      ascii: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0, "bad dims")
+    val header = s"P${if (ascii) 1 else 4}\n$w $h\n".getBytes("US-ASCII")
+    if (ascii) {
+      val sb = new StringBuilder
+      for (y <- 0 until h) {
+        for (x <- 0 until w) {
+          sb.append(if (bit(x, y)) '1' else '0')
+          if (x < w - 1) sb.append(' ')
+        }
+        sb.append('\n')
+      }
+      header ++ sb.toString.getBytes("US-ASCII")
+    } else {
+      val rowBytes = (w + 7) / 8
+      val out = new Array[Byte](header.length + rowBytes * h)
+      System.arraycopy(header, 0, out, 0, header.length)
+      for (y <- 0 until h; x <- 0 until w)
+        if (bit(x, y))
+          out(header.length + y * rowBytes + (x >> 3)) =
+            (out(header.length + y * rowBytes + (x >> 3)) |
+              (1 << (7 - (x & 7)))).toByte
+      out
+    }
+  }
+
   /** ASCII Netpbm (P2 gray / P3 RGB), decimal samples with line
     * wrapping — the human-readable interchange shape. */
   def encodePnmAscii(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
@@ -1010,36 +1171,42 @@ object ImageCodec {
     * for [[MultimodalOps.stubKernel]] — same record, real pixels. */
   def kernel(gridW: Int, gridH: Int): MultimodalOps.DecodeKernel =
     (docId, bytes) => {
-      require(gridW > 0 && gridH > 0, "bad grid")
       val r = decode(bytes)
-      val feats = new Array[Double](gridW * gridH)
-      var gy = 0
-      while (gy < gridH) {
-        val y0 = gy * r.height / gridH
-        val y1 = (gy + 1) * r.height / gridH
-        var gx = 0
-        while (gx < gridW) {
-          val x0 = gx * r.width / gridW
-          val x1 = (gx + 1) * r.width / gridW
-          var sum = 0L
-          var cnt = 0L
-          var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) {
-              sum += r.lumaSum3(y * r.width + x)
-              cnt += 1
-              x += 1
-            }
-            y += 1
-          }
-          feats(gy * gridW + gx) =
-            if (cnt == 0) 0.0 else sum.toDouble / (3.0 * cnt)
-          gx += 1
-        }
-        gy += 1
-      }
       MultimodalOps.MediaFeatures(docId, bytes.length.toLong,
-        r.width, r.height, feats)
+        r.width, r.height, rasterFeatures(r, gridW, gridH))
     }
+
+  /** The pooling itself, usable on any already-decoded raster (the
+    * per-frame path of animated containers reuses it). */
+  def rasterFeatures(r: Raster, gridW: Int, gridH: Int): Array[Double] = {
+    require(gridW > 0 && gridH > 0, "bad grid")
+    val feats = new Array[Double](gridW * gridH)
+    var gy = 0
+    while (gy < gridH) {
+      val y0 = gy * r.height / gridH
+      val y1 = (gy + 1) * r.height / gridH
+      var gx = 0
+      while (gx < gridW) {
+        val x0 = gx * r.width / gridW
+        val x1 = (gx + 1) * r.width / gridW
+        var sum = 0L
+        var cnt = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            sum += r.lumaSum3(y * r.width + x)
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        feats(gy * gridW + gx) =
+          if (cnt == 0) 0.0 else sum.toDouble / (3.0 * cnt)
+        gx += 1
+      }
+      gy += 1
+    }
+    feats
+  }
 }

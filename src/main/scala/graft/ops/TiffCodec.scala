@@ -18,8 +18,9 @@ package graft.ops
   * (§15: TileWidth/TileLength tags 322/323 in multiples of 16,
   * TileOffsets/TileByteCounts 324/325, edge tiles padded to full size
   * with only the image intersection kept), compressions 1/5/32773,
-  * predictor 1/2.  Everything else — planar configuration 2, other
-  * bit depths, fill order 2 — fails loudly: a decoder silently
+  * predictor 1/2, planar configuration 1 or 2 (plane-major RGB strip
+  * sequences, predictor distance 1 within a plane).  Everything else —
+  * other bit depths, fill order 2 — fails loudly: a decoder silently
   * misreading strips would poison every downstream fingerprint (the
   * [[ImageCodec]] contract).  TIFF carries no checksums (the PNG tier is
   * the checksummed one); corruption safety is structural — IFD bounds,
@@ -264,8 +265,10 @@ object TiffCodec {
       gray: Boolean = false, compression: Int = 1, predictor: Int = 1,
       rowsPerStrip: Int = 0, bigEndian: Boolean = false,
       tileW: Int = 0, tileH: Int = 0,
-      palette: Array[(Int, Int, Int)] = null): Array[Byte] = {
+      palette: Array[(Int, Int, Int)] = null,
+      planar: Int = 1): Array[Byte] = {
     require(w > 0 && h > 0, "bad dims")
+    require(planar == 1 || planar == 2, s"planar configuration $planar")
     // ImageWidth/ImageLength are written as SHORT IFD values — larger
     // dims would silently truncate (the decoder guards this too)
     require(w <= 65535 && h <= 65535, s"dims ${w}x$h exceed SHORT range")
@@ -282,6 +285,8 @@ object TiffCodec {
         "palette must have 256 entries (and excludes gray)")
     val indexed = palette != null
     val spp = if (gray || indexed) 1 else 3
+    require(planar == 1 || (spp == 3 && !tiled),
+      "planar configuration 2 requires RGB strips")
     val stride = w * spp
     val raw = new Array[Byte](h * stride)
     for (y <- 0 until h; x <- 0 until w) {
@@ -294,13 +299,15 @@ object TiffCodec {
       }
     }
     // one compressed segment per strip or per tile (predictor runs per
-    // SEGMENT row — stride w·spp for strips, tileW·spp for tiles)
-    def compress(body: Array[Byte], rows: Int, rowLen: Int): Array[Byte] = {
+    // SEGMENT row — stride w·spp for strips, tileW·spp for tiles; sample
+    // distance 1 inside a planar-2 plane)
+    def compress(body: Array[Byte], rows: Int, rowLen: Int,
+        dist: Int = spp): Array[Byte] = {
       if (predictor == 2)
         for (r <- 0 until rows) {
           val row = java.util.Arrays.copyOfRange(body, r * rowLen,
             (r + 1) * rowLen)
-          predictorForward(row, spp)
+          predictorForward(row, dist)
           System.arraycopy(row, 0, body, r * rowLen, rowLen)
         }
       compression match {
@@ -321,7 +328,20 @@ object TiffCodec {
     }
     val rps = if (rowsPerStrip <= 0) h else rowsPerStrip
     val segments: IndexedSeq[Array[Byte]] =
-      if (!tiled) {
+      if (planar == 2) {
+        // spec PlanarConfiguration 2: one strip sequence PER PLANE,
+        // stored plane-major (all R strips, then G, then B); each plane
+        // row is w single-sample bytes, predictor distance 1
+        val nPer = (h + rps - 1) / rps
+        (for (c <- 0 until 3; s <- 0 until nPer) yield {
+          val y0 = s * rps
+          val rows = math.min(rps, h - y0)
+          val body = new Array[Byte](rows * w)
+          for (r <- 0 until rows; x <- 0 until w)
+            body(r * w + x) = raw((y0 + r) * stride + x * 3 + c)
+          compress(body, rows, w, dist = 1)
+        }).toIndexedSeq
+      } else if (!tiled) {
         val nStrips = (h + rps - 1) / rps
         (0 until nStrips).map { s =>
           val y0 = s * rps
@@ -419,6 +439,7 @@ object TiffCodec {
         E(324, 4, nSeg, if (nSeg > 1) soOffset else segOffsets(0)),
         E(325, 4, nSeg, if (nSeg > 1) scOffset else segments(0).length))
     val entries = (common ++ segEntries ++
+      (if (planar == 2) Seq(E(284, 3, 1, 2)) else Nil) ++
       (if (predictor == 2) Seq(E(317, 3, 1, 2)) else Nil) ++
       (if (indexed) Seq(E(320, 3, 3 * 256, cmOffset)) else Nil))
       .sortBy(_.tag)
@@ -474,6 +495,7 @@ object TiffCodec {
     var toType = 0; var toCount = 0; var toValue = 0L
     var tcType = 0; var tcCount = 0; var tcValue = 0L
     var cmOffset = -1; var cmCount = 0
+    var planar = 1
     for (i <- 0 until n) {
       val e = ifdOff.toInt + 2 + 12 * i
       val tag = rd.u16(e)
@@ -513,8 +535,7 @@ object TiffCodec {
         case 278 => rps = scalar.toInt
         case 279 => scType = typ; scCount = cnt.toInt; scValue =
           if (cnt == 1) scalar else rd.u32(e + 8)
-        case 284 => require(scalar == 1,
-          "planar configuration 2 unsupported")
+        case 284 => planar = scalar.toInt
         case 317 => predictor = scalar.toInt
         case 320 =>
           require(typ == 3, "ColorMap must be SHORT")
@@ -555,6 +576,10 @@ object TiffCodec {
     if (tiled)
       require(soCount == 0 && scCount == 0,
         "IFD mixes strip and tile tags")
+    require(planar == 1 || planar == 2,
+      s"bad planar configuration $planar")
+    require(planar == 1 || (spp == 3 && !tiled),
+      "planar configuration 2 supported for RGB strips only")
     // strip/tile offset+count arrays are SHORT or LONG only — BYTE-typed
     // arrays would be bounds-checked at 1 byte/entry but read 4
     def arr32(typ: Int, cnt: Int, value: Long, what: String): Array[Long] =
@@ -573,7 +598,7 @@ object TiffCodec {
     // decompress one segment to `expect` bytes and undo the per-row
     // predictor at the segment's own row length
     def decodeSegment(off: Long, len: Long, expect: Int, rows: Int,
-        rowLen: Int, what: String): Array[Byte] = {
+        rowLen: Int, what: String, dist: Int = spp): Array[Byte] = {
       require(off >= 0 && len >= 0 && off + len <= b.length,
         s"$what out of bounds")
       val comp0 = java.util.Arrays.copyOfRange(b, off.toInt,
@@ -590,12 +615,33 @@ object TiffCodec {
         for (r <- 0 until rows) {
           val row = java.util.Arrays.copyOfRange(body, r * rowLen,
             (r + 1) * rowLen)
-          predictorInverse(row, spp)
+          predictorInverse(row, dist)
           System.arraycopy(row, 0, body, r * rowLen, rowLen)
         }
       body
     }
-    if (!tiled) {
+    if (!tiled && planar == 2) {
+      // PlanarConfiguration 2: plane-major strip sequences (all R
+      // strips, then G, then B); plane rows are w single-sample bytes,
+      // predictor distance 1, interleaved back on the way out
+      if (rps <= 0 || rps > h) rps = h
+      val nPer = (h + rps - 1) / rps
+      val nStrips = 3 * nPer
+      require(soCount == nStrips && scCount == nStrips,
+        s"planar strip count mismatch: offsets $soCount, counts " +
+          s"$scCount, expected $nStrips")
+      val offsets = arr32(soType, soCount, soValue, "strip offset")
+      val counts = arr32(scType, scCount, scValue, "strip count")
+      for (c <- 0 until 3; s <- 0 until nPer) {
+        val i = c * nPer + s
+        val y0 = s * rps
+        val rows = math.min(rps, h - y0)
+        val body = decodeSegment(offsets(i), counts(i), rows * w, rows,
+          w, s"plane $c strip $s", dist = 1)
+        for (r <- 0 until rows; x <- 0 until w)
+          raw((y0 + r) * stride + x * 3 + c) = body(r * w + x)
+      }
+    } else if (!tiled) {
       // absent RowsPerStrip defaults to 2^32-1 (one strip per spec);
       // clamp to h so (h + rps - 1) cannot overflow Int
       if (rps <= 0 || rps > h) rps = h

@@ -36,6 +36,23 @@ import graft.ops.{AudioCodec, FlacCodec, ImageCodec, MultimodalOps,
   *    is proven) — cycling by doc_id % 5 with Adam7 combinations; the
   *    row filter still cycles by doc_id % 5 underneath.  Same
   *    hash-exact text-replay oracle as the 8-bit tier.
+  *
+  *  - `mm_pbm_bitmaps`: 1-BIT Netpbm (P4 bit-packed / P1 ASCII, the
+  *    last rejected family members) with the spec polarity 1 = black;
+  *    bit(x,y) = text pixel parity, so the oracle replays the 0/255
+  *    raster exactly.
+  *
+  *  - `mm_tiff_planar`: PlanarConfiguration 2 — plane-major RGB strip
+  *    sequences with predictor distance 1 inside a plane (the
+  *    scientific-TIFF layout), cycling compression / byte order /
+  *    predictor / RowsPerStrip; the COLOR block-mean oracle replays
+  *    (r+g+b) sums from the text.
+  *
+  *  - `mm_gif_animated`: GIF89a animation (NETSCAPE2.0 loop extension,
+  *    GCE-per-frame, multiple image descriptors) — every frame decoded
+  *    independently and feature-pooled; frame f's raster walks the
+  *    text at offset 29f, so the oracle replays every frame
+  *    hash-exactly.  Partial-frame compositing is rejected by name.
   */
 object R18Queries {
 
@@ -120,6 +137,72 @@ object R18Queries {
         .select(col("doc_id"), col("shape_class"), col("width"),
           col("height"), col("pos").cast("long").as("j"),
           round(col("col"), 6).as("feat"))
+    }),
+
+    "mm_pbm_bitmaps" -> ((s, dir) => {
+      val toPbm = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        ImageCodec.encodePbm(8, 8,
+          (x, y) => (src((y * 8 + x) % src.length) & 1) == 1,
+          ascii = id % 2 == 1)
+      })
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toPbm(col("doc_id"), col("text")))
+      MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+        ImageCodec.kernel(4, 4)).toDF()
+        .select(col("doc_id"),
+          (col("doc_id") % 2).cast("long").as("ascii_class"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("ascii_class"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
+    "mm_tiff_planar" -> ((s, dir) => {
+      val toTiff = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        val rgb = (x: Int, y: Int) => {
+          val v = src((y * 8 + x) % src.length) & 0xff
+          (v, (v * 3) % 256, (v * 7) % 256)
+        }
+        (id % 4) match {
+          case 0 => TiffCodec.encode(8, 8, rgb, planar = 2)
+          case 1 => TiffCodec.encode(8, 8, rgb, planar = 2,
+            compression = 5, bigEndian = true)
+          case 2 => TiffCodec.encode(8, 8, rgb, planar = 2,
+            compression = 5, predictor = 2)
+          case _ => TiffCodec.encode(8, 8, rgb, planar = 2,
+            compression = 32773, bigEndian = true, rowsPerStrip = 3)
+        }
+      })
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toTiff(col("doc_id"), col("text")))
+      MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+        ImageCodec.kernel(4, 4)).toDF()
+        .select(col("doc_id"),
+          (col("doc_id") % 4).cast("long").as("container_class"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("container_class"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
+    "mm_gif_animated" -> ((s, dir) => {
+      val decodeFrames = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        val frames = (0 until 3).map { f =>
+          (x: Int, y: Int) => src((y * 8 + x + 29 * f) % src.length) & 0xff
+        }
+        val enc = ImageCodec.encodeGifAnimated(8, 8, frames, delayCs = 4)
+        ImageCodec.decodeGifFrames(enc)
+          .map(r => ImageCodec.rasterFeatures(r, 4, 4).toSeq)
+      })
+      Tables.docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(decodeFrames(col("doc_id"), col("text"))))
+        .withColumnRenamed("pos", "frame")
+        .select(col("doc_id"), col("frame").cast("long").as("frame"),
+          posexplode(col("col")))
+        .select(col("doc_id"), col("frame"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
     })
   )
 
@@ -185,6 +268,71 @@ object R18Queries {
       s"""WITH ${R16bQueries.RealFeatSql}
          |SELECT doc_id, (doc_id % 5)::BIGINT AS shape_class,
          |  8::BIGINT AS width, 8::BIGINT AS height, j, feat
-         |FROM rf""".stripMargin
+         |FROM rf""".stripMargin,
+
+    // bitmap polarity: text-pixel parity 1 = black = gray 0, else 255
+    "mm_pbm_bitmaps" ->
+      """WITH pba AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '?', 'g') AS text
+        |  FROM documents),
+        |pby AS (SELECT doc_id, text, unnest(generate_series(0, 7)) AS y
+        |  FROM pba),
+        |pbxy AS (SELECT doc_id, text, y,
+        |    unnest(generate_series(0, 7)) AS x FROM pby),
+        |pbv AS (
+        |  SELECT doc_id, (y // 2) AS gy, (x // 2) AS gx,
+        |    CASE WHEN ascii(substr(text,
+        |        (((y * 8 + x) % length(text)) + 1)::INT, 1)) % 2 = 1
+        |      THEN 0 ELSE 255 END AS g
+        |  FROM pbxy)
+        |SELECT doc_id, (doc_id % 2)::BIGINT AS ascii_class,
+        |  (gy * 4 + gx)::BIGINT AS j,
+        |  round(sum(g)::DOUBLE / count(*), 6) AS feat
+        |FROM pbv GROUP BY 1, 2, gy, gx""".stripMargin,
+
+    // color block means: the kernel's Σ(r+g+b)/(3·cnt) replayed
+    "mm_tiff_planar" ->
+      """WITH tpa AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '?', 'g') AS text
+        |  FROM documents),
+        |tpy AS (SELECT doc_id, text, unnest(generate_series(0, 7)) AS y
+        |  FROM tpa),
+        |tpxy AS (SELECT doc_id, text, y,
+        |    unnest(generate_series(0, 7)) AS x FROM tpy),
+        |tpv AS (
+        |  SELECT doc_id, (y // 2) AS gy, (x // 2) AS gx,
+        |    ascii(substr(text,
+        |      (((y * 8 + x) % length(text)) + 1)::INT, 1)) AS v
+        |  FROM tpxy),
+        |tps AS (
+        |  SELECT doc_id, gy, gx,
+        |    (v + (v * 3) % 256 + (v * 7) % 256) AS s
+        |  FROM tpv)
+        |SELECT doc_id, (doc_id % 4)::BIGINT AS container_class,
+        |  (gy * 4 + gx)::BIGINT AS j,
+        |  round(sum(s)::DOUBLE / (3.0 * count(*)), 6) AS feat
+        |FROM tps GROUP BY 1, 2, gy, gx""".stripMargin,
+
+    // frame f's raster walks the text at offset 29f
+    "mm_gif_animated" ->
+      """WITH gaa AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '?', 'g') AS text
+        |  FROM documents),
+        |gaf AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, 2)) AS frame FROM gaa),
+        |gay AS (SELECT doc_id, text, frame,
+        |    unnest(generate_series(0, 7)) AS y FROM gaf),
+        |gaxy AS (SELECT doc_id, text, frame, y,
+        |    unnest(generate_series(0, 7)) AS x FROM gay),
+        |gav AS (
+        |  SELECT doc_id, frame, (y // 2) AS gy, (x // 2) AS gx,
+        |    ascii(substr(text,
+        |      (((y * 8 + x + 29 * frame) % length(text)) + 1)::INT, 1))
+        |      AS v
+        |  FROM gaxy)
+        |SELECT doc_id, frame::BIGINT AS frame,
+        |  (gy * 4 + gx)::BIGINT AS j,
+        |  round(sum(v)::DOUBLE / count(*), 6) AS feat
+        |FROM gav GROUP BY 1, 2, gy, gx""".stripMargin
   )
 }

@@ -75,11 +75,15 @@ class R16CodecSpec extends AnyFunSuite {
     val p3 = ImageCodec.decode(ImageCodec.encodePnmAscii(9, 7, f,
       gray = false))
     assert(p3.lumaSum3.toSeq == ref.lumaSum3.toSeq, "P3")
-    // P4 (bitmap) stays rejected by name
+    // P4 (bitmap) is supported since r18 — an all-zero-bit image is all
+    // white (the Netpbm polarity); P7 stays rejected by name
+    val p4 = ImageCodec.decode("P4\n8 8\n".getBytes("US-ASCII") ++
+      new Array[Byte](8))
+    assert(p4.lumaSum3.forall(_ == 765))
     val e = intercept[IllegalArgumentException] {
-      ImageCodec.decode("P4\n8 8\n".getBytes("US-ASCII") ++
-        new Array[Byte](8)) }
-    assert(e.getMessage.contains("P4"))
+      ImageCodec.decode("P7\n8 8\n255\n".getBytes("US-ASCII") ++
+        new Array[Byte](64)) }
+    assert(e.getMessage.contains("P7") || e.getMessage.contains("magic"))
     // ASCII sample above maxval fails loudly
     intercept[IllegalArgumentException] {
       ImageCodec.decode("P2\n1 1\n255\n300\n".getBytes("US-ASCII")) }
