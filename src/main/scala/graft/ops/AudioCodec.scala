@@ -66,6 +66,38 @@ object AudioCodec {
       samples.foreach(out.putShort))
   }
 
+  /** WAVE_FORMAT_EXTENSIBLE-wrapped 16-bit PCM (mono or interleaved
+    * stereo) — the container modern writers emit: 40-byte fmt (tag
+    * 0xFFFE, cbSize 22, validBits, channel mask, KSDATAFORMAT PCM
+    * GUID) + fact + data. */
+  def encodeWavExtensible(sampleRate: Int, channels: Int,
+      interleaved: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && (channels == 1 || channels == 2),
+      "bad wav args")
+    require(interleaved.nonEmpty && interleaved.length % channels == 0,
+      "sample count must divide channels")
+    val dataLen = interleaved.length * 2
+    val out = java.nio.ByteBuffer.allocate(12 + 48 + 12 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(4 + 48 + 12 + 8 + dataLen)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(40)
+    out.putShort(0xfffe.toShort).putShort(channels.toShort)
+    out.putInt(sampleRate).putInt(sampleRate * channels * 2)
+    out.putShort((channels * 2).toShort).putShort(16)
+    out.putShort(22)       // cbSize
+    out.putShort(16)       // validBitsPerSample
+    out.putInt(if (channels == 2) 0x3 else 0x4) // FL|FR or FC
+    out.putShort(1)        // SubFormat GUID Data1 low 16 bits = PCM
+    out.put(Array[Byte](0, 0, 0, 0, 0x10, 0, 0x80.toByte, 0,
+      0, 0xaa.toByte, 0, 0x38, 0x9b.toByte, 0x71))
+    out.put("fact".getBytes("US-ASCII")).putInt(4)
+      .putInt(interleaved.length / channels)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    interleaved.foreach(out.putShort)
+    out.array()
+  }
+
   /** Deterministic mono signal from source bytes: sample i =
     * (src[(i·7 + 3) mod len] − 76) · 256 — computable independently by
     * the SQL oracle from the same source. */
@@ -336,9 +368,34 @@ object AudioCodec {
       if (cid == "fmt ") {
         require(len >= 16, "short fmt chunk")
         tag = u16(b, p + 8)
+        if (tag == 0xfffe) {
+          // WAVE_FORMAT_EXTENSIBLE — how modern writers wrap PCM: the
+          // real format lives in the SubFormat GUID's first 16 bits,
+          // the rest of the GUID is the fixed KSDATAFORMAT tail
+          require(len >= 40, "short EXTENSIBLE fmt chunk")
+          val cb = u16(b, p + 24)
+          require(cb >= 22, s"EXTENSIBLE cbSize $cb < 22")
+          val validBits = u16(b, p + 26)
+          val subTag = u16(b, p + 32)
+          // GUID bytes after the 16-bit sub-tag: Data1 high half,
+          // Data2, Data3, Data4 of KSDATAFORMAT_SUBTYPE_PCM
+          // {xxxx0000-0000-0010-8000-00AA00389B71}
+          val guidTail = Array(0x00, 0x00, 0x00, 0x00, 0x10, 0x00,
+            0x80, 0x00, 0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71)
+          for (j <- guidTail.indices)
+            require((b(p + 34 + j) & 0xff) == guidTail(j),
+              "bad EXTENSIBLE SubFormat GUID")
+          require(subTag == 1,
+            s"EXTENSIBLE sub-format $subTag unsupported (PCM only)")
+          require(validBits == u16(b, p + 22),
+            s"EXTENSIBLE validBits $validBits != container bits " +
+              s"${u16(b, p + 22)} (padded containers unsupported)")
+          tag = 1
+        }
         require(tag == 1 || tag == 6 || tag == 7 || tag == 0x11,
-          s"unsupported WAV format tag $tag — PCM (1), A-law (6), " +
-            "μ-law (7), IMA ADPCM (0x11) only")
+          s"unsupported WAV format tag $tag — PCM (1, plain or " +
+            "EXTENSIBLE-wrapped), A-law (6), μ-law (7), IMA ADPCM " +
+            "(0x11) only")
         channels = u16(b, p + 10)
         require(channels == 1 || (channels == 2 && tag == 1),
           s"unsupported channel layout: $channels channels under tag $tag" +

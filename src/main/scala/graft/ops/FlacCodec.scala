@@ -23,7 +23,10 @@ package graft.ops
   * L/R and the L/S, R/S, M/S decorrelation modes, the side channel
   * coded at 17 bits per §9.1.4; real-world FLAC is overwhelmingly
   * stereo in these modes), plus a per-frame cost-based auto mode (the
-  * policy real encoders use).  >2 channels, wasted bits, and negative
+  * policy real encoders use), and WASTED BITS (flag + unary k−1,
+  * subframe coded at bps−k then shifted — how real encoders code
+  * quiet/quantized content; the fixture signal's ×256 samples shrink
+  * 8 bits/sample under it).  >2 channels and negative
   * LPC shifts are rejected BY NAME — a decoder silently
   * misreading entropy-coded residuals would poison every downstream
   * fingerprint.  No external FLAC implementation exists in this
@@ -290,22 +293,47 @@ object FlacCodec {
     }
   }
 
-  /** One channel's subframe at `bps` bits per sample (17 for a stereo
+  /** One channel's subframe at `bps0` bits per sample (17 for a stereo
     * SIDE channel per spec §9.1.4, else 16): CONSTANT for flat blocks,
-    * LPC of `lpcOrder` when requested, best FIXED order otherwise. */
-  private def writeSubframe(fw: BitWriter, x: Array[Int], bps: Int,
-      lpcOrder: Int): Unit = {
-    val n = x.length
+    * LPC of `lpcOrder` when requested, best FIXED order otherwise.
+    * `detectWasted` strips common trailing zero bits (flag 1 + unary
+    * k−1, subframe coded at bps−k) — the spec's wasted-bits form. */
+  private def writeSubframe(fw: BitWriter, x0: Array[Int], bps0: Int,
+      lpcOrder: Int, detectWasted: Boolean = false): Unit = {
+    val n = x0.length
+    val constant = x0.forall(_ == x0(0))
+    val wasted =
+      if (constant || !detectWasted) 0
+      else {
+        var k = bps0 - 1
+        var any = false
+        var i = 0
+        while (i < n) {
+          if (x0(i) != 0) {
+            any = true
+            k = math.min(k, java.lang.Integer.numberOfTrailingZeros(x0(i)))
+          }
+          i += 1
+        }
+        if (any) k else 0
+      }
+    val (x, bps) =
+      if (wasted == 0) (x0, bps0)
+      else (x0.map(_ >> wasted), bps0 - wasted)
     val mask = (1L << bps) - 1
-    val constant = x.forall(_ == x(0))
+    def header(typeCode: Int): Unit = {
+      fw.put(0, 1); fw.put(typeCode.toLong, 6)
+      if (wasted == 0) fw.put(0, 1)
+      else { fw.put(1, 1); fw.putUnary(wasted - 1) }
+    }
     if (constant) {
-      fw.put(0, 1); fw.put(0, 6); fw.put(0, 1) // CONSTANT, no wasted
+      header(0) // CONSTANT
       fw.put(x(0).toLong & mask, bps)
     } else if (lpcOrder > 0 && n > lpcOrder) {
       val order = lpcOrder
       val precision = 15 // max legal (precM1 = 14; 15 is invalid)
       val (c, shift) = quantizeLpc(levinsonDurbin(x, order), precision)
-      fw.put(0, 1); fw.put(32 + order - 1, 6); fw.put(0, 1) // LPC
+      header(32 + order - 1) // LPC
       for (j <- 0 until order) fw.put(x(j).toLong & mask, bps)
       fw.put((precision - 1).toLong, 4)
       fw.put(shift.toLong, 5)
@@ -322,7 +350,7 @@ object FlacCodec {
         (s, o)
       }
       val order = costs.min._2
-      fw.put(0, 1); fw.put(8 + order, 6); fw.put(0, 1) // FIXED
+      header(8 + order) // FIXED
       for (j <- 0 until order) fw.put(x(j).toLong & mask, bps)
       emitResidual(fw, Array.tabulate(n - order)(j =>
         residual(x, j + order, order)))
@@ -357,7 +385,7 @@ object FlacCodec {
     * spec), CRC-16 over the whole frame. */
   private def writeFrame(out: java.io.ByteArrayOutputStream, f: Long,
       n: Int, chanCode: Int, subframes: Seq[(Array[Int], Int)],
-      lpcOrder: Int): Unit = {
+      lpcOrder: Int, detectWasted: Boolean = false): Unit = {
     val bw = new BitWriter
     bw.put(0x3ffe, 14) // sync
     bw.put(0, 1)       // reserved
@@ -371,7 +399,8 @@ object FlacCodec {
     bw.put((n - 1).toLong, 16)
     val headerBytes = bw.bytes // aligned: 5 header bytes + utf8 + 2
     val fw = new BitWriter
-    subframes.foreach { case (x, bps) => writeSubframe(fw, x, bps, lpcOrder) }
+    subframes.foreach { case (x, bps) =>
+      writeSubframe(fw, x, bps, lpcOrder, detectWasted) }
     fw.align()
     val bodyBytes = fw.bytes
     val withCrc8 = headerBytes :+ crc8(headerBytes, 0,
@@ -383,7 +412,8 @@ object FlacCodec {
   }
 
   def encode(sampleRate: Int, samples: Array[Short],
-      blockSize: Int = 256, lpcOrder: Int = 0): Array[Byte] = {
+      blockSize: Int = 256, lpcOrder: Int = 0,
+      detectWasted: Boolean = false): Array[Byte] = {
     require(lpcOrder >= 0 && lpcOrder <= 32, s"bad LPC order $lpcOrder")
     require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
     require(samples.nonEmpty, "no samples")
@@ -396,7 +426,8 @@ object FlacCodec {
       val i0 = f * blockSize
       val n = math.min(blockSize, samples.length - i0)
       val x = Array.tabulate(n)(j => samples(i0 + j).toInt)
-      writeFrame(out, f.toLong, n, chanCode = 0, Seq((x, 16)), lpcOrder)
+      writeFrame(out, f.toLong, n, chanCode = 0, Seq((x, 16)), lpcOrder,
+        detectWasted)
     }
     out.toByteArray
   }
@@ -425,7 +456,7 @@ object FlacCodec {
     * `(mid<<1 | side&1)` bit trick — every mode is lossless. */
   def encodeStereo(sampleRate: Int, left: Array[Short],
       right: Array[Short], blockSize: Int = 256, mode: String = "auto",
-      lpcOrder: Int = 0): Array[Byte] = {
+      lpcOrder: Int = 0, detectWasted: Boolean = false): Array[Byte] = {
     require(lpcOrder >= 0 && lpcOrder <= 32, s"bad LPC order $lpcOrder")
     require(sampleRate > 0 && sampleRate < (1 << 20), "bad sample rate")
     require(left.nonEmpty && left.length == right.length,
@@ -462,7 +493,8 @@ object FlacCodec {
         case "rs" => (9, Seq((s, 17), (r, 16)))
         case _    => (10, Seq((m, 16), (s, 17)))
       }
-      writeFrame(out, f.toLong, n, code, subframes, lpcOrder)
+      writeFrame(out, f.toLong, n, code, subframes, lpcOrder,
+        detectWasted)
     }
     out.toByteArray
   }
@@ -479,10 +511,11 @@ object FlacCodec {
   /** [[AudioCodec.wavFromBytes]]'s fixture signal in the FLAC
     * container. */
   def flacFromBytes(sampleRate: Int, nSamples: Int, src: Array[Byte],
-      blockSize: Int = 64, lpcOrder: Int = 0): Array[Byte] = {
+      blockSize: Int = 64, lpcOrder: Int = 0,
+      detectWasted: Boolean = false): Array[Byte] = {
     require(src.nonEmpty, "empty source bytes")
     encode(sampleRate, fixtureChannel(nSamples, src, 7, 3), blockSize,
-      lpcOrder)
+      lpcOrder, detectWasted)
   }
 
   /** Stereo fixture: L is the WAV fixture map (7i+3), R a second
@@ -502,11 +535,18 @@ object FlacCodec {
     * channel): CONSTANT / VERBATIM / FIXED / LPC with partitioned-Rice
     * residuals. */
   private def readSubframe(br: BitReader, blockSize: Int,
-      bps: Int): Array[Int] = {
+      bps0: Int): Array[Int] = {
     def signed(v: Long, w: Int): Int = ((v << (64 - w)) >> (64 - w)).toInt
     require(br.bits(1) == 0, "subframe padding bit set")
     val sfType = br.bits(6).toInt
-    require(br.bits(1) == 0, "wasted-bits FLAC subframes unsupported")
+    // wasted bits (spec: flag 1 + unary-coded k−1): the subframe is
+    // coded at bps−k and every sample shifts left k on the way out —
+    // how real encoders code quiet/quantized content
+    val wasted =
+      if (br.bits(1) == 0) 0
+      else br.unary() + 1
+    require(wasted < bps0, s"wasted bits $wasted >= bits/sample $bps0")
+    val bps = bps0 - wasted
     val x = new Array[Int](blockSize)
     // partitioned-Rice residual shared by FIXED and LPC: `predict`
     // returns the prediction for sample i from the already-restored
@@ -572,6 +612,10 @@ object FlacCodec {
     } else {
       throw new IllegalArgumentException(
         s"reserved FLAC subframe type $sfType")
+    }
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { x(i) = x(i) << wasted; i += 1 }
     }
     x
   }

@@ -53,6 +53,17 @@ import graft.ops.{AudioCodec, FlacCodec, ImageCodec, MultimodalOps,
   *    independently and feature-pooled; frame f's raster walks the
   *    text at offset 29f, so the oracle replays every frame
   *    hash-exactly.  Partial-frame compositing is rejected by name.
+  *
+  *  - `mm_flac_wasted`: the spec's WASTED-BITS subframe form — the
+  *    fixture's ×256 samples carry 8 common trailing zero bits, so the
+  *    encoder codes every subframe at 8/9 bits and the stream shrinks
+  *    by roughly half; decode shifts back, so the SAME hash-exact
+  *    envelope oracle as mm_flac_decode gates it.
+  *
+  *  - `mm_wav_extensible`: WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) — how
+  *    modern writers wrap PCM (40-byte fmt, validBits, channel mask,
+  *    KSDATAFORMAT GUID); mono on even ids, stereo (the second 11i+5
+  *    channel walk, (L+R)>>1 downmix) on odd.
   */
 object R18Queries {
 
@@ -203,6 +214,49 @@ object R18Queries {
           posexplode(col("col")))
         .select(col("doc_id"), col("frame"),
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
+    "mm_flac_wasted" -> ((s, dir) => {
+      val toFlac = udf((id: Long, text: String) =>
+        FlacCodec.flacFromBytes(16000, 256, MultimodalOps.asciiBytes(text),
+          lpcOrder = if (id % 2 == 1) 8 else 0, detectWasted = true))
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toFlac(col("doc_id"), col("text")))
+      AudioCodec.decodeWith(d, col("payload"), col("doc_id"), frames = 16)
+        .toDF()
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), posexplode(col("features")))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
+    "mm_wav_extensible" -> ((s, dir) => {
+      val toWav = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        def ch(mult: Int, add: Int) = Array.tabulate[Short](256) { i =>
+          ((src((i * mult + add) % src.length) & 0xff) - 76).toShort
+        }.map(v => (v * 256).toShort)
+        if (id % 2 == 0) AudioCodec.encodeWavExtensible(16000, 1, ch(7, 3))
+        else {
+          val l = ch(7, 3); val r = ch(11, 5)
+          val inter = new Array[Short](512)
+          var i = 0
+          while (i < 256) {
+            inter(2 * i) = l(i); inter(2 * i + 1) = r(i); i += 1
+          }
+          AudioCodec.encodeWavExtensible(16000, 2, inter)
+        }
+      })
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toWav(col("doc_id"), col("text")))
+      AudioCodec.decodeWith(d, col("payload"), col("doc_id"), frames = 16)
+        .toDF()
+        .select(col("doc_id"),
+          (col("doc_id") % 2).cast("long").as("stereo_class"),
+          col("n_samples"), posexplode(col("features")))
+        .select(col("doc_id"), col("stereo_class"), col("n_samples"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
     })
   )
 
@@ -312,6 +366,27 @@ object R18Queries {
         |  (gy * 4 + gx)::BIGINT AS j,
         |  round(sum(s)::DOUBLE / (3.0 * count(*)), 6) AS feat
         |FROM tps GROUP BY 1, 2, gy, gx""".stripMargin,
+
+    // wasted-bits coding is lossless: identical envelope oracle to
+    // mm_flac_decode
+    "mm_flac_wasted" ->
+      s"""WITH ${R16eQueries.WavFeatSql}
+         |SELECT doc_id, 16000::BIGINT AS sample_rate,
+         |  256::BIGINT AS n_samples, j, feat
+         |FROM wf""".stripMargin,
+
+    // mono envelope on even ids; stereo (L+R)>>1 downmix envelope on
+    // odd — both CTE families compose (disjoint names)
+    "mm_wav_extensible" ->
+      s"""WITH ${R16eQueries.WavFeatSql},
+         |$FlacStereoFeatSql
+         |SELECT doc_id, 0::BIGINT AS stereo_class,
+         |  256::BIGINT AS n_samples, j, feat
+         |FROM wf WHERE doc_id % 2 = 0
+         |UNION ALL
+         |SELECT doc_id, 1::BIGINT AS stereo_class,
+         |  256::BIGINT AS n_samples, j, feat
+         |FROM fsf WHERE doc_id % 2 = 1""".stripMargin,
 
     // frame f's raster walks the text at offset 29f
     "mm_gif_animated" ->

@@ -47,7 +47,13 @@ object XPlanBank {
     "mm_wav_ulaw", "mm_wav_alaw", "mm_wav_adpcm",
     "mm_tiff_decode", "mm_flac_decode", "mm_png_interlaced",
     "mm_wav_formats", "mm_gif_interlaced", "mm_bmp_shapes",
-    "mm_pnm_formats", "mm_jpeg_quality_gauge")
+    "mm_pnm_formats", "mm_jpeg_quality_gauge",
+    // r18 additions: the 64-bit re-landed near-dup layout consumers are
+    // already above (their rows should show the unchanged 1-scan shape);
+    // plus the new containers — stereo FLAC, tiled/planar TIFF, PNG
+    // shapes, PBM, animated GIF
+    "mm_flac_stereo", "mm_tiff_tiled", "mm_tiff_planar",
+    "mm_png_shapes", "mm_pbm_bitmaps", "mm_gif_animated")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
