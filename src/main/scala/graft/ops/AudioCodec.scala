@@ -516,15 +516,184 @@ object AudioCodec {
         samples
     }
 
+  // ---- AU (Sun/NeXT .snd — the big-endian telephony container) ------------
+
+  private def beInt(b: Array[Byte], o: Int): Int = {
+    require(o >= 0 && o + 4 <= b.length, "truncated AU/AIFF field")
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  }
+
+  /** AU container (public Sun audio header): ".snd" magic, data offset,
+    * data size, encoding, rate, channels, then samples.  Encodings 1
+    * (G.711 μ-law — shared tables with WAV tag 7) and 3 (16-bit BE
+    * PCM); stereo downmixes (L+R)>>1 like the WAV path. */
+  def decodeAu(b: Array[Byte]): (Int, Array[Short]) = {
+    require(b.length >= 24, "truncated AU header")
+    require(new String(b, 0, 4, "US-ASCII") == ".snd", "bad AU magic")
+    val off = beInt(b, 4)
+    val size0 = beInt(b, 8)
+    val enc = beInt(b, 12)
+    val rate = beInt(b, 16)
+    val channels = beInt(b, 20)
+    require(off >= 24 && off <= b.length, s"bad AU data offset $off")
+    // size -1 (0xffffffff) means "unknown": take the rest of the file
+    val size = if (size0 == -1) b.length - off else size0
+    require(size >= 0 && off + size <= b.length, "truncated AU data")
+    require(rate > 0, s"bad AU sample rate $rate")
+    require(channels == 1 || channels == 2,
+      s"unsupported AU channel count $channels")
+    require(enc == 1 || enc == 3,
+      s"unsupported AU encoding $enc (μ-law 1 and 16-bit PCM 3 only)")
+    val bytesPer = if (enc == 1) 1 else 2
+    require(size % (bytesPer * channels) == 0,
+      "AU data size misaligned with frames")
+    val n = size / (bytesPer * channels)
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      def one(c: Int): Int =
+        if (enc == 1) ulawDecode(b(off + i * channels + c)).toInt
+        else {
+          val o = off + (i * channels + c) * 2
+          ((b(o) << 8) | (b(o + 1) & 0xff)).toShort.toInt
+        }
+      out(i) =
+        (if (channels == 1) one(0) else (one(0) + one(1)) >> 1).toShort
+      i += 1
+    }
+    (rate, out)
+  }
+
+  /** AU fixture encoder (16-bit BE PCM or μ-law, mono). */
+  def encodeAu(sampleRate: Int, samples: Array[Short],
+      ulaw: Boolean = false): Array[Byte] = {
+    require(sampleRate > 0 && samples.nonEmpty, "bad au args")
+    val dataLen = samples.length * (if (ulaw) 1 else 2)
+    val out = java.nio.ByteBuffer.allocate(24 + dataLen)
+    out.put(".snd".getBytes("US-ASCII"))
+    out.putInt(24).putInt(dataLen).putInt(if (ulaw) 1 else 3)
+    out.putInt(sampleRate).putInt(1)
+    if (ulaw) samples.foreach(s => out.put(ulawEncode(s)))
+    else samples.foreach(out.putShort)
+    out.array()
+  }
+
+  // ---- AIFF (the big-endian IFF container of the Mac world) ----------------
+
+  /** 80-bit IEEE 754 extended float at `o` — how AIFF's COMM chunk
+    * stores the sample rate: 1 sign + 15 exponent + 64 explicit-one
+    * mantissa bits; exact for every real-world rate. */
+  private def extended80(b: Array[Byte], o: Int): Int = {
+    require(o + 10 <= b.length, "truncated AIFF extended float")
+    val se = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    require((se & 0x8000) == 0, "negative AIFF sample rate")
+    val exp = se & 0x7fff
+    var mant = 0L
+    for (j <- 0 until 8) mant = (mant << 8) | (b(o + 2 + j) & 0xff)
+    if (exp == 0 && mant == 0L) return 0
+    // value = mant · 2^(exp − 16383 − 63); rates are integral, so the
+    // shift must land exactly
+    val shift = exp - 16383 - 63
+    require(shift <= 0 && shift > -64, s"AIFF rate exponent $exp out of range")
+    val down = -shift
+    require(down < 64 && (mant & ((1L << down) - 1)) == 0L,
+      "non-integral AIFF sample rate unsupported")
+    val v = mant >>> down
+    require(v > 0 && v <= Int.MaxValue, "AIFF sample rate out of range")
+    v.toInt
+  }
+
+  /** AIFF (public Audio IFF spec): big-endian FORM/AIFF with the COMM
+    * chunk (channels, frame count, 16-bit sample size, 80-bit extended
+    * rate) and SSND (offset/blockSize prelude, BE samples).  Stereo
+    * downmixes (L+R)>>1. */
+  def decodeAiff(b: Array[Byte]): (Int, Array[Short]) = {
+    require(b.length >= 12, "truncated AIFF header")
+    require(new String(b, 0, 4, "US-ASCII") == "FORM" &&
+      new String(b, 8, 4, "US-ASCII") == "AIFF", "not a FORM/AIFF file")
+    var p = 12
+    var channels = -1
+    var frames = -1
+    var rate = -1
+    var haveComm = false
+    while (p + 8 <= b.length) {
+      val cid = new String(b, p, 4, "US-ASCII")
+      val len = beInt(b, p + 4)
+      require(len >= 0 && p + 8 + len <= b.length,
+        s"truncated AIFF '$cid' chunk")
+      if (cid == "COMM") {
+        require(len >= 18, "short COMM chunk")
+        channels = ((b(p + 8) & 0xff) << 8) | (b(p + 9) & 0xff)
+        frames = beInt(b, p + 10)
+        val bits = ((b(p + 14) & 0xff) << 8) | (b(p + 15) & 0xff)
+        require(bits == 16, s"only 16-bit AIFF supported, got $bits")
+        rate = extended80(b, p + 16)
+        require(rate > 0, "bad AIFF sample rate")
+        require(channels == 1 || channels == 2,
+          s"unsupported AIFF channel count $channels")
+        haveComm = true
+      } else if (cid == "SSND") {
+        require(haveComm, "SSND before COMM")
+        require(len >= 8, "short SSND chunk")
+        val dataOff = beInt(b, p + 8)
+        require(dataOff >= 0, s"bad SSND offset $dataOff")
+        val base = p + 16 + dataOff
+        require(frames >= 0 &&
+          base + frames * 2 * channels <= p + 8 + len,
+          "AIFF frame count exceeds SSND data")
+        val out = new Array[Short](frames)
+        var i = 0
+        while (i < frames) {
+          def one(c: Int): Int = {
+            val o = base + (i * channels + c) * 2
+            ((b(o) << 8) | (b(o + 1) & 0xff)).toShort.toInt
+          }
+          out(i) =
+            (if (channels == 1) one(0) else (one(0) + one(1)) >> 1).toShort
+          i += 1
+        }
+        return (rate, out)
+      }
+      p += 8 + len + (len & 1) // IFF chunks are word-aligned
+    }
+    throw new IllegalArgumentException("no SSND chunk found")
+  }
+
+  /** AIFF fixture encoder (16-bit BE PCM, mono). */
+  def encodeAiff(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    require(sampleRate > 0 && samples.nonEmpty, "bad aiff args")
+    val dataLen = 8 + samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(12 + 8 + 18 + 8 + dataLen)
+    out.put("FORM".getBytes("US-ASCII")).putInt(4 + 26 + 8 + dataLen)
+    out.put("AIFF".getBytes("US-ASCII"))
+    out.put("COMM".getBytes("US-ASCII")).putInt(18)
+    out.putShort(1).putInt(samples.length).putShort(16)
+    // 80-bit extended: rate = mant·2^(exp−16383−63) with the explicit
+    // leading one at bit 63
+    val nlz = java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    val exp = 16383 + 63 - nlz
+    val mant = sampleRate.toLong << nlz
+    out.putShort(exp.toShort).putLong(mant)
+    out.put("SSND".getBytes("US-ASCII")).putInt(dataLen)
+    out.putInt(0).putInt(0)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
   /** Sniff the audio magic and decode: RIFF/WAVE (all supported format
-    * tags) or fLaC — the [[ImageCodec.decode]] dispatch for sound. */
+    * tags), fLaC, AU (".snd") or AIFF ("FORM") — the
+    * [[ImageCodec.decode]] dispatch for sound. */
   def decodeAudio(b: Array[Byte]): (Int, Array[Short]) = {
     require(b.length >= 4, "truncated audio")
     val magic = new String(b, 0, 4, "US-ASCII")
     if (magic == "RIFF") decodeWav(b)
     else if (magic == "fLaC") FlacCodec.decode(b)
+    else if (magic == ".snd") decodeAu(b)
+    else if (magic == "FORM") decodeAiff(b)
     else throw new IllegalArgumentException(
-      s"unknown audio magic '$magic' (RIFF/WAVE and FLAC supported)")
+      s"unknown audio magic '$magic' (RIFF/WAVE, FLAC, AU, AIFF " +
+        "supported)")
   }
 
   // ---- the real audio kernel -----------------------------------------------

@@ -64,6 +64,14 @@ import graft.ops.{AudioCodec, FlacCodec, ImageCodec, MultimodalOps,
   *    modern writers wrap PCM (40-byte fmt, validBits, channel mask,
   *    KSDATAFORMAT GUID); mono on even ids, stereo (the second 11i+5
   *    channel walk, (L+R)>>1 downmix) on odd.
+  *
+  *  - `mm_au_aiff`: the two BIG-ENDIAN audio containers — Sun AU
+  *    (".snd", encoding 3) on even ids and AIFF (FORM/COMM with the
+  *    80-bit extended sample rate + SSND) on odd — same fixture
+  *    signal, same hash-exact envelope oracle; byte_len pins each
+  *    container's exact header overhead (AU 24+512, AIFF 54+520).
+  *    Both decoders are ALSO conformance-anchored against stdlib
+  *    sunau/aifc bytes in R18ConformanceSpec.
   */
 object R18Queries {
 
@@ -257,6 +265,27 @@ object R18Queries {
           col("n_samples"), posexplode(col("features")))
         .select(col("doc_id"), col("stereo_class"), col("n_samples"),
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
+    "mm_au_aiff" -> ((s, dir) => {
+      val toAudio = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        val samples = Array.tabulate[Short](256) { i =>
+          (((src((i * 7 + 3) % src.length) & 0xff) - 76) * 256).toShort
+        }
+        if (id % 2 == 0) AudioCodec.encodeAu(16000, samples)
+        else AudioCodec.encodeAiff(16000, samples)
+      })
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toAudio(col("doc_id"), col("text")))
+      AudioCodec.decodeWith(d, col("payload"), col("doc_id"), frames = 16)
+        .toDF()
+        .select(col("doc_id"), col("byte_len"),
+          (col("doc_id") % 2).cast("long").as("container_class"),
+          col("n_samples"), posexplode(col("features")))
+        .select(col("doc_id"), col("byte_len"), col("container_class"),
+          col("n_samples"), col("pos").cast("long").as("j"),
+          round(col("col"), 6).as("feat"))
     })
   )
 
@@ -387,6 +416,17 @@ object R18Queries {
          |SELECT doc_id, 1::BIGINT AS stereo_class,
          |  256::BIGINT AS n_samples, j, feat
          |FROM fsf WHERE doc_id % 2 = 1""".stripMargin,
+
+    // AU = 24-byte header + 512 sample bytes; AIFF = FORM(12) +
+    // COMM(8+18) + SSND(8 + 8 prelude + 512)
+    "mm_au_aiff" ->
+      s"""WITH ${R16eQueries.WavFeatSql}
+         |SELECT doc_id,
+         |  (CASE doc_id % 2 WHEN 0 THEN 536 ELSE 566 END)::BIGINT
+         |    AS byte_len,
+         |  (doc_id % 2)::BIGINT AS container_class,
+         |  256::BIGINT AS n_samples, j, feat
+         |FROM wf""".stripMargin,
 
     // frame f's raster walks the text at offset 29f
     "mm_gif_animated" ->

@@ -58,6 +58,37 @@ class R18AudioSpec extends AnyFunSuite {
       assert(st(i) == ((l(i) + r(i)) >> 1).toShort, s"i=$i")
   }
 
+  test("AU and AIFF round-trip; stereo downmixes; fail-loud shapes") {
+    val sig = sine(300)
+    val (ar, as) = AudioCodec.decodeAudio(AudioCodec.encodeAu(8000, sig))
+    assert(ar == 8000 && as.toSeq == sig.toSeq)
+    val (fr, fs) = AudioCodec.decodeAudio(AudioCodec.encodeAiff(8000, sig))
+    assert(fr == 8000 && fs.toSeq == sig.toSeq)
+    // μ-law AU decodes through the shared G.711 tables: encode's codes
+    // must invert to the table midpoints
+    val (_, us) = AudioCodec.decodeAu(AudioCodec.encodeAu(8000, sig,
+      ulaw = true))
+    for (i <- sig.indices)
+      assert(us(i) == AudioCodec.ulawDecode(AudioCodec.ulawEncode(sig(i))))
+    // fail-loud: bad magic, unsupported encoding, truncation
+    intercept[IllegalArgumentException] {
+      AudioCodec.decodeAu("snd.".getBytes("US-ASCII") ++
+        new Array[Byte](20)) }
+    val badEnc = AudioCodec.encodeAu(8000, sig).clone()
+    badEnc(15) = 2 // 8-bit linear PCM: unsupported by name
+    assert(intercept[IllegalArgumentException] {
+      AudioCodec.decodeAu(badEnc) }.getMessage.contains("encoding"))
+    val okAiff = AudioCodec.encodeAiff(8000, sig)
+    for (n <- Seq(10, 40, okAiff.length - 3)) {
+      intercept[IllegalArgumentException] {
+        AudioCodec.decodeAiff(java.util.Arrays.copyOf(okAiff, n)) }
+    }
+    // 24-bit AIFF rejected by name (patch COMM sampleSize at 12+8+6)
+    val bad24 = okAiff.clone(); bad24(12 + 8 + 7) = 24
+    assert(intercept[IllegalArgumentException] {
+      AudioCodec.decodeAiff(bad24) }.getMessage.contains("16-bit"))
+  }
+
   test("EXTENSIBLE fail-loud: bad GUID, non-PCM sub-format, padded " +
       "containers") {
     val ok = AudioCodec.encodeWavExtensible(16000, 1, sine(64))

@@ -33,6 +33,11 @@ try:
     import audioop  # removed in 3.13; present here
 except ImportError:
     audioop = None
+try:
+    import aifc
+    import sunau  # both removed in 3.13; present here
+except ImportError:
+    aifc = sunau = None
 
 OUT = os.path.join(os.path.dirname(__file__), "fixtures", "codec")
 
@@ -142,6 +147,35 @@ def write_wav_g711(path, n, law):
         f.write(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
 
 
+def write_aiff(path, n):
+    """stdlib aifc writer: big-endian PCM + the 80-bit extended rate."""
+    pcm = b"".join(struct.pack(">h", sample(i)) for i in range(n))
+    f = aifc.open(path, "wb")
+    f.setnchannels(1)
+    f.setsampwidth(2)
+    f.setframerate(16000)
+    f.writeframes(pcm)
+    f.close()
+
+
+def write_au(path, n, ulaw):
+    """stdlib sunau writer: .snd header + BE PCM or companded bytes."""
+    f = sunau.open(path, "wb")
+    f.setnchannels(1)
+    f.setframerate(16000)
+    if ulaw:
+        f.setsampwidth(1)
+        f.setcomptype("ULAW", "")  # str, not bytes, in this stdlib
+        pcm = b"".join(struct.pack("<h", sample(i)) for i in range(n))
+        f.writeframes(audioop.lin2ulaw(pcm, 2))
+    else:
+        f.setsampwidth(2)
+        f.setcomptype("NONE", "")  # sunau DEFAULTS to ULAW
+        pcm = b"".join(struct.pack(">h", sample(i)) for i in range(n))
+        f.writeframesraw(pcm)
+    f.close()
+
+
 def main():
     os.makedirs(OUT, exist_ok=True)
     write_png(os.path.join(OUT, "gray8.png"), 13, 9, 0)
@@ -160,6 +194,12 @@ def main():
             f.write(audioop.ulaw2lin(bytes(range(256)), 2))
         with open(os.path.join(OUT, "alaw_table.bin"), "wb") as f:
             f.write(audioop.alaw2lin(bytes(range(256)), 2))
+    if aifc is not None:
+        write_aiff(os.path.join(OUT, "pcm16.aiff"), 260)
+    if sunau is not None:
+        write_au(os.path.join(OUT, "pcm16.au"), 250, ulaw=False)
+        if audioop is not None:
+            write_au(os.path.join(OUT, "ulaw.au"), 255, ulaw=True)
     print("fixtures written to", OUT)
 
 
