@@ -838,25 +838,44 @@ object ImageCodec {
     require(w > 0 && h > 0, s"bad BMP dims ${w}x$hRaw")
     require(i16(b, 26) == 1, "BMP planes must be 1")
     val bpp = i16(b, 28)
-    require(bpp == 24 || bpp == 8,
-      s"only 24-bit and 8-bit-palette BMP supported, got $bpp")
+    require(bpp == 24 || bpp == 16 || bpp == 8 || bpp == 4,
+      s"only 24/16-bit and 8/4-bit-palette BMP supported, got $bpp")
     val compression = i32(b, 30)
-    require(compression == 0 || (compression == 1 && bpp == 8),
-      s"unsupported BMP compression $compression (BI_RGB, or BI_RLE8" +
-        " with 8-bit)")
-    require(!(topDown && compression == 1),
-      "top-down RLE8 BMP is invalid (spec: RLE bitmaps are bottom-up)")
-    // 8-bit: palette follows the DIB header (biClrUsed entries, 0 ⇒ 256)
+    require(compression == 0 || (compression == 1 && bpp == 8) ||
+      (compression == 2 && bpp == 4) || (compression == 3 && bpp == 16),
+      s"unsupported BMP compression $compression for $bpp bpp")
+    require(!(topDown && (compression == 1 || compression == 2)),
+      "top-down RLE BMP is invalid (spec: RLE bitmaps are bottom-up)")
+    // palette follows the DIB header (biClrUsed entries, 0 ⇒ 2^bpp)
     val palette: Array[Int] =
-      if (bpp == 8) {
-        val used = i32(b, 46) match { case 0 => 256; case n => n }
-        require(used > 0 && used <= 256, s"bad BMP palette size $used")
+      if (bpp == 8 || bpp == 4) {
+        val cap = 1 << bpp
+        val used = i32(b, 46) match { case 0 => cap; case n => n }
+        require(used > 0 && used <= cap, s"bad BMP palette size $used")
         val palOff = 14 + dibSize
         require(b.length >= palOff + 4 * used, "truncated BMP palette")
         Array.tabulate(used)(i => // BGRA quads
           (b(palOff + 4 * i) & 0xff) + (b(palOff + 4 * i + 1) & 0xff) +
             (b(palOff + 4 * i + 2) & 0xff))
       } else null
+    // 16-bit: BI_RGB = X1R5G5B5; BI_BITFIELDS = three mask DWORDs right
+    // after the header — only the two real-world layouts (555 / 565)
+    // are accepted, decoded with the standard bit-replication expansion
+    val masks16: (Int, Int, Int) =
+      if (bpp != 16) null
+      else if (compression == 0) (0x7c00, 0x3e0, 0x1f)
+      else {
+        require(b.length >= 14 + dibSize + 12,
+          "truncated BI_BITFIELDS masks")
+        val m = (i32(b, 14 + dibSize), i32(b, 14 + dibSize + 4),
+          i32(b, 14 + dibSize + 8))
+        require(m == ((0xf800, 0x7e0, 0x1f)) || m == ((0x7c00, 0x3e0, 0x1f)),
+          s"unsupported BI_BITFIELDS masks $m (565 or 555 only)")
+        m
+      }
+    // 5-bit (v<<3)|(v>>2) / 6-bit (v<<2)|(v>>4) channel expansion
+    def expand(v: Int, width: Int): Int =
+      if (width == 5) (v << 3) | (v >> 2) else (v << 2) | (v >> 4)
     // file row r → image row (top-down: r; bottom-up: h-1-r)
     def imageRow(r: Int): Int = if (topDown) r else h - 1 - r
     val sums = new Array[Int](w * h)
@@ -875,7 +894,27 @@ object ImageCodec {
           x += 1
         }
       }
-    } else if (compression == 0) { // uncompressed 8-bit palette
+    } else if (bpp == 16) {
+      val stride = (w * 2 + 3) / 4 * 4
+      require(b.length >= dataOff + stride.toLong * h,
+        "truncated BMP pixel data")
+      val (rm, gm, bm) = masks16
+      val gw = java.lang.Integer.bitCount(gm) // 5 or 6; r/b always 5
+      for (r <- 0 until h) {
+        val rowOff = dataOff + r * stride
+        val y = imageRow(r)
+        var x = 0
+        while (x < w) {
+          val u = (b(rowOff + 2 * x) & 0xff) |
+            ((b(rowOff + 2 * x + 1) & 0xff) << 8)
+          sums(y * w + x) =
+            expand((u & rm) >> java.lang.Integer.numberOfTrailingZeros(rm), 5) +
+              expand((u & gm) >> java.lang.Integer.numberOfTrailingZeros(gm), gw) +
+              expand(u & bm, 5)
+          x += 1
+        }
+      }
+    } else if (compression == 0 && bpp == 8) { // uncompressed 8-bit palette
       val stride = (w + 3) / 4 * 4
       require(b.length >= dataOff + stride.toLong * h,
         "truncated BMP pixel data")
@@ -889,6 +928,66 @@ object ImageCodec {
             s" range (${palette.length})")
           sums(y * w + x) = palette(idx)
           x += 1
+        }
+      }
+    } else if (compression == 0) { // uncompressed 4-bit: nibbles, high first
+      val stride = ((w + 1) / 2 + 3) / 4 * 4
+      require(b.length >= dataOff + stride.toLong * h,
+        "truncated BMP pixel data")
+      for (r <- 0 until h) {
+        val rowOff = dataOff + r * stride
+        val y = imageRow(r)
+        var x = 0
+        while (x < w) {
+          val byte = b(rowOff + x / 2) & 0xff
+          val idx = if (x % 2 == 0) byte >> 4 else byte & 0xf
+          require(idx < palette.length, s"BMP palette index $idx out of" +
+            s" range (${palette.length})")
+          sums(y * w + x) = palette(idx)
+          x += 1
+        }
+      }
+    } else if (compression == 2) { // BI_RLE4: runs of ALTERNATING nibbles
+      var p = dataOff
+      var fx = 0
+      var fy = 0
+      var eob = false
+      def put4(idx: Int): Unit = {
+        require(fx < w && fy < h, s"RLE4 cursor out of bounds ($fx,$fy)")
+        require(idx < palette.length, s"BMP palette index $idx out of" +
+          s" range (${palette.length})")
+        sums((h - 1 - fy) * w + fx) = palette(idx)
+        fx += 1
+      }
+      while (!eob) {
+        require(p + 1 < b.length, "truncated BMP RLE4 stream")
+        val n = b(p) & 0xff
+        val v = b(p + 1) & 0xff
+        p += 2
+        if (n > 0) { // encoded: n pixels alternating high/low nibble of v
+          var i = 0
+          while (i < n) {
+            put4(if (i % 2 == 0) v >> 4 else v & 0xf)
+            i += 1
+          }
+        } else v match {
+          case 0 => fx = 0; fy += 1 // end of line
+          case 1 => eob = true      // end of bitmap
+          case 2 =>                  // delta: skipped pixels stay 0
+            require(p + 1 < b.length, "truncated BMP RLE4 delta")
+            fx += b(p) & 0xff
+            fy += b(p + 1) & 0xff
+            p += 2
+          case cnt =>               // absolute: cnt packed nibbles
+            val nb = (cnt + 1) / 2
+            require(p + nb <= b.length, "truncated BMP RLE4 literals")
+            var i = 0
+            while (i < cnt) {
+              val byte = b(p + i / 2) & 0xff
+              put4(if (i % 2 == 0) byte >> 4 else byte & 0xf)
+              i += 1
+            }
+            p += nb + (nb & 1)      // word-aligned
         }
       }
     } else { // BI_RLE8 (spec: encoded runs, absolute mode, EOL/EOB/delta)
@@ -999,6 +1098,103 @@ object ImageCodec {
     out.putInt(2835).putInt(2835).putInt(256).putInt(0)
     for (i <- 0 until 256) { // BGRA grayscale identity palette
       out.put(i.toByte).put(i.toByte).put(i.toByte).put(0.toByte)
+    }
+    out.put(data)
+    out.array()
+  }
+
+  /** 16-bit BMP: BI_RGB X1R5G5B5, or BI_BITFIELDS R5G6B5 when
+    * `use565` — the two real-world HighColor layouts.  Channels
+    * quantize v → v>>3 (v>>2 for the 565 green); the decoder's
+    * bit-replication expansion makes the round trip SQL-replayable. */
+  def encodeBmp16(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      use565: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0, "bad dims")
+    val stride = (w * 2 + 3) / 4 * 4
+    val masksLen = if (use565) 12 else 0
+    val dataOff = 54 + masksLen
+    val out = java.nio.ByteBuffer.allocate(dataOff + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(dataOff + stride * h).putInt(0).putInt(dataOff)
+    out.putInt(40).putInt(w).putInt(h)
+    out.putShort(1).putShort(16)
+    out.putInt(if (use565) 3 else 0).putInt(stride * h)
+    out.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    if (use565) { out.putInt(0xf800); out.putInt(0x7e0); out.putInt(0x1f) }
+    for (fy <- 0 until h) {
+      val y = h - 1 - fy
+      for (x <- 0 until w) {
+        val (r, g, b) = rgb(x, y)
+        val u =
+          if (use565) ((r >> 3) << 11) | ((g >> 2) << 5) | (b >> 3)
+          else ((r >> 3) << 10) | ((g >> 3) << 5) | (b >> 3)
+        out.putShort(u.toShort)
+      }
+      for (_ <- w * 2 until stride) out.put(0.toByte)
+    }
+    out.array()
+  }
+
+  /** 4-bit palette BMP (16-entry i·17 grayscale table — the standard
+    * 4→8 expansion): `idx(x, y)` ∈ 0..15; `rle` writes BI_RLE4
+    * (alternating-nibble encoded runs + packed absolute mode). */
+  def encodeBmp4(w: Int, h: Int, idx: (Int, Int) => Int,
+      rle: Boolean = false): Array[Byte] = {
+    require(w > 0 && h > 0, "bad dims")
+    val pixels = new java.io.ByteArrayOutputStream
+    if (rle) {
+      for (fy <- 0 until h) {
+        val y = h - 1 - fy
+        var x = 0
+        while (x < w) {
+          val a = idx(x, y) & 0xf
+          val b2 = if (x + 1 < w) idx(x + 1, y) & 0xf else a
+          // run of the alternating pair (a, b2)
+          var run = 1
+          while (x + run < w && run < 254 &&
+            (idx(x + run, y) & 0xf) ==
+              (if (run % 2 == 0) a else b2)) run += 1
+          if (run >= 2) {
+            pixels.write(run); pixels.write((a << 4) | b2)
+            x += run
+          } else {
+            pixels.write(1); pixels.write(a << 4)
+            x += 1
+          }
+        }
+        pixels.write(0); pixels.write(0) // end of line
+      }
+      pixels.write(0); pixels.write(1) // end of bitmap
+    } else {
+      val stride = ((w + 1) / 2 + 3) / 4 * 4
+      for (fy <- 0 until h) {
+        val y = h - 1 - fy
+        var rowBytes = 0
+        var x = 0
+        while (x < w) {
+          val hi = idx(x, y) & 0xf
+          val lo = if (x + 1 < w) idx(x + 1, y) & 0xf else 0
+          pixels.write((hi << 4) | lo)
+          rowBytes += 1
+          x += 2
+        }
+        for (_ <- rowBytes until stride) pixels.write(0)
+      }
+    }
+    val data = pixels.toByteArray
+    val dataOff = 54 + 4 * 16
+    val out = java.nio.ByteBuffer.allocate(dataOff + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte)
+    out.putInt(dataOff + data.length).putInt(0).putInt(dataOff)
+    out.putInt(40).putInt(w).putInt(h)
+    out.putShort(1).putShort(4)
+    out.putInt(if (rle) 2 else 0).putInt(data.length)
+    out.putInt(2835).putInt(2835).putInt(16).putInt(0)
+    for (i <- 0 until 16) { // BGRA i·17 grayscale palette
+      val v = (i * 17).toByte
+      out.put(v).put(v).put(v).put(0.toByte)
     }
     out.put(data)
     out.array()

@@ -65,6 +65,13 @@ import graft.ops.{AudioCodec, FlacCodec, ImageCodec, MultimodalOps,
   *    KSDATAFORMAT GUID); mono on even ids, stereo (the second 11i+5
   *    channel walk, (L+R)>>1 downmix) on odd.
   *
+  *  - `mm_bmp_highcolor`: the remaining real-world BMP shapes — 16-bit
+  *    HighColor (BI_RGB X1R5G5B5 and BI_BITFIELDS R5G6B5, decoded via
+  *    the standard bit-replication expansion, so the quantize→expand
+  *    round trip is SQL-replayable in closed form) and 4-bit palette
+  *    (uncompressed nibbles + BI_RLE4 alternating-nibble runs, i·17
+  *    grayscale table) — cycling by doc_id % 4, hash-exact.
+  *
   *  - `mm_au_aiff`: the two BIG-ENDIAN audio containers — Sun AU
   *    (".snd", encoding 3) on even ids and AIFF (FORM/COMM with the
   *    80-bit extended sample rate + SSND) on odd — same fixture
@@ -267,6 +274,30 @@ object R18Queries {
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
     }),
 
+    "mm_bmp_highcolor" -> ((s, dir) => {
+      val toBmp = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        def v(x: Int, y: Int) = src((y * 8 + x) % src.length) & 0xff
+        val gray = (x: Int, y: Int) => { val p = v(x, y); (p, p, p) }
+        (id % 4) match {
+          case 0 => ImageCodec.encodeBmp16(8, 8, gray)
+          case 1 => ImageCodec.encodeBmp16(8, 8, gray, use565 = true)
+          case 2 => ImageCodec.encodeBmp4(8, 8, (x, y) => v(x, y) >> 4)
+          case _ => ImageCodec.encodeBmp4(8, 8, (x, y) => v(x, y) >> 4,
+            rle = true)
+        }
+      })
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toBmp(col("doc_id"), col("text")))
+      MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+        ImageCodec.kernel(4, 4)).toDF()
+        .select(col("doc_id"),
+          (col("doc_id") % 4).cast("long").as("shape_class"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("shape_class"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
     "mm_au_aiff" -> ((s, dir) => {
       val toAudio = udf((id: Long, text: String) => {
         val src = MultimodalOps.asciiBytes(text)
@@ -416,6 +447,35 @@ object R18Queries {
          |SELECT doc_id, 1::BIGINT AS stereo_class,
          |  256::BIGINT AS n_samples, j, feat
          |FROM fsf WHERE doc_id % 2 = 1""".stripMargin,
+
+    // HighColor quantize→bit-replicate in closed form: e5(q)=8q+q//4,
+    // e6(q)=4q+q//16; 4-bit palette gray = 17·(v//16)
+    "mm_bmp_highcolor" ->
+      """WITH hca AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '?', 'g') AS text
+        |  FROM documents),
+        |hcy AS (SELECT doc_id, text, unnest(generate_series(0, 7)) AS y
+        |  FROM hca),
+        |hcxy AS (SELECT doc_id, text, y,
+        |    unnest(generate_series(0, 7)) AS x FROM hcy),
+        |hcv AS (
+        |  SELECT doc_id, (y // 2) AS gy, (x // 2) AS gx,
+        |    ascii(substr(text,
+        |      (((y * 8 + x) % length(text)) + 1)::INT, 1)) AS v
+        |  FROM hcxy),
+        |hcs AS (
+        |  SELECT doc_id, gy, gx,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 3 * ((v // 8) * 8 + (v // 8) // 4)
+        |      WHEN 1 THEN 2 * ((v // 8) * 8 + (v // 8) // 4)
+        |             + ((v // 4) * 4 + (v // 4) // 16)
+        |      ELSE 3 * ((v // 16) * 17)
+        |    END AS s
+        |  FROM hcv)
+        |SELECT doc_id, (doc_id % 4)::BIGINT AS shape_class,
+        |  (gy * 4 + gx)::BIGINT AS j,
+        |  round(sum(s)::DOUBLE / (3.0 * count(*)), 6) AS feat
+        |FROM hcs GROUP BY 1, 2, gy, gx""".stripMargin,
 
     // AU = 24-byte header + 512 sample bytes; AIFF = FORM(12) +
     // COMM(8+18) + SSND(8 + 8 prelude + 512)

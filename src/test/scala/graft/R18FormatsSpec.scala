@@ -73,6 +73,37 @@ class R18FormatsSpec extends AnyFunSuite {
     assert(ImageCodec.decodeGifFrames(plain).length == 1)
   }
 
+  test("16-bit BMP: 555 and 565 round-trip through bit replication") {
+    def e5(q: Int) = (q << 3) | (q >> 2)
+    def e6(q: Int) = (q << 2) | (q >> 4)
+    val r555 = ImageCodec.decode(ImageCodec.encodeBmp16(9, 7, px))
+    val r565 = ImageCodec.decode(ImageCodec.encodeBmp16(9, 7, px,
+      use565 = true))
+    for (y <- 0 until 7; x <- 0 until 9) {
+      val (r, g, b) = px(x, y)
+      assert(r555.lumaSum3(y * 9 + x) ==
+        e5(r >> 3) + e5(g >> 3) + e5(b >> 3), s"555 ($x,$y)")
+      assert(r565.lumaSum3(y * 9 + x) ==
+        e5(r >> 3) + e6(g >> 2) + e5(b >> 3), s"565 ($x,$y)")
+    }
+    // unsupported BI_BITFIELDS masks fail loudly (patch red mask)
+    val ok = ImageCodec.encodeBmp16(8, 8, px, use565 = true)
+    val bad = ok.clone(); bad(54) = 0x55
+    assert(intercept[IllegalArgumentException] {
+      ImageCodec.decode(bad) }.getMessage.contains("masks"))
+  }
+
+  test("4-bit palette BMP: uncompressed and RLE4") {
+    val idx = (x: Int, y: Int) => (x * 5 + y * 3 + (x * y) % 2) % 16
+    for (rle <- Seq(false, true); (w, h) <- Seq((9, 7), (8, 8), (1, 5))) {
+      val r = ImageCodec.decode(ImageCodec.encodeBmp4(w, h, idx, rle))
+      assert(r.width == w && r.height == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(r.lumaSum3(y * w + x) == 3 * (idx(x, y) * 17),
+          s"rle=$rle ${w}x$h ($x,$y)")
+    }
+  }
+
   test("animated GIF fail-loud: partial frames, missing trailer") {
     val frames = Seq((x: Int, y: Int) => (x + y) % 256)
     val ok = ImageCodec.encodeGifAnimated(8, 8, frames)
