@@ -1235,8 +1235,11 @@ object ImageCodec {
     // PBM (P1/P4) has NO maxval field — bits are 1=black, 0=white
     val maxv = if (bitmap) 1 else int()
     require(w > 0 && h > 0, s"bad Netpbm dims ${w}x$h")
-    require(bitmap || maxv == 255,
-      s"only maxval 255 Netpbm supported, got $maxv")
+    require(bitmap || maxv == 255 || maxv == 65535,
+      s"only maxval 255/65535 Netpbm supported, got $maxv")
+    // 16-bit samples (maxval > 255): two bytes big-endian per spec,
+    // projected to 8-bit via the HIGH byte (the PNG-16 convention)
+    val wide = maxv == 65535
     val spp = if (gray || bitmap) 1 else 3
     val sums = new Array[Int](w * h)
     if (fmt == '1') {
@@ -1269,8 +1272,8 @@ object ImageCodec {
         var c = 0
         while (c < spp) {
           val v = int()
-          require(v <= 255, s"Netpbm sample $v exceeds maxval")
-          s += v
+          require(v <= maxv, s"Netpbm sample $v exceeds maxval")
+          s += (if (wide) v >> 8 else v)
           c += 1
         }
         sums(i) = if (gray) 3 * s else s
@@ -1278,14 +1281,16 @@ object ImageCodec {
       }
     } else {
       p += 1 // the single whitespace after maxval
-      require(b.length >= p + w * h * spp, "truncated Netpbm pixel data")
+      val bytesPer = if (wide) 2 else 1
+      require(b.length >= p + w * h * spp * bytesPer,
+        "truncated Netpbm pixel data")
       var i = 0
+      def next(): Int =
+        if (wide) { val v = b(p) & 0xff; p += 2; v } // BE high byte
+        else { val v = b(p) & 0xff; p += 1; v }
       while (i < w * h) {
-        if (gray) { sums(i) = 3 * (b(p) & 0xff); p += 1 }
-        else {
-          sums(i) = (b(p) & 0xff) + (b(p + 1) & 0xff) + (b(p + 2) & 0xff)
-          p += 3
-        }
+        if (gray) sums(i) = 3 * next()
+        else sums(i) = next() + next() + next()
         i += 1
       }
     }
@@ -1304,6 +1309,52 @@ object ImageCodec {
       p += 1
     }
     out
+  }
+
+  /** 16-bit Netpbm (maxval 65535): binary P5/P6 write big-endian pairs
+    * with the HIGH byte the 8-bit value and a deliberately different
+    * low byte ((v·131+17) mod 256); ASCII P2/P3 write v·256+37 — either
+    * way the decoder's high-byte projection recovers v exactly and a
+    * wrong-byte read cannot pass. */
+  def encodePnm16(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+      gray: Boolean, ascii: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0, "bad dims")
+    val fmt = (gray, ascii) match {
+      case (true, false) => "P5"
+      case (false, false) => "P6"
+      case (true, true) => "P2"
+      case _ => "P3"
+    }
+    val header = s"$fmt\n$w $h\n65535\n"
+    if (ascii) {
+      val sb = new StringBuilder(header)
+      for (y <- 0 until h) {
+        for (x <- 0 until w) {
+          val (r, g, b) = rgb(x, y)
+          val vs = if (gray) Seq(r) else Seq(r, g, b)
+          sb.append(vs.map(v => (v * 256 + 37).toString).mkString(" "))
+          if (x < w - 1) sb.append(' ')
+        }
+        sb.append('\n')
+      }
+      sb.toString.getBytes("US-ASCII")
+    } else {
+      val hb = header.getBytes("US-ASCII")
+      val spp = if (gray) 1 else 3
+      val out = new Array[Byte](hb.length + w * h * spp * 2)
+      System.arraycopy(hb, 0, out, 0, hb.length)
+      var p = hb.length
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = rgb(x, y)
+        val vs = if (gray) Seq(r) else Seq(r, g, b)
+        vs.foreach { v =>
+          out(p) = v.toByte
+          out(p + 1) = ((v * 131 + 17) & 0xff).toByte
+          p += 2
+        }
+      }
+      out
+    }
   }
 
   /** PBM bitmap (P4 binary / P1 ASCII): bit (x, y) true = BLACK (the

@@ -65,6 +65,11 @@ import graft.ops.{AudioCodec, FlacCodec, ImageCodec, MultimodalOps,
   *    KSDATAFORMAT GUID); mono on even ids, stereo (the second 11i+5
   *    channel walk, (L+R)>>1 downmix) on odd.
   *
+  *  - `mm_pnm_16bit`: 16-bit Netpbm (maxval 65535) — binary P5/P6
+  *    big-endian pairs with a deliberately different low byte and
+  *    ASCII P2/P3 at v·256+37, so the high-byte projection is proven;
+  *    cycling by doc_id % 4 against the standard text-replay oracle.
+  *
   *  - `mm_bmp_highcolor`: the remaining real-world BMP shapes — 16-bit
   *    HighColor (BI_RGB X1R5G5B5 and BI_BITFIELDS R5G6B5, decoded via
   *    the standard bit-replication expansion, so the quantize→expand
@@ -274,6 +279,28 @@ object R18Queries {
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
     }),
 
+    "mm_pnm_16bit" -> ((s, dir) => {
+      val toPnm = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        val gray = (x: Int, y: Int) => {
+          val v = src((y * 8 + x) % src.length) & 0xff
+          (v, v, v)
+        }
+        ImageCodec.encodePnm16(8, 8, gray,
+          gray = id % 4 == 0 || id % 4 == 2,
+          ascii = id % 4 >= 2)
+      })
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toPnm(col("doc_id"), col("text")))
+      MultimodalOps.decodeWith(d, col("payload"), col("doc_id"),
+        ImageCodec.kernel(4, 4)).toDF()
+        .select(col("doc_id"),
+          (col("doc_id") % 4).cast("long").as("fmt_class"),
+          posexplode(col("features")))
+        .select(col("doc_id"), col("fmt_class"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
     "mm_bmp_highcolor" -> ((s, dir) => {
       val toBmp = udf((id: Long, text: String) => {
         val src = MultimodalOps.asciiBytes(text)
@@ -447,6 +474,13 @@ object R18Queries {
          |SELECT doc_id, 1::BIGINT AS stereo_class,
          |  256::BIGINT AS n_samples, j, feat
          |FROM fsf WHERE doc_id % 2 = 1""".stripMargin,
+
+    // 16-bit Netpbm is lossless on the fixture (high byte = v): the
+    // standard text-replay block means, classed by container
+    "mm_pnm_16bit" ->
+      s"""WITH ${R16bQueries.RealFeatSql}
+         |SELECT doc_id, (doc_id % 4)::BIGINT AS fmt_class, j, feat
+         |FROM rf""".stripMargin,
 
     // HighColor quantize→bit-replicate in closed form: e5(q)=8q+q//4,
     // e6(q)=4q+q//16; 4-bit palette gray = 17·(v//16)

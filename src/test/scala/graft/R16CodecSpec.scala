@@ -117,11 +117,11 @@ class R16CodecSpec extends AnyFunSuite {
     val rle = ok.clone(); rle(30) = 1           // BI_RLE8
     assert(intercept[IllegalArgumentException] {
       ImageCodec.decode(rle) }.getMessage.contains("compression"))
-    // 16-bit bpp stays rejected
-    val bpp16 = ok.clone(); bpp16(28) = 16
-    intercept[IllegalArgumentException] { ImageCodec.decode(bpp16) }
-    intercept[IllegalArgumentException] {       // 16-bit PPM
-      ImageCodec.decode(("P6\n1 1\n65535\n" + "\u0000" * 6)
+    // 2-bit bpp stays rejected (16/4-bit became supported in r18)
+    val bpp2 = ok.clone(); bpp2(28) = 2
+    intercept[IllegalArgumentException] { ImageCodec.decode(bpp2) }
+    intercept[IllegalArgumentException] {       // non-255/65535 maxval
+      ImageCodec.decode(("P6\n1 1\n1023\n" + "\u0000" * 6)
         .getBytes("ISO-8859-1")) }
   }
 

@@ -73,6 +73,30 @@ class R18FormatsSpec extends AnyFunSuite {
     assert(ImageCodec.decodeGifFrames(plain).length == 1)
   }
 
+  test("16-bit Netpbm: P5/P6/P2/P3 at maxval 65535 project the high " +
+      "byte") {
+    val ref = ImageCodec.decode(ImageCodec.encodeBmp(9, 7, px))
+    for (gray <- Seq(false); ascii <- Seq(false, true)) {
+      val r = ImageCodec.decode(ImageCodec.encodePnm16(9, 7, px,
+        gray = gray, ascii = ascii))
+      assert(r.lumaSum3.toSeq == ref.lumaSum3.toSeq,
+        s"gray=$gray ascii=$ascii")
+    }
+    val g = (x: Int, y: Int) => { val v = (x * 7 + y * 31 + 2) % 256
+      (v, v, v) }
+    val refG = ImageCodec.decode(ImageCodec.encodePgm(9, 7,
+      (x, y) => g(x, y)._1))
+    for (ascii <- Seq(false, true)) {
+      val r = ImageCodec.decode(ImageCodec.encodePnm16(9, 7, g,
+        gray = true, ascii = ascii))
+      assert(r.lumaSum3.toSeq == refG.lumaSum3.toSeq, s"ascii=$ascii")
+    }
+    // other maxvals stay rejected by name
+    assert(intercept[IllegalArgumentException] {
+      ImageCodec.decode("P5\n2 2\n1023\n".getBytes("US-ASCII") ++
+        new Array[Byte](8)) }.getMessage.contains("maxval"))
+  }
+
   test("16-bit BMP: 555 and 565 round-trip through bit replication") {
     def e5(q: Int) = (q << 3) | (q >> 2)
     def e6(q: Int) = (q << 2) | (q >> 4)
