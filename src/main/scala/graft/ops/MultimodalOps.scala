@@ -138,8 +138,14 @@ object MultimodalOps {
         s"$bands-band blocking (${bands - 1}); raise bands")
     val bw = bits / bands
     val mask = (1L << bw) - 1L
+    // persist the (id, hash) projection: the candidate self-join reads
+    // it from BOTH sides, and without the persist Spark re-executes the
+    // upstream decode kernel twice — at corpus scale the decode IS the
+    // cost (CacheScope-registered; the consumer releases it after its
+    // terminal action, the Bench/Verify convention)
     val withH = decoded.select(id.cast("long").as("doc_id"),
-      aHash(col("features")).as("ahash"))
+      aHash(col("features")).as("ahash")).persist()
+    graft.core.CacheScope.register(withH)
     val banded = withH.select(col("doc_id"), col("ahash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
