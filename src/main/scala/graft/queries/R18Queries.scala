@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{AudioCodec, FlacCodec, ImageCodec, MultimodalOps,
-  TiffCodec}
+  TiffCodec, VideoCodec}
 
 /** Round-18: the real-world codec shapes the r17 verdict ranked next.
   *
@@ -76,6 +76,19 @@ import graft.ops.{AudioCodec, FlacCodec, ImageCodec, MultimodalOps,
   *    round trip is SQL-replayable in closed form) and 4-bit palette
   *    (uncompressed nibbles + BI_RLE4 alternating-nibble runs, i·17
   *    grayscale table) — cycling by doc_id % 4, hash-exact.
+  *
+  *  - `mm_y4m_frames` / `mm_y4m_frame_dedup`: the tier's first VIDEO
+  *    container — Y4M (YUV4MPEG2, the ffmpeg raw-video interchange
+  *    format): ASCII stream/frame headers + raw planes.  Frame f's
+  *    luma walks the text at offset 29f (the animated-GIF map), the
+  *    chroma tag cycles mono/420/444 by doc_id % 3 (chroma planes are
+  *    walked at tag-exact sizes — a size slip desynchronizes the next
+  *    FRAME marker), and features pool the luma.  The dedup query is
+  *    the video production shape: frame-level exact dedup ACROSS the
+  *    corpus — md5-bucketed (the dd_exact single-shuffle discipline),
+  *    luma-equality confirmed, (doc, frame) pairs ordered
+  *    lexicographically; the oracle recomputes frame equality straight
+  *    from the text.
   *
   *  - `mm_au_aiff`: the two BIG-ENDIAN audio containers — Sun AU
   *    (".snd", encoding 3) on even ids and AIFF (FORM/COMM with the
@@ -325,6 +338,54 @@ object R18Queries {
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
     }),
 
+    "mm_y4m_frames" -> ((s, dir) => {
+      val decodeFrames = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        val frames = (0 until 3).map { f =>
+          (x: Int, y: Int) => src((y * 8 + x + 29 * f) % src.length) & 0xff
+        }
+        val chroma = (id % 3) match {
+          case 0 => "mono"; case 1 => "420"; case _ => "444"
+        }
+        VideoCodec.decodeY4mFrames(
+          VideoCodec.encodeY4m(8, 8, frames, chroma = chroma))
+          .map(r => ImageCodec.rasterFeatures(r, 4, 4).toSeq)
+      })
+      Tables.docs(s, dir)
+        .select(col("doc_id"), (col("doc_id") % 3).as("chroma_class"),
+          posexplode(decodeFrames(col("doc_id"), col("text"))))
+        .withColumnRenamed("pos", "frame")
+        .select(col("doc_id"), col("chroma_class").cast("long"),
+          col("frame").cast("long").as("frame"), posexplode(col("col")))
+        .select(col("doc_id"), col("chroma_class"), col("frame"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
+    "mm_y4m_frame_dedup" -> ((s, dir) => {
+      val frameHashes = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        VideoCodec.decodeY4mFrames(VideoCodec.encodeY4m(8, 8,
+          (0 until 3).map { f =>
+            (x: Int, y: Int) => src((y * 8 + x + 29 * f) % src.length) & 0xff
+          }, chroma = "420"))
+          .map(r => r.lumaSum3.mkString(","))
+      })
+      val frames = Tables.docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(frameHashes(col("doc_id"), col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("frame"),
+          col("col").as("luma"), md5(col("col")).as("__k"))
+        .persist()
+      graft.core.CacheScope.register(frames)
+      frames.as("a").join(frames.as("b"),
+          col("a.__k") === col("b.__k") && col("a.luma") === col("b.luma") &&
+            (col("a.doc_id") < col("b.doc_id") ||
+              (col("a.doc_id") === col("b.doc_id") &&
+                col("a.frame") < col("b.frame"))))
+        .select(col("a.doc_id").as("doc_a"), col("a.frame").as("frame_a"),
+          col("b.doc_id").as("doc_b"), col("b.frame").as("frame_b"))
+    }),
+
     "mm_au_aiff" -> ((s, dir) => {
       val toAudio = udf((id: Long, text: String) => {
         val src = MultimodalOps.asciiBytes(text)
@@ -510,6 +571,49 @@ object R18Queries {
         |  (gy * 4 + gx)::BIGINT AS j,
         |  round(sum(s)::DOUBLE / (3.0 * count(*)), 6) AS feat
         |FROM hcs GROUP BY 1, 2, gy, gx""".stripMargin,
+
+    // Y4M is raw planes: the same per-frame text replay as the
+    // animated GIF, classed by chroma tag
+    "mm_y4m_frames" ->
+      """WITH y4a AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '?', 'g') AS text
+        |  FROM documents),
+        |y4f AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, 2)) AS frame FROM y4a),
+        |y4y AS (SELECT doc_id, text, frame,
+        |    unnest(generate_series(0, 7)) AS y FROM y4f),
+        |y4xy AS (SELECT doc_id, text, frame, y,
+        |    unnest(generate_series(0, 7)) AS x FROM y4y),
+        |y4v AS (
+        |  SELECT doc_id, frame, (y // 2) AS gy, (x // 2) AS gx,
+        |    ascii(substr(text,
+        |      (((y * 8 + x + 29 * frame) % length(text)) + 1)::INT, 1))
+        |      AS v
+        |  FROM y4xy)
+        |SELECT doc_id, (doc_id % 3)::BIGINT AS chroma_class,
+        |  frame::BIGINT AS frame, (gy * 4 + gx)::BIGINT AS j,
+        |  round(sum(v)::DOUBLE / count(*), 6) AS feat
+        |FROM y4v GROUP BY 1, 2, 3, gy, gx""".stripMargin,
+
+    // frame-level exact dedup: (doc, frame) pairs whose 64-pixel luma
+    // agrees, ordered lexicographically
+    "mm_y4m_frame_dedup" ->
+      """WITH fda AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '?', 'g') AS text
+        |  FROM documents),
+        |fdf AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, 2)) AS frame FROM fda),
+        |fdv AS (
+        |  SELECT doc_id, frame,
+        |    list_transform(generate_series(0, 63), j ->
+        |      ascii(substr(text,
+        |        (((j + 29 * frame) % length(text)) + 1)::INT, 1))) AS v
+        |  FROM fdf)
+        |SELECT x.doc_id AS doc_a, x.frame::BIGINT AS frame_a,
+        |  y.doc_id AS doc_b, y.frame::BIGINT AS frame_b
+        |FROM fdv x JOIN fdv y
+        |  ON x.v = y.v AND (x.doc_id < y.doc_id OR
+        |    (x.doc_id = y.doc_id AND x.frame < y.frame))""".stripMargin,
 
     // AU = 24-byte header + 512 sample bytes; AIFF = FORM(12) +
     // COMM(8+18) + SSND(8 + 8 prelude + 512)
