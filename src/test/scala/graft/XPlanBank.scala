@@ -53,7 +53,8 @@ object XPlanBank {
     // plus the new containers — stereo FLAC, tiled/planar TIFF, PNG
     // shapes, PBM, animated GIF
     "mm_flac_stereo", "mm_tiff_tiled", "mm_tiff_planar",
-    "mm_png_shapes", "mm_pbm_bitmaps", "mm_gif_animated")
+    "mm_png_shapes", "mm_pbm_bitmaps", "mm_gif_animated",
+    "mm_y4m_frames", "mm_y4m_frame_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
