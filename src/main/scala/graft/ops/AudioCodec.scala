@@ -537,9 +537,11 @@ object AudioCodec {
     val rate = beInt(b, 16)
     val channels = beInt(b, 20)
     require(off >= 24 && off <= b.length, s"bad AU data offset $off")
-    // size -1 (0xffffffff) means "unknown": take the rest of the file
+    // size -1 (0xffffffff) means "unknown": take the rest of the file.
+    // Subtraction-form bound: `off + size` overflows Int for crafted
+    // sizes near 2^31, silently bypassing the addition form
     val size = if (size0 == -1) b.length - off else size0
-    require(size >= 0 && off + size <= b.length, "truncated AU data")
+    require(size >= 0 && size <= b.length - off, "truncated AU data")
     require(rate > 0, s"bad AU sample rate $rate")
     require(channels == 1 || channels == 2,
       s"unsupported AU channel count $channels")
@@ -620,7 +622,8 @@ object AudioCodec {
     while (p + 8 <= b.length) {
       val cid = new String(b, p, 4, "US-ASCII")
       val len = beInt(b, p + 4)
-      require(len >= 0 && p + 8 + len <= b.length,
+      // subtraction form: `p + 8 + len` overflows Int for crafted lens
+      require(len >= 0 && len <= b.length - p - 8,
         s"truncated AIFF '$cid' chunk")
       if (cid == "COMM") {
         require(len >= 18, "short COMM chunk")
@@ -637,10 +640,13 @@ object AudioCodec {
         require(haveComm, "SSND before COMM")
         require(len >= 8, "short SSND chunk")
         val dataOff = beInt(b, p + 8)
-        require(dataOff >= 0, s"bad SSND offset $dataOff")
+        require(dataOff >= 0 && dataOff <= len - 8,
+          s"bad SSND offset $dataOff")
         val base = p + 16 + dataOff
+        // Long arithmetic: `frames * 2 * channels` overflows Int for
+        // crafted frame counts and would bypass the bound
         require(frames >= 0 &&
-          base + frames * 2 * channels <= p + 8 + len,
+          base.toLong + frames.toLong * 2 * channels <= p + 8L + len,
           "AIFF frame count exceeds SSND data")
         val out = new Array[Short](frames)
         var i = 0

@@ -67,13 +67,22 @@ object VideoCodec {
       s"bad Y4M magic '${header.take(9)}'")
     var w = -1; var h = -1; var chroma = "420" // spec default C420
     var fpsSeen = false
+    // fail-loud integer grammar: an over-long digit run would escape as
+    // NumberFormatException instead of the codec's contract exception
+    def num(s: String, what: String): Int = {
+      require(s.nonEmpty && s.length <= 9 && s.forall(_.isDigit),
+        s"bad Y4M $what '$s'")
+      s.toInt
+    }
     header.split(' ').drop(1).filter(_.nonEmpty).foreach { p =>
       p.charAt(0) match {
-        case 'W' => w = p.tail.toInt
-        case 'H' => h = p.tail.toInt
+        case 'W' => w = num(p.tail, "width")
+        case 'H' => h = num(p.tail, "height")
         case 'F' =>
-          val Array(n, d) = p.tail.split(':')
-          require(n.toInt > 0 && d.toInt > 0, s"bad Y4M frame rate $p")
+          val parts = p.tail.split(':')
+          require(parts.length == 2, s"bad Y4M frame rate $p")
+          require(num(parts(0), "fps") > 0 && num(parts(1), "fps") > 0,
+            s"bad Y4M frame rate $p")
           fpsSeen = true
         case 'I' => require(p == "Ip",
           s"interlaced Y4M unsupported ($p — progressive only)")
@@ -91,6 +100,9 @@ object VideoCodec {
       }
     }
     require(w > 0 && h > 0, s"Y4M missing/bad dims ${w}x$h")
+    // crafted dims must fail loudly, not wrap the plane-size arithmetic
+    require(w <= 65535 && h <= 65535 && w.toLong * h * 3 <= Int.MaxValue,
+      s"Y4M dims ${w}x$h too large")
     require(fpsSeen, "Y4M missing frame rate")
     if (chroma == "420")
       require(w % 2 == 0 && h % 2 == 0, "C420 needs even dims")
@@ -111,7 +123,7 @@ object VideoCodec {
       while (p < b.length && b(p) != '\n') p += 1
       require(p < b.length, "truncated Y4M frame header")
       p += 1
-      require(p + lumaLen + chromaLen <= b.length,
+      require(p.toLong + lumaLen + chromaLen <= b.length,
         s"truncated Y4M frame ${frames.length}")
       val sums = new Array[Int](lumaLen)
       var i = 0

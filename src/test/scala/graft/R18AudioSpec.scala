@@ -87,6 +87,24 @@ class R18AudioSpec extends AnyFunSuite {
     val bad24 = okAiff.clone(); bad24(12 + 8 + 7) = 24
     assert(intercept[IllegalArgumentException] {
       AudioCodec.decodeAiff(bad24) }.getMessage.contains("16-bit"))
+    // crafted near-2^31 lengths must fail the (subtraction-form) bound
+    // checks, not wrap Int arithmetic into out-of-bounds reads
+    val hugeChunk = okAiff.clone() // COMM length at offset 16 (BE)
+    hugeChunk(16) = 0x7f.toByte; hugeChunk(17) = 0xff.toByte
+    hugeChunk(18) = 0xff.toByte; hugeChunk(19) = 0xf0.toByte
+    assert(intercept[IllegalArgumentException] {
+      AudioCodec.decodeAiff(hugeChunk) }.getMessage.contains("truncated"))
+    val okAu = AudioCodec.encodeAu(8000, sig)
+    val hugeAu = okAu.clone() // data size at offset 8 (BE)
+    hugeAu(8) = 0x7f.toByte; hugeAu(9) = 0xff.toByte
+    hugeAu(10) = 0xff.toByte; hugeAu(11) = 0xf0.toByte
+    assert(intercept[IllegalArgumentException] {
+      AudioCodec.decodeAu(hugeAu) }.getMessage.contains("truncated"))
+    // crafted frame count: COMM numSampleFrames at 12+8+2 (BE)
+    val hugeFrames = okAiff.clone()
+    hugeFrames(22) = 0x40.toByte
+    assert(intercept[IllegalArgumentException] {
+      AudioCodec.decodeAiff(hugeFrames) }.getMessage.contains("frame"))
   }
 
   test("EXTENSIBLE fail-loud: bad GUID, non-PCM sub-format, padded " +
