@@ -829,7 +829,10 @@ object ImageCodec {
     require(b.length >= 54, "truncated BMP header")
     val dataOff = i32(b, 10)
     val dibSize = i32(b, 14)
-    require(dibSize >= 40, s"BMP core-header (size $dibSize) unsupported")
+    // the upper bound keeps crafted header sizes from wrapping the
+    // palette/mask offset arithmetic
+    require(dibSize >= 40 && dibSize <= b.length - 14,
+      s"BMP core-header (size $dibSize) unsupported")
     val w = i32(b, 18)
     val hRaw = i32(b, 22)
     // negative height = TOP-DOWN row order (the spec's convention)
