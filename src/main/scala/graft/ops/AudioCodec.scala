@@ -23,9 +23,13 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
   * anchor instead: each block header stores its first sample VERBATIM,
   * so every block-start sample must round-trip bit-exactly.
   *
-  * Unsupported shapes (stereo, other format tags, other bit depths,
-  * truncated chunks) fail loudly — a decoder silently misreading samples
-  * would poison every downstream fingerprint.
+  * r17/r18 widen the family: stereo PCM (downmixed (L+R)>>1), 8/24-bit
+  * depths, WAVE_FORMAT_EXTENSIBLE-wrapped PCM, and the big-endian Sun
+  * AU and AIFF containers (both stdlib-conformance-anchored).
+  * Unsupported shapes (other format tags, other bit depths, stereo
+  * under the compressed tags, truncated chunks) fail loudly — a
+  * decoder silently misreading samples would poison every downstream
+  * fingerprint.
   */
 object AudioCodec {
 
