@@ -99,6 +99,42 @@ object XR18Scale {
       f" candidates=$cand16 buckets=$nb16 ($s16%.1fs)" +
       f" | 64-bit: maxBucket=$max64 candidates=$cand64 buckets=$nb64" +
       f" ($s64%.1fs) | truePairs=$truePairs")
+
+    // Y4M frame-level dedup at 10×: 3 frames/doc through the real
+    // container, md5-bucketed luma join — the planted clique's docs
+    // share ALL frames, so its pair count is exactly 3·C(cliqueN,2)
+    // plus cross-frame/cross-doc accidentals; the md5 bucket key keeps
+    // the join linear in true-duplicate density
+    val t0 = System.nanoTime()
+    val frameHashes = udf((id: Long, text: String) => {
+      val src = graft.ops.MultimodalOps.asciiBytes(text)
+      graft.ops.VideoCodec.decodeY4mFrames(graft.ops.VideoCodec.encodeY4m(
+        8, 8, (0 until 3).map { f =>
+          (x: Int, y: Int) => src((y * 8 + x + 29 * f) % src.length) & 0xff
+        }, chroma = "420"))
+        .map(r => r.lumaSum3.mkString(","))
+    })
+    val fr = docs.select(col("doc_id"),
+        posexplode(frameHashes(col("doc_id"), col("text"))))
+      .select(col("doc_id"), col("pos").as("frame"),
+        md5(col("col")).as("k"))
+      .persist()
+    val nFrames = fr.count()
+    require(nFrames == nDocs * 3)
+    val dupPairs = fr.as("a").join(fr.as("b"),
+        col("a.k") === col("b.k") &&
+          (col("a.doc_id") < col("b.doc_id") ||
+            (col("a.doc_id") === col("b.doc_id") &&
+              col("a.frame") < col("b.frame"))))
+      .count()
+    val tY4m = (System.nanoTime() - t0) / 1e9
+    require(dupPairs >= 3L * cliqueN * (cliqueN - 1) / 2,
+      s"planted clique frame pairs missing: $dupPairs")
+    // linear-in-dup-density, not quadratic-in-corpus: the accidental
+    // tail stays a small multiple of the corpus size
+    require(dupPairs <= 3L * cliqueN * (cliqueN - 1) / 2 + nDocs * 8,
+      s"frame-dup pairs out of band: $dupPairs")
+    println(f"PROBE y4mFrames=$nFrames dupPairs=$dupPairs tY4m=$tY4m%.1fs")
     spark.stop()
   }
 }
