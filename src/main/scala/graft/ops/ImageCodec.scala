@@ -477,10 +477,10 @@ object ImageCodec {
     * shared by the single-image and animated containers. */
   private def gifWriteFrame(out: java.io.ByteArrayOutputStream, w: Int,
       h: Int, gray: (Int, Int) => Int, interlace: Boolean,
-      localTable: Boolean): Unit = {
+      localTable: Boolean, left: Int = 0, top: Int = 0): Unit = {
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write(0x2c) // image descriptor
-    u16(0); u16(0); u16(w); u16(h)
+    u16(left); u16(top); u16(w); u16(h)
     out.write((if (localTable) 0x87 else 0) |
       (if (interlace) 0x40 else 0)) // local table (256), interlace flags
     if (localTable)
@@ -539,12 +539,13 @@ object ImageCodec {
   /** GIF header + 256-entry global gray table (inverted when a local
     * table will override it — the adversarial fixture shape). */
   private def gifWriteHeader(out: java.io.ByteArrayOutputStream, w: Int,
-      h: Int, magic: String, invertGlobal: Boolean): Unit = {
+      h: Int, magic: String, invertGlobal: Boolean,
+      background: Int = 0): Unit = {
     def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write(magic.getBytes("US-ASCII"))
     u16(w); u16(h)
     out.write(0xf7) // global table, 8-bit color resolution, 256 entries
-    out.write(0); out.write(0) // background, aspect
+    out.write(background); out.write(0) // background index, aspect
     for (i <- 0 until 256) {
       val v = if (invertGlobal) 255 - i else i
       out.write(v); out.write(v); out.write(v)
@@ -588,6 +589,58 @@ object ImageCodec {
       out.write(delayCs & 0xff); out.write((delayCs >> 8) & 0xff)
       out.write(0); out.write(0)
       gifWriteFrame(out, w, h, f, interlace = false, localTable = false)
+    }
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** One frame of a COMPOSITED animated GIF: a `w`×`h` image placed at
+    * (`left`, `top`) inside the logical screen, with the GCE disposal
+    * method that governs the canvas AFTER this frame renders —
+    * 1 = leave in place, 2 = restore the frame's rectangle to the
+    * background color, 3 = restore the canvas to its pre-frame state
+    * (spec "restore to previous").  `px` is frame-local: `px(u, v)` for
+    * u < w, v < h. */
+  final case class GifFrame(left: Int, top: Int, w: Int, h: Int,
+      disposal: Int, px: (Int, Int) => Int)
+
+  /** Animated GIF89a with PARTIAL frames and disposal methods — how
+    * real animated GIFs are actually authored (only the changed
+    * rectangle is stored per frame; the disposal method says what the
+    * next frame composites over).  Same container grammar as
+    * [[encodeGifAnimated]] (NETSCAPE2.0 loop + GCE per frame), but each
+    * frame carries its own geometry and disposal, and the logical
+    * screen descriptor's background color index is `background`
+    * (disposal 2 restores to it). */
+  def encodeGifAnimatedComposite(w: Int, h: Int, frames: Seq[GifFrame],
+      delayCs: Int = 10, background: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, "bad dims")
+    require(frames.nonEmpty, "no frames")
+    require(delayCs >= 0 && delayCs <= 0xffff, "bad delay")
+    require(background >= 0 && background <= 255, "bad background index")
+    frames.foreach { f =>
+      require(f.w > 0 && f.h > 0 && f.left >= 0 && f.top >= 0 &&
+        f.left + f.w <= w && f.top + f.h <= h,
+        s"frame rect ${f.w}x${f.h}@(${f.left},${f.top}) escapes " +
+          s"the ${w}x$h logical screen")
+      require(f.disposal >= 1 && f.disposal <= 3,
+        s"bad disposal method ${f.disposal} (1=leave/2=background/" +
+          "3=previous)")
+    }
+    val out = new java.io.ByteArrayOutputStream
+    gifWriteHeader(out, w, h, "GIF89a", invertGlobal = false,
+      background = background)
+    out.write(0x21); out.write(0xff); out.write(11)
+    out.write("NETSCAPE2.0".getBytes("US-ASCII"))
+    out.write(3); out.write(1); out.write(0); out.write(0)
+    out.write(0)
+    frames.foreach { f =>
+      out.write(0x21); out.write(0xf9); out.write(4)
+      out.write(f.disposal << 2) // packed: disposal, no transparency
+      out.write(delayCs & 0xff); out.write((delayCs >> 8) & 0xff)
+      out.write(0); out.write(0)
+      gifWriteFrame(out, f.w, f.h, f.px, interlace = false,
+        localTable = false, left = f.left, top = f.top)
     }
     out.write(0x3b) // trailer
     out.toByteArray
@@ -667,6 +720,97 @@ object ImageCodec {
             "partial-frame GIF compositing unsupported " +
               "(full-screen frames only)")
           frames += r
+          p = np
+        case x => throw new IllegalArgumentException(
+          f"unexpected GIF block 0x$x%02x")
+      }
+    }
+    require(frames.nonEmpty, "GIF has no image frames")
+    frames.toIndexedSeq
+  }
+
+  /** Every frame of an animated GIF COMPOSITED onto the logical screen
+    * — the spec's actual rendering model (GIF89a §23): each image
+    * draws at its (left, top) over the current canvas, the emitted
+    * frame is the full canvas, and the GCE disposal method then
+    * resolves the canvas for the NEXT frame: 0/1 leave in place,
+    * 2 restore the image's rectangle to the logical screen's
+    * background color, 3 restore the canvas to its pre-image state.
+    * The canvas starts at the background color (LSD byte 11 → global
+    * table).  Transparency (GCE flag bit 0) is rejected by name — a
+    * transparent index silently rendered opaque would poison
+    * downstream fingerprints, the same contract as the partial-frame
+    * rejection in [[decodeGifFrames]]. */
+  def decodeGifComposited(b: Array[Byte]): IndexedSeq[Raster] = {
+    val (palette, p0, sw, sh) = gifHeader(b)
+    require(palette.nonEmpty,
+      "composited GIF needs a global color table (background color)")
+    require(sw > 0 && sh > 0 && sw.toLong * sh <= (1 << 26),
+      s"bad GIF logical screen ${sw}x$sh")
+    val bgIndex = b(11) & 0xff
+    require(bgIndex < palette.length,
+      s"GIF background index $bgIndex outside the ${palette.length}" +
+        "-entry table")
+    val bg = palette(bgIndex)
+    val canvas = Array.fill(sw * sh)(bg)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Raster]
+    var disposal = 0 // GCE applies to the NEXT image; default = none
+    var p = p0
+    var done = false
+    while (!done) {
+      require(p < b.length, "GIF unterminated (missing trailer)")
+      (b(p) & 0xff) match {
+        case 0x3b => done = true
+        case 0x21 =>
+          if (p + 1 < b.length && (b(p + 1) & 0xff) == 0xf9) {
+            // Graphic Control Extension: capture disposal, reject
+            // transparency (block: size 4, packed, delay u16, index)
+            require(p + 7 < b.length && (b(p + 2) & 0xff) == 4,
+              "bad GIF graphic control extension")
+            val packed = b(p + 3) & 0xff
+            disposal = (packed >> 2) & 7
+            require(disposal <= 3,
+              s"reserved GIF disposal method $disposal")
+            require((packed & 1) == 0,
+              "transparent GIF frames unsupported (compositing would " +
+                "render the transparent index opaque)")
+          }
+          // skip exactly THIS extension (gifSkipExtensions would
+          // swallow a whole run — and with it the GCE after a
+          // NETSCAPE block, silently dropping that frame's disposal)
+          p += 2
+          require(p < b.length, "truncated GIF extension")
+          while ((b(p) & 0xff) != 0) {
+            p += 1 + (b(p) & 0xff)
+            require(p < b.length, "truncated GIF extension")
+          }
+          p += 1
+        case 0x2c =>
+          val (r, left, top, np) = gifImageAt(b, p, palette)
+          require(left + r.width <= sw && top + r.height <= sh,
+            s"GIF frame ${r.width}x${r.height}@($left,$top) escapes " +
+              s"the ${sw}x$sh logical screen")
+          val before =
+            if (disposal == 3) canvas.clone() else null
+          var v = 0
+          while (v < r.height) {
+            System.arraycopy(r.lumaSum3, v * r.width, canvas,
+              (top + v) * sw + left, r.width)
+            v += 1
+          }
+          frames += Raster(sw, sh, canvas.clone())
+          disposal match {
+            case 2 => // restore the frame's rect to background
+              var y = top
+              while (y < top + r.height) {
+                java.util.Arrays.fill(canvas, y * sw + left,
+                  y * sw + left + r.width, bg)
+                y += 1
+              }
+            case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+            case _ => () // 0/1: leave in place
+          }
+          disposal = 0 // a GCE governs exactly one following image
           p = np
         case x => throw new IllegalArgumentException(
           f"unexpected GIF block 0x$x%02x")

@@ -6,8 +6,9 @@ package graft.ops
   * container: an ASCII stream header (`YUV4MPEG2 W<w> H<h> F<n>:<d>
   * [Ip] [A<n>:<d>] [C<tag>]\n`), then per frame an ASCII `FRAME`
   * marker and the raw planes — Y (w·h bytes) followed by Cb/Cr whose
-  * sizes the chroma tag fixes (C420*: quarter-size each; C444:
-  * full-size; Cmono: absent).
+  * sizes the chroma tag fixes (C420*: quarter-size each; C422:
+  * half-width full-height — the broadcast default; C411: quarter-width
+  * full-height — the DV tape family; C444: full-size; Cmono: absent).
   *
   * Features pool the LUMA plane (the standard video-fingerprint
   * practice); the chroma planes are still WALKED at their tag-exact
@@ -22,7 +23,8 @@ object VideoCodec {
   /** Encode gray frames as Y4M: luma = frame(x, y), chroma (when the
     * tag carries planes) = a deterministic fill ((x·7+y·13+plane) mod
     * 256) so decoders that misread plane sizes cannot resync.  `chroma`
-    * ∈ "mono" (Cmono), "420" (C420jpeg) or "444" (C444). */
+    * ∈ "mono" (Cmono), "420" (C420jpeg), "422" (C422), "411" (C411)
+    * or "444" (C444). */
   def encodeY4m(w: Int, h: Int, frames: Seq[(Int, Int) => Int],
       fpsN: Int = 25, fpsD: Int = 1, chroma: String = "420"): Array[Byte] = {
     require(w > 0 && h > 0, "bad dims")
@@ -31,18 +33,24 @@ object VideoCodec {
     val tag = chroma match {
       case "mono" => "Cmono"
       case "420"  => "C420jpeg"
+      case "422"  => "C422"
+      case "411"  => "C411"
       case "444"  => "C444"
       case other => throw new IllegalArgumentException(
-        s"bad chroma '$other' (mono/420/444)")
+        s"bad chroma '$other' (mono/420/422/411/444)")
     }
     if (chroma == "420")
       require(w % 2 == 0 && h % 2 == 0, "C420 needs even dims")
+    if (chroma == "422") require(w % 2 == 0, "C422 needs even width")
+    if (chroma == "411") require(w % 4 == 0, "C411 needs width % 4 == 0")
     val out = new java.io.ByteArrayOutputStream
     out.write(s"YUV4MPEG2 W$w H$h F$fpsN:$fpsD Ip A1:1 $tag\n"
       .getBytes("US-ASCII"))
     val (cw, ch) = chroma match {
       case "mono" => (0, 0)
       case "420"  => (w / 2, h / 2)
+      case "422"  => (w / 2, h)
+      case "411"  => (w / 4, h)
       case _      => (w, h)
     }
     frames.foreach { f =>
@@ -90,6 +98,8 @@ object VideoCodec {
         case 'C' => chroma = p.tail match {
           case "mono" => "mono"
           case "420" | "420jpeg" | "420mpeg2" | "420paldv" => "420"
+          case "422" => "422"
+          case "411" => "411"
           case "444" => "444"
           case other => throw new IllegalArgumentException(
             s"unsupported Y4M chroma tag C$other")
@@ -106,10 +116,14 @@ object VideoCodec {
     require(fpsSeen, "Y4M missing frame rate")
     if (chroma == "420")
       require(w % 2 == 0 && h % 2 == 0, "C420 needs even dims")
+    if (chroma == "422") require(w % 2 == 0, "C422 needs even width")
+    if (chroma == "411") require(w % 4 == 0, "C411 needs width % 4 == 0")
     val lumaLen = w * h
     val chromaLen = chroma match {
       case "mono" => 0
       case "420"  => 2 * (w / 2) * (h / 2)
+      case "422"  => 2 * (w / 2) * h
+      case "411"  => 2 * (w / 4) * h
       case _      => 2 * w * h
     }
     val frames = scala.collection.mutable.ArrayBuffer.empty[ImageCodec.Raster]

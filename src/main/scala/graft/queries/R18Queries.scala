@@ -81,9 +81,9 @@ import graft.ops.{AudioCodec, FlacCodec, ImageCodec, MultimodalOps,
   *    container — Y4M (YUV4MPEG2, the ffmpeg raw-video interchange
   *    format): ASCII stream/frame headers + raw planes.  Frame f's
   *    luma walks the text at offset 29f (the animated-GIF map), the
-  *    chroma tag cycles mono/420/444 by doc_id % 3 (chroma planes are
-  *    walked at tag-exact sizes — a size slip desynchronizes the next
-  *    FRAME marker), and features pool the luma.  The dedup query is
+  *    chroma tag cycles mono/420/422/444 by doc_id % 4 (chroma planes
+  *    are walked at tag-exact sizes — a size slip desynchronizes the
+  *    next FRAME marker), and features pool the luma.  The dedup query is
   *    the video production shape: frame-level exact dedup ACROSS the
   *    corpus — md5-bucketed (the dd_exact single-shuffle discipline),
   *    luma-equality confirmed, (doc, frame) pairs ordered
@@ -344,15 +344,15 @@ object R18Queries {
         val frames = (0 until 3).map { f =>
           (x: Int, y: Int) => src((y * 8 + x + 29 * f) % src.length) & 0xff
         }
-        val chroma = (id % 3) match {
-          case 0 => "mono"; case 1 => "420"; case _ => "444"
+        val chroma = (id % 4) match {
+          case 0 => "mono"; case 1 => "420"; case 2 => "422"; case _ => "444"
         }
         VideoCodec.decodeY4mFrames(
           VideoCodec.encodeY4m(8, 8, frames, chroma = chroma))
           .map(r => ImageCodec.rasterFeatures(r, 4, 4).toSeq)
       })
       Tables.docs(s, dir)
-        .select(col("doc_id"), (col("doc_id") % 3).as("chroma_class"),
+        .select(col("doc_id"), (col("doc_id") % 4).as("chroma_class"),
           posexplode(decodeFrames(col("doc_id"), col("text"))))
         .withColumnRenamed("pos", "frame")
         .select(col("doc_id"), col("chroma_class").cast("long"),
@@ -590,7 +590,7 @@ object R18Queries {
         |      (((y * 8 + x + 29 * frame) % length(text)) + 1)::INT, 1))
         |      AS v
         |  FROM y4xy)
-        |SELECT doc_id, (doc_id % 3)::BIGINT AS chroma_class,
+        |SELECT doc_id, (doc_id % 4)::BIGINT AS chroma_class,
         |  frame::BIGINT AS frame, (gy * 4 + gx)::BIGINT AS j,
         |  round(sum(v)::DOUBLE / count(*), 6) AS feat
         |FROM y4v GROUP BY 1, 2, 3, gy, gx""".stripMargin,

@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{ImageCodec, LayoutOps, MultimodalOps, VideoCodec}
+
+/** Round-19: the video tier's production semantics — the three shapes
+  * the r18 verdict ranked next.
+  *
+  *  - `mm_y4m_frame_neardup`: PERCEPTUAL frame-level video near-dup —
+  *    the 64-bit banded-aHash stage ([[MultimodalOps.aHashBandedPairs]],
+  *    the landed image-tier blocking) composed over per-frame Y4M
+  *    features.  Each doc's Y4M carries three frames: frames 0/1 walk
+  *    the text at offsets 0/29 (the animated-GIF map) and frame 2 is
+  *    frame 0 with ONE pixel nudged by +1 — the planted near-identical
+  *    (not identical) re-encode shape, so the result set is dominated
+  *    by real hamming-≤3 pairs the exact tier (`mm_y4m_frame_dedup`)
+  *    cannot see.  (doc, frame) is packed into one 64-bit key
+  *    (doc·4+frame, frame < 4), so key order IS lexicographic
+  *    (doc, frame) order and the banded join's `a < b` canonicalization
+  *    carries over unchanged.  4-band/Hamming-3 blocking is pigeonhole-
+  *    EXACT over the hash space, so the oracle is the brute-force
+  *    hamming-≤3 join over per-frame aHashes recomputed from the text —
+  *    hash-exact, the `mm_real_ahash_banded` discipline at (doc, frame)
+  *    granularity.
+  *
+  *  - `mm_gif_disposal`: partial-frame animated GIF with DISPOSAL
+  *    COMPOSITING (GIF89a §23) — how real animated GIFs are authored
+  *    (only the changed rectangle is stored per frame).  Four frames
+  *    per doc: a full-screen base (disposal 1 = leave), a centered 4×4
+  *    patch with disposal 2 (restore rect to the background color), a
+  *    bottom-left patch with disposal 3 (restore to previous), and a
+  *    top-right patch over the post-disposal canvas — so all three
+  *    disposal methods are exercised and every later frame's canvas
+  *    depends on the earlier disposals being applied exactly.  The
+  *    container is lossless end-to-end, so the oracle replays each
+  *    composited canvas in closed form from the text (CASE over the
+  *    rectangle geometry), hash-exact.
+  *
+  *  - `pipe_video_dedup`: the 100 TB video-ingestion loop — documents
+  *    arrive as lake commits; each [[LayoutOps.lakeTail]] catch-up
+  *    decodes ONLY the delta's Y4M frames, joins the delta's frame
+  *    hashes against the persisted frame-hash index (old corpus never
+  *    re-decoded), appends the delta's hashes to the index, and appends
+  *    the new pairs.  Every unordered pair is found exactly when its
+  *    LATER shard arrives (cross pairs index×delta, in-delta pairs
+  *    delta×delta), so the union of the staged pair sets must equal
+  *    the full-corpus frame-dedup oracle — the `pipe_lake_dedup`
+  *    incremental-index pattern applied to the video tier, checked
+  *    hash-exactly against the same all-pairs SQL as
+  *    `mm_y4m_frame_dedup`.
+  */
+object R19Queries {
+
+  /** Per-(doc, frame) luma strings + md5 bucket keys for the standard
+    * 3-frame/C420 Y4M fixture (frame f walks the text at offset 29f) —
+    * the `mm_y4m_frame_dedup` derivation, shared by the incremental
+    * pipeline.  Output: (doc_id, frame, luma, __k). */
+  private def y4mFrameHashes(d: DataFrame): DataFrame = {
+    val frameHashes = udf((id: Long, text: String) => {
+      val src = MultimodalOps.asciiBytes(text)
+      VideoCodec.decodeY4mFrames(VideoCodec.encodeY4m(8, 8,
+        (0 until 3).map { f =>
+          (x: Int, y: Int) => src((y * 8 + x + 29 * f) % src.length) & 0xff
+        }, chroma = "420"))
+        .map(r => r.lumaSum3.mkString(","))
+    })
+    d.select(col("doc_id"),
+        posexplode(frameHashes(col("doc_id"), col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("frame"),
+        col("col").as("luma"), md5(col("col")).as("__k"))
+  }
+
+  /** Canonically-ordered equal-frame pairs WITHIN one frame-hash set:
+    * md5-bucketed (single shuffle key), luma-equality confirmed,
+    * (doc, frame) lexicographic. */
+  private def framePairsWithin(fr: DataFrame): DataFrame =
+    fr.as("a").join(fr.as("b"),
+        col("a.__k") === col("b.__k") && col("a.luma") === col("b.luma") &&
+          (col("a.doc_id") < col("b.doc_id") ||
+            (col("a.doc_id") === col("b.doc_id") &&
+              col("a.frame") < col("b.frame"))))
+      .select(col("a.doc_id").as("doc_a"), col("a.frame").as("frame_a"),
+        col("b.doc_id").as("doc_b"), col("b.frame").as("frame_b"))
+
+  /** Equal-frame pairs ACROSS two disjoint frame-hash sets (persisted
+    * index × delta), canonicalized to (doc, frame) lexicographic order
+    * — doc sets are disjoint by construction (each doc commits once),
+    * so the ordering predicate has no ties. */
+  private def framePairsAcross(old: DataFrame, delta: DataFrame)
+      : DataFrame = {
+    val joined = old.as("a").join(delta.as("b"),
+      col("a.__k") === col("b.__k") && col("a.luma") === col("b.luma"))
+    val aFirst = col("a.doc_id") < col("b.doc_id") ||
+      (col("a.doc_id") === col("b.doc_id") &&
+        col("a.frame") < col("b.frame"))
+    joined.select(
+      when(aFirst, col("a.doc_id")).otherwise(col("b.doc_id")).as("doc_a"),
+      when(aFirst, col("a.frame")).otherwise(col("b.frame")).as("frame_a"),
+      when(aFirst, col("b.doc_id")).otherwise(col("a.doc_id")).as("doc_b"),
+      when(aFirst, col("b.frame")).otherwise(col("a.frame")).as("frame_b"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "mm_y4m_frame_neardup" -> ((s, dir) => {
+      val frameFeats = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        def base(f: Int)(x: Int, y: Int): Int =
+          src((y * 8 + x + 29 * f) % src.length) & 0xff
+        val frames: Seq[(Int, Int) => Int] = Seq(
+          base(0) _, base(1) _,
+          // the planted near-identical frame: frame 0 re-encoded with a
+          // one-pixel brightness nudge (printable bytes ≤ 126, so +1
+          // never wraps)
+          (x: Int, y: Int) =>
+            if (x == 0 && y == 0) (base(0)(x, y) + 1) % 256
+            else base(0)(x, y))
+        VideoCodec.decodeY4mFrames(
+          VideoCodec.encodeY4m(8, 8, frames, chroma = "420"))
+          .map(r => ImageCodec.rasterFeatures(r, 8, 8).toSeq)
+      })
+      // (doc, frame) packed into one key: doc·4 + frame (frame < 4), so
+      // the banded join's key ordering is lexicographic (doc, frame)
+      val perFrame = Tables.docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(frameFeats(col("doc_id"), col("text"))))
+        .select((col("doc_id") * 4 + col("pos")).as("key"),
+          col("col").as("features"))
+      MultimodalOps.aHashBandedPairs(perFrame, col("key"),
+          bits = 64, bands = 4, maxHamming = 3)
+        .select(
+          shiftrightunsigned(col("doc_a"), 2).as("doc_a"),
+          col("doc_a").bitwiseAND(lit(3L)).as("frame_a"),
+          shiftrightunsigned(col("doc_b"), 2).as("doc_b"),
+          col("doc_b").bitwiseAND(lit(3L)).as("frame_b"),
+          col("hamming"))
+    }),
+
+    "mm_gif_disposal" -> ((s, dir) => {
+      val compFeats = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        def at(i: Int): Int = src(i % src.length) & 0xff
+        val frames = Seq(
+          ImageCodec.GifFrame(0, 0, 8, 8, 1, (x, y) => at(y * 8 + x)),
+          ImageCodec.GifFrame(2, 2, 4, 4, 2,
+            (u, v) => at(v * 4 + u + 64)),
+          ImageCodec.GifFrame(0, 4, 4, 4, 3,
+            (u, v) => at(v * 4 + u + 96)),
+          ImageCodec.GifFrame(4, 0, 4, 4, 1,
+            (u, v) => at(v * 4 + u + 128)))
+        ImageCodec.decodeGifComposited(
+          ImageCodec.encodeGifAnimatedComposite(8, 8, frames))
+          .map(r => ImageCodec.rasterFeatures(r, 4, 4).toSeq)
+      })
+      Tables.docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(compFeats(col("doc_id"), col("text"))))
+        .withColumnRenamed("pos", "frame")
+        .select(col("doc_id"), col("frame").cast("long").as("frame"),
+          posexplode(col("col")))
+        .select(col("doc_id"), col("frame"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
+    "pipe_video_dedup" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val lake = R9Queries.runTmp + "/pvd_lake_" + tag
+      val idx = R9Queries.runTmp + "/pvd_idx_" + tag
+      val ckp = R9Queries.runTmp + "/pvd_ckp_" + tag
+      val cand = R9Queries.runTmp + "/pvd_cand_" + tag
+      if (LayoutOps.latestVersion(s, lake) < 0) {
+        val d = Tables.docs(s, dir).select(col("doc_id"), col("text"))
+        (0 until 3).foreach { k =>
+          LayoutOps.commitAppend(d.where(col("doc_id") % 3 === k), lake)
+          LayoutOps.lakeTail(s, lake, ckp) { (delta, _) =>
+            // decode ONLY the delta's frames; the persisted index
+            // carries every earlier shard's hashes
+            val fr = y4mFrameHashes(delta).persist()
+            graft.core.CacheScope.register(fr)
+            val seeded = new java.io.File(idx.stripPrefix("file:")).exists
+            val pairs =
+              if (!seeded) framePairsWithin(fr)
+              else framePairsAcross(s.read.parquet(idx), fr)
+                .unionByName(framePairsWithin(fr))
+            pairs.write.mode("append").parquet(cand)
+            fr.write.mode("append").parquet(idx)
+          }
+        }
+      }
+      s.read.parquet(cand).distinct()
+    })
+  )
+
+  /** Per-pixel 64-bit aHash per (doc, frame) — [[R16bQueries]]'s
+    * RealAHash64Sql extended with the frame offset 29f and the planted
+    * frame-2 one-pixel nudge. */
+  private val FrameAHashSql =
+    """ndp AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g')
+      |    AS ptext FROM documents),
+      |ndf AS (SELECT doc_id, ptext,
+      |    unnest(generate_series(0, 2)) AS frame FROM ndp),
+      |ndv AS (SELECT doc_id, frame,
+      |    list_transform(generate_series(0, 63), j ->
+      |      CASE WHEN frame = 2 AND j = 0
+      |        THEN (ascii(substr(ptext,
+      |          ((j % length(ptext)) + 1)::INT, 1)) + 1) % 256
+      |        ELSE ascii(substr(ptext,
+      |          (((j + 29 * (CASE WHEN frame = 2 THEN 0 ELSE frame END))
+      |            % length(ptext)) + 1)::INT, 1)) END) AS pv
+      |  FROM ndf),
+      |ndm AS (SELECT doc_id, frame, pv,
+      |    list_reduce(pv, (a, b) -> a + b) / 64.0 AS mean FROM ndv),
+      |nda AS (SELECT doc_id, frame,
+      |    list_reduce(list_transform(generate_series(0, 63),
+      |      j -> CASE WHEN pv[j + 1] <= mean THEN 0::BIGINT
+      |           WHEN j = 63 THEN (-9223372036854775808)::BIGINT
+      |           ELSE 1::BIGINT << j END),
+      |      (x, y) -> x | y) AS ahash
+      |  FROM ndm)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+
+    // brute-force hamming-≤3 over per-frame aHashes: 4-band blocking is
+    // pigeonhole-exact at maxHamming 3, so banded == brute force
+    "mm_y4m_frame_neardup" ->
+      s"""WITH $FrameAHashSql
+         |SELECT x.doc_id AS doc_a, x.frame::BIGINT AS frame_a,
+         |  y.doc_id AS doc_b, y.frame::BIGINT AS frame_b,
+         |  bit_count(xor(x.ahash, y.ahash))::BIGINT AS hamming
+         |FROM nda x JOIN nda y
+         |  ON (x.doc_id < y.doc_id OR
+         |    (x.doc_id = y.doc_id AND x.frame < y.frame))
+         |WHERE bit_count(xor(x.ahash, y.ahash)) <= 3""".stripMargin,
+
+    // each composited canvas in closed form: frame 0 = the full base;
+    // frame 1 overlays the (2,2) patch; frames 2/3 composite over the
+    // disposal-2-cleared rect (0 = background) because frame 1's
+    // disposal ran and frame 2's disposal-3 restore un-drew frame 2
+    "mm_gif_disposal" ->
+      """WITH gda AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '?', 'g') AS ptext
+        |  FROM documents),
+        |gdf AS (SELECT doc_id, ptext,
+        |    unnest(generate_series(0, 3)) AS frame FROM gda),
+        |gdy AS (SELECT doc_id, ptext, frame,
+        |    unnest(generate_series(0, 7)) AS y FROM gdf),
+        |gdxy AS (SELECT doc_id, ptext, frame, y,
+        |    unnest(generate_series(0, 7)) AS x FROM gdy),
+        |gdv AS (
+        |  SELECT doc_id, frame, (y // 2) AS gy, (x // 2) AS gx,
+        |    CASE
+        |      WHEN frame = 0 THEN ascii(substr(ptext,
+        |        (((y * 8 + x) % length(ptext)) + 1)::INT, 1))
+        |      WHEN frame = 1 THEN
+        |        CASE WHEN x BETWEEN 2 AND 5 AND y BETWEEN 2 AND 5
+        |          THEN ascii(substr(ptext,
+        |            (((64 + (y - 2) * 4 + (x - 2)) % length(ptext))
+        |              + 1)::INT, 1))
+        |          ELSE ascii(substr(ptext,
+        |            (((y * 8 + x) % length(ptext)) + 1)::INT, 1)) END
+        |      WHEN frame = 2 THEN
+        |        CASE WHEN x <= 3 AND y >= 4
+        |          THEN ascii(substr(ptext,
+        |            (((96 + (y - 4) * 4 + x) % length(ptext))
+        |              + 1)::INT, 1))
+        |          WHEN x BETWEEN 2 AND 5 AND y BETWEEN 2 AND 5 THEN 0
+        |          ELSE ascii(substr(ptext,
+        |            (((y * 8 + x) % length(ptext)) + 1)::INT, 1)) END
+        |      ELSE
+        |        CASE WHEN x >= 4 AND y <= 3
+        |          THEN ascii(substr(ptext,
+        |            (((128 + y * 4 + (x - 4)) % length(ptext))
+        |              + 1)::INT, 1))
+        |          WHEN x BETWEEN 2 AND 5 AND y BETWEEN 2 AND 5 THEN 0
+        |          ELSE ascii(substr(ptext,
+        |            (((y * 8 + x) % length(ptext)) + 1)::INT, 1)) END
+        |    END AS v
+        |  FROM gdxy)
+        |SELECT doc_id, frame::BIGINT AS frame,
+        |  (gy * 4 + gx)::BIGINT AS j,
+        |  round(sum(v)::DOUBLE / count(*), 6) AS feat
+        |FROM gdv GROUP BY 1, 2, gy, gx""".stripMargin,
+
+    // the staged incremental union must equal the FULL-corpus
+    // frame-dedup pairs — the same all-pairs SQL as mm_y4m_frame_dedup
+    "pipe_video_dedup" ->
+      """WITH fda AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '?', 'g') AS text
+        |  FROM documents),
+        |fdf AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, 2)) AS frame FROM fda),
+        |fdv AS (
+        |  SELECT doc_id, frame,
+        |    list_transform(generate_series(0, 63), j ->
+        |      ascii(substr(text,
+        |        (((j + 29 * frame) % length(text)) + 1)::INT, 1))) AS v
+        |  FROM fdf)
+        |SELECT x.doc_id AS doc_a, x.frame::BIGINT AS frame_a,
+        |  y.doc_id AS doc_b, y.frame::BIGINT AS frame_b
+        |FROM fdv x JOIN fdv y
+        |  ON x.v = y.v AND (x.doc_id < y.doc_id OR
+        |    (x.doc_id = y.doc_id AND x.frame < y.frame))""".stripMargin
+  )
+}

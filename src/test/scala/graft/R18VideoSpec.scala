@@ -40,7 +40,7 @@ class R18VideoSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       VideoCodec.encodeY4m(9, 8, frames, chroma = "420") } // odd width
     intercept[IllegalArgumentException] {
-      VideoCodec.encodeY4m(8, 8, frames, chroma = "422") }
+      VideoCodec.encodeY4m(8, 8, frames, chroma = "410") }
     val ok = VideoCodec.encodeY4m(8, 8, frames, chroma = "444")
     val badMagic = ok.clone(); badMagic(0) = 'X'
     assert(intercept[IllegalArgumentException] {
@@ -49,7 +49,7 @@ class R18VideoSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException] {
       VideoCodec.decodeY4mFrames(interlaced.getBytes("US-ASCII")) }
       .getMessage.contains("interlaced"))
-    val badChroma = new String(ok, "US-ASCII").replaceFirst("C444", "C411")
+    val badChroma = new String(ok, "US-ASCII").replaceFirst("C444", "C410")
     assert(intercept[IllegalArgumentException] {
       VideoCodec.decodeY4mFrames(badChroma.getBytes("US-ASCII")) }
       .getMessage.contains("chroma"))
