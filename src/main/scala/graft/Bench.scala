@@ -113,11 +113,10 @@ object Bench {
       s""""sf":"$sfDir"}""")
   }
 
-  /** Fork a fresh JVM running `--headliners` and return its JSON line —
-    * the isolated-methodology block the full run embeds.  The module
-    * opens are Spark's own public JDK-17 list
+  /** Fork ONE fresh JVM running `--headliners` and return its JSON
+    * line.  The module opens are Spark's own public JDK-17 list
     * (org.apache.spark.launcher.JavaModuleOptions), same as build.sbt. */
-  private def forkHeadliners(sfDir: String, reps: Int): String =
+  private def forkHeadlinersOnce(sfDir: String, reps: Int): String =
     try {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val opens = Seq(
@@ -155,6 +154,46 @@ object Bench {
       System.err.println(s"[bench] headliner fork FAILED: $e")
       "null"
     }
+
+  /** The isolated-methodology headliner block: ≥3 INDEPENDENT fresh-JVM
+    * forks, each min-of-`reps`, banked with per-fork values AND the
+    * per-query max as the quoted number.  One fork's min-of-reps is not
+    * contention-proof — r18's banked fork read o2_block_shuffle at 105k
+    * samp/s where an adjacent fork read 721k (a 7× fork-to-fork swing on
+    * ambient host load alone); the max over independent forks is the
+    * statistic that converges to the machine's actual capability.
+    * GATES and BENCH_FULL agree by construction: both read this block. */
+  private[graft] def forkHeadliners(sfDir: String, reps: Int,
+      forks: Int = 3): String = {
+    val raw = (1 to forks).map(_ => forkHeadlinersOnce(sfDir, reps))
+      .filter(_ != "null")
+    def mapOf(line: String): Seq[(String, Long)] = {
+      val tag = "\"samples_per_sec\":{"
+      val i = line.indexOf(tag)
+      if (i < 0) return Seq.empty
+      val start = i + tag.length
+      val end = line.indexOf('}', start)
+      if (end < 0) return Seq.empty
+      """"([a-z0-9_]+)":(\d+)""".r
+        .findAllMatchIn(line.substring(start, end))
+        .map(m => m.group(1) -> m.group(2).toLong).toSeq
+    }
+    val perFork = raw.map(mapOf).filter(_.nonEmpty)
+    if (perFork.isEmpty) return "null"
+    val keys = perFork.flatMap(_.map(_._1)).distinct
+    val quoted = keys.map { k =>
+      val vs = perFork.flatMap(_.collectFirst { case (`k`, v) => v })
+      "\"" + k + "\":" + vs.max
+    }.mkString("{", ",", "}")
+    val forksJson = perFork.map(_.map { case (k, v) =>
+        "\"" + k + "\":" + v }.mkString("{", ",", "}"))
+      .mkString("[", ",", "]")
+    s"""{"metric":"headliners_isolated","reps":$reps,""" +
+      s""""forks":${perFork.size},""" +
+      s""""policy":"max_over_forks_of_min_of_reps",""" +
+      s""""samples_per_sec":$quoted,"per_fork":$forksJson,""" +
+      s""""sf":"$sfDir"}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -300,10 +339,10 @@ object Bench {
       val (sh, pop) = batchEntropy(spark, sfDir)
       s"""{"block1024_bs64":$sh,"population":$pop}"""
     } catch { case _: Throwable => "null" }
-    // the isolated-methodology headliner block: a FRESH JVM re-measures
-    // the samples/sec headliners min-of-3, so the banked BASELINE
-    // comparison numbers come from an uncontended process, not from
-    // wherever these queries landed inside the 376-query sweep
+    // the isolated-methodology headliner block: THREE independent
+    // fresh-JVM forks each re-measure the samples/sec headliners
+    // min-of-3; the quoted number is the per-query max over forks
+    // (one fork's min is not contention-proof — see forkHeadliners)
     val iso = forkHeadliners(sfDir, reps = 3)
     val nq = results.size
     // persisted-index builds, timed once per JVM and reported as their own
