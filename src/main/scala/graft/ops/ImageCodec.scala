@@ -600,9 +600,13 @@ object ImageCodec {
     * 1 = leave in place, 2 = restore the frame's rectangle to the
     * background color, 3 = restore the canvas to its pre-frame state
     * (spec "restore to previous").  `px` is frame-local: `px(u, v)` for
-    * u < w, v < h. */
+    * u < w, v < h.  `transparent` marks one palette index as a HOLE —
+    * pixels carrying it leave the underlying canvas untouched (the GCE
+    * transparent-color flag, how real animated GIFs encode unchanged
+    * regions inside the stored rectangle). */
   final case class GifFrame(left: Int, top: Int, w: Int, h: Int,
-      disposal: Int, px: (Int, Int) => Int)
+      disposal: Int, px: (Int, Int) => Int,
+      transparent: Option[Int] = None)
 
   /** Animated GIF89a with PARTIAL frames and disposal methods — how
     * real animated GIFs are actually authored (only the changed
@@ -626,6 +630,8 @@ object ImageCodec {
       require(f.disposal >= 1 && f.disposal <= 3,
         s"bad disposal method ${f.disposal} (1=leave/2=background/" +
           "3=previous)")
+      f.transparent.foreach(t => require(t >= 0 && t <= 255,
+        s"bad transparent index $t"))
     }
     val out = new java.io.ByteArrayOutputStream
     gifWriteHeader(out, w, h, "GIF89a", invertGlobal = false,
@@ -636,9 +642,10 @@ object ImageCodec {
     out.write(0)
     frames.foreach { f =>
       out.write(0x21); out.write(0xf9); out.write(4)
-      out.write(f.disposal << 2) // packed: disposal, no transparency
+      // packed: disposal in bits 4:2, transparent-color flag in bit 0
+      out.write((f.disposal << 2) | (if (f.transparent.isDefined) 1 else 0))
       out.write(delayCs & 0xff); out.write((delayCs >> 8) & 0xff)
-      out.write(0); out.write(0)
+      out.write(f.transparent.getOrElse(0)); out.write(0)
       gifWriteFrame(out, f.w, f.h, f.px, interlace = false,
         localTable = false, left = f.left, top = f.top)
     }
@@ -737,10 +744,11 @@ object ImageCodec {
     * 2 restore the image's rectangle to the logical screen's
     * background color, 3 restore the canvas to its pre-image state.
     * The canvas starts at the background color (LSD byte 11 → global
-    * table).  Transparency (GCE flag bit 0) is rejected by name — a
-    * transparent index silently rendered opaque would poison
-    * downstream fingerprints, the same contract as the partial-frame
-    * rejection in [[decodeGifFrames]]. */
+    * table).  The GCE transparent-color flag is honored: pixels
+    * carrying the transparent index leave the underlying canvas
+    * untouched (composited at INDEX granularity — the index→palette
+    * map is not injective, so a sum-level composite could not tell a
+    * hole from an opaque pixel that happens to share the color). */
   def decodeGifComposited(b: Array[Byte]): IndexedSeq[Raster] = {
     val (palette, p0, sw, sh) = gifHeader(b)
     require(palette.nonEmpty,
@@ -755,6 +763,7 @@ object ImageCodec {
     val canvas = Array.fill(sw * sh)(bg)
     val frames = scala.collection.mutable.ArrayBuffer.empty[Raster]
     var disposal = 0 // GCE applies to the NEXT image; default = none
+    var transIdx = -1 // transparent palette index, -1 = opaque frame
     var p = p0
     var done = false
     while (!done) {
@@ -763,17 +772,16 @@ object ImageCodec {
         case 0x3b => done = true
         case 0x21 =>
           if (p + 1 < b.length && (b(p + 1) & 0xff) == 0xf9) {
-            // Graphic Control Extension: capture disposal, reject
-            // transparency (block: size 4, packed, delay u16, index)
+            // Graphic Control Extension: capture disposal + the
+            // transparent index (block: size 4, packed, delay u16,
+            // transparent index)
             require(p + 7 < b.length && (b(p + 2) & 0xff) == 4,
               "bad GIF graphic control extension")
             val packed = b(p + 3) & 0xff
             disposal = (packed >> 2) & 7
             require(disposal <= 3,
               s"reserved GIF disposal method $disposal")
-            require((packed & 1) == 0,
-              "transparent GIF frames unsupported (compositing would " +
-                "render the transparent index opaque)")
+            transIdx = if ((packed & 1) != 0) b(p + 6) & 0xff else -1
           }
           // skip exactly THIS extension (gifSkipExtensions would
           // swallow a whole run — and with it the GCE after a
@@ -786,31 +794,37 @@ object ImageCodec {
           }
           p += 1
         case 0x2c =>
-          val (r, left, top, np) = gifImageAt(b, p, palette)
-          require(left + r.width <= sw && top + r.height <= sh,
-            s"GIF frame ${r.width}x${r.height}@($left,$top) escapes " +
+          val (idx, fw, fh, left, top, pal, np) =
+            gifImageIndicesAt(b, p, palette)
+          require(left + fw <= sw && top + fh <= sh,
+            s"GIF frame ${fw}x$fh@($left,$top) escapes " +
               s"the ${sw}x$sh logical screen")
           val before =
             if (disposal == 3) canvas.clone() else null
           var v = 0
-          while (v < r.height) {
-            System.arraycopy(r.lumaSum3, v * r.width, canvas,
-              (top + v) * sw + left, r.width)
+          while (v < fh) {
+            var u = 0
+            while (u < fw) {
+              val i = idx(v * fw + u)
+              if (i != transIdx) canvas((top + v) * sw + left + u) = pal(i)
+              u += 1
+            }
             v += 1
           }
           frames += Raster(sw, sh, canvas.clone())
           disposal match {
             case 2 => // restore the frame's rect to background
               var y = top
-              while (y < top + r.height) {
+              while (y < top + fh) {
                 java.util.Arrays.fill(canvas, y * sw + left,
-                  y * sw + left + r.width, bg)
+                  y * sw + left + fw, bg)
                 y += 1
               }
             case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
             case _ => () // 0/1: leave in place
           }
           disposal = 0 // a GCE governs exactly one following image
+          transIdx = -1
           p = np
         case x => throw new IllegalArgumentException(
           f"unexpected GIF block 0x$x%02x")
@@ -824,6 +838,18 @@ object ImageCodec {
     * top, position after the data terminator). */
   private def gifImageAt(b: Array[Byte], p0: Int,
       palette: Array[Int]): (Raster, Int, Int, Int) = {
+    val (idx, w, h, left, top, pal, np) = gifImageIndicesAt(b, p0, palette)
+    (Raster(w, h, idx.map(pal)), left, top, np)
+  }
+
+  /** [[gifImageAt]] at PALETTE-INDEX granularity → (indices row-major,
+    * w, h, left, top, active palette sums, position after the data
+    * terminator) — the compositing decoder needs raw indices because a
+    * transparent index must leave the canvas pixel untouched, and the
+    * index→palette map is not injective in general. */
+  private def gifImageIndicesAt(b: Array[Byte], p0: Int,
+      palette: Array[Int])
+      : (Array[Int], Int, Int, Int, Int, Array[Int], Int) = {
     def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
     var p = p0
     require(p < b.length && (b(p) & 0xff) == 0x2c, "GIF image descriptor missing")
@@ -934,7 +960,7 @@ object ImageCodec {
         o
       }
     require(p < b.length, "GIF data blocks unterminated")
-    (Raster(w, h, ordered.map(activePalette)), left, top, p + 1)
+    (ordered, w, h, left, top, activePalette, p + 1)
   }
 
   // ---- decoder -----------------------------------------------------------

@@ -37,6 +37,16 @@ import graft.ops.{ImageCodec, LayoutOps, MultimodalOps, VideoCodec}
   *    composited canvas in closed form from the text (CASE over the
   *    rectangle geometry), hash-exact.
   *
+  *  - `mm_gif_transparency`: the GCE transparent-color flag — the other
+  *    half of real animated-GIF authoring (unchanged pixels INSIDE the
+  *    stored rectangle are holes).  Composited at palette-INDEX
+  *    granularity (the index→palette map is not injective, so a
+  *    sum-level composite could not tell a hole from an opaque pixel
+  *    sharing the color); the hole index 31 sits below the
+  *    printable-ASCII floor, so text bytes never collide with it.
+  *    Full-screen and partial transparent frames both exercised; same
+  *    closed-form hash-exact replay.
+  *
   *  - `pipe_video_dedup`: the 100 TB video-ingestion loop — documents
   *    arrive as lake commits; each [[LayoutOps.lakeTail]] catch-up
   *    decodes ONLY the delta's Y4M frames, joins the delta's frame
@@ -149,6 +159,35 @@ object R19Queries {
             (u, v) => at(v * 4 + u + 96)),
           ImageCodec.GifFrame(4, 0, 4, 4, 1,
             (u, v) => at(v * 4 + u + 128)))
+        ImageCodec.decodeGifComposited(
+          ImageCodec.encodeGifAnimatedComposite(8, 8, frames))
+          .map(r => ImageCodec.rasterFeatures(r, 4, 4).toSeq)
+      })
+      Tables.docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(compFeats(col("doc_id"), col("text"))))
+        .withColumnRenamed("pos", "frame")
+        .select(col("doc_id"), col("frame").cast("long").as("frame"),
+          posexplode(col("col")))
+        .select(col("doc_id"), col("frame"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
+    "mm_gif_transparency" -> ((s, dir) => {
+      val compFeats = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        def at(i: Int): Int = src(i % src.length) & 0xff
+        // T=31 is below the printable-ASCII floor (32), so an opaque
+        // text byte can never collide with the hole index
+        val T = 31
+        val frames = Seq(
+          ImageCodec.GifFrame(0, 0, 8, 8, 1, (x, y) => at(y * 8 + x)),
+          ImageCodec.GifFrame(0, 0, 8, 8, 1,
+            (x, y) => if ((x + y) % 3 == 0) T else at(y * 8 + x + 64),
+            transparent = Some(T)),
+          ImageCodec.GifFrame(2, 2, 4, 4, 1,
+            (u, v) => if ((u + v) % 2 == 0) T else at(v * 4 + u + 128),
+            transparent = Some(T)))
         ImageCodec.decodeGifComposited(
           ImageCodec.encodeGifAnimatedComposite(8, 8, frames))
           .map(r => ImageCodec.rasterFeatures(r, 4, 4).toSeq)
@@ -281,6 +320,48 @@ object R19Queries {
         |  (gy * 4 + gx)::BIGINT AS j,
         |  round(sum(v)::DOUBLE / count(*), 6) AS feat
         |FROM gdv GROUP BY 1, 2, gy, gx""".stripMargin,
+
+    // the holes replay in closed form: frame 1's lattice shows the
+    // base through, frame 2's patch composites over frame 1 with its
+    // own hole parity ((u+v)%2 == (x+y)%2 under the (2,2) offset)
+    "mm_gif_transparency" ->
+      """WITH gta AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '?', 'g') AS ptext
+        |  FROM documents),
+        |gtf AS (SELECT doc_id, ptext,
+        |    unnest(generate_series(0, 2)) AS frame FROM gta),
+        |gty AS (SELECT doc_id, ptext, frame,
+        |    unnest(generate_series(0, 7)) AS y FROM gtf),
+        |gtxy AS (SELECT doc_id, ptext, frame, y,
+        |    unnest(generate_series(0, 7)) AS x FROM gty),
+        |gtv AS (
+        |  SELECT doc_id, frame, (y // 2) AS gy, (x // 2) AS gx,
+        |    CASE
+        |      WHEN frame = 0 THEN ascii(substr(ptext,
+        |        (((y * 8 + x) % length(ptext)) + 1)::INT, 1))
+        |      WHEN frame = 1 THEN
+        |        CASE WHEN (x + y) % 3 = 0 THEN ascii(substr(ptext,
+        |            (((y * 8 + x) % length(ptext)) + 1)::INT, 1))
+        |          ELSE ascii(substr(ptext,
+        |            (((y * 8 + x + 64) % length(ptext)) + 1)::INT, 1))
+        |          END
+        |      ELSE
+        |        CASE WHEN x BETWEEN 2 AND 5 AND y BETWEEN 2 AND 5
+        |            AND (x + y) % 2 = 1
+        |          THEN ascii(substr(ptext,
+        |            (((128 + (y - 2) * 4 + (x - 2)) % length(ptext))
+        |              + 1)::INT, 1))
+        |          WHEN (x + y) % 3 = 0 THEN ascii(substr(ptext,
+        |            (((y * 8 + x) % length(ptext)) + 1)::INT, 1))
+        |          ELSE ascii(substr(ptext,
+        |            (((y * 8 + x + 64) % length(ptext)) + 1)::INT, 1))
+        |          END
+        |    END AS v
+        |  FROM gtxy)
+        |SELECT doc_id, frame::BIGINT AS frame,
+        |  (gy * 4 + gx)::BIGINT AS j,
+        |  round(sum(v)::DOUBLE / count(*), 6) AS feat
+        |FROM gtv GROUP BY 1, 2, gy, gx""".stripMargin,
 
     // the staged incremental union must equal the FULL-corpus
     // frame-dedup pairs — the same all-pairs SQL as mm_y4m_frame_dedup

@@ -44,13 +44,15 @@ class R19Spec extends AnyFunSuite {
     assert(enc411.length == encMono.length - 1 + cPlanes)
   }
 
-  // reference composite: apply the GIF89a disposal model directly
+  // reference composite: apply the GIF89a disposal + transparency
+  // model directly
   private def referenceComposite(w: Int, h: Int,
       frames: Seq[ImageCodec.GifFrame], bg: Int): Seq[Array[Int]] = {
     val canvas = Array.fill(w * h)(bg)
     frames.map { f =>
       val before = canvas.clone()
-      for (v <- 0 until f.h; u <- 0 until f.w)
+      for (v <- 0 until f.h; u <- 0 until f.w
+           if !f.transparent.contains(f.px(u, v)))
         canvas((f.top + v) * w + f.left + u) = f.px(u, v)
       val shown = canvas.clone()
       f.disposal match {
@@ -112,8 +114,48 @@ class R19Spec extends AnyFunSuite {
       assert(indep(f).lumaSum3.toSeq == comp(f).lumaSum3.toSeq, s"f=$f")
   }
 
-  test("fail-loud: transparency flag, reserved disposal, rect escape") {
-    val frames = Seq(ImageCodec.GifFrame(0, 0, 8, 8, 1, (x, y) => x + y))
+  test("transparent indexes leave the canvas untouched, at index " +
+      "granularity, through disposal") {
+    def p(seed: Int)(u: Int, v: Int): Int = (u * 31 + v * 7 + seed) % 256
+    val T = 31
+    val frames = Seq(
+      // opaque base
+      ImageCodec.GifFrame(0, 0, 8, 8, 1, p(3)),
+      // full-screen overlay with a (x+y)%3 hole lattice
+      ImageCodec.GifFrame(0, 0, 8, 8, 1,
+        (x, y) => if ((x + y) % 3 == 0) T else p(60)(x, y),
+        transparent = Some(T)),
+      // partial transparent patch with DISPOSAL 3: shown over the
+      // overlay, then un-drawn for the next frame
+      ImageCodec.GifFrame(2, 2, 4, 4, 3,
+        (u, v) => if ((u + v) % 2 == 0) T else p(120)(u, v),
+        transparent = Some(T)),
+      // opaque partial frame after the restore
+      ImageCodec.GifFrame(4, 4, 3, 3, 1, p(200)))
+    val bg = 9
+    val dec = ImageCodec.decodeGifComposited(
+      ImageCodec.encodeGifAnimatedComposite(8, 8, frames,
+        background = bg))
+    val ref = referenceComposite(8, 8, frames, bg)
+    for (f <- frames.indices; i <- 0 until 64)
+      assert(dec(f).lumaSum3(i) == 3 * ref(f)(i), s"frame $f pixel $i")
+    // index granularity: a frame whose OPAQUE pixel value equals the
+    // transparent index's palette color must still draw (holes are
+    // indexes, not colors) — pixel value T drawn by an opaque frame
+    val opaque = Seq(
+      ImageCodec.GifFrame(0, 0, 8, 8, 1, (_, _) => T),
+      ImageCodec.GifFrame(0, 0, 8, 8, 1, (x, y) => if (x == 0) 200 else T,
+        transparent = Some(200)))
+    val dec2 = ImageCodec.decodeGifComposited(
+      ImageCodec.encodeGifAnimatedComposite(8, 8, opaque))
+    for (i <- 0 until 64) {
+      assert(dec2(0).lumaSum3(i) == 3 * T)
+      assert(dec2(1).lumaSum3(i) == 3 * T, s"pixel $i") // 200 is a hole
+    }
+  }
+
+  test("fail-loud: reserved disposal, rect escape, bad transparent " +
+      "index") {
     // rect escapes the logical screen
     intercept[IllegalArgumentException] {
       ImageCodec.encodeGifAnimatedComposite(8, 8,
@@ -122,19 +164,10 @@ class R19Spec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       ImageCodec.encodeGifAnimatedComposite(8, 8,
         Seq(ImageCodec.GifFrame(0, 0, 8, 8, 4, (_, _) => 0))) }
-    // transparency: set the GCE transparent-color flag bit in a valid
-    // container — decodeGifComposited must reject it by name
-    val enc = ImageCodec.encodeGifAnimatedComposite(8, 8, frames)
-    val gce = {
-      var i = -1
-      for (k <- 0 until enc.length - 2 if i < 0)
-        if ((enc(k) & 0xff) == 0x21 && (enc(k + 1) & 0xff) == 0xf9) i = k
-      assert(i > 0, "GCE not found"); i
-    }
-    val tampered = enc.clone()
-    tampered(gce + 3) = (tampered(gce + 3) | 0x01).toByte
-    val e = intercept[IllegalArgumentException] {
-      ImageCodec.decodeGifComposited(tampered) }
-    assert(e.getMessage.contains("transparent"))
+    // transparent index outside the palette
+    intercept[IllegalArgumentException] {
+      ImageCodec.encodeGifAnimatedComposite(8, 8,
+        Seq(ImageCodec.GifFrame(0, 0, 8, 8, 1, (_, _) => 0,
+          transparent = Some(256)))) }
   }
 }
