@@ -54,7 +54,13 @@ object XPlanBank {
     // shapes, PBM, animated GIF
     "mm_flac_stereo", "mm_tiff_tiled", "mm_tiff_planar",
     "mm_png_shapes", "mm_pbm_bitmaps", "mm_gif_animated",
-    "mm_y4m_frames", "mm_y4m_frame_dedup")
+    "mm_y4m_frames", "mm_y4m_frame_dedup",
+    // r19 additions: the perceptual video near-dup (banded join over
+    // per-frame hashes — the row must show the band-bucket shape, not
+    // an all-pairs join), GIF disposal/transparency compositing, and
+    // the incremental video-dedup pipeline's final union
+    "mm_y4m_frame_neardup", "mm_gif_disposal", "mm_gif_transparency",
+    "pipe_video_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
