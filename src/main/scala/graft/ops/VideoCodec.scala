@@ -148,4 +148,223 @@ object VideoCodec {
     require(frames.nonEmpty, "Y4M has no frames")
     frames.toIndexedSeq
   }
+
+  // ---- AVI (RIFF) — the second video container family -----------------
+  //
+  // Written from the public Microsoft RIFF/AVI layout (the same RIFF
+  // grammar as the WAV tier, with LIST nesting): RIFF('AVI '
+  // LIST('hdrl' avih LIST('strl' strh strf)) LIST('movi' frame
+  // chunks)).  Two frame codings: '00db' uncompressed bottom-up
+  // 24-bit BGR DIB rows padded to 4 bytes (lossless — hash-exact
+  // replay), and '00dc' MJPG = one baseline JPEG per frame chained
+  // through [[JpegCodec]] (Motion-JPEG, the classic capture format;
+  // the in-row oracle asserts the AVI path decodes BIT-EQUAL to the
+  // direct JPEG decode).  Audio streams, >1 stream, 'rec ' grouped
+  // movi lists, and unknown biCompression are rejected by name.
+
+  private def u32le(b: Array[Byte], o: Int): Long = {
+    require(o >= 0 && o + 4 <= b.length, s"truncated AVI u32 at $o")
+    ((b(o) & 0xffL)) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  }
+  private def fourcc(b: Array[Byte], o: Int): String = {
+    require(o >= 0 && o + 4 <= b.length, s"truncated AVI fourcc at $o")
+    new String(b, o, 4, "US-ASCII")
+  }
+
+  /** Encode gray frames as a single-video-stream AVI.  `codec` ∈ "DIB"
+    * (uncompressed bottom-up 24-bit BGR, lossless) or "MJPG" (one
+    * baseline JPEG per frame at `quality`). */
+  def encodeAvi(w: Int, h: Int, frames: Seq[(Int, Int) => Int],
+      codec: String = "DIB", fps: Int = 25, quality: Int = 90)
+      : Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dims")
+    require(frames.nonEmpty, "no frames")
+    require(fps > 0, "bad fps")
+    require(codec == "DIB" || codec == "MJPG", s"bad codec '$codec'")
+    val rowLen = (w * 3 + 3) & ~3
+    val frameBytes: Seq[Array[Byte]] = frames.map { f =>
+      if (codec == "MJPG") JpegCodec.encode(w, h, f, quality)
+      else {
+        val d = new Array[Byte](rowLen * h)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = (f(x, y) & 0xff).toByte
+          val o = (h - 1 - y) * rowLen + 3 * x // bottom-up BGR
+          d(o) = v; d(o + 1) = v; d(o + 2) = v
+        }
+        d
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def u32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    val maxFrame = frameBytes.map(_.length).max
+    // chunk sizes (chunk = 8-byte header + payload, word-aligned)
+    def padded(n: Int): Int = n + (n & 1)
+    val moviContent = 4 + frameBytes.map(fb => 8 + padded(fb.length)).sum
+    val strlContent = 4 + (8 + 56) + (8 + 40)
+    val hdrlContent = 4 + (8 + 56) + (8 + strlContent)
+    val riffContent = 4 + (8 + hdrlContent) + (8 + moviContent)
+    tag("RIFF"); u32(riffContent); tag("AVI ")
+    tag("LIST"); u32(hdrlContent); tag("hdrl")
+    tag("avih"); u32(56)
+    u32(1000000L / fps); u32(0); u32(0); u32(0) // usec/frame, maxBps, pad, flags
+    u32(frameBytes.length); u32(0); u32(1); u32(maxFrame) // frames, initial, streams, bufSize
+    u32(w); u32(h); u32(0); u32(0); u32(0); u32(0) // dims + reserved[4]
+    tag("LIST"); u32(strlContent); tag("strl")
+    tag("strh"); u32(56)
+    tag("vids"); tag(if (codec == "MJPG") "MJPG" else "DIB ")
+    u32(0); u16(0); u16(0); u32(0) // flags, priority, language, initialFrames
+    u32(1); u32(fps); u32(0); u32(frameBytes.length) // scale, rate, start, length
+    u32(maxFrame); u32(0); u32(0) // bufSize, quality, sampleSize
+    u16(0); u16(0); u16(w); u16(h) // rcFrame
+    tag("strf"); u32(40)
+    u32(40); u32(w); u32(h); u16(1); u16(24) // biSize, w, h (bottom-up), planes, bits
+    if (codec == "MJPG") tag("MJPG") else u32(0) // biCompression
+    u32(rowLen * h); u32(0); u32(0); u32(0); u32(0) // sizeImage, ppm×2, clrUsed/Important
+    tag("LIST"); u32(moviContent); tag("movi")
+    frameBytes.foreach { fb =>
+      tag(if (codec == "MJPG") "00dc" else "00db"); u32(fb.length)
+      out.write(fb)
+      if ((fb.length & 1) != 0) out.write(0) // word alignment
+    }
+    out.toByteArray
+  }
+
+  /** Decode every frame of a single-video-stream AVI to Rasters
+    * (sums = 3·gray for gray content, the [[ImageCodec.Raster]]
+    * convention). */
+  def decodeAviFrames(b: Array[Byte]): IndexedSeq[ImageCodec.Raster] = {
+    require(b.length >= 12 && fourcc(b, 0) == "RIFF" &&
+      fourcc(b, 8) == "AVI ", "bad AVI magic")
+    val riffEnd = {
+      val sz = u32le(b, 4)
+      require(sz >= 4 && 8 + sz <= b.length, s"bad AVI RIFF size $sz")
+      (8 + sz).toInt
+    }
+    var w = -1; var h = -1; var compression = ""; var bits = -1
+    var streams = 0
+    var moviStart = -1; var moviEnd = -1
+    // parse one strl list: strh must be 'vids' (audio rejected by name)
+    def parseStrl(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fourcc(b, p); val sz = u32le(b, p + 4)
+        require(p + 8 + sz <= end, s"truncated AVI '$id' chunk")
+        id match {
+          case "strh" =>
+            require(sz >= 56, "short AVI stream header")
+            val fccType = fourcc(b, p + 8)
+            require(fccType == "vids",
+              s"AVI stream type '$fccType' unsupported (video-only)")
+            streams += 1
+            require(streams == 1, "multi-stream AVI unsupported")
+          case "strf" =>
+            require(sz >= 40, "short AVI BITMAPINFOHEADER")
+            bits = (u32le(b, p + 8 + 14) & 0xffff).toInt
+            val comp = u32le(b, p + 8 + 16)
+            compression =
+              if (comp == 0) "DIB"
+              else {
+                val cc = fourcc(b, p + 8 + 16)
+                require(cc == "MJPG",
+                  s"AVI biCompression '$cc' unsupported (DIB/MJPG)")
+                "MJPG"
+              }
+          case _ => ()
+        }
+        p += 8 + padded2(sz)
+      }
+    }
+    def parseHdrl(start: Int, end: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fourcc(b, p); val sz = u32le(b, p + 4)
+        require(p + 8 + sz <= end, s"truncated AVI '$id' chunk")
+        id match {
+          case "avih" =>
+            require(sz >= 56, "short AVI main header")
+            w = u32le(b, p + 8 + 32).toInt
+            h = u32le(b, p + 8 + 36).toInt
+          case "LIST" if fourcc(b, p + 8) == "strl" =>
+            parseStrl(p + 12, p + 8 + sz.toInt)
+          case _ => ()
+        }
+        p += 8 + padded2(sz)
+      }
+    }
+    var p = 12
+    while (p + 8 <= riffEnd) {
+      val id = fourcc(b, p); val sz = u32le(b, p + 4)
+      require(p + 8 + sz <= riffEnd, s"truncated AVI '$id' chunk")
+      if (id == "LIST") {
+        fourcc(b, p + 8) match {
+          case "hdrl" => parseHdrl(p + 12, p + 8 + sz.toInt)
+          case "movi" => moviStart = p + 12; moviEnd = p + 8 + sz.toInt
+          case _ => () // INFO etc: informational
+        }
+      } // JUNK / idx1 / other top-level chunks: walked over
+      p += 8 + padded2(sz)
+    }
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535 &&
+      w.toLong * h * 3 <= Int.MaxValue, s"AVI missing/bad dims ${w}x$h")
+    require(streams == 1, "AVI has no video stream header")
+    require(compression.nonEmpty, "AVI has no stream format")
+    require(compression == "MJPG" || bits == 24,
+      s"AVI DIB bit depth $bits unsupported (24-bit only)")
+    require(moviStart >= 0, "AVI has no movi list")
+    val rowLen = (w * 3 + 3) & ~3
+    val frames = scala.collection.mutable.ArrayBuffer.empty[ImageCodec.Raster]
+    p = moviStart
+    while (p + 8 <= moviEnd) {
+      val id = fourcc(b, p); val sz = u32le(b, p + 4).toInt
+      require(p + 8 + sz <= moviEnd, s"truncated AVI frame chunk '$id'")
+      id match {
+        case "00db" | "00dc" =>
+          require((id == "00db") == (compression == "DIB"),
+            s"AVI frame chunk '$id' disagrees with the declared " +
+              s"'$compression' coding")
+          if (compression == "DIB") {
+            require(sz == rowLen * h,
+              s"AVI DIB frame size $sz != ${rowLen * h}")
+            val sums = new Array[Int](w * h)
+            var y = 0
+            while (y < h) {
+              val src = p + 8 + (h - 1 - y) * rowLen // bottom-up rows
+              var x = 0
+              while (x < w) {
+                sums(y * w + x) = (b(src + 3 * x) & 0xff) +
+                  (b(src + 3 * x + 1) & 0xff) + (b(src + 3 * x + 2) & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            frames += ImageCodec.Raster(w, h, sums)
+          } else {
+            val r = JpegCodec.decode(
+              java.util.Arrays.copyOfRange(b, p + 8, p + 8 + sz))
+            require(r.width == w && r.height == h,
+              s"MJPG frame ${r.width}x${r.height} != AVI dims ${w}x$h")
+            frames += r
+          }
+        case "LIST" => throw new IllegalArgumentException(
+          "AVI 'rec ' grouped movi lists unsupported (flat frame " +
+            "chunks only)")
+        case other => throw new IllegalArgumentException(
+          s"unexpected AVI movi chunk '$other'")
+      }
+      p += 8 + padded2(sz)
+    }
+    require(frames.nonEmpty, "AVI has no frames")
+    frames.toIndexedSeq
+  }
+
+  private def padded2(sz: Long): Int = {
+    require(sz >= 0 && sz <= Int.MaxValue - 8, s"bad AVI chunk size $sz")
+    (sz + (sz & 1)).toInt
+  }
 }

@@ -47,6 +47,16 @@ import graft.ops.{ImageCodec, LayoutOps, MultimodalOps, VideoCodec}
   *    Full-screen and partial transparent frames both exercised; same
   *    closed-form hash-exact replay.
   *
+  *  - `mm_avi_frames` / `mm_avi_mjpeg`: the SECOND video container
+  *    family — AVI (RIFF; the same chunk grammar as the WAV tier with
+  *    LIST nesting).  DIB frames are lossless bottom-up padded BGR
+  *    rows, so features + the container's exact byte length replay in
+  *    closed form; MJPG frames are per-frame baseline JPEGs chained
+  *    through [[graft.ops.JpegCodec]], oracled by in-row bit-equality
+  *    to the direct JPEG decode (the strongest check a lossy container
+  *    admits — any AVI-path slip in chunk walking, alignment, or frame
+  *    extraction breaks the equality).
+  *
   *  - `pipe_video_dedup`: the 100 TB video-ingestion loop — documents
   *    arrive as lake commits; each [[LayoutOps.lakeTail]] catch-up
   *    decodes ONLY the delta's Y4M frames, joins the delta's frame
@@ -171,6 +181,50 @@ object R19Queries {
           posexplode(col("col")))
         .select(col("doc_id"), col("frame"),
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
+    "mm_avi_frames" -> ((s, dir) => {
+      val decodeFrames = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        val frames = (0 until 3).map { f =>
+          (x: Int, y: Int) => src((y * 8 + x + 29 * f) % src.length) & 0xff
+        }
+        val payload = VideoCodec.encodeAvi(8, 8, frames)
+        (payload.length,
+          VideoCodec.decodeAviFrames(payload)
+            .map(r => ImageCodec.rasterFeatures(r, 4, 4).toSeq))
+      })
+      Tables.docs(s, dir)
+        .select(col("doc_id"),
+          decodeFrames(col("doc_id"), col("text")).as("d"))
+        .select(col("doc_id"), col("d._1").cast("long").as("byte_len"),
+          posexplode(col("d._2")))
+        .withColumnRenamed("pos", "frame")
+        .select(col("doc_id"), col("byte_len"),
+          col("frame").cast("long").as("frame"), posexplode(col("col")))
+        .select(col("doc_id"), col("byte_len"), col("frame"),
+          col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
+    }),
+
+    "mm_avi_mjpeg" -> ((s, dir) => {
+      val biteq = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        val frames = (0 until 3).map { f =>
+          (x: Int, y: Int) => src((y * 8 + x + 29 * f) % src.length) & 0xff
+        }
+        val dec = VideoCodec.decodeAviFrames(
+          VideoCodec.encodeAvi(8, 8, frames, codec = "MJPG"))
+        frames.indices.map { f =>
+          val direct = graft.ops.JpegCodec.decode(
+            graft.ops.JpegCodec.encode(8, 8, frames(f)))
+          java.util.Arrays.equals(dec(f).lumaSum3, direct.lumaSum3)
+        }
+      })
+      Tables.docs(s, dir)
+        .select(col("doc_id"), posexplode(biteq(col("doc_id"), col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("frame"),
+          lit(8L).as("width"), lit(8L).as("height"),
+          col("col").as("avi_equals_jpeg"))
     }),
 
     "mm_gif_transparency" -> ((s, dir) => {
@@ -320,6 +374,40 @@ object R19Queries {
         |  (gy * 4 + gx)::BIGINT AS j,
         |  round(sum(v)::DOUBLE / count(*), 6) AS feat
         |FROM gdv GROUP BY 1, 2, gy, gx""".stripMargin,
+
+    // AVI DIB is lossless: the per-frame text replay of the animated
+    // tiers, plus the container's exact byte length (RIFF 12 +
+    // LIST hdrl 200 + LIST movi 612 = 824 — asserted in R19AviSpec)
+    "mm_avi_frames" ->
+      """WITH ava AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '?', 'g') AS text
+        |  FROM documents),
+        |avf AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, 2)) AS frame FROM ava),
+        |avy AS (SELECT doc_id, text, frame,
+        |    unnest(generate_series(0, 7)) AS y FROM avf),
+        |avxy AS (SELECT doc_id, text, frame, y,
+        |    unnest(generate_series(0, 7)) AS x FROM avy),
+        |avv AS (
+        |  SELECT doc_id, frame, (y // 2) AS gy, (x // 2) AS gx,
+        |    ascii(substr(text,
+        |      (((y * 8 + x + 29 * frame) % length(text)) + 1)::INT, 1))
+        |      AS v
+        |  FROM avxy)
+        |SELECT doc_id, 824::BIGINT AS byte_len, frame::BIGINT AS frame,
+        |  (gy * 4 + gx)::BIGINT AS j,
+        |  round(sum(v)::DOUBLE / count(*), 6) AS feat
+        |FROM avv GROUP BY 1, 2, 3, gy, gx""".stripMargin,
+
+    // MJPG entropy coding is per-frame JPEG: the strongest oracle a
+    // lossy container admits is in-row bit-equality to the direct
+    // decode (the mm_jpeg_prog_decode pattern)
+    "mm_avi_mjpeg" ->
+      """WITH f AS (SELECT doc_id,
+        |    unnest(generate_series(0, 2)) AS frame FROM documents)
+        |SELECT doc_id, frame::BIGINT AS frame, 8::BIGINT AS width,
+        |  8::BIGINT AS height, true AS avi_equals_jpeg
+        |FROM f""".stripMargin,
 
     // the holes replay in closed form: frame 1's lattice shows the
     // base through, frame 2's patch composites over frame 1 with its
