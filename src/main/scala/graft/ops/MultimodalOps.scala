@@ -69,6 +69,36 @@ object MultimodalOps {
             floor(j * dim / lit(dim2)).cast("int") + 1)))
   }
 
+  /** Scene-cut detection over per-frame feature grids — the temporal
+    * stage of a video training-data pipeline (keyframe sampling for
+    * vision-LM corpora): the L1 distance between consecutive frames'
+    * feature vectors marks a cut wherever it exceeds `threshold`, the
+    * first frame of every scene is its KEYFRAME, and frames are
+    * labeled with a running scene id.  Distances are exact sums of
+    * exact per-cell means, so the whole derivation is SQL-replayable.
+    * The window partitions on the DOC key and orders by frame — frames
+    * per document are bounded (seconds × fps), documents distribute,
+    * so there is no Window-over-SinglePartition at any corpus size.
+    * Output: (doc_id, frame, dist, is_cut, scene); dist = −1 for each
+    * doc's first frame (a scene start by definition). */
+  def sceneCuts(frames: DataFrame, docId: Column, frameIdx: Column,
+      features: Column, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame"))
+    frames
+      .select(docId.cast("long").as("doc_id"),
+        frameIdx.cast("long").as("frame"), features.as("__feat"))
+      .withColumn("__prev", lag(col("__feat"), 1).over(w))
+      .withColumn("dist",
+        when(col("__prev").isNull, lit(-1.0)).otherwise(
+          aggregate(zip_with(col("__feat"), col("__prev"),
+            (a, b) => abs(a - b)), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("is_cut", col("dist") < 0 || col("dist") > threshold)
+      .withColumn("scene",
+        (sum(col("is_cut").cast("long")).over(w) - 1).cast("long"))
+      .select("doc_id", "frame", "dist", "is_cut", "scene")
+  }
+
   /** Average-hash (aHash) perceptual fingerprint over a decoded feature
     * grid: bit j is set iff features[j] > mean(features) — the classic
     * 64-bit "is this the same image, re-encoded?" near-dup fingerprint

@@ -121,7 +121,46 @@ object R19Queries {
       when(aFirst, col("b.frame")).otherwise(col("a.frame")).as("frame_b"))
   }
 
+  /** Per-(doc, frame) per-pixel features for the scene fixture: 6
+    * frames in 2 scenes of 3 — scene s's base walks the text at offset
+    * 64s, and frame f nudges pixel (f mod 3) by +1, so within-scene
+    * consecutive L1 distance is exactly 2 and the scene boundary is a
+    * full re-walk.  Decoded through the REAL Y4M path. */
+  private def sceneFrames(s: SparkSession, dir: String): DataFrame = {
+    val feats = udf((id: Long, text: String) => {
+      val src = MultimodalOps.asciiBytes(text)
+      val frames: Seq[(Int, Int) => Int] = (0 until 6).map { f =>
+        (x: Int, y: Int) => {
+          val j = y * 8 + x
+          val base = src((j + 64 * (f / 3)) % src.length) & 0xff
+          if (j == f % 3) base + 1 else base
+        }
+      }
+      VideoCodec.decodeY4mFrames(
+        VideoCodec.encodeY4m(8, 8, frames, chroma = "420"))
+        .map(r => ImageCodec.rasterFeatures(r, 8, 8).toSeq)
+    })
+    Tables.docs(s, dir)
+      .select(col("doc_id"), posexplode(feats(col("doc_id"), col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("frame"),
+        col("col").as("features"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "mm_y4m_scene_cuts" -> ((s, dir) =>
+      MultimodalOps.sceneCuts(sceneFrames(s, dir), col("doc_id"),
+          col("frame"), col("features"), threshold = 64.0)
+        .select(col("doc_id"), col("frame"), round(col("dist"), 6)
+          .as("dist"), col("is_cut"), col("scene"))),
+
+    // keyframe sampling = the first frame of every scene: the frames a
+    // vision pipeline keeps (one representative per scene)
+    "mm_y4m_keyframes" -> ((s, dir) =>
+      MultimodalOps.sceneCuts(sceneFrames(s, dir), col("doc_id"),
+          col("frame"), col("features"), threshold = 64.0)
+        .where(col("is_cut"))
+        .select(col("doc_id"), col("frame"), col("scene"))),
 
     "mm_y4m_frame_neardup" -> ((s, dir) => {
       val frameFeats = udf((id: Long, text: String) => {
@@ -312,7 +351,50 @@ object R19Queries {
       |      (x, y) -> x | y) AS ahash
       |  FROM ndm)""".stripMargin
 
+  /** The scene fixture + cut derivation in SQL: per-frame pixel lists,
+    * lag-window L1 distance (−1 for each doc's first frame), cut flag,
+    * running scene id — the exact mirror of
+    * [[MultimodalOps.sceneCuts]] at threshold 64. */
+  private val SceneCutSql =
+    """sca AS (SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g')
+      |    AS ptext FROM documents),
+      |scf AS (SELECT doc_id, ptext,
+      |    unnest(generate_series(0, 5)) AS frame FROM sca),
+      |scv AS (SELECT doc_id, frame,
+      |    list_transform(generate_series(0, 63), j ->
+      |      ascii(substr(ptext,
+      |        (((j + 64 * (frame // 3)) % length(ptext)) + 1)::INT, 1))
+      |      + CASE WHEN j = frame % 3 THEN 1 ELSE 0 END) AS pv
+      |  FROM scf),
+      |scd AS (SELECT doc_id, frame, pv,
+      |    lag(pv) OVER (PARTITION BY doc_id ORDER BY frame) AS prev
+      |  FROM scv),
+      |sce AS (SELECT doc_id, frame,
+      |    CASE WHEN prev IS NULL THEN -1.0
+      |      ELSE list_reduce(list_transform(generate_series(1, 64),
+      |        i -> abs(pv[i] - prev[i])), (a, b) -> a + b)::DOUBLE
+      |      END AS dist
+      |  FROM scd),
+      |scc AS (SELECT doc_id, frame, dist,
+      |    (dist < 0 OR dist > 64.0) AS is_cut FROM sce),
+      |scs AS (SELECT doc_id, frame, dist, is_cut,
+      |    (sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY frame) - 1)::BIGINT
+      |      AS scene
+      |  FROM scc)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+
+    "mm_y4m_scene_cuts" ->
+      s"""WITH $SceneCutSql
+         |SELECT doc_id, frame::BIGINT AS frame, round(dist, 6) AS dist,
+         |  is_cut, scene
+         |FROM scs""".stripMargin,
+
+    "mm_y4m_keyframes" ->
+      s"""WITH $SceneCutSql
+         |SELECT doc_id, frame::BIGINT AS frame, scene
+         |FROM scs WHERE is_cut""".stripMargin,
 
     // brute-force hamming-≤3 over per-frame aHashes: 4-band blocking is
     // pigeonhole-exact at maxHamming 3, so banded == brute force

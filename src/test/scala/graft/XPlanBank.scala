@@ -60,7 +60,8 @@ object XPlanBank {
     // an all-pairs join), GIF disposal/transparency compositing, and
     // the incremental video-dedup pipeline's final union
     "mm_y4m_frame_neardup", "mm_gif_disposal", "mm_gif_transparency",
-    "pipe_video_dedup")
+    "pipe_video_dedup", "mm_avi_frames", "mm_avi_mjpeg",
+    "mm_y4m_scene_cuts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
