@@ -99,6 +99,36 @@ object MultimodalOps {
       .select("doc_id", "frame", "dist", "is_cut", "scene")
   }
 
+  /** CLIP-level video near-dup — trimmed/re-encoded copy detection:
+    * two videos are near-duplicates when their (distinct) frame-hash
+    * SETS overlap, even if neither container byte-matches and the
+    * copies are trimmed or reordered.  Shape: distinct (doc, key)
+    * projection → equality join on the frame key (single shuffle,
+    * bucket-bounded like every hash-keyed dedup tier — never
+    * all-pairs) → per-pair intersection count → Jaccard against the
+    * per-doc distinct-frame counts.  Output: (doc_a, doc_b, shared,
+    * jaccard), doc_a < doc_b, one row per doc pair sharing ≥ 1 frame. */
+  def clipOverlapPairs(frames: DataFrame, docId: Column,
+      frameKey: Column): DataFrame = {
+    // persisted: read three times (both join sides + the size counts)
+    val dv = frames.select(docId.cast("long").as("doc_id"),
+      frameKey.as("__k")).distinct().persist()
+    graft.core.CacheScope.register(dv)
+    val sz = dv.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shared = dv.as("a").join(dv.as("b"),
+        col("a.__k") === col("b.__k") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sz.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "__na"), "doc_a")
+      .join(sz.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "__nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("__na") + col("__nb") - col("shared")), 6).as("jaccard"))
+  }
+
   /** Average-hash (aHash) perceptual fingerprint over a decoded feature
     * grid: bit j is set iff features[j] > mean(features) — the classic
     * 64-bit "is this the same image, re-encoded?" near-dup fingerprint

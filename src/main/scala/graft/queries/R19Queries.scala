@@ -222,6 +222,15 @@ object R19Queries {
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
     }),
 
+    // clip-level video near-dup over the standard 3-frame fixture: doc
+    // pairs sharing ≥1 distinct frame, with the shared count and the
+    // Jaccard over distinct-frame sets — the trimmed-copy shape
+    "mm_video_clip_dedup" -> ((s, dir) =>
+      MultimodalOps.clipOverlapPairs(
+        y4mFrameHashes(Tables.docs(s, dir).select(col("doc_id"),
+          col("text"))),
+        col("doc_id"), col("luma"))),
+
     "mm_avi_frames" -> ((s, dir) => {
       val decodeFrames = udf((id: Long, text: String) => {
         val src = MultimodalOps.asciiBytes(text)
@@ -456,6 +465,31 @@ object R19Queries {
         |  (gy * 4 + gx)::BIGINT AS j,
         |  round(sum(v)::DOUBLE / count(*), 6) AS feat
         |FROM gdv GROUP BY 1, 2, gy, gx""".stripMargin,
+
+    // distinct frame sets per doc, intersection via the equality join,
+    // Jaccard against the per-doc distinct counts
+    "mm_video_clip_dedup" ->
+      """WITH cda AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '?', 'g') AS text
+        |  FROM documents),
+        |cdf AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, 2)) AS frame FROM cda),
+        |cdv AS (
+        |  SELECT DISTINCT doc_id,
+        |    list_transform(generate_series(0, 63), j ->
+        |      ascii(substr(text,
+        |        (((j + 29 * frame) % length(text)) + 1)::INT, 1))) AS v
+        |  FROM cdf),
+        |csz AS (SELECT doc_id, count(*) AS n FROM cdv GROUP BY 1),
+        |cpx AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        |    count(*) AS shared
+        |  FROM cdv x JOIN cdv y ON x.v = y.v AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, shared::BIGINT AS shared,
+        |  round(shared::DOUBLE / (sa.n + sb.n - shared), 6) AS jaccard
+        |FROM cpx
+        |JOIN csz sa ON sa.doc_id = doc_a
+        |JOIN csz sb ON sb.doc_id = doc_b""".stripMargin,
 
     // AVI DIB is lossless: the per-frame text replay of the animated
     // tiers, plus the container's exact byte length (RIFF 12 +
