@@ -222,6 +222,27 @@ object R19Queries {
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
     }),
 
+    // the SAME temporal operator across modalities: audio segmentation
+    // over the 16-frame energy envelope (speech-corpus segment
+    // splitting) — sceneCuts is generic over (doc, idx, features)
+    "mm_wav_segments" -> ((s, dir) => {
+      val toWav = udf((text: String) =>
+        graft.ops.AudioCodec.wavFromBytes(16000, 256,
+          MultimodalOps.asciiBytes(text)))
+      val d = Tables.docs(s, dir)
+        .withColumn("payload", toWav(col("text")))
+      val env = graft.ops.AudioCodec.decodeWith(d, col("payload"),
+          col("doc_id"), frames = 16).toDF()
+        .select(col("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos").cast("long").as("frame"),
+          array(col("col")).as("features"))
+      MultimodalOps.sceneCuts(env, col("doc_id"), col("frame"),
+          col("features"), threshold = 2000.0)
+        .select(col("doc_id"), col("frame"),
+          round(col("dist"), 6).as("dist"), col("is_cut"),
+          col("scene").as("segment"))
+    }),
+
     // clip-level video near-dup over the standard 3-frame fixture: doc
     // pairs sharing ≥1 distinct frame, with the shared count and the
     // Jaccard over distinct-frame sets — the trimmed-copy shape
@@ -465,6 +486,26 @@ object R19Queries {
         |  (gy * 4 + gx)::BIGINT AS j,
         |  round(sum(v)::DOUBLE / count(*), 6) AS feat
         |FROM gdv GROUP BY 1, 2, gy, gx""".stripMargin,
+
+    // the WavFeatSql envelope (exact /16 means) through the same lag
+    // window as the video scene cuts
+    "mm_wav_segments" ->
+      s"""WITH ${R16eQueries.WavFeatSql},
+         |wsd AS (SELECT doc_id, j AS frame, feat,
+         |    lag(feat) OVER (PARTITION BY doc_id ORDER BY j) AS prev
+         |  FROM wf),
+         |wse AS (SELECT doc_id, frame,
+         |    CASE WHEN prev IS NULL THEN -1.0
+         |      ELSE abs(feat - prev) END AS dist
+         |  FROM wsd),
+         |wsc AS (SELECT doc_id, frame, dist,
+         |    (dist < 0 OR dist > 2000.0) AS is_cut FROM wse)
+         |SELECT doc_id, frame::BIGINT AS frame, round(dist, 6) AS dist,
+         |  is_cut,
+         |  (sum(CASE WHEN is_cut THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY frame) - 1)::BIGINT
+         |    AS segment
+         |FROM wsc""".stripMargin,
 
     // distinct frame sets per doc, intersection via the equality join,
     // Jaccard against the per-doc distinct counts
