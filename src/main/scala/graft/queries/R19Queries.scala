@@ -222,6 +222,31 @@ object R19Queries {
           col("pos").cast("long").as("j"), round(col("col"), 6).as("feat"))
     }),
 
+    // cross-container conformance: the SAME frames through both video
+    // containers (Y4M raw planes vs AVI DIB rows) must decode
+    // BIT-EQUAL per frame — any slip in either container's geometry
+    // (row order, padding, plane sizes) breaks the in-row equality
+    "mm_video_containers" -> ((s, dir) => {
+      val biteq = udf((id: Long, text: String) => {
+        val src = MultimodalOps.asciiBytes(text)
+        val frames = (0 until 3).map { f =>
+          (x: Int, y: Int) => src((y * 8 + x + 29 * f) % src.length) & 0xff
+        }
+        val y4m = VideoCodec.decodeY4mFrames(
+          VideoCodec.encodeY4m(8, 8, frames, chroma = "420"))
+        val avi = VideoCodec.decodeAviFrames(
+          VideoCodec.encodeAvi(8, 8, frames))
+        frames.indices.map(f =>
+          java.util.Arrays.equals(y4m(f).lumaSum3, avi(f).lumaSum3))
+      })
+      Tables.docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(biteq(col("doc_id"), col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("frame"),
+          lit(8L).as("width"), lit(8L).as("height"),
+          col("col").as("y4m_equals_avi"))
+    }),
+
     // the SAME temporal operator across modalities: audio segmentation
     // over the 16-frame energy envelope (speech-corpus segment
     // splitting) — sceneCuts is generic over (doc, idx, features)
@@ -486,6 +511,15 @@ object R19Queries {
         |  (gy * 4 + gx)::BIGINT AS j,
         |  round(sum(v)::DOUBLE / count(*), 6) AS feat
         |FROM gdv GROUP BY 1, 2, gy, gx""".stripMargin,
+
+    // in-row cross-container equality (the mm_au_aiff discipline
+    // applied to video)
+    "mm_video_containers" ->
+      """WITH f AS (SELECT doc_id,
+        |    unnest(generate_series(0, 2)) AS frame FROM documents)
+        |SELECT doc_id, frame::BIGINT AS frame, 8::BIGINT AS width,
+        |  8::BIGINT AS height, true AS y4m_equals_avi
+        |FROM f""".stripMargin,
 
     // the WavFeatSql envelope (exact /16 means) through the same lag
     // window as the video scene cuts
