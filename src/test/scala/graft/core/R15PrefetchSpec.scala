@@ -35,22 +35,28 @@ class R15PrefetchSpec extends AnyFunSuite {
   test("fail fast: a mid-stream producer failure surfaces on the next " +
       "hasNext even while batches sit buffered ahead of it") {
     val boom = new RuntimeException("scan died")
+    // the producer blocks at its failure point until the consumer has
+    // legitimately consumed row 1 — without the handshake this is a
+    // race (fail-fast checks err BEFORE staged rows by design, so a
+    // producer that reaches the failure before the consumer's first
+    // hasNext makes even row 1 unservable — correct behavior, but not
+    // the scenario this test pins)
+    val gate = new java.util.concurrent.CountDownLatch(1)
     val it = new ScDataset.PrefetchedBatches(() => new java.util.Iterator[Row] {
       private var i = 0
       def hasNext: Boolean = true
       def next(): Row = {
         i += 1
-        if (i > 3) throw boom
+        if (i > 3) { gate.await(); throw boom }
         Row(i.toLong)
       }
     }, depth = 8)
-    // force the producer to run to its failure point: 3 rows buffered,
-    // then err set — all before the consumer reads anything
     assert(it.hasNext) // starts the producer, stages row 1
-    awaitProducerDead()
     // row 1 is already staged and legitimately consumable; rows 2..3 are
     // buffered BEHIND the failure and must NOT be served
     it.next()
+    gate.countDown() // release the failure
+    awaitProducerDead()
     val e = intercept[RuntimeException](it.hasNext)
     assert(e eq boom, "the original producer error must propagate")
     // after delivery, the handle is closed and idempotent
