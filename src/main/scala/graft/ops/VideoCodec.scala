@@ -247,6 +247,7 @@ object VideoCodec {
       (8 + sz).toInt
     }
     var w = -1; var h = -1; var compression = ""; var bits = -1
+    var strfW = -1; var strfH = 0 // biHeight SIGNED: <0 = top-down DIB
     var streams = 0
     var moviStart = -1; var moviEnd = -1
     // parse one strl list: strh must be 'vids' (audio rejected by name)
@@ -265,6 +266,8 @@ object VideoCodec {
             require(streams == 1, "multi-stream AVI unsupported")
           case "strf" =>
             require(sz >= 40, "short AVI BITMAPINFOHEADER")
+            strfW = u32le(b, p + 8 + 4).toInt
+            strfH = u32le(b, p + 8 + 8).toInt // two's complement: sign kept
             bits = (u32le(b, p + 8 + 14) & 0xffff).toInt
             val comp = u32le(b, p + 8 + 16)
             compression =
@@ -316,6 +319,14 @@ object VideoCodec {
     require(compression.nonEmpty, "AVI has no stream format")
     require(compression == "MJPG" || bits == 24,
       s"AVI DIB bit depth $bits unsupported (24-bit only)")
+    // the BITMAPINFOHEADER must agree with the main header; a NEGATIVE
+    // biHeight is the spec's top-down DIB (rows stored first-to-last) —
+    // honored, because silently decoding it bottom-up would flip every
+    // frame (the BMP tier's row-order contract, applied per frame)
+    require(strfW == w, s"AVI strf width $strfW disagrees with avih $w")
+    require(strfH == h || strfH == -h,
+      s"AVI strf height $strfH disagrees with avih $h")
+    val topDown = strfH < 0
     require(moviStart >= 0, "AVI has no movi list")
     val rowLen = (w * 3 + 3) & ~3
     val frames = scala.collection.mutable.ArrayBuffer.empty[ImageCodec.Raster]
@@ -334,7 +345,7 @@ object VideoCodec {
             val sums = new Array[Int](w * h)
             var y = 0
             while (y < h) {
-              val src = p + 8 + (h - 1 - y) * rowLen // bottom-up rows
+              val src = p + 8 + (if (topDown) y else h - 1 - y) * rowLen
               var x = 0
               while (x < w) {
                 sums(y * w + x) = (b(src + 3 * x) & 0xff) +

@@ -42,6 +42,52 @@ class R19AviSpec extends AnyFunSuite {
     }
   }
 
+  test("top-down DIB (negative biHeight) decodes unflipped") {
+    // craft a foreign top-down AVI: negate biHeight in the strf and
+    // reverse each frame's row blocks — the decode must equal the
+    // original bottom-up decode exactly
+    val w = 8; val h = 8
+    val enc = VideoCodec.encodeAvi(w, h, Seq(frame(0) _, frame(1) _))
+    def find(pat: String): Int = {
+      val p = pat.getBytes("US-ASCII")
+      (0 to enc.length - p.length).find(i =>
+        p.indices.forall(j => enc(i + j) == p(j))).getOrElse(
+        fail(s"'$pat' not found"))
+    }
+    val td = enc.clone()
+    val strfH = find("strf") + 8 + 8
+    val negH = -h
+    for (k <- 0 until 4) td(strfH + k) = ((negH >> (8 * k)) & 0xff).toByte
+    val rowLen = w * 3
+    var p = 12
+    // reverse rows inside every 00db payload
+    while (p + 8 <= td.length) {
+      if (new String(td, p, 4, "US-ASCII") == "00db") {
+        val base = p + 8
+        for (y <- 0 until h / 2; k <- 0 until rowLen) {
+          val a = base + y * rowLen + k
+          val b = base + (h - 1 - y) * rowLen + k
+          val t = td(a); td(a) = td(b); td(b) = t
+        }
+        p = base + rowLen * h
+      } else if (new String(td, p, 4, "US-ASCII") == "LIST") p += 12
+      else {
+        val sz = ((td(p + 4) & 0xffL) | ((td(p + 5) & 0xffL) << 8) |
+          ((td(p + 6) & 0xffL) << 16) | ((td(p + 7) & 0xffL) << 24))
+        p += 8 + (sz + (sz & 1)).toInt
+      }
+    }
+    val a = VideoCodec.decodeAviFrames(enc)
+    val b = VideoCodec.decodeAviFrames(td)
+    for (f <- a.indices)
+      assert(a(f).lumaSum3.toSeq == b(f).lumaSum3.toSeq, s"f=$f")
+    // a strf height that is NEITHER h nor -h fails loudly
+    val bad = enc.clone()
+    for (k <- 0 until 4) bad(strfH + k) = (((h + 1) >> (8 * k)) & 0xff).toByte
+    assert(intercept[IllegalArgumentException] {
+      VideoCodec.decodeAviFrames(bad) }.getMessage.contains("disagrees"))
+  }
+
   test("fail-loud: magic, audio stream, unknown compression, coding " +
       "mismatch, truncation") {
     val ok = VideoCodec.encodeAvi(8, 8, Seq(frame(0) _))
