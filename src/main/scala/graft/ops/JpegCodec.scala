@@ -637,7 +637,67 @@ object JpegCodec {
   private final case class SofComp(id: Int, hSamp: Int, vSamp: Int,
       quantId: Int)
 
-  def decode(b: Array[Byte]): ImageCodec.Raster = {
+  /** The T.81 Annex-K "typical" Huffman tables as DECODER tables, keyed
+    * (class, id) the way a DHT segment would install them — the tables
+    * the MJPEG-in-AVI convention says a decoder must supply when a
+    * frame omits its DHT segments (ids 0 = luma pair, 1 = chroma pair,
+    * matching the table assignment every MJPG encoder uses). */
+  private lazy val AnnexKDecodeTables: Map[(Int, Int), DecodeTable] = Map(
+    (0, 0) -> new DecodeTable(DcLumaBits, DcLumaVals),
+    (1, 0) -> new DecodeTable(AcLumaBits, AcLumaVals),
+    (0, 1) -> new DecodeTable(DcChromaBits, DcChromaVals),
+    (1, 1) -> new DecodeTable(AcChromaBits, AcChromaVals))
+
+  /** Remove every DHT segment from a JPEG's header — the MJPEG-in-AVI
+    * table-less frame shape (capture hardware omits the tables from
+    * each frame; players supply the Annex-K defaults).  The marker walk
+    * stops at SOS (entropy-coded data, where a raw 0xFFC4 byte pair is
+    * data, not a marker) and copies the rest verbatim, so this is a
+    * pure header transform. */
+  def stripDht(jpeg: Array[Byte]): Array[Byte] = {
+    require(jpeg.length >= 4 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "bad JPEG signature")
+    val out = new java.io.ByteArrayOutputStream(jpeg.length)
+    out.write(0xff); out.write(0xd8)
+    var p = 2
+    while (true) {
+      require(p + 1 < jpeg.length, "truncated JPEG (no SOS)")
+      require((jpeg(p) & 0xff) == 0xff,
+        f"expected marker, got 0x${jpeg(p)}%02x")
+      val m = jpeg(p + 1) & 0xff
+      if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { // standalone
+        out.write(jpeg, p, 2); p += 2
+      } else {
+        require(p + 3 < jpeg.length, "truncated JPEG segment")
+        val len = ((jpeg(p + 2) & 0xff) << 8) | (jpeg(p + 3) & 0xff)
+        require(len >= 2 && p + 2 + len <= jpeg.length,
+          "truncated JPEG segment")
+        if (m != 0xc4) out.write(jpeg, p, 2 + len)
+        if (m == 0xda) { // SOS: copy entropy data + trailing markers
+          out.write(jpeg, p + 2 + len, jpeg.length - (p + 2 + len))
+          return out.toByteArray
+        }
+        p += 2 + len
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Decode with the MJPEG-in-AVI table convention: scans may reference
+    * Huffman tables no DHT segment defined — the decoder supplies the
+    * Annex-K defaults for ids 0/1 (luma/chroma, the assignment every
+    * MJPG encoder uses).  ONLY the AVI container path sets this flag; a
+    * bare JPEG with missing tables keeps failing loudly, because
+    * outside the MJPG context a missing table means a truncated or
+    * corrupt file, not a convention. */
+  def decode(b: Array[Byte], mjpegDefaultTables: Boolean)
+      : ImageCodec.Raster =
+    decodeImpl(b, mjpegDefaultTables)
+
+  def decode(b: Array[Byte]): ImageCodec.Raster = decodeImpl(b, false)
+
+  private def decodeImpl(b: Array[Byte],
+      mjpegDefaultTables: Boolean): ImageCodec.Raster = {
     require(b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
       "bad JPEG signature")
     var p = 2
@@ -769,6 +829,12 @@ object JpegCodec {
     sofComps.foreach(c => require(quant(c.quantId) != null,
       s"JPEG missing quant table ${c.quantId}"))
     scanTables.foreach { case (dc, ac) =>
+      if (mjpegDefaultTables) { // MJPEG-in-AVI: supply Annex-K defaults
+        if (!huff.contains((0, dc)) && dc <= 1)
+          huff((0, dc)) = AnnexKDecodeTables((0, dc))
+        if (!huff.contains((1, ac)) && ac <= 1)
+          huff((1, ac)) = AnnexKDecodeTables((1, ac))
+      }
       require(huff.contains((0, dc)), s"JPEG missing DC Huffman table $dc")
       require(huff.contains((1, ac)), s"JPEG missing AC Huffman table $ac")
     }
@@ -941,9 +1007,10 @@ object JpegCodec {
   // band from the current position on).  Entropy coding is LOSSLESS
   // over the same quantized coefficients as the sequential mode, so
   // progressive decode must equal baseline decode BIT-EXACTLY — the
-  // invariant the oracle query asserts.  Scope: grayscale, Ah=0
-  // (successive-approximation refinement scans and progressive color
-  // are rejected by name), no restart intervals.
+  // invariant the oracle query asserts.  Scope: grayscale + color
+  // (4:4:4 and the subsampled 4:2:0/4:2:2/4:1:1 geometries — the
+  // modern web default is progressive 4:2:0), spectral selection and
+  // successive-approximation refinement (gray); no restart intervals.
 
   /** AC Huffman table for progressive scans: the Annex-K SEQUENTIAL AC
     * table defines no EOBn symbols (its 0x10/0x20/… slots are (run,
@@ -1439,6 +1506,223 @@ object JpegCodec {
     encodeProgressiveColor(w, h, textRgb(w, src), quality)
   }
 
+  /** Quantized zigzag blocks of a plane over an EXPLICIT block grid
+    * (possibly padded past the ceil grid), edge-extending by clamp —
+    * the generalization [[quantizedBlocks]] needs for subsampled
+    * progressive, where the interleaved DC scan covers the MCU-padded
+    * grid but AC scans cover only the ceil grid. */
+  private def quantizedGrid(compW: Int, compH: Int, bW: Int, bH: Int,
+      pix: (Int, Int) => Int, quant: Array[Int]): Array[Array[Int]] = {
+    val out = new Array[Array[Int]](bW * bH)
+    val block = new Array[Double](64)
+    var bi = 0
+    var by = 0
+    while (by < bH) {
+      var bx = 0
+      while (bx < bW) {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val px = math.min(compW - 1, bx * 8 + x)
+            val py = math.min(compH - 1, by * 8 + y)
+            val v = pix(px, py)
+            require(v >= 0 && v <= 255, s"sample($px,$py)=$v out of [0,255]")
+            block(y * 8 + x) = v - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        val coef = fdct(block)
+        val q = new Array[Int](64)
+        var i = 0
+        while (i < 64) {
+          q(i) = math.round(coef(ZigZag(i)) / quant(ZigZag(i))).toInt
+          i += 1
+        }
+        out(bi) = q
+        bi += 1
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  /** PROGRESSIVE SUBSAMPLED COLOR (SOF2 + chroma subsampling composed —
+    * the modern web default: mozjpeg/libjpeg `-progressive` emit
+    * progressive 4:2:0): luma at (hs, vs) sampling, chroma
+    * box-downsampled by the same factors through the EXACT pipeline of
+    * the sequential subsampled encoder (same [[downPlane]], FDCT,
+    * tables, rounding), so decode must equal the sequential subsampled
+    * decode BIT-EXACTLY — the oracle invariant.  Scan structure per
+    * spec §G.1.1: one INTERLEAVED DC scan (MCU = hs·vs luma blocks +
+    * one Cb + one Cr, covering the MCU-padded grids) followed by one
+    * single-component AC scan per (component × band), each walking its
+    * component's ceil grid (§A.2.2). */
+  def encodeProgressiveColorSub(w: Int, h: Int,
+      rgb: (Int, Int) => (Int, Int, Int), hs: Int, vs: Int,
+      quality: Int = 90,
+      bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dims")
+    require(Set((2, 2), (2, 1), (4, 1)).contains((hs, vs)),
+      s"unsupported sampling ${hs}x$vs (4:2:0 / 4:2:2 / 4:1:1)")
+    require(bands.nonEmpty, "need at least one AC band")
+    bands.foldLeft(1) { case (next, (a, b)) =>
+      require(a == next && b >= a && b <= 63,
+        s"bands must tile 1..63 in order, got ($a,$b) expecting start $next")
+      b + 1
+    }
+    require(bands.last._2 == 63, "bands must end at 63")
+    val quantL = scaledQuant(quality, BaseQuantLuma)
+    val quantC = scaledQuant(quality, BaseQuantChroma)
+    val (yP, cbP, crP) = yccPlanes(w, h, rgb)
+    val cw = (w + hs - 1) / hs
+    val ch = (h + vs - 1) / vs
+    val cbD = downPlane(cbP, w, h, hs, vs)
+    val crD = downPlane(crP, w, h, hs, vs)
+    val mcusX = (w + 8 * hs - 1) / (8 * hs)
+    val mcusY = (h + 8 * vs - 1) / (8 * vs)
+    // luma: padded grid for the DC scan; chroma ceil grid == padded
+    // grid (ceil(ceil(w/hs)/8) == mcusX exactly)
+    val padWY = mcusX * hs; val padHY = mcusY * vs
+    val qbY = quantizedGrid(w, h, padWY, padHY,
+      (x, y) => yP(y * w + x), quantL)
+    val qbCb = quantizedGrid(cw, ch, mcusX, mcusY,
+      (x, y) => cbD(y * cw + x), quantC)
+    val qbCr = quantizedGrid(cw, ch, mcusX, mcusY,
+      (x, y) => crD(y * cw + x), quantC)
+    val qbs = Array(qbY, qbCb, qbCr)
+    val dcEncL = buildEncodeTable(DcLumaBits, DcLumaVals)
+    val dcEncC = buildEncodeTable(DcChromaBits, DcChromaVals)
+    val acEnc = buildEncodeTable(AcProgBits, AcProgSyms)
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Byte]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >> 8) & 0xff); out.write(len & 0xff)
+      out.write(payload, 0, payload.length)
+    }
+    marker(0xd8)
+    seg(0xe0, "JFIF ".getBytes("US-ASCII") ++
+      Array[Byte](1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, Array[Byte](0) ++ ZigZag.map(n => quantL(n).toByte) ++
+      Array[Byte](1) ++ ZigZag.map(n => quantC(n).toByte))
+    seg(0xc2, Array[Byte](8,
+      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+      3, 1, ((hs << 4) | vs).toByte, 0, 2, 0x11, 1, 3, 0x11, 1))
+    seg(0xc4, Array[Byte](0x00) ++ DcLumaBits.map(_.toByte) ++ DcLumaVals)
+    seg(0xc4, Array[Byte](0x01) ++ DcChromaBits.map(_.toByte) ++
+      DcChromaVals)
+    seg(0xc4, Array[Byte](0x10) ++ AcProgBits.map(_.toByte) ++ AcProgSyms)
+    // ---- interleaved DC scan (Ns=3, MCU walk over padded grids) ----
+    seg(0xda, Array[Byte](3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0))
+    var bw = new BitWriter(out)
+    val prevDc = new Array[Int](3)
+    def putDc(ci: Int, q: Array[Int]): Unit = {
+      val diff = q(0) - prevDc(ci)
+      prevDc(ci) = q(0)
+      val s = bitSize(diff)
+      val (c, l) = (if (ci == 0) dcEncL else dcEncC)(s)
+      bw.put(c, l)
+      if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+    }
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var vy = 0
+        while (vy < vs) {
+          var vx = 0
+          while (vx < hs) {
+            putDc(0, qbY((my * vs + vy) * padWY + (mx * hs + vx)))
+            vx += 1
+          }
+          vy += 1
+        }
+        putDc(1, qbCb(my * mcusX + mx))
+        putDc(2, qbCr(my * mcusX + mx))
+        mx += 1
+      }
+      my += 1
+    }
+    bw.finish()
+    // ---- per-component AC band scans over the CEIL grids ----
+    val acGrids = Array( // (blocksW, blocksH, padded stride) per comp
+      (((w + 7) / 8), ((h + 7) / 8), padWY),
+      (((cw + 7) / 8), ((ch + 7) / 8), mcusX),
+      (((cw + 7) / 8), ((ch + 7) / 8), mcusX))
+    for (ci <- 0 until 3; (ss, se) <- bands) {
+      seg(0xda, Array[Byte]((1).toByte, (ci + 1).toByte,
+        0x00, ss.toByte, se.toByte, 0))
+      bw = new BitWriter(out)
+      var eobrun = 0
+      def flushEob(): Unit = if (eobrun > 0) {
+        val r = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = acEnc(r << 4)
+        bw.put(c, l)
+        if (r > 0) bw.put(eobrun - (1 << r), r)
+        eobrun = 0
+      }
+      val (bWc, bHc, stride) = acGrids(ci)
+      var by = 0
+      while (by < bHc) {
+        var bx = 0
+        while (bx < bWc) {
+          val q = qbs(ci)(by * stride + bx)
+          var last = se
+          while (last >= ss && q(last) == 0) last -= 1
+          if (last < ss) {
+            eobrun += 1
+            if (eobrun == 0x7fff) flushEob()
+          } else {
+            flushEob()
+            var run = 0
+            var k = ss
+            while (k <= last) {
+              if (q(k) == 0) run += 1
+              else {
+                while (run >= 16) {
+                  val (zc, zl) = acEnc(0xf0); bw.put(zc, zl); run -= 16
+                }
+                val sz = bitSize(q(k))
+                val (c, l) = acEnc((run << 4) | sz)
+                bw.put(c, l)
+                bw.put(if (q(k) < 0) q(k) + (1 << sz) - 1 else q(k), sz)
+                run = 0
+              }
+              k += 1
+            }
+            if (last < se) eobrun += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      flushEob()
+      bw.finish()
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
+  /** Progressive 4:2:0 color — the composition real web encoders emit
+    * by default. */
+  def encodeProgressiveColor420(w: Int, h: Int,
+      rgb: (Int, Int) => (Int, Int, Int), quality: Int = 90,
+      bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] =
+    encodeProgressiveColorSub(w, h, rgb, 2, 2, quality, bands)
+
+  /** [[colorJpeg]] in the progressive 4:2:0 container — the three-phase
+    * text pixel map through subsampled progressive scans. */
+  def prog420Jpeg(w: Int, h: Int, src: Array[Byte],
+      quality: Int = 90): Array[Byte] = {
+    require(src.nonEmpty, "empty source bytes")
+    encodeProgressiveColorSub(w, h, textRgb(w, src), 2, 2, quality)
+  }
+
   /** unstuff entropy bytes from `start` until the next marker; returns
     * (data, markerByte, position AFTER the marker). */
   private def unstuffToMarker(b: Array[Byte],
@@ -1466,9 +1750,19 @@ object JpegCodec {
     val quant = new Array[Array[Int]](4)
     var compIds: Array[Int] = null    // frame component ids, in order
     var quantIds: Array[Int] = null   // per component
+    var hSamps: Array[Int] = null     // per component sampling factors
+    var vSamps: Array[Int] = null
+    var hMax = 1; var vMax = 1
+    var mcusX = 0; var mcusY = 0
+    var padW: Array[Int] = null       // per-comp PADDED grid (blocks):
+    var padH: Array[Int] = null       //   mcus × sampling — what an
+                                      //   interleaved DC scan covers
+    var acW: Array[Int] = null        // per-comp ceil grid (blocks):
+    var acH: Array[Int] = null        //   what non-interleaved scans
+                                      //   cover (spec §A.2.2)
     val huff = scala.collection.mutable.Map.empty[(Int, Int), DecodeTable]
-    // per component × per block (NATURAL order); at the supported 1×1
-    // sampling every component has the same raster block grid
+    // per component × per block of the PADDED grid (blocks in NATURAL
+    // raster order within each component's own grid)
     var coefs: Array[Array[Array[Int]]] = null
     def u16(off: Int): Int = {
       require(off + 1 < b.length, "truncated JPEG segment")
@@ -1497,17 +1791,38 @@ object JpegCodec {
           require(len >= 8 + 3 * nComp, "truncated SOF2 components")
           compIds = new Array[Int](nComp)
           quantIds = new Array[Int](nComp)
+          hSamps = new Array[Int](nComp)
+          vSamps = new Array[Int](nComp)
           for (i <- 0 until nComp) {
             val off = p + 8 + 3 * i
             compIds(i) = b(off) & 0xff
-            require((b(off + 1) & 0xff) == 0x11,
-              "progressive subsampled color unsupported (1x1 sampling only)")
+            val hv = b(off + 1) & 0xff
+            hSamps(i) = hv >> 4; vSamps(i) = hv & 0x0f
             quantIds(i) = b(off + 2) & 0xff
             require(quantIds(i) <= 3, s"bad quant table id ${quantIds(i)}")
           }
+          // same geometry set as the baseline decoder: all 1×1, or
+          // luma (2,2)/(2,1)/(4,1) + chroma 1×1 (4:2:0 / 4:2:2 / 4:1:1)
+          val hv = (0 until nComp).map(i => (hSamps(i), vSamps(i)))
+          val ok444 = hv.forall(_ == ((1, 1)))
+          val okSub = nComp == 3 && hv.tail.forall(_ == ((1, 1))) &&
+            Set((2, 2), (2, 1), (4, 1)).contains(hv.head)
+          require(ok444 || okSub,
+            s"unsupported progressive chroma subsampling $hv — " +
+              "4:4:4 / 4:2:0 / 4:2:2 / 4:1:1 only")
           sawSof = true
-          val nBlocks = ((h + 7) / 8) * ((w + 7) / 8)
-          coefs = Array.fill(nComp, nBlocks)(new Array[Int](64))
+          hMax = hSamps.max; vMax = vSamps.max
+          mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+          mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+          padW = Array.tabulate(nComp)(i => mcusX * hSamps(i))
+          padH = Array.tabulate(nComp)(i => mcusY * vSamps(i))
+          // non-interleaved grids ceil over the COMPONENT dims
+          acW = Array.tabulate(nComp)(i =>
+            ((w * hSamps(i) + hMax - 1) / hMax + 7) / 8)
+          acH = Array.tabulate(nComp)(i =>
+            ((h * vSamps(i) + vMax - 1) / vMax + 7) / 8)
+          coefs = Array.tabulate(nComp)(i =>
+            Array.fill(padW(i) * padH(i))(new Array[Int](64)))
           p += len
         case 0xc0 => throw new IllegalArgumentException(
           "mixed SOF0 after SOF2")
@@ -1591,42 +1906,70 @@ object JpegCodec {
               "invalid JPEG Huffman code")
             t.value(l, code)
           }
+          // scan block-visit orders (spec §G.1.1 / §A.2): an
+          // INTERLEAVED scan walks MCUs, each component contributing
+          // hSamp×vSamp blocks per MCU from its PADDED grid; a
+          // single-component scan walks that component's own ceil
+          // grid in raster order (padded-only blocks are NOT coded —
+          // they are never sampled by the assembly, so their AC stays
+          // zero and only the interleaved DC scan touches them)
+          def visitInterleaved(f: (Int, Int) => Unit): Unit = {
+            var my = 0
+            while (my < mcusY) {
+              var mx = 0
+              while (mx < mcusX) {
+                var j = 0
+                while (j < ns) {
+                  val ci = scanIdx(j)
+                  var vy = 0
+                  while (vy < vSamps(ci)) {
+                    var vx = 0
+                    while (vx < hSamps(ci)) {
+                      f(j, (my * vSamps(ci) + vy) * padW(ci) +
+                        (mx * hSamps(ci) + vx))
+                      vx += 1
+                    }
+                    vy += 1
+                  }
+                  j += 1
+                }
+                mx += 1
+              }
+              my += 1
+            }
+          }
+          def visitSingle(ci: Int)(f: Int => Unit): Unit = {
+            var by = 0
+            while (by < acH(ci)) {
+              var bx = 0
+              while (bx < acW(ci)) { f(by * padW(ci) + bx); bx += 1 }
+              by += 1
+            }
+          }
           if (ss == 0) { // DC scan — the only kind the spec allows to
-            // interleave (§G.1.1); MCU = one block/component at 1×1
+            // interleave (§G.1.1)
             require(se == 0, "DC scan must have Se = 0")
             if (ns > 1) require(scanIdx.toSeq == compIds.indices.toSeq,
               "interleaved DC scan must cover all components in frame order")
-            val nBlocks = coefs(0).length
-            if (ah == 0) {
-              val dcTs = scanTt.map(tt => huff.getOrElse((0, tt >> 4), throw
+            val dcTs = if (ah == 0)
+              scanTt.map(tt => huff.getOrElse((0, tt >> 4), throw
                 new IllegalArgumentException("missing DC Huffman table")))
-              val prevDc = new Array[Int](ns)
-              var bi = 0
-              while (bi < nBlocks) {
-                var j = 0
-                while (j < ns) {
-                  val s = huffDecode(dcTs(j))
-                  require(s <= 11, s"DC size $s out of baseline range")
-                  prevDc(j) += extend(br.receive(s), s)
-                  coefs(scanIdx(j))(bi)(0) = prevDc(j) << al
-                  j += 1
-                }
-                bi += 1
-              }
-            } else {
-              // refinement: one raw bit per component per MCU
-              // (x == (x >> k << k) | low bits: OR-ing each delivered
-              // bit reconstructs the two's-complement DC exactly)
-              var bi = 0
-              while (bi < nBlocks) {
-                var j = 0
-                while (j < ns) {
-                  coefs(scanIdx(j))(bi)(0) |= br.bit() << al
-                  j += 1
-                }
-                bi += 1
-              }
+            else null
+            val prevDc = new Array[Int](ns)
+            // refinement (ah > 0) is one raw bit per block: x ==
+            // (x >> k << k) | low bits, so OR-ing each delivered bit
+            // reconstructs the two's-complement DC exactly
+            def dcOne(j: Int, bi: Int): Unit = {
+              val c = coefs(scanIdx(j))(bi)
+              if (ah == 0) {
+                val s = huffDecode(dcTs(j))
+                require(s <= 11, s"DC size $s out of baseline range")
+                prevDc(j) += extend(br.receive(s), s)
+                c(0) = prevDc(j) << al
+              } else c(0) |= br.bit() << al
             }
+            if (ns > 1) visitInterleaved(dcOne)
+            else visitSingle(scanIdx(0))(bi => dcOne(0, bi))
           } else if (ah == 0) { // AC first scan with EOBRUN
             require(ns == 1,
               "progressive AC scans must be single-component (spec G.1.1)")
@@ -1634,7 +1977,8 @@ object JpegCodec {
             val acT = huff.getOrElse((1, tt & 0x0f), throw
               new IllegalArgumentException("missing AC Huffman table"))
             var eobrun = 0
-            coefs(scanIdx(0)).foreach { c =>
+            visitSingle(scanIdx(0)) { bi =>
+              val c = coefs(scanIdx(0))(bi)
               if (eobrun > 0) eobrun -= 1
               else {
                 var k = ss
@@ -1675,7 +2019,8 @@ object JpegCodec {
               if (br.bit() == 1 && (c(n) & p1) == 0)
                 c(n) += (if (c(n) >= 0) p1 else n1)
             var eobrun = 0
-            coefs(scanIdx(0)).foreach { c =>
+            visitSingle(scanIdx(0)) { bi =>
+              val c = coefs(scanIdx(0))(bi)
               var k = ss
               if (eobrun == 0) {
                 var eob = false
@@ -1736,29 +2081,31 @@ object JpegCodec {
     for (ci <- 0 until nComp)
       require(quant(quantIds(ci)) != null,
         s"JPEG missing quant table ${quantIds(ci)}")
-    val blocksX = (w + 7) / 8
-    val nBlocks = coefs(0).length
-    // per-component dequantize + IDCT into full-resolution planes
-    val planes = Array.ofDim[Int](nComp, w * h)
+    // per-component dequantize + IDCT into PADDED planes, then nearest
+    // upsampling at assembly — the baseline decoder's exact map, so
+    // progressive decode stays bit-equal to the sequential container
+    // at every supported geometry
+    val planes = Array.tabulate(nComp)(ci =>
+      new Array[Int](padW(ci) * 8 * padH(ci) * 8))
     val qcoef = new Array[Double](64)
     for (ci <- 0 until nComp) {
       val qt = quant(quantIds(ci))
+      val pw = padW(ci) * 8
       var bi = 0
-      while (bi < nBlocks) {
+      while (bi < coefs(ci).length) {
         val c = coefs(ci)(bi)
         var i = 0
         while (i < 64) { qcoef(i) = c(i).toDouble * qt(i); i += 1 }
         val px = idct(qcoef)
-        val bx = bi % blocksX
-        val by = bi / blocksX
+        val bx = bi % padW(ci)
+        val by = bi / padW(ci)
         var y = 0
         while (y < 8) {
           val iy = by * 8 + y
           var x = 0
           while (x < 8) {
-            val ix = bx * 8 + x
-            if (ix < w && iy < h)
-              planes(ci)(iy * w + ix) = clamp255(px(y * 8 + x) + 128.0)
+            planes(ci)(iy * pw + (bx * 8 + x)) =
+              clamp255(px(y * 8 + x) + 128.0)
             x += 1
           }
           y += 1
@@ -1767,16 +2114,25 @@ object JpegCodec {
       }
     }
     val luma = new Array[Int](w * h)
-    if (nComp == 1) {
-      var i = 0
-      while (i < w * h) { luma(i) = 3 * planes(0)(i); i += 1 }
-    } else {
-      var i = 0
-      while (i < w * h) {
-        val (r, g, bb) = yccToRgb(planes(0)(i), planes(1)(i), planes(2)(i))
-        luma(i) = r + g + bb
-        i += 1
+    def sample(ci: Int, x: Int, y: Int): Int = {
+      val sx = x * hSamps(ci) / hMax
+      val sy = y * vSamps(ci) / vMax
+      planes(ci)(sy * padW(ci) * 8 + sx)
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        luma(y * w + x) =
+          if (nComp == 1) 3 * sample(0, x, y)
+          else {
+            val (r, g, bb) = yccToRgb(sample(0, x, y), sample(1, x, y),
+              sample(2, x, y))
+            r + g + bb
+          }
+        x += 1
       }
+      y += 1
     }
     ImageCodec.Raster(w, h, luma)
   }

@@ -15,21 +15,38 @@ package graft.ops
   * sizes — a size slip desynchronizes the next FRAME marker and fails
   * loudly, so the geometry is self-validating.  Lossless container
   * (raw planes), so the oracle queries replay per-frame features
-  * hash-exactly from the text that generated the luma.  Interlaced
-  * content (It/Ib/Im), other chroma tags, and parameter-less headers
-  * fail loudly by name. */
+  * hash-exactly from the text that generated the luma.
+  *
+  * INTERLACED streams (It top-field-first / Ib bottom-field-first) are
+  * DE-INTERLACED BY FIELD SPLITTING: each stored picture weaves two
+  * temporally-distinct fields line-by-line (top field = even luma rows,
+  * bottom = odd rows), so decoding the woven picture as one frame would
+  * poison every temporal fingerprint with comb artifacts — instead each
+  * stored picture yields TWO half-height frames in field order (It:
+  * top field first; Ib: bottom first), the standard "bob" de-interlace
+  * for broadcast-sourced corpora.  Im (mixed, per-frame interlacing)
+  * stays fail-loud by name, as do other chroma tags and parameter-less
+  * headers. */
 object VideoCodec {
 
   /** Encode gray frames as Y4M: luma = frame(x, y), chroma (when the
     * tag carries planes) = a deterministic fill ((x·7+y·13+plane) mod
     * 256) so decoders that misread plane sizes cannot resync.  `chroma`
     * ∈ "mono" (Cmono), "420" (C420jpeg), "422" (C422), "411" (C411)
-    * or "444" (C444). */
+    * or "444" (C444).  `interlace` ∈ "p" (progressive), "t"/"b"
+    * (interlaced: each `frames` entry is the WOVEN picture carrying
+    * both fields — even rows one field, odd rows the other — exactly
+    * as broadcast muxers store it). */
   def encodeY4m(w: Int, h: Int, frames: Seq[(Int, Int) => Int],
-      fpsN: Int = 25, fpsD: Int = 1, chroma: String = "420"): Array[Byte] = {
+      fpsN: Int = 25, fpsD: Int = 1, chroma: String = "420",
+      interlace: String = "p"): Array[Byte] = {
     require(w > 0 && h > 0, "bad dims")
     require(frames.nonEmpty, "no frames")
     require(fpsN > 0 && fpsD > 0, "bad frame rate")
+    require(interlace == "p" || interlace == "t" || interlace == "b",
+      s"bad interlace '$interlace' (p/t/b)")
+    if (interlace != "p")
+      require(h % 2 == 0, "interlaced Y4M needs even height")
     val tag = chroma match {
       case "mono" => "Cmono"
       case "420"  => "C420jpeg"
@@ -44,7 +61,7 @@ object VideoCodec {
     if (chroma == "422") require(w % 2 == 0, "C422 needs even width")
     if (chroma == "411") require(w % 4 == 0, "C411 needs width % 4 == 0")
     val out = new java.io.ByteArrayOutputStream
-    out.write(s"YUV4MPEG2 W$w H$h F$fpsN:$fpsD Ip A1:1 $tag\n"
+    out.write(s"YUV4MPEG2 W$w H$h F$fpsN:$fpsD I$interlace A1:1 $tag\n"
       .getBytes("US-ASCII"))
     val (cw, ch) = chroma match {
       case "mono" => (0, 0)
@@ -64,7 +81,12 @@ object VideoCodec {
   }
 
   /** Decode every frame's LUMA plane to a Raster (sums = 3·Y, the
-    * gray convention of [[ImageCodec.Raster]]). */
+    * gray convention of [[ImageCodec.Raster]]).  Progressive (Ip, the
+    * default) streams yield one w×h Raster per stored FRAME marker;
+    * interlaced It/Ib streams are de-interlaced by FIELD SPLITTING —
+    * each stored picture yields two w×(h/2) Rasters in field order
+    * (see the object doc), so downstream per-frame fingerprints see
+    * temporally-pure fields, never woven combs.  Im fails loudly. */
   def decodeY4mFrames(b: Array[Byte]): IndexedSeq[ImageCodec.Raster] = {
     // header line up to '\n'
     var eol = 0
@@ -74,6 +96,7 @@ object VideoCodec {
     require(header.startsWith("YUV4MPEG2"),
       s"bad Y4M magic '${header.take(9)}'")
     var w = -1; var h = -1; var chroma = "420" // spec default C420
+    var interlace = "p" // spec default: progressive when I absent
     var fpsSeen = false
     // fail-loud integer grammar: an over-long digit run would escape as
     // NumberFormatException instead of the codec's contract exception
@@ -92,8 +115,14 @@ object VideoCodec {
           require(num(parts(0), "fps") > 0 && num(parts(1), "fps") > 0,
             s"bad Y4M frame rate $p")
           fpsSeen = true
-        case 'I' => require(p == "Ip",
-          s"interlaced Y4M unsupported ($p — progressive only)")
+        case 'I' => interlace = p.tail match {
+          case "p" | "t" | "b" => p.tail
+          // Im means the interlacing VARIES per frame (signaled in each
+          // FRAME header) — deferred: a wrong per-frame guess would
+          // silently weave or split the wrong rows
+          case other => throw new IllegalArgumentException(
+            s"Y4M interlace mode I$other unsupported (Ip/It/Ib)")
+        }
         case 'A' => () // pixel aspect: informational
         case 'C' => chroma = p.tail match {
           case "mono" => "mono"
@@ -118,6 +147,8 @@ object VideoCodec {
       require(w % 2 == 0 && h % 2 == 0, "C420 needs even dims")
     if (chroma == "422") require(w % 2 == 0, "C422 needs even width")
     if (chroma == "411") require(w % 4 == 0, "C411 needs width % 4 == 0")
+    if (interlace != "p")
+      require(h % 2 == 0, "interlaced Y4M needs even height")
     val lumaLen = w * h
     val chromaLen = chroma match {
       case "mono" => 0
@@ -139,10 +170,30 @@ object VideoCodec {
       p += 1
       require(p.toLong + lumaLen + chromaLen <= b.length,
         s"truncated Y4M frame ${frames.length}")
-      val sums = new Array[Int](lumaLen)
-      var i = 0
-      while (i < lumaLen) { sums(i) = 3 * (b(p + i) & 0xff); i += 1 }
-      frames += ImageCodec.Raster(w, h, sums)
+      if (interlace == "p") {
+        val sums = new Array[Int](lumaLen)
+        var i = 0
+        while (i < lumaLen) { sums(i) = 3 * (b(p + i) & 0xff); i += 1 }
+        frames += ImageCodec.Raster(w, h, sums)
+      } else {
+        // field split ("bob" de-interlace): even stored rows are the
+        // TOP field, odd rows the BOTTOM; output order follows the
+        // stream's field dominance (It: top first, Ib: bottom first)
+        val fh = h / 2
+        def field(parity: Int): ImageCodec.Raster = {
+          val sums = new Array[Int](w * fh)
+          var fy = 0
+          while (fy < fh) {
+            val src = p + (2 * fy + parity) * w
+            var x = 0
+            while (x < w) { sums(fy * w + x) = 3 * (b(src + x) & 0xff); x += 1 }
+            fy += 1
+          }
+          ImageCodec.Raster(w, fh, sums)
+        }
+        if (interlace == "t") { frames += field(0); frames += field(1) }
+        else { frames += field(1); frames += field(0) }
+      }
       p += lumaLen + chromaLen
     }
     require(frames.nonEmpty, "Y4M has no frames")
@@ -159,8 +210,16 @@ object VideoCodec {
   // replay), and '00dc' MJPG = one baseline JPEG per frame chained
   // through [[JpegCodec]] (Motion-JPEG, the classic capture format;
   // the in-row oracle asserts the AVI path decodes BIT-EQUAL to the
-  // direct JPEG decode).  Audio streams, >1 stream, 'rec ' grouped
-  // movi lists, and unknown biCompression are rejected by name.
+  // direct JPEG decode).  Real-muxer movi grammar is honored: 'rec '
+  // LISTs group frames for interleaved playback (DV capture) and are
+  // walked as nested chunk sequences, and JUNK alignment chunks
+  // (ffmpeg/VirtualDub padding) are skipped — both inside movi and at
+  // the top level.  MJPG frames may omit their DHT segments (the
+  // MJPEG-in-AVI convention: the decoder supplies the T.81 Annex-K
+  // defaults — [[JpegCodec.decode]]'s mjpeg flag), and that fallback
+  // is confined to this container: a bare JPEG with missing tables
+  // still fails loudly.  Audio streams, >1 stream, and unknown
+  // biCompression are rejected by name.
 
   private def u32le(b: Array[Byte], o: Int): Long = {
     require(o >= 0 && o + 4 <= b.length, s"truncated AVI u32 at $o")
@@ -174,18 +233,29 @@ object VideoCodec {
 
   /** Encode gray frames as a single-video-stream AVI.  `codec` ∈ "DIB"
     * (uncompressed bottom-up 24-bit BGR, lossless) or "MJPG" (one
-    * baseline JPEG per frame at `quality`). */
+    * baseline JPEG per frame at `quality`).  `recGroup` > 0 wraps every
+    * that-many frames in a 'rec ' LIST (the DV-capture interleaved
+    * layout); `junkPad` writes a 12-byte JUNK alignment chunk before
+    * each frame (the ffmpeg/VirtualDub padding convention); MJPG +
+    * `stripTables` omits each frame's DHT segments (the MJPEG-in-AVI
+    * convention — decoders supply the Annex-K defaults). */
   def encodeAvi(w: Int, h: Int, frames: Seq[(Int, Int) => Int],
-      codec: String = "DIB", fps: Int = 25, quality: Int = 90)
-      : Array[Byte] = {
+      codec: String = "DIB", fps: Int = 25, quality: Int = 90,
+      recGroup: Int = 0, junkPad: Boolean = false,
+      stripTables: Boolean = false): Array[Byte] = {
     require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dims")
     require(frames.nonEmpty, "no frames")
     require(fps > 0, "bad fps")
     require(codec == "DIB" || codec == "MJPG", s"bad codec '$codec'")
+    require(recGroup >= 0, "bad recGroup")
+    require(!stripTables || codec == "MJPG",
+      "stripTables is the MJPG table-less convention")
     val rowLen = (w * 3 + 3) & ~3
     val frameBytes: Seq[Array[Byte]] = frames.map { f =>
-      if (codec == "MJPG") JpegCodec.encode(w, h, f, quality)
-      else {
+      if (codec == "MJPG") {
+        val jpg = JpegCodec.encode(w, h, f, quality)
+        if (stripTables) JpegCodec.stripDht(jpg) else jpg
+      } else {
         val d = new Array[Byte](rowLen * h)
         for (y <- 0 until h; x <- 0 until w) {
           val v = (f(x, y) & 0xff).toByte
@@ -205,7 +275,15 @@ object VideoCodec {
     val maxFrame = frameBytes.map(_.length).max
     // chunk sizes (chunk = 8-byte header + payload, word-aligned)
     def padded(n: Int): Int = n + (n & 1)
-    val moviContent = 4 + frameBytes.map(fb => 8 + padded(fb.length)).sum
+    def frameCost(fb: Array[Byte]): Int =
+      (if (junkPad) 12 else 0) + 8 + padded(fb.length)
+    val groups: Seq[Seq[Array[Byte]]] =
+      if (recGroup > 0) frameBytes.grouped(recGroup).toSeq
+      else Seq(frameBytes)
+    val moviContent = 4 + groups.map { g =>
+      val frames = g.map(frameCost).sum
+      if (recGroup > 0) 12 + frames else frames // LIST hdr + 'rec '
+    }.sum
     val strlContent = 4 + (8 + 56) + (8 + 40)
     val hdrlContent = 4 + (8 + 56) + (8 + strlContent)
     val riffContent = 4 + (8 + hdrlContent) + (8 + moviContent)
@@ -227,10 +305,16 @@ object VideoCodec {
     if (codec == "MJPG") tag("MJPG") else u32(0) // biCompression
     u32(rowLen * h); u32(0); u32(0); u32(0); u32(0) // sizeImage, ppm×2, clrUsed/Important
     tag("LIST"); u32(moviContent); tag("movi")
-    frameBytes.foreach { fb =>
-      tag(if (codec == "MJPG") "00dc" else "00db"); u32(fb.length)
-      out.write(fb)
-      if ((fb.length & 1) != 0) out.write(0) // word alignment
+    groups.foreach { g =>
+      if (recGroup > 0) {
+        tag("LIST"); u32(4 + g.map(frameCost).sum); tag("rec ")
+      }
+      g.foreach { fb =>
+        if (junkPad) { tag("JUNK"); u32(4); u32(0) } // 4-byte padding
+        tag(if (codec == "MJPG") "00dc" else "00db"); u32(fb.length)
+        out.write(fb)
+        if ((fb.length & 1) != 0) out.write(0) // word alignment
+      }
     }
     out.toByteArray
   }
@@ -330,46 +414,62 @@ object VideoCodec {
     require(moviStart >= 0, "AVI has no movi list")
     val rowLen = (w * 3 + 3) & ~3
     val frames = scala.collection.mutable.ArrayBuffer.empty[ImageCodec.Raster]
-    p = moviStart
-    while (p + 8 <= moviEnd) {
-      val id = fourcc(b, p); val sz = u32le(b, p + 4).toInt
-      require(p + 8 + sz <= moviEnd, s"truncated AVI frame chunk '$id'")
-      id match {
-        case "00db" | "00dc" =>
-          require((id == "00db") == (compression == "DIB"),
-            s"AVI frame chunk '$id' disagrees with the declared " +
-              s"'$compression' coding")
-          if (compression == "DIB") {
-            require(sz == rowLen * h,
-              s"AVI DIB frame size $sz != ${rowLen * h}")
-            val sums = new Array[Int](w * h)
-            var y = 0
-            while (y < h) {
-              val src = p + 8 + (if (topDown) y else h - 1 - y) * rowLen
-              var x = 0
-              while (x < w) {
-                sums(y * w + x) = (b(src + 3 * x) & 0xff) +
-                  (b(src + 3 * x + 1) & 0xff) + (b(src + 3 * x + 2) & 0xff)
-                x += 1
+    // the movi chunk walk, reused verbatim for nested 'rec ' LISTs
+    // (the DV-capture interleaved grouping — same grammar one level
+    // down).  Sizes stay Long until AFTER the bounds check: a crafted
+    // u32 near 2^31 must fail the named truncation require, not
+    // overflow an Int sum and surface as a raw array exception.
+    def walkFrames(start: Int, end: Int, depth: Int): Unit = {
+      var p = start
+      while (p + 8 <= end) {
+        val id = fourcc(b, p); val szL = u32le(b, p + 4)
+        require(p + 8 + szL <= end, s"truncated AVI frame chunk '$id'")
+        val sz = szL.toInt // safe: szL ≤ end − p − 8 ≤ Int.MaxValue
+        id match {
+          case "00db" | "00dc" =>
+            require((id == "00db") == (compression == "DIB"),
+              s"AVI frame chunk '$id' disagrees with the declared " +
+                s"'$compression' coding")
+            if (compression == "DIB") {
+              require(sz == rowLen * h,
+                s"AVI DIB frame size $sz != ${rowLen * h}")
+              val sums = new Array[Int](w * h)
+              var y = 0
+              while (y < h) {
+                val src = p + 8 + (if (topDown) y else h - 1 - y) * rowLen
+                var x = 0
+                while (x < w) {
+                  sums(y * w + x) = (b(src + 3 * x) & 0xff) +
+                    (b(src + 3 * x + 1) & 0xff) + (b(src + 3 * x + 2) & 0xff)
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              frames += ImageCodec.Raster(w, h, sums)
+            } else {
+              // MJPG context: frames may omit DHT (the MJPEG-in-AVI
+              // convention) — the decoder supplies Annex-K defaults
+              val r = JpegCodec.decode(
+                java.util.Arrays.copyOfRange(b, p + 8, p + 8 + sz),
+                mjpegDefaultTables = true)
+              require(r.width == w && r.height == h,
+                s"MJPG frame ${r.width}x${r.height} != AVI dims ${w}x$h")
+              frames += r
             }
-            frames += ImageCodec.Raster(w, h, sums)
-          } else {
-            val r = JpegCodec.decode(
-              java.util.Arrays.copyOfRange(b, p + 8, p + 8 + sz))
-            require(r.width == w && r.height == h,
-              s"MJPG frame ${r.width}x${r.height} != AVI dims ${w}x$h")
-            frames += r
-          }
-        case "LIST" => throw new IllegalArgumentException(
-          "AVI 'rec ' grouped movi lists unsupported (flat frame " +
-            "chunks only)")
-        case other => throw new IllegalArgumentException(
-          s"unexpected AVI movi chunk '$other'")
+          case "LIST" =>
+            val lt = fourcc(b, p + 8)
+            require(lt == "rec ",
+              s"AVI movi LIST '$lt' unsupported ('rec ' grouping only)")
+            require(depth == 0, "nested AVI 'rec ' lists unsupported")
+            walkFrames(p + 12, p + 8 + sz, depth + 1)
+          case "JUNK" => () // muxer alignment padding: walked over
+          case other => throw new IllegalArgumentException(
+            s"unexpected AVI movi chunk '$other'")
+        }
+        p += 8 + padded2(szL)
       }
-      p += 8 + padded2(sz)
     }
+    walkFrames(moviStart, moviEnd, 0)
     require(frames.nonEmpty, "AVI has no frames")
     frames.toIndexedSeq
   }

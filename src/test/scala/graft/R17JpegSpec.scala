@@ -368,13 +368,13 @@ class R17JpegSpec extends AnyFunSuite {
   test("progressive color fail-loud: subsampling, interleaved AC scans") {
     val f = (x: Int, y: Int) => (x * 30 % 256, y * 30 % 256, 128)
     val prog = JpegCodec.encodeProgressiveColor(8, 8, f, 90)
-    // flip Y's sampling to 2×2: progressive subsampled color is the
-    // named remaining seam
+    // flip Y's sampling to 3×3 (not a supported geometry — 2×2 became
+    // the progressive-4:2:0 FEATURE in r20): rejected by name
     val sofAt = (0 until prog.length - 1).find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc2).get
-    val sub = prog.clone(); sub(sofAt + 11) = 0x22.toByte
+    val sub = prog.clone(); sub(sofAt + 11) = 0x33.toByte
     val ex = intercept[IllegalArgumentException] { JpegCodec.decode(sub) }
-    assert(ex.getMessage.contains("subsampled"))
+    assert(ex.getMessage.contains("unsupported progressive chroma"))
     // rewrite an AC scan header to claim 3 components: spec G.1.1
     // forbids interleaved AC scans — rejected by name.  The second SOS
     // is the first AC scan (header: FF DA len ns (cs tt)… Ss Se AhAl);

@@ -45,10 +45,15 @@ class R18VideoSpec extends AnyFunSuite {
     val badMagic = ok.clone(); badMagic(0) = 'X'
     assert(intercept[IllegalArgumentException] {
       VideoCodec.decodeY4mFrames(badMagic) }.getMessage.contains("magic"))
+    // It is a FEATURE since r20 (field-split de-interlace: one stored
+    // picture → two half-height fields); Im stays fail-loud by name
     val interlaced = new String(ok, "US-ASCII").replaceFirst("Ip", "It")
+    assert(VideoCodec.decodeY4mFrames(interlaced.getBytes("US-ASCII"))
+      .map(r => (r.width, r.height)) == Seq((8, 4), (8, 4)))
+    val mixed = new String(ok, "US-ASCII").replaceFirst("Ip", "Im")
     assert(intercept[IllegalArgumentException] {
-      VideoCodec.decodeY4mFrames(interlaced.getBytes("US-ASCII")) }
-      .getMessage.contains("interlaced"))
+      VideoCodec.decodeY4mFrames(mixed.getBytes("US-ASCII")) }
+      .getMessage.contains("Im unsupported"))
     val badChroma = new String(ok, "US-ASCII").replaceFirst("C444", "C410")
     assert(intercept[IllegalArgumentException] {
       VideoCodec.decodeY4mFrames(badChroma.getBytes("US-ASCII")) }
