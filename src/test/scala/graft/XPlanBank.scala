@@ -61,7 +61,13 @@ object XPlanBank {
     // the incremental video-dedup pipeline's final union
     "mm_y4m_frame_neardup", "mm_gif_disposal", "mm_gif_transparency",
     "pipe_video_dedup", "mm_avi_frames", "mm_avi_mjpeg",
-    "mm_y4m_scene_cuts")
+    "mm_y4m_scene_cuts",
+    // r20 additions: the digest-keyed clip near-dup (the row must show
+    // the md5-key equality join — one shuffle on a 16-byte key), the
+    // interlaced field-split decode, and the rec-list/table-less AVI
+    // conformance gauges
+    "mm_clip_dedup_digest", "mm_y4m_interlaced", "mm_avi_rec",
+    "mm_avi_mjpeg_notables", "mm_jpeg_prog420_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
