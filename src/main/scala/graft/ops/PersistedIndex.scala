@@ -52,4 +52,67 @@ object PersistedIndex {
     requireParams(table.sparkSession, dir, params)
     table.write.mode("append").parquet(dir)
   }
+
+  /** Data (part) files currently in the index directory — the
+    * fragmentation measure the retention policy acts on. */
+  def dataFileCount(spark: SparkSession, dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) 0
+    else fs.listStatus(path).count(_.getPath.getName.startsWith("part-"))
+  }
+
+  /** COMPACT an index that has fragmented under continuous [[append]]
+    * ingest: rewrite the key table into `targetFiles` files, preserving
+    * `_graft_params` (underscore paths are invisible to the directory
+    * read, so the rewrite never touches them) and validating the
+    * parameters first when given.  A year of ingest loops otherwise
+    * leaves thousands of tiny append files, and at 100 TB the index
+    * scan cost is dominated by file-open overhead, not bytes — the
+    * same rot the lake tier's OPTIMIZE pass fixes
+    * ([[LayoutOps.compactSnapshot]]), applied to the plain-parquet
+    * index layout.  SINGLE-WRITER contract (the ingest-loop discipline:
+    * compaction runs between catch-ups, never concurrently with a
+    * reader of the same index — the lake tier is the tool when
+    * concurrent readers need snapshot isolation). */
+  def compact(spark: SparkSession, dir: String,
+      params: Seq[(String, Int)] = Nil, targetFiles: Int = 1): Unit = {
+    require(targetFiles > 0, "bad targetFiles")
+    if (params.nonEmpty) requireParams(spark, dir, params)
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path), s"no index at $dir")
+    val tmp = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") +
+      "__compacting")
+    fs.delete(tmp, true)
+    spark.read.parquet(dir).repartition(targetFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: drop the old data files, move the rewritten ones in (part
+    // names are UUID-unique, so renames cannot collide)
+    fs.listStatus(path)
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      .foreach(st => fs.delete(st.getPath, false))
+    fs.listStatus(tmp)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .foreach(st => fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(path, st.getPath.getName)))
+    fs.delete(tmp, true)
+  }
+
+  /** The retention policy a continuously-appending ingest loop calls
+    * after each catch-up: compact only once the index has fragmented
+    * past `maxFiles` data files (the [[LayoutOps.maybeCompact]]
+    * amortization argument: with roughly-equal batches each key is
+    * rewritten every `maxFiles` appends, keeping rewrite cost a small
+    * multiple of ingest cost).  Returns true when a compaction ran. */
+  def maybeCompact(spark: SparkSession, dir: String,
+      params: Seq[(String, Int)] = Nil, maxFiles: Int = 64,
+      targetFiles: Int = 1): Boolean = {
+    val frag = dataFileCount(spark, dir)
+    if (frag <= maxFiles) false
+    else { compact(spark, dir, params, targetFiles); true }
+  }
 }

@@ -76,7 +76,7 @@ object R19Queries {
     * 3-frame/C420 Y4M fixture (frame f walks the text at offset 29f) —
     * the `mm_y4m_frame_dedup` derivation, shared by the incremental
     * pipeline.  Output: (doc_id, frame, luma, __k). */
-  private def y4mFrameHashes(d: DataFrame): DataFrame = {
+  private[queries] def y4mFrameHashes(d: DataFrame): DataFrame = {
     val frameHashes = udf((id: Long, text: String) => {
       val src = MultimodalOps.asciiBytes(text)
       VideoCodec.decodeY4mFrames(VideoCodec.encodeY4m(8, 8,
@@ -94,7 +94,7 @@ object R19Queries {
   /** Canonically-ordered equal-frame pairs WITHIN one frame-hash set:
     * md5-bucketed (single shuffle key), luma-equality confirmed,
     * (doc, frame) lexicographic. */
-  private def framePairsWithin(fr: DataFrame): DataFrame =
+  private[queries] def framePairsWithin(fr: DataFrame): DataFrame =
     fr.as("a").join(fr.as("b"),
         col("a.__k") === col("b.__k") && col("a.luma") === col("b.luma") &&
           (col("a.doc_id") < col("b.doc_id") ||
@@ -107,7 +107,7 @@ object R19Queries {
     * index × delta), canonicalized to (doc, frame) lexicographic order
     * — doc sets are disjoint by construction (each doc commits once),
     * so the ordering predicate has no ties. */
-  private def framePairsAcross(old: DataFrame, delta: DataFrame)
+  private[queries] def framePairsAcross(old: DataFrame, delta: DataFrame)
       : DataFrame = {
     val joined = old.as("a").join(delta.as("b"),
       col("a.__k") === col("b.__k") && col("a.luma") === col("b.luma"))

@@ -150,6 +150,45 @@ object R20Queries {
         // frame size — the only change vs mm_video_clip_dedup
         .select(col("doc_id"), md5(col("luma")).as("__k"))
       MultimodalOps.clipOverlapPairs(fr, col("doc_id"), col("__k"))
+    }),
+
+    // the r19 video-ingest loop + the r20 INDEX RETENTION policy: each
+    // catch-up appends the delta's frame hashes and then lets
+    // PersistedIndex.maybeCompact rewrite the fragmented index (each
+    // append lands up to shuffle-partitions part files; a year of
+    // catch-ups otherwise leaves thousands) — and the staged pair union
+    // must STILL equal the full-corpus oracle, proving compaction
+    // changes layout only, never candidates
+    "pipe_video_dedup_compact" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val lake = R9Queries.runTmp + "/pvdc_lake_" + tag
+      val idx = R9Queries.runTmp + "/pvdc_idx_" + tag
+      val ckp = R9Queries.runTmp + "/pvdc_ckp_" + tag
+      val cand = R9Queries.runTmp + "/pvdc_cand_" + tag
+      if (graft.ops.LayoutOps.latestVersion(s, lake) < 0) {
+        val d = Tables.docs(s, dir).select(col("doc_id"), col("text"))
+        (0 until 3).foreach { k =>
+          graft.ops.LayoutOps.commitAppend(d.where(col("doc_id") % 3 === k),
+            lake)
+          graft.ops.LayoutOps.lakeTail(s, lake, ckp) { (delta, _) =>
+            val fr = R19Queries.y4mFrameHashes(delta).persist()
+            graft.core.CacheScope.register(fr)
+            val seeded = new java.io.File(idx.stripPrefix("file:")).exists
+            val pairs =
+              if (!seeded) R19Queries.framePairsWithin(fr)
+              else R19Queries.framePairsAcross(s.read.parquet(idx), fr)
+                .unionByName(R19Queries.framePairsWithin(fr))
+            pairs.write.mode("append").parquet(cand)
+            fr.write.mode("append").parquet(idx)
+            // retention: maxFiles 8 forces a rewrite on every catch-up
+            // at the 32-partition test shape — the compacted index is
+            // what the NEXT catch-up joins against
+            graft.ops.PersistedIndex.maybeCompact(s, idx, maxFiles = 8,
+              targetFiles = 4)
+          }
+        }
+      }
+      s.read.parquet(cand).distinct()
     })
   )
 
@@ -236,6 +275,26 @@ object R20Queries {
         |  round(shared::DOUBLE / (sa.n + sb.n - shared), 6) AS jaccard
         |FROM cgp
         |JOIN cgz sa ON sa.doc_id = doc_a
-        |JOIN cgz sb ON sb.doc_id = doc_b""".stripMargin
+        |JOIN cgz sb ON sb.doc_id = doc_b""".stripMargin,
+
+    // compaction must be invisible to candidates: the same full-corpus
+    // all-pairs SQL as pipe_video_dedup
+    "pipe_video_dedup_compact" ->
+      """WITH pca AS (SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '?', 'g') AS text
+        |  FROM documents),
+        |pcf AS (SELECT doc_id, text,
+        |    unnest(generate_series(0, 2)) AS frame FROM pca),
+        |pcv AS (
+        |  SELECT doc_id, frame,
+        |    list_transform(generate_series(0, 63), j ->
+        |      ascii(substr(text,
+        |        (((j + 29 * frame) % length(text)) + 1)::INT, 1))) AS v
+        |  FROM pcf)
+        |SELECT x.doc_id AS doc_a, x.frame::BIGINT AS frame_a,
+        |  y.doc_id AS doc_b, y.frame::BIGINT AS frame_b
+        |FROM pcv x JOIN pcv y
+        |  ON x.v = y.v AND (x.doc_id < y.doc_id OR
+        |    (x.doc_id = y.doc_id AND x.frame < y.frame))""".stripMargin
   )
 }

@@ -67,7 +67,8 @@ object XPlanBank {
     // interlaced field-split decode, and the rec-list/table-less AVI
     // conformance gauges
     "mm_clip_dedup_digest", "mm_y4m_interlaced", "mm_avi_rec",
-    "mm_avi_mjpeg_notables", "mm_jpeg_prog420_decode")
+    "mm_avi_mjpeg_notables", "mm_jpeg_prog420_decode",
+    "pipe_video_dedup_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
