@@ -750,7 +750,7 @@ object JpegCodec {
               "4:4:4 / 4:2:0 / 4:2:2 / 4:1:1 only")
           p += len
         case 0xc2 => // progressive: its own multi-scan walker
-          return decodeProgressive(b)
+          return decodeProgressive(b, mjpegDefaultTables)
         case x if (x >= 0xc1 && x <= 0xcf) && x != 0xc4 && x != 0xc8 &&
             x != 0xcc =>
           throw new IllegalArgumentException(
@@ -1035,35 +1035,8 @@ object JpegCodec {
     * (the shared front half of both sequential and progressive
     * encoding). */
   private def quantizedBlocks(w: Int, h: Int, gray: (Int, Int) => Int,
-      quant: Array[Int]): Array[Array[Int]] = {
-    val blocksY = (h + 7) / 8
-    val blocksX = (w + 7) / 8
-    val out = new Array[Array[Int]](blocksY * blocksX)
-    val block = new Array[Double](64)
-    var bi = 0
-    for (by <- 0 until blocksY; bx <- 0 until blocksX) {
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          val px = math.min(w - 1, bx * 8 + x)
-          val py = math.min(h - 1, by * 8 + y)
-          val v = gray(px, py)
-          require(v >= 0 && v <= 255, s"gray($px,$py)=$v out of [0,255]")
-          block(y * 8 + x) = v - 128.0
-          x += 1
-        }
-        y += 1
-      }
-      val coef = fdct(block)
-      val q = new Array[Int](64)
-      var i = 0
-      while (i < 64) { q(i) = math.round(coef(ZigZag(i)) / quant(ZigZag(i))).toInt; i += 1 }
-      out(bi) = q
-      bi += 1
-    }
-    out
-  }
+      quant: Array[Int]): Array[Array[Int]] =
+    quantizedGrid(w, h, (w + 7) / 8, (h + 7) / 8, gray, quant)
 
   /** Progressive grayscale JPEG: SOF2, a DC scan, then one AC scan per
     * `bands` entry (inclusive zigzag ranges covering 1..63 in order). */
@@ -1508,8 +1481,11 @@ object JpegCodec {
 
   /** Quantized zigzag blocks of a plane over an EXPLICIT block grid
     * (possibly padded past the ceil grid), edge-extending by clamp —
-    * the generalization [[quantizedBlocks]] needs for subsampled
-    * progressive, where the interleaved DC scan covers the MCU-padded
+    * the ONE copy of the clamp-extend + FDCT + zigzag-quantize loop
+    * ([[quantizedBlocks]] delegates here with the ceil grid; the
+    * progressive-equals-sequential bit-exactness oracles depend on the
+    * two paths quantizing identically).  Subsampled progressive needs
+    * the explicit grid: the interleaved DC scan covers the MCU-padded
     * grid but AC scans cover only the ceil grid. */
   private def quantizedGrid(compW: Int, compH: Int, bW: Int, bH: Int,
       pix: (Int, Int) => Int, quant: Array[Int]): Array[Array[Int]] = {
@@ -1743,7 +1719,21 @@ object JpegCodec {
     throw new IllegalStateException("unreachable")
   }
 
-  private def decodeProgressive(b: Array[Byte]): ImageCodec.Raster = {
+  private def decodeProgressive(b: Array[Byte],
+      mjpegDefaultTables: Boolean = false): ImageCodec.Raster = {
+    // The table-less-MJPEG convention is a BASELINE convention: the
+    // T.81 Annex-K defaults are the sequential interchange tables, and
+    // no MJPEG producer emits progressive frames (hardware MJPEG is a
+    // sequence of baseline JPEGs).  A progressive frame inside an AVI
+    // that ALSO omits its Huffman tables is therefore corruption, not
+    // the convention — rejected by NAME below instead of silently
+    // decoding with tables the encoder never meant.
+    def missingTable(what: String): Nothing = throw
+      new IllegalArgumentException(
+        if (mjpegDefaultTables)
+          s"missing $what Huffman table in a PROGRESSIVE MJPG frame — " +
+            "the Annex-K default-table convention is baseline-only"
+        else s"missing $what Huffman table")
     var p = 2 // caller verified the SOI
     var w = 0; var h = 0
     var sawSof = false
@@ -1952,8 +1942,8 @@ object JpegCodec {
             if (ns > 1) require(scanIdx.toSeq == compIds.indices.toSeq,
               "interleaved DC scan must cover all components in frame order")
             val dcTs = if (ah == 0)
-              scanTt.map(tt => huff.getOrElse((0, tt >> 4), throw
-                new IllegalArgumentException("missing DC Huffman table")))
+              scanTt.map(tt => huff.getOrElse((0, tt >> 4),
+                missingTable("DC")))
             else null
             val prevDc = new Array[Int](ns)
             // refinement (ah > 0) is one raw bit per block: x ==
@@ -1974,8 +1964,8 @@ object JpegCodec {
             require(ns == 1,
               "progressive AC scans must be single-component (spec G.1.1)")
             val tt = scanTt(0)
-            val acT = huff.getOrElse((1, tt & 0x0f), throw
-              new IllegalArgumentException("missing AC Huffman table"))
+            val acT = huff.getOrElse((1, tt & 0x0f),
+              missingTable("AC"))
             var eobrun = 0
             visitSingle(scanIdx(0)) { bi =>
               val c = coefs(scanIdx(0))(bi)
@@ -2007,8 +1997,8 @@ object JpegCodec {
             require(ns == 1,
               "progressive AC scans must be single-component (spec G.1.1)")
             val tt = scanTt(0)
-            val acT = huff.getOrElse((1, tt & 0x0f), throw
-              new IllegalArgumentException("missing AC Huffman table"))
+            val acT = huff.getOrElse((1, tt & 0x0f),
+              missingTable("AC"))
             val p1 = 1 << al
             val n1 = -(1 << al)
             // refine one already-significant coefficient: bit 1 adds the

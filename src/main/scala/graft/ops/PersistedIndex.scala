@@ -33,10 +33,30 @@ object PersistedIndex {
       .write.mode("overwrite").parquet(s"$dir/_graft_params")
   }
 
+  /** Marker present while a [[compact]] swap is in flight.  A crash
+    * mid-swap leaves it behind, and every subsequent parameter
+    * validation fails loudly instead of reading a half-swapped
+    * (duplicated or partial) key table — a partial index silently
+    * reads as "no duplicates", the exact failure mode the parameter
+    * check exists to prevent. */
+  private def compactingMarker(dir: String) =
+    new org.apache.hadoop.fs.Path(dir.stripSuffix("/"), "_graft_compacting")
+
+  private def requireNoCrashedCompaction(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit =
+    require(!fs.exists(compactingMarker(dir)),
+      s"index at $dir carries a _graft_compacting marker: a compaction " +
+        "crashed mid-swap and the data files may be duplicated or " +
+        "partial — rebuild the index from its source before reading it")
+
   /** Fail loudly unless the index at `dir` was written with exactly
-    * `params` (same names, same values). */
+    * `params` (same names, same values), and no compaction swap died
+    * midway through rewriting its data files. */
   def requireParams(spark: SparkSession, dir: String,
       params: Seq[(String, Int)]): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    requireNoCrashedCompaction(
+      path.getFileSystem(spark.sessionState.newHadoopConf()), dir)
     val stored = spark.read.parquet(s"$dir/_graft_params").collect()
       .map(r => r.getString(0) -> r.getInt(1)).toMap
     val passed = params.toMap
@@ -82,24 +102,37 @@ object PersistedIndex {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(path), s"no index at $dir")
+    requireNoCrashedCompaction(fs, dir)
     val tmp = new org.apache.hadoop.fs.Path(dir.stripSuffix("/") +
       "__compacting")
-    fs.delete(tmp, true)
+    if (fs.exists(tmp))
+      require(fs.delete(tmp, true), s"could not clear stale $tmp")
     spark.read.parquet(dir).repartition(targetFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    // swap: drop the old data files, move the rewritten ones in (part
-    // names are UUID-unique, so renames cannot collide)
-    fs.listStatus(path)
-      .filter { st =>
-        val n = st.getPath.getName
-        !n.startsWith("_") && !n.startsWith(".")
-      }
-      .foreach(st => fs.delete(st.getPath, false))
+    // swap under a marker, checking every FileSystem boolean (the Hadoop
+    // contract REPORTS failure through the return value — an unchecked
+    // false rename after the old files were dropped would silently
+    // destroy the index).  Order: marker up, rewritten files IN (part
+    // names are UUID-unique, so renames cannot collide with the old
+    // files), old files OUT, marker down — any crash between marker
+    // up/down is caught by requireNoCrashedCompaction at the next read.
+    val oldData = fs.listStatus(path).filter { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    fs.create(compactingMarker(dir), true).close()
     fs.listStatus(tmp)
       .filter(_.getPath.getName.startsWith("part-"))
-      .foreach(st => fs.rename(st.getPath,
-        new org.apache.hadoop.fs.Path(path, st.getPath.getName)))
-    fs.delete(tmp, true)
+      .foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+        require(fs.rename(st.getPath, dst),
+          s"compaction rename ${st.getPath} -> $dst failed")
+      }
+    oldData.foreach(st => require(fs.delete(st.getPath, false),
+      s"compaction could not delete old data file ${st.getPath}"))
+    require(fs.delete(compactingMarker(dir), false),
+      s"could not clear the compaction marker under $dir")
+    require(fs.delete(tmp, true), s"could not clear $tmp")
   }
 
   /** The retention policy a continuously-appending ingest loop calls

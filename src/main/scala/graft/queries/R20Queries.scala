@@ -135,20 +135,12 @@ object R20Queries {
     }),
 
     "mm_clip_dedup_digest" -> ((s, dir) => {
-      val frameDigests = udf((id: Long, text: String) => {
-        val src = MultimodalOps.asciiBytes(text)
-        VideoCodec.decodeY4mFrames(VideoCodec.encodeY4m(8, 8,
-          (0 until 3).map { f =>
-            (x: Int, y: Int) => src((y * 8 + x + 29 * f) % src.length) & 0xff
-          }, chroma = "420"))
-          .map(r => r.lumaSum3.mkString(","))
-      })
-      val fr = Tables.docs(s, dir)
-        .select(col("doc_id"),
-          explode(frameDigests(col("doc_id"), col("text"))).as("luma"))
-        // the production key: 128-bit digest, O(16 bytes) regardless of
-        // frame size — the only change vs mm_video_clip_dedup
-        .select(col("doc_id"), md5(col("luma")).as("__k"))
+      // the SAME frame derivation as mm_video_clip_dedup
+      // (R19Queries.y4mFrameHashes — one copy of the fixture formula),
+      // keyed on the production 128-bit digest __k = md5(luma):
+      // O(16 bytes) per frame regardless of frame size
+      val fr = R19Queries.y4mFrameHashes(Tables.docs(s, dir))
+        .select(col("doc_id"), col("__k"))
       MultimodalOps.clipOverlapPairs(fr, col("doc_id"), col("__k"))
     }),
 

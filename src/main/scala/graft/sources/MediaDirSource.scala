@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * fixture directory (tools/fixtures/media/, written by
   * tools/make_media_fixtures.py).  Unknown extensions are dropped by
   * both paths — a crawl directory always carries stray sidecar files.
+  * Two filename edge rules are pinned so the paths cannot diverge:
+  * dot- and underscore-prefixed names are SKIPPED by both (Spark's
+  * FileIndex hidden-file rule, mirrored explicitly by the Python
+  * twin — staging conventions like "_part.wav"/".sync.png" mean
+  * "not landed yet", not "ingest me"), and a DOTLESS name never
+  * routes (an extension requires a '.'; a file named exactly "png"
+  * is a sidecar, not an image).
   */
 object MediaDirSource {
 
@@ -57,8 +64,12 @@ object MediaDirSource {
       .load(dir)
       .select(substring_index(col("path"), "/", -1).as("file_name"),
         col("length").as("byte_len"), col("content").as("payload"))
+      // extension requires a '.': substring_index on a dotless name
+      // returns the whole name, which must NOT route (a file named
+      // exactly "png" is a sidecar) — matching the Python twin
       .withColumn("__ext",
-        lower(substring_index(col("file_name"), ".", -1)))
+        when(col("file_name").contains("."),
+          lower(substring_index(col("file_name"), ".", -1))))
       .withColumn("modality", element_at(modality, col("__ext")))
       .where(col("modality").isNotNull) // stray sidecar files: dropped
       .select(fnvUdf(col("file_name")).as("doc_id"), col("file_name"),

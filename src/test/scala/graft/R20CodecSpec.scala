@@ -169,6 +169,24 @@ class R20CodecSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing DC Huffman table"))
   }
 
+  test("a table-less PROGRESSIVE frame is rejected by name even under " +
+      "the MJPEG convention") {
+    // the Annex-K defaults are the BASELINE interchange tables; no
+    // MJPEG producer emits progressive frames, so a progressive frame
+    // that also omits its tables is corruption, not the convention
+    val prog = JpegCodec.stripDht(JpegCodec.encodeProgressive(8, 8,
+      frame(0) _))
+    val e = intercept[IllegalArgumentException] {
+      JpegCodec.decode(prog, mjpegDefaultTables = true)
+    }
+    assert(e.getMessage.contains("baseline-only"), e.getMessage)
+    // without the MJPG flag the plain message still names the gap
+    val e2 = intercept[IllegalArgumentException] {
+      JpegCodec.decode(prog)
+    }
+    assert(e2.getMessage.contains("Huffman table"), e2.getMessage)
+  }
+
   test("table-less MJPG AVI decodes bit-equal to the table-carrying one") {
     val frames = (0 until 3).map(f => frame(f) _)
     val withTables = VideoCodec.decodeAviFrames(

@@ -81,6 +81,29 @@ class R20IndexCompactSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 200)
   }
 
+  test("a crashed compaction swap is caught loudly at the next read") {
+    val dir = freshIndex(appends = 2)
+    // simulate a crash mid-swap: the marker is up, data files suspect
+    val marker = new java.io.File(dir, "_graft_compacting")
+    assert(marker.createNewFile())
+    val e = intercept[IllegalArgumentException] {
+      PersistedIndex.requireParams(spark, dir, params)
+    }
+    assert(e.getMessage.contains("_graft_compacting"), e.getMessage)
+    // compacting a suspect index would PERSIST the damage — refused too
+    val e2 = intercept[IllegalArgumentException] {
+      PersistedIndex.compact(spark, dir)
+    }
+    assert(e2.getMessage.contains("_graft_compacting"), e2.getMessage)
+    // a fresh write (the documented remedy: rebuild from source)
+    // clears the marker and the index reads again
+    val t = (0 until 100).map(i => (i.toLong, (i % 37).toLong))
+      .toDF("doc_id", "key")
+    PersistedIndex.write(t, dir, params)
+    PersistedIndex.requireParams(spark, dir, params)
+    assert(!marker.exists())
+  }
+
   test("compacting a missing index fails loudly") {
     val e = intercept[IllegalArgumentException] {
       PersistedIndex.compact(spark, "/tmp/definitely_not_an_index_r20",

@@ -212,6 +212,17 @@ def main():
     write_wav(os.path.join(OUT, "tone.wav"))
     write_y4m(os.path.join(OUT, "clip.y4m"), 8, 8, 3)
     write_avi(os.path.join(OUT, "clip.avi"), 8, 8, 3)
+    # filename EDGE-RULE fixtures (R20MediaIngestSpec): hidden-prefix
+    # names are staging conventions (Spark's FileIndex hidden-file
+    # rule, mirrored by the converter) and a dotless name has no
+    # extension — BOTH ingest paths must drop all three, so they are
+    # planted BEFORE the converter runs and the committed media.parquet
+    # proves the Python side drops them too.
+    for name, blurb in (("_staged.png", b"not landed yet"),
+                        (".sync.wav", b"sync sidecar"),
+                        ("png", b"dotless sidecar")):
+        with open(os.path.join(OUT, name), "wb") as f:
+            f.write(blurb)
     # the driver-side converter's output is itself a committed artifact
     subprocess.check_call([sys.executable,
                            os.path.join(os.path.dirname(__file__),

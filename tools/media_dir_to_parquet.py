@@ -53,6 +53,11 @@ def main():
     rows = []
     for name in sorted(os.listdir(src)):
         path = os.path.join(src, name)
+        # Spark's FileIndex hidden-file rule, mirrored so the two ingest
+        # paths cannot diverge: '.'/'_'-prefixed names are staging
+        # conventions ("not landed yet"), never ingested.
+        if name.startswith(".") or name.startswith("_"):
+            continue
         ext = name.rsplit(".", 1)[-1].lower() if "." in name else ""
         if not os.path.isfile(path) or ext not in MODALITY:
             continue
