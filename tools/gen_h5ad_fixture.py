@@ -88,6 +88,153 @@ def lzf_compress(data):
     return bytes(out)
 
 
+# ---- szip (filter id 4): CCSDS 121.0-B extended-Rice encoder ------------
+#
+# The round-trip twin of minih5.szip_decompress (see the profile notes
+# there: RAW stream, NN/EC, MSB-first coded bits, scanline reference
+# samples, replicate-last-sample block padding, 64-block zero segments).
+# Option selection per block is cost-exact over split k / second
+# extension / zero-block runs / uncompressed.  R20SzipSpec pins the
+# emitted conventions against hand-coded golden bitstreams derived from
+# the standard's rules.
+
+SZ_ALLOW_K13, SZ_EC, SZ_LSB, SZ_NN, SZ_RAW = 1, 4, 8, 32, 128
+
+
+class _SzBitsOut:
+    def __init__(self):
+        self.bits = []
+
+    def put(self, val, n):
+        self.bits.append((val, n))
+
+    def fs(self, v):
+        self.bits.append((1, v + 1))  # v zeros then a closing 1
+
+    def tobytes(self):
+        big, total = 0, 0
+        for val, n in self.bits:
+            big = (big << n) | val
+            total += n
+        pad = (-total) % 8
+        return (big << pad).to_bytes((total + pad) // 8, "big")
+
+
+def _sz_nn_map(x, p, nmax):
+    delta = x - p
+    theta = p if p <= nmax - p else nmax - p
+    if 0 <= delta <= theta:
+        return 2 * delta
+    if -theta <= delta < 0:
+        return -2 * delta - 1
+    return theta + abs(delta)
+
+
+def szip_compress(samples, bpp, ppb, pps, options):
+    """Encode unsigned `bpp`-bit samples as a raw szip coded stream."""
+    pre = bool(options & SZ_NN)
+    F = 3 if bpp <= 8 else (4 if bpp <= 16 else 5)
+    uncomp_id = (1 << F) - 1
+    kmax = uncomp_id - 2          # ids 1..2^F−2 carry split k = id−1
+    if not (options & SZ_ALLOW_K13) and bpp == 16:
+        kmax = min(kmax, 12)      # k13 disallowed: drop the last split
+    nmax = (1 << bpp) - 1
+    out = _SzBitsOut()
+    n, pos = len(samples), 0
+    while pos < n:
+        line = samples[pos:pos + min(pps, n - pos)]
+        pos += len(line)
+        blocks = -(-len(line) // ppb)
+        # token domain: slot 0 raw reference under NN, mapped residuals
+        # after; short last block padded by replicating the last sample
+        # (mapped 0 under NN)
+        if pre:
+            toks = [line[0]] + [_sz_nn_map(line[i], line[i - 1], nmax)
+                                for i in range(1, len(line))]
+            toks += [0] * (blocks * ppb - len(line))
+        else:
+            toks = list(line) + [line[-1]] * (blocks * ppb - len(line))
+        b = 0
+        while b < blocks:
+            ref = 1 if (pre and b == 0) else 0
+            blk = toks[b * ppb:(b + 1) * ppb]
+            body = blk[ref:]
+            if all(t == 0 for t in body):
+                seg_end = min((b // 64 + 1) * 64, blocks)
+                run = 1
+                while (b + run < seg_end and
+                       all(t == 0 for t in
+                           toks[(b + run) * ppb:(b + run + 1) * ppb])):
+                    run += 1
+                out.put(0, F)
+                out.put(0, 1)
+                if ref:
+                    out.put(blk[0], bpp)
+                if b + run == seg_end and run >= 5:
+                    out.fs(4)     # ROS: rest of the 64-block segment
+                else:             # literal runs: 1..4 ⇒ fs run−1,
+                    out.fs(run - 1 if run <= 4 else run)  # ≥5 ⇒ fs run
+                b += run
+                continue
+            best = ("uncomp", None, F + ppb * bpp)
+            refc = bpp if ref else 0
+            for k in range(kmax + 1):
+                cost = (F + refc + sum((t >> k) + 1 for t in body) +
+                        k * len(body))
+                if cost < best[2]:
+                    best = ("split", k, cost)
+            # second extension: FS-coded pairs; under NN the reference
+            # occupies the first pair's slot (phantom first value 0)
+            se_ms, i, ok = [], ref, True
+            cost = F + 1 + refc
+            while i < ppb and ok:
+                if i % 2 == 1:
+                    d1 = blk[i]
+                    m = d1 * (d1 + 1) // 2 + d1
+                    i += 1
+                else:
+                    ms = blk[i] + blk[i + 1]
+                    m = ms * (ms + 1) // 2 + blk[i + 1]
+                    i += 2
+                cost += m + 1
+                se_ms.append(m)
+                if cost >= best[2]:
+                    ok = False
+            if ok and cost < best[2]:
+                best = ("se", se_ms, cost)
+            kind, arg, _ = best
+            if kind == "uncomp":
+                out.put(uncomp_id, F)
+                for t in blk:
+                    out.put(t, bpp)
+            elif kind == "split":
+                out.put(arg + 1, F)
+                if ref:
+                    out.put(blk[0], bpp)
+                for t in body:   # all FS (MSB) parts, then all k LSBs
+                    out.fs(t >> arg)
+                for t in body:
+                    if arg:
+                        out.put(t & ((1 << arg) - 1), arg)
+            else:
+                out.put(0, F)
+                out.put(1, 1)
+                if ref:
+                    out.put(blk[0], bpp)
+                for m in arg:
+                    out.fs(m)
+            b += 1
+    return out.tobytes()
+
+
+def szip_chunk_compress(raw, itemsize, ppb, pps, mask):
+    """One HDF5 szip chunk: LE uint32 uncompressed byte count + the raw
+    coded stream (H5Zszip's public layout) over little-endian samples."""
+    samples = np.frombuffer(raw, dtype=f"<u{itemsize}").tolist()
+    stream = szip_compress(samples, 8 * itemsize, ppb, pps, mask)
+    return len(raw).to_bytes(4, "little") + stream
+
+
 # ---- message payload builders -------------------------------------------
 
 def dataspace(dims):
@@ -139,7 +286,7 @@ class Writer:
         return addr
 
     def dataset(self, arr, attrs=(), chunks=None, gzip=None,
-                shuffle=False, lzf=False):
+                shuffle=False, lzf=False, szip=None):
         """Write data + a v1 object header; returns OH address.
 
         ``chunks`` (a shape tuple) switches to the chunked layout (v1
@@ -150,7 +297,11 @@ class Writer:
         pipeline — h5py's ``shuffle=True`` default companion of gzip;
         ``lzf`` instead compresses chunks with the LZF filter
         (id 32000, named filter + h5py's 3 client values) — the
-        ``compression='lzf'`` layout."""
+        ``compression='lzf'`` layout; ``szip`` (pixels_per_block)
+        compresses chunks with the szip filter (id 4, NN + allow-k13 +
+        LSB + RAW — the H5Pset_szip(H5_SZIP_NN_OPTION_MASK, ppb)
+        layout for little-endian data, pixels_per_scanline derived the
+        way H5Z_set_local_szip derives it for a 1-D chunk)."""
         arr = np.ascontiguousarray(arr)
         if arr.dtype.kind in "iu":
             dt = dt_int(arr.dtype.itemsize, arr.dtype.kind == "i")
@@ -170,6 +321,12 @@ class Writer:
             rank = arr.ndim
             import itertools
             import zlib
+            if szip is not None:
+                # pps the way H5Z_set_local_szip derives it for a 1-D
+                # chunk: the fastest-varying dimension, capped at the
+                # szlib scanline limits (2048 pixels, 128 blocks)
+                szip_mask = SZ_ALLOW_K13 | SZ_LSB | SZ_NN | SZ_RAW
+                szip_pps = min(int(chunks[-1]), 2048, 128 * szip)
             entries = []
             grid = [range(0, arr.shape[d], chunks[d]) for d in range(rank)]
             for offs in itertools.product(*grid):
@@ -192,6 +349,9 @@ class Writer:
                     raw = zlib.compress(raw, gzip)
                 if lzf:
                     raw = lzf_compress(raw)
+                if szip is not None:
+                    raw = szip_chunk_compress(raw, arr.dtype.itemsize,
+                                              szip, szip_pps, szip_mask)
                 entries.append((offs, len(raw), self.alloc(pad8(raw))))
             # chunk B-tree: one leaf (fixtures stay within one node)
             key_sz = 8 + 8 * (rank + 1)
@@ -213,17 +373,25 @@ class Writer:
             layout += b"".join(struct.pack("<I", c) for c in chunks)
             layout += struct.pack("<I", arr.dtype.itemsize)
             msgs.append(message(0x0008, pad8(layout)))
-            if gzip is not None or lzf:
+            if gzip is not None or lzf or szip is not None:
                 # filter pipeline v1 in APPLICATION order (shuffle
                 # before deflate); one client value each, padded to 8
                 nf = (1 if gzip is not None else 0) + \
-                     (1 if shuffle else 0) + (1 if lzf else 0)
+                     (1 if shuffle else 0) + (1 if lzf else 0) + \
+                     (1 if szip is not None else 0)
                 filt = struct.pack("<BB6x", 1, nf)
                 if shuffle:
                     filt += struct.pack("<HHHHI4x", 2, 0, 0, 1,
                                         arr.dtype.itemsize)
                 if gzip is not None:
                     filt += struct.pack("<HHHHI4x", 1, 0, 0, 1, gzip)
+                if szip is not None:
+                    # built-in filter (id < 256): no name; the 4 client
+                    # values H5Z_set_local_szip stores (even count — no
+                    # pad word)
+                    filt += struct.pack("<HHHHIIII", 4, 0, 0, 4,
+                                        szip_mask, szip,
+                                        8 * arr.dtype.itemsize, szip_pps)
                 if lzf:
                     # registered filter (id >= 256) carries its name —
                     # the v1 pipeline spec requires the DECLARED name
@@ -295,12 +463,20 @@ def shape_attr(n_obs, n_var):
 
 
 def build_plate(indptr, indices, data, cell_types, n_counts, n_var,
-                categories, gzip_chunks=None, shuffle=False, lzf=False):
+                categories, gzip_chunks=None, shuffle=False, lzf=False,
+                szip=None):
     w = Writer()
 
     def xds(a):
-        if gzip_chunks is None and not lzf:
+        if gzip_chunks is None and not lzf and szip is None:
             return w.dataset(a)
+        if szip is not None:
+            # szip applies to the 8/16/32-bit datasets only (the filter
+            # has no 64-bit mode — libhdf5 likewise skips it there), so
+            # the i8 indptr stays contiguous in the szip plate
+            if a.dtype.itemsize > 4:
+                return w.dataset(a)
+            return w.dataset(a, chunks=(max(2, len(a) // 3),), szip=szip)
         # multiple chunks + deflate (optionally byte-shuffled) or LZF:
         # the compressed-anndata file shapes
         return w.dataset(a, chunks=(max(2, len(a) // 3),),
@@ -373,14 +549,29 @@ def main(out_dir):
         cell_types=[1, 0, 2],
         n_counts=[6.0, 7.75, 1.75],
         lzf=True)
+    # szip/: its own plate set (the CCSDS-121 extended-Rice filter,
+    # id 4); smooth-ish values so the NN predictor + split options all
+    # fire, spread over several chunks and scanlines
+    plates["szip/plate_szip.h5ad"] = dict(
+        indptr=[0, 6, 12, 18, 24],
+        indices=[0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+                 0, 2, 4, 6, 8, 10, 1, 3, 5, 7, 9, 11],
+        data=[1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 2.0, 2.0, 3.0, 3.0, 3.0,
+              3.0, 0.5, 0.5, 0.5, 0.5, 0.5, 0.5, 4.25, 4.25, 4.25,
+              4.25, 4.25, 8.5],
+        cell_types=[2, 0, 1, 0],
+        n_counts=[10.0, 19.0, 3.0, 25.75],
+        szip=8)
     os.makedirs(os.path.join(out_dir, "lzf"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "szip"), exist_ok=True)
     for fname, p in plates.items():
         blob = build_plate(p["indptr"], p["indices"], p["data"],
                            p["cell_types"], p["n_counts"], n_var,
                            ["T", "B", "NK"],
                            gzip_chunks=p.get("gzip"),
                            shuffle=p.get("shuf", False),
-                           lzf=p.get("lzf", False))
+                           lzf=p.get("lzf", False),
+                           szip=p.get("szip"))
         with open(os.path.join(out_dir, fname), "wb") as fh:
             fh.write(blob)
         print(f"wrote {fname}: {len(blob)} bytes")

@@ -94,11 +94,12 @@ def convert_one(path, plate_offset):
     except ImportError:
         # pure-Python fallback (tools/minih5.py): superblock v0, v1
         # object headers, symbol-table groups, contiguous AND chunked
-        # datasets under the deflate (gzip), byte-shuffle, and LZF
-        # filters — the default, compression='gzip', and
-        # compression='lzf' anndata layouts.  szip and libver='latest'
-        # files need real h5py; minih5 fails loudly on them.  Exercised
-        # against the committed tools/fixtures/*.h5ad (+ fixtures/lzf/).
+        # datasets under the deflate (gzip), byte-shuffle, LZF, and
+        # szip (CCSDS 121.0-B extended-Rice) filters — the default,
+        # compression='gzip', compression='lzf', and szip anndata
+        # layouts.  libver='latest' files need real h5py; minih5 fails
+        # loudly on them.  Exercised against the committed
+        # tools/fixtures/*.h5ad (+ fixtures/lzf/, fixtures/szip/).
         import minih5 as h5py
     with h5py.File(path, "r") as f:
         X = f["X"]

@@ -24,16 +24,20 @@ Supported subset (the layout libhdf5 emits for an uncompressed
   - symbol-table entries with cached (cache_type 1) or uncached group
     metadata
 
-  - filters: deflate (id 1), byte-shuffle (id 2), and LZF (id 32000,
+  - filters: deflate (id 1), byte-shuffle (id 2), LZF (id 32000,
     h5py's no-dependency default alternative; decompressor written from
-    the public LZF format description in liblzf's lzf.h)
+    the public LZF format description in liblzf's lzf.h), and szip
+    (id 4, CCSDS 121.0-B extended-Rice coding — see the profile notes
+    at szip_decompress; REAL-archive interop is untested because no
+    foreign szip encoder exists in this environment)
 
-NOT supported (fail loudly): szip,
+NOT supported (fail loudly):
 v2+ object headers, fractal-heap "new style" groups, big-endian data.
 
 Everything here is implemented from the public HDF5 File Format
 Specification (v1.x, hdfgroup.org); no HDF5 code was consulted.
 """
+import math
 import struct
 import zlib
 
@@ -314,6 +318,183 @@ def lzf_decompress(raw):
     return bytes(out)
 
 
+# ---- szip (HDF5 filter id 4): CCSDS 121.0-B extended-Rice coding ------
+#
+# Implemented from the published CCSDS 121.0-B-2 standard (the
+# "Adaptive Entropy Coder" szlib/libaec realize) plus HDF5's public
+# filter contract (H5Zszip: a little-endian uint32 uncompressed byte
+# count precedes the raw coded stream; client data = [options_mask,
+# pixels_per_block, bits_per_pixel, pixels_per_scanline]).  Profile
+# supported — the configuration HDF5 emits — and everything else fails
+# loudly:
+#
+#   - RAW stream (no SZ header), EC or NN (unit-delay nearest-neighbor
+#     preprocessor) coding, LSB (little-endian) or MSB sample bytes,
+#     8/16/32-bit samples; CHIP mode rejected.
+#   - scanlines of `pixels_per_scanline` samples; each scanline is an
+#     independent prediction run (NN: its first sample is a raw
+#     reference), blocks of `pixels_per_block` samples, the last block
+#     of a scanline padded by replicating the final sample; zero-block
+#     segments are 64 blocks aligned to the scanline start; the coded
+#     stream is continuous (no per-scanline byte alignment).
+#
+# Option IDs (width 3/4/5 bits for 8/16/32-bit samples): all-zeros
+# introduces the low-entropy pair — one more bit picks zero-block (0)
+# or second-extension (1); all-ones is the uncompressed block; k+1
+# otherwise selects split-sample k (unary fundamental-sequence MSB
+# parts for the whole block, then k LSBs per sample).  The golden
+# bitstreams in R20SzipSpec pin each option against hand-coded bytes
+# derived from the standard's rules, and gen_h5ad_fixture.szip_compress
+# is the round-trip twin.  NOTE: no foreign szip encoder exists in this
+# environment, so real-archive interop is untested — the seam is
+# documented, not silent.
+
+_SZ_ALLOW_K13, _SZ_CHIP, _SZ_EC = 1, 2, 4
+_SZ_LSB, _SZ_MSB, _SZ_NN, _SZ_RAW = 8, 16, 32, 128
+
+
+class _BitsMSB:
+    """MSB-first bit reader over bytes (the coded stream's bit order)."""
+
+    def __init__(self, data):
+        self.total = 8 * len(data)
+        self.big = int.from_bytes(data, "big")
+        self.pos = 0
+
+    def get(self, n):
+        if self.pos + n > self.total:
+            raise Mini5Error("szip: coded stream overrun")
+        self.pos += n
+        return (self.big >> (self.total - self.pos)) & ((1 << n) - 1)
+
+    def fs(self):
+        """Fundamental-sequence (unary) value: count of 0s before a 1."""
+        rest = self.big & ((1 << (self.total - self.pos)) - 1)
+        if rest == 0:
+            raise Mini5Error("szip: coded stream overrun in FS value")
+        zeros = (self.total - self.pos) - rest.bit_length()
+        self.pos += zeros + 1
+        return zeros
+
+
+def szip_decompress(raw, out_pixels, bpp, ppb, pps, options):
+    """Decode `out_pixels` unsigned `bpp`-bit samples from a raw szip
+    stream under the profile documented above."""
+    if options & _SZ_CHIP:
+        raise Mini5Error("szip: CHIP mode unsupported")
+    if bool(options & _SZ_EC) == bool(options & _SZ_NN):
+        raise Mini5Error("szip: exactly one of EC/NN must be set")
+    if bpp not in (8, 16, 32):
+        raise Mini5Error(f"szip: {bpp}-bit samples unsupported (8/16/32)")
+    if ppb < 2 or pps < ppb:
+        raise Mini5Error(f"szip: bad block/scanline geometry {ppb}/{pps}")
+    pre = bool(options & _SZ_NN)
+    F = 3 if bpp <= 8 else (4 if bpp <= 16 else 5)
+    uncomp_id = (1 << F) - 1
+    nmax = (1 << bpp) - 1
+    br = _BitsMSB(raw)
+    out = []
+    while len(out) < out_pixels:
+        line_pixels = min(pps, out_pixels - len(out))
+        blocks = -(-line_pixels // ppb)
+        # tokens: slot 0 holds the RAW reference sample under NN; every
+        # other slot holds the mapped residual (EC: raw values in every
+        # slot).  Padding slots past line_pixels are decoded and dropped.
+        toks = []
+        b = 0
+        while b < blocks:
+            ref = 1 if (pre and b == 0) else 0
+            bid = br.get(F)
+            if bid == uncomp_id:
+                toks.extend(br.get(bpp) for _ in range(ppb))
+                b += 1
+            elif bid == 0:
+                sub = br.get(1)
+                if ref:
+                    toks.append(br.get(bpp))
+                if sub == 0:          # zero-block run
+                    z = br.fs() + 1
+                    seg_end = min((b // 64 + 1) * 64, blocks)
+                    if z == 5:        # ROS: rest of the 64-block segment
+                        run = seg_end - b
+                    else:             # literal runs: 1..4 ⇒ z−... see
+                        run = z - 1 if z > 5 else z  # encoder contract
+                        if b + run > seg_end:
+                            raise Mini5Error(
+                                "szip: zero-block run crosses a segment")
+                    toks.extend([0] * (run * ppb - ref))
+                    b += run
+                else:                 # second extension: FS-coded pairs
+                    i = ref
+                    while i < ppb:
+                        m = br.fs()
+                        ms = (math.isqrt(8 * m + 1) - 1) // 2
+                        d1 = m - ms * (ms + 1) // 2
+                        if i % 2 == 0:
+                            toks.append(ms - d1)
+                            toks.append(d1)
+                            i += 2
+                        else:         # ref occupies the pair's first slot
+                            toks.append(d1)
+                            i += 1
+                    b += 1
+            else:                     # split-sample k = bid - 1
+                k = bid - 1
+                if ref:
+                    toks.append(br.get(bpp))
+                msbs = [br.fs() for _ in range(ppb - ref)]
+                toks.extend((hi << k) | br.get(k) if k else hi
+                            for hi in msbs)
+                b += 1
+        if pre:                       # NN inverse, sequential by need
+            prev = None
+            for idx in range(line_pixels):
+                if idx == 0:
+                    x = toks[0]
+                else:
+                    p = prev
+                    theta = p if p <= nmax - p else nmax - p
+                    m = toks[idx]
+                    if m <= 2 * theta:
+                        x = p + (m // 2 if m % 2 == 0 else -((m + 1) // 2))
+                    else:
+                        x = p + (m - theta if theta == p else theta - m)
+                if not 0 <= x <= nmax:
+                    raise Mini5Error("szip: sample out of range after "
+                                     "prediction inverse")
+                out.append(x)
+                prev = x
+        else:
+            for idx in range(line_pixels):
+                if toks[idx] > nmax:
+                    raise Mini5Error("szip: sample exceeds bits_per_pixel")
+                out.append(toks[idx])
+    return out
+
+
+def szip_chunk_decompress(raw, cds, dtype):
+    """HDF5 H5Zszip chunk: LE uint32 uncompressed byte count, then the
+    raw coded stream, decoded under the filter's 4 client values."""
+    if len(cds) < 4:
+        raise Mini5Error(f"szip: expected 4 client values, got {len(cds)}")
+    mask, ppb, bpp, pps = cds[0], cds[1], cds[2], cds[3]
+    if len(raw) < 4:
+        raise Mini5Error("szip: chunk shorter than its length header")
+    if not mask & _SZ_RAW:
+        raise Mini5Error("szip: non-RAW (SZ-header) streams unsupported")
+    nbytes = int.from_bytes(raw[:4], "little")
+    if bpp % 8 or dtype.itemsize != bpp // 8:
+        raise Mini5Error(
+            f"szip: bits_per_pixel {bpp} vs {dtype.itemsize}-byte dtype")
+    order = "<" if mask & _SZ_LSB else ">"
+    if (dtype.byteorder in ("<", "=")) != (order == "<"):
+        raise Mini5Error("szip: sample byte order does not match dtype")
+    samples = szip_decompress(raw[4:], nbytes // (bpp // 8), bpp,
+                              ppb, pps, mask)
+    return np.array(samples,
+                    dtype=f"{order}u{bpp // 8}").tobytes()
+
+
 def _read_chunked(buf, btree_addr, chunk_dims, dims, dtype, filters):
     arr = np.zeros([int(d) for d in dims], dtype=dtype)
     rank = len(dims)
@@ -326,11 +507,14 @@ def _read_chunked(buf, btree_addr, chunk_dims, dims, dtype, filters):
         for i in range(len(filters) - 1, -1, -1):
             if mask & (1 << i):
                 continue
-            if filters[i] == 1:
+            fid, cds = filters[i]
+            if fid == 1:
                 raw = zlib.decompress(raw)
-            elif filters[i] == 32000:
+            elif fid == 32000:
                 raw = lzf_decompress(raw)
-            elif filters[i] == 2:
+            elif fid == 4:
+                raw = szip_chunk_decompress(raw, cds, dtype)
+            elif fid == 2:
                 # byte shuffle: stored as all byte-0s, all byte-1s, ...
                 # of each element; undo by transposing back.  A tail
                 # shorter than one element stays unshuffled (HDF5 rule).
@@ -341,8 +525,9 @@ def _read_chunked(buf, btree_addr, chunk_dims, dims, dtype, filters):
                     raw = body.reshape(b, n).T.tobytes() + raw[n * b:]
             else:
                 raise Mini5Error(
-                    f"filter id {filters[i]} unsupported (deflate/"
-                    "shuffle/lzf only — rewrite with compression='gzip')")
+                    f"filter id {fid} unsupported (deflate/"
+                    "shuffle/lzf/szip only — rewrite with "
+                    "compression='gzip')")
         if len(raw) < csize:
             raise Mini5Error("short chunk after decompression")
         chunk = np.frombuffer(raw[:csize], dtype=dtype).reshape(chunk_dims)
@@ -405,8 +590,11 @@ def _read_object(buf, oh_addr):
                     fid = _u(buf, p, 2)
                     name_len = _u(buf, p + 2, 2)
                     ncd = _u(buf, p + 6, 2)
-                    filters.append(fid)
-                    p += 8 + (name_len + 7) // 8 * 8 + 4 * ncd
+                    cd_off = p + 8 + (name_len + 7) // 8 * 8
+                    cds = tuple(_u(buf, cd_off + 4 * c, 4)
+                                for c in range(ncd))
+                    filters.append((fid, cds))
+                    p = cd_off + 4 * ncd
                     if ncd % 2 == 1:
                         p += 4  # client data padded to 8
             elif mtype == 0x0011:
