@@ -155,28 +155,38 @@ object GraphOps {
       hops: Int): DataFrame = {
     val e = edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
       .where(col("a") =!= col("b"))
-    // the directed edge list is probed once per hop, and each hop's reach
-    // set feeds both its census and the next expansion — persist both so
-    // hop k doesn't replay hops 1..k-1 (CacheScope-tracked)
+    // the directed edge list is probed once per hop — persist it so hop k
+    // doesn't replay the symmetrize+distinct (CacheScope-tracked)
     val dir = graft.core.CacheScope.persist(
       e.unionAll(e.select(col("b").as("a"), col("a").as("b"))).distinct(),
       eager = true)
-    var reach = graft.core.CacheScope.persist(
-      dir.select(col("a").as("seed"), col("b").as("v")).distinct(),
-      eager = true)
-    val counts = (1 to hops).map { k =>
-      if (k > 1) {
-        reach = graft.core.CacheScope.persist(
-          reach.unionAll(
-              reach.join(dir, col("v") === col("a"))
-                .select(col("seed"), col("b").as("v")))
-            .where(col("v") =!= col("seed")).distinct(), eager = true)
-      }
-      reach.groupBy("seed").agg(count(lit(1)).as(s"n$k"))
+    // FRONTIER BFS with min-hop labels (the textbook delta expansion):
+    // hop k expands only the rows FIRST reached at hop k-1 — not the whole
+    // accumulated reach set — and the census falls out of ONE conditional
+    // aggregate over the labeled union instead of one groupBy per hop
+    // joined back together.  reach_k = Σ_{h<=k} frontier_h by the BFS
+    // invariant, so counts are identical to the old whole-set recurrence;
+    // per-hop join/distinct input shrinks from O(|reach_k|) to
+    // O(|frontier_k|), which is what survives at social scale.
+    // dir is already (a, b)-distinct, so hop-1 rows need no dedup.
+    var frontier = graft.core.CacheScope.persist(
+      dir.select(col("a").as("seed"), col("b").as("v")), eager = true)
+    var seenParts = List(frontier.withColumn("__h", lit(1)))
+    (2 to hops).foreach { k =>
+      val seen = seenParts.map(_.select("seed", "v")).reduce(_ unionAll _)
+      val expanded = frontier.join(dir, col("v") === col("a"))
+        .select(col("seed"), col("b").as("v"))
+        .where(col("v") =!= col("seed")).distinct()
+      frontier = graft.core.CacheScope.persist(
+        expanded.join(seen, Seq("seed", "v"), "left_anti"), eager = true)
+      seenParts = seenParts :+ frontier.withColumn("__h", lit(k))
     }
-    counts.reduce { (l, r) =>
-      l.join(r, "seed")
-    }.orderBy("seed")
+    val labeled = seenParts.reduce(_ unionAll _)
+    val aggs = (1 to hops).map { k =>
+      sum(when(col("__h") <= k, 1L).otherwise(0L)).as(s"n$k")
+    }
+    labeled.groupBy("seed").agg(aggs.head, aggs.tail: _*)
+      .orderBy("seed")
   }
 
   /** Approximate k-hop reachability census with BOUNDED state — the

@@ -38,14 +38,22 @@ object R13dQueries {
       val sk = GraphOps.kHopReachSketch(edges, col("src"), col("dst"),
         hops = 3)
       val j = exact.alias("e").join(sk.alias("a"), "seed")
-      def hop(k: Int) = {
+      // ONE aggregate over the exact⋈sketch join produces all three hop
+      // rows (count + 3 conditional sums, exploded long-form) — the old
+      // per-hop agg re-ran the join and both census tails 3× (values
+      // identical: same predicate per hop, same count)
+      def within(k: Int) = {
         val e = col(s"e.n$k"); val a = col(s"a.n$k")
-        j.agg(count(lit(1)).as("n_seeds"),
-            sum(when(abs(a - e) <= greatest(lit(2.0), e * 0.15), 1L)
-              .otherwise(0L)).as("n_within"))
-          .select(lit(k).as("hop"), col("n_seeds"), col("n_within"))
+        sum(when(abs(a - e) <= greatest(lit(2.0), e * 0.15), 1L)
+          .otherwise(0L))
       }
-      hop(1).unionByName(hop(2)).unionByName(hop(3))
+      j.agg(count(lit(1)).as("n_seeds"), within(1).as("__w1"),
+          within(2).as("__w2"), within(3).as("__w3"))
+        .select(explode(array((1 to 3).map { k =>
+          struct(lit(k).as("hop"), col("n_seeds"),
+            col(s"__w$k").as("n_within"))
+        }: _*)).as("r"))
+        .select(col("r.hop"), col("r.n_seeds"), col("r.n_within"))
     }),
 
     // Degree distribution of the co-engaged item graph — the standard
