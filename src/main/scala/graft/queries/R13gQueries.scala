@@ -22,19 +22,21 @@ object R13gQueries {
       val d = Tables.docs(s, dir).withColumn("fold",
         floor(Rng.Md5.uniform(Seed, "cv", col("doc_id")) * Folds)
           .cast("int"))
-      (0 until Folds).map { f =>
-        val train = d.where(col("fold") =!= f)
-        val test = d.where(col("fold") === f)
-        MlOps.nbClassify(train, col("text"), col("source"),
-            test, col("text"), col("doc_id"))
-          .join(test.select(col("doc_id"), col("source")), "doc_id")
-          .agg(count(lit(1)).as("n_test"),
-            sum(when(col("pred_label") === col("source"), 1L)
-              .otherwise(0L)).as("n_correct"))
-          .select(lit(f).as("fold"), col("n_test"), col("n_correct"),
-            round(col("n_correct").cast("double") /
-              col("n_test").cast("double"), 6).as("accuracy"))
-      }.reduce(_ unionByName _)
+      // one-pass CV (MlOps.nbCrossValScore): the corpus is tokenized once
+      // and each fold's model falls out by exclusion — value-identical to
+      // the old per-fold nbClassify composition (3·Folds tokenize passes),
+      // and the per-fold accuracy rows come from ONE groupBy instead of
+      // Folds unioned single-row aggregates
+      MlOps.nbCrossValScore(d, col("text"), col("source"), col("doc_id"),
+          col("fold"), Folds)
+        .join(d.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("pred_label") === col("source"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .select(col("fold"), col("n_test"), col("n_correct"),
+          round(col("n_correct").cast("double") /
+            col("n_test").cast("double"), 6).as("accuracy"))
     })
   )
 
