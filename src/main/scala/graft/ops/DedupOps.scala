@@ -826,63 +826,70 @@ object DedupOps {
       s"minLen=$ml below the winnowing guarantee w+k-1=${w + k - 1}: " +
         "spans shorter than that may lack a selected seed (use a smaller " +
         "k/w instead)")
-    val fps = graft.core.CacheScope.persist(
-      winnowFingerprints(df, text, id, k, w)
+    // ONE cached table drives the whole pipeline: the per-(doc, fp)
+    // sorted-position aggregate.  Its key set IS the distinct (doc, fp)
+    // table (df-count + both sides of the candidate self-join), and its
+    // position arrays ARE both seed sides — the old shape persisted the
+    // raw positioned fingerprints AND a separate distinct table, then
+    // aggregated positions twice (once per pair side)
+    val agg = graft.core.CacheScope.persist(
+      posAgg(winnowFingerprints(df, text, id, k, w)
         .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
-          col("fp")),
+          col("fp"))),
       eager = true)
-    // cached: the distinct is a shuffle, and it feeds the df-count AND both
-    // sides of the candidate self-join — uncached it would run three times
-    val distinctFps = graft.core.CacheScope.persist(
-      fps.select("doc_id", "fp").distinct(), eager = true)
-    val hot = distinctFps.groupBy("fp").agg(count(lit(1)).as("__df"))
+    val hot = agg.groupBy("fp").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("fp")
-    val posts = distinctFps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val posts = agg.select("doc_id", "fp")
+      .join(broadcast(hot), Seq("fp"), "left_anti")
     val cand = posts.as("a")
       .join(posts.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    extendSpans(cand, fps, fps,
+    extendSpans(cand,
+      agg.select(col("doc_id").as("doc_a"), col("fp"), col("ps").as("pas")),
+      agg.select(col("doc_id").as("doc_b"), col("fp"), col("ps").as("pbs")),
       df.select(id.cast("long").as("__tid"), lower(text).as("__t")),
       df.select(id.cast("long").as("__tid"), lower(text).as("__t")),
       k, ml)
   }
 
+  /** Per-(doc, fp) sorted-position lists — the seed-side shape of
+    * [[extendSpans]].  `maxPosPerFp` bounds the per-(doc, fp) list
+    * (smallest positions kept, deterministically): it only binds when ONE
+    * k-gram recurs more than that many times inside one document — text
+    * no quality gate would pass — and caps the worst-case seed
+    * enumeration at maxPosPerFp² cheap lookups per shared fingerprint. */
+  private def posAgg(fps: DataFrame, maxPosPerFp: Int = 256): DataFrame =
+    fps.groupBy(col("doc_id"), col("fp"))
+      .agg(slice(array_sort(collect_list(col("pos"))), 1, maxPosPerFp)
+        .as("ps"))
+
   /** Shared tail of [[sharedSpans]] / [[contaminationSpans]]: given
-    * candidate pairs, each side's positioned fingerprints, and each side's
-    * lowercased texts ((__tid, __t)), seed every shared SELECTED
+    * candidate pairs, each side's per-(doc, fp) sorted position lists
+    * ([[posAgg]] shape: (doc_a, fp, pas) / (doc_b, fp, pbs)), and each
+    * side's lowercased texts ((__tid, __t)), seed every shared SELECTED
     * fingerprint and extend to maximal char runs >= `ml`.
     *
-    * Positions are pre-aggregated per (doc, fp) BEFORE the pair join, so a
-    * fingerprint recurring n times in each document of a pair contributes
-    * n+n array elements, not n×n join rows — on low-entropy/repetitive
-    * documents (boilerplate, 'aaaa…' pages) the old row-per-seed shape
-    * materialized the full quadratic cross product into one collect_list
-    * row.  The kernel enumerates the per-fp cross product lazily and skips
-    * any seed that lands inside a run already extended on its diagonal
-    * (extension is maximal char-match along the diagonal, so such a seed
-    * reproduces the same run; a seed straddling a run boundary fails the
-    * char verify at the boundary mismatch) — each maximal run is extended
-    * exactly once.  `maxPosPerFp` bounds the per-(doc, fp) position list
-    * (smallest positions kept, deterministically): it only binds when ONE
-    * k-gram recurs more than that many times inside one document — text no
-    * quality gate would pass — and caps the worst-case enumeration at
-    * maxPosPerFp² cheap lookups per shared fingerprint.
+    * Positions arrive pre-aggregated per (doc, fp), so a fingerprint
+    * recurring n times in each document of a pair contributes n+n array
+    * elements, not n×n join rows — on low-entropy/repetitive documents
+    * (boilerplate, 'aaaa…' pages) the old row-per-seed shape materialized
+    * the full quadratic cross product into one collect_list row.  The
+    * kernel enumerates the per-fp cross product lazily and skips any seed
+    * that lands inside a run already extended on its diagonal (extension
+    * is maximal char-match along the diagonal, so such a seed reproduces
+    * the same run; a seed straddling a run boundary fails the char verify
+    * at the boundary mismatch) — each maximal run is extended exactly
+    * once.
     *
     * Each seed is char-verified in the kernel, so hash collisions cannot
     * surface. */
-  private def extendSpans(cand: DataFrame, fpsA: DataFrame, fpsB: DataFrame,
+  private def extendSpans(cand: DataFrame, aggA: DataFrame, aggB0: DataFrame,
       loweredA: DataFrame, loweredB: DataFrame, k: Int, ml: Int,
-      maxPosPerFp: Int = 256, broadcastB: Boolean = false): DataFrame = {
-    val aggA = fpsA.groupBy(col("doc_id").as("doc_a"), col("fp"))
-      .agg(slice(array_sort(collect_list(col("pos"))), 1, maxPosPerFp)
-        .as("pas"))
-    val aggB0 = fpsB.groupBy(col("doc_id").as("doc_b"), col("fp"))
-      .agg(slice(array_sort(collect_list(col("pos"))), 1, maxPosPerFp)
-        .as("pbs"))
+      broadcastB: Boolean = false): DataFrame = {
     // the hint must sit directly on the join input — a broadcast() applied
-    // by the caller to raw fpsB would be buried under the aggregation
+    // by the caller to the raw fingerprints would be buried under the agg
     val aggB = if (broadcastB) broadcast(aggB0) else aggB0
     val seeds = cand
       .join(aggA, Seq("doc_a"))
@@ -964,22 +971,27 @@ object DedupOps {
     val ml = if (minLen < 0) w + k - 1 else minLen
     require(ml >= w + k - 1,
       s"minLen=$ml below the winnowing guarantee w+k-1=${w + k - 1}")
-    val fpsC = graft.core.CacheScope.persist(
-      winnowFingerprints(corpus, text, id, k, w)
+    // one cached per-(doc, fp) position aggregate per side (the sharedSpans
+    // discipline): key sets drive the candidate join, position arrays are
+    // the seed sides — no separate positioned-fingerprint persists
+    val aggC = graft.core.CacheScope.persist(
+      posAgg(winnowFingerprints(corpus, text, id, k, w)
         .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
-          col("fp")),
+          col("fp"))),
       eager = true)
-    val fpsP = graft.core.CacheScope.persist(
-      winnowFingerprints(probe, ptext, pid, k, w)
+    val aggP = graft.core.CacheScope.persist(
+      posAgg(winnowFingerprints(probe, ptext, pid, k, w)
         .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
-          col("fp")),
+          col("fp"))),
       eager = true)
-    val cand = fpsC.select("doc_id", "fp").distinct().as("a")
-      .join(broadcast(fpsP.select("doc_id", "fp").distinct().as("b")),
+    val cand = aggC.select("doc_id", "fp").as("a")
+      .join(broadcast(aggP.select("doc_id", "fp").as("b")),
         col("a.fp") === col("b.fp"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    extendSpans(cand, fpsC, fpsP,
+    extendSpans(cand,
+      aggC.select(col("doc_id").as("doc_a"), col("fp"), col("ps").as("pas")),
+      aggP.select(col("doc_id").as("doc_b"), col("fp"), col("ps").as("pbs")),
       corpus.select(id.cast("long").as("__tid"), lower(text).as("__t")),
       probe.select(pid.cast("long").as("__tid"), lower(ptext).as("__t")),
       k, ml, broadcastB = true)
