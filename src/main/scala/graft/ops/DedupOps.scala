@@ -836,7 +836,7 @@ object DedupOps {
       posAgg(winnowFingerprints(df, text, id, k, w)
         .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
           col("fp"))),
-      eager = true)
+      eager = false)
     val hot = agg.groupBy("fp").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("fp")
     val posts = agg.select("doc_id", "fp")
@@ -978,12 +978,12 @@ object DedupOps {
       posAgg(winnowFingerprints(corpus, text, id, k, w)
         .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
           col("fp"))),
-      eager = true)
+      eager = false)
     val aggP = graft.core.CacheScope.persist(
       posAgg(winnowFingerprints(probe, ptext, pid, k, w)
         .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
           col("fp"))),
-      eager = true)
+      eager = false)
     val cand = aggC.select("doc_id", "fp").as("a")
       .join(broadcast(aggP.select("doc_id", "fp").as("b")),
         col("a.fp") === col("b.fp"))

@@ -469,7 +469,7 @@ object MlOps {
           explode(TextOps.tokens(text)).as("tok"))
         .groupBy("doc_id", "lbl", "tok")
         .agg(count(lit(1)).cast("double").as("m")),
-      eager = true)
+      eager = false)
     // model: token-class counts (sum of per-doc counts == the direct
     // count), class totals, priors — all reads of the cache; the
     // vocabulary size joins IN-PLAN (no separate eager action)
@@ -521,13 +521,13 @@ object MlOps {
           label.as("lbl"), explode(TextOps.tokens(text)).as("tok"))
         .groupBy("doc_id", "fold", "lbl", "tok")
         .agg(count(lit(1)).cast("double").as("m")),
-      eager = true)
+      eager = false)
     // global and per-fold (label, token) counts; fold f's TRAIN count is
     // global minus fold f's own — rows whose exclusion hits zero are
     // exactly the (lbl, tok) pairs absent from fold f's train split
     val byFold = graft.core.CacheScope.persist(
       dt.groupBy("fold", "lbl", "tok").agg(sum("m").as("cf")),
-      eager = true)
+      eager = false)
     val totals = byFold.groupBy("lbl", "tok").agg(sum("cf").as("ct"))
     val cntAll = totals
       .select(explode(array(folds: _*)).as("fold"), col("lbl"), col("tok"),
