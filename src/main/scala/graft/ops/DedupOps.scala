@@ -172,11 +172,15 @@ object DedupOps {
     * digest-keyed shuffle (the keeper window) + one groupBy doc_id. */
   def paragraphDedupedText(df: DataFrame, text: Column, id: Column,
       sepRegex: String = "\\n{2,}", joinSep: String = "\n"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("para_hash").orderBy("doc_id", "para_idx")
+    // corpus-wide first occurrence per para_hash as a map-side-combined
+    // min_by aggregate — the same (doc_id, para_idx)-min row the old
+    // row_number window selected, without sorting every hash group
     val kept = paragraphs(df, text, id, sepRegex)
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
+      .groupBy("para_hash")
+      .agg(min_by(struct(col("doc_id"), col("para_idx"), col("para")),
+        struct(col("doc_id"), col("para_idx"))).as("__m"))
+      .select(col("__m.doc_id").as("doc_id"),
+        col("__m.para_idx").as("para_idx"), col("__m.para").as("para"))
     val rebuilt = kept.groupBy("doc_id")
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("para_idx"), col("para")))),

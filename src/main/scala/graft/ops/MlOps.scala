@@ -615,12 +615,14 @@ object MlOps {
     val lbl = labeled.select(id.as("neighbor_id"), label.as("pred_label"))
     val votes = nn.join(lbl, "neighbor_id")
       .groupBy("query_id", "pred_label").agg(count(lit(1)).as("votes"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id")
-      .orderBy(col("votes").desc, col("pred_label"))
-    votes.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select("query_id", "pred_label", "votes")
+    // per-query argmax over (votes desc, label asc) as a map-side-combined
+    // min_by aggregate — same selection as the old row_number window,
+    // without the window's per-partition sort
+    votes.groupBy("query_id")
+      .agg(min_by(struct(col("pred_label"), col("votes")),
+        struct(negate(col("votes")), col("pred_label"))).as("__m"))
+      .select(col("query_id"), col("__m.pred_label").as("pred_label"),
+        col("__m.votes").as("votes"))
   }
 
   /** Isotonic (PAV) calibration of a bucketed reliability table: given

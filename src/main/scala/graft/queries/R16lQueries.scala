@@ -95,7 +95,10 @@ object R16lQueries {
         .agg(transform(array_sort(collect_list(
           struct(col("dim"), col("centroid")))), x => x("centroid"))
           .as("cv"))
-      val margins = e
+      // persisted (lazy): margins feeds curriculumOrder AND the final
+      // re-attach join — uncached, the entire margin pipeline (including
+      // the IVF hard-negative stage) would run twice
+      val margins = graft.core.CacheScope.persist(e
         .select(col("vec_id").as("query_id"), col("embedding"),
           col("label").cast("long").as("label"))
         .join(broadcast(cv), "label")
@@ -104,7 +107,7 @@ object R16lQueries {
             .as("pcos"))
         .join(hardest, "query_id")
         .select(col("query_id"),
-          round(col("pcos") - col("hneg"), 6).as("margin"))
+          round(col("pcos") - col("hneg"), 6).as("margin")))
       SplitOps.curriculumOrder(margins, lit(1.0) - col("margin"),
           col("query_id"), nBuckets = 4)
         .join(margins, col("doc_id") === col("query_id"))
