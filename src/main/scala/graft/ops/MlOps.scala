@@ -447,156 +447,6 @@ object MlOps {
     nbScore(nbTrain(train, trainText, trainLabel, alpha),
       test, testText, testId, broadcastModel)
 
-  /** [[nbClassify]] specialized to train == test (the corpus-labeling
-    * audit: score every document against the model fit on the whole
-    * corpus) — value-identical output, ONE tokenize pass instead of
-    * three.  The generic composition tokenizes the corpus for the
-    * token-class counts, AGAIN for the vocabulary-size action, and a
-    * third time for the per-document test counts; here the per-document
-    * token counts are computed once and cached, and both the model
-    * (token-class counts = per-doc counts summed over each label's
-    * documents) and the scoring side read that cache.  At 100 TB the
-    * tokenize+explode pass over the corpus is the dominant scan — this is
-    * the 3-passes-to-1 version of the same arithmetic. */
-  def nbSelfClassify(d: DataFrame, text: Column, label: Column, id: Column,
-      alpha: Double = 1.0): DataFrame = {
-    val a = alpha
-    // the ONE pass over the text: per-(doc, label, token) counts, cached —
-    // this is nbScore's `dt` table (labels are functional on doc_id, so
-    // the extra key changes nothing) and the model falls out of it
-    val dt = graft.core.CacheScope.persist(
-      d.select(id.as("doc_id"), label.as("lbl"),
-          explode(TextOps.tokens(text)).as("tok"))
-        .groupBy("doc_id", "lbl", "tok")
-        .agg(count(lit(1)).cast("double").as("m")),
-      eager = false)
-    // model: token-class counts (sum of per-doc counts == the direct
-    // count), class totals, priors — all reads of the cache; the
-    // vocabulary size joins IN-PLAN (no separate eager action)
-    val cnt = dt.groupBy("lbl", "tok").agg(sum("m").as("c"))
-    val ntot = cnt.groupBy("lbl").agg(sum("c").as("n"))
-    val tot = d.select(count(lit(1)).cast("double").as("td"))
-    val pri = d.groupBy(label.as("lbl"))
-      .agg(count(lit(1)).cast("double").as("nd"))
-      .crossJoin(broadcast(tot))
-      .select(col("lbl"), log(col("nd") / col("td")).as("lp"))
-    val vsDf = cnt.agg(countDistinct(col("tok")).cast("double").as("vs"))
-    val params = pri.join(ntot, "lbl")
-      .crossJoin(broadcast(vsDf))
-      .select(col("lbl"), col("lp"), col("n"), col("vs"))
-    // scoring: the nbScore formulas over the cached counts
-    val mdoc = dt.groupBy("doc_id").agg(sum("m").as("mm"))
-    val adj = dt.select(col("doc_id"), col("tok"), col("m"))
-      .join(broadcast(cnt), "tok").groupBy("doc_id", "lbl")
-      .agg(sum(col("m") * (log(col("c") + a) - math.log(a))).as("adj"))
-    val sc = mdoc.crossJoin(broadcast(params))
-      .join(adj, Seq("doc_id", "lbl"), "left")
-      .select(col("doc_id"), col("lbl"),
-        round(col("lp") + col("mm") * (lit(math.log(a)) - log(col("n") + lit(a) * col("vs")))
-          + coalesce(col("adj"), lit(0.0)), 6).as("score"))
-    nbArgmax(sc)
-  }
-
-  /** Cross-validated NB scoring in ONE pass: every document is scored by
-    * the model trained on every OTHER fold — value-identical to running
-    * [[nbClassify]] per fold with train = (fold ≠ f), test = (fold = f),
-    * but the corpus is tokenized ONCE and each fold's model falls out of
-    * the global token-class counts by EXCLUSION (fold f's count =
-    * global − fold f's own), so the 3·nFolds tokenize passes and nFolds
-    * eager vocabulary actions collapse into one cached pass + one action.
-    * Output: (fold, doc_id, pred_label, score).
-    *
-    * Exactness: every model statistic is an integer count (exclusion
-    * subtracts exact longs), and the scoring expressions are token-for-
-    * token the [[nbScore]] formulas, so the per-document scores agree
-    * bit-for-bit with the per-fold composition. */
-  def nbCrossValScore(d: DataFrame, text: Column, label: Column, id: Column,
-      fold: Column, nFolds: Int, alpha: Double = 1.0): DataFrame = {
-    require(nFolds >= 2, "nFolds must be >= 2")
-    val a = alpha
-    val folds = (0 until nFolds).map(lit(_))
-    // the one pass over the text: (doc, fold, label, token) counts, cached
-    val dt = graft.core.CacheScope.persist(
-      d.select(id.as("doc_id"), fold.cast("int").as("fold"),
-          label.as("lbl"), explode(TextOps.tokens(text)).as("tok"))
-        .groupBy("doc_id", "fold", "lbl", "tok")
-        .agg(count(lit(1)).cast("double").as("m")),
-      eager = false)
-    // global and per-fold (label, token) counts; fold f's TRAIN count is
-    // global minus fold f's own — rows whose exclusion hits zero are
-    // exactly the (lbl, tok) pairs absent from fold f's train split
-    val byFold = graft.core.CacheScope.persist(
-      dt.groupBy("fold", "lbl", "tok").agg(sum("m").as("cf")),
-      eager = false)
-    val totals = byFold.groupBy("lbl", "tok").agg(sum("cf").as("ct"))
-    val cntAll = totals
-      .select(explode(array(folds: _*)).as("fold"), col("lbl"), col("tok"),
-        col("ct"))
-      .join(byFold, Seq("fold", "lbl", "tok"), "left")
-      .select(col("fold"), col("lbl"), col("tok"),
-        (col("ct") - coalesce(col("cf"), lit(0.0))).as("c"))
-      .where(col("c") > 0.0)
-    // per-fold vocabulary size IN-PLAN (no separate eager action):
-    // |train vocab of fold f| = |corpus vocab| − |tokens ONLY in fold f|
-    val vsDf = byFold.select(col("fold"), col("tok")).distinct()
-      .groupBy("tok")
-      .agg(count(lit(1)).as("nf"), min("fold").as("mf"))
-      .agg(count(lit(1)).as("tv"),
-        (0 until nFolds).map(f => sum(when(col("nf") === 1 &&
-          col("mf") === f, 1L).otherwise(0L)).as(s"only$f")): _*)
-      .select(explode(array((0 until nFolds).map(f =>
-        struct(lit(f).as("fold"),
-          (col("tv") - col(s"only$f")).cast("double").as("vs"))): _*))
-        .as("r"))
-      .select(col("r.fold").as("fold"), col("r.vs").as("vs"))
-    // per-fold class stats by the same exclusion: doc counts (priors) and
-    // token totals — tiny tables (folds × classes)
-    val docCounts = d.groupBy(fold.cast("int").as("fold"), label.as("lbl"))
-      .agg(count(lit(1)).as("ndf"))
-    val docTot = docCounts.groupBy("lbl").agg(sum("ndf").as("ndt"))
-    val ntotF = byFold.groupBy("fold", "lbl").agg(sum("cf").as("nf"))
-    val ntotT = ntotF.groupBy("lbl").agg(sum("nf").as("nt"))
-    val grid = docTot.join(ntotT, "lbl")
-      .select(explode(array(folds: _*)).as("fold"), col("lbl"), col("ndt"),
-        col("nt"))
-      .join(docCounts, Seq("fold", "lbl"), "left")
-      .join(ntotF, Seq("fold", "lbl"), "left")
-      .select(col("fold"), col("lbl"),
-        (col("ndt") - coalesce(col("ndf"), lit(0L))).as("nd"),
-        (col("nt") - coalesce(col("nf"), lit(0.0))).as("n"))
-      // a class with no train docs has no prior, and one with train docs
-      // but zero train tokens has no ntot row — both are absent from the
-      // per-fold composition's params (inner pri⋈ntot), so drop both
-      .where(col("nd") > 0L && col("n") > 0.0)
-    // train-split doc totals per fold (for the prior denominator)
-    val tdF = docCounts.groupBy(lit(1).as("__one"))
-      .agg(sum("ndf").as("__tot"))
-      .select(explode(array(folds: _*)).as("fold"), col("__tot"))
-      .join(docCounts.groupBy("fold").agg(sum("ndf").as("__own")), "fold")
-      .select(col("fold"), (col("__tot") - col("__own")).as("tdl"))
-    val params = grid.join(tdF, "fold").join(vsDf, "fold")
-      .select(col("fold"), col("lbl"),
-        log(col("nd").cast("double") / col("tdl").cast("double")).as("lp"),
-        col("n"), col("vs"))
-    // scoring: the nbScore formulas keyed by (fold, …) — each document
-    // joins only its OWN fold's model
-    val mdoc = dt.groupBy("fold", "doc_id").agg(sum("m").as("mm"))
-    val adj = dt.select(col("fold"), col("doc_id"), col("tok"), col("m"))
-      .join(broadcast(cntAll), Seq("fold", "tok"))
-      .groupBy("doc_id", "lbl")
-      .agg(sum(col("m") * (log(col("c") + a) - math.log(a))).as("adj"))
-    val sc = mdoc.join(broadcast(params), Seq("fold"))
-      .join(adj, Seq("doc_id", "lbl"), "left")
-      .select(col("fold"), col("doc_id"), col("lbl"),
-        round(col("lp") + col("mm") * (lit(math.log(a)) - log(col("n") + lit(a) * col("vs")))
-          + coalesce(col("adj"), lit(0.0)), 6).as("score"))
-    sc.groupBy("doc_id")
-      .agg(min_by(struct(col("fold"), col("lbl"), col("score")),
-        struct(negate(col("score")), col("lbl"))).as("__m"))
-      .select(col("__m.fold").as("fold"), col("doc_id"),
-        col("__m.lbl").as("pred_label"), col("__m.score").as("score"))
-  }
-
   /** kNN classification over an embedding column: each query takes the
     * majority label among its k nearest labeled neighbours by cosine
     * (vote ties break to the smallest label — deterministic).  The

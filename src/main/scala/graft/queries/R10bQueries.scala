@@ -67,10 +67,8 @@ object R10bQueries {
     // same corpus — model table broadcast, smoothing mass in closed form
     "ml_nb_classify" -> ((s, dir) => {
       val d = Tables.docs(s, dir)
-      // train == test: the one-tokenize-pass specialization
-      // (value-identical to nbClassify(d, …, d, …))
-      graft.ops.MlOps.nbSelfClassify(d, col("text"), col("source"),
-        col("doc_id"))
+      graft.ops.MlOps.nbClassify(d, col("text"), col("source"),
+        d, col("text"), col("doc_id"))
     }),
 
     // Exact heavy hitters via per-partition Misra-Gries + candidate-only

@@ -47,8 +47,8 @@ object R12lQueries {
     // Classifier-evaluation report: true source × NB-predicted source
     "ml_nb_confusion" -> ((s, dir) => {
       val d = Tables.docs(s, dir)
-      // train == test: the one-tokenize-pass specialization
-      MlOps.nbSelfClassify(d, col("text"), col("source"), col("doc_id"))
+      MlOps.nbClassify(d, col("text"), col("source"),
+          d, col("text"), col("doc_id"))
         .join(d.select(col("doc_id"), col("source")), "doc_id")
         .groupBy("source", "pred_label").agg(count(lit(1)).as("n"))
     })

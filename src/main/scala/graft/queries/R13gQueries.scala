@@ -18,25 +18,31 @@ object R13gQueries {
     // per-fold held-out accuracy: md5-deterministic fold assignment,
     // train on k-1 folds, score the held-out fold (unseen test tokens
     // cost only their closed-form smoothing mass)
+    // NOTE (r20 optimization round): a one-pass exclusion-model CV
+    // (tokenize once, every fold's model = global counts minus its own)
+    // was built, proven value-identical, and MEASURED SLOWER in the
+    // warm sweep (5.7 s vs 3.7 s): the fold pipelines below are
+    // independent subtrees Spark runs concurrently, while the one-pass
+    // plan serialized them through one cache + a deep broadcast chain.
+    // Kept as the per-fold composition (whose argmax is now the
+    // sort-free min_by aggregate via nbScore); see OPTIMIZATION_r20.md.
     "ml_cv_accuracy" -> ((s, dir) => {
       val d = Tables.docs(s, dir).withColumn("fold",
         floor(Rng.Md5.uniform(Seed, "cv", col("doc_id")) * Folds)
           .cast("int"))
-      // one-pass CV (MlOps.nbCrossValScore): the corpus is tokenized once
-      // and each fold's model falls out by exclusion — value-identical to
-      // the old per-fold nbClassify composition (3·Folds tokenize passes),
-      // and the per-fold accuracy rows come from ONE groupBy instead of
-      // Folds unioned single-row aggregates
-      MlOps.nbCrossValScore(d, col("text"), col("source"), col("doc_id"),
-          col("fold"), Folds)
-        .join(d.select(col("doc_id"), col("source")), "doc_id")
-        .groupBy("fold")
-        .agg(count(lit(1)).as("n_test"),
-          sum(when(col("pred_label") === col("source"), 1L)
-            .otherwise(0L)).as("n_correct"))
-        .select(col("fold"), col("n_test"), col("n_correct"),
-          round(col("n_correct").cast("double") /
-            col("n_test").cast("double"), 6).as("accuracy"))
+      (0 until Folds).map { f =>
+        val train = d.where(col("fold") =!= f)
+        val test = d.where(col("fold") === f)
+        MlOps.nbClassify(train, col("text"), col("source"),
+            test, col("text"), col("doc_id"))
+          .join(test.select(col("doc_id"), col("source")), "doc_id")
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("pred_label") === col("source"), 1L)
+              .otherwise(0L)).as("n_correct"))
+          .select(lit(f).as("fold"), col("n_test"), col("n_correct"),
+            round(col("n_correct").cast("double") /
+              col("n_test").cast("double"), 6).as("accuracy"))
+      }.reduce(_ unionByName _)
     })
   )
 
