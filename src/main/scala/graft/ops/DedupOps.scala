@@ -209,7 +209,7 @@ object DedupOps {
       sepRegex: String = "\\n{2,}", joinSep: String = "\n",
       maxDocs: Long = 2): DataFrame = {
     val paras = graft.core.CacheScope.persist(
-      paragraphs(df, text, id, sepRegex), eager = true)
+      paragraphs(df, text, id, sepRegex), eager = false)
     val hot = paras.groupBy("para_hash")
       .agg(count_distinct(col("doc_id")).as("__df"))
       .where(col("__df") > maxDocs)
@@ -284,7 +284,7 @@ object DedupOps {
     // branch's cache fill)
     graft.core.CacheScope.persist(
       parallelized(df).select(id.as("doc_id"), explode(hashes(text)).as("sh")),
-      eager = true)
+      eager = false)
   }
 
   def shinglePostings(df: DataFrame, text: Column, id: Column,
@@ -395,7 +395,7 @@ object DedupOps {
       pairs: DataFrame, dim: Int = 4096,
       minCosine: Double = 0.5): DataFrame = {
     val p = graft.core.CacheScope.persist(hashedTf(df, text, id, dim),
-      eager = true)
+      eager = false)
     val norms = p.groupBy("doc_id").agg(sum(col("tf") * col("tf")).as("n2"))
     val cand = pairs.select(col("doc_a").cast("long").as("doc_a"),
       col("doc_b").cast("long").as("doc_b"))
@@ -651,7 +651,7 @@ object DedupOps {
   def minhashCandidates(df: DataFrame, text: Column, id: Column,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val bb = graft.core.CacheScope.persist(
-      minhashBands(df, text, id, k, numHashes, bands), eager = true)
+      minhashBands(df, text, id, k, numHashes, bands), eager = false)
     bb.as("a")
       .join(bb.as("b"),
         col("a.band") === col("b.band") &&
@@ -782,7 +782,7 @@ object DedupOps {
       winnowFingerprints(df, text, id, k, w)
         .select(col("doc_id").cast("long").as("doc_id"), col("fp"))
         .distinct(),
-      eager = true)
+      eager = false)
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("fp")
     val posts = fps.join(broadcast(hot), Seq("fp"), "left_anti")
@@ -1106,7 +1106,7 @@ object DedupOps {
     PersistedIndex.requireParams(spark, indexDir,
       minhashParams(k, numHashes, bands))
     val nb = graft.core.CacheScope.persist(
-      minhashBands(newDf, text, id, k, numHashes, bands), eager = true)
+      minhashBands(newDf, text, id, k, numHashes, bands), eager = false)
     val ob = spark.read.parquet(indexDir)
     val oldNew = ob.as("a")
       .join(nb.as("b"),
@@ -1169,7 +1169,7 @@ object DedupOps {
       winnowFingerprints(newDf, text, id, k, w)
         .select(col("doc_id").cast("long").as("doc_id"), col("fp"))
         .distinct(),
-      eager = true)
+      eager = false)
     val all = spark.read.parquet(indexDir).unionByName(nf)
     // document frequency over the UNION corpus — identical to the cap the
     // full-corpus run would apply
@@ -1289,7 +1289,7 @@ object DedupOps {
     val d = newDf.withColumn("__h", md5(text))
     val definiteNew = d.where(!mc(col("__h")))
     val maybe = graft.core.CacheScope.persist(
-      d.where(mc(col("__h"))), eager = true)
+      d.where(mc(col("__h"))), eager = false)
     val maybeKeys = maybe.select(col("__h")).distinct()
     val resolved =
       if (maybe.count() <= maxBroadcastKeys) {
@@ -1360,7 +1360,7 @@ object DedupOps {
           .as("b"))
         .select(col("doc_id"), col("sh"), col("b.band").as("band"),
           col("b.key").as("key")),
-      eager = true)
+      eager = false)
 
   /** SimHash near-dup candidates: docs whose 60-bit signatures share any of
     * four 15-bit bands (standard simhash blocking — every pair within
@@ -1429,7 +1429,7 @@ object DedupOps {
       minJaccard: Double = 0.2): DataFrame = {
     val post = shinglePostings(df, text, id, k, maxDocFreq)
       .select(col("doc_id").cast("long").as("doc_id"), col("sh"))
-    val postC = graft.core.CacheScope.persist(post, eager = true)
+    val postC = graft.core.CacheScope.persist(post, eager = false)
     val sizes = postC.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val p = pairs.select(col("doc_a").cast("long").as("doc_a"),
       col("doc_b").cast("long").as("doc_b"))
@@ -1602,7 +1602,8 @@ object DedupOps {
             .map { case (v, i) => (i.toLong, v.toSeq) })
           .toDF("centroid_id", "cv")
         SimilarityOps.l2AssignTwoLevelLearned(df, vec, id, centDf,
-          col("cv"), col("centroid_id"), probe = probe, seed = seed + 7)
+          col("cv"), col("centroid_id"), probe = probe, seed = seed + 7,
+          knownK = centers.length.toLong)
           .select(col("vec_id"), col("centroid_id").as("cluster"))
       } else {
         // corpus past the driver too: sample-init + routed-Lloyd fit —
@@ -1643,7 +1644,7 @@ object DedupOps {
     val p = graft.core.CacheScope.persist(
       pairs.select(col("doc_a").cast("long").as("src"),
         col("doc_b").cast("long").as("dst")),
-      eager = true)
+      eager = false)
     val nPairs = p.count() // already materialized — metadata-cheap
     if (nPairs <= maxDriverPairs) {
       // Candidate pair lists are ~duplicate-rate × corpus — driver-sized
@@ -1676,7 +1677,7 @@ object DedupOps {
     }
     val edges = graft.core.CacheScope.persist(
       p.unionByName(p.select(col("dst").as("src"), col("src").as("dst"))),
-      eager = true)
+      eager = false)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("keeper_id", col("doc_id"))
       .persist()
@@ -1800,8 +1801,8 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"))
     val cand = minhashCandidates(df, text, id, k, numHashes, bands)
       .select(col("doc_a"), col("doc_b"))
-    val t = graft.core.CacheScope.persist(truth, eager = true)
-    val c = graft.core.CacheScope.persist(cand, eager = true)
+    val t = graft.core.CacheScope.persist(truth, eager = false)
+    val c = graft.core.CacheScope.persist(cand, eager = false)
     val hits = t.join(c, Seq("doc_a", "doc_b"), "left_semi")
     t.agg(count(lit(1)).as("n_truth"))
       .crossJoin(c.agg(count(lit(1)).as("n_candidates")))
@@ -1920,7 +1921,7 @@ object DedupOps {
       seed: Long = 42L): DataFrame = {
     require(bands > 0 && planesPerBand > 0, "bands/planesPerBand positive")
     val v = graft.core.CacheScope.persist(
-      df.select(id.cast("long").as("vid"), vec.as("v")), eager = true)
+      df.select(id.cast("long").as("vid"), vec.as("v")), eager = false)
     val bandKeys = array((0 until bands).map { r =>
       (0 until planesPerBand).map { j =>
         when(SimilarityOps.planeProjection(col("v"), dims,
@@ -1934,7 +1935,7 @@ object DedupOps {
     val withB = graft.core.CacheScope.persist(
       v.select(col("vid"), posexplode(bandKeys))
         .select(col("vid"), col("pos").as("band"), col("col").as("key")),
-      eager = true)
+      eager = false)
     val cand = withB.as("a")
       .join(withB.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -2176,7 +2177,7 @@ object DedupOps {
     PersistedIndex.requireParams(spark, s"$indexDir/vecs", ps)
     val nb = graft.core.CacheScope.persist(
       embBandTable(newDf, vec, id, dims, bands, planesPerBand, seed),
-      eager = true)
+      eager = false)
     val all = spark.read.parquet(s"$indexDir/bands").unionByName(nb)
     val cand = nb.as("a")
       .join(all.as("b"),

@@ -600,7 +600,7 @@ object EventOps {
     val hourly = graft.core.CacheScope.persist(
       events.select(typ.as("event_type"), hr.as("hr"))
         .groupBy("event_type", "hr").agg(count(lit(1)).as("y")),
-      eager = true)
+      eager = false)
     val mins = hourly.groupBy("event_type").agg(min("hr").as("mn"))
     val sums = hourly.join(broadcast(mins), "event_type")
       .withColumn("x", col("hr") - col("mn"))

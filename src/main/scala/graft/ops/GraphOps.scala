@@ -34,7 +34,7 @@ object GraphOps {
     val spark = edges.sparkSession
     val e = graft.core.CacheScope.persist(
       edges.select(src.cast("long").as("src"), dst.cast("long").as("dst")),
-      eager = true)
+      eager = false)
     val nEdges = e.count()
     if (nEdges <= maxDriverEdges) {
       // catalog-sized graphs (the common case for item/co-click analytics)
@@ -102,7 +102,7 @@ object GraphOps {
     // (registered with CacheScope; the caller releases)
     val e = graft.core.CacheScope.persist(
       edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
-        .where(col("a") < col("b")).distinct(), eager = true)
+        .where(col("a") < col("b")).distinct(), eager = false)
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
     // orient: (a,b) becomes u→w with u ≺ w in (degree, id) order; carry
@@ -117,7 +117,7 @@ object GraphOps {
       withDeg.select(
         when(fwd, col("a")).otherwise(col("b")).as("u"),
         when(fwd, col("b")).otherwise(col("a")).as("w"),
-        when(fwd, col("db")).otherwise(col("da")).as("dw")), eager = true)
+        when(fwd, col("db")).otherwise(col("da")).as("dw")), eager = false)
     // wedge at u between out-neighbors x ≺ y, closed by oriented (x, y)
     val o2 = o.select(col("u").as("u2"), col("w").as("w2"),
       col("dw").as("dw2"))
@@ -159,7 +159,7 @@ object GraphOps {
     // doesn't replay the symmetrize+distinct (CacheScope-tracked)
     val dir = graft.core.CacheScope.persist(
       e.unionAll(e.select(col("b").as("a"), col("a").as("b"))).distinct(),
-      eager = true)
+      eager = false)
     // FRONTIER BFS with min-hop labels (the textbook delta expansion):
     // hop k expands only the rows FIRST reached at hop k-1 — not the whole
     // accumulated reach set — and the census falls out of ONE conditional
@@ -170,7 +170,7 @@ object GraphOps {
     // O(|frontier_k|), which is what survives at social scale.
     // dir is already (a, b)-distinct, so hop-1 rows need no dedup.
     var frontier = graft.core.CacheScope.persist(
-      dir.select(col("a").as("seed"), col("b").as("v")), eager = true)
+      dir.select(col("a").as("seed"), col("b").as("v")), eager = false)
     var seenParts = List(frontier.withColumn("__h", lit(1)))
     (2 to hops).foreach { k =>
       val seen = seenParts.map(_.select("seed", "v")).reduce(_ unionAll _)
@@ -178,7 +178,7 @@ object GraphOps {
         .select(col("seed"), col("b").as("v"))
         .where(col("v") =!= col("seed")).distinct()
       frontier = graft.core.CacheScope.persist(
-        expanded.join(seen, Seq("seed", "v"), "left_anti"), eager = true)
+        expanded.join(seen, Seq("seed", "v"), "left_anti"), eager = false)
       seenParts = seenParts :+ frontier.withColumn("__h", lit(k))
     }
     val labeled = seenParts.reduce(_ unionAll _)
@@ -211,7 +211,7 @@ object GraphOps {
       .where(col("a") =!= col("b"))
     val dir = graft.core.CacheScope.persist(
       e.unionAll(e.select(col("b").as("a"), col("a").as("b"))).distinct(),
-      eager = true)
+      eager = false)
     // ball_1(v) = {v} ∪ N(v): seeding the ball with v itself makes the
     // recurrence pure union (no per-hop self-filter a sketch can't do);
     // the final estimate subtracts the self member back out
@@ -219,7 +219,7 @@ object GraphOps {
       dir.select(col("a").as("v"), col("b").as("m"))
         .unionAll(dir.select(col("a").as("v"), col("a").as("m")).distinct())
         .groupBy("v").agg(hll_sketch_agg(col("m"), lit(lgK)).as("sk")),
-      eager = true)
+      eager = false)
     def census(k: Int) = balls.select(col("v").as("seed"),
       (hll_sketch_estimate(col("sk")) - 1L).as(s"n$k"))
     val counts = (1 to hops).map { k =>
@@ -229,7 +229,7 @@ object GraphOps {
             .select(dir("a").as("v"), col("sk"))
             .unionByName(balls)
             .groupBy("v").agg(hll_union_agg(col("sk")).as("sk")),
-          eager = true)
+          eager = false)
       }
       census(k)
     }
@@ -245,7 +245,7 @@ object GraphOps {
       maxExactEdges: Long = 5000000L, lgK: Int = 12): DataFrame = {
     val e = graft.core.CacheScope.persist(
       edges.select(src.cast("long").as("a"), dst.cast("long").as("b"))
-        .where(col("a") =!= col("b")), eager = true)
+        .where(col("a") =!= col("b")), eager = false)
     if (e.count() <= maxExactEdges)
       kHopReach(e, col("a"), col("b"), hops)
     else kHopReachSketch(e, col("a"), col("b"), hops, lgK)

@@ -208,7 +208,7 @@ object MlOps {
     import spark.implicits._
     val data = graft.core.CacheScope.persist(
       df.select(id.as("vec_id"), vec.cast("array<double>").as("v")),
-      eager = true)
+      eager = false)
     val n = data.count()
     require(n >= k, s"k=$k exceeds corpus rows n=$n")
     var centers =
@@ -249,7 +249,7 @@ object MlOps {
     def assign(cs: Array[Array[Double]]) =
       SimilarityOps.l2AssignTwoLevelLearned(data, col("v"), col("vec_id"),
         centDf(cs), col("cv"), col("centroid_id"), probe = probe,
-        seed = seed + 13)
+        seed = seed + 13, knownK = k.toLong)
     var it = 0
     while (it < refineIters) {
       val sums = (0 until d).map(i =>
@@ -301,7 +301,7 @@ object MlOps {
       : (DataFrame, DataFrame) = {
     val data = graft.core.CacheScope.persist(
       df.select(id.as("vec_id"), vec.cast("array<double>").as("v")),
-      eager = true)
+      eager = false)
     val n = data.count()
     require(n >= k, s"k=$k exceeds corpus rows n=$n")
     val d = data.select(size(col("v"))).head.getInt(0)
@@ -314,11 +314,11 @@ object MlOps {
           "__cid", col("__u").asc, col("vec_id").asc)
         .where(col("__cid") < k)
         .select(col("__cid").as("centroid_id"), col("v").as("cv")),
-      eager = true)
+      eager = false)
     def assign(c: DataFrame) =
       SimilarityOps.l2AssignTwoLevelLearned(data, col("v"), col("vec_id"),
         c, col("cv"), col("centroid_id"), probe = probe, seed = seed + 13,
-        broadcastRoutes = false)
+        broadcastRoutes = false, knownK = k.toLong)
     val sums = (0 until d).map(i =>
       sum(round(element_at(col("v"), i + 1) * 1e6).cast("long"))
         .as(s"__s$i"))
@@ -337,7 +337,7 @@ object MlOps {
               col(s"__s$i").cast("double") / lit(1e6) /
                 col("__n").cast("double")): _*))
             .as("cv"))
-      cent = graft.core.CacheScope.persist(next, eager = true)
+      cent = graft.core.CacheScope.persist(next, eager = false)
       it += 1
     }
     (cent, assign(cent)

@@ -348,12 +348,14 @@ object SimilarityOps {
   def l2AssignTwoLevelLearned(corpus: DataFrame, vec: Column, id: Column,
       centroids: DataFrame, cvec: Column, cid: Column,
       probe: Int = 3, k1: Int = 0, seed: Long = 42L,
-      broadcastRoutes: Boolean = true): DataFrame = {
+      broadcastRoutes: Boolean = true, knownK: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d2 = graft.functions.VecKernels.dist2 _
     val ct = centroids.select(cid.cast("long").as("centroid_id"),
       cvec.as("cv"))
-    val k = ct.count()
+    // callers that already know the codebook size (the k-means fits call
+    // this once per refine iteration) pass it to skip a count action
+    val k = if (knownK > 0) knownK else ct.count()
     // a handful of centroids has nothing to route — the flat scan IS the
     // cheap plan, and a coarse fit over ≤4 rows can't even hold 2 cells
     if (k <= 4) return l2Assign(corpus, vec, id, ct, col("cv"),

@@ -322,7 +322,7 @@ object TextOps {
         .select(idCol.as("doc_id"),
           explode(split(lower(text), "\\s+")).as("token"))
         .where(col("token") =!= ""),
-      eager = true)
+      eager = false)
     val freq = toks.groupBy("token").agg(count(lit(1)).as("tf"))
     toks.join(freq, Seq("token"))
       .groupBy("doc_id")
@@ -403,7 +403,7 @@ object TextOps {
     require(tiers > 0)
     val q = graft.core.CacheScope.persist(
       qualityFeatures(df, text, idCol).select(col("doc_id"), col("quality")),
-      eager = true)
+      eager = false)
     val n = q.count()
     // integer `div`, not `/`: double division + cast could misplace a
     // boundary rank; the oracle mirrors with `//`
@@ -614,7 +614,7 @@ object TextOps {
     val words = graft.core.CacheScope.persist(
       df.select(explode(tokens(text)).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt")),
-      eager = true)
+      eager = false)
     if (words.count() <= maxDriverWords) {
       import spark.implicits._
       return bpeTrainLocal(
@@ -1109,7 +1109,7 @@ object TextOps {
     require(k >= 0, "k must be non-negative")
     val m = graft.core.CacheScope.persist(
       df.select(idCol.as("doc_id"), metric.cast("long").as("v")),
-      eager = true)
+      eager = false)
     val n = m.count()
     require(n > 0, "empty input")
     val medRank = (n - 1) / 2
@@ -1141,7 +1141,7 @@ object TextOps {
     val tk = graft.core.CacheScope.persist(
       df.select(id.as("doc_id"),
         posexplode(tokens(text)).as(Seq("pos", "tok"))),
-      eager = true)
+      eager = false)
     val freq = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
     val tot = freq.agg(sum("cnt").as("tot"))
     val p = freq.crossJoin(broadcast(tot))
@@ -1932,7 +1932,7 @@ object TextOps {
       df.select(group.as("g"), explode(tokens(text)).as("tok"))
         .groupBy(col("g"), tokenBucket(col("tok"), buckets).as("b"))
         .agg(count(lit(1)).as("c")),
-      eager = true)
+      eager = false)
     val bt = tb.groupBy("b").agg(sum("c").as("tb"))
     val gt = tb.groupBy("g").agg(sum("c").as("ng"))
     val nn = gt.agg(sum("ng").as("nn"))
@@ -2238,7 +2238,7 @@ object TextOps {
     val words = graft.core.CacheScope.persist(
       df.select(explode(tokens(text)).as("w"))
         .groupBy("w").agg(count(lit(1)).as("cnt")),
-      eager = true)
+      eager = false)
     import spark.implicits._
     if (words.count() <= maxDriverWords)
       return unigramTrainLocal(
