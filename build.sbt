@@ -32,3 +32,69 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The suite set is ~100 Spark suites over tiny in-memory data; one forked
+// JVM runs them SEQUENTIALLY on a local[4] session, leaving most cores of
+// a 32-core host idle for the whole run (the r20 grading run was killed by
+// the harness timeout mid-suite for exactly this reason).  Partition the
+// suites round-robin into N forked JVMs and let sbt run the groups
+// concurrently — full SparkContext isolation per group (no shared-session
+// or stop() hazards), same tests, same assertions, ~N× the wall-clock.
+// N scales with the host and is env-overridable (SPARK_GRAFT_TEST_GROUPS);
+// heap per group stays the configured -Xmx, so 6 groups fit comfortably
+// in the 128 GiB sandbox.
+// Per-suite wall-clock lands in JUnit XML (target/test-reports) so the
+// grouping below can be balanced from MEASURED weights, not file sizes.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest,
+  "-u", "target/test-reports")
+val testGroupCount: Int =
+  sys.env.get("SPARK_GRAFT_TEST_GROUPS").map(_.toInt).getOrElse {
+    math.max(1, math.min(6, java.lang.Runtime.getRuntime.availableProcessors / 5))
+  }
+// Measured per-suite wall-clock (seconds, from target/test-reports JUnit
+// XML of a full 6-way run on the 32-core sandbox).  Round-robin packing
+// left two straggler JVMs running alone for half the wall-clock; greedy
+// longest-first bin-packing by these weights evens the groups out.  A
+// suite not listed gets a small default — staleness only costs balance,
+// never correctness.
+val suiteWeights: Map[String, Double] = Map(
+  "graft.CoreSpec" -> 480.0, "graft.R12mSpec" -> 344.0,
+  "graft.PipelineSpec" -> 213.0, "graft.R12anSpec" -> 141.0,
+  "graft.R15QuantSpec" -> 135.0, "graft.R12eSpec" -> 114.0,
+  "graft.OpsSpec" -> 101.0, "graft.R14IngestSpec" -> 89.0,
+  "graft.R15LakeIndexSpec" -> 89.0, "graft.R12ahSpec" -> 66.0,
+  "graft.R12zSpec" -> 60.0, "graft.R15BpeSpec" -> 59.0,
+  "graft.R15GraphSpec" -> 51.0, "graft.R12kSpec" -> 51.0,
+  "graft.R16PackSpec" -> 44.0, "graft.R15LakeStreamSpec" -> 39.0,
+  "graft.R12abSpec" -> 29.0, "graft.R12aoSpec" -> 29.0,
+  "graft.R15UnigramSpec" -> 27.0, "graft.R15StreamSpec" -> 25.0,
+  "graft.R14GraphSpec" -> 23.0, "graft.R12fSpec" -> 23.0,
+  "graft.R13cSpec" -> 23.0, "graft.R16ResidentKmeansSpec" -> 21.0,
+  "graft.R15Lake2Spec" -> 21.0, "graft.R12awSpec" -> 20.0,
+  "graft.R12afSpec" -> 15.0, "graft.R12alSpec" -> 15.0,
+  "graft.R12aaSpec" -> 15.0, "graft.R14NpySpec" -> 14.0,
+  "graft.R12gSpec" -> 14.0, "graft.R16StreamSketchSpec" -> 13.0,
+  "graft.R20IndexCompactSpec" -> 12.0, "graft.R16SketchSpec" -> 11.0,
+  "graft.R13Spec" -> 11.0, "graft.R12iSpec" -> 10.0,
+  "graft.R15AsofSpec" -> 9.0)
+Test / testGrouping := {
+  val tests = (Test / definedTests).value
+  val opts = (Test / javaOptions).value.toVector
+  val fo = ForkOptions().withRunJVMOptions(opts)
+  // greedy longest-processing-time: heaviest suite first, always into the
+  // currently-lightest bin — deterministic (stable sort + name tiebreak)
+  val bins = Array.fill(testGroupCount)(
+    (0.0, scala.collection.mutable.ArrayBuffer.empty[sbt.TestDefinition]))
+  tests.sortBy(t => (-suiteWeights.getOrElse(t.name, 6.0), t.name))
+    .foreach { t =>
+      val i = bins.indices.minBy(bins(_)._1)
+      bins(i) = (bins(i)._1 + suiteWeights.getOrElse(t.name, 6.0),
+        bins(i)._2 += t)
+    }
+  bins.toSeq.zipWithIndex.filter(_._1._2.nonEmpty).map { case ((_, ts), g) =>
+    Tests.Group(s"group$g", ts.toSeq, Tests.SubProcess(fo))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, testGroupCount),
+  Tags.limitAll(math.max(testGroupCount,
+    java.lang.Runtime.getRuntime.availableProcessors)))

@@ -116,7 +116,8 @@ object Bench {
   /** Fork ONE fresh JVM running `--headliners` and return its JSON
     * line.  The module opens are Spark's own public JDK-17 list
     * (org.apache.spark.launcher.JavaModuleOptions), same as build.sbt. */
-  private def forkHeadlinersOnce(sfDir: String, reps: Int): String =
+  private def forkHeadlinersOnce(sfDir: String, reps: Int,
+      timeoutSec: Long = 900L): String =
     try {
       val javaBin = System.getProperty("java.home") + "/bin/java"
       val opens = Seq(
@@ -140,7 +141,7 @@ object Bench {
         new String(proc.getInputStream.readAllBytes(), "UTF-8"))
       val errF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
         new String(proc.getErrorStream.readAllBytes(), "UTF-8"))
-      val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+      val done = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       if (!done) { proc.destroyForcibly(); throw new RuntimeException(
         "headliner child timed out") }
       val line = outF.get().linesIterator
@@ -164,9 +165,19 @@ object Bench {
     * statistic that converges to the machine's actual capability.
     * GATES and BENCH_FULL agree by construction: both read this block. */
   private[graft] def forkHeadliners(sfDir: String, reps: Int,
-      forks: Int = 3): String = {
-    val raw = (1 to forks).map(_ => forkHeadlinersOnce(sfDir, reps))
-      .filter(_ != "null")
+      forks: Int = 3, remainingS: () => Double = () => Double.MaxValue): String = {
+    // Each fork is a full JVM + Spark startup + warm-up + 7 queries ×
+    // reps (~60–120 s quiet, unbounded under load).  Forks are launched
+    // only while the remaining deadline budget affords one (≥150 s), and
+    // each child's kill-timeout is capped by that budget — one hung fork
+    // must not eat the whole bench's print window.
+    val raw = (1 to forks).iterator
+      .takeWhile(_ => remainingS() > 150.0)
+      .map { _ =>
+        val cap = math.max(60L, math.min(900.0, remainingS() - 60.0).toLong)
+        forkHeadlinersOnce(sfDir, reps, cap)
+      }
+      .filter(_ != "null").toSeq
     def mapOf(line: String): Seq[(String, Long)] = {
       val tag = "\"samples_per_sec\":{"
       val i = line.indexOf(tag)
@@ -196,6 +207,20 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val jvmT0 = System.nanoTime()
+    // Wall-clock self-defense: the grading harness runs `sbt "runMain
+    // graft.Bench"` under a hard timeout, and the r20 run was KILLED by it
+    // (BENCH_r20.json rc=124, "parsed": null — no numbers banked at all).
+    // A bench that never prints its line is worth less than one that
+    // prints a slightly degraded line, so the run now carries an internal
+    // soft deadline (seconds of JVM time, env-overridable): past it the
+    // OPTIONAL blocks (min-of-2 re-times not yet taken, the isolated
+    // headliner forks) are skipped and the line still goes out.  On a
+    // quiet host nothing degrades — the full run fits with minutes to
+    // spare; the guard only engages under the ambient-load regime that
+    // killed r20.
+    val deadlineS = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_S", "1150").toDouble
+    def elapsedS: Double = (System.nanoTime() - jvmT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Contract: bench runs at local[32] unless explicitly overridden.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -270,9 +295,15 @@ object Bench {
     val tpSet = Set("o1_streaming", "o2_block_shuffle",
       "o3_weighted_replace", "o4_class_balanced", "pipeline_block",
       "b2_buffer_shuffle")
+    var min2Skipped = 0
     val results = pass1.map { case (name, (sec, rows)) =>
       if ((sec <= 1.0 && !tpSet(name)) || rows < 0) name -> (sec, rows)
-      else {
+      else if (elapsedS > deadlineS * 0.75) {
+        // deadline guard: a pass1 measurement is a valid (degenerate)
+        // min-of-≤2 — keep it rather than risk the line never printing
+        min2Skipped += 1
+        name -> (sec, rows)
+      } else {
         val t0 = System.nanoTime()
         val rows2 = try SparkEntry.queries(name)(spark, sfDir).count()
           catch { case _: Throwable => -1L }
@@ -282,6 +313,8 @@ object Bench {
         else name -> (sec, rows)
       }
     }
+    System.err.println(f"[bench] pass1+min2 done at ${elapsedS}%.0f s " +
+      s"(deadline $deadlineS, min2 skipped $min2Skipped)")
     // 3-dp timings: the driver's artifact keeps only a ~2000-char tail of
     // stdout, so every byte of the JSON line costs per-query visibility
     def s3(d: Double): String = (math.rint(d * 1000) / 1000.0).toString
@@ -343,7 +376,10 @@ object Bench {
     // fresh-JVM forks each re-measure the samples/sec headliners
     // min-of-3; the quoted number is the per-query max over forks
     // (one fork's min is not contention-proof — see forkHeadliners)
-    val iso = forkHeadliners(sfDir, reps = 3)
+    System.err.println(f"[bench] extras done at ${elapsedS}%.0f s; forking headliners")
+    val iso = forkHeadliners(sfDir, reps = 3,
+      remainingS = () => deadlineS - elapsedS)
+    System.err.println(f"[bench] forks done at ${elapsedS}%.0f s")
     val nq = results.size
     // persisted-index builds, timed once per JVM and reported as their own
     // map: the build is the amortized cost, the per-query numbers above
@@ -351,8 +387,9 @@ object Bench {
     val builds = graft.queries.IndexBuilds.buildSecs.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":$nq,"timing":"min2_over_1s","pass1_total_s":${s3(pass1Total)},"queries":$qs,"samples_per_sec":$tp,"batch_entropy":$ent,"headliners_isolated":$iso,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
-    val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":$nq,"timing":"min2_over_1s","pass1_total_s":${s3(pass1Total)},"queries":$qsFull,"samples_per_sec":$tp,"index_build_s":$builds,"batch_entropy":$ent,"headliners_isolated":$iso,"sf":"$sfDir"}"""
+    val skews = if (min2Skipped > 0) s""","min2_deadline_skipped":$min2Skipped""" else ""
+    val line = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":$nq,"timing":"min2_over_1s"$skews,"pass1_total_s":${s3(pass1Total)},"queries":$qs,"samples_per_sec":$tp,"batch_entropy":$ent,"headliners_isolated":$iso,"queries_full":"BENCH_FULL.json","sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${s3(total)},"unit":"sec","n_queries":$nq,"timing":"min2_over_1s"$skews,"pass1_total_s":${s3(pass1Total)},"queries":$qsFull,"samples_per_sec":$tp,"index_build_s":$builds,"batch_entropy":$ent,"headliners_isolated":$iso,"sf":"$sfDir"}"""
     // The driver captures only a stdout tail, which has truncated the
     // per-query map mid-key in past rounds (BENCH_r10/r11 "parsed": null).
     // Persist the full payload to a committed repo file so bench artifacts
@@ -361,7 +398,14 @@ object Bench {
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"), fullLine + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
-    println(line)
+    // Print the result line LAST, after the Spark context is down: the
+    // forked JVM's stdout and log4j stderr are merged by the harness, and
+    // a WARN emitted mid-line corrupts the one JSON line the driver parses
+    // (the r19 artifact banked rc=0 yet "parsed": null).  With the context
+    // stopped nothing else can write, and the explicit flush pins the line
+    // as the final output before sbt's own epilogue.
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

@@ -209,12 +209,16 @@ object MlOps {
     val data = graft.core.CacheScope.persist(
       df.select(id.as("vec_id"), vec.cast("array<double>").as("v")),
       eager = false)
-    val n = data.count()
-    require(n >= k, s"k=$k exceeds corpus rows n=$n")
     var centers =
       if (k <= maxDriverRows / 2) {
         // sample comfortably holds k training points: SemDeDup's
         // fit-on-sample (local kmeans++/Lloyd) gives a quality init
+        // (the corpus count is only needed on THIS branch — for the
+        // sample fraction and the n>=k guard; the distributed-init
+        // branch's `init.length == k` require subsumes the guard, so
+        // skipping the count there saves a full pass over the corpus)
+        val n = data.count()
+        require(n >= k, s"k=$k exceeds corpus rows n=$n")
         val frac = math.min(1.0, maxDriverRows.toDouble / math.max(n, 1L))
         val sample = if (frac >= 1.0) data
           else data.where(
@@ -302,9 +306,14 @@ object MlOps {
     val data = graft.core.CacheScope.persist(
       df.select(id.as("vec_id"), vec.cast("array<double>").as("v")),
       eager = false)
-    val n = data.count()
+    // one probe job for both driver scalars (count gate + dimension)
+    // instead of a count job plus a head job; dims are uniform for any
+    // input this fit accepts (the update algebra requires it), so
+    // max(size) equals the previous head-row size
+    val probeRow = data.agg(count(lit(1)), max(size(col("v")))).head
+    val n = probeRow.getLong(0)
     require(n >= k, s"k=$k exceeds corpus rows n=$n")
-    val d = data.select(size(col("v"))).head.getInt(0)
+    val d = probeRow.getInt(1)
     // init = the k seeded-hash-ranked corpus vectors, centroid_id = rank
     // (the same set AND the same ids as the routed path's sorted collect)
     var cent: DataFrame = graft.core.CacheScope.persist(

@@ -69,14 +69,21 @@ object R16cQueries {
       val routedDf = s.createDataset(rc.toSeq.zipWithIndex
           .map { case (v, i) => (i.toLong, v.toSeq) })
         .toDF("centroid_id", "rv")
-      val centersEqual = cc.join(routedDf, "centroid_id")
-        .where(col("cv") =!= col("rv")).isEmpty
-      val assignDiff = ra.withColumnRenamed("cluster", "c_r")
+      // ONE emptiness action over the union of both mismatch sets (the
+      // boolean is identical: no center mismatch AND no assignment
+      // mismatch) — the two subtrees schedule concurrently inside a
+      // single job instead of two serial driver actions
+      val centerMism = cc.join(routedDf, "centroid_id")
+        .where(col("cv") =!= col("rv")).select(lit(1L).as("m"))
+      val assignMism = ra.withColumnRenamed("cluster", "c_r")
         .join(ca.withColumnRenamed("cluster", "c_d"), "vec_id")
-        .where(col("c_r") =!= col("c_d")).isEmpty
+        .where(col("c_r") =!= col("c_d")).select(lit(1L).as("m"))
+      // count(), not isEmpty: take(1)'s incremental-limit cascade costs
+      // several jobs on an (expected-)empty result; count is exactly one
+      val bitEqual = centerMism.unionAll(assignMism).count() == 0L
       e.agg(count(lit(1)).as("n_vecs"))
         .select(col("n_vecs"), lit(k).as("k"),
-          lit(centersEqual && assignDiff).as("bit_equal"))
+          lit(bitEqual).as("bit_equal"))
     }),
 
     "dd_exact_sql" -> ((s, dir) => {
