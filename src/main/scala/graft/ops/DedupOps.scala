@@ -1473,9 +1473,13 @@ object DedupOps {
     * pipeline in the same JVM) registered. */
   def fuzzyDedup(df: DataFrame, text: Column, id: Column, k: Int = 3,
       numHashes: Int = 16, bands: Int = 4, maxDocFreq: Long = 100,
-      minJaccard: Double = 0.5): DataFrame =
+      minJaccard: Double = 0.5,
+      candidates: Option[DataFrame] = None): DataFrame =
     graft.core.CacheScope.scoped { scope =>
-      val cand = minhashCandidates(df, text, id, k, numHashes, bands)
+      // a landed candidate layout (Tables.minhashCands) skips the
+      // signature kernel + band self-join; identical pair set
+      val cand = candidates
+        .getOrElse(minhashCandidates(df, text, id, k, numHashes, bands))
       val confirmed = confirmJaccard(df, text, id, cand, k, maxDocFreq,
         minJaccard)
       // rename to avoid capturing the caller frame's own id column
@@ -1796,10 +1800,15 @@ object DedupOps {
     * Output: ONE row (n_truth, n_candidates, n_hits, recall, precision). */
   def minhashEvalReport(df: DataFrame, text: Column, id: Column,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      maxDocFreq: Long = 100, minJaccard: Double = 0.5): DataFrame = {
+      maxDocFreq: Long = 100, minJaccard: Double = 0.5,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val truth = ngramJaccardPairs(df, text, id, k, maxDocFreq, minJaccard)
       .select(col("doc_a"), col("doc_b"))
-    val cand = minhashCandidates(df, text, id, k, numHashes, bands)
+    // callers with a landed candidate layout (Tables.minhashCands) pass
+    // it instead of re-running the signature kernel + band self-join;
+    // the pair SET is identical by the layout's contract
+    val cand = candidates
+      .getOrElse(minhashCandidates(df, text, id, k, numHashes, bands))
       .select(col("doc_a"), col("doc_b"))
     val t = graft.core.CacheScope.persist(truth, eager = false)
     val c = graft.core.CacheScope.persist(cand, eager = false)

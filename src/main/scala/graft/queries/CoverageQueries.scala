@@ -108,9 +108,9 @@ object CoverageQueries {
     // Dedup postprocessing: connected components over MinHash LSH candidate
     // pairs — every doc in a pair labeled with the min reachable doc id
     "dd_clusters" -> ((s, dir) =>
-      DedupOps.dedupClusters(
-        DedupOps.minhashCandidates(docs(s, dir), col("text"), col("doc_id"),
-          k = 3, numHashes = 16, bands = 4))),
+      // candidates from the shared landed layout (Tables.minhashCands):
+      // same (doc_a, doc_b) set as the inline kernel at (3, 16, 4)
+      DedupOps.dedupClusters(Tables.minhashCands(s, dir))),
 
     // Streaming: sliding 1-hour windows every 30 minutes
     "stream_sliding" -> ((s, dir) =>

@@ -64,10 +64,9 @@ object ExtQueries {
       DedupOps.minhashBands(docs(s, dir), col("text"), col("doc_id"),
         k = 3, numHashes = 16, bands = 4)),
 
-    // Dedup: MinHash LSH candidate pairs
-    "dd_minhash_pairs" -> ((s, dir) =>
-      DedupOps.minhashCandidates(docs(s, dir), col("text"), col("doc_id"),
-        k = 3, numHashes = 16, bands = 4)),
+    // Dedup: MinHash LSH candidate pairs (served from the shared landed
+    // layout — bit-identical pair set, see Tables.minhashCands)
+    "dd_minhash_pairs" -> ((s, dir) => Tables.minhashCands(s, dir)),
 
     // Dedup: 16-bit SimHash signatures
     "dd_simhash" -> ((s, dir) =>

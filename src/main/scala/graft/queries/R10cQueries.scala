@@ -75,43 +75,30 @@ object R10cQueries {
 
     // Count-weighted TF-cosine confirm on minhash candidates (catches
     // repetition-rate variants that set-overlap Jaccard misses)
-    "dd_tf_cosine" -> ((s, dir) => {
-      val d = Tables.docs(s, dir)
-      graft.ops.DedupOps.tfCosineConfirm(d, col("text"), col("doc_id"),
-        graft.ops.DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
-          k = 3, numHashes = 16, bands = 4))
-    }),
+    "dd_tf_cosine" -> ((s, dir) =>
+      graft.ops.DedupOps.tfCosineConfirm(Tables.docs(s, dir), col("text"),
+        col("doc_id"), Tables.minhashCands(s, dir))),
 
     // Dup-cluster size histogram over minhash clusters (the dedup
     // diagnostic: pair tail vs mega-cluster boilerplate)
-    "dd_cluster_sizes" -> ((s, dir) => {
-      val d = Tables.docs(s, dir)
-      graft.ops.DedupOps.clusterSizeHistogram(
-        graft.ops.DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
-          k = 3, numHashes = 16, bands = 4))
-    }),
+    "dd_cluster_sizes" -> ((s, dir) =>
+      graft.ops.DedupOps.clusterSizeHistogram(Tables.minhashCands(s, dir))),
 
     // Leakage-safe split: near-dup clusters share one split assignment
-    "p3_cluster_split" -> ((s, dir) => {
-      val d = Tables.docs(s, dir)
-      graft.ops.SplitOps.clusterSplit(d,
-        graft.ops.DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
-          k = 3, numHashes = 16, bands = 4),
+    "p3_cluster_split" -> ((s, dir) =>
+      graft.ops.SplitOps.clusterSplit(Tables.docs(s, dir),
+        Tables.minhashCands(s, dir),
         col("doc_id"), seed = 42L,
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-        .select("doc_id", "split")
-    }),
+        .select("doc_id", "split")),
 
     // Quality-aware dedup: MinHash candidate clusters, keep the LONGEST
     // member of each cluster (n_chars arg-max, id tie-break)
-    "dd_keep_longest" -> ((s, dir) => {
-      val d = Tables.docs(s, dir)
-      graft.ops.DedupOps.keepBestInClusters(d,
-        graft.ops.DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
-          k = 3, numHashes = 16, bands = 4),
+    "dd_keep_longest" -> ((s, dir) =>
+      graft.ops.DedupOps.keepBestInClusters(Tables.docs(s, dir),
+        Tables.minhashCands(s, dir),
         col("doc_id"), col("n_chars"))
-        .select("doc_id", "source", "lang")
-    }),
+        .select("doc_id", "source", "lang")),
 
     // Per-language quality tiers (CCNet: percentiles within each class)
     "text_quality_tiers_by" -> ((s, dir) =>

@@ -39,19 +39,17 @@ object R11Queries {
 
     // Soft dedup: every member of a minhash near-dup cluster of size n
     // weighted 1/n — the cluster contributes one document's worth of mass
-    "dd_soft_weights" -> ((s, dir) => {
-      val d = Tables.docs(s, dir)
-      DedupOps.softDedupWeights(d, col("doc_id"),
-        DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
-          k = 3, numHashes = 16, bands = 4))
-    }),
+    "dd_soft_weights" -> ((s, dir) =>
+      DedupOps.softDedupWeights(Tables.docs(s, dir), col("doc_id"),
+        Tables.minhashCands(s, dir))),
 
     // Banding-quality report: MinHash-LSH candidate recall/precision vs
     // the exact n-gram-Jaccard ground truth at 0.5
     "dd_minhash_recall" -> ((s, dir) =>
       DedupOps.minhashEvalReport(Tables.docs(s, dir), col("text"),
         col("doc_id"), k = 3, numHashes = 16, bands = 4,
-        maxDocFreq = 100, minJaccard = 0.5)),
+        maxDocFreq = 100, minJaccard = 0.5,
+        candidates = Some(Tables.minhashCands(s, dir)))),
 
     // Closed-form LSH tuner: collision S-curve + threshold location for
     // every (bands, rows) factorization of 8/16/32 hashes, target 0.5

@@ -60,13 +60,9 @@ object R12Queries {
 
     // Cross-source duplication matrix over MinHash candidate pairs: which
     // source pairs mirror each other (provenance for mixture decisions)
-    "dd_source_matrix" -> ((s, dir) => {
-      val d = Tables.docs(s, dir)
-      DedupOps.crossSourceDupMatrix(
-        DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
-          k = 3, numHashes = 16, bands = 4),
-        d, col("doc_id"), col("source"))
-    }),
+    "dd_source_matrix" -> ((s, dir) =>
+      DedupOps.crossSourceDupMatrix(Tables.minhashCands(s, dir),
+        Tables.docs(s, dir), col("doc_id"), col("source"))),
 
     // Vocabulary-coverage gate: OOV rate of every document against the
     // top-500 tokens of the English slice (broadcast vocabulary)

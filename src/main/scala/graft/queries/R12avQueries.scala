@@ -17,9 +17,7 @@ object R12avQueries {
     // on the cluster table, not the corpus.
     "dd_cluster_purity" -> ((s, dir) => {
       val d = Tables.docs(s, dir)
-      val cl = DedupOps.dedupClusters(
-        DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
-          k = 3, numHashes = 16, bands = 4))
+      val cl = DedupOps.dedupClusters(Tables.minhashCands(s, dir))
       val per = cl.join(d.select(col("doc_id"), col("lang")), "doc_id")
         .groupBy("keeper_id")
         .agg(count(lit(1)).as("sz"), countDistinct(col("lang")).as("n_langs"))

@@ -50,12 +50,9 @@ object R12cQueries {
 
     // Character-level Levenshtein confirm over the MinHash banding
     // candidates (800-char prefix cap bounds the quadratic kernel)
-    "dd_edit_confirm" -> ((s, dir) => {
-      val d = Tables.docs(s, dir)
-      DedupOps.editSimilarityPairs(d, col("text"), col("doc_id"),
-        DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
-          k = 3, numHashes = 16, bands = 4))
-    }),
+    "dd_edit_confirm" -> ((s, dir) =>
+      DedupOps.editSimilarityPairs(Tables.docs(s, dir), col("text"),
+        col("doc_id"), Tables.minhashCands(s, dir))),
 
     // Flesch reading-ease card: words / sentences / vowel-group syllables
     // and the classic score — codegen'd regexp counts, no shuffle

@@ -34,7 +34,8 @@ object R12tQueries {
           DedupOps.exactDedup(d, col("text"), col("doc_id"))))
         .unionByName(one("norm_exact", normKept))
         .unionByName(one("fuzzy",
-          DedupOps.fuzzyDedup(d, col("text"), col("doc_id"))))
+          DedupOps.fuzzyDedup(d, col("text"), col("doc_id"),
+            candidates = Some(Tables.minhashCands(s, dir)))))
     })
   )
 

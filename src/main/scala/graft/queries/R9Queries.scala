@@ -142,7 +142,8 @@ object R9Queries {
     // End-to-end fuzzy dedup: MinHash candidates -> Jaccard confirm ->
     // clusters -> keeper projection, one call
     "dd_fuzzy_keep" -> ((s, dir) =>
-      DedupOps.fuzzyDedup(docs(s, dir), col("text"), col("doc_id"))
+      DedupOps.fuzzyDedup(docs(s, dir), col("text"), col("doc_id"),
+          candidates = Some(Tables.minhashCands(s, dir)))
         .select("doc_id", "source", "lang")),
 
     // Persisted IVF index: corpus written partitioned by coarse cell, then

@@ -118,6 +118,42 @@ private[queries] object Tables {
     s.table(tbl)
   }
 
+  /** MinHash-LSH candidate pairs at the engine's standard document-dedup
+    * parameters (word-3-shingles, 16 hashes, 4 bands) over the FULL
+    * documents table — the [[coEdges]] discipline applied to the dedup
+    * tier.  Ten-plus registered queries consume exactly this pair set
+    * (cluster extraction, purity/size rollups, TF/edit/Jaccard confirm
+    * kernels, leakage-safe splits, provenance matrices, soft weights,
+    * the fuzzy keeper pipeline); each used to re-run the signature
+    * kernel and the band self-join from scratch.  The derivation now
+    * runs ONCE per (JVM, dir) and lands as a bucketed layout the
+    * consumers scan — at 100 TB the signature pass over the corpus
+    * dominates every one of those queries, and a production curation
+    * run lands the band/pair table once and fans every downstream stage
+    * off it.  Build seconds are booked via [[IndexBuilds.once]] so
+    * Bench reports them as `index_build_s`, not query time.
+    *
+    * Columns: (doc_a, doc_b) distinct, doc_a < doc_b — bit-identical to
+    * `DedupOps.minhashCandidates(docs, text, doc_id, 3, 16, 4)` (parquet
+    * round-trips longs exactly; row order is immaterial to every
+    * consumer, all of which aggregate, join, or cluster the SET). */
+  def minhashCands(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    val tbl = "graft_minhash_cands_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40).toLowerCase +
+      "_" + digest
+    IndexBuilds.once(s"layout_minhash_cands@$dir") {
+      val pairs = graft.ops.DedupOps.minhashCandidates(docs(s, dir),
+        col("text"), col("doc_id"), k = 3, numHashes = 16, bands = 4)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.ops.LayoutOps.writeBucketed(pairs, "doc_a", 8, tbl,
+        s"$wh/graft_layout/$tbl")
+    }
+    s.table(tbl)
+  }
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
