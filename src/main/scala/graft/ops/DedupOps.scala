@@ -776,12 +776,16 @@ object DedupOps {
     * aggregate can actually afford. */
   def winnowPairs(df: DataFrame, text: Column, id: Column,
       k: Int = 25, w: Int = 4, maxDocFreq: Long = 100,
-      minSharedFps: Long = 2): DataFrame = {
+      minSharedFps: Long = 2,
+      posAggTable: Option[DataFrame] = None): DataFrame = {
     require(minSharedFps >= 1, "minSharedFps must be >= 1")
+    // a landed [[winnowPosAgg]] table's keys ARE the distinct (doc, fp)
+    // set (it is grouped on exactly that key) — same rows either way
     val fps = graft.core.CacheScope.persist(
-      winnowFingerprints(df, text, id, k, w)
-        .select(col("doc_id").cast("long").as("doc_id"), col("fp"))
-        .distinct(),
+      posAggTable.map(_.select(col("doc_id"), col("fp"))).getOrElse(
+        winnowFingerprints(df, text, id, k, w)
+          .select(col("doc_id").cast("long").as("doc_id"), col("fp"))
+          .distinct()),
       eager = false)
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("fp")
@@ -824,7 +828,7 @@ object DedupOps {
     * all-pairs, no data-wide sort (the suffix-array alternative). */
   def sharedSpans(df: DataFrame, text: Column, id: Column,
       k: Int = 25, w: Int = 4, maxDocFreq: Long = 100,
-      minLen: Int = -1): DataFrame = {
+      minLen: Int = -1, posAggTable: Option[DataFrame] = None): DataFrame = {
     val ml = if (minLen < 0) w + k - 1 else minLen
     require(ml >= w + k - 1,
       s"minLen=$ml below the winnowing guarantee w+k-1=${w + k - 1}: " +
@@ -835,11 +839,14 @@ object DedupOps {
     // table (df-count + both sides of the candidate self-join), and its
     // position arrays ARE both seed sides — the old shape persisted the
     // raw positioned fingerprints AND a separate distinct table, then
-    // aggregated positions twice (once per pair side)
+    // aggregated positions twice (once per pair side).  A caller with a
+    // LANDED copy ([[winnowPosAgg]]) passes it instead; longs and long
+    // arrays round-trip parquet exactly, so the table is bit-identical.
     val agg = graft.core.CacheScope.persist(
-      posAgg(winnowFingerprints(df, text, id, k, w)
-        .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
-          col("fp"))),
+      posAggTable.getOrElse(
+        posAgg(winnowFingerprints(df, text, id, k, w)
+          .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
+            col("fp")))),
       eager = false)
     val hot = agg.groupBy("fp").agg(count(lit(1)).as("__df"))
       .where(col("__df") > maxDocFreq).select("fp")
@@ -868,6 +875,20 @@ object DedupOps {
     fps.groupBy(col("doc_id"), col("fp"))
       .agg(slice(array_sort(collect_list(col("pos"))), 1, maxPosPerFp)
         .as("ps"))
+
+  /** The [[posAgg]] table of a corpus's winnow fingerprints — the landable
+    * shape of the whole span tier: (doc_id, fp, ps sorted-position array).
+    * Every span operator (sharedSpans, spanDedupedText, winnowPairs'
+    * distinct key set, contaminationSpans' corpus side) derives from
+    * exactly this table, so a caller that lands it once (the
+    * Tables.minhashCands discipline) can pass it back via the operators'
+    * `posAggTable` parameters and skip the per-query fingerprint kernel
+    * (one md5 per char position — the tier's dominant cost at any scale). */
+  def winnowPosAgg(df: DataFrame, text: Column, id: Column,
+      k: Int = 25, w: Int = 4): DataFrame =
+    posAgg(winnowFingerprints(df, text, id, k, w)
+      .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
+        col("fp")))
 
   /** Shared tail of [[sharedSpans]] / [[contaminationSpans]]: given
     * candidate pairs, each side's per-(doc, fp) sorted position lists
@@ -971,17 +992,20 @@ object DedupOps {
     * `start` into the corpus document's lowercased text. */
   def contaminationSpans(corpus: DataFrame, text: Column, id: Column,
       probe: DataFrame, ptext: Column, pid: Column,
-      k: Int = 25, w: Int = 4, minLen: Int = -1): DataFrame = {
+      k: Int = 25, w: Int = 4, minLen: Int = -1,
+      corpusPosAgg: Option[DataFrame] = None): DataFrame = {
     val ml = if (minLen < 0) w + k - 1 else minLen
     require(ml >= w + k - 1,
       s"minLen=$ml below the winnowing guarantee w+k-1=${w + k - 1}")
     // one cached per-(doc, fp) position aggregate per side (the sharedSpans
     // discipline): key sets drive the candidate join, position arrays are
-    // the seed sides — no separate positioned-fingerprint persists
+    // the seed sides — no separate positioned-fingerprint persists; a
+    // landed [[winnowPosAgg]] copy serves the corpus side when supplied
     val aggC = graft.core.CacheScope.persist(
-      posAgg(winnowFingerprints(corpus, text, id, k, w)
-        .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
-          col("fp"))),
+      corpusPosAgg.getOrElse(
+        posAgg(winnowFingerprints(corpus, text, id, k, w)
+          .select(col("doc_id").cast("long").as("doc_id"), col("pos"),
+            col("fp")))),
       eager = false)
     val aggP = graft.core.CacheScope.persist(
       posAgg(winnowFingerprints(probe, ptext, pid, k, w)
@@ -1040,9 +1064,9 @@ object DedupOps {
     * as the empty string.  Output: (doc_id, deduped_text). */
   def spanDedupedText(df: DataFrame, text: Column, id: Column,
       k: Int = 25, w: Int = 4, maxDocFreq: Long = 100,
-      minLen: Int = -1): DataFrame = {
+      minLen: Int = -1, posAggTable: Option[DataFrame] = None): DataFrame = {
     val removals = spanRemovals(
-      sharedSpans(df, text, id, k, w, maxDocFreq, minLen))
+      sharedSpans(df, text, id, k, w, maxDocFreq, minLen, posAggTable))
       .groupBy("doc_id")
       .agg(collect_list(struct(col("start"), col("len"))).as("__iv"))
     val cut = udf { (t: String, iv: Seq[org.apache.spark.sql.Row]) =>

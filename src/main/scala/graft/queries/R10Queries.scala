@@ -118,14 +118,16 @@ object R10Queries {
     // >= w+k-1 = 28 chars across candidate document pairs
     "dd_spans" -> ((s, dir) =>
       DedupOps.sharedSpans(Tables.docs(s, dir), col("text"), col("doc_id"),
-        k = 25, w = 4, maxDocFreq = 100)),
+        k = 25, w = 4, maxDocFreq = 100,
+        posAggTable = Some(Tables.winnowPosAgg(s, dir)))),
 
     // ExactSubstr removal: every shared span cut from the higher-id doc
     // (merged intervals), text rebuilt — the byte-range analogue of
     // dd_para_dedup's paragraph-aligned removal
     "dd_span_dedup" -> ((s, dir) =>
       DedupOps.spanDedupedText(Tables.docs(s, dir), col("text"),
-        col("doc_id"), k = 25, w = 4, maxDocFreq = 100)),
+        col("doc_id"), k = 25, w = 4, maxDocFreq = 100,
+        posAggTable = Some(Tables.winnowPosAgg(s, dir)))),
 
     // Incremental substring dedup: even docs are the persisted fingerprint
     // index, odd docs the new shard — candidates must equal the full-corpus
@@ -189,7 +191,8 @@ object R10Queries {
       val d = Tables.docs(s, dir)
       DedupOps.contaminationSpans(d, col("text"), col("doc_id"),
         d.where(col("doc_id") < 5), col("text"), col("doc_id"),
-        k = 25, w = 4)
+        k = 25, w = 4,
+        corpusPosAgg = Some(Tables.winnowPosAgg(s, dir)))
     }),
 
     // Real greedy-BPE subword tokenization under a fixed ranked merge

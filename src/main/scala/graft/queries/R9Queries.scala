@@ -121,7 +121,8 @@ object R9Queries {
     // thresholded inside the aggregate
     "dd_substr_pairs" -> ((s, dir) =>
       DedupOps.winnowPairs(docs(s, dir), col("text"), col("doc_id"),
-        k = 25, w = 4, maxDocFreq = 100, minSharedFps = 2)),
+        k = 25, w = 4, maxDocFreq = 100, minSharedFps = 2,
+        posAggTable = Some(Tables.winnowPosAgg(s, dir)))),
 
     // Corpus token-frequency fluency score (LM-free CCNet-perplexity
     // stand-in; integer-exact)

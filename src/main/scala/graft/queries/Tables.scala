@@ -154,6 +154,34 @@ private[queries] object Tables {
     s.table(tbl)
   }
 
+  /** The corpus's winnow position-aggregate table at the span tier's
+    * standard parameters (k=25-char grams, window w=4) — landed once per
+    * (JVM, dir), the [[minhashCands]] discipline applied to the
+    * substring tier.  Four registered queries (shared spans, span-cut
+    * text rebuild, substring candidate pairs, contamination spans'
+    * corpus side) each re-ran the fingerprint kernel — one md5 digest
+    * per char position, the tier's dominant cost — over the same
+    * documents.  Columns: (doc_id, fp, ps); longs and long arrays
+    * round-trip parquet exactly, so consumers see the identical table.
+    * Bucketed by fp: the candidate self-join and the df-cap census both
+    * key on it. */
+  def winnowPosAgg(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    val tbl = "graft_winnow_posagg_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40).toLowerCase +
+      "_" + digest
+    IndexBuilds.once(s"layout_winnow_posagg@$dir") {
+      val agg = graft.ops.DedupOps.winnowPosAgg(docs(s, dir),
+        col("text"), col("doc_id"), k = 25, w = 4)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.ops.LayoutOps.writeBucketed(agg, "fp", 8, tbl,
+        s"$wh/graft_layout/$tbl")
+    }
+    s.table(tbl)
+  }
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")

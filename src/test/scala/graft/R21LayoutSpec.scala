@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.DedupOps
+
+/** Round-21 shared-layout equivalence: every operator that accepts a
+  * precomputed candidates / position-aggregate frame must return EXACTLY
+  * the rows of its compute-inline default when fed the table the layout
+  * derivation produces (Tables.minhashCands / Tables.winnowPosAgg land
+  * precisely these frames; parquet round-trips longs and long arrays
+  * bit-exactly, so in-memory equality proves the landed path too). */
+class R21LayoutSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again", "a"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again", "a"),
+    (2L, "completely different text body with no overlap whatsoever!!", "b"),
+    (3L, "the quick brown fox jumps over the lazy dog AGAIN and AGAIN", "b"),
+    (4L, "another unrelated document body to pad the tiny fixture set", "c"))
+    .toDF("doc_id", "text", "source")
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame) =
+    df.select(df.columns.sorted.map(col): _*).collect()
+      .map(_.toString).sorted.toSeq
+
+  test("fuzzyDedup(candidates = precomputed) == fuzzyDedup()") {
+    val d = corpus
+    val cand = DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
+      k = 3, numHashes = 16, bands = 4)
+    val a = DedupOps.fuzzyDedup(d, col("text"), col("doc_id"))
+    val b = DedupOps.fuzzyDedup(d, col("text"), col("doc_id"),
+      candidates = Some(cand))
+    assert(sortedRows(a) == sortedRows(b))
+  }
+
+  test("minhashEvalReport(candidates = precomputed) == inline") {
+    val d = corpus
+    val cand = DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
+      k = 3, numHashes = 16, bands = 4)
+    val a = DedupOps.minhashEvalReport(d, col("text"), col("doc_id"))
+    val b = DedupOps.minhashEvalReport(d, col("text"), col("doc_id"),
+      candidates = Some(cand))
+    assert(sortedRows(a) == sortedRows(b))
+  }
+
+  test("span tier with posAggTable == compute-inline (all three operators)") {
+    val d = corpus
+    val agg = DedupOps.winnowPosAgg(d, col("text"), col("doc_id"),
+      k = 25, w = 4)
+    val spansA = DedupOps.sharedSpans(d, col("text"), col("doc_id"),
+      k = 25, w = 4, maxDocFreq = 100)
+    val spansB = DedupOps.sharedSpans(d, col("text"), col("doc_id"),
+      k = 25, w = 4, maxDocFreq = 100, posAggTable = Some(agg))
+    assert(sortedRows(spansA) == sortedRows(spansB))
+    val pairsA = DedupOps.winnowPairs(d, col("text"), col("doc_id"),
+      k = 25, w = 4, maxDocFreq = 100, minSharedFps = 1)
+    val pairsB = DedupOps.winnowPairs(d, col("text"), col("doc_id"),
+      k = 25, w = 4, maxDocFreq = 100, minSharedFps = 1,
+      posAggTable = Some(agg))
+    assert(sortedRows(pairsA) == sortedRows(pairsB))
+    val cutA = DedupOps.spanDedupedText(d, col("text"), col("doc_id"),
+      k = 25, w = 4, maxDocFreq = 100)
+    val cutB = DedupOps.spanDedupedText(d, col("text"), col("doc_id"),
+      k = 25, w = 4, maxDocFreq = 100, posAggTable = Some(agg))
+    assert(sortedRows(cutA) == sortedRows(cutB))
+    assert(spansA.count() > 0) // the fixture must actually exercise spans
+  }
+
+  test("contaminationSpans(corpusPosAgg = precomputed) == inline") {
+    val d = corpus
+    val probe = d.where(col("doc_id") < 1)
+    val agg = DedupOps.winnowPosAgg(d, col("text"), col("doc_id"),
+      k = 25, w = 4)
+    val a = DedupOps.contaminationSpans(d, col("text"), col("doc_id"),
+      probe, col("text"), col("doc_id"), k = 25, w = 4)
+    val b = DedupOps.contaminationSpans(d, col("text"), col("doc_id"),
+      probe, col("text"), col("doc_id"), k = 25, w = 4,
+      corpusPosAgg = Some(agg))
+    assert(sortedRows(a) == sortedRows(b))
+  }
+}
