@@ -459,8 +459,9 @@ object DedupOps {
     * sort-based aggregation past 128 groups), no shuffle of raw text. */
   def ngramJaccardPairs(df: DataFrame, text: Column, id: Column,
       k: Int = 3, maxDocFreq: Long = 100,
-      minJaccard: Double = 0.2): DataFrame =
-    ngramPairStats(df, text, id, k, maxDocFreq)
+      minJaccard: Double = 0.2,
+      pairStats: Option[DataFrame] = None): DataFrame =
+    pairStats.getOrElse(ngramPairStats(df, text, id, k, maxDocFreq))
       .withColumn("jaccard", round(
         col("common").cast("double") /
           (col("size_a") + col("size_b") - col("common")).cast("double"), 6))
@@ -475,13 +476,24 @@ object DedupOps {
     * the quote/excerpt case every symmetric threshold misses). */
   def containmentPairs(df: DataFrame, text: Column, id: Column,
       k: Int = 3, maxDocFreq: Long = 100,
-      minContainment: Double = 0.5): DataFrame =
-    ngramPairStats(df, text, id, k, maxDocFreq)
+      minContainment: Double = 0.5,
+      pairStats: Option[DataFrame] = None): DataFrame =
+    pairStats.getOrElse(ngramPairStats(df, text, id, k, maxDocFreq))
       .withColumn("containment", round(
         col("common").cast("double") /
           least(col("size_a"), col("size_b")).cast("double"), 6))
       .where(col("containment") >= minContainment)
       .select("doc_a", "doc_b", "common", "size_a", "size_b", "containment")
+
+  /** The landable form of [[ngramPairStats]] — (doc_a, doc_b, common,
+    * size_a, size_b), all longs (exact parquet round-trip).  Callers that
+    * land it once (Tables.ngramPairStats) pass it back through the
+    * similarity coefficients' `pairStats` parameters, skipping the
+    * per-query shingle hash + posting-walk pass (the dominant cost of the
+    * n-gram pair family at any scale). */
+  def ngramPairStatsOf(df: DataFrame, text: Column, id: Column,
+      k: Int = 3, maxDocFreq: Long = 100): DataFrame =
+    ngramPairStats(df, text, id, k, maxDocFreq)
 
   /** Shared pair-statistics stage behind the n-gram similarity
     * coefficients: capped shingle postings → sorted posting walk →
@@ -1825,8 +1837,10 @@ object DedupOps {
   def minhashEvalReport(df: DataFrame, text: Column, id: Column,
       k: Int = 3, numHashes: Int = 16, bands: Int = 4,
       maxDocFreq: Long = 100, minJaccard: Double = 0.5,
-      candidates: Option[DataFrame] = None): DataFrame = {
-    val truth = ngramJaccardPairs(df, text, id, k, maxDocFreq, minJaccard)
+      candidates: Option[DataFrame] = None,
+      pairStats: Option[DataFrame] = None): DataFrame = {
+    val truth = ngramJaccardPairs(df, text, id, k, maxDocFreq, minJaccard,
+        pairStats)
       .select(col("doc_a"), col("doc_b"))
     // callers with a landed candidate layout (Tables.minhashCands) pass
     // it instead of re-running the signature kernel + band self-join;

@@ -57,7 +57,8 @@ object ExtQueries {
     // planted near-dups: clean separation at 0.5)
     "dd_jaccard_pairs" -> ((s, dir) =>
       DedupOps.ngramJaccardPairs(docs(s, dir), col("text"), col("doc_id"),
-        k = 3, maxDocFreq = 100, minJaccard = 0.5)),
+        k = 3, maxDocFreq = 100, minJaccard = 0.5,
+        pairStats = Some(Tables.ngramPairStats(s, dir)))),
 
     // Dedup: MinHash LSH band buckets
     "dd_minhash_bands" -> ((s, dir) =>

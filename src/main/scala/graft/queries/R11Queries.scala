@@ -49,7 +49,8 @@ object R11Queries {
       DedupOps.minhashEvalReport(Tables.docs(s, dir), col("text"),
         col("doc_id"), k = 3, numHashes = 16, bands = 4,
         maxDocFreq = 100, minJaccard = 0.5,
-        candidates = Some(Tables.minhashCands(s, dir)))),
+        candidates = Some(Tables.minhashCands(s, dir)),
+        pairStats = Some(Tables.ngramPairStats(s, dir)))),
 
     // Closed-form LSH tuner: collision S-curve + threshold location for
     // every (bands, rows) factorization of 8/16/32 hashes, target 0.5

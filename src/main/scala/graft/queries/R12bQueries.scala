@@ -112,7 +112,8 @@ object R12bQueries {
     // shingle postings — catches a short doc quoted inside a long one
     "dd_containment_pairs" -> ((s, dir) =>
       DedupOps.containmentPairs(Tables.docs(s, dir), col("text"),
-        col("doc_id"), k = 3, maxDocFreq = 100, minContainment = 0.5)),
+        col("doc_id"), k = 3, maxDocFreq = 100, minContainment = 0.5,
+        pairStats = Some(Tables.ngramPairStats(s, dir)))),
 
     // Content-defined chunk dedup report: cut after every token 3-gram
     // with md5 bucket ≡ 0 (mod 8); duplicated chunk-mass fraction per doc

@@ -182,6 +182,30 @@ private[queries] object Tables {
     s.table(tbl)
   }
 
+  /** The word-3-gram pair-statistics table (doc_a, doc_b, common, size_a,
+    * size_b) at the standard df-cap (100) — the shared base of the n-gram
+    * similarity coefficients (Jaccard pairs, containment pairs, the
+    * banding-recall report's ground truth).  Landed once per (JVM, dir):
+    * the per-query cost was one md5 per distinct shingle per document
+    * plus the sorted posting walk, identical in all three queries.  All
+    * columns are longs — exact parquet round-trip. */
+  def ngramPairStats(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    val tbl = "graft_ngram_pairstats_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40).toLowerCase +
+      "_" + digest
+    IndexBuilds.once(s"layout_ngram_pairstats@$dir") {
+      val stats = graft.ops.DedupOps.ngramPairStatsOf(docs(s, dir),
+        col("text"), col("doc_id"), k = 3, maxDocFreq = 100)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.ops.LayoutOps.writeBucketed(stats, "doc_a", 8, tbl,
+        s"$wh/graft_layout/$tbl")
+    }
+    s.table(tbl)
+  }
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")

@@ -70,6 +70,24 @@ class R21LayoutSpec extends AnyFunSuite {
     assert(spansA.count() > 0) // the fixture must actually exercise spans
   }
 
+  test("jaccard/containment with pairStats == compute-inline") {
+    val d = corpus
+    val stats = DedupOps.ngramPairStatsOf(d, col("text"), col("doc_id"),
+      k = 3, maxDocFreq = 100)
+    val ja = DedupOps.ngramJaccardPairs(d, col("text"), col("doc_id"),
+      k = 3, maxDocFreq = 100, minJaccard = 0.2)
+    val jb = DedupOps.ngramJaccardPairs(d, col("text"), col("doc_id"),
+      k = 3, maxDocFreq = 100, minJaccard = 0.2, pairStats = Some(stats))
+    assert(sortedRows(ja) == sortedRows(jb))
+    assert(ja.count() > 0)
+    val ca = DedupOps.containmentPairs(d, col("text"), col("doc_id"),
+      k = 3, maxDocFreq = 100, minContainment = 0.5)
+    val cb = DedupOps.containmentPairs(d, col("text"), col("doc_id"),
+      k = 3, maxDocFreq = 100, minContainment = 0.5,
+      pairStats = Some(stats))
+    assert(sortedRows(ca) == sortedRows(cb))
+  }
+
   test("contaminationSpans(corpusPosAgg = precomputed) == inline") {
     val d = corpus
     val probe = d.where(col("doc_id") < 1)
