@@ -65,8 +65,10 @@ object R10cQueries {
     // Multi-band SRP-LSH embedding pairs (4 bands x 4 planes): the
     // tunable-recall banding analogue of the single-bucket dd_embed_lsh
     "dd_embed_banded" -> ((s, dir) =>
-      graft.ops.DedupOps.embeddingPairsBanded(Tables.emb(s, dir),
-        col("embedding"), col("vec_id"), minCosine = 0.4, dims = 64)),
+      // the landed 0.2-threshold pair table post-filtered at 0.4: the
+      // banding/confirm is identical, cos >= 0.4 implies cos >= 0.2, and
+      // the stored cosine is the same 6-dp rounded double
+      Tables.embBandedPairs02(s, dir).where(col("cos") >= 0.4)),
 
     // Sparse hashed-TF postings (feature-hashing vectorizer)
     "dd_tf_sparse" -> ((s, dir) =>

@@ -47,11 +47,9 @@ object R12qQueries {
     // the confirmed-pair set bounded: an uncut histogram would
     // materialize EVERY banded collision (measured super-linear at 10x)
     "dd_nn_dist_hist" -> ((s, dir) => {
-      // persisted (lazy): both union legs project the same pair pipeline —
-      // uncached, the banded join + confirm would run twice
-      val pairs = graft.core.CacheScope.persist(
-        DedupOps.embeddingPairsBanded(Tables.emb(s, dir),
-          col("embedding"), col("vec_id"), minCosine = 0.2, dims = 64))
+      // the landed 0.2-threshold pair table (Tables.embBandedPairs02):
+      // both union legs scan the committed layout
+      val pairs = Tables.embBandedPairs02(s, dir)
       val best = pairs.select(col("vec_a").as("v"), col("cos"))
         .unionByName(pairs.select(col("vec_b").as("v"), col("cos")))
         .groupBy("v").agg(max("cos").as("best_cos"))

@@ -206,6 +206,30 @@ private[queries] object Tables {
     s.table(tbl)
   }
 
+  /** SRP-banded embedding near-dup pairs (vec_a, vec_b, cos) at the
+    * permissive threshold 0.2 over the embeddings table — landed once per
+    * (JVM, dir).  Both banded-embedding queries run the identical SRP
+    * banding + candidate join + cosine confirm and differ only in the
+    * final threshold (0.2 histogram vs 0.4 pair list), so the 0.2 table
+    * subsumes both: a consumer at a higher threshold post-filters on the
+    * stored 6-dp cosine (doubles round-trip parquet bit-exactly). */
+  def embBandedPairs02(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    val tbl = "graft_emb_banded02_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40).toLowerCase +
+      "_" + digest
+    IndexBuilds.once(s"layout_emb_banded02@$dir") {
+      val pairs = graft.ops.DedupOps.embeddingPairsBanded(emb(s, dir),
+        col("embedding"), col("vec_id"), minCosine = 0.2, dims = 64)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.ops.LayoutOps.writeBucketed(pairs, "vec_a", 8, tbl,
+        s"$wh/graft_layout/$tbl")
+    }
+    s.table(tbl)
+  }
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")

@@ -88,6 +88,20 @@ class R21LayoutSpec extends AnyFunSuite {
     assert(sortedRows(ca) == sortedRows(cb))
   }
 
+  test("banded embedding pairs at 0.2 post-filtered to 0.4 == pairs at 0.4") {
+    val vecs = (0L until 40L).map { i =>
+      (i, (0 until 8).map(j =>
+        math.sin((i % 7 + 1) * 0.7 + j * 0.31) +
+          (if (i % 2 == 0) 0.001 * i else 0.0)).toArray)
+    }.toDF("vec_id", "embedding")
+    val lo = DedupOps.embeddingPairsBanded(vecs, col("embedding"),
+      col("vec_id"), minCosine = 0.2, dims = 8)
+    val hi = DedupOps.embeddingPairsBanded(vecs, col("embedding"),
+      col("vec_id"), minCosine = 0.4, dims = 8)
+    assert(sortedRows(lo.where(col("cos") >= 0.4)) == sortedRows(hi))
+    assert(hi.count() > 0)
+  }
+
   test("contaminationSpans(corpusPosAgg = precomputed) == inline") {
     val d = corpus
     val probe = d.where(col("doc_id") < 1)
