@@ -13,18 +13,14 @@ object R10cQueries {
 
     // DSIR importance weight of every document against the src0 target
     // distribution: hashed-unigram log-likelihood ratio, fixed-point sum
-    "text_dsir_weights" -> ((s, dir) => {
-      val d = Tables.docs(s, dir)
-      graft.ops.TextOps.dsirWeights(d, d.where(col("source") === "src0"),
-        col("text"), col("doc_id"))
-    }),
+    "text_dsir_weights" -> ((s, dir) => Tables.dsirWeightsSrc0(s, dir)),
 
-    // DSIR selection: the 500 most target-like documents
-    "text_dsir_select" -> ((s, dir) => {
-      val d = Tables.docs(s, dir)
-      graft.ops.TextOps.dsirSelect(d, d.where(col("source") === "src0"),
-        col("text"), col("doc_id"), n = 500)
-    }),
+    // DSIR selection: the 500 most target-like documents — the same
+    // ordering + limit dsirSelect applies, over the landed weights
+    "text_dsir_select" -> ((s, dir) =>
+      Tables.dsirWeightsSrc0(s, dir)
+        .orderBy(col("log_w").desc, col("doc_id"))
+        .limit(500)),
 
     // Incremental DSIR: model written from the even half, odd shard
     // appended, then the odd shard scored against the persisted model —

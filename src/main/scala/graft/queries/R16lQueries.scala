@@ -68,13 +68,10 @@ object R16lQueries {
     // hard negatives at corpus scale: every vector is a query, candidates
     // from the IVF cell join (sim_knn_join's physical shape), label filter
     // ahead of the rank window
-    "sim_hard_neg_ivf" -> ((s, dir) => {
-      val e = Tables.emb(s, dir)
-      SimilarityOps.hardNegativesIvf(e, col("embedding"), col("vec_id"),
-        col("label"), e, col("embedding"), col("vec_id"), col("label"),
-        e.where(col("vec_id") < 32), col("embedding"), col("vec_id"),
-        k = 3, nprobe = 2)
-    }),
+    "sim_hard_neg_ivf" -> ((s, dir) =>
+      // served from the landed layout (Tables.hardNegIvf32) — identical
+      // mining pass, committed once per corpus
+      Tables.hardNegIvf32(s, dir)),
 
     // The contrastive-curation pipeline in ONE plan: IVF hard negatives →
     // prototype margin (cos to the OWN-label exact centroid minus the
@@ -84,10 +81,7 @@ object R16lQueries {
     // individually oracle-gated; this chains their SQL end to end.
     "pipeline_contrastive" -> ((s, dir) => {
       val e = Tables.emb(s, dir)
-      val hardest = SimilarityOps.hardNegativesIvf(e, col("embedding"),
-          col("vec_id"), col("label"), e, col("embedding"), col("vec_id"),
-          col("label"), e.where(col("vec_id") < 32), col("embedding"),
-          col("vec_id"), k = 3, nprobe = 2)
+      val hardest = Tables.hardNegIvf32(s, dir)
         .groupBy("query_id").agg(max(col("cos")).as("hneg"))
       val cv = EmbedOps.centroids(e, col("embedding"),
           col("label").cast("long"))

@@ -258,6 +258,58 @@ private[queries] object Tables {
     s.table(tbl)
   }
 
+  /** IVF hard negatives at the standard contrastive parameters (every
+    * vector a query, 32 fixed centroids, k=3, nprobe=2) — (query_id,
+    * neighbor_id, cos, rank), landed once per (JVM, dir).  Both the
+    * hard-negative query and the contrastive-curation pipeline run
+    * exactly this mining pass; at scale the mining join is the pipeline's
+    * dominant stage and a curation run mines once, then derives margins,
+    * curricula, and triplets from the landed set.  Longs + 6-dp cosine
+    * doubles round-trip parquet exactly. */
+  def hardNegIvf32(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    val tbl = "graft_hardneg_ivf32_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40).toLowerCase +
+      "_" + digest
+    IndexBuilds.once(s"layout_hardneg_ivf32@$dir") {
+      val e = emb(s, dir)
+      val neg = graft.ops.SimilarityOps.hardNegativesIvf(e,
+        col("embedding"), col("vec_id"), col("label"),
+        e, col("embedding"), col("vec_id"), col("label"),
+        e.where(col("vec_id") < 32), col("embedding"), col("vec_id"),
+        k = 3, nprobe = 2)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.ops.LayoutOps.writeBucketed(neg, "query_id", 8, tbl,
+        s"$wh/graft_layout/$tbl")
+    }
+    s.table(tbl)
+  }
+
+  /** DSIR importance weights against the src0 target distribution —
+    * (doc_id, n_tokens, log_w), landed once per (JVM, dir).  The weights
+    * query and the top-n selection query run the identical model build +
+    * scoring pass; log_w is integer micro-units / 1e6, so the double
+    * round-trips parquet exactly. */
+  def dsirWeightsSrc0(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    val tbl = "graft_dsir_w_src0_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40).toLowerCase +
+      "_" + digest
+    IndexBuilds.once(s"layout_dsir_w_src0@$dir") {
+      val d = docs(s, dir)
+      val w = graft.ops.TextOps.dsirWeights(d,
+        d.where(col("source") === "src0"), col("text"), col("doc_id"))
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.ops.LayoutOps.writeBucketed(w, "doc_id", 8, tbl,
+        s"$wh/graft_layout/$tbl")
+    }
+    s.table(tbl)
+  }
+
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
