@@ -1565,9 +1565,13 @@ object DedupOps {
     * list is materialized, every upstream cache released, and only the
     * loser list stays registered with the scope. */
   def semanticDedupAssigned(df: DataFrame, vec: Column, id: Column,
-      clusters: DataFrame, minCosine: Double): DataFrame =
+      clusters: DataFrame, minCosine: Double,
+      pairsOverride: Option[DataFrame] = None): DataFrame =
     graft.core.CacheScope.scoped { scope =>
-      val pairs = semanticPairs(df, vec, id, clusters, minCosine)
+      // a landed copy of the in-cluster pair stage (same clusters, same
+      // threshold) serves when supplied; identical pair set
+      val pairs = pairsOverride.getOrElse(
+        semanticPairs(df, vec, id, clusters, minCosine))
       val losers = dedupClusters(pairs)
         .where(col("doc_id") =!= col("keeper_id"))
         .select(col("doc_id").as("__loser_id"))

@@ -49,6 +49,28 @@ object R10Queries {
       .select(col("vec_id"), col("centroid_id").as("cluster"))
   }
 
+  /** In-cluster cosine pairs at the semantic tier's standard threshold
+    * (0.4) over the [[ivfClusters]] assignment — landed once per
+    * (JVM, dir): the pair query and the SemDeDup keeper projection both
+    * consume exactly this pair set.  (doc_a, doc_b, cos 6-dp) — exact
+    * parquet round-trip. */
+  private def semanticPairs04(s: SparkSession, dir: String): DataFrame = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    val tbl = "graft_sem_pairs04_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_").takeRight(40).toLowerCase +
+      "_" + digest
+    IndexBuilds.once(s"layout_sem_pairs04@$dir") {
+      val pairs = DedupOps.semanticPairs(emb(s, dir), col("embedding"),
+        col("vec_id"), ivfClusters(s, dir), minCosine = 0.4)
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      graft.ops.LayoutOps.writeBucketed(pairs, "doc_a", 8, tbl,
+        s"$wh/graft_layout/$tbl")
+    }
+    s.table(tbl)
+  }
+
   /** The ivfAssign CTE prefix shared by the semantic oracle SQL — the
     * centroid count mirrors [[ivfClusters]]'s ⌈n/TargetCell⌉ (floor 8). */
   private val AsgSql =
@@ -103,15 +125,15 @@ object R10Queries {
     // Semantic-dedup pair stage: in-cluster cosine near-dups, cluster =
     // fixed-centroid IVF cell (one shuffle on the cluster id — the
     // embedding-tier analogue of an LSH bucket)
-    "dd_semantic_pairs" -> ((s, dir) =>
-      DedupOps.semanticPairs(emb(s, dir), col("embedding"), col("vec_id"),
-        ivfClusters(s, dir), minCosine = 0.4)),
+    "dd_semantic_pairs" -> ((s, dir) => semanticPairs04(s, dir)),
 
     // Full SemDeDup keeper projection: cluster -> in-cluster cosine pairs
     // -> connected components -> keep the min-id member of each dup group
+    // (the pair stage comes from the same landed layout)
     "dd_semantic_keep" -> ((s, dir) =>
       DedupOps.semanticDedupAssigned(emb(s, dir), col("embedding"),
-        col("vec_id"), ivfClusters(s, dir), minCosine = 0.4)
+        col("vec_id"), ivfClusters(s, dir), minCosine = 0.4,
+        pairsOverride = Some(semanticPairs04(s, dir)))
         .select(col("vec_id"), col("label").cast("long").as("label"))),
 
     // ExactSubstr span extraction: winnow-seeded maximal shared char runs
