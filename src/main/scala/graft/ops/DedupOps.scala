@@ -1462,7 +1462,28 @@ object DedupOps {
     * hash joins keyed on numeric columns, no raw text movement. */
   def confirmJaccard(df: DataFrame, text: Column, id: Column,
       pairs: DataFrame, k: Int = 3, maxDocFreq: Long = 100,
-      minJaccard: Double = 0.2): DataFrame = {
+      minJaccard: Double = 0.2,
+      pairStats: Option[DataFrame] = None): DataFrame = {
+    // A landed [[ngramPairStatsOf]] table (same k, same df-cap) already
+    // carries every (doc_a, doc_b, common, size_a, size_b) this confirm
+    // derives: identical capping (a run longer than the cap is dropped
+    // whole, exactly the left_anti hot filter), identical common counts
+    // (candidates share a MinHash band key, so any confirmable pair
+    // shares >= 1 uncapped shingle and appears in the stats; pairs whose
+    // only shared shingles are hot drop out of BOTH paths), identical
+    // sizes, formula, rounding, and doc_a < doc_b orientation — so the
+    // confirm reduces to an equi-join of two landed tables.
+    pairStats.foreach { st =>
+      return pairs
+        .select(col("doc_a").cast("long").as("doc_a"),
+          col("doc_b").cast("long").as("doc_b"))
+        .join(st, Seq("doc_a", "doc_b"))
+        .withColumn("jaccard", round(
+          col("common").cast("double") /
+            (col("size_a") + col("size_b") - col("common")).cast("double"), 6))
+        .where(col("jaccard") >= minJaccard)
+        .select("doc_a", "doc_b", "jaccard")
+    }
     val post = shinglePostings(df, text, id, k, maxDocFreq)
       .select(col("doc_id").cast("long").as("doc_id"), col("sh"))
     val postC = graft.core.CacheScope.persist(post, eager = false)
@@ -1510,14 +1531,15 @@ object DedupOps {
   def fuzzyDedup(df: DataFrame, text: Column, id: Column, k: Int = 3,
       numHashes: Int = 16, bands: Int = 4, maxDocFreq: Long = 100,
       minJaccard: Double = 0.5,
-      candidates: Option[DataFrame] = None): DataFrame =
+      candidates: Option[DataFrame] = None,
+      pairStats: Option[DataFrame] = None): DataFrame =
     graft.core.CacheScope.scoped { scope =>
       // a landed candidate layout (Tables.minhashCands) skips the
       // signature kernel + band self-join; identical pair set
       val cand = candidates
         .getOrElse(minhashCandidates(df, text, id, k, numHashes, bands))
       val confirmed = confirmJaccard(df, text, id, cand, k, maxDocFreq,
-        minJaccard)
+        minJaccard, pairStats)
       // rename to avoid capturing the caller frame's own id column
       val losers = dedupClusters(confirmed)
         .where(col("doc_id") =!= col("keeper_id"))

@@ -35,7 +35,8 @@ object R12tQueries {
         .unionByName(one("norm_exact", normKept))
         .unionByName(one("fuzzy",
           DedupOps.fuzzyDedup(d, col("text"), col("doc_id"),
-            candidates = Some(Tables.minhashCands(s, dir)))))
+            candidates = Some(Tables.minhashCands(s, dir)),
+            pairStats = Some(Tables.ngramPairStats(s, dir)))))
     })
   )
 

@@ -144,7 +144,8 @@ object R9Queries {
     // clusters -> keeper projection, one call
     "dd_fuzzy_keep" -> ((s, dir) =>
       DedupOps.fuzzyDedup(docs(s, dir), col("text"), col("doc_id"),
-          candidates = Some(Tables.minhashCands(s, dir)))
+          candidates = Some(Tables.minhashCands(s, dir)),
+          pairStats = Some(Tables.ngramPairStats(s, dir)))
         .select("doc_id", "source", "lang")),
 
     // Persisted IVF index: corpus written partitioned by coarse cell, then

@@ -70,6 +70,24 @@ class R21LayoutSpec extends AnyFunSuite {
     assert(spansA.count() > 0) // the fixture must actually exercise spans
   }
 
+  test("confirmJaccard/fuzzyDedup with pairStats == compute-inline") {
+    val d = corpus
+    val cand = DedupOps.minhashCandidates(d, col("text"), col("doc_id"),
+      k = 3, numHashes = 16, bands = 4)
+    val stats = DedupOps.ngramPairStatsOf(d, col("text"), col("doc_id"),
+      k = 3, maxDocFreq = 100)
+    val ca = DedupOps.confirmJaccard(d, col("text"), col("doc_id"), cand,
+      k = 3, maxDocFreq = 100, minJaccard = 0.2)
+    val cb = DedupOps.confirmJaccard(d, col("text"), col("doc_id"), cand,
+      k = 3, maxDocFreq = 100, minJaccard = 0.2, pairStats = Some(stats))
+    assert(sortedRows(ca) == sortedRows(cb))
+    assert(ca.count() > 0)
+    val fa = DedupOps.fuzzyDedup(d, col("text"), col("doc_id"))
+    val fb = DedupOps.fuzzyDedup(d, col("text"), col("doc_id"),
+      candidates = Some(cand), pairStats = Some(stats))
+    assert(sortedRows(fa) == sortedRows(fb))
+  }
+
   test("jaccard/containment with pairStats == compute-inline") {
     val d = corpus
     val stats = DedupOps.ngramPairStatsOf(d, col("text"), col("doc_id"),
