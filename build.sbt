@@ -57,25 +57,17 @@ val testGroupCount: Int =
 // suite not listed gets a small default — staleness only costs balance,
 // never correctness.
 val suiteWeights: Map[String, Double] = Map(
-  "graft.CoreSpec" -> 480.0, "graft.R12mSpec" -> 344.0,
-  "graft.PipelineSpec" -> 213.0, "graft.R12anSpec" -> 141.0,
-  "graft.R15QuantSpec" -> 135.0, "graft.R12eSpec" -> 114.0,
-  "graft.OpsSpec" -> 101.0, "graft.R14IngestSpec" -> 89.0,
-  "graft.R15LakeIndexSpec" -> 89.0, "graft.R12ahSpec" -> 66.0,
-  "graft.R12zSpec" -> 60.0, "graft.R15BpeSpec" -> 59.0,
-  "graft.R15GraphSpec" -> 51.0, "graft.R12kSpec" -> 51.0,
-  "graft.R16PackSpec" -> 44.0, "graft.R15LakeStreamSpec" -> 39.0,
-  "graft.R12abSpec" -> 29.0, "graft.R12aoSpec" -> 29.0,
-  "graft.R15UnigramSpec" -> 27.0, "graft.R15StreamSpec" -> 25.0,
-  "graft.R14GraphSpec" -> 23.0, "graft.R12fSpec" -> 23.0,
-  "graft.R13cSpec" -> 23.0, "graft.R16ResidentKmeansSpec" -> 21.0,
-  "graft.R15Lake2Spec" -> 21.0, "graft.R12awSpec" -> 20.0,
-  "graft.R12afSpec" -> 15.0, "graft.R12alSpec" -> 15.0,
-  "graft.R12aaSpec" -> 15.0, "graft.R14NpySpec" -> 14.0,
-  "graft.R12gSpec" -> 14.0, "graft.R16StreamSketchSpec" -> 13.0,
-  "graft.R20IndexCompactSpec" -> 12.0, "graft.R16SketchSpec" -> 11.0,
-  "graft.R13Spec" -> 11.0, "graft.R12iSpec" -> 10.0,
-  "graft.R15AsofSpec" -> 9.0)
+  "graft.CoreSpec" -> 297.0, "graft.OpsSpec" -> 191.0,
+  "graft.R12anSpec" -> 147.0, "graft.PipelineSpec" -> 82.0,
+  "graft.R16PackSpec" -> 78.0, "graft.R15StreamSpec" -> 73.0,
+  "graft.R12eSpec" -> 60.0, "graft.R16ResidentKmeansSpec" -> 59.0,
+  "graft.R21LayoutSpec" -> 35.0, "graft.R12ahSpec" -> 30.0,
+  "graft.R12mSpec" -> 30.0, "graft.R15LakeIndexSpec" -> 22.0,
+  "graft.R15QuantSpec" -> 19.0, "graft.R15UnigramSpec" -> 15.0,
+  "graft.R15Lake2Spec" -> 12.0, "graft.R20IndexCompactSpec" -> 10.0,
+  "graft.R16SketchSpec" -> 9.0, "graft.R14IngestSpec" -> 9.0,
+  "graft.R15BpeSpec" -> 9.0, "graft.R15GraphSpec" -> 9.0,
+  "graft.R12kSpec" -> 9.0, "graft.R15LakeStreamSpec" -> 9.0)
 Test / testGrouping := {
   val tests = (Test / definedTests).value
   val opts = (Test / javaOptions).value.toVector
